@@ -1,0 +1,71 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is materialized via a count-style action (``df.count()`` after
+a no-op cache-free plan) so the full plan executes without driver-side
+result transfer dominating the measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from signaldb_spark.bench_queries import QUERIES  # noqa: E402
+from signaldb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "count_over_time",
+    "rate",
+    "unwrap_aggs",
+    "quantile_over_time",
+    "outer_agg",
+    "increase",
+    "irate",
+    "topk_per_bucket",
+    "vector_ratio",
+    "logical_unless",
+    "sliding_subquery",
+    "calendar",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("signaldb-spark-bench")
+    # warm the JVM + parquet footer caches once so timings measure the
+    # engine, not first-touch JIT
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

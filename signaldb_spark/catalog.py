@@ -1,0 +1,111 @@
+"""Table resolution.
+
+Two families:
+
+- **Benchmark tables** (driver-provided TPC-H-ish star schema + ``events``
+  stream + ``documents``/``embeddings``): one parquet file per table under
+  an ``sf`` directory. ``load_tables`` returns them as a dict and
+  registers temp views so the SQL surface works immediately.
+
+- **Signal tables** (traces/logs/metrics_*/profiles): hour-partitioned
+  parquet trees laid out ``{base}/{tenant}/{dataset}/{table}/``, mirroring
+  the reference's Iceberg namespace bridging
+  (docs/architecture/storage-layout.md:197-265). A missing table resolves
+  to ``None`` — queries over it produce empty results, not errors
+  (src/querier/src/query/table_lookup.rs:1-149).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BENCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SIGNAL_TABLES = (
+    "traces",
+    "logs",
+    "metrics_gauge",
+    "metrics_sum",
+    "metrics_histogram",
+    "metrics_exponential_histogram",
+    "metrics_summary",
+    "profiles",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one benchmark table, normalizing nanosecond timestamps.
+
+    Some driver tables carry parquet ``timestamp[ns]`` columns, which
+    Spark's vectorized reader rejects. We read them as long nanos
+    (``nanosAsLong``, runtime-settable) and convert to TimestampType at
+    microsecond precision — the same µs-at-rest / ns-in-flight coercion
+    the reference performs (src/querier/src/query/logs.rs:282-289).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = [
+        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+    ]
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = BENCH_TABLES, register: bool = False
+) -> dict[str, DataFrame]:
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        out[name] = spark.read.parquet(path)
+        if register:
+            out[name].createOrReplaceTempView(name)
+    return out
+
+
+def signal_table_path(base: str, tenant: str, dataset: str, table: str) -> str:
+    return os.path.join(base, tenant, dataset, table)
+
+
+def optional_table(
+    spark: SparkSession, base: str, tenant: str, dataset: str, table: str
+) -> DataFrame | None:
+    """Resolve a signal table; None if absent (queries return empty).
+
+    Mirrors ``optional_table`` in the reference
+    (src/querier/src/query/table_lookup.rs) — a tenant/dataset that has
+    never received a given signal type simply has no table directory.
+    """
+    path = signal_table_path(base, tenant, dataset, table)
+    if not _parquet_dir_exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
+def _parquet_dir_exists(path: str) -> bool:
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False

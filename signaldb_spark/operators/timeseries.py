@@ -1,0 +1,339 @@
+"""Time-series operators: the bucket/aggregate core of the engine.
+
+The reference evaluates every LogQL/PromQL metric query as
+``date_bin(step, timestamp, epoch)`` + GROUP BY (bucket, series columns)
++ aggregate, with an optional second-pass aggregation across series
+(src/querier/src/query/logs.rs:278-326, metrics.rs:910-1027). The
+fixed-step tumbling bucket is the documented approximation of
+Prometheus/Loki sliding windows (docs/users/logql-reference.md:209-216) —
+exact when step == range. We reproduce those semantics with plain
+``groupBy`` over an epoch-aligned bucket column: a single shuffle on
+(bucket, series), map-side partial aggregation for free, and whole-stage
+codegen since everything is built-in expressions.
+
+Operators the reference computes post-collect in native code — top-k per
+bucket (logs.rs:1305), irate/resets/changes (metrics.rs:979-1440),
+subquery sliding reduce (metrics.rs:829-908) — are Window functions here
+so they distribute instead of being driver-bound.
+
+Scale notes (100 TB): the (bucket, series) grouping key is
+high-cardinality and uniform (bucket spreads any single-series hotspot),
+so the shuffle partitions evenly; partial aggregation reduces map output
+to ~|series|x|buckets| rows regardless of input volume. Window functions
+partition by (series) or (bucket) — never a global window — so no
+single-task bottleneck exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# bucketing
+
+
+def bucket(ts: Column | str, step_seconds: int) -> Column:
+    """Epoch-aligned tumbling bucket as epoch seconds (long).
+
+    Semantics of DataFusion ``date_bin(step, ts, epoch)`` as used at
+    logs.rs:279-289 / metrics.rs:2703: origin is the unix epoch, buckets
+    are left-closed. A long epoch-seconds label (instead of a window
+    struct) keeps joins/sorts on the bucket cheap and makes results
+    directly comparable across engines.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return (F.floor(c.cast("double") / step_seconds) * step_seconds).cast("long")
+
+
+def with_bucket(df: DataFrame, ts_col: str, step_seconds: int, out: str = "bucket") -> DataFrame:
+    return df.withColumn(out, bucket(ts_col, step_seconds))
+
+
+def time_window(df: DataFrame, ts_col: str, start, end) -> DataFrame:
+    """Inclusive [start, end] window predicate (apply_window, logs.rs:692).
+
+    With hour-partitioned signal tables the partition column is derived
+    from the same timestamp, so Catalyst prunes partitions from this one
+    predicate — no dual-bound trick needed (SURVEY §2.2).
+    """
+    return df.filter(F.col(ts_col).between(start, end))
+
+
+# ---------------------------------------------------------------------------
+# range aggregates (first pass: per (bucket, series))
+
+RANGE_AGGS = {
+    # LogQL <agg>_over_time lowering table (aggregate_expr, logs.rs:701-722)
+    "count": lambda v, ts: F.count(F.lit(1)),
+    "sum": lambda v, ts: F.sum(v),
+    "avg": lambda v, ts: F.avg(v),
+    "min": lambda v, ts: F.min(v),
+    "max": lambda v, ts: F.max(v),
+    "stddev": lambda v, ts: F.stddev_pop(v),
+    "stdvar": lambda v, ts: F.var_pop(v),
+    "first": lambda v, ts: F.min_by(v, ts),
+    "last": lambda v, ts: F.max_by(v, ts),
+}
+
+
+def range_aggregate(
+    df: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    series_cols: list[str],
+    agg: Column,
+    out: str = "value",
+) -> DataFrame:
+    """GROUP BY (bucket, series...) with one aggregate expression."""
+    return (
+        with_bucket(df, ts_col, step_seconds)
+        .groupBy("bucket", *series_cols)
+        .agg(agg.alias(out))
+    )
+
+
+def count_over_time(df, ts_col, step_seconds, series_cols):
+    return range_aggregate(df, ts_col, step_seconds, series_cols, F.count(F.lit(1)).cast("double"))
+
+
+def rate(df, ts_col, step_seconds, series_cols, range_seconds: int | None = None):
+    """count per bucket / range seconds (logs.rs:278-309)."""
+    rs = range_seconds or step_seconds
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols, (F.count(F.lit(1)) / F.lit(float(rs)))
+    )
+
+
+def bytes_over_time(df, ts_col, step_seconds, series_cols, body_col: str = "body"):
+    """sum(character_length(body)) per bucket (logs.rs:704)."""
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols, F.sum(F.length(body_col)).cast("double")
+    )
+
+
+def quantile_over_time(df, ts_col, step_seconds, series_cols, value_col, phi: float, exact=True):
+    """quantile per bucket (logs.rs:709-711).
+
+    The reference uses DataFusion approx_percentile_cont; Spark offers
+    both ``percentile`` (exact, interpolating — matches quantile_cont
+    semantics and the DuckDB oracle) and ``percentile_approx``. Exact by
+    default: at 100 TB the per-group row counts after the (bucket,series)
+    shuffle are modest, and exactness buys oracle parity.
+    """
+    fn = F.percentile if exact else F.percentile_approx
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols, fn(F.col(value_col), F.lit(phi))
+    )
+
+
+# ---------------------------------------------------------------------------
+# outer aggregation (second pass: across series, keep bucket)
+
+OUTER_AGGS = {
+    # outer_agg_expr (logs.rs:728-739) + PromQL MetricAgg (promql.rs:46-77)
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c: F.count(c).cast("double"),
+    "stddev": F.stddev_pop,
+    "stdvar": F.var_pop,
+    "group": lambda c: F.lit(1.0),
+}
+
+
+def outer_aggregate(
+    matrix: DataFrame, by: list[str], agg: str = "sum", value_col: str = "value",
+    quantile: float | None = None,
+) -> DataFrame:
+    """Re-aggregate a (bucket, series, value) matrix across series.
+
+    ``by`` lists the series labels to KEEP (PromQL ``by``); ``without``
+    is resolved to its complement by the caller (group_columns_for,
+    metrics.rs:2241-2334). ``quantile`` handles quantile-across-series.
+    """
+    if quantile is not None:
+        expr = F.percentile(F.col(value_col), F.lit(quantile))
+    else:
+        expr = OUTER_AGGS[agg](F.col(value_col))
+    return matrix.groupBy("bucket", *by).agg(expr.alias(value_col))
+
+
+# ---------------------------------------------------------------------------
+# counter family: rate/increase/delta, irate/idelta, deriv, resets/changes
+
+
+def increase(df, ts_col, step_seconds, series_cols, value_col):
+    """last - first per (bucket, series), ordered by time.
+
+    range_query (metrics.rs:1004-1027): no counter-reset correction, by
+    design. max_by/min_by avoid a Window: one aggregate pass.
+    """
+    v, t = F.col(value_col), F.col(ts_col)
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols, (F.max_by(v, t) - F.min_by(v, t))
+    )
+
+
+def prom_rate(df, ts_col, step_seconds, series_cols, value_col, range_seconds=None):
+    rs = range_seconds or step_seconds
+    v, t = F.col(value_col), F.col(ts_col)
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols,
+        ((F.max_by(v, t) - F.min_by(v, t)) / F.lit(float(rs))),
+    )
+
+
+def delta(df, ts_col, step_seconds, series_cols, value_col):
+    return increase(df, ts_col, step_seconds, series_cols, value_col)
+
+
+def irate(df, ts_col, step_seconds, series_cols, value_col, idelta_only=False):
+    """Last two samples per (bucket, series) (metrics.rs:979-1003).
+
+    Window ``lag`` over time order within the series partition — stays
+    in-engine (the reference does this post-collect).
+    """
+    w = Window.partitionBy("bucket", *series_cols).orderBy(F.col(ts_col))
+    b = with_bucket(df, ts_col, step_seconds)
+    b = b.withColumn("_prev_v", F.lag(value_col).over(w)).withColumn(
+        "_prev_t", F.lag(ts_col).over(w)
+    )
+    # keep only the last row of each group: row_number desc == 1
+    wd = Window.partitionBy("bucket", *series_cols).orderBy(F.col(ts_col).desc())
+    b = b.withColumn("_rn", F.row_number().over(wd)).filter(
+        (F.col("_rn") == 1) & F.col("_prev_v").isNotNull()
+    )
+    dv = F.col(value_col) - F.col("_prev_v")
+    dt = (F.col(ts_col).cast("double") - F.col("_prev_t").cast("double"))
+    value = dv if idelta_only else dv / dt
+    return b.select("bucket", *series_cols, value.alias("value"))
+
+
+def deriv(df, ts_col, step_seconds, series_cols, value_col):
+    """Per-series least-squares slope vs epoch seconds (metrics.rs:967-977)."""
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols,
+        F.regr_slope(F.col(value_col), F.col(ts_col).cast("double")),
+    )
+
+
+def resets(df, ts_col, step_seconds, series_cols, value_col, changes_mode=False):
+    """Count decreases (resets) / changes over time-ordered samples per
+    bucket (sequence_query, metrics.rs:1279-1440) — Window lag + sum."""
+    w = Window.partitionBy("bucket", *series_cols).orderBy(F.col(ts_col))
+    b = with_bucket(df, ts_col, step_seconds).withColumn("_prev", F.lag(value_col).over(w))
+    if changes_mode:
+        hit = F.col("_prev").isNotNull() & (F.col(value_col) != F.col("_prev"))
+    else:
+        hit = F.col("_prev").isNotNull() & (F.col(value_col) < F.col("_prev"))
+    return (
+        b.groupBy("bucket", *series_cols)
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).cast("double").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bucket spine + absent
+
+
+def bucket_spine(spark, start_epoch_s: int, end_epoch_s: int, step_seconds: int) -> DataFrame:
+    """All step-aligned buckets in [start, end] — built with ``sequence``
+    + explode, no driver loop; used by absent()/vector() synthesis
+    (eval_absent metrics.rs:660-742, synthesize_vector logs.rs:1189)."""
+    first = (start_epoch_s // step_seconds) * step_seconds
+    last = (end_epoch_s // step_seconds) * step_seconds
+    return spark.range(1).select(
+        F.explode(F.sequence(F.lit(first), F.lit(last), F.lit(step_seconds))).alias("bucket")
+    )
+
+
+def absent(matrix: DataFrame, spine: DataFrame) -> DataFrame:
+    """1.0 for each spine bucket with no data — anti-join of the spine
+    against the matrix's buckets."""
+    present = matrix.select("bucket").distinct()
+    return spine.join(present, "bucket", "left_anti").withColumn("value", F.lit(1.0))
+
+
+def present_over_time(df, ts_col, step_seconds, series_cols):
+    return range_aggregate(df, ts_col, step_seconds, series_cols, F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# ranking / sorting
+
+def topk_per_bucket(
+    matrix: DataFrame,
+    k: int,
+    series_cols: list[str],
+    value_col: str = "value",
+    bottom: bool = False,
+) -> DataFrame:
+    """Keep k highest/lowest series within each time bucket.
+
+    apply_topk (logs.rs:1305-1364, metrics.rs:2608-2690) — post-collect
+    in the reference; a bucket-partitioned Window here. Ties broken by
+    series labels ascending for determinism (the reference sorts its
+    group map; we pin an explicit order so results are stable under the
+    shuffle).
+    """
+    v = F.col(value_col)
+    order = [v.asc() if bottom else v.desc()] + [F.col(c).asc() for c in series_cols]
+    w = Window.partitionBy("bucket").orderBy(*order)
+    return (
+        matrix.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def sort_series_by_latest(matrix: DataFrame, series_cols: list[str], desc: bool = True) -> DataFrame:
+    """sort/sort_desc: order series by value at the latest bucket
+    (apply_sort, logs.rs:1228-1303)."""
+    latest = matrix.groupBy(*series_cols).agg(F.max_by("value", "bucket").alias("_latest"))
+    ordered = matrix.join(latest, series_cols, "left")
+    col = F.col("_latest").desc() if desc else F.col("_latest").asc()
+    return ordered.orderBy(col, *[F.col(c) for c in series_cols], F.col("bucket")).drop("_latest")
+
+
+def count_values(matrix: DataFrame, value_col: str = "value") -> DataFrame:
+    """count series per distinct value per bucket (metrics.rs:1910-1949)."""
+    return (
+        matrix.groupBy("bucket", value_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# subquery sliding reduce
+
+def sliding_reduce(
+    matrix: DataFrame,
+    spine: DataFrame,
+    range_seconds: int,
+    agg: str = "sum",
+    value_col: str = "value",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """PromQL subquery ``expr[range:res]`` outer reduce: for each outer
+    bucket t, aggregate inner samples with bucket in (t-range, t]
+    (eval_subquery, metrics.rs:829-908 — the one true sliding window).
+
+    Implemented as a range-join of the spine against the inner matrix —
+    at scale this is a bounded band join; AQE handles the skew. An
+    equivalent Window.rangeBetween formulation exists when inner/outer
+    steps share alignment.
+    """
+    series_cols = series_cols or []
+    j = spine.alias("s").join(
+        matrix.alias("m"),
+        (F.col("m.bucket") > F.col("s.bucket") - range_seconds)
+        & (F.col("m.bucket") <= F.col("s.bucket")),
+        "inner",
+    )
+    expr = OUTER_AGGS[agg](F.col(f"m.{value_col}"))
+    return (
+        j.groupBy(F.col("s.bucket").alias("bucket"), *[F.col(f"m.{c}").alias(c) for c in series_cols])
+        .agg(expr.alias(value_col))
+    )

@@ -1,0 +1,147 @@
+"""Vector (series-matrix) binary operations and label/value transforms.
+
+The reference evaluates every vector binary op post-collect with Rust
+hash maps keyed on (bucket, label-set) (join_binary logs.rs:988-1015,
+eval_binary metrics.rs:415-530). Here they are ordinary DataFrame
+equi-joins on (bucket, *match_labels): Catalyst picks broadcast vs
+sort-merge, AQE fixes skew, and nothing is driver-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: F.pmod(a, b),
+    "^": lambda a, b: F.pow(a, b),
+}
+
+COMPARE = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+def _prep(left: DataFrame, right: DataFrame, on: list[str]):
+    l = left.withColumnRenamed("value", "_lv")
+    r = right.withColumnRenamed("value", "_rv").select(*on, "_rv")
+    return l, r
+
+
+def vector_arith(left: DataFrame, right: DataFrame, op: str, on: list[str]) -> DataFrame:
+    """a OP b: inner-join on (bucket, labels); unmatched series dropped
+    (join_binary, logs.rs:988-1015). ``on`` already includes 'bucket'."""
+    l, r = _prep(left, right, on)
+    return l.join(r, on, "inner").withColumn("value", ARITH[op](F.col("_lv"), F.col("_rv"))).drop(
+        "_lv", "_rv"
+    )
+
+
+def vector_compare(
+    left: DataFrame, right: DataFrame, op: str, on: list[str], bool_mode: bool = False
+) -> DataFrame:
+    """a CMP b: filter left by comparison, or 1/0 with ``bool``
+    (join_compare, logs.rs:1016-1046)."""
+    l, r = _prep(left, right, on)
+    j = l.join(r, on, "inner")
+    cond = COMPARE[op](F.col("_lv"), F.col("_rv"))
+    if bool_mode:
+        return j.withColumn("value", F.when(cond, 1.0).otherwise(0.0)).drop("_lv", "_rv")
+    return j.filter(cond).withColumn("value", F.col("_lv")).drop("_lv", "_rv")
+
+
+def vector_logical(left: DataFrame, right: DataFrame, op: str, on: list[str]) -> DataFrame:
+    """and/or/unless set semantics; left values carried, never combined
+    (join_logical, logs.rs:1050-1095)."""
+    rkeys = right.select(*on).distinct()
+    if op == "and":
+        return left.join(rkeys, on, "left_semi")
+    if op == "unless":
+        return left.join(rkeys, on, "left_anti")
+    if op == "or":
+        lkeys = left.select(*on).distinct()
+        return left.unionByName(right.join(lkeys, on, "left_anti"), allowMissingColumns=True)
+    raise ValueError(op)
+
+
+def scalar_arith(matrix: DataFrame, op: str, scalar: float, scalar_left: bool = False) -> DataFrame:
+    """vector OP literal with operand order preserved (logs.rs:743-757)."""
+    v = F.col("value")
+    s = F.lit(float(scalar))
+    expr = ARITH[op](s, v) if scalar_left else ARITH[op](v, s)
+    return matrix.withColumn("value", expr)
+
+
+def compare_scalar_filter(
+    matrix: DataFrame, op: str, scalar: float, bool_mode: bool = False
+) -> DataFrame:
+    """vector CMP scalar: filter, or 1/0 with bool (metrics.rs:2513-2606)."""
+    cond = COMPARE[op](F.col("value"), F.lit(float(scalar)))
+    if bool_mode:
+        return matrix.withColumn("value", F.when(cond, 1.0).otherwise(0.0))
+    return matrix.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# PromQL ValueOps (apply_value_ops_expr, metrics.rs:2471-2543)
+
+VALUE_OPS = {
+    "abs": lambda v, a: F.abs(v),
+    "ceil": lambda v, a: F.ceil(v).cast("double"),
+    "floor": lambda v, a: F.floor(v).cast("double"),
+    "round": lambda v, a: F.round(v, 0) if not a else (F.round(v / a[0], 0) * a[0]),
+    "sqrt": lambda v, a: F.sqrt(v),
+    "exp": lambda v, a: F.exp(v),
+    "ln": lambda v, a: F.log(v),
+    "log2": lambda v, a: F.log2(v),
+    "log10": lambda v, a: F.log10(v),
+    "sgn": lambda v, a: F.signum(v),
+    "clamp": lambda v, a: F.least(F.greatest(v, F.lit(a[0])), F.lit(a[1])),
+    "clamp_min": lambda v, a: F.greatest(v, F.lit(a[0])),
+    "clamp_max": lambda v, a: F.least(v, F.lit(a[0])),
+}
+
+
+def apply_value_op(matrix: DataFrame, op: str, *args: float) -> DataFrame:
+    return matrix.withColumn("value", VALUE_OPS[op](F.col("value"), list(args)))
+
+
+# ---------------------------------------------------------------------------
+# label ops (post-collect in the reference: logs.rs:1096-1188,
+# metrics.rs:1813-1908 — column expressions here)
+
+
+def label_replace(
+    matrix: DataFrame, dst: str, replacement: str, src: str, regex: str
+) -> DataFrame:
+    """Anchored regex capture into a (possibly new) label column.
+
+    ``replacement`` uses ``$1``-style captures (regexp_replace syntax).
+    Non-matching rows keep the existing dst (or null); empty result
+    deletes the label (null), per apply_label_replace.
+    """
+    anchored = f"^(?:{regex})$"
+    src_col = F.col(src) if src in matrix.columns else F.lit("")
+    matched = src_col.rlike(anchored)
+    replaced = F.regexp_replace(src_col, anchored, replacement)
+    existing = F.col(dst) if dst in matrix.columns else F.lit(None).cast("string")
+    new = F.when(matched & (replaced != ""), replaced).when(
+        matched & (replaced == ""), F.lit(None)
+    ).otherwise(existing)
+    return matrix.withColumn(dst, new)
+
+
+def label_join(matrix: DataFrame, dst: str, sep: str, srcs: list[str]) -> DataFrame:
+    cols: list[Column] = [
+        (F.col(s) if s in matrix.columns else F.lit("")) for s in srcs
+    ]
+    return matrix.withColumn(dst, F.concat_ws(sep, *[F.coalesce(c, F.lit("")) for c in cols]))

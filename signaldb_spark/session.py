@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode testing uses ``local[N]``; the same configs are cluster-safe
+(AQE, shuffle partitions, Arrow). On a real cluster the only overrides
+needed are master/memory; everything else is data-layout driven.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Parquet bloom filters for point-lookup columns, mirroring the reference's
+# table properties (src/common/src/schema/mod.rs:69-105: trace_id/span_id
+# fpp 0.01). In Spark these are writer options, set at write time by the
+# sinks in signaldb_spark.sources; listed here as the canonical set.
+BLOOM_FILTER_COLUMNS = ("trace_id", "span_id", "attr_tokens")
+
+
+def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or get) the session.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions default to the same so local runs don't schedule
+    hundreds of empty tasks, while a cluster deployment would raise it to
+    ~2-3x total cores.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # autoBroadcastJoinThreshold default 10MB is right for the dim
+        # tables (region/nation/customer); AQE converts to broadcast at
+        # runtime when estimates are off.
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
