@@ -12,17 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from signaldb_spark.bench_queries import ORACLES, QUERIES
+from signaldb_spark.registry import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
+    return all_queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return all_oracles()

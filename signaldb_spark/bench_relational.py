@@ -1,0 +1,411 @@
+"""Relational operator battery: joins, set ops, discovery, predicates.
+
+Covers the SURVEY §2 rows that are generic-relational rather than
+time-series: the SQL surface the reference delegates to DataFusion
+(flight.rs:1243), union-by-name scans (metrics.rs:1444-1484), discovery
+endpoints (distinct label values / detected_fields, logs.rs:415-577),
+map-attribute predicates with NULL/Kleene semantics
+(logql.rs:209-254, querying-ir.md:120-129), and point lookups
+(trace.rs find-by-id pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+R6 = lambda c: F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# joins (the generic surface; Catalyst picks broadcast for dims)
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer is small → Catalyst broadcasts it; orders⋈lineitem is the
+    shuffle join on l_orderkey. At 100 TB both sides are bucketable on
+    orderkey to eliminate the shuffle entirely.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1996-01-01"))
+    j = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    agg = (
+        j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+    return agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join through region→nation→customer→orders→
+    lineitem→supplier with co-nation condition; all dims broadcast."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+ORACLE_REGION_REVENUE = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """EXISTS / NOT EXISTS as left-semi / left-anti joins: customers with
+    orders vs without (the and/unless set semantics on row sets)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    has = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("bucket_kind")
+    )
+    hasnot = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("bucket_kind")
+    )
+    return has.unionByName(hasnot)
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'with_orders' AS bucket_kind FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS bucket_kind FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# set ops / union-by-name
+
+
+def q_union_by_name(spark, sf_dir):
+    """Metrics union scan: union two differently-shaped projections with
+    absent columns null-filled per side (scan_union,
+    metrics.rs:1444-1484 → unionByName allowMissingColumns)."""
+    e = load_table(spark, sf_dir, "events")
+    gauge_like = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("value").alias("gauge_value")
+    )
+    sum_like = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("value").alias("sum_value"), F.lit(True).alias("is_monotonic")
+    )
+    return gauge_like.unionByName(sum_like, allowMissingColumns=True)
+
+
+ORACLE_UNION_BY_NAME = """
+SELECT event_id, user_id, value AS gauge_value, NULL::DOUBLE AS sum_value, NULL::BOOLEAN AS is_monotonic
+FROM events WHERE event_type = 'click'
+UNION ALL
+SELECT event_id, user_id, NULL::DOUBLE AS gauge_value, value AS sum_value, TRUE AS is_monotonic
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_intersect_except(spark, sf_dir):
+    """INTERSECT / EXCEPT on row sets (free in Spark; absent in the
+    reference engine — SURVEY §2.7): users who clicked AND purchased,
+    minus users who errored."""
+    e = load_table(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = e.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.intersect(buyers).subtract(errored)
+
+
+ORACLE_INTERSECT_EXCEPT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# discovery endpoints
+
+
+def q_distinct_discovery(spark, sf_dir):
+    """Label-values discovery: distinct non-empty values, sorted, capped
+    at LABEL_SCAN_LIMIT=1000 (logs.rs:415-475, metrics.rs:58)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select("event_type")
+        .filter(F.col("event_type").isNotNull() & (F.col("event_type") != ""))
+        .distinct()
+        .orderBy("event_type")
+        .limit(1000)
+    )
+
+
+ORACLE_DISTINCT_DISCOVERY = """
+SELECT DISTINCT event_type FROM events
+WHERE event_type IS NOT NULL AND event_type <> ''
+ORDER BY event_type LIMIT 1000
+"""
+
+
+def q_detected_fields(spark, sf_dir):
+    """detected_fields: per attribute key, sniffed type + distinct-count
+    (logs.rs:483-577). The props JSON is the attribute document; exact
+    distinct here (the reference reports a lower bound)."""
+    e = load_table(spark, sf_dir, "events")
+    k = e.select(F.get_json_object("props", "$.k").alias("v")).filter(F.col("v").isNotNull())
+    typed = k.select(
+        "v",
+        F.lit("k").alias("field"),
+        F.when(F.col("v").try_cast("long").isNotNull(), "int").otherwise("string").alias("dtype"),
+    )
+    return typed.groupBy("field", "dtype").agg(F.count_distinct(F.col("v")).alias("cardinality"))
+
+
+ORACLE_DETECTED_FIELDS = """
+SELECT 'k' AS field,
+       CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+            THEN 'int' ELSE 'string' END AS dtype,
+       count(DISTINCT json_extract_string(props, '$.k')) AS cardinality
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# predicates: map attributes, NULL/Kleene semantics, line filters
+
+
+def q_map_attr_ordered(spark, sf_dir):
+    """Ordered comparison on an extracted attribute cast to double
+    (map_attribute_expr, logql.rs:209-254): props.k >= 50."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.filter(k >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), R6(F.avg(k)).alias("avg_k"))
+    )
+
+
+ORACLE_MAP_ATTR_ORDERED = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+GROUP BY event_type
+"""
+
+
+def q_ne_matches_absent(spark, sf_dir):
+    """LogQL `!=` semantics: negations also match NULL/absent values
+    (logql.rs:222-237) — `k10 != 3` keeps rows where the derived field
+    is NULL, unlike plain SQL `<>`. Field k10 = nullif(k % 10, 0)."""
+    e = load_table(spark, sf_dir, "events")
+    k10 = F.nullif(F.get_json_object("props", "$.k").cast("long") % 10, F.lit(0))
+    return (
+        e.withColumn("k10", k10)
+        .filter(F.col("k10").isNull() | (F.col("k10") != 3))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_NE_MATCHES_ABSENT = """
+WITH t AS (
+  SELECT event_type,
+         nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0) AS k10
+  FROM events
+)
+SELECT event_type, count(*) AS n FROM t
+WHERE k10 IS NULL OR k10 <> 3
+GROUP BY event_type
+"""
+
+
+def q_ir_kleene(spark, sf_dir):
+    """IR Kleene semantics (querying-ir.md:120-129): an absent field
+    fails BOTH `x = v` and `not(x = v)`; only `exists` observes it.
+    Three disjoint counts over the same derived nullable field."""
+    e = load_table(spark, sf_dir, "events")
+    k10 = F.nullif(F.get_json_object("props", "$.k").cast("long") % 10, F.lit(0))
+    t = e.withColumn("k10", k10)
+    eq = t.filter(F.col("k10") == 3).select(F.lit("eq3").alias("rule"))
+    ne = t.filter(~(F.col("k10") == 3)).select(F.lit("not_eq3").alias("rule"))
+    ex = t.filter(F.col("k10").isNotNull()).select(F.lit("exists").alias("rule"))
+    return eq.unionByName(ne).unionByName(ex).groupBy("rule").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+ORACLE_IR_KLEENE = """
+WITH t AS (
+  SELECT nullif(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0) AS k10
+  FROM events
+)
+SELECT 'eq3' AS rule, count(*) AS n FROM t WHERE k10 = 3
+UNION ALL
+SELECT 'not_eq3' AS rule, count(*) AS n FROM t WHERE NOT (k10 = 3)
+UNION ALL
+SELECT 'exists' AS rule, count(*) AS n FROM t WHERE k10 IS NOT NULL
+"""
+
+
+def q_line_filters(spark, sf_dir):
+    """LogQL line-filter chain |= != |~ (line_filter_expr,
+    logql.rs:131-144): contains / not-contains / regex over a text
+    column (documents.text as the body stand-in)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").contains("join"))
+        .filter(~F.col("text").contains("window"))
+        .filter(F.col("text").rlike("scan (merge|hash)"))
+        .select("doc_id", "lang")
+    )
+
+
+ORACLE_LINE_FILTERS = """
+SELECT doc_id, lang FROM documents
+WHERE contains(text, 'join')
+  AND NOT contains(text, 'window')
+  AND regexp_matches(text, 'scan (merge|hash)')
+"""
+
+
+def q_point_lookup(spark, sf_dir):
+    """Trace find-by-id pattern: equality point lookup with minimal
+    projection (TRACE_LOOKUP_COLUMNS, trace.rs:560-574). At rest this
+    column carries a parquet bloom filter so row groups prune."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_orderkey") == 1)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    )
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem WHERE l_orderkey = 1
+"""
+
+
+def q_time_window_sorted(spark, sf_dir):
+    """Log-query shape: inclusive time window + direction sort + limit
+    (shape_log_query logs.rs:638-660) with explicit event_id tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts").between("2024-01-05 00:00:00", "2024-01-10 00:00:00"))
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+ORACLE_TIME_WINDOW_SORTED = """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-10 00:00:00'
+ORDER BY ts DESC, event_id DESC
+LIMIT 100
+"""
+
+
+def q_sql_surface(spark, sf_dir):
+    """Raw SQL surface: registered views + spark.sql with the 1M row cap
+    appended, as the reference does for every raw query
+    (flight.rs:1243-1263)."""
+    from .catalog import load_tables
+
+    load_tables(spark, sf_dir, ("orders", "customer"), register=True)
+    df = spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY o_orderpriority
+        """
+    )
+    return df.limit(1_000_000)
+
+
+ORACLE_SQL_SURFACE = """
+SELECT o_orderpriority, count(*) AS n, round(avg(o_totalprice), 6) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 0
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "region_revenue": q_region_revenue,
+    "semi_anti_join": q_semi_anti_join,
+    "union_by_name": q_union_by_name,
+    "intersect_except": q_intersect_except,
+    "distinct_discovery": q_distinct_discovery,
+    "detected_fields": q_detected_fields,
+    "map_attr_ordered": q_map_attr_ordered,
+    "ne_matches_absent": q_ne_matches_absent,
+    "ir_kleene": q_ir_kleene,
+    "line_filters": q_line_filters,
+    "point_lookup": q_point_lookup,
+    "time_window_sorted": q_time_window_sorted,
+    "sql_surface": q_sql_surface,
+}
+
+ORACLES = {
+    "shipping_priority": ORACLE_SHIPPING_PRIORITY,
+    "region_revenue": ORACLE_REGION_REVENUE,
+    "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "union_by_name": ORACLE_UNION_BY_NAME,
+    "intersect_except": ORACLE_INTERSECT_EXCEPT,
+    "distinct_discovery": ORACLE_DISTINCT_DISCOVERY,
+    "detected_fields": ORACLE_DETECTED_FIELDS,
+    "map_attr_ordered": ORACLE_MAP_ATTR_ORDERED,
+    "ne_matches_absent": ORACLE_NE_MATCHES_ABSENT,
+    "ir_kleene": ORACLE_IR_KLEENE,
+    "line_filters": ORACLE_LINE_FILTERS,
+    "point_lookup": ORACLE_POINT_LOOKUP,
+    "time_window_sorted": ORACLE_TIME_WINDOW_SORTED,
+    "sql_surface": ORACLE_SQL_SURFACE,
+}

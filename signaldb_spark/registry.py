@@ -1,0 +1,24 @@
+"""Central registry merging every query battery for the driver contract."""
+
+from __future__ import annotations
+
+from . import bench_queries, bench_relational
+
+_MODULES = [bench_queries, bench_relational]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out
