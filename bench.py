@@ -15,8 +15,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from signaldb_spark.bench_queries import QUERIES  # noqa: E402
+from signaldb_spark.registry import all_queries  # noqa: E402
 from signaldb_spark.session import get_spark  # noqa: E402
+
+QUERIES = all_queries()
 
 HEADLINE = [
     "pricing_summary",
@@ -32,6 +34,13 @@ HEADLINE = [
     "logical_unless",
     "sliding_subquery",
     "calendar",
+    "shipping_priority",
+    "region_revenue",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_minhash_lsh",
+    "emb_cosine_topk",
+    "text_quality",
 ]
 
 

@@ -1,0 +1,397 @@
+"""Training-data pipeline battery: dedup, similarity search, text
+analysis, multimodal plumbing — each over the documents/embeddings
+tables with a DuckDB oracle.
+
+Sketch operators (MinHash, SimHash, hyperplane LSH) are normally
+rows-only checkable; here every hash is md5-derived so the oracle
+reproduces them bit-for-bit in SQL (see operators/dedup.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators import dedup as dd
+from .operators import multimodal as mm
+from .operators import similarity as sim
+from .operators import text_analysis as ta
+
+NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+# shared oracle CTEs: normalized tokens and distinct word-3gram shingles
+TOK_SQL = f"""
+tok AS (
+  SELECT doc_id, string_split({NORM_SQL}, ' ') AS t FROM documents
+)"""
+SHINGLE_SQL = """
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) u(i)
+  WHERE len(t) >= 3
+)"""
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5({NORM_SQL}) AS digest, min(doc_id) AS keeper_id, count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dd.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+
+
+ORACLE_DEDUP_JACCARD = f"""
+WITH {TOK_SQL}, {SHINGLE_SQL},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8)
+    return dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+
+
+ORACLE_DEDUP_MINHASH = f"""
+WITH {TOK_SQL}, {SHINGLE_SQL},
+hx AS (SELECT doc_id, shingle, h FROM sh, UNNEST(range(0, 8)) u(h)),
+mh AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM mh GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, band_hash)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    s = dd.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=32)
+    return dd.simhash_near_pairs(s, "doc_id", max_hamming=3, bits=32)
+
+
+def _simhash_oracle_sql() -> str:
+    nbits = 32  # md5 has exactly 32 hex nibbles to project onto
+    nib = "strpos('0123456789abcdef', substr(hv, {p}, 1)) - 1 - 7.5"
+    sums = ",\n         ".join(
+        f"sum({nib.format(p=p + 1)}) AS s{p}" for p in range(nbits)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {2**p} ELSE 0 END)" for p in range(nbits)
+    )
+    return f"""
+WITH {TOK_SQL},
+toks AS (
+  SELECT DISTINCT doc_id, unnest(t) AS tok FROM tok
+),
+hv AS (SELECT doc_id, md5(tok) AS hv FROM toks),
+agg AS (
+  SELECT doc_id,
+         {sums}
+  FROM hv GROUP BY doc_id
+),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+ORACLE_DEDUP_SIMHASH = _simhash_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sim.cosine_topk(e, queries, "vec_id", "embedding", k=5)
+
+
+ORACLE_EMB_COSINE_TOPK = """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.embedding[d.d]::DOUBLE * c.embedding[d.d]::DOUBLE) AS dot
+  FROM embeddings q, embeddings c, UNNEST(range(1, 65)) d(d)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pairs
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sim.lsh_ann_topk(e, queries, "vec_id", "embedding", k=5, n_bits=4, dims=64)
+
+
+ORACLE_EMB_LSH_ANN = """
+WITH w AS (
+  SELECT b.b AS b, d.d AS d,
+         strpos('0123456789abcdef',
+                substr(md5('b:' || b.b || ':d:' || d.d), 1, 1)) - 1 - 7.5 AS wt
+  FROM UNNEST(range(0, 4)) b(b), UNNEST(range(0, 64)) d(d)
+),
+proj AS (
+  SELECT e.vec_id, w.b, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS p
+  FROM embeddings e, w
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(eq.embedding[d.d]::DOUBLE * ec.embedding[d.d]::DOUBLE) AS dot
+  FROM buckets q
+  JOIN buckets c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN embeddings eq ON eq.vec_id = q.vec_id
+  JOIN embeddings ec ON ec.vec_id = c.vec_id
+  , UNNEST(range(1, 65)) d(d)
+  WHERE q.vec_id < 10
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pairs
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_tokens(spark, sf_dir):
+    return ta.token_counts(_docs(spark, sf_dir), "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens", "chars_div4_tokens"
+    )
+
+
+ORACLE_TEXT_TOKENS = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(t, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS bpe_tokens,
+       CAST(ceil(length(t) / 4.0) AS BIGINT) AS chars_div4_tokens
+FROM n
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    return ta.quality_features(_docs(spark, sf_dir), "text").select(
+        "doc_id", "q_chars", "q_words", "punct_ratio", "stop_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS t FROM documents),
+f AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(string_split(t, ' ')) AS n_words,
+         len(regexp_extract_all(t, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(t, '\\b(the|and|of|is|a|to|in)\\b')) AS n_stop
+  FROM n
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS q_chars,
+       CAST(n_words AS BIGINT) AS q_words,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_stop / greatest(n_words, 1), 6) AS stop_ratio,
+       round((n_chars - (n_words - 1)) / greatest(n_words, 1), 6) AS mean_word_len,
+       round(least(1.0, greatest(0.0,
+           0.5 + 2.0 * (n_stop / greatest(n_words, 1))
+               - 3.0 * (n_punct / greatest(n_chars, 1))
+               - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0)), 6)
+       AS quality_score
+FROM f
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    return ta.lang_scores(_docs(spark, sf_dir), "text").select(
+        "doc_id", "lang", "score_en", "score_de", "score_fr", "score_es", "pred_lang"
+    )
+
+
+def _lang_oracle_sql() -> str:
+    from .operators.text_analysis import LANG_MARKERS
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(t, '\\b{w}\\b'))" for w in words
+        )
+        score_exprs.append(f"CAST({parts} AS BIGINT) AS score_{lang}")
+    scores = ",\n       ".join(score_exprs)
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + l for l in langs)})"
+    case = " ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"""
+WITH n AS (SELECT doc_id, lang, {NORM_SQL} AS t FROM documents),
+s AS (
+  SELECT doc_id, lang,
+       {scores}
+  FROM n
+)
+SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+       CASE WHEN {best} = 0 THEN 'und' {case} ELSE 'und' END AS pred_lang
+FROM s
+"""
+
+
+ORACLE_TEXT_LANG_ID = _lang_oracle_sql()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    return ta.fingerprint(_docs(spark, sf_dir), "text").select(
+        "doc_id", "fingerprint", "fp_bucket"
+    )
+
+
+ORACLE_TEXT_FINGERPRINT = f"""
+WITH n AS (SELECT doc_id, md5({NORM_SQL}) AS d FROM documents)
+SELECT doc_id, d AS fingerprint,
+       CAST((strpos('0123456789abcdef', substr(d, 1, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(d, 3, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(d, 4, 1)) - 1) AS BIGINT) AS fp_bucket
+FROM n
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (fake decode is deterministic arithmetic → oracle)
+
+
+def q_multimodal_features(spark, sf_dir):
+    media = mm.documents_as_media(_docs(spark, sf_dir))
+    return mm.extract_features(media)
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CAST(strlen(text) % 640 + 32 AS BIGINT) AS width,
+       CAST((strlen(text) // 640) % 480 + 32 AS BIGINT) AS height,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       round((ascii(substr(text, 1, 1)) + ascii(substr(text, length(text), 1))) / 510.0, 6)
+         AS brightness
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    media = mm.documents_as_media(_docs(spark, sf_dir))
+    return mm.frame_sample_plan(media, every_n_bytes=100)
+
+
+ORACLE_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, CAST(u.off AS BIGINT) AS frame_offset
+FROM documents, UNNEST(range(0, greatest(strlen(text) - 1, 0) + 1, 100)) u(off)
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_lsh_ann": q_emb_lsh_ann,
+    "text_tokens": q_text_tokens,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
+    "emb_lsh_ann": ORACLE_EMB_LSH_ANN,
+    "text_tokens": ORACLE_TEXT_TOKENS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_lang_id": ORACLE_TEXT_LANG_ID,
+    "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
+}

@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference capability (SURVEY §7.11): exact dedup, word-shingle
+Jaccard, MinHash+LSH banding, and SimHash — all as pure DataFrame
+transforms (explode + groupBy + join), no driver-side loops, so they
+scale by partitioning.
+
+Cross-engine determinism: every hash is ``md5`` (bit-identical in any
+engine) — MinHash's k hash functions are ``md5(k || ':' || shingle)``
+and SimHash's projection is the md5 nibble value at a fixed position.
+That makes even the sketch-based operators oracle-checkable in SQL.
+
+Scale notes (100 TB):
+- exact dedup is one hash-shuffle on the digest — the canonical pattern;
+- shingle explosion multiplies rows by ~tokens-per-doc; the pair join is
+  bounded by per-shingle doc frequency (a hot shingle with df=d creates
+  d² candidate pairs — cap df like production MinHash pipelines when
+  corpus vocabulary is skewed);
+- MinHash reduces the pair join to (num_bands) bucket joins whose keys
+  are band signatures — collision probability follows the standard
+  (1-(1-s^r)^b) S-curve; banded buckets distribute uniformly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HEXDIGITS = "0123456789abcdef"
+
+
+def normalize_text(col):
+    """Lowercase + whitespace collapse — the canonical pre-dedup form."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content digest: keeper = min id.
+
+    One shuffle on the md5 digest; at 100 TB hash first, never shuffle
+    the full text.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document, exploded.
+
+    Built-in higher-order functions only (split → sequence → transform →
+    explode): stays in whole-stage codegen, no Python in the loop.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    count = F.size(tokens) - (n - 1)
+    shingles = F.when(count >= 1, F.transform(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All-pairs word-n-gram Jaccard similarity ≥ threshold.
+
+    |A∩B| via self-join on shared shingles; |A∪B| = |A|+|B|-|A∩B|.
+    ``max_shingle_df`` drops ubiquitous shingles before the pair join
+    (the df² blowup guard) — a deliberate approximation knob, off by
+    default so the oracle matches exactly.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") <= max_shingle_df
+        ).select("shingle")
+        sh = sh.join(keep, "shingle")
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: for hash i, min over shingles of
+    md5(i || ':' || shingle). One row per (doc, hash_index).
+
+    The min of a cryptographic hash over the shingle set is the standard
+    MinHash estimator; md5-as-string min is deterministic everywhere.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    expanded = sh.select(id_col, "shingle", idx)
+    return (
+        expanded.withColumn(
+            "hv", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
+        )
+        .groupBy(id_col, "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: group the signature into ``bands`` bands of
+    num_hashes/bands rows, hash each band, and self-join on
+    (band, band_hash) to emit candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("band_hash"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _nibble(col, pos: int):
+    """Value 0-15 of hex digit ``pos`` (1-based) of an md5 hex string."""
+    return F.conv(F.substring(col, pos, 1), 16, 10).cast("int")
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFrame:
+    """SimHash over word tokens: bit p = sign of sum over distinct tokens
+    of (nibble_p(md5(token)) - 7.5). One long column ``simhash``.
+
+    A 16-dimension nibble projection rather than the classic 64-bit —
+    the estimator is identical in structure and fully cross-engine
+    deterministic. Output bit p set iff the summed projection > 0.
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+        ).alias("tok"),
+    ).withColumn("hv", F.md5(F.col("tok")))
+    per_bit = [
+        F.sum(_nibble(F.col("hv"), p + 1) - 7.5).alias(f"s{p}") for p in range(bits)
+    ]
+    agg = tokens.groupBy(id_col).agg(*per_bit)
+    sim = None
+    for p in range(bits):
+        bit = F.when(F.col(f"s{p}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p)
+        sim = bit if sim is None else sim + bit
+    return agg.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 16) -> DataFrame:
+    """Near-dup pairs by Hamming distance on the simhash.
+
+    Exact pairwise here (self-join); the scale path blocks on bit-bands
+    of the simhash exactly like MinHash banding.
+    """
+    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

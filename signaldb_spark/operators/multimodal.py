@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns + a typed metadata struct; decode /
+feature-extraction / resize / frame-sampling run as Arrow-batched
+``mapInPandas`` transforms so heavy per-item work distributes across
+executors with vectorized transfer.
+
+The actual codec step is STUBBED: this container has no image/audio
+libraries, so ``decode_meta`` tries Pillow and falls back to a
+deterministic arithmetic fake over the byte payload (clearly marked).
+The Spark-side plumbing — schema, batch iteration, partitioning — is
+real and tested; swapping the fake for a real decoder changes one
+function.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.StructType([
+            T.StructField("mime", T.StringType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+    ]
+)
+
+
+def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload so
+    the plumbing is exercisable on the driver tables."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """DETERMINISTIC FAKE decode (no media libs in this container).
+
+    Derives plausible (width, height, brightness) from the payload
+    bytes only — arithmetic is documented so an SQL oracle can mirror
+    it: width = n%640+32, height = (n//640)%480+32,
+    brightness = (first_byte + last_byte) / 510.
+    """
+    n = len(payload)
+    width = n % 640 + 32
+    height = (n // 640) % 480 + 32
+    brightness = (payload[0] + payload[-1]) / 510 if n else 0.0
+    return width, height, brightness
+
+
+def _real_decode(payload: bytes):
+    try:
+        import io
+
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "real image decode requires Pillow; use the deterministic fake"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    return img.width, img.height, 0.0  # pragma: no cover
+
+
+def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    ``mapInPandas`` keeps the binary payload executor-side — nothing is
+    collected to the driver; each Arrow batch holds whole payloads so
+    per-item decode parallelism = partition count.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if use_real_decoder else _fake_decode
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, br = decode(data)
+                rows.append((int(media_id), w, h, len(data), round(br, 6)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes", "brightness"]
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
+    """'Frame sampling' plan for chunked media: one row per sampled
+    offset — pure built-in sequence/explode (the real video path would
+    decode at these offsets)."""
+    n = F.col("meta.n_bytes")
+    offsets = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_n_bytes))
+    return media.select(
+        "media_id",
+        F.explode(offsets).alias("frame_offset"),
+    )

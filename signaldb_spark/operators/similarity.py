@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference capability: brute-force cosine top-k as the exactness
+baseline, and a deterministic hyperplane-LSH bucketing as the scale
+path. Dot products use ``zip_with`` + ``aggregate`` higher-order
+functions — JVM-side, no Python UDF in the hot loop.
+
+Scale notes (100 TB): brute force is O(|queries| × |corpus|); with the
+query side broadcast it is embarrassingly parallel over corpus
+partitions and the top-k per query is a bucket-partitioned Window. The
+LSH path cuts the corpus per query to one bucket; its hyperplanes are
+derived from md5 nibbles so both engines (and any rerun) agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import HEXDIGITS
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Query side is broadcast (small); ties broken by corpus id for
+    determinism. Self-matches (same id) excluded.
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def hyperplane_weight(bit: int, dim: int):
+    """Deterministic pseudo-random weight in [-7.5, 7.5]: the first md5
+    nibble of 'b:<bit>:d:<dim>'. Reproducible in any engine with md5."""
+    key = F.concat_ws(":", F.lit("b"), F.lit(bit), F.lit("d"), F.lit(dim))
+    return F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int") - 7.5
+
+
+def lsh_bucket(df: DataFrame, vec_col: str, n_bits: int, dims: int) -> DataFrame:
+    """Sign-of-projection LSH bucket id (0..2^n_bits-1) per vector."""
+    bucket = None
+    for b in range(n_bits):
+        proj = None
+        for d in range(dims):
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * hyperplane_weight(b, d)
+            proj = term if proj is None else proj + term
+        bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b)
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, n_bits: int = 4, dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine ranking to the
+    query's LSH bucket. Recall < 1 by design; the bucket join replaces
+    the full cross product (corpus/2^bits per query on average)."""
+    cb = lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", n_bits, dims,
+    )
+    qb = F.broadcast(
+        lsh_bucket(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "qv", n_bits, dims,
+        )
+    )
+    scored = (
+        qb.join(cb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )

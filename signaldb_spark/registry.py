@@ -2,9 +2,9 @@
 
 from __future__ import annotations
 
-from . import bench_queries, bench_relational
+from . import bench_queries, bench_relational, bench_trainingdata
 
-_MODULES = [bench_queries, bench_relational]
+_MODULES = [bench_queries, bench_relational, bench_trainingdata]
 
 
 def all_queries():

@@ -29,6 +29,14 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    # Python workers deserialize our pandas UDFs by module reference —
+    # make the package importable on workers regardless of driver cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{existing}" if existing else repo_root
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
