@@ -1,0 +1,152 @@
+"""Driver-gate queries that exercise the FULL LogQL pipeline
+(parse → plan → lower → execute) over a logs-shaped view of the events
+table, with plain-SQL oracles. This puts the dialect frontend itself
+under the cross-engine correctness gate, not just the operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .logql.lowering import LowerCtx, query_metric
+
+START, END = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+DAY = 86400
+_BUCKET = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+
+
+def _logs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt events to the logs schema surface the lowering consumes:
+    event_type plays service_name, props (JSON) plays body."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("string").alias("label_namespace"),
+        F.col("props").alias("body"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("log_attributes"),
+    )
+
+
+def _ctx(spark, sf_dir):
+    return LowerCtx(spark, _logs_view(spark, sf_dir), START, END, DAY)
+
+
+def q_logql_count_by_service(spark, sf_dir):
+    out = query_metric(
+        _ctx(spark, sf_dir), 'sum by (service) (count_over_time({service=~".+"}[1d]))'
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_LOGQL_COUNT = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_logql_error_ratio(spark, sf_dir):
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum(count_over_time({service="error"}[1d]))'
+        " / sum(count_over_time({service=~\".+\"}[1d]))",
+    )
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+ORACLE_LOGQL_ERROR_RATIO = f"""
+WITH err AS (
+  SELECT {_BUCKET} AS bucket, CAST(count(*) AS DOUBLE) AS v
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), tot AS (
+  SELECT {_BUCKET} AS bucket, CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1
+)
+SELECT e.bucket, round(e.v / t.v, 6) AS value
+FROM err e JOIN tot t ON e.bucket = t.bucket
+"""
+
+
+def q_logql_json_quantile(spark, sf_dir):
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (service) (quantile_over_time(0.9, {service=~".+"} | json | unwrap k [1d]))',
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_LOGQL_JSON_QUANTILE = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(quantile_cont(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.9), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_logql_line_filter_topk(spark, sf_dir):
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'topk(2, sum by (service) (count_over_time({service=~".+"} |= "8" [1d])))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_LOGQL_TOPK = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events WHERE contains(props, '8') GROUP BY 1, 2
+), r AS (
+  SELECT bucket, service_name, value,
+         row_number() OVER (PARTITION BY bucket ORDER BY value DESC, service_name ASC) AS rk
+  FROM m
+)
+SELECT bucket, service_name, value FROM r WHERE rk <= 2
+"""
+
+
+def q_logql_attr_unless(spark, sf_dir):
+    """Full pipeline with map-attribute filter + logical unless:
+    buckets where purchases happened unless errors happened, per user
+    (attribute-routed label)."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (user) (count_over_time({service="purchase"}[1d]))'
+        " unless on (user) "
+        'sum by (user) (count_over_time({service="error"}[1d]))',
+    )
+    return out.select("bucket", F.col("user").alias("user"), "value")
+
+
+ORACLE_LOGQL_ATTR_UNLESS = f"""
+WITH p AS (
+  SELECT {_BUCKET} AS bucket, CAST(user_id AS VARCHAR) AS user,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), r AS (
+  SELECT {_BUCKET} AS bucket, CAST(user_id AS VARCHAR) AS user
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT p.bucket, p.user, p.value FROM p
+ANTI JOIN r ON p.bucket = r.bucket AND p.user = r.user
+"""
+
+
+QUERIES = {
+    "logql_count_by_service": q_logql_count_by_service,
+    "logql_error_ratio": q_logql_error_ratio,
+    "logql_json_quantile": q_logql_json_quantile,
+    "logql_line_filter_topk": q_logql_line_filter_topk,
+    "logql_attr_unless": q_logql_attr_unless,
+}
+
+ORACLES = {
+    "logql_count_by_service": ORACLE_LOGQL_COUNT,
+    "logql_error_ratio": ORACLE_LOGQL_ERROR_RATIO,
+    "logql_json_quantile": ORACLE_LOGQL_JSON_QUANTILE,
+    "logql_line_filter_topk": ORACLE_LOGQL_TOPK,
+    "logql_attr_unless": ORACLE_LOGQL_ATTR_UNLESS,
+}

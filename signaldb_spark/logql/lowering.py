@@ -1,0 +1,346 @@
+"""LogQL → DataFrame lowering.
+
+The Spark analog of the reference's ``LogsService::execute_plan``
+(src/querier/src/query/logs.rs:225-366): resolve labels to columns,
+build filter expressions, bucket-aggregate, outer-aggregate, then apply
+the post ops (topk, label_replace, sort) — all in-engine (the reference
+does those post-collect; see SURVEY §2.5/§4.2).
+
+Label routing (column_for_label, logql.rs:92-166): well-known labels map
+to fixed columns; ``label_<key>`` materialized columns win next; then
+parsed-stage extractions; finally the ``log_attributes`` map. Negative
+matchers match absent values (logql.rs:222-237).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts
+from ..operators import vector_ops as vo
+from .ast import (
+    BinOp,
+    LabelFilter,
+    LabelReplace,
+    LineFilter,
+    LogSelector,
+    Matcher,
+    MetricExpr,
+    RangeAgg,
+    Scalar,
+    VectorAgg,
+    VectorLit,
+)
+
+WELL_KNOWN = {
+    "service_name": "service_name",
+    "service": "service_name",
+    "job": "service_name",
+    "level": "severity_text",
+    "severity": "severity_text",
+    "detected_level": "severity_text",
+    "trace_id": "trace_id",
+    "span_id": "span_id",
+}
+
+# natural stream/series identity for the logs table (the reference's
+# series columns; metrics.rs:2219 analog for logs)
+SERIES_COLS = ["service_name", "severity_text", "label_namespace"]
+
+ARITH_OPS = set("+-*/%^")
+COMPARE_OPS = {"==", "!=", ">", ">=", "<", "<="}
+LOGICAL_OPS = {"and", "or", "unless"}
+
+_LOGFMT_RE = r"([a-zA-Z_][a-zA-Z0-9_]*)=([^\s\"]+)"
+
+
+@dataclass
+class LowerCtx:
+    spark: SparkSession
+    logs: DataFrame
+    start: str  # inclusive window bounds (timestamp strings or datetimes)
+    end: str
+    step_seconds: int
+
+
+def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
+    """well-known column → materialized label_<key> → parsed stage → map."""
+    if label in WELL_KNOWN and WELL_KNOWN[label] in df.columns:
+        return F.col(WELL_KNOWN[label])
+    mat = f"label_{label}"
+    if mat in df.columns:
+        return F.col(mat)
+    sources: list[Column] = []
+    for stage in sel.stages:
+        if stage.name == "json":
+            sources.append(
+                F.get_json_object(F.col("body"), f"$.{label}")
+            )
+        elif stage.name == "logfmt":
+            sources.append(
+                F.element_at(
+                    F.map_from_arrays(
+                        F.regexp_extract_all(F.col("body"), F.lit(_LOGFMT_RE), F.lit(1)),
+                        F.regexp_extract_all(F.col("body"), F.lit(_LOGFMT_RE), F.lit(2)),
+                    ),
+                    label,
+                )
+            )
+    sources.append(F.element_at(F.col("log_attributes"), label))
+    return F.coalesce(*sources) if len(sources) > 1 else sources[0]
+
+
+def _anchored(pattern: str) -> str:
+    return f"^(?:{pattern})$"
+
+
+def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
+    col = resolve_label(df, sel, m.label)
+    if m.op == "=":
+        return col == m.value
+    if m.op == "!=":
+        # negations also match absent values (logql.rs:222-237)
+        return col.isNull() | (col != m.value)
+    if m.op == "=~":
+        return col.rlike(_anchored(m.value))
+    if m.op == "!~":
+        return col.isNull() | ~col.rlike(_anchored(m.value))
+    raise ValueError(m.op)
+
+
+def line_filter_expr(lf: LineFilter) -> Column:
+    body = F.col("body")
+    if lf.op == "|=":
+        return body.contains(lf.value)
+    if lf.op == "!=":
+        return ~body.contains(lf.value) | body.isNull()
+    if lf.op == "|~":
+        return body.rlike(lf.value)
+    if lf.op == "!~":
+        return ~body.rlike(lf.value) | body.isNull()
+    raise ValueError(lf.op)
+
+
+def label_filter_expr(df: DataFrame, sel: LogSelector, lf: LabelFilter) -> Column:
+    col = resolve_label(df, sel, lf.label)
+    if isinstance(lf.value, str):
+        if lf.op in ("=", "=="):
+            return col == lf.value
+        if lf.op == "!=":
+            return col.isNull() | (col != lf.value)
+        if lf.op == "=~":
+            return col.rlike(_anchored(lf.value))
+        if lf.op == "!~":
+            return col.isNull() | ~col.rlike(_anchored(lf.value))
+        raise ValueError(f"bad string filter op {lf.op}")
+    num = col.try_cast("double")  # non-numeric attr value → NULL, as DataFusion's cast
+    val = F.lit(float(lf.value))
+    return {
+        "=": num == val, "==": num == val,
+        "!=": num.isNull() | (num != val),
+        ">": num > val, ">=": num >= val,
+        "<": num < val, "<=": num <= val,
+    }[lf.op]
+
+
+def apply_selector(ctx: LowerCtx, sel: LogSelector) -> DataFrame:
+    df = ts.time_window(ctx.logs, "timestamp", ctx.start, ctx.end)
+    for m in sel.matchers:
+        df = df.filter(matcher_expr(df, sel, m))
+    for lf in sel.line_filters:
+        df = df.filter(line_filter_expr(lf))
+    for lf in sel.label_filters:
+        df = df.filter(label_filter_expr(df, sel, lf))
+    return df
+
+
+def query_logs(
+    ctx: LowerCtx, sel: LogSelector, limit: int = 100, direction: str = "backward"
+) -> DataFrame:
+    """Log (non-metric) query: filter + direction sort + limit
+    (shape_log_query, logs.rs:638-660)."""
+    df = apply_selector(ctx, sel)
+    order = F.col("timestamp").desc() if direction == "backward" else F.col("timestamp").asc()
+    return df.orderBy(order).limit(limit)
+
+
+# ----------------------------------------------------------------- metrics
+
+
+def _range_agg_expr(fn: str, sel: LogSelector, df: DataFrame, range_seconds: float, param):
+    value = None
+    if sel.unwrap:
+        value = resolve_label(df, sel, sel.unwrap).try_cast("double")
+    if fn == "count":
+        return F.count(F.lit(1)).cast("double")
+    if fn == "rate":
+        return F.count(F.lit(1)) / F.lit(float(range_seconds))
+    if fn == "bytes":
+        return F.sum(F.length("body")).cast("double")
+    if fn == "bytes_rate":
+        return F.sum(F.length("body")) / F.lit(float(range_seconds))
+    if value is None:
+        raise ValueError(f"{fn}_over_time requires | unwrap")
+    return {
+        "sum": lambda: F.sum(value),
+        "avg": lambda: F.avg(value),
+        "min": lambda: F.min(value),
+        "max": lambda: F.max(value),
+        "first": lambda: F.min_by(value, F.col("timestamp")),
+        "last": lambda: F.max_by(value, F.col("timestamp")),
+        "stddev": lambda: F.stddev_pop(value),
+        "stdvar": lambda: F.var_pop(value),
+        "quantile": lambda: F.percentile(value, F.lit(float(param))),
+    }[fn]()
+
+
+def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
+    """Evaluate to a matrix DataFrame (bucket, <series cols>, value)."""
+    if isinstance(expr, Scalar):
+        spine = _spine(ctx)
+        return spine.withColumn("value", F.lit(expr.value))
+    if isinstance(expr, VectorLit):
+        return _spine(ctx).withColumn("value", F.lit(expr.value))
+    if isinstance(expr, RangeAgg):
+        return _eval_range_agg(ctx, expr)
+    if isinstance(expr, VectorAgg):
+        # grouping labels that aren't physical series columns (attribute
+        # or parsed labels) must be materialized into the inner series —
+        # the reference derives them in the grouped aggregate
+        # (logql_metric.rs:232-261)
+        extra = ()
+        if isinstance(expr.expr, RangeAgg) and expr.grouping and not expr.without:
+            series_probe = set(SERIES_COLS) | {f"label_{g}" for g in expr.grouping}
+            extra = tuple(
+                g
+                for g in expr.grouping
+                if WELL_KNOWN.get(g) is None
+                and f"label_{g}" not in ctx.logs.columns
+                and g not in series_probe
+            )
+        if isinstance(expr.expr, RangeAgg):
+            inner = _eval_range_agg(ctx, expr.expr, extra_labels=extra)
+        else:
+            inner = eval_metric(ctx, expr.expr)
+        series = [c for c in inner.columns if c not in ("bucket", "value")]
+        if expr.op in ("topk", "bottomk"):
+            return ts.topk_per_bucket(
+                inner, int(expr.param or 1), series, bottom=expr.op == "bottomk"
+            )
+        if expr.op in ("sort", "sort_desc"):
+            return ts.sort_series_by_latest(inner, series, desc=expr.op == "sort_desc")
+        routed = _route_grouping(series, expr.grouping)
+        keep = (
+            [c for c in series if c not in routed]
+            if expr.without
+            else [c for c in series if c in routed]
+        )
+        return ts.outer_aggregate(inner, keep, expr.op)
+    if isinstance(expr, LabelReplace):
+        inner = eval_metric(ctx, expr.expr)
+        return vo.label_replace(inner, expr.dst, _dollar(expr.replacement), expr.src, expr.regex)
+    if isinstance(expr, BinOp):
+        return _eval_binop(ctx, expr)
+    raise TypeError(type(expr))
+
+
+def _eval_range_agg(
+    ctx: LowerCtx, expr: RangeAgg, extra_labels: tuple[str, ...] = ()
+) -> DataFrame:
+    df = apply_selector(ctx, expr.selector)
+    for g in extra_labels:
+        df = df.withColumn(g, resolve_label(df, expr.selector, g))
+    agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)
+    series = [c for c in SERIES_COLS if c in df.columns] + list(extra_labels)
+    return ts.range_aggregate(df, "timestamp", ctx.step_seconds, series, agg)
+
+
+def _dollar(replacement: str) -> str:
+    return replacement  # $1-style already matches Spark regexp_replace
+
+
+def _route_grouping(series: list[str], grouping: tuple[str, ...]) -> set[str]:
+    """Route LogQL grouping label names to storage columns
+    (level→severity_text, namespace→label_namespace, ...)."""
+    out: set[str] = set()
+    for g in grouping:
+        if WELL_KNOWN.get(g) in series:
+            out.add(WELL_KNOWN[g])
+        elif f"label_{g}" in series:
+            out.add(f"label_{g}")
+        elif g in series:
+            out.add(g)
+    return out
+
+
+def _eval_binop(ctx: LowerCtx, b: BinOp) -> DataFrame:
+    ls = isinstance(b.lhs, Scalar)
+    rs = isinstance(b.rhs, Scalar)
+    if ls and rs:
+        v = _scalar_fold(b)
+        return _spine(ctx).withColumn("value", F.lit(v))
+    if ls or rs:
+        vec = eval_metric(ctx, b.rhs if ls else b.lhs)
+        scalar = b.lhs.value if ls else b.rhs.value
+        if b.op in ARITH_OPS:
+            return vo.scalar_arith(vec, b.op, scalar, scalar_left=ls)
+        if b.op in COMPARE_OPS:
+            op = _flip(b.op) if ls else b.op
+            return vo.compare_scalar_filter(vec, op, scalar, bool_mode=b.bool_mode)
+        raise ValueError(f"logical op with scalar operand: {b.op}")
+    left = eval_metric(ctx, b.lhs)
+    right = eval_metric(ctx, b.rhs)
+    shared = [c for c in left.columns if c in right.columns and c not in ("value",)]
+    if b.on is not None:
+        on = ["bucket"] + [c for c in shared if c in b.on]
+    elif b.ignoring is not None:
+        on = [c for c in shared if c not in b.ignoring]
+    else:
+        on = shared
+    if "bucket" not in on:
+        on = ["bucket"] + on
+    if b.op in LOGICAL_OPS:
+        return vo.vector_logical(left, right, b.op, on)
+    if b.op in COMPARE_OPS:
+        return vo.vector_compare(left, right, b.op, on, bool_mode=b.bool_mode)
+    return vo.vector_arith(left, right, b.op, on)
+
+
+def _flip(op: str) -> str:
+    return {">": "<", "<": ">", ">=": "<=", "<=": ">=", "==": "==", "!=": "!="}[op]
+
+
+def _scalar_fold(b: BinOp) -> float:
+    import math
+
+    l, r = b.lhs.value, b.rhs.value
+    return {
+        "+": l + r, "-": l - r, "*": l * r, "/": l / r if r else math.nan,
+        "%": math.fmod(l, r) if r else math.nan, "^": l**r,
+    }[b.op]
+
+
+def _spine(ctx: LowerCtx) -> DataFrame:
+    import datetime as dt
+
+    def to_epoch(x):
+        if isinstance(x, str):
+            x = dt.datetime.fromisoformat(x)
+        return int(x.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    return ts.bucket_spine(ctx.spark, to_epoch(ctx.start), to_epoch(ctx.end), ctx.step_seconds)
+
+
+def query_metric(ctx: LowerCtx, query: str) -> DataFrame:
+    """Parse + lower + order (the query_metric entry, logs.rs:170)."""
+    from .parser import parse
+
+    expr = parse(query)
+    if isinstance(expr, LogSelector):
+        raise ValueError("not a metric query")
+    out = eval_metric(ctx, expr)
+    series = [c for c in out.columns if c not in ("bucket", "value")]
+    return out.orderBy("bucket", *series)

@@ -1,0 +1,219 @@
+"""LogQL frontend tests: parser snapshots (reference style:
+pin the exact produced plan, logql.rs:378-684) + end-to-end execution
+against generated signal tables, cross-checked with DuckDB."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from signaldb_spark.catalog import optional_table, signal_table_path
+from signaldb_spark.logql import parse
+from signaldb_spark.logql.ast import (
+    BinOp,
+    LabelFilter,
+    LineFilter,
+    LogSelector,
+    Matcher,
+    ParserStage,
+    RangeAgg,
+    Scalar,
+    VectorAgg,
+)
+from signaldb_spark.logql.lowering import LowerCtx, query_logs, query_metric
+from signaldb_spark.testing import write_signal_tables
+
+START, END = "2024-01-01 00:00:00", "2024-01-01 04:00:00"
+STEP = 3600
+
+
+@pytest.fixture(scope="module")
+def signal_base(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("signals"))
+    write_signal_tables(spark, base)
+    return base
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, signal_base):
+    logs = optional_table(spark, signal_base, "acme", "prod", "logs")
+    assert logs is not None
+    return LowerCtx(spark, logs, START, END, STEP)
+
+
+@pytest.fixture(scope="module")
+def duck(signal_base):
+    con = duckdb.connect()
+    path = signal_table_path(signal_base, "acme", "prod", "logs")
+    con.execute(
+        f"CREATE VIEW logs AS SELECT * FROM read_parquet('{path}/**/*.parquet', hive_partitioning=true)"
+    )
+    return con
+
+
+# ------------------------------------------------------------ parser pins
+
+
+def test_parse_selector_line_filters():
+    q = parse(r'{service_name="api"} |= "error" != "healthcheck" |~ "5\d\d"')
+    assert q == LogSelector(
+        matchers=(Matcher("service_name", "=", "api"),),
+        line_filters=(
+            LineFilter("|=", "error"),
+            LineFilter("!=", "healthcheck"),
+            LineFilter("|~", r"5\d\d"),
+        ),
+    )
+
+
+def test_parse_stages_and_label_filter():
+    q = parse('{job="api"} | logfmt | status = "500" | duration_ms > 100')
+    assert q.stages == (ParserStage("logfmt", None),)
+    assert q.label_filters == (
+        LabelFilter("status", "=", "500"),
+        LabelFilter("duration_ms", ">", 100.0),
+    )
+
+
+def test_parse_metric_sum_by_rate():
+    q = parse('sum by (level) (rate({service_name="api"}[5m]))')
+    assert isinstance(q, VectorAgg) and q.op == "sum" and q.grouping == ("level",)
+    inner = q.expr
+    assert isinstance(inner, RangeAgg) and inner.fn == "rate" and inner.range_seconds == 300.0
+
+
+def test_parse_binop_precedence():
+    q = parse("1 + 2 * 3 ^ 2")
+    # 1 + (2 * (3 ^ 2))
+    assert isinstance(q, BinOp) and q.op == "+"
+    assert isinstance(q.rhs, BinOp) and q.rhs.op == "*"
+    assert isinstance(q.rhs.rhs, BinOp) and q.rhs.rhs.op == "^"
+
+
+def test_parse_quantile_unwrap():
+    q = parse('quantile_over_time(0.9, {service_name="api"} | unwrap duration_ms [5m])')
+    assert isinstance(q, RangeAgg) and q.fn == "quantile" and q.param == 0.9
+    assert q.selector.unwrap == "duration_ms"
+
+
+def test_parse_vector_matching():
+    q = parse('sum(rate({a="b"}[5m])) / on (service_name) sum(rate({c="d"}[5m]))')
+    assert isinstance(q, BinOp) and q.op == "/" and q.on == ("service_name",)
+
+
+def test_parse_duration_bytes_normalization():
+    from signaldb_spark.logql.lexer import parse_bytes, parse_duration
+
+    assert parse_duration("1h30m") == 5400.0
+    assert parse_duration("500ms") == 0.5
+    assert parse_bytes("2kb") == 2000.0
+    assert parse_bytes("1kib") == 1024.0
+
+
+def test_parse_rejects_garbage():
+    from signaldb_spark.logql.lexer import LogQLSyntaxError
+
+    for bad in ["{service=}", "sum by (", 'rate({a="b"}[5m)', "{a=\"b\"} |"]:
+        with pytest.raises(LogQLSyntaxError):
+            parse(bad)
+
+
+# ------------------------------------------------------- execution tests
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_log_query_line_filters(ctx, duck):
+    sel = parse('{service_name="api"} |= "error"')
+    got = query_logs(ctx, sel, limit=1000)
+    n = got.count()
+    expected = duck.execute(
+        "SELECT count(*) FROM logs WHERE service_name = 'api' AND contains(body, 'error')"
+        " AND timestamp BETWEEN ? AND ?",
+        [START, END],
+    ).fetchone()[0]
+    assert n == expected and n > 0
+
+
+def test_negative_matcher_includes_null(ctx, duck):
+    sel = parse('{service_name="api", level != "error"}')
+    got = query_logs(ctx, sel, limit=10000).count()
+    expected = duck.execute(
+        "SELECT count(*) FROM logs WHERE service_name = 'api'"
+        " AND (severity_text IS NULL OR severity_text <> 'error')"
+        " AND timestamp BETWEEN ? AND ?",
+        [START, END],
+    ).fetchone()[0]
+    assert got == expected and got > 0
+
+
+def test_metric_count_over_time(ctx, duck):
+    got = query_metric(ctx, 'sum by (service_name) (count_over_time({service_name=~"api|web"}[1h]))')
+    rows = {(r.bucket, r.service_name): r.value for r in got.collect()}
+    exp = duck.execute(
+        """
+        SELECT CAST(floor(epoch(timestamp)/3600)*3600 AS BIGINT) AS bucket,
+               service_name, CAST(count(*) AS DOUBLE)
+        FROM logs
+        WHERE service_name SIMILAR TO 'api|web' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {(b, s): v for b, s, v in exp} and len(rows) > 0
+
+
+def test_metric_unwrap_sum(ctx, duck):
+    got = query_metric(
+        ctx,
+        'sum by (service_name) (sum_over_time({service_name="api"} | logfmt | unwrap status [1h]))',
+    )
+    rows = {(r.bucket, r.service_name): round(r.value, 3) for r in got.collect()}
+    exp = duck.execute(
+        r"""
+        SELECT CAST(floor(epoch(timestamp)/3600)*3600 AS BIGINT) AS bucket,
+               service_name,
+               sum(CAST(regexp_extract(body, 'status=([0-9]+)', 1) AS DOUBLE))
+        FROM logs
+        WHERE service_name = 'api' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    exp_map = {(b, s): round(v, 3) for b, s, v in exp if v is not None}
+    assert rows == exp_map and rows
+
+
+def test_vector_binop_ratio(ctx, duck):
+    got = query_metric(
+        ctx,
+        'sum by (service_name) (count_over_time({service_name="api"} |= "error" [1h]))'
+        ' / on (service_name) '
+        'sum by (service_name) (count_over_time({service_name="api"}[1h]))',
+    )
+    rows = got.collect()
+    assert all(0.0 <= r.value <= 1.0 for r in rows) and rows
+
+
+def test_topk_per_bucket(ctx):
+    got = query_metric(ctx, "topk(2, sum by (service_name) (count_over_time({service_name=~\".+\"}[1h])))")
+    per_bucket = {}
+    for r in got.collect():
+        per_bucket.setdefault(r.bucket, []).append(r.value)
+    assert per_bucket and all(len(v) <= 2 for v in per_bucket.values())
+
+
+def test_label_filter_numeric(ctx, duck):
+    sel = parse('{service_name="api"} | logfmt | status = "500"')
+    got = query_logs(ctx, sel, limit=10000).count()
+    expected = duck.execute(
+        "SELECT count(*) FROM logs WHERE service_name = 'api'"
+        " AND regexp_extract(body, 'status=([0-9]+)', 1) = '500'"
+        " AND timestamp BETWEEN ? AND ?",
+        [START, END],
+    ).fetchone()[0]
+    assert got == expected and got > 0
