@@ -1,0 +1,132 @@
+"""Driver-gate queries through the FULL PromQL pipeline (parse → lower →
+execute) over a metrics-shaped view of the events table, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .promql.lowering import PromCtx, query_range
+
+START, END = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
+DAY = 86400
+_BUCKET = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+
+
+def _metrics_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit("events_value").alias("metric_name"),
+        F.col("value"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("attributes"),
+    )
+
+
+def _ctx(spark, sf_dir):
+    return PromCtx(spark, _metrics_view(spark, sf_dir), None, None, START, END, DAY)
+
+
+def q_promql_last(spark, sf_dir):
+    out = query_range(_ctx(spark, sf_dir), "events_value")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_LAST = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(max_by(value, ts), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_promql_sum_rate(spark, sf_dir):
+    out = query_range(
+        _ctx(spark, sf_dir), "sum by (service_name) (rate(events_value[1d]))"
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_SUM_RATE = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round((max_by(value, ts) - min_by(value, ts)) / 86400.0, 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_promql_topk_avg(spark, sf_dir):
+    out = query_range(
+        _ctx(spark, sf_dir), "topk(2, avg by (service_name) (avg_over_time(events_value[1d])))"
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_TOPK_AVG = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         avg(value) AS value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT bucket, service_name, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY bucket ORDER BY value DESC, service_name ASC) AS rk
+  FROM m
+)
+SELECT bucket, service_name, value FROM r WHERE rk <= 2
+"""
+
+
+def q_promql_clamp_compare(spark, sf_dir):
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "clamp(max by (service_name) (max_over_time(events_value[1d])), 50, 150) > bool 100",
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_PROMQL_CLAMP_COMPARE = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, max(value) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, service_name,
+       CASE WHEN least(greatest(value, 50.0), 150.0) > 100.0 THEN 1.0 ELSE 0.0 END AS value
+FROM m
+"""
+
+
+def q_promql_attr_matcher(spark, sf_dir):
+    """Attribute-map matcher + negation with absent semantics:
+    {user!="1"} matches rows whose attribute is absent or != '1'."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        'sum by (service_name) (count_over_time(events_value{user!="1"}[1d]))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_PROMQL_ATTR_MATCHER = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events
+WHERE user_id IS NULL OR CAST(user_id AS VARCHAR) <> '1'
+GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "promql_last": q_promql_last,
+    "promql_sum_rate": q_promql_sum_rate,
+    "promql_topk_avg": q_promql_topk_avg,
+    "promql_clamp_compare": q_promql_clamp_compare,
+    "promql_attr_matcher": q_promql_attr_matcher,
+}
+
+ORACLES = {
+    "promql_last": ORACLE_PROMQL_LAST,
+    "promql_sum_rate": ORACLE_PROMQL_SUM_RATE,
+    "promql_topk_avg": ORACLE_PROMQL_TOPK_AVG,
+    "promql_clamp_compare": ORACLE_PROMQL_CLAMP_COMPARE,
+    "promql_attr_matcher": ORACLE_PROMQL_ATTR_MATCHER,
+}

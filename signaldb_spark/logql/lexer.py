@@ -20,6 +20,7 @@ KEYWORDS = {
 OPERATORS = [
     "|=", "|~", "!=", "!~", "=~", ">=", "<=", "==", "^", ">", "<", "=",
     "{", "}", "(", ")", "[", "]", ",", "|", "+", "-", "*", "/", "%",
+    "@", ":",  # PromQL @-modifier and subquery separator
 ]
 
 _DURATION_RE = re.compile(r"(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w|y))+")

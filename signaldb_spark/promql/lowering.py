@@ -1,0 +1,440 @@
+"""PromQL → DataFrame lowering.
+
+Spark analog of ``MetricsService`` (src/querier/src/query/metrics.rs):
+``scan_union`` of gauge+sum tables (metrics.rs:1444-1484), label
+matchers (2147-2218), simple/range queries (910-1027), outer aggs
+(2241-2334), value ops (2471), histogram_quantile (1061-1278 +
+2363-2418), absent (660), calendar fns (1991), count_values (1910),
+topk (2608). Everything the reference computes post-collect — topk,
+count_values, histogram interpolation, binary joins, subquery reduce —
+stays in-engine here (Window/joins/higher-order array fns), which is
+the scale-out upgrade the reference itself tracks as debt (#951,
+metrics.rs:60-71).
+
+Matrix convention: (bucket: long epoch-s, <series cols>, value: double).
+Series identity = (metric_name, service_name) + any label_* columns
+(natural_series_columns, metrics.rs:2219).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts
+from ..operators import vector_ops as vo
+from .ast import AggExpr, BinOp, Call, Expr, LabelMatcher, NumberLit, VectorSelector
+from .parser import RANGE_FNS, VALUE_FNS, _Str
+
+SCAN_COLUMNS = ["timestamp", "service_name", "metric_name", "value", "attributes"]
+
+WELL_KNOWN = {"__name__": "metric_name", "job": "service_name", "service": "service_name"}
+
+CALENDAR_FNS = {
+    "hour": lambda c: F.hour(c),
+    "minute": lambda c: F.minute(c),
+    "month": lambda c: F.month(c),
+    "year": lambda c: F.year(c),
+    "day_of_month": lambda c: F.dayofmonth(c),
+    "day_of_year": lambda c: F.dayofyear(c),
+    "day_of_week": lambda c: (F.dayofweek(c) - 1),  # Prometheus: 0=Sunday
+    "days_in_month": lambda c: F.dayofmonth(F.last_day(c)),
+}
+
+
+@dataclass
+class PromCtx:
+    spark: SparkSession
+    gauge: DataFrame | None
+    msum: DataFrame | None
+    histogram: DataFrame | None
+    start: str
+    end: str
+    step_seconds: int
+    default_range: float = 300.0  # 5m lookback for instant selectors
+
+
+def scan_union(ctx: PromCtx) -> DataFrame | None:
+    """gauge ∪ sum with aligned projection, absent label_* null-filled
+    (scan_union, metrics.rs:1444-1484)."""
+    frames = []
+    for df in (ctx.gauge, ctx.msum):
+        if df is not None:
+            cols = [c for c in df.columns if c in SCAN_COLUMNS or c.startswith("label_")]
+            frames.append(df.select(*cols))
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def series_columns(df: DataFrame) -> list[str]:
+    return ["metric_name", "service_name"] + [c for c in df.columns if c.startswith("label_")]
+
+
+def matcher_expr(df: DataFrame, m: LabelMatcher) -> Column:
+    """Label → column routing + absent-matching negations
+    (matcher_expr, metrics.rs:2147-2218)."""
+    if m.label in WELL_KNOWN:
+        col = F.col(WELL_KNOWN[m.label])
+    elif f"label_{m.label}" in df.columns:
+        col = F.col(f"label_{m.label}")
+    elif m.label in df.columns:
+        col = F.col(m.label)
+    else:
+        col = F.element_at(F.col("attributes"), m.label)
+    if m.op == "=":
+        return col == m.value
+    if m.op == "!=":
+        return col.isNull() | (col != m.value)
+    if m.op == "=~":
+        return col.rlike(f"^(?:{m.value})$")
+    if m.op == "!~":
+        return col.isNull() | ~col.rlike(f"^(?:{m.value})$")
+    raise ValueError(m.op)
+
+
+def apply_selector(ctx: PromCtx, sel: VectorSelector, base: DataFrame) -> DataFrame:
+    df = base
+    if sel.offset_seconds:
+        # offset d: scan a window shifted back by d, bucket labels
+        # unshifted (promql.rs:216-218) — shift data timestamps forward
+        df = df.withColumn(
+            "timestamp",
+            (F.col("timestamp").cast("double") + F.lit(sel.offset_seconds)).cast("timestamp"),
+        )
+    df = ts.time_window(df, "timestamp", ctx.start, ctx.end)
+    if sel.metric:
+        df = df.filter(F.col("metric_name") == sel.metric)
+    for m in sel.matchers:
+        df = df.filter(matcher_expr(df, m))
+    return df
+
+
+# --------------------------------------------------------------- range fns
+
+
+def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector) -> DataFrame:
+    base = scan_union(ctx)
+    if base is None:
+        return _empty_matrix(ctx)
+    df = apply_selector(ctx, sel, base)
+    series = series_columns(df)
+    rng = sel.range_seconds or ctx.default_range
+    step = ctx.step_seconds
+    v, t = F.col("value"), F.col("timestamp")
+    if fn in ("rate", "increase", "delta"):
+        expr = F.max_by(v, t) - F.min_by(v, t)
+        if fn == "rate":
+            expr = expr / F.lit(float(rng))
+        return ts.range_aggregate(df, "timestamp", step, series, expr)
+    if fn in ("irate", "idelta"):
+        return ts.irate(df, "timestamp", step, series, "value", idelta_only=fn == "idelta")
+    if fn == "deriv":
+        return ts.deriv(df, "timestamp", step, series, "value")
+    if fn in ("resets", "changes"):
+        return ts.resets(df, "timestamp", step, series, "value", changes_mode=fn == "changes")
+    if fn == "absent_over_time":
+        m = ts.count_over_time(df, "timestamp", step, [])
+        return ts.absent(m, _spine(ctx))
+    agg = {
+        "avg_over_time": F.avg(v),
+        "min_over_time": F.min(v),
+        "max_over_time": F.max(v),
+        "sum_over_time": F.sum(v),
+        "count_over_time": F.count(v).cast("double"),
+        "last_over_time": F.max_by(v, t),
+        "present_over_time": F.lit(1.0),
+        "stddev_over_time": F.stddev_pop(v),
+        "stdvar_over_time": F.var_pop(v),
+    }[fn]
+    return ts.range_aggregate(df, "timestamp", step, series, agg)
+
+
+def lower_instant(ctx: PromCtx, sel: VectorSelector) -> DataFrame:
+    """Bare selector: last value per (bucket, series) — MetricAgg::Last
+    (promql.rs:48-50; metrics.rs:2241)."""
+    base = scan_union(ctx)
+    if base is None:
+        return _empty_matrix(ctx)
+    df = apply_selector(ctx, sel, base)
+    series = series_columns(df)
+    return ts.range_aggregate(
+        df, "timestamp", ctx.step_seconds, series, F.max_by(F.col("value"), F.col("timestamp"))
+    )
+
+
+# -------------------------------------------------------------- histogram
+
+
+def lower_histogram_quantile(
+    ctx: PromCtx, phi: float, sel: VectorSelector, rate_mode: bool
+) -> DataFrame:
+    """histogram_quantile(φ, m | rate(m[d])): element-wise aggregate of
+    bucket_counts then linear interpolation within explicit_bounds
+    (histogram_query metrics.rs:1061-1278; interpolation 2363-2418).
+
+    In-engine via posexplode + running cumulative Window — distributable,
+    unlike the reference's post-collect interpolation.
+    """
+    if ctx.histogram is None:
+        return _empty_matrix(ctx)
+    df = apply_selector(ctx, sel, ctx.histogram)
+    series = ["metric_name", "service_name"]
+    step = ctx.step_seconds
+    b = ts.with_bucket(df, "timestamp", step)
+    if rate_mode:
+        # cumulative histograms: per-element last - first within bucket
+        agg = b.groupBy("bucket", *series).agg(
+            F.max_by("bucket_counts", "timestamp").alias("last_c"),
+            F.min_by("bucket_counts", "timestamp").alias("first_c"),
+            F.max_by("explicit_bounds", "timestamp").alias("bounds"),
+        )
+        counts = F.zip_with("last_c", "first_c", lambda a, c: a - c)
+    else:
+        # delta-temporality style: element-wise sum across samples
+        agg = b.groupBy("bucket", *series).agg(
+            F.reduce(
+                F.collect_list("bucket_counts"),
+                F.expr("cast(array() as array<double>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias("sum_c"),
+            F.max_by("explicit_bounds", "timestamp").alias("bounds"),
+        )
+        counts = F.col("sum_c")
+    agg = agg.select("bucket", *series, counts.alias("counts"), "bounds")
+    # explode counts with index; cumulative ≥ rank pick; interpolate
+    e = agg.select(
+        "bucket", *series, "bounds",
+        F.aggregate("counts", F.lit(0.0), lambda a, x: a + x).alias("total"),
+        F.posexplode("counts").alias("idx", "cnt"),
+    ).filter(F.col("total") > 0)
+    w = Window.partitionBy("bucket", *series).orderBy("idx")
+    e = e.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "rank", F.lit(phi) * F.col("total")
+    )
+    hit = e.filter(F.col("cum") >= F.col("rank"))
+    first_hit = hit.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("bucket", *series).orderBy("idx"))
+    ).filter(F.col("rn") == 1)
+    nb = F.size("bounds")
+    idx = F.col("idx")
+    lower = F.when(idx == 0, F.when(F.element_at("bounds", 1) > 0, F.lit(0.0)).otherwise(
+        F.element_at("bounds", 1))
+    ).otherwise(F.element_at("bounds", idx))  # bounds[idx-1] (1-based element_at)
+    upper = F.when(idx >= nb, F.element_at("bounds", nb)).otherwise(
+        F.element_at("bounds", idx + 1)
+    )
+    cum_before = F.col("cum") - F.col("cnt")
+    frac = (F.col("rank") - cum_before) / F.col("cnt")
+    value = F.when(idx >= nb, F.element_at("bounds", nb)).otherwise(
+        lower + (upper - lower) * frac
+    )
+    return first_hit.select("bucket", *series, value.alias("value"))
+
+
+# ------------------------------------------------------------------- eval
+
+
+def eval_expr(ctx: PromCtx, e: Expr) -> DataFrame:
+    if isinstance(e, NumberLit):
+        return _spine(ctx).withColumn("value", F.lit(float(e.value)))
+    if isinstance(e, VectorSelector):
+        if e.range_seconds is not None:
+            raise ValueError("range selector outside function")
+        return lower_instant(ctx, e)
+    if isinstance(e, Call):
+        return _eval_call(ctx, e)
+    if isinstance(e, AggExpr):
+        return _eval_agg(ctx, e)
+    if isinstance(e, BinOp):
+        return _eval_binop(ctx, e)
+    raise TypeError(type(e))
+
+
+def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
+    fn = c.fn
+    if fn in RANGE_FNS:
+        sel = c.args[0]
+        if not isinstance(sel, VectorSelector):
+            if fn.endswith("_over_time") and isinstance(sel, Call) and sel.fn == "__subquery__":
+                return _eval_subquery_reduce(ctx, fn, sel)
+            raise ValueError(f"{fn} expects a range selector")
+        return lower_range_fn(ctx, fn, sel)
+    if fn in VALUE_FNS:
+        inner = eval_expr(ctx, c.args[0])
+        args = [a.value if isinstance(a, NumberLit) else float(a) for a in c.args[1:]]
+        return vo.apply_value_op(inner, fn, *args)
+    if fn == "histogram_quantile":
+        phi = c.args[0].value
+        target = c.args[1]
+        if isinstance(target, Call) and target.fn == "rate":
+            return lower_histogram_quantile(ctx, phi, target.args[0], rate_mode=True)
+        if isinstance(target, VectorSelector):
+            return lower_histogram_quantile(ctx, phi, target, rate_mode=False)
+        raise ValueError("histogram_quantile target")
+    if fn in ("histogram_count", "histogram_sum"):
+        col = "count" if fn == "histogram_count" else "sum"
+        if ctx.histogram is None:
+            return _empty_matrix(ctx)
+        sel = c.args[0]
+        df = apply_selector(ctx, sel, ctx.histogram)
+        return ts.range_aggregate(
+            df, "timestamp", ctx.step_seconds, ["metric_name", "service_name"],
+            F.max_by(F.col(col).cast("double"), F.col("timestamp")),
+        )
+    if fn == "absent":
+        inner = eval_expr(ctx, c.args[0])
+        return ts.absent(inner, _spine(ctx))
+    if fn == "vector":
+        return _spine(ctx).withColumn("value", F.lit(float(c.args[0].value)))
+    if fn == "scalar":
+        # single no-label value per bucket; NaN unless exactly one series
+        # (scalar_reduce, metrics.rs:1951-1989)
+        inner = eval_expr(ctx, c.args[0])
+        return inner.groupBy("bucket").agg(
+            F.when(F.count(F.lit(1)) == 1, F.first("value"))
+            .otherwise(F.lit(float("nan")))
+            .alias("value")
+        )
+    if fn == "time":
+        return _spine(ctx).withColumn("value", F.col("bucket").cast("double"))
+    if fn == "timestamp":
+        inner = eval_expr(ctx, c.args[0])
+        return inner.withColumn("value", F.col("bucket").cast("double"))
+    if fn in CALENDAR_FNS:
+        if not c.args:
+            spine = _spine(ctx)
+            tcol = F.timestamp_seconds(F.col("bucket"))
+            return spine.withColumn("value", CALENDAR_FNS[fn](tcol).cast("double"))
+        inner = eval_expr(ctx, c.args[0])
+        tcol = F.timestamp_seconds(F.col("bucket"))
+        return inner.withColumn("value", CALENDAR_FNS[fn](tcol).cast("double"))
+    if fn == "label_replace":
+        inner = eval_expr(ctx, c.args[0])
+        dst, repl, src, regex = (str(a) for a in c.args[1:5])
+        return vo.label_replace(inner, dst, repl, src, regex)
+    if fn == "label_join":
+        inner = eval_expr(ctx, c.args[0])
+        dst, sep, *srcs = (str(a) for a in c.args[1:])
+        return vo.label_join(inner, dst, sep, list(srcs))
+    if fn in ("sort", "sort_desc"):
+        inner = eval_expr(ctx, c.args[0])
+        series = [x for x in inner.columns if x not in ("bucket", "value")]
+        return ts.sort_series_by_latest(inner, series, desc=fn == "sort_desc")
+    raise ValueError(f"unsupported function {fn}")
+
+
+def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call) -> DataFrame:
+    """<agg>_over_time(expr[range:res]) — evaluate inner at res over the
+    extended window, sliding-reduce per outer bucket (eval_subquery,
+    metrics.rs:829-908)."""
+    inner_expr, rng, res = sub.args
+    res_s = int(res.value) or ctx.step_seconds
+    inner_ctx = PromCtx(
+        ctx.spark, ctx.gauge, ctx.msum, ctx.histogram,
+        ctx.start, ctx.end, res_s, ctx.default_range,
+    )
+    inner = eval_expr(inner_ctx, inner_expr)
+    series = [c for c in inner.columns if c not in ("bucket", "value")]
+    agg = {
+        "sum_over_time": "sum", "avg_over_time": "avg", "min_over_time": "min",
+        "max_over_time": "max", "count_over_time": "count",
+    }[fn]
+    return ts.sliding_reduce(inner, _spine(ctx), int(rng.value), agg, series_cols=series)
+
+
+def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
+    inner = eval_expr(ctx, a.expr)
+    series = [c for c in inner.columns if c not in ("bucket", "value")]
+    if a.op in ("topk", "bottomk"):
+        return ts.topk_per_bucket(inner, int(a.param or 1), series, bottom=a.op == "bottomk")
+    if a.op == "count_values":
+        out = ts.count_values(inner)
+        return out.withColumnRenamed("count", "value").withColumnRenamed(
+            "value", str(a.param)
+        ) if False else out
+    grouping = set(a.grouping)
+    keep = (
+        [c for c in series if c not in grouping]
+        if a.without
+        else [c for c in series if c in grouping]
+    )
+    if a.op == "quantile":
+        return ts.outer_aggregate(inner, keep, quantile=float(a.param))
+    return ts.outer_aggregate(inner, keep, a.op)
+
+
+def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
+    ls, rs = isinstance(b.lhs, NumberLit), isinstance(b.rhs, NumberLit)
+    if ls and rs:
+        v = _fold(b)
+        return _spine(ctx).withColumn("value", F.lit(v))
+    if ls or rs:
+        vec = eval_expr(ctx, b.rhs if ls else b.lhs)
+        scalar = b.lhs.value if ls else b.rhs.value
+        if b.op in vo.ARITH:
+            return vo.scalar_arith(vec, b.op, scalar, scalar_left=ls)
+        op = {">": "<", "<": ">", ">=": "<=", "<=": ">=", "==": "==", "!=": "!="}[b.op] if ls else b.op
+        return vo.compare_scalar_filter(vec, op, scalar, bool_mode=b.bool_mode)
+    left = eval_expr(ctx, b.lhs)
+    right = eval_expr(ctx, b.rhs)
+    shared = [c for c in left.columns if c in right.columns and c != "value"]
+    # PromQL drops __name__ on binary ops: exclude metric_name from keys
+    shared = [c for c in shared if c != "metric_name"]
+    if b.on is not None:
+        on = ["bucket"] + [WELL_KNOWN.get(l, l) for l in b.on if WELL_KNOWN.get(l, l) in shared]
+    elif b.ignoring is not None:
+        ig = {WELL_KNOWN.get(l, l) for l in b.ignoring}
+        on = [c for c in shared if c not in ig]
+    else:
+        on = shared
+    if "bucket" not in on:
+        on = ["bucket"] + on
+    left = left.drop("metric_name") if "metric_name" in left.columns else left
+    right = right.select(*on, "value")
+    if b.op in ("and", "or", "unless"):
+        return vo.vector_logical(left, right, b.op, on)
+    if b.op in vo.COMPARE:
+        return vo.vector_compare(left, right, b.op, on, bool_mode=b.bool_mode)
+    return vo.vector_arith(left, right, b.op, on)
+
+
+def _fold(b: BinOp) -> float:
+    l, r = b.lhs.value, b.rhs.value
+    return {
+        "+": l + r, "-": l - r, "*": l * r,
+        "/": l / r if r else math.nan,
+        "%": math.fmod(l, r) if r else math.nan, "^": l**r,
+    }[b.op]
+
+
+def _spine(ctx: PromCtx) -> DataFrame:
+    import datetime as dt
+
+    def to_epoch(x):
+        if isinstance(x, str):
+            x = dt.datetime.fromisoformat(x)
+        return int(x.replace(tzinfo=dt.timezone.utc).timestamp())
+
+    return ts.bucket_spine(ctx.spark, to_epoch(ctx.start), to_epoch(ctx.end), ctx.step_seconds)
+
+
+def _empty_matrix(ctx: PromCtx) -> DataFrame:
+    return ctx.spark.createDataFrame([], "bucket long, value double")
+
+
+def query_range(ctx: PromCtx, query: str) -> DataFrame:
+    from .parser import parse
+
+    out = eval_expr(ctx, parse(query))
+    series = [c for c in out.columns if c not in ("bucket", "value")]
+    return out.orderBy("bucket", *series)

@@ -2,9 +2,9 @@
 
 from __future__ import annotations
 
-from . import bench_logql, bench_queries, bench_relational, bench_trainingdata
+from . import bench_logql, bench_promql, bench_queries, bench_relational, bench_trainingdata
 
-_MODULES = [bench_queries, bench_relational, bench_trainingdata, bench_logql]
+_MODULES = [bench_queries, bench_relational, bench_trainingdata, bench_logql, bench_promql]
 
 
 def all_queries():

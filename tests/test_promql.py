@@ -1,0 +1,211 @@
+"""PromQL frontend tests: parser pins + execution against generated
+metric tables cross-checked with DuckDB + histogram interpolation
+against hand-computed values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from signaldb_spark.catalog import optional_table, signal_table_path
+from signaldb_spark.promql import parse
+from signaldb_spark.promql.ast import AggExpr, BinOp, Call, NumberLit, VectorSelector
+from signaldb_spark.promql.lowering import PromCtx, query_range
+from signaldb_spark.testing import write_signal_tables
+
+START, END = "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+STEP = 600
+
+
+@pytest.fixture(scope="module")
+def signal_base(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("prom_signals"))
+    write_signal_tables(spark, base)
+    return base
+
+
+@pytest.fixture(scope="module")
+def ctx(spark, signal_base):
+    t = lambda n: optional_table(spark, signal_base, "acme", "prod", n)
+    return PromCtx(spark, t("metrics_gauge"), t("metrics_sum"), t("metrics_histogram"), START, END, STEP)
+
+
+@pytest.fixture(scope="module")
+def duck(signal_base):
+    con = duckdb.connect()
+    for n in ("metrics_gauge", "metrics_sum"):
+        path = signal_table_path(signal_base, "acme", "prod", n)
+        con.execute(
+            f"CREATE VIEW {n} AS SELECT * FROM read_parquet('{path}/**/*.parquet', hive_partitioning=true)"
+        )
+    return con
+
+
+BUCKET = "CAST(floor(epoch(timestamp)/600)*600 AS BIGINT)"
+
+
+# ------------------------------------------------------------ parser pins
+
+
+def test_parse_range_selector():
+    q = parse('rate(http_requests_total{job="api"}[5m])')
+    assert isinstance(q, Call) and q.fn == "rate"
+    sel = q.args[0]
+    assert isinstance(sel, VectorSelector)
+    assert sel.metric == "http_requests_total" and sel.range_seconds == 300.0
+    assert sel.matchers[0].label == "job"
+
+
+def test_parse_agg_without_offset():
+    q = parse("sum without (service) (process_cpu_usage offset 10m)")
+    assert isinstance(q, AggExpr) and q.without and q.grouping == ("service",)
+    assert q.expr.offset_seconds == 600.0
+
+
+def test_parse_subquery():
+    q = parse("max_over_time(rate(x[5m])[30m:5m])")
+    assert isinstance(q, Call) and q.fn == "max_over_time"
+    sub = q.args[0]
+    assert isinstance(sub, Call) and sub.fn == "__subquery__"
+
+
+def test_parse_histogram_quantile():
+    q = parse("histogram_quantile(0.95, rate(http_request_duration_ms[5m]))")
+    assert q.fn == "histogram_quantile" and q.args[0].value == 0.95
+
+
+def test_parse_bool_compare():
+    q = parse("process_cpu_usage > bool 0.5")
+    assert isinstance(q, BinOp) and q.bool_mode
+
+
+# ------------------------------------------------------- execution tests
+
+
+def test_instant_last_per_bucket(ctx, duck):
+    got = query_range(ctx, "process_cpu_usage")
+    rows = {(r.bucket, r.service_name): round(r.value, 6) for r in got.collect()}
+    exp = duck.execute(
+        f"""
+        SELECT {BUCKET} AS bucket, service_name, round(max_by(value, timestamp), 6)
+        FROM metrics_gauge
+        WHERE metric_name = 'process_cpu_usage' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {(b, s): v for b, s, v in exp} and rows
+
+
+def test_rate_counter(ctx, duck):
+    got = query_range(ctx, "rate(http_requests_total[10m])")
+    rows = {(r.bucket, r.service_name): round(r.value, 6) for r in got.collect()}
+    exp = duck.execute(
+        f"""
+        SELECT {BUCKET} AS bucket, service_name,
+               round((max_by(value, timestamp) - min_by(value, timestamp)) / 600.0, 6)
+        FROM metrics_sum
+        WHERE metric_name = 'http_requests_total' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {(b, s): v for b, s, v in exp} and rows
+
+
+def test_sum_by_drops_series(ctx):
+    got = query_range(ctx, "sum by (service_name) (process_cpu_usage)")
+    cols = got.columns
+    assert set(cols) == {"bucket", "service_name", "value"}
+
+
+def test_binop_ratio(ctx):
+    got = query_range(
+        ctx, "rate(http_requests_total[10m]) / on (service_name) (process_cpu_usage + 1)"
+    ).collect()
+    assert got and all(not math.isnan(r.value) for r in got)
+
+
+def test_compare_filter_and_bool(ctx):
+    plain = query_range(ctx, "process_cpu_usage > 0.5").collect()
+    assert all(r.value > 0.5 for r in plain)
+    b = query_range(ctx, "process_cpu_usage > bool 0.5").collect()
+    assert set(r.value for r in b) <= {0.0, 1.0}
+
+
+def test_topk(ctx):
+    got = query_range(ctx, "topk(2, sum by (service_name) (process_cpu_usage))").collect()
+    per_bucket = {}
+    for r in got:
+        per_bucket.setdefault(r.bucket, []).append(r)
+    assert per_bucket and all(len(v) <= 2 for v in per_bucket.values())
+
+
+def test_absent_of_missing_metric(ctx):
+    got = query_range(ctx, "absent(no_such_metric)").collect()
+    # every bucket in [start, end] present with value 1.0
+    assert len(got) == 7 and all(r.value == 1.0 for r in got)
+
+
+def test_value_ops_chain(ctx):
+    got = query_range(ctx, "clamp(sqrt(process_cpu_usage), 0.2, 0.9)").collect()
+    assert got and all(0.2 <= r.value <= 0.9 for r in got)
+
+
+def test_calendar_hour(ctx):
+    got = query_range(ctx, "hour()").collect()
+    # inclusive [start, end]: buckets 00:00..01:00, so hours {0, 1}
+    assert {r.value for r in got} == {0.0, 1.0}
+
+
+def test_scalar_and_vector(ctx):
+    v = query_range(ctx, "vector(42)").collect()
+    assert all(r.value == 42.0 for r in v) and len(v) == 7
+    t = query_range(ctx, "time()").collect()
+    assert all(r.value == float(r.bucket) for r in t)
+
+
+def test_offset_shifts_data(ctx):
+    """offset 10m: value reported at t comes from t-10m."""
+    base = {r.bucket: r.value for r in query_range(
+        ctx, 'sum(last_over_time(http_requests_total{service_name="api"}[10m]))').collect()}
+    off = {r.bucket: r.value for r in query_range(
+        ctx, 'sum(last_over_time(http_requests_total{service_name="api"}[10m] offset 10m))').collect()}
+    shifted_matches = sum(
+        1 for b, v in off.items() if b - 600 in base and abs(base[b - 600] - v) < 1e-9
+    )
+    assert shifted_matches >= len(off) - 2
+
+
+def test_histogram_quantile_hand_check(spark):
+    """Interpolation pinned on a hand-built histogram: bounds [10, 20],
+    counts [2, 6, 2] (rate-mode first=zeros): φ=0.5 → rank 5 lands in
+    bucket idx=1 → 10 + 10*(5-2)/6 = 15.0."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.lowering import PromCtx, lower_histogram_quantile
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(timestamp=t0, service_name="api", metric_name="lat",
+            bucket_counts=[0.0, 0.0, 0.0], explicit_bounds=[10.0, 20.0]),
+        Row(timestamp=t0 + dt.timedelta(seconds=300), service_name="api", metric_name="lat",
+            bucket_counts=[2.0, 6.0, 2.0], explicit_bounds=[10.0, 20.0]),
+    ]
+    hist = spark.createDataFrame(rows)
+    ctx = PromCtx(spark, None, None, hist, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 600)
+    out = lower_histogram_quantile(ctx, 0.5, VectorSelector("lat"), rate_mode=True).collect()
+    assert len(out) == 1 and abs(out[0].value - 15.0) < 1e-9
+    # φ=0.95 → rank 9.5 → last bucket (+Inf) → highest finite bound 20
+    out2 = lower_histogram_quantile(ctx, 0.95, VectorSelector("lat"), rate_mode=True).collect()
+    assert abs(out2[0].value - 20.0) < 1e-9
+
+
+def test_subquery_sliding(ctx):
+    got = query_range(ctx, "max_over_time(sum(process_cpu_usage)[30m:10m])").collect()
+    assert got and all(r.value is not None for r in got)
