@@ -1,0 +1,140 @@
+"""Driver-gate entries for the trace path and the Query IR pipeline,
+expressed over the benchmark tables (lineitem rows play spans of their
+order's trace; events carries the IR pipeline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .ir import lower, validate
+from .traceql.trace_ops import search
+
+DAY = 86400
+_BUCKET = "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)"
+
+
+def _spans_view(spark, sf_dir):
+    """lineitem-as-spans: order = trace, lineitem = span; unique span id
+    and nanosecond start time so truncation ordering is total."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
+        (F.col("l_shipdate").cast("timestamp").cast("double") * 1e9)
+        .cast("long")
+        .alias("start_time_unix_nano"),
+        (F.col("l_quantity") * 1e6).cast("long").alias("duration_nanos"),
+        F.col("l_shipdate").alias("timestamp"),
+    )
+
+
+def q_trace_search_truncation(spark, sf_dir):
+    """Newest-N trace search truncation (trace.rs:534-549, 602-644):
+    span-sort DESC before the span limit, then rank traces by their
+    most-recent span with id tiebreak, keep 10, return their spans."""
+    spans = _spans_view(spark, sf_dir)
+    return search(
+        spans, [], min_duration_nanos=10_000_000, limit=10, span_limit=500
+    )
+
+
+ORACLE_TRACE_SEARCH = """
+WITH spans AS (
+  SELECT l_orderkey AS trace_id,
+         l_orderkey * 10 + l_linenumber AS span_id,
+         CAST(epoch(l_shipdate) * 1e9 AS BIGINT) AS start_time_unix_nano,
+         CAST(l_quantity * 1e6 AS BIGINT) AS duration_nanos,
+         l_shipdate AS timestamp
+  FROM lineitem
+  WHERE CAST(l_quantity * 1e6 AS BIGINT) >= 10000000
+),
+limited AS (
+  SELECT * FROM spans
+  ORDER BY start_time_unix_nano DESC, span_id DESC
+  LIMIT 500
+),
+ranked AS (
+  SELECT trace_id, max(start_time_unix_nano) AS latest
+  FROM limited GROUP BY trace_id
+  ORDER BY latest DESC, trace_id DESC
+  LIMIT 10
+)
+SELECT l.trace_id, l.span_id, l.start_time_unix_nano, l.duration_nanos, l.timestamp
+FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
+"""
+
+
+def q_ir_agg_pipeline(spark, sf_dir):
+    """IR end-to-end: predicate tree (and/or/not) → bucketed aggregate →
+    projection, through validate() + lower()."""
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    doc = {
+        "version": 1,
+        "from": "events",
+        "where": {
+            "and": [
+                {"field": "value", "op": "gte", "value": 10},
+                {
+                    "or": [
+                        {"field": "event_type", "op": "eq", "value": "purchase"},
+                        {"field": "event_type", "op": "eq", "value": "click"},
+                    ]
+                },
+                {"not": {"field": "user_id", "op": "eq", "value": 0}},
+            ]
+        },
+        "aggregate": {"op": "count", "by": ["event_type"], "step_seconds": DAY},
+    }
+    return lower(e, validate(doc))
+
+
+ORACLE_IR_AGG = f"""
+SELECT {_BUCKET} AS bucket, event_type, CAST(count(*) AS DOUBLE) AS value
+FROM events
+WHERE value >= 10
+  AND (event_type = 'purchase' OR event_type = 'click')
+  AND NOT (user_id = 0)
+GROUP BY 1, 2
+"""
+
+
+def q_ir_extract_rank(spark, sf_dir):
+    """IR extract stage (json → typed field) + filter + avg + topk."""
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    doc = {
+        "version": 1,
+        "from": "events",
+        "extract": [{"field": "k", "parser": "json", "source": "props", "type": "long"}],
+        "where": {"field": "k", "op": "gte", "value": 50},
+        "aggregate": {"op": "avg", "by": ["event_type"], "value_field": "k"},
+        "rank": {"kind": "topk", "k": 3, "value": "value"},
+    }
+    out = lower(e, validate(doc))
+    return out.select("event_type", F.round("value", 6).alias("value"))
+
+
+ORACLE_IR_EXTRACT_RANK = """
+WITH t AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+agg AS (
+  SELECT event_type, avg(k) AS value FROM t WHERE k >= 50 GROUP BY event_type
+)
+SELECT event_type, round(value, 6) AS value
+FROM agg ORDER BY value DESC, event_type ASC LIMIT 3
+"""
+
+
+QUERIES = {
+    "trace_search_truncation": q_trace_search_truncation,
+    "ir_agg_pipeline": q_ir_agg_pipeline,
+    "ir_extract_rank": q_ir_extract_rank,
+}
+
+ORACLES = {
+    "trace_search_truncation": ORACLE_TRACE_SEARCH,
+    "ir_agg_pipeline": ORACLE_IR_AGG,
+    "ir_extract_rank": ORACLE_IR_EXTRACT_RANK,
+}

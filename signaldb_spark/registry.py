@@ -2,9 +2,23 @@
 
 from __future__ import annotations
 
-from . import bench_logql, bench_promql, bench_queries, bench_relational, bench_trainingdata
+from . import (
+    bench_logql,
+    bench_promql,
+    bench_queries,
+    bench_relational,
+    bench_trace_ir,
+    bench_trainingdata,
+)
 
-_MODULES = [bench_queries, bench_relational, bench_trainingdata, bench_logql, bench_promql]
+_MODULES = [
+    bench_queries,
+    bench_relational,
+    bench_trainingdata,
+    bench_logql,
+    bench_promql,
+    bench_trace_ir,
+]
 
 
 def all_queries():

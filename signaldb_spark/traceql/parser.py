@@ -1,0 +1,89 @@
+"""TraceQL equality-subset parser + Tempo tags logfmt parser.
+
+Scope mirrors the reference exactly (parse_traceql,
+src/querier/src/query/search_filter.rs:234-330): conjunctions of
+equality predicates ``{ a = "v" && b = "w" }`` with scopes ``span.`` /
+``resource.`` / ``.`` and intrinsics ``name``/``status``/
+``.service.name``; everything else (||, !=, ranges, regex, duration
+comparisons) is rejected — parity includes rejecting what the
+reference rejects.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+class TraceQLError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class SpanPredicate:
+    scope: str  # "span" | "resource" | "intrinsic" | "unscoped"
+    key: str
+    value: str
+
+
+_PRED_RE = re.compile(
+    r'\s*(?P<lhs>[a-zA-Z_.][a-zA-Z0-9_.]*)\s*(?P<op>=~|!=|>=|<=|=|>|<)\s*'
+    r'(?P<val>"(?:[^"\\]|\\.)*"|\S+)\s*'
+)
+
+INTRINSICS = {"name", "status"}
+
+# canonical status normalization (search_filter.rs:74-85)
+STATUS_MAP = {
+    "ok": "Ok", "error": "Error", "unset": "Unspecified",
+    "Ok": "Ok", "Error": "Error", "Unspecified": "Unspecified",
+}
+
+
+def parse_traceql(q: str) -> list[SpanPredicate]:
+    q = q.strip()
+    if not (q.startswith("{") and q.endswith("}")):
+        raise TraceQLError("TraceQL query must be wrapped in { }")
+    body = q[1:-1].strip()
+    if not body:
+        return []
+    if "||" in body:
+        raise TraceQLError("disjunction (||) not supported")
+    preds: list[SpanPredicate] = []
+    for part in body.split("&&"):
+        m = _PRED_RE.fullmatch(part)
+        if not m:
+            raise TraceQLError(f"unparsable predicate {part.strip()!r}")
+        if m.group("op") != "=":
+            raise TraceQLError(f"operator {m.group('op')!r} not supported (equality only)")
+        lhs, val = m.group("lhs"), m.group("val")
+        if val.startswith('"'):
+            val = re.sub(r"\\(.)", r"\1", val[1:-1])
+        if lhs in INTRINSICS:
+            if lhs == "status":
+                norm = STATUS_MAP.get(val)
+                if norm is None:
+                    raise TraceQLError(f"unknown status {val!r}")
+                val = norm
+            preds.append(SpanPredicate("intrinsic", lhs, val))
+        elif lhs.startswith("span."):
+            preds.append(SpanPredicate("span", lhs[5:], val))
+        elif lhs.startswith("resource."):
+            preds.append(SpanPredicate("resource", lhs[9:], val))
+        elif lhs.startswith("."):
+            preds.append(SpanPredicate("unscoped", lhs[1:], val))
+        else:
+            raise TraceQLError(f"unscoped attribute {lhs!r} needs a leading dot")
+    return preds
+
+
+def parse_tags(tags: str) -> list[SpanPredicate]:
+    """Tempo logfmt ``tags`` parameter: ``key=value key2="v 2"``
+    (parse_tags, search_filter.rs:184-232) — unscoped predicates."""
+    preds: list[SpanPredicate] = []
+    for m in re.finditer(r'([a-zA-Z_.][a-zA-Z0-9_.]*)=("(?:[^"\\]|\\.)*"|\S+)', tags):
+        key, val = m.group(1), m.group(2)
+        if val.startswith('"'):
+            val = re.sub(r"\\(.)", r"\1", val[1:-1])
+        preds.append(SpanPredicate("unscoped", key, val))
+    return preds

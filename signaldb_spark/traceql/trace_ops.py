@@ -1,0 +1,157 @@
+"""Trace query operators: find-by-id, search with newest-N truncation,
+hierarchy assembly, tag discovery.
+
+Spark analog of src/querier/src/query/trace.rs. The projection sets
+mirror TRACE_LOOKUP_COLUMNS / TRACE_SEARCH_COLUMNS (trace.rs:560-594):
+point lookups never read the fat events/links/scope columns, so the
+parquet scan stays narrow (and the trace_id bloom filter prunes row
+groups — write-side config in sources).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .parser import SpanPredicate
+
+TRACE_LOOKUP_COLUMNS = [
+    "trace_id", "span_id", "parent_span_id", "span_name", "service_name",
+    "start_time_unix_nano", "end_time_unix_nano", "duration_nanos",
+    "span_kind", "status_code", "status_message", "is_root", "timestamp",
+]
+
+TRACE_SEARCH_COLUMNS = [
+    "trace_id", "span_id", "span_name", "service_name",
+    "start_time_unix_nano", "duration_nanos", "status_code", "is_root",
+    "timestamp",
+]
+
+STATUS_COLUMN = "status_code"
+
+
+def predicate_expr(df: DataFrame, p: SpanPredicate):
+    """Lower one TraceQL predicate (search_filter.rs:157-170 semantics,
+    but over native map columns instead of JSON substring matching)."""
+    if p.scope == "intrinsic":
+        if p.key == "name":
+            return F.col("span_name") == p.value
+        if p.key == "status":
+            return F.col(STATUS_COLUMN) == p.value
+        raise ValueError(p.key)
+    if p.scope == "span":
+        return F.element_at(F.col("span_attributes"), p.key) == p.value
+    if p.scope == "resource":
+        return F.element_at(F.col("resource_attributes"), p.key) == p.value
+    # unscoped: well-known service.name → column; else span attr OR resource attr
+    if p.key == "service.name":
+        return F.col("service_name") == p.value
+    return (
+        (F.element_at(F.col("span_attributes"), p.key) == p.value)
+        | (F.element_at(F.col("resource_attributes"), p.key) == p.value)
+    )
+
+
+def find_by_id(traces: DataFrame, trace_id: str, start=None, end=None) -> DataFrame:
+    """Point lookup with optional time hints; narrow projection.
+
+    With hour-partitioned storage the time hints prune partitions; the
+    trace_id equality consults the parquet bloom filter (trace.rs:111-170
+    replicates this with its dual-bound trick; our partition column
+    derives from the same timestamp so one bound suffices)."""
+    df = traces
+    if start is not None and end is not None:
+        df = df.filter(F.col("timestamp").between(start, end))
+    return df.filter(F.col("trace_id") == trace_id).select(*TRACE_LOOKUP_COLUMNS)
+
+
+def assemble_hierarchy(spans: DataFrame) -> DataFrame:
+    """Group spans into one row per trace with a sorted span array —
+    the engine-side half of build_span_hierarchy (trace.rs:311-376);
+    client-side tree building consumes parent_span_id."""
+    return (
+        spans.groupBy("trace_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        "start_time_unix_nano", "span_id", "parent_span_id",
+                        "span_name", "service_name", "duration_nanos", "status_code",
+                    )
+                )
+            ).alias("spans"),
+            F.min("start_time_unix_nano").alias("trace_start_unix_nano"),
+            F.max(F.col("start_time_unix_nano") + F.col("duration_nanos")).alias(
+                "trace_end_unix_nano"
+            ),
+            F.count(F.lit(1)).alias("span_count"),
+        )
+    )
+
+
+def search(
+    traces: DataFrame,
+    predicates: list[SpanPredicate],
+    start=None,
+    end=None,
+    min_duration_nanos: int | None = None,
+    max_duration_nanos: int | None = None,
+    limit: int = 20,
+    span_limit: int | None = None,
+    max_search_limit: int = 1000,
+) -> DataFrame:
+    """Trace search with deterministic newest-N truncation.
+
+    Order of operations is load-bearing (issue #928, trace.rs:534-549):
+    spans sort by start_time DESC *before* the span limit so the newest
+    spans survive; traces are then ranked by their most-recent span
+    (DESC) with trace_id as tiebreak (order_traces_for_truncation,
+    trace.rs:602-644) and the first ``limit`` trace_ids kept.
+    """
+    limit = min(limit, max_search_limit)
+    df = traces
+    if start is not None and end is not None:
+        df = df.filter(F.col("timestamp").between(start, end))
+    for p in predicates:
+        df = df.filter(predicate_expr(df, p))
+    if min_duration_nanos is not None:
+        df = df.filter(F.col("duration_nanos") >= min_duration_nanos)
+    if max_duration_nanos is not None:
+        df = df.filter(F.col("duration_nanos") <= max_duration_nanos)
+    df = df.select(*[c for c in TRACE_SEARCH_COLUMNS if c in df.columns])
+    if span_limit is None:
+        span_limit = limit * 50  # spans-per-trace estimate (clamped_limits, trace.rs:720)
+    df = df.orderBy(F.col("start_time_unix_nano").desc(), F.col("span_id").desc()).limit(
+        span_limit
+    )
+    ranked_traces = (
+        df.groupBy("trace_id")
+        .agg(F.max("start_time_unix_nano").alias("_latest"))
+        .orderBy(F.col("_latest").desc(), F.col("trace_id").desc())
+        .limit(limit)
+        .select("trace_id")
+    )
+    return df.join(F.broadcast(ranked_traces), "trace_id")
+
+
+def tag_values(traces: DataFrame, scope: str, key: str, cap: int = 1000) -> DataFrame:
+    """Distinct tag values, sorted, capped (tempo tag discovery,
+    docs/users/tempo-api-reference.md:26,45)."""
+    if key == "service.name":
+        col = F.col("service_name")
+    elif scope == "span":
+        col = F.element_at(F.col("span_attributes"), key)
+    elif scope == "resource":
+        col = F.element_at(F.col("resource_attributes"), key)
+    else:
+        col = F.coalesce(
+            F.element_at(F.col("span_attributes"), key),
+            F.element_at(F.col("resource_attributes"), key),
+        )
+    return (
+        traces.select(col.alias("value"))
+        .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        .distinct()
+        .orderBy("value")
+        .limit(cap)
+    )

@@ -1,0 +1,169 @@
+"""TraceQL parser + trace ops + Query IR tests over generated fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from signaldb_spark.catalog import optional_table
+from signaldb_spark.ir import IRValidationError, lower, validate
+from signaldb_spark.testing import write_signal_tables
+from signaldb_spark.traceql import parse_tags, parse_traceql
+from signaldb_spark.traceql.parser import SpanPredicate, TraceQLError
+from signaldb_spark.traceql.trace_ops import (
+    assemble_hierarchy,
+    find_by_id,
+    search,
+    tag_values,
+)
+
+
+@pytest.fixture(scope="module")
+def traces(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("trace_signals"))
+    write_signal_tables(spark, base)
+    return optional_table(spark, base, "acme", "prod", "traces")
+
+
+@pytest.fixture(scope="module")
+def logs(spark, traces, tmp_path_factory):
+    # traces fixture already wrote all tables into its base; re-derive path
+    return None
+
+
+# ----------------------------------------------------------- parser pins
+
+
+def test_parse_traceql_scopes():
+    preds = parse_traceql('{ .service.name = "api" && span.http.method = "GET" }')
+    assert preds == [
+        SpanPredicate("unscoped", "service.name", "api"),
+        SpanPredicate("span", "http.method", "GET"),
+    ]
+
+
+def test_parse_traceql_intrinsics_and_status_normalization():
+    preds = parse_traceql('{ name = "GET /items" && status = error }')
+    assert preds[0] == SpanPredicate("intrinsic", "name", "GET /items")
+    assert preds[1] == SpanPredicate("intrinsic", "status", "Error")
+
+
+def test_parse_traceql_rejections():
+    for bad in [
+        '{ a = "b" || c = "d" }',
+        '{ span.x != "y" }',
+        '{ duration > 100ms }',
+        'no braces',
+    ]:
+        with pytest.raises(TraceQLError):
+            parse_traceql(bad)
+
+
+def test_parse_tags():
+    preds = parse_tags('service.name=api http.method="GET"')
+    assert preds == [
+        SpanPredicate("unscoped", "service.name", "api"),
+        SpanPredicate("unscoped", "http.method", "GET"),
+    ]
+
+
+# --------------------------------------------------------- trace queries
+
+
+def test_find_by_id_roundtrip(traces):
+    some_id = traces.select("trace_id").first().trace_id
+    spans = find_by_id(traces, some_id)
+    rows = spans.collect()
+    assert rows and all(r.trace_id == some_id for r in rows)
+    assert "events" not in spans.columns  # narrow projection
+
+
+def test_hierarchy_assembly(traces):
+    some_id = traces.select("trace_id").first().trace_id
+    h = assemble_hierarchy(find_by_id(traces, some_id)).collect()
+    assert len(h) == 1
+    trace = h[0]
+    assert trace.span_count == len(trace.spans)
+    starts = [s.start_time_unix_nano for s in trace.spans]
+    assert starts == sorted(starts)
+
+
+def test_search_truncation_determinism(traces):
+    preds = parse_traceql('{ .service.name = "api" }')
+    a = search(traces, preds, limit=5)
+    b = search(traces, preds, limit=5)
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb and ra
+    assert len({r[0] for r in ra}) <= 5  # ≤ limit distinct traces
+
+
+def test_search_min_duration(traces):
+    preds = parse_traceql('{ .service.name = "api" }')
+    out = search(traces, preds, min_duration_nanos=10**7, limit=50).collect()
+    assert all(r.duration_nanos >= 10**7 for r in out)
+
+
+def test_tag_values_cap_and_sort(traces):
+    vals = [r.value for r in tag_values(traces, "span", "http.method").collect()]
+    assert vals == sorted(vals) and set(vals) <= {"GET", "POST"}
+    svc = [r.value for r in tag_values(traces, "", "service.name").collect()]
+    assert svc == sorted(svc) and len(svc) <= 1000
+
+
+# -------------------------------------------------------------------- IR
+
+
+def test_ir_validation_rejects():
+    for doc in [
+        {"version": 99, "from": "logs"},
+        {"version": 1, "from": ""},
+        {"version": 1, "from": "logs", "where": {"field": "x", "op": "nope"}},
+        {"version": 1, "from": "logs", "where": {"field": "x", "op": "regex", "value": "("}},
+        {"version": 1, "from": "logs",
+         "aggregate": {"op": "sum"}},  # sum without value_field
+    ]:
+        with pytest.raises(IRValidationError):
+            validate(doc)
+
+
+def test_ir_kleene_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "1"), ("b", None), ("c", "2")], "id string, v string"
+    )
+    eq = lower(df, validate({"version": 1, "from": "t",
+                             "where": {"field": "v", "op": "eq", "value": "1"}})).count()
+    ne = lower(df, validate({"version": 1, "from": "t",
+                             "where": {"not": {"field": "v", "op": "eq", "value": "1"}}})).count()
+    ex = lower(df, validate({"version": 1, "from": "t",
+                             "where": {"field": "v", "op": "exists"}})).count()
+    # absent row fails BOTH eq and not(eq); only exists sees it
+    assert (eq, ne, ex) == (1, 1, 2)
+
+
+def test_ir_extract_aggregate_rank(spark, traces):
+    base = traces.limit(200)
+    doc = {
+        "version": 1,
+        "from": "traces",
+        "where": {"field": "status_code", "op": "in", "value": ["Ok", "Error", "Unspecified"]},
+        "aggregate": {"op": "avg", "by": ["service_name"], "value_field": "duration_nanos"},
+        "rank": {"kind": "topk", "k": 3, "value": "value"},
+    }
+    out = lower(base, validate(doc)).collect()
+    assert 0 < len(out) <= 3
+    vals = [r.value for r in out]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_ir_extract_json(spark):
+    df = spark.createDataFrame(
+        [('{"status": 200}',), ('{"status": 503}',), ("not json",)], "body string"
+    )
+    doc = {
+        "version": 1,
+        "from": "logs",
+        "extract": [{"field": "status", "parser": "json", "source": "body", "type": "long"}],
+        "where": {"field": "status", "op": "gte", "value": 500},
+    }
+    out = lower(df, validate(doc)).collect()
+    assert len(out) == 1 and out[0].status == 503
