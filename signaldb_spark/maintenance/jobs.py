@@ -1,0 +1,119 @@
+"""Maintenance jobs: compaction, retention, attribute stats/promotion.
+
+Spark analogs of the reference's compactor
+(src/compactor/: planner.rs partition-close gating, rewriter.rs
+streaming two-pass rewrite with sort orders, retention/, attr_stats.rs,
+attr_promotion.rs). The reference streams partitions under a memory
+pool; Spark's sortWithinPartitions + write spills automatically, so a
+compaction is a three-line read→sort→write job per closed partition.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
+
+
+def list_hour_partitions(table_path: str) -> list[int]:
+    if not os.path.isdir(table_path):
+        return []
+    out = []
+    for name in os.listdir(table_path):
+        if name.startswith("hour="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def is_partition_closed(hour: int, day: dt.date, lateness_seconds: int, now: dt.datetime) -> bool:
+    """A partition is open (accepting late writes, never compacted)
+    until lateness elapses past its end (is_partition_closed,
+    src/compactor/src/planner.rs:83-118)."""
+    end = dt.datetime.combine(day, dt.time()) + dt.timedelta(hours=hour + 1)
+    return now >= end + dt.timedelta(seconds=lateness_seconds)
+
+
+def compact_partition(
+    spark: SparkSession, table_path: str, table: str, hour: int, target_files: int = 1
+) -> int:
+    """Rewrite one hour partition: coalesce small files, apply the
+    table's clustering sort (rewriter.rs:591-616), keep bloom filters.
+    Returns the number of files after rewrite."""
+    part_path = os.path.join(table_path, f"hour={hour}")
+    df = spark.read.parquet(part_path)
+    sort_cols = [c for c in SORT_ORDERS.get(table, ["timestamp"]) if c in df.columns]
+    tmp = part_path + ".compact_tmp"
+    writer = (
+        df.repartition(target_files)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+    )
+    for k, v in BLOOM_WRITE_OPTIONS.items():
+        writer = writer.option(k, v)
+    writer.parquet(tmp)
+    shutil.rmtree(part_path)
+    os.rename(tmp, part_path)
+    return len([f for f in os.listdir(part_path) if f.endswith(".parquet")])
+
+
+def apply_retention(table_path: str, keep_hours: set[int]) -> list[int]:
+    """Drop hour partitions outside the retention window (retention
+    cutoff job, src/compactor/src/retention/). Returns dropped hours."""
+    dropped = []
+    for hour in list_hour_partitions(table_path):
+        if hour not in keep_hours:
+            shutil.rmtree(os.path.join(table_path, f"hour={hour}"))
+            dropped.append(hour)
+    return dropped
+
+
+def attribute_stats(df: DataFrame, attr_col: str = "log_attributes") -> DataFrame:
+    """Per-key presence count + approximate cardinality over a table —
+    the promotion-input stats pass (src/compactor/src/attr_stats.rs),
+    as one explode + aggregate."""
+    total = df.count()
+    exploded = df.select(F.explode_outer(F.col(attr_col)).alias("key", "val"))
+    return (
+        exploded.filter(F.col("key").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("presence"),
+            F.approx_count_distinct("val").alias("approx_cardinality"),
+        )
+        .withColumn("presence_ratio", F.round(F.col("presence") / F.lit(total), 6))
+    )
+
+
+def promotion_decisions(
+    stats: DataFrame,
+    demand: dict[str, int] | None = None,
+    width_budget: int = 16,
+    min_presence_ratio: float = 0.1,
+) -> DataFrame:
+    """Promote attributes to materialized label_<key> columns by
+    query-demand × presence under a schema-width budget
+    (src/compactor/src/attr_promotion.rs:82-153 policy shape; the
+    streak hysteresis lives with the caller that persists decisions).
+    """
+    d = demand or {}
+    demand_df = stats.sparkSession.createDataFrame(
+        list(d.items()) or [("", 0)], "key string, demand long"
+    )
+    scored = (
+        stats.join(F.broadcast(demand_df), "key", "left")
+        .fillna({"demand": 0})
+        .withColumn("score", F.col("presence_ratio") * (1 + F.col("demand")))
+        .filter(F.col("presence_ratio") >= min_presence_ratio)
+        .orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(width_budget)
+        .withColumn("action", F.lit("promote"))
+    )
+    return scored.select("key", "presence", "approx_cardinality", "score", "action")

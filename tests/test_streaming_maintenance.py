@@ -1,0 +1,175 @@
+"""End-to-end streaming ingest (OTLP/JSON → hour-partitioned logs) and
+maintenance job tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from signaldb_spark.catalog import optional_table, signal_table_path
+from signaldb_spark.maintenance.jobs import (
+    apply_retention,
+    attribute_stats,
+    compact_partition,
+    is_partition_closed,
+    list_hour_partitions,
+    promotion_decisions,
+)
+from signaldb_spark.streaming.ingest import ingest_otlp_logs_stream
+
+
+def _otlp_log_payload(ts_ns: int, service: str, severity: str, body: str, attrs: dict) -> str:
+    return json.dumps(
+        {
+            "resourceLogs": [
+                {
+                    "resource": {
+                        "attributes": [
+                            {"key": "service.name", "value": {"stringValue": service}}
+                        ]
+                    },
+                    "scopeLogs": [
+                        {
+                            "scope": {"name": "test", "version": "1"},
+                            "logRecords": [
+                                {
+                                    "timeUnixNano": str(ts_ns),
+                                    "observedTimeUnixNano": str(ts_ns),
+                                    "severityText": severity,
+                                    "severityNumber": 9,
+                                    "body": {"stringValue": body},
+                                    "attributes": [
+                                        {"key": k, "value": {"stringValue": str(v)}}
+                                        for k, v in attrs.items()
+                                    ],
+                                    "traceId": "ab" * 16,
+                                    "spanId": "cd" * 8,
+                                }
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("otlp_src")
+    base = str(tmp_path_factory.mktemp("ingest_base"))
+    t0 = int(dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    lines = []
+    for i in range(200):
+        ts = t0 + i * 60_000_000_000  # one per minute → spans 4 hours
+        lines.append(
+            _otlp_log_payload(
+                ts, ["api", "web"][i % 2], ["info", "error"][i % 3 == 0],
+                f"request {i} status={200 + (i % 2) * 300}",
+                {"env": "prod", "idx": i},
+            )
+        )
+    (src / "batch1.jsonl").write_text("\n".join(lines[:120]))
+    (src / "batch2.jsonl").write_text("\n".join(lines[120:]))
+    ingest_otlp_logs_stream(spark, str(src), base)
+    return str(src), base
+
+
+def test_ingest_counts_and_partitioning(spark, ingested):
+    _, ingested = ingested
+    logs = optional_table(spark, ingested, "acme", "prod", "logs")
+    assert logs is not None and logs.count() == 200
+    hours = list_hour_partitions(signal_table_path(ingested, "acme", "prod", "logs"))
+    assert len(hours) >= 3  # spread across hour partitions
+
+
+def test_ingest_idempotent_restart(spark, ingested):
+    """Re-running the stream with the same checkpoint must not duplicate
+    rows (the WAL replay idempotency analog,
+    tests-integration/tests/writer/wal_replay_idempotency.rs)."""
+    src, base = ingested
+    before = optional_table(spark, base, "acme", "prod", "logs").count()
+    ingest_otlp_logs_stream(spark, src, base)  # same checkpoint, no new files
+    after = optional_table(spark, base, "acme", "prod", "logs").count()
+    assert (before, after) == (200, 200)
+
+
+def test_ingest_schema_and_derived_columns(spark, ingested):
+    _, ingested = ingested
+    logs = optional_table(spark, ingested, "acme", "prod", "logs")
+    row = logs.filter("severity_text = 'error'").first()
+    assert row.service_name in ("api", "web")
+    assert row.log_attributes["env"] == "prod"
+    assert any(t.startswith("env=") for t in row.attr_tokens)
+    assert row.trace_id == "ab" * 16
+
+
+def test_compaction_reduces_files_and_sorts(spark, ingested):
+    _, ingested = ingested
+    path = signal_table_path(ingested, "acme", "prod", "logs")
+    hours = list_hour_partitions(path)
+    target = hours[0]
+    n_files = compact_partition(spark, path, "logs", target)
+    assert n_files == 1
+    part = spark.read.parquet(os.path.join(path, f"hour={target}"))
+    ts = [r.timestamp for r in part.select("timestamp").collect()]
+    assert ts == sorted(ts)  # clustering order applied
+    # table still whole
+    assert optional_table(spark, ingested, "acme", "prod", "logs").count() == 200
+
+
+def test_partition_close_gate():
+    day = dt.date(2024, 1, 1)
+    now = dt.datetime(2024, 1, 1, 2, 0, 0)
+    assert is_partition_closed(0, day, lateness_seconds=3600, now=now)
+    assert not is_partition_closed(1, day, lateness_seconds=3600, now=now)
+
+
+def test_retention_drops_partitions(spark, ingested):
+    _, ingested = ingested
+    path = signal_table_path(ingested, "acme", "prod", "logs")
+    hours = list_hour_partitions(path)
+    keep = set(hours[1:])
+    dropped = apply_retention(path, keep)
+    assert dropped == [hours[0]]
+    assert list_hour_partitions(path) == sorted(keep)
+
+
+def test_attribute_stats_and_promotion(spark, ingested):
+    _, ingested = ingested
+    logs = optional_table(spark, ingested, "acme", "prod", "logs")
+    stats = attribute_stats(logs)
+    rows = {r.key: r for r in stats.collect()}
+    assert rows["env"].presence_ratio == 1.0
+    assert rows["idx"].approx_cardinality > 50
+    decisions = promotion_decisions(stats, demand={"env": 10}, width_budget=1)
+    top = decisions.collect()
+    assert len(top) == 1 and top[0].key == "env" and top[0].action == "promote"
+
+
+def test_live_windowed_aggregation(spark, tmp_path_factory):
+    """Streaming windowed aggregation with watermark — live tail
+    (capability upgrade over the reference, overview.md:247)."""
+    src = tmp_path_factory.mktemp("otlp_live")
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    lines = [
+        _otlp_log_payload(t0 + i * 10_000_000_000, "api", "info", f"m {i}", {})
+        for i in range(30)
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines))
+    from signaldb_spark.streaming.ingest import live_severity_counts
+
+    agg = live_severity_counts(spark, str(src), window="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("live_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT * FROM live_counts").collect()
+    assert out and sum(r["count"] for r in out) == 30
