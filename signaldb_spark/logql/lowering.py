@@ -251,6 +251,10 @@ def _eval_range_agg(
     ctx: LowerCtx, expr: RangeAgg, extra_labels: tuple[str, ...] = ()
 ) -> DataFrame:
     df = apply_selector(ctx, expr.selector)
+    if expr.fn == "absent":
+        # absent_over_time: 1 per empty step bucket over the range
+        m = ts.count_over_time(df, "timestamp", ctx.step_seconds, [])
+        return ts.absent(m, _spine(ctx))
     for g in extra_labels:
         df = df.withColumn(g, resolve_label(df, expr.selector, g))
     agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)

@@ -96,8 +96,8 @@ def jaccard_pairs(
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -1,0 +1,60 @@
+"""Continuous-profiling operators: flamegraph aggregation + trace
+correlation.
+
+The reference aggregates profiles into a flamegraph tree with a
+driver-side fold (src/common/src/profile/aggregation.rs:59,267 — tree
+fold over stacktrace/sample JSON); here the fold is an explode of every
+stack prefix + one groupBy, which distributes: a 100 TB profile corpus
+aggregates with one shuffle keyed on the (bounded-cardinality) frame
+path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STACKS_TYPE = "array<array<string>>"
+SAMPLES_TYPE = "array<struct<stacktrace_idx:int, value:long>>"
+
+
+def flamegraph(profiles: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Fold sampled stacks into flamegraph rows: one row per distinct
+    frame-path prefix with its summed self+child weight.
+
+    Output: (path ';'-joined root→leaf, depth, frame, value).
+    The root invariant: sum of depth-1 values == total sample weight.
+    """
+    group_cols = group_cols or []
+    stacks = F.from_json(F.col("stacktraces_json"), STACKS_TYPE)
+    samples = F.from_json(F.col("samples_json"), SAMPLES_TYPE)
+    s = profiles.select(
+        *group_cols, stacks.alias("stacks"), F.explode(samples).alias("sample")
+    )
+    stack = F.element_at(F.col("stacks"), F.col("sample.stacktrace_idx") + 1)
+    s = s.select(
+        *group_cols,
+        stack.alias("stack"),
+        F.col("sample.value").alias("weight"),
+    ).filter(F.col("stack").isNotNull())
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size("stack")),
+        lambda d: F.array_join(F.slice(F.col("stack"), 1, d), ";"),
+    )
+    p = s.select(*group_cols, "weight", F.explode(prefixes).alias("path"))
+    out = (
+        p.groupBy(*group_cols, "path")
+        .agg(F.sum("weight").alias("value"))
+        .withColumn("depth", F.size(F.split(F.col("path"), ";")))
+        .withColumn("frame", F.element_at(F.split(F.col("path"), ";"), -1))
+    )
+    return out.select(*group_cols, "path", "depth", "frame", "value")
+
+
+def find_by_trace(profiles: DataFrame, trace_id: str, span_id: str | None = None) -> DataFrame:
+    """Profile↔trace correlation: equality filter on trace_id (+span)
+    (find_by_trace_with_tenant, src/querier/src/query/profile.rs:402-456)."""
+    out = profiles.filter(F.col("trace_id") == trace_id)
+    if span_id is not None:
+        out = out.filter(F.col("span_id") == span_id)
+    return out

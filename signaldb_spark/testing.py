@@ -15,7 +15,14 @@ import random
 
 from pyspark.sql import SparkSession
 
-from .schemas.signal_schemas import LOGS, METRICS_GAUGE, METRICS_HISTOGRAM, METRICS_SUM, TRACES
+from .schemas.signal_schemas import (
+    LOGS,
+    METRICS_GAUGE,
+    METRICS_HISTOGRAM,
+    METRICS_SUM,
+    PROFILES,
+    TRACES,
+)
 
 EPOCH = dt.datetime(2024, 1, 1, 0, 0, 0)
 SERVICES = ["api", "web", "auth", "billing", "worker", "cron", "gateway", "search"]
@@ -190,6 +197,47 @@ def gen_metrics(n_series_points: int = 360, seed: int = 42):
     return gauge, msum, hist
 
 
+def gen_profiles(n: int = 100, seed: int = 42) -> list[tuple]:
+    """CPU profiles with known stack structure (FIXTURES §A5): every
+    profile samples stacks rooted at 'main', so flamegraph('main') sums
+    to the total sample weight."""
+    import json
+
+    rng = random.Random(seed)
+    stacks = [
+        ["main", "serve", "handler", "db_query"],
+        ["main", "serve", "handler", "render"],
+        ["main", "serve", "auth"],
+        ["main", "gc"],
+    ]
+    rows = []
+    for i in range(n):
+        ts = _ts(rng)
+        samples = [
+            {"stacktrace_idx": rng.randrange(len(stacks)), "value": rng.randint(1, 100)}
+            for _ in range(10)
+        ]
+        rows.append(
+            (
+                f"{rng.getrandbits(128):032x}",
+                ts,
+                10_000_000_000,
+                "cpu",
+                "nanoseconds",
+                10_000_000,
+                rng.choice(SERVICES[:4]),
+                json.dumps(stacks),
+                json.dumps(samples),
+                {"host": "h1"},
+                None,
+                f"{rng.getrandbits(128):032x}" if rng.random() < 0.5 else None,
+                None,
+                *_finish(ts),
+            )
+        )
+    return rows
+
+
 def write_signal_tables(spark: SparkSession, base: str, tenant: str = "acme", dataset: str = "prod"):
     """Materialize the fixture tables hour-partitioned under
     {base}/{tenant}/{dataset}/{table}/ — the engine's storage layout."""
@@ -201,12 +249,14 @@ def write_signal_tables(spark: SparkSession, base: str, tenant: str = "acme", da
     gauge = spark.createDataFrame(g, METRICS_GAUGE)
     msum = spark.createDataFrame(s, METRICS_SUM)
     hist = spark.createDataFrame(h, METRICS_HISTOGRAM)
+    profiles = spark.createDataFrame(gen_profiles(), PROFILES)
     for name, df in [
         ("logs", logs),
         ("traces", traces),
         ("metrics_gauge", gauge),
         ("metrics_sum", msum),
         ("metrics_histogram", hist),
+        ("profiles", profiles),
     ]:
         (
             df.repartition(4)

@@ -217,3 +217,11 @@ def test_label_filter_numeric(ctx, duck):
         [START, END],
     ).fetchone()[0]
     assert got == expected and got > 0
+
+
+def test_absent_over_time(ctx):
+    got = query_metric(ctx, 'absent_over_time({service_name="no_such_service"}[1h])').collect()
+    # whole spine empty → every bucket present with 1.0
+    assert got and all(r.value == 1.0 for r in got)
+    some = query_metric(ctx, 'absent_over_time({service_name="api"}[1h])').collect()
+    assert len(some) < len(got)  # buckets with api logs drop out

@@ -1,0 +1,110 @@
+"""Result shapers + profiles/flamegraph tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from signaldb_spark.catalog import optional_table
+from signaldb_spark.operators.profiles import find_by_trace, flamegraph
+from signaldb_spark.shapers import (
+    error_envelope,
+    logs_to_loki_streams,
+    matrix_to_instant_vector,
+    matrix_to_prom,
+    trace_to_tempo,
+)
+from signaldb_spark.testing import write_signal_tables
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    b = str(tmp_path_factory.mktemp("shaper_signals"))
+    write_signal_tables(spark, b)
+    return b
+
+
+def test_matrix_to_prom_shape(spark):
+    df = spark.createDataFrame(
+        [(100, "api", 1.0), (200, "api", 2.0), (100, "web", 3.0)],
+        "bucket long, service_name string, value double",
+    )
+    env = matrix_to_prom(df)
+    assert env["status"] == "success"
+    assert env["data"]["resultType"] == "matrix"
+    api = next(r for r in env["data"]["result"] if r["metric"]["service_name"] == "api")
+    assert api["values"] == [[100, "1.0"], [200, "2.0"]]
+
+
+def test_instant_vector_latest(spark):
+    df = spark.createDataFrame(
+        [(100, "api", 1.0), (200, "api", 2.0)],
+        "bucket long, service_name string, value double",
+    )
+    env = matrix_to_instant_vector(df)
+    assert env["data"]["result"][0]["value"] == [200, "2.0"]
+
+
+def test_loki_streams(spark, base):
+    logs = optional_table(spark, base, "acme", "prod", "logs").limit(50)
+    env = logs_to_loki_streams(logs)
+    assert env["data"]["resultType"] == "streams"
+    for stream in env["data"]["result"]:
+        assert "service_name" in stream["stream"]
+        ts_order = [v[0] for v in stream["values"]]
+        assert ts_order == sorted(ts_order, reverse=True)
+
+
+def test_tempo_trace_hierarchy(spark, base):
+    from signaldb_spark.traceql.trace_ops import assemble_hierarchy, find_by_id
+
+    traces = optional_table(spark, base, "acme", "prod", "traces")
+    tid = traces.filter("is_root").select("trace_id").first().trace_id
+    row = assemble_hierarchy(find_by_id(traces, tid)).first()
+    doc = trace_to_tempo(row)
+    assert doc["traceID"] == tid and doc["spanCount"] >= 1
+    # exactly one root; all non-roots nested beneath it
+    assert len(doc["spans"]) == 1
+    root = doc["spans"][0]
+    def count(n):
+        return 1 + sum(count(c) for c in n["children"])
+    assert count(root) == doc["spanCount"]
+
+
+def test_error_envelope():
+    env = error_envelope("parse error: unexpected token")
+    assert env["status"] == "error" and env["errorType"] == "bad_data"
+
+
+def test_flamegraph_invariants(spark, base):
+    profiles = optional_table(spark, base, "acme", "prod", "profiles")
+    fg = flamegraph(profiles)
+    rows = fg.collect()
+    assert rows
+    root_total = sum(r.value for r in rows if r.depth == 1)
+    # every stack is rooted at 'main' → depth-1 total == total weight
+    import json
+
+    total = 0
+    for r in profiles.select("samples_json").collect():
+        total += sum(s["value"] for s in json.loads(r.samples_json))
+    assert root_total == total
+    assert all(r.frame == r.path.split(";")[-1] for r in rows)
+    # parent weight >= sum of children
+    by_path = {r.path: r.value for r in rows}
+    for path, v in by_path.items():
+        children = [x for p, x in by_path.items() if p.startswith(path + ";") and p.count(";") == path.count(";") + 1]
+        assert v >= sum(children) or not children
+
+
+def test_flamegraph_grouped_by_service(spark, base):
+    profiles = optional_table(spark, base, "acme", "prod", "profiles")
+    fg = flamegraph(profiles, group_cols=["service_name"]).collect()
+    services = {r.service_name for r in fg}
+    assert len(services) >= 2
+
+
+def test_profile_trace_correlation(spark, base):
+    profiles = optional_table(spark, base, "acme", "prod", "profiles")
+    some = profiles.filter("trace_id IS NOT NULL").first()
+    hits = find_by_trace(profiles, some.trace_id).collect()
+    assert hits and all(h.trace_id == some.trace_id for h in hits)
