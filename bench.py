@@ -41,6 +41,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "emb_cosine_topk",
     "text_quality",
+    "logql_count_by_service",
+    "logql_json_quantile",
+    "promql_sum_rate",
+    "promql_histogram_quantile",
+    "trace_search_truncation",
+    "ir_agg_pipeline",
 ]
 
 

@@ -130,3 +130,65 @@ ORACLES = {
     "promql_clamp_compare": ORACLE_PROMQL_CLAMP_COMPARE,
     "promql_attr_matcher": ORACLE_PROMQL_ATTR_MATCHER,
 }
+
+
+def q_promql_histogram_quantile(spark, sf_dir):
+    """histogram_quantile(0.9) end-to-end: daily histograms built from
+    raw samples (bounds 25/50/100/150), then the engine's posexplode +
+    cumulative-window interpolation (metrics.rs:1061-1278, 2363-2418).
+    """
+    from .promql.ast import VectorSelector
+    from .promql.lowering import lower_histogram_quantile
+
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    counts = F.array(
+        F.sum(F.when(v <= 25, 1).otherwise(0)),
+        F.sum(F.when((v > 25) & (v <= 50), 1).otherwise(0)),
+        F.sum(F.when((v > 50) & (v <= 100), 1).otherwise(0)),
+        F.sum(F.when((v > 100) & (v <= 150), 1).otherwise(0)),
+        F.sum(F.when(v > 150, 1).otherwise(0)),
+    )
+    hist = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("timestamp"))
+        .agg(counts.cast("array<double>").alias("bucket_counts"))
+        .select(
+            "timestamp",
+            F.lit("events").alias("service_name"),
+            F.lit("latency").alias("metric_name"),
+            "bucket_counts",
+            F.array(F.lit(25.0), F.lit(50.0), F.lit(100.0), F.lit(150.0)).alias(
+                "explicit_bounds"
+            ),
+        )
+    )
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    out = lower_histogram_quantile(ctx, 0.9, VectorSelector("latency"), rate_mode=False)
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_HISTOGRAM_QUANTILE = f"""
+WITH h AS (
+  SELECT {_BUCKET} AS bucket,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+         sum(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c2,
+         sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END)::DOUBLE AS c3,
+         sum(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END)::DOUBLE AS c4,
+         sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::DOUBLE AS c5
+  FROM events GROUP BY 1
+),
+r AS (SELECT *, 0.9 * (c1 + c2 + c3 + c4 + c5) AS rank FROM h
+      WHERE c1 + c2 + c3 + c4 + c5 > 0)
+SELECT bucket,
+       round(CASE
+         WHEN c1 >= rank THEN 0 + (25 - 0) * (rank - 0) / c1
+         WHEN c1 + c2 >= rank THEN 25 + (50 - 25) * (rank - c1) / c2
+         WHEN c1 + c2 + c3 >= rank THEN 50 + (100 - 50) * (rank - c1 - c2) / c3
+         WHEN c1 + c2 + c3 + c4 >= rank THEN 100 + (150 - 100) * (rank - c1 - c2 - c3) / c4
+         ELSE 150
+       END, 6) AS value
+FROM r
+"""
+
+QUERIES["promql_histogram_quantile"] = q_promql_histogram_quantile
+ORACLES["promql_histogram_quantile"] = ORACLE_PROMQL_HISTOGRAM_QUANTILE

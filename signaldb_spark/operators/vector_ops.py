@@ -98,7 +98,11 @@ VALUE_OPS = {
     "abs": lambda v, a: F.abs(v),
     "ceil": lambda v, a: F.ceil(v).cast("double"),
     "floor": lambda v, a: F.floor(v).cast("double"),
-    "round": lambda v, a: F.round(v, 0) if not a else (F.round(v / a[0], 0) * a[0]),
+    # round(v[, to_nearest]): second arg is a multiple, not a scale;
+    # to_nearest <= 0 falls back to 1 (Prometheus defaults)
+    "round": lambda v, a: (
+        F.round(v, 0) if not a or not a[0] else (F.round(v / a[0], 0) * a[0])
+    ),
     "sqrt": lambda v, a: F.sqrt(v),
     "exp": lambda v, a: F.exp(v),
     "ln": lambda v, a: F.log(v),

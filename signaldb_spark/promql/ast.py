@@ -22,6 +22,7 @@ class VectorSelector:
     range_seconds: float | None = None  # set for m[5m]
     offset_seconds: float = 0.0
     subquery: tuple[float, float] | None = None  # (range, resolution)
+    at_epoch: float | None = None  # @ modifier: evaluate at pinned instant
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,36 @@ def apply_selector(ctx: PromCtx, sel: VectorSelector, base: DataFrame) -> DataFr
 # --------------------------------------------------------------- range fns
 
 
+def _pin_at(ctx: PromCtx, sel: VectorSelector, matrix: DataFrame) -> DataFrame:
+    """@ modifier: the matrix was evaluated over a window ending at the
+    pinned instant; keep each series' latest bucket and replicate it
+    across every output step (eval_at, metrics.rs:744-827)."""
+    series = [c for c in matrix.columns if c not in ("bucket", "value")]
+    if series:
+        pinned = matrix.groupBy(*series).agg(F.max_by("value", "bucket").alias("value"))
+    else:
+        pinned = matrix.orderBy(F.col("bucket").desc()).limit(1).drop("bucket")
+    return _spine(ctx).crossJoin(pinned)
+
+
+def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
+    import datetime as dt
+
+    at = dt.datetime.fromtimestamp(sel.at_epoch, tz=dt.timezone.utc).replace(tzinfo=None)
+    start = at - dt.timedelta(seconds=lookback)
+    return PromCtx(
+        ctx.spark, ctx.gauge, ctx.msum, ctx.histogram,
+        start.isoformat(sep=" "), at.isoformat(sep=" "),
+        ctx.step_seconds, ctx.default_range,
+    )
+
+
 def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector) -> DataFrame:
+    if sel.at_epoch is not None:
+        inner_ctx = _at_ctx(ctx, sel, sel.range_seconds or ctx.default_range)
+        pinned_sel = VectorSelector(sel.metric, sel.matchers, sel.range_seconds,
+                                    sel.offset_seconds, sel.subquery)
+        return _pin_at(ctx, sel, lower_range_fn(inner_ctx, fn, pinned_sel))
     base = scan_union(ctx)
     if base is None:
         return _empty_matrix(ctx)
@@ -160,6 +189,11 @@ def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector) -> DataFrame:
 def lower_instant(ctx: PromCtx, sel: VectorSelector) -> DataFrame:
     """Bare selector: last value per (bucket, series) — MetricAgg::Last
     (promql.rs:48-50; metrics.rs:2241)."""
+    if sel.at_epoch is not None:
+        inner_ctx = _at_ctx(ctx, sel, ctx.default_range)
+        pinned_sel = VectorSelector(sel.metric, sel.matchers, sel.range_seconds,
+                                    sel.offset_seconds, sel.subquery)
+        return _pin_at(ctx, sel, lower_instant(inner_ctx, pinned_sel))
     base = scan_union(ctx)
     if base is None:
         return _empty_matrix(ctx)
@@ -358,10 +392,13 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
     if a.op in ("topk", "bottomk"):
         return ts.topk_per_bucket(inner, int(a.param or 1), series, bottom=a.op == "bottomk")
     if a.op == "count_values":
-        out = ts.count_values(inner)
-        return out.withColumnRenamed("count", "value").withColumnRenamed(
-            "value", str(a.param)
-        ) if False else out
+        # count series per distinct value; the value becomes an output
+        # label named by the string param (metrics.rs:1910-1949)
+        label = str(a.param)
+        return (
+            inner.groupBy("bucket", F.col("value").cast("string").alias(label))
+            .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        )
     grouping = set(a.grouping)
     keep = (
         [c for c in series if c not in grouping]

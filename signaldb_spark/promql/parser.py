@@ -146,20 +146,28 @@ class _P:
                     self.expect("OP", "]")
                     if isinstance(e, VectorSelector):
                         e = VectorSelector(e.metric, e.matchers, e.range_seconds,
-                                           e.offset_seconds, subquery=(dur, step))
+                                           e.offset_seconds, subquery=(dur, step),
+                                           at_epoch=e.at_epoch)
                     else:
                         e = Call("__subquery__", (e, NumberLit(dur), NumberLit(step)))
                 else:
                     self.expect("OP", "]")
                     if not isinstance(e, VectorSelector):
                         raise LogQLSyntaxError("range selector on non-selector")
-                    e = VectorSelector(e.metric, e.matchers, dur, e.offset_seconds)
+                    e = VectorSelector(e.metric, e.matchers, dur, e.offset_seconds,
+                                       at_epoch=e.at_epoch)
             elif self.peek().kind == "IDENT" and self.peek().text == "offset":
                 self.next()
                 off = parse_duration(self.expect("DURATION").text)
                 if not isinstance(e, VectorSelector):
                     raise LogQLSyntaxError("offset on non-selector")
-                e = VectorSelector(e.metric, e.matchers, e.range_seconds, off, e.subquery)
+                e = VectorSelector(e.metric, e.matchers, e.range_seconds, off, e.subquery, e.at_epoch)
+            elif self.peek().kind == "OP" and self.peek().text == "@":
+                self.next()
+                at = float(self.expect("NUMBER").text)
+                if not isinstance(e, VectorSelector):
+                    raise LogQLSyntaxError("@ on non-selector")
+                e = VectorSelector(e.metric, e.matchers, e.range_seconds, e.offset_seconds, e.subquery, at)
             else:
                 break
         return e

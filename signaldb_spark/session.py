@@ -48,6 +48,10 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/signaldb_spark_warehouse"),
+        )
         # autoBroadcastJoinThreshold default 10MB is right for the dim
         # tables (region/nation/customer); AQE converts to broadcast at
         # runtime when estimates are off.

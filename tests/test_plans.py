@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the optimizations SURVEY §4.1 calls
+out must actually appear in the plans — pushdown reaching parquet,
+column pruning, broadcast for dims, partition pruning on the hour
+layout, and shuffle-free bucketed joins for the co-location strategy.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from signaldb_spark.registry import all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    p = plan(all_queries()["pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_column_pruning(spark):
+    p = plan(all_queries()["point_lookup"](spark, SF_DIR))
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" not in read and "l_orderkey" in read
+    assert "EqualTo(l_orderkey,1)" in p
+
+
+def test_dims_broadcast(spark):
+    p = plan(all_queries()["shipping_priority"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+
+
+def test_partition_pruning_on_hour_layout(spark, tmp_path_factory):
+    """A timestamp filter on the hour-partitioned signal layout must
+    prune partitions (the reference needs a dual-bound trick for this;
+    our layout derives the partition from the same column)."""
+    from signaldb_spark.catalog import optional_table, signal_table_path
+    from signaldb_spark.testing import write_signal_tables
+
+    base = str(tmp_path_factory.mktemp("prune_signals"))
+    write_signal_tables(spark, base)
+    logs = spark.read.parquet(signal_table_path(base, "acme", "prod", "logs"))
+    pruned = logs.filter(F.col("hour") == 1)
+    p = plan(pruned.select("service_name"))
+    # partition filter appears as PartitionFilters, not a data filter
+    assert "PartitionFilters" in p and "hour" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path_factory):
+    """Co-located join strategy for the 100 TB fact-fact join: bucket
+    both sides on the join key → SortMergeJoin without Exchange."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        from signaldb_spark.catalog import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem")
+        od = load_table(spark, SF_DIR, "orders")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+        od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("od_b")
+        j = spark.table("li_b").join(
+            spark.table("od_b"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        p = plan(j.select("l_orderkey", "o_totalprice"))
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # co-located: zero shuffle
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_aggregation_is_partial_then_final(spark):
+    p = plan(all_queries()["count_over_time"](spark, SF_DIR))
+    # two HashAggregates around one Exchange = map-side combine
+    assert p.count("HashAggregate") >= 2 and "Exchange" in p

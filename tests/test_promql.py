@@ -209,3 +209,25 @@ def test_histogram_quantile_hand_check(spark):
 def test_subquery_sliding(ctx):
     got = query_range(ctx, "max_over_time(sum(process_cpu_usage)[30m:10m])").collect()
     assert got and all(r.value is not None for r in got)
+
+
+def test_count_values(ctx):
+    got = query_range(ctx, 'count_values("cpu_bucket", round(process_cpu_usage, 0.25))').collect()
+    assert got
+    row = got[0]
+    assert hasattr(row, "cpu_bucket") and row.value >= 1.0
+
+
+def test_at_modifier_pins_instant(ctx):
+    """@ <epoch>: every output bucket carries the value evaluated at the
+    pinned instant."""
+    at = 1704068400  # 2024-01-01 00:20:00 UTC
+    got = query_range(ctx, f"process_cpu_usage @ {at}").collect()
+    assert got
+    per_series = {}
+    for r in got:
+        per_series.setdefault(r.service_name, set()).add(r.value)
+    # one constant value per series replicated across all buckets
+    assert all(len(v) == 1 for v in per_series.values())
+    buckets = {r.bucket for r in got}
+    assert len(buckets) == 7  # full spine
