@@ -395,3 +395,34 @@ ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
 }
+
+
+def q_emb_near_dup(spark, sf_dir):
+    # this corpus has no planted geometric duplicates; 0.4 sits at the
+    # top tail of the cosine distribution so the operator exercises a
+    # non-trivial result set while staying selective
+    return sim.cosine_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+ORACLE_EMB_NEAR_DUP = """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         sum(a.embedding[d.d]::DOUBLE * b.embedding[d.d]::DOUBLE) AS dot
+  FROM embeddings a, embeddings b, UNNEST(range(1, 65)) d(d)
+  WHERE a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM pairs
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE dot / (na.nrm * nb.nrm) >= 0.4
+"""
+
+QUERIES["emb_near_dup"] = q_emb_near_dup
+ORACLES["emb_near_dup"] = ORACLE_EMB_NEAR_DUP

@@ -348,3 +348,21 @@ def query_metric(ctx: LowerCtx, query: str) -> DataFrame:
     out = eval_metric(ctx, expr)
     series = [c for c in out.columns if c not in ("bucket", "value")]
     return out.orderBy("bucket", *series)
+
+
+def query_instant(ctx: LowerCtx, query: str) -> DataFrame:
+    """Instant query: evaluate the range query and reduce each series to
+    its latest bucket (the /query endpoint semantics — one-bucket range
+    reduced to last sample per series, endpoints/logql.rs + the
+    instant-vector reduce in promql.rs:458)."""
+    out = query_metric(ctx, query)
+    series = [c for c in out.columns if c not in ("bucket", "value")]
+    if not series:
+        return (
+            out.orderBy(F.col("bucket").desc())
+            .limit(1)
+            .select("bucket", "value")
+        )
+    return out.groupBy(*series).agg(
+        F.max("bucket").alias("bucket"), F.max_by("value", "bucket").alias("value")
+    ).select("bucket", *series, "value")

@@ -115,3 +115,27 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def cosine_near_dup_pairs(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
+    threshold — the embedding leg of the dedup family (SURVEY §7.11).
+
+    Exact all-pairs baseline; the scale path reuses ``lsh_bucket`` to
+    restrict candidates to matching buckets first.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

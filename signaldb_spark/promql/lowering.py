@@ -275,6 +275,81 @@ def lower_histogram_quantile(
     return first_hit.select("bucket", *series, value.alias("value"))
 
 
+def lower_histogram_fraction(
+    ctx: PromCtx, low: float, high: float, sel: VectorSelector, rate_mode: bool = False
+) -> DataFrame:
+    """histogram_fraction(l, h, m): fraction of observations in (l, h]
+    via cumulative interpolation at both endpoints
+    (metrics.rs:2420-2454) — pure array expressions, one pass."""
+    if ctx.histogram is None:
+        return _empty_matrix(ctx)
+    df = apply_selector(ctx, sel, ctx.histogram)
+    series = ["metric_name", "service_name"]
+    step = ctx.step_seconds
+    b = ts.with_bucket(df, "timestamp", step)
+    if rate_mode:
+        agg = b.groupBy("bucket", *series).agg(
+            F.zip_with(
+                F.max_by("bucket_counts", "timestamp"),
+                F.min_by("bucket_counts", "timestamp"),
+                lambda a, c: a - c,
+            ).alias("counts"),
+            F.max_by("explicit_bounds", "timestamp").alias("bounds"),
+        )
+    else:
+        agg = b.groupBy("bucket", *series).agg(
+            F.reduce(
+                F.collect_list("bucket_counts"),
+                F.expr("cast(array() as array<double>)"),
+                lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias("counts"),
+            F.max_by("explicit_bounds", "timestamp").alias("bounds"),
+        )
+
+    total = F.aggregate("counts", F.lit(0.0), lambda a, x: a + x)
+
+    def cum_at(point: float):
+        """Observations ≤ point: full buckets below, linear interpolation
+        within the containing bucket. First-bucket lower bound follows
+        the quantile convention (0 when bounds[0] > 0); the +Inf bucket
+        counts fully once point reaches the highest finite bound."""
+        nb = F.size("bounds")
+        idxs = F.sequence(F.lit(0), nb)  # 0..nb inclusive → nb+1 buckets
+        first_lower = F.when(
+            F.element_at("bounds", 1) > 0, F.lit(0.0)
+        ).otherwise(F.element_at("bounds", 1))
+        lowers = F.transform(
+            idxs, lambda i: F.when(i == 0, first_lower).otherwise(F.element_at("bounds", i))
+        )
+        uppers = F.transform(
+            idxs,
+            lambda i: F.when(i >= nb, F.lit(float("inf"))).otherwise(
+                F.element_at("bounds", i + 1)
+            ),
+        )
+        inf = F.lit(float("inf"))
+        contrib = F.zip_with(
+            F.col("counts"),
+            F.zip_with(lowers, uppers, lambda lo, up: F.struct(lo.alias("lo"), up.alias("up"))),
+            lambda cnt, b_: F.when((b_["up"] != inf) & (b_["up"] <= point), cnt)
+            .when((b_["up"] == inf) & (b_["lo"] < point), cnt)
+            .when(
+                (b_["lo"] < point) & (F.lit(point) < b_["up"]),
+                cnt * (F.lit(point) - b_["lo"]) / (b_["up"] - b_["lo"]),
+            )
+            .otherwise(F.lit(0.0)),
+        )
+        return F.aggregate(contrib, F.lit(0.0), lambda a, x: a + x)
+
+    frac = (cum_at(high) - cum_at(low)) / total
+    return (
+        agg.filter(total > 0)
+        .select("bucket", *series, frac.alias("value"))
+    )
+
+
 # ------------------------------------------------------------------- eval
 
 
@@ -315,6 +390,14 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         if isinstance(target, VectorSelector):
             return lower_histogram_quantile(ctx, phi, target, rate_mode=False)
         raise ValueError("histogram_quantile target")
+    if fn == "histogram_fraction":
+        low, high = c.args[0].value, c.args[1].value
+        target = c.args[2]
+        if isinstance(target, Call) and target.fn == "rate":
+            return lower_histogram_fraction(ctx, low, high, target.args[0], rate_mode=True)
+        if isinstance(target, VectorSelector):
+            return lower_histogram_fraction(ctx, low, high, target)
+        raise ValueError("histogram_fraction target")
     if fn in ("histogram_count", "histogram_sum"):
         col = "count" if fn == "histogram_count" else "sum"
         if ctx.histogram is None:

@@ -161,3 +161,126 @@ def flatten_otlp_logs(raw: DataFrame, json_col: str = "value") -> DataFrame:
         F.to_date(ts).alias("date_day"),
         F.hour(ts).alias("hour"),
     )
+
+
+OTLP_TRACES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceSpans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", T.ArrayType(_KV))]),
+                        ),
+                        T.StructField(
+                            "scopeSpans",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType(
+                                                [
+                                                    T.StructField("name", T.StringType()),
+                                                    T.StructField("version", T.StringType()),
+                                                ]
+                                            ),
+                                        ),
+                                        T.StructField(
+                                            "spans",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("traceId", T.StringType()),
+                                                        T.StructField("spanId", T.StringType()),
+                                                        T.StructField("parentSpanId", T.StringType()),
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("kind", T.IntegerType()),
+                                                        T.StructField("startTimeUnixNano", T.StringType()),
+                                                        T.StructField("endTimeUnixNano", T.StringType()),
+                                                        T.StructField("attributes", T.ArrayType(_KV)),
+                                                        T.StructField(
+                                                            "status",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("code", T.IntegerType()),
+                                                                    T.StructField("message", T.StringType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# OTLP SpanKind / StatusCode enums → storage strings
+_SPAN_KINDS = ["UNSPECIFIED", "INTERNAL", "SERVER", "CLIENT", "PRODUCER", "CONSUMER"]
+_STATUS_CODES = ["Unspecified", "Ok", "Error"]
+
+
+def flatten_otlp_traces(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """OTLP/JSON trace payloads → flat span rows (the conversion_traces
+    analog: renames, enum decoding, computed timestamp/duration and
+    partition columns — schema_transform.rs:115 transform_trace_v1_to_v2)."""
+    parsed = raw.select(F.from_json(F.col(json_col), OTLP_TRACES_SCHEMA).alias("p"))
+    rs = parsed.select(F.explode("p.resourceSpans").alias("rs"))
+    ss = rs.select(
+        F.col("rs.resource.attributes").alias("res_attrs"),
+        F.explode("rs.scopeSpans").alias("ss"),
+    )
+    sp = ss.select(
+        "res_attrs",
+        F.col("ss.scope.name").alias("scope_name"),
+        F.col("ss.scope.version").alias("scope_version"),
+        F.explode("ss.spans").alias("s"),
+    )
+    res_map = _attrs_to_map(F.col("res_attrs"))
+    attr_map = _attrs_to_map(F.col("s.attributes"))
+    start = F.col("s.startTimeUnixNano").cast("long")
+    end = F.col("s.endTimeUnixNano").cast("long")
+    ts = F.timestamp_micros((start / 1000).cast("long"))
+    kind_arr = F.array(*[F.lit(k) for k in _SPAN_KINDS])
+    status_arr = F.array(*[F.lit(s) for s in _STATUS_CODES])
+    return sp.select(
+        F.col("s.traceId").alias("trace_id"),
+        F.col("s.spanId").alias("span_id"),
+        F.nullif(F.col("s.parentSpanId"), F.lit("")).alias("parent_span_id"),
+        F.col("s.name").alias("span_name"),
+        F.coalesce(res_map["service.name"], F.lit("unknown")).alias("service_name"),
+        start.alias("start_time_unix_nano"),
+        end.alias("end_time_unix_nano"),
+        (end - start).alias("duration_nanos"),
+        F.element_at(kind_arr, F.coalesce(F.col("s.kind"), F.lit(0)) + 1).alias("span_kind"),
+        F.element_at(status_arr, F.coalesce(F.col("s.status.code"), F.lit(0)) + 1).alias(
+            "status_code"
+        ),
+        F.col("s.status.message").alias("status_message"),
+        (F.nullif(F.col("s.parentSpanId"), F.lit("")).isNull()).alias("is_root"),
+        attr_map.alias("span_attributes"),
+        res_map.alias("resource_attributes"),
+        F.col("scope_name"),
+        F.col("scope_version"),
+        ts.alias("timestamp"),
+        F.to_date(ts).alias("date_day"),
+        F.hour(ts).alias("hour"),
+    )
+
+
+def with_dead_letter_flag(raw: DataFrame, schema, json_col: str = "value") -> DataFrame:
+    """Tag undecodable payload lines instead of silently dropping them:
+    rows whose JSON fails to produce any signal container are routed to
+    a dead-letter count/sink by the caller."""
+    parsed = F.from_json(F.col(json_col), schema)
+    return raw.withColumn("_dead", parsed.isNull() | (F.to_json(parsed) == F.lit("{}")))

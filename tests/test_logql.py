@@ -225,3 +225,17 @@ def test_absent_over_time(ctx):
     assert got and all(r.value == 1.0 for r in got)
     some = query_metric(ctx, 'absent_over_time({service_name="api"}[1h])').collect()
     assert len(some) < len(got)  # buckets with api logs drop out
+
+
+def test_instant_query_reduces_to_latest(ctx):
+    from signaldb_spark.logql.lowering import query_instant
+
+    full = query_metric(ctx, 'sum by (service_name) (count_over_time({service_name=~".+"}[1h]))')
+    inst = query_instant(ctx, 'sum by (service_name) (count_over_time({service_name=~".+"}[1h]))')
+    latest = {}
+    for r in full.collect():
+        cur = latest.get(r.service_name)
+        if cur is None or r.bucket > cur[0]:
+            latest[r.service_name] = (r.bucket, r.value)
+    got = {r.service_name: (r.bucket, r.value) for r in inst.collect()}
+    assert got == latest and got

@@ -231,3 +231,28 @@ def test_at_modifier_pins_instant(ctx):
     assert all(len(v) == 1 for v in per_series.values())
     buckets = {r.bucket for r in got}
     assert len(buckets) == 7  # full spine
+
+
+def test_histogram_fraction_hand_check(spark):
+    """bounds [10, 20], counts [2, 6, 2], total 10:
+    fraction(10, 20) = 6/10; fraction(0, 15) = (2 + 3)/10 = 0.5."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from signaldb_spark.promql.lowering import lower_histogram_fraction
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(timestamp=t0, service_name="api", metric_name="lat",
+            bucket_counts=[2.0, 6.0, 2.0], explicit_bounds=[10.0, 20.0]),
+    ]
+    hist = spark.createDataFrame(rows)
+    c = PromCtx(spark, None, None, hist, "2024-01-01 00:00:00", "2024-01-01 00:10:00", 600)
+    out = lower_histogram_fraction(c, 10.0, 20.0, VectorSelector("lat")).collect()
+    assert len(out) == 1 and abs(out[0].value - 0.6) < 1e-9
+    out2 = lower_histogram_fraction(c, 0.0, 15.0, VectorSelector("lat")).collect()
+    assert abs(out2[0].value - 0.5) < 1e-9
+    # via the query string surface too
+    q = query_range(c, "histogram_fraction(10, 20, lat)").collect()
+    assert abs(q[0].value - 0.6) < 1e-9

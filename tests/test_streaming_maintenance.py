@@ -173,3 +173,76 @@ def test_live_windowed_aggregation(spark, tmp_path_factory):
     q.awaitTermination()
     out = spark.sql("SELECT * FROM live_counts").collect()
     assert out and sum(r["count"] for r in out) == 30
+
+
+def _otlp_trace_payload(trace_id, spans):
+    """spans: list of (span_id, parent, name, start_ns, end_ns, status_code)."""
+    return json.dumps(
+        {
+            "resourceSpans": [
+                {
+                    "resource": {"attributes": [
+                        {"key": "service.name", "value": {"stringValue": "api"}}]},
+                    "scopeSpans": [
+                        {
+                            "scope": {"name": "t", "version": "1"},
+                            "spans": [
+                                {
+                                    "traceId": trace_id,
+                                    "spanId": sid,
+                                    "parentSpanId": parent or "",
+                                    "name": name,
+                                    "kind": 2,
+                                    "startTimeUnixNano": str(s),
+                                    "endTimeUnixNano": str(e),
+                                    "attributes": [
+                                        {"key": "http.method", "value": {"stringValue": "GET"}}
+                                    ],
+                                    "status": {"code": code, "message": ""},
+                                }
+                                for sid, parent, name, s, e, code in spans
+                            ],
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+
+
+def test_flatten_otlp_traces(spark):
+    from signaldb_spark.sources.otlp import flatten_otlp_traces
+
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    line = _otlp_trace_payload(
+        "ff" * 16,
+        [
+            ("aa" * 8, None, "root", t0, t0 + 5_000_000, 1),
+            ("bb" * 8, "aa" * 8, "child", t0 + 1_000_000, t0 + 2_000_000, 2),
+        ],
+    )
+    raw = spark.createDataFrame([(line,)], "value string")
+    rows = {r.span_id: r for r in flatten_otlp_traces(raw).collect()}
+    root = rows["aa" * 8]
+    child = rows["bb" * 8]
+    assert root.is_root and not child.is_root
+    assert child.parent_span_id == "aa" * 8
+    assert root.status_code == "Ok" and child.status_code == "Error"
+    assert root.span_kind == "SERVER"
+    assert root.duration_nanos == 5_000_000
+    assert root.span_attributes["http.method"] == "GET"
+    assert root.service_name == "api"
+
+
+def test_dead_letter_flagging(spark):
+    from signaldb_spark.sources.otlp import OTLP_LOGS_SCHEMA, with_dead_letter_flag
+
+    t0 = int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    good = _otlp_log_payload(t0, "api", "info", "fine", {})
+    raw = spark.createDataFrame(
+        [(good,), ("garbage {",), ('{"unrelated": 1}',)], "value string"
+    )
+    flagged = with_dead_letter_flag(raw, OTLP_LOGS_SCHEMA)
+    dead = flagged.filter("_dead").count()
+    ok = flagged.filter("NOT _dead").count()
+    assert (ok, dead) == (1, 2)
