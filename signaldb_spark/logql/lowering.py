@@ -100,6 +100,19 @@ def _anchored(pattern: str) -> str:
 def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
     col = resolve_label(df, sel, m.label)
     if m.op == "=":
+        if (
+            "attr_tokens" in df.columns
+            and m.label not in WELL_KNOWN
+            and f"label_{m.label}" not in df.columns
+        ):
+            # semantics-neutral containment conjunct on attr_tokens: lets
+            # the parquet bloom filter on the list leaf prune row groups
+            # for attribute equality (logql.rs:192-201). Neutrality relies
+            # on the writer materializing tokens for every row with
+            # attributes, which our ingest guarantees
+            # (sources/otlp.py attr_tokens).
+            token = f"{m.label}={m.value}"
+            return (col == m.value) & F.array_contains("attr_tokens", token)
         return col == m.value
     if m.op == "!=":
         # negations also match absent values (logql.rs:222-237)
