@@ -130,7 +130,36 @@ def _validate_pred(node: Any) -> Pred:
             raise IRValidationError(f"bad regex: {exc}") from exc
     if op == "exists" and value is not None:
         raise IRValidationError("exists takes no value")
+    if op in ("gt", "gte", "lt", "lte", "eq", "ne", "between"):
+        value = _coerce(value)
+        upper = _coerce(upper)
     return Leaf(f, op, value, upper)
+
+
+_DURATION_LIT = __import__("re").compile(r"^\d+(?:\.\d+)?(ns|us|µs|ms|s|m|h|d|w|y)$")
+_BYTES_LIT = __import__("re").compile(r"^\d+(?:\.\d+)?(b|kb|kib|mb|mib|gb|gib|tb|tib)$", 2)
+
+
+def _coerce(value):
+    """Literal coercion at validation time (the reference's value.rs):
+    duration strings normalize to nanoseconds, byte strings to raw
+    bytes, numeric strings to numbers — so lowering never sees an
+    un-coerced literal."""
+    if not isinstance(value, str):
+        return value
+    from ..logql.lexer import parse_bytes, parse_duration
+
+    if _DURATION_LIT.match(value):
+        return parse_duration(value) * 1e9
+    if _BYTES_LIT.match(value):
+        return parse_bytes(value)
+    try:
+        return int(value)
+    except ValueError:
+        try:
+            return float(value)
+        except ValueError:
+            return value
 
 
 def validate(doc: dict) -> IRQuery:

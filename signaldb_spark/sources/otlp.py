@@ -284,3 +284,167 @@ def with_dead_letter_flag(raw: DataFrame, schema, json_col: str = "value") -> Da
     a dead-letter count/sink by the caller."""
     parsed = F.from_json(F.col(json_col), schema)
     return raw.withColumn("_dead", parsed.isNull() | (F.to_json(parsed) == F.lit("{}")))
+
+
+OTLP_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceMetrics",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", T.ArrayType(_KV))]),
+                        ),
+                        T.StructField(
+                            "scopeMetrics",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "metrics",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("name", T.StringType()),
+                                                        T.StructField("unit", T.StringType()),
+                                                        T.StructField(
+                                                            "gauge",
+                                                            T.StructType(
+                                                                [T.StructField("dataPoints", T.ArrayType(
+                                                                    _NUM_DP := T.StructType([
+                                                                        T.StructField("timeUnixNano", T.StringType()),
+                                                                        T.StructField("asDouble", T.DoubleType()),
+                                                                        T.StructField("asInt", T.StringType()),
+                                                                        T.StructField("attributes", T.ArrayType(_KV)),
+                                                                    ])
+                                                                ))]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "sum",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField("dataPoints", T.ArrayType(_NUM_DP)),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                    T.StructField("isMonotonic", T.BooleanType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "histogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                    T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
+                                                                                    T.StructField("attributes", T.ArrayType(_KV)),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _metric_base(raw: DataFrame, json_col: str):
+    parsed = raw.select(F.from_json(F.col(json_col), OTLP_METRICS_SCHEMA).alias("p"))
+    rm = parsed.select(F.explode("p.resourceMetrics").alias("rm"))
+    sm = rm.select(
+        F.col("rm.resource.attributes").alias("res_attrs"),
+        F.explode("rm.scopeMetrics").alias("sm"),
+    )
+    return sm.select("res_attrs", F.explode("sm.metrics").alias("m"))
+
+
+def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, DataFrame]:
+    """OTLP/JSON metrics → one flat DataFrame per target table.
+
+    The reference explodes data points per metric type and routes each
+    to its own table (conversion_metrics.rs: one row per point,
+    ``target_table`` routing). Returns {'metrics_gauge': df,
+    'metrics_sum': df, 'metrics_histogram': df}.
+    """
+    base = _metric_base(raw, json_col)
+    res_map = _attrs_to_map(F.col("res_attrs"))
+
+    def num_points(kind: str):
+        df = base.filter(F.col(f"m.{kind}").isNotNull()).select(
+            "res_attrs",
+            F.col("m.name").alias("metric_name"),
+            F.col("m.unit").alias("metric_unit"),
+            F.col(f"m.{kind}").alias("k"),
+            F.explode(F.col(f"m.{kind}.dataPoints")).alias("dp"),
+        )
+        ts = F.timestamp_micros((F.col("dp.timeUnixNano").cast("long") / 1000).cast("long"))
+        value = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double"))
+        cols = [
+            ts.alias("timestamp"),
+            F.coalesce(_attrs_to_map(F.col("res_attrs"))["service.name"], F.lit("unknown")).alias(
+                "service_name"
+            ),
+            F.col("metric_name"),
+            F.col("metric_unit"),
+            value.alias("value"),
+            _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+            F.to_date(ts).alias("date_day"),
+            F.hour(ts).alias("hour"),
+        ]
+        if kind == "sum":
+            cols += [
+                F.col("k.aggregationTemporality").alias("aggregation_temporality"),
+                F.coalesce(F.col("k.isMonotonic"), F.lit(False)).alias("is_monotonic"),
+            ]
+        return df.select(*cols)
+
+    hist_base = base.filter(F.col("m.histogram").isNotNull()).select(
+        "res_attrs",
+        F.col("m.name").alias("metric_name"),
+        F.col("m.histogram.aggregationTemporality").alias("aggregation_temporality"),
+        F.explode("m.histogram.dataPoints").alias("dp"),
+    )
+    hts = F.timestamp_micros((F.col("dp.timeUnixNano").cast("long") / 1000).cast("long"))
+    hist = hist_base.select(
+        hts.alias("timestamp"),
+        F.coalesce(_attrs_to_map(F.col("res_attrs"))["service.name"], F.lit("unknown")).alias(
+            "service_name"
+        ),
+        F.col("metric_name"),
+        F.col("dp.count").cast("long").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.transform(F.col("dp.bucketCounts"), lambda c: c.cast("double")).alias("bucket_counts"),
+        F.col("dp.explicitBounds").alias("explicit_bounds"),
+        F.col("aggregation_temporality"),
+        _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        F.to_date(hts).alias("date_day"),
+        F.hour(hts).alias("hour"),
+    )
+    return {
+        "metrics_gauge": num_points("gauge"),
+        "metrics_sum": num_points("sum"),
+        "metrics_histogram": hist,
+    }

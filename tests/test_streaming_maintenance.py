@@ -246,3 +246,46 @@ def test_dead_letter_flagging(spark):
     dead = flagged.filter("_dead").count()
     ok = flagged.filter("NOT _dead").count()
     assert (ok, dead) == (1, 2)
+
+
+def test_flatten_otlp_metrics_routing(spark):
+    """Data points explode one-row-per-point and route per metric type
+    (conversion_metrics target_table analog)."""
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+
+    payload = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{
+                "metrics": [
+                    {"name": "cpu", "unit": "1", "gauge": {"dataPoints": [
+                        {"timeUnixNano": "1704067200000000000", "asDouble": 0.5, "attributes": []},
+                        {"timeUnixNano": "1704067210000000000", "asDouble": 0.6, "attributes": []},
+                    ]}},
+                    {"name": "reqs", "unit": "1", "sum": {
+                        "dataPoints": [
+                            {"timeUnixNano": "1704067200000000000", "asInt": "42", "attributes": [
+                                {"key": "path", "value": {"stringValue": "/v1"}}]},
+                        ],
+                        "aggregationTemporality": 2, "isMonotonic": True}},
+                    {"name": "lat", "histogram": {
+                        "dataPoints": [
+                            {"timeUnixNano": "1704067200000000000", "count": "10", "sum": 123.0,
+                             "bucketCounts": ["2", "6", "2"], "explicitBounds": [10.0, 20.0],
+                             "attributes": []}],
+                        "aggregationTemporality": 2}},
+                ]
+            }]
+        }]
+    })
+    raw = spark.createDataFrame([(payload,)], "value string")
+    tables = flatten_otlp_metrics(raw)
+    g = tables["metrics_gauge"].collect()
+    s = tables["metrics_sum"].collect()
+    h = tables["metrics_histogram"].collect()
+    assert len(g) == 2 and {r.value for r in g} == {0.5, 0.6}
+    assert len(s) == 1 and s[0].value == 42.0 and s[0].is_monotonic
+    assert s[0].attributes["path"] == "/v1"
+    assert len(h) == 1 and h[0].bucket_counts == [2.0, 6.0, 2.0] and h[0]["count"] == 10
+    assert all(r.service_name == "api" for r in g + s + h)

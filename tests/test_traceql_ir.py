@@ -167,3 +167,27 @@ def test_ir_extract_json(spark):
     }
     out = lower(df, validate(doc)).collect()
     assert len(out) == 1 and out[0].status == 503
+
+
+def test_ir_value_coercion(spark):
+    """Duration/bytes/numeric literals coerce at validation
+    (value.rs analog): '500ms' → 5e8 ns; '17' → 17."""
+    from signaldb_spark.ir.model import validate as v
+
+    q = v({"version": 1, "from": "traces",
+           "where": {"field": "duration_nanos", "op": "gte", "value": "500ms"}})
+    assert q.where.value == 5e8
+    q2 = v({"version": 1, "from": "logs",
+            "where": {"field": "severity_number", "op": "eq", "value": "17"}})
+    assert q2.where.value == 17
+    q3 = v({"version": 1, "from": "logs",
+            "where": {"field": "size", "op": "lt", "value": "2kb"}})
+    assert q3.where.value == 2000.0
+
+
+def test_ir_coerced_duration_filters_rows(spark, traces):
+    doc = {"version": 1, "from": "traces",
+           "where": {"field": "duration_nanos", "op": "gte", "value": "10ms"},
+           "select": ["trace_id", "duration_nanos"]}
+    out = lower(traces, validate(doc)).collect()
+    assert out and all(r.duration_nanos >= 10_000_000 for r in out)
