@@ -67,13 +67,19 @@ class LowerCtx:
 
 
 def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
-    """well-known column → materialized label_<key> → parsed stage → map."""
+    """well-known column → materialized label_<key> → parsed stage → map.
+
+    The materialized column does NOT shadow the attribute map: files
+    written before the promotion have the column null-filled, so the
+    chain coalesces — promotion-invariant resolution (the reference's
+    evolution contract, storage-layout.md:775-785; the same rule the IR
+    planner applies)."""
     if label in WELL_KNOWN and WELL_KNOWN[label] in df.columns:
         return F.col(WELL_KNOWN[label])
+    sources: list[Column] = []
     mat = f"label_{label}"
     if mat in df.columns:
-        return F.col(mat)
-    sources: list[Column] = []
+        sources.append(F.col(mat))
     for stage in sel.stages:
         if stage.name == "json":
             sources.append(

@@ -117,3 +117,39 @@ def promotion_decisions(
         .withColumn("action", F.lit("promote"))
     )
     return scored.select("key", "presence", "approx_cardinality", "score", "action")
+
+
+def promote_attribute(df: DataFrame, key: str, attr_col: str = "log_attributes") -> DataFrame:
+    """Materialize one attribute into a ``label_<key>`` column — the
+    write-side half of attribute promotion (add_label_columns,
+    src/common/src/iceberg/evolution.rs). Applied to new writes; old
+    parquet files simply lack the column and null-fill at read via
+    schema merging — the exact metadata-only evolution semantics of the
+    reference (storage-layout.md:775-785)."""
+    from pyspark.sql import functions as F
+
+    return df.withColumn(f"label_{key}", F.element_at(F.col(attr_col), key))
+
+
+def read_with_evolution(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a table whose files straddle a column addition: schema
+    merging unions file schemas; missing columns null-fill."""
+    return spark.read.option("mergeSchema", "true").parquet(table_path)
+
+
+def detected_labels(df: DataFrame, attr_col: str = "log_attributes", cap: int = 1000) -> DataFrame:
+    """Label-name discovery: materialized label_* columns plus the keys
+    present in the attribute map, deduped/sorted/capped
+    (labels endpoint, logs.rs:397-475)."""
+    from pyspark.sql import functions as F
+
+    mat = [c[len("label_"):] for c in df.columns if c.startswith("label_")]
+    keys = df.select(F.explode(F.map_keys(F.col(attr_col))).alias("label"))
+    mat_df = df.sparkSession.createDataFrame([(m,) for m in mat] or [("",)], "label string")
+    return (
+        keys.unionByName(mat_df.filter(F.col("label") != ""))
+        .filter(F.col("label").isNotNull() & (F.col("label") != ""))
+        .distinct()
+        .orderBy("label")
+        .limit(cap)
+    )

@@ -289,3 +289,72 @@ def test_flatten_otlp_metrics_routing(spark):
     assert s[0].attributes["path"] == "/v1"
     assert len(h) == 1 and h[0].bucket_counts == [2.0, 6.0, 2.0] and h[0]["count"] == 10
     assert all(r.service_name == "api" for r in g + s + h)
+
+
+def test_remote_write_flatten_and_routing(spark):
+    from signaldb_spark.sources.remote_write import flatten_remote_write
+
+    payload = json.dumps({
+        "timeseries": [
+            {"labels": [{"name": "__name__", "value": "http_requests_total"},
+                         {"name": "job", "value": "api"},
+                         {"name": "code", "value": "200"}],
+             "samples": [{"value": 100.0, "timestamp": 1704067200000},
+                          {"value": 105.0, "timestamp": 1704067210000}]},
+            {"labels": [{"name": "__name__", "value": "cpu_usage"},
+                         {"name": "job", "value": "api"}],
+             "samples": [{"value": 0.7, "timestamp": 1704067200000}]},
+        ]
+    })
+    raw = spark.createDataFrame([(payload,)], "value string")
+    out = flatten_remote_write(raw)
+    s = out["metrics_sum"].collect()
+    g = out["metrics_gauge"].collect()
+    assert len(s) == 2 and all(r.metric_name == "http_requests_total" for r in s)
+    assert all(r.is_monotonic for r in s) and s[0].attributes["code"] == "200"
+    assert len(g) == 1 and g[0].metric_name == "cpu_usage" and g[0].value == 0.7
+    assert all(r.service_name == "api" for r in s + g)
+
+
+def test_remote_write_wire_decode_gated(spark):
+    from signaldb_spark.sources.remote_write import decode_snappy_protobuf
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_snappy_protobuf(b"\x00")
+
+
+def test_schema_evolution_null_fill(spark, tmp_path_factory):
+    """Old files lack the promoted column; merged read null-fills —
+    the add_label_columns metadata-only evolution semantics."""
+    from signaldb_spark.maintenance.jobs import promote_attribute, read_with_evolution
+
+    base = str(tmp_path_factory.mktemp("evo")) + "/logs"
+    old = spark.createDataFrame(
+        [("a", {"env": "prod"}), ("b", {"env": "staging"})],
+        "body string, log_attributes map<string,string>",
+    )
+    old.write.mode("append").parquet(base)
+    new = promote_attribute(
+        spark.createDataFrame(
+            [("c", {"env": "prod"})], "body string, log_attributes map<string,string>"
+        ),
+        "env",
+    )
+    new.write.mode("append").parquet(base)
+    merged = read_with_evolution(spark, base)
+    assert "label_env" in merged.columns
+    rows = {r.body: r.label_env for r in merged.collect()}
+    assert rows == {"a": None, "b": None, "c": "prod"}
+
+
+def test_detected_labels_includes_materialized(spark, ingested):
+    _, base = ingested
+    from signaldb_spark.maintenance.jobs import detected_labels
+
+    logs = optional_table(spark, base, "acme", "prod", "logs")
+    labels = [r.label for r in detected_labels(logs).collect()]
+    assert "env" in labels and "idx" in labels
+    assert "namespace" in labels  # from label_namespace materialized column
+    assert labels == sorted(labels)
