@@ -110,15 +110,20 @@ def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
             "attr_tokens" in df.columns
             and m.label not in WELL_KNOWN
             and f"label_{m.label}" not in df.columns
+            and not sel.stages
         ):
-            # semantics-neutral containment conjunct on attr_tokens: lets
-            # the parquet bloom filter on the list leaf prune row groups
-            # for attribute equality (logql.rs:192-201). Neutrality relies
-            # on the writer materializing tokens for every row with
-            # attributes, which our ingest guarantees
-            # (sources/otlp.py attr_tokens).
+            # bloom-prunable containment conjunct on attr_tokens for
+            # attribute equality (logql.rs:192-201). Gated for
+            # neutrality: skipped when parser stages could source the
+            # label from the body (tokens only cover log_attributes),
+            # and rows from files predating attr_tokens (null array)
+            # are admitted via the isNull branch — those rows cannot be
+            # bloom-pruned anyway.
             token = f"{m.label}={m.value}"
-            return (col == m.value) & F.array_contains("attr_tokens", token)
+            return (col == m.value) & (
+                F.col("attr_tokens").isNull()
+                | F.array_contains("attr_tokens", token)
+            )
         return col == m.value
     if m.op == "!=":
         # negations also match absent values (logql.rs:222-237)
@@ -318,9 +323,11 @@ def _eval_binop(ctx: LowerCtx, b: BinOp) -> DataFrame:
     right = eval_metric(ctx, b.rhs)
     shared = [c for c in left.columns if c in right.columns and c not in ("value",)]
     if b.on is not None:
-        on = ["bucket"] + [c for c in shared if c in b.on]
+        routed = _route_grouping(shared, b.on)
+        on = ["bucket"] + [c for c in shared if c in routed]
     elif b.ignoring is not None:
-        on = [c for c in shared if c not in b.ignoring]
+        routed = _route_grouping(shared, b.ignoring)
+        on = [c for c in shared if c not in routed]
     else:
         on = shared
     if "bucket" not in on:

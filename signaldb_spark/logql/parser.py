@@ -207,26 +207,27 @@ class _P:
         return lhs
 
     def parse_muldiv(self) -> MetricExpr:
-        lhs = self.parse_pow()
+        lhs = self.parse_unary()
         while self.peek().kind == "OP" and self.peek().text in ("*", "/", "%"):
             op = self.next().text
             on, ignoring = self.parse_matching()
-            lhs = BinOp(op, lhs, self.parse_pow(), on=on, ignoring=ignoring)
-        return lhs
-
-    def parse_pow(self) -> MetricExpr:
-        lhs = self.parse_unary()
-        if self.peek().kind == "OP" and self.peek().text == "^":
-            self.next()
-            on, ignoring = self.parse_matching()
-            return BinOp("^", lhs, self.parse_pow(), on=on, ignoring=ignoring)  # right-assoc
+            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ignoring)
         return lhs
 
     def parse_unary(self) -> MetricExpr:
+        # unary minus binds looser than ^ (-2^2 == -4, as Prometheus)
         if self.accept("OP", "-"):
             inner = self.parse_unary()
             return BinOp("-", Scalar(0.0), inner)
-        return self.parse_primary()
+        return self.parse_pow()
+
+    def parse_pow(self) -> MetricExpr:
+        lhs = self.parse_primary()
+        if self.peek().kind == "OP" and self.peek().text == "^":
+            self.next()
+            on, ignoring = self.parse_matching()
+            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ignoring)  # right-assoc
+        return lhs
 
     def parse_matching(self):
         on = ignoring = None

@@ -20,17 +20,28 @@ from pyspark.sql import functions as F
 from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
 
 
-def list_hour_partitions(table_path: str) -> list[int]:
+def list_hour_partitions(table_path: str) -> list[tuple[str, int]]:
+    """Enumerate (date_day, hour) partition pairs of the two-level
+    layout — the absolute-hour unit retention/compaction operate on."""
     if not os.path.isdir(table_path):
         return []
-    out = []
-    for name in os.listdir(table_path):
-        if name.startswith("hour="):
-            try:
-                out.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
+    out: list[tuple[str, int]] = []
+    for day_name in os.listdir(table_path):
+        if not day_name.startswith("date_day="):
+            continue
+        day = day_name.split("=", 1)[1]
+        day_path = os.path.join(table_path, day_name)
+        for name in os.listdir(day_path):
+            if name.startswith("hour="):
+                try:
+                    out.append((day, int(name.split("=", 1)[1])))
+                except ValueError:
+                    continue
     return sorted(out)
+
+
+def _part_path(table_path: str, day: str, hour: int) -> str:
+    return os.path.join(table_path, f"date_day={day}", f"hour={hour}")
 
 
 def is_partition_closed(hour: int, day: dt.date, lateness_seconds: int, now: dt.datetime) -> bool:
@@ -42,12 +53,13 @@ def is_partition_closed(hour: int, day: dt.date, lateness_seconds: int, now: dt.
 
 
 def compact_partition(
-    spark: SparkSession, table_path: str, table: str, hour: int, target_files: int = 1
+    spark: SparkSession, table_path: str, table: str, day: str, hour: int,
+    target_files: int = 1,
 ) -> int:
-    """Rewrite one hour partition: coalesce small files, apply the
-    table's clustering sort (rewriter.rs:591-616), keep bloom filters.
-    Returns the number of files after rewrite."""
-    part_path = os.path.join(table_path, f"hour={hour}")
+    """Rewrite one (day, hour) partition: coalesce small files, apply
+    the table's clustering sort (rewriter.rs:591-616), keep bloom
+    filters. Returns the number of files after rewrite."""
+    part_path = _part_path(table_path, day, hour)
     df = spark.read.parquet(part_path)
     sort_cols = [c for c in SORT_ORDERS.get(table, ["timestamp"]) if c in df.columns]
     tmp = part_path + ".compact_tmp"
@@ -64,14 +76,20 @@ def compact_partition(
     return len([f for f in os.listdir(part_path) if f.endswith(".parquet")])
 
 
-def apply_retention(table_path: str, keep_hours: set[int]) -> list[int]:
-    """Drop hour partitions outside the retention window (retention
-    cutoff job, src/compactor/src/retention/). Returns dropped hours."""
+def apply_retention(
+    table_path: str, keep: set[tuple[str, int]]
+) -> list[tuple[str, int]]:
+    """Drop (day, hour) partitions outside the retention window
+    (retention cutoff job, src/compactor/src/retention/). Returns the
+    dropped partitions; empty day directories are removed too."""
     dropped = []
-    for hour in list_hour_partitions(table_path):
-        if hour not in keep_hours:
-            shutil.rmtree(os.path.join(table_path, f"hour={hour}"))
-            dropped.append(hour)
+    for day, hour in list_hour_partitions(table_path):
+        if (day, hour) not in keep:
+            shutil.rmtree(_part_path(table_path, day, hour))
+            dropped.append((day, hour))
+            day_dir = os.path.join(table_path, f"date_day={day}")
+            if os.path.isdir(day_dir) and not os.listdir(day_dir):
+                os.rmdir(day_dir)
     return dropped
 
 

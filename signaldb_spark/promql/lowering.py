@@ -144,12 +144,12 @@ def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
     )
 
 
-def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector) -> DataFrame:
+def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None = None) -> DataFrame:
     if sel.at_epoch is not None:
         inner_ctx = _at_ctx(ctx, sel, sel.range_seconds or ctx.default_range)
         pinned_sel = VectorSelector(sel.metric, sel.matchers, sel.range_seconds,
                                     sel.offset_seconds, sel.subquery)
-        return _pin_at(ctx, sel, lower_range_fn(inner_ctx, fn, pinned_sel))
+        return _pin_at(ctx, sel, lower_range_fn(inner_ctx, fn, pinned_sel, phi=phi))
     base = scan_union(ctx)
     if base is None:
         return _empty_matrix(ctx)
@@ -182,6 +182,7 @@ def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector) -> DataFrame:
         "present_over_time": F.lit(1.0),
         "stddev_over_time": F.stddev_pop(v),
         "stdvar_over_time": F.var_pop(v),
+        "quantile_over_time": F.percentile(v, F.lit(phi if phi is not None else 0.5)),
     }[fn]
     return ts.range_aggregate(df, "timestamp", step, series, agg)
 
@@ -369,18 +370,41 @@ def eval_expr(ctx: PromCtx, e: Expr) -> DataFrame:
     raise TypeError(type(e))
 
 
+def _const(a) -> float:
+    """Fold a constant argument expression to a float — NumberLit or a
+    scalar BinOp like the -5 in clamp(m, -5, 5) (parsed as 0-5)."""
+    if isinstance(a, NumberLit):
+        return float(a.value)
+    if isinstance(a, BinOp) and isinstance(a.lhs, NumberLit) and isinstance(a.rhs, NumberLit):
+        return _fold(a)
+    return float(a)  # _Str for label args
+
+
 def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
     fn = c.fn
     if fn in RANGE_FNS:
-        sel = c.args[0]
+        phi = None
+        args = list(c.args)
+        if fn == "quantile_over_time":
+            phi = _const(args[0])
+            args = args[1:]
+        sel = args[0]
+        if isinstance(sel, Call) and sel.fn == "__subquery__" and fn.endswith("_over_time"):
+            return _eval_subquery_reduce(ctx, fn, sel, phi=phi)
         if not isinstance(sel, VectorSelector):
-            if fn.endswith("_over_time") and isinstance(sel, Call) and sel.fn == "__subquery__":
-                return _eval_subquery_reduce(ctx, fn, sel)
             raise ValueError(f"{fn} expects a range selector")
-        return lower_range_fn(ctx, fn, sel)
+        if sel.subquery is not None and fn.endswith("_over_time"):
+            # m[1h:5m] directly under <agg>_over_time: inner = the bare
+            # selector evaluated at the subquery resolution
+            rng, res = sel.subquery
+            inner_sel = VectorSelector(sel.metric, sel.matchers, None,
+                                       sel.offset_seconds, None, sel.at_epoch)
+            sub = Call("__subquery__", (inner_sel, NumberLit(rng), NumberLit(res)))
+            return _eval_subquery_reduce(ctx, fn, sub, phi=phi)
+        return lower_range_fn(ctx, fn, sel, phi=phi)
     if fn in VALUE_FNS:
         inner = eval_expr(ctx, c.args[0])
-        args = [a.value if isinstance(a, NumberLit) else float(a) for a in c.args[1:]]
+        args = [_const(a) for a in c.args[1:]]
         return vo.apply_value_op(inner, fn, *args)
     if fn == "histogram_quantile":
         phi = c.args[0].value
@@ -450,7 +474,7 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
     raise ValueError(f"unsupported function {fn}")
 
 
-def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call) -> DataFrame:
+def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call, phi: float | None = None) -> DataFrame:
     """<agg>_over_time(expr[range:res]) — evaluate inner at res over the
     extended window, sliding-reduce per outer bucket (eval_subquery,
     metrics.rs:829-908)."""
@@ -465,8 +489,25 @@ def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call) -> DataFrame:
     agg = {
         "sum_over_time": "sum", "avg_over_time": "avg", "min_over_time": "min",
         "max_over_time": "max", "count_over_time": "count",
+        "stddev_over_time": "stddev", "stdvar_over_time": "stdvar",
     }[fn]
     return ts.sliding_reduce(inner, _spine(ctx), int(rng.value), agg, series_cols=series)
+
+
+def _route_labels(labels, series: list[str]) -> set[str]:
+    """PromQL label names → storage columns (job→service_name,
+    pod→label_pod, __name__→metric_name) for by/without/on/ignoring —
+    the same routing matchers apply (group_columns_for,
+    metrics.rs:2241-2334)."""
+    out: set[str] = set()
+    for l in labels:
+        if WELL_KNOWN.get(l) in series:
+            out.add(WELL_KNOWN[l])
+        elif f"label_{l}" in series:
+            out.add(f"label_{l}")
+        elif l in series:
+            out.add(l)
+    return out
 
 
 def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
@@ -482,7 +523,7 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
             inner.groupBy("bucket", F.col("value").cast("string").alias(label))
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
-    grouping = set(a.grouping)
+    grouping = _route_labels(a.grouping, series)
     keep = (
         [c for c in series if c not in grouping]
         if a.without
@@ -511,10 +552,11 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
     # PromQL drops __name__ on binary ops: exclude metric_name from keys
     shared = [c for c in shared if c != "metric_name"]
     if b.on is not None:
-        on = ["bucket"] + [WELL_KNOWN.get(l, l) for l in b.on if WELL_KNOWN.get(l, l) in shared]
+        routed = _route_labels(b.on, shared)
+        on = ["bucket"] + [c for c in shared if c in routed]
     elif b.ignoring is not None:
-        ig = {WELL_KNOWN.get(l, l) for l in b.ignoring}
-        on = [c for c in shared if c not in ig]
+        routed = _route_labels(b.ignoring, shared)
+        on = [c for c in shared if c not in routed]
     else:
         on = shared
     if "bucket" not in on:

@@ -111,27 +111,28 @@ class _P:
         return lhs
 
     def parse_muldiv(self) -> Expr:
-        lhs = self.parse_pow()
+        lhs = self.parse_unary()
         while self.peek().kind == "OP" and self.peek().text in ("*", "/", "%"):
             op = self.next().text
             on, ig = self._matching()
-            lhs = BinOp(op, lhs, self.parse_pow(), on=on, ignoring=ig)
-        return lhs
-
-    def parse_pow(self) -> Expr:
-        lhs = self.parse_unary()
-        if self.peek().kind == "OP" and self.peek().text == "^":
-            self.next()
-            on, ig = self._matching()
-            return BinOp("^", lhs, self.parse_pow(), on=on, ignoring=ig)
+            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig)
         return lhs
 
     def parse_unary(self) -> Expr:
+        # unary minus binds LOOSER than ^ (Prometheus: -2^2 == -4)
         if self.accept("OP", "-"):
             return BinOp("-", NumberLit(0.0), self.parse_unary())
         if self.accept("OP", "+"):
             return self.parse_unary()
-        return self.parse_postfix()
+        return self.parse_pow()
+
+    def parse_pow(self) -> Expr:
+        lhs = self.parse_postfix()
+        if self.peek().kind == "OP" and self.peek().text == "^":
+            self.next()
+            on, ig = self._matching()
+            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ig)  # right-assoc
+        return lhs
 
     def parse_postfix(self) -> Expr:
         e = self.parse_primary()

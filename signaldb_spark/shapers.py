@@ -55,7 +55,12 @@ def logs_to_loki_streams(df: DataFrame) -> dict[str, Any]:
         if row["severity_text"] is not None:
             labels["level"] = row["severity_text"]
         key = tuple(sorted(labels.items()))
-        ns = int(row["timestamp"].timestamp() * 1e9)
+        # µs-exact and naive-as-UTC: float seconds * 1e9 loses precision,
+        # and datetime.timestamp() on naive values applies the OS zone
+        import calendar
+
+        ts_ = row["timestamp"]
+        ns = (calendar.timegm(ts_.timetuple()) * 1_000_000 + ts_.microsecond) * 1000
         streams.setdefault(key, []).append([str(ns), row["body"] or ""])
     result = [
         {"stream": dict(k), "values": sorted(v, reverse=True)}

@@ -97,8 +97,10 @@ def flatten_remote_write(raw: DataFrame, json_col: str = "value") -> dict[str, D
         ).alias("service_name"),
         F.element_at("labels", "__name__").alias("metric_name"),
         F.col("s.value").alias("value"),
+        # instance stays in the attribute map: two scrape targets of the
+        # same job are distinct series and must not collapse
         F.map_filter(
-            F.col("labels"), lambda k, _: ~k.isin("__name__", "job", "instance")
+            F.col("labels"), lambda k, _: ~k.isin("__name__", "job")
         ).alias("attributes"),
         F.to_date(t).alias("date_day"),
         F.hour(t).alias("hour"),

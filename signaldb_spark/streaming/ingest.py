@@ -40,19 +40,53 @@ SORT_ORDERS = {
 }
 
 
-def write_batch(df: DataFrame, table_path: str, table: str) -> None:
-    """Idempotent hour-partitioned append used by foreachBatch.
+def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None = None) -> None:
+    """(date_day, hour)-partitioned append used by foreachBatch — the
+    absolute-hour partitioning of the reference's Hour(timestamp) spec
+    (hour-of-day alone would collide across days and break
+    retention/compaction units).
 
+    Idempotency: with ``batch_id`` set, the batch writes to a staging
+    dir then moves files into the partition tree under
+    batch-deterministic names; a replayed batch rewrites the same file
+    names (os.replace), so the at-least-once replay of foreachBatch
+    cannot duplicate rows. Without batch_id this is a plain append.
     Sorting within partitions applies the table's clustering order at
     write time so even pre-compaction files scan well."""
-    writer = (
-        df.sortWithinPartitions(*[c for c in SORT_ORDERS.get(table, []) if c in df.columns])
-        .write.mode("append")
-        .partitionBy("hour")
+    import os
+    import shutil
+
+    sorted_df = df.sortWithinPartitions(
+        *[c for c in SORT_ORDERS.get(table, []) if c in df.columns]
     )
+    if batch_id is None:
+        writer = sorted_df.write.mode("append").partitionBy("date_day", "hour")
+        for k, v in BLOOM_WRITE_OPTIONS.items():
+            writer = writer.option(k, v)
+        writer.parquet(table_path)
+        return
+    marker = os.path.join(table_path, f"_batch_{batch_id}_done")
+    if os.path.exists(marker):
+        return
+    staging = os.path.join(table_path, "_staging", f"batch-{batch_id}")
+    writer = sorted_df.write.mode("overwrite").partitionBy("date_day", "hour")
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(table_path)
+    writer.parquet(staging)
+    # move files under deterministic names: replay overwrites, never dupes
+    for root, _dirs, files in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for i, f in enumerate(sorted(files)):
+            if not f.endswith(".parquet"):
+                continue
+            dest_dir = os.path.join(table_path, rel)
+            os.makedirs(dest_dir, exist_ok=True)
+            os.replace(
+                os.path.join(root, f),
+                os.path.join(dest_dir, f"batch-{batch_id}-{i:05d}.parquet"),
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    open(marker, "w").close()
 
 
 def ingest_otlp_logs_stream(
@@ -82,7 +116,7 @@ def ingest_otlp_logs_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch(batch_df, table_path, "logs")
+        write_batch(batch_df, table_path, "logs", batch_id=batch_id)
 
     writer = flat.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if available_now:

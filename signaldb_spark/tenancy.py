@@ -33,12 +33,19 @@ class TenantSession:
             if df is not None:
                 self._tables[t] = df
                 df.createOrReplaceTempView(f"{tenant}_{dataset}_{t}")
-                df.createOrReplaceTempView(t)  # session default resolution
 
     def table(self, name: str) -> DataFrame | None:
         return self._tables.get(name)
 
     def sql(self, query: str, max_rows: int = MAX_SQL_ROWS) -> DataFrame:
         """Raw SQL with the reference's row cap appended to every query
-        (execute_query, flight.rs:1243-1263)."""
+        (execute_query, flight.rs:1243-1263).
+
+        Unqualified table names resolve to THIS tenant at call time —
+        the views are (re)pinned per call, so sessions for different
+        tenants can coexist without one construction silently repointing
+        the other's unqualified names (the cross-tenant leak that a
+        register-once design has)."""
+        for t, df in self._tables.items():
+            df.createOrReplaceTempView(t)
         return self.spark.sql(query).limit(max_rows)

@@ -261,7 +261,7 @@ def write_signal_tables(spark: SparkSession, base: str, tenant: str = "acme", da
         (
             df.repartition(4)
             .write.mode("overwrite")
-            .partitionBy("hour")
+            .partitionBy("date_day", "hour")
             .parquet(signal_table_path(base, tenant, dataset, name))
         )
     return {"logs": logs.count(), "traces": traces.count(), "gauge": gauge.count()}

@@ -239,3 +239,17 @@ def test_instant_query_reduces_to_latest(ctx):
             latest[r.service_name] = (r.bucket, r.value)
     got = {r.service_name: (r.bucket, r.value) for r in inst.collect()}
     assert got == latest and got
+
+
+def test_attr_conjunct_skipped_with_stages(ctx, duck):
+    """Equality on a logfmt-extracted label must not be poisoned by the
+    attr_tokens conjunct (tokens only cover log_attributes)."""
+    sel = parse('{service_name="api"} | logfmt | path = "/v1/items"')
+    got = query_logs(ctx, sel, limit=100000).count()
+    expected = duck.execute(
+        "SELECT count(*) FROM logs WHERE service_name = 'api'"
+        " AND regexp_extract(body, 'path=([^ ]+)', 1) = '/v1/items'"
+        " AND timestamp BETWEEN ? AND ?",
+        [START, END],
+    ).fetchone()[0]
+    assert got == expected and got > 0

@@ -256,3 +256,59 @@ def test_histogram_fraction_hand_check(spark):
     # via the query string surface too
     q = query_range(c, "histogram_fraction(10, 20, lat)").collect()
     assert abs(q[0].value - 0.6) < 1e-9
+
+
+def test_unary_minus_precedence():
+    """Prometheus: -2^2 == -(2^2) == -4."""
+    from signaldb_spark.promql.lowering import _fold
+
+    q = parse("-2 ^ 2")
+    # outer node must be the negation
+    assert isinstance(q, BinOp) and q.op == "-" and q.lhs.value == 0.0
+    inner = q.rhs
+    assert isinstance(inner, BinOp) and inner.op == "^"
+
+
+def test_negative_clamp_args(ctx):
+    got = query_range(ctx, "clamp(process_cpu_usage - 1, -0.5, 0.5)").collect()
+    assert got and all(-0.5 <= r.value <= 0.5 for r in got)
+
+
+def test_quantile_over_time(ctx, duck):
+    got = query_range(ctx, "quantile_over_time(0.9, process_cpu_usage[10m])")
+    rows = {(r.bucket, r.service_name): round(r.value, 6) for r in got.collect()}
+    exp = duck.execute(
+        f"""
+        SELECT {BUCKET} AS bucket, service_name,
+               round(quantile_cont(value, 0.9), 6)
+        FROM metrics_gauge
+        WHERE metric_name = 'process_cpu_usage' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {(b, s): v for b, s, v in exp} and rows
+
+
+def test_sum_by_prometheus_label_names(ctx):
+    """by(job)/by(service) must route to service_name, not collapse all
+    series (the matcher routing applied to grouping)."""
+    routed = query_range(ctx, "sum by (job) (process_cpu_usage)").collect()
+    direct = query_range(ctx, "sum by (service_name) (process_cpu_usage)").collect()
+    assert {(r.bucket, r.service_name, r.value) for r in routed} == {
+        (r.bucket, r.service_name, r.value) for r in direct
+    }
+    assert len({r.service_name for r in routed}) > 1
+
+
+def test_selector_subquery_sliding(ctx):
+    """m[30m:10m] directly under max_over_time must sliding-reduce, not
+    fall back to the instant lookback."""
+    got = query_range(ctx, "max_over_time(process_cpu_usage[30m:10m])").collect()
+    plain = query_range(ctx, "process_cpu_usage").collect()
+    by_key = {(r.bucket, r.service_name): r.value for r in plain}
+    for r in got:
+        # sliding max over trailing 30m >= the instant value at that bucket
+        v = by_key.get((r.bucket, r.service_name))
+        if v is not None:
+            assert r.value >= v - 1e-9

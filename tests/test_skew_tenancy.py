@@ -77,3 +77,26 @@ def test_tenant_session_views_and_cap(spark, tenant_base):
 def test_missing_tenant_resolves_empty(spark, tenant_base):
     ts = TenantSession(spark, tenant_base, "ghost", "nowhere")
     assert ts.table("logs") is None
+
+
+def test_no_cross_tenant_leak(spark, tmp_path_factory):
+    """Two tenant sessions in one SparkSession: each sql() call resolves
+    unqualified names to ITS OWN tenant, regardless of construction or
+    call order (the register-once design leaked here)."""
+    base = str(tmp_path_factory.mktemp("two_tenants"))
+    write_signal_tables(spark, base, tenant="acme", dataset="prod")
+    # globex gets a different row count by filtering
+    from signaldb_spark.catalog import optional_table, signal_table_path
+
+    acme_logs = optional_table(spark, base, "acme", "prod", "logs")
+    acme_logs.filter("service_name = 'api'").write.mode("overwrite").partitionBy(
+        "date_day", "hour"
+    ).parquet(signal_table_path(base, "globex", "prod", "logs"))
+
+    a = TenantSession(spark, base, "acme", "prod")
+    g = TenantSession(spark, base, "globex", "prod")  # constructed after a
+    n_a = a.sql("SELECT count(*) AS n FROM logs").collect()[0].n
+    n_g = g.sql("SELECT count(*) AS n FROM logs").collect()[0].n
+    assert n_a == 2000 and n_g < n_a
+    # interleave again: a's view must re-pin to acme
+    assert a.sql("SELECT count(*) AS n FROM logs").collect()[0].n == 2000

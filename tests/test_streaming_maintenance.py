@@ -82,8 +82,9 @@ def test_ingest_counts_and_partitioning(spark, ingested):
     _, ingested = ingested
     logs = optional_table(spark, ingested, "acme", "prod", "logs")
     assert logs is not None and logs.count() == 200
-    hours = list_hour_partitions(signal_table_path(ingested, "acme", "prod", "logs"))
-    assert len(hours) >= 3  # spread across hour partitions
+    parts = list_hour_partitions(signal_table_path(ingested, "acme", "prod", "logs"))
+    assert len(parts) >= 3  # spread across (day, hour) partitions
+    assert all(isinstance(d, str) and isinstance(h, int) for d, h in parts)
 
 
 def test_ingest_idempotent_restart(spark, ingested):
@@ -110,11 +111,11 @@ def test_ingest_schema_and_derived_columns(spark, ingested):
 def test_compaction_reduces_files_and_sorts(spark, ingested):
     _, ingested = ingested
     path = signal_table_path(ingested, "acme", "prod", "logs")
-    hours = list_hour_partitions(path)
-    target = hours[0]
-    n_files = compact_partition(spark, path, "logs", target)
+    parts = list_hour_partitions(path)
+    day, hour = parts[0]
+    n_files = compact_partition(spark, path, "logs", day, hour)
     assert n_files == 1
-    part = spark.read.parquet(os.path.join(path, f"hour={target}"))
+    part = spark.read.parquet(os.path.join(path, f"date_day={day}", f"hour={hour}"))
     ts = [r.timestamp for r in part.select("timestamp").collect()]
     assert ts == sorted(ts)  # clustering order applied
     # table still whole
@@ -131,10 +132,10 @@ def test_partition_close_gate():
 def test_retention_drops_partitions(spark, ingested):
     _, ingested = ingested
     path = signal_table_path(ingested, "acme", "prod", "logs")
-    hours = list_hour_partitions(path)
-    keep = set(hours[1:])
+    parts = list_hour_partitions(path)
+    keep = set(parts[1:])
     dropped = apply_retention(path, keep)
-    assert dropped == [hours[0]]
+    assert dropped == [parts[0]]
     assert list_hour_partitions(path) == sorted(keep)
 
 
