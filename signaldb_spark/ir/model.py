@@ -130,9 +130,14 @@ def _validate_pred(node: Any) -> Pred:
             raise IRValidationError(f"bad regex: {exc}") from exc
     if op == "exists" and value is not None:
         raise IRValidationError("exists takes no value")
-    if op in ("gt", "gte", "lt", "lte", "eq", "ne", "between"):
+    if op in ("gt", "gte", "lt", "lte", "between"):
         value = _coerce(value)
         upper = _coerce(upper)
+    elif op in ("eq", "ne"):
+        # equality only coerces unit literals (durations/bytes); plain
+        # numeric strings stay strings — coercing '123' to int would
+        # poison equality against string columns (ANSI cast failure)
+        value = _coerce(value, units_only=True)
     return Leaf(f, op, value, upper)
 
 
@@ -140,7 +145,7 @@ _DURATION_LIT = __import__("re").compile(r"^\d+(?:\.\d+)?(ns|us|µs|ms|s|m|h|d|w
 _BYTES_LIT = __import__("re").compile(r"^\d+(?:\.\d+)?(b|kb|kib|mb|mib|gb|gib|tb|tib)$", 2)
 
 
-def _coerce(value):
+def _coerce(value, units_only: bool = False):
     """Literal coercion at validation time (the reference's value.rs):
     duration strings normalize to nanoseconds, byte strings to raw
     bytes, numeric strings to numbers — so lowering never sees an
@@ -153,6 +158,8 @@ def _coerce(value):
         return parse_duration(value) * 1e9
     if _BYTES_LIT.match(value):
         return parse_bytes(value)
+    if units_only:
+        return value
     try:
         return int(value)
     except ValueError:

@@ -62,7 +62,11 @@ def compact_partition(
     part_path = _part_path(table_path, day, hour)
     df = spark.read.parquet(part_path)
     sort_cols = [c for c in SORT_ORDERS.get(table, ["timestamp"]) if c in df.columns]
-    tmp = part_path + ".compact_tmp"
+    # stage under an underscore dir: Spark's partition discovery ignores
+    # _-prefixed paths, so concurrent readers never see the half-written
+    # rewrite (a `hour=N.compact_tmp` sibling would be discovered as a
+    # bogus partition value)
+    tmp = os.path.join(table_path, "_compact_tmp", f"{day}-{hour}")
     writer = (
         df.repartition(target_files)
         .sortWithinPartitions(*sort_cols)
@@ -73,6 +77,7 @@ def compact_partition(
     writer.parquet(tmp)
     shutil.rmtree(part_path)
     os.rename(tmp, part_path)
+    shutil.rmtree(os.path.join(table_path, "_compact_tmp"), ignore_errors=True)
     return len([f for f in os.listdir(part_path) if f.endswith(".parquet")])
 
 

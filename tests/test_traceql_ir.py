@@ -178,8 +178,16 @@ def test_ir_value_coercion(spark):
            "where": {"field": "duration_nanos", "op": "gte", "value": "500ms"}})
     assert q.where.value == 5e8
     q2 = v({"version": 1, "from": "logs",
-            "where": {"field": "severity_number", "op": "eq", "value": "17"}})
+            "where": {"field": "severity_number", "op": "gte", "value": "17"}})
     assert q2.where.value == 17
+    # eq keeps plain numeric strings as strings (coercing would poison
+    # equality against string columns); unit literals still coerce
+    q2b = v({"version": 1, "from": "logs",
+             "where": {"field": "service_name", "op": "eq", "value": "123"}})
+    assert q2b.where.value == "123"
+    q2c = v({"version": 1, "from": "traces",
+             "where": {"field": "duration_nanos", "op": "eq", "value": "1s"}})
+    assert q2c.where.value == 1e9
     q3 = v({"version": 1, "from": "logs",
             "where": {"field": "size", "op": "lt", "value": "2kb"}})
     assert q3.where.value == 2000.0
