@@ -262,7 +262,9 @@ WITH b AS (
   WINDOW w AS (PARTITION BY {_bsql()}, event_type ORDER BY ts)
 )
 SELECT bucket, event_type,
-       round((value - prev_v) / (epoch(ts) - epoch(prev_t)), 6) AS value
+       -- epoch_us matches the engine's µs-at-rest precision; raw
+       -- epoch() keeps ns and drifts at the 1e-7 level on small dt
+       round((value - prev_v) / ((epoch_us(ts) - epoch_us(prev_t)) / 1e6), 6) AS value
 FROM b WHERE rn = 1 AND prev_v IS NOT NULL
 """
 

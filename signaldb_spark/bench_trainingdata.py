@@ -269,13 +269,13 @@ f AS (
 SELECT doc_id,
        CAST(n_chars AS BIGINT) AS q_chars,
        CAST(n_words AS BIGINT) AS q_words,
-       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
-       round(n_stop / greatest(n_words, 1), 6) AS stop_ratio,
-       round((n_chars - (n_words - 1)) / greatest(n_words, 1), 6) AS mean_word_len,
-       round(least(1.0, greatest(0.0,
+       floor(n_punct / greatest(n_chars, 1) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+       floor(n_stop / greatest(n_words, 1) * 1e6 + 0.5) / 1e6 AS stop_ratio,
+       floor((n_chars - (n_words - 1)) / greatest(n_words, 1) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+       floor(least(1.0, greatest(0.0,
            0.5 + 2.0 * (n_stop / greatest(n_words, 1))
                - 3.0 * (n_punct / greatest(n_chars, 1))
-               - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0)), 6)
+               - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0)) * 1e6 + 0.5) / 1e6
        AS quality_score
 FROM f
 """

@@ -95,8 +95,60 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
                     label,
                 )
             )
+        elif stage.name == "pattern" and stage.arg:
+            rx, names = _pattern_to_regex(stage.arg)
+            if label in names:
+                sources.append(
+                    F.nullif(
+                        F.regexp_extract(F.col("body"), rx, names.index(label) + 1),
+                        F.lit(""),
+                    )
+                )
+        elif stage.name == "regexp" and stage.arg:
+            # Loki regexp stage (Go RE2 named groups) → Java syntax
+            if f"(?P<{label}>" in stage.arg:
+                java_rx = stage.arg.replace("(?P<", "(?<")
+                sources.append(
+                    F.nullif(
+                        F.regexp_extract(F.col("body"), java_rx, _group_index(stage.arg, label)),
+                        F.lit(""),
+                    )
+                )
     sources.append(F.element_at(F.col("log_attributes"), label))
     return F.coalesce(*sources) if len(sources) > 1 else sources[0]
+
+
+def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
+    """Loki ``| pattern "<_> status=<status>"`` → regex + capture names.
+
+    ``<name>`` captures a non-greedy run, ``<_>`` matches-and-discards;
+    literal text in between is escaped. The reference parses this stage
+    but ignores it (logql.rs:107-128) — executing it is an upgrade."""
+    import re as _re
+
+    parts = _re.split(r"(<[a-zA-Z_][a-zA-Z0-9_]*>|<_>)", pattern)
+    rx, names = "", []
+    for i, part in enumerate(parts):
+        if part == "<_>":
+            rx += ".*?" if i < len(parts) - 1 else ".*"
+        elif part.startswith("<") and part.endswith(">") and len(part) > 2:
+            names.append(part[1:-1])
+            rx += "(.*?)" if i < len(parts) - 1 else "(.*)"
+        else:
+            rx += _re.escape(part)
+    return rx, names
+
+
+def _group_index(regex: str, name: str) -> int:
+    """1-based index of the named group within the pattern."""
+    import re as _re
+
+    idx = 0
+    for m in _re.finditer(r"\((?!\?:)(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>)?", regex):
+        idx += 1
+        if m.group(2) == name:
+            return idx
+    return 0
 
 
 def _anchored(pattern: str) -> str:
@@ -332,6 +384,13 @@ def _eval_binop(ctx: LowerCtx, b: BinOp) -> DataFrame:
         on = shared
     if "bucket" not in on:
         on = ["bucket"] + on
+    # group_left/group_right: many-to-one matching — the "one" side is
+    # reduced to a single row per join key (deterministically, max
+    # value) so the many side's rows each match exactly once
+    if b.group_side == "left":
+        right = right.groupBy(*on).agg(F.max("value").alias("value"))
+    elif b.group_side == "right":
+        left = left.groupBy(*on).agg(F.max("value").alias("value"))
     if b.op in LOGICAL_OPS:
         return vo.vector_logical(left, right, b.op, on)
     if b.op in COMPARE_OPS:

@@ -177,16 +177,16 @@ class _P:
         lhs = self.parse_and()
         while self.peek().kind == "IDENT" and self.peek().text == "or":
             self.next()
-            on, ignoring = self.parse_matching()
-            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ignoring)
+            on, ignoring, group_side = self.parse_matching()
+            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ignoring, group_side=group_side)
         return lhs
 
     def parse_and(self) -> MetricExpr:
         lhs = self.parse_compare()
         while self.peek().kind == "IDENT" and self.peek().text in ("and", "unless"):
             op = self.next().text
-            on, ignoring = self.parse_matching()
-            lhs = BinOp(op, lhs, self.parse_compare(), on=on, ignoring=ignoring)
+            on, ignoring, group_side = self.parse_matching()
+            lhs = BinOp(op, lhs, self.parse_compare(), on=on, ignoring=ignoring, group_side=group_side)
         return lhs
 
     def parse_compare(self) -> MetricExpr:
@@ -194,24 +194,24 @@ class _P:
         while self.peek().kind == "OP" and self.peek().text in COMPARE_OPS:
             op = self.next().text
             bool_mode = bool(self.accept("IDENT", "bool"))
-            on, ignoring = self.parse_matching()
-            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ignoring)
+            on, ignoring, group_side = self.parse_matching()
+            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ignoring, group_side=group_side)
         return lhs
 
     def parse_addsub(self) -> MetricExpr:
         lhs = self.parse_muldiv()
         while self.peek().kind == "OP" and self.peek().text in ("+", "-"):
             op = self.next().text
-            on, ignoring = self.parse_matching()
-            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ignoring)
+            on, ignoring, group_side = self.parse_matching()
+            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ignoring, group_side=group_side)
         return lhs
 
     def parse_muldiv(self) -> MetricExpr:
         lhs = self.parse_unary()
         while self.peek().kind == "OP" and self.peek().text in ("*", "/", "%"):
             op = self.next().text
-            on, ignoring = self.parse_matching()
-            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ignoring)
+            on, ignoring, group_side = self.parse_matching()
+            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ignoring, group_side=group_side)
         return lhs
 
     def parse_unary(self) -> MetricExpr:
@@ -225,12 +225,12 @@ class _P:
         lhs = self.parse_primary()
         if self.peek().kind == "OP" and self.peek().text == "^":
             self.next()
-            on, ignoring = self.parse_matching()
-            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ignoring)  # right-assoc
+            on, ignoring, group_side = self.parse_matching()
+            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ignoring, group_side=group_side)  # right-assoc
         return lhs
 
     def parse_matching(self):
-        on = ignoring = None
+        on = ignoring = group_side = None
         t = self.peek()
         if t.kind == "IDENT" and t.text in ("on", "ignoring"):
             self.next()
@@ -241,10 +241,11 @@ class _P:
                 ignoring = labels
             g = self.peek()
             if g.kind == "IDENT" and g.text in ("group_left", "group_right"):
-                self.next()  # parsed, not acted on (parity: metric.rs:190-199)
+                self.next()
+                group_side = "left" if g.text == "group_left" else "right"
                 if self.peek().kind == "OP" and self.peek().text == "(":
                     self._label_list()
-        return on, ignoring
+        return on, ignoring, group_side
 
     def _label_list(self) -> tuple[str, ...]:
         self.expect("OP", "(")

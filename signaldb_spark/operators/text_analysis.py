@@ -79,14 +79,18 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
             - F.abs(mean_wlen - 5.0) / 10.0,
         ),
     )
+    # explicit half-up rounding (floor(x*1e6+0.5)/1e6): the score mixes
+    # dyadic rationals that land EXACTLY on .5 at the 7th decimal, where
+    # engine round() modes disagree (HALF_UP vs HALF_EVEN)
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
     return df.select(
         "*",
         n_chars.cast("long").alias("q_chars"),
         n_words.cast("long").alias("q_words"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(score, 6).alias("quality_score"),
+        r6(punct_ratio).alias("punct_ratio"),
+        r6(stop_ratio).alias("stop_ratio"),
+        r6(mean_wlen).alias("mean_word_len"),
+        r6(score).alias("quality_score"),
     )
 
 

@@ -206,7 +206,10 @@ def irate(df, ts_col, step_seconds, series_cols, value_col, idelta_only=False):
         (F.col("_rn") == 1) & F.col("_prev_v").isNotNull()
     )
     dv = F.col(value_col) - F.col("_prev_v")
-    dt = (F.col(ts_col).cast("double") - F.col("_prev_t").cast("double"))
+    # exact µs difference: casting each timestamp to double first loses
+    # sub-µs precision (double resolution ~2e-7s at 2024 epochs) and the
+    # error is amplified by the division
+    dt = (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev_t"))) / 1e6
     value = dv if idelta_only else dv / dt
     return b.select("bucket", *series_cols, value.alias("value"))
 

@@ -51,6 +51,7 @@ class BinOp:
     bool_mode: bool = False
     on: tuple[str, ...] | None = None
     ignoring: tuple[str, ...] | None = None
+    group_side: str | None = None  # "left"/"right": many-to-one matching
 
 
 @dataclass(frozen=True)

@@ -563,6 +563,12 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
         on = ["bucket"] + on
     left = left.drop("metric_name") if "metric_name" in left.columns else left
     right = right.select(*on, "value")
+    # group_left/group_right many-to-one: reduce the "one" side to a
+    # single deterministic row per join key (max value)
+    if b.group_side == "left":
+        right = right.groupBy(*on).agg(F.max("value").alias("value"))
+    elif b.group_side == "right":
+        left = left.groupBy(*on).agg(F.max("value").alias("value"))
     if b.op in ("and", "or", "unless"):
         return vo.vector_logical(left, right, b.op, on)
     if b.op in vo.COMPARE:

@@ -81,16 +81,16 @@ class _P:
         lhs = self.parse_and()
         while self.peek().kind == "IDENT" and self.peek().text == "or":
             self.next()
-            on, ig = self._matching()
-            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ig)
+            on, ig, group_side = self._matching()
+            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ig, group_side=group_side)
         return lhs
 
     def parse_and(self) -> Expr:
         lhs = self.parse_cmp()
         while self.peek().kind == "IDENT" and self.peek().text in ("and", "unless"):
             op = self.next().text
-            on, ig = self._matching()
-            lhs = BinOp(op, lhs, self.parse_cmp(), on=on, ignoring=ig)
+            on, ig, group_side = self._matching()
+            lhs = BinOp(op, lhs, self.parse_cmp(), on=on, ignoring=ig, group_side=group_side)
         return lhs
 
     def parse_cmp(self) -> Expr:
@@ -98,24 +98,24 @@ class _P:
         while self.peek().kind == "OP" and self.peek().text in COMPARE_OPS:
             op = self.next().text
             bool_mode = bool(self.accept("IDENT", "bool"))
-            on, ig = self._matching()
-            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ig)
+            on, ig, group_side = self._matching()
+            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ig, group_side=group_side)
         return lhs
 
     def parse_addsub(self) -> Expr:
         lhs = self.parse_muldiv()
         while self.peek().kind == "OP" and self.peek().text in ("+", "-"):
             op = self.next().text
-            on, ig = self._matching()
-            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ig)
+            on, ig, group_side = self._matching()
+            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ig, group_side=group_side)
         return lhs
 
     def parse_muldiv(self) -> Expr:
         lhs = self.parse_unary()
         while self.peek().kind == "OP" and self.peek().text in ("*", "/", "%"):
             op = self.next().text
-            on, ig = self._matching()
-            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig)
+            on, ig, group_side = self._matching()
+            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side)
         return lhs
 
     def parse_unary(self) -> Expr:
@@ -130,8 +130,8 @@ class _P:
         lhs = self.parse_postfix()
         if self.peek().kind == "OP" and self.peek().text == "^":
             self.next()
-            on, ig = self._matching()
-            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ig)  # right-assoc
+            on, ig, group_side = self._matching()
+            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side)  # right-assoc
         return lhs
 
     def parse_postfix(self) -> Expr:
@@ -216,7 +216,7 @@ class _P:
         return out
 
     def _matching(self):
-        on = ig = None
+        on = ig = group_side = None
         t = self.peek()
         if t.kind == "IDENT" and t.text in ("on", "ignoring"):
             self.next()
@@ -228,9 +228,10 @@ class _P:
             g = self.peek()
             if g.kind == "IDENT" and g.text in ("group_left", "group_right"):
                 self.next()
+                group_side = "left" if g.text == "group_left" else "right"
                 if self.peek().kind == "OP" and self.peek().text == "(":
                     self._label_list()
-        return on, ig
+        return on, ig, group_side
 
     def _label_list(self) -> tuple[str, ...]:
         self.expect("OP", "(")

@@ -253,3 +253,25 @@ def test_attr_conjunct_skipped_with_stages(ctx, duck):
         [START, END],
     ).fetchone()[0]
     assert got == expected and got > 0
+
+
+def test_pattern_stage_extraction(ctx, duck):
+    """| pattern "<_>status=<status> duration=<dur>ms" extracts labels
+    from the body (the reference parses-but-ignores; we execute)."""
+    sel = parse('{service_name="api"} | pattern "<_>status=<status> duration=<dur>ms" | status = "500"')
+    got = query_logs(ctx, sel, limit=100000).count()
+    expected = duck.execute(
+        "SELECT count(*) FROM logs WHERE service_name = 'api'"
+        " AND regexp_extract(body, 'status=([0-9]+)', 1) = '500'"
+        " AND timestamp BETWEEN ? AND ?",
+        [START, END],
+    ).fetchone()[0]
+    assert got == expected and got > 0
+
+
+def test_regexp_stage_named_groups(ctx):
+    sel = parse(r'{service_name="api"} | regexp "status=(?P<st>\d+)" | st = "500"')
+    n = query_logs(ctx, sel, limit=100000).count()
+    sel2 = parse('{service_name="api"} | logfmt | status = "500"')
+    n2 = query_logs(ctx, sel2, limit=100000).count()
+    assert n == n2 and n > 0

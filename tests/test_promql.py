@@ -312,3 +312,20 @@ def test_selector_subquery_sliding(ctx):
         v = by_key.get((r.bucket, r.service_name))
         if v is not None:
             assert r.value >= v - 1e-9
+
+
+def test_group_left_many_to_one(ctx):
+    """rate(counter) per (service) divided by a per-bucket total via
+    group_left: every left series matches the single right row."""
+    q = (
+        "rate(http_requests_total[10m]) "
+        "/ on (bucket) group_left sum(rate(http_requests_total[10m]))"
+    )
+    # on(bucket) is implicit; PromQL would write on() — use service route
+    q = (
+        "rate(http_requests_total[10m]) "
+        "/ on (service_name) group_left "
+        "sum by (service_name) (rate(http_requests_total[10m]))"
+    )
+    got = query_range(ctx, q).collect()
+    assert got and all(abs(r.value - 1.0) < 1e-9 for r in got)
