@@ -138,3 +138,56 @@ ORACLES = {
     "ir_agg_pipeline": ORACLE_IR_AGG,
     "ir_extract_rank": ORACLE_IR_EXTRACT_RANK,
 }
+
+
+def q_flamegraph_rollup(spark, sf_dir):
+    """Flamegraph prefix-rollup under the gate: stacks are
+    [region, nation] paths weighted by revenue — every prefix gets the
+    summed weight of its subtree (operators/profiles.flamegraph
+    semantics expressed over the star schema)."""
+    import json
+
+    from .operators.profiles import flamegraph
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    # one "profile" row per order: a single stack with the order's price
+    profiles = j.select(
+        F.to_json(F.array(F.array("r_name", "n_name"))).alias("stacktraces_json"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stacktrace_idx"),
+                    F.round("o_totalprice", 0).cast("long").alias("value"),
+                )
+            )
+        ).alias("samples_json"),
+    )
+    out = flamegraph(profiles)
+    return out.select("path", "depth", "frame", "value")
+
+
+ORACLE_FLAMEGRAPH = """
+WITH j AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice, 0) AS BIGINT) AS w
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name AS path, 1 AS depth, r_name AS frame, sum(w) AS value
+FROM j GROUP BY r_name
+UNION ALL
+SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame, sum(w) AS value
+FROM j GROUP BY r_name, n_name
+"""
+
+QUERIES["flamegraph_rollup"] = q_flamegraph_rollup
+ORACLES["flamegraph_rollup"] = ORACLE_FLAMEGRAPH

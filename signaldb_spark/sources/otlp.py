@@ -448,3 +448,108 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
         "metrics_sum": num_points("sum"),
         "metrics_histogram": hist,
     }
+
+
+OTLP_PROFILES_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceProfiles",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType([T.StructField("attributes", T.ArrayType(_KV))]),
+                        ),
+                        T.StructField(
+                            "scopeProfiles",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "profiles",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("profileId", T.StringType()),
+                                                        T.StructField("timeUnixNano", T.StringType()),
+                                                        T.StructField("durationNano", T.StringType()),
+                                                        T.StructField("sampleTypeType", T.StringType()),
+                                                        T.StructField("sampleTypeUnit", T.StringType()),
+                                                        T.StructField("period", T.StringType()),
+                                                        # dictionary-resolved self-contained rows
+                                                        # (the reference resolves OTLP dictionary
+                                                        # tables at the edge, conversion_profiles.rs)
+                                                        T.StructField(
+                                                            "stacktraces",
+                                                            T.ArrayType(T.ArrayType(T.StringType())),
+                                                        ),
+                                                        T.StructField(
+                                                            "samples",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("stacktraceIdx", T.IntegerType()),
+                                                                        T.StructField("value", T.LongType()),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                        T.StructField("attributes", T.ArrayType(_KV)),
+                                                        T.StructField("traceId", T.StringType()),
+                                                        T.StructField("spanId", T.StringType()),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def flatten_otlp_profiles(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """OTLP/JSON profile payloads → flat profile rows with
+    self-contained stacktraces/samples JSON columns (the reference
+    resolves the OTLP dictionary tables into self-contained rows at
+    conversion time, conversion_profiles.rs)."""
+    parsed = raw.select(F.from_json(F.col(json_col), OTLP_PROFILES_SCHEMA).alias("p"))
+    rp = parsed.select(F.explode("p.resourceProfiles").alias("rp"))
+    sp = rp.select(
+        F.col("rp.resource.attributes").alias("res_attrs"),
+        F.explode("rp.scopeProfiles").alias("sp"),
+    )
+    pr = sp.select("res_attrs", F.explode("sp.profiles").alias("pr"))
+    res_map = _attrs_to_map(F.col("res_attrs"))
+    ts = F.timestamp_micros(F.expr("CAST(pr.timeUnixNano AS LONG) div 1000"))
+    samples_json = F.to_json(
+        F.transform(
+            F.col("pr.samples"),
+            lambda s: F.struct(
+                s["stacktraceIdx"].alias("stacktrace_idx"), s["value"].alias("value")
+            ),
+        )
+    )
+    return pr.select(
+        F.col("pr.profileId").alias("profile_id"),
+        ts.alias("timestamp"),
+        F.col("pr.durationNano").cast("long").alias("duration_nano"),
+        F.col("pr.sampleTypeType").alias("sample_type_type"),
+        F.col("pr.sampleTypeUnit").alias("sample_type_unit"),
+        F.col("pr.period").cast("long").alias("period"),
+        F.coalesce(res_map["service.name"], F.lit("unknown")).alias("service_name"),
+        F.to_json(F.col("pr.stacktraces")).alias("stacktraces_json"),
+        samples_json.alias("samples_json"),
+        res_map.alias("resource_attributes"),
+        _attrs_to_map(F.col("pr.attributes")).alias("attributes"),
+        F.col("pr.traceId").alias("trace_id"),
+        F.col("pr.spanId").alias("span_id"),
+        F.to_date(ts).alias("date_day"),
+        F.hour(ts).alias("hour"),
+    )

@@ -108,3 +108,37 @@ def test_profile_trace_correlation(spark, base):
     some = profiles.filter("trace_id IS NOT NULL").first()
     hits = find_by_trace(profiles, some.trace_id).collect()
     assert hits and all(h.trace_id == some.trace_id for h in hits)
+
+
+def test_flatten_otlp_profiles_to_flamegraph(spark):
+    """The fourth conversion path: OTLP profile payload → flat rows →
+    flamegraph, end to end."""
+    import json
+
+    from signaldb_spark.sources.otlp import flatten_otlp_profiles
+
+    payload = json.dumps({
+        "resourceProfiles": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeProfiles": [{
+                "profiles": [{
+                    "profileId": "ab" * 16,
+                    "timeUnixNano": "1704067200000000000",
+                    "durationNano": "10000000000",
+                    "sampleTypeType": "cpu", "sampleTypeUnit": "nanoseconds",
+                    "period": "10000000",
+                    "stacktraces": [["main", "serve", "db"], ["main", "gc"]],
+                    "samples": [{"stacktraceIdx": 0, "value": 70},
+                                 {"stacktraceIdx": 1, "value": 30}],
+                    "attributes": [], "traceId": "cd" * 16, "spanId": "ef" * 8,
+                }]
+            }]
+        }]
+    })
+    raw = spark.createDataFrame([(payload,)], "value string")
+    rows = flatten_otlp_profiles(raw).collect()
+    assert len(rows) == 1 and rows[0].service_name == "api"
+    assert rows[0].profile_id == "ab" * 16 and rows[0].period == 10000000
+    fg = {r.path: r.value for r in flamegraph(flatten_otlp_profiles(raw)).collect()}
+    assert fg["main"] == 100 and fg["main;serve;db"] == 70 and fg["main;gc"] == 30
