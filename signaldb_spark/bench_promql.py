@@ -132,14 +132,8 @@ ORACLES = {
 }
 
 
-def q_promql_histogram_quantile(spark, sf_dir):
-    """histogram_quantile(0.9) end-to-end: daily histograms built from
-    raw samples (bounds 25/50/100/150), then the engine's posexplode +
-    cumulative-window interpolation (metrics.rs:1061-1278, 2363-2418).
-    """
-    from .promql.ast import VectorSelector
-    from .promql.lowering import lower_histogram_quantile
-
+def _daily_hist(spark, sf_dir):
+    """Daily histograms built from raw event samples, bounds 25/50/100/150."""
     e = load_table(spark, sf_dir, "events")
     v = F.col("value")
     counts = F.array(
@@ -149,7 +143,7 @@ def q_promql_histogram_quantile(spark, sf_dir):
         F.sum(F.when((v > 100) & (v <= 150), 1).otherwise(0)),
         F.sum(F.when(v > 150, 1).otherwise(0)),
     )
-    hist = (
+    return (
         e.groupBy(F.date_trunc("day", F.col("ts")).alias("timestamp"))
         .agg(counts.cast("array<double>").alias("bucket_counts"))
         .select(
@@ -162,6 +156,17 @@ def q_promql_histogram_quantile(spark, sf_dir):
             ),
         )
     )
+
+
+def q_promql_histogram_quantile(spark, sf_dir):
+    """histogram_quantile(0.9) end-to-end: daily histograms built from
+    raw samples (bounds 25/50/100/150), then the engine's posexplode +
+    cumulative-window interpolation (metrics.rs:1061-1278, 2363-2418).
+    """
+    from .promql.ast import VectorSelector
+    from .promql.lowering import lower_histogram_quantile
+
+    hist = _daily_hist(spark, sf_dir)
     ctx = PromCtx(spark, None, None, hist, START, END, DAY)
     out = lower_histogram_quantile(ctx, 0.9, VectorSelector("latency"), rate_mode=False)
     return out.select("bucket", F.round("value", 6).alias("value"))
@@ -192,3 +197,39 @@ FROM r
 
 QUERIES["promql_histogram_quantile"] = q_promql_histogram_quantile
 ORACLES["promql_histogram_quantile"] = ORACLE_PROMQL_HISTOGRAM_QUANTILE
+
+
+def q_promql_histogram_fraction(spark, sf_dir):
+    """histogram_fraction(30, 120, latency): fraction of observations in
+    (30, 120] via cumulative interpolation at both endpoints
+    (metrics.rs:2420-2454), over the same daily histograms as
+    promql_histogram_quantile."""
+    from .promql.ast import VectorSelector
+    from .promql.lowering import lower_histogram_fraction
+
+    hist = _daily_hist(spark, sf_dir)
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    out = lower_histogram_fraction(ctx, 30.0, 120.0, VectorSelector("latency"))
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+# cum(30)  = c1 + c2 * (30-25)/(50-25); cum(120) = c1 + c2 + c3 + c4 * (120-100)/(150-100)
+ORACLE_PROMQL_HISTOGRAM_FRACTION = f"""
+WITH h AS (
+  SELECT {_BUCKET} AS bucket,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+         sum(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c2,
+         sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END)::DOUBLE AS c3,
+         sum(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END)::DOUBLE AS c4,
+         sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::DOUBLE AS c5
+  FROM events GROUP BY 1
+)
+SELECT bucket,
+       round(((c1 + c2 + c3 + c4 * 0.4) - (c1 + c2 * 0.2))
+             / (c1 + c2 + c3 + c4 + c5), 6) AS value
+FROM h
+WHERE c1 + c2 + c3 + c4 + c5 > 0
+"""
+
+QUERIES["promql_histogram_fraction"] = q_promql_histogram_fraction
+ORACLES["promql_histogram_fraction"] = ORACLE_PROMQL_HISTOGRAM_FRACTION

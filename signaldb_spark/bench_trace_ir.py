@@ -191,3 +191,60 @@ FROM j GROUP BY r_name, n_name
 
 QUERIES["flamegraph_rollup"] = q_flamegraph_rollup
 ORACLES["flamegraph_rollup"] = ORACLE_FLAMEGRAPH
+
+
+def q_span_event_filter(spark, sf_dir):
+    """Span-event predicate over the persisted events array
+    (storage-layout.md:335, flight/schema.rs:57-68): lineitem-as-spans
+    where each span carries a [message, exception|log] event list; keep
+    spans with an `exception` event whose linestatus attribute is O,
+    then surface the matching event's fields."""
+    from .traceql.trace_ops import filter_by_event
+
+    l = load_table(spark, sf_dir, "lineitem")
+    ts = (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).cast("long")
+    events = F.array(
+        F.struct(
+            F.lit("message").alias("name"),
+            ts.alias("timestamp_unix_nano"),
+            F.create_map(F.lit("linestatus"), F.col("l_linestatus")).alias("attributes"),
+        ),
+        F.struct(
+            F.when(F.col("l_returnflag") == "R", F.lit("exception"))
+            .otherwise(F.lit("log"))
+            .alias("name"),
+            (ts + 1).alias("timestamp_unix_nano"),
+            F.create_map(F.lit("linestatus"), F.col("l_linestatus")).alias("attributes"),
+        ),
+    )
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
+        events.alias("events"),
+    )
+    matched = filter_by_event(spans, name="exception", attr_key="linestatus", attr_value="O")
+    return (
+        matched.select("trace_id", "span_id", F.explode("events").alias("e"))
+        .filter(F.col("e.name") == "exception")
+        .select(
+            "trace_id",
+            "span_id",
+            F.col("e.name").alias("event_name"),
+            F.col("e.timestamp_unix_nano").alias("event_ts"),
+            F.col("e.attributes")["linestatus"].alias("linestatus"),
+        )
+    )
+
+
+ORACLE_SPAN_EVENT_FILTER = """
+SELECT l_orderkey AS trace_id,
+       l_orderkey * 10 + l_linenumber AS span_id,
+       'exception' AS event_name,
+       CAST(l_orderkey * 1000 + l_linenumber + 1 AS BIGINT) AS event_ts,
+       l_linestatus AS linestatus
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_linestatus = 'O'
+"""
+
+QUERIES["span_event_filter"] = q_span_event_filter
+ORACLES["span_event_filter"] = ORACLE_SPAN_EVENT_FILTER

@@ -134,13 +134,13 @@ def flatten_otlp_logs(raw: DataFrame, json_col: str = "value") -> DataFrame:
     )
     res_map = _attrs_to_map(F.col("res_attrs"))
     attr_map = _attrs_to_map(F.col("r.attributes"))
-    ts = F.timestamp_micros(
-        (F.col("r.timeUnixNano").cast("long") / 1000).cast("long")
-    )
+    # Integer `div`, not float `/`: at 2024+ epochs (~1.7e18 ns) doubles
+    # carry ±128ns error, truncating to the wrong microsecond.
+    ts = F.timestamp_micros(F.expr("CAST(r.timeUnixNano AS LONG) div 1000"))
     return rec.select(
         ts.alias("timestamp"),
         F.timestamp_micros(
-            (F.col("r.observedTimeUnixNano").cast("long") / 1000).cast("long")
+            F.expr("CAST(r.observedTimeUnixNano AS LONG) div 1000")
         ).alias("observed_timestamp"),
         F.col("r.traceId").alias("trace_id"),
         F.col("r.spanId").alias("span_id"),
@@ -201,6 +201,31 @@ OTLP_TRACES_SCHEMA = T.StructType(
                                                         T.StructField("startTimeUnixNano", T.StringType()),
                                                         T.StructField("endTimeUnixNano", T.StringType()),
                                                         T.StructField("attributes", T.ArrayType(_KV)),
+                                                        T.StructField("traceState", T.StringType()),
+                                                        T.StructField(
+                                                            "events",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("timeUnixNano", T.StringType()),
+                                                                        T.StructField("name", T.StringType()),
+                                                                        T.StructField("attributes", T.ArrayType(_KV)),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "links",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("traceId", T.StringType()),
+                                                                        T.StructField("spanId", T.StringType()),
+                                                                        T.StructField("attributes", T.ArrayType(_KV)),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
                                                         T.StructField(
                                                             "status",
                                                             T.StructType(
@@ -250,7 +275,7 @@ def flatten_otlp_traces(raw: DataFrame, json_col: str = "value") -> DataFrame:
     attr_map = _attrs_to_map(F.col("s.attributes"))
     start = F.col("s.startTimeUnixNano").cast("long")
     end = F.col("s.endTimeUnixNano").cast("long")
-    ts = F.timestamp_micros((start / 1000).cast("long"))
+    ts = F.timestamp_micros(F.expr("CAST(s.startTimeUnixNano AS LONG) div 1000"))
     kind_arr = F.array(*[F.lit(k) for k in _SPAN_KINDS])
     status_arr = F.array(*[F.lit(s) for s in _STATUS_CODES])
     return sp.select(
@@ -270,6 +295,26 @@ def flatten_otlp_traces(raw: DataFrame, json_col: str = "value") -> DataFrame:
         (F.nullif(F.col("s.parentSpanId"), F.lit("")).isNull()).alias("is_root"),
         attr_map.alias("span_attributes"),
         res_map.alias("resource_attributes"),
+        # Span events/links persisted at rest (flight/schema.rs:57-84,
+        # storage-layout.md:335-336) — attributes as map, not JSON string,
+        # per the repo's map-only design.
+        F.transform(
+            F.col("s.events"),
+            lambda e: F.struct(
+                e["name"].alias("name"),
+                e["timeUnixNano"].cast("long").alias("timestamp_unix_nano"),
+                _attrs_to_map(e["attributes"]).alias("attributes"),
+            ),
+        ).alias("events"),
+        F.transform(
+            F.col("s.links"),
+            lambda l: F.struct(
+                l["traceId"].alias("trace_id"),
+                l["spanId"].alias("span_id"),
+                _attrs_to_map(l["attributes"]).alias("attributes"),
+            ),
+        ).alias("links"),
+        F.col("s.traceState").alias("trace_state"),
         F.col("scope_name"),
         F.col("scope_version"),
         ts.alias("timestamp"),
@@ -355,6 +400,75 @@ OTLP_METRICS_SCHEMA = T.StructType(
                                                                 ]
                                                             ),
                                                         ),
+                                                        T.StructField(
+                                                            "exponentialHistogram",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField("min", T.DoubleType()),
+                                                                                    T.StructField("max", T.DoubleType()),
+                                                                                    T.StructField("scale", T.IntegerType()),
+                                                                                    T.StructField("zeroCount", T.StringType()),
+                                                                                    T.StructField(
+                                                                                        "positive",
+                                                                                        _EXP_BUCKETS := T.StructType(
+                                                                                            [
+                                                                                                T.StructField("offset", T.IntegerType()),
+                                                                                                T.StructField("bucketCounts", T.ArrayType(T.StringType())),
+                                                                                            ]
+                                                                                        ),
+                                                                                    ),
+                                                                                    T.StructField("negative", _EXP_BUCKETS),
+                                                                                    T.StructField("zeroThreshold", T.DoubleType()),
+                                                                                    T.StructField("flags", T.IntegerType()),
+                                                                                    T.StructField("attributes", T.ArrayType(_KV)),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                    T.StructField("aggregationTemporality", T.IntegerType()),
+                                                                ]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "summary",
+                                                            T.StructType(
+                                                                [
+                                                                    T.StructField(
+                                                                        "dataPoints",
+                                                                        T.ArrayType(
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField("timeUnixNano", T.StringType()),
+                                                                                    T.StructField("count", T.StringType()),
+                                                                                    T.StructField("sum", T.DoubleType()),
+                                                                                    T.StructField(
+                                                                                        "quantileValues",
+                                                                                        T.ArrayType(
+                                                                                            T.StructType(
+                                                                                                [
+                                                                                                    T.StructField("quantile", T.DoubleType()),
+                                                                                                    T.StructField("value", T.DoubleType()),
+                                                                                                ]
+                                                                                            )
+                                                                                        ),
+                                                                                    ),
+                                                                                    T.StructField("flags", T.IntegerType()),
+                                                                                    T.StructField("attributes", T.ArrayType(_KV)),
+                                                                                ]
+                                                                            )
+                                                                        ),
+                                                                    ),
+                                                                ]
+                                                            ),
+                                                        ),
                                                     ]
                                                 )
                                             ),
@@ -400,7 +514,7 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
             F.col(f"m.{kind}").alias("k"),
             F.explode(F.col(f"m.{kind}.dataPoints")).alias("dp"),
         )
-        ts = F.timestamp_micros((F.col("dp.timeUnixNano").cast("long") / 1000).cast("long"))
+        ts = F.timestamp_micros(F.expr("CAST(dp.timeUnixNano AS LONG) div 1000"))
         value = F.coalesce(F.col("dp.asDouble"), F.col("dp.asInt").cast("double"))
         cols = [
             ts.alias("timestamp"),
@@ -427,7 +541,7 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
         F.col("m.histogram.aggregationTemporality").alias("aggregation_temporality"),
         F.explode("m.histogram.dataPoints").alias("dp"),
     )
-    hts = F.timestamp_micros((F.col("dp.timeUnixNano").cast("long") / 1000).cast("long"))
+    hts = F.timestamp_micros(F.expr("CAST(dp.timeUnixNano AS LONG) div 1000"))
     hist = hist_base.select(
         hts.alias("timestamp"),
         F.coalesce(_attrs_to_map(F.col("res_attrs"))["service.name"], F.lit("unknown")).alias(
@@ -443,10 +557,70 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
         F.to_date(hts).alias("date_day"),
         F.hour(hts).alias("hour"),
     )
+    # Exponential histogram / summary flatteners (schema_transform.rs:1493
+    # transform_metrics_exp_histogram, :1698 transform_metrics_summary;
+    # storage-layout.md:555-588). Bucket lists stay typed arrays rather
+    # than the reference's JSON strings — Spark reads them natively.
+    exp_base = base.filter(F.col("m.exponentialHistogram").isNotNull()).select(
+        "res_attrs",
+        F.col("m.name").alias("metric_name"),
+        F.col("m.exponentialHistogram.aggregationTemporality").alias("aggregation_temporality"),
+        F.explode("m.exponentialHistogram.dataPoints").alias("dp"),
+    )
+    ets = F.timestamp_micros(F.expr("CAST(dp.timeUnixNano AS LONG) div 1000"))
+    exp_hist = exp_base.select(
+        ets.alias("timestamp"),
+        F.coalesce(_attrs_to_map(F.col("res_attrs"))["service.name"], F.lit("unknown")).alias(
+            "service_name"
+        ),
+        F.col("metric_name"),
+        F.col("dp.count").cast("long").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.col("dp.min").alias("min"),
+        F.col("dp.max").alias("max"),
+        F.col("dp.scale").alias("scale"),
+        F.col("dp.zeroCount").cast("long").alias("zero_count"),
+        F.col("dp.positive.offset").alias("positive_offset"),
+        F.transform(F.col("dp.positive.bucketCounts"), lambda c: c.cast("long")).alias(
+            "positive_bucket_counts"
+        ),
+        F.col("dp.negative.offset").alias("negative_offset"),
+        F.transform(F.col("dp.negative.bucketCounts"), lambda c: c.cast("long")).alias(
+            "negative_bucket_counts"
+        ),
+        F.col("dp.flags").alias("flags"),
+        F.col("aggregation_temporality"),
+        F.col("dp.zeroThreshold").alias("zero_threshold"),
+        _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        F.to_date(ets).alias("date_day"),
+        F.hour(ets).alias("hour"),
+    )
+    sum_base = base.filter(F.col("m.summary").isNotNull()).select(
+        "res_attrs",
+        F.col("m.name").alias("metric_name"),
+        F.explode("m.summary.dataPoints").alias("dp"),
+    )
+    sts = F.timestamp_micros(F.expr("CAST(dp.timeUnixNano AS LONG) div 1000"))
+    summary = sum_base.select(
+        sts.alias("timestamp"),
+        F.coalesce(_attrs_to_map(F.col("res_attrs"))["service.name"], F.lit("unknown")).alias(
+            "service_name"
+        ),
+        F.col("metric_name"),
+        F.col("dp.count").cast("long").alias("count"),
+        F.col("dp.sum").alias("sum"),
+        F.col("dp.quantileValues").alias("quantile_values"),
+        F.col("dp.flags").alias("flags"),
+        _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        F.to_date(sts).alias("date_day"),
+        F.hour(sts).alias("hour"),
+    )
     return {
         "metrics_gauge": num_points("gauge"),
         "metrics_sum": num_points("sum"),
         "metrics_histogram": hist,
+        "metrics_exp_histogram": exp_hist,
+        "metrics_summary": summary,
     }
 
 

@@ -19,6 +19,10 @@ TRACE_LOOKUP_COLUMNS = [
     "trace_id", "span_id", "parent_span_id", "span_name", "service_name",
     "start_time_unix_nano", "end_time_unix_nano", "duration_nanos",
     "span_kind", "status_code", "status_message", "is_root", "timestamp",
+    # `events` rides on the single-trace path so span exceptions render
+    # (trace.rs:558-573); `links`/`scope_*` stay excluded there, and
+    # search (TRACE_SEARCH_COLUMNS) projects events away too.
+    "events",
 ]
 
 TRACE_SEARCH_COLUMNS = [
@@ -62,23 +66,63 @@ def find_by_id(traces: DataFrame, trace_id: str, start=None, end=None) -> DataFr
     df = traces
     if start is not None and end is not None:
         df = df.filter(F.col("timestamp").between(start, end))
-    return df.filter(F.col("trace_id") == trace_id).select(*TRACE_LOOKUP_COLUMNS)
+    return df.filter(F.col("trace_id") == trace_id).select(
+        *[c for c in TRACE_LOOKUP_COLUMNS if c in df.columns]
+    )
+
+
+def filter_by_event(
+    spans: DataFrame,
+    name: str | None = None,
+    attr_key: str | None = None,
+    attr_value: str | None = None,
+) -> DataFrame:
+    """Keep spans where ANY persisted event matches (name AND attribute
+    equality). The events column is the at-rest array<struct> from
+    flatten_otlp_traces (flight/schema.rs:57-68); `exists` stays a
+    codegen'd higher-order function — no explode, no shuffle."""
+
+    def _match(e):
+        cond = F.lit(True)
+        if name is not None:
+            cond = cond & (e["name"] == name)
+        if attr_key is not None:
+            cond = cond & (e["attributes"][attr_key] == attr_value)
+        return cond
+
+    return spans.filter(F.exists(F.col("events"), _match))
 
 
 def assemble_hierarchy(spans: DataFrame) -> DataFrame:
     """Group spans into one row per trace with a sorted span array —
     the engine-side half of build_span_hierarchy (trace.rs:311-376);
-    client-side tree building consumes parent_span_id."""
+    client-side tree building consumes parent_span_id. Span events and
+    links ride along when the scan projected them (full-fidelity lookup;
+    storage-layout.md:335-336)."""
+    span_fields = [
+        "start_time_unix_nano", "span_id", "parent_span_id",
+        "span_name", "service_name", "duration_nanos", "status_code",
+    ] + [c for c in ("events", "links") if c in spans.columns]
+
+    # Explicit (start_time, span_id) comparator: sort_array's natural
+    # struct ordering breaks once the struct carries map-typed event
+    # attributes (maps aren't orderable), and span_id is unique per
+    # trace so the order is identical on the narrow path.
+    def _cmp(a, b):
+        lt = (a["start_time_unix_nano"] < b["start_time_unix_nano"]) | (
+            (a["start_time_unix_nano"] == b["start_time_unix_nano"])
+            & (a["span_id"] < b["span_id"])
+        )
+        eq = (a["start_time_unix_nano"] == b["start_time_unix_nano"]) & (
+            a["span_id"] == b["span_id"]
+        )
+        return F.when(lt, F.lit(-1)).when(eq, F.lit(0)).otherwise(F.lit(1))
+
     return (
         spans.groupBy("trace_id")
         .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(
-                        "start_time_unix_nano", "span_id", "parent_span_id",
-                        "span_name", "service_name", "duration_nanos", "status_code",
-                    )
-                )
+            F.array_sort(
+                F.collect_list(F.struct(*span_fields)), _cmp
             ).alias("spans"),
             F.min("start_time_unix_nano").alias("trace_start_unix_nano"),
             F.max(F.col("start_time_unix_nano") + F.col("duration_nanos")).alias(

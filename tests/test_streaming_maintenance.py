@@ -199,6 +199,16 @@ def _otlp_trace_payload(trace_id, spans):
                                     "attributes": [
                                         {"key": "http.method", "value": {"stringValue": "GET"}}
                                     ],
+                                    "traceState": "vendor=1",
+                                    "events": [
+                                        {"timeUnixNano": str(s + 500), "name": "exception",
+                                         "attributes": [{"key": "exception.type",
+                                                         "value": {"stringValue": "IOError"}}]}
+                                    ],
+                                    "links": [
+                                        {"traceId": "cc" * 16, "spanId": "dd" * 8,
+                                         "attributes": []}
+                                    ],
                                     "status": {"code": code, "message": ""},
                                 }
                                 for sid, parent, name, s, e, code in spans
@@ -233,6 +243,23 @@ def test_flatten_otlp_traces(spark):
     assert root.duration_nanos == 5_000_000
     assert root.span_attributes["http.method"] == "GET"
     assert root.service_name == "api"
+    # events/links persist at rest (flight/schema.rs:57-84)
+    assert root.events[0].name == "exception"
+    assert root.events[0].timestamp_unix_nano == t0 + 500
+    assert root.events[0].attributes["exception.type"] == "IOError"
+    assert root.links[0].trace_id == "cc" * 16 and root.links[0].span_id == "dd" * 8
+    assert root.trace_state == "vendor=1"
+
+
+def test_otlp_ns_to_us_is_exact(spark):
+    """ns→µs must use integer div: float /1000 drifts ±1µs at 2024+ epochs."""
+    from signaldb_spark.sources.otlp import flatten_otlp_traces
+
+    t0 = 1704067200_000_000_000 + 123_456_789  # odd sub-second ns
+    line = _otlp_trace_payload("ee" * 16, [("aa" * 8, None, "r", t0, t0 + 7, 1)])
+    raw = spark.createDataFrame([(line,)], "value string")
+    row = flatten_otlp_traces(raw).collect()[0]
+    assert row.timestamp.microsecond == 123_456
 
 
 def test_dead_letter_flagging(spark):
@@ -276,6 +303,20 @@ def test_flatten_otlp_metrics_routing(spark):
                              "bucketCounts": ["2", "6", "2"], "explicitBounds": [10.0, 20.0],
                              "attributes": []}],
                         "aggregationTemporality": 2}},
+                    {"name": "lat_exp", "exponentialHistogram": {
+                        "dataPoints": [
+                            {"timeUnixNano": "1704067200000000000", "count": "7", "sum": 70.0,
+                             "min": 1.0, "max": 30.0, "scale": 2, "zeroCount": "1",
+                             "positive": {"offset": 3, "bucketCounts": ["1", "2", "3"]},
+                             "negative": {"offset": 0, "bucketCounts": []},
+                             "zeroThreshold": 1e-9, "flags": 0, "attributes": []}],
+                        "aggregationTemporality": 2}},
+                    {"name": "rpc_lat", "summary": {
+                        "dataPoints": [
+                            {"timeUnixNano": "1704067200000000000", "count": "100", "sum": 250.0,
+                             "quantileValues": [{"quantile": 0.5, "value": 2.0},
+                                                  {"quantile": 0.99, "value": 9.0}],
+                             "flags": 0, "attributes": []}]}},
                 ]
             }]
         }]
@@ -289,7 +330,16 @@ def test_flatten_otlp_metrics_routing(spark):
     assert len(s) == 1 and s[0].value == 42.0 and s[0].is_monotonic
     assert s[0].attributes["path"] == "/v1"
     assert len(h) == 1 and h[0].bucket_counts == [2.0, 6.0, 2.0] and h[0]["count"] == 10
-    assert all(r.service_name == "api" for r in g + s + h)
+    # exp-histogram + summary routing (schema_transform.rs:1493,1698)
+    eh = tables["metrics_exp_histogram"].collect()
+    sm = tables["metrics_summary"].collect()
+    assert len(eh) == 1 and eh[0]["count"] == 7 and eh[0].scale == 2
+    assert eh[0].zero_count == 1 and eh[0].positive_offset == 3
+    assert eh[0].positive_bucket_counts == [1, 2, 3]
+    assert eh[0].aggregation_temporality == 2
+    assert len(sm) == 1 and sm[0]["count"] == 100 and sm[0]["sum"] == 250.0
+    assert [q.quantile for q in sm[0].quantile_values] == [0.5, 0.99]
+    assert all(r.service_name == "api" for r in g + s + h + eh + sm)
 
 
 def test_remote_write_flatten_and_routing(spark):

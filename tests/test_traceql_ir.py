@@ -74,7 +74,10 @@ def test_find_by_id_roundtrip(traces):
     spans = find_by_id(traces, some_id)
     rows = spans.collect()
     assert rows and all(r.trace_id == some_id for r in rows)
-    assert "events" not in spans.columns  # narrow projection
+    # lookup carries events (trace.rs:573) but not links/scope columns;
+    # search assembly stays narrow (TRACE_SEARCH_COLUMNS)
+    assert "events" in spans.columns
+    assert "links" not in spans.columns
 
 
 def test_hierarchy_assembly(traces):
