@@ -55,15 +55,22 @@ FROM documents GROUP BY 1
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    return dd.jaccard_pairs(_docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5)
+    # default df cap engaged — the oracle mirrors the same cap
+    return dd.jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5,
+        max_shingle_df=dd.DEFAULT_MAX_SHINGLE_DF,
+    )
 
 
 ORACLE_DEDUP_JACCARD = f"""
 WITH {TOK_SQL}, {SHINGLE_SQL},
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+keep AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) <= {dd.DEFAULT_MAX_SHINGLE_DF}),
+shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
+  FROM shc a JOIN shc b USING (shingle)
   WHERE a.doc_id < b.doc_id GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -400,21 +407,50 @@ ORACLES = {
 def q_emb_near_dup(spark, sf_dir):
     # this corpus has no planted geometric duplicates; 0.4 sits at the
     # top tail of the cosine distribution so the operator exercises a
-    # non-trivial result set while staying selective
-    return sim.cosine_near_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+    # non-trivial result set while staying selective. LSH-blocked (3
+    # bucket rotations) — the oracle reproduces the buckets in SQL.
+    return sim.cosine_near_dup_pairs(
+        _embs(spark, sf_dir), threshold=0.4, n_bits=4, dims=64, rotations=3
+    )
 
 
+# Candidate pairs share an LSH bucket in any of 3 rotated hyperplane
+# sets (salted md5 weights, identical to similarity.hyperplane_weight);
+# exact cosine inside candidates.
 ORACLE_EMB_NEAR_DUP = """
-WITH norms AS (
+WITH w AS (
+  SELECT r.r AS r, b.b AS b, d.d AS d,
+         strpos('0123456789abcdef',
+                substr(md5('r' || r.r || ':b:' || b.b || ':d:' || d.d), 1, 1)) - 1 - 7.5 AS wt
+  FROM UNNEST(range(0, 3)) r(r), UNNEST(range(0, 4)) b(b), UNNEST(range(0, 64)) d(d)
+),
+proj AS (
+  SELECT e.vec_id, w.r, w.b, sum(e.embedding[w.d + 1]::DOUBLE * w.wt) AS p
+  FROM embeddings e, w
+  GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT vec_id, r,
+         CAST(sum(CASE WHEN p > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.r = b.r AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+norms AS (
   SELECT vec_id, sqrt(sum(x * x)) AS nrm
   FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
   GROUP BY vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         sum(a.embedding[d.d]::DOUBLE * b.embedding[d.d]::DOUBLE) AS dot
-  FROM embeddings a, embeddings b, UNNEST(range(1, 65)) d(d)
-  WHERE a.vec_id < b.vec_id
+  SELECT c.id_a, c.id_b,
+         sum(ea.embedding[d.d]::DOUBLE * eb.embedding[d.d]::DOUBLE) AS dot
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+  , UNNEST(range(1, 65)) d(d)
   GROUP BY 1, 2
 )
 SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine

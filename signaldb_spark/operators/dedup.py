@@ -67,16 +67,22 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+DEFAULT_MAX_SHINGLE_DF = 100
+
+
 def jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All-pairs word-n-gram Jaccard similarity ≥ threshold.
 
     |A∩B| via self-join on shared shingles; |A∪B| = |A|+|B|-|A∩B|.
-    ``max_shingle_df`` drops ubiquitous shingles before the pair join
-    (the df² blowup guard) — a deliberate approximation knob, off by
-    default so the oracle matches exactly.
+    ``max_shingle_df`` drops ubiquitous shingles before the pair join —
+    the df² blowup guard (a shingle in d docs makes d² candidate pairs),
+    ON by default because an uncapped hot shingle is fatal at scale.
+    Sizes (|A|, |B|) stay uncapped, so only the intersection count is
+    approximated — pairs whose overlap rides on ubiquitous shingles may
+    drop below threshold. Pass ``None`` for the exact baseline.
     """
     sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -184,18 +190,46 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
 
 
 def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: int = 16) -> DataFrame:
-    """Near-dup pairs by Hamming distance on the simhash.
+    """Near-dup pairs by Hamming distance on the simhash, via bit-band
+    blocking — the same shape as MinHash banding, and EXACT:
 
-    Exact pairwise here (self-join); the scale path blocks on bit-bands
-    of the simhash exactly like MinHash banding.
+    Split the hash into ``max_hamming + 1`` contiguous bit-bands. By
+    pigeonhole, any pair within hamming ≤ max_hamming differs in at most
+    max_hamming bands, so at least one band is bit-identical — an
+    equi-join per band finds every qualifying pair, and the exact
+    bit_count check inside candidates discards false positives. No
+    cartesian product; candidate volume is bounded by per-band bucket
+    occupancy instead of n².
     """
-    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil; last band may be narrower (high bits are 0)
+    mask = F.lit((1 << width) - 1)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    ex = sim.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")).select(
+        id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
+    )
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", ham)
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

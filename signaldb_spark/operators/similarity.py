@@ -64,20 +64,28 @@ def cosine_topk(
     )
 
 
-def hyperplane_weight(bit: int, dim: int):
+def hyperplane_weight(bit: int, dim: int, salt: str | None = None):
     """Deterministic pseudo-random weight in [-7.5, 7.5]: the first md5
-    nibble of 'b:<bit>:d:<dim>'. Reproducible in any engine with md5."""
-    key = F.concat_ws(":", F.lit("b"), F.lit(bit), F.lit("d"), F.lit(dim))
+    nibble of '[<salt>:]b:<bit>:d:<dim>'. Reproducible in any engine with
+    md5; a salt yields an independent hyperplane set (bucket rotation)."""
+    parts = ([F.lit(salt)] if salt is not None else []) + [
+        F.lit("b"), F.lit(bit), F.lit("d"), F.lit(dim)
+    ]
+    key = F.concat_ws(":", *parts)
     return F.conv(F.substring(F.md5(key), 1, 1), 16, 10).cast("int") - 7.5
 
 
-def lsh_bucket(df: DataFrame, vec_col: str, n_bits: int, dims: int) -> DataFrame:
+def lsh_bucket(
+    df: DataFrame, vec_col: str, n_bits: int, dims: int, salt: str | None = None
+) -> DataFrame:
     """Sign-of-projection LSH bucket id (0..2^n_bits-1) per vector."""
     bucket = None
     for b in range(n_bits):
         proj = None
         for d in range(dims):
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * hyperplane_weight(b, d)
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * hyperplane_weight(
+                b, d, salt
+            )
             proj = term if proj is None else proj + term
         bit = F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**b)
         bucket = bit if bucket is None else bucket + bit
@@ -119,20 +127,40 @@ def lsh_ann_topk(
 
 def cosine_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
-    threshold: float = 0.95,
+    threshold: float = 0.95, n_bits: int = 4, dims: int = 64, rotations: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with cosine ≥
-    threshold — the embedding leg of the dedup family (SURVEY §7.11).
+    """Embedding-cosine near-duplicate pairs: (a < b) with cosine ≥
+    threshold among candidates that share an LSH bucket in ANY of
+    ``rotations`` independent hyperplane sets — the embedding leg of the
+    dedup family (SURVEY §7.11).
 
-    Exact all-pairs baseline; the scale path reuses ``lsh_bucket`` to
-    restrict candidates to matching buckets first.
+    The bucket equi-join replaces the all-pairs cross product (candidate
+    volume ~ rotations × Σ bucket², not n²); recall for a pair at angle
+    θ is 1-(1-(1-θ/π)^n_bits)^rotations — high-cosine pairs land in the
+    same bucket with near-certainty, which is exactly the near-dup
+    regime. ``rotations=0`` (or ``n_bits=0``) falls back to the exact
+    all-pairs baseline for small corpora.
     """
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if rotations <= 0 or n_bits <= 0:
+        a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        cand = None
+        for r in range(rotations):
+            bb = lsh_bucket(base, "v", n_bits, dims, salt=f"r{r}")
+            a = bb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+            b = bb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+            p = (
+                a.join(b, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "va", "vb")
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn(
+        cand.withColumn(
             "cosine",
             F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6),
         )

@@ -89,3 +89,32 @@ def test_aggregation_is_partial_then_final(spark):
     p = plan(all_queries()["count_over_time"](spark, SF_DIR))
     # two HashAggregates around one Exchange = map-side combine
     assert p.count("HashAggregate") >= 2 and "Exchange" in p
+
+
+def test_near_dup_operators_have_no_cartesian(spark):
+    """The near-dup family must block (band/bucket equi-joins), never
+    cross-join: a CartesianProduct or BroadcastNestedLoopJoin here is
+    O(n²) and dead at 100 TB."""
+    for name in ("dedup_simhash", "emb_near_dup", "dedup_minhash_lsh"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_jaccard_candidate_pairs_are_df_bounded(spark):
+    """With the df cap engaged, a hot shingle in d docs contributes at
+    most cap² candidate pairs instead of d²: a corpus where every doc
+    shares one ubiquitous shingle must produce zero candidates once the
+    shingle's df exceeds the cap."""
+    from signaldb_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"common shingle words unique{i} tail{i} end{i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    # 'common shingle words' appears in all 30 docs; cap of 10 drops it,
+    # and no other shingle is shared → zero pairs survive
+    out = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=10)
+    assert out.count() == 0
+    exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=None)
+    assert exact.count() > 0
