@@ -75,8 +75,16 @@ def compact_partition(
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
     writer.parquet(tmp)
-    shutil.rmtree(part_path)
+    # rename-aside swap: old partition moves aside (one rename), new one
+    # moves in (one rename), THEN the old data is deleted — the no-data
+    # window shrinks to a single rename and a crash between the renames
+    # is recoverable from the _old sibling. (The fully windowless path is
+    # storage.manifest.compact_partition_manifest — snapshot-isolated
+    # commits for object stores, where rename isn't atomic at all.)
+    old = os.path.join(table_path, "_compact_tmp", f"{day}-{hour}-old")
+    os.rename(part_path, old)
     os.rename(tmp, part_path)
+    shutil.rmtree(old)
     shutil.rmtree(os.path.join(table_path, "_compact_tmp"), ignore_errors=True)
     return len([f for f in os.listdir(part_path) if f.endswith(".parquet")])
 

@@ -1,0 +1,289 @@
+"""Manifest-committed tables: the object-store-safe commit protocol.
+
+Directory-rename protocols (``os.replace`` of staged files, ``rmtree`` +
+``rename`` partition swaps) assume POSIX atomicity that object stores
+don't offer — on S3/GCS a rename is a copy+delete with a visible window.
+Here a commit is ONE new immutable manifest object:
+
+    table/
+      data/date_day=…/hour=…/<unique-name>.parquet   (never overwritten)
+      _manifests/v00000042.json                      (complete file list)
+
+Writers write data files under names unique per attempt, then commit
+manifest v(N+1) listing the complete resulting file set. The manifest
+write is the transaction point: locally an ``os.link`` put-if-absent
+(fails if the version exists — the loser of a race retries on the next
+version); on S3 the same protocol is a conditional PUT
+(``If-None-Match: *``) of the new version key. Readers resolve the
+highest committed version and read exactly its files, so
+
+- a half-finished writer is invisible (its files are unreferenced),
+- a reader holding version N keeps a consistent snapshot while v(N+1)
+  compacts those files away, because replaced files are deleted by
+  snapshot expiration, not at commit time,
+- a replayed streaming batch is a no-op: batch lineage is recorded in
+  the manifest, and a batch id that already committed is skipped —
+  regardless of how many files the crashed first attempt wrote.
+
+This is the semantics the reference gets from Iceberg snapshots
+(docs/architecture/storage-layout.md; compactor retention/ + orphan/
+jobs); expressed directly because the sandbox has no Iceberg/Delta jars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first — reread and retry."""
+
+
+class ManifestTable:
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.manifest_dir = os.path.join(table_path, MANIFEST_DIR)
+        self.data_dir = os.path.join(table_path, DATA_DIR)
+
+    # ------------------------------------------------------------ versions
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    out.append(int(name[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def current_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:08d}.json")
+
+    def load_manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return {"version": 0, "files": [], "batches": []}
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
+    # -------------------------------------------------------------- commit
+
+    def _put_if_absent(self, manifest: dict, version: int) -> None:
+        """Atomic create-if-not-exists of the version object. ``os.link``
+        raises FileExistsError if the target exists (the POSIX analog of
+        a conditional PUT); the temp file is always cleaned up."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        try:
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError as e:
+            raise CommitConflict(version) from e
+        finally:
+            os.unlink(tmp)
+
+    def commit(
+        self,
+        add_files: list[str],
+        remove_files: list[str] | tuple = (),
+        batch_id: int | str | None = None,
+        max_retries: int = 20,
+    ) -> bool:
+        """Commit a snapshot: current files − removed + added. Paths are
+        relative to ``data/``. Returns False (no commit) if ``batch_id``
+        already appears in the lineage — the idempotent-replay guard.
+        Optimistic concurrency: on version collision, reread and retry.
+        """
+        removed = set(remove_files)
+        for _ in range(max_retries):
+            cur = self.load_manifest()
+            if batch_id is not None and batch_id in cur["batches"]:
+                return False
+            files = [f for f in cur["files"] if f not in removed] + list(add_files)
+            manifest = {
+                "version": cur["version"] + 1,
+                "files": sorted(files),
+                "batches": cur["batches"] + ([batch_id] if batch_id is not None else []),
+            }
+            try:
+                self._put_if_absent(manifest, cur["version"] + 1)
+                return True
+            except CommitConflict:
+                continue
+        raise RuntimeError(f"commit contention exceeded {max_retries} retries")
+
+    # ---------------------------------------------------------------- read
+
+    def files(self, version: int | None = None) -> list[str]:
+        return [
+            os.path.join(self.data_dir, f) for f in self.load_manifest(version)["files"]
+        ]
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """Snapshot read: exactly the committed file set (explicit list +
+        basePath keeps hive-style partition columns AND partition
+        pruning). None for an empty table — no schema to synthesize."""
+        fs = self.files(version)
+        if not fs:
+            return None
+        return spark.read.option("basePath", self.data_dir).parquet(*fs)
+
+    # ------------------------------------------------------- housekeeping
+
+    def _all_data_files(self) -> list[str]:
+        out = []
+        for root, _dirs, names in os.walk(self.data_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    out.append(
+                        os.path.relpath(os.path.join(root, n), self.data_dir)
+                    )
+        return out
+
+    def find_orphans(self) -> list[str]:
+        """Data files referenced by NO retained manifest — crashed write
+        attempts and compacted-away files past expiration (the
+        compactor's orphan-detection job, src/compactor/src/orphan/)."""
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self.load_manifest(v)["files"])
+        return sorted(set(self._all_data_files()) - live)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop old manifests (keep the newest ``keep_last``), then
+        delete data files no retained snapshot references. Readers that
+        resolved a retained version stay consistent — this, not commit,
+        is the only place data files die (snapshot expiration,
+        src/compactor/src/retention/)."""
+        vs = self.versions()
+        for v in vs[:-keep_last] if keep_last > 0 else vs:
+            os.unlink(self._manifest_path(v))
+        orphans = self.find_orphans()
+        for rel in orphans:
+            path = os.path.join(self.data_dir, rel)
+            os.unlink(path)
+            # prune now-empty partition dirs
+            d = os.path.dirname(path)
+            while d != self.data_dir and os.path.isdir(d) and not os.listdir(d):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+        return orphans
+
+
+# ------------------------------------------------------------------ writers
+
+
+def _stage_into_data(staging: str, data_dir: str, prefix: str) -> list[str]:
+    """Move staged hive-layout parquet files under unique names in
+    data/. The move is local simulation of a direct-to-final-key upload
+    (what an object-store committer does); uniqueness per attempt means
+    nothing is ever overwritten."""
+    rel_files = []
+    for root, _dirs, names in os.walk(staging):
+        rel = os.path.relpath(root, staging)
+        for i, n in enumerate(sorted(names)):
+            if not n.endswith(".parquet"):
+                continue
+            dest_dir = os.path.join(data_dir, rel) if rel != "." else data_dir
+            os.makedirs(dest_dir, exist_ok=True)
+            fname = f"{prefix}-{i:05d}.parquet"
+            os.replace(os.path.join(root, n), os.path.join(dest_dir, fname))
+            rel_files.append(
+                os.path.relpath(os.path.join(dest_dir, fname), data_dir)
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return rel_files
+
+
+def write_batch_manifest(
+    df: DataFrame,
+    table_path: str,
+    table: str,
+    batch_id: int | str,
+    partition_cols: tuple[str, ...] = ("date_day", "hour"),
+) -> bool:
+    """foreachBatch sink with manifest commit: idempotent under
+    at-least-once replay even when the replay produces a different file
+    count (each attempt's names carry a fresh attempt id; only the
+    committing attempt's files enter the manifest; the rest are orphans
+    for expire_snapshots). Returns True if this call committed."""
+    from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
+
+    mt = ManifestTable(table_path)
+    if batch_id in mt.load_manifest()["batches"]:
+        return False
+    attempt = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_path, "_staging", f"batch-{batch_id}-{attempt}")
+    sort_cols = [c for c in SORT_ORDERS.get(table, []) if c in df.columns]
+    sorted_df = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    writer = sorted_df.write.mode("overwrite").partitionBy(*partition_cols)
+    for k, v in BLOOM_WRITE_OPTIONS.items():
+        writer = writer.option(k, v)
+    writer.parquet(staging)
+    rel_files = _stage_into_data(staging, mt.data_dir, f"batch-{batch_id}-{attempt}")
+    return mt.commit(rel_files, batch_id=batch_id)
+
+
+def compact_partition_manifest(
+    spark: SparkSession,
+    table_path: str,
+    table: str,
+    day: str,
+    hour: int,
+    target_files: int = 1,
+) -> int:
+    """Compact one (day, hour) partition under snapshot isolation: write
+    the coalesced+sorted replacement files, then ONE manifest commit
+    that swaps them in. Concurrent readers on the previous version keep
+    reading the old files (deleted only by expire_snapshots); there is
+    no window where the partition is absent. Returns file count after.
+    """
+    from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
+
+    mt = ManifestTable(table_path)
+    part_rel = os.path.join(f"date_day={day}", f"hour={hour}") + os.sep
+    old = [f for f in mt.load_manifest()["files"] if f.startswith(part_rel)]
+    if not old:
+        return 0
+    df = spark.read.option("basePath", mt.data_dir).parquet(
+        *[os.path.join(mt.data_dir, f) for f in old]
+    )
+    sort_cols = [c for c in SORT_ORDERS.get(table, ["timestamp"]) if c in df.columns]
+    attempt = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_path, "_staging", f"compact-{day}-{hour}-{attempt}")
+    out = df.drop("date_day", "hour").repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    for k, v in BLOOM_WRITE_OPTIONS.items():
+        writer = writer.option(k, v)
+    writer.parquet(staging)
+    # staged files land inside the existing partition directory
+    part_dir = os.path.join(mt.data_dir, f"date_day={day}", f"hour={hour}")
+    os.makedirs(part_dir, exist_ok=True)
+    rel_files = []
+    for i, n in enumerate(sorted(os.listdir(staging))):
+        if not n.endswith(".parquet"):
+            continue
+        fname = f"compact-{attempt}-{i:05d}.parquet"
+        os.replace(os.path.join(staging, n), os.path.join(part_dir, fname))
+        rel_files.append(os.path.join(f"date_day={day}", f"hour={hour}", fname))
+    shutil.rmtree(staging, ignore_errors=True)
+    mt.commit(rel_files, remove_files=old)
+    return len(rel_files)

@@ -73,6 +73,15 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
     writer.parquet(staging)
+    # a crashed earlier attempt may have moved MORE files than this
+    # replay produces (parallelism change, speculative tasks): sweep the
+    # batch's files table-wide first so the replay fully supersedes it
+    prefix = f"batch-{batch_id}-"
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for f in files:
+            if f.startswith(prefix) and f.endswith(".parquet"):
+                os.unlink(os.path.join(root, f))
     # move files under deterministic names: replay overwrites, never dupes
     for root, _dirs, files in os.walk(staging):
         rel = os.path.relpath(root, staging)

@@ -1,0 +1,131 @@
+"""Manifest-committed table protocol: snapshot isolation, idempotent
+replay, orphan GC, commit races — the object-store-safe path that
+replaces directory renames (storage/manifest.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from signaldb_spark.storage.manifest import (
+    CommitConflict,
+    ManifestTable,
+    compact_partition_manifest,
+    write_batch_manifest,
+)
+
+
+def _rows(spark, n, day="2024-01-01", hour=3):
+    return spark.range(n).select(
+        F.col("id"),
+        F.lit(day).alias("date_day"),
+        F.lit(hour).alias("hour"),
+        (F.col("id") * 2).alias("value"),
+    )
+
+
+def test_idempotent_replay_with_different_file_counts(spark, tmp_path):
+    table = str(tmp_path / "t")
+    df = _rows(spark, 100)
+    assert write_batch_manifest(df.repartition(4), table, "logs", batch_id=7)
+    mt = ManifestTable(table)
+    assert mt.read(spark).count() == 100
+    # replay of batch 7 with DIFFERENT parallelism: no-op, no dupes
+    assert not write_batch_manifest(df.repartition(2), table, "logs", batch_id=7)
+    assert mt.read(spark).count() == 100
+    # a new batch appends
+    assert write_batch_manifest(_rows(spark, 50), table, "logs", batch_id=8)
+    assert mt.read(spark).count() == 150
+
+
+def test_crashed_attempt_is_invisible_and_gc_able(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10), table, "logs", batch_id=1)
+    mt = ManifestTable(table)
+    # simulate a crashed attempt: files land in data/ but no commit
+    part = os.path.join(mt.data_dir, "date_day=2024-01-01", "hour=3")
+    committed = set(os.listdir(part))
+    stray = os.path.join(part, "batch-2-deadbeef-00000.parquet")
+    with open(next(os.path.join(part, f) for f in committed), "rb") as fh:
+        payload = fh.read()
+    with open(stray, "wb") as fh:
+        fh.write(payload)
+    # readers see only the committed snapshot
+    assert mt.read(spark).count() == 10
+    assert mt.find_orphans() == [
+        os.path.relpath(stray, mt.data_dir)
+    ]
+    mt.expire_snapshots(keep_last=1)
+    assert not os.path.exists(stray)
+    assert mt.read(spark).count() == 10
+
+
+def test_concurrent_reader_survives_compaction(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for b in range(4):
+        write_batch_manifest(_rows(spark, 25).repartition(3), table, "logs", batch_id=b)
+    mt = ManifestTable(table)
+    v_before = mt.current_version()
+    reader = mt.read(spark, version=v_before)  # snapshot pinned to v_before
+    n_files = compact_partition_manifest(spark, table, "logs", "2024-01-01", 3)
+    assert n_files == 1
+    # the pinned reader still collects — old files exist until expiration
+    assert reader.count() == 100
+    # fresh read sees the compacted snapshot, same rows
+    after = mt.read(spark)
+    assert after.count() == 100
+    assert after.inputFiles() and len(after.inputFiles()) == 1
+    # expiration retires the pre-compaction files
+    dropped = mt.expire_snapshots(keep_last=1)
+    assert len(dropped) == 12  # 4 batches × 3 files
+    assert mt.read(spark).count() == 100
+
+
+def test_partition_pruning_survives_manifest_read(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10, hour=3), table, "logs", batch_id=1)
+    write_batch_manifest(_rows(spark, 10, hour=4), table, "logs", batch_id=2)
+    mt = ManifestTable(table)
+    df = mt.read(spark).filter(F.col("hour") == 3)
+    assert df.count() == 10
+    # partition columns come from the hive layout → pruned at planning
+    # (PartitionFilters, not a data filter)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "(hour" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_commit_conflict_retries(spark, tmp_path):
+    table = str(tmp_path / "t")
+    mt = ManifestTable(table)
+    os.makedirs(mt.data_dir, exist_ok=True)
+    mt.commit(["a.parquet"])
+    # another writer steals version 2
+    mt._put_if_absent({"version": 2, "files": ["a.parquet", "x.parquet"], "batches": []}, 2)
+    with pytest.raises(CommitConflict):
+        mt._put_if_absent({"version": 2, "files": [], "batches": []}, 2)
+    # high-level commit retries onto version 3 and preserves the winner's file
+    mt.commit(["b.parquet"])
+    assert mt.current_version() == 3
+    assert set(mt.load_manifest()["files"]) == {"a.parquet", "b.parquet", "x.parquet"}
+
+
+def test_retention_via_manifest_commit(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10, day="2024-01-01"), table, "logs", batch_id=1)
+    write_batch_manifest(_rows(spark, 10, day="2024-01-02"), table, "logs", batch_id=2)
+    mt = ManifestTable(table)
+    old_day = [f for f in mt.load_manifest()["files"] if f.startswith("date_day=2024-01-01")]
+    mt.commit([], remove_files=old_day)
+    assert mt.read(spark).count() == 10
+    assert {str(r.date_day) for r in mt.read(spark).select("date_day").distinct().collect()} == {
+        "2024-01-02"
+    }
