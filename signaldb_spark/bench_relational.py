@@ -189,26 +189,81 @@ ORDER BY event_type LIMIT 1000
 
 def q_detected_fields(spark, sf_dir):
     """detected_fields: per attribute key, sniffed type + distinct-count
-    (logs.rs:483-577). The props JSON is the attribute document; exact
-    distinct here (the reference reports a lower bound)."""
+    (logs.rs:483-577). Per-value classification (true/false → bool, then
+    integer format, then float parse, else string) and the reference's
+    per-key resolution: all-bool → boolean, int-only → int, int+float →
+    float, any string → string. The rendered-value documents here are
+    synthesized from event columns so every branch is exercised; exact
+    distinct (the reference reports a capped lower bound)."""
     e = load_table(spark, sf_dir, "events")
-    k = e.select(F.get_json_object("props", "$.k").alias("v")).filter(F.col("v").isNotNull())
-    typed = k.select(
-        "v",
-        F.lit("k").alias("field"),
-        F.when(F.col("v").try_cast("long").isNotNull(), "int").otherwise("string").alias("dtype"),
+    uid = F.col("user_id").cast("string")
+    rendered = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("flag"), F.when(F.col("event_type") == "purchase", "true").otherwise("false"),
+        F.lit("ratio"), F.concat(uid, F.lit(".5")),
+        F.lit("mix"), F.when(F.col("user_id") % 2 == 0, uid).otherwise(
+            F.concat(uid, F.lit(".5"))
+        ),
+        F.lit("type"), F.col("event_type"),
     )
-    return typed.groupBy("field", "dtype").agg(F.count_distinct(F.col("v")).alias("cardinality"))
+    kv = e.select(F.explode(rendered).alias("field", "v")).filter(F.col("v").isNotNull())
+    is_bool = F.col("v").isin("true", "false")
+    is_int = F.col("v").rlike("^[+-]?[0-9]+$")
+    is_float = F.col("v").try_cast("double").isNotNull()
+    agg = kv.groupBy("field").agg(
+        F.max((~is_bool & ~is_int & ~is_float).cast("int")).alias("s"),
+        F.max((~is_bool & is_int).cast("int")).alias("i"),
+        F.max((~is_bool & ~is_int & is_float).cast("int")).alias("f"),
+        F.max(is_bool.cast("int")).alias("b"),
+        F.count_distinct(F.col("v")).alias("cardinality"),
+    )
+    dtype = (
+        F.when((F.col("s") == 0) & (F.col("i") == 0) & (F.col("f") == 0) & (F.col("b") == 1),
+               "boolean")
+        .when((F.col("s") == 0) & (F.col("i") == 1) & (F.col("f") == 0) & (F.col("b") == 0),
+              "int")
+        .when((F.col("s") == 0) & (F.col("f") == 1) & (F.col("b") == 0), "float")
+        .otherwise("string")
+    )
+    return agg.select("field", dtype.alias("dtype"), "cardinality")
 
 
 ORACLE_DETECTED_FIELDS = """
-SELECT 'k' AS field,
-       CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
-            THEN 'int' ELSE 'string' END AS dtype,
-       count(DISTINCT json_extract_string(props, '$.k')) AS cardinality
-FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
-GROUP BY 1, 2
+WITH kv AS (
+  SELECT 'k' AS field, json_extract_string(props, '$.k') AS v FROM events
+  UNION ALL
+  SELECT 'flag', CASE WHEN event_type = 'purchase' THEN 'true' ELSE 'false' END FROM events
+  UNION ALL
+  SELECT 'ratio', CAST(user_id AS VARCHAR) || '.5' FROM events
+  UNION ALL
+  SELECT 'mix', CASE WHEN user_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+                     ELSE CAST(user_id AS VARCHAR) || '.5' END FROM events
+  UNION ALL
+  SELECT 'type', event_type FROM events
+),
+cls AS (
+  SELECT field, v,
+         v IN ('true', 'false') AS isb,
+         regexp_matches(v, '^[+-]?[0-9]+$') AS isi,
+         TRY_CAST(v AS DOUBLE) IS NOT NULL AS isf
+  FROM kv WHERE v IS NOT NULL
+),
+agg AS (
+  SELECT field,
+         max(CASE WHEN NOT isb AND NOT isi AND NOT isf THEN 1 ELSE 0 END) AS s,
+         max(CASE WHEN NOT isb AND isi THEN 1 ELSE 0 END) AS i,
+         max(CASE WHEN NOT isb AND NOT isi AND isf THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN isb THEN 1 ELSE 0 END) AS b,
+         count(DISTINCT v) AS cardinality
+  FROM cls GROUP BY field
+)
+SELECT field,
+       CASE WHEN s = 0 AND i = 0 AND f = 0 AND b = 1 THEN 'boolean'
+            WHEN s = 0 AND i = 1 AND f = 0 AND b = 0 THEN 'int'
+            WHEN s = 0 AND f = 1 AND b = 0 THEN 'float'
+            ELSE 'string' END AS dtype,
+       cardinality
+FROM agg
 """
 
 

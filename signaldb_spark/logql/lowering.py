@@ -64,6 +64,8 @@ class LowerCtx:
     start: str  # inclusive window bounds (timestamp strings or datetimes)
     end: str
     step_seconds: int
+    tenant: str = "acme"  # demand-recording identity (attr_demand.rs keys)
+    dataset: str = "prod"
 
 
 def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
@@ -140,15 +142,42 @@ def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:
 
 
 def _group_index(regex: str, name: str) -> int:
-    """1-based index of the named group within the pattern."""
+    """1-based index of the named group within the pattern.
+
+    A real scanner, not a finditer: escaped ``\\(``, char-class ``[(]``,
+    and every ``(?…`` construct (lookarounds, flags, ``(?:``) must NOT
+    count as capture groups — miscounting silently extracts the wrong
+    group. Raises if the name is absent (index 0 would mean
+    whole-match to regexp_extract)."""
     import re as _re
 
     idx = 0
-    for m in _re.finditer(r"\((?!\?:)(\?P<([a-zA-Z_][a-zA-Z0-9_]*)>)?", regex):
-        idx += 1
-        if m.group(2) == name:
-            return idx
-    return 0
+    i, n = 0, len(regex)
+    in_class = False
+    while i < n:
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            rest = regex[i + 1:]
+            m = _re.match(r"\?P?<([a-zA-Z_][a-zA-Z0-9_]*)>", rest)
+            if m:  # named capture (?P<x> / (?<x> — not (?<= (?<! lookbehinds
+                idx += 1
+                if m.group(1) == name:
+                    return idx
+            elif not rest.startswith("?"):
+                idx += 1  # plain capture group
+        i += 1
+    raise ValueError(f"named group {name!r} not found in regex")
 
 
 def _anchored(pattern: str) -> str:
@@ -238,6 +267,9 @@ def query_logs(
 ) -> DataFrame:
     """Log (non-metric) query: filter + direction sort + limit
     (shape_log_query, logs.rs:638-660)."""
+    from ..maintenance import attr_demand
+
+    attr_demand.record_logql_query(sel, ctx.tenant, ctx.dataset, ctx.logs.columns)
     df = apply_selector(ctx, sel)
     order = F.col("timestamp").desc() if direction == "backward" else F.col("timestamp").asc()
     return df.orderBy(order).limit(limit)
@@ -425,11 +457,14 @@ def _spine(ctx: LowerCtx) -> DataFrame:
 
 def query_metric(ctx: LowerCtx, query: str) -> DataFrame:
     """Parse + lower + order (the query_metric entry, logs.rs:170)."""
+    from ..maintenance import attr_demand
     from .parser import parse
 
     expr = parse(query)
     if isinstance(expr, LogSelector):
         raise ValueError("not a metric query")
+    # demand recording at the entrypoint (logs.rs:148,232)
+    attr_demand.record_logql_query(expr, ctx.tenant, ctx.dataset, ctx.logs.columns)
     out = eval_metric(ctx, expr)
     series = [c for c in out.columns if c not in ("bucket", "value")]
     return out.orderBy("bucket", *series)

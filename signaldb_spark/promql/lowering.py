@@ -517,10 +517,18 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
         return ts.topk_per_bucket(inner, int(a.param or 1), series, bottom=a.op == "bottomk")
     if a.op == "count_values":
         # count series per distinct value; the value becomes an output
-        # label named by the string param (metrics.rs:1910-1949)
+        # label named by the string param, and by()/without() grouping
+        # labels are preserved like any other aggregator
+        # (metrics.rs:1910-1949)
         label = str(a.param)
+        grouping = _route_labels(a.grouping, series)
+        keep = (
+            [c for c in series if c not in grouping]
+            if a.without
+            else [c for c in series if c in grouping]
+        )
         return (
-            inner.groupBy("bucket", F.col("value").cast("string").alias(label))
+            inner.groupBy("bucket", *keep, F.col("value").cast("string").alias(label))
             .agg(F.count(F.lit(1)).cast("double").alias("value"))
         )
     grouping = _route_labels(a.grouping, series)

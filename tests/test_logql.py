@@ -275,3 +275,50 @@ def test_regexp_stage_named_groups(ctx):
     sel2 = parse('{service_name="api"} | logfmt | status = "500"')
     n2 = query_logs(ctx, sel2, limit=100000).count()
     assert n == n2 and n > 0
+
+
+def test_group_index_skips_noncapture_constructs():
+    """Escaped parens, char-class parens, lookarounds, and (?:...) must
+    not count as capture groups — a miscount extracts the wrong group."""
+    from signaldb_spark.logql.lowering import _group_index
+
+    rx = r"\((?=x)[()](?:no)(?P<a>\d+) (b) (?P<c>\w+)"
+    assert _group_index(rx, "a") == 1
+    assert _group_index(rx, "c") == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _group_index(rx, "missing")
+
+
+def test_regexp_stage_after_lookahead(ctx):
+    """A regexp stage whose pattern contains a lookahead still extracts
+    the right named group (the old finditer counted (?=…) as a group)."""
+    sel = parse(r'{service_name="api"} | regexp "(?=.*status=)\S+ (?P<st>status=\d+)" | st =~ "status=5.*"')
+    n = query_logs(ctx, sel, limit=100000).count()
+    assert n > 0
+
+
+def test_attr_demand_recorded_at_entrypoints(ctx):
+    """Query-filter hits on non-dedicated labels feed the promotion
+    loop (attr_demand.rs; record_attr_demand logs.rs:1375-1378):
+    well-known labels (already materialized) are not recorded."""
+    from signaldb_spark.maintenance import attr_demand
+
+    attr_demand.drain()  # isolate
+    # service_name is WELL_KNOWN; namespace has a promoted label_namespace
+    # column — only region (map-only) is a promotion candidate
+    sel = parse('{service_name="api", namespace="default", region="us-east"}')
+    query_logs(ctx, sel, limit=5)
+    query_metric(ctx, 'sum(count_over_time({region="us-east"}[5m]))')
+    demand = attr_demand.demand_map("acme", "prod", "logs")
+    assert demand == {"region": 2}
+    drained = attr_demand.drain()
+    assert drained == {("acme", "prod", "logs", "region"): 2}
+    assert attr_demand.peek() == {}
+    # promotion consumes the drained counters
+    from signaldb_spark.maintenance.jobs import attribute_stats, promotion_decisions
+
+    stats = attribute_stats(ctx.logs)
+    decisions = promotion_decisions(stats, demand={"region": 2}).collect()
+    assert any(r.key == "region" for r in decisions)

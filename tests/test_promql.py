@@ -218,6 +218,27 @@ def test_count_values(ctx):
     assert hasattr(row, "cpu_bucket") and row.value >= 1.0
 
 
+def test_count_values_preserves_by_grouping(ctx):
+    """count_values by (service) must keep the grouping label instead of
+    collapsing services together (metrics.rs:1910-1949)."""
+    got = query_range(
+        ctx, 'count_values by (service_name) ("cpu_bucket", round(process_cpu_usage, 0.25))'
+    ).collect()
+    assert got
+    assert hasattr(got[0], "service_name") and hasattr(got[0], "cpu_bucket")
+    services = {r.service_name for r in got}
+    assert len(services) > 1
+    # per (bucket, cpu_bucket): the ungrouped count equals the sum over services
+    plain = query_range(
+        ctx, 'count_values("cpu_bucket", round(process_cpu_usage, 0.25))'
+    ).collect()
+    plain_map = {(r.bucket, r.cpu_bucket): r.value for r in plain}
+    summed: dict = {}
+    for r in got:
+        summed[(r.bucket, r.cpu_bucket)] = summed.get((r.bucket, r.cpu_bucket), 0.0) + r.value
+    assert summed == plain_map
+
+
 def test_at_modifier_pins_instant(ctx):
     """@ <epoch>: every output bucket carries the value evaluated at the
     pinned instant."""
