@@ -89,6 +89,53 @@ def compact_partition(
     return len([f for f in os.listdir(part_path) if f.endswith(".parquet")])
 
 
+def compaction_cycle(
+    spark: SparkSession,
+    base: str,
+    tenant: str,
+    dataset: str,
+    table: str,
+    lateness_seconds: int = 3600,
+    now: dt.datetime | None = None,
+    manager=None,
+    target_files: int = 1,
+) -> list[tuple[str, int]]:
+    """One compactor pass over a table, safe to run from many instances
+    at once (the reference's run loop: planner → lease → rewriter,
+    src/compactor/src/lib.rs): enumerate closed partitions, take the
+    per-partition lease, compact, release. Partitions whose lease is
+    held by a live peer are skipped — duplicate work is prevented, not
+    just tolerated. Returns the partitions this instance compacted."""
+    from ..catalog import signal_table_path
+    from .lease import LeaseManager, partition_unit
+
+    now = now or dt.datetime.now(dt.UTC).replace(tzinfo=None)
+    manager = manager or LeaseManager(base)
+    table_path = signal_table_path(base, tenant, dataset, table)
+    done: list[tuple[str, int]] = []
+    for day, hour in list_hour_partitions(table_path):
+        if not is_partition_closed(hour, dt.date.fromisoformat(day), lateness_seconds, now):
+            continue
+        # planner candidate check: a partition already at/under the file
+        # target needs no rewrite (small-file candidates only,
+        # src/compactor/src/planner.rs)
+        files = [
+            f for f in os.listdir(_part_path(table_path, day, hour))
+            if f.endswith(".parquet")
+        ]
+        if len(files) <= target_files:
+            continue
+        lease = manager.try_acquire(partition_unit(tenant, dataset, table, day, hour))
+        if lease is None:
+            continue
+        try:
+            compact_partition(spark, table_path, table, day, hour, target_files)
+            done.append((day, hour))
+        finally:
+            manager.release(lease)
+    return done
+
+
 def apply_retention(
     table_path: str, keep: set[tuple[str, int]]
 ) -> list[tuple[str, int]]:
@@ -109,9 +156,11 @@ def apply_retention(
 def attribute_stats(df: DataFrame, attr_col: str = "log_attributes") -> DataFrame:
     """Per-key presence count + approximate cardinality over a table —
     the promotion-input stats pass (src/compactor/src/attr_stats.rs),
-    as one explode + aggregate."""
-    total = df.count()
+    as one explode + aggregate. The row total for the presence ratio is
+    a broadcast-joined scalar from the same job (count-star resolves
+    from parquet footers), not a separate collect-then-count action."""
     exploded = df.select(F.explode_outer(F.col(attr_col)).alias("key", "val"))
+    total_df = df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
     return (
         exploded.filter(F.col("key").isNotNull())
         .groupBy("key")
@@ -119,7 +168,9 @@ def attribute_stats(df: DataFrame, attr_col: str = "log_attributes") -> DataFram
             F.count(F.lit(1)).alias("presence"),
             F.approx_count_distinct("val").alias("approx_cardinality"),
         )
-        .withColumn("presence_ratio", F.round(F.col("presence") / F.lit(total), 6))
+        .crossJoin(F.broadcast(total_df))
+        .withColumn("presence_ratio", F.round(F.col("presence") / F.col("_total"), 6))
+        .drop("_total")
     )
 
 

@@ -409,3 +409,96 @@ def test_detected_labels_includes_materialized(spark, ingested):
     assert "env" in labels and "idx" in labels
     assert "namespace" in labels  # from label_namespace materialized column
     assert labels == sorted(labels)
+
+
+# ------------------------------------------------------------ leases
+
+
+def test_lease_acquire_contention_and_release(tmp_path):
+    """Two compactor instances contend for one work unit: exactly one
+    wins; release frees the unit (LeaseManager::try_acquire/release,
+    src/compactor/src/lease/mod.rs)."""
+    from signaldb_spark.maintenance.lease import LeaseManager, partition_unit
+
+    base = str(tmp_path)
+    a = LeaseManager(base, holder_id="a", ttl_seconds=300)
+    b = LeaseManager(base, holder_id="b", ttl_seconds=300)
+    unit = partition_unit("acme", "prod", "logs", "2024-01-01", 3)
+    la = a.try_acquire(unit)
+    assert la is not None and la.holder_id == "a"
+    assert b.try_acquire(unit) is None  # held and live
+    # an unrelated unit is independently acquirable
+    assert b.try_acquire(partition_unit("acme", "prod", "logs", "2024-01-01", 4))
+    a.release(la)
+    lb = b.try_acquire(unit)
+    assert lb is not None and lb.holder_id == "b"
+
+
+def test_lease_expiry_takeover_and_lost_renew(tmp_path):
+    """An expired lease (crashed holder) is taken over automatically;
+    the late original holder's renew reports the lease lost."""
+    from signaldb_spark.maintenance.lease import LeaseManager
+
+    clock = [1000.0]
+    base = str(tmp_path)
+    a = LeaseManager(base, holder_id="a", ttl_seconds=10, now=lambda: clock[0])
+    b = LeaseManager(base, holder_id="b", ttl_seconds=10, now=lambda: clock[0])
+    la = a.try_acquire("u")
+    assert la is not None
+    clock[0] = 1005.0
+    assert b.try_acquire("u") is None  # still live
+    renewed = a.renew(la)
+    assert renewed is not None and renewed.expires_at == 1015.0
+    clock[0] = 1020.0  # past the renewed expiry → crashed-holder takeover
+    lb = b.try_acquire("u")
+    assert lb is not None and lb.holder_id == "b"
+    assert a.renew(renewed) is None  # lost — holder must stop
+    a.release(renewed)  # no-op: must not disturb b's lease
+    assert b.renew(lb) is not None
+
+
+def test_compaction_cycle_multi_instance(spark, tmp_path):
+    """Two concurrent compactor passes split the closed partitions with
+    no overlap and no loss — the lease-guarded run loop
+    (src/compactor/src/lib.rs planner→lease→rewriter)."""
+    from signaldb_spark.maintenance.jobs import compaction_cycle
+    from signaldb_spark.maintenance.lease import LeaseManager, partition_unit
+
+    base = str(tmp_path)
+    path = signal_table_path(base, "acme", "prod", "logs")
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), f"log {h}:{m}", "2024-01-01", h)
+        for h in range(4)
+        for m in range(0, 60, 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, body string, date_day string, hour int"
+    )
+    df.repartition(3).write.partitionBy("date_day", "hour").parquet(path)
+    now = dt.datetime(2024, 1, 2)  # everything closed
+    candidates = {
+        (d, h)
+        for d, h in list_hour_partitions(path)
+        if len([f for f in os.listdir(os.path.join(path, f"date_day={d}", f"hour={h}"))
+                if f.endswith(".parquet")]) > 1
+    }
+    assert len(candidates) >= 2
+    # instance A holds one candidate's lease mid-work; B's cycle must
+    # skip exactly that partition and compact the rest
+    a = LeaseManager(base, holder_id="a")
+    held_day, held_hour = sorted(candidates)[0]
+    held = a.try_acquire(partition_unit("acme", "prod", "logs", held_day, held_hour))
+    assert held is not None
+    b_done = compaction_cycle(
+        spark, base, "acme", "prod", "logs",
+        now=now, manager=LeaseManager(base, holder_id="b"),
+    )
+    assert set(b_done) == candidates - {(held_day, held_hour)}
+    a.release(held)
+    a_done = compaction_cycle(
+        spark, base, "acme", "prod", "logs", now=now, manager=a,
+    )
+    assert a_done == [(held_day, held_hour)]  # only the remaining unit
+    # a third pass finds no candidates at all — the cycle is idempotent
+    assert compaction_cycle(spark, base, "acme", "prod", "logs", now=now) == []
+    assert spark.read.parquet(path).count() == len(rows)
