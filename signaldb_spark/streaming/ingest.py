@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import signal_table_path
-from ..sources.otlp import OTLP_LOGS_SCHEMA, flatten_otlp_logs
+from ..sources.otlp import OTLP_LOGS_SCHEMA, flatten_otlp_logs, with_dead_letter_flag
 
 # parquet bloom filters on point-lookup columns, mirroring the
 # reference's table properties (src/common/src/schema/mod.rs:69-105:
@@ -98,6 +98,38 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     open(marker, "w").close()
 
 
+def dead_letter_path(base: str, tenant: str, dataset: str, signal: str) -> str:
+    return os.path.join(base, tenant, dataset, "dead_letter", signal)
+
+
+def write_dead_letters(
+    dead: DataFrame, base: str, tenant: str, dataset: str, signal: str, batch_id: int
+) -> None:
+    """Preserve undecodable payloads verbatim with a reason instead of
+    wedging or silently dropping the batch — the WAL dead-letter
+    directory analog (src/common/src/wal/mod.rs:806 `dead_letter`:
+    raw bytes preserved, entry marked processed). Written per-batch
+    with mode=overwrite so an at-least-once replay of the same batch
+    cannot duplicate entries."""
+    out = dead.select(
+        F.col("value").alias("payload"),
+        F.lit("undecodable payload").alias("reason"),
+        F.lit(batch_id).alias("batch_id"),
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(dead_letter_path(base, tenant, dataset, signal), f"batch-{batch_id}")
+    )
+
+
+def read_dead_letters(
+    spark: SparkSession, base: str, tenant: str, dataset: str, signal: str
+) -> DataFrame | None:
+    path = dead_letter_path(base, tenant, dataset, signal)
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(os.path.join(path, "batch-*"))
+
+
 def ingest_otlp_logs_stream(
     spark: SparkSession,
     source_dir: str,
@@ -120,14 +152,25 @@ def ingest_otlp_logs_stream(
         .option("maxFilesPerTrigger", "16")
         .load(source_dir)
     )
-    flat = flatten_otlp_logs(raw, json_col="value").withWatermark(
-        "timestamp", watermark
-    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch(batch_df, table_path, "logs", batch_id=batch_id)
+        # split poison payloads off the batch BEFORE flattening: the raw
+        # line is preserved in the dead-letter sink and the batch itself
+        # is marked processed by the checkpoint — one bad payload cannot
+        # wedge the drain loop (processor.rs:125-127 semantics)
+        flagged = with_dead_letter_flag(batch_df, OTLP_LOGS_SCHEMA).cache()
+        dead = flagged.filter(F.col("_dead"))
+        good = flagged.filter(~F.col("_dead")).drop("_dead")
+        # (no withWatermark here: foreachBatch hands us a batch df where
+        # it is a no-op — event-time lateness gating lives in the
+        # maintenance partition-close check, is_partition_closed)
+        flat = flatten_otlp_logs(good, json_col="value")
+        write_batch(flat, table_path, "logs", batch_id=batch_id)
+        if dead.limit(1).count():
+            write_dead_letters(dead, base, tenant, dataset, "logs", batch_id)
+        flagged.unpersist()
 
-    writer = flat.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()

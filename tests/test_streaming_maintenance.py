@@ -502,3 +502,32 @@ def test_compaction_cycle_multi_instance(spark, tmp_path):
     # a third pass finds no candidates at all — the cycle is idempotent
     assert compaction_cycle(spark, base, "acme", "prod", "logs", now=now) == []
     assert spark.read.parquet(path).count() == len(rows)
+
+
+def test_dead_letter_sink_e2e(spark, tmp_path_factory):
+    """Poison payloads are preserved verbatim in the dead-letter sink
+    while good rows land in the table; replaying the stream duplicates
+    neither (wal/mod.rs:806 dead_letter + replay idempotency)."""
+    from signaldb_spark.streaming.ingest import read_dead_letters
+
+    src = tmp_path_factory.mktemp("dlq_src")
+    base = str(tmp_path_factory.mktemp("dlq_base"))
+    t0 = int(dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+    lines = [
+        _otlp_log_payload(t0 + i * 60_000_000_000, "api", "info", f"req {i}", {})
+        for i in range(10)
+    ]
+    poison = ["garbage {", '{"unrelated": 1}']
+    (src / "batch1.jsonl").write_text("\n".join(lines[:5] + poison[:1]))
+    (src / "batch2.jsonl").write_text("\n".join(lines[5:] + poison[1:]))
+    ingest_otlp_logs_stream(spark, str(src), base)
+    logs = optional_table(spark, base, "acme", "prod", "logs")
+    assert logs is not None and logs.count() == 10
+    dead = read_dead_letters(spark, base, "acme", "prod", "logs")
+    rows = {r.payload: r.reason for r in dead.collect()}
+    assert set(rows) == set(poison)  # raw bytes preserved exactly
+    assert all(v == "undecodable payload" for v in rows.values())
+    # replay with the same checkpoint: neither side duplicates
+    ingest_otlp_logs_stream(spark, str(src), base)
+    assert optional_table(spark, base, "acme", "prod", "logs").count() == 10
+    assert read_dead_letters(spark, base, "acme", "prod", "logs").count() == 2
