@@ -135,8 +135,30 @@ ANTI JOIN r ON p.bucket = r.bucket AND p.user = r.user
 """
 
 
+def q_logql_label_format(spark, sf_dir):
+    """Full pipeline with an executed label_format template: the derived
+    label feeds by() grouping, and a json-extracted field feeds a second
+    template var (_render_template; the reference parses but ignores
+    this stage — logql.rs:107-128)."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (tag) (count_over_time('
+        '{service=~".+"} | json | label_format tag="{{.service}}:{{.k}}" [1d]))',
+    )
+    return out.select("bucket", "tag", "value")
+
+
+ORACLE_LOGQL_LABEL_FORMAT = f"""
+SELECT {_BUCKET} AS bucket,
+       event_type || ':' || coalesce(json_extract_string(props, '$.k'), '') AS tag,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "logql_count_by_service": q_logql_count_by_service,
+    "logql_label_format": q_logql_label_format,
     "logql_error_ratio": q_logql_error_ratio,
     "logql_json_quantile": q_logql_json_quantile,
     "logql_line_filter_topk": q_logql_line_filter_topk,
@@ -145,6 +167,7 @@ QUERIES = {
 
 ORACLES = {
     "logql_count_by_service": ORACLE_LOGQL_COUNT,
+    "logql_label_format": ORACLE_LOGQL_LABEL_FORMAT,
     "logql_error_ratio": ORACLE_LOGQL_ERROR_RATIO,
     "logql_json_quantile": ORACLE_LOGQL_JSON_QUANTILE,
     "logql_line_filter_topk": ORACLE_LOGQL_TOPK,

@@ -18,6 +18,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import timeseries as ts
 from ..operators import vector_ops as vo
@@ -68,14 +69,61 @@ class LowerCtx:
     dataset: str = "prod"
 
 
+_TEMPLATE_VAR = r"\{\{\s*\.([a-zA-Z_][a-zA-Z0-9_]*)\s*\}\}"
+
+
+def _render_template(df: DataFrame, sel: LogSelector, tmpl: str) -> Column:
+    """Render a Loki ``{{.label}}`` template to a concat expression;
+    missing labels render empty (Go template <no value> is normalized
+    to empty by Loki's label_format). Function pipelines and other
+    template constructs are rejected — same parity posture as the
+    reference's unsupported-feature errors."""
+    import re as _re
+
+    parts = _re.split(_TEMPLATE_VAR, tmpl)
+    cols: list[Column] = []
+    for i, part in enumerate(parts):
+        if i % 2 == 1:  # captured label name
+            cols.append(F.coalesce(resolve_label(df, sel, part), F.lit("")))
+        elif part:
+            if "{{" in part or "}}" in part:
+                raise ValueError(f"unsupported template construct in {tmpl!r}")
+            cols.append(F.lit(part))
+    return F.concat(*cols) if cols else F.lit("")
+
+
+def _stages_before(sel: LogSelector, i: int) -> LogSelector:
+    """The selector as it looked before stage ``i`` — template variables
+    and renames inside a stage resolve against the upstream pipeline
+    only (no self-recursion)."""
+    import dataclasses
+
+    return dataclasses.replace(sel, stages=sel.stages[:i])
+
+
 def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
-    """well-known column → materialized label_<key> → parsed stage → map.
+    """label_format override → well-known column → materialized
+    label_<key> → parsed stage → map.
 
     The materialized column does NOT shadow the attribute map: files
     written before the promotion have the column null-filled, so the
     chain coalesces — promotion-invariant resolution (the reference's
     evolution contract, storage-layout.md:775-785; the same rule the IR
     planner applies)."""
+    override: Column | None = None
+    for i, stage in enumerate(sel.stages):
+        if stage.name == "label_format" and stage.arg:
+            for dst, kind, value in stage.arg:
+                if dst != label:
+                    continue
+                before = _stages_before(sel, i)
+                override = (
+                    resolve_label(df, before, value)
+                    if kind == "ref"
+                    else _render_template(df, before, value)
+                )  # later stages win — keep overwriting
+    if override is not None:
+        return override
     if label in WELL_KNOWN and WELL_KNOWN[label] in df.columns:
         return F.col(WELL_KNOWN[label])
     sources: list[Column] = []
@@ -83,7 +131,7 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
     if mat in df.columns:
         sources.append(F.col(mat))
     for stage in sel.stages:
-        if stage.name == "json":
+        if stage.name in ("json", "unpack"):
             sources.append(
                 F.get_json_object(F.col("body"), f"$.{label}")
             )
@@ -262,6 +310,48 @@ def apply_selector(ctx: LowerCtx, sel: LogSelector) -> DataFrame:
     return df
 
 
+def _apply_output_stages(df: DataFrame, sel: LogSelector) -> DataFrame:
+    """Execute the line/label-rewriting stages on the filtered rows, in
+    pipeline order: line_format / decolorize / unpack rewrite ``body``;
+    drop / keep prune the attribute map; distinct keeps the earliest
+    row per label-value combination. The reference parses these stages
+    but ignores them (logql.rs:107-128) — executing them is an
+    upgrade."""
+    body = F.col("body")
+    for i, stage in enumerate(sel.stages):
+        if stage.name == "decolorize":
+            body = F.regexp_replace(body, "\x1b\\[[0-9;]*m", "")
+        elif stage.name == "line_format" and stage.arg:
+            body = _render_template(df, _stages_before(sel, i), stage.arg)
+        elif stage.name == "unpack":
+            body = F.coalesce(F.get_json_object(body, "$._entry"), body)
+    df = df.withColumn("body", body)
+    for stage in sel.stages:
+        if stage.name in ("drop", "keep") and stage.arg and "log_attributes" in df.columns:
+            def _pred(names=list(stage.arg), keep=stage.name == "keep"):
+                return lambda k, v: k.isin(*names) if keep else ~k.isin(*names)
+
+            df = df.withColumn(
+                "log_attributes", F.map_filter("log_attributes", _pred())
+            )
+    for i, stage in enumerate(sel.stages):
+        if stage.name == "distinct" and stage.arg:
+            keys = [
+                resolve_label(df, _stages_before(sel, i), n).alias(f"_d_{n}")
+                for n in stage.arg
+            ]
+            w = Window.partitionBy(*[F.col(f"_d_{n}") for n in stage.arg]).orderBy(
+                F.col("timestamp").asc(), F.col("body").asc()
+            )
+            df = (
+                df.select("*", *keys)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", *[f"_d_{n}" for n in stage.arg])
+            )
+    return df
+
+
 def query_logs(
     ctx: LowerCtx, sel: LogSelector, limit: int = 100, direction: str = "backward"
 ) -> DataFrame:
@@ -270,7 +360,7 @@ def query_logs(
     from ..maintenance import attr_demand
 
     attr_demand.record_logql_query(sel, ctx.tenant, ctx.dataset, ctx.logs.columns)
-    df = apply_selector(ctx, sel)
+    df = _apply_output_stages(apply_selector(ctx, sel), sel)
     order = F.col("timestamp").desc() if direction == "backward" else F.col("timestamp").asc()
     return df.orderBy(order).limit(limit)
 

@@ -122,7 +122,11 @@ class _P:
                 elif nxt.kind == "IDENT" and nxt.text in PARSER_STAGES:
                     self.next()
                     arg = None
-                    if self.peek().kind == "STRING":
+                    if nxt.text == "label_format":
+                        arg = self.parse_label_format_pairs()
+                    elif nxt.text in ("drop", "keep", "distinct"):
+                        arg = self.parse_ident_list()
+                    elif self.peek().kind == "STRING":
                         arg = self.next().text
                     stages.append(ParserStage(nxt.text, arg))
                 elif nxt.kind == "IDENT":
@@ -134,6 +138,30 @@ class _P:
         return LogSelector(
             tuple(matchers), tuple(line_filters), tuple(stages), tuple(label_filters), unwrap
         )
+
+    def parse_label_format_pairs(self) -> tuple:
+        """``label_format dst=src, other="{{.a}}-{{.b}}"`` → a tuple of
+        (dst, kind, value) with kind ``ref`` (rename) or ``tmpl``
+        (template render), mirroring Loki's two label_format forms."""
+        pairs = []
+        while True:
+            dst = self.expect("IDENT").text
+            self.expect("OP", "=")
+            t = self.next()
+            if t.kind == "STRING":
+                pairs.append((dst, "tmpl", t.text))
+            elif t.kind == "IDENT":
+                pairs.append((dst, "ref", t.text))
+            else:
+                raise LogQLSyntaxError(f"bad label_format value at {t.pos}")
+            if not self.accept("OP", ","):
+                return tuple(pairs)
+
+    def parse_ident_list(self) -> tuple:
+        names = [self.expect("IDENT").text]
+        while self.accept("OP", ","):
+            names.append(self.expect("IDENT").text)
+        return tuple(names)
 
     def parse_matchers(self) -> list[Matcher]:
         self.expect("OP", "{")

@@ -8,6 +8,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from signaldb_spark.catalog import optional_table, signal_table_path
 from signaldb_spark.logql import parse
@@ -322,3 +323,91 @@ def test_attr_demand_recorded_at_entrypoints(ctx):
     stats = attribute_stats(ctx.logs)
     decisions = promotion_decisions(stats, demand={"region": 2}).collect()
     assert any(r.key == "region" for r in decisions)
+
+
+# --------------------------------------------- executable rewrite stages
+
+
+def test_parse_label_format_and_drop_keep():
+    q = parse('{job="a"} | label_format dst=src, t="{{.a}}-{{.b}}" | drop env, region | keep user')
+    assert q.stages[0].arg == (("dst", "ref", "src"), ("t", "tmpl", "{{.a}}-{{.b}}"))
+    assert q.stages[1] == ParserStage("drop", ("env", "region"))
+    assert q.stages[2] == ParserStage("keep", ("user",))
+
+
+def test_line_format_rewrites_body(ctx, duck):
+    """line_format templates render from upstream pipeline labels;
+    missing labels render empty (Loki label_format semantics)."""
+    sel = parse(
+        '{service_name="api"} | logfmt | line_format "svc={{.service_name}} status={{.status}} none={{.missing}}"'
+    )
+    got = sorted(r.body for r in query_logs(ctx, sel, limit=100000).collect())
+    want = sorted(
+        f"svc=api status={r[0]} none="
+        for r in duck.execute(
+            "SELECT regexp_extract(body, 'status=([0-9.a-z]+)', 1) FROM logs"
+            " WHERE service_name = 'api'"
+        ).fetchall()
+    )
+    assert got == want and got
+
+
+def test_label_format_rename_and_template(ctx):
+    """label_format values participate in later label filters: a rename
+    and a template both resolve through the full chain."""
+    sel = parse('{service_name="api"} | logfmt | label_format st=status | st = "500"')
+    n = query_logs(ctx, sel, limit=100000).count()
+    base = parse('{service_name="api"} | logfmt | status = "500"')
+    assert n == query_logs(ctx, base, limit=100000).count() and n > 0
+    tmpl = parse(
+        '{service_name="api"} | label_format tag="{{.service_name}}:{{.env}}" | tag =~ "api:.*"'
+    )
+    assert query_logs(ctx, tmpl, limit=100000).count() == query_logs(
+        ctx, parse('{service_name="api"}'), limit=100000
+    ).count()
+
+
+def test_drop_keep_prune_attribute_map(ctx):
+    row = query_logs(ctx, parse('{service_name="api"} | drop env'), limit=5).first()
+    assert "env" not in row.log_attributes and "status" in row.log_attributes
+    row = query_logs(ctx, parse('{service_name="api"} | keep env'), limit=5).first()
+    assert set(row.log_attributes) == {"env"}
+
+
+def test_decolorize_strips_ansi(spark, ctx):
+    from signaldb_spark.logql.lowering import _apply_output_stages
+
+    df = spark.createDataFrame(
+        [("\x1b[31merror\x1b[0m plain",)], "body string"
+    ).withColumn("timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    out = _apply_output_stages(df, parse('{s="x"} | decolorize'))
+    assert out.first().body == "error plain"
+
+
+def test_unpack_promotes_labels_and_restores_line(spark):
+    """unpack reads a packed JSON doc: embedded keys become labels, the
+    _entry value becomes the line again (Loki pack/unpack pair)."""
+    from signaldb_spark.logql.lowering import LowerCtx, query_logs as ql
+
+    df = spark.createDataFrame(
+        [
+            ('{"_entry": "real line A", "stream": "s1"}', "2024-01-01 00:10:00"),
+            ('{"_entry": "real line B", "stream": "s2"}', "2024-01-01 00:20:00"),
+        ],
+        "body string, t string",
+    ).select(
+        F.col("body"),
+        F.col("t").cast("timestamp").alias("timestamp"),
+        F.create_map(F.lit("env"), F.lit("prod")).alias("log_attributes"),
+    )
+    c = LowerCtx(spark, df, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+    out = ql(c, parse('{env="prod"} | unpack | stream = "s2"'), limit=10)
+    rows = out.collect()
+    assert [r.body for r in rows] == ["real line B"]
+
+
+def test_distinct_keeps_first_per_label(ctx):
+    sel = parse('{service_name="api"} | distinct env')
+    rows = query_logs(ctx, sel, limit=100000, direction="forward").collect()
+    envs = [r.log_attributes.get("env") for r in rows]
+    assert len(envs) == len(set(envs)) and len(envs) >= 2
