@@ -236,6 +236,77 @@ SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
 """
 
 
+def q_emb_ivf_ann(spark, sf_dir):
+    """IVF ANN: nearest-centroid cells + nprobe probing (ivf_ann_topk).
+    Deterministic centroids keep the whole index under the oracle."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sim.ivf_ann_topk(e, queries, "vec_id", "embedding", k=5, n_cells=8, nprobe=2)
+
+
+ORACLE_EMB_IVF_ANN = """
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+cnorms AS (
+  SELECT cell, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT cell, unnest(cv)::DOUBLE AS x FROM cents)
+  GROUP BY cell
+),
+scores AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.embedding[d.d]::DOUBLE * c.cv[d.d]::DOUBLE)
+               / (n.nrm * cn.nrm), 6) AS score
+  FROM embeddings e
+  JOIN norms n ON n.vec_id = e.vec_id, cents c
+  JOIN cnorms cn ON cn.cell = c.cell, UNNEST(range(1, 65)) d(d)
+  GROUP BY e.vec_id, c.cell, n.nrm, cn.nrm
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+    FROM scores
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+    FROM scores WHERE vec_id < 10
+  ) WHERE rk <= 2
+),
+pairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         sum(eq.embedding[d.d]::DOUBLE * ec.embedding[d.d]::DOUBLE) AS dot
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings ec ON ec.vec_id = a.vec_id
+  , UNNEST(range(1, 65)) d(d)
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pairs
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 
@@ -380,6 +451,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
+    "emb_ivf_ann": q_emb_ivf_ann,
     "text_tokens": q_text_tokens,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -395,6 +467,7 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
     "emb_lsh_ann": ORACLE_EMB_LSH_ANN,
+    "emb_ivf_ann": ORACLE_EMB_IVF_ANN,
     "text_tokens": ORACLE_TEXT_TOKENS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": ORACLE_TEXT_LANG_ID,

@@ -125,6 +125,101 @@ def lsh_ann_topk(
     )
 
 
+def _cell_scores(vec_col: str, centroids: list[list[float]]):
+    """array of round(cosine(vec, centroid_i), 6) for every centroid —
+    pure JVM higher-order expressions over a literal centroid table."""
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = F.col(vec_col)
+    return F.transform(
+        cents, lambda c: F.round(_dot(v, c) / (_norm(v) * _norm(c)), 6)
+    )
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    """Nearest-centroid cell id (1-based; ties → lowest cell). The
+    centroid list is index metadata (driver-side, like any IVF index):
+    assignment is a map-only expression — no shuffle, no join — so it
+    scales linearly with the corpus."""
+    scores = _cell_scores(vec_col, centroids)
+    return df.withColumn(
+        "cell", F.array_position(scores, F.array_max(scores)).cast("long")
+    )
+
+
+def ivf_probe_cells(
+    df: DataFrame, vec_col: str, centroids: list[list[float]], nprobe: int
+) -> DataFrame:
+    """Explode each query row into its ``nprobe`` nearest cells
+    (score desc, cell asc)."""
+    scores = _cell_scores(vec_col, centroids)
+    ranked = F.array_sort(
+        F.zip_with(
+            scores,
+            F.sequence(F.lit(1), F.lit(len(centroids))),
+            lambda s, i: F.struct(s.alias("score"), i.alias("cell")),
+        ),
+        lambda l, r: F.when(l.score > r.score, -1)
+        .when(l.score < r.score, 1)
+        .when(l.cell < r.cell, -1)
+        .when(l.cell > r.cell, 1)
+        .otherwise(0),
+    )
+    return df.withColumn(
+        "cell", F.explode(F.transform(F.slice(ranked, 1, nprobe), lambda x: x.cell))
+    ).withColumn("cell", F.col("cell").cast("long"))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, n_cells: int = 8, nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into
+    nearest-centroid cells, probe only the query's ``nprobe`` closest
+    cells, rank exactly inside them.
+
+    Centroid choice here is deterministic (the ``n_cells`` lowest-id
+    corpus vectors) so the index is reproducible in any engine and the
+    whole operator sits under the DuckDB cross-check; at scale you
+    would fit centroids with k-means (same plumbing — the centroid list
+    is small driver metadata either way). Corpus assignment is
+    map-only; the probe is a cell equi-join with the query side
+    broadcast — corpus/n_cells × nprobe candidates per query instead of
+    a full scan, and never a cartesian product."""
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()
+    )  # bounded: n_cells rows of index metadata
+    centroids = [list(r.cv) for r in cent_rows]
+    cb = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        "cv", centroids,
+    )
+    qb = F.broadcast(
+        ivf_probe_cells(
+            queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+            "qv", centroids, nprobe,
+        )
+    )
+    scored = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), 6),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_bits: int = 4, dims: int = 64, rotations: int = 3,

@@ -95,7 +95,7 @@ def test_near_dup_operators_have_no_cartesian(spark):
     """The near-dup family must block (band/bucket equi-joins), never
     cross-join: a CartesianProduct or BroadcastNestedLoopJoin here is
     O(n²) and dead at 100 TB."""
-    for name in ("dedup_simhash", "emb_near_dup", "dedup_minhash_lsh"):
+    for name in ("dedup_simhash", "emb_near_dup", "dedup_minhash_lsh", "emb_ivf_ann"):
         p = plan(all_queries()[name](spark, SF_DIR))
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
