@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 HEXDIGITS = "0123456789abcdef"
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned scan across the cluster before a
+    compute-heavy expansion (shingle explode, per-row md5 batteries).
+
+    A small parquet file arrives as ONE input split, serializing all
+    downstream hashing onto one core regardless of cluster size; a
+    bounded repartition up front costs one tiny shuffle of the raw rows
+    and buys full parallelism. No-op when the scan is already at least
+    as parallel as the cluster — at 100 TB, file splits dominate and
+    this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def normalize_text(col):
     """Lowercase + whitespace collapse — the canonical pre-dedup form."""
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
@@ -63,7 +79,9 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
     )).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+        fan_out(df).select(
+            F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle")
+        )
     )
 
 
@@ -87,10 +105,15 @@ def jaccard_pairs(
     sh = word_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") <= max_shingle_df
+        # broadcast ANTI join against the HOT list (df > cap), not an
+        # inner join against the keep list: hot shingles number at most
+        # Σdf/cap ≪ vocabulary, so the broadcast is tiny (usually
+        # empty), and the anti join keeps sh's partitioning instead of
+        # shuffling the whole corpus against a vocabulary-sized keep set
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") > max_shingle_df
         ).select("shingle")
-        sh = sh.join(keep, "shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b")
     inter = (
@@ -172,7 +195,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 16) -> DataFr
     the estimator is identical in structure and fully cross-engine
     deterministic. Output bit p set iff the summed projection > 0.
     """
-    tokens = df.select(
+    tokens = fan_out(df).select(
         F.col(id_col),
         F.explode(
             F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))

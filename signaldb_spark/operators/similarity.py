@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import HEXDIGITS
+from .dedup import HEXDIGITS, fan_out
 
 
 def _dot(a, b):
@@ -47,7 +47,7 @@ def cosine_topk(
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -100,7 +100,7 @@ def lsh_ann_topk(
     query's LSH bucket. Recall < 1 by design; the bucket join replaces
     the full cross product (corpus/2^bits per query on average)."""
     cb = lsh_bucket(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "cv", n_bits, dims,
     )
     qb = F.broadcast(
@@ -195,7 +195,7 @@ def ivf_ann_topk(
     )  # bounded: n_cells rows of index metadata
     centroids = [list(r.cv) for r in cent_rows]
     cb = ivf_assign(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         "cv", centroids,
     )
     qb = F.broadcast(
@@ -241,7 +241,7 @@ def cosine_near_dup_pairs(
         b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        base = fan_out(corpus).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         cand = None
         for r in range(rotations):
             bb = lsh_bucket(base, "v", n_bits, dims, salt=f"r{r}")
