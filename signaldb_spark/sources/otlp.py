@@ -331,6 +331,19 @@ def with_dead_letter_flag(raw: DataFrame, schema, json_col: str = "value") -> Da
     return raw.withColumn("_dead", parsed.isNull() | (F.to_json(parsed) == F.lit("{}")))
 
 
+# OTLP/JSON exemplar attached to a data point (extract_exemplars,
+# src/common/src/flight/conversion/conversion_metrics.rs:1318-1383)
+_EXEMPLAR = T.StructType(
+    [
+        T.StructField("timeUnixNano", T.StringType()),
+        T.StructField("asDouble", T.DoubleType()),
+        T.StructField("asInt", T.StringType()),
+        T.StructField("spanId", T.StringType()),
+        T.StructField("traceId", T.StringType()),
+        T.StructField("filteredAttributes", T.ArrayType(_KV)),
+    ]
+)
+
 OTLP_METRICS_SCHEMA = T.StructType(
     [
         T.StructField(
@@ -363,6 +376,7 @@ OTLP_METRICS_SCHEMA = T.StructType(
                                                                         T.StructField("asDouble", T.DoubleType()),
                                                                         T.StructField("asInt", T.StringType()),
                                                                         T.StructField("attributes", T.ArrayType(_KV)),
+                                                                        T.StructField("exemplars", T.ArrayType(_EXEMPLAR)),
                                                                     ])
                                                                 ))]
                                                             ),
@@ -392,6 +406,7 @@ OTLP_METRICS_SCHEMA = T.StructType(
                                                                                     T.StructField("bucketCounts", T.ArrayType(T.StringType())),
                                                                                     T.StructField("explicitBounds", T.ArrayType(T.DoubleType())),
                                                                                     T.StructField("attributes", T.ArrayType(_KV)),
+                                                                                    T.StructField("exemplars", T.ArrayType(_EXEMPLAR)),
                                                                                 ]
                                                                             )
                                                                         ),
@@ -495,6 +510,25 @@ def _metric_base(raw: DataFrame, json_col: str):
     return sm.select("res_attrs", F.explode("sm.metrics").alias("m"))
 
 
+def _exemplars_json(dp_exemplars):
+    """Data-point exemplars → the reference's at-rest JSON blob
+    (extract_exemplars, conversion_metrics.rs:1318-1383): array of
+    {time_unix_nano, value, filtered_attributes, trace_id, span_id},
+    NULL when the point carries none. to_json drops null fields, which
+    matches the reference's omit-if-empty trace/span ids."""
+    shaped = F.transform(
+        dp_exemplars,
+        lambda e: F.struct(
+            e["timeUnixNano"].cast("long").alias("time_unix_nano"),
+            F.coalesce(e["asDouble"], e["asInt"].cast("double")).alias("value"),
+            _attrs_to_map(e["filteredAttributes"]).alias("filtered_attributes"),
+            e["traceId"].alias("trace_id"),
+            e["spanId"].alias("span_id"),
+        ),
+    )
+    return F.when(F.size(dp_exemplars) > 0, F.to_json(shaped))
+
+
 def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, DataFrame]:
     """OTLP/JSON metrics → one flat DataFrame per target table.
 
@@ -525,6 +559,7 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
             F.col("metric_unit"),
             value.alias("value"),
             _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+            _exemplars_json(F.col("dp.exemplars")).alias("exemplars"),
             F.to_date(ts).alias("date_day"),
             F.hour(ts).alias("hour"),
         ]
@@ -554,6 +589,7 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
         F.col("dp.explicitBounds").alias("explicit_bounds"),
         F.col("aggregation_temporality"),
         _attrs_to_map(F.col("dp.attributes")).alias("attributes"),
+        _exemplars_json(F.col("dp.exemplars")).alias("exemplars"),
         F.to_date(hts).alias("date_day"),
         F.hour(hts).alias("hour"),
     )

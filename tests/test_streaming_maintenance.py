@@ -531,3 +531,44 @@ def test_dead_letter_sink_e2e(spark, tmp_path_factory):
     ingest_otlp_logs_stream(spark, str(src), base)
     assert optional_table(spark, base, "acme", "prod", "logs").count() == 10
     assert read_dead_letters(spark, base, "acme", "prod", "logs").count() == 2
+
+
+def test_metric_exemplars_persisted_as_json(spark):
+    """Data-point exemplars land in the at-rest ``exemplars`` JSON blob
+    with the reference's key shape (extract_exemplars,
+    conversion_metrics.rs:1318-1383; storage-layout.md:519 col 17);
+    points without exemplars store NULL."""
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+
+    payload = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{
+                "metrics": [
+                    {"name": "cpu", "unit": "1", "gauge": {"dataPoints": [
+                        {"timeUnixNano": "1704067200000000000", "asDouble": 0.5,
+                         "attributes": [],
+                         "exemplars": [
+                             {"timeUnixNano": "1704067200500000000", "asDouble": 0.7,
+                              "traceId": "ab" * 16, "spanId": "cd" * 8,
+                              "filteredAttributes": [
+                                  {"key": "pod", "value": {"stringValue": "p1"}}]},
+                             {"timeUnixNano": "1704067201000000000", "asInt": "3"},
+                         ]},
+                        {"timeUnixNano": "1704067210000000000", "asDouble": 0.6,
+                         "attributes": []},
+                    ]}},
+                ]}]}]})
+    raw = spark.createDataFrame([(payload,)], "value string")
+    gauge = flatten_otlp_metrics(raw)["metrics_gauge"].orderBy("timestamp").collect()
+    ex = json.loads(gauge[0].exemplars)
+    assert ex[0] == {
+        "time_unix_nano": 1704067200500000000,
+        "value": 0.7,
+        "filtered_attributes": {"pod": "p1"},
+        "trace_id": "ab" * 16,
+        "span_id": "cd" * 8,
+    }
+    assert ex[1]["value"] == 3.0 and "trace_id" not in ex[1]
+    assert gauge[1].exemplars is None
