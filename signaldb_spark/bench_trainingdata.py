@@ -105,6 +105,51 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster consolidation: connected components over the
+    MinHash-LSH candidate pairs → canonical keeper per cluster
+    (connected_components; the step that turns pair lists into an
+    actual deduped corpus)."""
+    sigs = dd.minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n=3, num_hashes=8)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    return dd.connected_components(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {TOK_SQL}, {SHINGLE_SQL},
+hx AS (SELECT doc_id, shingle, h FROM sh, UNNEST(range(0, 8)) u(h)),
+mh AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.lab < e.dst
+),
+labels AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+SELECT id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     s = dd.simhash(_docs(spark, sf_dir), "doc_id", "text", bits=32)
     return dd.simhash_near_pairs(s, "doc_id", max_hamming=3, bits=32)
@@ -448,6 +493,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_lsh_ann": q_emb_lsh_ann,
@@ -464,6 +510,7 @@ ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_lsh": ORACLE_DEDUP_MINHASH,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "emb_cosine_topk": ORACLE_EMB_COSINE_TOPK,
     "emb_lsh_ann": ORACLE_EMB_LSH_ANN,

@@ -182,6 +182,63 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster consolidation: connected components over a
+    near-dup pair list → (id, cluster_id, cluster_size) with
+    cluster_id = min member id (the canonical keeper).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min of its own and its neighbors'
+    labels, until a fixed point. Rounds needed = component diameter —
+    near-dup clusters are dense and shallow, so this converges in a few
+    rounds (the same reason GraphX CC and the large-star/small-star
+    algorithm behave well on dedup graphs). Each round is one
+    shuffle-join + one aggregate; intermediate labels are cached and
+    the previous round unpersisted, so lineage stays bounded.
+
+    Only ids that appear in ``pairs`` are clustered — singletons never
+    entered the pair list and need no consolidation.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("lab", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        via = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "lab")
+        )
+        new = (
+            labels.unionByName(via)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .cache()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("lab", "old"), "id")
+            .filter(F.col("lab") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("lab")
+    return (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .select(F.col("id"), F.col("lab").alias("cluster_id"), "cluster_size")
+    )
+
+
 def _nibble(col, pos: int):
     """Value 0-15 of hex digit ``pos`` (1-based) of an md5 hex string."""
     return F.conv(F.substring(col, pos, 1), 16, 10).cast("int")

@@ -118,3 +118,20 @@ def test_jaccard_candidate_pairs_are_df_bounded(spark):
     assert out.count() == 0
     exact = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.01, max_shingle_df=None)
     assert exact.count() > 0
+
+
+def test_connected_components_multihop_chain(spark):
+    """A 4-node chain needs label propagation across multiple rounds
+    (diameter 3); a separate 2-cycle must stay its own cluster, and
+    every member labels with the component min id."""
+    from signaldb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60), (60, 50)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: (r.cluster_id, r.cluster_size) for r in connected_components(pairs).collect()}
+    assert got == {
+        10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
+        50: (50, 2), 60: (50, 2),
+    }
