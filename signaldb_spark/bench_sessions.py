@@ -1,0 +1,124 @@
+"""Driver-gate queries for the streaming-capable operators, evaluated
+in their batch form over the events table: sessionization (native
+session_window) and Prometheus-``for`` alert state (the
+applyInPandasWithState operator's batch twin). The oracles express the
+same semantics as SQL gaps-and-islands, so the custom stateful logic
+itself sits under the cross-engine gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .streaming.sessions import alert_for_state, assemble_trace_sessions
+
+
+def q_event_sessions(spark, sf_dir):
+    """User sessionization with a 30-minute inactivity gap — the same
+    session_window machinery the streaming trace assembler uses
+    (assemble_trace_sessions), keyed by user instead of trace."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("session"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            "n_events",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+# gaps-and-islands: a new session starts when the gap from the previous
+# event of the same user exceeds 30 minutes
+ORACLE_EVENT_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+FROM islands GROUP BY user_id, sid
+"""
+
+
+def q_alert_for(spark, sf_dir):
+    """Prometheus ``for:``-duration alert state over hourly event-count
+    series per event_type (alert_for_state batch twin): breach when the
+    hourly count exceeds the threshold; firing once the breach holds
+    two hours."""
+    e = load_table(spark, sf_dir, "events")
+    series = (
+        e.groupBy(
+            F.col("event_type").alias("series_key"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    out = alert_for_state(series, threshold=40.0, for_duration="2 hours")
+    return out.select("series_key", "bucket", "value", "state", "active_since")
+
+
+ORACLE_ALERT_FOR = """
+WITH series AS (
+  SELECT event_type AS series_key, date_trunc('hour', ts) AS bucket,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+),
+marked AS (
+  SELECT series_key, bucket, value, value > 40.0 AS breach,
+         CASE WHEN (value > 40.0) <> coalesce(
+                lag(value > 40.0) OVER (PARTITION BY series_key ORDER BY bucket),
+                NOT (value > 40.0))
+              THEN 1 ELSE 0 END AS flip
+  FROM series
+),
+runs AS (
+  SELECT series_key, bucket, value, breach,
+         sum(flip) OVER (PARTITION BY series_key ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+),
+stated AS (
+  SELECT series_key, bucket, value, breach,
+         min(bucket) OVER (PARTITION BY series_key, run_id) AS run_start
+  FROM runs
+)
+SELECT series_key, bucket, value,
+       CASE WHEN NOT breach THEN 'inactive'
+            WHEN epoch(bucket) - epoch(run_start) >= 7200 THEN 'firing'
+            ELSE 'pending' END AS state,
+       CASE WHEN breach THEN run_start END AS active_since
+FROM stated
+"""
+
+
+QUERIES = {
+    "event_sessions": q_event_sessions,
+    "alert_for": q_alert_for,
+}
+
+ORACLES = {
+    "event_sessions": ORACLE_EVENT_SESSIONS,
+    "alert_for": ORACLE_ALERT_FOR,
+}

@@ -7,6 +7,7 @@ from . import (
     bench_promql,
     bench_queries,
     bench_relational,
+    bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
 )
@@ -18,6 +19,7 @@ _MODULES = [
     bench_logql,
     bench_promql,
     bench_trace_ir,
+    bench_sessions,
 ]
 
 
