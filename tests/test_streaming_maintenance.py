@@ -367,13 +367,59 @@ def test_remote_write_flatten_and_routing(spark):
     assert all(r.service_name == "api" for r in s + g)
 
 
-def test_remote_write_wire_decode_gated(spark):
-    from signaldb_spark.sources.remote_write import decode_snappy_protobuf
+def test_snappy_block_roundtrip_and_copies():
+    """Pure-Python snappy: all-literal roundtrip, plus a hand-crafted
+    stream with an overlapping copy (RLE) and a corrupt-offset reject
+    (format_description.txt semantics)."""
+    from signaldb_spark.sources.remote_write import (
+        snappy_compress_literal,
+        snappy_decompress,
+    )
 
+    data = b"prometheus remote write " * 100
+    assert snappy_decompress(snappy_compress_literal(data)) == data
+    # preamble 12; literal "abcd" (tag 3<<2); copy1 len 8 off 4 -> abab...
+    crafted = bytes([12, 3 << 2]) + b"abcd" + bytes([(4 << 2) | 1, 4])
+    assert snappy_decompress(crafted) == b"abcdabcdabcd"
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError):
-        decode_snappy_protobuf(b"\x00")
+    with _pytest.raises(ValueError):
+        snappy_decompress(bytes([4, (4 << 2) | 1, 200]))  # offset past start
+
+
+def test_remote_write_wire_decode_e2e(spark):
+    """Full wire path: proto-encode a WriteRequest, snappy it, decode
+    via the Arrow-batched decoder, flatten, and check routing — the
+    acceptor pipeline (prometheus_handler.rs) end to end."""
+    import json as _json
+
+    from signaldb_spark.sources.remote_write import (
+        decode_write_requests,
+        encode_write_request,
+        flatten_remote_write,
+        snappy_compress_literal,
+    )
+
+    req = {"timeseries": [
+        {"labels": [{"name": "__name__", "value": "http_requests_total"},
+                    {"name": "job", "value": "api"},
+                    {"name": "instance", "value": "i-1"}],
+         "samples": [{"value": 42.0, "timestamp": 1704067200000}]},
+        {"labels": [{"name": "__name__", "value": "mem_bytes"},
+                    {"name": "job", "value": "api"}],
+         "samples": [{"value": 512.5, "timestamp": 1704067200000},
+                     {"value": 513.5, "timestamp": 1704067260000}]},
+    ]}
+    payload = snappy_compress_literal(encode_write_request(req))
+    raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    decoded = decode_write_requests(raw)
+    assert _json.loads(decoded.first().value) == req
+    routed = flatten_remote_write(decoded)
+    sums = routed["metrics_sum"].collect()
+    gauges = routed["metrics_gauge"].collect()
+    assert len(sums) == 1 and sums[0].metric_name == "http_requests_total"
+    assert sums[0].value == 42.0 and sums[0].is_monotonic
+    assert len(gauges) == 2 and {g.value for g in gauges} == {512.5, 513.5}
 
 
 def test_schema_evolution_null_fill(spark, tmp_path_factory):
