@@ -478,6 +478,36 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Fit-in-box resize geometry over the media adapter (resize_media);
+    fake-decode dims feed real aspect-ratio arithmetic."""
+    media = mm.documents_as_media(_docs(spark, sf_dir))
+    return mm.resize_media(media, target_w=224, target_h=224)
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         strlen(text) AS n,
+         strlen(text) % 640 + 32 AS w,
+         (strlen(text) // 640) % 480 + 32 AS h
+  FROM documents
+),
+scaled AS (
+  SELECT media_id, n, w, h,
+         least(224.0 / w, 224.0 / h, 1.0) AS scale
+  FROM dims
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(greatest(CAST(trunc(w * scale) AS BIGINT), 1) AS BIGINT) AS out_width,
+       CAST(greatest(CAST(trunc(h * scale) AS BIGINT), 1) AS BIGINT) AS out_height,
+       CAST(trunc(n * scale * scale) AS BIGINT) AS out_bytes
+FROM scaled
+"""
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     media = mm.documents_as_media(_docs(spark, sf_dir))
     return mm.frame_sample_plan(media, every_n_bytes=100)
@@ -504,6 +534,7 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_features": q_multimodal_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLES = {
@@ -521,6 +552,7 @@ ORACLES = {
     "text_fingerprint": ORACLE_TEXT_FINGERPRINT,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
     "multimodal_frame_sample": ORACLE_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_resize": ORACLE_MULTIMODAL_RESIZE,
 }
 
 

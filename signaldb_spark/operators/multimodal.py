@@ -109,6 +109,51 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("out_width", T.LongType(), True),
+        T.StructField("out_height", T.LongType(), True),
+        T.StructField("out_bytes", T.LongType(), True),
+    ]
+)
+
+
+def resize_media(
+    media: DataFrame, target_w: int = 224, target_h: int = 224,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Aspect-preserving fit-in-box resize plan, Arrow-batched.
+
+    Never upscales (scale capped at 1.0); output byte estimate shrinks
+    with the area ratio. The decode is the same documented
+    deterministic fake as extract_features (no media libs here), so the
+    geometry arithmetic — the part that IS the operator — sits under an
+    SQL oracle; a real decoder slots into the same batch loop.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _real_decode if use_real_decoder else _fake_decode
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _ = decode(data)
+                scale = min(target_w / w, target_h / h, 1.0)
+                ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+                rows.append(
+                    (int(media_id), w, h, ow, oh, int(len(data) * scale * scale))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "out_width", "out_height", "out_bytes"],
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n_bytes: int = 1000) -> DataFrame:
     """'Frame sampling' plan for chunked media: one row per sampled
     offset — pure built-in sequence/explode (the real video path would
