@@ -248,3 +248,122 @@ WHERE l_returnflag = 'R' AND l_linestatus = 'O'
 
 QUERIES["span_event_filter"] = q_span_event_filter
 ORACLES["span_event_filter"] = ORACLE_SPAN_EVENT_FILTER
+
+
+def _tree_spans(spark, sf_dir):
+    """lineitem-as-spans with a binary-tree hierarchy: line n's parent is
+    line n//2 (line 1 is the root), so traces are up to 3 levels deep and
+    sibling pairs exist — exercises every structural relation. The
+    synthetic lineitem has duplicate (orderkey, linenumber) keys, so the
+    view aggregates to one span per key (deterministic min/max) to keep
+    span_id unique within each trace."""
+    l = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    return (
+        l.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.min("l_returnflag").alias("flag"),
+            F.min("l_linestatus").alias("status"),
+            F.max(F.col("l_quantity").cast("double")).alias("qty"),
+        )
+        .select(
+            F.col("l_orderkey").alias("trace_id"),
+            (F.col("l_orderkey") * 10 + ln).alias("span_id"),
+            F.when(ln > 1, F.col("l_orderkey") * 10 + F.floor(ln / 2)).alias(
+                "parent_span_id"
+            ),
+            "flag",
+            "status",
+            "qty",
+        )
+    )
+
+
+_TREE_SPANS_SQL = """
+  SELECT l_orderkey AS trace_id,
+         l_orderkey * 10 + l_linenumber AS span_id,
+         CASE WHEN l_linenumber > 1
+              THEN l_orderkey * 10 + l_linenumber // 2 END AS parent_span_id,
+         min(l_returnflag) AS flag, min(l_linestatus) AS status,
+         max(CAST(l_quantity AS DOUBLE)) AS qty
+  FROM lineitem
+  GROUP BY l_orderkey, l_linenumber
+"""
+
+
+def q_trace_child_spans(spark, sf_dir):
+    """TraceQL `{ qty > 30 } > { flag = R }`: direct-child semi-join
+    (structural.child_spans; beyond-reference — search_filter.rs:240
+    rejects multi-spanset queries)."""
+    from .traceql.structural import child_spans
+
+    spans = _tree_spans(spark, sf_dir)
+    return child_spans(spans, F.col("qty") > 30, F.col("flag") == "R")
+
+
+ORACLE_TRACE_CHILD = f"""
+WITH spans AS ({_TREE_SPANS_SQL})
+SELECT c.* FROM spans c
+WHERE c.flag = 'R' AND EXISTS (
+  SELECT 1 FROM spans p
+  WHERE p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+    AND p.qty > 30)
+"""
+
+
+def q_trace_descendant_spans(spark, sf_dir):
+    """TraceQL `{ flag = R && qty > 40 } >> { status = O }`: transitive
+    ancestor test via the per-trace JVM pointer-chase
+    (structural.descendant_spans); oracle walks the same links with a
+    recursive CTE."""
+    from .traceql.structural import descendant_spans
+
+    spans = _tree_spans(spark, sf_dir)
+    return descendant_spans(
+        spans, (F.col("flag") == "R") & (F.col("qty") > 40), F.col("status") == "O"
+    )
+
+
+ORACLE_TRACE_DESCENDANT = f"""
+WITH RECURSIVE spans AS ({_TREE_SPANS_SQL}),
+up AS (
+  SELECT trace_id, span_id, parent_span_id AS anc FROM spans
+  WHERE parent_span_id IS NOT NULL
+  UNION ALL
+  SELECT u.trace_id, u.span_id, s.parent_span_id
+  FROM up u JOIN spans s ON s.trace_id = u.trace_id AND s.span_id = u.anc
+  WHERE s.parent_span_id IS NOT NULL
+)
+SELECT d.* FROM spans d
+WHERE d.status = 'O' AND EXISTS (
+  SELECT 1 FROM up u JOIN spans a
+    ON a.trace_id = u.trace_id AND a.span_id = u.anc
+  WHERE u.trace_id = d.trace_id AND u.span_id = d.span_id
+    AND a.flag = 'R' AND a.qty > 40)
+"""
+
+
+def q_trace_sibling_spans(spark, sf_dir):
+    """TraceQL `{ flag = A } ~ { status = O }`: same-parent different-span
+    semi-join (structural.sibling_spans)."""
+    from .traceql.structural import sibling_spans
+
+    spans = _tree_spans(spark, sf_dir)
+    return sibling_spans(spans, F.col("flag") == "A", F.col("status") == "O")
+
+
+ORACLE_TRACE_SIBLING = f"""
+WITH spans AS ({_TREE_SPANS_SQL})
+SELECT r.* FROM spans r
+WHERE r.status = 'O' AND r.parent_span_id IS NOT NULL AND EXISTS (
+  SELECT 1 FROM spans l
+  WHERE l.trace_id = r.trace_id AND l.parent_span_id = r.parent_span_id
+    AND l.span_id != r.span_id AND l.flag = 'A')
+"""
+
+QUERIES["trace_child_spans"] = q_trace_child_spans
+QUERIES["trace_descendant_spans"] = q_trace_descendant_spans
+QUERIES["trace_sibling_spans"] = q_trace_sibling_spans
+ORACLES["trace_child_spans"] = ORACLE_TRACE_CHILD
+ORACLES["trace_descendant_spans"] = ORACLE_TRACE_DESCENDANT
+ORACLES["trace_sibling_spans"] = ORACLE_TRACE_SIBLING

@@ -77,6 +77,35 @@ def parse_traceql(q: str) -> list[SpanPredicate]:
     return preds
 
 
+@dataclass(frozen=True)
+class StructuralQuery:
+    """``{left} OP {right}`` where OP is ``>`` (direct child), ``>>``
+    (descendant), or ``~`` (sibling). Beyond-reference extension — the
+    reference rejects multi-spanset queries (search_filter.rs:240-246);
+    Tempo's TraceQL defines these."""
+
+    op: str  # ">" | ">>" | "~"
+    left: tuple[SpanPredicate, ...]
+    right: tuple[SpanPredicate, ...]
+
+
+_STRUCT_RE = re.compile(r"^(\{[^{}]*\})\s*(>>|>|~)\s*(\{[^{}]*\})$")
+
+
+def parse_traceql_expr(q: str) -> list[SpanPredicate] | StructuralQuery:
+    """Full-expression entry point: either a single spanset (delegates to
+    :func:`parse_traceql`, reference-parity rejections included) or one
+    structural ``{A} OP {B}`` with OP in ``>``/``>>``/``~``."""
+    m = _STRUCT_RE.match(q.strip())
+    if m is None:
+        return parse_traceql(q)
+    return StructuralQuery(
+        m.group(2),
+        tuple(parse_traceql(m.group(1))),
+        tuple(parse_traceql(m.group(3))),
+    )
+
+
 def parse_tags(tags: str) -> list[SpanPredicate]:
     """Tempo logfmt ``tags`` parameter: ``key=value key2="v 2"``
     (parse_tags, search_filter.rs:184-232) — unscoped predicates."""

@@ -1,0 +1,188 @@
+"""TraceQL structural operators: parent/child ``>``, ancestor/descendant
+``>>``, sibling ``~``.
+
+Beyond-reference extension: the reference rejects structural spanset
+expressions outright (search_filter.rs:240-246 — "only a single { ... }
+spanset is supported"), but Tempo's TraceQL defines them and trace
+debugging needs them. Semantics follow Tempo: ``{A} > {B}`` returns the
+spans matching B whose *direct parent* matches A; ``{A} >> {B}`` the
+spans matching B with *any ancestor* matching A; ``{A} ~ {B}`` the spans
+matching B that share a parent with a *different* span matching A.
+
+Scale design:
+- ``>`` and ``~`` are single-hop: plain semi-joins on (trace_id, parent
+  link) — hash-partitioned, both sides pre-filtered so only matching
+  spans shuffle.
+- ``>>`` needs the transitive closure of parent links. Rather than N
+  iterative join rounds (N shuffles of the span set), we shuffle ONCE on
+  trace_id, build each trace's parent map with ``map_from_entries``, and
+  chase pointers with a depth-unrolled ``element_at`` chain — entirely
+  JVM-side whole-stage codegen, no Python in the loop. Traces are
+  naturally bounded (spans-per-trace is small relative to the corpus) so
+  the per-trace map fits comfortably; a 1000-executor layout
+  parallelizes across traces. ``descendant_spans_closure`` keeps an
+  Arrow-batched ``applyInPandas`` variant for pathological depth
+  (deeper than ``max_depth`` links).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def structural_search(spans: DataFrame, sq) -> DataFrame:
+    """Lower a parsed :class:`~.parser.StructuralQuery` against a span
+    table (the flatten_otlp_traces schema): fold each side's predicates
+    with AND via trace_ops.predicate_expr, then dispatch on the op."""
+    from .trace_ops import predicate_expr
+
+    def _fold(preds) -> Column:
+        cond = F.lit(True)
+        for p in preds:
+            cond = cond & predicate_expr(spans, p)
+        return cond
+
+    left, right = _fold(sq.left), _fold(sq.right)
+    if sq.op == ">":
+        return child_spans(spans, left, right)
+    if sq.op == ">>":
+        return descendant_spans(spans, left, right)
+    if sq.op == "~":
+        return sibling_spans(spans, left, right)
+    raise ValueError(f"unknown structural op {sq.op!r}")
+
+
+def child_spans(spans: DataFrame, parent_cond: Column, child_cond: Column) -> DataFrame:
+    """``{parent_cond} > {child_cond}`` — spans matching child_cond whose
+    direct parent matches parent_cond, in the same trace."""
+    parents = (
+        spans.filter(parent_cond)
+        .select(F.col("trace_id").alias("_p_trace"), F.col("span_id").alias("_p_span"))
+        .distinct()
+    )
+    children = spans.filter(child_cond)
+    return children.join(
+        parents,
+        (children["trace_id"] == parents["_p_trace"])
+        & (children["parent_span_id"] == parents["_p_span"]),
+        "leftsemi",
+    )
+
+
+def sibling_spans(spans: DataFrame, left_cond: Column, right_cond: Column) -> DataFrame:
+    """``{left_cond} ~ {right_cond}`` — spans matching right_cond that
+    share a parent with a DIFFERENT span matching left_cond."""
+    left = (
+        spans.filter(left_cond)
+        .filter(F.col("parent_span_id").isNotNull())
+        .select(
+            F.col("trace_id").alias("_l_trace"),
+            F.col("parent_span_id").alias("_l_parent"),
+            F.col("span_id").alias("_l_span"),
+        )
+    )
+    right = spans.filter(right_cond).filter(F.col("parent_span_id").isNotNull())
+    return right.join(
+        left,
+        (right["trace_id"] == left["_l_trace"])
+        & (right["parent_span_id"] == left["_l_parent"])
+        & (right["span_id"] != left["_l_span"]),
+        "leftsemi",
+    )
+
+
+def descendant_spans(
+    spans: DataFrame,
+    ancestor_cond: Column,
+    descendant_cond: Column,
+    max_depth: int = 16,
+) -> DataFrame:
+    """``{ancestor_cond} >> {descendant_cond}`` — spans matching
+    descendant_cond with any transitive ancestor (up to ``max_depth``
+    parent links) matching ancestor_cond.
+
+    One shuffle (groupBy trace_id); the closure is a depth-unrolled
+    pointer chase through a per-trace ``map_from_entries`` parent map —
+    all JVM expressions, no UDF."""
+    data_cols = [c for c in spans.columns if c != "trace_id"]
+    marked = spans.withColumn("_is_anc", ancestor_cond.cast("boolean")).withColumn(
+        "_is_desc", descendant_cond.cast("boolean")
+    )
+    agg = marked.groupBy("trace_id").agg(
+        F.collect_list(
+            F.struct(*data_cols, F.col("_is_anc"), F.col("_is_desc"))
+        ).alias("_ss")
+    )
+    ss = F.col("_ss")
+    parent_map = F.map_from_entries(
+        F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+    )
+    anc_ids = F.transform(
+        F.filter(ss, lambda s: F.coalesce(s["_is_anc"], F.lit(False))),
+        lambda s: s["span_id"],
+    )
+    agg = agg.withColumn("_pm", parent_map).withColumn("_anc", anc_ids)
+
+    def _has_matching_ancestor(s) -> Column:
+        cur = s["span_id"]
+        hit = F.lit(False)
+        for _ in range(max_depth):
+            cur = F.element_at(F.col("_pm"), cur)
+            hit = hit | F.coalesce(
+                F.array_contains(F.col("_anc"), cur), F.lit(False)
+            )
+        return hit
+
+    matched = F.filter(
+        ss,
+        lambda s: F.coalesce(s["_is_desc"], F.lit(False)) & _has_matching_ancestor(s),
+    )
+    return (
+        agg.select("trace_id", F.explode(matched).alias("_s"))
+        .select("trace_id", *[F.col(f"_s.{c}").alias(c) for c in data_cols])
+        .select(*spans.columns)
+    )
+
+
+def descendant_spans_closure(
+    spans: DataFrame, ancestor_cond: Column, descendant_cond: Column
+) -> DataFrame:
+    """Unbounded-depth ``>>`` via a per-trace Arrow-batched closure —
+    the fallback when trace depth can exceed ``descendant_spans``'s
+    unroll cap. Same single-shuffle layout; the walk is memoized so each
+    parent chain is traversed once per trace."""
+    marked = spans.withColumn("_is_anc", ancestor_cond.cast("boolean")).withColumn(
+        "_is_desc", descendant_cond.cast("boolean")
+    )
+    out_schema = spans.schema
+
+    def _closure(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
+        anc_ids = set(pdf.loc[pdf["_is_anc"].fillna(False), "span_id"])
+        if not anc_ids:
+            return pdf.iloc[0:0].drop(columns=["_is_anc", "_is_desc"])
+        memo: dict = {}
+
+        def has_anc(sid) -> bool:
+            chain = []
+            cur = parent.get(sid)
+            hit = False
+            while cur is not None and not pd.isna(cur):
+                if cur in anc_ids:
+                    hit = True
+                    break
+                if cur in memo:
+                    hit = memo[cur]
+                    break
+                chain.append(cur)
+                cur = parent.get(cur)
+            for c in chain:
+                memo[c] = hit
+            return hit
+
+        keep = pdf["_is_desc"].fillna(False) & pdf["span_id"].map(has_anc)
+        return pdf.loc[keep].drop(columns=["_is_anc", "_is_desc"])
+
+    return marked.groupBy("trace_id").applyInPandas(_closure, schema=out_schema)

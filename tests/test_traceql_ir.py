@@ -202,3 +202,116 @@ def test_ir_coerced_duration_filters_rows(spark, traces):
            "select": ["trace_id", "duration_nanos"]}
     out = lower(traces, validate(doc)).collect()
     assert out and all(r.duration_nanos >= 10_000_000 for r in out)
+
+
+# ------------------------------------------- structural operators (> >> ~)
+
+
+@pytest.fixture(scope="module")
+def tree_spans(spark):
+    """One 3-level trace + one flat trace:
+
+    t1:  1(api)
+         ├── 2(auth)
+         │    └── 4(db, error)
+         └── 3(cache)
+    t2:  9(api) ── 8(db, error)   (parent outside the match sets)
+    """
+    rows = [
+        ("t1", 1, None, "api", "Ok"),
+        ("t1", 2, 1, "auth", "Ok"),
+        ("t1", 3, 1, "cache", "Ok"),
+        ("t1", 4, 2, "db", "Error"),
+        ("t2", 9, None, "api", "Ok"),
+        ("t2", 8, 9, "db", "Error"),
+    ]
+    return spark.createDataFrame(
+        rows, "trace_id string, span_id long, parent_span_id long, span_name string, status_code string"
+    )
+
+
+def test_parse_structural_expr():
+    from signaldb_spark.traceql.parser import StructuralQuery, parse_traceql_expr
+
+    sq = parse_traceql_expr('{ name = "api" } >> { status = error }')
+    assert isinstance(sq, StructuralQuery)
+    assert sq.op == ">>"
+    assert sq.left == (SpanPredicate("intrinsic", "name", "api"),)
+    assert sq.right == (SpanPredicate("intrinsic", "status", "Error"),)
+    # single-spanset queries still route through the parity parser
+    assert parse_traceql_expr('{ name = "api" }') == [
+        SpanPredicate("intrinsic", "name", "api")
+    ]
+    # in-clause comparison operators remain rejected (reference parity)
+    with pytest.raises(TraceQLError):
+        parse_traceql_expr("{ duration > 5s }")
+
+
+def test_child_spans(tree_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import child_spans
+
+    out = child_spans(
+        tree_spans, F.col("span_name") == "api", F.col("span_name") == "db"
+    ).collect()
+    # only t2's db span is a DIRECT child of an api span
+    assert [(r.trace_id, r.span_id) for r in out] == [("t2", 8)]
+
+
+def test_descendant_spans_jvm_and_closure_agree(tree_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import (
+        descendant_spans,
+        descendant_spans_closure,
+    )
+
+    anc, desc = F.col("span_name") == "api", F.col("status_code") == "Error"
+    jvm = sorted(
+        (r.trace_id, r.span_id) for r in descendant_spans(tree_spans, anc, desc).collect()
+    )
+    # t1's db span (2 hops below api) and t2's (1 hop) both match
+    assert jvm == [("t1", 4), ("t2", 8)]
+    closure = sorted(
+        (r.trace_id, r.span_id)
+        for r in descendant_spans_closure(tree_spans, anc, desc).collect()
+    )
+    assert closure == jvm
+    # depth cap honored: max_depth=1 degenerates to direct children
+    shallow = sorted(
+        (r.trace_id, r.span_id)
+        for r in descendant_spans(tree_spans, anc, desc, max_depth=1).collect()
+    )
+    assert shallow == [("t2", 8)]
+
+
+def test_sibling_spans(tree_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import sibling_spans
+
+    out = sibling_spans(
+        tree_spans, F.col("span_name") == "auth", F.col("span_name") == "cache"
+    ).collect()
+    assert [(r.trace_id, r.span_id) for r in out] == [("t1", 3)]
+    # a span is not its own sibling
+    from signaldb_spark.traceql.structural import sibling_spans as ss
+
+    self_out = ss(
+        tree_spans, F.col("span_name") == "cache", F.col("span_name") == "cache"
+    ).collect()
+    assert self_out == []
+
+
+def test_structural_search_lowering(traces):
+    from signaldb_spark.traceql.parser import parse_traceql_expr
+    from signaldb_spark.traceql.structural import structural_search
+
+    sq = parse_traceql_expr("{ name = api } >> { status = error }")
+    out = structural_search(traces, sq)
+    # no cartesian anywhere in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.collect()  # executes without error on the OTLP-shaped fixture
