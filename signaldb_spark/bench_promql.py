@@ -233,3 +233,73 @@ WHERE c1 + c2 + c3 + c4 + c5 > 0
 
 QUERIES["promql_histogram_fraction"] = q_promql_histogram_fraction
 ORACLES["promql_histogram_fraction"] = ORACLE_PROMQL_HISTOGRAM_FRACTION
+
+
+def q_promql_predict_linear(spark, sf_dir):
+    """predict_linear(v[1d], 600) through the full pipeline: per-series
+    least-squares extrapolation 600s past each bucket's end
+    (operators/timeseries.predict_linear; beyond-reference — the
+    reference's sequence functions stop at resets/changes,
+    promql.rs:1303-1307)."""
+    out = query_range(_ctx(spark, sf_dir), "predict_linear(events_value[1d], 600)")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+# x is centered on the bucket start on both sides: intercept at epoch-sized
+# abscissae would amplify slope rounding and break 6-decimal parity.
+ORACLE_PROMQL_PREDICT_LINEAR = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         epoch(ts) - floor(epoch(ts) / 86400) * 86400 AS x,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+)
+SELECT bucket, service_name,
+       round(regr_intercept(v, x) + regr_slope(v, x) * 87000.0, 6) AS value
+FROM m GROUP BY bucket, service_name
+"""
+
+
+def q_promql_holt_winters(spark, sf_dir):
+    """holt_winters(v[1d], 0.5, 0.5): sequential level/trend smoothing as
+    an F.aggregate fold (operators/timeseries.holt_winters); the oracle
+    replays the identical recurrence with a recursive CTE. Factors 0.5
+    are exactly representable so both engines run bit-identical IEEE
+    sequences."""
+    out = query_range(_ctx(spark, sf_dir), "holt_winters(events_value[1d], 0.5, 0.5)")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_HOLT_WINTERS = f"""
+WITH RECURSIVE base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CAST(value AS DOUBLE) AS v, epoch_us(ts) AS tus
+  FROM events
+), pts AS (
+  SELECT bucket, service_name, v,
+         row_number() OVER (PARTITION BY bucket, service_name ORDER BY tus, v) AS rn,
+         count(*) OVER (PARTITION BY bucket, service_name) AS n
+  FROM base
+), hw AS (
+  SELECT bucket, service_name, n, 1 AS i,
+         CAST(0.0 AS DOUBLE) AS s0, v AS s1, CAST(0.0 AS DOUBLE) AS b
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT h.bucket, h.service_name, h.n, h.i + 1,
+         h.s1,
+         0.5 * p.v + 0.5 * (h.s1 +
+           CASE WHEN h.i = 1 THEN p.v - h.s1
+                ELSE 0.5 * (h.s1 - h.s0) + 0.5 * h.b END),
+         CASE WHEN h.i = 1 THEN p.v - h.s1
+              ELSE 0.5 * (h.s1 - h.s0) + 0.5 * h.b END
+  FROM hw h JOIN pts p
+    ON p.bucket = h.bucket AND p.service_name = h.service_name AND p.rn = h.i + 1
+)
+SELECT bucket, service_name, round(s1, 6) AS value
+FROM hw WHERE i = n AND n >= 2
+"""
+
+QUERIES["promql_predict_linear"] = q_promql_predict_linear
+QUERIES["promql_holt_winters"] = q_promql_holt_winters
+ORACLES["promql_predict_linear"] = ORACLE_PROMQL_PREDICT_LINEAR
+ORACLES["promql_holt_winters"] = ORACLE_PROMQL_HOLT_WINTERS

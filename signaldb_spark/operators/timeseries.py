@@ -222,6 +222,86 @@ def deriv(df, ts_col, step_seconds, series_cols, value_col):
     )
 
 
+def predict_linear(df, ts_col, step_seconds, series_cols, value_col, horizon_seconds):
+    """PromQL ``predict_linear(v[d], t)``: least-squares extrapolation to
+    ``horizon_seconds`` past the bucket's end. Beyond-reference — the
+    reference's PromQL surface stops at deriv (promql.rs:1303-1307).
+
+    The abscissa is centered on the bucket start (seconds into the
+    window) instead of raw epoch seconds: an intercept at epoch-sized x
+    magnifies slope rounding by 1e9 and breaks cross-engine parity; on
+    centered x both slope and intercept stay O(value)."""
+    x = F.col(ts_col).cast("double") - F.col("bucket").cast("double")
+    v = F.col(value_col)
+    target = F.lit(float(step_seconds + horizon_seconds))
+    return range_aggregate(
+        df, ts_col, step_seconds, series_cols,
+        F.regr_intercept(v, x) + F.regr_slope(v, x) * target,
+    )
+
+
+def holt_winters(df, ts_col, step_seconds, series_cols, value_col, sf, tf):
+    """PromQL ``holt_winters(v[d], sf, tf)`` (a.k.a.
+    double_exponential_smoothing): sequential level/trend recurrence over
+    time-ordered samples. Beyond-reference.
+
+    An inherently sequential operator expressed without any UDF: samples
+    are gathered per (bucket, series) with ``array_sort(collect_list)``
+    and folded with ``F.aggregate`` — the recurrence runs inside
+    whole-stage codegen, one shuffle total, parallel across series.
+    State is (i, s0, s1, b) mirroring Prometheus's funcHoltWinters:
+    s1 seeds from the first sample, b from the first delta, then
+    b' = tf*(s1-s0) + (1-tf)*b and s1' = sf*x + (1-sf)*(s1+b').
+    Series with fewer than two samples drop (Prometheus parity)."""
+    sfl, tfl = F.lit(float(sf)), F.lit(float(tf))
+    pts = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("t"), F.col(value_col).cast("double").alias("v"))
+        )
+    )
+    agg = with_bucket(df, ts_col, step_seconds).groupBy("bucket", *series_cols).agg(
+        pts.alias("_pts")
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        F.lit(0.0).alias("s0"),
+        F.lit(0.0).alias("s1"),
+        F.lit(0.0).alias("b"),
+    )
+
+    def _step(acc, p):
+        i, s0, s1, b = acc["i"], acc["s0"], acc["s1"], acc["b"]
+        v = p["v"]
+        # trend: first delta on the second sample, smoothed afterwards
+        bn = F.when(i == 1, v - s1).otherwise(tfl * (s1 - s0) + (F.lit(1.0) - tfl) * b)
+        s1n = sfl * v + (F.lit(1.0) - sfl) * (s1 + bn)
+        return F.when(
+            i == 0,
+            F.struct(
+                F.lit(1).cast("long").alias("i"),
+                F.lit(0.0).alias("s0"),
+                v.alias("s1"),
+                F.lit(0.0).alias("b"),
+            ),
+        ).otherwise(
+            F.struct(
+                (i + F.lit(1)).cast("long").alias("i"),
+                s1.alias("s0"),
+                s1n.alias("s1"),
+                bn.alias("b"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.col("_pts"), init, _step,
+        lambda acc: F.when(acc["i"] >= 2, acc["s1"]),
+    )
+    return (
+        agg.select("bucket", *series_cols, folded.alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
 def resets(df, ts_col, step_seconds, series_cols, value_col, changes_mode=False):
     """Count decreases (resets) / changes over time-ordered samples per
     bucket (sequence_query, metrics.rs:1279-1440) — Window lag + sum."""

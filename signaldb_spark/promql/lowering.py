@@ -144,12 +144,17 @@ def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
     )
 
 
-def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None = None) -> DataFrame:
+def lower_range_fn(
+    ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None = None,
+    extra: tuple = (),
+) -> DataFrame:
     if sel.at_epoch is not None:
         inner_ctx = _at_ctx(ctx, sel, sel.range_seconds or ctx.default_range)
         pinned_sel = VectorSelector(sel.metric, sel.matchers, sel.range_seconds,
                                     sel.offset_seconds, sel.subquery)
-        return _pin_at(ctx, sel, lower_range_fn(inner_ctx, fn, pinned_sel, phi=phi))
+        return _pin_at(
+            ctx, sel, lower_range_fn(inner_ctx, fn, pinned_sel, phi=phi, extra=extra)
+        )
     base = scan_union(ctx)
     if base is None:
         return _empty_matrix(ctx)
@@ -167,6 +172,11 @@ def lower_range_fn(ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None
         return ts.irate(df, "timestamp", step, series, "value", idelta_only=fn == "idelta")
     if fn == "deriv":
         return ts.deriv(df, "timestamp", step, series, "value")
+    if fn == "predict_linear":
+        return ts.predict_linear(df, "timestamp", step, series, "value", phi or 0.0)
+    if fn in ("holt_winters", "double_exponential_smoothing"):
+        sf_, tf_ = extra
+        return ts.holt_winters(df, "timestamp", step, series, "value", sf_, tf_)
     if fn in ("resets", "changes"):
         return ts.resets(df, "timestamp", step, series, "value", changes_mode=fn == "changes")
     if fn == "absent_over_time":
@@ -384,10 +394,17 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
     fn = c.fn
     if fn in RANGE_FNS:
         phi = None
+        extra: tuple = ()
         args = list(c.args)
         if fn == "quantile_over_time":
             phi = _const(args[0])
             args = args[1:]
+        elif fn == "predict_linear":
+            phi = _const(args[1])  # horizon seconds
+            args = args[:1]
+        elif fn in ("holt_winters", "double_exponential_smoothing"):
+            extra = (_const(args[1]), _const(args[2]))
+            args = args[:1]
         sel = args[0]
         if isinstance(sel, Call) and sel.fn == "__subquery__" and fn.endswith("_over_time"):
             return _eval_subquery_reduce(ctx, fn, sel, phi=phi)
@@ -401,7 +418,7 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
                                        sel.offset_seconds, None, sel.at_epoch)
             sub = Call("__subquery__", (inner_sel, NumberLit(rng), NumberLit(res)))
             return _eval_subquery_reduce(ctx, fn, sub, phi=phi)
-        return lower_range_fn(ctx, fn, sel, phi=phi)
+        return lower_range_fn(ctx, fn, sel, phi=phi, extra=extra)
     if fn in VALUE_FNS:
         inner = eval_expr(ctx, c.args[0])
         args = [_const(a) for a in c.args[1:]]

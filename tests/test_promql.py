@@ -350,3 +350,62 @@ def test_group_left_many_to_one(ctx):
     )
     got = query_range(ctx, q).collect()
     assert got and all(abs(r.value - 1.0) < 1e-9 for r in got)
+
+
+# ------------------------------------- predict_linear / holt_winters
+
+
+def test_predict_linear_exact_line(spark):
+    """On exactly linear data the extrapolation is exact: v = t_offset,
+    so predict_linear(v[step], h) at bucket end + h == step + h."""
+    from signaldb_spark.operators.timeseries import predict_linear
+
+    rows = [(f"2024-01-01 00:{m:02d}:00", float(60 * m)) for m in range(10)]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS timestamp", "value"
+    )
+    out = predict_linear(df, "timestamp", 3600, [], "value", 600.0).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(3600.0 + 600.0)
+
+
+def test_parse_predict_linear_and_holt_winters():
+    e = parse("predict_linear(m[5m], 600)")
+    assert isinstance(e, Call) and e.fn == "predict_linear"
+    e2 = parse("double_exponential_smoothing(m[5m], 0.3, 0.6)")
+    assert isinstance(e2, Call) and e2.fn == "double_exponential_smoothing"
+
+
+def test_holt_winters_matches_reference_recurrence(spark):
+    """Hand-run Prometheus's funcHoltWinters recurrence and compare."""
+    from signaldb_spark.operators.timeseries import holt_winters
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    rows = [(f"2024-01-01 00:0{i}:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "CAST(ts AS TIMESTAMP) AS timestamp", "value"
+    )
+    sf, tf = 0.4, 0.3
+    s0, s1, b = 0.0, vals[0], vals[1] - vals[0]
+    for i in range(1, len(vals)):
+        bn = b if i == 1 else tf * (s1 - s0) + (1 - tf) * b
+        x = sf * vals[i]
+        y = (1 - sf) * (s1 + bn)
+        s0, s1, b = s1, x + y, bn
+    out = holt_winters(df, "timestamp", 3600, [], "value", sf, tf).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(s1, abs=1e-12)
+
+
+def test_holt_winters_needs_two_samples(spark):
+    from signaldb_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 5.0)], "ts string, value double"
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS timestamp", "value")
+    assert holt_winters(df, "timestamp", 3600, [], "value", 0.5, 0.5).collect() == []
+
+
+def test_holt_winters_via_query_range(ctx):
+    out = query_range(ctx, "holt_winters(process_cpu_usage[10m], 0.5, 0.5)")
+    assert out.count() > 0
