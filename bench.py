@@ -39,14 +39,25 @@ HEADLINE = [
     "dedup_exact",
     "dedup_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
     "emb_cosine_topk",
+    "emb_lsh_ann",
+    "emb_ivf_ann",
+    "emb_near_dup",
     "text_quality",
+    "multimodal_features",
     "logql_count_by_service",
     "logql_json_quantile",
     "promql_sum_rate",
     "promql_histogram_quantile",
+    "promql_predict_linear",
+    "promql_holt_winters",
     "trace_search_truncation",
+    "trace_descendant_spans",
     "ir_agg_pipeline",
+    "event_sessions",
+    "alert_for",
 ]
 
 

@@ -194,7 +194,7 @@ ORACLE_DEDUP_SIMHASH = _simhash_oracle_sql()
 def q_emb_cosine_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 10)
-    return sim.cosine_topk(e, queries, "vec_id", "embedding", k=5)
+    return sim.cosine_topk(e, queries, "vec_id", "embedding", k=5, dims=64)
 
 
 ORACLE_EMB_COSINE_TOPK = """

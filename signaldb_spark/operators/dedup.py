@@ -184,54 +184,118 @@ def lsh_candidate_pairs(
 
 def connected_components(
     pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 20, driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Duplicate-cluster consolidation: connected components over a
     near-dup pair list → (id, cluster_id, cluster_size) with
     cluster_id = min member id (the canonical keeper).
 
-    Min-label propagation: every node starts labeled with its own id;
-    each round a node takes the min of its own and its neighbors'
-    labels, until a fixed point. Rounds needed = component diameter —
-    near-dup clusters are dense and shallow, so this converges in a few
-    rounds (the same reason GraphX CC and the large-star/small-star
-    algorithm behave well on dedup graphs). Each round is one
-    shuffle-join + one aggregate; intermediate labels are cached and
-    the previous round unpersisted, so lineage stays bounded.
+    Hash-min with pointer jumping: every node starts labeled with its
+    own id; each round a node takes the min of its own and its
+    neighbors' labels (hash-min), then replaces its label with its
+    label's label (path compression). The jump halves path lengths, so
+    rounds needed are O(log diameter) instead of O(diameter) — the
+    difference between ~5 and ~30 Spark jobs on the chain-shaped
+    components LSH near-dup graphs actually produce. Intermediate
+    labels are cached and the previous round unpersisted, so lineage
+    stays bounded; convergence is detected from a one-row
+    bit_xor(xxhash64) checksum of the label table (one cheap action per
+    round instead of a compare-join).
 
     Only ids that appear in ``pairs`` are clustered — singletons never
     entered the pair list and need no consolidation.
+
+    Regime split (same contract both ways): below
+    ``driver_threshold`` edges the pair list is collected and resolved
+    with union-find on the driver — the graph is bounded and tiny
+    relative to the corpus it came from, and a Spark iteration on an
+    overhead-bound graph costs seconds per round for no parallelism
+    gain (the same reasoning that broadcasts a small join side). Above
+    the threshold the distributed hash-min/pointer-jump loop runs, which
+    is the shape that survives billions of edges.
     """
+    pairs = pairs.cache()
+    n_edges = pairs.count()
+    if n_edges <= driver_threshold:
+        rows = pairs.select(a_col, b_col).collect()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            ra, rb = find(r[0]), find(r[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        members: dict = {}
+        for node in list(parent):
+            members.setdefault(find(node), []).append(node)
+        out = [
+            (node, root, len(nodes))
+            for root, nodes in members.items()
+            for node in nodes
+        ]
+        spark = pairs.sparkSession
+        id_type = pairs.schema[a_col].dataType
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("id", id_type),
+                StructField("cluster_id", id_type),
+                StructField("cluster_size", LongType()),
+            ]
+        )
+        pairs.unpersist()
+        return spark.createDataFrame(out, schema)
+    # pairs are (id_a < id_b) and already distinct, so the two directed
+    # legs can never collide — no dedup pass needed. Cache pairs so the
+    # union's two legs share one upstream run, and pre-partition edges
+    # on src: every iteration's propagation join then reuses this
+    # partitioning and only the (smaller) label side shuffles.
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().cache()
+    edges = fwd.unionByName(rev).repartition("src").cache()
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lab", F.col("id"))
         .cache()
     )
+    prev_sig = None
     for _ in range(max_iterations):
-        via = (
+        nbr = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "lab")
         )
-        new = (
-            labels.unionByName(via)
+        merged = (
+            labels.unionByName(nbr)
             .groupBy("id")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer jump: lab <- lab(lab). Labels are always ids of real
+        # nodes, so the self-join hits; coalesce guards the no-op case.
+        jump = merged.select(F.col("id").alias("_jid"), F.col("lab").alias("_jlab"))
+        new = (
+            merged.join(jump, merged.lab == jump._jid, "left")
+            .select(
+                merged.id,
+                F.coalesce(F.col("_jlab"), merged.lab).alias("lab"),
+            )
             .cache()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("lab", "old"), "id")
-            .filter(F.col("lab") != F.col("old"))
-            .limit(1)
-            .count()
-        )
+        sig = new.agg(F.expr("bit_xor(xxhash64(id, lab))")).collect()[0][0]
         labels.unpersist()
         labels = new
-        if changed == 0:
+        if sig == prev_sig:
             break
+        prev_sig = sig
     edges.unpersist()
+    pairs.unpersist()
     w = Window.partitionBy("lab")
     return (
         labels.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
@@ -284,17 +348,29 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: 
     n_bands = max_hamming + 1
     width = -(-bits // n_bands)  # ceil; last band may be narrower (high bits are 0)
     mask = F.lit((1 << width) - 1)
+
+    def band_val(col, j):
+        return F.shiftright(col, j * width).bitwiseAND(mask)
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), i * width).bitwiseAND(mask).alias("band_val"),
+                band_val(F.col("simhash"), i).alias("band_val"),
             )
             for i in range(n_bands)
         ]
     )
-    ex = sim.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv")).select(
-        id_col, "simhash", F.col("bv.band").alias("band"), F.col("bv.band_val").alias("band_val")
+    # (id, simhash, band, band_val) is 4 longs per doc×band — cache it so
+    # the self-join's two legs don't each re-run the token-explode
+    # simhash aggregation upstream
+    ex = (
+        sim.select(F.col(id_col), F.col("simhash"), F.explode(bands).alias("bv"))
+        .select(
+            id_col, "simhash", F.col("bv.band").alias("band"),
+            F.col("bv.band_val").alias("band_val"),
+        )
+        .cache()
     )
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_val"
@@ -302,14 +378,26 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: 
     b = ex.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_val"
     )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # A pair that matches in several bands would surface once per band;
+    # instead of a dropDuplicates shuffle over the full candidate set,
+    # keep only the FIRST matching band: for band i require every band
+    # j < i to differ. Pure map-side arithmetic on (sh_a, sh_b) — each
+    # qualifying pair survives exactly once, so the result needs no
+    # dedup pass at all.
+    first_match = F.lit(True)
+    for i in range(1, n_bands):
+        earlier_differs = F.lit(True)
+        for j in range(i):
+            earlier_differs = earlier_differs & (
+                band_val(F.col("sh_a"), j) != band_val(F.col("sh_b"), j)
+            )
+        first_match = F.when(F.col("band") == i, earlier_differs).otherwise(first_match)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham)
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(first_match)
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -130,8 +130,15 @@ def test_connected_components_multihop_chain(spark):
         [(10, 20), (20, 30), (30, 40), (50, 60), (60, 50)],
         "id_a long, id_b long",
     )
-    got = {r.id: (r.cluster_id, r.cluster_size) for r in connected_components(pairs).collect()}
-    assert got == {
+    want = {
         10: (10, 4), 20: (10, 4), 30: (10, 4), 40: (10, 4),
         50: (50, 2), 60: (50, 2),
     }
+    got = {r.id: (r.cluster_id, r.cluster_size) for r in connected_components(pairs).collect()}
+    assert got == want
+    # distributed pointer-jumping path (driver_threshold=0) must agree
+    dist = {
+        r.id: (r.cluster_id, r.cluster_size)
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == want
