@@ -303,3 +303,50 @@ QUERIES["promql_predict_linear"] = q_promql_predict_linear
 QUERIES["promql_holt_winters"] = q_promql_holt_winters
 ORACLES["promql_predict_linear"] = ORACLE_PROMQL_PREDICT_LINEAR
 ORACLES["promql_holt_winters"] = ORACLE_PROMQL_HOLT_WINTERS
+
+
+def _daily_hist_count_sum(spark, sf_dir):
+    """Histogram-table view carrying the stored count/sum columns
+    (storage-layout.md metrics_histogram; schema_transform.rs histogram
+    flattener keeps count+sum alongside bucket_counts)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("timestamp"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("count"),
+            F.sum("value").cast("double").alias("sum"),
+        )
+        .select(
+            "timestamp",
+            F.lit("events").alias("service_name"),
+            F.lit("latency").alias("metric_name"),
+            "count",
+            "sum",
+        )
+    )
+
+
+def q_promql_histogram_count_sum(spark, sf_dir):
+    """histogram_count + histogram_sum through the full pipeline
+    (metrics.rs:1225-1277 scalar path): last stored count/sum per
+    bucket, joined into one row per bucket."""
+    hist = _daily_hist_count_sum(spark, sf_dir)
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    c = query_range(ctx, "histogram_count(latency)").select(
+        "bucket", F.col("value").alias("cnt")
+    )
+    s = query_range(ctx, "histogram_sum(latency)").select(
+        "bucket", F.round("value", 6).alias("sm")
+    )
+    return c.join(s, "bucket")
+
+
+ORACLE_PROMQL_HISTOGRAM_COUNT_SUM = f"""
+SELECT {_BUCKET} AS bucket,
+       CAST(count(*) AS DOUBLE) AS cnt,
+       round(CAST(sum(value) AS DOUBLE), 6) AS sm
+FROM events GROUP BY 1
+"""
+
+QUERIES["promql_histogram_count_sum"] = q_promql_histogram_count_sum
+ORACLES["promql_histogram_count_sum"] = ORACLE_PROMQL_HISTOGRAM_COUNT_SUM

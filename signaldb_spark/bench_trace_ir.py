@@ -367,3 +367,31 @@ QUERIES["trace_sibling_spans"] = q_trace_sibling_spans
 ORACLES["trace_child_spans"] = ORACLE_TRACE_CHILD
 ORACLES["trace_descendant_spans"] = ORACLE_TRACE_DESCENDANT
 ORACLES["trace_sibling_spans"] = ORACLE_TRACE_SIBLING
+
+
+def q_trace_tag_values(spark, sf_dir):
+    """Tempo tag-value discovery: distinct non-empty values of an
+    unscoped attribute, sorted, capped (trace_ops.tag_values;
+    tempo-api-reference.md:26,45)."""
+    from .traceql.trace_ops import tag_values
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias("span_attributes"),
+        F.create_map(F.lit("status"), F.col("l_linestatus")).alias(
+            "resource_attributes"
+        ),
+    )
+    return tag_values(spans, "unscoped", "flag", cap=1000)
+
+
+ORACLE_TRACE_TAG_VALUES = """
+SELECT DISTINCT l_returnflag AS value
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_returnflag <> ''
+ORDER BY value LIMIT 1000
+"""
+
+QUERIES["trace_tag_values"] = q_trace_tag_values
+ORACLES["trace_tag_values"] = ORACLE_TRACE_TAG_VALUES
