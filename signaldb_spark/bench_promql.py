@@ -350,3 +350,60 @@ FROM events GROUP BY 1
 
 QUERIES["promql_histogram_count_sum"] = q_promql_histogram_count_sum
 ORACLES["promql_histogram_count_sum"] = ORACLE_PROMQL_HISTOGRAM_COUNT_SUM
+
+
+def q_promql_labels(spark, sf_dir):
+    """/api/v1/labels: well-known __name__/job plus every attribute key
+    in the window (discovery.prom_labels; metrics.rs:1489-1529)."""
+    from .promql.discovery import prom_labels
+
+    return prom_labels(_ctx(spark, sf_dir))
+
+
+# the metrics view carries exactly one attribute key ('user', present on
+# every row because create_map materializes the key even for null values)
+ORACLE_PROMQL_LABELS = """
+SELECT '__name__' AS label UNION ALL SELECT 'job' UNION ALL SELECT 'user'
+"""
+
+
+def q_promql_label_values(spark, sf_dir):
+    """/api/v1/label/user/values: distinct non-empty attribute values,
+    sorted, capped (discovery.prom_label_values; metrics.rs:1531-1598)."""
+    from .promql.discovery import prom_label_values
+
+    return prom_label_values(_ctx(spark, sf_dir), "user")
+
+
+ORACLE_PROMQL_LABEL_VALUES = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS value
+FROM events
+WHERE user_id IS NOT NULL AND CAST(user_id AS VARCHAR) <> ''
+ORDER BY value LIMIT 1000
+"""
+
+
+def q_promql_series(spark, sf_dir):
+    """/api/v1/series for events_value{user!="1"}: distinct
+    (__name__, job) identities (discovery.prom_series;
+    metrics.rs:1599-1646), with the reference's absent-matching
+    negation semantics on the attribute matcher."""
+    from .promql.discovery import prom_series
+
+    return prom_series(_ctx(spark, sf_dir), 'events_value{user!="1"}')
+
+
+ORACLE_PROMQL_SERIES = """
+SELECT DISTINCT 'events_value' AS "__name__", event_type AS job
+FROM events
+WHERE (user_id IS NULL OR CAST(user_id AS VARCHAR) <> '1')
+  AND event_type IS NOT NULL AND event_type <> ''
+ORDER BY 1, 2 LIMIT 1000
+"""
+
+QUERIES["promql_labels"] = q_promql_labels
+QUERIES["promql_label_values"] = q_promql_label_values
+QUERIES["promql_series"] = q_promql_series
+ORACLES["promql_labels"] = ORACLE_PROMQL_LABELS
+ORACLES["promql_label_values"] = ORACLE_PROMQL_LABEL_VALUES
+ORACLES["promql_series"] = ORACLE_PROMQL_SERIES

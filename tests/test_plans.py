@@ -142,3 +142,37 @@ def test_connected_components_multihop_chain(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert dist == want
+
+
+def test_simhash_band_pairs_equal_brute_force(spark):
+    """The first-matching-band dedup-free rewrite must return exactly
+    the pairs a brute-force hamming scan finds: every pair within
+    hamming<=3 once (pigeonhole over 4 bands), no duplicates from
+    multi-band matches, no pairs above the cutoff."""
+    import itertools
+    import random
+
+    from signaldb_spark.operators.dedup import simhash_near_pairs
+
+    rnd = random.Random(7)
+    rows = []
+    doc = 0
+    for _ in range(40):
+        base = rnd.getrandbits(32)
+        rows.append((doc, base)); doc += 1
+        for flips in (1, 2, 3, 4, 6):  # near and just-outside variants
+            h = base
+            for b in rnd.sample(range(32), flips):
+                h ^= 1 << b
+            rows.append((doc, h)); doc += 1
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_pairs(sim, "doc_id", max_hamming=3, bits=32).collect()
+    }
+    want = set()
+    for (a, ha), (b, hb) in itertools.combinations(rows, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 3:
+            want.add((min(a, b), max(a, b), d))
+    assert got == want and len(want) > 50
