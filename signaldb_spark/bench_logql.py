@@ -173,3 +173,22 @@ ORACLES = {
     "logql_line_filter_topk": ORACLE_LOGQL_TOPK,
     "logql_attr_unless": ORACLE_LOGQL_ATTR_UNLESS,
 }
+
+
+def q_logql_labels(spark, sf_dir):
+    """Loki /loki/api/v1/labels analog: materialized label_* columns
+    plus every attribute-map key, deduped/sorted/capped in-engine
+    (maintenance.jobs.detected_labels; logs.rs:397-475)."""
+    from .maintenance.jobs import detected_labels
+
+    return detected_labels(_logs_view(spark, sf_dir))
+
+
+# the logs view carries one materialized label column (namespace) and
+# one attribute key (user, present on every row via create_map)
+ORACLE_LOGQL_LABELS = """
+SELECT 'namespace' AS label UNION ALL SELECT 'user' ORDER BY 1
+"""
+
+QUERIES["logql_labels"] = q_logql_labels
+ORACLES["logql_labels"] = ORACLE_LOGQL_LABELS

@@ -395,3 +395,29 @@ ORDER BY value LIMIT 1000
 
 QUERIES["trace_tag_values"] = q_trace_tag_values
 ORACLES["trace_tag_values"] = ORACLE_TRACE_TAG_VALUES
+
+
+def q_trace_tag_names(spark, sf_dir):
+    """Tempo tag-name discovery: unscoped union of span + resource
+    attribute keys plus the service.name intrinsic, sorted, capped
+    (trace_ops.tag_names; tempo-api-reference.md:26)."""
+    from .traceql.trace_ops import tag_names
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias("span_attributes"),
+        F.create_map(F.lit("status"), F.col("l_linestatus")).alias(
+            "resource_attributes"
+        ),
+    )
+    return tag_names(spans, "unscoped", cap=1000)
+
+
+ORACLE_TRACE_TAG_NAMES = """
+SELECT 'flag' AS name UNION ALL SELECT 'service.name' UNION ALL SELECT 'status'
+ORDER BY 1
+"""
+
+QUERIES["trace_tag_names"] = q_trace_tag_names
+ORACLES["trace_tag_names"] = ORACLE_TRACE_TAG_NAMES

@@ -199,3 +199,35 @@ def tag_values(traces: DataFrame, scope: str, key: str, cap: int = 1000) -> Data
         .orderBy("value")
         .limit(cap)
     )
+
+
+def tag_names(traces: DataFrame, scope: str = "unscoped", cap: int = 1000) -> DataFrame:
+    """Distinct tag NAMES per scope (tempo /api/search/tags,
+    docs/users/tempo-api-reference.md:26): span scope reads
+    span_attributes keys, resource scope reads resource_attributes keys
+    plus the intrinsic ``service.name``, unscoped unions both. The
+    distinct runs on a tiny exploded-key projection in-engine (scan
+    prunes to the attribute column only), then sorts and caps — same
+    deterministic bound as tag_values."""
+    spark = traces.sparkSession
+    parts = []
+    if scope in ("span", "unscoped"):
+        parts.append(
+            traces.select(F.explode(F.map_keys(F.col("span_attributes"))).alias("name"))
+        )
+    if scope in ("resource", "unscoped"):
+        parts.append(
+            traces.select(
+                F.explode(F.map_keys(F.col("resource_attributes"))).alias("name")
+            )
+        )
+        parts.append(spark.createDataFrame([("service.name",)], "name string"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.filter(F.col("name").isNotNull() & (F.col("name") != ""))
+        .distinct()
+        .orderBy("name")
+        .limit(cap)
+    )
