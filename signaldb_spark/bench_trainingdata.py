@@ -614,3 +614,57 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.4
 
 QUERIES["emb_near_dup"] = q_emb_near_dup
 ORACLES["emb_near_dup"] = ORACLE_EMB_NEAR_DUP
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Composite curation pipeline: quality+token features (codegen) →
+    lang/quality filter → exact dedup keeping min doc_id per digest
+    (one min_by shuffle) → per-source yield (one partial+final agg).
+    operators/curation.py."""
+    from .operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf_dir), langs=("en",), min_quality=0.45)
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH f AS (
+  SELECT doc_id, source, lang, {NORM_SQL} AS t FROM documents
+),
+feat AS (
+  SELECT doc_id, source, lang, t,
+         length(t) AS n_chars,
+         len(string_split(t, ' ')) AS n_words,
+         len(regexp_extract_all(t, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(t, '\\b(the|and|of|is|a|to|in)\\b')) AS n_stop,
+         CAST(len(regexp_extract_all(t, '[a-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT)
+           AS bpe_tokens
+  FROM f
+),
+scored AS (
+  SELECT doc_id, source, t, bpe_tokens,
+         floor(least(1.0, greatest(0.0,
+             0.5 + 2.0 * (n_stop / greatest(n_words, 1))
+                 - 3.0 * (n_punct / greatest(n_chars, 1))
+                 - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0))
+           * 1e6 + 0.5) / 1e6 AS quality_score
+  FROM feat
+  WHERE lang = 'en'
+),
+kept AS (
+  SELECT * FROM scored WHERE quality_score >= 0.45
+),
+survivors AS (
+  SELECT source, bpe_tokens, quality_score,
+         row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+  FROM kept
+)
+SELECT source,
+       count(*) AS kept_docs,
+       sum(bpe_tokens) AS sum_bpe_tokens,
+       floor(avg(quality_score) * 1e6 + 0.5) / 1e6 AS avg_quality
+FROM survivors WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+QUERIES["curation_pipeline"] = q_curation_pipeline
+ORACLES["curation_pipeline"] = ORACLE_CURATION_PIPELINE
