@@ -101,8 +101,19 @@ def jaccard_pairs(
     Sizes (|A|, |B|) stay uncapped, so only the intersection count is
     approximated — pairs whose overlap rides on ubiquitous shingles may
     drop below threshold. Pass ``None`` for the exact baseline.
+
+    Shingles are reduced to 64-bit hashes *before* the cache and the
+    pair join: every exchange then carries (long, long) rows instead of
+    multi-word strings — at 100 TB the pair join's shuffle is the cost
+    center and the key is its widest column. Equality on the hash is
+    equality on the shingle up to xxhash64 collisions (expected
+    colliding pairs ≈ d²/2⁶⁵ — zero in practice).
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         # broadcast ANTI join against the HOT list (df > cap), not an

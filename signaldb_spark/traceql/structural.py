@@ -119,11 +119,16 @@ def descendant_spans(
     parent_map = F.map_from_entries(
         F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
     )
-    anc_ids = F.transform(
-        F.filter(ss, lambda s: F.coalesce(s["_is_anc"], F.lit(False))),
-        lambda s: s["span_id"],
+    # ancestor membership as a map, not an array: each chase hop is then
+    # an O(1) map probe instead of an O(|ancestors|) array scan — the
+    # per-span cost drops from depth×|anc| to depth
+    anc_map = F.map_from_entries(
+        F.transform(
+            F.filter(ss, lambda s: F.coalesce(s["_is_anc"], F.lit(False))),
+            lambda s: F.struct(s["span_id"], F.lit(True)),
+        )
     )
-    agg = agg.withColumn("_pm", parent_map).withColumn("_anc", anc_ids)
+    agg = agg.withColumn("_pm", parent_map).withColumn("_anc", anc_map)
 
     def _has_matching_ancestor(s) -> Column:
         cur = s["span_id"]
@@ -131,7 +136,7 @@ def descendant_spans(
         for _ in range(max_depth):
             cur = F.element_at(F.col("_pm"), cur)
             hit = hit | F.coalesce(
-                F.array_contains(F.col("_anc"), cur), F.lit(False)
+                F.element_at(F.col("_anc"), cur), F.lit(False)
             )
         return hit
 
