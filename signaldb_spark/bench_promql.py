@@ -407,3 +407,44 @@ QUERIES["promql_series"] = q_promql_series
 ORACLES["promql_labels"] = ORACLE_PROMQL_LABELS
 ORACLES["promql_label_values"] = ORACLE_PROMQL_LABEL_VALUES
 ORACLES["promql_series"] = ORACLE_PROMQL_SERIES
+
+
+SPLIT = "2024-01-16 00:00:00"
+
+
+def q_metrics_rollup_avg(spark, sf_dir):
+    """Downsampled long-range read: hourly rollup rows answer
+    [START, SPLIT), raw samples answer [SPLIT, END), merged per-day via
+    the mergeable count/sum stats — bit-for-equal to aggregating raw
+    everywhere because the split lands on a bucket boundary
+    (maintenance/rollup.py; beyond-reference continuous aggregate)."""
+    from .maintenance.rollup import hybrid_stats, rollup_metrics
+
+    raw = _metrics_view(spark, sf_dir)
+    rollup = rollup_metrics(raw.filter(F.col("timestamp") < SPLIT), 3600)
+    out = hybrid_stats(raw, rollup, START, END, SPLIT, DAY, 3600)
+    # roll series up to service level: sums of counts/sums stay exact
+    return (
+        out.groupBy("bucket", "service_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+            F.round(F.min("vmin"), 6).alias("vmin"),
+            F.round(F.max("vmax"), 6).alias("vmax"),
+        )
+    )
+
+
+ORACLE_METRICS_ROLLUP_AVG = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(value), 6) AS vavg,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events
+WHERE ts >= '2024-01-01' AND ts < '2024-02-01'
+GROUP BY 1, 2
+"""
+
+QUERIES["metrics_rollup_avg"] = q_metrics_rollup_avg
+ORACLES["metrics_rollup_avg"] = ORACLE_METRICS_ROLLUP_AVG

@@ -618,3 +618,56 @@ def test_metric_exemplars_persisted_as_json(spark):
     }
     assert ex[1]["value"] == 3.0 and "trace_id" not in ex[1]
     assert gauge[1].exemplars is None
+
+
+def test_rollup_hybrid_exact(spark):
+    """Hybrid rollup+raw stats must equal the straight raw aggregation:
+    count/min/max exactly, sum to FP tolerance, across a split that
+    lands on a bucket boundary."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.maintenance.rollup import hybrid_stats, rollup_metrics
+
+    rows = []
+    for h in range(48):  # two days, hourly-ish samples, two series
+        for svc in ("a", "b"):
+            for k in range(3):
+                rows.append(
+                    (f"2024-03-0{1 + h // 24} {h % 24:02d}:{k * 7:02d}:00",
+                     svc, "m", float(h * 10 + k), {"u": svc})
+                )
+    raw = spark.createDataFrame(
+        rows, "timestamp string, service_name string, metric_name string,"
+              " value double, attributes map<string,string>"
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    split = "2024-03-02 00:00:00"
+    rollup = rollup_metrics(raw.filter(F.col("timestamp") < split), 3600)
+    got = {
+        (r.bucket, r.service_name): (r.cnt, r.vmin, r.vmax, round(r.vsum, 6))
+        for r in hybrid_stats(
+            raw, rollup, "2024-03-01 00:00:00", "2024-03-03 00:00:00",
+            split, 86400, 3600,
+        ).collect()
+    }
+    want = {
+        (r.bucket, r.service_name): (r.cnt, r.vmin, r.vmax, round(r.vsum, 6))
+        for r in raw.groupBy(
+            (F.floor(F.col("timestamp").cast("double") / 86400) * 86400)
+            .cast("long").alias("bucket"),
+            "service_name",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            F.sum("value").alias("vsum"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) == 4
+
+    # misaligned step must be rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        hybrid_stats(raw, rollup, "2024-03-01", "2024-03-03", split, 5400, 3600)
