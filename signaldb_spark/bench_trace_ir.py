@@ -421,3 +421,65 @@ ORDER BY 1
 
 QUERIES["trace_tag_names"] = q_trace_tag_names
 ORACLES["trace_tag_names"] = ORACLE_TRACE_TAG_NAMES
+
+
+def q_flamegraph_diff(spark, sf_dir):
+    """Differential flamegraph: 1994 vs 1995 order revenue over
+    [region, nation] stacks — single pass, window tag rides the prefix
+    explode so no two-flamegraph join (operators/profiles.flamegraph_diff,
+    beyond-reference compare view)."""
+    from .operators.profiles import flamegraph_diff
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    profiles = j.select(
+        F.col("o_orderdate").cast("timestamp").alias("timestamp"),
+        F.to_json(F.array(F.array("r_name", "n_name"))).alias("stacktraces_json"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stacktrace_idx"),
+                    F.round("o_totalprice", 0).cast("long").alias("value"),
+                )
+            )
+        ).alias("samples_json"),
+    )
+    return flamegraph_diff(
+        profiles,
+        "1994-01-01 00:00:00", "1994-12-31 23:59:59",
+        "1995-01-01 00:00:00", "1995-12-31 23:59:59",
+    )
+
+
+ORACLE_FLAMEGRAPH_DIFF = """
+WITH j AS (
+  SELECT r_name, n_name, CAST(round(o_totalprice, 0) AS BIGINT) AS w,
+         CASE WHEN o_orderdate >= '1995-01-01' THEN 1 ELSE 0 END AS wc
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE o_orderdate >= '1994-01-01' AND o_orderdate < '1996-01-01'
+),
+p AS (
+  SELECT r_name AS path, 1 AS depth, r_name AS frame, w, wc FROM j
+  UNION ALL
+  SELECT r_name || ';' || n_name, 2, n_name, w, wc FROM j
+)
+SELECT path, depth, frame,
+       sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS base_value,
+       sum(CASE WHEN wc = 1 THEN w ELSE 0 END) AS comp_value,
+       sum(CASE WHEN wc = 1 THEN w ELSE 0 END)
+         - sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS delta
+FROM p GROUP BY 1, 2, 3
+"""
+
+QUERIES["flamegraph_diff"] = q_flamegraph_diff
+ORACLES["flamegraph_diff"] = ORACLE_FLAMEGRAPH_DIFF

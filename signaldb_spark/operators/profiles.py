@@ -58,3 +58,41 @@ def find_by_trace(profiles: DataFrame, trace_id: str, span_id: str | None = None
     if span_id is not None:
         out = out.filter(F.col("span_id") == span_id)
     return out
+
+
+def flamegraph_diff(
+    profiles: DataFrame,
+    base_start,
+    base_end,
+    comp_start,
+    comp_end,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Differential flamegraph between two time windows (the
+    Parca/Pyroscope "compare" view; beyond-reference — the reference
+    renders single-window flamegraphs only).
+
+    One pass over the union of both windows: each sample is tagged with
+    its window before the prefix explode, so the shuffle key stays
+    (path) and both windows' weights land in the same reduce row —
+    no join of two flamegraphs. Output per path: base/comp weights and
+    the absolute delta; paths absent from a window report 0.
+    """
+    tagged = profiles.filter(
+        F.col(ts_col).between(base_start, base_end)
+        | F.col(ts_col).between(comp_start, comp_end)
+    ).withColumn(
+        "_w_comp",
+        F.col(ts_col).between(comp_start, comp_end).cast("int"),
+    )
+    fg = flamegraph(tagged, group_cols=["_w_comp"])
+    return (
+        fg.groupBy("path", "depth", "frame")
+        .agg(
+            F.sum(F.when(F.col("_w_comp") == 0, F.col("value")).otherwise(0))
+            .alias("base_value"),
+            F.sum(F.when(F.col("_w_comp") == 1, F.col("value")).otherwise(0))
+            .alias("comp_value"),
+        )
+        .withColumn("delta", F.col("comp_value") - F.col("base_value"))
+    )
