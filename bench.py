@@ -58,6 +58,9 @@ HEADLINE = [
     "ir_agg_pipeline",
     "event_sessions",
     "alert_for",
+    "curation_pipeline",
+    "metrics_rollup_avg",
+    "flamegraph_diff",
 ]
 
 

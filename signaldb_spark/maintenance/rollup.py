@@ -130,3 +130,39 @@ def hybrid_stats(
         )
     )
     return merged.withColumn("vavg", F.col("vsum") / F.col("cnt"))
+
+
+def append_rollup(
+    df: DataFrame,
+    rollup_path: str,
+    bucket_seconds: int = 3600,
+    attr_col: str = "attributes",
+) -> None:
+    """Incremental (streaming) rollup maintenance: aggregate ONE ingest
+    batch and append its partial rollup rows. Batches may straddle
+    buckets and arrive late — correctness needs no read-modify-write
+    because the stats are mergeable: ``read_rollup`` re-merges all
+    partial rows per (bucket, series) exactly. The write is append-only
+    (object-store friendly), partitioned by the bucket's day for
+    long-range partition pruning."""
+    out = rollup_metrics(df, bucket_seconds, attr_col).withColumn(
+        "date_day", F.to_date(F.timestamp_seconds(F.col("bucket")))
+    )
+    out.write.mode("append").partitionBy("date_day").parquet(rollup_path)
+
+
+def read_rollup(spark, rollup_path: str, attr_col: str = "attributes") -> DataFrame:
+    """Merged rollup view over the append-only partials: one row per
+    (bucket, series) with fully-combined stats — the DataFrame
+    ``hybrid_stats`` consumes. The merge is a partial+final aggregation
+    over already-tiny rows; at 100 TB the partials stay small because
+    each is one batch × series, and compaction can fold them offline
+    with this same expression."""
+    raw = spark.read.parquet(rollup_path)
+    return raw.groupBy("bucket", *SERIES_COLS, "attr_key").agg(
+        F.first(F.col(attr_col)).alias(attr_col),
+        F.sum("cnt").alias("cnt"),
+        F.sum("vsum").alias("vsum"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

@@ -671,3 +671,38 @@ def test_rollup_hybrid_exact(spark):
 
     with pytest.raises(ValueError):
         hybrid_stats(raw, rollup, "2024-03-01", "2024-03-03", split, 5400, 3600)
+
+
+def test_rollup_incremental_append_merges_exact(spark, tmp_path):
+    """Partial rollup rows appended batch-by-batch (straddling buckets,
+    late data) must re-merge at read to exactly the single-shot rollup
+    of the full data."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.maintenance.rollup import (
+        append_rollup, read_rollup, rollup_metrics,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "timestamp string, service_name string, metric_name string,"
+                  " value double, attributes map<string,string>"
+        ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+
+    b1 = mk([("2024-03-01 10:05:00", "a", "m", 1.0, {"u": "x"}),
+             ("2024-03-01 10:55:00", "a", "m", 3.0, {"u": "x"}),
+             ("2024-03-01 11:05:00", "b", "m", 7.0, {"u": "y"})])
+    b2 = mk([("2024-03-01 10:30:00", "a", "m", 5.0, {"u": "x"}),   # same bucket as b1
+             ("2024-03-01 09:59:00", "a", "m", 2.0, {"u": "x"})])  # late arrival
+    path = str(tmp_path / "rollup")
+    append_rollup(b1, path)
+    append_rollup(b2, path)
+    got = {
+        (r.bucket, r.service_name, r.attr_key): (r.cnt, r.vsum, r.vmin, r.vmax)
+        for r in read_rollup(spark, path).collect()
+    }
+    want = {
+        (r.bucket, r.service_name, r.attr_key): (r.cnt, r.vsum, r.vmin, r.vmax)
+        for r in rollup_metrics(b1.unionByName(b2)).collect()
+    }
+    assert got == want and len(want) == 3
