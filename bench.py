@@ -61,6 +61,10 @@ HEADLINE = [
     "curation_pipeline",
     "metrics_rollup_avg",
     "flamegraph_diff",
+    "text_repetition",
+    "tfidf_top_terms",
+    "decontaminate",
+    "stratified_sample",
 ]
 
 

@@ -668,3 +668,177 @@ GROUP BY source ORDER BY source
 
 QUERIES["curation_pipeline"] = q_curation_pipeline
 ORACLES["curation_pipeline"] = ORACLE_CURATION_PIPELINE
+
+
+# ---------------------------------------------------------------------------
+# corpus-level curation: repetition, TF-IDF, decontamination, sampling
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (repetition_features): zero-shuffle
+    array_sort + run-length fold per row."""
+    return ta.repetition_features(_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", "dup_bigram_frac",
+        "top_bigram_frac", "dup_token_frac",
+    )
+
+
+ORACLE_TEXT_REPETITION = f"""
+WITH {TOK_SQL},
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS nd, CAST(max(c) AS BIGINT) AS best
+  FROM bc GROUP BY 1
+),
+tk AS (
+  SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS nd_tok FROM tok
+)
+SELECT d.doc_id,
+       coalesce(a.total, 0) AS n_bigrams,
+       coalesce(a.nd, 0) AS n_distinct_bigrams,
+       CASE WHEN coalesce(a.total, 0) > 0
+            THEN floor((a.total - a.nd) / a.total * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN coalesce(a.total, 0) > 0
+            THEN floor(a.best / a.total * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS top_bigram_frac,
+       floor((tk.n_tok - tk.nd_tok) / greatest(tk.n_tok, 1) * 1e6 + 0.5) / 1e6
+         AS dup_token_frac
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+JOIN tk ON tk.doc_id = d.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF top-3 terms per doc (corpus.tfidf_top_terms):
+    rarity-weighted tf with an integer-exact score (no ln — cross-engine
+    libm drift; docstring in operators/corpus.py)."""
+    from .operators.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=3)
+
+
+ORACLE_TFIDF = f"""
+WITH {TOK_SQL},
+toks AS (SELECT doc_id, unnest(t) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS term_df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, term_df, (tf * n_docs) / term_df AS score
+  FROM tf JOIN dfq USING (term), nd
+),
+ranked AS (
+  SELECT doc_id, term, tf, term_df, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(term_df AS BIGINT) AS term_df,
+       floor(score * 1e6 + 0.5) / 1e6 AS tfidf, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 3
+"""
+
+
+DECONTAM_THRESHOLD = 0.05
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (corpus.decontaminate): src0 plays the
+    held-out eval suite; corpus docs are scored by 3-gram shingle
+    overlap against its broadcast shingle set."""
+    from .operators.corpus import decontaminate
+
+    return decontaminate(
+        _docs(spark, sf_dir), "doc_id", "text",
+        benchmark_filter=F.col("source") == "src0",
+        n=3, threshold=DECONTAM_THRESHOLD,
+    )
+
+
+ORACLE_DECONTAMINATE = f"""
+WITH {TOK_SQL}, {SHINGLE_SQL},
+bsh AS (
+  SELECT DISTINCT shingle FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0'
+),
+csh AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source <> 'src0'
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+ov AS (
+  SELECT c.doc_id, count(*) AS n_common
+  FROM csh c JOIN bsh USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(o.n_common, 0) AS BIGINT) AS n_common,
+       CASE WHEN coalesce(s.n, 0) > 0
+            THEN floor(coalesce(o.n_common, 0) / s.n * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS overlap_frac,
+       CAST(CASE WHEN coalesce(s.n, 0) > 0
+            THEN coalesce(o.n_common, 0) / s.n >= {DECONTAM_THRESHOLD}
+            ELSE FALSE END AS INTEGER) AS contaminated
+FROM documents d
+LEFT JOIN sizes s ON s.doc_id = d.doc_id
+LEFT JOIN ov o ON o.doc_id = d.doc_id
+WHERE d.source <> 'src0'
+"""
+
+
+# per-stratum sampling rates shared by the Spark query and the oracle;
+# spread over the 20 synthetic sources with three distinct tiers
+SAMPLE_RATES = {
+    f"src{i}": (0.6 if i % 3 == 0 else 0.35 if i % 3 == 1 else 0.15)
+    for i in range(20)
+}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source sampling (corpus.stratified_sample):
+    md5-keyed integer thresholds, zero shuffles."""
+    from .operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir), "doc_id", "source", rates=SAMPLE_RATES, salt="s1"
+    )
+
+
+def _stratified_oracle_sql() -> str:
+    from .operators.corpus import sample_thresholds
+
+    nib = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+    key = " + ".join(
+        f"{nib.format(p=p)} * {16 ** (8 - p)}" for p in range(1, 9)
+    )
+    case = " ".join(
+        f"WHEN source = '{s}' THEN {t}"
+        for s, t in sorted(sample_thresholds(SAMPLE_RATES).items())
+    )
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, source, md5('s1:' || doc_id) AS m FROM documents
+),
+k AS (SELECT doc_id, source, CAST({key} AS BIGINT) AS sample_key FROM keyed)
+SELECT doc_id, source, sample_key FROM k
+WHERE sample_key < (CASE {case} ELSE 0 END)
+"""
+
+
+ORACLE_STRATIFIED_SAMPLE = _stratified_oracle_sql()
+
+QUERIES["text_repetition"] = q_text_repetition
+ORACLES["text_repetition"] = ORACLE_TEXT_REPETITION
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLES["tfidf_top_terms"] = ORACLE_TFIDF
+QUERIES["decontaminate"] = q_decontaminate
+ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
+QUERIES["stratified_sample"] = q_stratified_sample
+ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE

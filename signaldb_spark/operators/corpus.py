@@ -1,0 +1,175 @@
+"""Corpus-level curation operators: TF-IDF term ranking, benchmark
+decontamination, and deterministic stratified sampling.
+
+These are the cross-document counterparts of ``text_analysis`` (which is
+purely per-row): they need corpus statistics (document frequency, a
+benchmark shingle set, per-stratum quotas) and are therefore built as
+small-aggregate joins — the big text table is never shuffled, only
+(id, hash) or (id, term) pairs.
+
+Cross-engine determinism: scores avoid ``ln`` (libm rounding differs
+across engines at the last ulp); a ratio of exact integers divides to
+the *same* IEEE double everywhere, so ``tf * N / df`` replaces
+``tf * ln(N/df)`` — same ranking direction, bit-identical result.
+Sampling keys are md5-derived integers compared against integer
+thresholds: no floats anywhere in the keep/drop decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import fan_out, normalize_text, word_shingles
+
+
+def _r6(c):
+    # explicit half-up rounding — see text_analysis.quality_features
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by rarity-weighted term
+    frequency: ``score = tf * n_docs / doc_freq``.
+
+    Shape (scales to 100 TB):
+    - tokenize+explode → partial+final count on (doc, term): one shuffle
+      whose rows are (id, term) — the text itself never moves;
+    - doc-frequency is a groupBy on the term table (vocab-sized, orders
+      of magnitude smaller than the corpus);
+    - the corpus row count joins in as a broadcast 1-row cross join —
+      no driver-side count action, single job;
+    - per-doc top-k is a Window over doc_id (already the partition key
+      of the tf table — AQE coalesces, no extra exchange needed).
+
+    ``ln`` is deliberately absent from the score (docstring header); the
+    integer ratio keeps the ranking oracle-exact.
+    """
+    tokens = fan_out(df).select(
+        F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("term_df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("term_df").cast("long").alias("term_df"),
+            _r6(F.col("score")).alias("tfidf"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark_filter,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose word
+    n-gram shingles overlap a held-out benchmark set.
+
+    The standard pre-training hygiene step (eval-set leakage check):
+    every corpus doc is scored by ``|shingles ∩ benchmark| /
+    |shingles|`` and flagged when the fraction reaches ``threshold``.
+
+    Shape (scales to 100 TB): benchmark sets are tiny (an eval suite is
+    KBs–MBs against a 100 TB corpus), so the distinct benchmark shingle
+    set is **broadcast** — the corpus-side scan streams once through a
+    map-side hash probe, then one groupBy on doc id aggregates counts.
+    Shingles travel as xxhash64 longs, never strings (same trick as
+    ``dedup.jaccard_pairs``).
+    """
+    bench_sh = F.broadcast(
+        word_shingles(df.filter(benchmark_filter), id_col, text_col, n)
+        .select(F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = df.filter(~benchmark_filter)
+    corp_sh = word_shingles(corpus, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("shingle")
+    )
+    # one pass: the broadcast probe marks hits, a single groupBy yields
+    # both the per-doc shingle count and the overlap count — no second
+    # aggregation, no extra join
+    counts = (
+        corp_sh.join(bench_sh, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_common"),
+        )
+    )
+    base = corpus.select(id_col, "source")
+    out = base.join(counts, id_col, "left").select(
+        F.col(id_col),
+        "source",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+    )
+    frac = F.when(
+        F.col("n_shingles") > 0, F.col("n_common") / F.col("n_shingles")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        _r6(frac).alias("overlap_frac"),
+        # int, not boolean: keeps the gate's canonicalized value compare
+        # engine-neutral (bool str() forms differ across drivers)
+        (frac >= F.lit(threshold)).cast("int").alias("contaminated"),
+    )
+
+
+SAMPLE_KEY_SPACE = 16 ** 8  # 8 md5 hex nibbles → [0, 2^32)
+
+
+def sample_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """Integer keep-thresholds from per-stratum rates — computed once in
+    Python so the executor-side comparison is pure integer math."""
+    return {k: int(rate * SAMPLE_KEY_SPACE) for k, rate in rates.items()}
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the first 32
+    bits of ``md5(salt:id)`` fall under the stratum's integer threshold.
+
+    Properties a training pipeline needs and ``df.sample`` lacks:
+    reproducible across runs/engines (seeded by content, not RNG state),
+    per-stratum rates (down-weight crawl, keep all of curated sources),
+    and stable under re-partitioning. Pure map-side filter — zero
+    shuffles, scales linearly.
+    """
+    thresholds = sample_thresholds(rates)
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    thr = F.lit(int(default_rate * SAMPLE_KEY_SPACE))
+    for stratum, t in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    return (
+        df.withColumn("sample_key", key)
+        .filter(F.col("sample_key") < thr)
+        .select(F.col(id_col), F.col(strata_col), "sample_key")
+    )

@@ -112,6 +112,63 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-bigram fraction,
+    top-bigram fraction, duplicate-token fraction.
+
+    High values indicate boilerplate / machine-generated text (the
+    Gopher rules filter on exactly these). Entirely higher-order array
+    functions over the per-row token array — sort + fold, **zero
+    shuffles**, whole-stage codegen; the per-doc "group-by bigram" is an
+    ``array_sort`` + linear ``aggregate`` run-length fold instead of an
+    explode + groupBy, so nothing leaves the row.
+    """
+    t = normalize_text(F.col(text_col))
+    tokens = F.split(t, " ")
+    n_tok = F.size(tokens)
+    n_bi = n_tok - 1
+    bigrams = F.when(
+        n_bi >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(bigrams)
+    distinct_bi = F.size(F.array_distinct(bigrams))
+    # longest run in the sorted bigram array == max per-bigram count
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def _merge(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(acc["best"], newrun).alias("best"),
+        )
+
+    top_bi = F.aggregate(F.array_sort(bigrams), acc0, _merge, lambda acc: acc["best"])
+    dup_tok = n_tok - F.size(F.array_distinct(tokens))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    safe_total = F.greatest(total, F.lit(1))
+    return df.select(
+        "*",
+        total.cast("long").alias("n_bigrams"),
+        distinct_bi.cast("long").alias("n_distinct_bigrams"),
+        r6(F.when(total > 0, (total - distinct_bi) / safe_total).otherwise(F.lit(0.0))).alias(
+            "dup_bigram_frac"
+        ),
+        r6(F.when(total > 0, top_bi / safe_total).otherwise(F.lit(0.0))).alias(
+            "top_bigram_frac"
+        ),
+        r6(dup_tok / F.greatest(n_tok, F.lit(1))).alias("dup_token_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     """Content fingerprint: md5 of normalized text (stable id for dedup
     joins) + a 16-bit locality bucket from the digest's first nibbles."""

@@ -176,3 +176,22 @@ def test_simhash_band_pairs_equal_brute_force(spark):
         if d <= 3:
             want.add((min(a, b), max(a, b), d))
     assert got == want and len(want) > 50
+
+
+def test_corpus_map_only_operators_have_no_exchange(spark):
+    """stratified_sample and repetition_features are pure map-side
+    transforms — any Exchange in their plans is a regression (the
+    repetition "group-by bigram" must stay an in-row array fold)."""
+    for name in ("stratified_sample", "text_repetition"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert "Exchange" not in p, name
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must ride a broadcast probe (it is
+    tiny vs the corpus); a sort-merge join or cartesian here would
+    shuffle the 100 TB corpus against a KB-scale eval suite."""
+    p = plan(all_queries()["decontaminate"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
