@@ -65,6 +65,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "decontaminate",
     "stratified_sample",
+    "curation_full",
 ]
 
 

@@ -834,6 +834,121 @@ WHERE sample_key < (CASE {case} ELSE 0 END)
 
 ORACLE_STRATIFIED_SAMPLE = _stratified_oracle_sql()
 
+def q_curation_full(spark, sf_dir):
+    """Flagship end-to-end curation (curation.curate_corpus_full):
+    quality+repetition filter → benchmark decontamination → MinHash-LSH
+    near-dup clusters → per-source yield. src0 is the held-out
+    benchmark."""
+    from .operators.curation import curate_corpus_full
+
+    return curate_corpus_full(
+        _docs(spark, sf_dir),
+        benchmark_filter=F.col("source") == "src0",
+        langs=("en",), min_quality=0.45,
+        max_dup_bigram_frac=0.05, decontam_threshold=0.05,
+        n=3, num_hashes=8, bands=4,
+    )
+
+
+ORACLE_CURATION_FULL = f"""
+WITH RECURSIVE {TOK_SQL},
+bi AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS bg
+  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+  WHERE len(t) >= 2
+),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+ragg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nd
+  FROM bc GROUP BY 1
+),
+rep AS (
+  SELECT doc_id,
+         CASE WHEN total > 0 THEN floor((total - nd) / total * 1e6 + 0.5) / 1e6
+              ELSE 0.0 END AS dup_bigram_frac
+  FROM ragg
+),
+feat AS (
+  SELECT d.doc_id, d.source, d.lang, n.t,
+         length(n.t) AS n_chars,
+         len(string_split(n.t, ' ')) AS n_words,
+         len(regexp_extract_all(n.t, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(n.t, '\\b(the|and|of|is|a|to|in)\\b')) AS n_stop,
+         CAST(len(regexp_extract_all(n.t, '[a-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT)
+           AS bpe_tokens
+  FROM documents d JOIN (SELECT doc_id, {NORM_SQL} AS t FROM documents) n
+    ON n.doc_id = d.doc_id
+),
+scored AS (
+  SELECT doc_id, source, lang, t, bpe_tokens,
+         floor(least(1.0, greatest(0.0,
+             0.5 + 2.0 * (n_stop / greatest(n_words, 1))
+                 - 3.0 * (n_punct / greatest(n_chars, 1))
+                 - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0))
+           * 1e6 + 0.5) / 1e6 AS quality_score
+  FROM feat
+),
+kept AS (
+  SELECT s.doc_id, s.source, s.bpe_tokens, s.quality_score
+  FROM scored s LEFT JOIN rep r ON r.doc_id = s.doc_id
+  WHERE s.source <> 'src0' AND s.lang = 'en' AND s.quality_score >= 0.45
+    AND coalesce(r.dup_bigram_frac, 0.0) <= 0.05
+),
+{SHINGLE_SQL},
+bsh AS (
+  SELECT DISTINCT shingle FROM sh
+  JOIN documents d ON d.doc_id = sh.doc_id WHERE d.source = 'src0'
+),
+ksh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kept k ON k.doc_id = sh.doc_id),
+cont AS (
+  SELECT ksh.doc_id
+  FROM ksh LEFT JOIN (SELECT shingle, 1 AS hit FROM bsh) b USING (shingle)
+  GROUP BY ksh.doc_id
+  HAVING count(b.hit) / count(*) >= 0.05
+),
+clean AS (
+  SELECT k.* FROM kept k WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)
+),
+csh AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN clean c ON c.doc_id = sh.doc_id),
+hx AS (SELECT doc_id, shingle, h FROM csh, UNNEST(range(0, 8)) u(h)),
+mh AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+  WHERE r.lab < e.dst
+),
+labels AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
+final AS (
+  SELECT * FROM clean WHERE doc_id NOT IN (SELECT id FROM dropped)
+)
+SELECT source, count(*) AS kept_docs, sum(bpe_tokens) AS sum_bpe_tokens,
+       floor(avg(quality_score) * 1e6 + 0.5) / 1e6 AS avg_quality
+FROM final GROUP BY source ORDER BY source
+"""
+
+QUERIES["curation_full"] = q_curation_full
+ORACLES["curation_full"] = ORACLE_CURATION_FULL
+
 QUERIES["text_repetition"] = q_text_repetition
 ORACLES["text_repetition"] = ORACLE_TEXT_REPETITION
 QUERIES["tfidf_top_terms"] = q_tfidf_top_terms

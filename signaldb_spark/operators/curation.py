@@ -16,8 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
-from .text_analysis import quality_features, token_counts
+from .dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    normalize_text,
+    word_shingles,
+)
+from .text_analysis import quality_features, repetition_features, token_counts
 
 
 def curate_corpus(
@@ -57,6 +63,88 @@ def curate_corpus(
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
     return (
         survivors.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("bpe_tokens").alias("sum_bpe_tokens"),
+            r6(F.avg("quality_score")).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def curate_corpus_full(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    benchmark_filter=None,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.45,
+    max_dup_bigram_frac: float = 0.05,
+    decontam_threshold: float = 0.05,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """The full C4/RefinedWeb-shaped curation pipeline in one plan:
+
+    1. per-row signals (quality, tokens, Gopher repetition) — codegen
+       expressions, zero shuffle;
+    2. language + quality + repetition filter — prunes before any
+       exchange, on the half-up-6dp-rounded scores so every threshold
+       compare is engine-stable;
+    3. benchmark decontamination — broadcast eval-suite shingle probe,
+       contaminated docs anti-joined out;
+    4. near-dup consolidation — MinHash + LSH banding over survivors,
+       connected components, keep the min-id doc per cluster;
+    5. per-source yield report — one partial+final aggregation.
+
+    At 100 TB: the text column never crosses an exchange (all hashing
+    happens before the shuffles; pair joins carry longs); the benchmark
+    set is broadcast; the LSH pair join is banded, never all-pairs; and
+    the cluster drop-list arrives as an anti-join, which AQE turns into
+    a broadcast when (as always) duplicates are a small corpus
+    fraction.
+    """
+    scored = token_counts(
+        quality_features(repetition_features(df, text_col), text_col), text_col
+    )
+    corpus = scored.filter(~benchmark_filter) if benchmark_filter is not None else scored
+    kept = corpus.filter(
+        F.col(lang_col).isin(*langs)
+        & (F.col("quality_score") >= min_quality)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    )
+    if benchmark_filter is not None:
+        bench_sh = F.broadcast(
+            word_shingles(df.filter(benchmark_filter), id_col, text_col, n)
+            .select(F.xxhash64("shingle").alias("shingle"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        ksh = word_shingles(kept, id_col, text_col, n).select(
+            F.col(id_col), F.xxhash64("shingle").alias("shingle")
+        )
+        contaminated = (
+            ksh.join(bench_sh, "shingle", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("_n"), F.count("hit").alias("_c"))
+            .filter((F.col("_c") / F.col("_n")) >= decontam_threshold)
+            .select(id_col)
+        )
+        clean = kept.join(contaminated, id_col, "left_anti")
+    else:
+        clean = kept
+    sigs = minhash_signatures(clean, id_col, text_col, n=n, num_hashes=num_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
+    comps = connected_components(pairs)
+    dropped = comps.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    final = clean.join(dropped, id_col, "left_anti")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        final.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
             F.sum("bpe_tokens").alias("sum_bpe_tokens"),
