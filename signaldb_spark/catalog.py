@@ -49,13 +49,19 @@ SIGNAL_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one benchmark table, normalizing nanosecond timestamps.
+    """Read one benchmark table, normalizing timestamp physical types.
 
     Some driver tables carry parquet ``timestamp[ns]`` columns, which
     Spark's vectorized reader rejects. We read them as long nanos
     (``nanosAsLong``, runtime-settable) and convert to TimestampType at
     microsecond precision — the same µs-at-rest / ns-in-flight coercion
     the reference performs (src/querier/src/query/logs.rs:282-289).
+
+    Naive ``timestamp[us]`` columns (isAdjustedToUTC=false, as DuckDB
+    writes) would be inferred as TIMESTAMP_NTZ by Spark 4, which ANSI
+    mode refuses to cast to numeric types; reading them as session-local
+    TimestampType (UTC sessions everywhere here) keeps epoch arithmetic
+    and parquet filter pushdown intact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = [
@@ -63,6 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer div, not float: double division rounds at the 1e15-µs
@@ -79,7 +86,7 @@ def load_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        out[name] = spark.read.parquet(path)
+        out[name] = load_table(spark, sf_dir, name)
         if register:
             out[name].createOrReplaceTempView(name)
     return out

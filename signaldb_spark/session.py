@@ -48,6 +48,12 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # naive timestamp[us] parquet (DuckDB-written benchmark tables)
+        # must load as session-local TimestampType, not TIMESTAMP_NTZ:
+        # ANSI mode forbids NTZ→numeric casts and every epoch-bucket
+        # computation assumes an instant type. UTC session makes the two
+        # readings identical on the wire.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/signaldb_spark_warehouse"),
