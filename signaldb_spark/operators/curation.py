@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from .dedup import (
     connected_components,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_from_shingles,
     normalize_text,
     word_shingles,
 )
@@ -110,32 +110,46 @@ def curate_corpus_full(
         quality_features(repetition_features(df, text_col), text_col), text_col
     )
     corpus = scored.filter(~benchmark_filter) if benchmark_filter is not None else scored
+    # The filter survivors feed three consumers (decontamination probe,
+    # MinHash signatures, final yield agg). Cache the slim projection so
+    # the regex-heavy scoring subtree evaluates ONCE per document, not
+    # once per consumer; .cache() is MEMORY_AND_DISK, so at 100 TB the
+    # post-filter survivors spill rather than recompute.
     kept = corpus.filter(
         F.col(lang_col).isin(*langs)
         & (F.col("quality_score") >= min_quality)
         & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
-    )
+    ).select(id_col, "source", "bpe_tokens", "quality_score", text_col).cache()
+    # Shingle the survivors ONCE; both the decontamination probe and the
+    # MinHash aggregation read this table. Cached in raw-string form
+    # (MinHash needs the string; the probe derives its 64-bit key).
+    ksh = word_shingles(kept, id_col, text_col, n).cache()
     if benchmark_filter is not None:
         bench_sh = F.broadcast(
             word_shingles(df.filter(benchmark_filter), id_col, text_col, n)
-            .select(F.xxhash64("shingle").alias("shingle"))
+            .select(F.xxhash64("shingle").alias("sh64"))
             .distinct()
             .withColumn("hit", F.lit(1))
         )
-        ksh = word_shingles(kept, id_col, text_col, n).select(
-            F.col(id_col), F.xxhash64("shingle").alias("shingle")
-        )
+        # cached: the contamination drop-list feeds BOTH the clean corpus
+        # anti-join and the clean-shingle anti-join; uncached it would
+        # re-run the broadcast probe per consumer. It is a bounded id
+        # list (contaminated docs only), so the cache is tiny.
         contaminated = (
-            ksh.join(bench_sh, "shingle", "left")
+            ksh.select(F.col(id_col), F.xxhash64("shingle").alias("sh64"))
+            .join(bench_sh, "sh64", "left")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("_n"), F.count("hit").alias("_c"))
             .filter((F.col("_c") / F.col("_n")) >= decontam_threshold)
             .select(id_col)
+            .cache()
         )
         clean = kept.join(contaminated, id_col, "left_anti")
+        csh = ksh.join(contaminated, id_col, "left_anti")
     else:
         clean = kept
-    sigs = minhash_signatures(clean, id_col, text_col, n=n, num_hashes=num_hashes)
+        csh = ksh
+    sigs = minhash_from_shingles(csh, id_col, num_hashes=num_hashes)
     pairs = lsh_candidate_pairs(sigs, id_col, num_hashes=num_hashes, bands=bands)
     comps = connected_components(pairs)
     dropped = comps.filter(F.col("id") != F.col("cluster_id")).select(

@@ -149,6 +149,24 @@ def jaccard_pairs(
     )
 
 
+def minhash_from_shingles(
+    sh: DataFrame, id_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signatures from an already-shingled (id, shingle) table —
+    lets a pipeline shingle the corpus ONCE and feed both a
+    decontamination probe and the signature aggregation from the same
+    cached table instead of re-exploding the text per consumer."""
+    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
+    expanded = sh.select(id_col, "shingle", idx)
+    return (
+        expanded.withColumn(
+            "hv", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
+        )
+        .groupBy(id_col, "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 8
 ) -> DataFrame:
@@ -158,15 +176,8 @@ def minhash_signatures(
     The min of a cryptographic hash over the shingle set is the standard
     MinHash estimator; md5-as-string min is deterministic everywhere.
     """
-    sh = word_shingles(df, id_col, text_col, n)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
-    expanded = sh.select(id_col, "shingle", idx)
-    return (
-        expanded.withColumn(
-            "hv", F.md5(F.concat_ws(":", F.col("h"), F.col("shingle")))
-        )
-        .groupBy(id_col, "h")
-        .agg(F.min("hv").alias("minhash"))
+    return minhash_from_shingles(
+        word_shingles(df, id_col, text_col, n), id_col, num_hashes
     )
 
 
@@ -183,13 +194,32 @@ def lsh_candidate_pairs(
         .groupBy(id_col, "band")
         .agg(F.md5(F.concat_ws("|", F.array_sort(F.collect_list("minhash")))).alias("band_hash"))
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # Pairs are emitted by grouping each (band, band_hash) bucket and
+    # expanding i<j combinations with a higher-order transform — NOT by
+    # self-joining `banded` with itself: a self-join evaluates the whole
+    # upstream minhash pipeline twice (Spark shares no work between the
+    # two join inputs), and at 100 TB that doubles the dominant shuffle.
+    # One groupBy replaces the join; array_sort gives the same a < b
+    # ordering the join's filter imposed. Bucket membership lists are
+    # near-dup groups, so they stay small by construction.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            )
+        )
+    )
     return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        buckets.select(pair.alias("p")).select("p.id_a", "p.id_b").distinct()
     )
 
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .dedup import fan_out, normalize_text
 
 # language marker words for the n-gram/stopword-heuristic language ID;
 # deliberately tiny and deterministic (a real pipeline would load a
@@ -31,7 +31,7 @@ def lang_scores(df: DataFrame, text_col: str) -> DataFrame:
     """Marker-hit score per language + argmax prediction (ties → first
     language in fixed en/de/fr/es order; zero hits → 'und')."""
     t = normalize_text(F.col(text_col))
-    out = df
+    out = fan_out(df)
     for lang, words in LANG_MARKERS.items():
         score = None
         for w in words:
@@ -83,7 +83,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     # dyadic rationals that land EXACTLY on .5 at the 7th decimal, where
     # engine round() modes disagree (HALF_UP vs HALF_EVEN)
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
-    return df.select(
+    return fan_out(df).select(
         "*",
         n_chars.cast("long").alias("q_chars"),
         n_words.cast("long").alias("q_words"),
@@ -104,7 +104,7 @@ def token_counts(df: DataFrame, text_col: str) -> DataFrame:
         F.regexp_extract_all(t, F.lit(r"[a-z]+|[0-9]+|[^\w\s]"), F.lit(0))
     )
     approx4 = F.ceil(F.length(t) / 4)
-    return df.select(
+    return fan_out(df).select(
         "*",
         ws.cast("long").alias("ws_tokens"),
         bpe_ish.cast("long").alias("bpe_tokens"),
@@ -155,7 +155,7 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     dup_tok = n_tok - F.size(F.array_distinct(tokens))
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
     safe_total = F.greatest(total, F.lit(1))
-    return df.select(
+    return fan_out(df).select(
         "*",
         total.cast("long").alias("n_bigrams"),
         distinct_bi.cast("long").alias("n_distinct_bigrams"),
@@ -174,7 +174,7 @@ def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
     joins) + a 16-bit locality bucket from the digest's first nibbles."""
     t = normalize_text(F.col(text_col))
     digest = F.md5(t)
-    return df.select(
+    return fan_out(df).select(
         "*",
         digest.alias("fingerprint"),
         F.conv(F.substring(digest, 1, 4), 16, 10).cast("long").alias("fp_bucket"),
