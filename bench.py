@@ -66,6 +66,8 @@ HEADLINE = [
     "decontaminate",
     "stratified_sample",
     "curation_full",
+    "pii_redact",
+    "segment_dedup",
 ]
 
 

@@ -957,3 +957,109 @@ QUERIES["decontaminate"] = q_decontaminate
 ORACLES["decontaminate"] = ORACLE_DECONTAMINATE
 QUERIES["stratified_sample"] = q_stratified_sample
 ORACLES["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (redaction.redact_pii): per-pattern counts + global
+    sequential redaction. The synthetic corpus has no PII, so the gate
+    plants deterministic emails/IPs/phones/SSNs derived from doc_id (the
+    SAME construction in the oracle) and verifies counts and the
+    redacted string bit-for-bit."""
+    from .operators.redaction import redact_pii
+
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" reach user"), s(F.col("doc_id")), F.lit("@mail.example.org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 192.168."), s(F.col("doc_id") % 200),
+                    F.lit("."), s(F.col("doc_id") % 250),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" call 415-555-"), F.lpad(s(F.col("doc_id") % 10000), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" id 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(enriched, "text")
+
+
+def _pii_oracle_sql() -> str:
+    from .operators.redaction import PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, (pat, _) in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _ in PII_PATTERNS.values()
+    )
+    redacted = "text"
+    for pat, repl in PII_PATTERNS.values():
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH enriched AS (
+  SELECT doc_id, text ||
+    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+    CASE WHEN doc_id % 7 = 0 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' id 123-45-6789' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id, text,
+  {counts},
+  CAST({total} AS BIGINT) AS pii_total,
+  {redacted} AS text_redacted
+FROM enriched
+"""
+
+
+ORACLE_PII_REDACT = _pii_oracle_sql()
+
+
+def q_segment_dedup(spark, sf_dir):
+    """C4-style segment-level dedup (corpus.segment_dedup): 8-word
+    segments, corpus-duplicated segments keep only their first
+    (doc, pos) occurrence; docs are reassembled from survivors."""
+    from .operators.corpus import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), "doc_id", "text", seg_words=8)
+
+
+ORACLE_SEGMENT_DEDUP = f"""
+WITH {TOK_SQL},
+segs AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(t[(i-1)*8+1:i*8], ' ') AS seg
+  FROM tok, UNNEST(range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1)) u(i)
+  WHERE len(t) >= 1
+),
+verdict AS (
+  SELECT seg, count(*) AS seg_n, min(doc_id * 1000000 + pos) AS first_occ
+  FROM segs GROUP BY 1
+),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.seg,
+         (v.seg_n = 1 OR s.doc_id * 1000000 + s.pos = v.first_occ) AS keep
+  FROM segs s JOIN verdict v USING (seg)
+)
+SELECT doc_id,
+  coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '') AS clean_text,
+  CAST(count(*) AS BIGINT) AS n_segments,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM flagged GROUP BY doc_id
+"""
+
+QUERIES["pii_redact"] = q_pii_redact
+ORACLES["pii_redact"] = ORACLE_PII_REDACT
+QUERIES["segment_dedup"] = q_segment_dedup
+ORACLES["segment_dedup"] = ORACLE_SEGMENT_DEDUP

@@ -173,3 +173,81 @@ def stratified_sample(
         .filter(F.col("sample_key") < thr)
         .select(F.col(id_col), F.col(strata_col), "sample_key")
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_words: int = 8,
+    keep_first: bool = True,
+) -> DataFrame:
+    """C4-style segment-level dedup: split each document into
+    consecutive ``seg_words``-word segments, and for any segment string
+    that occurs more than once in the corpus keep only its first
+    occurrence (min (doc, position)); the cleaned document is the
+    surviving segments re-joined in original order.
+
+    This is the boilerplate-removal step of C4/CCNet ("discard all but
+    one of any three-sentence span occurring more than once") at word
+    granularity. Shape at 100 TB: segments travel as (id, pos,
+    xxhash64) — the text string itself never shuffles; one groupBy on
+    the segment hash computes (count, first-occurrence) per segment; the
+    verdict joins back on the hash; reassembly is one groupBy per doc of
+    already-filtered segments. Three shuffles total, all on longs.
+
+    Output: (id, clean_text, n_segments, n_kept) — docs whose every
+    segment was dropped still appear, with empty clean_text.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    n_seg = F.ceil(F.size(tokens) / seg_words).cast("int")
+    segs = F.when(
+        F.size(tokens) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.slice(tokens, (i - F.lit(1)) * seg_words + 1, seg_words)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
+        .withColumn("seg_h", F.xxhash64("seg"))
+    )
+    # one aggregation decides every segment's fate: occurrence count and
+    # the first (doc, pos) occurrence, encoded as a single long so the
+    # min is one comparison (positions are bounded by doc length ≪ 1e6)
+    occ_key = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
+    verdict = exploded.select("seg_h", occ_key.alias("occ")).groupBy("seg_h").agg(
+        F.count(F.lit(1)).alias("seg_n"), F.min("occ").alias("first_occ")
+    )
+    keep_cond = F.col("seg_n") == 1
+    if keep_first:
+        keep_cond = keep_cond | (
+            (F.col(id_col) * F.lit(1_000_000) + F.col("pos")) == F.col("first_occ")
+        )
+    kept = exploded.join(verdict, "seg_h").withColumn(
+        "_keep", keep_cond.cast("int")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("_keep").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep") == 1, F.struct("pos", "seg")
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+        .select(id_col, "clean_text", "n_segments", "n_kept")
+    )
