@@ -68,6 +68,8 @@ HEADLINE = [
     "curation_full",
     "pii_redact",
     "segment_dedup",
+    "promql_mad",
+    "exphist_quantile",
 ]
 
 

@@ -448,3 +448,123 @@ GROUP BY 1, 2
 
 QUERIES["metrics_rollup_avg"] = q_metrics_rollup_avg
 ORACLES["metrics_rollup_avg"] = ORACLE_METRICS_ROLLUP_AVG
+
+
+def q_promql_mad(spark, sf_dir):
+    """mad_over_time(v[1d]) — median absolute deviation per series per
+    bucket (timeseries.mad_over_time): one shuffle; both medians are
+    sorted-array expressions over the collected window, interpolated
+    exactly like DuckDB's median."""
+    out = query_range(_ctx(spark, sf_dir), "mad_over_time(events_value[1d])")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_MAD = f"""
+WITH base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+), med AS (
+  SELECT bucket, service_name, median(v) AS m
+  FROM base GROUP BY 1, 2
+)
+SELECT b.bucket, b.service_name, round(median(abs(b.v - m.m)), 6) AS value
+FROM base b JOIN med m USING (bucket, service_name)
+GROUP BY b.bucket, b.service_name
+"""
+
+QUERIES["promql_mad"] = q_promql_mad
+ORACLES["promql_mad"] = ORACLE_PROMQL_MAD
+
+
+def q_exphist_quantile(spark, sf_dir):
+    """p90 from OTLP exponential (native) histograms
+    (exphist.exphist_quantile) — beyond the reference, which stores
+    exp-histograms but cannot query them. The gate synthesizes at-rest
+    datapoints (scale 0, zero-threshold 1.0) from events: bucket index
+    for integer w = floor(value) is derived from length(bin(w)) —
+    integer-exact in both engines, no libm log — and the dense
+    positive_bucket_counts array + offset is assembled exactly as the
+    ingest flattener lays it out (sources/otlp.py:607-633)."""
+    from .operators.exphist import exphist_quantile
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    v = F.col("value")
+    w = F.floor(v).cast("long")
+    L = F.length(F.bin(w))
+    pow2 = w.bitwiseAND(w - 1) == 0
+    i = F.when(pow2, L - 2).otherwise(L - 1).cast("int")
+    rows = ev.select(
+        b.alias("bucket"),
+        F.col("event_type").alias("service_name"),
+        (v < 1).alias("_zero"),
+        F.when(v >= 1, i).alias("i"),
+    )
+    pos = (
+        rows.filter(~F.col("_zero"))
+        .groupBy("bucket", "service_name", "i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = pos.groupBy("bucket", "service_name").agg(
+        F.min("i").alias("positive_offset"),
+        F.max("i").alias("_mx"),
+        F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("_m"),
+    )
+    counts = F.transform(
+        F.sequence(F.col("positive_offset"), F.col("_mx")),
+        lambda k: F.coalesce(F.element_at(F.col("_m"), k), F.lit(0)).cast("long"),
+    )
+    zeros = rows.groupBy("bucket", "service_name").agg(
+        F.sum(F.col("_zero").cast("long")).alias("zero_count")
+    )
+    atrest = zeros.join(dense, ["bucket", "service_name"], "left").select(
+        "bucket", "service_name", F.lit(0).alias("scale"), "zero_count",
+        "positive_offset", counts.alias("positive_bucket_counts"),
+    )
+    out = exphist_quantile(atrest, 0.9, ["bucket", "service_name"])
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_EXPHIST_QUANTILE = f"""
+WITH base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CASE WHEN value < 1 THEN NULL ELSE CAST(floor(value) AS BIGINT) END AS w
+  FROM events
+), idxed AS (
+  SELECT bucket, service_name,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN (w & (w - 1)) = 0 THEN length(bin(w)) - 2
+              ELSE length(bin(w)) - 1 END AS i
+  FROM base
+), zeros AS (
+  SELECT bucket, service_name,
+         CAST(count(*) FILTER (WHERE i IS NULL) AS DOUBLE) AS z,
+         CAST(count(*) AS DOUBLE) AS total
+  FROM idxed GROUP BY 1, 2
+), cnts AS (
+  SELECT bucket, service_name, i, CAST(count(*) AS DOUBLE) AS c
+  FROM idxed WHERE i IS NOT NULL GROUP BY 1, 2, 3
+), cum AS (
+  SELECT bucket, service_name, i, c,
+         sum(c) OVER (PARTITION BY bucket, service_name ORDER BY i) AS cum
+  FROM cnts
+), pick AS (
+  SELECT z.bucket, z.service_name,
+         min_by(m.i, m.i) AS pi, min_by(m.c, m.i) AS pc, min_by(m.cum, m.i) AS pcum
+  FROM zeros z JOIN cum m USING (bucket, service_name)
+  WHERE z.z + m.cum >= 0.9 * z.total
+  GROUP BY 1, 2
+)
+SELECT z.bucket, z.service_name,
+  round(CASE WHEN z.total <= 0 THEN NULL
+             WHEN 0.9 * z.total <= z.z THEN 0.0
+             ELSE power(2.0, p.pi)
+                  + (power(2.0, p.pi + 1) - power(2.0, p.pi))
+                    * (0.9 * z.total - (z.z + p.pcum - p.pc)) / p.pc END, 6) AS value
+FROM zeros z LEFT JOIN pick p USING (bucket, service_name)
+"""
+
+QUERIES["exphist_quantile"] = q_exphist_quantile
+ORACLES["exphist_quantile"] = ORACLE_EXPHIST_QUANTILE

@@ -127,6 +127,39 @@ def quantile_over_time(df, ts_col, step_seconds, series_cols, value_col, phi: fl
     )
 
 
+def _array_median(arr: Column) -> Column:
+    """Interpolated median of a SORTED double array — identical to
+    percentile(x, 0.5) / DuckDB ``median`` for even and odd counts."""
+    n = F.size(arr)
+    mid = ((n + 1) / 2).cast("int")
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise((lo + hi) / 2.0)
+
+
+def mad_over_time(df, ts_col, step_seconds, series_cols, value_col):
+    """Median absolute deviation per (bucket, series) — PromQL's
+    experimental ``mad_over_time``: median(|x - median(x)|).
+
+    A nested median can't stream through one aggregate, but it CAN stay
+    in one shuffle: collect the window's values into a sorted array,
+    then both medians are array expressions over it (no second pass, no
+    join back). Per-group arrays are range-window sized — bounded by the
+    same argument that makes exact quantile_over_time viable.
+    """
+    v = F.col(value_col).cast("double")
+    grouped = (
+        with_bucket(df, ts_col, step_seconds)
+        .groupBy("bucket", *series_cols)
+        .agg(F.array_sort(F.collect_list(v)).alias("_vals"))
+    )
+    med = _array_median(F.col("_vals"))
+    dev = F.array_sort(F.transform(F.col("_vals"), lambda x: F.abs(x - med)))
+    return grouped.select(
+        "bucket", *series_cols, _array_median(dev).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # outer aggregation (second pass: across series, keep bucket)
 

@@ -182,6 +182,8 @@ def lower_range_fn(
     if fn == "absent_over_time":
         m = ts.count_over_time(df, "timestamp", step, [])
         return ts.absent(m, _spine(ctx))
+    if fn == "mad_over_time":
+        return ts.mad_over_time(df, "timestamp", step, series, "value")
     agg = {
         "avg_over_time": F.avg(v),
         "min_over_time": F.min(v),

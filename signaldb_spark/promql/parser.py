@@ -24,8 +24,8 @@ RANGE_FNS = {
     "changes", "avg_over_time", "min_over_time", "max_over_time",
     "sum_over_time", "count_over_time", "last_over_time",
     "present_over_time", "absent_over_time", "stddev_over_time",
-    "stdvar_over_time", "quantile_over_time", "predict_linear",
-    "holt_winters", "double_exponential_smoothing",
+    "stdvar_over_time", "quantile_over_time", "mad_over_time",
+    "predict_linear", "holt_winters", "double_exponential_smoothing",
 }
 
 VALUE_FNS = {

@@ -409,3 +409,42 @@ def test_holt_winters_needs_two_samples(spark):
 def test_holt_winters_via_query_range(ctx):
     out = query_range(ctx, "holt_winters(process_cpu_usage[10m], 0.5, 0.5)")
     assert out.count() > 0
+
+
+def test_exphist_quantile_merges_offset_disjoint_datapoints(spark):
+    """Two datapoints of one series with different positive_offsets must
+    merge element-wise by ABSOLUTE index before the quantile walk, and
+    the zero bucket must short-circuit low ranks to 0.0."""
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    rows = [
+        # series A: dp1 buckets i=0..1 -> counts [2, 2]; dp2 buckets i=1..2 -> [2, 4]
+        ("a", 0, 0, 0, [2, 2]),
+        ("a", 0, 0, 1, [2, 4]),
+        # series B: everything in the zero bucket
+        ("b", 0, 10, 0, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "series string, scale int, zero_count long, positive_offset int, positive_bucket_counts array<long>"
+    )
+    # series A: total=10, rank(0.5)=5 -> bucket i=1 covers (2,4], cum before=2, c=4
+    # value = 2 + (4-2) * (5-2)/4 = 3.5
+    out = {
+        r["series"]: r["value"]
+        for r in exphist_quantile(df, 0.5, ["series"]).collect()
+    }
+    assert out["a"] == pytest.approx(3.5)
+    assert out["b"] == 0.0
+
+
+def test_exphist_quantile_scale_changes_base(spark):
+    """scale=1 -> base=sqrt(2): bucket 0 covers (1, 2^0.5]."""
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1, 0, 0, [4])],
+        "series string, scale int, zero_count long, positive_offset int, positive_bucket_counts array<long>",
+    )
+    # rank = 2, bucket (2^0, 2^0.5], value = 1 + (2^0.5 - 1) * 2/4
+    out = exphist_quantile(df, 0.5, ["series"]).collect()[0]["value"]
+    assert out == pytest.approx(1 + (2 ** 0.5 - 1) * 0.5)
