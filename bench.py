@@ -70,6 +70,7 @@ HEADLINE = [
     "segment_dedup",
     "promql_mad",
     "exphist_quantile",
+    "asof_join",
 ]
 
 

@@ -122,3 +122,50 @@ ORACLES = {
     "event_sessions": ORACLE_EVENT_SESSIONS,
     "alert_for": ORACLE_ALERT_FOR,
 }
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (temporal.asof_join): each purchase event gets
+    the user's nearest click at-or-before it, within a 3-day tolerance.
+    One shuffle on user_id via the union/window trick — no range-join
+    pair blowup; DuckDB's native ASOF JOIN is the oracle."""
+    from .operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], tolerance_seconds=3 * 86400,
+        direction="backward", right_prefix="click_",
+    )
+    return out.select(
+        "user_id", "ts", F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("click_ts"), F.round("click_click_value", 6).alias("click_value"),
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH purchases AS (
+  SELECT user_id, ts, value AS purchase_value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), matched AS (
+  SELECT p.user_id, p.ts, p.purchase_value, c.ts AS click_ts, c.click_value
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+)
+SELECT user_id, ts, round(purchase_value, 6) AS purchase_value,
+       CASE WHEN click_ts >= ts - INTERVAL 3 DAY THEN click_ts END AS click_ts,
+       CASE WHEN click_ts >= ts - INTERVAL 3 DAY THEN round(click_value, 6) END AS click_value
+FROM matched
+"""
+
+QUERIES["asof_join"] = q_asof_join
+ORACLES["asof_join"] = ORACLE_ASOF_JOIN

@@ -1,0 +1,62 @@
+"""asof_join unit tests: direction semantics, equal-timestamp
+inclusion, tolerance nulling, unmatched rows."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from signaldb_spark.operators.temporal import asof_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0), "l1"),
+            (1, datetime(2024, 1, 1, 12, 0, 0), "l2"),
+            (2, datetime(2024, 1, 1, 9, 0, 0), "l3"),
+        ],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 30, 0), "r1"),
+            (1, datetime(2024, 1, 1, 12, 0, 0), "r2"),  # equal-ts with l2
+            (2, datetime(2024, 1, 1, 11, 0, 0), "r3"),  # after k=2's left row
+        ],
+        "k int, ts timestamp, rv string",
+    )
+    return left, right
+
+
+def test_backward_picks_latest_at_or_before(spark):
+    left, right = _sides(spark)
+    out = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join(left, right, ["k"], direction="backward").collect()
+    }
+    assert out == {"l1": "r1", "l2": "r2", "l3": None}
+
+
+def test_forward_picks_earliest_at_or_after(spark):
+    left, right = _sides(spark)
+    out = {
+        r["lv"]: r["r_rv"]
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    assert out == {"l1": "r2", "l2": "r2", "l3": "r3"}
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    left, right = _sides(spark)
+    out = {
+        r["lv"]: (r["r_rv"], r["r_ts"])
+        for r in asof_join(
+            left, right, ["k"], direction="backward", tolerance_seconds=600
+        ).collect()
+    }
+    # l1 at 10:00 matched r1 at 9:30 — 30 min > 10 min tolerance -> nulled
+    assert out["l1"] == (None, None)
+    # equal timestamps are distance 0 -> kept
+    assert out["l2"][0] == "r2"
