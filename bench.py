@@ -71,6 +71,8 @@ HEADLINE = [
     "promql_mad",
     "exphist_quantile",
     "asof_join",
+    "trace_spanset_agg",
+    "summary_quantile",
 ]
 
 

@@ -568,3 +568,47 @@ FROM zeros z LEFT JOIN pick p USING (bucket, service_name)
 
 QUERIES["exphist_quantile"] = q_exphist_quantile
 ORACLES["exphist_quantile"] = ORACLE_EXPHIST_QUANTILE
+
+
+def q_summary_quantile(spark, sf_dir):
+    """Summary-metric read-back (summary.summary_quantile) — the
+    reference stores summary datapoints but can't query them. The gate
+    synthesizes per-series anchors [(0, min), (0.5, median), (1, max)]
+    from events (identically in the oracle) and reads back p75: linear
+    interpolation between the 0.5 and 1.0 anchors."""
+    from .operators.summary import summary_quantile
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    dp = (
+        ev.select(b.alias("bucket"), F.col("event_type").alias("service_name"),
+                  "ts", F.col("value").cast("double").alias("v"))
+        .groupBy("bucket", "service_name")
+        .agg(
+            F.max("ts").alias("timestamp"),
+            F.array(
+                F.struct(F.lit(0.0).alias("quantile"), F.min("v").alias("value")),
+                F.struct(F.lit(0.5).alias("quantile"),
+                         F.percentile("v", F.lit(0.5)).alias("value")),
+                F.struct(F.lit(1.0).alias("quantile"), F.max("v").alias("value")),
+            ).alias("quantile_values"),
+        )
+    )
+    out = summary_quantile(dp, 0.75, ["bucket", "service_name"])
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_SUMMARY_QUANTILE = f"""
+WITH anchors AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         min(value) AS v0, median(value) AS v50, max(value) AS v100
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, service_name,
+       round(v50 + (v100 - v50) * (0.75 - 0.5) / (1.0 - 0.5), 6) AS value
+FROM anchors
+"""
+
+QUERIES["summary_quantile"] = q_summary_quantile
+ORACLES["summary_quantile"] = ORACLE_SUMMARY_QUANTILE

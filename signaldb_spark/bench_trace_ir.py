@@ -483,3 +483,30 @@ FROM p GROUP BY 1, 2, 3
 
 QUERIES["flamegraph_diff"] = q_flamegraph_diff
 ORACLES["flamegraph_diff"] = ORACLE_FLAMEGRAPH_DIFF
+
+
+def q_trace_spanset_agg(spark, sf_dir):
+    """Tempo spanset aggregate filter `{ flag = "R" } | avg(qty) > 25`
+    (structural.spanset_aggregate): per-trace aggregate over matching
+    spans, one window over trace_id, no join-back."""
+    from .traceql.structural import spanset_aggregate
+
+    spans = _tree_spans(spark, sf_dir)
+    out = spanset_aggregate(
+        spans, F.col("flag") == "R", "avg", ">", 25.0, agg_col="qty"
+    )
+    return out.select(*spans.columns)
+
+
+ORACLE_TRACE_SPANSET_AGG = f"""
+WITH spans AS ({_TREE_SPANS_SQL}),
+f AS (
+  SELECT *, avg(qty) OVER (PARTITION BY trace_id) AS a
+  FROM spans WHERE flag = 'R'
+)
+SELECT trace_id, span_id, parent_span_id, flag, status, qty
+FROM f WHERE a > 25.0
+"""
+
+QUERIES["trace_spanset_agg"] = q_trace_spanset_agg
+ORACLES["trace_spanset_agg"] = ORACLE_TRACE_SPANSET_AGG

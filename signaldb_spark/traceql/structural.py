@@ -28,7 +28,7 @@ Scale design:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -191,3 +191,56 @@ def descendant_spans_closure(
         return pdf.loc[keep].drop(columns=["_is_anc", "_is_desc"])
 
     return marked.groupBy("trace_id").applyInPandas(_closure, schema=out_schema)
+
+
+SPANSET_AGGS = {
+    "count": lambda c: F.count(F.lit(1)).cast("double"),
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+SPANSET_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def spanset_aggregate(
+    spans: DataFrame,
+    cond: Column,
+    agg: str,
+    op: str,
+    threshold: float,
+    agg_col: str | None = None,
+) -> DataFrame:
+    """Tempo spanset aggregate filter ``{cond} | agg(col) op threshold``
+    (e.g. ``{ span.flag = "R" } | avg(span.qty) > 25``): per trace,
+    aggregate over the spans matching ``cond``; traces whose aggregate
+    satisfies the predicate return their matching spans.
+
+    Filter-first then ONE window over trace_id — the aggregate is
+    computed only over already-matching spans and no join back to the
+    corpus is needed; a single shuffle on trace_id, the same key every
+    other per-trace operator shuffles on (exchange reuse applies when
+    composed).
+    """
+    if agg not in SPANSET_AGGS:
+        raise ValueError(f"unsupported spanset aggregate {agg!r}")
+    if op not in SPANSET_OPS:
+        raise ValueError(f"unsupported spanset comparison {op!r}")
+    if agg != "count" and agg_col is None:
+        raise ValueError(f"spanset aggregate {agg!r} needs agg_col")
+    agg_expr = SPANSET_AGGS[agg](F.col(agg_col) if agg_col else F.lit(1))
+    w = Window.partitionBy("trace_id")
+    return (
+        spans.filter(cond)
+        .withColumn("_agg", agg_expr.over(w))
+        .filter(SPANSET_OPS[op](F.col("_agg"), F.lit(threshold)))
+        .drop("_agg")
+    )

@@ -448,3 +448,24 @@ def test_exphist_quantile_scale_changes_base(spark):
     # rank = 2, bucket (2^0, 2^0.5], value = 1 + (2^0.5 - 1) * 2/4
     out = exphist_quantile(df, 0.5, ["series"]).collect()[0]["value"]
     assert out == pytest.approx(1 + (2 ** 0.5 - 1) * 0.5)
+
+
+def test_summary_quantile_anchor_paths(spark):
+    """Exact anchor hit, clamping below/above the anchor range, and the
+    latest-datapoint pick."""
+    from datetime import datetime
+    from signaldb_spark.operators.summary import summary_quantile
+
+    rows = [
+        ("a", datetime(2024, 1, 1), [(0.5, 10.0), (0.9, 90.0)]),
+        ("a", datetime(2024, 1, 2), [(0.5, 20.0), (0.9, 100.0)]),  # latest wins
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series string, timestamp timestamp, quantile_values array<struct<quantile:double,value:double>>",
+    )
+    get = lambda phi: summary_quantile(df, phi, ["series"]).collect()[0]["value"]
+    assert get(0.9) == 100.0          # exact anchor
+    assert get(0.2) == 20.0           # clamp below
+    assert get(0.95) == 100.0         # clamp above
+    assert get(0.7) == pytest.approx(60.0)  # midpoint interpolation
