@@ -191,3 +191,24 @@ def live_severity_counts(
         .groupBy(F.window("timestamp", window), "service_name", "severity_text")
         .count()
     )
+
+
+def deduped_stream(
+    df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "timestamp",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exactly-once-by-key dedup for at-least-once upstreams.
+
+    The reference's WAL replay re-delivers whole entries and relies on
+    batch-idempotent writes
+    (tests-integration/tests/writer/wal_replay_idempotency.rs); that
+    dedupes a replayed BATCH but not a re-sent RECORD (an OTLP client
+    retry after a partial ack). This drops any record whose ``id_cols``
+    were already seen within the event-time watermark using Spark's
+    per-key state store: state is evicted past the watermark, so memory
+    is bounded by (keys arriving per watermark window), not stream
+    history — the property that keeps it viable at 100 TB/day.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)

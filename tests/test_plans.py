@@ -195,3 +195,28 @@ def test_decontaminate_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_new_operators_have_no_cartesian_or_bnl(spark):
+    """asof_join / segment_dedup / exphist_quantile / trace_spanset_agg
+    must stay join-blowup-free: window or equi-join shapes only."""
+    for name in ("asof_join", "segment_dedup", "exphist_quantile", "trace_spanset_agg"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_asof_join_is_single_logical_shuffle(spark):
+    """The union/window as-of form partitions both union branches by the
+    join key and runs one window — no join operator at all in the plan."""
+    p = plan(all_queries()["asof_join"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert "Window" in p
+
+
+def test_segment_dedup_shuffles_hashed_longs_only(spark):
+    """The verdict shuffle must carry the xxhash64 key, never the
+    segment string."""
+    p = plan(all_queries()["segment_dedup"](spark, SF_DIR))
+    import re
+    keys = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_0-9#]*)", p)
+    assert keys and all(k.startswith(("seg_h", "doc_id")) for k in keys), keys

@@ -706,3 +706,43 @@ def test_rollup_incremental_append_merges_exact(spark, tmp_path):
         for r in rollup_metrics(b1.unionByName(b2)).collect()
     }
     assert got == want and len(want) == 3
+
+
+def test_deduped_stream_drops_replayed_records(spark, tmp_path_factory):
+    """A record re-sent in a LATER micro-batch (at-least-once upstream)
+    is dropped by dropDuplicatesWithinWatermark state; distinct records
+    with the same timestamp survive."""
+    import json, os, time
+    from pyspark.sql import functions as F
+    from signaldb_spark.streaming.ingest import deduped_stream
+
+    src = str(tmp_path_factory.mktemp("dedup_src"))
+    out_name = f"dedup_sink_{int(time.time()*1000)}"
+    rows1 = [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "v": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:00:05", "v": 2.0},
+    ]
+    rows2 = [
+        {"event_id": 2, "ts": "2024-01-01T10:00:05", "v": 2.0},  # replay
+        {"event_id": 3, "ts": "2024-01-01T10:00:05", "v": 3.0},  # same ts, new id
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        with open(os.path.join(src, f"f{i}.json"), "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+    schema = "event_id long, ts string, v double"
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+        .withColumn("timestamp", F.to_timestamp("ts"))
+    )
+    deduped = deduped_stream(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory").queryName(out_name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.sql(f"select * from {out_name}").collect()
+    )
+    assert got == [1, 2, 3]
