@@ -180,11 +180,15 @@ def test_simhash_band_pairs_equal_brute_force(spark):
 
 def test_corpus_map_only_operators_have_no_exchange(spark):
     """stratified_sample and repetition_features are pure map-side
-    transforms — any Exchange in their plans is a regression (the
-    repetition "group-by bigram" must stay an in-row array fold)."""
+    transforms — a per-key (hashpartitioning) Exchange in their plans is
+    a regression (the repetition "group-by bigram" must stay an in-row
+    array fold). A RoundRobin fan-out of an under-partitioned scan is
+    allowed: it carries no key, exists only because the local test file
+    is a single split, and self-disables when file splits already
+    saturate the cluster (operators/dedup.fan_out)."""
     for name in ("stratified_sample", "text_repetition"):
         p = plan(all_queries()[name](spark, SF_DIR))
-        assert "Exchange" not in p, name
+        assert "hashpartitioning" not in p, name
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
