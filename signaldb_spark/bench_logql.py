@@ -192,3 +192,39 @@ SELECT 'namespace' AS label UNION ALL SELECT 'user' ORDER BY 1
 
 QUERIES["logql_labels"] = q_logql_labels
 ORACLES["logql_labels"] = ORACLE_LOGQL_LABELS
+
+
+def q_logql_label_values(spark, sf_dir):
+    """/loki/api/v1/label/user/values analog (jobs.label_values):
+    attribute-map route — distinct non-empty values, sorted, capped."""
+    from .maintenance.jobs import label_values
+
+    return label_values(_logs_view(spark, sf_dir), "user")
+
+
+ORACLE_LOGQL_LABEL_VALUES = """
+SELECT DISTINCT CAST(user_id AS VARCHAR) AS value
+FROM events WHERE user_id IS NOT NULL
+ORDER BY value LIMIT 1000
+"""
+
+
+def q_logql_series(spark, sf_dir):
+    """/loki/api/v1/series analog (jobs.log_series): distinct label sets
+    over a selector-filtered stream; the view has null severity, so the
+    sets are service-only."""
+    from .maintenance.jobs import log_series
+
+    return log_series(_logs_view(spark, sf_dir))
+
+
+ORACLE_LOGQL_SERIES = """
+SELECT DISTINCT event_type AS service_name, CAST(NULL AS VARCHAR) AS level
+FROM events WHERE event_type IS NOT NULL AND event_type != ''
+ORDER BY service_name LIMIT 1000
+"""
+
+QUERIES["logql_label_values"] = q_logql_label_values
+ORACLES["logql_label_values"] = ORACLE_LOGQL_LABEL_VALUES
+QUERIES["logql_series"] = q_logql_series
+ORACLES["logql_series"] = ORACLE_LOGQL_SERIES

@@ -235,3 +235,63 @@ def detected_labels(df: DataFrame, attr_col: str = "log_attributes", cap: int = 
         .orderBy("label")
         .limit(cap)
     )
+
+
+def label_values(
+    df: DataFrame, label: str, attr_col: str = "log_attributes", cap: int = 1000
+) -> DataFrame:
+    """Label-value discovery (/loki/api/v1/label/<name>/values —
+    get_label_values, logs.rs:415-476): a well-known label routes to its
+    dedicated column, a materialized ``label_<name>`` column to that
+    column, anything else to the attribute map's value for the key.
+    Distinct non-empty values, sorted, capped — the distinct runs
+    in-engine on a single projected column, so at 100 TB the scan is one
+    pruned column plus a tiny-result shuffle (the reference instead
+    samples LABEL_SCAN_LIMIT attribute documents driver-side)."""
+    from pyspark.sql import functions as F
+
+    from ..logql.lowering import WELL_KNOWN
+
+    if not label:
+        raise ValueError("label name must not be empty")
+    if label in WELL_KNOWN and WELL_KNOWN[label] in df.columns:
+        col = F.col(WELL_KNOWN[label])
+    elif f"label_{label}" in df.columns:
+        col = F.col(f"label_{label}")
+    elif label in df.columns:
+        col = F.col(label)
+    else:
+        col = F.col(attr_col)[label]
+    return (
+        df.select(col.cast("string").alias("value"))
+        .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        .distinct()
+        .orderBy("value")
+        .limit(cap)
+    )
+
+
+def log_series(df: DataFrame, cap: int = 1000) -> DataFrame:
+    """Series discovery (/loki/api/v1/series — get_series,
+    logs.rs:578-633): distinct (service_name, level) label sets over the
+    (already selector-filtered) stream, empty/null labels omitted from
+    the set, rows with no labels dropped, deterministic order + cap.
+    Output keeps one column per label (null = absent) — the shaper
+    renders the BTreeMap form."""
+    from pyspark.sql import functions as F
+
+    svc = F.when(
+        F.col("service_name").isNotNull() & (F.col("service_name") != ""),
+        F.col("service_name"),
+    )
+    lvl = F.when(
+        F.col("severity_text").isNotNull() & (F.col("severity_text") != ""),
+        F.col("severity_text"),
+    )
+    return (
+        df.select(svc.alias("service_name"), lvl.alias("level"))
+        .filter(F.col("service_name").isNotNull() | F.col("level").isNotNull())
+        .distinct()
+        .orderBy(F.col("service_name").asc_nulls_first(), F.col("level").asc_nulls_first())
+        .limit(cap)
+    )
