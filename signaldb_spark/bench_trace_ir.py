@@ -510,3 +510,52 @@ FROM f WHERE a > 25.0
 
 QUERIES["trace_spanset_agg"] = q_trace_spanset_agg
 ORACLES["trace_spanset_agg"] = ORACLE_TRACE_SPANSET_AGG
+
+
+def _profiles_discovery_view(spark, sf_dir):
+    """Orders-as-profiles: priority plays sample_type, status plays the
+    attribute map's 'status' key — exercises the column route AND the
+    map route of the discovery endpoints."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderpriority").alias("sample_type"),
+        F.lit("count").alias("sample_unit"),
+        F.col("o_custkey").cast("string").alias("service_name"),
+        F.create_map(
+            F.lit("status"), F.col("o_orderstatus"),
+        ).alias("profile_attributes"),
+    )
+
+
+def q_profile_types(spark, sf_dir):
+    """/pyroscope/profile-types (profiles.profile_types)."""
+    from .operators.profiles import profile_types
+
+    return profile_types(_profiles_discovery_view(spark, sf_dir))
+
+
+ORACLE_PROFILE_TYPES = """
+SELECT DISTINCT o_orderpriority || ':count' AS profile_type
+FROM orders WHERE o_orderpriority IS NOT NULL AND o_orderpriority != ''
+ORDER BY 1 LIMIT 1000
+"""
+
+
+def q_profile_label_values(spark, sf_dir):
+    """/pyroscope/label-values?label=status — attribute-map route
+    (profiles.profile_label_values)."""
+    from .operators.profiles import profile_label_values
+
+    return profile_label_values(_profiles_discovery_view(spark, sf_dir), "status")
+
+
+ORACLE_PROFILE_LABEL_VALUES = """
+SELECT DISTINCT o_orderstatus AS value
+FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderstatus != ''
+ORDER BY 1 LIMIT 1000
+"""
+
+QUERIES["profile_types"] = q_profile_types
+ORACLES["profile_types"] = ORACLE_PROFILE_TYPES
+QUERIES["profile_label_values"] = q_profile_label_values
+ORACLES["profile_label_values"] = ORACLE_PROFILE_LABEL_VALUES

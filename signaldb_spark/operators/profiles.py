@@ -96,3 +96,58 @@ def flamegraph_diff(
         )
         .withColumn("delta", F.col("comp_value") - F.col("base_value"))
     )
+
+
+def profile_types(df: DataFrame, cap: int = 1000) -> DataFrame:
+    """/pyroscope/profile-types (profile.rs:234-274): distinct
+    "sample_type:sample_unit" strings over the window; empty sample_type
+    dropped, null unit renders as empty. Single-projection distinct —
+    column-pruned scan, tiny result."""
+    t = F.col("sample_type")
+    u = F.coalesce(F.col("sample_unit"), F.lit(""))
+    return (
+        df.filter(t.isNotNull() & (t != ""))
+        .select(F.concat_ws(":", t, u).alias("profile_type"))
+        .distinct()
+        .orderBy("profile_type")
+        .limit(cap)
+    )
+
+
+def profile_label_names(
+    df: DataFrame, attr_col: str = "profile_attributes", cap: int = 1000
+) -> DataFrame:
+    """/pyroscope/label-names (profile.rs:278-322): "service_name" plus
+    every attribute-map key, deduped/sorted/capped. The reference samples
+    LABEL_SCAN_LIMIT attribute documents driver-side (it cannot sort Map
+    columns in Arrow's row format); exploding map keys in-engine needs
+    no sampling cap to stay bounded."""
+    keys = df.select(F.explode(F.map_keys(F.col(attr_col))).alias("label"))
+    fixed = df.sparkSession.createDataFrame([("service_name",)], "label string")
+    return (
+        keys.unionByName(fixed)
+        .filter(F.col("label").isNotNull() & (F.col("label") != ""))
+        .distinct()
+        .orderBy("label")
+        .limit(cap)
+    )
+
+
+def profile_label_values(
+    df: DataFrame, label: str, attr_col: str = "profile_attributes", cap: int = 1000
+) -> DataFrame:
+    """/pyroscope/label-values (profile.rs:324-380): service_name routes
+    to its dedicated column, anything else to the attribute map value;
+    distinct non-empty, sorted, capped."""
+    if not label:
+        raise ValueError("label name must not be empty")
+    col = (
+        F.col("service_name") if label == "service_name" else F.col(attr_col)[label]
+    )
+    return (
+        df.select(col.cast("string").alias("value"))
+        .filter(F.col("value").isNotNull() & (F.col("value") != ""))
+        .distinct()
+        .orderBy("value")
+        .limit(cap)
+    )
