@@ -559,3 +559,51 @@ QUERIES["profile_types"] = q_profile_types
 ORACLES["profile_types"] = ORACLE_PROFILE_TYPES
 QUERIES["profile_label_values"] = q_profile_label_values
 ORACLES["profile_label_values"] = ORACLE_PROFILE_LABEL_VALUES
+
+
+_WEEK = 7 * 86400
+
+
+def q_trace_metrics_rate(spark, sf_dir):
+    """TraceQL metrics `{duration >= 25ms} | rate()` per 7-day bucket
+    (trace_ops.metrics_rate) — beyond the reference, whose Tempo metrics
+    endpoints answer 501 (tempo.rs:1284-1304)."""
+    from .traceql.trace_ops import metrics_rate
+
+    spans = _spans_view(spark, sf_dir)
+    out = metrics_rate(
+        spans, F.col("duration_nanos") >= 25_000_000, _WEEK
+    )
+    return out.select("bucket", F.round("value", 9).alias("value"))
+
+
+ORACLE_TRACE_METRICS_RATE = """
+SELECT CAST(floor(epoch(l_shipdate) / 604800) * 604800 AS BIGINT) AS bucket,
+       round(count(*) / 604800.0, 9) AS value
+FROM lineitem
+WHERE CAST(l_quantity * 1e6 AS BIGINT) >= 25000000
+GROUP BY 1
+"""
+
+
+def q_trace_metrics_p90(spark, sf_dir):
+    """TraceQL metrics `{} | quantile_over_time(duration, .9)` per 7-day
+    bucket (trace_ops.metrics_quantile)."""
+    from .traceql.trace_ops import metrics_quantile
+
+    spans = _spans_view(spark, sf_dir)
+    out = metrics_quantile(spans, F.lit(True), _WEEK, 0.9)
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+ORACLE_TRACE_METRICS_P90 = """
+SELECT CAST(floor(epoch(l_shipdate) / 604800) * 604800 AS BIGINT) AS bucket,
+       round(quantile_cont(CAST(CAST(l_quantity * 1e6 AS BIGINT) AS DOUBLE), 0.9), 6) AS value
+FROM lineitem
+GROUP BY 1
+"""
+
+QUERIES["trace_metrics_rate"] = q_trace_metrics_rate
+ORACLES["trace_metrics_rate"] = ORACLE_TRACE_METRICS_RATE
+QUERIES["trace_metrics_p90"] = q_trace_metrics_p90
+ORACLES["trace_metrics_p90"] = ORACLE_TRACE_METRICS_P90

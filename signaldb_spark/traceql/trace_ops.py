@@ -231,3 +231,43 @@ def tag_names(traces: DataFrame, scope: str = "unscoped", cap: int = 1000) -> Da
         .orderBy("name")
         .limit(cap)
     )
+
+
+def metrics_rate(
+    spans: DataFrame,
+    cond,
+    step_seconds: int,
+    by_cols: tuple[str, ...] = (),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """TraceQL metrics ``{cond} | rate() by (...)`` — spans-per-second
+    time series. The reference's Tempo metrics endpoints answer 501
+    (tempo.rs:1284-1304, its issue #552); Tempo defines the semantics:
+    matching-span count per step divided by step seconds. Filter-first +
+    one (bucket, by...) aggregation."""
+    from ..operators.timeseries import range_aggregate
+
+    return range_aggregate(
+        spans.filter(cond), ts_col, step_seconds, list(by_cols),
+        (F.count(F.lit(1)) / F.lit(float(step_seconds))),
+    )
+
+
+def metrics_quantile(
+    spans: DataFrame,
+    cond,
+    step_seconds: int,
+    phi: float,
+    value_col: str = "duration_nanos",
+    by_cols: tuple[str, ...] = (),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """TraceQL metrics ``{cond} | quantile_over_time(duration, φ)`` —
+    exact interpolated quantile of a span field per step (same
+    exactness argument as timeseries.quantile_over_time)."""
+    from ..operators.timeseries import range_aggregate
+
+    return range_aggregate(
+        spans.filter(cond), ts_col, step_seconds, list(by_cols),
+        F.percentile(F.col(value_col).cast("double"), F.lit(phi)),
+    )
