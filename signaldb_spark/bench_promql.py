@@ -612,3 +612,42 @@ FROM anchors
 
 QUERIES["summary_quantile"] = q_summary_quantile
 ORACLES["summary_quantile"] = ORACLE_SUMMARY_QUANTILE
+
+
+def q_label_stats(spark, sf_dir):
+    """/prometheus/api/v1/label_stats read-back (jobs.attribute_stats,
+    exact mode): per-attribute presence + cardinality + presence ratio.
+    The view plants one always-present key and one conditional key so
+    the ratio differs per key."""
+    from .maintenance.jobs import attribute_stats
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    view = ev.select(
+        F.map_filter(
+            F.create_map(
+                F.lit("user"), F.col("user_id").cast("string"),
+                F.lit("hot"), F.when(F.col("value") > 100, F.lit("y")),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("attributes")
+    )
+    return attribute_stats(view, "attributes", exact=True).orderBy("key")
+
+
+ORACLE_LABEL_STATS = """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+SELECT 'hot' AS key, CAST(count(*) AS BIGINT) AS presence,
+       CAST(1 AS BIGINT) AS approx_cardinality,
+       round(count(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS presence_ratio
+FROM events WHERE value > 100
+UNION ALL
+SELECT 'user', CAST(count(*) AS BIGINT),
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT),
+       round(count(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6)
+FROM events WHERE user_id IS NOT NULL
+ORDER BY key
+"""
+
+QUERIES["label_stats"] = q_label_stats
+ORACLES["label_stats"] = ORACLE_LABEL_STATS

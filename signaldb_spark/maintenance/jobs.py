@@ -153,20 +153,30 @@ def apply_retention(
     return dropped
 
 
-def attribute_stats(df: DataFrame, attr_col: str = "log_attributes") -> DataFrame:
-    """Per-key presence count + approximate cardinality over a table —
-    the promotion-input stats pass (src/compactor/src/attr_stats.rs),
-    as one explode + aggregate. The row total for the presence ratio is
-    a broadcast-joined scalar from the same job (count-star resolves
-    from parquet footers), not a separate collect-then-count action."""
+def attribute_stats(
+    df: DataFrame, attr_col: str = "log_attributes", exact: bool = False
+) -> DataFrame:
+    """Per-key presence count + cardinality over a table — the
+    promotion-input stats pass (src/compactor/src/attr_stats.rs) and the
+    /prometheus/api/v1/label_stats read-back (promql.rs:275-311), as one
+    explode + aggregate. The row total for the presence ratio is a
+    broadcast-joined scalar from the same job (count-star resolves from
+    parquet footers), not a separate collect-then-count action.
+
+    ``exact=False`` (the scale default) estimates cardinality with HLL;
+    ``exact=True`` uses count(distinct) — cross-engine deterministic, so
+    the correctness gate runs in this mode."""
     exploded = df.select(F.explode_outer(F.col(attr_col)).alias("key", "val"))
     total_df = df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
+    card = (
+        F.count_distinct(F.col("val")) if exact else F.approx_count_distinct("val")
+    )
     return (
         exploded.filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("presence"),
-            F.approx_count_distinct("val").alias("approx_cardinality"),
+            card.alias("approx_cardinality"),
         )
         .crossJoin(F.broadcast(total_df))
         .withColumn("presence_ratio", F.round(F.col("presence") / F.col("_total"), 6))
