@@ -73,6 +73,10 @@ HEADLINE = [
     "asof_join",
     "trace_spanset_agg",
     "summary_quantile",
+    "logql_label_values",
+    "trace_metrics_rate",
+    "label_stats",
+    "emb_kmeans",
 ]
 
 

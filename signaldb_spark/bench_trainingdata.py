@@ -1063,3 +1063,66 @@ QUERIES["pii_redact"] = q_pii_redact
 ORACLES["pii_redact"] = ORACLE_PII_REDACT
 QUERIES["segment_dedup"] = q_segment_dedup
 ORACLES["segment_dedup"] = ORACLE_SEGMENT_DEDUP
+
+
+def q_emb_kmeans(spark, sf_dir):
+    """Deterministic spherical k-means, k=4, 2 Lloyd iterations
+    (similarity.kmeans_iterations); the oracle replays the identical
+    trajectory with unrolled CTEs."""
+    return sim.kmeans_iterations(
+        _embs(spark, sf_dir), "vec_id", "embedding", k=4, iterations=2
+    )
+
+
+def _kmeans_oracle_sql(k: int = 4, iterations: int = 2, dims: int = 64) -> str:
+    rng = f"UNNEST(range(1, {dims + 1})) AS d(d)"
+    score = (
+        "round(sum(e.embedding[d.d]::DOUBLE * c.cv[d.d]::DOUBLE)"
+        " / (sqrt(sum(e.embedding[d.d]::DOUBLE * e.embedding[d.d]::DOUBLE))"
+        " * sqrt(sum(c.cv[d.d]::DOUBLE * c.cv[d.d]::DOUBLE))), 6)"
+    )
+    parts = [
+        f"""cents0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for i in range(iterations):
+        parts.append(f"""s{i} AS (
+  SELECT e.vec_id, c.cell, {score} AS s
+  FROM embeddings e, cents{i} c, {rng}
+  GROUP BY e.vec_id, c.cell
+)""")
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM s{i}) WHERE rn = 1
+)""")
+        parts.append(f"""cents{i + 1} AS (
+  SELECT cell, list(m ORDER BY d) AS cv FROM (
+    SELECT a.cell, d.d AS d, round(avg(e.embedding[d.d]::DOUBLE), 6) AS m
+    FROM a{i} a JOIN embeddings e USING (vec_id), {rng}
+    GROUP BY a.cell, d.d
+  ) GROUP BY cell
+)""")
+    n = iterations
+    parts.append(f"""sf AS (
+  SELECT e.vec_id, c.cell, {score} AS s
+  FROM embeddings e, cents{n} c, {rng}
+  GROUP BY e.vec_id, c.cell
+)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, s AS score FROM (
+  SELECT vec_id, cell, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+  FROM sf) WHERE rn = 1
+"""
+    )
+
+
+ORACLE_EMB_KMEANS = _kmeans_oracle_sql()
+
+QUERIES["emb_kmeans"] = q_emb_kmeans
+ORACLES["emb_kmeans"] = ORACLE_EMB_KMEANS

@@ -320,3 +320,55 @@ def cosine_near_dup_pairs(
         )
         cand = p if cand is None else cand.unionByName(p)
     return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def kmeans_iterations(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+) -> DataFrame:
+    """Spherical k-means (cosine) with a deterministic trajectory:
+    init = the first ``k`` vectors by id, a FIXED iteration count, and
+    every score / centroid component rounded to 6dp — the same trick
+    that puts the IVF index under the cross-engine oracle, extended to
+    the whole Lloyd loop.
+
+    Scale shape: centroids are index metadata (k × dims doubles) that
+    live driver-side exactly like the IVF centroid table — each
+    iteration is ONE map-only assignment pass (literal-centroid cosine
+    argmax, no shuffle, no join) plus ONE (cell, dim) aggregation for
+    the update; the corpus itself never joins anything. A cell that
+    loses all members keeps its previous centroid.
+
+    Output after the final update: (id, cell, score).
+    """
+    init = [
+        [float(x) for x in row[vec_col]]
+        for row in df.orderBy(id_col).limit(k).collect()
+    ]
+    cents = init
+    for _ in range(iterations):
+        assigned = ivf_assign(df, vec_col, cents)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_cell = {row["cell"]: list(row["cv"]) for row in means}
+        cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+    scores = _cell_scores(vec_col, cents)
+    return df.select(
+        F.col(id_col),
+        F.array_position(scores, F.array_max(scores)).cast("long").alias("cell"),
+        F.array_max(scores).alias("score"),
+    )
