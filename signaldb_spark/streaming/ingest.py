@@ -212,3 +212,41 @@ def deduped_stream(
     history — the property that keeps it viable at 100 TB/day.
     """
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str = "timestamp",
+    right_ts: str = "r_timestamp",
+    before_seconds: int = 300,
+    after_seconds: int = 0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on keys within an event-time interval:
+    right.ts ∈ [left.ts - before, left.ts + after].
+
+    Both sides carry watermarks and the join condition bounds the two
+    event times against each other — exactly the shape Spark requires to
+    EXPIRE join state: each side's buffered rows are dropped once the
+    other side's watermark passes the interval bound, so state is
+    bounded by (arrival rate × (watermark + interval)), never by stream
+    history. Right-side columns must already be disambiguated (no shared
+    names besides ``key_cols``).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = None
+    for k in key_cols:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {before_seconds} SECONDS"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {after_seconds} SECONDS"))
+    )
+    joined = l.join(r, cond, "inner")
+    for k in key_cols:
+        joined = joined.drop(r[k])
+    return joined

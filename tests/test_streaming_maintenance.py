@@ -746,3 +746,47 @@ def test_deduped_stream_drops_replayed_records(spark, tmp_path_factory):
         r["event_id"] for r in spark.sql(f"select * from {out_name}").collect()
     )
     assert got == [1, 2, 3]
+
+
+def test_stream_interval_join_matches_within_window(spark, tmp_path_factory):
+    """Purchases stream joins clicks stream on user within [-5 min, 0]:
+    a click 2 min before matches, a click 20 min before does not, and
+    state expiry conditions are accepted by the planner (the query runs
+    with watermarks on both sides)."""
+    import json, os, time
+    from pyspark.sql import functions as F
+    from signaldb_spark.streaming.ingest import stream_interval_join
+
+    lsrc = str(tmp_path_factory.mktemp("sj_left"))
+    rsrc = str(tmp_path_factory.mktemp("sj_right"))
+    out_name = f"sj_sink_{int(time.time()*1000)}"
+    purchases = [
+        {"user": 1, "ts": "2024-01-01T10:10:00", "amount": 9.0},
+        {"user": 2, "ts": "2024-01-01T10:10:00", "amount": 7.0},
+    ]
+    clicks = [
+        {"user": 1, "cts": "2024-01-01T10:08:00", "page": "a"},   # 2 min before -> match
+        {"user": 2, "cts": "2024-01-01T09:50:00", "page": "b"},   # 20 min before -> no match
+    ]
+    with open(os.path.join(lsrc, "l.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in purchases))
+    with open(os.path.join(rsrc, "r.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in clicks))
+    l = (
+        spark.readStream.format("json").schema("user long, ts string, amount double")
+        .load(lsrc).withColumn("timestamp", F.to_timestamp("ts")).drop("ts")
+    )
+    r = (
+        spark.readStream.format("json").schema("user long, cts string, page string")
+        .load(rsrc).withColumn("r_timestamp", F.to_timestamp("cts")).drop("cts")
+    )
+    joined = stream_interval_join(
+        l, r, ["user"], before_seconds=300, after_seconds=0, watermark="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory").queryName(out_name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(f"select user, page from {out_name}").collect()
+    assert [(r["user"], r["page"]) for r in rows] == [(1, "a")]
