@@ -22,7 +22,7 @@ data.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,22 +41,35 @@ def exphist_quantile(
     rank = φ·(zero_count + Σ bucket counts); rank within the zero bucket
     returns 0.0; otherwise the first bucket whose cumulative count
     reaches rank is linearly interpolated. Series whose scale varies
-    between datapoints are merged at the first datapoint's scale (the
-    OTLP SDK keeps a series' scale stable; mixed-scale merge-downscaling
-    is out of scope and documented).
+    between datapoints are merged by DOWNSCALING to the series' minimum
+    scale — bucket i at scale s maps exactly onto bucket
+    floor(i / 2^(s-m)) at coarser scale m (each coarse bucket is the
+    union of 2^(s-m) fine buckets), the same merge Prometheus and the
+    OTLP SDKs perform when scales differ.
     """
     zeros = df.groupBy(*series_cols).agg(
         F.sum(zero_col).cast("double").alias("_z"),
-        F.first(scale_col).alias("_scale"),
+        F.min(scale_col).alias("_scale"),
     )
+    # downscale each datapoint's indexes to the series min scale BEFORE
+    # merging: floor-division by 2^(s-m) (exact integer arithmetic; for
+    # negative indexes floor ≠ truncate, hence an arithmetic shift on
+    # longs). The min scale rides a window over the series key — the
+    # same shuffle the bucket merge needs anyway, no join back.
+    w = Window.partitionBy(*series_cols)
     buckets = (
-        df.select(
+        df.withColumn("_ds", F.col(scale_col) - F.min(scale_col).over(w))
+        .select(
             *series_cols,
+            "_ds",
             F.col(offset_col).alias("_off"),
             F.posexplode_outer(counts_col).alias("_pos", "_cnt"),
         )
         .filter(F.col("_cnt") > 0)
-        .groupBy(*series_cols, (F.col("_off") + F.col("_pos")).alias("_i"))
+        .groupBy(
+            *series_cols,
+            F.expr("CAST(shiftright(CAST(_off + _pos AS LONG), _ds) AS INT)").alias("_i"),
+        )
         .agg(F.sum("_cnt").cast("double").alias("_c"))
     )
     dist = buckets.groupBy(*series_cols).agg(

@@ -469,3 +469,25 @@ def test_summary_quantile_anchor_paths(spark):
     assert get(0.2) == 20.0           # clamp below
     assert get(0.95) == 100.0         # clamp above
     assert get(0.7) == pytest.approx(60.0)  # midpoint interpolation
+
+
+def test_exphist_quantile_downscales_mixed_scales(spark):
+    """A series whose datapoints disagree on scale merges at the MIN
+    scale: scale-1 buckets 0..1 (covering (1, sqrt2], (sqrt2, 2]) fold
+    into scale-0 bucket 0 (covering (1, 2])."""
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    rows = [
+        # scale 0: bucket 0 = (1,2] count 2, bucket 1 = (2,4] count 2
+        ("a", 0, 0, 0, [2, 2]),
+        # scale 1: buckets 0,1 both fold into scale-0 bucket 0 -> +4 in (1,2]
+        ("a", 1, 0, 0, [2, 2]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series string, scale int, zero_count long, positive_offset int, positive_bucket_counts array<long>",
+    )
+    # merged at scale 0: bucket0 count 6, bucket1 count 2, total 8
+    # phi=0.5 -> rank 4 -> inside bucket0: 1 + (2-1) * 4/6
+    out = exphist_quantile(df, 0.5, ["series"]).collect()[0]["value"]
+    assert out == pytest.approx(1 + 4 / 6)

@@ -790,3 +790,34 @@ def test_stream_interval_join_matches_within_window(spark, tmp_path_factory):
     q.awaitTermination()
     rows = spark.sql(f"select user, page from {out_name}").collect()
     assert [(r["user"], r["page"]) for r in rows] == [(1, "a")]
+
+
+def test_exphist_quantile_over_flattened_ingest(spark):
+    """Glue: the at-rest rows produced by the OTLP exp-histogram
+    flattener feed exphist_quantile directly — the end of the ingest
+    path is the start of the query path."""
+    import json
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    payload = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "lat_exp", "exponentialHistogram": {
+                    "dataPoints": [
+                        {"timeUnixNano": "1704067200000000000", "count": "4",
+                         "scale": 0, "zeroCount": "0",
+                         "positive": {"offset": 0, "bucketCounts": ["2", "2"]},
+                         "negative": {"offset": 0, "bucketCounts": []},
+                         "zeroThreshold": 0.0, "flags": 0, "attributes": []}],
+                    "aggregationTemporality": 2}},
+            ]}],
+        }]
+    })
+    raw = spark.createDataFrame([(payload,)], "value string")
+    at_rest = flatten_otlp_metrics(raw)["metrics_exp_histogram"]
+    out = exphist_quantile(at_rest, 0.5, ["service_name", "metric_name"]).collect()
+    # rank 2 -> bucket (1,2] cum 2 >= 2: 1 + (2-1)*2/2 = 2.0
+    assert out[0]["value"] == 2.0
