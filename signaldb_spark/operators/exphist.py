@@ -4,20 +4,22 @@ histograms — beyond the reference, which persists them at rest
 path that reads them.
 
 An exponential histogram with scale s has base = 2^(2^-s); positive
-bucket index i covers (base^i, base^(i+1)]. Datapoints store a dense
-``positive_bucket_counts`` array starting at ``positive_offset`` plus a
-``zero_count``. The quantile merges all datapoints of a series
-(element-wise by absolute index — offsets may differ between points),
-walks the cumulative distribution, and interpolates linearly inside the
-crossing bucket (classic histogram_quantile semantics applied to
-exponential bounds).
+bucket index i covers (base^i, base^(i+1)], negative bucket index i
+covers [-base^(i+1), -base^i). Datapoints store dense
+``positive_bucket_counts`` / ``negative_bucket_counts`` arrays starting
+at their offsets plus a ``zero_count``. The quantile merges all
+datapoints of a series, walks the cumulative distribution in value
+order — negative buckets (most negative first), the zero bucket, then
+positive buckets — and interpolates linearly inside the crossing
+bucket (classic histogram_quantile semantics applied to exponential
+bounds).
 
-Shape at 100 TB: one explode to (series, idx, count) longs, one groupBy
-per (series, idx) with map-side partial sums, one groupBy per series
-collecting the (tiny — ≤ ~160 buckets) per-series distribution, then
-the quantile is a single F.aggregate fold over the sorted bucket array.
-No window functions, no self-joins; the fold runs on already-reduced
-data.
+Shape at 100 TB: one explode to (series, side, idx, count) longs, one
+groupBy per (series, side, idx) with map-side partial sums, one groupBy
+per series collecting the (tiny — ≤ ~320 buckets) per-series
+distribution, then the quantile is a single F.aggregate fold over the
+value-ordered bucket array. No window beyond the series key, no
+self-joins; the fold runs on already-reduced data.
 """
 
 from __future__ import annotations
@@ -32,78 +34,136 @@ def exphist_quantile(
     series_cols: list[str],
     scale_col: str = "scale",
     zero_col: str = "zero_count",
-    offset_col: str = "positive_offset",
-    counts_col: str = "positive_bucket_counts",
+    pos_offset_col: str = "positive_offset",
+    pos_counts_col: str = "positive_bucket_counts",
+    neg_offset_col: str | None = "negative_offset",
+    neg_counts_col: str | None = "negative_bucket_counts",
     out: str = "value",
 ) -> DataFrame:
     """φ-quantile per series from at-rest exponential-histogram rows.
 
-    rank = φ·(zero_count + Σ bucket counts); rank within the zero bucket
-    returns 0.0; otherwise the first bucket whose cumulative count
-    reaches rank is linearly interpolated. Series whose scale varies
-    between datapoints are merged by DOWNSCALING to the series' minimum
-    scale — bucket i at scale s maps exactly onto bucket
-    floor(i / 2^(s-m)) at coarser scale m (each coarse bucket is the
-    union of 2^(s-m) fine buckets), the same merge Prometheus and the
-    OTLP SDKs perform when scales differ.
+    rank = φ·total over the value-ordered CDF (negatives, zero bucket,
+    positives); a rank landing in the zero bucket returns 0.0. Series
+    whose scale varies between datapoints are merged by DOWNSCALING to
+    the series' minimum scale — bucket i at scale s maps exactly onto
+    bucket floor(i / 2^(s-m)) at coarser scale m (each coarse bucket is
+    the union of 2^(s-m) fine buckets), the same merge Prometheus and
+    the OTLP SDKs perform when scales differ. Pass ``neg_*_col=None``
+    for tables without a negative side.
     """
     zeros = df.groupBy(*series_cols).agg(
         F.sum(zero_col).cast("double").alias("_z"),
         F.min(scale_col).alias("_scale"),
     )
+    w = Window.partitionBy(*series_cols)
     # downscale each datapoint's indexes to the series min scale BEFORE
     # merging: floor-division by 2^(s-m) (exact integer arithmetic; for
     # negative indexes floor ≠ truncate, hence an arithmetic shift on
     # longs). The min scale rides a window over the series key — the
     # same shuffle the bucket merge needs anyway, no join back.
-    w = Window.partitionBy(*series_cols)
-    buckets = (
-        df.withColumn("_ds", F.col(scale_col) - F.min(scale_col).over(w))
-        .select(
-            *series_cols,
-            "_ds",
-            F.col(offset_col).alias("_off"),
-            F.posexplode_outer(counts_col).alias("_pos", "_cnt"),
+    with_ds = df.withColumn("_ds", F.col(scale_col) - F.min(scale_col).over(w))
+
+    def _side(offset_col: str, counts_col: str, side: int) -> DataFrame:
+        return (
+            with_ds.select(
+                *series_cols,
+                "_ds",
+                F.lit(side).alias("_side"),
+                F.col(offset_col).alias("_off"),
+                F.posexplode_outer(counts_col).alias("_pos", "_cnt"),
+            )
+            .filter(F.col("_cnt") > 0)
+            .groupBy(
+                *series_cols,
+                "_side",
+                F.expr(
+                    "CAST(shiftright(CAST(_off + _pos AS LONG), _ds) AS INT)"
+                ).alias("_i"),
+            )
+            .agg(F.sum("_cnt").cast("double").alias("_c"))
         )
-        .filter(F.col("_cnt") > 0)
-        .groupBy(
-            *series_cols,
-            F.expr("CAST(shiftright(CAST(_off + _pos AS LONG), _ds) AS INT)").alias("_i"),
-        )
-        .agg(F.sum("_cnt").cast("double").alias("_c"))
-    )
-    dist = buckets.groupBy(*series_cols).agg(
-        F.array_sort(F.collect_list(F.struct("_i", "_c"))).alias("_d")
+
+    sides = _side(pos_offset_col, pos_counts_col, 1)
+    if neg_offset_col is not None and neg_counts_col is not None \
+            and neg_offset_col in df.columns and neg_counts_col in df.columns:
+        sides = _side(neg_offset_col, neg_counts_col, -1).unionByName(sides)
+    # value order inside one sortable struct: negatives first (most
+    # negative = highest idx first → ord = -i), then positives (ord = i);
+    # the zero bucket is the fold's initial accumulator, correct because
+    # every negative value < 0 < every positive value and the fold walks
+    # (side, ord) ascending — but ONLY if negatives accumulate BEFORE
+    # zero, so the init carries just the negative+zero boundary: we fold
+    # negatives with cum starting at 0, add z between sides, then
+    # positives. Encoded by folding the sorted array with a side-aware
+    # step that injects z when crossing from side -1 to side 1.
+    dist = sides.groupBy(*series_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_side").alias("_s"),
+                    F.when(F.col("_side") < 0, -F.col("_i")).otherwise(F.col("_i")).alias("_o"),
+                    F.col("_i").alias("_i"),
+                    F.col("_c").alias("_c"),
+                )
+            )
+        ).alias("_d")
     )
     merged = zeros.join(dist, list(series_cols), "left")
-    e2 = F.pow(F.lit(2.0), -F.col("_scale"))  # 2^-scale; bucket bound = 2^(i·2^-scale)
+    e2 = F.pow(F.lit(2.0), -F.col("_scale"))  # 2^-scale; |bound| = 2^(i·2^-scale)
+    neg_total = F.coalesce(
+        F.aggregate(
+            F.filter(F.col("_d"), lambda s: s["_s"] < 0),
+            F.lit(0.0),
+            lambda a, s: a + s["_c"],
+        ),
+        F.lit(0.0),
+    )
     total = F.col("_z") + F.coalesce(
         F.aggregate(F.col("_d"), F.lit(0.0), lambda a, s: a + s["_c"]), F.lit(0.0)
     )
     rank = F.lit(phi) * total
 
+    def _bounds(s: Column) -> tuple[Column, Column]:
+        mag_lo = F.pow(F.lit(2.0), s["_i"] * e2)
+        mag_hi = F.pow(F.lit(2.0), (s["_i"] + 1) * e2)
+        lower = F.when(s["_s"] < 0, -mag_hi).otherwise(mag_lo)
+        upper = F.when(s["_s"] < 0, -mag_lo).otherwise(mag_hi)
+        return lower, upper
+
     def _step(acc: Column, s: Column) -> Column:
-        newcum = acc["cum"] + s["_c"]
-        lower = F.pow(F.lit(2.0), s["_i"] * e2)
-        upper = F.pow(F.lit(2.0), (s["_i"] + 1) * e2)
+        # crossing from the negative side to the positive side passes
+        # through the zero bucket: its count joins the cumulative first
+        cum_in = F.when(
+            (s["_s"] > 0) & ~acc["zeroed"], acc["cum"] + F.col("_z")
+        ).otherwise(acc["cum"])
+        zeroed = acc["zeroed"] | (s["_s"] > 0)
+        newcum = cum_in + s["_c"]
+        lower, upper = _bounds(s)
         hit = acc["val"].isNull() & (newcum >= rank)
-        val = F.when(
-            hit, lower + (upper - lower) * (rank - acc["cum"]) / s["_c"]
-        ).otherwise(acc["val"])
-        return F.struct(newcum.alias("cum"), val.alias("val"))
+        # a rank consumed by the zero bucket itself resolves to 0.0
+        zero_hit = acc["val"].isNull() & (s["_s"] > 0) & ~acc["zeroed"] & (cum_in >= rank)
+        val = (
+            F.when(zero_hit, F.lit(0.0))
+            .when(hit, lower + (upper - lower) * (rank - cum_in) / s["_c"])
+            .otherwise(acc["val"])
+        )
+        return F.struct(newcum.alias("cum"), val.alias("val"), zeroed.alias("zeroed"))
 
     acc0 = F.struct(
-        F.col("_z").alias("cum"), F.lit(None).cast("double").alias("val")
+        F.lit(0.0).alias("cum"),
+        F.lit(None).cast("double").alias("val"),
+        F.lit(False).alias("zeroed"),
     )
+    empty = F.array().cast("array<struct<_s:int,_o:int,_i:int,_c:double>>")
     folded = F.aggregate(
-        F.coalesce(F.col("_d"), F.array().cast("array<struct<_i:int,_c:double>>")),
-        acc0,
-        _step,
-        lambda a: a["val"],
+        F.coalesce(F.col("_d"), empty), acc0, _step, lambda a: a["val"]
     )
+    # ranks that fall inside [negatives, negatives+zero] when there are
+    # no positive buckets (the fold never crosses sides) resolve here
     value = (
         F.when(total <= 0, F.lit(None).cast("double"))
-        .when(rank <= F.col("_z"), F.lit(0.0))
-        .otherwise(folded)
+        .when(folded.isNotNull(), folded)
+        .when(rank <= neg_total + F.col("_z"), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
     )
     return merged.select(*series_cols, value.alias(out))

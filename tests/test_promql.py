@@ -491,3 +491,27 @@ def test_exphist_quantile_downscales_mixed_scales(spark):
     # phi=0.5 -> rank 4 -> inside bucket0: 1 + (2-1) * 4/6
     out = exphist_quantile(df, 0.5, ["series"]).collect()[0]["value"]
     assert out == pytest.approx(1 + 4 / 6)
+
+
+def test_exphist_quantile_negative_buckets(spark):
+    """Full CDF walk: negatives (most negative first), zero bucket,
+    positives. scale 0: neg bucket 1 = [-4,-2), neg bucket 0 = [-2,-1);
+    counts 2 each, zero 2, pos bucket 0 = (1,2] count 2 -> total 8."""
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    rows = [("a", 0, 2, 0, [2], 0, [2, 2])]
+    df = spark.createDataFrame(
+        rows,
+        "series string, scale int, zero_count long, positive_offset int, "
+        "positive_bucket_counts array<long>, negative_offset int, "
+        "negative_bucket_counts array<long>",
+    )
+    get = lambda phi: exphist_quantile(df, phi, ["series"]).collect()[0]["value"]
+    # rank 2 -> first (most negative) bucket [-4,-2): -4 + 2*2/2 = -2
+    assert get(0.25) == pytest.approx(-2.0)
+    # rank 4 -> second neg bucket [-2,-1): -2 + 1*(4-2)/2 = -1
+    assert get(0.5) == pytest.approx(-1.0)
+    # rank 5 -> inside the zero bucket (cum 4 < 5 <= 6) -> 0.0
+    assert get(0.625) == 0.0
+    # rank 7 -> positive bucket (1,2]: 1 + 1*(7-6)/2 = 1.5
+    assert get(0.875) == pytest.approx(1.5)
