@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis): the distributed operators must
+agree with trivially-correct brute-force reference implementations on
+randomized inputs. The reference repo has no property testing at all
+(SURVEY §5 "Not present"); these close that gap where the operator's
+edge-space is largest — temporal join direction/tolerance edges,
+connected-component topology, exponential-histogram CDF walks.
+
+Examples are capped low: every example pays Spark job latency, and the
+point is edge-shape coverage, not fuzz volume.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ---------------------------------------------------------------- asof_join
+
+
+@st.composite
+def _asof_case(draw):
+    keys = [1, 2]
+    left = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=1, max_size=8,
+        )
+    )
+    right = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 50)),
+            min_size=0, max_size=8, unique=True,
+        )
+    )
+    tol = draw(st.one_of(st.none(), st.integers(1, 20)))
+    direction = draw(st.sampled_from(["backward", "forward"]))
+    return left, right, tol, direction
+
+
+@given(case=_asof_case())
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, case):
+    from datetime import datetime, timedelta
+
+    from signaldb_spark.operators.temporal import asof_join
+
+    left, right, tol, direction = case
+    base = datetime(2024, 1, 1)
+    ts = lambda s: base + timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(left)], "k int, ts timestamp, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), f"r{i}") for i, (k, s) in enumerate(right)],
+        "k int, ts timestamp, rv string",
+    )
+    got = {
+        r["lid"]: r["r_rv"]
+        for r in asof_join(
+            ldf, rdf, ["k"], tolerance_seconds=tol, direction=direction
+        ).collect()
+    }
+
+    def brute(k, s):
+        if direction == "backward":
+            cands = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs <= s]
+            if not cands:
+                return None
+            rs, i = max(cands)
+            if tol is not None and s - rs > tol:
+                return None
+        else:
+            cands = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs >= s]
+            if not cands:
+                return None
+            rs, i = min(cands)
+            if tol is not None and rs - s > tol:
+                return None
+        return f"r{i}"
+
+    want = {i: brute(k, s) for i, (k, s) in enumerate(left)}
+    assert got == want
+
+
+# ---------------------------------------------------- connected components
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    use_driver=st.booleans(),
+)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges, use_driver):
+    from signaldb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    # exercise BOTH regimes: driver union-find and the distributed
+    # hash-min/pointer-jump loop
+    threshold = 2_000_000 if use_driver else 0
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(pairs, driver_threshold=threshold).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_label = {n: find(n) for n in parent}
+    # canonical label = min member id; compare partition structure + label
+    assert {n: want_label[n] for n in got} == {n: got[n] for n in got}
+
+
+# ------------------------------------------------------- exphist quantile
+
+
+@given(
+    counts=st.lists(st.integers(0, 5), min_size=1, max_size=6),
+    zero=st.integers(0, 5),
+    phi=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+    offset=st.integers(-3, 3),
+)
+@settings(**SETTINGS)
+def test_exphist_quantile_matches_scalar_walk(spark, counts, zero, phi, offset):
+    from signaldb_spark.operators.exphist import exphist_quantile
+
+    total = zero + sum(counts)
+    df = spark.createDataFrame(
+        [("a", 0, zero, offset, counts)],
+        "series string, scale int, zero_count long, positive_offset int, "
+        "positive_bucket_counts array<long>",
+    )
+    got = exphist_quantile(df, phi, ["series"]).collect()[0]["value"]
+    if total == 0:
+        assert got is None
+        return
+    rank = phi * total
+    if rank <= zero:
+        assert got == 0.0
+        return
+    cum = float(zero)
+    want = None
+    for pos, c in enumerate(counts):
+        if c == 0:
+            continue
+        i = offset + pos
+        if cum + c >= rank:
+            lo, hi = 2.0 ** i, 2.0 ** (i + 1)
+            want = lo + (hi - lo) * (rank - cum) / c
+            break
+        cum += c
+    assert got == pytest.approx(want)
