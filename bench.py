@@ -77,6 +77,16 @@ HEADLINE = [
     "trace_metrics_rate",
     "label_stats",
     "emb_kmeans",
+    "promql_histogram_fraction",
+    "promql_topk_avg",
+    "logql_line_filter_topk",
+    "logql_attr_unless",
+    "ir_extract_rank",
+    "span_event_filter",
+    "trace_child_spans",
+    "trace_sibling_spans",
+    "multimodal_frame_sample",
+    "trace_metrics_p90",
 ]
 
 

@@ -224,3 +224,35 @@ def test_segment_dedup_shuffles_hashed_longs_only(spark):
     import re
     keys = re.findall(r"Arguments: hashpartitioning\(([a-zA-Z_0-9#]*)", p)
     assert keys and all(k.startswith(("seg_h", "doc_id")) for k in keys), keys
+
+
+def test_pii_redact_is_map_only(spark):
+    """Regex counting + redaction must stay a pure projection: zero
+    exchanges of any kind."""
+    p = plan(all_queries()["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in p
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """After the iterations collect centroids driver-side, the returned
+    assignment plan is literal-centroid argmax over the scan: no join,
+    no aggregate, no exchange."""
+    p = plan(all_queries()["emb_kmeans"](spark, SF_DIR))
+    for op in ("Join", "Exchange", "HashAggregate"):
+        assert op not in p, op
+
+
+def test_curation_full_probe_is_broadcast_and_join_safe(spark):
+    """The benchmark shingle probe must broadcast; nothing in the
+    composite pipeline may degrade to a cartesian."""
+    p = plan(all_queries()["curation_full"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_timeseries_aggs_keep_partial_final(spark):
+    """New bucketed aggregations must keep map-side partial aggregation
+    (two HashAggregate levels around the exchange)."""
+    for name in ("trace_metrics_rate", "promql_mad", "exphist_quantile"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert p.count("HashAggregate") >= 2, name
