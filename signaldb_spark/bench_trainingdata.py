@@ -1126,3 +1126,27 @@ ORACLE_EMB_KMEANS = _kmeans_oracle_sql()
 
 QUERIES["emb_kmeans"] = q_emb_kmeans
 ORACLES["emb_kmeans"] = ORACLE_EMB_KMEANS
+
+
+def q_emb_mean_pool(spark, sf_dir):
+    """Chunk→document mean pooling (similarity.mean_pool_embeddings):
+    label plays the document key; pooled vector surfaces element-wise
+    for the hash compare."""
+    pooled = sim.mean_pool_embeddings(_embs(spark, sf_dir), "label", "embedding")
+    return pooled.select(
+        "label", F.posexplode("pooled").alias("d", "m"), "n_vectors"
+    ).select("label", "d", "m", "n_vectors")
+
+
+ORACLE_EMB_MEAN_POOL = """
+WITH per_dim AS (
+  SELECT label, d.d - 1 AS d, round(avg(embedding[d.d]::DOUBLE), 6) AS m,
+         CAST(count(*) AS BIGINT) AS n
+  FROM embeddings, UNNEST(range(1, 65)) AS d(d)
+  GROUP BY label, d.d
+)
+SELECT label, CAST(d AS INT) AS d, m, n AS n_vectors FROM per_dim
+"""
+
+QUERIES["emb_mean_pool"] = q_emb_mean_pool
+ORACLES["emb_mean_pool"] = ORACLE_EMB_MEAN_POOL

@@ -372,3 +372,34 @@ def kmeans_iterations(
         F.array_position(scores, F.array_max(scores)).cast("long").alias("cell"),
         F.array_max(scores).alias("score"),
     )
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→document pooling step of
+    an embedding pipeline (doc embedding = mean of its chunk
+    embeddings). One (group, dim) aggregation with map-side partial
+    sums; components round to 6dp for cross-engine determinism. Output:
+    (group, pooled array<double>, n_vectors)."""
+    per_dim = (
+        fan_out(df)
+        .select(F.col(group_col), F.posexplode(vec_col).alias("d", "x"))
+        .groupBy(group_col, "d")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("pooled"),
+            F.max("n").alias("n_vectors"),
+        )
+    )
