@@ -1150,3 +1150,67 @@ SELECT label, CAST(d AS INT) AS d, m, n AS n_vectors FROM per_dim
 
 QUERIES["emb_mean_pool"] = q_emb_mean_pool
 ORACLES["emb_mean_pool"] = ORACLE_EMB_MEAN_POOL
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (corpus.dataset_split):
+    md5-keyed integer thresholds, 90/5/5; membership is stable under
+    corpus growth, unlike random splits."""
+    from .operators.corpus import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir), "doc_id")
+
+
+def _split_oracle_sql() -> str:
+    space = 16 ** 8
+    c1 = int(0.9 * space)
+    c2 = int(0.95 * space)
+    nib = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+    key = " + ".join(f"{nib.format(p=p)} * {16 ** (8 - p)}" for p in range(1, 9))
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, md5('split:' || doc_id) AS m FROM documents
+), k AS (SELECT doc_id, CAST({key} AS BIGINT) AS split_key FROM keyed)
+SELECT doc_id, split_key,
+       CASE WHEN split_key < {c1} THEN 'train'
+            WHEN split_key < {c2} THEN 'val'
+            ELSE 'test' END AS split
+FROM k
+"""
+
+
+ORACLE_DATASET_SPLIT = _split_oracle_sql()
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Contiguous 2048-token sequence packing (corpus.pack_sequences)
+    over BPE-ish token counts; bin/offset from one global cumsum."""
+    from .operators.corpus import pack_sequences
+    from .operators.text_analysis import token_counts
+
+    toks = token_counts(_docs(spark, sf_dir), "text").select("doc_id", "bpe_tokens")
+    return pack_sequences(toks, "doc_id", "bpe_tokens", budget=2048)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH RECURSIVE {TOK_SQL},
+toks AS (
+  SELECT d.doc_id,
+         CAST(len(regexp_extract_all(n.t, '[a-z]+|[0-9]+|[^\\w\\s]')) AS BIGINT) AS tokens
+  FROM documents d JOIN (SELECT doc_id, {NORM_SQL} AS t FROM documents) n
+    ON n.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, tokens,
+         sum(tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tokens AS start
+  FROM toks
+)
+SELECT doc_id, tokens, CAST(floor(start / 2048) AS BIGINT) AS bin,
+       CAST(start % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+QUERIES["dataset_split"] = q_dataset_split
+ORACLES["dataset_split"] = ORACLE_DATASET_SPLIT
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES

@@ -251,3 +251,91 @@ def segment_dedup(
         )
         .select(id_col, "clean_text", "n_segments", "n_kept")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: md5(salt:id) → 32-bit
+    integer key compared against cumulative integer thresholds — the
+    same no-floats mechanism as stratified_sample, so membership is
+    reproducible across engines, runs, and cluster sizes, and a
+    document NEVER changes split when the corpus grows (the property
+    random splits lack). Map-only, zero shuffles."""
+    ws = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(ws)
+    total = sum(ws.values())
+    space = 16 ** 8
+    cuts, acc = [], 0.0
+    for n in names[:-1]:
+        acc += ws[n] / total
+        cuts.append(int(acc * space))
+    key = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col))), 1, 8), 16, 10).cast("long")
+    # build the when-chain from the LAST threshold outward so the first
+    # (smallest) threshold ends up evaluated first
+    split = F.lit(names[-1])
+    for n, cut in zip(names[:-1][::-1], cuts[::-1]):
+        split = F.when(key < F.lit(cut), F.lit(n)).otherwise(split)
+    return df.select(F.col(id_col), key.alias("split_key"), split.alias("split"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "bpe_tokens",
+    budget: int = 2048,
+) -> DataFrame:
+    """Contiguous sequence packing for pretraining: documents in id
+    order fill fixed ``budget``-token bins; a document's bin is where
+    its FIRST token lands (documents may straddle a boundary — the
+    dense-packing variant used when an attention mask handles document
+    breaks; first-fit-no-straddle is inherently sequential and belongs
+    in the single-writer tail of the pipeline, not the distributed
+    bulk). One window cumsum ordered by id — at 100 TB this is a range
+    partition + per-partition scan, the same cost as any global sort.
+
+    Output: (id, tokens, bin, bin_offset) with bin_offset = the
+    document's first-token position inside its bin.
+
+    The global cumsum is DISTRIBUTED, not a single-partition window:
+    range-partition by id (range r maps to partition id r in id order —
+    the RangePartitioner invariant this relies on), local cumsum per
+    partition, then each partition's start offset arrives as a
+    broadcast of the tiny per-partition totals. The result is invariant
+    to the partition boundaries, so sampling-based range bounds don't
+    affect output."""
+    spark = df.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_local = part.withColumn("_lc", F.sum(F.col(token_col)).over(w_local))
+    totals = sorted(
+        (r["_pid"], r["_tot"])
+        for r in with_local.groupBy("_pid").agg(F.max("_lc").alias("_tot")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in totals:
+        offsets.append((pid, acc))
+        acc += int(tot)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    )
+    start = (F.col("_off") + F.col("_lc") - F.col(token_col)).cast("long")
+    return (
+        with_local.join(off_df, "_pid")
+        .select(
+            F.col(id_col),
+            F.col(token_col).alias("tokens"),
+            F.floor(start / budget).cast("long").alias("bin"),
+            (start % budget).cast("long").alias("bin_offset"),
+        )
+    )
