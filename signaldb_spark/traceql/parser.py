@@ -92,18 +92,50 @@ class StructuralQuery:
 _STRUCT_RE = re.compile(r"^(\{[^{}]*\})\s*(>>|>|~)\s*(\{[^{}]*\})$")
 
 
-def parse_traceql_expr(q: str) -> list[SpanPredicate] | StructuralQuery:
-    """Full-expression entry point: either a single spanset (delegates to
-    :func:`parse_traceql`, reference-parity rejections included) or one
-    structural ``{A} OP {B}`` with OP in ``>``/``>>``/``~``."""
+@dataclass(frozen=True)
+class AggregateQuery:
+    """``{preds} | agg(col) OP threshold`` — Tempo spanset aggregate
+    filter (beyond-reference; lowered by structural.spanset_aggregate).
+    ``agg_col`` is None for ``count()``."""
+
+    preds: tuple[SpanPredicate, ...]
+    agg: str  # count | sum | avg | min | max
+    agg_col: str | None
+    op: str  # > >= < <= = !=
+    threshold: float
+
+
+_AGG_RE = re.compile(
+    r"^(\{[^{}]*\})\s*\|\s*(count|sum|avg|min|max)\(\s*([A-Za-z_][\w.]*)?\s*\)"
+    r"\s*(>=|<=|!=|=|>|<)\s*(-?[0-9]+(?:\.[0-9]+)?)$"
+)
+
+
+def parse_traceql_expr(q: str) -> "list[SpanPredicate] | StructuralQuery | AggregateQuery":
+    """Full-expression entry point: a single spanset (delegates to
+    :func:`parse_traceql`, reference-parity rejections included), one
+    structural ``{A} OP {B}`` with OP in ``>``/``>>``/``~``, or one
+    spanset aggregate filter ``{A} | agg(col) op n``."""
     m = _STRUCT_RE.match(q.strip())
-    if m is None:
-        return parse_traceql(q)
-    return StructuralQuery(
-        m.group(2),
-        tuple(parse_traceql(m.group(1))),
-        tuple(parse_traceql(m.group(3))),
-    )
+    if m is not None:
+        return StructuralQuery(
+            m.group(2),
+            tuple(parse_traceql(m.group(1))),
+            tuple(parse_traceql(m.group(3))),
+        )
+    a = _AGG_RE.match(q.strip())
+    if a is not None:
+        col = a.group(3)
+        if col is not None and col.startswith("span."):
+            col = col[len("span."):]
+        return AggregateQuery(
+            tuple(parse_traceql(a.group(1))),
+            a.group(2),
+            col,
+            a.group(4),
+            float(a.group(5)),
+        )
+    return parse_traceql(q)
 
 
 def parse_tags(tags: str) -> list[SpanPredicate]:

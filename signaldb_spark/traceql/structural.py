@@ -54,6 +54,18 @@ def structural_search(spans: DataFrame, sq) -> DataFrame:
     raise ValueError(f"unknown structural op {sq.op!r}")
 
 
+def aggregate_search(spans: DataFrame, aq) -> DataFrame:
+    """Lower a parsed :class:`~.parser.AggregateQuery`: fold the spanset
+    predicates, then apply the per-trace aggregate filter."""
+    from .trace_ops import predicate_expr
+
+    cond = F.lit(True)
+    for p in aq.preds:
+        cond = cond & predicate_expr(spans, p)
+    # TraceQL spells equality `=`; SPANSET_OPS carries both spellings
+    return spanset_aggregate(spans, cond, aq.agg, aq.op, aq.threshold, aq.agg_col)
+
+
 def child_spans(spans: DataFrame, parent_cond: Column, child_cond: Column) -> DataFrame:
     """``{parent_cond} > {child_cond}`` — spans matching child_cond whose
     direct parent matches parent_cond, in the same trace."""
@@ -194,7 +206,7 @@ def descendant_spans_closure(
 
 
 SPANSET_AGGS = {
-    "count": lambda c: F.count(F.lit(1)).cast("double"),
+    "count": lambda c: F.count(F.lit(1)),  # cast-free: .over() must wrap the bare aggregate
     "sum": F.sum,
     "avg": F.avg,
     "min": F.min,

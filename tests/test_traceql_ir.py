@@ -315,3 +315,21 @@ def test_structural_search_lowering(traces):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     out.collect()  # executes without error on the OTLP-shaped fixture
+
+
+def test_parse_and_lower_spanset_aggregate(spark, tree_spans):
+    """`{ name = "db" } | avg(span.span_id) > 5` parses to an
+    AggregateQuery and lowers to the per-trace aggregate filter: t1's
+    db span (id 4, avg 4) drops, t2's (id 8, avg 8) survives."""
+    from signaldb_spark.traceql.parser import AggregateQuery, parse_traceql_expr
+    from signaldb_spark.traceql.structural import aggregate_search
+
+    aq = parse_traceql_expr('{ name = "db" } | avg(span.span_id) > 5')
+    assert isinstance(aq, AggregateQuery)
+    assert (aq.agg, aq.agg_col, aq.op, aq.threshold) == ("avg", "span_id", ">", 5.0)
+    got = aggregate_search(tree_spans, aq).collect()
+    assert [(r.trace_id, r.span_id) for r in got] == [("t2", 8)]
+
+    cq = parse_traceql_expr('{ name = "api" } | count() >= 1')
+    assert isinstance(cq, AggregateQuery) and cq.agg == "count" and cq.agg_col is None
+    assert aggregate_search(tree_spans, cq).count() == 2
