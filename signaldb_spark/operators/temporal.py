@@ -30,6 +30,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     direction: str = "backward",
     right_prefix: str = "r_",
+    slice_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row of the same key:
     ``backward`` = latest right with right.ts <= left.ts (a right row AT
@@ -42,6 +43,14 @@ def asof_join(
     ``<right_prefix><right_ts>``), null when unmatched. Right rows must
     be unique per (keys, right_ts); pre-aggregate ties upstream so the
     match is deterministic.
+
+    ``slice_seconds`` is the skew escape hatch: the default single
+    window per key serializes a hot key onto one task (salting cannot
+    apply — as-of needs the key's full timeline in order). With a slice
+    width set, windows run per (key, time-slice) and a per-key carry of
+    the last-known right payload crosses slice boundaries over the tiny
+    (key, slice) spine — per-task work is bounded by events per slice,
+    and the result is IDENTICAL to the unsliced form (property-tested).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -67,25 +76,65 @@ def asof_join(
         F.struct(F.col(right_ts), *payload_cols).alias("_r"),
     )
     u = l.unionByName(r)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts (_src 0 < 1), so a
-        # same-timestamp right row is visible to the left row's window
+    backward = direction == "backward"
+    if not backward:
+        # left rows sort BEFORE right rows at equal ts: flip the tag so
+        # _src ordering still puts the match inside the left row's frame
+        u = u.withColumn("_src", 1 - F.col("_src"))
+    if slice_seconds is None:
+        part = [*keys]
+        carry = None
+    else:
+        # Skew-proof two-pass: window per (key, time-slice) so a hot key
+        # spreads across slices, then carry the last-known right payload
+        # across slice boundaries via a per-key window over the TINY
+        # (key, slice) spine — rows = slices per key, not events per key.
+        u = u.withColumn(
+            "_slice",
+            F.floor(F.unix_micros(F.col("_ts")) / F.lit(int(slice_seconds) * 1_000_000)),
+        )
+        part = [*keys, "_slice"]
+        spine = u.select(*keys, "_slice").distinct()
+        pick = F.max_by if backward else F.min_by
+        rt = (
+            u.filter(F.col("_r").isNotNull())
+            .groupBy(*keys, "_slice")
+            .agg(pick(F.col("_r"), F.struct("_ts", "_src")).alias("_sr"))
+        )
+        sp = spine.join(rt, [*keys, "_slice"], "left")
+        if backward:
+            w_carry = (
+                Window.partitionBy(*keys)
+                .orderBy("_slice")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            carry_col = F.last("_sr", ignorenulls=True).over(w_carry)
+        else:
+            w_carry = (
+                Window.partitionBy(*keys)
+                .orderBy("_slice")
+                .rowsBetween(1, Window.unboundedFollowing)
+            )
+            carry_col = F.first("_sr", ignorenulls=True).over(w_carry)
+        carried = sp.select(*keys, "_slice", carry_col.alias("_carry"))
+        u = u.join(carried, [*keys, "_slice"], "left")
+        carry = F.col("_carry")
+    if backward:
         w = (
-            Window.partitionBy(*keys)
+            Window.partitionBy(*part)
             .orderBy("_ts", "_src")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        # right rows sort BEFORE left rows at equal ts (_src 0 < 1), so a
+        # same-timestamp right row is visible to the left row's window
         match = F.last("_r", ignorenulls=True).over(w)
         in_tol = (
             F.unix_micros(F.col("_l")[left_ts]) - F.unix_micros(F.col("_match")[right_ts])
             <= F.lit(int(tolerance_seconds) * 1_000_000)
         ) if tolerance_seconds is not None else None
     else:
-        # left rows sort BEFORE right rows at equal ts: flip the tag so
-        # _src ordering still puts the match inside the left row's frame
-        u = u.withColumn("_src", 1 - F.col("_src"))
         w = (
-            Window.partitionBy(*keys)
+            Window.partitionBy(*part)
             .orderBy("_ts", "_src")
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
@@ -94,6 +143,8 @@ def asof_join(
             F.unix_micros(F.col("_match")[right_ts]) - F.unix_micros(F.col("_l")[left_ts])
             <= F.lit(int(tolerance_seconds) * 1_000_000)
         ) if tolerance_seconds is not None else None
+    if carry is not None:
+        match = F.coalesce(match, carry)
     matched = u.withColumn("_match", match).filter(F.col("_l").isNotNull())
     if in_tol is not None:
         matched = matched.withColumn(

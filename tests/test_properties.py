@@ -174,3 +174,33 @@ def test_exphist_quantile_matches_scalar_walk(spark, counts, zero, phi, offset):
             break
         cum += c
     assert got == pytest.approx(want)
+
+
+@given(case=_asof_case(), slice_s=st.sampled_from([1, 3, 7]))
+@settings(**SETTINGS)
+def test_asof_join_sliced_equals_unsliced(spark, case, slice_s):
+    """The skew-proof time-sliced two-pass must return EXACTLY the rows
+    of the single-window form for any slice width."""
+    from datetime import datetime, timedelta
+
+    from signaldb_spark.operators.temporal import asof_join
+
+    left, right, tol, direction = case
+    base = datetime(2024, 1, 1)
+    ts = lambda s: base + timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(left)], "k int, ts timestamp, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), f"r{i}") for i, (k, s) in enumerate(right)],
+        "k int, ts timestamp, rv string",
+    )
+    kw = dict(tolerance_seconds=tol, direction=direction)
+    plain = {
+        r["lid"]: r["r_rv"] for r in asof_join(ldf, rdf, ["k"], **kw).collect()
+    }
+    sliced = {
+        r["lid"]: r["r_rv"]
+        for r in asof_join(ldf, rdf, ["k"], slice_seconds=slice_s, **kw).collect()
+    }
+    assert sliced == plain
