@@ -139,12 +139,19 @@ def ingest_otlp_logs_stream(
     checkpoint_dir: str | None = None,
     watermark: str = "10 minutes",
     available_now: bool = True,
+    use_manifest: bool = False,
 ):
     """File-source OTLP/JSON ingest → hour-partitioned logs table.
 
     ``available_now=True`` drains everything then stops (read-your-writes
     for tests / batch backfill); ``False`` runs continuous micro-batches
-    (the 5s WAL drain analog is the default trigger)."""
+    (the 5s WAL drain analog is the default trigger).
+
+    ``use_manifest=True`` commits each micro-batch through the
+    snapshot-manifest protocol (storage.write_batch_manifest) instead of
+    deterministic-rename files: the object-store-safe path — readers see
+    atomic snapshots, replays that produce different file counts stay
+    idempotent, crashed attempts are orphans for expire_snapshots."""
     table_path = signal_table_path(base, tenant, dataset, "logs")
     checkpoint = checkpoint_dir or os.path.join(base, "_checkpoints", tenant, dataset, "logs")
     raw = (
@@ -165,7 +172,12 @@ def ingest_otlp_logs_stream(
         # it is a no-op — event-time lateness gating lives in the
         # maintenance partition-close check, is_partition_closed)
         flat = flatten_otlp_logs(good, json_col="value")
-        write_batch(flat, table_path, "logs", batch_id=batch_id)
+        if use_manifest:
+            from ..storage import write_batch_manifest
+
+            write_batch_manifest(flat, table_path, "logs", batch_id=batch_id)
+        else:
+            write_batch(flat, table_path, "logs", batch_id=batch_id)
         if dead.limit(1).count():
             write_dead_letters(dead, base, tenant, dataset, "logs", batch_id)
         flagged.unpersist()

@@ -129,3 +129,45 @@ def test_retention_via_manifest_commit(spark, tmp_path):
     assert {str(r.date_day) for r in mt.read(spark).select("date_day").distinct().collect()} == {
         "2024-01-02"
     }
+
+
+def test_streaming_ingest_through_manifest(spark, tmp_path):
+    """End-to-end: the OTLP file-source stream commits micro-batches via
+    the manifest protocol; a snapshot read returns every ingested row
+    and a RE-RUN with a fresh checkpoint does not duplicate (batch-id
+    lineage guard)."""
+    import json
+
+    from signaldb_spark.catalog import signal_table_path
+    from signaldb_spark.storage import ManifestTable
+    from signaldb_spark.streaming.ingest import ingest_otlp_logs_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = str(tmp_path / "tables")
+    payload = json.dumps({"resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "api"}}]},
+        "scopeLogs": [{"scope": {"name": "t", "version": "1"}, "logRecords": [{
+            "timeUnixNano": "1704067200000000000",
+            "observedTimeUnixNano": "1704067200000000000",
+            "severityText": "INFO", "severityNumber": 9,
+            "body": {"stringValue": "hello"},
+            "attributes": [{"key": "user", "value": {"stringValue": "u1"}}],
+            "traceId": "ab" * 16, "spanId": "cd" * 8,
+        }]}],
+    }]})
+    (src / "a.json").write_text(payload)
+    ingest_otlp_logs_stream(
+        spark, str(src), base, checkpoint_dir=str(tmp_path / "ck1"), use_manifest=True
+    )
+    mt = ManifestTable(signal_table_path(base, "acme", "prod", "logs"))
+    first = mt.read(spark)
+    n = first.count()
+    assert n > 0 and mt.current_version() >= 1
+    # replay with a NEW checkpoint: the stream reprocesses batch 0, but
+    # the manifest's batch lineage refuses the duplicate commit
+    ingest_otlp_logs_stream(
+        spark, str(src), base, checkpoint_dir=str(tmp_path / "ck2"), use_manifest=True
+    )
+    assert ManifestTable(mt.table_path).read(spark).count() == n
