@@ -26,7 +26,10 @@ OPERATORS = [
 _DURATION_RE = re.compile(r"(?:\d+(?:\.\d+)?(?:ns|us|µs|ms|s|m|h|d|w|y))+")
 _BYTES_RE = re.compile(r"\d+(?:\.\d+)?(?:b|kib|kb|mib|mb|gib|gb|tib|tb)", re.IGNORECASE)
 _NUMBER_RE = re.compile(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
-_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*")
+# colons inside identifiers (never leading, always followed by more
+# ident chars) admit Prometheus recording-rule names like job:cpu:sum
+# without swallowing the subquery separator in m[1h:5m]
+_IDENT_RE = re.compile(r"[a-zA-Z_][a-zA-Z0-9_]*(?::[a-zA-Z0-9_]+)*")
 
 _DUR_UNITS = {
     "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,

@@ -1,0 +1,79 @@
+"""Prometheus recording rules: evaluate an expression on a schedule and
+persist the result as a NEW metric series, queryable like any ingested
+one. The reference has no rule engine at all; Prometheus semantics:
+``record: <new_name>  expr: <promql>`` — the output keeps the grouping
+labels of the expression and gets the recorded metric name.
+
+Shape: one ``query_range`` evaluation (all the scale properties of the
+query engine apply), one projection back into the at-rest gauge layout
+(bucket → timestamp, series columns → label columns), one idempotent
+batch append keyed by the rule's evaluation window — replaying an
+evaluation overwrites the same files rather than duplicating
+(streaming.ingest.write_batch semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .lowering import PromCtx, query_range
+
+
+def evaluate_rule(
+    ctx: PromCtx,
+    expr: str,
+    record_name: str,
+    service_col: str = "service_name",
+) -> DataFrame:
+    """Evaluate ``expr`` over the ctx window and shape the matrix back
+    into the metrics-gauge at-rest layout under ``record_name``: bucket
+    becomes the sample timestamp (left edge — Prometheus stamps the
+    evaluation instant; the bucket edge is the deterministic analog),
+    the series column rides along, remaining labels pack into the
+    attributes map."""
+    out = query_range(ctx, expr)
+    series_cols = [c for c in out.columns if c not in ("bucket", "value")]
+    svc = (
+        F.col(service_col) if service_col in out.columns else F.lit("recorded")
+    )
+    label_cols = [c for c in series_cols if c != service_col]
+    attrs = (
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in label_cols]),
+            F.array(*[F.col(c).cast("string") for c in label_cols]),
+        )
+        if label_cols
+        else F.create_map().cast("map<string,string>")
+    )
+    ts = F.timestamp_seconds(F.col("bucket"))
+    return out.select(
+        ts.alias("timestamp"),
+        svc.alias("service_name"),
+        F.lit(record_name).alias("metric_name"),
+        F.col("value").cast("double").alias("value"),
+        attrs.alias("attributes"),
+        F.to_date(ts).alias("date_day"),
+        F.hour(ts).alias("hour"),
+    )
+
+
+def record_rule(
+    ctx: PromCtx,
+    expr: str,
+    record_name: str,
+    table_path: str,
+    batch_id: str | None = None,
+) -> None:
+    """Evaluate + append to a gauge table. ``batch_id`` defaults to the
+    rule name + window, so re-evaluating the same window replaces its
+    files instead of appending duplicates."""
+    from ..streaming.ingest import write_batch
+
+    import re
+
+    df = evaluate_rule(ctx, expr, record_name)
+    bid = batch_id or re.sub(
+        r"[^A-Za-z0-9_.-]", "-", f"rule-{record_name}-{ctx.start}-{ctx.end}"
+    )
+    write_batch(df, table_path, "metrics_gauge", batch_id=bid)

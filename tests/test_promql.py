@@ -515,3 +515,33 @@ def test_exphist_quantile_negative_buckets(spark):
     assert get(0.625) == 0.0
     # rank 7 -> positive bucket (1,2]: 1 + 1*(7-6)/2 = 1.5
     assert get(0.875) == pytest.approx(1.5)
+
+
+def test_recording_rule_roundtrip(spark, tmp_path_factory):
+    """evaluate → persist → re-query: the recorded series is readable
+    through the normal PromQL path under its new name, and re-recording
+    the same window does not duplicate samples."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.catalog import optional_table, signal_table_path
+    from signaldb_spark.promql.lowering import PromCtx, query_range
+    from signaldb_spark.promql.rules import record_rule
+    from signaldb_spark.testing import write_signal_tables
+
+    base = str(tmp_path_factory.mktemp("rule_signals"))
+    write_signal_tables(spark, base)
+    t = lambda n: optional_table(spark, base, "acme", "prod", n)
+    ctx = PromCtx(spark, t("metrics_gauge"), t("metrics_sum"), None, START, END, STEP)
+    path = signal_table_path(base, "acme", "prod", "metrics_gauge")
+    record_rule(ctx, "sum by (service_name) (process_cpu_usage)", "job:cpu:sum", path)
+    n1 = t("metrics_gauge").filter(F.col("metric_name") == "job:cpu:sum").count()
+    assert n1 > 0
+    # replay: same batch id -> same files, no duplicates
+    record_rule(ctx, "sum by (service_name) (process_cpu_usage)", "job:cpu:sum", path)
+    assert (
+        t("metrics_gauge").filter(F.col("metric_name") == "job:cpu:sum").count() == n1
+    )
+    # recorded series answers queries under its new name
+    ctx2 = PromCtx(spark, t("metrics_gauge"), None, None, START, END, STEP)
+    out = query_range(ctx2, "job:cpu:sum").collect()
+    assert len(out) > 0
