@@ -66,7 +66,14 @@ def curate_corpus(
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
             F.sum("bpe_tokens").alias("sum_bpe_tokens"),
-            r6(F.avg("quality_score")).alias("avg_quality"),
+            # avg over EXACT integer micro-units: quality_score is already
+            # 6dp, so sum(round(qs*1e6)) is an exact integer in any
+            # summation order — the half-up r6 of a float avg is one ulp
+            # from a boundary flip across engines (seen at sf0.01)
+            r6(
+                F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+                / F.count(F.lit(1)) / 1e6
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
@@ -162,7 +169,14 @@ def curate_corpus_full(
         .agg(
             F.count(F.lit(1)).alias("kept_docs"),
             F.sum("bpe_tokens").alias("sum_bpe_tokens"),
-            r6(F.avg("quality_score")).alias("avg_quality"),
+            # avg over EXACT integer micro-units: quality_score is already
+            # 6dp, so sum(round(qs*1e6)) is an exact integer in any
+            # summation order — the half-up r6 of a float avg is one ulp
+            # from a boundary flip across engines (seen at sf0.01)
+            r6(
+                F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+                / F.count(F.lit(1)) / 1e6
+            ).alias("avg_quality"),
         )
         .orderBy("source")
     )
