@@ -204,3 +204,68 @@ def test_asof_join_sliced_equals_unsliced(spark, case, slice_s):
         for r in asof_join(ldf, rdf, ["k"], slice_seconds=slice_s, **kw).collect()
     }
     assert sliced == plain
+
+
+# -------------------------------------------------------- segment dedup
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    seg_words=st.sampled_from([2, 3]),
+)
+@settings(**SETTINGS)
+def test_segment_dedup_matches_bruteforce(spark, docs, seg_words):
+    from signaldb_spark.operators.corpus import segment_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_segments"], r["n_kept"])
+        for r in segment_dedup(df, "doc_id", "text", seg_words=seg_words).collect()
+    }
+
+    segs = {}  # (doc, pos) -> seg string, in corpus order
+    for i, words in enumerate(docs):
+        for p in range(0, (len(words) + seg_words - 1) // seg_words):
+            segs[(i, p)] = " ".join(words[p * seg_words:(p + 1) * seg_words])
+    first = {}
+    count = {}
+    for (i, p), s in sorted(segs.items()):
+        count[s] = count.get(s, 0) + 1
+        first.setdefault(s, (i, p))
+    for i, words in enumerate(docs):
+        keep = [
+            segs[(i, p)]
+            for p in range(0, (len(words) + seg_words - 1) // seg_words)
+            if count[segs[(i, p)]] == 1 or first[segs[(i, p)]] == (i, p)
+        ]
+        n_seg = (len(words) + seg_words - 1) // seg_words
+        assert got[i] == (" ".join(keep), n_seg, len(keep)), i
+
+
+# -------------------------------------------------------- sequence packing
+
+
+@given(
+    tokens=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    budget=st.sampled_from([8, 16]),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_matches_bruteforce(spark, tokens, budget):
+    from signaldb_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, bpe_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "bpe_tokens", budget=budget).collect()
+    }
+    start = 0
+    for i, t in enumerate(tokens):
+        assert got[i] == (start // budget, start % budget), i
+        start += t
