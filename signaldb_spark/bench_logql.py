@@ -228,3 +228,28 @@ QUERIES["logql_label_values"] = q_logql_label_values
 ORACLES["logql_label_values"] = ORACLE_LOGQL_LABEL_VALUES
 QUERIES["logql_series"] = q_logql_series
 ORACLES["logql_series"] = ORACLE_LOGQL_SERIES
+
+
+def q_logql_volume(spark, sf_dir):
+    """/loki/api/v1/index/volume analog — per-stream ingested bytes over
+    the window (Loki's index volume API; beyond the reference's endpoint
+    set). One partial+final aggregation on the stream key; bytes =
+    UTF-8 length of the body, the same accounting bytes_over_time uses."""
+    v = _logs_view(spark, sf_dir)
+    return (
+        v.groupBy(F.col("service_name"))
+        .agg(F.sum(F.octet_length("body")).cast("long").alias("volume_bytes"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_LOGQL_VOLUME = """
+SELECT event_type AS service_name,
+       CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS volume_bytes,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["logql_volume"] = q_logql_volume
+ORACLES["logql_volume"] = ORACLE_LOGQL_VOLUME
