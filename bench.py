@@ -87,6 +87,10 @@ HEADLINE = [
     "trace_sibling_spans",
     "multimodal_frame_sample",
     "trace_metrics_p90",
+    "emb_mean_pool",
+    "dataset_split",
+    "pack_sequences",
+    "logql_volume",
 ]
 
 
