@@ -651,3 +651,36 @@ ORDER BY key
 
 QUERIES["label_stats"] = q_label_stats
 ORACLES["label_stats"] = ORACLE_LABEL_STATS
+
+
+def q_recording_rule_eval(spark, sf_dir):
+    """Recording-rule evaluation (rules.evaluate_rule): a PromQL
+    aggregation reshaped into the metrics_gauge at-rest layout under the
+    recorded name — the pure evaluate+reshape half of record_rule (the
+    idempotent append half is e2e-tested)."""
+    from .promql.rules import evaluate_rule
+
+    out = evaluate_rule(
+        _ctx(spark, sf_dir), "sum by (service_name) (events_value)", "svc:events:sum"
+    )
+    return out.select(
+        "timestamp", "service_name", "metric_name",
+        F.round("value", 6).alias("value"), "date_day", "hour",
+    )
+
+
+ORACLE_RECORDING_RULE_EVAL = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         max_by(value, ts) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(bucket) AS TIMESTAMP) AS timestamp, service_name,
+       'svc:events:sum' AS metric_name, round(value, 6) AS value,
+       CAST(CAST(to_timestamp(bucket) AS TIMESTAMP) AS DATE) AS date_day,
+       CAST(hour(CAST(to_timestamp(bucket) AS TIMESTAMP)) AS INT) AS hour
+FROM m
+"""
+
+QUERIES["recording_rule_eval"] = q_recording_rule_eval
+ORACLES["recording_rule_eval"] = ORACLE_RECORDING_RULE_EVAL
