@@ -684,3 +684,130 @@ FROM m
 
 QUERIES["recording_rule_eval"] = q_recording_rule_eval
 ORACLES["recording_rule_eval"] = ORACLE_RECORDING_RULE_EVAL
+
+
+def q_exphist_quantile_signed(spark, sf_dir):
+    """Median over a SIGNED exponential histogram (negative buckets +
+    zero bucket + positive buckets): observations w = floor(value) - 250
+    put roughly half the mass below zero, so the φ=0.5 walk exercises
+    the negative side and the zero-gap short-circuit. Bucket indexes are
+    the integer-exact length(bin(|w|)) construction; the at-rest rows
+    carry BOTH dense sides exactly as the ingest flattener lays them
+    out."""
+    from .operators.exphist import exphist_quantile
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    w = (F.floor("value") - 250).cast("long")
+    aw = F.abs(w)
+    L = F.length(F.bin(aw))
+    pow2 = aw.bitwiseAND(aw - 1) == 0
+    i = F.when(pow2, L - 2).otherwise(L - 1).cast("int")
+    rows = ev.select(
+        b.alias("bucket"),
+        F.col("event_type").alias("service_name"),
+        (w == 0).alias("_zero"),
+        F.when(w > 0, F.lit(1)).when(w < 0, F.lit(-1)).alias("side"),
+        F.when(w != 0, i).alias("i"),
+    )
+
+    def _dense(side):
+        pos = (
+            rows.filter(F.col("side") == side)
+            .groupBy("bucket", "service_name", "i")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        g = pos.groupBy("bucket", "service_name").agg(
+            F.min("i").alias("off"), F.max("i").alias("mx"),
+            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"),
+        )
+        counts = F.transform(
+            F.sequence(F.col("off"), F.col("mx")),
+            lambda k: F.coalesce(F.element_at(F.col("m"), k), F.lit(0)).cast("long"),
+        )
+        return g.select(
+            "bucket", "service_name",
+            F.col("off").alias(f"_{'p' if side == 1 else 'n'}_off"),
+            counts.alias(f"_{'p' if side == 1 else 'n'}_counts"),
+        )
+
+    zeros = rows.groupBy("bucket", "service_name").agg(
+        F.sum(F.col("_zero").cast("long")).alias("zero_count")
+    )
+    atrest = (
+        zeros.join(_dense(1), ["bucket", "service_name"], "left")
+        .join(_dense(-1), ["bucket", "service_name"], "left")
+        .select(
+            "bucket", "service_name", F.lit(0).alias("scale"), "zero_count",
+            F.col("_p_off").alias("positive_offset"),
+            F.col("_p_counts").alias("positive_bucket_counts"),
+            F.col("_n_off").alias("negative_offset"),
+            F.col("_n_counts").alias("negative_bucket_counts"),
+        )
+    )
+    out = exphist_quantile(atrest, 0.5, ["bucket", "service_name"])
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_EXPHIST_SIGNED = f"""
+WITH base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CAST(floor(value) AS BIGINT) - 250 AS w
+  FROM events
+), idxed AS (
+  SELECT bucket, service_name,
+         CASE WHEN w > 0 THEN 1 WHEN w < 0 THEN -1 ELSE 0 END AS side,
+         CASE WHEN w = 0 THEN NULL
+              WHEN (abs(w) & (abs(w) - 1)) = 0 THEN length(bin(abs(w))) - 2
+              ELSE length(bin(abs(w))) - 1 END AS i
+  FROM base
+), tot AS (
+  SELECT bucket, service_name,
+         CAST(count(*) FILTER (WHERE side = 0) AS DOUBLE) AS z,
+         CAST(count(*) FILTER (WHERE side = -1) AS DOUBLE) AS neg_total,
+         CAST(count(*) AS DOUBLE) AS total
+  FROM idxed GROUP BY 1, 2
+), cnts AS (
+  SELECT bucket, service_name, side, i, CAST(count(*) AS DOUBLE) AS c
+  FROM idxed WHERE side != 0 GROUP BY 1, 2, 3, 4
+), ncum AS (
+  SELECT bucket, service_name, i, c,
+         sum(c) OVER (PARTITION BY bucket, service_name ORDER BY i DESC) AS cum
+  FROM cnts WHERE side = -1
+), pcum AS (
+  SELECT bucket, service_name, i, c,
+         sum(c) OVER (PARTITION BY bucket, service_name ORDER BY i) AS cum
+  FROM cnts WHERE side = 1
+), npick AS (
+  SELECT t.bucket, t.service_name,
+         max_by(n.i, n.i) AS pi, max_by(n.c, n.i) AS pc, max_by(n.cum, n.i) AS pcum
+  FROM tot t JOIN ncum n USING (bucket, service_name)
+  WHERE n.cum >= 0.5 * t.total
+  GROUP BY 1, 2
+), ppick AS (
+  SELECT t.bucket, t.service_name,
+         min_by(p.i, p.i) AS pi, min_by(p.c, p.i) AS pc, min_by(p.cum, p.i) AS pcum
+  FROM tot t JOIN pcum p USING (bucket, service_name)
+  WHERE t.neg_total + t.z + p.cum >= 0.5 * t.total
+  GROUP BY 1, 2
+)
+SELECT t.bucket, t.service_name,
+  round(CASE
+    WHEN t.total <= 0 THEN NULL
+    WHEN 0.5 * t.total <= t.neg_total THEN
+      -power(2.0, n.pi + 1)
+      + (power(2.0, n.pi + 1) - power(2.0, n.pi))
+        * (0.5 * t.total - (n.pcum - n.pc)) / n.pc
+    WHEN 0.5 * t.total <= t.neg_total + t.z THEN 0.0
+    ELSE power(2.0, p.pi)
+         + (power(2.0, p.pi + 1) - power(2.0, p.pi))
+           * (0.5 * t.total - (t.neg_total + t.z + p.pcum - p.pc)) / p.pc
+  END, 6) AS value
+FROM tot t
+LEFT JOIN npick n USING (bucket, service_name)
+LEFT JOIN ppick p USING (bucket, service_name)
+"""
+
+QUERIES["exphist_quantile_signed"] = q_exphist_quantile_signed
+ORACLES["exphist_quantile_signed"] = ORACLE_EXPHIST_SIGNED
