@@ -169,3 +169,58 @@ FROM matched
 
 QUERIES["asof_join"] = q_asof_join
 ORACLES["asof_join"] = ORACLE_ASOF_JOIN
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of (conversion attribution): each click gets the
+    user's NEXT purchase at-or-after it, within 7 days
+    (temporal.asof_join direction='forward'). The oracle states the
+    semantics declaratively (min-ts qualifying purchase per click) —
+    structurally unlike the union/window implementation, so it checks
+    the semantics, not the plan."""
+    from .operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("click_value"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("purchase_value"))
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], tolerance_seconds=7 * 86400,
+        direction="forward", right_prefix="conv_",
+    )
+    return out.select(
+        "user_id", "ts", "click_value", F.col("conv_ts"),
+        F.col("conv_purchase_value").alias("conv_value"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH clicks AS (
+  SELECT user_id, ts, round(max(value), 6) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+  SELECT user_id, ts, round(max(value), 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), matched AS (
+  SELECT c.user_id, c.ts, c.click_value,
+         min_by(p.ts, p.ts) AS conv_ts,
+         min_by(p.purchase_value, p.ts) AS conv_value
+  FROM clicks c LEFT JOIN purchases p
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+  GROUP BY c.user_id, c.ts, c.click_value
+)
+SELECT user_id, ts, click_value,
+       CASE WHEN conv_ts <= ts + INTERVAL 7 DAY THEN conv_ts END AS conv_ts,
+       CASE WHEN conv_ts <= ts + INTERVAL 7 DAY THEN conv_value END AS conv_value
+FROM matched
+"""
+
+QUERIES["asof_forward"] = q_asof_forward
+ORACLES["asof_forward"] = ORACLE_ASOF_FORWARD
