@@ -224,3 +224,32 @@ FROM matched
 
 QUERIES["asof_forward"] = q_asof_forward
 ORACLES["asof_forward"] = ORACLE_ASOF_FORWARD
+
+
+def q_asof_join_sliced(spark, sf_dir):
+    """The skew-proof time-sliced as-of variant (slice_seconds=2 days)
+    under the SAME oracle as asof_join — the scale path must produce
+    bit-identical output to the single-window form."""
+    from .operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, ["user_id"], tolerance_seconds=3 * 86400,
+        direction="backward", right_prefix="click_", slice_seconds=2 * 86400,
+    )
+    return out.select(
+        "user_id", "ts", F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("click_ts"), F.round("click_click_value", 6).alias("click_value"),
+    )
+
+
+QUERIES["asof_join_sliced"] = q_asof_join_sliced
+ORACLES["asof_join_sliced"] = ORACLE_ASOF_JOIN

@@ -611,3 +611,20 @@ QUERIES["trace_metrics_rate"] = q_trace_metrics_rate
 ORACLES["trace_metrics_rate"] = ORACLE_TRACE_METRICS_RATE
 QUERIES["trace_metrics_p90"] = q_trace_metrics_p90
 ORACLES["trace_metrics_p90"] = ORACLE_TRACE_METRICS_P90
+
+
+def q_trace_descendant_closure(spark, sf_dir):
+    """The unbounded-depth applyInPandas descendant fallback
+    (structural.descendant_spans_closure) under the SAME recursive-CTE
+    oracle as the JVM pointer-chase — the Arrow-batched Python path must
+    agree bit-for-bit."""
+    from .traceql.structural import descendant_spans_closure
+
+    spans = _tree_spans(spark, sf_dir)
+    return descendant_spans_closure(
+        spans, (F.col("flag") == "R") & (F.col("qty") > 40), F.col("status") == "O"
+    )
+
+
+QUERIES["trace_descendant_closure"] = q_trace_descendant_closure
+ORACLES["trace_descendant_closure"] = ORACLE_TRACE_DESCENDANT
