@@ -164,30 +164,51 @@ def descendant_spans(
 
 
 def descendant_spans_closure(
-    spans: DataFrame, ancestor_cond: Column, descendant_cond: Column
+    spans: DataFrame, ancestor_cond: Column, descendant_cond: Column,
+    n_buckets: int = 64,
 ) -> DataFrame:
-    """Unbounded-depth ``>>`` via a per-trace Arrow-batched closure —
-    the fallback when trace depth can exceed ``descendant_spans``'s
-    unroll cap. Same single-shuffle layout; the walk is memoized so each
-    parent chain is traversed once per trace."""
-    marked = spans.withColumn("_is_anc", ancestor_cond.cast("boolean")).withColumn(
-        "_is_desc", descendant_cond.cast("boolean")
+    """Unbounded-depth ``>>`` via an Arrow-batched closure — the
+    fallback when trace depth can exceed ``descendant_spans``'s unroll
+    cap. The walk is memoized so each parent chain is traversed once per
+    trace.
+
+    Traces are grouped into ``n_buckets`` hash buckets and the Python
+    function runs once per BUCKET, grouping by trace in pandas inside —
+    per-group ``applyInPandas`` on naturally-tiny trace groups pays one
+    Python/Arrow round-trip per trace (measured ~3.5 ms each: 15k traces
+    → ~50 s); bucketing amortizes that to one round-trip per bucket
+    while keeping the same single shuffle."""
+    marked = (
+        spans.withColumn("_is_anc", ancestor_cond.cast("boolean"))
+        .withColumn("_is_desc", descendant_cond.cast("boolean"))
+        .withColumn("_b", F.pmod(F.xxhash64("trace_id"), F.lit(n_buckets)))
     )
     out_schema = spans.schema
 
-    def _closure(pdf: pd.DataFrame) -> pd.DataFrame:
-        parent = dict(zip(pdf["span_id"], pdf["parent_span_id"]))
-        anc_ids = set(pdf.loc[pdf["_is_anc"].fillna(False), "span_id"])
-        if not anc_ids:
-            return pdf.iloc[0:0].drop(columns=["_is_anc", "_is_desc"])
+    def _bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one keyed dict for the whole bucket — (trace, span) keys keep
+        # traces independent without per-trace pandas slicing (15k
+        # groupby slices cost ~10 s/bucket-set; one pass is ~free)
+        t = pdf["trace_id"].tolist()
+        s = pdf["span_id"].tolist()
+        p = pdf["parent_span_id"].tolist()
+        is_anc = pdf["_is_anc"].fillna(False).tolist()
+        is_desc = pdf["_is_desc"].fillna(False).tolist()
+        parent: dict = {}
+        anc: set = set()
+        for i in range(len(t)):
+            pi = p[i]
+            parent[(t[i], s[i])] = None if pi is None or pd.isna(pi) else (t[i], pi)
+            if is_anc[i]:
+                anc.add((t[i], s[i]))
         memo: dict = {}
 
-        def has_anc(sid) -> bool:
+        def has_anc(key) -> bool:
             chain = []
-            cur = parent.get(sid)
+            cur = parent.get(key)
             hit = False
-            while cur is not None and not pd.isna(cur):
-                if cur in anc_ids:
+            while cur is not None:
+                if cur in anc:
                     hit = True
                     break
                 if cur in memo:
@@ -199,10 +220,12 @@ def descendant_spans_closure(
                 memo[c] = hit
             return hit
 
-        keep = pdf["_is_desc"].fillna(False) & pdf["span_id"].map(has_anc)
-        return pdf.loc[keep].drop(columns=["_is_anc", "_is_desc"])
+        keep = [
+            bool(is_desc[i]) and has_anc((t[i], s[i])) for i in range(len(t))
+        ]
+        return pdf.loc[keep].drop(columns=["_is_anc", "_is_desc", "_b"])
 
-    return marked.groupBy("trace_id").applyInPandas(_closure, schema=out_schema)
+    return marked.groupBy("_b").applyInPandas(_bucket, schema=out_schema)
 
 
 SPANSET_AGGS = {
