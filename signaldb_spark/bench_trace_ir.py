@@ -628,3 +628,41 @@ def q_trace_descendant_closure(spark, sf_dir):
 
 QUERIES["trace_descendant_closure"] = q_trace_descendant_closure
 ORACLES["trace_descendant_closure"] = ORACLE_TRACE_DESCENDANT
+
+
+def q_service_graph(spark, sf_dir):
+    """Service-map edges (trace_ops.service_graph): lineitem-as-spans
+    with flag as the service — parent/child pairs crossing a "service"
+    boundary, exact p50/p99 of server-side duration."""
+    from .traceql.trace_ops import service_graph
+
+    spans = _tree_spans(spark, sf_dir).select(
+        "trace_id", "span_id", "parent_span_id",
+        F.col("flag").alias("service_name"),
+        (F.col("qty") * 1e6).cast("long").alias("duration_nanos"),
+    )
+    return service_graph(spans)
+
+
+ORACLE_SERVICE_GRAPH = f"""
+WITH spans AS ({_TREE_SPANS_SQL}),
+svc AS (
+  SELECT trace_id, span_id, parent_span_id, flag AS service_name,
+         CAST(qty * 1e6 AS BIGINT) AS duration_nanos
+  FROM spans
+),
+edges AS (
+  SELECT p.service_name AS client, c.service_name AS server,
+         CAST(c.duration_nanos AS DOUBLE) AS d
+  FROM svc c JOIN svc p
+    ON p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+  WHERE p.service_name != c.service_name
+)
+SELECT client, server, CAST(count(*) AS BIGINT) AS calls,
+       round(quantile_cont(d, 0.5), 6) AS p50_duration,
+       round(quantile_cont(d, 0.99), 6) AS p99_duration
+FROM edges GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["service_graph"] = q_service_graph
+ORACLES["service_graph"] = ORACLE_SERVICE_GRAPH

@@ -271,3 +271,44 @@ def metrics_quantile(
         spans.filter(cond), ts_col, step_seconds, list(by_cols),
         F.percentile(F.col(value_col).cast("double"), F.lit(phi)),
     )
+
+
+def service_graph(
+    spans: DataFrame,
+    service_col: str = "service_name",
+    duration_col: str = "duration_nanos",
+) -> DataFrame:
+    """Service dependency graph (Grafana/Tempo service-map metrics,
+    beyond the reference's endpoint set): an edge (client, server) for
+    every parent→child span pair that crosses a service boundary, with
+    call count and exact p50/p99 of the child (server-side) duration.
+
+    ONE self-join on (trace_id, parent link) — the same equi-join shape
+    as child_spans, both sides projected to three columns before the
+    shuffle — then one aggregation on the (client, server) edge key.
+    Edge cardinality is #services², so everything after the join is
+    tiny."""
+    parents = spans.select(
+        F.col("trace_id").alias("_t"),
+        F.col("span_id").alias("_p"),
+        F.col(service_col).alias("client"),
+    )
+    children = spans.filter(F.col("parent_span_id").isNotNull()).select(
+        "trace_id", "parent_span_id",
+        F.col(service_col).alias("server"),
+        F.col(duration_col).cast("double").alias("_d"),
+    )
+    edges = children.join(
+        parents,
+        (children["trace_id"] == parents["_t"])
+        & (children["parent_span_id"] == parents["_p"]),
+    ).filter(F.col("client") != F.col("server"))
+    return (
+        edges.groupBy("client", "server")
+        .agg(
+            F.count(F.lit(1)).alias("calls"),
+            F.round(F.percentile("_d", F.lit(0.5)), 6).alias("p50_duration"),
+            F.round(F.percentile("_d", F.lit(0.99)), 6).alias("p99_duration"),
+        )
+        .orderBy("client", "server")
+    )
