@@ -666,3 +666,43 @@ FROM edges GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["service_graph"] = q_service_graph
 ORACLES["service_graph"] = ORACLE_SERVICE_GRAPH
+
+
+def q_trace_critical_path(spark, sf_dir):
+    """Per-trace critical path (structural.critical_path): deepest
+    cumulative-duration ancestor chain; recursive-CTE oracle."""
+    from .traceql.structural import critical_path
+
+    spans = _tree_spans(spark, sf_dir).select(
+        "trace_id", "span_id", "parent_span_id",
+        (F.col("qty") * 1e6).cast("long").alias("duration_nanos"),
+    )
+    return critical_path(spans)
+
+
+ORACLE_TRACE_CRITICAL_PATH = f"""
+WITH RECURSIVE spans AS ({_TREE_SPANS_SQL}),
+svc AS (
+  SELECT trace_id, span_id, parent_span_id,
+         CAST(qty * 1e6 AS BIGINT) AS d
+  FROM spans
+),
+walk(trace_id, span_id, anc, total) AS (
+  SELECT trace_id, span_id, parent_span_id, d FROM svc
+  UNION ALL
+  SELECT w.trace_id, w.span_id, s.parent_span_id, w.total + s.d
+  FROM walk w JOIN svc s ON s.trace_id = w.trace_id AND s.span_id = w.anc
+),
+sums AS (
+  SELECT trace_id, span_id, max(total) AS path FROM walk GROUP BY 1, 2
+)
+SELECT trace_id, span_id AS critical_span_id, path AS critical_path_nanos
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY trace_id ORDER BY path DESC, span_id DESC) AS rn
+  FROM sums
+) WHERE rn = 1
+"""
+
+QUERIES["trace_critical_path"] = q_trace_critical_path
+ORACLES["trace_critical_path"] = ORACLE_TRACE_CRITICAL_PATH

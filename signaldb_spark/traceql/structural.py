@@ -279,3 +279,58 @@ def spanset_aggregate(
         .filter(SPANSET_OPS[op](F.col("_agg"), F.lit(threshold)))
         .drop("_agg")
     )
+
+
+def critical_path(
+    spans: DataFrame,
+    duration_col: str = "duration_nanos",
+    max_depth: int = 16,
+) -> DataFrame:
+    """Per-trace critical path: the span whose ancestor chain (itself +
+    every transitive parent) carries the largest summed duration — the
+    first thing a latency investigation wants from a trace. Beyond the
+    reference, which has no trace analytics at all.
+
+    Same single-shuffle layout as ``descendant_spans``: one groupBy on
+    trace_id, per-trace parent and duration maps, a depth-unrolled
+    O(1)-probe chase per span, then an in-row array max. Ties break to
+    the highest span id (mirrored exactly in the oracle).
+
+    Output: (trace_id, critical_span_id, critical_path_nanos).
+    """
+    agg = spans.groupBy("trace_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_id"),
+                F.col("parent_span_id"),
+                F.col(duration_col).cast("long").alias("_d"),
+            )
+        ).alias("_ss")
+    )
+    ss = F.col("_ss")
+    pm = F.map_from_entries(
+        F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+    )
+    dm = F.map_from_entries(
+        F.transform(ss, lambda s: F.struct(s["span_id"], s["_d"]))
+    )
+    agg = agg.withColumn("_pm", pm).withColumn("_dm", dm)
+
+    def _path_sum(s):
+        total = s["_d"]
+        cur = s["span_id"]
+        for _ in range(max_depth):
+            cur = F.try_element_at(F.col("_pm"), cur)
+            total = total + F.coalesce(
+                F.try_element_at(F.col("_dm"), cur), F.lit(0).cast("long")
+            )
+        return total
+
+    best = F.array_max(
+        F.transform(ss, lambda s: F.struct(_path_sum(s).alias("p"), s["span_id"]))
+    )
+    return agg.select(
+        "trace_id",
+        best["span_id"].alias("critical_span_id"),
+        best["p"].alias("critical_path_nanos"),
+    )
