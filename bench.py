@@ -91,6 +91,14 @@ HEADLINE = [
     "dataset_split",
     "pack_sequences",
     "logql_volume",
+    "asof_forward",
+    "asof_join_sliced",
+    "exphist_quantile_signed",
+    "recording_rule_eval",
+    "service_graph",
+    "trace_critical_path",
+    "red_metrics",
+    "trace_descendant_closure",
 ]
 
 

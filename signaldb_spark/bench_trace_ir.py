@@ -706,3 +706,50 @@ FROM (
 
 QUERIES["trace_critical_path"] = q_trace_critical_path
 ORACLES["trace_critical_path"] = ORACLE_TRACE_CRITICAL_PATH
+
+
+def q_red_metrics(spark, sf_dir):
+    """RED metrics (trace_ops.red_metrics): per 7-day bucket per
+    "service" (flag), request rate + error ratio (status='F') + exact
+    duration percentiles, one aggregation."""
+    from .traceql.trace_ops import red_metrics
+
+    spans = _tree_spans(spark, sf_dir).select(
+        "trace_id", "span_id", F.col("flag").alias("service_name"),
+        (F.col("qty") * 1e6).cast("long").alias("duration_nanos"),
+        F.col("status"),
+    ).join(
+        _spans_view(spark, sf_dir).select("span_id", "timestamp"), "span_id"
+    )
+    return red_metrics(
+        spans, _WEEK, error_cond=F.col("status") == "F"
+    ).select(
+        "bucket", "service", "requests", F.round("rate", 9).alias("rate"),
+        "errors", "error_ratio", "p50_duration", "p99_duration",
+    )
+
+
+ORACLE_RED_METRICS = f"""
+WITH spans AS ({_TREE_SPANS_SQL}),
+tsv AS (
+  SELECT l_orderkey * 10 + l_linenumber AS span_id, l_shipdate AS timestamp
+  FROM lineitem
+),
+svc AS (
+  SELECT CAST(floor(epoch(t.timestamp) / 604800) * 604800 AS BIGINT) AS bucket,
+         s.flag AS service,
+         CAST(CAST(s.qty * 1e6 AS BIGINT) AS DOUBLE) AS d,
+         CASE WHEN s.status = 'F' THEN 1 ELSE 0 END AS err
+  FROM spans s JOIN tsv t ON t.span_id = s.span_id
+)
+SELECT bucket, service, CAST(count(*) AS BIGINT) AS requests,
+       round(count(*) / 604800.0, 9) AS rate,
+       CAST(sum(err) AS BIGINT) AS errors,
+       round(sum(err) / CAST(count(*) AS DOUBLE), 6) AS error_ratio,
+       round(quantile_cont(d, 0.5), 6) AS p50_duration,
+       round(quantile_cont(d, 0.99), 6) AS p99_duration
+FROM svc GROUP BY 1, 2
+"""
+
+QUERIES["red_metrics"] = q_red_metrics
+ORACLES["red_metrics"] = ORACLE_RED_METRICS

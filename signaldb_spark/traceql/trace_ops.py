@@ -312,3 +312,35 @@ def service_graph(
         )
         .orderBy("client", "server")
     )
+
+
+def red_metrics(
+    spans: DataFrame,
+    step_seconds: int,
+    service_col: str = "service_name",
+    duration_col: str = "duration_nanos",
+    error_cond=None,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """RED metrics per (bucket, service): request rate, error rate, and
+    exact p50/p99 duration — the canonical service dashboard, computed
+    from spans in ONE partial+final aggregation (no joins; the
+    error indicator folds into the same pass as the percentiles)."""
+    err = (
+        error_cond if error_cond is not None else (F.col("status_code") == "Error")
+    ).cast("int")
+    from ..operators.timeseries import with_bucket
+
+    d = F.col(duration_col).cast("double")
+    return (
+        with_bucket(spans, ts_col, step_seconds)
+        .groupBy("bucket", F.col(service_col).alias("service"))
+        .agg(
+            F.count(F.lit(1)).alias("requests"),
+            (F.count(F.lit(1)) / F.lit(float(step_seconds))).alias("rate"),
+            F.sum(err).cast("long").alias("errors"),
+            F.round(F.sum(err) / F.count(F.lit(1)), 6).alias("error_ratio"),
+            F.round(F.percentile(d, F.lit(0.5)), 6).alias("p50_duration"),
+            F.round(F.percentile(d, F.lit(0.99)), 6).alias("p99_duration"),
+        )
+    )
