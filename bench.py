@@ -99,6 +99,7 @@ HEADLINE = [
     "trace_critical_path",
     "red_metrics",
     "trace_descendant_closure",
+    "logql_patterns",
 ]
 
 

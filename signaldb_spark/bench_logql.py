@@ -253,3 +253,33 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["logql_volume"] = q_logql_volume
 ORACLES["logql_volume"] = ORACLE_LOGQL_VOLUME
+
+
+def q_logql_patterns(spark, sf_dir):
+    """Log template mining (lowering.log_patterns) over the events-props
+    JSON bodies: digits/hex/uuid runs → placeholders, top templates by
+    frequency with a deterministic example line."""
+    from .logql.lowering import log_patterns
+
+    return log_patterns(_logs_view(spark, sf_dir), k=50)
+
+
+ORACLE_LOGQL_PATTERNS = r"""
+WITH norm AS (
+  SELECT regexp_replace(
+           regexp_replace(
+             regexp_replace(props,
+               '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+               '<UUID>', 'g'),
+             '\b[0-9a-fA-F]{16,}\b', '<HEX>', 'g'),
+           '\d+', '<N>', 'g') AS template,
+         props AS raw
+  FROM events
+)
+SELECT template, CAST(count(*) AS BIGINT) AS count, min(raw) AS example
+FROM norm GROUP BY template
+ORDER BY count DESC, template ASC LIMIT 50
+"""
+
+QUERIES["logql_patterns"] = q_logql_patterns
+ORACLES["logql_patterns"] = ORACLE_LOGQL_PATTERNS

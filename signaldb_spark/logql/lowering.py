@@ -576,3 +576,32 @@ def query_instant(ctx: LowerCtx, query: str) -> DataFrame:
     return out.groupBy(*series).agg(
         F.max("bucket").alias("bucket"), F.max_by("value", "bucket").alias("value")
     ).select("bucket", *series, "value")
+
+
+def log_patterns(
+    df: DataFrame, body_col: str = "body", k: int = 100
+) -> DataFrame:
+    """Drain-style log template mining (Loki's pattern-detection
+    endpoint analog, beyond the reference's surface): numbers, hex ids,
+    and uuid-shaped runs in the body normalize to placeholders; one
+    aggregation yields each template's frequency and an example line
+    (deterministic: the minimum raw body). Top-``k`` templates by count,
+    then template text for a stable tiebreak.
+
+    Map-only normalization (three regex passes in the Java∩RE2 subset)
+    + one partial+final aggregation; at 100 TB the shuffle carries
+    (template, count, min-example) partials, never the raw line set."""
+    t = F.col(body_col)
+    t = F.regexp_replace(t, r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}", "<UUID>")
+    t = F.regexp_replace(t, r"\b[0-9a-fA-F]{16,}\b", "<HEX>")
+    t = F.regexp_replace(t, r"\d+", "<N>")
+    return (
+        df.select(t.alias("template"), F.col(body_col).alias("_raw"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.min("_raw").alias("example"),
+        )
+        .orderBy(F.desc("count"), F.asc("template"))
+        .limit(k)
+    )
