@@ -753,3 +753,43 @@ FROM svc GROUP BY 1, 2
 
 QUERIES["red_metrics"] = q_red_metrics
 ORACLES["red_metrics"] = ORACLE_RED_METRICS
+
+
+def q_trace_tail_sample(spark, sf_dir):
+    """Tail sampling (trace_ops.tail_sample): keep whole traces that
+    contain an error span (status 'F') or whose wall duration reaches
+    40ms; all spans of kept traces survive."""
+    from .traceql.trace_ops import tail_sample
+
+    spans = _spans_view(spark, sf_dir).join(
+        _tree_spans(spark, sf_dir).select("span_id", "status"), "span_id"
+    )
+    return tail_sample(
+        spans, error_cond=F.col("status") == "F",
+        min_trace_duration_nanos=40_000_000,
+    ).select("trace_id", "span_id", "duration_nanos", "status")
+
+
+ORACLE_TRACE_TAIL_SAMPLE = f"""
+WITH tree AS ({_TREE_SPANS_SQL}),
+spans AS (
+  SELECT l.l_orderkey AS trace_id,
+         l.l_orderkey * 10 + l.l_linenumber AS span_id,
+         CAST(epoch(l.l_shipdate) * 1e9 AS BIGINT) AS start_time_unix_nano,
+         CAST(l.l_quantity * 1e6 AS BIGINT) AS duration_nanos,
+         t.status
+  FROM lineitem l JOIN tree t ON t.span_id = l.l_orderkey * 10 + l.l_linenumber
+),
+verdict AS (
+  SELECT trace_id,
+         max(CASE WHEN status = 'F' THEN 1 ELSE 0 END) AS err,
+         max(start_time_unix_nano + duration_nanos) - min(start_time_unix_nano) AS dur
+  FROM spans GROUP BY 1
+)
+SELECT s.trace_id, s.span_id, s.duration_nanos, s.status
+FROM spans s JOIN verdict v ON v.trace_id = s.trace_id
+WHERE v.err = 1 OR v.dur >= 40000000
+"""
+
+QUERIES["trace_tail_sample"] = q_trace_tail_sample
+ORACLES["trace_tail_sample"] = ORACLE_TRACE_TAIL_SAMPLE

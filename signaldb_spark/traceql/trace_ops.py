@@ -344,3 +344,37 @@ def red_metrics(
             F.round(F.percentile(d, F.lit(0.99)), 6).alias("p99_duration"),
         )
     )
+
+
+def tail_sample(
+    spans: DataFrame,
+    error_cond=None,
+    min_trace_duration_nanos: int | None = None,
+    duration_col: str = "duration_nanos",
+) -> DataFrame:
+    """Tail-based sampling policy (OTel tail-sampling processor
+    semantics, batch form): keep EVERY span of a trace that qualifies —
+    any span matching ``error_cond``, or trace wall-duration (max span
+    start+duration − min start, when start times exist; else max span
+    duration) reaching the threshold.
+
+    One aggregation over trace_id computes the per-trace verdict, then
+    a broadcast-friendly semi-join keeps qualifying traces' spans —
+    qualifying traces are a small fraction by design, so the keep-list
+    side stays tiny at any corpus size."""
+    err = error_cond if error_cond is not None else (F.col("status_code") == "Error")
+    has_start = "start_time_unix_nano" in spans.columns
+    dur = (
+        F.max(F.col("start_time_unix_nano") + F.col(duration_col))
+        - F.min("start_time_unix_nano")
+        if has_start
+        else F.max(F.col(duration_col))
+    )
+    verdict = spans.groupBy("trace_id").agg(
+        F.max(err.cast("int")).alias("_err"), dur.alias("_dur")
+    )
+    keep_cond = F.col("_err") == 1
+    if min_trace_duration_nanos is not None:
+        keep_cond = keep_cond | (F.col("_dur") >= min_trace_duration_nanos)
+    keep = verdict.filter(keep_cond).select("trace_id")
+    return spans.join(keep, "trace_id", "leftsemi")
