@@ -811,3 +811,39 @@ LEFT JOIN ppick p USING (bucket, service_name)
 
 QUERIES["exphist_quantile_signed"] = q_exphist_quantile_signed
 ORACLES["exphist_quantile_signed"] = ORACLE_EXPHIST_SIGNED
+
+
+def q_histogram_le_series(spark, sf_dir):
+    """Histogram → cumulative le-series export
+    (lowering.histogram_to_le_series) over the synthesized daily
+    histograms — the Grafana-heatmap / m_bucket form."""
+    from .promql.lowering import histogram_to_le_series
+
+    out = histogram_to_le_series(_daily_hist(spark, sf_dir), DAY)
+    return out.select("bucket", "service_name", "metric_name", "le",
+                      F.round("value", 6).alias("value"))
+
+
+ORACLE_HISTOGRAM_LE_SERIES = f"""
+WITH h AS (
+  SELECT {_BUCKET} AS bucket,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+         sum(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c2,
+         sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END)::DOUBLE AS c3,
+         sum(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END)::DOUBLE AS c4,
+         sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::DOUBLE AS c5
+  FROM events GROUP BY 1
+)
+SELECT bucket, 'events' AS service_name, 'latency' AS metric_name, le,
+       round(value, 6) AS value
+FROM (
+  SELECT bucket, '25.0' AS le, c1 AS value FROM h
+  UNION ALL SELECT bucket, '50.0', c1 + c2 FROM h
+  UNION ALL SELECT bucket, '100.0', c1 + c2 + c3 FROM h
+  UNION ALL SELECT bucket, '150.0', c1 + c2 + c3 + c4 FROM h
+  UNION ALL SELECT bucket, '+Inf', c1 + c2 + c3 + c4 + c5 FROM h
+)
+"""
+
+QUERIES["histogram_le_series"] = q_histogram_le_series
+ORACLES["histogram_le_series"] = ORACLE_HISTOGRAM_LE_SERIES

@@ -633,3 +633,43 @@ def query_range(ctx: PromCtx, query: str) -> DataFrame:
     out = eval_expr(ctx, parse(query))
     series = [c for c in out.columns if c not in ("bucket", "value")]
     return out.orderBy("bucket", *series)
+
+
+def histogram_to_le_series(
+    hist: DataFrame,
+    step_seconds: int,
+    series_cols: tuple[str, ...] = ("service_name", "metric_name"),
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Export at-rest explicit-bounds histograms as Prometheus
+    ``_bucket``-style cumulative le series — the shape Grafana heatmaps
+    and any PromQL `histogram_quantile(φ, rate(m_bucket[5m]))` consumer
+    expects. Beyond the reference, which stores histogram datapoints but
+    never re-exposes them as le series.
+
+    The cumulative count is an IN-ROW prefix sum over the datapoint's
+    own counts array (F.aggregate over a slice — no window), and
+    summing those per (bucket, series, le) is exact because cumulation
+    is linear. One partial+final aggregation total."""
+    from ..operators.timeseries import with_bucket
+
+    b = with_bucket(hist, ts_col, step_seconds)
+    exploded = b.select(
+        "bucket", *series_cols, "explicit_bounds",
+        F.posexplode("bucket_counts").alias("_pos", "_c"),
+        F.col("bucket_counts").alias("_bc"),
+    )
+    cum = F.aggregate(
+        F.slice(F.col("_bc"), 1, F.col("_pos") + 1),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    le = F.when(
+        F.col("_pos") < F.size("explicit_bounds"),
+        F.element_at(F.col("explicit_bounds"), F.col("_pos") + 1).cast("string"),
+    ).otherwise(F.lit("+Inf"))
+    return (
+        exploded.select("bucket", *series_cols, le.alias("le"), cum.alias("_cum"))
+        .groupBy("bucket", *series_cols, "le")
+        .agg(F.sum("_cum").alias("value"))
+    )
