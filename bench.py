@@ -100,6 +100,9 @@ HEADLINE = [
     "red_metrics",
     "trace_descendant_closure",
     "logql_patterns",
+    "trace_tail_sample",
+    "histogram_le_series",
+    "slo_burn_rate",
 ]
 
 

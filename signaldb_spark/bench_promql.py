@@ -847,3 +847,39 @@ FROM (
 
 QUERIES["histogram_le_series"] = q_histogram_le_series
 ORACLES["histogram_le_series"] = ORACLE_HISTOGRAM_LE_SERIES
+
+
+def q_slo_burn_rate(spark, sf_dir):
+    """Multiwindow SLO burn rate (timeseries.burn_rate): error events
+    against a 99.7% SLO, day (short) vs week (long) windows; pages where
+    both burns exceed 1x budget."""
+    from .operators.timeseries import burn_rate
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return burn_rate(
+        ev, "ts", F.col("event_type") == "error",
+        short_step=86400, long_step=7 * 86400, slo_target=0.997,
+    )
+
+
+ORACLE_SLO_BURN_RATE = """
+WITH s AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) / (1.0 - 0.997) AS burn_short
+  FROM events GROUP BY 1
+), l AS (
+  SELECT CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS lb,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           / CAST(count(*) AS DOUBLE) / (1.0 - 0.997) AS burn_long
+  FROM events GROUP BY 1
+)
+SELECT s.bucket, round(s.burn_short, 6) AS burn_short,
+       round(l.burn_long, 6) AS burn_long,
+       CAST(s.burn_short > 1.0 AND l.burn_long > 1.0 AS INT) AS alerting
+FROM s JOIN l ON l.lb = CAST(floor(s.bucket / 604800.0) * 604800 AS BIGINT)
+"""
+
+QUERIES["slo_burn_rate"] = q_slo_burn_rate
+ORACLES["slo_burn_rate"] = ORACLE_SLO_BURN_RATE

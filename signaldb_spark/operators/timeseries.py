@@ -453,3 +453,51 @@ def sliding_reduce(
         j.groupBy(F.col("s.bucket").alias("bucket"), *[F.col(f"m.{c}").alias(c) for c in series_cols])
         .agg(expr.alias(value_col))
     )
+
+
+def burn_rate(
+    df,
+    ts_col: str,
+    error_cond,
+    short_step: int,
+    long_step: int,
+    slo_target: float,
+    series_cols: list[str] | None = None,
+    threshold: float = 1.0,
+):
+    """Multiwindow SLO burn rate (the Google SRE workbook alert shape):
+    burn = error_ratio / error_budget per window; a page fires when BOTH
+    the short and the long window burn exceed ``threshold`` — the short
+    window gives speed, the long window immunity to blips.
+
+    Two bucketed aggregations (short and long) and one equi-join on the
+    long-bucket key the short bucket rolls up into; everything after the
+    partial+final aggs is window-count sized. Output one row per short
+    bucket: (bucket, series..., burn_short, burn_long, alerting)."""
+    series_cols = series_cols or []
+    budget = 1.0 - slo_target
+    err = error_cond.cast("int")
+
+    def _ratio(step):
+        return (
+            with_bucket(df, ts_col, step)
+            .groupBy("bucket", *series_cols)
+            .agg((F.sum(err) / F.count(F.lit(1))).alias("_ratio"))
+        )
+
+    short = _ratio(short_step).select(
+        "bucket", *series_cols, (F.col("_ratio") / budget).alias("burn_short")
+    )
+    lng = _ratio(long_step).select(
+        F.col("bucket").alias("_lb"), *series_cols,
+        (F.col("_ratio") / budget).alias("burn_long"),
+    )
+    lb = (F.floor(F.col("bucket") / long_step) * long_step).cast("long")
+    joined = short.withColumn("_lb", lb).join(lng, ["_lb", *series_cols])
+    return joined.select(
+        "bucket", *series_cols,
+        F.round("burn_short", 6).alias("burn_short"),
+        F.round("burn_long", 6).alias("burn_long"),
+        ((F.col("burn_short") > threshold) & (F.col("burn_long") > threshold))
+        .cast("int").alias("alerting"),
+    )
