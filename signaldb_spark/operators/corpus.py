@@ -317,7 +317,12 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_local = part.withColumn("_lc", F.sum(F.col(token_col)).over(w_local))
+    # cached: _pid comes from spark_partition_id() over an AQE-managed
+    # range shuffle, and AQE may coalesce DIFFERENTLY between the totals
+    # job and the output job — the cache pins one materialization so both
+    # jobs see the same partition ids (rows are (id, tokens, pid, cumsum)
+    # longs; spillable)
+    with_local = part.withColumn("_lc", F.sum(F.col(token_col)).over(w_local)).cache()
     totals = sorted(
         (r["_pid"], r["_tot"])
         for r in with_local.groupBy("_pid").agg(F.max("_lc").alias("_tot")).collect()
