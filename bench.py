@@ -103,6 +103,7 @@ HEADLINE = [
     "trace_tail_sample",
     "histogram_le_series",
     "slo_burn_rate",
+    "query_exemplars",
 ]
 
 

@@ -883,3 +883,47 @@ FROM s JOIN l ON l.lb = CAST(floor(s.bucket / 604800.0) * 604800 AS BIGINT)
 
 QUERIES["slo_burn_rate"] = q_slo_burn_rate
 ORACLES["slo_burn_rate"] = ORACLE_SLO_BURN_RATE
+
+
+def q_query_exemplars(spark, sf_dir):
+    """Exemplar read-back (lowering.query_exemplars): at-rest gauge rows
+    synthesized from events, one exemplar per point in the exact
+    _exemplars_json blob shape; the oracle produces the parsed rows from
+    the source directly, so the JSON round-trip itself is under test."""
+    from .promql.lowering import query_exemplars
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    blob = F.to_json(
+        F.array(
+            F.struct(
+                (F.unix_micros("ts") * 1000).alias("time_unix_nano"),
+                F.col("value").cast("double").alias("value"),
+                F.lpad(F.hex(F.col("event_id")), 32, "0").alias("trace_id"),
+                F.lpad(F.hex(F.col("event_id")), 16, "0").alias("span_id"),
+            )
+        )
+    )
+    atrest = ev.select(
+        F.lit("events_value").alias("metric_name"),
+        F.col("event_type").alias("service_name"),
+        blob.alias("exemplars"),
+    )
+    out = query_exemplars(atrest)
+    return out.select(
+        "metric_name", "service_name", "time_unix_nano",
+        F.round("value", 6).alias("value"), "trace_id", "span_id",
+    )
+
+
+ORACLE_QUERY_EXEMPLARS = """
+SELECT 'events_value' AS metric_name, event_type AS service_name,
+       epoch_us(ts) * 1000 AS time_unix_nano,
+       round(value, 6) AS value,
+       lpad(upper(to_hex(event_id)), 32, '0') AS trace_id,
+       lpad(upper(to_hex(event_id)), 16, '0') AS span_id
+FROM events
+"""
+
+QUERIES["query_exemplars"] = q_query_exemplars
+ORACLES["query_exemplars"] = ORACLE_QUERY_EXEMPLARS

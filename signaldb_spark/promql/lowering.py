@@ -673,3 +673,39 @@ def histogram_to_le_series(
         .groupBy("bucket", *series_cols, "le")
         .agg(F.sum("_cum").alias("value"))
     )
+
+
+EXEMPLAR_SCHEMA = (
+    "array<struct<time_unix_nano:long,value:double,"
+    "filtered_attributes:map<string,string>,trace_id:string,span_id:string>>"
+)
+
+
+def query_exemplars(
+    df: DataFrame,
+    series_cols: tuple[str, ...] = ("metric_name", "service_name"),
+    exemplars_col: str = "exemplars",
+) -> DataFrame:
+    """Prometheus /api/v1/query_exemplars analog: parse the at-rest
+    exemplar JSON blobs (sources/otlp._exemplars_json;
+    conversion_metrics.rs:1318-1383 lays down the same shape) and
+    surface (series, exemplar time, value, trace_id, span_id) — the
+    metrics→traces pivot. The reference stores exemplars but has no
+    endpoint that reads them back.
+
+    from_json + explode over only the exemplar-carrying rows: the
+    isNotNull filter prunes the (typically sparse) exemplar column at
+    the scan, and nothing shuffles — the output pipelines into whatever
+    the caller joins it with (usually find_by_id on trace_id)."""
+    ex = F.from_json(F.col(exemplars_col), EXEMPLAR_SCHEMA)
+    return (
+        df.filter(F.col(exemplars_col).isNotNull())
+        .select(*series_cols, F.explode(ex).alias("_e"))
+        .select(
+            *series_cols,
+            F.col("_e.time_unix_nano").alias("time_unix_nano"),
+            F.col("_e.value").alias("value"),
+            F.col("_e.trace_id").alias("trace_id"),
+            F.col("_e.span_id").alias("span_id"),
+        )
+    )
