@@ -269,3 +269,66 @@ def test_pack_sequences_matches_bruteforce(spark, tokens, budget):
     for i, t in enumerate(tokens):
         assert got[i] == (start // budget, start % budget), i
         start += t
+
+
+# ------------------------------------------------------------- kmeans
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(1, 9), min_size=3, max_size=3),
+        min_size=3, max_size=8,
+    ),
+    k=st.sampled_from([2, 3]),
+)
+@settings(**SETTINGS)
+def test_kmeans_matches_python_replica(spark, vecs, k):
+    """The 6dp-rounded spherical k-means trajectory is fully
+    deterministic — a pure-Python replay (same rounding mode, same
+    summation order) must reproduce assignments exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from signaldb_spark.operators.similarity import kmeans_iterations
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_iterations(df, "vec_id", "embedding", k=k, iterations=2).collect()
+    }
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * y
+        na = sum(float(x) * x for x in a) ** 0.5
+        nb = sum(float(y) * y for y in b) ** 0.5
+        return r6(dot / (na * nb))
+
+    cents = [list(map(float, v)) for v in vecs[:k]]
+    for _ in range(2):
+        assign = {}
+        for i, v in enumerate(vecs):
+            scores = [cos(v, c) for c in cents]
+            assign[i] = scores.index(max(scores)) + 1
+        new = []
+        for c in range(1, k + 1):
+            members = [vecs[i] for i, a in assign.items() if a == c]
+            if members:
+                new.append([
+                    r6(sum(float(m[d]) for m in members) / len(members))
+                    for d in range(3)
+                ])
+            else:
+                new.append(cents[c - 1])
+        cents = new
+    want = {}
+    for i, v in enumerate(vecs):
+        scores = [cos(v, c) for c in cents]
+        want[i] = scores.index(max(scores)) + 1
+    assert got == want
