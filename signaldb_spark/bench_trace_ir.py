@@ -793,3 +793,42 @@ WHERE v.err = 1 OR v.dur >= 40000000
 
 QUERIES["trace_tail_sample"] = q_trace_tail_sample
 ORACLES["trace_tail_sample"] = ORACLE_TRACE_TAIL_SAMPLE
+
+
+def q_trace_linked(spark, sf_dir):
+    """Span-link pivot (trace_ops.linked_traces): every non-root span
+    links back to its trace's ROOT span in a sibling "workflow" trace
+    (id+5000000) — the at-rest array<struct> link shape synthesized
+    identically in the oracle."""
+    from .traceql.trace_ops import linked_traces
+
+    spans = _tree_spans(spark, sf_dir)
+    with_links = spans.select(
+        F.col("trace_id").cast("string").alias("trace_id"),
+        F.col("span_id").cast("string").alias("span_id"),
+        F.when(
+            F.col("parent_span_id").isNotNull(),
+            F.array(
+                F.struct(
+                    (F.col("trace_id") + 5000000).cast("string").alias("trace_id"),
+                    (F.col("trace_id") * 10 + 1).cast("string").alias("span_id"),
+                )
+            ),
+        ).otherwise(F.array().cast("array<struct<trace_id:string,span_id:string>>"))
+        .alias("links"),
+    )
+    return linked_traces(with_links, cap=10000)
+
+
+ORACLE_TRACE_LINKED = f"""
+WITH spans AS ({_TREE_SPANS_SQL})
+SELECT CAST(trace_id AS VARCHAR) AS trace_id,
+       CAST(span_id AS VARCHAR) AS span_id,
+       CAST(trace_id + 5000000 AS VARCHAR) AS linked_trace_id,
+       CAST(trace_id * 10 + 1 AS VARCHAR) AS linked_span_id
+FROM spans WHERE parent_span_id IS NOT NULL
+ORDER BY 1, 2, 3, 4 LIMIT 10000
+"""
+
+QUERIES["trace_linked"] = q_trace_linked
+ORACLES["trace_linked"] = ORACLE_TRACE_LINKED

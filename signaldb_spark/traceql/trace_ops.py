@@ -378,3 +378,31 @@ def tail_sample(
         keep_cond = keep_cond | (F.col("_dur") >= min_trace_duration_nanos)
     keep = verdict.filter(keep_cond).select("trace_id")
     return spans.join(keep, "trace_id", "leftsemi")
+
+
+def linked_traces(
+    spans: DataFrame, links_col: str = "links", cap: int = 10000
+) -> DataFrame:
+    """Cross-trace reference pivot: explode persisted span links
+    (storage-layout.md:336; wire shape flight/schema.rs:69-84) into
+    (trace_id, span_id, linked_trace_id, linked_span_id) edges — how a
+    batch-job span points at the workflow trace that spawned it. The
+    reference persists links but has no query that reads them.
+
+    ``explode`` runs only over link-carrying spans (the size filter
+    prunes at the scan); output is edge-list sized, capped and ordered
+    deterministically for the API shaper."""
+    return (
+        spans.filter(F.size(F.col(links_col)) > 0)
+        .select(
+            "trace_id", "span_id",
+            F.explode(F.col(links_col)).alias("_l"),
+        )
+        .select(
+            "trace_id", "span_id",
+            F.col("_l.trace_id").alias("linked_trace_id"),
+            F.col("_l.span_id").alias("linked_span_id"),
+        )
+        .orderBy("trace_id", "span_id", "linked_trace_id", "linked_span_id")
+        .limit(cap)
+    )
