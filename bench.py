@@ -104,6 +104,7 @@ HEADLINE = [
     "histogram_le_series",
     "slo_burn_rate",
     "query_exemplars",
+    "trace_linked",
 ]
 
 
