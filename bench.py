@@ -108,9 +108,23 @@ HEADLINE = [
 ]
 
 
+_FAMILIES = (
+    "dedup", "emb", "text", "logql", "promql", "trace", "ir",
+    "multimodal", "asof", "exphist", "curation",
+)
+
+
+def _family(name: str) -> str:
+    for f in _FAMILIES:
+        if name == f or name.startswith(f + "_"):
+            return f
+    return "core"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("signaldb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")  # keep the output stream clean
     # warm the JVM + parquet footer caches once so timings measure the
     # engine, not first-touch JIT
     QUERIES["pricing_summary"](spark, sf_dir).count()
@@ -129,14 +143,34 @@ def main() -> None:
         total += best
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    sf_val = float(sf) if sf else None
+
+    # Full per-query map goes to a file; stdout gets one COMPACT line.
+    # The driver captures a bounded tail of stdout — a 100+-entry map
+    # overflows it and parses as null (BENCH_r02), so the printed line
+    # carries totals, per-family rollups, and the slowest 5 only.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_per_query.json"), "w") as fh:
+        json.dump(
+            {"metric": "headline_total", "value": round(total, 3),
+             "unit": "sec", "queries": timings, "sf": sf_val, "n": len(timings)},
+            fh, indent=1)
+
+    fams: dict[str, float] = {}
+    for name, sec in timings.items():
+        fams[_family(name)] = round(fams.get(_family(name), 0.0) + sec, 3)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
+                "queries": slowest,
+                "families": fams,
+                "n_queries": len(timings),
+                "per_query_file": "bench_per_query.json",
+                "sf": sf_val,
             }
         )
     )

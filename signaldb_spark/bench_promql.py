@@ -638,7 +638,7 @@ def q_label_stats(spark, sf_dir):
 ORACLE_LABEL_STATS = """
 WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
 SELECT 'hot' AS key, CAST(count(*) AS BIGINT) AS presence,
-       CAST(1 AS BIGINT) AS approx_cardinality,
+       CAST(1 AS BIGINT) AS cardinality,
        round(count(*) / (SELECT CAST(total AS DOUBLE) FROM t), 6) AS presence_ratio
 FROM events WHERE value > 100
 UNION ALL

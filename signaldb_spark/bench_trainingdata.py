@@ -1043,14 +1043,11 @@ segs AS (
   FROM tok, UNNEST(range(1, CAST(ceil(len(t) / 8.0) AS BIGINT) + 1)) u(i)
   WHERE len(t) >= 1
 ),
-verdict AS (
-  SELECT seg, count(*) AS seg_n, min(doc_id * 1000000 + pos) AS first_occ
-  FROM segs GROUP BY 1
-),
 flagged AS (
-  SELECT s.doc_id, s.pos, s.seg,
-         (v.seg_n = 1 OR s.doc_id * 1000000 + s.pos = v.first_occ) AS keep
-  FROM segs s JOIN verdict v USING (seg)
+  SELECT doc_id, pos, seg,
+         (count(*) OVER (PARTITION BY seg) = 1
+          OR row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1) AS keep
+  FROM segs
 )
 SELECT doc_id,
   coalesce(string_agg(CASE WHEN keep THEN seg END, ' ' ORDER BY pos), '') AS clean_text,

@@ -163,20 +163,23 @@ def attribute_stats(
     broadcast-joined scalar from the same job (count-star resolves from
     parquet footers), not a separate collect-then-count action.
 
-    ``exact=False`` (the scale default) estimates cardinality with HLL;
-    ``exact=True`` uses count(distinct) — cross-engine deterministic, so
-    the correctness gate runs in this mode."""
+    ``exact=False`` (the scale default) estimates cardinality with HLL,
+    emitted as ``approx_cardinality``; ``exact=True`` uses
+    count(distinct) — cross-engine deterministic, so the correctness
+    gate runs in this mode — emitted as ``cardinality`` (an exact count
+    under an "approx" name would mislead API consumers)."""
     exploded = df.select(F.explode_outer(F.col(attr_col)).alias("key", "val"))
     total_df = df.groupBy().agg(F.count(F.lit(1)).alias("_total"))
     card = (
         F.count_distinct(F.col("val")) if exact else F.approx_count_distinct("val")
     )
+    card_name = "cardinality" if exact else "approx_cardinality"
     return (
         exploded.filter(F.col("key").isNotNull())
         .groupBy("key")
         .agg(
             F.count(F.lit(1)).alias("presence"),
-            card.alias("approx_cardinality"),
+            card.alias(card_name),
         )
         .crossJoin(F.broadcast(total_df))
         .withColumn("presence_ratio", F.round(F.col("presence") / F.col("_total"), 6))
@@ -208,7 +211,8 @@ def promotion_decisions(
         .limit(width_budget)
         .withColumn("action", F.lit("promote"))
     )
-    return scored.select("key", "presence", "approx_cardinality", "score", "action")
+    card_name = "cardinality" if "cardinality" in stats.columns else "approx_cardinality"
+    return scored.select("key", "presence", card_name, "score", "action")
 
 
 def promote_attribute(df: DataFrame, key: str, attr_col: str = "log_attributes") -> DataFrame:

@@ -216,17 +216,17 @@ def segment_dedup(
         .withColumn("seg_h", F.xxhash64("seg"))
     )
     # one aggregation decides every segment's fate: occurrence count and
-    # the first (doc, pos) occurrence, encoded as a single long so the
-    # min is one comparison (positions are bounded by doc length ≪ 1e6)
-    occ_key = F.col(id_col) * F.lit(1_000_000) + F.col("pos")
-    verdict = exploded.select("seg_h", occ_key.alias("occ")).groupBy("seg_h").agg(
+    # the first (doc, pos) occurrence as a lexicographic struct min —
+    # works for any comparable id type and any document length (an
+    # arithmetic id*K+pos encoding would break on non-numeric ids or
+    # ≥K-segment documents)
+    occ = F.struct(F.col(id_col), F.col("pos"))
+    verdict = exploded.select("seg_h", occ.alias("occ")).groupBy("seg_h").agg(
         F.count(F.lit(1)).alias("seg_n"), F.min("occ").alias("first_occ")
     )
     keep_cond = F.col("seg_n") == 1
     if keep_first:
-        keep_cond = keep_cond | (
-            (F.col(id_col) * F.lit(1_000_000) + F.col("pos")) == F.col("first_occ")
-        )
+        keep_cond = keep_cond | (occ == F.col("first_occ"))
     kept = exploded.join(verdict, "seg_h").withColumn(
         "_keep", keep_cond.cast("int")
     )
@@ -317,12 +317,18 @@ def pack_sequences(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # cached: _pid comes from spark_partition_id() over an AQE-managed
-    # range shuffle, and AQE may coalesce DIFFERENTLY between the totals
-    # job and the output job — the cache pins one materialization so both
-    # jobs see the same partition ids (rows are (id, tokens, pid, cumsum)
-    # longs; spillable)
-    with_local = part.withColumn("_lc", F.sum(F.col(token_col)).over(w_local)).cache()
+    # localCheckpoint (eager), not cache(): _pid comes from
+    # spark_partition_id() over an AQE-managed range shuffle, and AQE may
+    # coalesce DIFFERENTLY between the totals job and the output job. A
+    # cache only *probably* pins one materialization — if cached
+    # partitions are evicted/lost, recomputation could re-plan the
+    # shuffle and silently desync bin assignments from the collected
+    # offsets. Checkpointing truncates lineage, so recomputation with
+    # different partition ids is impossible (a lost checkpoint block
+    # fails loudly instead).
+    with_local = part.withColumn(
+        "_lc", F.sum(F.col(token_col)).over(w_local)
+    ).localCheckpoint()
     totals = sorted(
         (r["_pid"], r["_tot"])
         for r in with_local.groupBy("_pid").agg(F.max("_lc").alias("_tot")).collect()

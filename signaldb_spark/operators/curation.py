@@ -164,19 +164,24 @@ def curate_corpus_full(
     )
     final = clean.join(dropped, id_col, "left_anti")
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
-    return (
-        final.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("kept_docs"),
-            F.sum("bpe_tokens").alias("sum_bpe_tokens"),
-            # avg over EXACT integer micro-units: quality_score is already
-            # 6dp, so sum(round(qs*1e6)) is an exact integer in any
-            # summation order — the half-up r6 of a float avg is one ulp
-            # from a boundary flip across engines (seen at sf0.01)
-            r6(
-                F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
-                / F.count(F.lit(1)) / 1e6
-            ).alias("avg_quality"),
-        )
-        .orderBy("source")
+    report = final.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("bpe_tokens").alias("sum_bpe_tokens"),
+        # avg over EXACT integer micro-units: quality_score is already
+        # 6dp, so sum(round(qs*1e6)) is an exact integer in any
+        # summation order — the half-up r6 of a float avg is one ulp
+        # from a boundary flip across engines (seen at sf0.01)
+        r6(
+            F.sum(F.round(F.col("quality_score") * 1e6, 0).cast("long"))
+            / F.count(F.lit(1)) / 1e6
+        ).alias("avg_quality"),
     )
+    # The yield report is per-source (a handful of rows): materialize it
+    # eagerly so the intermediate caches can be RELEASED here instead of
+    # accumulating in a long-lived session until LRU pressure.
+    report = report.localCheckpoint()
+    kept.unpersist()
+    ksh.unpersist()
+    if benchmark_filter is not None:
+        contaminated.unpersist()
+    return report.orderBy("source")

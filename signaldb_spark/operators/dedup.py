@@ -23,6 +23,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,9 +40,35 @@ def fan_out(df: DataFrame) -> DataFrame:
     bounded repartition up front costs one tiny shuffle of the raw rows
     and buys full parallelism. No-op when the scan is already at least
     as parallel as the cluster — at 100 TB, file splits dominate and
-    this never fires."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    this never fires.
+
+    Stays inside the DataFrame API: the split estimate comes from
+    ``inputFiles()`` + on-disk size (a ``df.rdd`` probe would force plan
+    analysis outside AQE on every call)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return df  # non-file-backed plan: leave partitioning to AQE
+    if len(files) >= target:
+        return df
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        max_bytes = int(raw.lower().rstrip("b")) or 128 * 1024 * 1024
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    est_splits = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            size = os.path.getsize(path)
+            est_splits += max(1, -(-size // max_bytes))
+        except OSError:
+            est_splits += 1  # remote scheme: count the file as one split
+    if est_splits < target:
         return df.repartition(target)
     return df
 

@@ -348,6 +348,11 @@ def kmeans_iterations(
         [float(x) for x in row[vec_col]]
         for row in df.orderBy(id_col).limit(k).collect()
     ]
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_iterations: k={k} but the corpus has only "
+            f"{len(init)} vectors; pass k <= corpus size"
+        )
     cents = init
     for _ in range(iterations):
         assigned = ivf_assign(df, vec_col, cents)

@@ -47,6 +47,9 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean: the bench driver parses the final JSON line
+        # from a bounded tail capture; progress bars would displace it.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         # naive timestamp[us] parquet (DuckDB-written benchmark tables)
         # must load as session-local TimestampType, not TIMESTAMP_NTZ:
