@@ -106,6 +106,13 @@ def optional_table(
     never received a given signal type simply has no table directory.
     """
     path = signal_table_path(base, tenant, dataset, table)
+    # Manifest-committed tables (the default sink) resolve through their
+    # current snapshot — readers see exactly the committed file set,
+    # never a half-finished writer's files.
+    from .storage.manifest import MANIFEST_DIR, ManifestTable
+
+    if os.path.isdir(os.path.join(path, MANIFEST_DIR)):
+        return ManifestTable(path).read(spark)
     if not _parquet_dir_exists(path):
         return None
     return spark.read.parquet(path)

@@ -20,12 +20,41 @@ from pyspark.sql import functions as F
 from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
 
 
+def _manifest_table(table_path: str):
+    """ManifestTable handle if this table uses the snapshot-manifest
+    commit protocol (the default sink), else None."""
+    from ..storage.manifest import MANIFEST_DIR, ManifestTable
+
+    if os.path.isdir(os.path.join(table_path, MANIFEST_DIR)):
+        return ManifestTable(table_path)
+    return None
+
+
 def list_hour_partitions(table_path: str) -> list[tuple[str, int]]:
     """Enumerate (date_day, hour) partition pairs of the two-level
-    layout — the absolute-hour unit retention/compaction operate on."""
+    layout — the absolute-hour unit retention/compaction operate on.
+
+    Manifest tables enumerate from the CURRENT SNAPSHOT's file list, not
+    the directory tree: orphaned files from crashed attempts must not
+    resurrect partitions."""
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        out = set()
+        for rel in mt.load_manifest()["files"]:
+            parts = rel.split(os.sep)
+            if (
+                len(parts) >= 3
+                and parts[0].startswith("date_day=")
+                and parts[1].startswith("hour=")
+            ):
+                try:
+                    out.add((parts[0].split("=", 1)[1], int(parts[1].split("=", 1)[1])))
+                except ValueError:
+                    continue
+        return sorted(out)
     if not os.path.isdir(table_path):
         return []
-    out: list[tuple[str, int]] = []
+    out_l: list[tuple[str, int]] = []
     for day_name in os.listdir(table_path):
         if not day_name.startswith("date_day="):
             continue
@@ -34,14 +63,37 @@ def list_hour_partitions(table_path: str) -> list[tuple[str, int]]:
         for name in os.listdir(day_path):
             if name.startswith("hour="):
                 try:
-                    out.append((day, int(name.split("=", 1)[1])))
+                    out_l.append((day, int(name.split("=", 1)[1])))
                 except ValueError:
                     continue
-    return sorted(out)
+    return sorted(out_l)
 
 
 def _part_path(table_path: str, day: str, hour: int) -> str:
     return os.path.join(table_path, f"date_day={day}", f"hour={hour}")
+
+
+def partition_data_path(table_path: str, day: str, hour: int) -> str:
+    """Filesystem location of one partition's data files — under
+    ``data/`` for manifest tables, the table root otherwise."""
+    mt = _manifest_table(table_path)
+    root = mt.data_dir if mt is not None else table_path
+    return os.path.join(root, f"date_day={day}", f"hour={hour}")
+
+
+def partition_files(table_path: str, day: str, hour: int) -> list[str]:
+    """Parquet files of one partition: the current snapshot's list for
+    manifest tables (orphans excluded), a directory listing otherwise."""
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        prefix = os.path.join(f"date_day={day}", f"hour={hour}") + os.sep
+        return sorted(
+            f for f in mt.load_manifest()["files"] if f.startswith(prefix)
+        )
+    p = _part_path(table_path, day, hour)
+    if not os.path.isdir(p):
+        return []
+    return sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
 
 
 def is_partition_closed(hour: int, day: dt.date, lateness_seconds: int, now: dt.datetime) -> bool:
@@ -58,7 +110,19 @@ def compact_partition(
 ) -> int:
     """Rewrite one (day, hour) partition: coalesce small files, apply
     the table's clustering sort (rewriter.rs:591-616), keep bloom
-    filters. Returns the number of files after rewrite."""
+    filters. Returns the number of files after rewrite.
+
+    Manifest tables compact under snapshot isolation (ONE manifest
+    commit swaps the replacement files in; concurrent readers keep
+    their snapshot); the rename-aside path below serves legacy
+    directory-layout tables only."""
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        from ..storage.manifest import compact_partition_manifest
+
+        return compact_partition_manifest(
+            spark, table_path, table, day, hour, target_files
+        )
     part_path = _part_path(table_path, day, hour)
     df = spark.read.parquet(part_path)
     sort_cols = [c for c in SORT_ORDERS.get(table, ["timestamp"]) if c in df.columns]
@@ -119,11 +183,7 @@ def compaction_cycle(
         # planner candidate check: a partition already at/under the file
         # target needs no rewrite (small-file candidates only,
         # src/compactor/src/planner.rs)
-        files = [
-            f for f in os.listdir(_part_path(table_path, day, hour))
-            if f.endswith(".parquet")
-        ]
-        if len(files) <= target_files:
+        if len(partition_files(table_path, day, hour)) <= target_files:
             continue
         lease = manager.try_acquire(partition_unit(tenant, dataset, table, day, hour))
         if lease is None:
@@ -141,7 +201,21 @@ def apply_retention(
 ) -> list[tuple[str, int]]:
     """Drop (day, hour) partitions outside the retention window
     (retention cutoff job, src/compactor/src/retention/). Returns the
-    dropped partitions; empty day directories are removed too."""
+    dropped partitions; empty day directories are removed too.
+
+    Manifest tables drop via ONE snapshot commit removing the files
+    (readers on the old snapshot stay whole; the bytes die later in
+    expire_snapshots) — the Iceberg retention semantics."""
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        dropped_m, remove = [], []
+        for day, hour in list_hour_partitions(table_path):
+            if (day, hour) not in keep:
+                remove.extend(partition_files(table_path, day, hour))
+                dropped_m.append((day, hour))
+        if remove:
+            mt.commit([], remove_files=remove)
+        return dropped_m
     dropped = []
     for day, hour in list_hour_partitions(table_path):
         if (day, hour) not in keep:

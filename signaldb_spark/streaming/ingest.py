@@ -139,7 +139,7 @@ def ingest_otlp_logs_stream(
     checkpoint_dir: str | None = None,
     watermark: str = "10 minutes",
     available_now: bool = True,
-    use_manifest: bool = False,
+    use_manifest: bool = True,
 ):
     """File-source OTLP/JSON ingest → hour-partitioned logs table.
 
@@ -147,11 +147,14 @@ def ingest_otlp_logs_stream(
     for tests / batch backfill); ``False`` runs continuous micro-batches
     (the 5s WAL drain analog is the default trigger).
 
-    ``use_manifest=True`` commits each micro-batch through the
-    snapshot-manifest protocol (storage.write_batch_manifest) instead of
-    deterministic-rename files: the object-store-safe path — readers see
-    atomic snapshots, replays that produce different file counts stay
-    idempotent, crashed attempts are orphans for expire_snapshots."""
+    ``use_manifest=True`` (the DEFAULT — the reference gets the same
+    semantics from Iceberg everywhere, storage-layout.md:45-96) commits
+    each micro-batch through the snapshot-manifest protocol
+    (storage.write_batch_manifest): the object-store-safe path — readers
+    see atomic snapshots, replays that produce different file counts stay
+    idempotent, crashed attempts are orphans for expire_snapshots.
+    ``use_manifest=False`` opts out to deterministic-rename marker files,
+    which assume POSIX rename atomicity (local-FS only)."""
     table_path = signal_table_path(base, tenant, dataset, "logs")
     checkpoint = checkpoint_dir or os.path.join(base, "_checkpoints", tenant, dataset, "logs")
     raw = (

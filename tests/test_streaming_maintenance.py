@@ -82,9 +82,14 @@ def test_ingest_counts_and_partitioning(spark, ingested):
     _, ingested = ingested
     logs = optional_table(spark, ingested, "acme", "prod", "logs")
     assert logs is not None and logs.count() == 200
-    parts = list_hour_partitions(signal_table_path(ingested, "acme", "prod", "logs"))
+    path = signal_table_path(ingested, "acme", "prod", "logs")
+    parts = list_hour_partitions(path)
     assert len(parts) >= 3  # spread across (day, hour) partitions
     assert all(isinstance(d, str) and isinstance(h, int) for d, h in parts)
+    # the DEFAULT sink commits through the snapshot-manifest protocol
+    from signaldb_spark.storage import ManifestTable
+
+    assert ManifestTable(path).current_version() >= 1
 
 
 def test_ingest_idempotent_restart(spark, ingested):
@@ -109,17 +114,31 @@ def test_ingest_schema_and_derived_columns(spark, ingested):
 
 
 def test_compaction_reduces_files_and_sorts(spark, ingested):
+    from signaldb_spark.maintenance.jobs import partition_files
+    from signaldb_spark.storage import ManifestTable
+
     _, ingested = ingested
     path = signal_table_path(ingested, "acme", "prod", "logs")
     parts = list_hour_partitions(path)
     day, hour = parts[0]
+    # concurrent reader holds the pre-compaction snapshot
+    mt = ManifestTable(path)
+    pre_version = mt.current_version()
+    pre_reader = mt.read(spark, version=pre_version)
     n_files = compact_partition(spark, path, "logs", day, hour)
     assert n_files == 1
-    part = spark.read.parquet(os.path.join(path, f"date_day={day}", f"hour={hour}"))
+    assert len(partition_files(path, day, hour)) == 1
+    files = [
+        os.path.join(mt.data_dir, f) for f in partition_files(path, day, hour)
+    ]
+    part = spark.read.option("basePath", mt.data_dir).parquet(*files)
     ts = [r.timestamp for r in part.select("timestamp").collect()]
     assert ts == sorted(ts)  # clustering order applied
     # table still whole
     assert optional_table(spark, ingested, "acme", "prod", "logs").count() == 200
+    # the mid-compaction reader's snapshot stays fully readable: the
+    # compacted-away files are deleted by snapshot expiration, not commit
+    assert pre_reader.count() == 200
 
 
 def test_partition_close_gate():
