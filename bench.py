@@ -105,6 +105,8 @@ HEADLINE = [
     "slo_burn_rate",
     "query_exemplars",
     "trace_linked",
+    "trace_search_regex",
+    "promql_hq_exemplars",
 ]
 
 

@@ -927,3 +927,82 @@ FROM events
 
 QUERIES["query_exemplars"] = q_query_exemplars
 ORACLES["query_exemplars"] = ORACLE_QUERY_EXEMPLARS
+
+
+def q_promql_hq_exemplars(spark, sf_dir):
+    """Exemplar-aware histogram_quantile (the Grafana "show exemplars"
+    toggle): the 0.9-quantile series from the daily histograms joined,
+    per bucket, with the 3 exemplars whose observed value is closest to
+    the quantile estimate (lowering.histogram_quantile_exemplars —
+    beyond-reference: exemplars are stored but never joined back)."""
+    from .catalog import load_table
+    from .promql.ast import VectorSelector
+    from .promql.lowering import histogram_quantile_exemplars, query_exemplars
+
+    hist = _daily_hist(spark, sf_dir)
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    ev = load_table(spark, sf_dir, "events")
+    blob = F.to_json(
+        F.array(
+            F.struct(
+                (F.unix_micros("ts") * 1000).alias("time_unix_nano"),
+                F.col("value").cast("double").alias("value"),
+                F.lpad(F.hex(F.col("event_id")), 32, "0").alias("trace_id"),
+                F.lpad(F.hex(F.col("event_id")), 16, "0").alias("span_id"),
+            )
+        )
+    )
+    atrest = ev.select(
+        F.lit("latency").alias("metric_name"),
+        F.lit("events").alias("service_name"),
+        blob.alias("exemplars"),
+    )
+    ex = query_exemplars(atrest)
+    return histogram_quantile_exemplars(
+        ctx, 0.9, VectorSelector("latency"), ex, k=3, step_seconds=DAY
+    )
+
+
+ORACLE_PROMQL_HQ_EXEMPLARS = f"""
+WITH h AS (
+  SELECT {_BUCKET} AS bucket,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+         sum(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c2,
+         sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END)::DOUBLE AS c3,
+         sum(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END)::DOUBLE AS c4,
+         sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::DOUBLE AS c5
+  FROM events GROUP BY 1
+),
+r AS (SELECT *, 0.9 * (c1 + c2 + c3 + c4 + c5) AS rank FROM h
+      WHERE c1 + c2 + c3 + c4 + c5 > 0),
+hq AS (
+  SELECT bucket,
+         round(CASE
+           WHEN c1 >= rank THEN 0 + (25 - 0) * (rank - 0) / c1
+           WHEN c1 + c2 >= rank THEN 25 + (50 - 25) * (rank - c1) / c2
+           WHEN c1 + c2 + c3 >= rank THEN 50 + (100 - 50) * (rank - c1 - c2) / c3
+           WHEN c1 + c2 + c3 + c4 >= rank THEN 100 + (150 - 100) * (rank - c1 - c2 - c3) / c4
+           ELSE 150
+         END, 6) AS value
+  FROM r
+),
+ex AS (
+  SELECT {_BUCKET} AS bucket,
+         CAST(value AS DOUBLE) AS exemplar_value,
+         lpad(upper(to_hex(event_id)), 32, '0') AS trace_id
+  FROM events
+),
+j AS (
+  SELECT hq.bucket, hq.value, ex.trace_id, ex.exemplar_value,
+         row_number() OVER (
+           PARTITION BY hq.bucket
+           ORDER BY abs(ex.exemplar_value - hq.value), ex.trace_id
+         ) AS rk
+  FROM hq JOIN ex ON hq.bucket = ex.bucket
+)
+SELECT bucket, value, trace_id, exemplar_value, CAST(rk AS INT) AS rk
+FROM j WHERE rk <= 3
+"""
+
+QUERIES["promql_hq_exemplars"] = q_promql_hq_exemplars
+ORACLES["promql_hq_exemplars"] = ORACLE_PROMQL_HQ_EXEMPLARS

@@ -65,6 +65,74 @@ FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
 """
 
 
+def q_trace_search_regex(spark, sf_dir):
+    """Widened TraceQL grammar end-to-end (beyond-parity: the reference
+    rejects ||, !=, regex, range and duration matchers,
+    search_filter.rs:234-330): one string parses to a DNF of regex +
+    numeric-range + duration + negation predicates, lowered to ONE scan
+    + one filter, then the standard newest-N truncation."""
+    from .traceql.trace_ops import search_traceql
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
+        F.concat(
+            F.lit("ship-"), F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")
+        ).alias("span_name"),
+        F.col("l_linestatus").alias("service_name"),
+        (F.col("l_shipdate").cast("timestamp").cast("double") * 1e9)
+        .cast("long")
+        .alias("start_time_unix_nano"),
+        (F.col("l_quantity") * 1e6).cast("long").alias("duration_nanos"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.create_map(
+            F.lit("qty"), F.col("l_quantity").cast("string")
+        ).alias("span_attributes"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias(
+            "resource_attributes"
+        ),
+    )
+    q = (
+        '{ name =~ "ship-[AR].*" && span.qty >= 30 && duration >= 10ms }'
+        ' || { resource.flag = "N" && name != "ship-N-O" }'
+    )
+    return search_traceql(spans, q, limit=12, span_limit=400)
+
+
+ORACLE_TRACE_SEARCH_REGEX = """
+WITH spans AS (
+  SELECT l_orderkey AS trace_id,
+         l_orderkey * 10 + l_linenumber AS span_id,
+         'ship-' || l_returnflag || '-' || l_linestatus AS span_name,
+         l_linestatus AS service_name,
+         CAST(epoch(l_shipdate) * 1e9 AS BIGINT) AS start_time_unix_nano,
+         CAST(l_quantity * 1e6 AS BIGINT) AS duration_nanos,
+         l_shipdate AS timestamp,
+         CAST(l_quantity AS DOUBLE) AS qty,
+         l_returnflag AS flag
+  FROM lineitem
+),
+filtered AS (
+  SELECT * FROM spans
+  WHERE (regexp_matches(span_name, '^(?:ship-[AR].*)$')
+         AND qty >= 30 AND duration_nanos >= 10000000)
+     OR (flag = 'N' AND span_name <> 'ship-N-O')
+),
+limited AS (
+  SELECT trace_id, span_id, span_name, service_name,
+         start_time_unix_nano, duration_nanos, timestamp
+  FROM filtered ORDER BY start_time_unix_nano DESC, span_id DESC LIMIT 400
+),
+ranked AS (
+  SELECT trace_id, max(start_time_unix_nano) AS latest
+  FROM limited GROUP BY trace_id
+  ORDER BY latest DESC, trace_id DESC LIMIT 12
+)
+SELECT l.* FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
+"""
+
+
 def q_ir_agg_pipeline(spark, sf_dir):
     """IR end-to-end: predicate tree (and/or/not) → bucketed aggregate →
     projection, through validate() + lower()."""
@@ -129,12 +197,14 @@ FROM agg ORDER BY value DESC, event_type ASC LIMIT 3
 
 QUERIES = {
     "trace_search_truncation": q_trace_search_truncation,
+    "trace_search_regex": q_trace_search_regex,
     "ir_agg_pipeline": q_ir_agg_pipeline,
     "ir_extract_rank": q_ir_extract_rank,
 }
 
 ORACLES = {
     "trace_search_truncation": ORACLE_TRACE_SEARCH,
+    "trace_search_regex": ORACLE_TRACE_SEARCH_REGEX,
     "ir_agg_pipeline": ORACLE_IR_AGG,
     "ir_extract_rank": ORACLE_IR_EXTRACT_RANK,
 }

@@ -89,3 +89,65 @@ def record_logql_query(
         for m in sel.matchers:
             if m.label not in WELL_KNOWN and f"label_{m.label}" not in materialized:
                 record(tenant, dataset, "logs", m.label)
+
+
+def record_promql_query(
+    expr, tenant: str, dataset: str, columns: "list[str] | None" = None
+) -> None:
+    """Record demand for every selector matcher in a parsed PromQL
+    expression whose label falls through to the ``attributes`` map —
+    the reference records at the metrics query site the same way
+    (record_attr_demand, src/querier/src/query/metrics.rs:281-285)."""
+    from ..promql.ast import AggExpr, BinOp, Call, VectorSelector
+    from ..promql.lowering import WELL_KNOWN
+
+    def selectors(e):
+        if isinstance(e, VectorSelector):
+            yield e
+        elif isinstance(e, Call):
+            for a in e.args:
+                yield from selectors(a)
+        elif isinstance(e, AggExpr):
+            yield from selectors(e.expr)
+        elif isinstance(e, BinOp):
+            yield from selectors(e.lhs)
+            yield from selectors(e.rhs)
+
+    materialized = set(columns or ())
+    for sel in selectors(expr):
+        for m in sel.matchers:
+            if (
+                m.label not in WELL_KNOWN
+                and f"label_{m.label}" not in materialized
+                and m.label not in materialized
+            ):
+                record(tenant, dataset, "metrics", m.label)
+
+
+def record_traceql_query(parsed, tenant: str, dataset: str) -> None:
+    """Record demand for span/resource/unscoped attribute keys of a
+    parsed TraceQL expression — the reference records at the trace
+    query site (record_attr_demand, src/querier/src/query/trace.rs:
+    508-517). Intrinsics and the well-known ``service.name`` have
+    dedicated columns; demand for them is meaningless."""
+    from ..traceql.parser import (
+        AggregateQuery,
+        Disjunction,
+        StructuralQuery,
+    )
+
+    def preds(p):
+        if isinstance(p, Disjunction):
+            for g in p.groups:
+                yield from g
+        elif isinstance(p, StructuralQuery):
+            yield from p.left
+            yield from p.right
+        elif isinstance(p, AggregateQuery):
+            yield from p.preds
+        else:
+            yield from p
+
+    for pred in preds(parsed):
+        if pred.scope != "intrinsic" and pred.key != "service.name":
+            record(tenant, dataset, "traces", pred.key)

@@ -92,6 +92,7 @@ def curate_corpus_full(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    eager: bool = True,
 ) -> DataFrame:
     """The full C4/RefinedWeb-shaped curation pipeline in one plan:
 
@@ -177,8 +178,13 @@ def curate_corpus_full(
         ).alias("avg_quality"),
     )
     # The yield report is per-source (a handful of rows): materialize it
-    # eagerly so the intermediate caches can be RELEASED here instead of
-    # accumulating in a long-lived session until LRU pressure.
+    # eagerly (default) so the intermediate caches can be RELEASED here
+    # instead of accumulating in a long-lived session until LRU
+    # pressure. ``eager=False`` keeps the full lazy plan (plan audits,
+    # callers composing further before the action) — those callers own
+    # the cache lifecycle.
+    if not eager:
+        return report.orderBy("source")
     report = report.localCheckpoint()
     kept.unpersist()
     ksh.unpersist()

@@ -83,7 +83,12 @@ def _real_decode(payload: bytes):
             "real image decode requires Pillow; use the deterministic fake"
         ) from exc
     img = Image.open(io.BytesIO(payload))  # pragma: no cover
-    return img.width, img.height, 0.0  # pragma: no cover
+    # brightness = mean grayscale / 255, same [0,1] range as the fake
+    gray = img.convert("L")  # pragma: no cover
+    hist = gray.histogram()  # pragma: no cover
+    total = sum(hist) or 1  # pragma: no cover
+    mean = sum(i * c for i, c in enumerate(hist)) / total  # pragma: no cover
+    return img.width, img.height, mean / 255.0  # pragma: no cover
 
 
 def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFrame:

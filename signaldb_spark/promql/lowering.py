@@ -56,6 +56,8 @@ class PromCtx:
     end: str
     step_seconds: int
     default_range: float = 300.0  # 5m lookback for instant selectors
+    tenant: str = "acme"  # demand-recording identity (attr_demand.rs keys)
+    dataset: str = "prod"
 
 
 def scan_union(ctx: PromCtx) -> DataFrame | None:
@@ -628,9 +630,19 @@ def _empty_matrix(ctx: PromCtx) -> DataFrame:
 
 
 def query_range(ctx: PromCtx, query: str) -> DataFrame:
+    from ..maintenance import attr_demand
     from .parser import parse
 
-    out = eval_expr(ctx, parse(query))
+    expr = parse(query)
+    # demand recording at the metrics entrypoint (metrics.rs:281-285):
+    # matcher labels that fall through to the attributes map are the
+    # promotion candidates
+    cols = []
+    for df in (ctx.gauge, ctx.msum, ctx.histogram):
+        if df is not None:
+            cols.extend(df.columns)
+    attr_demand.record_promql_query(expr, ctx.tenant, ctx.dataset, cols)
+    out = eval_expr(ctx, expr)
     series = [c for c in out.columns if c not in ("bucket", "value")]
     return out.orderBy("bucket", *series)
 
@@ -672,6 +684,47 @@ def histogram_to_le_series(
         exploded.select("bucket", *series_cols, le.alias("le"), cum.alias("_cum"))
         .groupBy("bucket", *series_cols, "le")
         .agg(F.sum("_cum").alias("value"))
+    )
+
+
+def histogram_quantile_exemplars(
+    ctx: PromCtx,
+    phi: float,
+    sel,
+    exemplars: DataFrame,
+    k: int = 3,
+    step_seconds: int | None = None,
+) -> DataFrame:
+    """Exemplar-aware histogram_quantile — the Grafana "show exemplars"
+    toggle: the quantile series annotated, per bucket, with the k
+    exemplars whose observed value lies CLOSEST to the quantile estimate
+    (ties broken by trace_id for a total order). The reference stores
+    exemplars but has no endpoint joining them back onto query results.
+
+    ``exemplars`` is query_exemplars() output. Bucket assignment is the
+    same epoch flooring as the quantile series; the join is bucket-keyed
+    (exemplars are sparse — AQE broadcasts the small side) and the
+    per-bucket top-k is one Window over the join output."""
+    step = step_seconds or ctx.step_seconds
+    hq = lower_histogram_quantile(ctx, phi, sel, rate_mode=False).select(
+        "bucket", F.round("value", 6).alias("value")
+    )
+    ex = exemplars.select(
+        (F.floor(F.col("time_unix_nano") / F.lit(int(step * 1e9))) * step)
+        .cast("long")
+        .alias("bucket"),
+        F.col("value").alias("exemplar_value"),
+        "trace_id",
+    )
+    joined = hq.join(ex, "bucket")
+    w = Window.partitionBy("bucket").orderBy(
+        F.abs(F.col("exemplar_value") - F.col("value")).asc(),
+        F.col("trace_id").asc(),
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("bucket", "value", "trace_id", "exemplar_value", "rk")
     )
 
 

@@ -34,26 +34,60 @@ TRACE_SEARCH_COLUMNS = [
 STATUS_COLUMN = "status_code"
 
 
+def _apply_op(col, op: str, value):
+    """One matcher comparison (widened Tempo grammar). ``!=``/``!~``
+    require the attribute to EXIST and differ — Tempo's semantics for
+    negated attribute matchers; range ops compare numerically."""
+    if op == "=":
+        return col == value
+    if op == "!=":
+        return col.isNotNull() & (col != value)
+    if op == "=~":
+        return col.rlike(f"^(?:{value})$")
+    if op == "!~":
+        return col.isNotNull() & ~col.rlike(f"^(?:{value})$")
+    num = col.cast("double")
+    if op == ">":
+        return num > value
+    if op == ">=":
+        return num >= value
+    if op == "<":
+        return num < value
+    if op == "<=":
+        return num <= value
+    raise ValueError(op)
+
+
 def predicate_expr(df: DataFrame, p: SpanPredicate):
-    """Lower one TraceQL predicate (search_filter.rs:157-170 semantics,
-    but over native map columns instead of JSON substring matching)."""
+    """Lower one TraceQL predicate over native map columns instead of
+    JSON substring matching (equality core: search_filter.rs:157-170;
+    the non-equality operators are the Tempo grammar the reference
+    rejects, search_filter.rs:234-330 — beyond-parity upgrade)."""
+    op = getattr(p, "op", "=")
     if p.scope == "intrinsic":
         if p.key == "name":
-            return F.col("span_name") == p.value
+            return _apply_op(F.col("span_name"), op, p.value)
         if p.key == "status":
-            return F.col(STATUS_COLUMN) == p.value
+            return _apply_op(F.col(STATUS_COLUMN), op, p.value)
+        if p.key == "duration":
+            return _apply_op(F.col("duration_nanos"), op, p.value)
         raise ValueError(p.key)
     if p.scope == "span":
-        return F.element_at(F.col("span_attributes"), p.key) == p.value
+        return _apply_op(F.element_at(F.col("span_attributes"), p.key), op, p.value)
     if p.scope == "resource":
-        return F.element_at(F.col("resource_attributes"), p.key) == p.value
-    # unscoped: well-known service.name → column; else span attr OR resource attr
+        return _apply_op(F.element_at(F.col("resource_attributes"), p.key), op, p.value)
+    # unscoped: well-known service.name → column; else span attr OR resource
+    # attr. Positive matchers OR the two scopes; negated matchers apply to
+    # the span-then-resource coalesce (exists-and-differs on the value the
+    # span actually carries — an OR of negations would match every span
+    # that lacks the key in one scope).
     if p.key == "service.name":
-        return F.col("service_name") == p.value
-    return (
-        (F.element_at(F.col("span_attributes"), p.key) == p.value)
-        | (F.element_at(F.col("resource_attributes"), p.key) == p.value)
-    )
+        return _apply_op(F.col("service_name"), op, p.value)
+    span_attr = F.element_at(F.col("span_attributes"), p.key)
+    res_attr = F.element_at(F.col("resource_attributes"), p.key)
+    if op in ("!=", "!~"):
+        return _apply_op(F.coalesce(span_attr, res_attr), op, p.value)
+    return _apply_op(span_attr, op, p.value) | _apply_op(res_attr, op, p.value)
 
 
 def find_by_id(traces: DataFrame, trace_id: str, start=None, end=None) -> DataFrame:
@@ -133,9 +167,32 @@ def assemble_hierarchy(spans: DataFrame) -> DataFrame:
     )
 
 
+def predicates_expr(df: DataFrame, parsed):
+    """Combined filter Column for a parsed spanset: a conjunction list
+    ANDs; a Disjunction ORs its conjunction groups (DNF — stays one
+    scan + one filter, no union of subplans)."""
+    from .parser import Disjunction
+
+    if isinstance(parsed, Disjunction):
+        out = None
+        for group in parsed.groups:
+            g = None
+            for p in group:
+                e = predicate_expr(df, p)
+                g = e if g is None else g & e
+            g = F.lit(True) if g is None else g
+            out = g if out is None else out | g
+        return F.lit(True) if out is None else out
+    out = None
+    for p in parsed:
+        e = predicate_expr(df, p)
+        out = e if out is None else out & e
+    return F.lit(True) if out is None else out
+
+
 def search(
     traces: DataFrame,
-    predicates: list[SpanPredicate],
+    predicates,
     start=None,
     end=None,
     min_duration_nanos: int | None = None,
@@ -156,8 +213,7 @@ def search(
     df = traces
     if start is not None and end is not None:
         df = df.filter(F.col("timestamp").between(start, end))
-    for p in predicates:
-        df = df.filter(predicate_expr(df, p))
+    df = df.filter(predicates_expr(df, predicates))
     if min_duration_nanos is not None:
         df = df.filter(F.col("duration_nanos") >= min_duration_nanos)
     if max_duration_nanos is not None:
@@ -176,6 +232,34 @@ def search(
         .select("trace_id")
     )
     return df.join(F.broadcast(ranked_traces), "trace_id")
+
+
+def search_traceql(
+    traces: DataFrame,
+    query: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    **search_kwargs,
+) -> DataFrame:
+    """String-in entrypoint: parse the (widened) TraceQL expression,
+    record attribute demand (the reference records at the trace query
+    site, trace.rs:508-517), and dispatch — spansets/disjunctions to
+    :func:`search`, structural and aggregate queries to the structural
+    lowering."""
+    from ..maintenance import attr_demand
+    from .parser import AggregateQuery, StructuralQuery, parse_traceql_expr
+
+    parsed = parse_traceql_expr(query)
+    attr_demand.record_traceql_query(parsed, tenant, dataset)
+    if isinstance(parsed, StructuralQuery):
+        from .structural import structural_search
+
+        return structural_search(traces, parsed)
+    if isinstance(parsed, AggregateQuery):
+        from .structural import aggregate_search
+
+        return aggregate_search(traces, parsed)
+    return search(traces, parsed, **search_kwargs)
 
 
 def tag_values(traces: DataFrame, scope: str, key: str, cap: int = 1000) -> DataFrame:

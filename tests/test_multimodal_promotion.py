@@ -1,0 +1,168 @@
+"""Round-3 additions: real-decoder escape hatch (Pillow-gated),
+attr-promotion streak hysteresis, and demand recording at the PromQL /
+TraceQL query sites."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------- multimodal real decode
+
+
+def test_real_decoder_with_pillow(spark):
+    """Exercises the REAL decode path when Pillow is installed (skipped
+    in containers without it); the Spark-side plumbing — schema,
+    batching, UDF signature — is identical to the fake path."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from signaldb_spark.operators.multimodal import extract_features
+
+    buf = io.BytesIO()
+    Image.new("L", (12, 7), color=128).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    row = extract_features(media, use_real_decoder=True).collect()[0]
+    assert (row.width, row.height) == (12, 7)
+    assert abs(row.brightness - 128 / 255) < 1e-6
+
+
+def test_fake_decoder_unchanged(spark):
+    from signaldb_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcd"))], "media_id long, payload binary"
+    )
+    row = extract_features(media).collect()[0]
+    assert (row.width, row.height, row.n_bytes) == (4 + 32, 32, 4)
+
+
+# ------------------------------------------------- promotion hysteresis
+
+
+def _stats(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, cardinality long, presence_ratio double"
+    )
+
+
+def test_promotion_streak_hysteresis(spark, tmp_path):
+    """A key must stay over threshold for promote_streak consecutive
+    cycles before promotion; a demoted-budget cycle demotes zero-demand
+    materialized keys (attr_promotion.rs:82-153 policy)."""
+    from signaldb_spark.maintenance.promotion import (
+        PromotionConfig,
+        StreakStore,
+        promotion_cycle,
+    )
+
+    store = StreakStore(str(tmp_path / "logs"))
+    cfg = PromotionConfig(promote_streak=3, max_labels_per_table=4)
+    stats = _stats(spark, [("env", 3, 0.9), ("request_id_12345678", 900, 0.9)])
+    demand = {"env": 10, "request_id_12345678": 50}
+
+    d1 = promotion_cycle(stats, store, demand, config=cfg)
+    assert d1.promote == [] and d1.building == [("env", 1)]
+    d2 = promotion_cycle(stats, store, demand, config=cfg)
+    assert d2.promote == [] and d2.building == [("env", 2)]
+    d3 = promotion_cycle(stats, store, demand, config=cfg)
+    # third consecutive over-threshold cycle → promoted; the
+    # generated-looking key (8+ digit run) never builds a streak
+    assert d3.promote == ["env"] and d3.building == []
+
+    # a threshold miss RESETS the streak — one good cycle after it is
+    # not enough again
+    d4 = promotion_cycle(stats, store, {}, config=cfg)
+    assert d4.promote == [] and d4.building == []
+    d5 = promotion_cycle(stats, store, demand, config=cfg)
+    assert d5.promote == [] and d5.building == [("env", 1)]
+
+
+def test_promotion_budget_and_demote(spark, tmp_path):
+    from signaldb_spark.maintenance.promotion import (
+        PromotionConfig,
+        StreakStore,
+        promotion_cycle,
+    )
+
+    store = StreakStore(str(tmp_path / "logs"))
+    cfg = PromotionConfig(promote_streak=1, max_labels_per_table=3)
+    stats = _stats(
+        spark, [("a", 5, 0.9), ("b", 5, 0.8), ("c", 5, 0.7), ("d", 5, 0.6)]
+    )
+    demand = {"a": 9, "b": 8, "c": 7, "d": 6}
+    # width budget 3 minus 2 already-materialized = headroom 1: only the
+    # highest-scoring candidate promotes
+    d = promotion_cycle(
+        stats, store, demand, materialized=("x", "y"), pinned=("x",), config=cfg
+    )
+    assert d.promote == ["a"]
+    # y is materialized, unpinned, and has zero demand this cycle → demote;
+    # pinned x is never demoted even with zero demand
+    assert d.demote == ["y"]
+
+    # shrinking budget to the current width stops all promotion
+    cfg2 = PromotionConfig(promote_streak=1, max_labels_per_table=2)
+    d2 = promotion_cycle(
+        stats, store, demand, materialized=("x", "y"), pinned=("x",), config=cfg2
+    )
+    assert d2.promote == [] and d2.demote == ["y"]
+
+
+# --------------------------------------------- demand recording (query sites)
+
+
+def test_promql_query_records_demand(spark):
+    from signaldb_spark.maintenance import attr_demand
+    from signaldb_spark.promql.lowering import PromCtx, query_range
+
+    gauge = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "api", "cpu", 1.0, {"pod": "p1"})],
+        "timestamp string, service_name string, metric_name string,"
+        " value double, attributes map<string,string>",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    ctx = PromCtx(
+        spark, gauge, None, None,
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600,
+        tenant="t1", dataset="d1",
+    )
+    attr_demand.drain()
+    query_range(ctx, 'sum(cpu{pod="p1", job="api"})')
+    demand = attr_demand.demand_map("t1", "d1", "metrics")
+    # pod falls through to the attributes map → recorded; job is
+    # well-known (service_name column) → not recorded
+    assert demand == {"pod": 1}
+
+
+def test_traceql_query_records_demand(spark):
+    from signaldb_spark.maintenance import attr_demand
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", 1, "GET /a", "api", 100, 5_000_000, "2024-01-01",
+             {"qty": "40"}, {"env": "prod"}),
+            ("t1", 2, "GET /b", "api", 90, 1_000_000, "2024-01-01",
+             {"qty": "10"}, {"env": "prod"}),
+        ],
+        "trace_id string, span_id long, span_name string, service_name string,"
+        " start_time_unix_nano long, duration_nanos long, timestamp string,"
+        " span_attributes map<string,string>, resource_attributes map<string,string>",
+    )
+    attr_demand.drain()
+    out = search_traceql(
+        spans,
+        '{ name =~ "GET.*" && span.qty >= 30 } || { resource.env != "prod" }',
+        tenant="t2",
+        dataset="d2",
+    ).collect()
+    assert [r.span_id for r in out] == [1]  # only the qty>=30 span
+    assert attr_demand.demand_map("t2", "d2", "traces") == {"qty": 1, "env": 1}
+    # duration matcher end-to-end
+    fast = search_traceql(spans, "{ duration < 2ms }").collect()
+    assert [r.span_id for r in fast] == [2]

@@ -244,8 +244,22 @@ def test_kmeans_assignment_is_map_only(spark):
 
 def test_curation_full_probe_is_broadcast_and_join_safe(spark):
     """The benchmark shingle probe must broadcast; nothing in the
-    composite pipeline may degrade to a cartesian."""
-    p = plan(all_queries()["curation_full"](spark, SF_DIR))
+    composite pipeline may degrade to a cartesian. Audited with
+    eager=False — the default gate path truncates the plan behind a
+    localCheckpoint after materializing."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.catalog import load_table
+    from signaldb_spark.operators.curation import curate_corpus_full
+
+    out = curate_corpus_full(
+        load_table(spark, SF_DIR, "documents"),
+        benchmark_filter=F.col("source") == "src0",
+        langs=("en",), min_quality=0.45,
+        max_dup_bigram_frac=0.05, decontam_threshold=0.05,
+        n=3, num_hashes=8, bands=4, eager=False,
+    )
+    p = plan(out)
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 

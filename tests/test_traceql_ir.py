@@ -47,7 +47,8 @@ def test_parse_traceql_intrinsics_and_status_normalization():
     assert preds[1] == SpanPredicate("intrinsic", "status", "Error")
 
 
-def test_parse_traceql_rejections():
+def test_parse_traceql_strict_rejections():
+    """Reference-parity mode (search_filter.rs:234-330 rejections)."""
     for bad in [
         '{ a = "b" || c = "d" }',
         '{ span.x != "y" }',
@@ -55,7 +56,40 @@ def test_parse_traceql_rejections():
         'no braces',
     ]:
         with pytest.raises(TraceQLError):
+            parse_traceql(bad, strict=True)
+    # genuinely unparsable input still rejects in widened mode
+    for bad in ['no braces', "{ span.x ~ }", "{ duration =~ 10ms }"]:
+        with pytest.raises(TraceQLError):
             parse_traceql(bad)
+
+
+def test_parse_traceql_widened_grammar():
+    """Beyond-parity: ||, !=, regex, range and duration matchers — the
+    Tempo grammar Grafana emits that the reference rejects."""
+    from signaldb_spark.traceql.parser import Disjunction
+
+    assert parse_traceql('{ span.x != "y" }') == [
+        SpanPredicate("span", "x", "y", "!=")
+    ]
+    assert parse_traceql('{ name =~ "GET.*" && resource.env !~ "stag.*" }') == [
+        SpanPredicate("intrinsic", "name", "GET.*", "=~"),
+        SpanPredicate("resource", "env", "stag.*", "!~"),
+    ]
+    assert parse_traceql("{ span.qty >= 30 }") == [
+        SpanPredicate("span", "qty", 30.0, ">=")
+    ]
+    assert parse_traceql("{ duration > 100ms }") == [
+        SpanPredicate("intrinsic", "duration", 100e6, ">")
+    ]
+    assert parse_traceql("{ duration <= 1.5s }") == [
+        SpanPredicate("intrinsic", "duration", 1.5e9, "<=")
+    ]
+    d = parse_traceql('{ name = "a" && span.x = "1" } || { status = error }')
+    assert isinstance(d, Disjunction) and len(d.groups) == 2
+    assert d.groups[1] == (SpanPredicate("intrinsic", "status", "Error"),)
+    # a || inside a quoted regex value is NOT a disjunction
+    one = parse_traceql('{ name =~ "a||b" }')
+    assert one == [SpanPredicate("intrinsic", "name", "a||b", "=~")]
 
 
 def test_parse_tags():
@@ -242,9 +276,10 @@ def test_parse_structural_expr():
     assert parse_traceql_expr('{ name = "api" }') == [
         SpanPredicate("intrinsic", "name", "api")
     ]
-    # in-clause comparison operators remain rejected (reference parity)
-    with pytest.raises(TraceQLError):
-        parse_traceql_expr("{ duration > 5s }")
+    # widened mode accepts duration comparisons now (beyond-parity)
+    assert parse_traceql_expr("{ duration > 5s }") == [
+        SpanPredicate("intrinsic", "duration", 5e9, ">")
+    ]
 
 
 def test_child_spans(tree_spans):
