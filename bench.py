@@ -107,6 +107,10 @@ HEADLINE = [
     "trace_linked",
     "trace_search_regex",
     "promql_hq_exemplars",
+    "interval_join",
+    "dedup_incremental",
+    "emb_quantize",
+    "text_familiarity",
 ]
 
 

@@ -253,3 +253,56 @@ def q_asof_join_sliced(spark, sf_dir):
 
 QUERIES["asof_join_sliced"] = q_asof_join_sliced
 ORACLES["asof_join_sliced"] = ORACLE_ASOF_JOIN
+
+
+def q_interval_join(spark, sf_dir):
+    """Batch interval join (temporal.interval_join): for each purchase,
+    all of the same user's clicks in the preceding day, rolled up per
+    purchase-day. Bucketed equi-join — one shuffle per side, no
+    nested-loop range join."""
+    from .operators.temporal import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("c_id")
+    )
+    j = interval_join(
+        purchases, clicks, ["user_id"], "ts", "r_ts",
+        before_seconds=86400, after_seconds=0,
+    )
+    return (
+        j.groupBy(
+            (F.floor(F.col("ts").cast("double") / 86400) * 86400)
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.count_distinct("p_id").alias("matched_purchases"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH p AS (
+  SELECT user_id, ts, event_id AS p_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS r_ts FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.ts, p.p_id FROM p JOIN c
+    ON p.user_id = c.user_id
+   AND epoch(c.r_ts) >= epoch(p.ts) - 86400
+   AND epoch(c.r_ts) <= epoch(p.ts)
+)
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS pairs,
+       CAST(count(DISTINCT p_id) AS BIGINT) AS matched_purchases
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["interval_join"] = q_interval_join
+ORACLES["interval_join"] = ORACLE_INTERVAL_JOIN

@@ -1211,3 +1211,112 @@ QUERIES["dataset_split"] = q_dataset_split
 ORACLES["dataset_split"] = ORACLE_DATASET_SPLIT
 QUERIES["pack_sequences"] = q_pack_sequences
 ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental batch-vs-corpus dedup (dedup.incremental_dedup):
+    src0 plays the existing corpus, every other source is the new
+    batch; verdicts are corpus-dup / in-batch-dup / new."""
+    d = _docs(spark, sf_dir)
+    return dd.incremental_dedup(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5({NORM_SQL}) AS digest FROM documents WHERE source = 'src0'
+),
+batch AS (
+  SELECT doc_id, md5({NORM_SQL}) AS digest FROM documents WHERE source <> 'src0'
+),
+rk AS (
+  SELECT doc_id, digest,
+         row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn,
+         digest IN (SELECT digest FROM corpus) AS inc
+  FROM batch
+)
+SELECT doc_id, digest,
+       CASE WHEN inc THEN 'dup_of_corpus'
+            WHEN rn > 1 THEN 'dup_in_batch'
+            ELSE 'new' END AS verdict
+FROM rk
+"""
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+ORACLES["dedup_incremental"] = ORACLE_DEDUP_INCREMENTAL
+
+
+def q_emb_quantize(spark, sf_dir):
+    """Per-vector int8 scalar quantization (similarity.
+    quantize_embeddings): dequant params + integer code checksum +
+    mean absolute reconstruction error, map-only."""
+    return sim.quantize_embeddings(_embs(spark, sf_dir))
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, d.d AS dim, embedding[d.d]::DOUBLE AS v
+  FROM embeddings, UNNEST(range(1, 65)) d(d)
+),
+mm AS (SELECT vec_id, min(v) AS vmin, max(v) AS vmax FROM x GROUP BY 1),
+q AS (
+  SELECT x.vec_id, x.v, mm.vmin, mm.vmax,
+         CASE WHEN mm.vmax > mm.vmin
+              THEN CAST(floor((x.v - mm.vmin) / ((mm.vmax - mm.vmin) / 255) + 0.5) AS BIGINT)
+              ELSE 0 END AS code
+  FROM x JOIN mm USING (vec_id)
+)
+SELECT vec_id,
+       round(min(vmin), 6) AS q_min,
+       round(max(vmax), 6) AS q_max,
+       CAST(sum(code) AS BIGINT) AS checksum,
+       round(sum(abs(v - (code * ((vmax - vmin) / 255) + vmin))) / 64, 6) AS mean_abs_err
+FROM q GROUP BY 1
+"""
+
+QUERIES["emb_quantize"] = q_emb_quantize
+ORACLES["emb_quantize"] = ORACLE_EMB_QUANTIZE
+
+
+def q_text_familiarity(spark, sf_dir):
+    """Corpus-trained word-bigram familiarity score
+    (corpus.bigram_familiarity) — the no-ln perplexity-filter analog."""
+    from .operators.corpus import bigram_familiarity
+
+    return bigram_familiarity(_docs(spark, sf_dir))
+
+
+ORACLE_TEXT_FAMILIARITY = f"""
+WITH {TOK_SQL},
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) u(i)
+  WHERE len(t) >= 2
+),
+cnt AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+den AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+p AS (
+  SELECT w1, w2,
+         floor((c2::DOUBLE / c1) * 1000000.0 + 0.5) / 1000000.0 AS p
+  FROM cnt JOIN den USING (w1)
+),
+scored AS (
+  SELECT bg.doc_id, count(*) AS n_bg,
+         sum(CAST(round(p.p * 1000000.0, 0) AS BIGINT)) AS micro
+  FROM bg JOIN p USING (w1, w2) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_bg, 0) AS BIGINT) AS n_bigrams,
+       coalesce(
+         floor(((s.micro::DOUBLE / s.n_bg) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0,
+         0.0
+       ) AS familiarity
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+QUERIES["text_familiarity"] = q_text_familiarity
+ORACLES["text_familiarity"] = ORACLE_TEXT_FAMILIARITY

@@ -350,3 +350,68 @@ def pack_sequences(
             (start % budget).cast("long").alias("bin_offset"),
         )
     )
+
+
+def bigram_familiarity(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Language-model familiarity score — the no-external-model stand-in
+    for CCNet/RefinedWeb perplexity filtering: train a word-bigram model
+    ON THE CORPUS ITSELF (P(w2|w1) = c(w1,w2) / c(w1,·)) and score each
+    document by the mean transition probability over its bigram tokens.
+    Gibberish and boilerplate-free outlier docs score low; formulaic
+    duplicates score high — the same separation axis perplexity gives,
+    without ``ln`` (libm rounding differs across engines; an arithmetic
+    mean of exact integer ratios stays oracle-exact — header note).
+
+    Shape at 100 TB: bigrams explode once (positions via one transform,
+    no self-join); model = two partial+final counts (bigram-vocab and
+    unigram-vocab sized); scoring joins doc bigrams against the
+    vocab-sized model table, then one per-doc aggregation. The mean
+    accumulates 6dp-rounded probabilities as exact integer micro-units,
+    so the sum is order-independent (the avg_quality trick).
+
+    Output: (id, n_bigrams, familiarity ∈ [0,1]) for every document;
+    docs with fewer than two tokens score 0 over 0 bigrams.
+    """
+    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    n_bg = F.size(tokens) - 1
+    bigrams = F.when(
+        n_bg >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_bg, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(tokens, i).alias("w1"),
+                F.element_at(tokens, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(bigrams).alias("b"))
+        .select(id_col, "b.w1", "b.w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    den = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    p = cnt.join(den, "w1").select(
+        "w1", "w2", _r6(F.col("c2") / F.col("c1")).alias("p")
+    )
+    scored = (
+        bg.join(p, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.round(F.col("p") * 1e6, 0).cast("long")).alias("_micro"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(
+                _r6(F.col("_micro") / F.col("n_bigrams") / 1e6), F.lit(0.0)
+            ).alias("familiarity"),
+        )
+    )

@@ -470,3 +470,48 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: 
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW ingest batch against an EXISTING corpus — the
+    incremental form every production pipeline actually runs (full-corpus
+    re-dedup per batch is O(corpus), this is O(batch + digest join).
+
+    Verdicts per new document:
+    - ``dup_of_corpus``: content digest already present in the corpus;
+    - ``dup_in_batch``: digest is new to the corpus but another batch
+      document with a smaller id carries it;
+    - ``new``: first occurrence anywhere.
+
+    Scale shape: the corpus projects to DISTINCT 16-byte digests only
+    (never text); the probe is one left join on the digest — AQE
+    broadcasts it when the historical digest set is small, hash-joins
+    otherwise (at 100 TB the digest table is what you'd bucket by digest
+    and co-locate). Within-batch ranking is one window over the batch's
+    own digests.
+    """
+    digest = F.md5(normalize_text(F.col(text_col)))
+    corpus_digests = (
+        corpus.select(F.md5(normalize_text(F.col(text_col))).alias("digest"))
+        .distinct()
+        .withColumn("_in_corpus", F.lit(1))
+    )
+    batch = new_batch.select(F.col(id_col), digest.alias("digest"))
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        batch.join(corpus_digests, "digest", "left")
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            F.col(id_col),
+            "digest",
+            F.when(F.col("_in_corpus").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("_rk") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+        )
+    )

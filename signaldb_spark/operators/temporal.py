@@ -1,4 +1,5 @@
-"""Temporal joins Spark lacks natively: as-of (nearest-event) join.
+"""Temporal joins Spark lacks natively: as-of (nearest-event) join and
+bucketed interval (range) join.
 
 The classic implementation is a range join (l.ts >= r.ts AND l.ts - d <=
 r.ts), which Catalyst executes as a broadcast-nested-loop or an
@@ -156,3 +157,41 @@ def asof_join(
     return matched.select(
         *[F.col("_l")[c].alias(c) for c in left.columns], *out_right
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    before_seconds: int = 3600,
+    after_seconds: int = 0,
+) -> DataFrame:
+    """Batch interval join: all (left, right) pairs of the same key with
+    ``right.ts ∈ [left.ts - before, left.ts + after]`` — the batch
+    counterpart of streaming.stream_interval_join (the reference has
+    neither; its correlation queries are point-id joins).
+
+    Scale shape: a naive range join degenerates to
+    broadcast-nested-loop / per-row scans in Catalyst. Here both sides
+    hash into time buckets of width ``before + after`` (floored at 1s):
+    each RIGHT row replicates into the ≤2 buckets its match window can
+    intersect, then an EQUI-join on (keys, bucket) + the exact interval
+    filter runs as a plain shuffled hash join — one shuffle per side,
+    pair work bounded by events per bucket, no nested loop. Right-side
+    columns must already be disambiguated (no shared names besides
+    ``keys``).
+    """
+    width = max(int(before_seconds + after_seconds), 1)
+    l = left.withColumn(
+        "_bucket", F.floor(F.col(left_ts).cast("double") / width).cast("long")
+    )
+    r_lo = F.floor((F.col(right_ts).cast("double") - after_seconds) / width).cast("long")
+    r_hi = F.floor((F.col(right_ts).cast("double") + before_seconds) / width).cast("long")
+    r = right.withColumn("_bucket", F.explode(F.sequence(r_lo, r_hi)))
+    cond = (
+        (F.col(right_ts).cast("double") >= F.col(left_ts).cast("double") - before_seconds)
+        & (F.col(right_ts).cast("double") <= F.col(left_ts).cast("double") + after_seconds)
+    )
+    return l.join(r, [*keys, "_bucket"]).filter(cond).drop("_bucket")

@@ -270,3 +270,28 @@ def test_timeseries_aggs_keep_partial_final(spark):
     for name in ("trace_metrics_rate", "promql_mad", "exphist_quantile"):
         p = plan(all_queries()[name](spark, SF_DIR))
         assert p.count("HashAggregate") >= 2, name
+
+
+def test_interval_join_is_bucketed_equi_join(spark):
+    """The batch interval join must execute as a shuffled/broadcast HASH
+    join on (keys, bucket) — never a nested-loop range join."""
+    p = plan(all_queries()["interval_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p
+
+
+def test_emb_quantize_is_map_only(spark):
+    """Scalar quantization is a pure projection over the scan: the only
+    exchange allowed is the fan_out repartition of the tiny benchmark
+    file — no join, no aggregate."""
+    p = plan(all_queries()["emb_quantize"](spark, SF_DIR))
+    for op in ("Join", "HashAggregate"):
+        assert op not in p, op
+
+
+def test_incremental_dedup_probes_digests_only(spark):
+    """The corpus side of incremental dedup must reduce to a digest
+    projection before the join — ReadSchema on the corpus scan carries
+    only the text column (digest input), never ancillary columns."""
+    p = plan(all_queries()["dedup_incremental"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
