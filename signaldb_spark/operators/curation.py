@@ -92,7 +92,7 @@ def curate_corpus_full(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    eager: bool = True,
+    eager: bool = False,
 ) -> DataFrame:
     """The full C4/RefinedWeb-shaped curation pipeline in one plan:
 
@@ -177,12 +177,12 @@ def curate_corpus_full(
             / F.count(F.lit(1)) / 1e6
         ).alias("avg_quality"),
     )
-    # The yield report is per-source (a handful of rows): materialize it
-    # eagerly (default) so the intermediate caches can be RELEASED here
-    # instead of accumulating in a long-lived session until LRU
-    # pressure. ``eager=False`` keeps the full lazy plan (plan audits,
-    # callers composing further before the action) — those callers own
-    # the cache lifecycle.
+    # Cache lifecycle: the default (lazy) keeps the intermediates cached
+    # after the caller's action — repeated calls over the SAME corpus
+    # reuse them (Spark's CacheManager dedups identical plans), but a
+    # long-lived session curating MANY corpora accumulates entries until
+    # LRU pressure; such callers pass ``eager=True`` to materialize the
+    # per-source report here and release every intermediate immediately.
     if not eager:
         return report.orderBy("source")
     report = report.localCheckpoint()
