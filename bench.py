@@ -111,6 +111,9 @@ HEADLINE = [
     "dedup_incremental",
     "emb_quantize",
     "text_familiarity",
+    "emb_knn_classify",
+    "dedup_verify",
+    "source_cap",
 ]
 
 

@@ -1320,3 +1320,141 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 QUERIES["text_familiarity"] = q_text_familiarity
 ORACLES["text_familiarity"] = ORACLE_TEXT_FAMILIARITY
+
+
+def q_emb_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction (similarity.knn_classify):
+    queries are vec_id < 10, classified from their 5 nearest neighbors'
+    labels with smaller-label tie-break."""
+    e = _embs(spark, sf_dir)
+    return sim.knn_classify(
+        e, e.filter(F.col("vec_id") < 10), "vec_id", "embedding", "label",
+        k=5, dims=64,
+    )
+
+
+ORACLE_EMB_KNN = """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.embedding[d.d]::DOUBLE * c.embedding[d.d]::DOUBLE) AS dot
+  FROM embeddings q, embeddings c, UNNEST(range(1, 65)) d(d)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(dot / (nq.nrm * nc.nrm), 6) AS cosine
+  FROM pairs
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT r.query_id, e.label AS nl, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rk <= 5
+  GROUP BY 1, 2
+),
+winner AS (
+  SELECT query_id, nl, votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl ASC) AS rk2,
+         sum(votes) OVER (PARTITION BY query_id) AS total
+  FROM votes
+)
+SELECT query_id, nl AS predicted_label,
+       CAST(votes AS BIGINT) AS votes, CAST(total AS BIGINT) AS total
+FROM winner WHERE rk2 = 1
+"""
+
+QUERIES["emb_knn_classify"] = q_emb_knn_classify
+ORACLES["emb_knn_classify"] = ORACLE_EMB_KNN
+
+
+def q_dedup_verify(spark, sf_dir):
+    """Candidate→verify near-dup pipeline (dedup.verify_candidate_pairs):
+    MinHash-LSH candidates re-scored with EXACT set Jaccard before any
+    drop decision — banding false positives die here."""
+    d = _docs(spark, sf_dir)
+    sigs = dd.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=8)
+    pairs = dd.lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=4)
+    sh = dd.word_shingles(d, "doc_id", "text", 3).select(
+        F.col("doc_id"), F.xxhash64("shingle").alias("shingle")
+    )
+    return dd.verify_candidate_pairs(pairs, sh, "doc_id", threshold=0.5)
+
+
+ORACLE_DEDUP_VERIFY = f"""
+WITH {TOK_SQL}, {SHINGLE_SQL},
+hx AS (SELECT doc_id, shingle, h FROM sh, UNNEST(range(0, 8)) u(h)),
+mh AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, h // 2 AS band,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM mh GROUP BY 1, 2
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_common
+  FROM p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT p.id_a, p.id_b,
+         round(coalesce(i.n_common, 0)
+               / (sa.n_sh + sb.n_sh - coalesce(i.n_common, 0)), 6) AS jaccard
+  FROM p
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+"""
+
+QUERIES["dedup_verify"] = q_dedup_verify
+ORACLES["dedup_verify"] = ORACLE_DEDUP_VERIFY
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source quota capping (corpus.source_cap): at most 30 docs per
+    source, md5-ordered unbiased deterministic selection."""
+    from .operators.corpus import source_cap
+
+    return source_cap(_docs(spark, sf_dir), "doc_id", "source", cap=30)
+
+
+ORACLE_SOURCE_CAP = """
+WITH k AS (
+  SELECT doc_id, source,
+         md5('cap1:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS keep_rank
+  FROM k
+)
+SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+FROM r WHERE keep_rank <= 30
+"""
+
+QUERIES["source_cap"] = q_source_cap
+ORACLES["source_cap"] = ORACLE_SOURCE_CAP

@@ -415,3 +415,32 @@ def bigram_familiarity(
             ).alias("familiarity"),
         )
     )
+
+
+def source_cap(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cap: int = 100,
+    salt: str = "cap1",
+) -> DataFrame:
+    """Per-source quota capping — the domain-cap step of web-corpus
+    curation (no single crawl source may dominate the training mix):
+    keep at most ``cap`` documents per source, selected by md5 order so
+    the survivors are an unbiased deterministic sample rather than the
+    lowest ids (which correlate with crawl time).
+
+    One window per source over (md5 key, id); everything else is
+    map-side. A skewed giant source behaves like any hot window key —
+    pre-filter with stratified_sample when one source is most of the
+    corpus. Output: every kept (id, source, keep_rank)."""
+    key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(source_col).orderBy(key, F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(source_col), key.alias("_k"))
+        .withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") <= cap)
+        .select(id_col, source_col, F.col("keep_rank").cast("long").alias("keep_rank"))
+    )

@@ -515,3 +515,54 @@ def incremental_dedup(
             .alias("verdict"),
         )
     )
+
+
+def verify_candidate_pairs(
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard VERIFICATION of sketch candidates — the second
+    stage of every production near-dup pipeline: MinHash/SimHash
+    banding over-generates (the S-curve admits false positives), so
+    surviving pairs are re-scored with exact set Jaccard before any
+    document is dropped.
+
+    ``pairs`` is a candidate list (id_a, id_b); ``sh`` is the shingle
+    table (id, shingle) — pass the xxhash64-reduced form so every join
+    below shuffles longs. Shape: shingles join the candidate list
+    FIRST (per-pair work is bounded by candidates × shingles-per-doc,
+    never corpus²), then one equi-join on (pair, shingle) counts the
+    intersection and sizes join in. Output: (id_a, id_b, jaccard)
+    filtered to ``threshold``."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = pairs.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shingle")), "id_a"
+    )
+    inter = (
+        a.join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("shingle")),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna({"n_common": 0})
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

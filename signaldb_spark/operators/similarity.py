@@ -449,3 +449,48 @@ def quantize_embeddings(
             F.aggregate(abs_err, F.lit(0.0), lambda a, e: a + e) / F.size(x), 6
         ).alias("mean_abs_err"),
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    dims: int | None = None,
+) -> DataFrame:
+    """k-NN majority-vote classification over the embedding space — the
+    weak-supervision / label-propagation step of a training-data
+    pipeline (predict labels for unlabeled items from their nearest
+    labeled neighbors).
+
+    Built ON TOP of :func:`cosine_topk` (same broadcast-query +
+    window-rank shape; swap in the LSH/IVF variants for the 100 TB
+    path), then one aggregation per query counting votes. Ties break
+    to the smaller label for determinism. Output: (query_id,
+    predicted_label, votes, total) — ``votes``/``total`` is the
+    confidence."""
+    nbrs = cosine_topk(corpus, queries, id_col, vec_col, k=k, dims=dims)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        nbrs.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nl").asc()
+    )
+    return (
+        votes.withColumn("_rk", F.row_number().over(w))
+        .withColumn("total", F.sum("votes").over(Window.partitionBy("query_id")))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "query_id",
+            F.col("_nl").alias("predicted_label"),
+            F.col("votes").cast("long").alias("votes"),
+            F.col("total").cast("long").alias("total"),
+        )
+    )
