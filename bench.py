@@ -114,6 +114,8 @@ HEADLINE = [
     "emb_knn_classify",
     "dedup_verify",
     "source_cap",
+    "promql_offset",
+    "promql_at_pin",
 ]
 
 

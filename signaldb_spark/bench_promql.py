@@ -1006,3 +1006,93 @@ FROM j WHERE rk <= 3
 
 QUERIES["promql_hq_exemplars"] = q_promql_hq_exemplars
 ORACLES["promql_hq_exemplars"] = ORACLE_PROMQL_HQ_EXEMPLARS
+
+
+def q_promql_offset(spark, sf_dir):
+    """offset modifier end-to-end: the scan window shifts back one day,
+    bucket labels stay unshifted (promql.rs:216-218 semantics)."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "sum by (service_name) (max_over_time(events_value[1d] offset 1d))",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_OFFSET = """
+WITH m AS (
+  SELECT ts + INTERVAL 1 DAY AS ts2, event_type AS service_name, value
+  FROM events
+  WHERE ts + INTERVAL 1 DAY
+        BETWEEN '2024-01-01 00:00:00' AND '2024-02-01 00:00:00'
+)
+SELECT CAST(floor(epoch(ts2) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name, round(max(value), 6) AS value
+FROM m GROUP BY 1, 2
+"""
+
+QUERIES["promql_offset"] = q_promql_offset
+ORACLES["promql_offset"] = ORACLE_PROMQL_OFFSET
+
+
+def q_promql_at_pin(spark, sf_dir):
+    """@ modifier end-to-end: the range evaluates at the pinned instant
+    (2024-01-15) and the per-series latest value replicates across every
+    output step (eval_at, metrics.rs:744-827)."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "max_over_time(events_value[1d] @ 1705276800)",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_AT_PIN = """
+WITH w AS (
+  SELECT event_type AS service_name, value,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS b
+  FROM events
+  WHERE ts BETWEEN '2024-01-14 00:00:00' AND '2024-01-15 00:00:00'
+),
+perb AS (SELECT service_name, b, max(value) AS v FROM w GROUP BY 1, 2),
+pinned AS (SELECT service_name, max_by(v, b) AS value FROM perb GROUP BY 1),
+spine AS (
+  SELECT CAST(UNNEST(range(1704067200, 1706745601, 86400)) AS BIGINT) AS bucket
+)
+SELECT s.bucket, p.service_name, round(p.value, 6) AS value
+FROM spine s, pinned p
+"""
+
+QUERIES["promql_at_pin"] = q_promql_at_pin
+ORACLES["promql_at_pin"] = ORACLE_PROMQL_AT_PIN
+
+
+def q_promql_timestamp(spark, sf_dir):
+    """timestamp(v): each series' value becomes its sample bucket epoch
+    (metrics.rs timestamp eval)."""
+    out = query_range(_ctx(spark, sf_dir), "timestamp(events_value)")
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_PROMQL_TIMESTAMP = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST({_BUCKET} AS DOUBLE) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["promql_timestamp"] = q_promql_timestamp
+ORACLES["promql_timestamp"] = ORACLE_PROMQL_TIMESTAMP
+
+
+def q_promql_time_vector(spark, sf_dir):
+    """vector(1) + time(): spine synthesis and the scalar time series
+    through the binop join path."""
+    out = query_range(_ctx(spark, sf_dir), "vector(1) + time()")
+    return out.select("bucket", "value")
+
+
+ORACLE_PROMQL_TIME_VECTOR = """
+SELECT CAST(b AS BIGINT) AS bucket, CAST(b AS DOUBLE) + 1.0 AS value
+FROM UNNEST(range(1704067200, 1706745601, 86400)) u(b)
+"""
+
+QUERIES["promql_time_vector"] = q_promql_time_vector
+ORACLES["promql_time_vector"] = ORACLE_PROMQL_TIME_VECTOR
