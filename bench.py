@@ -116,6 +116,7 @@ HEADLINE = [
     "source_cap",
     "promql_offset",
     "promql_at_pin",
+    "logql_regexp_stage",
 ]
 
 

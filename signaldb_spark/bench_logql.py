@@ -283,3 +283,46 @@ ORDER BY count DESC, template ASC LIMIT 50
 
 QUERIES["logql_patterns"] = q_logql_patterns
 ORACLES["logql_patterns"] = ORACLE_LOGQL_PATTERNS
+
+
+def q_logql_regexp_stage(spark, sf_dir):
+    """Loki ``| regexp`` stage with an RE2 named capture group becoming
+    a grouping label, end-to-end through the pipeline."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (kv) (count_over_time('
+        '{service=~".+"} | regexp "\\"k\\": (?P<kv>[0-9]+)" [1d]))',
+    )
+    return out.select("bucket", F.col("kv"), "value")
+
+
+ORACLE_LOGQL_REGEXP_STAGE = f"""
+SELECT {_BUCKET} AS bucket,
+       regexp_extract(props, '"k": ([0-9]+)', 1) AS kv,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["logql_regexp_stage"] = q_logql_regexp_stage
+ORACLES["logql_regexp_stage"] = ORACLE_LOGQL_REGEXP_STAGE
+
+
+def q_logql_pattern_stage(spark, sf_dir):
+    """Loki ``| pattern`` stage: placeholder template extraction feeding
+    an unwrap aggregation."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (service) (sum_over_time('
+        '{service=~".+"} | pattern "{\\"k\\": <pk>}" | unwrap pk [1d]))',
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_LOGQL_PATTERN_STAGE = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(sum(CAST(regexp_extract(props, '^\\{{"k": (.*)\\}}$', 1) AS DOUBLE)), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["logql_pattern_stage"] = q_logql_pattern_stage
+ORACLES["logql_pattern_stage"] = ORACLE_LOGQL_PATTERN_STAGE
