@@ -60,3 +60,35 @@ def test_tolerance_nulls_stale_matches(spark):
     assert out["l1"] == (None, None)
     # equal timestamps are distance 0 -> kept
     assert out["l2"][0] == "r2"
+
+
+def test_interval_join_matches_naive_range_join(spark):
+    """Property: the bucketed interval join returns exactly the pairs a
+    naive range join finds, across boundary-straddling timestamps and
+    both window shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.temporal import interval_join
+
+    rnd = random.Random(11)
+    left = [(rnd.randrange(5), float(rnd.randrange(0, 20_000)), i) for i in range(300)]
+    right = [(rnd.randrange(5), float(rnd.randrange(0, 20_000)), i) for i in range(300)]
+    l = spark.createDataFrame(left, "k long, ts double, lid long")
+    r = spark.createDataFrame(right, "k long, r_ts double, rid long")
+    for before, after in ((3600, 0), (1800, 900), (0, 100)):
+        got = {
+            (x.lid, x.rid)
+            for x in interval_join(
+                l, r, ["k"], "ts", "r_ts",
+                before_seconds=before, after_seconds=after,
+            ).collect()
+        }
+        want = {
+            (lid, rid)
+            for (lk, lts, lid) in left
+            for (rk, rts, rid) in right
+            if lk == rk and lts - before <= rts <= lts + after
+        }
+        assert got == want, (before, after, len(got), len(want))
