@@ -117,6 +117,7 @@ HEADLINE = [
     "promql_offset",
     "promql_at_pin",
     "logql_regexp_stage",
+    "profile_self_time",
 ]
 
 

@@ -902,3 +902,63 @@ ORDER BY 1, 2, 3, 4 LIMIT 10000
 
 QUERIES["trace_linked"] = q_trace_linked
 ORACLES["trace_linked"] = ORACLE_TRACE_LINKED
+
+
+def q_profile_self_time(spark, sf_dir):
+    """Self-vs-cumulative flamegraph (profiles.flamegraph_self): each
+    order contributes a [region, nation] stack (full price) AND a
+    root-only [region] stack (orderkey%100), so region rows carry
+    non-zero self time distinct from their subtree sum."""
+    from .operators.profiles import flamegraph_self
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    profiles = j.select(
+        F.to_json(
+            F.array(F.array("r_name", "n_name"), F.array("r_name"))
+        ).alias("stacktraces_json"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("stacktrace_idx"),
+                    F.round("o_totalprice", 0).cast("long").alias("value"),
+                ),
+                F.struct(
+                    F.lit(1).alias("stacktrace_idx"),
+                    (F.col("o_orderkey") % 100).cast("long").alias("value"),
+                ),
+            )
+        ).alias("samples_json"),
+    )
+    out = flamegraph_self(profiles)
+    return out.select("path", "depth", "frame", "value", "value_self")
+
+
+ORACLE_PROFILE_SELF_TIME = """
+WITH j AS (
+  SELECT r_name, n_name,
+         CAST(round(o_totalprice, 0) AS BIGINT) AS w,
+         CAST(o_orderkey % 100 AS BIGINT) AS w2
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT r_name AS path, 1 AS depth, r_name AS frame,
+       sum(w) + sum(w2) AS value, sum(w2) AS value_self
+FROM j GROUP BY r_name
+UNION ALL
+SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame,
+       sum(w) AS value, sum(w) AS value_self
+FROM j GROUP BY r_name, n_name
+"""
+
+QUERIES["profile_self_time"] = q_profile_self_time
+ORACLES["profile_self_time"] = ORACLE_PROFILE_SELF_TIME

@@ -51,6 +51,48 @@ def flamegraph(profiles: DataFrame, group_cols: list[str] | None = None) -> Data
     return out.select(*group_cols, "path", "depth", "frame", "value")
 
 
+def flamegraph_self(profiles: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Flamegraph with BOTH cumulative and self weight per frame path —
+    the "self time" column every profiler UI ranks hot frames by
+    (cumulative alone can't distinguish a hot leaf from a hot subtree).
+
+    Same single prefix-explode + ONE groupBy as :func:`flamegraph`: the
+    leaf indicator (prefix depth == stack depth) rides each exploded
+    row, so self = sum of weights where the prefix IS the full stack —
+    no second pass, no join. Invariant: value_self(path) =
+    value(path) − Σ value(direct children)."""
+    group_cols = group_cols or []
+    stacks = F.from_json(F.col("stacktraces_json"), STACKS_TYPE)
+    samples = F.from_json(F.col("samples_json"), SAMPLES_TYPE)
+    s = profiles.select(
+        *group_cols, stacks.alias("stacks"), F.explode(samples).alias("sample")
+    )
+    stack = F.element_at(F.col("stacks"), F.col("sample.stacktrace_idx") + 1)
+    s = s.select(
+        *group_cols,
+        stack.alias("stack"),
+        F.col("sample.value").alias("weight"),
+    ).filter(F.col("stack").isNotNull())
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size("stack")),
+        lambda d: F.struct(
+            F.array_join(F.slice(F.col("stack"), 1, d), ";").alias("path"),
+            (d == F.size("stack")).cast("int").alias("is_leaf"),
+        ),
+    )
+    p = s.select(*group_cols, "weight", F.explode(prefixes).alias("pp"))
+    out = (
+        p.groupBy(*group_cols, F.col("pp.path").alias("path"))
+        .agg(
+            F.sum("weight").alias("value"),
+            F.sum(F.col("weight") * F.col("pp.is_leaf")).alias("value_self"),
+        )
+        .withColumn("depth", F.size(F.split(F.col("path"), ";")))
+        .withColumn("frame", F.element_at(F.split(F.col("path"), ";"), -1))
+    )
+    return out.select(*group_cols, "path", "depth", "frame", "value", "value_self")
+
+
 def find_by_trace(profiles: DataFrame, trace_id: str, span_id: str | None = None) -> DataFrame:
     """Profile↔trace correlation: equality filter on trace_id (+span)
     (find_by_trace_with_tenant, src/querier/src/query/profile.rs:402-456)."""

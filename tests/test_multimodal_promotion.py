@@ -166,3 +166,44 @@ def test_traceql_query_records_demand(spark):
     # duration matcher end-to-end
     fast = search_traceql(spans, "{ duration < 2ms }").collect()
     assert [r.span_id for r in fast] == [2]
+
+
+def test_demand_to_promotion_loop_e2e(spark, tmp_path):
+    """The full promotion loop the reference runs through its catalog
+    flusher: query-site demand recording → attribute_stats → streak
+    hysteresis cycles → promote decision."""
+    from signaldb_spark.maintenance import attr_demand
+    from signaldb_spark.maintenance.jobs import attribute_stats
+    from signaldb_spark.maintenance.promotion import (
+        PromotionConfig,
+        StreakStore,
+        promotion_cycle,
+    )
+    from signaldb_spark.promql.lowering import PromCtx, query_range
+
+    gauge = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "api", "cpu", 1.0, {"pod": "p1", "env": "prod"}),
+            ("2024-01-01 00:20:00", "api", "cpu", 2.0, {"pod": "p2", "env": "prod"}),
+        ],
+        "timestamp string, service_name string, metric_name string,"
+        " value double, attributes map<string,string>",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    ctx = PromCtx(
+        spark, gauge, None, None,
+        "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600,
+        tenant="tl", dataset="dl",
+    )
+    store = StreakStore(str(tmp_path / "metrics"))
+    cfg = PromotionConfig(promote_streak=2, min_presence_ratio=0.5)
+    stats = attribute_stats(gauge, "attributes", exact=True)
+    decision = None
+    for _ in range(2):
+        attr_demand.drain()
+        query_range(ctx, 'sum(cpu{pod="p1"})')  # records demand for pod
+        demand = attr_demand.demand_map("tl", "dl", "metrics")
+        decision = promotion_cycle(stats, store, demand, config=cfg)
+    # pod hit the 2-cycle streak → promoted; env (present everywhere but
+    # never queried) stays unpromoted
+    assert decision.promote == ["pod"]
+    assert all(k != "env" for k, _ in decision.building)
