@@ -118,6 +118,7 @@ HEADLINE = [
     "promql_at_pin",
     "logql_regexp_stage",
     "profile_self_time",
+    "semantic_decontaminate",
 ]
 
 

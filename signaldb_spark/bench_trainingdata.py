@@ -1458,3 +1458,53 @@ FROM r WHERE keep_rank <= 30
 
 QUERIES["source_cap"] = q_source_cap
 ORACLES["source_cap"] = ORACLE_SOURCE_CAP
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination (similarity.
+    semantic_decontaminate): vec_id < 5 plays the benchmark; every other
+    vector reports its max cosine to the benchmark and a leak flag."""
+    e = _embs(spark, sf_dir)
+    return sim.semantic_decontaminate(
+        e.filter(F.col("vec_id") >= 5),
+        e.filter(F.col("vec_id") < 5),
+        "vec_id", "embedding", threshold=0.9, dims=64,
+    )
+
+
+ORACLE_SEMANTIC_DECONTAM = """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+pairs AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         sum(c.embedding[d.d]::DOUBLE * b.embedding[d.d]::DOUBLE) AS dot
+  FROM embeddings c, embeddings b, UNNEST(range(1, 65)) d(d)
+  WHERE c.vec_id >= 5 AND b.vec_id < 5
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.vec_id, p.bench_id,
+         round(p.dot / (nc.nrm * nb.nrm), 6) AS cosine
+  FROM pairs p
+  JOIN norms nc ON nc.vec_id = p.vec_id
+  JOIN norms nb ON nb.vec_id = p.bench_id
+),
+best AS (
+  SELECT vec_id, cosine AS max_cosine, bench_id AS nearest_bench_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cosine DESC, bench_id ASC
+    ) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT vec_id, max_cosine, nearest_bench_id,
+       CAST(max_cosine >= 0.9 AS INTEGER) AS contaminated
+FROM best
+"""
+
+QUERIES["semantic_decontaminate"] = q_semantic_decontaminate
+ORACLES["semantic_decontaminate"] = ORACLE_SEMANTIC_DECONTAM

@@ -494,3 +494,48 @@ def knn_classify(
             F.col("total").cast("long").alias("total"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dims: int | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: flag corpus items whose
+    embedding is near-identical to any held-out benchmark item —
+    catches paraphrased eval leakage that n-gram overlap
+    (corpus.decontaminate) misses.
+
+    The benchmark side is tiny (an eval suite) and broadcasts, exactly
+    like the n-gram variant's shingle set: the corpus streams once
+    through a map-side cosine battery, one aggregation takes the max
+    per corpus item. Output: (id, max_cosine, nearest benchmark id,
+    contaminated flag) for EVERY corpus item."""
+    b = F.broadcast(
+        benchmark.select(F.col(id_col).alias("bench_id"), F.col(vec_col).alias("bv"))
+    )
+    c = fan_out(corpus).select(F.col(id_col), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(b).withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("cv"), F.col("bv"), dims)
+            / (_norm(F.col("cv"), dims) * _norm(F.col("bv"), dims)),
+            6,
+        ),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max("cosine").alias("max_cosine"),
+        # deterministic nearest pick: highest cosine, then smallest id
+        F.min_by(
+            F.col("bench_id"), F.struct(-F.col("cosine"), F.col("bench_id"))
+        ).alias("nearest_bench_id"),
+    )
+    return best.select(
+        id_col,
+        "max_cosine",
+        "nearest_bench_id",
+        (F.col("max_cosine") >= threshold).cast("int").alias("contaminated"),
+    )
