@@ -119,6 +119,7 @@ HEADLINE = [
     "logql_regexp_stage",
     "profile_self_time",
     "semantic_decontaminate",
+    "logql_vector_fill",
 ]
 
 

@@ -326,3 +326,31 @@ FROM events GROUP BY 1, 2
 
 QUERIES["logql_pattern_stage"] = q_logql_pattern_stage
 ORACLES["logql_pattern_stage"] = ORACLE_LOGQL_PATTERN_STAGE
+
+
+def q_logql_vector_fill(spark, sf_dir):
+    """The canonical Loki zero-fill idiom: ``sum(...) or vector(0)``
+    synthesizes a value for every empty step (logs.rs:1189
+    synthesize_vector + or-union semantics)."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum(count_over_time({service="error"}[1d])) or vector(0)',
+    )
+    return out.select("bucket", "value")
+
+
+ORACLE_LOGQL_VECTOR_FILL = f"""
+WITH err AS (
+  SELECT {_BUCKET} AS bucket, CAST(count(*) AS DOUBLE) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+spine AS (
+  SELECT CAST(b AS BIGINT) AS bucket, 0.0 AS value
+  FROM UNNEST(range(1704067200, 1706745601, 86400)) u(b)
+)
+SELECT s.bucket, coalesce(e.value, s.value) AS value
+FROM spine s LEFT JOIN err e USING (bucket)
+"""
+
+QUERIES["logql_vector_fill"] = q_logql_vector_fill
+ORACLES["logql_vector_fill"] = ORACLE_LOGQL_VECTOR_FILL
