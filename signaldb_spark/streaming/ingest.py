@@ -265,3 +265,104 @@ def stream_interval_join(
     for k in key_cols:
         joined = joined.drop(r[k])
     return joined
+
+
+def _drain_stream(writer, checkpoint: str, available_now: bool):
+    writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="5 seconds").start()
+
+
+def ingest_otlp_traces_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    use_manifest: bool = True,
+):
+    """File-source OTLP/JSON trace ingest → hour-partitioned traces
+    table — the span half of the acceptor→writer pipeline
+    (overview.md:127-148), same manifest-committed exactly-once sink as
+    the logs stream."""
+    from ..sources.otlp import OTLP_TRACES_SCHEMA, flatten_otlp_traces
+
+    table_path = signal_table_path(base, tenant, dataset, "traces")
+    checkpoint = checkpoint_dir or os.path.join(
+        base, "_checkpoints", tenant, dataset, "traces"
+    )
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = with_dead_letter_flag(batch_df, OTLP_TRACES_SCHEMA).cache()
+        dead = flagged.filter(F.col("_dead"))
+        good = flagged.filter(~F.col("_dead")).drop("_dead")
+        flat = flatten_otlp_traces(good, json_col="value")
+        if use_manifest:
+            from ..storage import write_batch_manifest
+
+            write_batch_manifest(flat, table_path, "traces", batch_id=batch_id)
+        else:
+            write_batch(flat, table_path, "traces", batch_id=batch_id)
+        if dead.limit(1).count():
+            write_dead_letters(dead, base, tenant, dataset, "traces", batch_id)
+        flagged.unpersist()
+
+    return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)
+
+
+def ingest_otlp_metrics_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+    use_manifest: bool = True,
+):
+    """File-source OTLP/JSON metrics ingest: one stream, per-type
+    routing inside the batch — gauge/sum/histogram/exp-histogram/summary
+    datapoints land in their own hour-partitioned tables in the SAME
+    micro-batch (conversion_metrics target_table routing,
+    src/writer/src/conversion_metrics.rs), every table committed through
+    the manifest protocol under one batch id so a replay is a no-op on
+    all of them."""
+    from ..sources.otlp import OTLP_METRICS_SCHEMA, flatten_otlp_metrics
+
+    checkpoint = checkpoint_dir or os.path.join(
+        base, "_checkpoints", tenant, dataset, "metrics"
+    )
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(source_dir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        flagged = with_dead_letter_flag(batch_df, OTLP_METRICS_SCHEMA).cache()
+        dead = flagged.filter(F.col("_dead"))
+        good = flagged.filter(~F.col("_dead")).drop("_dead")
+        tables = flatten_otlp_metrics(good, json_col="value")
+        for table, df in tables.items():
+            table_path = signal_table_path(base, tenant, dataset, table)
+            if use_manifest:
+                from ..storage import write_batch_manifest
+
+                write_batch_manifest(df, table_path, table, batch_id=batch_id)
+            else:
+                write_batch(df, table_path, table, batch_id=batch_id)
+        if dead.limit(1).count():
+            write_dead_letters(dead, base, tenant, dataset, "metrics", batch_id)
+        flagged.unpersist()
+
+    return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)

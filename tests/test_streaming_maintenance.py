@@ -840,3 +840,61 @@ def test_exphist_quantile_over_flattened_ingest(spark):
     out = exphist_quantile(at_rest, 0.5, ["service_name", "metric_name"]).collect()
     # rank 2 -> bucket (1,2] cum 2 >= 2: 1 + (2-1)*2/2 = 2.0
     assert out[0]["value"] == 2.0
+
+
+def test_traces_and_metrics_streaming_ingest_e2e(spark, tmp_path_factory):
+    """Trace and metrics streams drain through the manifest-committed
+    sink: spans land in traces/, datapoints route per metric type into
+    their own tables in the SAME micro-batch, and a fresh-checkpoint
+    replay duplicates none of them (batch lineage guard per table)."""
+    from signaldb_spark.storage import ManifestTable
+    from signaldb_spark.streaming.ingest import (
+        ingest_otlp_metrics_stream,
+        ingest_otlp_traces_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("tm_base"))
+    t0 = int(dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc).timestamp() * 1e9)
+
+    tsrc = tmp_path_factory.mktemp("tm_traces")
+    (tsrc / "t.jsonl").write_text(
+        _otlp_trace_payload(
+            "ff" * 16,
+            [("aa" * 8, None, "root", t0, t0 + 5_000_000, 1),
+             ("bb" * 8, "aa" * 8, "child", t0 + 1_000_000, t0 + 2_000_000, 2)],
+        )
+    )
+    ingest_otlp_traces_stream(spark, str(tsrc), base)
+    traces = optional_table(spark, base, "acme", "prod", "traces")
+    assert traces is not None and traces.count() == 2
+    assert ManifestTable(
+        signal_table_path(base, "acme", "prod", "traces")
+    ).current_version() >= 1
+
+    msrc = tmp_path_factory.mktemp("tm_metrics")
+    payload = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "cpu", "unit": "1", "gauge": {"dataPoints": [
+                    {"timeUnixNano": str(t0), "asDouble": 0.5, "attributes": []}]}},
+                {"name": "reqs", "unit": "1", "sum": {
+                    "dataPoints": [
+                        {"timeUnixNano": str(t0), "asInt": "42", "attributes": []}],
+                    "aggregationTemporality": 2, "isMonotonic": True}},
+            ]}],
+        }]
+    })
+    (msrc / "m.jsonl").write_text(payload)
+    ingest_otlp_metrics_stream(spark, str(msrc), base)
+    gauge = optional_table(spark, base, "acme", "prod", "metrics_gauge")
+    msum = optional_table(spark, base, "acme", "prod", "metrics_sum")
+    assert gauge is not None and gauge.count() == 1
+    assert msum is not None and msum.count() == 1
+    # fresh-checkpoint replay: manifests refuse the duplicate batch
+    ingest_otlp_metrics_stream(
+        spark, str(msrc), base, checkpoint_dir=str(tmp_path_factory.mktemp("ck2"))
+    )
+    assert optional_table(spark, base, "acme", "prod", "metrics_gauge").count() == 1
+    assert optional_table(spark, base, "acme", "prod", "metrics_sum").count() == 1
