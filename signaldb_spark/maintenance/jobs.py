@@ -196,6 +196,51 @@ def compaction_cycle(
     return done
 
 
+def maintenance_cycle(
+    spark: SparkSession,
+    base: str,
+    tenant: str,
+    dataset: str,
+    table: str,
+    keep_partitions: "set[tuple[str, int]] | None" = None,
+    keep_snapshots: int = 2,
+    lateness_seconds: int = 3600,
+    now: dt.datetime | None = None,
+    manager=None,
+    target_files: int = 1,
+) -> dict:
+    """The full maintenance pass a manifest table needs, in reference
+    order (src/compactor/src/lib.rs run loop: planner → rewriter →
+    retention → snapshot expiration → orphan sweep):
+
+    1. lease-guarded compaction of closed multi-file partitions;
+    2. retention drop of partitions outside ``keep_partitions`` (one
+       snapshot commit, readers stay whole);
+    3. ``expire_snapshots(keep_last=keep_snapshots)`` — the ONLY place
+       data bytes die: manifests older than the horizon go away and the
+       files no retained snapshot references (compacted-away,
+       retention-dropped, crashed write attempts) are deleted.
+
+    Returns {"compacted": [...], "dropped": [...], "expired_files": [...]}.
+    No-op steps are safe to rerun; the whole cycle is idempotent."""
+    from ..catalog import signal_table_path
+
+    table_path = signal_table_path(base, tenant, dataset, table)
+    compacted = compaction_cycle(
+        spark, base, tenant, dataset, table,
+        lateness_seconds=lateness_seconds, now=now, manager=manager,
+        target_files=target_files,
+    )
+    dropped: list[tuple[str, int]] = []
+    if keep_partitions is not None:
+        dropped = apply_retention(table_path, keep_partitions)
+    expired: list[str] = []
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        expired = mt.expire_snapshots(keep_last=keep_snapshots)
+    return {"compacted": compacted, "dropped": dropped, "expired_files": expired}
+
+
 def apply_retention(
     table_path: str, keep: set[tuple[str, int]]
 ) -> list[tuple[str, int]]:

@@ -171,3 +171,64 @@ def test_streaming_ingest_through_manifest(spark, tmp_path):
         spark, str(src), base, checkpoint_dir=str(tmp_path / "ck2"), use_manifest=True
     )
     assert ManifestTable(mt.table_path).read(spark).count() == n
+
+
+def test_maintenance_cycle_end_to_end(spark, tmp_path):
+    """Full manifest-table maintenance pass: multi-file closed partition
+    compacts under a lease, an out-of-retention partition drops via a
+    snapshot commit, snapshot expiration deletes exactly the bytes no
+    retained snapshot references, and partition pruning still works on
+    the snapshot read."""
+    import datetime as dt
+    import io
+    import os
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.catalog import optional_table, signal_table_path
+    from signaldb_spark.maintenance.jobs import (
+        list_hour_partitions,
+        maintenance_cycle,
+        partition_files,
+    )
+    from signaldb_spark.storage import ManifestTable, write_batch_manifest
+
+    base = str(tmp_path / "b")
+    path = signal_table_path(base, "acme", "prod", "logs")
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), f"log {h}:{m}", "2024-01-01", h)
+        for h in (0, 1)
+        for m in (0, 10, 20)
+    ]
+    df = spark.createDataFrame(
+        rows, "timestamp timestamp, body string, date_day string, hour int"
+    )
+    # three separate batches → multi-file partitions + three snapshots
+    for i in range(3):
+        write_batch_manifest(
+            df.filter(F.minute("timestamp") == i * 10), path, "logs", batch_id=i
+        )
+    assert len(partition_files(path, "2024-01-01", 0)) == 3
+    out = maintenance_cycle(
+        spark, base, "acme", "prod", "logs",
+        keep_partitions={("2024-01-01", 0)},
+        keep_snapshots=1,
+        now=dt.datetime(2024, 1, 2),
+    )
+    assert set(out["compacted"]) == {("2024-01-01", 0), ("2024-01-01", 1)}
+    assert out["dropped"] == [("2024-01-01", 1)]
+    assert out["expired_files"]  # compacted-away + dropped bytes died
+    assert list_hour_partitions(path) == [("2024-01-01", 0)]
+    assert len(partition_files(path, "2024-01-01", 0)) == 1
+    t = optional_table(spark, base, "acme", "prod", "logs")
+    assert t.count() == 3  # hour 0 rows only
+    # no orphan bytes remain on disk beyond the live snapshot
+    mt = ManifestTable(path)
+    assert mt.find_orphans() == []
+    # partition pruning reaches the snapshot read
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.filter(F.col("hour") == 0).select("body").explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "hour" in p.split("PartitionFilters", 1)[1][:200]
