@@ -386,18 +386,28 @@ def bigram_familiarity(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    # Shuffles carry xxhash64 longs, not word strings: the bigram key
+    # (h2) and the unigram key (h1) hash before any exchange — at 100 TB
+    # the model join's shuffle width is the cost center and the word
+    # pair is its widest column (same trick as dedup.jaccard_pairs).
     bg = (
         fan_out(df)
         .select(F.col(id_col), F.explode(bigrams).alias("b"))
-        .select(id_col, "b.w1", "b.w2")
+        .select(
+            F.col(id_col),
+            F.xxhash64("b.w1").alias("h1"),
+            F.xxhash64("b.w1", "b.w2").alias("h2"),
+        )
     )
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    den = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    p = cnt.join(den, "w1").select(
-        "w1", "w2", _r6(F.col("c2") / F.col("c1")).alias("p")
+    cnt = bg.groupBy("h2").agg(
+        F.count(F.lit(1)).alias("c2"), F.first("h1").alias("h1")
+    )
+    den = bg.groupBy("h1").agg(F.count(F.lit(1)).alias("c1"))
+    p = cnt.join(den, "h1").select(
+        "h2", _r6(F.col("c2") / F.col("c1")).alias("p")
     )
     scored = (
-        bg.join(p, ["w1", "w2"])
+        bg.join(p, "h2")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
