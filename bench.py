@@ -120,6 +120,7 @@ HEADLINE = [
     "profile_self_time",
     "semantic_decontaminate",
     "logql_vector_fill",
+    "metrics_rollup_cascade",
 ]
 
 

@@ -1096,3 +1096,36 @@ FROM UNNEST(range(1704067200, 1706745601, 86400)) u(b)
 
 QUERIES["promql_time_vector"] = q_promql_time_vector
 ORACLES["promql_time_vector"] = ORACLE_PROMQL_TIME_VECTOR
+
+
+def q_metrics_rollup_cascade(spark, sf_dir):
+    """Downsample cascade (rollup.rollup_cascade): raw → hourly rollup →
+    daily tier, exact against direct daily aggregation because the
+    mergeable stats compose associatively."""
+    from .maintenance.rollup import rollup_cascade, rollup_metrics
+
+    raw = _metrics_view(spark, sf_dir)
+    hourly = rollup_metrics(raw, 3600)
+    daily = rollup_cascade(hourly, 86400)
+    return (
+        daily.groupBy("bucket", "service_name")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.round(F.sum("vsum") / F.sum("cnt"), 6).alias("vavg"),
+            F.round(F.min("vmin"), 6).alias("vmin"),
+            F.round(F.max("vmax"), 6).alias("vmax"),
+        )
+    )
+
+
+ORACLE_METRICS_ROLLUP_CASCADE = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(avg(value), 6) AS vavg,
+       round(min(value), 6) AS vmin,
+       round(max(value), 6) AS vmax
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["metrics_rollup_cascade"] = q_metrics_rollup_cascade
+ORACLES["metrics_rollup_cascade"] = ORACLE_METRICS_ROLLUP_CASCADE

@@ -166,3 +166,27 @@ def read_rollup(spark, rollup_path: str, attr_col: str = "attributes") -> DataFr
         F.min("vmin").alias("vmin"),
         F.max("vmax").alias("vmax"),
     )
+
+
+def rollup_cascade(rollup: DataFrame, coarse_seconds: int) -> DataFrame:
+    """Re-bucket rollup rows to a coarser step — the downsample cascade
+    (hourly → daily → weekly tiers, Timescale/Mimir style). EXACT
+    because count/sum/min/max compose associatively; ``coarse_seconds``
+    must be a multiple of the input's bucket step (bucket labels are
+    epoch-floored, so the coarse floor of an aligned fine bucket equals
+    the coarse floor of its raw samples). One partial+final aggregation
+    over ROLLUP rows — each cascade tier's build cost tracks series
+    count × fine buckets, never raw ingest volume."""
+    coarse = (F.floor(F.col("bucket") / coarse_seconds) * coarse_seconds).cast("long")
+    return (
+        rollup.groupBy(
+            coarse.alias("bucket"), *SERIES_COLS, "attr_key"
+        )
+        .agg(
+            F.first("attributes").alias("attributes"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        )
+    )

@@ -459,19 +459,26 @@ def knn_classify(
     label_col: str = "label",
     k: int = 5,
     dims: int | None = None,
+    ann_bits: int | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification over the embedding space — the
     weak-supervision / label-propagation step of a training-data
     pipeline (predict labels for unlabeled items from their nearest
     labeled neighbors).
 
-    Built ON TOP of :func:`cosine_topk` (same broadcast-query +
-    window-rank shape; swap in the LSH/IVF variants for the 100 TB
-    path), then one aggregation per query counting votes. Ties break
-    to the smaller label for determinism. Output: (query_id,
-    predicted_label, votes, total) — ``votes``/``total`` is the
-    confidence."""
-    nbrs = cosine_topk(corpus, queries, id_col, vec_col, k=k, dims=dims)
+    Built on :func:`cosine_topk` (exact baseline) or, with ``ann_bits``
+    set, the hyperplane-LSH bucket join (:func:`lsh_ann_topk`) — the
+    100 TB path: neighbor search restricted to the query's bucket
+    instead of the full cross product. Then one aggregation per query
+    counting votes; ties break to the smaller label for determinism.
+    Output: (query_id, predicted_label, votes, total) —
+    ``votes``/``total`` is the confidence."""
+    if ann_bits is not None:
+        nbrs = lsh_ann_topk(
+            corpus, queries, id_col, vec_col, k=k, n_bits=ann_bits, dims=dims or 64
+        )
+    else:
+        nbrs = cosine_topk(corpus, queries, id_col, vec_col, k=k, dims=dims)
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
     )
