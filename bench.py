@@ -121,6 +121,8 @@ HEADLINE = [
     "semantic_decontaminate",
     "logql_vector_fill",
     "metrics_rollup_cascade",
+    "returned_item_revenue",
+    "large_orders",
 ]
 
 

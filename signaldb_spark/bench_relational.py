@@ -464,3 +464,99 @@ ORACLES = {
     "time_window_sorted": ORACLE_TIME_WINDOW_SORTED,
     "sql_surface": ORACLE_SQL_SURFACE,
 }
+
+
+def q_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: per-customer revenue from returned items in one
+    quarter, nation joined in. Dim tables broadcast; one shuffle on the
+    (custkey, name, nation) agg key; deterministic top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= "1993-10-01")
+                & (F.col("o_orderdate") < "1994-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+ORACLE_RETURNED_ITEM_REVENUE = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1993-10-01' AND o_orderdate < '1994-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+QUERIES["returned_item_revenue"] = q_returned_item_revenue
+ORACLES["returned_item_revenue"] = ORACLE_RETURNED_ITEM_REVENUE
+
+
+def q_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total lineitem quantity crosses a
+    threshold, with customer context. The HAVING subquery becomes a
+    pre-aggregated semi-join keep-list (tiny by construction)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+QUERIES["large_orders"] = q_large_orders
+ORACLES["large_orders"] = ORACLE_LARGE_ORDERS
