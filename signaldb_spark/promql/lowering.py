@@ -134,10 +134,25 @@ def _pin_at(ctx: PromCtx, sel: VectorSelector, matrix: DataFrame) -> DataFrame:
     return _spine(ctx).crossJoin(pinned)
 
 
+def _resolve_at(ctx: PromCtx, at_epoch) -> float:
+    """Numeric @ passes through; the ``start``/``end`` sentinels resolve
+    against the query window (@ start() / @ end())."""
+    import datetime as dt
+
+    if isinstance(at_epoch, str):
+        bound = ctx.start if at_epoch == "start" else ctx.end
+        if isinstance(bound, str):
+            bound = dt.datetime.fromisoformat(bound)
+        return bound.replace(tzinfo=dt.timezone.utc).timestamp()
+    return at_epoch
+
+
 def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
     import datetime as dt
 
-    at = dt.datetime.fromtimestamp(sel.at_epoch, tz=dt.timezone.utc).replace(tzinfo=None)
+    at = dt.datetime.fromtimestamp(
+        _resolve_at(ctx, sel.at_epoch), tz=dt.timezone.utc
+    ).replace(tzinfo=None)
     start = at - dt.timedelta(seconds=lookback)
     return PromCtx(
         ctx.spark, ctx.gauge, ctx.msum, ctx.histogram,

@@ -166,7 +166,15 @@ class _P:
                 e = VectorSelector(e.metric, e.matchers, e.range_seconds, off, e.subquery, e.at_epoch)
             elif self.peek().kind == "OP" and self.peek().text == "@":
                 self.next()
-                at = float(self.expect("NUMBER").text)
+                if self.peek().kind == "IDENT" and self.peek().text in ("start", "end"):
+                    # @ start() / @ end(): resolved against the query
+                    # window at lowering time (promql-functions.md:31)
+                    which = self.next().text
+                    self.expect("OP", "(")
+                    self.expect("OP", ")")
+                    at: "float | str" = which
+                else:
+                    at = float(self.expect("NUMBER").text)
                 if not isinstance(e, VectorSelector):
                     raise LogQLSyntaxError("@ on non-selector")
                 e = VectorSelector(e.metric, e.matchers, e.range_seconds, e.offset_seconds, e.subquery, at)

@@ -200,6 +200,7 @@ def search(
     limit: int = 20,
     span_limit: int | None = None,
     max_search_limit: int = 1000,
+    spans_per_trace: int | None = None,
 ) -> DataFrame:
     """Trace search with deterministic newest-N truncation.
 
@@ -208,6 +209,11 @@ def search(
     spans survive; traces are then ranked by their most-recent span
     (DESC) with trace_id as tiebreak (order_traces_for_truncation,
     trace.rs:602-644) and the first ``limit`` trace_ids kept.
+
+    ``spans_per_trace`` is Tempo's ``spss`` parameter (the per-spanset
+    span cap, tempo-api-reference.md:23): each kept trace returns at
+    most that many of its newest spans — a Window rank after the trace
+    truncation, so the TRACE ranking is unaffected by the cap.
     """
     limit = min(limit, max_search_limit)
     df = traces
@@ -231,7 +237,17 @@ def search(
         .limit(limit)
         .select("trace_id")
     )
-    return df.join(F.broadcast(ranked_traces), "trace_id")
+    out = df.join(F.broadcast(ranked_traces), "trace_id")
+    if spans_per_trace is not None:
+        w = Window.partitionBy("trace_id").orderBy(
+            F.col("start_time_unix_nano").desc(), F.col("span_id").desc()
+        )
+        out = (
+            out.withColumn("_srk", F.row_number().over(w))
+            .filter(F.col("_srk") <= spans_per_trace)
+            .drop("_srk")
+        )
+    return out
 
 
 def search_traceql(

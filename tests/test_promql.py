@@ -545,3 +545,23 @@ def test_recording_rule_roundtrip(spark, tmp_path_factory):
     ctx2 = PromCtx(spark, t("metrics_gauge"), None, None, START, END, STEP)
     out = query_range(ctx2, "job:cpu:sum").collect()
     assert len(out) > 0
+
+
+def test_at_start_end_sentinels(spark, ctx):
+    """@ start() / @ end() resolve against the query window and
+    replicate the pinned value across every step (promql-functions.md:31
+    behavior)."""
+    from signaldb_spark.promql.parser import parse
+    from signaldb_spark.promql.ast import VectorSelector
+
+    e = parse("max_over_time(process_cpu_usage[10m] @ end())")
+    assert e.args[0].at_epoch == "end"
+    assert parse("process_cpu_usage @ start()").at_epoch == "start"
+
+    got = query_range(ctx, "max_over_time(process_cpu_usage[10m] @ end())").collect()
+    assert got  # one row per (bucket, series)
+    # every bucket carries the same pinned per-series value
+    per_series = {}
+    for r in got:
+        per_series.setdefault(r["service_name"], set()).add(r["value"])
+    assert all(len(v) == 1 for v in per_series.values())

@@ -368,3 +368,27 @@ def test_parse_and_lower_spanset_aggregate(spark, tree_spans):
     cq = parse_traceql_expr('{ name = "api" } | count() >= 1')
     assert isinstance(cq, AggregateQuery) and cq.agg == "count" and cq.agg_col is None
     assert aggregate_search(tree_spans, cq).count() == 2
+
+
+def test_search_spans_per_trace_cap(traces):
+    """Tempo's spss parameter: per-trace span cap applied AFTER trace
+    ranking, keeping each kept trace's newest spans."""
+    from pyspark.sql import functions as F
+
+    full = search(traces, [], limit=3)
+    capped = search(traces, [], limit=3, spans_per_trace=1)
+    kept_full = {r.trace_id for r in full.collect()}
+    rows = capped.collect()
+    assert {r.trace_id for r in rows} == kept_full  # same traces kept
+    per = {}
+    for r in rows:
+        per.setdefault(r.trace_id, []).append(r.start_time_unix_nano)
+    assert all(len(v) == 1 for v in per.values())
+    # the surviving span is each trace's newest
+    newest = {
+        r.trace_id: r.latest
+        for r in full.groupBy("trace_id")
+        .agg(F.max("start_time_unix_nano").alias("latest"))
+        .collect()
+    }
+    assert all(v[0] == newest[t] for t, v in per.items())
