@@ -123,6 +123,7 @@ HEADLINE = [
     "metrics_rollup_cascade",
     "returned_item_revenue",
     "large_orders",
+    "ir_correlate",
 ]
 
 

@@ -962,3 +962,42 @@ FROM j GROUP BY r_name, n_name
 
 QUERIES["profile_self_time"] = q_profile_self_time
 ORACLES["profile_self_time"] = ORACLE_PROFILE_SELF_TIME
+
+
+def q_ir_correlate(spark, sf_dir):
+    """IR cross-signal correlate stage (the reference's roadmap item,
+    querying-ir.md): purchases LEFT-join a per-user click profile on
+    user_id, then a bucketed sum over the carried column — the IR as a
+    two-source DAG."""
+    e = load_table(spark, sf_dir, "events").withColumnRenamed("ts", "timestamp")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    doc = {
+        "version": 1,
+        "from": "events",
+        "where": {"field": "event_type", "op": "eq", "value": "purchase"},
+        "correlate": {
+            "with": "user_clicks", "on": ["user_id"],
+            "type": "left", "select": ["clicks"],
+        },
+        "aggregate": {"op": "sum", "step_seconds": DAY, "value_field": "r_clicks"},
+    }
+    return lower(e, validate(doc), correlate_df=clicks)
+
+
+ORACLE_IR_CORRELATE = f"""
+WITH uc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+)
+SELECT {_BUCKET} AS bucket, CAST(sum(uc.clicks) AS BIGINT) AS value
+FROM events e LEFT JOIN uc USING (user_id)
+WHERE e.event_type = 'purchase'
+GROUP BY 1
+"""
+
+QUERIES["ir_correlate"] = q_ir_correlate
+ORACLES["ir_correlate"] = ORACLE_IR_CORRELATE

@@ -86,6 +86,21 @@ class Rank:
 
 
 @dataclass(frozen=True)
+class Correlate:
+    """Cross-signal join stage — the reference's IR roadmap item
+    (querying-ir.md Roadmap: "a `correlate` join stage (the IR becomes
+    a DAG)"), implemented here: join a second signal on shared key
+    columns. ``select`` names the right-side columns carried over
+    (prefixed); semi/anti bring none."""
+
+    with_table: str
+    on: tuple[str, ...]
+    how: str  # inner | left | semi | anti
+    select: tuple[str, ...]
+    prefix: str
+
+
+@dataclass(frozen=True)
 class IRQuery:
     version: int
     source: str
@@ -95,6 +110,7 @@ class IRQuery:
     rank: Rank | None
     select: tuple[str, ...]
     limit: int | None
+    correlate: "Correlate | None" = None
 
 
 def _validate_pred(node: Any) -> Pred:
@@ -216,7 +232,24 @@ def validate(doc: dict) -> IRQuery:
     limit = doc.get("limit")
     if limit is not None and (not isinstance(limit, int) or limit <= 0):
         raise IRValidationError("limit must be a positive int")
+    corr = None
+    if doc.get("correlate") is not None:
+        c = doc["correlate"]
+        if not isinstance(c.get("with"), str) or not c["with"]:
+            raise IRValidationError("correlate needs a 'with' table")
+        on = c.get("on")
+        if not isinstance(on, list) or not on:
+            raise IRValidationError("correlate needs non-empty 'on' keys")
+        how = c.get("type", "inner")
+        if how not in ("inner", "left", "semi", "anti"):
+            raise IRValidationError(f"unknown correlate type {how!r}")
+        sel = c.get("select", []) or []
+        if how in ("semi", "anti") and sel:
+            raise IRValidationError("semi/anti correlate carries no columns")
+        corr = Correlate(
+            c["with"], tuple(on), how, tuple(sel), c.get("prefix", "r_")
+        )
     return IRQuery(
         version, source, where, tuple(extract), agg, rank,
-        tuple(doc.get("select", [])), limit,
+        tuple(doc.get("select", [])), limit, corr,
     )

@@ -112,12 +112,43 @@ def _aggregate(df: DataFrame, a: Aggregate, ts_col: str) -> DataFrame:
 
 
 def lower(
-    df: DataFrame, q: IRQuery, ts_col: str = "timestamp", max_rows: int = MAX_ROWS_DEFAULT
+    df: DataFrame, q: IRQuery, ts_col: str = "timestamp", max_rows: int = MAX_ROWS_DEFAULT,
+    correlate_df: DataFrame | None = None,
 ) -> DataFrame:
     for e in q.extract:
         df = df.withColumn(e.field_name, _extract_col(e))
     if q.where is not None:
         df = df.filter(_pred(df, q.where))
+    if q.correlate is not None:
+        # cross-signal correlate stage (the reference's IR roadmap item):
+        # plain equi-join on the shared keys — scale follows the normal
+        # join rules (broadcast small side / hash otherwise); semi/anti
+        # carry no right-side columns by construction
+        if correlate_df is None:
+            raise ValueError(
+                f"query correlates with {q.correlate.with_table!r}: pass correlate_df"
+            )
+        c = q.correlate
+        if c.how in ("semi", "anti"):
+            df = df.join(
+                correlate_df.select(*c.on).distinct(), list(c.on),
+                "left_semi" if c.how == "semi" else "left_anti",
+            )
+        else:
+            right = correlate_df.select(
+                *c.on, *[F.col(s).alias(f"{c.prefix}{s}") for s in c.select]
+            )
+            if c.select:
+                # many-to-one guard: one right row per key set
+                right = right.groupBy(*c.on).agg(
+                    *[
+                        F.min(f"{c.prefix}{s}").alias(f"{c.prefix}{s}")
+                        for s in c.select
+                    ]
+                )
+            else:
+                right = right.distinct()
+            df = df.join(right, list(c.on), c.how)
     if q.aggregate is not None:
         df = _aggregate(df, q.aggregate, ts_col)
     if q.rank is not None:

@@ -392,3 +392,29 @@ def test_search_spans_per_trace_cap(traces):
         .collect()
     }
     assert all(v[0] == newest[t] for t, v in per.items())
+
+
+def test_ir_correlate_validation_and_semi(spark):
+    """Correlate stage validation wall + semi/anti lowering."""
+    from signaldb_spark.ir import lower, validate
+
+    for bad in [
+        {"version": 1, "from": "logs", "correlate": {"on": ["k"]}},
+        {"version": 1, "from": "logs", "correlate": {"with": "t", "on": []}},
+        {"version": 1, "from": "logs",
+         "correlate": {"with": "t", "on": ["k"], "type": "cross"}},
+        {"version": 1, "from": "logs",
+         "correlate": {"with": "t", "on": ["k"], "type": "semi", "select": ["x"]}},
+    ]:
+        with pytest.raises(IRValidationError):
+            validate(bad)
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    right = spark.createDataFrame([(1,), (3,), (3,)], "k long")
+    semi = validate({"version": 1, "from": "l",
+                     "correlate": {"with": "r", "on": ["k"], "type": "semi"}})
+    anti = validate({"version": 1, "from": "l",
+                     "correlate": {"with": "r", "on": ["k"], "type": "anti"}})
+    assert sorted(r.k for r in lower(left, semi, correlate_df=right).collect()) == [1, 3]
+    assert [r.k for r in lower(left, anti, correlate_df=right).collect()] == [2]
+    with pytest.raises(ValueError):
+        lower(left, semi)  # correlate_df required
