@@ -295,3 +295,26 @@ def test_incremental_dedup_probes_digests_only(spark):
     only the text column (digest input), never ancillary columns."""
     p = plan(all_queries()["dedup_incremental"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_profile_self_time_single_aggregation(spark):
+    """Self+cumulative flamegraph must stay ONE aggregation over the
+    prefix explode — a second pass or a self-vs-cum join is a
+    regression."""
+    p = plan(all_queries()["profile_self_time"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_ir_correlate_is_equi_join(spark):
+    p = plan(all_queries()["ir_correlate"](spark, SF_DIR))
+    assert "Join" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_relational_reports_broadcast_dims(spark):
+    for name in ("returned_item_revenue", "large_orders"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+    # Q10's nation dim must broadcast
+    p10 = plan(all_queries()["returned_item_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p10
