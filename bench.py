@@ -124,6 +124,7 @@ HEADLINE = [
     "returned_item_revenue",
     "large_orders",
     "ir_correlate",
+    "salted_agg",
 ]
 
 

@@ -560,3 +560,34 @@ LIMIT 100
 
 QUERIES["large_orders"] = q_large_orders
 ORACLES["large_orders"] = ORACLE_LARGE_ORDERS
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-proof two-phase salted aggregation (operators/skew.
+    salted_aggregate): per-event-type count + sum through the
+    (key, salt) partial → key merge path; results are salt-invariant,
+    so the plain-SQL oracle checks them exactly."""
+    from .operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events")
+    cnt = salted_aggregate(e, ["event_type"], None, "count", out="cnt")
+    ssum = salted_aggregate(e, ["event_type"], "value", "sum", out="vsum")
+    return (
+        cnt.join(ssum, "event_type")
+        .select(
+            "event_type",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round("vsum", 6).alias("vsum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       round(sum(value), 6) AS vsum
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["salted_agg"] = q_salted_agg
+ORACLES["salted_agg"] = ORACLE_SALTED_AGG
