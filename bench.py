@@ -125,6 +125,7 @@ HEADLINE = [
     "large_orders",
     "ir_correlate",
     "salted_agg",
+    "ir_match",
 ]
 
 

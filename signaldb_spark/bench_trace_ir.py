@@ -1001,3 +1001,37 @@ GROUP BY 1
 
 QUERIES["ir_correlate"] = q_ir_correlate
 ORACLES["ir_correlate"] = ORACLE_IR_CORRELATE
+
+
+def q_ir_match(spark, sf_dir):
+    """IR structural `match` stage (the reference's roadmap item,
+    querying-ir.md): direct-child relation with BOTH sides as IR
+    predicate trees, then a bucketless count aggregate by flag."""
+    doc = {
+        "version": 1,
+        "from": "traces",
+        "match": {
+            "op": ">",
+            "left": {"field": "qty", "op": "gt", "value": 30},
+            "right": {"field": "flag", "op": "eq", "value": "R"},
+        },
+        "aggregate": {"op": "count", "by": ["status"]},
+    }
+    return lower(_tree_spans(spark, sf_dir), validate(doc))
+
+
+ORACLE_IR_MATCH = f"""
+WITH spans AS ({_TREE_SPANS_SQL}),
+matched AS (
+  SELECT c.* FROM spans c
+  WHERE c.flag = 'R' AND EXISTS (
+    SELECT 1 FROM spans p
+    WHERE p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+      AND p.qty > 30)
+)
+SELECT status, CAST(count(*) AS DOUBLE) AS value
+FROM matched GROUP BY 1
+"""
+
+QUERIES["ir_match"] = q_ir_match
+ORACLES["ir_match"] = ORACLE_IR_MATCH

@@ -101,6 +101,19 @@ class Correlate:
 
 
 @dataclass(frozen=True)
+class Match:
+    """Structural trace matching — the reference's IR roadmap item
+    (querying-ir.md Roadmap: "structural traces — a `match` stage"):
+    keep spans whose side of a parent/descendant/sibling relation both
+    satisfy their IR predicate trees. ``op`` ∈ ``>`` (direct child),
+    ``>>`` (descendant), ``~`` (sibling)."""
+
+    op: str
+    left: Pred
+    right: Pred
+
+
+@dataclass(frozen=True)
 class IRQuery:
     version: int
     source: str
@@ -111,6 +124,7 @@ class IRQuery:
     select: tuple[str, ...]
     limit: int | None
     correlate: "Correlate | None" = None
+    match: "Match | None" = None
 
 
 def _validate_pred(node: Any) -> Pred:
@@ -249,7 +263,15 @@ def validate(doc: dict) -> IRQuery:
         corr = Correlate(
             c["with"], tuple(on), how, tuple(sel), c.get("prefix", "r_")
         )
+    match = None
+    if doc.get("match") is not None:
+        mm = doc["match"]
+        if mm.get("op") not in (">", ">>", "~"):
+            raise IRValidationError("match op must be > | >> | ~")
+        if mm.get("left") is None or mm.get("right") is None:
+            raise IRValidationError("match needs left and right predicate trees")
+        match = Match(mm["op"], _validate_pred(mm["left"]), _validate_pred(mm["right"]))
     return IRQuery(
         version, source, where, tuple(extract), agg, rank,
-        tuple(doc.get("select", [])), limit, corr,
+        tuple(doc.get("select", [])), limit, corr, match,
     )

@@ -119,6 +119,16 @@ def lower(
         df = df.withColumn(e.field_name, _extract_col(e))
     if q.where is not None:
         df = df.filter(_pred(df, q.where))
+    if q.match is not None:
+        # structural trace match (the reference's IR roadmap item):
+        # delegate to the TraceQL structural lowering — the span table
+        # must carry trace_id/span_id/parent_span_id
+        from ..traceql.structural import child_spans, descendant_spans, sibling_spans
+
+        left = _pred(df, q.match.left)
+        right = _pred(df, q.match.right)
+        fn = {">": child_spans, ">>": descendant_spans, "~": sibling_spans}[q.match.op]
+        df = fn(df, left, right)
     if q.correlate is not None:
         # cross-signal correlate stage (the reference's IR roadmap item):
         # plain equi-join on the shared keys — scale follows the normal
