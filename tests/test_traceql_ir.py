@@ -418,3 +418,84 @@ def test_ir_correlate_validation_and_semi(spark):
     assert [r.k for r in lower(left, anti, correlate_df=right).collect()] == [2]
     with pytest.raises(ValueError):
         lower(left, semi)  # correlate_df required
+
+
+def test_widened_traceql_property_random_spans(spark):
+    """Property: the widened-grammar lowering agrees with a pure-Python
+    evaluator over randomized span tables for every operator class and
+    for DNF combinations."""
+    import random
+    import re as _re
+
+    from signaldb_spark.traceql.parser import Disjunction, parse_traceql
+    from signaldb_spark.traceql.trace_ops import predicates_expr
+
+    rnd = random.Random(23)
+    rows = []
+    for i in range(120):
+        attrs = {}
+        if rnd.random() < 0.8:
+            attrs["qty"] = str(rnd.randrange(0, 100))
+        if rnd.random() < 0.5:
+            attrs["env"] = rnd.choice(["prod", "stage"])
+        res = {"region": rnd.choice(["us", "eu"])} if rnd.random() < 0.7 else {}
+        rows.append(
+            (f"t{i%10}", i, rnd.choice(["GET /a", "GET /b", "POST /c"]),
+             "api", 1000 + i, rnd.randrange(1, 5_000_000_000),
+             rnd.choice(["Ok", "Error"]), attrs, res)
+        )
+    spans = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id long, span_name string, service_name string,"
+        " start_time_unix_nano long, duration_nanos long, status_code string,"
+        " span_attributes map<string,string>, resource_attributes map<string,string>",
+    )
+
+    def py_pred(row, p):
+        op, val = p.op, p.value
+        if p.scope == "intrinsic":
+            v = {"name": row[2], "status": row[6], "duration": row[5]}[p.key]
+        elif p.scope == "span":
+            v = row[7].get(p.key)
+        elif p.scope == "resource":
+            v = row[8].get(p.key)
+        else:
+            v = row[7].get(p.key, row[8].get(p.key))
+        if op == "=":
+            return v == val
+        if op == "!=":
+            return v is not None and v != val
+        if op == "=~":
+            return v is not None and _re.fullmatch(f"(?:{val})", str(v)) is not None
+        if op == "!~":
+            return v is not None and _re.fullmatch(f"(?:{val})", str(v)) is None
+        if v is None:
+            return False
+        try:
+            num = float(v)
+        except (TypeError, ValueError):
+            return False
+        return {
+            ">": num > val, ">=": num >= val, "<": num < val, "<=": num <= val,
+        }[op]
+
+    def py_eval(row, parsed):
+        groups = parsed.groups if isinstance(parsed, Disjunction) else (tuple(parsed),)
+        return any(all(py_pred(row, p) for p in g) for g in groups)
+
+    queries = [
+        '{ name =~ "GET.*" && span.qty >= 50 }',
+        '{ span.env != "prod" }',
+        '{ resource.region = "eu" } || { status = error && duration > 1s }',
+        '{ .qty < 20 } || { name !~ "POST.*" && span.env = "stage" }',
+        '{ duration <= 500ms && .region = "us" }',
+    ]
+    for qs in queries:
+        parsed = parse_traceql(qs)
+        got = {
+            r.span_id
+            for r in spans.filter(predicates_expr(spans, parsed)).collect()
+        }
+        want = {row[1] for row in rows if py_eval(row, parsed)}
+        assert got == want, (qs, len(got), len(want), got ^ want)
+        assert want  # each query matches something
