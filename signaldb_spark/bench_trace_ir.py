@@ -920,20 +920,21 @@ def q_profile_self_time(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    profiles = j.select(
+    # one profile ROW per (region, nation) with batched sample weights —
+    # the shape real pprof ingestion produces (many samples per profile
+    # document), not one row per order
+    agg = j.groupBy("r_name", "n_name").agg(
+        F.sum(F.round("o_totalprice", 0).cast("long")).alias("w"),
+        F.sum((F.col("o_orderkey") % 100).cast("long")).alias("w2"),
+    )
+    profiles = agg.select(
         F.to_json(
             F.array(F.array("r_name", "n_name"), F.array("r_name"))
         ).alias("stacktraces_json"),
         F.to_json(
             F.array(
-                F.struct(
-                    F.lit(0).alias("stacktrace_idx"),
-                    F.round("o_totalprice", 0).cast("long").alias("value"),
-                ),
-                F.struct(
-                    F.lit(1).alias("stacktrace_idx"),
-                    (F.col("o_orderkey") % 100).cast("long").alias("value"),
-                ),
+                F.struct(F.lit(0).alias("stacktrace_idx"), F.col("w").alias("value")),
+                F.struct(F.lit(1).alias("stacktrace_idx"), F.col("w2").alias("value")),
             )
         ).alias("samples_json"),
     )
