@@ -126,6 +126,14 @@ HEADLINE = [
     "ir_correlate",
     "salted_agg",
     "ir_match",
+    "promql_trig",
+    "promql_mod_pi",
+    "promql_ts_of",
+    "promql_first_over_time",
+    "promql_limitk",
+    "promql_limit_ratio",
+    "promql_hist_stddev",
+    "promql_hist_avg",
 ]
 
 

@@ -1129,3 +1129,216 @@ FROM events GROUP BY 1, 2
 
 QUERIES["metrics_rollup_cascade"] = q_metrics_rollup_cascade
 ORACLES["metrics_rollup_cascade"] = ORACLE_METRICS_ROLLUP_CASCADE
+
+
+def q_promql_trig(spark, sf_dir):
+    """Trig battery + the atan2 binary operator + deg():
+    deg(atan(sin(cos(m))) atan2 100) through the full pipeline —
+    every step JVM-side (VALUE_OPS / ARITH), one scan, one shuffle."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "deg(atan(sin(cos(avg by (service_name) (avg_over_time(events_value[1d])))))"
+        " atan2 100)",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_TRIG = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(degrees(atan2(atan(sin(cos(avg(value)))), 100.0)), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["promql_trig"] = q_promql_trig
+ORACLES["promql_trig"] = ORACLE_PROMQL_TRIG
+
+
+def q_promql_mod_pi(spark, sf_dir):
+    """Go-style %% (truncated remainder, sign of dividend — math.Mod, NOT
+    pmod) on negative dividends, plus the pi() spine series through the
+    vector+vector binop join."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "(avg by (service_name) (avg_over_time(events_value[1d])) - 100) % 7 + pi()",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_MOD_PI = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(mod(avg(value) - 100.0, 7.0) + pi(), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["promql_mod_pi"] = q_promql_mod_pi
+ORACLES["promql_mod_pi"] = ORACLE_PROMQL_MOD_PI
+
+
+def q_promql_ts_of(spark, sf_dir):
+    """ts_of_max_over_time (Prometheus 3.x experimental): epoch seconds
+    of the max sample per series per step; Prometheus's >= scan makes
+    ties resolve to the LATEST occurrence — pinned here via the
+    (value, ts) struct max."""
+    out = query_range(_ctx(spark, sf_dir), "ts_of_max_over_time(events_value[1d])")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_TS_OF = f"""
+SELECT bucket, service_name, round(tsv, 6) AS value FROM (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, epoch(ts) AS tsv,
+         row_number() OVER (
+           PARTITION BY {_BUCKET}, event_type
+           ORDER BY value DESC, ts DESC
+         ) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+QUERIES["promql_ts_of"] = q_promql_ts_of
+ORACLES["promql_ts_of"] = ORACLE_PROMQL_TS_OF
+
+
+def q_promql_first_over_time(spark, sf_dir):
+    """first_over_time (Prometheus 3.x experimental): earliest sample
+    per series per step, equal-timestamp ties to the smaller value."""
+    out = query_range(_ctx(spark, sf_dir), "first_over_time(events_value[1d])")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_FIRST_OVER_TIME = f"""
+SELECT bucket, service_name, round(v, 6) AS value FROM (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, value AS v,
+         row_number() OVER (
+           PARTITION BY {_BUCKET}, event_type
+           ORDER BY ts ASC, value ASC
+         ) AS rk
+  FROM events
+) WHERE rk = 1
+"""
+
+QUERIES["promql_first_over_time"] = q_promql_first_over_time
+ORACLES["promql_first_over_time"] = ORACLE_PROMQL_FIRST_OVER_TIME
+
+
+def q_promql_limitk(spark, sf_dir):
+    """limitk (experimental aggregation): keep 3 of the services per
+    bucket, selected by the deterministic md5 series key (Prometheus
+    samples arbitrarily; the hash makes the sample value-unbiased AND
+    cross-engine replayable)."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "limitk(3, avg by (service_name) (avg_over_time(events_value[1d])))",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+# ordering by the first 8 md5 hex nibbles as a string == ordering by the
+# engine's 32-bit integer key (fixed-width lowercase hex)
+ORACLE_PROMQL_LIMITK = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, avg(value) AS value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT bucket, service_name, round(value, 6) AS value,
+         row_number() OVER (
+           PARTITION BY bucket
+           ORDER BY substr(md5(service_name), 1, 8) ASC, service_name ASC
+         ) AS rk
+  FROM m
+)
+SELECT bucket, service_name, value FROM r WHERE rk <= 3
+"""
+
+QUERIES["promql_limitk"] = q_promql_limitk
+ORACLES["promql_limitk"] = ORACLE_PROMQL_LIMITK
+
+
+def _limit_ratio_oracle() -> str:
+    space = 16 ** 8
+    cut = int(0.4 * space)
+    nib = "(strpos('0123456789abcdef', substr(m, {p}, 1)) - 1)"
+    key = " + ".join(f"{nib.format(p=p)} * {16 ** (8 - p)}" for p in range(1, 9))
+    return f"""
+WITH a AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, avg(value) AS value,
+         substr(md5(event_type), 1, 8) AS m
+  FROM events GROUP BY 1, 2, md5(event_type)
+)
+SELECT bucket, service_name, round(value, 6) AS value
+FROM a WHERE CAST({key} AS BIGINT) < {cut}
+"""
+
+
+def q_promql_limit_ratio(spark, sf_dir):
+    """limit_ratio (experimental): deterministic hash-split of the series
+    set — keep series whose 32-bit md5 key falls under 0.4·2^32. Pure
+    map filter (no window, no shuffle beyond the inner agg); the
+    complement pairing limit_ratio(r) ∪ limit_ratio(r-1) == all is
+    pinned in tests."""
+    out = query_range(
+        _ctx(spark, sf_dir),
+        "limit_ratio(0.4, avg by (service_name) (avg_over_time(events_value[1d])))",
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_LIMIT_RATIO = _limit_ratio_oracle()
+
+QUERIES["promql_limit_ratio"] = q_promql_limit_ratio
+ORACLES["promql_limit_ratio"] = ORACLE_PROMQL_LIMIT_RATIO
+
+
+def q_promql_hist_stddev(spark, sf_dir):
+    """histogram_stddev over explicit-bounds histograms (beyond
+    reference AND beyond Prometheus, which defines it for native
+    histograms only): bucket-midpoint moment estimator, in-row array
+    folds, one shuffle, zero explode. Midpoints for bounds
+    25/50/100/150: 12.5, 37.5, 75, 125, clamp 150."""
+    hist = _daily_hist(spark, sf_dir)
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    out = query_range(ctx, "histogram_stddev(latency)")
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_HIST_STDDEV = f"""
+WITH h AS (
+  SELECT {_BUCKET} AS bucket,
+         sum(CASE WHEN value <= 25 THEN 1 ELSE 0 END)::DOUBLE AS c1,
+         sum(CASE WHEN value > 25 AND value <= 50 THEN 1 ELSE 0 END)::DOUBLE AS c2,
+         sum(CASE WHEN value > 50 AND value <= 100 THEN 1 ELSE 0 END)::DOUBLE AS c3,
+         sum(CASE WHEN value > 100 AND value <= 150 THEN 1 ELSE 0 END)::DOUBLE AS c4,
+         sum(CASE WHEN value > 150 THEN 1 ELSE 0 END)::DOUBLE AS c5
+  FROM events GROUP BY 1
+), m AS (
+  SELECT bucket, c1 + c2 + c3 + c4 + c5 AS total,
+         c1*12.5 + c2*37.5 + c3*75.0 + c4*125.0 + c5*150.0 AS s1,
+         c1*12.5*12.5 + c2*37.5*37.5 + c3*75.0*75.0
+           + c4*125.0*125.0 + c5*150.0*150.0 AS s2
+  FROM h WHERE c1 + c2 + c3 + c4 + c5 > 0
+)
+SELECT bucket,
+       round(sqrt(greatest(s2/total - (s1/total)*(s1/total), 0.0)), 6) AS value
+FROM m
+"""
+
+QUERIES["promql_hist_stddev"] = q_promql_hist_stddev
+ORACLES["promql_hist_stddev"] = ORACLE_PROMQL_HIST_STDDEV
+
+
+def q_promql_hist_avg(spark, sf_dir):
+    """histogram_avg: exact stored sum/count of the latest datapoint per
+    step (Prometheus 2.44+; the reference stores both columns but has no
+    reader)."""
+    hist = _daily_hist_count_sum(spark, sf_dir)
+    ctx = PromCtx(spark, None, None, hist, START, END, DAY)
+    out = query_range(ctx, "histogram_avg(latency)")
+    return out.select("bucket", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_HIST_AVG = f"""
+SELECT {_BUCKET} AS bucket, round(sum(value) / count(*), 6) AS value
+FROM events GROUP BY 1
+"""
+
+QUERIES["promql_hist_avg"] = q_promql_hist_avg
+ORACLES["promql_hist_avg"] = ORACLE_PROMQL_HIST_AVG

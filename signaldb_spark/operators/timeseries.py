@@ -404,6 +404,49 @@ def topk_per_bucket(
     )
 
 
+SAMPLE_SPACE = 16 ** 8  # 8 md5 hex nibbles → [0, 2^32)
+
+
+def _series_key(series_cols: list[str]):
+    """Deterministic cross-engine series key: first 8 hex nibbles of
+    md5 over the unit-separated label tuple, as a 32-bit integer.
+    Value-independent, so hash-based sampling is unbiased; md5 makes it
+    replayable by any engine (same idiom as corpus.dataset_split)."""
+    s = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in series_cols]
+    )
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def limitk_per_bucket(
+    matrix: DataFrame, k: int, series_cols: list[str], group_cols: list[str] | None = None
+) -> DataFrame:
+    """``limitk`` (Prometheus experimental aggregation): keep at most k
+    series per bucket(+by-group). Prometheus samples arbitrarily; here
+    selection orders by the deterministic series hash so the sample is
+    value-unbiased AND stable across runs/engines (oracle-checkable)."""
+    w = Window.partitionBy("bucket", *(group_cols or [])).orderBy(
+        _series_key(series_cols).asc(), *[F.col(c).asc() for c in series_cols]
+    )
+    return (
+        matrix.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def limit_ratio(matrix: DataFrame, ratio: float, series_cols: list[str]) -> DataFrame:
+    """``limit_ratio`` (Prometheus experimental): deterministic hash-split
+    of the series set. r ∈ [0,1] keeps series whose key falls under
+    r·2^32; negative r keeps the exact complement, so
+    limit_ratio(r, v) ∪ limit_ratio(r-1, v) == v — Prometheus's
+    documented pairing property. Pure map filter: no shuffle, no window."""
+    key = _series_key(series_cols)
+    if ratio >= 0:
+        return matrix.filter(key < int(ratio * SAMPLE_SPACE))
+    return matrix.filter(key >= int((1.0 + ratio) * SAMPLE_SPACE))
+
+
 def sort_series_by_latest(matrix: DataFrame, series_cols: list[str], desc: bool = True) -> DataFrame:
     """sort/sort_desc: order series by value at the latest bucket
     (apply_sort, logs.rs:1228-1303)."""

@@ -17,8 +17,12 @@ ARITH = {
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
     "/": lambda a, b: a / b,
-    "%": lambda a, b: F.pmod(a, b),
+    # Prometheus % is Go math.Mod: truncated remainder, sign of the
+    # dividend (NOT pmod) — Spark's native % matches
+    "%": lambda a, b: a % b,
     "^": lambda a, b: F.pow(a, b),
+    # binary operator in PromQL grammar, same precedence tier as *
+    "atan2": lambda a, b: F.atan2(a, b),
 }
 
 COMPARE = {
@@ -112,6 +116,22 @@ VALUE_OPS = {
     "clamp": lambda v, a: F.least(F.greatest(v, F.lit(a[0])), F.lit(a[1])),
     "clamp_min": lambda v, a: F.greatest(v, F.lit(a[0])),
     "clamp_max": lambda v, a: F.least(v, F.lit(a[0])),
+    # trigonometric battery (Prometheus 2.31 "trig functions" set) —
+    # all JVM-side, stay inside whole-stage codegen
+    "sin": lambda v, a: F.sin(v),
+    "cos": lambda v, a: F.cos(v),
+    "tan": lambda v, a: F.tan(v),
+    "asin": lambda v, a: F.asin(v),
+    "acos": lambda v, a: F.acos(v),
+    "atan": lambda v, a: F.atan(v),
+    "sinh": lambda v, a: F.sinh(v),
+    "cosh": lambda v, a: F.cosh(v),
+    "tanh": lambda v, a: F.tanh(v),
+    "asinh": lambda v, a: F.asinh(v),
+    "acosh": lambda v, a: F.acosh(v),
+    "atanh": lambda v, a: F.atanh(v),
+    "deg": lambda v, a: F.degrees(v),
+    "rad": lambda v, a: F.radians(v),
 }
 
 

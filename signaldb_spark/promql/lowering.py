@@ -208,6 +208,17 @@ def lower_range_fn(
         "sum_over_time": F.sum(v),
         "count_over_time": F.count(v).cast("double"),
         "last_over_time": F.max_by(v, t),
+        # earliest sample; equal-timestamp tie resolved to the smaller
+        # value so the pick is deterministic under shuffle order
+        "first_over_time": F.min_by(v, F.struct(t, v)),
+        # ts_of_*: Prometheus 3.x experimental — the timestamp (epoch
+        # seconds, double) of the picked sample. Prometheus scans with
+        # >= / <= so ties resolve to the LATEST occurrence; the struct
+        # max_by ((value, ts) / (-value, ts)) reproduces that
+        # deterministically (functions.go funcTsOfMaxOverTime).
+        "ts_of_max_over_time": F.max_by(t.cast("double"), F.struct(v, t)),
+        "ts_of_min_over_time": F.max_by(t.cast("double"), F.struct(-v, t)),
+        "ts_of_last_over_time": F.max(t.cast("double")),
         "present_over_time": F.lit(1.0),
         "stddev_over_time": F.stddev_pop(v),
         "stdvar_over_time": F.var_pop(v),
@@ -380,6 +391,47 @@ def lower_histogram_fraction(
     )
 
 
+def lower_histogram_moment(ctx: PromCtx, sel, stddev: bool) -> DataFrame:
+    """histogram_stddev / histogram_stdvar over explicit-bounds
+    histograms — a beyond-reference extension (Prometheus defines these
+    for native histograms only; the reference can't query either).
+
+    Estimator: each bucket's mass sits at its arithmetic midpoint
+    ((lo+hi)/2; first bucket [min(0, b0), b0]; the +Inf overflow bucket
+    is clamped to the highest finite bound). Mean is taken from the same
+    midpoints (not the stored sum) so the variance is self-consistent
+    and non-negative. All in-row array folds over the latest datapoint
+    per step — one shuffle, zero explode."""
+    df = apply_selector(ctx, sel, ctx.histogram)
+    series = ["metric_name", "service_name"]
+    b = ts.with_bucket(df, "timestamp", ctx.step_seconds)
+    agg = b.groupBy("bucket", *series).agg(
+        F.max_by("bucket_counts", "timestamp").alias("counts"),
+        F.max_by("explicit_bounds", "timestamp").alias("bounds"),
+    )
+    nb = F.size("bounds")
+    first_mid = F.when(
+        F.element_at("bounds", 1) > 0, F.element_at("bounds", 1) / 2
+    ).otherwise(F.element_at("bounds", 1))
+    # transform-with-index: mid(i) for the i-th count (0-based)
+    mids = F.transform(
+        "counts",
+        lambda _x, i: F.when(i == 0, first_mid)
+        .when(i >= nb, F.element_at("bounds", nb))
+        .otherwise((F.element_at("bounds", i) + F.element_at("bounds", i + 1)) / 2),
+    )
+    total = F.aggregate("counts", F.lit(0.0), lambda a, x: a + x)
+    s1 = F.aggregate(
+        F.zip_with("counts", mids, lambda c, m: c * m), F.lit(0.0), lambda a, x: a + x
+    )
+    s2 = F.aggregate(
+        F.zip_with("counts", mids, lambda c, m: c * m * m), F.lit(0.0), lambda a, x: a + x
+    )
+    var = F.greatest(s2 / total - (s1 / total) * (s1 / total), F.lit(0.0))
+    value = F.sqrt(var) if stddev else var
+    return agg.filter(total > 0).select("bucket", *series, value.alias("value"))
+
+
 # ------------------------------------------------------------------- eval
 
 
@@ -468,6 +520,19 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
             df, "timestamp", ctx.step_seconds, ["metric_name", "service_name"],
             F.max_by(F.col(col).cast("double"), F.col("timestamp")),
         )
+    if fn == "histogram_avg":
+        # exact: stored sum / count of the latest datapoint per bucket
+        if ctx.histogram is None:
+            return _empty_matrix(ctx)
+        df = apply_selector(ctx, c.args[0], ctx.histogram)
+        return ts.range_aggregate(
+            df, "timestamp", ctx.step_seconds, ["metric_name", "service_name"],
+            F.max_by(F.col("sum").cast("double") / F.col("count"), F.col("timestamp")),
+        )
+    if fn in ("histogram_stddev", "histogram_stdvar"):
+        if ctx.histogram is None:
+            return _empty_matrix(ctx)
+        return lower_histogram_moment(ctx, c.args[0], stddev=fn == "histogram_stddev")
     if fn == "absent":
         inner = eval_expr(ctx, c.args[0])
         return ts.absent(inner, _spine(ctx))
@@ -484,6 +549,8 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         )
     if fn == "time":
         return _spine(ctx).withColumn("value", F.col("bucket").cast("double"))
+    if fn == "pi":
+        return _spine(ctx).withColumn("value", F.lit(math.pi))
     if fn == "timestamp":
         inner = eval_expr(ctx, c.args[0])
         return inner.withColumn("value", F.col("bucket").cast("double"))
@@ -507,6 +574,16 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         inner = eval_expr(ctx, c.args[0])
         series = [x for x in inner.columns if x not in ("bucket", "value")]
         return ts.sort_series_by_latest(inner, series, desc=fn == "sort_desc")
+    if fn in ("sort_by_label", "sort_by_label_desc"):
+        # experimental (Prometheus 2.49+): presentation ordering by the
+        # named label values; ordering only, series set unchanged
+        inner = eval_expr(ctx, c.args[0])
+        series = [x for x in inner.columns if x not in ("bucket", "value")]
+        routed = _route_labels([str(a) for a in c.args[1:]], series)
+        cols = [c2 for c2 in series if c2 in routed] or series
+        desc = fn == "sort_by_label_desc"
+        order = [F.col(c2).desc() if desc else F.col(c2).asc() for c2 in cols]
+        return inner.orderBy(F.col("bucket").asc(), *order)
     raise ValueError(f"unsupported function {fn}")
 
 
@@ -551,6 +628,16 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
     series = [c for c in inner.columns if c not in ("bucket", "value")]
     if a.op in ("topk", "bottomk"):
         return ts.topk_per_bucket(inner, int(a.param or 1), series, bottom=a.op == "bottomk")
+    if a.op in ("limitk", "limit_ratio"):
+        grouping = _route_labels(a.grouping, series)
+        keep = (
+            [c for c in series if c not in grouping]
+            if a.without
+            else [c for c in series if c in grouping]
+        )
+        if a.op == "limitk":
+            return ts.limitk_per_bucket(inner, int(a.param or 1), series, group_cols=keep)
+        return ts.limit_ratio(inner, float(a.param or 0.0), series)
     if a.op == "count_values":
         # count series per distinct value; the value becomes an output
         # label named by the string param, and by()/without() grouping
@@ -626,6 +713,7 @@ def _fold(b: BinOp) -> float:
         "+": l + r, "-": l - r, "*": l * r,
         "/": l / r if r else math.nan,
         "%": math.fmod(l, r) if r else math.nan, "^": l**r,
+        "atan2": math.atan2(l, r),
     }[b.op]
 
 
@@ -658,6 +746,10 @@ def query_range(ctx: PromCtx, query: str) -> DataFrame:
             cols.extend(df.columns)
     attr_demand.record_promql_query(expr, ctx.tenant, ctx.dataset, cols)
     out = eval_expr(ctx, expr)
+    if isinstance(expr, Call) and expr.fn in (
+        "sort", "sort_desc", "sort_by_label", "sort_by_label_desc"
+    ):
+        return out  # presentation ordering chosen by the query itself
     series = [c for c in out.columns if c not in ("bucket", "value")]
     return out.orderBy("bucket", *series)
 

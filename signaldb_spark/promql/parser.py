@@ -16,7 +16,7 @@ from .ast import AggExpr, BinOp, Call, Expr, LabelMatcher, NumberLit, VectorSele
 
 AGG_OPS = {
     "sum", "avg", "min", "max", "count", "group", "stddev", "stdvar",
-    "quantile", "topk", "bottomk", "count_values",
+    "quantile", "topk", "bottomk", "count_values", "limitk", "limit_ratio",
 }
 
 RANGE_FNS = {
@@ -26,16 +26,25 @@ RANGE_FNS = {
     "present_over_time", "absent_over_time", "stddev_over_time",
     "stdvar_over_time", "quantile_over_time", "mad_over_time",
     "predict_linear", "holt_winters", "double_exponential_smoothing",
+    # Prometheus 3.x experimental: first sample / timestamp-of pickers
+    "first_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+    "ts_of_last_over_time",
 }
 
 VALUE_FNS = {
     "abs", "ceil", "floor", "round", "sqrt", "exp", "ln", "log2",
     "log10", "sgn", "clamp", "clamp_min", "clamp_max",
+    # trigonometric battery (Prometheus 2.31+)
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+    "deg", "rad",
 }
 
 OTHER_FNS = {
     "histogram_quantile", "histogram_count", "histogram_sum",
-    "histogram_fraction", "absent", "vector", "scalar", "time",
+    "histogram_avg", "histogram_stddev", "histogram_stdvar",
+    "histogram_fraction", "absent", "vector", "scalar", "time", "pi",
+    "sort_by_label", "sort_by_label_desc",
     "timestamp", "label_replace", "label_join", "sort", "sort_desc",
     "day_of_week", "day_of_month", "day_of_year", "days_in_month",
     "hour", "minute", "month", "year",
@@ -112,8 +121,12 @@ class _P:
         return lhs
 
     def parse_muldiv(self) -> Expr:
+        # atan2 is a binary OPERATOR in PromQL (same precedence as *),
+        # not a function call (prometheus docs: operators.md)
         lhs = self.parse_unary()
-        while self.peek().kind == "OP" and self.peek().text in ("*", "/", "%"):
+        while (self.peek().kind == "OP" and self.peek().text in ("*", "/", "%")) or (
+            self.peek().kind == "IDENT" and self.peek().text == "atan2"
+        ):
             op = self.next().text
             on, ig, group_side = self._matching()
             lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side)
@@ -265,8 +278,11 @@ class _P:
             grouping = self._label_list()
         self.expect("OP", "(")
         param: float | str | None = None
-        if op in ("topk", "bottomk", "quantile"):
+        if op in ("topk", "bottomk", "quantile", "limitk", "limit_ratio"):
+            neg = bool(self.accept("OP", "-"))  # limit_ratio(-0.3, m): complement
             param = float(self.expect("NUMBER").text)
+            if neg:
+                param = -param
             self.expect("OP", ",")
         elif op == "count_values":
             param = self.expect("STRING").text

@@ -565,3 +565,109 @@ def test_at_start_end_sentinels(spark, ctx):
     for r in got:
         per_series.setdefault(r["service_name"], set()).add(r["value"])
     assert all(len(v) == 1 for v in per_series.values())
+
+
+# ------------------------------------------- round-3 function additions
+
+
+def test_parse_trig_and_atan2():
+    q = parse("deg(atan(process_cpu_usage)) atan2 rad(90)")
+    assert isinstance(q, BinOp) and q.op == "atan2"
+    assert isinstance(q.lhs, Call) and q.lhs.fn == "deg"
+    assert isinstance(q.rhs, Call) and q.rhs.fn == "rad"
+
+
+def test_parse_limitk_limit_ratio():
+    q = parse("limitk(3, process_cpu_usage)")
+    assert isinstance(q, AggExpr) and q.op == "limitk" and q.param == 3.0
+    r = parse("limit_ratio(-0.4, process_cpu_usage) by (service_name)")
+    assert r.op == "limit_ratio" and r.param == -0.4
+    assert r.grouping == ("service_name",)
+
+
+def test_hyperbolic_value_fns_match_python(ctx):
+    base = {
+        (r.bucket, r.service_name): r.value
+        for r in query_range(ctx, "process_cpu_usage").collect()
+    }
+    for fn, ref in (
+        ("sinh", math.sinh), ("cosh", math.cosh), ("tanh", math.tanh),
+        ("asinh", math.asinh), ("sin", math.sin), ("atan", math.atan),
+    ):
+        got = query_range(ctx, f"{fn}(process_cpu_usage)").collect()
+        for r in got:
+            assert r.value == pytest.approx(ref(base[(r.bucket, r.service_name)]))
+
+
+def test_pi_and_deg_rad_roundtrip(ctx):
+    p = query_range(ctx, "pi()").collect()
+    assert p and all(r.value == pytest.approx(math.pi) for r in p)
+    rt = query_range(ctx, "rad(deg(process_cpu_usage))").collect()
+    base = {
+        (r.bucket, r.service_name): r.value
+        for r in query_range(ctx, "process_cpu_usage").collect()
+    }
+    for r in rt:
+        assert r.value == pytest.approx(base[(r.bucket, r.service_name)])
+
+
+def test_mod_sign_of_dividend(ctx):
+    """Prometheus %% is Go math.Mod — truncated, sign of the dividend."""
+    got = query_range(ctx, "(0 - process_cpu_usage) % 0.3").collect()
+    assert got and all(r.value <= 0 for r in got)
+    for r in got:
+        assert abs(r.value) < 0.3
+
+
+def test_limit_ratio_complement_partitions(ctx):
+    """limit_ratio(r) and limit_ratio(r-1) partition the series set —
+    the documented Prometheus pairing property."""
+    full = query_range(ctx, "sum by (service_name) (process_cpu_usage)").collect()
+    keep = query_range(
+        ctx, "limit_ratio(0.5, sum by (service_name) (process_cpu_usage))"
+    ).collect()
+    comp = query_range(
+        ctx, "limit_ratio(-0.5, sum by (service_name) (process_cpu_usage))"
+    ).collect()
+    key = lambda r: (r.bucket, r.service_name)
+    assert set(map(key, keep)).isdisjoint(set(map(key, comp)))
+    assert set(map(key, keep)) | set(map(key, comp)) == set(map(key, full))
+
+
+def test_limitk_keeps_k_series(ctx):
+    got = query_range(
+        ctx, "limitk(1, sum by (service_name) (process_cpu_usage))"
+    ).collect()
+    per_bucket = {}
+    for r in got:
+        per_bucket.setdefault(r.bucket, []).append(r.service_name)
+    assert per_bucket and all(len(v) == 1 for v in per_bucket.values())
+    # hash-selection is value-independent: the SAME series survives in
+    # every bucket
+    assert len({tuple(sorted(v)) for v in per_bucket.values()}) == 1
+
+
+def test_ts_of_last_over_time(ctx):
+    got = query_range(ctx, "ts_of_last_over_time(process_cpu_usage[10m])").collect()
+    # every picked timestamp falls inside its step bucket
+    for r in got:
+        assert r.bucket <= r.value < r.bucket + STEP
+
+
+def test_first_vs_last_over_time(ctx):
+    first = query_range(ctx, "first_over_time(process_cpu_usage[10m])").collect()
+    last = query_range(ctx, "last_over_time(process_cpu_usage[10m])").collect()
+    assert {(r.bucket, r.service_name) for r in first} == {
+        (r.bucket, r.service_name) for r in last
+    }
+
+
+def test_sort_by_label_orders_output(ctx):
+    got = query_range(
+        ctx, "sort_by_label_desc(sum by (service_name) (process_cpu_usage), \"service_name\")"
+    ).collect()
+    by_bucket = {}
+    for r in got:
+        by_bucket.setdefault(r.bucket, []).append(r.service_name)
+    for names in by_bucket.values():
+        assert names == sorted(names, reverse=True)
