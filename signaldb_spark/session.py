@@ -51,6 +51,11 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         # from a bounded tail capture; progress bars would displace it.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT64 µs timestamps on write (NOT the INT96 legacy type):
+        # INT96 carries no parquet min/max statistics, which would blind
+        # both the manifest's file-level stats pruning and the scan's
+        # row-group skipping on the primary time predicate.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # naive timestamp[us] parquet (DuckDB-written benchmark tables)
         # must load as session-local TimestampType, not TIMESTAMP_NTZ:
         # ANSI mode forbids NTZ→numeric casts and every epoch-bucket

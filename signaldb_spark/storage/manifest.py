@@ -104,11 +104,19 @@ class ManifestTable:
         remove_files: list[str] | tuple = (),
         batch_id: int | str | None = None,
         max_retries: int = 20,
+        stats: dict[str, dict] | None = None,
     ) -> bool:
         """Commit a snapshot: current files − removed + added. Paths are
         relative to ``data/``. Returns False (no commit) if ``batch_id``
         already appears in the lineage — the idempotent-replay guard.
         Optimistic concurrency: on version collision, reread and retry.
+
+        ``stats`` maps added file → {col: [min, max]} (the Iceberg
+        manifest-entry ``lower_bounds``/``upper_bounds`` analog,
+        storage-layout.md:45-96). Entries ride the manifest so
+        :meth:`read` can prune the file list by predicate range BEFORE
+        Spark ever plans the scan — at 100 TB the planner should list
+        the matching hour's files, not every file ever committed.
         """
         removed = set(remove_files)
         for _ in range(max_retries):
@@ -116,10 +124,15 @@ class ManifestTable:
             if batch_id is not None and batch_id in cur["batches"]:
                 return False
             files = [f for f in cur["files"] if f not in removed] + list(add_files)
+            kept_stats = {
+                f: s for f, s in cur.get("stats", {}).items() if f not in removed
+            }
+            kept_stats.update(stats or {})
             manifest = {
                 "version": cur["version"] + 1,
                 "files": sorted(files),
                 "batches": cur["batches"] + ([batch_id] if batch_id is not None else []),
+                "stats": kept_stats,
             }
             try:
                 self._put_if_absent(manifest, cur["version"] + 1)
@@ -135,11 +148,43 @@ class ManifestTable:
             os.path.join(self.data_dir, f) for f in self.load_manifest(version)["files"]
         ]
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+    def pruned_files(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """Manifest-level file pruning: drop files whose recorded
+        [min, max] for ``col`` is disjoint from [lo, hi]. Files with no
+        recorded stats are kept (pruning is an optimization, never a
+        correctness filter). Returns (absolute paths, files_pruned)."""
+        m = self.load_manifest(version)
+        stats = m.get("stats", {})
+        lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+        kept, pruned = [], 0
+        for f in m["files"]:
+            rng = stats.get(f, {}).get(col)
+            if rng is not None and (rng[1] < lo_k or rng[0] > hi_k):
+                pruned += 1
+                continue
+            kept.append(os.path.join(self.data_dir, f))
+        return kept, pruned
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame | None:
         """Snapshot read: exactly the committed file set (explicit list +
         basePath keeps hive-style partition columns AND partition
-        pruning). None for an empty table — no schema to synthesize."""
-        fs = self.files(version)
+        pruning). None for an empty table — no schema to synthesize.
+
+        ``between=(col, lo, hi)`` additionally prunes the file list by
+        the manifest's per-file column stats before Spark plans the
+        scan; the caller must still apply the row-level predicate (file
+        stats bound files, not rows)."""
+        if between is not None:
+            fs, _ = self.pruned_files(*between, version=version)
+        else:
+            fs = self.files(version)
         if not fs:
             return None
         return spark.read.option("basePath", self.data_dir).parquet(*fs)
@@ -189,6 +234,58 @@ class ManifestTable:
 # ------------------------------------------------------------------ writers
 
 
+def _stat_key(v):
+    """Normalize a stats value to a JSON-storable, totally-ordered key:
+    timestamps → epoch microseconds (int); everything else unchanged.
+    Naive datetimes are treated as UTC wall time (the session timezone
+    is pinned UTC; parquet footers may yield either form)."""
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return v
+
+
+def collect_file_stats(
+    data_dir: str, rel_files: list[str], cols: tuple[str, ...]
+) -> dict[str, dict]:
+    """Per-file [min, max] for ``cols`` from parquet footers only (the
+    row-group statistics pyarrow exposes) — a metadata read, no data
+    I/O; the same information an Iceberg writer records in its manifest
+    entries. Columns missing from a file, or with stats disabled, are
+    simply absent from that file's entry."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_files:
+        md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        entry: dict[str, list] = {}
+        for col in cols:
+            i = idx.get(col)
+            if i is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _stat_key(st.min), _stat_key(st.max)
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                entry[col] = [lo, hi]
+        if entry:
+            out[rel] = entry
+    return out
+
+
 def _stage_into_data(staging: str, data_dir: str, prefix: str) -> list[str]:
     """Move staged hive-layout parquet files under unique names in
     data/. The move is local simulation of a direct-to-final-key upload
@@ -217,6 +314,7 @@ def write_batch_manifest(
     table: str,
     batch_id: int | str,
     partition_cols: tuple[str, ...] = ("date_day", "hour"),
+    stats_cols: tuple[str, ...] = ("timestamp",),
 ) -> bool:
     """foreachBatch sink with manifest commit: idempotent under
     at-least-once replay even when the replay produces a different file
@@ -237,7 +335,8 @@ def write_batch_manifest(
         writer = writer.option(k, v)
     writer.parquet(staging)
     rel_files = _stage_into_data(staging, mt.data_dir, f"batch-{batch_id}-{attempt}")
-    return mt.commit(rel_files, batch_id=batch_id)
+    stats = collect_file_stats(mt.data_dir, rel_files, stats_cols) if stats_cols else None
+    return mt.commit(rel_files, batch_id=batch_id, stats=stats)
 
 
 def compact_partition_manifest(
@@ -285,5 +384,6 @@ def compact_partition_manifest(
         os.replace(os.path.join(staging, n), os.path.join(part_dir, fname))
         rel_files.append(os.path.join(f"date_day={day}", f"hour={hour}", fname))
     shutil.rmtree(staging, ignore_errors=True)
-    mt.commit(rel_files, remove_files=old)
+    stats = collect_file_stats(mt.data_dir, rel_files, ("timestamp",))
+    mt.commit(rel_files, remove_files=old, stats=stats)
     return len(rel_files)

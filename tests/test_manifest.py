@@ -232,3 +232,88 @@ def test_maintenance_cycle_end_to_end(spark, tmp_path):
         t.filter(F.col("hour") == 0).select("body").explain("formatted")
     p = buf.getvalue()
     assert "PartitionFilters" in p and "hour" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def _ts_rows(spark, n, day, hour):
+    base = f"{day} {hour:02d}:00:00"
+    return spark.range(n).select(
+        F.col("id"),
+        F.lit(day).alias("date_day"),
+        F.lit(hour).alias("hour"),
+        (F.to_timestamp(F.lit(base)) + F.make_interval(secs=F.col("id"))).alias(
+            "timestamp"
+        ),
+        (F.col("id") * 2).alias("value"),
+    )
+
+
+def test_manifest_records_file_stats(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_batch_manifest(_ts_rows(spark, 60, "2024-01-01", 3), table, "logs", batch_id=1)
+    mt = ManifestTable(table)
+    m = mt.load_manifest()
+    assert m["files"] and set(m["stats"]) == set(m["files"])
+    # across all the batch's files: epoch µs for 03:00:00 .. +59s
+    lo = min(s["timestamp"][0] for s in m["stats"].values())
+    hi = max(s["timestamp"][1] for s in m["stats"].values())
+    assert lo == 1704078000_000000 and hi == 1704078000_000000 + 59_000_000
+
+
+def test_stats_pruning_skips_disjoint_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    # two batches, one hour apart — different files, disjoint time ranges
+    write_batch_manifest(_ts_rows(spark, 10, "2024-01-01", 3), table, "logs", batch_id=1)
+    write_batch_manifest(_ts_rows(spark, 10, "2024-01-01", 4), table, "logs", batch_id=2)
+    mt = ManifestTable(table)
+    all_files = mt.files()
+    assert len(all_files) >= 2
+    lo = 1704081600_000000  # 04:00:00
+    hi = lo + 3600_000000
+    kept, pruned = mt.pruned_files("timestamp", lo, hi)
+    assert pruned >= 1 and len(kept) < len(all_files)
+    # pruned read returns exactly the hour-4 rows once the row predicate
+    # is applied (stats bound files, not rows)
+    import datetime as dt
+
+    lo_ts = dt.datetime(2024, 1, 1, 4, 0, 0)
+    out = mt.read(spark, between=("timestamp", lo, hi)).filter(
+        F.col("timestamp") >= F.lit(lo_ts)
+    )
+    assert out.count() == 10
+    assert len(out.inputFiles()) == len(kept)
+
+
+def test_stats_pruning_keeps_statless_files(spark, tmp_path):
+    table = str(tmp_path / "t")
+    # batch with NO timestamp column → no stats recorded for its files
+    write_batch_manifest(_rows(spark, 10), table, "logs", batch_id=1)
+    write_batch_manifest(_ts_rows(spark, 10, "2024-01-02", 5), table, "logs", batch_id=2)
+    mt = ManifestTable(table)
+    m = mt.load_manifest()
+    with_stats = [f for f in m["files"] if f in m["stats"]]
+    without = [f for f in m["files"] if f not in m["stats"]]
+    assert with_stats and without
+    # a window far away prunes ONLY the stats-bearing files
+    kept, pruned = mt.pruned_files("timestamp", 0, 1_000_000)
+    assert pruned == len(with_stats)
+    assert sorted(kept) == sorted(
+        os.path.join(mt.data_dir, f) for f in without
+    )
+
+
+def test_compaction_refreshes_stats_and_drops_removed(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for b in range(3):
+        write_batch_manifest(
+            _ts_rows(spark, 20, "2024-01-01", 3).repartition(2), table, "logs", batch_id=b
+        )
+    mt = ManifestTable(table)
+    old_files = set(mt.load_manifest()["files"])
+    compact_partition_manifest(spark, table, "logs", "2024-01-01", 3)
+    m = mt.load_manifest()
+    # stats for retired files dropped; the compacted file has fresh stats
+    assert not (set(m["stats"]) & old_files)
+    assert set(m["stats"]) == set(m["files"])
+    lo = min(s["timestamp"][0] for s in m["stats"].values())
+    hi = max(s["timestamp"][1] for s in m["stats"].values())
+    assert lo == 1704078000_000000 and hi == 1704078000_000000 + 19_000_000
