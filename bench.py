@@ -134,6 +134,8 @@ HEADLINE = [
     "promql_limit_ratio",
     "promql_hist_stddev",
     "promql_hist_avg",
+    "logql_approx_topk",
+    "trace_search_select",
 ]
 
 

@@ -354,3 +354,34 @@ FROM spine s LEFT JOIN err e USING (bucket)
 
 QUERIES["logql_vector_fill"] = q_logql_vector_fill
 ORACLES["logql_vector_fill"] = ORACLE_LOGQL_VECTOR_FILL
+
+
+def q_logql_approx_topk(spark, sf_dir):
+    """approx_topk (Loki 3.3): lowered to the salted two-phase window
+    (timeseries.topk_per_bucket_salted) — per-(bucket, salt) partial
+    top-k then a final merge over ≤ salts·k survivors. EXACT output
+    (every global winner survives its salt group under the same total
+    order), so the oracle is plain top-k; the point is the first
+    window partitions a hot bucket over 16 tasks instead of one."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'approx_topk(2, sum by (service) (count_over_time({service=~".+"}[1d])))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_LOGQL_APPROX_TOPK = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT bucket, service_name, value,
+         row_number() OVER (PARTITION BY bucket ORDER BY value DESC, service_name ASC) AS rk
+  FROM m
+)
+SELECT bucket, service_name, value FROM r WHERE rk <= 2
+"""
+
+QUERIES["logql_approx_topk"] = q_logql_approx_topk
+ORACLES["logql_approx_topk"] = ORACLE_LOGQL_APPROX_TOPK

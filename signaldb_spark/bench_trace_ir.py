@@ -1036,3 +1036,66 @@ FROM matched GROUP BY 1
 
 QUERIES["ir_match"] = q_ir_match
 ORACLES["ir_match"] = ORACLE_IR_MATCH
+
+
+def q_trace_search_select(spark, sf_dir):
+    """TraceQL select() (Tempo projection widener, beyond-parity): the
+    named attribute refs come back as extra columns, computed BEFORE
+    the search projection drops the attribute maps — only the selected
+    keys ride through the truncation, never whole maps."""
+    from .traceql.trace_ops import search_traceql
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
+        F.concat(
+            F.lit("ship-"), F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")
+        ).alias("span_name"),
+        F.col("l_linestatus").alias("service_name"),
+        (F.col("l_shipdate").cast("timestamp").cast("double") * 1e9)
+        .cast("long")
+        .alias("start_time_unix_nano"),
+        (F.col("l_quantity") * 1e6).cast("long").alias("duration_nanos"),
+        F.col("l_shipdate").alias("timestamp"),
+        F.create_map(
+            F.lit("qty"), F.col("l_quantity").cast("string")
+        ).alias("span_attributes"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias(
+            "resource_attributes"
+        ),
+    )
+    q = '{ span.qty >= 45 } | select(span.qty, resource.flag)'
+    return search_traceql(spans, q, limit=12, span_limit=400)
+
+
+ORACLE_TRACE_SEARCH_SELECT = """
+WITH spans AS (
+  SELECT l_orderkey AS trace_id,
+         l_orderkey * 10 + l_linenumber AS span_id,
+         'ship-' || l_returnflag || '-' || l_linestatus AS span_name,
+         l_linestatus AS service_name,
+         CAST(epoch(l_shipdate) * 1e9 AS BIGINT) AS start_time_unix_nano,
+         CAST(l_quantity * 1e6 AS BIGINT) AS duration_nanos,
+         l_shipdate AS timestamp,
+         CAST(l_quantity AS VARCHAR) AS qty,
+         l_returnflag AS flag
+  FROM lineitem
+),
+filtered AS (SELECT * FROM spans WHERE CAST(qty AS DOUBLE) >= 45),
+limited AS (
+  SELECT trace_id, span_id, span_name, service_name,
+         start_time_unix_nano, duration_nanos, timestamp,
+         qty AS "span.qty", flag AS "resource.flag"
+  FROM filtered ORDER BY start_time_unix_nano DESC, span_id DESC LIMIT 400
+),
+ranked AS (
+  SELECT trace_id, max(start_time_unix_nano) AS latest
+  FROM limited GROUP BY trace_id
+  ORDER BY latest DESC, trace_id DESC LIMIT 12
+)
+SELECT l.* FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
+"""
+
+QUERIES["trace_search_select"] = q_trace_search_select
+ORACLES["trace_search_select"] = ORACLE_TRACE_SEARCH_SELECT

@@ -428,6 +428,10 @@ def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
             return ts.topk_per_bucket(
                 inner, int(expr.param or 1), series, bottom=expr.op == "bottomk"
             )
+        if expr.op == "approx_topk":
+            # Loki 3.3 probabilistic topk; here the salted two-phase
+            # window — exact output, skew-proof first shuffle
+            return ts.topk_per_bucket_salted(inner, int(expr.param or 1), series)
         if expr.op in ("sort", "sort_desc"):
             return ts.sort_series_by_latest(inner, series, desc=expr.op == "sort_desc")
         routed = _route_grouping(series, expr.grouping)

@@ -49,7 +49,7 @@ RANGE_FNS = {
 
 VECTOR_AGGS = {
     "sum", "avg", "min", "max", "count", "stddev", "stdvar",
-    "topk", "bottomk", "sort", "sort_desc",
+    "topk", "bottomk", "approx_topk", "sort", "sort_desc",
 }
 
 PARSER_STAGES = {
@@ -339,7 +339,7 @@ class _P:
             grouping = self._label_list()
         self.expect("OP", "(")
         param = None
-        if op in ("topk", "bottomk"):
+        if op in ("topk", "bottomk", "approx_topk"):
             param = float(self.expect("NUMBER").text)
             self.expect("OP", ",")
         expr = self.parse_or()

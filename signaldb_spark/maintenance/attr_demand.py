@@ -133,6 +133,7 @@ def record_traceql_query(parsed, tenant: str, dataset: str) -> None:
     from ..traceql.parser import (
         AggregateQuery,
         Disjunction,
+        SelectQuery,
         StructuralQuery,
     )
 
@@ -143,7 +144,7 @@ def record_traceql_query(parsed, tenant: str, dataset: str) -> None:
         elif isinstance(p, StructuralQuery):
             yield from p.left
             yield from p.right
-        elif isinstance(p, AggregateQuery):
+        elif isinstance(p, (AggregateQuery, SelectQuery)):
             yield from p.preds
         else:
             yield from p
@@ -151,3 +152,10 @@ def record_traceql_query(parsed, tenant: str, dataset: str) -> None:
     for pred in preds(parsed):
         if pred.scope != "intrinsic" and pred.key != "service.name":
             record(tenant, dataset, "traces", pred.key)
+    if isinstance(parsed, SelectQuery):
+        # select()ed attribute refs are read demand too: a projected
+        # map key benefits from promotion exactly like a filtered one
+        for f in parsed.fields:
+            for scope in ("span.", "resource."):
+                if f.startswith(scope) and f[len(scope):] != "service.name":
+                    record(tenant, dataset, "traces", f[len(scope):])

@@ -404,6 +404,39 @@ def topk_per_bucket(
     )
 
 
+def topk_per_bucket_salted(
+    matrix: DataFrame,
+    k: int,
+    series_cols: list[str],
+    value_col: str = "value",
+    bottom: bool = False,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase top-k: per-(bucket, salt) partial top-k, then the final
+    top-k over the ≤ salts·k survivors. EXACT — every global top-k
+    member is also in its salt group's top-k — but the first window
+    partitions on (bucket, salt), so a single hot bucket with millions
+    of series spreads over ``salts`` tasks instead of one. This backs
+    LogQL ``approx_topk`` (Loki 3.3's count-min-sketch answer to the
+    same skew problem); exact output is a valid — strictly better —
+    approximation, and makes the operator oracle-checkable."""
+    v = F.col(value_col)
+    order = [v.asc() if bottom else v.desc()] + [F.col(c).asc() for c in series_cols]
+    salt = F.pmod(F.xxhash64(*series_cols), F.lit(salts))
+    w1 = Window.partitionBy("bucket", salt).orderBy(*order)
+    survivors = (
+        matrix.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy("bucket").orderBy(*order)
+    return (
+        survivors.withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 SAMPLE_SPACE = 16 ** 8  # 8 md5 hex nibbles → [0, 2^32)
 
 

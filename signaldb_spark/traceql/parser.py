@@ -192,6 +192,21 @@ _AGG_RE = re.compile(
 )
 
 
+@dataclass(frozen=True)
+class SelectQuery:
+    """``{preds} | select(f1, f2, …)`` — Tempo's projection widener
+    (traceql.md "select"): matched spans come back with the named
+    fields as extra columns. Fields are scoped attribute refs
+    (``span.x`` / ``resource.y`` / unscoped ``.z``) or intrinsics
+    (``name``/``status``/``duration``/``kind``)."""
+
+    preds: tuple[SpanPredicate, ...]
+    fields: tuple[str, ...]
+
+
+_SELECT_RE = re.compile(r"^(\{[^{}]*\})\s*\|\s*select\(\s*([^)]*?)\s*\)$")
+
+
 def _conj(q: str) -> tuple[SpanPredicate, ...]:
     parsed = parse_traceql(q)
     if isinstance(parsed, Disjunction):
@@ -210,6 +225,14 @@ def parse_traceql_expr(
     m = _STRUCT_RE.match(q.strip())
     if m is not None:
         return StructuralQuery(m.group(2), _conj(m.group(1)), _conj(m.group(3)))
+    s = _SELECT_RE.match(q.strip())
+    if s is not None:
+        fields = tuple(
+            f.strip() for f in s.group(2).split(",") if f.strip()
+        )
+        if not fields:
+            raise TraceQLError("select() needs at least one field")
+        return SelectQuery(_conj(s.group(1)), fields)
     a = _AGG_RE.match(q.strip())
     if a is not None:
         col = a.group(3)

@@ -201,6 +201,7 @@ def search(
     span_limit: int | None = None,
     max_search_limit: int = 1000,
     spans_per_trace: int | None = None,
+    extra_columns: "dict[str, Column] | None" = None,
 ) -> DataFrame:
     """Trace search with deterministic newest-N truncation.
 
@@ -224,7 +225,12 @@ def search(
         df = df.filter(F.col("duration_nanos") >= min_duration_nanos)
     if max_duration_nanos is not None:
         df = df.filter(F.col("duration_nanos") <= max_duration_nanos)
-    df = df.select(*[c for c in TRACE_SEARCH_COLUMNS if c in df.columns])
+    # select() extras are computed BEFORE the projection drops the
+    # attribute maps, so only the named keys survive (never whole maps)
+    df = df.select(
+        *[c for c in TRACE_SEARCH_COLUMNS if c in df.columns],
+        *[e.alias(n) for n, e in (extra_columns or {}).items()],
+    )
     if span_limit is None:
         span_limit = limit * 50  # spans-per-trace estimate (clamped_limits, trace.rs:720)
     df = df.orderBy(F.col("start_time_unix_nano").desc(), F.col("span_id").desc()).limit(
@@ -263,7 +269,12 @@ def search_traceql(
     :func:`search`, structural and aggregate queries to the structural
     lowering."""
     from ..maintenance import attr_demand
-    from .parser import AggregateQuery, StructuralQuery, parse_traceql_expr
+    from .parser import (
+        AggregateQuery,
+        SelectQuery,
+        StructuralQuery,
+        parse_traceql_expr,
+    )
 
     parsed = parse_traceql_expr(query)
     attr_demand.record_traceql_query(parsed, tenant, dataset)
@@ -275,7 +286,42 @@ def search_traceql(
         from .structural import aggregate_search
 
         return aggregate_search(traces, parsed)
+    if isinstance(parsed, SelectQuery):
+        extras = {f: select_field_expr(f) for f in parsed.fields}
+        return search(
+            traces, list(parsed.preds), extra_columns=extras, **search_kwargs
+        )
     return search(traces, parsed, **search_kwargs)
+
+
+_INTRINSIC_FIELDS = {
+    "name": "span_name",
+    "status": STATUS_COLUMN,
+    "duration": "duration_nanos",
+    "kind": "span_kind",
+    "trace:id": "trace_id",
+    "span:id": "span_id",
+}
+
+
+def select_field_expr(field: str):
+    """Route a select() field to its column: intrinsics → dedicated
+    columns; ``span.X`` / ``resource.X`` → the scope's attribute map;
+    unscoped ``.X`` → span-first coalesce (Tempo's unscoped lookup
+    order, traceql.md)."""
+    if field in _INTRINSIC_FIELDS:
+        return F.col(_INTRINSIC_FIELDS[field])
+    if field == "resource.service.name" or field == "service.name":
+        return F.col("service_name")
+    if field.startswith("span."):
+        return F.element_at(F.col("span_attributes"), field[len("span."):])
+    if field.startswith("resource."):
+        return F.element_at(F.col("resource_attributes"), field[len("resource."):])
+    key = field[1:] if field.startswith(".") else field
+    return F.coalesce(
+        F.element_at(F.col("span_attributes"), key),
+        F.element_at(F.col("resource_attributes"), key),
+    )
 
 
 def tag_values(traces: DataFrame, scope: str, key: str, cap: int = 1000) -> DataFrame:

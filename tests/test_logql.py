@@ -411,3 +411,17 @@ def test_distinct_keeps_first_per_label(ctx):
     rows = query_logs(ctx, sel, limit=100000, direction="forward").collect()
     envs = [r.log_attributes.get("env") for r in rows]
     assert len(envs) == len(set(envs)) and len(envs) >= 2
+
+
+def test_approx_topk_equals_exact_topk(ctx):
+    """approx_topk lowers to the salted two-phase window — EXACT: the
+    result must be identical to plain topk under the same tie-break."""
+    exact = query_metric(
+        ctx, 'topk(2, sum by (service_name) (count_over_time({service_name=~".+"}[10m])))'
+    ).collect()
+    approx = query_metric(
+        ctx,
+        'approx_topk(2, sum by (service_name) (count_over_time({service_name=~".+"}[10m])))',
+    ).collect()
+    key = lambda r: (r.bucket, r.service_name, r.value)
+    assert sorted(map(key, approx)) == sorted(map(key, exact))

@@ -499,3 +499,42 @@ def test_widened_traceql_property_random_spans(spark):
         want = {row[1] for row in rows if py_eval(row, parsed)}
         assert got == want, (qs, len(got), len(want), got ^ want)
         assert want  # each query matches something
+
+
+def test_parse_select_query():
+    from signaldb_spark.traceql.parser import SelectQuery, parse_traceql_expr
+
+    q = parse_traceql_expr('{ span.qty >= 45 } | select(span.qty, resource.flag, name)')
+    assert isinstance(q, SelectQuery)
+    assert q.fields == ("span.qty", "resource.flag", "name")
+    assert q.preds[0].scope == "span" and q.preds[0].key == "qty"
+    with pytest.raises(TraceQLError):
+        parse_traceql_expr('{ name = "x" } | select()')
+
+
+def test_select_widens_projection(traces):
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    out = search_traceql(
+        traces, '{ span.http.method = "GET" } | select(span.http.method, name)', limit=5
+    )
+    assert "span.http.method" in out.columns and "name" in out.columns
+    rows = out.collect()
+    assert rows and all(r["span.http.method"] == "GET" for r in rows)
+    assert all(r["name"] == r["span_name"] for r in rows)
+    # the attribute MAPS are projected away — only the selected key rides
+    assert "span_attributes" not in out.columns
+
+
+def test_select_records_attr_demand(traces, tmp_path, monkeypatch):
+    from signaldb_spark.maintenance import attr_demand
+    from signaldb_spark.traceql.parser import parse_traceql_expr
+
+    seen = []
+    monkeypatch.setattr(attr_demand, "record", lambda *a: seen.append(a))
+    attr_demand.record_traceql_query(
+        parse_traceql_expr('{ span.a = "1" } | select(span.b, resource.c)'),
+        "acme", "prod",
+    )
+    keys = {k for (_t, _d, _tbl, k) in seen}
+    assert {"a", "b", "c"} <= keys
