@@ -136,6 +136,10 @@ HEADLINE = [
     "promql_hist_avg",
     "logql_approx_topk",
     "trace_search_select",
+    "volume_shipping",
+    "priority_shipmode",
+    "promo_revenue",
+    "brand_quantity_revenue",
 ]
 
 

@@ -591,3 +591,157 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["salted_agg"] = q_salted_agg
 ORACLES["salted_agg"] = ORACLE_SALTED_AGG
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: revenue between two nations by (supplier nation,
+    customer nation, year) with the OR of both direction pairs. The two
+    nation dims broadcast TWICE under different aliases; the fact-side
+    filter keeps only the two nations' suppliers/customers before the
+    (nation, nation, year) agg — one shuffle on a 2×2×years key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["volume_shipping"] = q_volume_shipping
+ORACLES["volume_shipping"] = ORACLE_VOLUME_SHIPPING
+
+
+def q_priority_shipmode(spark, sf_dir):
+    """TPC-H Q12 shape (conditional counting): per line status, how many
+    orders are high- vs low-priority — the CASE-inside-SUM idiom, one
+    partial+final agg after the fact join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = l.filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PRIORITY_SHIPMODE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["priority_shipmode"] = q_priority_shipmode
+ORACLES["priority_shipmode"] = ORACLE_PRIORITY_SHIPMODE
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month — a scalar
+    ratio of two conditional sums over the part join. 6dp-rounded."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    ).join(p, F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        R6(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("promo_revenue")
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+"""
+
+QUERIES["promo_revenue"] = q_promo_revenue
+ORACLES["promo_revenue"] = ORACLE_PROMO_REVENUE
+
+
+def q_brand_quantity_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    predicate Catalyst must keep as a post-join filter while still
+    pushing the per-side conjuncts (brand/size to the part scan,
+    quantity to the lineitem scan) down as a derived OR."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        R6(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+ORACLE_BRAND_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["brand_quantity_revenue"] = q_brand_quantity_revenue
+ORACLES["brand_quantity_revenue"] = ORACLE_BRAND_QUANTITY_REVENUE
