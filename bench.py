@@ -140,6 +140,7 @@ HEADLINE = [
     "priority_shipmode",
     "promo_revenue",
     "brand_quantity_revenue",
+    "exphist_rate_quantile",
 ]
 
 

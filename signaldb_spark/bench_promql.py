@@ -1342,3 +1342,128 @@ FROM events GROUP BY 1
 
 QUERIES["promql_hist_avg"] = q_promql_hist_avg
 ORACLES["promql_hist_avg"] = ORACLE_PROMQL_HIST_AVG
+
+
+def q_exphist_rate_quantile(spark, sf_dir):
+    """histogram_quantile(0.9, rate(exp_hist[1d])) over CUMULATIVE
+    exponential histograms (exphist.exphist_rate_quantile) — the
+    Prometheus native-histogram rate path the reference cannot serve.
+    Per (day, service) the gate synthesizes two cumulative datapoints —
+    morning-only counts at 00:00 and the full day at 23:00 — so the
+    last−first delta is exactly the afternoon distribution; the oracle
+    walks that afternoon CDF directly."""
+    from .operators.exphist import exphist_rate_quantile
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    v = F.col("value")
+    w = F.floor(v).cast("long")
+    L = F.length(F.bin(w))
+    pow2 = w.bitwiseAND(w - 1) == 0
+    i = F.when(pow2, L - 2).otherwise(L - 1).cast("int")
+    rows = ev.select(
+        b.alias("bucket"),
+        F.col("event_type").alias("service_name"),
+        (v < 1).alias("_zero"),
+        F.when(v >= 1, i).alias("i"),
+        (F.hour("ts") < 12).alias("_half"),
+    )
+
+    def _dense(r):
+        pos = (
+            r.filter(~F.col("_zero") & F.col("i").isNotNull())
+            .groupBy("bucket", "service_name", "i")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        d = pos.groupBy("bucket", "service_name").agg(
+            F.min("i").alias("positive_offset"),
+            F.max("i").alias("_mx"),
+            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("_m"),
+        )
+        counts = F.transform(
+            F.sequence(F.col("positive_offset"), F.col("_mx")),
+            lambda k: F.coalesce(F.element_at(F.col("_m"), k), F.lit(0)).cast("long"),
+        )
+        z = r.groupBy("bucket", "service_name").agg(
+            F.sum(F.col("_zero").cast("long")).alias("zero_count")
+        )
+        return z.join(d, ["bucket", "service_name"], "left").select(
+            "bucket", "service_name", F.lit(0).alias("scale"), "zero_count",
+            F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
+            F.coalesce(
+                counts, F.array().cast("array<long>")
+            ).alias("positive_bucket_counts"),
+        )
+
+    full = _dense(rows)
+    half = _dense(rows.filter(F.col("_half")))
+    # anchor on the full-day groups so a morning with zero events still
+    # yields a (first=empty, last=full) pair, not a single-sample step
+    first = (
+        full.select("bucket", "service_name")
+        .join(half, ["bucket", "service_name"], "left")
+        .select(
+            "bucket", "service_name", F.lit(0).alias("scale"),
+            F.coalesce("zero_count", F.lit(0)).alias("zero_count"),
+            F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
+            F.coalesce(
+                "positive_bucket_counts", F.array().cast("array<long>")
+            ).alias("positive_bucket_counts"),
+        )
+        .withColumn("timestamp", F.timestamp_seconds(F.col("bucket")))
+    )
+    last = full.withColumn(
+        "timestamp", F.timestamp_seconds(F.col("bucket") + 82800)
+    )
+    dp = first.unionByName(last).drop("bucket")
+    out = exphist_rate_quantile(
+        dp, 0.9, ["service_name"], ts_col="timestamp", step_seconds=86400,
+        neg_offset_col=None, neg_counts_col=None,
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_EXPHIST_RATE_QUANTILE = f"""
+WITH base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CASE WHEN value < 1 THEN NULL ELSE CAST(floor(value) AS BIGINT) END AS w
+  FROM events WHERE hour(ts) >= 12
+), idxed AS (
+  SELECT bucket, service_name,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN (w & (w - 1)) = 0 THEN length(bin(w)) - 2
+              ELSE length(bin(w)) - 1 END AS i
+  FROM base
+), zeros AS (
+  SELECT bucket, service_name,
+         CAST(count(*) FILTER (WHERE i IS NULL) AS DOUBLE) AS z,
+         CAST(count(*) AS DOUBLE) AS total
+  FROM idxed GROUP BY 1, 2
+), cnts AS (
+  SELECT bucket, service_name, i, CAST(count(*) AS DOUBLE) AS c
+  FROM idxed WHERE i IS NOT NULL GROUP BY 1, 2, 3
+), cum AS (
+  SELECT bucket, service_name, i, c,
+         sum(c) OVER (PARTITION BY bucket, service_name ORDER BY i) AS cum
+  FROM cnts
+), pick AS (
+  SELECT z.bucket, z.service_name,
+         min_by(m.i, m.i) AS pi, min_by(m.c, m.i) AS pc, min_by(m.cum, m.i) AS pcum
+  FROM zeros z JOIN cum m USING (bucket, service_name)
+  WHERE z.z + m.cum >= 0.9 * z.total
+  GROUP BY 1, 2
+), vals AS (
+  SELECT z.bucket, z.service_name,
+    round(CASE WHEN z.total <= 0 THEN NULL
+               WHEN 0.9 * z.total <= z.z THEN 0.0
+               ELSE power(2.0, p.pi)
+                    + (power(2.0, p.pi + 1) - power(2.0, p.pi))
+                      * (0.9 * z.total - (z.z + p.pcum - p.pc)) / p.pc END, 6) AS value
+  FROM zeros z LEFT JOIN pick p USING (bucket, service_name)
+)
+SELECT bucket, service_name, value FROM vals WHERE value IS NOT NULL
+"""
+
+QUERIES["exphist_rate_quantile"] = q_exphist_rate_quantile
+ORACLES["exphist_rate_quantile"] = ORACLE_EXPHIST_RATE_QUANTILE

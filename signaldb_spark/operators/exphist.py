@@ -72,7 +72,7 @@ def exphist_quantile(
                 F.col(offset_col).alias("_off"),
                 F.posexplode_outer(counts_col).alias("_pos", "_cnt"),
             )
-            .filter(F.col("_cnt") > 0)
+            .filter(F.col("_cnt") != 0)
             .groupBy(
                 *series_cols,
                 "_side",
@@ -81,6 +81,11 @@ def exphist_quantile(
                 ).alias("_i"),
             )
             .agg(F.sum("_cnt").cast("double").alias("_c"))
+            # negative per-datapoint counts are legal inputs (the
+            # rate-mode last − first delta encodes the subtrahend as
+            # negated rows); only the per-bucket NET must be kept, and
+            # a zero net is dropped so the fold never divides by it
+            .filter(F.col("_c") != 0)
         )
 
     sides = _side(pos_offset_col, pos_counts_col, 1)
@@ -167,3 +172,79 @@ def exphist_quantile(
         .otherwise(F.lit(None).cast("double"))
     )
     return merged.select(*series_cols, value.alias(out))
+
+
+def exphist_rate_quantile(
+    df: DataFrame,
+    phi: float,
+    series_cols: list[str],
+    ts_col: str = "timestamp",
+    step_seconds: int = 3600,
+    scale_col: str = "scale",
+    zero_col: str = "zero_count",
+    pos_offset_col: str = "positive_offset",
+    pos_counts_col: str = "positive_bucket_counts",
+    neg_offset_col: str | None = "negative_offset",
+    neg_counts_col: str | None = "negative_bucket_counts",
+    out: str = "value",
+) -> DataFrame:
+    """histogram_quantile(φ, rate(exp_hist[step])) for CUMULATIVE
+    exponential histograms — the Prometheus native-histogram rate path.
+
+    Per (step bucket, series) the rate distribution is (last − first)
+    element-wise over the sparse (side, idx) domain. Rather than a
+    bespoke delta walk, the subtrahend is encoded as the first
+    datapoint with NEGATED counts and unioned with the last; the
+    standard merge in :func:`exphist_quantile` then nets per-bucket
+    deltas (dropping zero nets), downscales mixed scales, and folds the
+    CDF exactly as the at-rest path does. Steps with a single datapoint
+    (no increase) net to zero mass and return no row."""
+    keep = [scale_col, zero_col, pos_offset_col, pos_counts_col]
+    if neg_offset_col is not None and neg_offset_col in df.columns:
+        keep += [neg_offset_col, neg_counts_col]
+    b = df.withColumn(
+        "bucket",
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / step_seconds) * step_seconds).cast(
+            "long"
+        ),
+    )
+    snap = F.struct(*[F.col(c).alias(c) for c in keep])
+    ends = b.groupBy("bucket", *series_cols).agg(
+        F.max_by(snap, F.col(ts_col)).alias("_last"),
+        F.min_by(snap, F.col(ts_col)).alias("_first"),
+    )
+    last = ends.select("bucket", *series_cols, F.col("_last.*"))
+    neg = ends.select(
+        "bucket",
+        *series_cols,
+        F.col(f"_first.{scale_col}").alias(scale_col),
+        (-F.col(f"_first.{zero_col}")).alias(zero_col),
+        F.col(f"_first.{pos_offset_col}").alias(pos_offset_col),
+        F.transform(F.col(f"_first.{pos_counts_col}"), lambda x: -x).alias(
+            pos_counts_col
+        ),
+        *(
+            [
+                F.col(f"_first.{neg_offset_col}").alias(neg_offset_col),
+                F.transform(F.col(f"_first.{neg_counts_col}"), lambda x: -x).alias(
+                    neg_counts_col
+                ),
+            ]
+            if neg_offset_col is not None and neg_offset_col in df.columns
+            else []
+        ),
+    )
+    union = last.unionByName(neg)
+    q = exphist_quantile(
+        union,
+        phi,
+        ["bucket", *series_cols],
+        scale_col=scale_col,
+        zero_col=zero_col,
+        pos_offset_col=pos_offset_col,
+        pos_counts_col=pos_counts_col,
+        neg_offset_col=neg_offset_col if neg_offset_col in union.columns else None,
+        neg_counts_col=neg_counts_col if (neg_counts_col or "") in union.columns else None,
+        out=out,
+    )
+    return q.filter(F.col(out).isNotNull())

@@ -671,3 +671,52 @@ def test_sort_by_label_orders_output(ctx):
         by_bucket.setdefault(r.bucket, []).append(r.service_name)
     for names in by_bucket.values():
         assert names == sorted(names, reverse=True)
+
+
+def test_exphist_rate_quantile_delta_hand_check(spark):
+    """Two cumulative datapoints in one step: the rate distribution is
+    last − first. first: 2 obs in bucket i=1; last: 2 in i=1 plus 4 in
+    i=2 plus 1 zero. Delta = {i=2: 4, zero: 1}; p50 rank 2.5 lands in
+    i=2 → 4 + (8-4)*(2.5-1)/4 = 5.5."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    rows = [
+        ("s", "2024-01-01 00:10:00", 0, 0, 1, [2]),
+        ("s", "2024-01-01 00:50:00", 0, 1, 1, [2, 4]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "service_name string, ts string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts array<long>",
+    ).select(
+        "service_name", F.to_timestamp("ts").alias("timestamp"), "scale",
+        "zero_count", "positive_offset", "positive_bucket_counts",
+    )
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(5.5)
+
+
+def test_exphist_rate_quantile_single_sample_step_empty(spark):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = spark.createDataFrame(
+        [("s", "2024-01-01 00:10:00", 0, 0, 1, [2])],
+        "service_name string, ts string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts array<long>",
+    ).select(
+        "service_name", F.to_timestamp("ts").alias("timestamp"), "scale",
+        "zero_count", "positive_offset", "positive_bucket_counts",
+    )
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert out == []
