@@ -141,6 +141,9 @@ HEADLINE = [
     "promo_revenue",
     "brand_quantity_revenue",
     "exphist_rate_quantile",
+    "trace_metrics_compare",
+    "trace_metrics_histogram",
+    "url_dedup",
 ]
 
 

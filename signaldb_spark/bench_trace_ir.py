@@ -1099,3 +1099,87 @@ SELECT l.* FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
 
 QUERIES["trace_search_select"] = q_trace_search_select
 ORACLES["trace_search_select"] = ORACLE_TRACE_SEARCH_SELECT
+
+
+def q_trace_metrics_compare(spark, sf_dir):
+    """TraceQL metrics compare() (trace_ops.metrics_compare): selection =
+    slow spans (duration >= 25ms), attributes flag/status from lineitem
+    columns; per attribute key the top-3 values by selection count with
+    the baseline count alongside — the "what's different about the slow
+    spans" panel."""
+    from .traceql.trace_ops import metrics_compare
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        (F.col("l_quantity") * 1e6).cast("long").alias("duration_nanos"),
+        F.create_map(
+            F.lit("flag"), F.col("l_returnflag"),
+            F.lit("status"), F.col("l_linestatus"),
+        ).alias("span_attributes"),
+    )
+    out = metrics_compare(
+        spans, F.col("duration_nanos") >= 25_000_000, top_n=3,
+        attr_cols=("span_attributes",),
+    )
+    return out.select("attr_key", "attr_value", "selection_count", "baseline_count")
+
+
+ORACLE_TRACE_METRICS_COMPARE = """
+WITH spans AS (
+  SELECT CAST(l_quantity * 1e6 AS BIGINT) AS dur, l_returnflag AS flag,
+         l_linestatus AS status
+  FROM lineitem
+), pairs AS (
+  SELECT 'flag' AS attr_key, flag AS attr_value, dur FROM spans
+  UNION ALL
+  SELECT 'status' AS attr_key, status AS attr_value, dur FROM spans
+), agg AS (
+  SELECT attr_key, attr_value,
+         sum(CASE WHEN dur >= 25000000 THEN 1 ELSE 0 END) AS selection_count,
+         sum(CASE WHEN dur >= 25000000 THEN 0 ELSE 1 END) AS baseline_count
+  FROM pairs GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY attr_key ORDER BY selection_count DESC, attr_value ASC
+  ) AS rk FROM agg
+)
+SELECT attr_key, attr_value, selection_count, baseline_count
+FROM r WHERE rk <= 3
+"""
+
+QUERIES["trace_metrics_compare"] = q_trace_metrics_compare
+ORACLES["trace_metrics_compare"] = ORACLE_TRACE_METRICS_COMPARE
+
+
+def q_trace_metrics_histogram(spark, sf_dir):
+    """TraceQL metrics histogram_over_time(duration)
+    (trace_ops.metrics_histogram): weekly power-of-two duration buckets
+    — the Tempo heatmap series; log2 bucket via integer bit length,
+    exact in both engines."""
+    from .traceql.trace_ops import metrics_histogram
+
+    spans = _spans_view(spark, sf_dir)
+    out = metrics_histogram(spans, F.lit(True), _WEEK)
+    return out.select("bucket", "le_exp", "le_nanos", "count")
+
+
+ORACLE_TRACE_METRICS_HISTOGRAM = """
+WITH spans AS (
+  SELECT CAST(floor(epoch(l_shipdate) / 604800) * 604800 AS BIGINT) AS bucket,
+         CAST(l_quantity * 1e6 AS BIGINT) AS v
+  FROM lineitem
+), e AS (
+  SELECT bucket,
+         CAST(CASE WHEN v <= 1 THEN 0
+              WHEN (v & (v - 1)) = 0 THEN length(bin(v)) - 1
+              ELSE length(bin(v)) END AS INT) AS le_exp
+  FROM spans
+)
+SELECT bucket, le_exp,
+       CAST(power(2.0, le_exp) AS BIGINT) AS le_nanos,
+       count(*) AS count
+FROM e GROUP BY 1, 2
+"""
+
+QUERIES["trace_metrics_histogram"] = q_trace_metrics_histogram
+ORACLES["trace_metrics_histogram"] = ORACLE_TRACE_METRICS_HISTOGRAM

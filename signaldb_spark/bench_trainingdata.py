@@ -1508,3 +1508,50 @@ FROM best
 
 QUERIES["semantic_decontaminate"] = q_semantic_decontaminate
 ORACLES["semantic_decontaminate"] = ORACLE_SEMANTIC_DECONTAM
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (urls.url_dedup): the gate synthesizes messy
+    crawl URLs from doc_id arithmetic — scheme case, www. prefix, :443
+    port, fragments, tracking params, unsorted params, trailing slash —
+    runs the real regex canonicalizer, and the oracle computes the
+    EXPECTED canonical form directly from the same arithmetic (an
+    independent derivation, not a reimplementation of the regexes)."""
+    from .operators.urls import url_dedup
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://")).otherwise(F.lit("https://")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 211).cast("string"),
+        F.when(m == 0, F.lit("/?utm_source=feed&x=1"))
+        .when(m == 1, F.lit("?x=1"))
+        .when(m == 2, F.lit("#frag"))
+        .when(m == 3, F.lit("?b=2&a=1&utm_campaign=x"))
+        .otherwise(F.lit("/")),
+    )
+    return url_dedup(d.withColumn("url", url), "url", "doc_id").orderBy(
+        "canonical_url"
+    )
+
+
+ORACLE_URL_DEDUP = """
+WITH canon AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || CAST(doc_id % 211 AS VARCHAR)
+         || CASE WHEN doc_id % 5 IN (0, 1) THEN '?x=1'
+                 WHEN doc_id % 5 = 3 THEN '?a=1&b=2'
+                 ELSE '' END AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, min(doc_id) AS keeper_id, count(*) AS group_size
+FROM canon GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["url_dedup"] = q_url_dedup
+ORACLES["url_dedup"] = ORACLE_URL_DEDUP

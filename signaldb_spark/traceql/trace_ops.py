@@ -419,6 +419,81 @@ def metrics_quantile(
     )
 
 
+def metrics_compare(
+    spans: DataFrame,
+    selection_cond,
+    top_n: int = 10,
+    attr_cols: tuple[str, ...] = ("span_attributes", "resource_attributes"),
+) -> DataFrame:
+    """TraceQL metrics ``{ } | compare({selection}, topN)`` — Tempo's
+    attribute-difference analysis (traceql-metrics.md "compare"): split
+    spans into selection vs baseline and count every (attribute key,
+    value) pair in both groups, keeping the top-N values per key by
+    selection count. The Grafana "what's different about the errored
+    spans" panel.
+
+    Shape: the selection flag rides the map explode, so BOTH groups
+    aggregate in ONE (key, value) groupBy — no self-join of two
+    filtered scans; the per-key top-N is a window over the already
+    key-value-sized aggregate."""
+    flagged = spans.withColumn("_sel", selection_cond.cast("int"))
+    per_attr = None
+    for c in attr_cols:
+        if c not in spans.columns:
+            continue
+        e = flagged.select(
+            "_sel", F.explode_outer(F.col(c)).alias("attr_key", "attr_value")
+        ).filter(F.col("attr_key").isNotNull())
+        per_attr = e if per_attr is None else per_attr.unionByName(e)
+    agg = (
+        per_attr.groupBy("attr_key", "attr_value")
+        .agg(
+            F.sum("_sel").cast("long").alias("selection_count"),
+            F.sum(1 - F.col("_sel")).cast("long").alias("baseline_count"),
+        )
+    )
+    w = Window.partitionBy("attr_key").orderBy(
+        F.col("selection_count").desc(), F.col("attr_value").asc()
+    )
+    return (
+        agg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_n)
+        .drop("_rk")
+    )
+
+
+def metrics_histogram(
+    spans: DataFrame,
+    cond,
+    step_seconds: int,
+    value_col: str = "duration_nanos",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """TraceQL metrics ``{cond} | histogram_over_time(duration)`` —
+    per-step power-of-two duration buckets (Tempo's heatmap series,
+    keyed by the bucket's upper bound in seconds). The log2 bucket of
+    an integer nanos value is its bit length — integer-exact, no libm —
+    and the whole operator is one (bucket, exponent) aggregation."""
+    v = F.col(value_col).cast("long")
+    # bit_length(v) = floor(log2(v)) + 1 for v >= 1; exact-power values
+    # belong to the lower bucket ((2^(e-1), 2^e] convention)
+    exp = (
+        F.when(v <= 1, F.lit(0))
+        .when(v.bitwiseAND(v - 1) == 0, F.length(F.bin(v)) - 1)
+        .otherwise(F.length(F.bin(v)))
+        .cast("int")
+    )
+    from ..operators.timeseries import with_bucket
+
+    b = with_bucket(spans.filter(cond), ts_col, step_seconds)
+    return (
+        b.groupBy("bucket", exp.alias("le_exp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .withColumn("le_nanos", F.pow(F.lit(2.0), F.col("le_exp")).cast("long"))
+        .select("bucket", "le_exp", "le_nanos", "count")
+    )
+
+
 def service_graph(
     spans: DataFrame,
     service_col: str = "service_name",

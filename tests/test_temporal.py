@@ -92,3 +92,26 @@ def test_interval_join_matches_naive_range_join(spark):
             if lk == rk and lts - before <= rts <= lts + after
         }
         assert got == want, (before, after, len(got), len(want))
+
+
+# --------------------------------------------------- URL canonicalization
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.urls import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://WWW.Ex.COM:80/A/b/", "http://ex.com/A/b"),
+        ("https://ex.com:443/", "https://ex.com/"),          # root slash kept
+        ("https://ex.com:8080/x", "https://ex.com:8080/x"),  # non-default port kept
+        ("ex.com/x?utm_source=a", "https://ex.com/x"),       # scheme default
+        ("https://ex.com/x?b=2&a=1#frag", "https://ex.com/x?a=1&b=2"),
+        ("https://ex.com", "https://ex.com"),                # empty path
+        ("https://ex.com/x?utm_campaign=1&utm_source=2", "https://ex.com/x"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("raw")).alias("c")).collect()]
+    assert got == [c for _, c in cases]
