@@ -144,6 +144,8 @@ HEADLINE = [
     "trace_metrics_compare",
     "trace_metrics_histogram",
     "url_dedup",
+    "logql_pattern_filter",
+    "logql_error_label",
 ]
 
 

@@ -385,3 +385,65 @@ SELECT bucket, service_name, value FROM r WHERE rk <= 2
 
 QUERIES["logql_approx_topk"] = q_logql_approx_topk
 ORACLES["logql_approx_topk"] = ORACLE_LOGQL_APPROX_TOPK
+
+
+def q_logql_pattern_filter(spark, sf_dir):
+    """Loki 3.x ``|>`` pattern line filter: literal text with <_>
+    wildcards, anchored — lowered to one rlike, no parser stage."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (service) (count_over_time({service=~".+"} |> "{\\"k\\": 8<_>}" [1d]))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_LOGQL_PATTERN_FILTER = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events
+WHERE regexp_matches(props, '^\\{{"k": 8.*\\}}$')
+GROUP BY 1, 2
+"""
+
+QUERIES["logql_pattern_filter"] = q_logql_pattern_filter
+ORACLES["logql_pattern_filter"] = ORACLE_LOGQL_PATTERN_FILTER
+
+
+def _dirty_logs_view(spark, sf_dir):
+    """Logs view where every third user's body is NOT valid JSON — the
+    shape __error__ semantics exist for."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("string").alias("label_namespace"),
+        F.when(F.col("user_id") % 3 == 0, F.concat(F.lit("garbage "), F.col("props")))
+        .otherwise(F.col("props"))
+        .alias("body"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias("log_attributes"),
+    )
+
+
+def q_logql_error_label(spark, sf_dir):
+    """Loki __error__ semantics: a failing `| json` TAGS the line
+    (JSONParserErr) instead of dropping it; `| __error__=""` then
+    filters the failures — counts only clean-JSON lines."""
+    ctx = LowerCtx(spark, _dirty_logs_view(spark, sf_dir), START, END, DAY)
+    out = query_metric(
+        ctx,
+        'sum by (service) (count_over_time({service=~".+"} | json | __error__="" [1d]))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+ORACLE_LOGQL_ERROR_LABEL = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events
+WHERE user_id % 3 <> 0
+GROUP BY 1, 2
+"""
+
+QUERIES["logql_error_label"] = q_logql_error_label
+ORACLES["logql_error_label"] = ORACLE_LOGQL_ERROR_LABEL

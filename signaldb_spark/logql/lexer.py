@@ -18,7 +18,7 @@ KEYWORDS = {
 
 # longest-first multi-char operators
 OPERATORS = [
-    "|=", "|~", "!=", "!~", "=~", ">=", "<=", "==", "^", ">", "<", "=",
+    "|=", "|~", "|>", "!=", "!~", "!>", "=~", ">=", "<=", "==", "^", ">", "<", "=",
     "{", "}", "(", ")", "[", "]", ",", "|", "+", "-", "*", "/", "%",
     "@", ":",  # PromQL @-modifier and subquery separator
 ]

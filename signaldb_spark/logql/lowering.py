@@ -124,6 +124,21 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
                 )  # later stages win — keep overwriting
     if override is not None:
         return override
+    if label == "__error__":
+        # Loki parser-error label: a failed json/unpack stage TAGS the
+        # line instead of dropping it; `| __error__=""` is the idiom
+        # that then filters failures out. A line is a JSON parse error
+        # iff the whole body fails to parse ($ extraction nulls out).
+        # logfmt/regexp/pattern extraction is non-failing here (missing
+        # keys null-fill), matching the coalesce chain's semantics.
+        has_json = any(s.name in ("json", "unpack") for s in sel.stages)
+        if not has_json:
+            return F.lit("")
+        return F.when(
+            F.col("body").isNotNull()
+            & F.get_json_object(F.col("body"), "$").isNull(),
+            F.lit("JSONParserErr"),
+        ).otherwise(F.lit(""))
     if label in WELL_KNOWN and WELL_KNOWN[label] in df.columns:
         return F.col(WELL_KNOWN[label])
     sources: list[Column] = []
@@ -264,6 +279,16 @@ def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
     raise ValueError(m.op)
 
 
+def _line_pattern_regex(pattern: str) -> str:
+    """Loki ``|>`` pattern-match syntax → anchored regex: literal text
+    with ``<_>`` as the only (non-greedy, any-char) wildcard. (Distinct
+    from the ``pattern`` PARSER stage's named-capture translation,
+    :func:`_pattern_to_regex`.)"""
+    import re as _re
+
+    return "(?s)^" + ".*?".join(_re.escape(p) for p in pattern.split("<_>")) + "$"
+
+
 def line_filter_expr(lf: LineFilter) -> Column:
     body = F.col("body")
     if lf.op == "|=":
@@ -274,6 +299,10 @@ def line_filter_expr(lf: LineFilter) -> Column:
         return body.rlike(lf.value)
     if lf.op == "!~":
         return ~body.rlike(lf.value) | body.isNull()
+    if lf.op == "|>":  # Loki 3.x pattern line filter
+        return body.rlike(_line_pattern_regex(lf.value))
+    if lf.op == "!>":
+        return ~body.rlike(_line_pattern_regex(lf.value)) | body.isNull()
     raise ValueError(lf.op)
 
 

@@ -107,10 +107,10 @@ class _P:
         unwrap: str | None = None
         while True:
             t = self.peek()
-            if t.kind == "OP" and t.text in ("|=", "|~"):
+            if t.kind == "OP" and t.text in ("|=", "|~", "|>"):
                 self.next()
                 line_filters.append(LineFilter(t.text, self.expect("STRING").text))
-            elif t.kind == "OP" and t.text in ("!=", "!~") and self.peek(1).kind == "STRING":
+            elif t.kind == "OP" and t.text in ("!=", "!~", "!>") and self.peek(1).kind == "STRING":
                 self.next()
                 line_filters.append(LineFilter(t.text, self.expect("STRING").text))
             elif t.kind == "OP" and t.text == "|":

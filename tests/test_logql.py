@@ -425,3 +425,38 @@ def test_approx_topk_equals_exact_topk(ctx):
     ).collect()
     key = lambda r: (r.bucket, r.service_name, r.value)
     assert sorted(map(key, approx)) == sorted(map(key, exact))
+
+
+def test_pattern_line_filter_and_negation(ctx):
+    got = query_logs(
+        ctx, parse('{service_name="api"} |> "<_>status=5<_>"'), limit=100000
+    ).collect()
+    assert got and all("status=5" in r.body for r in got)
+    neg = query_logs(
+        ctx, parse('{service_name="api"} !> "<_>status=5<_>"'), limit=100000
+    ).collect()
+    assert all("status=5" not in (r.body or "") for r in neg)
+    both = len(got) + len(neg)
+    allrows = query_logs(ctx, parse('{service_name="api"}'), limit=100000).collect()
+    assert both == len(allrows)
+
+
+def test_error_label_tags_bad_json(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", "api", '{"k": 1}'),
+            ("2024-01-01 00:06:00", "api", "not json"),
+        ],
+        "ts string, service_name string, body string",
+    ).select(
+        F.to_timestamp("ts").alias("timestamp"), "service_name", "body",
+        F.lit(None).cast("string").alias("severity_text"),
+        F.create_map().cast("map<string,string>").alias("log_attributes"),
+    )
+    c = LowerCtx(spark, df, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+    kept = query_logs(c, parse('{service_name="api"} | json | __error__=""'), limit=10).collect()
+    assert [r.body for r in kept] == ['{"k": 1}']
+    bad = query_logs(
+        c, parse('{service_name="api"} | json | __error__="JSONParserErr"'), limit=10
+    ).collect()
+    assert [r.body for r in bad] == ["not json"]
