@@ -146,6 +146,7 @@ HEADLINE = [
     "url_dedup",
     "logql_pattern_filter",
     "logql_error_label",
+    "repeated_ngrams",
 ]
 
 

@@ -1555,3 +1555,63 @@ FROM canon GROUP BY 1 ORDER BY 1
 
 QUERIES["url_dedup"] = q_url_dedup
 ORACLES["url_dedup"] = ORACLE_URL_DEDUP
+
+
+_BOILER = (
+    " subscribe to our newsletter for more updates and exclusive offers today"
+)
+
+
+def q_repeated_ngrams(spark, sf_dir):
+    """Substring-level duplication signal (corpus.repeated_ngram_stats,
+    the Lee-et-al exact-substring pass as fixed-8-token windows): every
+    fourth doc gets a boilerplate sentence appended so cross-document
+    repeats exist by construction; windows travel the shuffle as
+    (doc, pos, xxhash64) longs and the per-doc interval union is an
+    in-row fold. The oracle groups by the n-gram STRING itself —
+    hash-independent."""
+    from .operators.corpus import repeated_ngram_stats
+
+    d = _docs(spark, sf_dir)
+    aug = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(_BOILER))
+        ).otherwise(F.col("text")),
+    )
+    return repeated_ngram_stats(aug, "doc_id", "text", n=8, min_occurrences=2)
+
+
+ORACLE_REPEATED_NGRAMS = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || '{_BOILER}' ELSE text END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS t
+  FROM aug
+), base AS (SELECT doc_id, t, len(t) AS total FROM toks),
+win AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos,
+         array_to_string(t[CAST(pos+1 AS INT):CAST(pos+8 AS INT)], chr(31)) AS w
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(total - 7, 0))) AS pos FROM base)
+),
+hot AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+hits AS (SELECT doc_id, pos FROM win JOIN hot USING (w)),
+contrib AS (
+  SELECT doc_id,
+         coalesce(least(8, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), 8) AS c
+  FROM hits
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS repeated_windows, sum(c) AS masked FROM contrib GROUP BY 1
+)
+SELECT b.doc_id, CAST(b.total AS BIGINT) AS total_tokens,
+       CAST(coalesce(p.repeated_windows, 0) AS BIGINT) AS repeated_windows,
+       CAST(coalesce(p.masked, 0) AS BIGINT) AS masked_tokens,
+       floor(coalesce(p.masked, 0) * 1e6 / greatest(b.total, 1) + 0.5) / 1e6 AS repeated_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["repeated_ngrams"] = q_repeated_ngrams
+ORACLES["repeated_ngrams"] = ORACLE_REPEATED_NGRAMS

@@ -454,3 +454,84 @@ def source_cap(
         .filter(F.col("keep_rank") <= cap)
         .select(id_col, source_col, F.col("keep_rank").cast("long").alias("keep_rank"))
     )
+
+
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Substring-level duplication signal (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" exact-substring pass,
+    n-gram-window approximation): every length-``n`` token window that
+    occurs ≥ ``min_occurrences`` times ANYWHERE in the corpus (cross- or
+    within-document) marks its token span; per document the masked
+    positions are interval-unioned into a repeated-token count.
+
+    Scale shape: windows travel the shuffle as (doc, pos, xxhash64)
+    longs — never text. One groupBy on the window hash finds hot
+    windows; one join back (hash-keyed) tags positions; the interval
+    union is an in-row fold over each doc's sorted positions
+    (``least(n, gap)`` per step — exact for fixed-length intervals).
+    Suffix arrays find arbitrary-length repeats; fixed-n windows find
+    every repeat of length ≥ n at ~1/n the index cost, which is the
+    standard production tradeoff.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("_t")).select(
+        id_col, "_t", F.size("_t").alias("total_tokens")
+    )
+    # window hashes with their start position (0-based)
+    win = base.select(
+        id_col,
+        "total_tokens",
+        F.explode(
+            F.when(
+                F.col("total_tokens") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("total_tokens") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(F.array_join(F.slice("_t", i + 1, n), "\x1f")).alias(
+                            "wh"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,wh:long>>"))
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+    hot = (
+        win.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= min_occurrences)
+        .select("wh")
+    )
+    hits = win.join(hot, "wh").select(id_col, "pos")
+    acc0 = F.struct(
+        F.lit(-(10**9)).alias("last"), F.lit(0).cast("long").alias("covered")
+    )
+    folded = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        acc0,
+        lambda a, p: F.struct(
+            p.alias("last"),
+            (a["covered"] + F.least(F.lit(n), p - a["last"])).alias("covered"),
+        ),
+        lambda a: a["covered"],
+    )
+    per_doc = hits.groupBy(id_col).agg(
+        F.countDistinct("pos").alias("repeated_windows"), folded.alias("masked_tokens")
+    )
+    out = base.select(id_col, "total_tokens").join(per_doc, id_col, "left")
+    return out.select(
+        id_col,
+        "total_tokens",
+        F.coalesce("repeated_windows", F.lit(0)).cast("long").alias("repeated_windows"),
+        F.coalesce("masked_tokens", F.lit(0)).cast("long").alias("masked_tokens"),
+        _r6(
+            F.coalesce("masked_tokens", F.lit(0))
+            / F.greatest(F.col("total_tokens"), F.lit(1))
+        ).alias("repeated_frac"),
+    )

@@ -115,3 +115,26 @@ def test_canonicalize_url_edge_cases(spark):
     df = spark.createDataFrame([(r,) for r, _ in cases], "raw string")
     got = [r.c for r in df.select(canonicalize_url(F.col("raw")).alias("c")).collect()]
     assert got == [c for _, c in cases]
+
+
+def test_repeated_ngram_interval_union_hand_check(spark):
+    """Within-doc repeat of an 8-gram at pos 0 and 9 (overlap-free) →
+    16 masked tokens; overlapping repeats (pos 0 and 4) union to 12."""
+    from signaldb_spark.operators.corpus import repeated_ngram_stats
+
+    eight = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{eight} x {eight}"),            # repeats at 0 and 9
+            (2, f"a b c d a b c d a b c d"),      # 8-grams at 0..4; 0 and 4 identical
+            (3, "nothing repeated here at all ok fine done"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repeated_ngram_stats(docs, "doc_id", "text").collect()}
+    assert out[1].repeated_windows == 2 and out[1].masked_tokens == 16
+    # doc 2: "a b c d a b c d a b c d" tokens 12; windows at pos 0..4;
+    # pos 0 and 4 are both "a b c d a b c d" → hot; union [0,8)∪[4,12) = 12
+    assert out[2].repeated_windows == 2 and out[2].masked_tokens == 12
+    assert out[3].repeated_windows == 0 and out[3].masked_tokens == 0
+    assert out[3].repeated_frac == 0.0
