@@ -1,0 +1,266 @@
+"""OTLP/gRPC protobuf wire decode for traces — pure Python.
+
+The reference's acceptor consumes OTLP protobuf
+(``ExportTraceServiceRequest``) and converts straight to Arrow
+(src/common/src/flight/conversion/conversion_traces.rs:30). Here the
+wire decode (field numbers from the PUBLIC opentelemetry-proto
+``trace.proto`` / ``common.proto``) produces exactly the OTLP/JSON
+shape ``sources.otlp.flatten_otlp_traces`` already consumes — hex ids,
+camelCase keys, nano timestamps as strings — so the hot row-flattening
+work stays in the existing JVM expressions and the per-payload Python
+decode is Arrow-batched over request-sized bodies (the same split as
+``remote_write.decode_write_requests``).
+
+Field numbers (opentelemetry/proto/trace/v1/trace.proto):
+  ExportTraceServiceRequest.resource_spans = 1
+  ResourceSpans.resource = 1, .scope_spans = 2
+  Resource.attributes = 1
+  ScopeSpans.scope = 1, .spans = 2
+  InstrumentationScope.name = 1, .version = 2
+  Span: trace_id=1 span_id=2 trace_state=3 parent_span_id=4 name=5
+        kind=6 start=7(fixed64) end=8(fixed64) attributes=9 events=11
+        links=13 status=15
+  Span.Event: time_unix_nano=1(fixed64) name=2 attributes=3
+  Span.Link: trace_id=1 span_id=2 attributes=4
+  Status: message=2 code=3
+  KeyValue: key=1 value=2;  AnyValue: string=1 bool=2 int=3 double=4
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame
+
+from .remote_write import _fields  # shared wire primitives
+
+
+def _any_value(buf: bytes) -> dict:
+    out: dict = {}
+    for f, w, v in _fields(buf):
+        if f == 1:
+            out["stringValue"] = v.decode("utf-8", "replace")
+        elif f == 2:
+            out["boolValue"] = bool(v)
+        elif f == 3:
+            out["intValue"] = str(v - (1 << 64) if v >= (1 << 63) else v)
+        elif f == 4 and w == 1:
+            out["doubleValue"] = struct.unpack("<d", v.to_bytes(8, "little"))[0]
+    return out
+
+
+def _kvs(buf_iter) -> list[dict]:
+    out = []
+    for kv in buf_iter:
+        key, val = "", {}
+        for f, _w, v in _fields(kv):
+            if f == 1:
+                key = v.decode("utf-8", "replace")
+            elif f == 2:
+                val = _any_value(v)
+        out.append({"key": key, "value": val})
+    return out
+
+
+def _span(buf: bytes) -> dict:
+    s: dict = {"attributes": [], "events": [], "links": []}
+    for f, w, v in _fields(buf):
+        if f == 1:
+            s["traceId"] = v.hex()
+        elif f == 2:
+            s["spanId"] = v.hex()
+        elif f == 3:
+            s["traceState"] = v.decode("utf-8", "replace")
+        elif f == 4:
+            s["parentSpanId"] = v.hex()
+        elif f == 5:
+            s["name"] = v.decode("utf-8", "replace")
+        elif f == 6:
+            s["kind"] = v
+        elif f == 7:
+            s["startTimeUnixNano"] = str(v)
+        elif f == 8:
+            s["endTimeUnixNano"] = str(v)
+        elif f == 9:
+            s["attributes"].append(v)
+        elif f == 11:
+            ev: dict = {"attributes": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    ev["timeUnixNano"] = str(v2)
+                elif f2 == 2:
+                    ev["name"] = v2.decode("utf-8", "replace")
+                elif f2 == 3:
+                    ev["attributes"].append(v2)
+            ev["attributes"] = _kvs(ev["attributes"])
+            s["events"].append(ev)
+        elif f == 13:
+            lk: dict = {"attributes": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    lk["traceId"] = v2.hex()
+                elif f2 == 2:
+                    lk["spanId"] = v2.hex()
+                elif f2 == 4:
+                    lk["attributes"].append(v2)
+            lk["attributes"] = _kvs(lk["attributes"])
+            s["links"].append(lk)
+        elif f == 15:
+            st = {}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 2:
+                    st["message"] = v2.decode("utf-8", "replace")
+                elif f2 == 3:
+                    st["code"] = v2
+            s["status"] = st
+    s["attributes"] = _kvs(s["attributes"])
+    return s
+
+
+def parse_trace_request(data: bytes) -> dict:
+    resource_spans = []
+    for f, _w, v in _fields(data):
+        if f != 1:
+            continue
+        rs: dict = {"scopeSpans": []}
+        for f2, _w2, v2 in _fields(v):
+            if f2 == 1:  # Resource
+                attrs = [v3 for f3, _w3, v3 in _fields(v2) if f3 == 1]
+                rs["resource"] = {"attributes": _kvs(attrs)}
+            elif f2 == 2:  # ScopeSpans
+                ss: dict = {"spans": []}
+                for f3, _w3, v3 in _fields(v2):
+                    if f3 == 1:
+                        sc = {}
+                        for f4, _w4, v4 in _fields(v3):
+                            if f4 == 1:
+                                sc["name"] = v4.decode("utf-8", "replace")
+                            elif f4 == 2:
+                                sc["version"] = v4.decode("utf-8", "replace")
+                        ss["scope"] = sc
+                    elif f3 == 2:
+                        ss["spans"].append(_span(v3))
+                rs["scopeSpans"].append(ss)
+        resource_spans.append(rs)
+    return {"resourceSpans": resource_spans}
+
+
+# ------------------------------------------------------------------ encode
+# proto writer for the same message — test-payload construction, exactly
+# like remote_write.encode_write_request
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _ln(field: int, payload: bytes) -> bytes:
+    return _varint((field << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _vi(field: int, v: int) -> bytes:
+    return _varint(field << 3) + _varint(v)
+
+
+def _f64(field: int, v: int) -> bytes:
+    return _varint((field << 3) | 1) + int(v).to_bytes(8, "little")
+
+
+def _enc_kv(kv: dict) -> bytes:
+    val = kv.get("value", {})
+    body = b""
+    if "stringValue" in val:
+        body = _ln(1, val["stringValue"].encode())
+    elif "boolValue" in val:
+        body = _vi(2, 1 if val["boolValue"] else 0)
+    elif "intValue" in val:
+        body = _vi(3, int(val["intValue"]) & ((1 << 64) - 1))
+    elif "doubleValue" in val:
+        body = _varint((4 << 3) | 1) + struct.pack("<d", val["doubleValue"])
+    return _ln(1, kv["key"].encode()) + _ln(2, body)
+
+
+def encode_trace_request(req: dict) -> bytes:
+    out = bytearray()
+    for rs in req.get("resourceSpans", []):
+        rs_body = bytearray()
+        res = rs.get("resource")
+        if res:
+            rs_body += _ln(
+                1, b"".join(_ln(1, _enc_kv(kv)) for kv in res.get("attributes", []))
+            )
+        for ss in rs.get("scopeSpans", []):
+            ss_body = bytearray()
+            sc = ss.get("scope")
+            if sc:
+                sc_body = b""
+                if sc.get("name"):
+                    sc_body += _ln(1, sc["name"].encode())
+                if sc.get("version"):
+                    sc_body += _ln(2, sc["version"].encode())
+                ss_body += _ln(1, sc_body)
+            for sp in ss.get("spans", []):
+                b = bytearray()
+                b += _ln(1, bytes.fromhex(sp["traceId"]))
+                b += _ln(2, bytes.fromhex(sp["spanId"]))
+                if sp.get("parentSpanId"):
+                    b += _ln(4, bytes.fromhex(sp["parentSpanId"]))
+                b += _ln(5, sp.get("name", "").encode())
+                if sp.get("kind"):
+                    b += _vi(6, sp["kind"])
+                b += _f64(7, int(sp["startTimeUnixNano"]))
+                b += _f64(8, int(sp["endTimeUnixNano"]))
+                for kv in sp.get("attributes", []):
+                    b += _ln(9, _enc_kv(kv))
+                for ev in sp.get("events", []):
+                    eb = _f64(1, int(ev["timeUnixNano"])) + _ln(2, ev["name"].encode())
+                    for kv in ev.get("attributes", []):
+                        eb += _ln(3, _enc_kv(kv))
+                    b += _ln(11, eb)
+                for lk in sp.get("links", []):
+                    lb = _ln(1, bytes.fromhex(lk["traceId"])) + _ln(
+                        2, bytes.fromhex(lk["spanId"])
+                    )
+                    for kv in lk.get("attributes", []):
+                        lb += _ln(4, _enc_kv(kv))
+                    b += _ln(13, lb)
+                st = sp.get("status")
+                if st:
+                    sb = b""
+                    if st.get("message"):
+                        sb += _ln(2, st["message"].encode())
+                    if st.get("code"):
+                        sb += _vi(3, st["code"])
+                    b += _ln(15, sb)
+                ss_body += _ln(2, bytes(b))
+            rs_body += _ln(2, bytes(ss_body))
+        out += _ln(1, bytes(rs_body))
+    return bytes(out)
+
+
+def decode_otlp_trace_requests(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary protobuf bodies → OTLP/JSON strings ('value' column),
+    Arrow-batched via mapInPandas — request-sized payloads, so the
+    Python decode amortizes and the per-span work stays JVM-side in
+    flatten_otlp_traces."""
+    import json
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        json.dumps(parse_trace_request(bytes(p)))
+                        for p in pdf[payload_col]
+                    ]
+                }
+            )
+
+    return raw.mapInPandas(run, "value string")

@@ -898,3 +898,102 @@ def test_traces_and_metrics_streaming_ingest_e2e(spark, tmp_path_factory):
     )
     assert optional_table(spark, base, "acme", "prod", "metrics_gauge").count() == 1
     assert optional_table(spark, base, "acme", "prod", "metrics_sum").count() == 1
+
+
+def test_otlp_protobuf_trace_wire_roundtrip(spark):
+    """OTLP/gRPC protobuf wire path: encode an ExportTraceServiceRequest
+    with the pure-Python writer, decode with the pure-Python reader,
+    flatten through the standard JVM expressions — end to end without
+    any protobuf library."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.sources.otlp import flatten_otlp_traces
+    from signaldb_spark.sources.otlp_pb import (
+        decode_otlp_trace_requests,
+        encode_trace_request,
+        parse_trace_request,
+    )
+
+    req = {
+        "resourceSpans": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "checkout"}},
+                        {"key": "host", "value": {"stringValue": "h1"}},
+                    ]
+                },
+                "scopeSpans": [
+                    {
+                        "scope": {"name": "lib", "version": "1.2"},
+                        "spans": [
+                            {
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "b7ad6b7169203331",
+                                "name": "GET /cart",
+                                "kind": 2,
+                                "startTimeUnixNano": "1704067200000000000",
+                                "endTimeUnixNano": "1704067200123000000",
+                                "attributes": [
+                                    {"key": "http.status_code", "value": {"intValue": "200"}},
+                                    {"key": "retried", "value": {"boolValue": True}},
+                                    {"key": "ratio", "value": {"doubleValue": 0.25}},
+                                ],
+                                "events": [
+                                    {
+                                        "timeUnixNano": "1704067200050000000",
+                                        "name": "exception",
+                                        "attributes": [
+                                            {"key": "exception.type",
+                                             "value": {"stringValue": "IOError"}}
+                                        ],
+                                    }
+                                ],
+                                "links": [
+                                    {
+                                        "traceId": "ffffffffffffffffffffffffffffffff",
+                                        "spanId": "aaaaaaaaaaaaaaaa",
+                                        "attributes": [],
+                                    }
+                                ],
+                                "status": {"code": 2, "message": "boom"},
+                            },
+                            {
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "c7ad6b7169203332",
+                                "parentSpanId": "b7ad6b7169203331",
+                                "name": "SELECT cart",
+                                "kind": 3,
+                                "startTimeUnixNano": "1704067200010000000",
+                                "endTimeUnixNano": "1704067200020000000",
+                                "attributes": [],
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    wire = encode_trace_request(req)
+    decoded = parse_trace_request(wire)
+    spans = decoded["resourceSpans"][0]["scopeSpans"][0]["spans"]
+    assert [s["spanId"] for s in spans] == ["b7ad6b7169203331", "c7ad6b7169203332"]
+    assert spans[0]["status"] == {"code": 2, "message": "boom"}
+    assert spans[0]["events"][0]["name"] == "exception"
+    assert spans[0]["links"][0]["spanId"] == "aaaaaaaaaaaaaaaa"
+    attrs = {a["key"]: a["value"] for a in spans[0]["attributes"]}
+    assert attrs["http.status_code"]["intValue"] == "200"
+    assert attrs["retried"]["boolValue"] is True
+    assert attrs["ratio"]["doubleValue"] == 0.25
+
+    raw = spark.createDataFrame([(bytearray(wire),)], "payload binary")
+    flat = flatten_otlp_traces(decode_otlp_trace_requests(raw))
+    rows = {r.span_id: r for r in flat.collect()}
+    assert set(rows) == {"b7ad6b7169203331", "c7ad6b7169203332"}
+    root = rows["b7ad6b7169203331"]
+    assert root.service_name == "checkout"
+    assert root.duration_nanos == 123000000
+    assert root.status_code == "Error"
+    assert root.parent_span_id is None and root.is_root
+    child = rows["c7ad6b7169203332"]
+    assert child.parent_span_id == "b7ad6b7169203331" and not child.is_root
