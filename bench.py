@@ -147,6 +147,7 @@ HEADLINE = [
     "logql_pattern_filter",
     "logql_error_label",
     "repeated_ngrams",
+    "flamegraph_truncate",
 ]
 
 

@@ -1183,3 +1183,83 @@ FROM e GROUP BY 1, 2
 
 QUERIES["trace_metrics_histogram"] = q_trace_metrics_histogram
 ORACLES["trace_metrics_histogram"] = ORACLE_TRACE_METRICS_HISTOGRAM
+
+
+def q_flamegraph_truncate(spark, sf_dir):
+    """Pyroscope max-nodes truncation (profiles.flamegraph_truncate):
+    the profile_self_time flamegraph (5 region roots × 25 nation
+    leaves) capped to 10 nodes; each kept node's dropped subtree
+    weight collapses into a synthetic `;other` child so totals still
+    roll up exactly."""
+    from .operators.profiles import flamegraph_self, flamegraph_truncate
+
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    agg = j.groupBy("r_name", "n_name").agg(
+        F.sum(F.round("o_totalprice", 0).cast("long")).alias("w"),
+        F.sum((F.col("o_orderkey") % 100).cast("long")).alias("w2"),
+    )
+    profiles = agg.select(
+        F.to_json(
+            F.array(F.array("r_name", "n_name"), F.array("r_name"))
+        ).alias("stacktraces_json"),
+        F.to_json(
+            F.array(
+                F.struct(F.lit(0).alias("stacktrace_idx"), F.col("w").alias("value")),
+                F.struct(F.lit(1).alias("stacktrace_idx"), F.col("w2").alias("value")),
+            )
+        ).alias("samples_json"),
+    )
+    fg = flamegraph_self(profiles)
+    return flamegraph_truncate(fg, 10).select(
+        "path", "depth", "frame", "value", "value_self"
+    )
+
+
+ORACLE_FLAMEGRAPH_TRUNCATE = """
+WITH j AS (
+  SELECT r_name, n_name,
+         CAST(round(o_totalprice, 0) AS BIGINT) AS w,
+         CAST(o_orderkey % 100 AS BIGINT) AS w2
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), fg AS (
+  SELECT r_name AS path, 1 AS depth, r_name AS frame,
+         sum(w) + sum(w2) AS value, sum(w2) AS value_self
+  FROM j GROUP BY r_name
+  UNION ALL
+  SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame,
+         sum(w) AS value, sum(w) AS value_self
+  FROM j GROUP BY r_name, n_name
+), kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY value DESC, depth ASC, path ASC) AS rk
+    FROM fg
+  ) WHERE rk <= 10
+), child_sums AS (
+  SELECT substr(path, 1, length(path) - length(frame) - 1) AS path,
+         sum(value) AS kept_children
+  FROM kept WHERE depth > 1 GROUP BY 1
+), others AS (
+  SELECT k.path || ';other' AS path, k.depth + 1 AS depth, 'other' AS frame,
+         k.value - k.value_self - coalesce(c.kept_children, 0) AS value,
+         k.value - k.value_self - coalesce(c.kept_children, 0) AS value_self
+  FROM kept k LEFT JOIN child_sums c ON k.path = c.path
+  WHERE k.value - k.value_self - coalesce(c.kept_children, 0) > 0
+)
+SELECT path, depth, frame, value, value_self FROM kept
+UNION ALL
+SELECT path, depth, frame, value, value_self FROM others
+"""
+
+QUERIES["flamegraph_truncate"] = q_flamegraph_truncate
+ORACLES["flamegraph_truncate"] = ORACLE_FLAMEGRAPH_TRUNCATE

@@ -11,7 +11,7 @@ path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STACKS_TYPE = "array<array<string>>"
@@ -193,3 +193,54 @@ def profile_label_values(
         .orderBy("value")
         .limit(cap)
     )
+
+
+def flamegraph_truncate(
+    fg: DataFrame, max_nodes: int, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Pyroscope-style node cap (its ``max-nodes`` / ``truncate`` render
+    option): keep the ``max_nodes`` heaviest frame paths and collapse
+    each kept node's dropped subtree weight into a synthetic
+    ``<path>;other`` child, so totals still roll up exactly.
+
+    Input must be :func:`flamegraph_self` output (needs ``value_self``:
+    other = value − value_self − Σ kept direct children). Ranking by
+    (value DESC, depth ASC, path ASC) is prefix-closed — in a
+    cumulative flamegraph value(parent) ≥ value(child), and the
+    depth tiebreak puts a parent before an equal-valued child — so the
+    kept set is always a valid tree. The ranking window partitions on
+    ``group_cols``; within one flamegraph the row count is bounded by
+    distinct frame paths, which is what keeps a global-ish window
+    acceptable here (profile trees, not event streams)."""
+    group_cols = group_cols or []
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("value").desc(), F.col("depth").asc(), F.col("path").asc()
+    )
+    kept = (
+        fg.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_nodes)
+        .drop("_rk")
+    )
+    parent = F.when(
+        F.col("depth") > 1,
+        F.expr("substring(path, 1, length(path) - length(frame) - 1)"),
+    )
+    child_sums = (
+        kept.filter(F.col("depth") > 1)
+        .select(*group_cols, parent.alias("path"), "value")
+        .groupBy(*group_cols, "path")
+        .agg(F.sum("value").alias("_kept_children"))
+    )
+    with_other = kept.join(child_sums, [*group_cols, "path"], "left")
+    other_val = F.col("value") - F.col("value_self") - F.coalesce(
+        "_kept_children", F.lit(0)
+    )
+    others = with_other.filter(other_val > 0).select(
+        *group_cols,
+        F.concat(F.col("path"), F.lit(";other")).alias("path"),
+        (F.col("depth") + 1).alias("depth"),
+        F.lit("other").alias("frame"),
+        other_val.alias("value"),
+        other_val.alias("value_self"),
+    )
+    return kept.unionByName(others)

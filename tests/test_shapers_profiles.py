@@ -142,3 +142,40 @@ def test_flatten_otlp_profiles_to_flamegraph(spark):
     assert rows[0].profile_id == "ab" * 16 and rows[0].period == 10000000
     fg = {r.path: r.value for r in flamegraph(flatten_otlp_profiles(raw)).collect()}
     assert fg["main"] == 100 and fg["main;serve;db"] == 70 and fg["main;gc"] == 30
+
+
+def test_flamegraph_truncate_rollup_invariant(spark):
+    """After truncation every kept parent still satisfies
+    value == value_self + Σ children (kept + other)."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.profiles import flamegraph_self, flamegraph_truncate
+
+    rows = []
+    for i in range(6):
+        stacks = [["root", f"f{i}", f"g{i}"], ["root", f"f{i}"]]
+        samples = [
+            {"stacktrace_idx": 0, "value": 10 + i},
+            {"stacktrace_idx": 1, "value": 3},
+        ]
+        import json
+
+        rows.append((json.dumps(stacks), json.dumps(samples)))
+    profiles = spark.createDataFrame(
+        rows, "stacktraces_json string, samples_json string"
+    )
+    fg = flamegraph_self(profiles)
+    cut = flamegraph_truncate(fg, 7)
+    got = cut.collect()
+    assert len(got) <= 7 + 7  # kept + at most one other per kept node
+    by_path = {r.path: r for r in got}
+    # prefix closure: every kept path's parent is present
+    for p in by_path:
+        if ";" in p:
+            parent = p.rsplit(";", 1)[0]
+            assert parent in by_path, f"orphan {p}"
+    # roll-up: value == value_self + sum(children values)
+    for p, r in by_path.items():
+        kids = [c for c in by_path.values() if c.path.rsplit(";", 1)[0] == p and c.path != p]
+        if kids:
+            assert r.value == r.value_self + sum(k.value for k in kids), p
