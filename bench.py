@@ -148,6 +148,7 @@ HEADLINE = [
     "logql_error_label",
     "repeated_ngrams",
     "flamegraph_truncate",
+    "promql_native_quantile",
 ]
 
 

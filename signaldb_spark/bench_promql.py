@@ -1467,3 +1467,100 @@ SELECT bucket, service_name, value FROM vals WHERE value IS NOT NULL
 
 QUERIES["exphist_rate_quantile"] = q_exphist_rate_quantile
 ORACLES["exphist_rate_quantile"] = ORACLE_EXPHIST_RATE_QUANTILE
+
+
+def q_promql_native_quantile(spark, sf_dir):
+    """histogram_quantile(0.9, latency) routed through the FULL PromQL
+    pipeline to the exponential-histogram table (PromCtx.exphist) — the
+    Prometheus native-histogram UX where one query text serves both
+    histogram kinds; the reference stores exp-histograms but cannot
+    query them at all."""
+    from .catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.floor(F.unix_timestamp("ts") / 86400) * 86400).cast("long")
+    v = F.col("value")
+    w = F.floor(v).cast("long")
+    L = F.length(F.bin(w))
+    pow2 = w.bitwiseAND(w - 1) == 0
+    i = F.when(pow2, L - 2).otherwise(L - 1).cast("int")
+    rows = ev.select(
+        b.alias("b"),
+        F.col("event_type").alias("service_name"),
+        (v < 1).alias("_zero"),
+        F.when(v >= 1, i).alias("i"),
+    )
+    pos = (
+        rows.filter(~F.col("_zero") & F.col("i").isNotNull())
+        .groupBy("b", "service_name", "i")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dense = pos.groupBy("b", "service_name").agg(
+        F.min("i").alias("positive_offset"),
+        F.max("i").alias("_mx"),
+        F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("_m"),
+    )
+    counts = F.transform(
+        F.sequence(F.col("positive_offset"), F.col("_mx")),
+        lambda k: F.coalesce(F.element_at(F.col("_m"), k), F.lit(0)).cast("long"),
+    )
+    zeros = rows.groupBy("b", "service_name").agg(
+        F.sum(F.col("_zero").cast("long")).alias("zero_count")
+    )
+    exphist = zeros.join(dense, ["b", "service_name"], "left").select(
+        F.timestamp_seconds(F.col("b")).alias("timestamp"),
+        F.lit("latency").alias("metric_name"),
+        "service_name",
+        F.lit(0).alias("scale"),
+        "zero_count",
+        F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
+        F.coalesce(counts, F.array().cast("array<long>")).alias(
+            "positive_bucket_counts"
+        ),
+    )
+    ctx = PromCtx(spark, None, None, None, START, END, DAY, exphist=exphist)
+    out = query_range(ctx, "histogram_quantile(0.9, latency)")
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_PROMQL_NATIVE_QUANTILE = f"""
+WITH base AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name,
+         CASE WHEN value < 1 THEN NULL ELSE CAST(floor(value) AS BIGINT) END AS w
+  FROM events
+), idxed AS (
+  SELECT bucket, service_name,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN (w & (w - 1)) = 0 THEN length(bin(w)) - 2
+              ELSE length(bin(w)) - 1 END AS i
+  FROM base
+), zeros AS (
+  SELECT bucket, service_name,
+         CAST(count(*) FILTER (WHERE i IS NULL) AS DOUBLE) AS z,
+         CAST(count(*) AS DOUBLE) AS total
+  FROM idxed GROUP BY 1, 2
+), cnts AS (
+  SELECT bucket, service_name, i, CAST(count(*) AS DOUBLE) AS c
+  FROM idxed WHERE i IS NOT NULL GROUP BY 1, 2, 3
+), cum AS (
+  SELECT bucket, service_name, i, c,
+         sum(c) OVER (PARTITION BY bucket, service_name ORDER BY i) AS cum
+  FROM cnts
+), pick AS (
+  SELECT z.bucket, z.service_name,
+         min_by(m.i, m.i) AS pi, min_by(m.c, m.i) AS pc, min_by(m.cum, m.i) AS pcum
+  FROM zeros z JOIN cum m USING (bucket, service_name)
+  WHERE z.z + m.cum >= 0.9 * z.total
+  GROUP BY 1, 2
+)
+SELECT z.bucket, z.service_name,
+  round(CASE WHEN z.total <= 0 THEN NULL
+             WHEN 0.9 * z.total <= z.z THEN 0.0
+             ELSE power(2.0, p.pi)
+                  + (power(2.0, p.pi + 1) - power(2.0, p.pi))
+                    * (0.9 * z.total - (z.z + p.pcum - p.pc)) / p.pc END, 6) AS value
+FROM zeros z LEFT JOIN pick p USING (bucket, service_name)
+"""
+
+QUERIES["promql_native_quantile"] = q_promql_native_quantile
+ORACLES["promql_native_quantile"] = ORACLE_PROMQL_NATIVE_QUANTILE

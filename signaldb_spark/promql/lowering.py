@@ -58,6 +58,11 @@ class PromCtx:
     default_range: float = 300.0  # 5m lookback for instant selectors
     tenant: str = "acme"  # demand-recording identity (attr_demand.rs keys)
     dataset: str = "prod"
+    # metrics_exponential_histogram table; when a histogram_quantile
+    # target metric lives here (and not in the explicit-bounds table),
+    # lowering routes to the native-histogram path automatically — the
+    # Prometheus UX where one query text serves both histogram kinds
+    exphist: DataFrame | None = None
 
 
 def scan_union(ctx: PromCtx) -> DataFrame | None:
@@ -391,6 +396,32 @@ def lower_histogram_fraction(
     )
 
 
+def lower_exphist_quantile(ctx: PromCtx, phi: float, sel, rate_mode: bool) -> DataFrame:
+    """histogram_quantile over the metrics_exponential_histogram table —
+    delta temporality merges datapoints at rest; cumulative rate() mode
+    takes per-step last − first (operators.exphist)."""
+    from ..operators.exphist import exphist_quantile, exphist_rate_quantile
+
+    df = apply_selector(ctx, sel, ctx.exphist)
+    series = ["metric_name", "service_name"]
+    if rate_mode:
+        return exphist_rate_quantile(
+            df, phi, series, ts_col="timestamp", step_seconds=ctx.step_seconds,
+            neg_offset_col="negative_offset" if "negative_offset" in df.columns else None,
+            neg_counts_col="negative_bucket_counts"
+            if "negative_bucket_counts" in df.columns
+            else None,
+        )
+    b = ts.with_bucket(df, "timestamp", ctx.step_seconds)
+    return exphist_quantile(
+        b, phi, ["bucket", *series],
+        neg_offset_col="negative_offset" if "negative_offset" in df.columns else None,
+        neg_counts_col="negative_bucket_counts"
+        if "negative_bucket_counts" in df.columns
+        else None,
+    )
+
+
 def lower_histogram_moment(ctx: PromCtx, sel, stddev: bool) -> DataFrame:
     """histogram_stddev / histogram_stdvar over explicit-bounds
     histograms — a beyond-reference extension (Prometheus defines these
@@ -498,10 +529,25 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         phi = c.args[0].value
         target = c.args[1]
         if isinstance(target, Call) and target.fn == "rate":
-            return lower_histogram_quantile(ctx, phi, target.args[0], rate_mode=True)
-        if isinstance(target, VectorSelector):
-            return lower_histogram_quantile(ctx, phi, target, rate_mode=False)
-        raise ValueError("histogram_quantile target")
+            sel, rate_mode = target.args[0], True
+        elif isinstance(target, VectorSelector):
+            sel, rate_mode = target, False
+        else:
+            raise ValueError("histogram_quantile target")
+        # one query text serves both histogram kinds (the Prometheus
+        # native-histogram UX): series from the explicit-bounds table
+        # and the exponential-histogram table union by name
+        parts = []
+        if ctx.histogram is not None:
+            parts.append(lower_histogram_quantile(ctx, phi, sel, rate_mode=rate_mode))
+        if ctx.exphist is not None:
+            parts.append(lower_exphist_quantile(ctx, phi, sel, rate_mode=rate_mode))
+        if not parts:
+            return _empty_matrix(ctx)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     if fn == "histogram_fraction":
         low, high = c.args[0].value, c.args[1].value
         target = c.args[2]

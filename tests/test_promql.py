@@ -720,3 +720,31 @@ def test_exphist_rate_quantile_single_sample_step_empty(spark):
         neg_offset_col=None, neg_counts_col=None,
     ).collect()
     assert out == []
+
+
+def test_histogram_quantile_unions_both_kinds(spark):
+    """One query text serves both histogram kinds: explicit-bounds and
+    exponential series union by name."""
+    from pyspark.sql import functions as F
+
+    explicit = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "m", "svc_explicit", [5.0, 5.0], [10.0, 20.0])],
+        "ts string, metric_name string, service_name string, "
+        "bucket_counts array<double>, explicit_bounds array<double>",
+    ).select(F.to_timestamp("ts").alias("timestamp"), "metric_name",
+             "service_name", "bucket_counts", "explicit_bounds")
+    exp = spark.createDataFrame(
+        [("2024-01-01 00:20:00", "m", "svc_native", 0, 0, 1, [4])],
+        "ts string, metric_name string, service_name string, scale int, "
+        "zero_count long, positive_offset int, positive_bucket_counts array<long>",
+    ).select(F.to_timestamp("ts").alias("timestamp"), "metric_name",
+             "service_name", "scale", "zero_count", "positive_offset",
+             "positive_bucket_counts")
+    ctx = PromCtx(spark, None, None, explicit, "2024-01-01 00:00:00",
+                  "2024-01-01 01:00:00", 3600, exphist=exp)
+    got = {r.service_name: r.value for r in
+           query_range(ctx, "histogram_quantile(0.5, m)").collect()}
+    assert set(got) == {"svc_explicit", "svc_native"}
+    assert got["svc_explicit"] == pytest.approx(10.0)  # rank 5 at c1 edge
+    # 4 obs in bucket i=1 → (2,4]; p50 rank 2 → 2 + 2*(2/4) = 3
+    assert got["svc_native"] == pytest.approx(3.0)
