@@ -149,6 +149,8 @@ HEADLINE = [
     "repeated_ngrams",
     "flamegraph_truncate",
     "promql_native_quantile",
+    "trace_tag_names_v2",
+    "promql_metadata",
 ]
 
 

@@ -1564,3 +1564,28 @@ FROM zeros z LEFT JOIN pick p USING (bucket, service_name)
 
 QUERIES["promql_native_quantile"] = q_promql_native_quantile
 ORACLES["promql_native_quantile"] = ORACLE_PROMQL_NATIVE_QUANTILE
+
+
+def q_promql_metadata(spark, sf_dir):
+    """Prometheus /api/v1/metadata (discovery.metric_metadata): metric →
+    type derived from WHICH signal table the metric lands in — the
+    store is the metadata source, no sidecar to drift."""
+    from .promql.discovery import metric_metadata
+
+    gauge = _metrics_view(spark, sf_dir)
+    msum = gauge.withColumn("metric_name", F.lit("events_total"))
+    hist = _daily_hist(spark, sf_dir)
+    return metric_metadata(
+        spark,
+        {"metrics_gauge": gauge, "metrics_sum": msum, "metrics_histogram": hist},
+    )
+
+
+ORACLE_PROMQL_METADATA = """
+SELECT * FROM (VALUES
+  ('events_total', 'counter'), ('events_value', 'gauge'), ('latency', 'histogram')
+) t(metric, type) ORDER BY metric, type
+"""
+
+QUERIES["promql_metadata"] = q_promql_metadata
+ORACLES["promql_metadata"] = ORACLE_PROMQL_METADATA

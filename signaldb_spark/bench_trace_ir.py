@@ -1263,3 +1263,32 @@ SELECT path, depth, frame, value, value_self FROM others
 
 QUERIES["flamegraph_truncate"] = q_flamegraph_truncate
 ORACLES["flamegraph_truncate"] = ORACLE_FLAMEGRAPH_TRUNCATE
+
+
+def q_trace_tag_names_v2(spark, sf_dir):
+    """Tempo /api/v2/search/tags (trace_ops.tag_names_v2): tag names
+    grouped by scope — span / resource / intrinsic."""
+    from .traceql.trace_ops import tag_names_v2
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.create_map(F.lit("qty"), F.col("l_quantity").cast("string")).alias(
+            "span_attributes"
+        ),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias(
+            "resource_attributes"
+        ),
+    )
+    return tag_names_v2(spans)
+
+
+ORACLE_TRACE_TAG_NAMES_V2 = """
+SELECT * FROM (VALUES
+  ('intrinsic', 'duration'), ('intrinsic', 'kind'), ('intrinsic', 'name'),
+  ('intrinsic', 'status'), ('resource', 'flag'), ('resource', 'service.name'),
+  ('span', 'qty')
+) t(scope, name) ORDER BY scope, name
+"""
+
+QUERIES["trace_tag_names_v2"] = q_trace_tag_names_v2
+ORACLES["trace_tag_names_v2"] = ORACLE_TRACE_TAG_NAMES_V2

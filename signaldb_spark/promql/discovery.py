@@ -94,3 +94,37 @@ def prom_series(ctx: PromCtx, selector: str, cap: int = LABEL_SCAN_LIMIT) -> Dat
         .orderBy("__name__", "job")
         .limit(cap)
     )
+
+
+def metric_metadata(
+    spark,
+    tables: "dict[str, DataFrame | None]",
+    cap: int = LABEL_SCAN_LIMIT,
+) -> DataFrame:
+    """Prometheus ``/api/v1/metadata``: metric name → type. The store
+    itself is the metadata source — a metric's type IS the signal table
+    it lands in (gauge/counter/histogram/exponential-histogram/summary,
+    the OTLP→table routing of schemas.rs) — so this is a union of tiny
+    distinct-name projections, no metadata sidecar to drift."""
+    type_names = {
+        "metrics_gauge": "gauge",
+        "metrics_sum": "counter",
+        "metrics_histogram": "histogram",
+        "metrics_exponential_histogram": "histogram",
+        "metrics_summary": "summary",
+    }
+    parts = []
+    for table, df in tables.items():
+        if df is None or table not in type_names:
+            continue
+        parts.append(
+            df.select(F.col("metric_name").alias("metric"))
+            .distinct()
+            .withColumn("type", F.lit(type_names[table]))
+        )
+    if not parts:
+        return spark.createDataFrame([], "metric string, type string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct().orderBy("metric", "type").limit(cap)

@@ -627,3 +627,23 @@ def linked_traces(
         .orderBy("trace_id", "span_id", "linked_trace_id", "linked_span_id")
         .limit(cap)
     )
+
+
+INTRINSIC_TAGS = ("duration", "kind", "name", "status")
+
+
+def tag_names_v2(traces: DataFrame, cap: int = 1000) -> DataFrame:
+    """Tempo ``/api/v2/search/tags``: tag names grouped by scope —
+    (scope, name) rows for span / resource / intrinsic (the v2 response
+    shape Grafana's scoped autocomplete consumes; v1 flattens scopes)."""
+    spark = traces.sparkSession
+    span = tag_names(traces, "span", cap).select(
+        F.lit("span").alias("scope"), "name"
+    )
+    res = tag_names(traces, "resource", cap).select(
+        F.lit("resource").alias("scope"), "name"
+    )
+    intr = spark.createDataFrame(
+        [("intrinsic", n) for n in INTRINSIC_TAGS], "scope string, name string"
+    )
+    return span.unionByName(res).unionByName(intr).orderBy("scope", "name")

@@ -179,3 +179,43 @@ def test_flamegraph_truncate_rollup_invariant(spark):
         kids = [c for c in by_path.values() if c.path.rsplit(";", 1)[0] == p and c.path != p]
         if kids:
             assert r.value == r.value_self + sum(k.value for k in kids), p
+
+
+def test_pprof_wire_roundtrip_to_flamegraph(spark):
+    """pprof protobuf wire → decode → flamegraph_self, end to end with
+    no pprof/protobuf library. Samples are encoded leaf-first with
+    packed location/value lists (as real pprof emits); the decoder
+    reverses to root-first stacks."""
+    import gzip
+
+    from signaldb_spark.operators.profiles import flamegraph_self
+    from signaldb_spark.sources.pprof import (
+        decode_pprof_profiles,
+        encode_pprof,
+        parse_pprof,
+    )
+
+    profile = {
+        "sample_types": [{"type": "cpu", "unit": "nanoseconds"}],
+        "stacktraces": [["main", "work", "hot"], ["main", "work"], ["main"]],
+        "samples": [
+            {"stacktrace_idx": 0, "value": 70},
+            {"stacktrace_idx": 1, "value": 20},
+            {"stacktrace_idx": 2, "value": 10},
+            {"stacktrace_idx": 0, "value": 5},
+        ],
+    }
+    wire = encode_pprof(profile)
+    decoded = parse_pprof(wire)
+    assert decoded["stacktraces"][0] == ["main", "work", "hot"]
+    assert decoded["sample_types"] == [{"type": "cpu", "unit": "nanoseconds"}]
+    assert [s["value"] for s in decoded["samples"]] == [70, 20, 10, 5]
+
+    raw = spark.createDataFrame(
+        [(bytearray(gzip.compress(wire)),)], "payload binary"
+    )
+    fg = flamegraph_self(decode_pprof_profiles(raw))
+    rows = {r.path: r for r in fg.collect()}
+    assert rows["main"].value == 105 and rows["main"].value_self == 10
+    assert rows["main;work"].value == 95 and rows["main;work"].value_self == 20
+    assert rows["main;work;hot"].value == 75 and rows["main;work;hot"].value_self == 75
