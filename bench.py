@@ -151,6 +151,7 @@ HEADLINE = [
     "promql_native_quantile",
     "trace_tag_names_v2",
     "promql_metadata",
+    "emb_pq",
 ]
 
 

@@ -1615,3 +1615,76 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
 
 QUERIES["repeated_ngrams"] = q_repeated_ngrams
 ORACLES["repeated_ngrams"] = ORACLE_REPEATED_NGRAMS
+
+
+def q_emb_pq(spark, sf_dir):
+    """Product quantization (similarity.pq_codes): 64 dims → 4
+    subspaces × 16-dim codebooks of size 4, 2 euclidean Lloyd
+    iterations per subspace; (vec_id, subspace, code) rows. The oracle
+    replays the full per-subspace train+encode trajectory with unrolled
+    CTEs (the kmeans_iterations oracle technique, once per subspace)."""
+    return sim.pq_codes(
+        _embs(spark, sf_dir), "vec_id", "embedding", dims=64, m=4, k=4, iterations=2
+    )
+
+
+def _pq_oracle_sql(dims: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+    sub = dims // m
+    rng = f"UNNEST(range(1, {sub + 1})) AS d(d)"
+    parts = []
+    selects = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"sub{j} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sv FROM embeddings)"
+        )
+        parts.append(f"""c{j}_0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, sv AS cv
+  FROM sub{j} ORDER BY vec_id LIMIT {k}
+)""")
+        dist = (
+            "round(sum((e.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)"
+            " * (e.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)), 6)"
+        )
+        for i in range(iterations):
+            parts.append(f"""s{j}_{i} AS (
+  SELECT e.vec_id, c.cell, {dist} AS s
+  FROM sub{j} e, c{j}_{i} c, {rng}
+  GROUP BY e.vec_id, c.cell
+)""")
+            parts.append(f"""a{j}_{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, cell ASC) AS rn
+    FROM s{j}_{i}) WHERE rn = 1
+)""")
+            # a cell that loses all members keeps its previous
+            # centroid — every iteration coalesces against the prior
+            parts.append(f"""n{j}_{i + 1} AS (
+  SELECT cell, list(cm ORDER BY d) AS cv FROM (
+    SELECT a.cell, d.d AS d, round(avg(e.sv[d.d]::DOUBLE), 6) AS cm
+    FROM a{j}_{i} a JOIN sub{j} e USING (vec_id), {rng}
+    GROUP BY a.cell, d.d
+  ) GROUP BY cell
+)""")
+            parts.append(f"""c{j}_{i + 1} AS (
+  SELECT p.cell, coalesce(n.cv, p.cv) AS cv
+  FROM c{j}_{i} p LEFT JOIN n{j}_{i + 1} n USING (cell)
+)""")
+        parts.append(f"""sf{j} AS (
+  SELECT e.vec_id, c.cell, {dist} AS s
+  FROM sub{j} e, c{j}_{iterations} c, {rng}
+  GROUP BY e.vec_id, c.cell
+)""")
+        selects.append(f"""SELECT vec_id, {j} AS subspace, CAST(cell - 1 AS INT) AS code
+FROM (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, cell ASC) AS rn
+  FROM sf{j}) WHERE rn = 1""")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+ORACLE_EMB_PQ = _pq_oracle_sql()
+
+QUERIES["emb_pq"] = q_emb_pq
+ORACLES["emb_pq"] = ORACLE_EMB_PQ

@@ -546,3 +546,104 @@ def semantic_decontaminate(
         "nearest_bench_id",
         (F.col("max_cosine") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+def _sub_dist_scores(sub_col, cents: list[list[float]]):
+    """Array of 6dp-rounded squared euclidean distances to each literal
+    centroid — the same literal-centroid trick as ivf_assign, with L2
+    instead of cosine (PQ quantizes residual geometry, not direction)."""
+    return F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        sub_col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            for c in cents
+        ]
+    )
+
+
+def pq_codes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> DataFrame:
+    """Product quantization (FAISS-PQ shape): split each vector into
+    ``m`` contiguous subvectors, train an independent euclidean k-means
+    codebook per subspace (deterministic: init = first k subvectors by
+    id, fixed iterations, 6dp-rounded distances and centroid
+    components), and encode every vector as its nearest code per
+    subspace. Output: (id, subspace, code) — m rows per vector, code in
+    [0, k).
+
+    Scale shape: codebooks are m·k·(dims/m) doubles of driver-side
+    index metadata (same regime as IVF/k-means centroids); training is
+    ``iterations`` map-only assignment passes + one (cell, dim) agg per
+    subspace, and encoding is one map-only pass — the corpus never
+    joins anything. The determinism trick puts the WHOLE train+encode
+    pipeline under the cross-engine oracle, as kmeans_iterations does
+    for Lloyd's loop."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    sub = dims // m
+    parts = []
+    for j in range(m):
+        sub_df = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+        )
+        init = [
+            [float(x) for x in row["_sv"]]
+            for row in sub_df.orderBy(id_col).limit(k).collect()
+        ]
+        if len(init) < k:
+            raise ValueError(
+                f"pq_codes: k={k} but the corpus has only {len(init)} vectors"
+            )
+        cents = init
+        for _ in range(iterations):
+            scores = _sub_dist_scores(F.col("_sv"), cents)
+            assigned = sub_df.select(
+                "_sv",
+                F.array_position(scores, F.array_min(scores)).cast("int").alias("cell"),
+            )
+            means = (
+                assigned.select("cell", F.posexplode("_sv").alias("d", "x"))
+                .groupBy("cell", "d")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cm"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("d", "cm"))),
+                        lambda s: s["cm"],
+                    ).alias("cv")
+                )
+                .collect()
+            )
+            by_cell = {row["cell"]: list(row["cv"]) for row in means}
+            cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
+        scores = _sub_dist_scores(F.col("_sv"), cents)
+        parts.append(
+            sub_df.select(
+                F.col(id_col),
+                F.lit(j).alias("subspace"),
+                (F.array_position(scores, F.array_min(scores)) - 1)
+                .cast("int")
+                .alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
