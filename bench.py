@@ -152,6 +152,7 @@ HEADLINE = [
     "trace_tag_names_v2",
     "promql_metadata",
     "emb_pq",
+    "emb_pq_adc",
 ]
 
 

@@ -1628,7 +1628,7 @@ def q_emb_pq(spark, sf_dir):
     )
 
 
-def _pq_oracle_sql(dims: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+def _pq_parts(dims: int = 64, m: int = 4, k: int = 4, iterations: int = 2):
     sub = dims // m
     rng = f"UNNEST(range(1, {sub + 1})) AS d(d)"
     parts = []
@@ -1681,6 +1681,11 @@ FROM (
   SELECT vec_id, cell,
          row_number() OVER (PARTITION BY vec_id ORDER BY s ASC, cell ASC) AS rn
   FROM sf{j}) WHERE rn = 1""")
+    return parts, selects
+
+
+def _pq_oracle_sql(dims: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+    parts, selects = _pq_parts(dims, m, k, iterations)
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
@@ -1688,3 +1693,56 @@ ORACLE_EMB_PQ = _pq_oracle_sql()
 
 QUERIES["emb_pq"] = q_emb_pq
 ORACLES["emb_pq"] = ORACLE_EMB_PQ
+
+
+def q_emb_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance search (similarity.pq_adc_topn): the
+    query (= the min-id vector, full precision) scores every encoded
+    vector as a sum of m lookup-table entries — stored vectors never
+    touched. Deterministic top-10 by (distance, id)."""
+    embs = _embs(spark, sf_dir)
+    books = sim.pq_train(embs, "vec_id", "embedding", dims=64, m=4, k=4, iterations=2)
+    codes = sim.pq_codes(embs, "vec_id", "embedding", dims=64, m=4, k=4, iterations=2)
+    query = [
+        float(x)
+        for x in embs.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return sim.pq_adc_topn(codes, books, query, n=10)
+
+
+def _pq_adc_oracle_sql(dims: int = 64, m: int = 4, k: int = 4, iterations: int = 2) -> str:
+    sub = dims // m
+    rng = f"UNNEST(range(1, {sub + 1})) AS d(d)"
+    parts, code_selects = _pq_parts(dims, m, k, iterations)
+    parts.append("codes AS (\n" + "\nUNION ALL\n".join(code_selects) + "\n)")
+    lut_selects = []
+    for j in range(m):
+        parts.append(
+            f"q{j} AS (SELECT sv FROM sub{j} "
+            f"WHERE vec_id = (SELECT min(vec_id) FROM embeddings))"
+        )
+        parts.append(f"""lut{j} AS (
+  SELECT c.cell,
+         round(sum((q.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)
+                   * (q.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)), 6) AS pd
+  FROM c{j}_{iterations} c, q{j} q, {rng}
+  GROUP BY c.cell
+)""")
+        lut_selects.append(
+            f"SELECT {j} AS subspace, CAST(cell - 1 AS INT) AS code, pd FROM lut{j}"
+        )
+    parts.append("lut AS (\n" + "\nUNION ALL\n".join(lut_selects) + "\n)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + """SELECT vec_id, round(sum(l.pd), 6) AS adc_dist
+FROM codes JOIN lut l USING (subspace, code)
+GROUP BY vec_id
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10"""
+    )
+
+
+ORACLE_EMB_PQ_ADC = _pq_adc_oracle_sql()
+
+QUERIES["emb_pq_adc"] = q_emb_pq_adc
+ORACLES["emb_pq_adc"] = ORACLE_EMB_PQ_ADC

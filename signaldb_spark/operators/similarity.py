@@ -595,10 +595,45 @@ def pq_codes(
     joins anything. The determinism trick puts the WHOLE train+encode
     pipeline under the cross-engine oracle, as kmeans_iterations does
     for Lloyd's loop."""
+    codebooks = pq_train(df, id_col, vec_col, dims, m, k, iterations)
+    sub = dims // m
+    parts = []
+    for j, cents in enumerate(codebooks):
+        sub_df = df.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+        )
+        scores = _sub_dist_scores(F.col("_sv"), cents)
+        parts.append(
+            sub_df.select(
+                F.col(id_col),
+                F.lit(j).alias("subspace"),
+                (F.array_position(scores, F.array_min(scores)) - 1)
+                .cast("int")
+                .alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 2,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (see :func:`pq_codes` for the
+    determinism contract) and return them as driver-side metadata —
+    m × k × (dims/m) doubles, the same regime as IVF centroids."""
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub = dims // m
-    parts = []
+    books = []
     for j in range(m):
         sub_df = df.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
@@ -609,7 +644,7 @@ def pq_codes(
         ]
         if len(init) < k:
             raise ValueError(
-                f"pq_codes: k={k} but the corpus has only {len(init)} vectors"
+                f"pq_train: k={k} but the corpus has only {len(init)} vectors"
             )
         cents = init
         for _ in range(iterations):
@@ -633,17 +668,41 @@ def pq_codes(
             )
             by_cell = {row["cell"]: list(row["cv"]) for row in means}
             cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
-        scores = _sub_dist_scores(F.col("_sv"), cents)
-        parts.append(
-            sub_df.select(
-                F.col(id_col),
-                F.lit(j).alias("subspace"),
-                (F.array_position(scores, F.array_min(scores)) - 1)
-                .cast("int")
-                .alias("code"),
-            )
+        books.append(cents)
+    return books
+
+
+def pq_adc_topn(
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    query: list[float],
+    n: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the FAISS search
+    path: the query stays full-precision; per subspace a k-entry lookup
+    table of 6dp-rounded squared distances query-sub ↔ centroid is
+    computed ONCE driver-side, and every encoded vector scores as the
+    sum of m table entries. Map-side literal-array lookup + one groupBy
+    on the id — the stored vectors are never touched, which is the
+    entire point of PQ at 100 TB (codes are ~dims·4/m bytes per
+    vector). Deterministic top-n by (distance, id)."""
+    m = len(codebooks)
+    sub = len(query) // m
+    lut = []
+    for j, cents in enumerate(codebooks):
+        q = query[j * sub:(j + 1) * sub]
+        lut.append(
+            [round(sum((a - b) * (a - b) for a, b in zip(q, c)), 6) for c in cents]
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    lut2d = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    part = F.element_at(
+        F.element_at(lut2d, F.col("subspace") + 1), F.col("code") + 1
+    )
+    return (
+        codes.select(F.col(id_col), part.alias("_p"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_p"), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(n)
+    )
