@@ -264,3 +264,128 @@ def decode_otlp_trace_requests(raw: DataFrame, payload_col: str = "payload") -> 
             )
 
     return raw.mapInPandas(run, "value string")
+
+
+# -------------------------------------------------------------------- logs
+# opentelemetry/proto/logs/v1/logs.proto (public):
+#   ExportLogsServiceRequest.resource_logs = 1
+#   ResourceLogs.resource = 1, .scope_logs = 2
+#   ScopeLogs.scope = 1, .log_records = 2
+#   LogRecord: time_unix_nano=1(fixed64) observed_time_unix_nano=11(fixed64)
+#              severity_number=2 severity_text=3 body=5(AnyValue)
+#              attributes=6 trace_id=9 span_id=10
+
+
+def _log_record(buf: bytes) -> dict:
+    r: dict = {"attributes": []}
+    for f, _w, v in _fields(buf):
+        if f == 1:
+            r["timeUnixNano"] = str(v)
+        elif f == 11:
+            r["observedTimeUnixNano"] = str(v)
+        elif f == 2:
+            r["severityNumber"] = v
+        elif f == 3:
+            r["severityText"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            av = _any_value(v)
+            r["body"] = {"stringValue": av.get("stringValue", "")}
+        elif f == 6:
+            r["attributes"].append(v)
+        elif f == 9:
+            r["traceId"] = v.hex()
+        elif f == 10:
+            r["spanId"] = v.hex()
+    r["attributes"] = _kvs(r["attributes"])
+    return r
+
+
+def parse_logs_request(data: bytes) -> dict:
+    resource_logs = []
+    for f, _w, v in _fields(data):
+        if f != 1:
+            continue
+        rl: dict = {"scopeLogs": []}
+        for f2, _w2, v2 in _fields(v):
+            if f2 == 1:
+                attrs = [v3 for f3, _w3, v3 in _fields(v2) if f3 == 1]
+                rl["resource"] = {"attributes": _kvs(attrs)}
+            elif f2 == 2:
+                sl: dict = {"logRecords": []}
+                for f3, _w3, v3 in _fields(v2):
+                    if f3 == 1:
+                        sc = {}
+                        for f4, _w4, v4 in _fields(v3):
+                            if f4 == 1:
+                                sc["name"] = v4.decode("utf-8", "replace")
+                            elif f4 == 2:
+                                sc["version"] = v4.decode("utf-8", "replace")
+                        sl["scope"] = sc
+                    elif f3 == 2:
+                        sl["logRecords"].append(_log_record(v3))
+                rl["scopeLogs"].append(sl)
+        resource_logs.append(rl)
+    return {"resourceLogs": resource_logs}
+
+
+def encode_logs_request(req: dict) -> bytes:
+    out = bytearray()
+    for rl in req.get("resourceLogs", []):
+        rl_body = bytearray()
+        res = rl.get("resource")
+        if res:
+            rl_body += _ln(
+                1, b"".join(_ln(1, _enc_kv(kv)) for kv in res.get("attributes", []))
+            )
+        for sl in rl.get("scopeLogs", []):
+            sl_body = bytearray()
+            sc = sl.get("scope")
+            if sc:
+                sc_body = b""
+                if sc.get("name"):
+                    sc_body += _ln(1, sc["name"].encode())
+                if sc.get("version"):
+                    sc_body += _ln(2, sc["version"].encode())
+                sl_body += _ln(1, sc_body)
+            for r in sl.get("logRecords", []):
+                b = bytearray()
+                b += _f64(1, int(r["timeUnixNano"]))
+                if r.get("observedTimeUnixNano"):
+                    b += _f64(11, int(r["observedTimeUnixNano"]))
+                if r.get("severityNumber"):
+                    b += _vi(2, r["severityNumber"])
+                if r.get("severityText"):
+                    b += _ln(3, r["severityText"].encode())
+                if r.get("body"):
+                    b += _ln(5, _ln(1, r["body"]["stringValue"].encode()))
+                for kv in r.get("attributes", []):
+                    b += _ln(6, _enc_kv(kv))
+                if r.get("traceId"):
+                    b += _ln(9, bytes.fromhex(r["traceId"]))
+                if r.get("spanId"):
+                    b += _ln(10, bytes.fromhex(r["spanId"]))
+                sl_body += _ln(2, bytes(b))
+            rl_body += _ln(2, bytes(sl_body))
+        out += _ln(1, bytes(rl_body))
+    return bytes(out)
+
+
+def decode_otlp_logs_requests(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary protobuf bodies → OTLP/JSON strings for
+    flatten_otlp_logs, Arrow-batched (same shape as the traces path)."""
+    import json
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        json.dumps(parse_logs_request(bytes(p)))
+                        for p in pdf[payload_col]
+                    ]
+                }
+            )
+
+    return raw.mapInPandas(run, "value string")

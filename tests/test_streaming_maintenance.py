@@ -997,3 +997,58 @@ def test_otlp_protobuf_trace_wire_roundtrip(spark):
     assert root.parent_span_id is None and root.is_root
     child = rows["c7ad6b7169203332"]
     assert child.parent_span_id == "b7ad6b7169203331" and not child.is_root
+
+
+def test_otlp_protobuf_logs_wire_roundtrip(spark):
+    from signaldb_spark.sources.otlp import flatten_otlp_logs
+    from signaldb_spark.sources.otlp_pb import (
+        decode_otlp_logs_requests,
+        encode_logs_request,
+    )
+
+    req = {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "api"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1704067200000000000",
+                                "severityNumber": 17,
+                                "severityText": "ERROR",
+                                "body": {"stringValue": "upstream timeout"},
+                                "attributes": [
+                                    {"key": "status", "value": {"intValue": "503"}}
+                                ],
+                                "traceId": "0af7651916cd43dd8448eb211c80319c",
+                                "spanId": "b7ad6b7169203331",
+                            },
+                            {
+                                "timeUnixNano": "1704067201000000000",
+                                "severityText": "INFO",
+                                "body": {"stringValue": "request handled"},
+                            },
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+    raw = spark.createDataFrame(
+        [(bytearray(encode_logs_request(req)),)], "payload binary"
+    )
+    rows = sorted(
+        flatten_otlp_logs(decode_otlp_logs_requests(raw)).collect(),
+        key=lambda r: str(r.timestamp),
+    )
+    assert len(rows) == 2
+    assert rows[0].service_name == "api" and rows[0].severity_text == "ERROR"
+    assert rows[0].body == "upstream timeout"
+    assert rows[0].trace_id == "0af7651916cd43dd8448eb211c80319c"
+    assert rows[0].log_attributes["status"] == "503"
+    assert rows[1].body == "request handled" and rows[1].severity_text == "INFO"
