@@ -389,3 +389,405 @@ def decode_otlp_logs_requests(raw: DataFrame, payload_col: str = "payload") -> D
             )
 
     return raw.mapInPandas(run, "value string")
+
+
+# ----------------------------------------------------------------- metrics
+# opentelemetry/proto/metrics/v1/metrics.proto (public):
+#   ExportMetricsServiceRequest.resource_metrics = 1
+#   ResourceMetrics.resource=1 .scope_metrics=2; ScopeMetrics.metrics=2
+#   Metric: name=1 unit=3 gauge=5 sum=7 histogram=9
+#           exponential_histogram=10 summary=11
+#   NumberDataPoint: time=3(f64) as_double=4(f64 double) as_int=6(sf64)
+#                    exemplars=5 attributes=7
+#   HistogramDataPoint: time=3 count=4(f64) sum=5(double)
+#                       bucket_counts=6 (packed fixed64)
+#                       explicit_bounds=7 (packed double) exemplars=8
+#                       attributes=9
+#   ExponentialHistogramDataPoint: attributes=1 time=3 count=4(f64)
+#                       sum=5 scale=6 (zigzag sint32) zero_count=7(f64)
+#                       positive=8 negative=9; Buckets: offset=1(zigzag)
+#                       bucket_counts=2 (packed varint)
+#   SummaryDataPoint: time=3 count=4(f64) sum=5 quantile_values=6
+#                     (quantile=1 double, value=2 double) attributes=7
+#   Exemplar: time=2(f64) as_double=3 span_id=4 trace_id=5 as_int=6
+#             filtered_attributes=7
+
+
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _f64_double(v: int) -> float:
+    return struct.unpack("<d", v.to_bytes(8, "little"))[0]
+
+
+def _sf64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _packed_fixed64(wt: int, val) -> list[int]:
+    if wt == 1:
+        return [val]
+    return [
+        int.from_bytes(val[i:i + 8], "little") for i in range(0, len(val), 8)
+    ]
+
+
+def _packed_varint_list(wt: int, val) -> list[int]:
+    if wt == 0:
+        return [val]
+    from .remote_write import _read_varint
+
+    out, i = [], 0
+    while i < len(val):
+        v, i = _read_varint(val, i)
+        out.append(v)
+    return out
+
+
+def _exemplar(buf: bytes) -> dict:
+    e: dict = {"filteredAttributes": []}
+    for f, w, v in _fields(buf):
+        if f == 2:
+            e["timeUnixNano"] = str(v)
+        elif f == 3 and w == 1:
+            e["asDouble"] = _f64_double(v)
+        elif f == 6:
+            e["asInt"] = str(_sf64(v))
+        elif f == 4:
+            e["spanId"] = v.hex()
+        elif f == 5:
+            e["traceId"] = v.hex()
+        elif f == 7:
+            e["filteredAttributes"].append(v)
+    e["filteredAttributes"] = _kvs(e["filteredAttributes"])
+    return e
+
+
+def _num_dp(buf: bytes) -> dict:
+    dp: dict = {"attributes": [], "exemplars": []}
+    for f, w, v in _fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4 and w == 1:
+            dp["asDouble"] = _f64_double(v)
+        elif f == 6:
+            dp["asInt"] = str(_sf64(v))
+        elif f == 5:
+            dp["exemplars"].append(_exemplar(v))
+        elif f == 7:
+            dp["attributes"].append(v)
+    dp["attributes"] = _kvs(dp["attributes"])
+    return dp
+
+
+def _hist_dp(buf: bytes) -> dict:
+    dp: dict = {"attributes": [], "exemplars": []}
+    for f, w, v in _fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5 and w == 1:
+            dp["sum"] = _f64_double(v)
+        elif f == 6:
+            dp["bucketCounts"] = [str(x) for x in _packed_fixed64(w, v)]
+        elif f == 7:
+            dp["explicitBounds"] = [_f64_double(x) for x in _packed_fixed64(w, v)]
+        elif f == 8:
+            dp["exemplars"].append(_exemplar(v))
+        elif f == 9:
+            dp["attributes"].append(v)
+    dp["attributes"] = _kvs(dp["attributes"])
+    return dp
+
+
+def _exp_buckets(buf: bytes) -> dict:
+    b = {"offset": 0, "bucketCounts": []}
+    for f, w, v in _fields(buf):
+        if f == 1:
+            b["offset"] = _zigzag(v)
+        elif f == 2:
+            b["bucketCounts"] = [str(x) for x in _packed_varint_list(w, v)]
+    return b
+
+
+def _exp_dp(buf: bytes) -> dict:
+    dp: dict = {"attributes": []}
+    for f, w, v in _fields(buf):
+        if f == 1:
+            dp["attributes"].append(v)
+        elif f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5 and w == 1:
+            dp["sum"] = _f64_double(v)
+        elif f == 6:
+            dp["scale"] = _zigzag(v)
+        elif f == 7:
+            dp["zeroCount"] = str(v)
+        elif f == 8:
+            dp["positive"] = _exp_buckets(v)
+        elif f == 9:
+            dp["negative"] = _exp_buckets(v)
+    dp["attributes"] = _kvs(dp["attributes"])
+    return dp
+
+
+def _summary_dp(buf: bytes) -> dict:
+    dp: dict = {"attributes": [], "quantileValues": []}
+    for f, w, v in _fields(buf):
+        if f == 3:
+            dp["timeUnixNano"] = str(v)
+        elif f == 4:
+            dp["count"] = str(v)
+        elif f == 5 and w == 1:
+            dp["sum"] = _f64_double(v)
+        elif f == 6:
+            qv = {}
+            for f2, w2, v2 in _fields(v):
+                if f2 == 1 and w2 == 1:
+                    qv["quantile"] = _f64_double(v2)
+                elif f2 == 2 and w2 == 1:
+                    qv["value"] = _f64_double(v2)
+            dp["quantileValues"].append(qv)
+        elif f == 7:
+            dp["attributes"].append(v)
+    dp["attributes"] = _kvs(dp["attributes"])
+    return dp
+
+
+def _metric(buf: bytes) -> dict:
+    m: dict = {}
+    for f, w, v in _fields(buf):
+        if f == 1:
+            m["name"] = v.decode("utf-8", "replace")
+        elif f == 3:
+            m["unit"] = v.decode("utf-8", "replace")
+        elif f == 5:
+            m["gauge"] = {
+                "dataPoints": [_num_dp(v2) for f2, _w2, v2 in _fields(v) if f2 == 1]
+            }
+        elif f == 7:
+            s: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    s["dataPoints"].append(_num_dp(v2))
+                elif f2 == 2:
+                    s["aggregationTemporality"] = v2
+                elif f2 == 3:
+                    s["isMonotonic"] = bool(v2)
+            m["sum"] = s
+        elif f == 9:
+            h: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    h["dataPoints"].append(_hist_dp(v2))
+                elif f2 == 2:
+                    h["aggregationTemporality"] = v2
+            m["histogram"] = h
+        elif f == 10:
+            eh: dict = {"dataPoints": []}
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 1:
+                    eh["dataPoints"].append(_exp_dp(v2))
+                elif f2 == 2:
+                    eh["aggregationTemporality"] = v2
+            m["exponentialHistogram"] = eh
+        elif f == 11:
+            m["summary"] = {
+                "dataPoints": [
+                    _summary_dp(v2) for f2, _w2, v2 in _fields(v) if f2 == 1
+                ]
+            }
+    return m
+
+
+def parse_metrics_request(data: bytes) -> dict:
+    resource_metrics = []
+    for f, _w, v in _fields(data):
+        if f != 1:
+            continue
+        rm: dict = {"scopeMetrics": []}
+        for f2, _w2, v2 in _fields(v):
+            if f2 == 1:
+                attrs = [v3 for f3, _w3, v3 in _fields(v2) if f3 == 1]
+                rm["resource"] = {"attributes": _kvs(attrs)}
+            elif f2 == 2:
+                sm = {
+                    "metrics": [
+                        _metric(v3) for f3, _w3, v3 in _fields(v2) if f3 == 2
+                    ]
+                }
+                rm["scopeMetrics"].append(sm)
+        resource_metrics.append(rm)
+    return {"resourceMetrics": resource_metrics}
+
+
+def decode_otlp_metrics_requests(
+    raw: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """binary protobuf bodies → OTLP/JSON strings for
+    flatten_otlp_metrics, Arrow-batched."""
+    import json
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "value": [
+                        json.dumps(parse_metrics_request(bytes(p)))
+                        for p in pdf[payload_col]
+                    ]
+                }
+            )
+
+    return raw.mapInPandas(run, "value string")
+
+
+def _zz(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else (v << 1)
+
+
+def _enc_exemplar(e: dict) -> bytes:
+    b = bytearray()
+    if e.get("timeUnixNano"):
+        b += _f64(2, int(e["timeUnixNano"]))
+    if "asDouble" in e:
+        b += _varint((3 << 3) | 1) + struct.pack("<d", e["asDouble"])
+    if e.get("spanId"):
+        b += _ln(4, bytes.fromhex(e["spanId"]))
+    if e.get("traceId"):
+        b += _ln(5, bytes.fromhex(e["traceId"]))
+    return bytes(b)
+
+
+def _enc_num_dp(dp: dict) -> bytes:
+    b = bytearray()
+    b += _f64(3, int(dp["timeUnixNano"]))
+    if "asDouble" in dp:
+        b += _varint((4 << 3) | 1) + struct.pack("<d", dp["asDouble"])
+    if "asInt" in dp:
+        b += _varint((6 << 3) | 1) + (int(dp["asInt"]) & ((1 << 64) - 1)).to_bytes(
+            8, "little"
+        )
+    for ex in dp.get("exemplars", []):
+        b += _ln(5, _enc_exemplar(ex))
+    for kv in dp.get("attributes", []):
+        b += _ln(7, _enc_kv(kv))
+    return bytes(b)
+
+
+def encode_metrics_request(req: dict) -> bytes:
+    """Writer for the subset parse_metrics_request reads — packed
+    repeated fields emitted exactly as OTLP SDKs do."""
+    out = bytearray()
+    for rm in req.get("resourceMetrics", []):
+        rm_body = bytearray()
+        res = rm.get("resource")
+        if res:
+            rm_body += _ln(
+                1, b"".join(_ln(1, _enc_kv(kv)) for kv in res.get("attributes", []))
+            )
+        for sm in rm.get("scopeMetrics", []):
+            sm_body = bytearray()
+            for m in sm.get("metrics", []):
+                mb = bytearray()
+                mb += _ln(1, m["name"].encode())
+                if m.get("unit"):
+                    mb += _ln(3, m["unit"].encode())
+                if "gauge" in m:
+                    mb += _ln(
+                        5,
+                        b"".join(
+                            _ln(1, _enc_num_dp(dp))
+                            for dp in m["gauge"]["dataPoints"]
+                        ),
+                    )
+                if "sum" in m:
+                    sb = bytearray()
+                    for dp in m["sum"]["dataPoints"]:
+                        sb += _ln(1, _enc_num_dp(dp))
+                    if m["sum"].get("aggregationTemporality"):
+                        sb += _vi(2, m["sum"]["aggregationTemporality"])
+                    if m["sum"].get("isMonotonic"):
+                        sb += _vi(3, 1)
+                    mb += _ln(7, bytes(sb))
+                if "histogram" in m:
+                    hb = bytearray()
+                    for dp in m["histogram"]["dataPoints"]:
+                        db = bytearray()
+                        db += _f64(3, int(dp["timeUnixNano"]))
+                        db += _f64(4, int(dp["count"]))
+                        if "sum" in dp:
+                            db += _varint((5 << 3) | 1) + struct.pack("<d", dp["sum"])
+                        db += _ln(
+                            6,
+                            b"".join(
+                                int(x).to_bytes(8, "little")
+                                for x in dp["bucketCounts"]
+                            ),
+                        )
+                        db += _ln(
+                            7,
+                            b"".join(
+                                struct.pack("<d", x) for x in dp["explicitBounds"]
+                            ),
+                        )
+                        for kv in dp.get("attributes", []):
+                            db += _ln(9, _enc_kv(kv))
+                        hb += _ln(1, bytes(db))
+                    if m["histogram"].get("aggregationTemporality"):
+                        hb += _vi(2, m["histogram"]["aggregationTemporality"])
+                    mb += _ln(9, bytes(hb))
+                if "exponentialHistogram" in m:
+                    eb = bytearray()
+                    for dp in m["exponentialHistogram"]["dataPoints"]:
+                        db = bytearray()
+                        for kv in dp.get("attributes", []):
+                            db += _ln(1, _enc_kv(kv))
+                        db += _f64(3, int(dp["timeUnixNano"]))
+                        db += _f64(4, int(dp["count"]))
+                        if "sum" in dp:
+                            db += _varint((5 << 3) | 1) + struct.pack("<d", dp["sum"])
+                        db += _vi(6, _zz(dp.get("scale", 0)))
+                        db += _f64(7, int(dp.get("zeroCount", "0")))
+                        for fno, key in ((8, "positive"), (9, "negative")):
+                            if key in dp:
+                                bb = _vi(1, _zz(dp[key].get("offset", 0))) + _ln(
+                                    2,
+                                    b"".join(
+                                        _varint(int(x))
+                                        for x in dp[key]["bucketCounts"]
+                                    ),
+                                )
+                                db += _ln(fno, bb)
+                        eb += _ln(1, bytes(db))
+                    mb += _ln(10, bytes(eb))
+                if "summary" in m:
+                    sb = bytearray()
+                    for dp in m["summary"]["dataPoints"]:
+                        db = bytearray()
+                        db += _f64(3, int(dp["timeUnixNano"]))
+                        db += _f64(4, int(dp["count"]))
+                        if "sum" in dp:
+                            db += _varint((5 << 3) | 1) + struct.pack("<d", dp["sum"])
+                        for qv in dp.get("quantileValues", []):
+                            db += _ln(
+                                6,
+                                _varint((1 << 3) | 1)
+                                + struct.pack("<d", qv["quantile"])
+                                + _varint((2 << 3) | 1)
+                                + struct.pack("<d", qv["value"]),
+                            )
+                        for kv in dp.get("attributes", []):
+                            db += _ln(7, _enc_kv(kv))
+                        sb += _ln(1, bytes(db))
+                    mb += _ln(11, bytes(sb))
+                sm_body += _ln(2, bytes(mb))
+            rm_body += _ln(2, bytes(sm_body))
+        out += _ln(1, bytes(rm_body))
+    return bytes(out)

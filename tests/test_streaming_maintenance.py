@@ -1052,3 +1052,75 @@ def test_otlp_protobuf_logs_wire_roundtrip(spark):
     assert rows[0].trace_id == "0af7651916cd43dd8448eb211c80319c"
     assert rows[0].log_attributes["status"] == "503"
     assert rows[1].body == "request handled" and rows[1].severity_text == "INFO"
+
+
+def test_otlp_protobuf_metrics_wire_roundtrip(spark):
+    """OTLP metrics protobuf wire → all five metric kinds route to
+    their tables through the standard flattener — zigzag scale/offset,
+    packed fixed64 bucket counts, packed varint exp-buckets included."""
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+    from signaldb_spark.sources.otlp_pb import (
+        decode_otlp_metrics_requests,
+        encode_metrics_request,
+    )
+
+    t = "1704067200000000000"
+    req = {
+        "resourceMetrics": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "api"}}
+                    ]
+                },
+                "scopeMetrics": [
+                    {
+                        "metrics": [
+                            {"name": "cpu", "unit": "1", "gauge": {"dataPoints": [
+                                {"timeUnixNano": t, "asDouble": 0.7, "attributes": []}
+                            ]}},
+                            {"name": "reqs_total", "sum": {
+                                "dataPoints": [{"timeUnixNano": t, "asInt": "42"}],
+                                "aggregationTemporality": 2, "isMonotonic": True}},
+                            {"name": "latency", "histogram": {
+                                "dataPoints": [{
+                                    "timeUnixNano": t, "count": "7", "sum": 91.5,
+                                    "bucketCounts": ["3", "2", "2"],
+                                    "explicitBounds": [10.0, 50.0]}],
+                                "aggregationTemporality": 2}},
+                            {"name": "latency_exp", "exponentialHistogram": {
+                                "dataPoints": [{
+                                    "timeUnixNano": t, "count": "5", "sum": 30.0,
+                                    "scale": -1, "zeroCount": "1",
+                                    "positive": {"offset": -2,
+                                                 "bucketCounts": ["2", "2"]}}]}},
+                            {"name": "rt_summary", "summary": {
+                                "dataPoints": [{
+                                    "timeUnixNano": t, "count": "9", "sum": 45.0,
+                                    "quantileValues": [
+                                        {"quantile": 0.5, "value": 4.0},
+                                        {"quantile": 0.99, "value": 12.0}]}]}},
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+    raw = spark.createDataFrame(
+        [(bytearray(encode_metrics_request(req)),)], "payload binary"
+    )
+    tables = flatten_otlp_metrics(decode_otlp_metrics_requests(raw))
+    g = tables["metrics_gauge"].collect()
+    assert len(g) == 1 and g[0].metric_name == "cpu" and g[0].value == 0.7
+    assert g[0].service_name == "api"
+    s = tables["metrics_sum"].collect()
+    assert len(s) == 1 and s[0].value == 42.0 and s[0].is_monotonic
+    h = tables["metrics_histogram"].collect()
+    assert len(h) == 1 and h[0]["count"] == 7 and h[0]["sum"] == 91.5
+    assert list(h[0].bucket_counts) == [3.0, 2.0, 2.0]
+    assert list(h[0].explicit_bounds) == [10.0, 50.0]
+    e = tables["metrics_exp_histogram"].collect()
+    assert len(e) == 1 and e[0].scale == -1 and e[0].positive_offset == -2
+    assert list(e[0].positive_bucket_counts) == [2, 2]
+    su = tables["metrics_summary"].collect()
+    assert len(su) == 1 and su[0]["count"] == 9
