@@ -1,0 +1,308 @@
+"""Endpoint façade: one method per reference HTTP endpoint.
+
+The reference's router (src/router/src/endpoints/{promql,logql,tempo,
+pyroscope}.rs + the Flight SQL path) is HTTP plumbing around exactly
+this dispatch: parse params → pick the tenant's tables → lower → shape.
+This module is that dispatch with the transport removed — a user of the
+reference can drive every query they run today through one object,
+getting the same response envelopes the reference emits. Any real HTTP
+frontend is a ~20-line handler per route over these methods.
+
+Time parameters accept the same forms the lowerings do (ISO strings or
+datetimes); errors come back as the Prometheus-style error envelope
+rather than raising, matching router behavior (error_envelope,
+endpoints/promql.rs error paths).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .logql.lowering import LowerCtx, query_instant, query_logs, query_metric
+from .logql.parser import parse as logql_parse
+from .promql.lowering import PromCtx, query_range
+from .shapers import (
+    error_envelope,
+    logs_to_loki_streams,
+    matrix_to_instant_vector,
+    matrix_to_prom,
+    trace_to_tempo,
+)
+from .tenancy import TenantSession
+
+DEFAULT_LOOKBACK_S = 300
+
+
+def _minus_seconds(t, secs: float):
+    if isinstance(t, str):
+        t = dt.datetime.fromisoformat(t)
+    return t - dt.timedelta(seconds=secs)
+
+
+class SignalDBAPI:
+    """Per-(tenant, dataset) query surface — the TenantCatalog-scoped
+    router dispatch."""
+
+    def __init__(self, spark: SparkSession, base: str, tenant: str = "acme",
+                 dataset: str = "prod"):
+        self.spark = spark
+        self.tenant = tenant
+        self.dataset = dataset
+        self.session = TenantSession(spark, base, tenant, dataset)
+
+    def _prom_ctx(self, start, end, step_seconds: int) -> PromCtx:
+        t = self.session.table
+        return PromCtx(
+            self.spark, t("metrics_gauge"), t("metrics_sum"),
+            t("metrics_histogram"), start, end, step_seconds,
+            tenant=self.tenant, dataset=self.dataset,
+            exphist=t("metrics_exponential_histogram"),
+        )
+
+    def _logs_ctx(self, start, end, step_seconds: int = 60) -> LowerCtx | None:
+        logs = self.session.table("logs")
+        if logs is None:
+            return None
+        return LowerCtx(self.spark, logs, start, end, step_seconds,
+                        tenant=self.tenant, dataset=self.dataset)
+
+    # ------------------------------------------------- Prometheus surface
+    # GET/POST /prometheus/api/v1/query_range (endpoints/promql.rs)
+
+    def prom_query_range(self, query: str, start, end, step_seconds: int) -> dict:
+        try:
+            return matrix_to_prom(
+                query_range(self._prom_ctx(start, end, step_seconds), query)
+            )
+        except Exception as e:  # router behavior: envelope, not a 500
+            return error_envelope(str(e))
+
+    # GET/POST /prometheus/api/v1/query — instant: evaluate one lookback
+    # window ending at `time`, reduce to the latest sample per series
+
+    def prom_query(self, query: str, time, lookback_s: int = DEFAULT_LOOKBACK_S) -> dict:
+        try:
+            ctx = self._prom_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
+            return matrix_to_instant_vector(query_range(ctx, query))
+        except Exception as e:
+            return error_envelope(str(e))
+
+    # /prometheus/api/v1/labels, /label/<x>/values, /series, /metadata
+
+    def prom_labels(self, start, end) -> dict:
+        from .promql.discovery import prom_labels
+
+        ctx = self._prom_ctx(start, end, DEFAULT_LOOKBACK_S)
+        return {"status": "success",
+                "data": [r[0] for r in prom_labels(ctx).collect()]}
+
+    def prom_label_values(self, label: str, start, end) -> dict:
+        from .promql.discovery import prom_label_values
+
+        ctx = self._prom_ctx(start, end, DEFAULT_LOOKBACK_S)
+        return {"status": "success",
+                "data": [r[0] for r in prom_label_values(ctx, label).collect()]}
+
+    def prom_series(self, selector: str, start, end) -> dict:
+        from .promql.discovery import prom_series
+
+        ctx = self._prom_ctx(start, end, DEFAULT_LOOKBACK_S)
+        return {"status": "success",
+                "data": [r.asDict() for r in prom_series(ctx, selector).collect()]}
+
+    def prom_metadata(self) -> dict:
+        from .promql.discovery import metric_metadata
+
+        tables = {
+            n: self.session.table(n)
+            for n in ("metrics_gauge", "metrics_sum", "metrics_histogram",
+                      "metrics_exponential_histogram", "metrics_summary")
+        }
+        out: dict[str, list] = {}
+        for r in metric_metadata(self.spark, tables).collect():
+            out.setdefault(r["metric"], []).append({"type": r["type"], "help": "", "unit": ""})
+        return {"status": "success", "data": out}
+
+    # ------------------------------------------------------- Loki surface
+    # GET /loki/api/v1/query_range (endpoints/logql.rs): log selectors
+    # return streams, metric queries return a matrix
+
+    def loki_query_range(self, query: str, start, end, step_seconds: int = 60,
+                         limit: int = 100, direction: str = "backward") -> dict:
+        from .logql.ast import LogSelector
+
+        ctx = self._logs_ctx(start, end, step_seconds)
+        if ctx is None:
+            return error_envelope("no logs table for tenant")
+        try:
+            parsed = logql_parse(query)
+            if isinstance(parsed, LogSelector):
+                rows = query_logs(ctx, parsed, limit=limit, direction=direction)
+                return logs_to_loki_streams(rows)
+            return matrix_to_prom(query_metric(ctx, query))
+        except Exception as e:
+            return error_envelope(str(e))
+
+    # GET /loki/api/v1/query — instant metric query
+
+    def loki_query(self, query: str, time, lookback_s: int = DEFAULT_LOOKBACK_S) -> dict:
+        ctx = self._logs_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
+        if ctx is None:
+            return error_envelope("no logs table for tenant")
+        try:
+            return matrix_to_instant_vector(query_instant(ctx, query))
+        except Exception as e:
+            return error_envelope(str(e))
+
+    # /loki/api/v1/labels, /label/<x>/values, /series, /index/volume
+
+    def loki_labels(self) -> dict:
+        from .maintenance.jobs import detected_labels
+
+        logs = self.session.table("logs")
+        return {"status": "success",
+                "data": [r[0] for r in detected_labels(logs).collect()]}
+
+    def loki_label_values(self, label: str) -> dict:
+        from .maintenance.jobs import label_values
+
+        logs = self.session.table("logs")
+        return {"status": "success",
+                "data": [r[0] for r in label_values(logs, label).collect()]}
+
+    def loki_series(self) -> dict:
+        from .maintenance.jobs import log_series
+
+        logs = self.session.table("logs")
+        return {"status": "success",
+                "data": [
+                    {k: v for k, v in r.asDict().items() if v is not None}
+                    for r in log_series(logs).collect()
+                ]}
+
+    # ------------------------------------------------------ Tempo surface
+    # GET /tempo/api/traces/<id> (endpoints/tempo.rs)
+
+    def tempo_trace(self, trace_id: str, start=None, end=None) -> dict:
+        from .traceql.trace_ops import assemble_hierarchy, find_by_id
+
+        traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
+        spans = find_by_id(traces, trace_id, start, end)
+        rows = assemble_hierarchy(spans).collect()
+        if not rows:
+            return error_envelope(f"trace {trace_id} not found", "not_found")
+        return trace_to_tempo(rows[0])
+
+    # GET /tempo/api/search — q (TraceQL) or tags (logfmt), newest-N
+
+    def tempo_search(self, q: str | None = None, tags: str | None = None,
+                     limit: int = 20, spss: int | None = None,
+                     start=None, end=None) -> dict:
+        from .traceql.parser import parse_tags
+        from .traceql.trace_ops import search, search_traceql
+
+        traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
+        try:
+            if q is not None:
+                rows = search_traceql(traces, q, tenant=self.tenant,
+                                      dataset=self.dataset, limit=limit,
+                                      spans_per_trace=spss, start=start, end=end)
+            else:
+                rows = search(traces, parse_tags(tags or ""), limit=limit,
+                              spans_per_trace=spss, start=start, end=end)
+        except Exception as e:
+            return error_envelope(str(e))
+        by_trace: dict[str, list] = {}
+        for r in (row.asDict() for row in rows.collect()):
+            by_trace.setdefault(r["trace_id"], []).append(r)
+        out = []
+        for tid, spans in sorted(
+            by_trace.items(),
+            key=lambda kv: -max(s["start_time_unix_nano"] for s in kv[1]),
+        ):
+            root = next((s for s in spans if s.get("is_root")), spans[0])
+            out.append({
+                "traceID": tid,
+                "rootServiceName": root["service_name"],
+                "rootTraceName": root["span_name"],
+                "startTimeUnixNano": str(min(s["start_time_unix_nano"] for s in spans)),
+                "spanSet": {"spans": [
+                    {"spanID": s["span_id"],
+                     "startTimeUnixNano": str(s["start_time_unix_nano"]),
+                     "durationNanos": str(s["duration_nanos"])}
+                    for s in spans
+                ]},
+            })
+        return {"traces": out}
+
+    # /tempo/api/search/tags (+v2), /tag/<k>/values
+
+    def tempo_tags(self, scope: str = "unscoped") -> dict:
+        from .traceql.trace_ops import tag_names
+
+        traces = self.session.table("traces")
+        return {"tagNames": [r[0] for r in tag_names(traces, scope).collect()]}
+
+    def tempo_tags_v2(self) -> dict:
+        from .traceql.trace_ops import tag_names_v2
+
+        traces = self.session.table("traces")
+        scopes: dict[str, list] = {}
+        for r in tag_names_v2(traces).collect():
+            scopes.setdefault(r["scope"], []).append(r["name"])
+        return {"scopes": [{"name": k, "tags": v} for k, v in sorted(scopes.items())]}
+
+    def tempo_tag_values(self, key: str, scope: str = "unscoped") -> dict:
+        from .traceql.trace_ops import tag_values
+
+        traces = self.session.table("traces")
+        return {"tagValues": [r[0] for r in tag_values(traces, scope, key).collect()]}
+
+    # -------------------------------------------------- Pyroscope surface
+    # GET /pyroscope/render — merged (optionally truncated) flamegraph
+
+    def pyroscope_render(self, max_nodes: int | None = None) -> dict:
+        from .operators.profiles import flamegraph_self, flamegraph_truncate
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        fg = flamegraph_self(profiles)
+        if max_nodes is not None:
+            fg = flamegraph_truncate(fg, max_nodes)
+        rows = sorted(
+            (r.asDict() for r in fg.collect()),
+            key=lambda r: (r["depth"], r["path"]),
+        )
+        return {"flamegraph": rows}
+
+    # ------------------------------------------------------- IR + raw SQL
+
+    def ir_query(self, doc: dict) -> dict:
+        from .ir import lower, validate
+
+        try:
+            plan = validate(doc)
+            table = self.session.table(doc.get("from", "logs"))
+            if table is None:
+                return error_envelope(
+                    f"no {doc.get('from')} table for tenant", "not_found"
+                )
+            rows = [r.asDict() for r in lower(table, plan).collect()]
+            return {"status": "success", "data": rows}
+        except Exception as e:
+            return error_envelope(str(e))
+
+    def sql(self, query: str) -> dict:
+        try:
+            return {"status": "success",
+                    "data": [r.asDict() for r in self.session.sql(query).collect()]}
+        except Exception as e:
+            return error_envelope(str(e))
