@@ -318,3 +318,47 @@ def test_relational_reports_broadcast_dims(spark):
     # Q10's nation dim must broadcast
     p10 = plan(all_queries()["returned_item_revenue"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p10
+
+
+def test_q19_or_of_ands_pushes_per_side_conjuncts(spark):
+    """brand_quantity_revenue: Catalyst must derive each side's OR of
+    conjuncts and push it into that side's parquet scan while pruning to
+    the referenced columns only."""
+    p = plan(all_queries()["brand_quantity_revenue"](spark, SF_DIR))
+    # lineitem scan carries the derived quantity OR; part scan the brand/size OR
+    assert "Or(And(EqualTo(p_brand,Brand#12)" in p.replace(" ", "") or "p_brand" in p
+    assert "l_quantity" in p and "PushedFilters" in p
+    # projection pruned: the wide lineitem scan reads only 4 columns
+    lineitem_scan = [l for l in p.splitlines() if "ReadSchema" in l and "l_partkey" in l]
+    assert lineitem_scan and "l_extendedprice" in lineitem_scan[0]
+    assert "l_comment" not in p
+
+
+def test_repeated_ngrams_shuffles_longs_not_text(spark):
+    """repeated_ngram_stats: the exchange carries (doc, pos, hash) —
+    the document text must not appear past the first projection."""
+    from signaldb_spark.operators.corpus import repeated_ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h j")],
+        "doc_id long, text string",
+    )
+    p = plan(repeated_ngram_stats(docs, "doc_id", "text"))
+    # hash-partitioned exchanges exist on wh / doc id, none on the text
+    assert "hashpartitioning" in p and "wh" in p
+    assert "Exchange hashpartitioning(text" not in p
+
+
+def test_pq_adc_is_join_free(spark):
+    """pq_adc_topn: scoring is literal-table lookups + one groupBy on
+    the id — no join operator anywhere in the plan."""
+    from signaldb_spark.operators.similarity import pq_adc_topn
+
+    codes = spark.createDataFrame(
+        [(1, 0, 0), (1, 1, 1), (2, 0, 1), (2, 1, 0)],
+        "vec_id long, subspace int, code int",
+    )
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.5, 0.5], [2.0, 2.0]]]
+    p = plan(pq_adc_topn(codes, books, [0.2, 0.2, 0.7, 0.7], n=2))
+    assert "Join" not in p and "BroadcastNestedLoop" not in p
+    assert "HashAggregate" in p
