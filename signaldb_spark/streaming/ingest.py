@@ -366,3 +366,75 @@ def ingest_otlp_metrics_stream(
         flagged.unpersist()
 
     return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)
+
+
+def ingest_otlp_traces_pb_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """OTLP *protobuf* trace ingest: a binaryFile stream of wire bodies
+    (what the gRPC/HTTP acceptor receives) → pure-Python decode
+    (sources.otlp_pb, Arrow-batched) → the standard JVM flattener →
+    manifest-committed exactly-once sink. The full reference wire path
+    with Spark's checkpoint replacing both WALs; undecodable payloads
+    land in the dead-letter sink instead of wedging the drain."""
+    import json
+
+    from ..sources.otlp import flatten_otlp_traces
+    from ..sources.otlp_pb import parse_trace_request
+    from ..storage import write_batch_manifest
+
+    table_path = signal_table_path(base, tenant, dataset, "traces")
+    checkpoint = checkpoint_dir or os.path.join(
+        base, "_checkpoints", tenant, dataset, "traces_pb"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", "16")
+        .load(source_dir)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals, dead = [], []
+            for p in pdf["content"]:
+                try:
+                    vals.append(json.dumps(parse_trace_request(bytes(p))))
+                except Exception:
+                    dead.append(bytes(p).hex())
+            yield pd.DataFrame(
+                {
+                    "value": vals + [None] * len(dead),
+                    "_dead_payload": [None] * len(vals) + dead,
+                }
+            )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select("content").mapInPandas(
+            decode, "value string, _dead_payload string"
+        ).cache()
+        good = decoded.filter(F.col("value").isNotNull())
+        dead = decoded.filter(F.col("_dead_payload").isNotNull())
+        flat = flatten_otlp_traces(good, json_col="value")
+        write_batch_manifest(flat, table_path, "traces", batch_id=batch_id)
+        if dead.limit(1).count():
+            write_dead_letters(
+                dead.select(F.col("_dead_payload").alias("value")),
+                base, tenant, dataset, "traces", batch_id,
+            )
+        decoded.unpersist()
+
+    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="5 seconds").start()

@@ -1124,3 +1124,58 @@ def test_otlp_protobuf_metrics_wire_roundtrip(spark):
     assert list(e[0].positive_bucket_counts) == [2, 2]
     su = tables["metrics_summary"].collect()
     assert len(su) == 1 and su[0]["count"] == 9
+
+
+def test_protobuf_trace_stream_to_manifest_table(spark, tmp_path):
+    """Wire → stream → manifest table, end to end: protobuf bodies in a
+    binaryFile stream decode, flatten, and manifest-commit; a poison
+    payload dead-letters instead of wedging; replays stay idempotent."""
+    import os
+
+    from signaldb_spark.catalog import signal_table_path
+    from signaldb_spark.sources.otlp_pb import encode_trace_request
+    from signaldb_spark.storage.manifest import ManifestTable
+    from signaldb_spark.streaming.ingest import (
+        ingest_otlp_traces_pb_stream,
+        read_dead_letters,
+    )
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    base = str(tmp_path / "tables")
+
+    def req(trace_id, n_spans):
+        return {
+            "resourceSpans": [{
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": "svc"}}]},
+                "scopeSpans": [{"spans": [
+                    {"traceId": trace_id, "spanId": f"{i:016x}",
+                     "name": f"op{i}", "kind": 1,
+                     "startTimeUnixNano": str(1704067200_000000000 + i),
+                     "endTimeUnixNano": str(1704067200_000001000 + i),
+                     "attributes": []}
+                    for i in range(n_spans)
+                ]}],
+            }]
+        }
+
+    (src / "a.pb").write_bytes(encode_trace_request(req("aa" * 16, 3)))
+    (src / "b.pb").write_bytes(encode_trace_request(req("bb" * 16, 2)))
+    (src / "poison.pb").write_bytes(b"\xff\xff\xff\x07 not a proto")
+    ingest_otlp_traces_pb_stream(spark, str(src), base)
+
+    mt = ManifestTable(signal_table_path(base, "acme", "prod", "traces"))
+    out = mt.read(spark)
+    assert out.count() == 5
+    assert set(r.trace_id for r in out.select("trace_id").collect()) == {
+        "aa" * 16, "bb" * 16
+    }
+    dead = read_dead_letters(spark, base, "acme", "prod", "traces")
+    assert dead is not None and dead.count() == 1
+    # replay the whole stream from a fresh checkpoint: manifest batch
+    # lineage makes it a no-op
+    ingest_otlp_traces_pb_stream(
+        spark, str(src), base, checkpoint_dir=str(tmp_path / "ckpt2")
+    )
+    assert mt.read(spark).count() == 5
