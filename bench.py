@@ -153,6 +153,7 @@ HEADLINE = [
     "promql_metadata",
     "emb_pq",
     "emb_pq_adc",
+    "logql_rate_counter",
 ]
 
 

@@ -447,3 +447,26 @@ GROUP BY 1, 2
 
 QUERIES["logql_error_label"] = q_logql_error_label
 ORACLES["logql_error_label"] = ORACLE_LOGQL_ERROR_LABEL
+
+
+def q_logql_rate_counter(spark, sf_dir):
+    """rate_counter (Loki): Prometheus-style (last − first)/range over
+    an unwrapped counter label — here the json-parsed k value plays the
+    counter."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (service) (rate_counter({service=~".+"} | json | unwrap k [1d]))',
+    )
+    return out.select("bucket", "service_name", F.round("value", 9).alias("value"))
+
+
+ORACLE_LOGQL_RATE_COUNTER = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round((max_by(CAST(json_extract_string(props, '$.k') AS DOUBLE), ts)
+              - min_by(CAST(json_extract_string(props, '$.k') AS DOUBLE), ts))
+             / 86400.0, 9) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["logql_rate_counter"] = q_logql_rate_counter
+ORACLES["logql_rate_counter"] = ORACLE_LOGQL_RATE_COUNTER

@@ -412,6 +412,11 @@ def _range_agg_expr(fn: str, sel: LogSelector, df: DataFrame, range_seconds: flo
     if value is None:
         raise ValueError(f"{fn}_over_time requires | unwrap")
     return {
+        # rate_counter: Prometheus-style (last − first)/range over the
+        # unwrapped counter values
+        "rate_counter": lambda: (
+            F.max_by(value, F.col("timestamp")) - F.min_by(value, F.col("timestamp"))
+        ) / F.lit(float(range_seconds)),
         "sum": lambda: F.sum(value),
         "avg": lambda: F.avg(value),
         "min": lambda: F.min(value),

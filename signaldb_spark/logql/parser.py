@@ -45,6 +45,9 @@ RANGE_FNS = {
     "stdvar_over_time": "stdvar",
     "quantile_over_time": "quantile",
     "absent_over_time": "absent",
+    # Prometheus-style counter rate over an unwrapped label (Loki docs:
+    # "rate_counter — per-second rate of the values in the interval")
+    "rate_counter": "rate_counter",
 }
 
 VECTOR_AGGS = {

@@ -35,16 +35,20 @@ COMPARE = {
 }
 
 
-def _prep(left: DataFrame, right: DataFrame, on: list[str]):
+def _prep(left: DataFrame, right: DataFrame, on: list[str], extras: tuple = ()):
     l = left.withColumnRenamed("value", "_lv")
-    r = right.withColumnRenamed("value", "_rv").select(*on, "_rv")
+    r = right.withColumnRenamed("value", "_rv").select(*on, *extras, "_rv")
     return l, r
 
 
-def vector_arith(left: DataFrame, right: DataFrame, op: str, on: list[str]) -> DataFrame:
+def vector_arith(
+    left: DataFrame, right: DataFrame, op: str, on: list[str], extras: tuple = ()
+) -> DataFrame:
     """a OP b: inner-join on (bucket, labels); unmatched series dropped
-    (join_binary, logs.rs:988-1015). ``on`` already includes 'bucket'."""
-    l, r = _prep(left, right, on)
+    (join_binary, logs.rs:988-1015). ``on`` already includes 'bucket'.
+    ``extras`` are group_left(lbl, …) columns copied from the one side
+    onto result rows — they ride the join."""
+    l, r = _prep(left, right, on, extras)
     return l.join(r, on, "inner").withColumn("value", ARITH[op](F.col("_lv"), F.col("_rv"))).drop(
         "_lv", "_rv"
     )

@@ -52,6 +52,9 @@ class BinOp:
     on: tuple[str, ...] | None = None
     ignoring: tuple[str, ...] | None = None
     group_side: str | None = None  # "left"/"right": many-to-one matching
+    # group_left(lbl, …): labels COPIED from the "one" side onto result
+    # rows (prometheus operators.md "many-to-one matching")
+    group_labels: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -739,18 +739,32 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
     if "bucket" not in on:
         on = ["bucket"] + on
     left = left.drop("metric_name") if "metric_name" in left.columns else left
+    right_full = right
     right = right.select(*on, "value")
     # group_left/group_right many-to-one: reduce the "one" side to a
     # single deterministic row per join key (max value)
+    extras: tuple = ()
     if b.group_side == "left":
-        right = right.groupBy(*on).agg(F.max("value").alias("value"))
+        # group_left(lbl, …): the named labels are COPIED from the one
+        # (right) side onto result rows; the extras pick the same row
+        # the max-value reduction picks (struct max_by — deterministic)
+        routed = _route_labels(b.group_labels, right_full.columns)
+        extras = tuple(c for c in routed if c not in on)
+        one = right_full.select(*on, *extras, "value")
+        right = one.groupBy(*on).agg(
+            F.max("value").alias("value"),
+            *[
+                F.max_by(c, F.struct(F.col("value"), F.col(c))).alias(c)
+                for c in extras
+            ],
+        )
     elif b.group_side == "right":
         left = left.groupBy(*on).agg(F.max("value").alias("value"))
     if b.op in ("and", "or", "unless"):
         return vo.vector_logical(left, right, b.op, on)
     if b.op in vo.COMPARE:
         return vo.vector_compare(left, right, b.op, on, bool_mode=b.bool_mode)
-    return vo.vector_arith(left, right, b.op, on)
+    return vo.vector_arith(left, right, b.op, on, extras=extras)
 
 
 def _fold(b: BinOp) -> float:

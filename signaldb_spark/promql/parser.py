@@ -91,16 +91,16 @@ class _P:
         lhs = self.parse_and()
         while self.peek().kind == "IDENT" and self.peek().text == "or":
             self.next()
-            on, ig, group_side = self._matching()
-            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ig, group_side=group_side)
+            on, ig, group_side, gl = self._matching()
+            lhs = BinOp("or", lhs, self.parse_and(), on=on, ignoring=ig, group_side=group_side, group_labels=gl)
         return lhs
 
     def parse_and(self) -> Expr:
         lhs = self.parse_cmp()
         while self.peek().kind == "IDENT" and self.peek().text in ("and", "unless"):
             op = self.next().text
-            on, ig, group_side = self._matching()
-            lhs = BinOp(op, lhs, self.parse_cmp(), on=on, ignoring=ig, group_side=group_side)
+            on, ig, group_side, gl = self._matching()
+            lhs = BinOp(op, lhs, self.parse_cmp(), on=on, ignoring=ig, group_side=group_side, group_labels=gl)
         return lhs
 
     def parse_cmp(self) -> Expr:
@@ -108,16 +108,16 @@ class _P:
         while self.peek().kind == "OP" and self.peek().text in COMPARE_OPS:
             op = self.next().text
             bool_mode = bool(self.accept("IDENT", "bool"))
-            on, ig, group_side = self._matching()
-            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ig, group_side=group_side)
+            on, ig, group_side, gl = self._matching()
+            lhs = BinOp(op, lhs, self.parse_addsub(), bool_mode=bool_mode, on=on, ignoring=ig, group_side=group_side, group_labels=gl)
         return lhs
 
     def parse_addsub(self) -> Expr:
         lhs = self.parse_muldiv()
         while self.peek().kind == "OP" and self.peek().text in ("+", "-"):
             op = self.next().text
-            on, ig, group_side = self._matching()
-            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ig, group_side=group_side)
+            on, ig, group_side, gl = self._matching()
+            lhs = BinOp(op, lhs, self.parse_muldiv(), on=on, ignoring=ig, group_side=group_side, group_labels=gl)
         return lhs
 
     def parse_muldiv(self) -> Expr:
@@ -128,8 +128,8 @@ class _P:
             self.peek().kind == "IDENT" and self.peek().text == "atan2"
         ):
             op = self.next().text
-            on, ig, group_side = self._matching()
-            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side)
+            on, ig, group_side, gl = self._matching()
+            lhs = BinOp(op, lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side, group_labels=gl)
         return lhs
 
     def parse_unary(self) -> Expr:
@@ -144,8 +144,8 @@ class _P:
         lhs = self.parse_postfix()
         if self.peek().kind == "OP" and self.peek().text == "^":
             self.next()
-            on, ig, group_side = self._matching()
-            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side)  # right-assoc
+            on, ig, group_side, gl = self._matching()
+            return BinOp("^", lhs, self.parse_unary(), on=on, ignoring=ig, group_side=group_side, group_labels=gl)  # right-assoc
         return lhs
 
     def parse_postfix(self) -> Expr:
@@ -239,6 +239,7 @@ class _P:
 
     def _matching(self):
         on = ig = group_side = None
+        group_labels: tuple[str, ...] = ()
         t = self.peek()
         if t.kind == "IDENT" and t.text in ("on", "ignoring"):
             self.next()
@@ -252,8 +253,8 @@ class _P:
                 self.next()
                 group_side = "left" if g.text == "group_left" else "right"
                 if self.peek().kind == "OP" and self.peek().text == "(":
-                    self._label_list()
-        return on, ig, group_side
+                    group_labels = self._label_list()
+        return on, ig, group_side, group_labels
 
     def _label_list(self) -> tuple[str, ...]:
         self.expect("OP", "(")

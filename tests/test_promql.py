@@ -748,3 +748,50 @@ def test_histogram_quantile_unions_both_kinds(spark):
     assert got["svc_explicit"] == pytest.approx(10.0)  # rank 5 at c1 edge
     # 4 obs in bucket i=1 → (2,4]; p50 rank 2 → 2 + 2*(2/4) = 3
     assert got["svc_native"] == pytest.approx(3.0)
+
+
+def test_group_left_copies_labels(spark):
+    """group_left(team): the named label from the one side rides onto
+    every many-side result row (prometheus operators.md many-to-one)."""
+    from pyspark.sql import functions as F
+
+    many = spark.createDataFrame(
+        [(0, "m", "a", "i1", 10.0), (0, "m", "a", "i2", 20.0)],
+        "b long, metric_name string, service_name string, label_instance string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_instance", "value")
+    one = spark.createDataFrame(
+        [(0, "info", "a", "core", 1.0)],
+        "b long, metric_name string, service_name string, label_team string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_team", "value")
+    from signaldb_spark.promql.ast import BinOp, VectorSelector
+    from signaldb_spark.promql.lowering import PromCtx, eval_expr
+
+    # lower via the parsed expression path: m * on (service_name)
+    # group_left(team) info
+    from signaldb_spark.promql.parser import parse
+
+    expr = parse('m * on (service_name) group_left(team) info')
+    assert expr.group_side == "left" and expr.group_labels == ("team",)
+    # emulate eval by substituting pre-built frames through _eval_binop's
+    # machinery: monkey-build a ctx whose eval returns our frames
+    import signaldb_spark.promql.lowering as low
+
+    orig = low.eval_expr
+
+    def fake_eval(ctx, e):
+        if isinstance(e, VectorSelector):
+            return many if e.metric == "m" else one
+        return orig(ctx, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                      "2024-01-01 01:00:00", 3600)
+        out = low._eval_binop(ctx, expr).collect()
+    finally:
+        low.eval_expr = orig
+    assert len(out) == 2
+    assert all(r.label_team == "core" for r in out)
+    assert sorted(r.value for r in out) == [10.0, 20.0]
