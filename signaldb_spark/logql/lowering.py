@@ -69,7 +69,9 @@ class LowerCtx:
     dataset: str = "prod"
 
 
-_TEMPLATE_VAR = r"\{\{\s*\.([a-zA-Z_][a-zA-Z0-9_]*)\s*\}\}"
+#  {{ .label }} — and the dot-less {{ __line__ }} / {{ __timestamp__ }}
+#  intrinsics Loki's line_format defines
+_TEMPLATE_VAR = r"\{\{\s*\.?([a-zA-Z_][a-zA-Z0-9_]*)\s*\}\}"
 
 
 def _render_template(df: DataFrame, sel: LogSelector, tmpl: str) -> Column:
@@ -124,6 +126,10 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
                 )  # later stages win — keep overwriting
     if override is not None:
         return override
+    if label == "__line__":  # line_format intrinsic: the current line
+        return F.col("body")
+    if label == "__timestamp__":  # RFC3339 render of the entry time
+        return F.date_format(F.col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     if label == "__error__":
         # Loki parser-error label: a failed json/unpack stage TAGS the
         # line instead of dropping it; `| __error__=""` is the idiom

@@ -460,3 +460,21 @@ def test_error_label_tags_bad_json(spark):
         c, parse('{service_name="api"} | json | __error__="JSONParserErr"'), limit=10
     ).collect()
     assert [r.body for r in bad] == ["not json"]
+
+
+def test_line_format_intrinsic_vars(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:05:00", "api", "hello")],
+        "ts string, service_name string, body string",
+    ).select(
+        F.to_timestamp("ts").alias("timestamp"), "service_name", "body",
+        F.lit(None).cast("string").alias("severity_text"),
+        F.create_map().cast("map<string,string>").alias("log_attributes"),
+    )
+    c = LowerCtx(spark, df, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+    out = query_logs(
+        c,
+        parse('{service_name="api"} | line_format "{{ __timestamp__ }} {{ __line__ }}!"'),
+        limit=5,
+    ).collect()
+    assert out[0].body == "2024-01-01T00:05:00Z hello!"
