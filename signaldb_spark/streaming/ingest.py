@@ -377,21 +377,41 @@ def ingest_otlp_traces_pb_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
 ):
-    """OTLP *protobuf* trace ingest: a binaryFile stream of wire bodies
-    (what the gRPC/HTTP acceptor receives) → pure-Python decode
-    (sources.otlp_pb, Arrow-batched) → the standard JVM flattener →
-    manifest-committed exactly-once sink. The full reference wire path
-    with Spark's checkpoint replacing both WALs; undecodable payloads
-    land in the dead-letter sink instead of wedging the drain."""
+    """OTLP *protobuf* trace ingest — see :func:`ingest_otlp_pb_stream`
+    (this is the signal="traces" form, kept as the named entry point)."""
+    return ingest_otlp_pb_stream(
+        spark, source_dir, base, "traces", tenant=tenant, dataset=dataset,
+        checkpoint_dir=checkpoint_dir, available_now=available_now,
+    )
+
+
+def ingest_otlp_pb_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    signal: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Generic OTLP protobuf ingest: binaryFile stream of wire bodies →
+    pure-Python decode → JVM flatten → manifest commit, for any signal.
+    ``signal`` ∈ traces / logs / metrics; metrics route all five
+    datapoint kinds to their own tables inside the SAME micro-batch,
+    every table committed under one batch id (a replay no-ops on all)."""
     import json
 
-    from ..sources.otlp import flatten_otlp_traces
-    from ..sources.otlp_pb import parse_trace_request
+    from ..sources import otlp, otlp_pb
     from ..storage import write_batch_manifest
 
-    table_path = signal_table_path(base, tenant, dataset, "traces")
+    parse_fn = {
+        "traces": otlp_pb.parse_trace_request,
+        "logs": otlp_pb.parse_logs_request,
+        "metrics": otlp_pb.parse_metrics_request,
+    }[signal]
     checkpoint = checkpoint_dir or os.path.join(
-        base, "_checkpoints", tenant, dataset, "traces_pb"
+        base, "_checkpoints", tenant, dataset, f"{signal}_pb"
     )
     raw = (
         spark.readStream.format("binaryFile")
@@ -407,7 +427,7 @@ def ingest_otlp_traces_pb_stream(
             vals, dead = [], []
             for p in pdf["content"]:
                 try:
-                    vals.append(json.dumps(parse_trace_request(bytes(p))))
+                    vals.append(json.dumps(parse_fn(bytes(p))))
                 except Exception:
                     dead.append(bytes(p).hex())
             yield pd.DataFrame(
@@ -423,12 +443,21 @@ def ingest_otlp_traces_pb_stream(
         ).cache()
         good = decoded.filter(F.col("value").isNotNull())
         dead = decoded.filter(F.col("_dead_payload").isNotNull())
-        flat = flatten_otlp_traces(good, json_col="value")
-        write_batch_manifest(flat, table_path, "traces", batch_id=batch_id)
+        if signal == "traces":
+            tables = {"traces": otlp.flatten_otlp_traces(good, json_col="value")}
+        elif signal == "logs":
+            tables = {"logs": otlp.flatten_otlp_logs(good, json_col="value")}
+        else:
+            tables = otlp.flatten_otlp_metrics(good, json_col="value")
+        for table, df in tables.items():
+            write_batch_manifest(
+                df, signal_table_path(base, tenant, dataset, table), table,
+                batch_id=batch_id,
+            )
         if dead.limit(1).count():
             write_dead_letters(
                 dead.select(F.col("_dead_payload").alias("value")),
-                base, tenant, dataset, "traces", batch_id,
+                base, tenant, dataset, signal, batch_id,
             )
         decoded.unpersist()
 

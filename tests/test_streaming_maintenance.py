@@ -1179,3 +1179,47 @@ def test_protobuf_trace_stream_to_manifest_table(spark, tmp_path):
         spark, str(src), base, checkpoint_dir=str(tmp_path / "ckpt2")
     )
     assert mt.read(spark).count() == 5
+
+
+def test_protobuf_metrics_stream_routes_all_kinds(spark, tmp_path):
+    """One protobuf metrics stream → five manifest-committed tables in
+    the same micro-batch."""
+    from signaldb_spark.catalog import signal_table_path
+    from signaldb_spark.sources.otlp_pb import encode_metrics_request
+    from signaldb_spark.storage.manifest import ManifestTable
+    from signaldb_spark.streaming.ingest import ingest_otlp_pb_stream
+
+    t = "1704067200000000000"
+    req = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "svc"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "g", "gauge": {"dataPoints": [
+                    {"timeUnixNano": t, "asDouble": 1.0}]}},
+                {"name": "c_total", "sum": {
+                    "dataPoints": [{"timeUnixNano": t, "asInt": "3"}],
+                    "aggregationTemporality": 2, "isMonotonic": True}},
+                {"name": "h", "histogram": {"dataPoints": [{
+                    "timeUnixNano": t, "count": "2", "sum": 5.0,
+                    "bucketCounts": ["1", "1"], "explicitBounds": [1.0]}],
+                    "aggregationTemporality": 2}},
+                {"name": "eh", "exponentialHistogram": {"dataPoints": [{
+                    "timeUnixNano": t, "count": "1", "sum": 2.0, "scale": 0,
+                    "zeroCount": "0",
+                    "positive": {"offset": 0, "bucketCounts": ["1"]}}]}},
+                {"name": "s", "summary": {"dataPoints": [{
+                    "timeUnixNano": t, "count": "4", "sum": 8.0,
+                    "quantileValues": [{"quantile": 0.5, "value": 2.0}]}]}},
+            ]}],
+        }]
+    }
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "m.pb").write_bytes(encode_metrics_request(req))
+    base = str(tmp_path / "tables")
+    ingest_otlp_pb_stream(spark, str(src), base, "metrics")
+    for table in ("metrics_gauge", "metrics_sum", "metrics_histogram",
+                  "metrics_exp_histogram", "metrics_summary"):
+        mt = ManifestTable(signal_table_path(base, "acme", "prod", table))
+        assert mt.read(spark).count() == 1, table
