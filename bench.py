@@ -154,6 +154,7 @@ HEADLINE = [
     "emb_pq",
     "emb_pq_adc",
     "logql_rate_counter",
+    "logql_unwrap_duration",
 ]
 
 

@@ -470,3 +470,34 @@ FROM events GROUP BY 1, 2
 
 QUERIES["logql_rate_counter"] = q_logql_rate_counter
 ORACLES["logql_rate_counter"] = ORACLE_LOGQL_RATE_COUNTER
+
+
+def q_logql_unwrap_duration(spark, sf_dir):
+    """Unwrap conversion function (| unwrap duration(took)): the view
+    renders each event value as a Go-duration string "<v>ms"; the
+    engine parses it back to seconds — so the oracle is sum(value)/1000."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("string").alias("label_namespace"),
+        F.concat(F.lit("took="), F.col("value").cast("string"), F.lit("ms")).alias("body"),
+        F.create_map().cast("map<string,string>").alias("log_attributes"),
+    )
+    ctx = LowerCtx(spark, v, START, END, DAY)
+    out = query_metric(
+        ctx,
+        'sum by (service) (sum_over_time({service=~".+"} | logfmt | unwrap duration(took) [1d]))',
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_LOGQL_UNWRAP_DURATION = f"""
+SELECT {_BUCKET} AS bucket, event_type AS service_name,
+       round(sum(value / 1000.0), 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["logql_unwrap_duration"] = q_logql_unwrap_duration
+ORACLES["logql_unwrap_duration"] = ORACLE_LOGQL_UNWRAP_DURATION

@@ -48,6 +48,10 @@ class LogSelector:
     stages: tuple[ParserStage, ...] = ()
     label_filters: tuple[LabelFilter, ...] = ()
     unwrap: str | None = None
+    # Loki unwrap conversion functions: `| unwrap duration(lbl)` /
+    # `bytes(lbl)` parse the label's "1.5s"/"3MiB"-style value instead
+    # of a bare float cast
+    unwrap_fn: str | None = None  # None | "duration" | "duration_seconds" | "bytes"
 
 
 @dataclass(frozen=True)

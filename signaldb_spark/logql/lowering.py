@@ -403,10 +403,60 @@ def query_logs(
 # ----------------------------------------------------------------- metrics
 
 
+_DUR_UNIT_RE = r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)"
+_BYTES_RE_SQL = r"^(\d+(?:\.\d+)?)\s*([kKmMgGtT]i?[bB]|[bB])?$"
+
+
+def _unwrap_duration(raw: Column) -> Column:
+    """Go time.ParseDuration subset → seconds: one or more (number,
+    unit) segments summed ("1m30s" == 90). Non-matching values null out
+    (the rows Loki would tag __error__)."""
+    factors = F.create_map(
+        F.lit("ns"), F.lit(1e-9), F.lit("us"), F.lit(1e-6),
+        F.lit("µs"), F.lit(1e-6), F.lit("ms"), F.lit(1e-3),
+        F.lit("s"), F.lit(1.0), F.lit("m"), F.lit(60.0), F.lit("h"), F.lit(3600.0),
+    )
+    nums = F.regexp_extract_all(raw, F.lit(_DUR_UNIT_RE), F.lit(1))
+    units = F.regexp_extract_all(raw, F.lit(_DUR_UNIT_RE), F.lit(2))
+    total = F.aggregate(
+        F.zip_with(
+            nums, units, lambda n, u: n.cast("double") * F.element_at(factors, u)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.when(raw.rlike(f"^(?:{_DUR_UNIT_RE})+$"), total)
+
+
+def _unwrap_bytes(raw: Column) -> Column:
+    """Humanized byte sizes → bytes: decimal (KB/MB/…) and binary
+    (KiB/MiB/…) units, bare numbers pass through."""
+    factors = F.create_map(
+        F.lit("b"), F.lit(1.0),
+        F.lit("kb"), F.lit(1e3), F.lit("mb"), F.lit(1e6),
+        F.lit("gb"), F.lit(1e9), F.lit("tb"), F.lit(1e12),
+        F.lit("kib"), F.lit(1024.0), F.lit("mib"), F.lit(1024.0 ** 2),
+        F.lit("gib"), F.lit(1024.0 ** 3), F.lit("tib"), F.lit(1024.0 ** 4),
+    )
+    num = F.regexp_extract(raw, _BYTES_RE_SQL, 1)
+    unit = F.lower(F.regexp_extract(raw, _BYTES_RE_SQL, 2))
+    return F.when(
+        raw.rlike(_BYTES_RE_SQL),
+        num.cast("double")
+        * F.when(unit == "", F.lit(1.0)).otherwise(F.element_at(factors, unit)),
+    )
+
+
 def _range_agg_expr(fn: str, sel: LogSelector, df: DataFrame, range_seconds: float, param):
     value = None
     if sel.unwrap:
-        value = resolve_label(df, sel, sel.unwrap).try_cast("double")
+        raw = resolve_label(df, sel, sel.unwrap)
+        if sel.unwrap_fn in ("duration", "duration_seconds"):
+            value = _unwrap_duration(raw)
+        elif sel.unwrap_fn == "bytes":
+            value = _unwrap_bytes(raw)
+        else:
+            value = raw.try_cast("double")
     if fn == "count":
         return F.count(F.lit(1)).cast("double")
     if fn == "rate":

@@ -108,6 +108,7 @@ class _P:
         stages: list[ParserStage] = []
         label_filters: list[LabelFilter] = []
         unwrap: str | None = None
+        unwrap_fn: str | None = None
         while True:
             t = self.peek()
             if t.kind == "OP" and t.text in ("|=", "|~", "|>"):
@@ -121,7 +122,16 @@ class _P:
                 nxt = self.peek()
                 if nxt.kind == "IDENT" and nxt.text == "unwrap":
                     self.next()
-                    unwrap = self.expect("IDENT").text
+                    name = self.expect("IDENT").text
+                    if name in ("duration", "duration_seconds", "bytes") and (
+                        self.peek().kind == "OP" and self.peek().text == "("
+                    ):
+                        self.next()
+                        unwrap_fn = name
+                        unwrap = self.expect("IDENT").text
+                        self.expect("OP", ")")
+                    else:
+                        unwrap = name
                 elif nxt.kind == "IDENT" and nxt.text in PARSER_STAGES:
                     self.next()
                     arg = None
@@ -139,7 +149,8 @@ class _P:
             else:
                 break
         return LogSelector(
-            tuple(matchers), tuple(line_filters), tuple(stages), tuple(label_filters), unwrap
+            tuple(matchers), tuple(line_filters), tuple(stages), tuple(label_filters),
+            unwrap, unwrap_fn
         )
 
     def parse_label_format_pairs(self) -> tuple:

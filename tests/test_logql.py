@@ -478,3 +478,46 @@ def test_line_format_intrinsic_vars(spark):
         limit=5,
     ).collect()
     assert out[0].body == "2024-01-01T00:05:00Z hello!"
+
+
+def test_unwrap_conversion_functions(ctx, duck):
+    """| unwrap duration(x) sums compound Go-duration segments to
+    seconds; | unwrap bytes(x) parses humanized sizes. The fixture's
+    duration label is "<n>ms"-suffixed, so duration() == status-quo
+    float parse / 1000."""
+    plain = query_metric(
+        ctx,
+        'sum by (service_name) (sum_over_time({service_name="api"} | logfmt | unwrap duration [1h]))',
+    ).collect()
+    conv = query_metric(
+        ctx,
+        'sum by (service_name) (sum_over_time({service_name="api"} | logfmt | unwrap duration(duration) [1h]))',
+    ).collect()
+    # fixture bodies carry duration=<x>ms: plain float parse fails (the
+    # 'ms' suffix nulls the cast) while duration() converts to seconds
+    assert conv and all(r.value > 0 for r in conv)
+    p = {(r.bucket, r.service_name) for r in plain}
+    assert {(r.bucket, r.service_name) for r in conv} >= p or not plain
+
+
+def test_unwrap_duration_and_bytes_hand_check(spark):
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", "api", "took=1m30s size=2KiB"),
+            ("2024-01-01 00:06:00", "api", "took=250ms size=1.5MB"),
+        ],
+        "ts string, service_name string, body string",
+    ).select(
+        F.to_timestamp("ts").alias("timestamp"), "service_name", "body",
+        F.lit(None).cast("string").alias("severity_text"),
+        F.create_map().cast("map<string,string>").alias("log_attributes"),
+    )
+    c = LowerCtx(spark, df, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+    dur = query_metric(
+        c, 'sum_over_time({service_name="api"} | logfmt | unwrap duration(took) [1h])'
+    ).collect()
+    assert dur[0].value == pytest.approx(90.25)
+    byt = query_metric(
+        c, 'sum_over_time({service_name="api"} | logfmt | unwrap bytes(size) [1h])'
+    ).collect()
+    assert byt[0].value == pytest.approx(2048 + 1.5e6)
