@@ -467,3 +467,39 @@ def ingest_otlp_pb_stream(
         q.awaitTermination()
         return q
     return writer.trigger(processingTime="5 seconds").start()
+
+
+def tail_logs(
+    spark: SparkSession,
+    source_dir: str,
+    query: str = '{service_name=~".+"}',
+):
+    """Loki ``/loki/api/v1/tail`` analog — LIVE tail of the ingest
+    stream with the full LogQL selector pipeline applied (matchers,
+    line filters, parser-stage label filters). The reference explicitly
+    lacks live tail (overview.md:247); here the same filter expressions
+    the batch path lowers run unchanged on the streaming DataFrame —
+    one definition of the selector semantics for both.
+
+    Returns an unstarted streaming DataFrame; callers pick the sink
+    (memory for tests, console/websocket push for a UI)."""
+    from ..logql.lowering import (
+        label_filter_expr,
+        line_filter_expr,
+        matcher_expr,
+    )
+    from ..logql.parser import parse as logql_parse
+    from ..sources.otlp import flatten_otlp_logs
+
+    sel = logql_parse(query)
+    raw = spark.readStream.format("text").load(source_dir)
+    df = flatten_otlp_logs(raw, json_col="value")
+    for m in sel.matchers:
+        df = df.filter(matcher_expr(df, sel, m))
+    for lf in sel.line_filters:
+        df = df.filter(line_filter_expr(lf))
+    for lf in sel.label_filters:
+        df = df.filter(label_filter_expr(df, sel, lf))
+    return df.select(
+        "timestamp", "service_name", "severity_text", "body", "log_attributes"
+    )

@@ -1223,3 +1223,46 @@ def test_protobuf_metrics_stream_routes_all_kinds(spark, tmp_path):
                   "metrics_exp_histogram", "metrics_summary"):
         mt = ManifestTable(signal_table_path(base, "acme", "prod", table))
         assert mt.read(spark).count() == 1, table
+
+
+def test_live_tail_applies_selector_pipeline(spark, tmp_path):
+    """Loki /tail analog: the batch lowering's filter expressions run
+    unchanged on the stream — matchers, line filter, and a parsed
+    label filter all apply before rows reach the sink."""
+    import json
+
+    from signaldb_spark.streaming.ingest import tail_logs
+
+    src = tmp_path / "lines"
+    src.mkdir()
+
+    def rec(svc, body):
+        return json.dumps({
+            "resourceLogs": [{
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": svc}}]},
+                "scopeLogs": [{"logRecords": [{
+                    "timeUnixNano": "1704067200000000000",
+                    "severityText": "INFO",
+                    "body": {"stringValue": body},
+                    "attributes": [],
+                }]}],
+            }]
+        })
+
+    (src / "a.json").write_text("\n".join([
+        rec("api", "status=500 fail"),
+        rec("api", "status=200 ok"),
+        rec("web", "status=500 fail"),
+    ]))
+    tail = tail_logs(
+        spark, str(src), '{service_name="api"} |= "status" | logfmt | status = "500"'
+    )
+    q = (
+        tail.writeStream.format("memory").queryName("tail_sink")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM tail_sink").collect()
+    assert len(rows) == 1
+    assert rows[0].service_name == "api" and "500" in rows[0].body
