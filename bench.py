@@ -155,6 +155,8 @@ HEADLINE = [
     "emb_pq_adc",
     "logql_rate_counter",
     "logql_unwrap_duration",
+    "promql_tsdb_status",
+    "promql_alert_state",
 ]
 
 

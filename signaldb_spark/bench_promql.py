@@ -1589,3 +1589,70 @@ SELECT * FROM (VALUES
 
 QUERIES["promql_metadata"] = q_promql_metadata
 ORACLES["promql_metadata"] = ORACLE_PROMQL_METADATA
+
+
+def q_promql_tsdb_status(spark, sf_dir):
+    """/api/v1/status/tsdb analog (discovery.tsdb_status): distinct
+    series per metric, top-N — the cardinality-explosion hunt. The view
+    synthesizes 3 metrics whose series are (metric, service) pairs."""
+    from .promql.discovery import tsdb_status
+
+    e = load_table(spark, sf_dir, "events")
+    gauge = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.concat(F.lit("m"), (F.col("user_id") % 3).cast("string")).alias("metric_name"),
+        F.col("value"),
+    )
+    ctx = PromCtx(spark, gauge, None, None, START, END, DAY)
+    return tsdb_status(ctx, top_n=10)
+
+
+ORACLE_PROMQL_TSDB_STATUS = """
+SELECT metric, series_count FROM (
+  SELECT 'm' || CAST(user_id % 3 AS VARCHAR) AS metric,
+         count(DISTINCT event_type) AS series_count
+  FROM events GROUP BY 1
+) ORDER BY series_count DESC, metric ASC LIMIT 10
+"""
+
+QUERIES["promql_tsdb_status"] = q_promql_tsdb_status
+ORACLES["promql_tsdb_status"] = ORACLE_PROMQL_TSDB_STATUS
+
+
+def q_promql_alert_state(spark, sf_dir):
+    """Batch alert-rule evaluation (rules.alert_rule): pending vs
+    firing from consecutive-run length over the condition's result
+    vector (for: 2d at 1d step → firing from the 3rd consecutive
+    bucket; threshold near the median so runs break and re-form) — the rule-file backtest path."""
+    from .promql.rules import alert_rule
+
+    ctx = _ctx(spark, sf_dir)
+    out = alert_rule(
+        ctx,
+        "avg by (service_name) (avg_over_time(events_value[1d])) > 48",
+        for_seconds=2 * 86400,
+    )
+    return out.select(
+        "bucket", "service_name", F.round("value", 6).alias("value"), "alertstate"
+    )
+
+
+ORACLE_PROMQL_ALERT_STATE = f"""
+WITH m AS (
+  SELECT {_BUCKET} AS bucket, event_type AS service_name, avg(value) AS value
+  FROM events GROUP BY 1, 2
+), cond AS (SELECT * FROM m WHERE value > 48),
+runs AS (
+  SELECT bucket, service_name, value,
+         bucket - row_number() OVER (PARTITION BY service_name ORDER BY bucket) * 86400 AS rk
+  FROM cond
+)
+SELECT bucket, service_name, round(value, 6) AS value,
+       CASE WHEN row_number() OVER (PARTITION BY service_name, rk ORDER BY bucket) >= 3
+            THEN 'firing' ELSE 'pending' END AS alertstate
+FROM runs
+"""
+
+QUERIES["promql_alert_state"] = q_promql_alert_state
+ORACLES["promql_alert_state"] = ORACLE_PROMQL_ALERT_STATE

@@ -128,3 +128,21 @@ def metric_metadata(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct().orderBy("metric", "type").limit(cap)
+
+
+def tsdb_status(ctx: PromCtx, top_n: int = 10) -> DataFrame:
+    """Prometheus ``/api/v1/status/tsdb`` analog: series-cardinality
+    analysis — per metric name, the count of distinct (service, labels)
+    series — the panel operators use to hunt cardinality explosions.
+    One distinct-project + one count per metric; top-N by count."""
+    df = scan_union(ctx)
+    if df is None:
+        return ctx.spark.createDataFrame([], "metric string, series_count long")
+    label_cols = [c for c in df.columns if c.startswith("label_")]
+    series = df.select("metric_name", "service_name", *label_cols).distinct()
+    return (
+        series.groupBy(F.col("metric_name").alias("metric"))
+        .agg(F.count(F.lit(1)).alias("series_count"))
+        .orderBy(F.col("series_count").desc(), F.col("metric").asc())
+        .limit(top_n)
+    )

@@ -77,3 +77,70 @@ def record_rule(
         r"[^A-Za-z0-9_.-]", "-", f"rule-{record_name}-{ctx.start}-{ctx.end}"
     )
     write_batch(df, table_path, "metrics_gauge", batch_id=bid)
+
+
+def alert_rule(ctx: PromCtx, expr: str, for_seconds: float = 0.0) -> DataFrame:
+    """Batch alert-rule evaluation (``alert:``/``expr:``/``for:``): the
+    expression's result vector marks a series PENDING wherever present;
+    it turns FIRING once present for ``for`` consecutive steps. The
+    consecutive-run length comes from the bucket − rank·step constancy
+    trick — one window pass, no self-join. (The STREAMING for-state
+    alert lives in streaming.sessions; this is the rule-file batch
+    evaluation over history that Grafana backtesting uses.)"""
+    from pyspark.sql import Window
+
+    m = query_range(ctx, expr)
+    series = [c for c in m.columns if c not in ("bucket", "value")]
+    need = int(for_seconds // ctx.step_seconds) + 1
+    w = Window.partitionBy(*series).orderBy("bucket")
+    run_key = F.col("bucket") - F.row_number().over(w) * F.lit(ctx.step_seconds)
+    with_run = m.withColumn("_rk", run_key)
+    w2 = Window.partitionBy(*series, "_rk").orderBy("bucket")
+    return (
+        with_run.withColumn("_n", F.row_number().over(w2))
+        .withColumn(
+            "alertstate",
+            F.when(F.col("_n") >= need, F.lit("firing")).otherwise(F.lit("pending")),
+        )
+        .drop("_rk", "_n")
+    )
+
+
+def evaluate_rule_group(
+    spark,
+    base: str,
+    group: dict,
+    start,
+    end,
+    step_seconds: int,
+    tenant: str = "acme",
+    dataset: str = "prod",
+) -> dict:
+    """Prometheus rule-GROUP semantics: rules evaluate sequentially and
+    later rules see earlier recordings (the in-group ordering guarantee
+    rule files rely on — a `record:` feeding the next rule's `expr:`).
+    Each rule re-resolves the tenant tables so freshly recorded series
+    are visible. Returns {"recorded": [names], "alerts": {name: df}}."""
+    from ..catalog import optional_table, signal_table_path
+    from ..logql.lexer import parse_duration
+
+    recorded: list[str] = []
+    alerts: dict[str, DataFrame] = {}
+    for rule in group.get("rules", []):
+        t = lambda n: optional_table(spark, base, tenant, dataset, n)  # noqa: E731
+        ctx = PromCtx(
+            spark, t("metrics_gauge"), t("metrics_sum"), t("metrics_histogram"),
+            start, end, step_seconds, tenant=tenant, dataset=dataset,
+        )
+        if "record" in rule:
+            record_rule(
+                ctx, rule["expr"], rule["record"],
+                signal_table_path(base, tenant, dataset, "metrics_gauge"),
+            )
+            recorded.append(rule["record"])
+        elif "alert" in rule:
+            for_s = parse_duration(rule["for"]) if rule.get("for") else 0.0
+            alerts[rule["alert"]] = alert_rule(ctx, rule["expr"], for_seconds=for_s)
+        else:
+            raise ValueError(f"rule needs 'record' or 'alert': {rule}")
+    return {"recorded": recorded, "alerts": alerts}

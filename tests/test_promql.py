@@ -795,3 +795,37 @@ def test_group_left_copies_labels(spark):
     assert len(out) == 2
     assert all(r.label_team == "core" for r in out)
     assert sorted(r.value for r in out) == [10.0, 20.0]
+
+
+def test_rule_group_sequential_visibility_and_alerts(spark, tmp_path_factory):
+    """In-group ordering: a record: rule's output feeds the NEXT rule's
+    expr in the same group; an alert: rule with for: turns firing only
+    after enough consecutive pending steps."""
+    from signaldb_spark.promql.rules import evaluate_rule_group
+    from signaldb_spark.testing import write_signal_tables
+
+    base = str(tmp_path_factory.mktemp("rulegroup_signals"))
+    write_signal_tables(spark, base)
+    group = {
+        "name": "cpu",
+        "rules": [
+            {"record": "job:cpu:sum2", "expr": "sum by (service_name) (process_cpu_usage)"},
+            # second rule reads the FIRST rule's recording
+            {"alert": "CpuPresent", "expr": "job:cpu:sum2 > -1", "for": "20m"},
+        ],
+    }
+    out = evaluate_rule_group(spark, base, group, START, END, STEP)
+    assert out["recorded"] == ["job:cpu:sum2"]
+    rows = out["alerts"]["CpuPresent"].collect()
+    assert rows, "alert expr over the in-group recording must see data"
+    # for: 20m at 10m step → need 3 consecutive buckets: the first two
+    # buckets of each run are pending, later ones firing
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.service_name, []).append((r.bucket, r.alertstate))
+    for states in by_series.values():
+        states.sort()
+        labels = [s for _, s in states]
+        if len(labels) >= 3:
+            assert labels[0] == "pending" and labels[1] == "pending"
+            assert "firing" in labels[2:]
