@@ -157,6 +157,7 @@ HEADLINE = [
     "logql_unwrap_duration",
     "promql_tsdb_status",
     "promql_alert_state",
+    "trace_not_child",
 ]
 
 

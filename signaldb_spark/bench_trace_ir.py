@@ -1292,3 +1292,26 @@ SELECT * FROM (VALUES
 
 QUERIES["trace_tag_names_v2"] = q_trace_tag_names_v2
 ORACLES["trace_tag_names_v2"] = ORACLE_TRACE_TAG_NAMES_V2
+
+
+def q_trace_not_child(spark, sf_dir):
+    """Negated structural `{ qty > 30 } !> { flag = R }` (Tempo's
+    experimental not-child): flag=R spans whose direct parent does NOT
+    match — the same join as `>` flipped to anti."""
+    from .traceql.structural import child_spans
+
+    spans = _tree_spans(spark, sf_dir)
+    return child_spans(spans, F.col("qty") > 30, F.col("flag") == "R", negate=True)
+
+
+ORACLE_TRACE_NOT_CHILD = f"""
+WITH spans AS ({_TREE_SPANS_SQL})
+SELECT c.* FROM spans c
+WHERE c.flag = 'R' AND NOT EXISTS (
+  SELECT 1 FROM spans p
+  WHERE p.trace_id = c.trace_id AND p.span_id = c.parent_span_id
+    AND p.qty > 30)
+"""
+
+QUERIES["trace_not_child"] = q_trace_not_child
+ORACLES["trace_not_child"] = ORACLE_TRACE_NOT_CHILD

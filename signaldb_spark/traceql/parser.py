@@ -170,7 +170,7 @@ class StructuralQuery:
     right: tuple[SpanPredicate, ...]
 
 
-_STRUCT_RE = re.compile(r"^(\{[^{}]*\})\s*(>>|>|~)\s*(\{[^{}]*\})$")
+_STRUCT_RE = re.compile(r"^(\{[^{}]*\})\s*(!?>>|!?>|!?~)\s*(\{[^{}]*\})$")
 
 
 @dataclass(frozen=True)

@@ -45,12 +45,14 @@ def structural_search(spans: DataFrame, sq) -> DataFrame:
         return cond
 
     left, right = _fold(sq.left), _fold(sq.right)
-    if sq.op == ">":
-        return child_spans(spans, left, right)
-    if sq.op == ">>":
-        return descendant_spans(spans, left, right)
-    if sq.op == "~":
-        return sibling_spans(spans, left, right)
+    neg = sq.op.startswith("!")
+    op = sq.op.lstrip("!")
+    if op == ">":
+        return child_spans(spans, left, right, negate=neg)
+    if op == ">>":
+        return descendant_spans(spans, left, right, negate=neg)
+    if op == "~":
+        return sibling_spans(spans, left, right, negate=neg)
     raise ValueError(f"unknown structural op {sq.op!r}")
 
 
@@ -66,9 +68,13 @@ def aggregate_search(spans: DataFrame, aq) -> DataFrame:
     return spanset_aggregate(spans, cond, aq.agg, aq.op, aq.threshold, aq.agg_col)
 
 
-def child_spans(spans: DataFrame, parent_cond: Column, child_cond: Column) -> DataFrame:
+def child_spans(
+    spans: DataFrame, parent_cond: Column, child_cond: Column, negate: bool = False
+) -> DataFrame:
     """``{parent_cond} > {child_cond}`` — spans matching child_cond whose
-    direct parent matches parent_cond, in the same trace."""
+    direct parent matches parent_cond, in the same trace. ``negate``
+    (Tempo's experimental ``!>``): child_cond spans whose parent does
+    NOT match — the same join flipped to anti."""
     parents = (
         spans.filter(parent_cond)
         .select(F.col("trace_id").alias("_p_trace"), F.col("span_id").alias("_p_span"))
@@ -79,13 +85,16 @@ def child_spans(spans: DataFrame, parent_cond: Column, child_cond: Column) -> Da
         parents,
         (children["trace_id"] == parents["_p_trace"])
         & (children["parent_span_id"] == parents["_p_span"]),
-        "leftsemi",
+        "leftanti" if negate else "leftsemi",
     )
 
 
-def sibling_spans(spans: DataFrame, left_cond: Column, right_cond: Column) -> DataFrame:
+def sibling_spans(
+    spans: DataFrame, left_cond: Column, right_cond: Column, negate: bool = False
+) -> DataFrame:
     """``{left_cond} ~ {right_cond}`` — spans matching right_cond that
-    share a parent with a DIFFERENT span matching left_cond."""
+    share a parent with a DIFFERENT span matching left_cond; ``!~``
+    flips to the anti form (no such sibling)."""
     left = (
         spans.filter(left_cond)
         .filter(F.col("parent_span_id").isNotNull())
@@ -101,7 +110,7 @@ def sibling_spans(spans: DataFrame, left_cond: Column, right_cond: Column) -> Da
         (right["trace_id"] == left["_l_trace"])
         & (right["parent_span_id"] == left["_l_parent"])
         & (right["span_id"] != left["_l_span"]),
-        "leftsemi",
+        "leftanti" if negate else "leftsemi",
     )
 
 
@@ -110,6 +119,7 @@ def descendant_spans(
     ancestor_cond: Column,
     descendant_cond: Column,
     max_depth: int = 16,
+    negate: bool = False,
 ) -> DataFrame:
     """``{ancestor_cond} >> {descendant_cond}`` — spans matching
     descendant_cond with any transitive ancestor (up to ``max_depth``
@@ -154,7 +164,8 @@ def descendant_spans(
 
     matched = F.filter(
         ss,
-        lambda s: F.coalesce(s["_is_desc"], F.lit(False)) & _has_matching_ancestor(s),
+        lambda s: F.coalesce(s["_is_desc"], F.lit(False))
+        & (~_has_matching_ancestor(s) if negate else _has_matching_ancestor(s)),
     )
     return (
         agg.select("trace_id", F.explode(matched).alias("_s"))

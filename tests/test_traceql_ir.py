@@ -538,3 +538,29 @@ def test_select_records_attr_demand(traces, tmp_path, monkeypatch):
     )
     keys = {k for (_t, _d, _tbl, k) in seen}
     assert {"a", "b", "c"} <= keys
+
+
+def test_negated_structural_ops(spark, tree_spans):
+    """!>, !>> and !~ partition their positive counterparts' domains:
+    positive ∪ negated == all spans matching the right-side condition."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.parser import StructuralQuery, parse_traceql_expr
+    from signaldb_spark.traceql.structural import (
+        child_spans,
+        descendant_spans,
+        sibling_spans,
+    )
+
+    q = parse_traceql_expr('{ span.qty > 30 } !>> { span.flag = "R" }')
+    assert isinstance(q, StructuralQuery) and q.op == "!>>"
+
+    right = F.col("status_code") == "Error"
+    left = F.col("span_name") == "api"
+    all_right = tree_spans.filter(right).count()
+    for pos_fn in (child_spans, descendant_spans, sibling_spans):
+        pos = pos_fn(tree_spans, left, right).count()
+        neg = pos_fn(tree_spans, left, right, negate=True).count()
+        assert pos + neg == all_right, pos_fn.__name__
+    # at least one relation has both a positive and a negated hit
+    assert child_spans(tree_spans, left, right, negate=True).count() > 0
