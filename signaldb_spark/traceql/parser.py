@@ -40,7 +40,7 @@ _PRED_RE = re.compile(
     r'(?P<val>"(?:[^"\\]|\\.)*"|\S+)\s*'
 )
 
-INTRINSICS = {"name", "status", "duration"}
+INTRINSICS = {"name", "status", "duration", "kind"}
 
 # canonical status normalization (search_filter.rs:74-85)
 STATUS_MAP = {
@@ -110,6 +110,10 @@ def _parse_one(part: str, strict: bool) -> SpanPredicate:
             if norm is None:
                 raise TraceQLError(f"unknown status {val!r}")
             val = norm
+        if lhs == "kind" and op in ("=", "!="):
+            # TraceQL spells kinds lowercase (kind = server); storage
+            # keeps the OTLP enum names
+            val = val.upper()
         return SpanPredicate("intrinsic", lhs, val, op)
     if lhs.startswith("span."):
         scope, key = "span", lhs[5:]

@@ -71,6 +71,8 @@ def predicate_expr(df: DataFrame, p: SpanPredicate):
             return _apply_op(F.col(STATUS_COLUMN), op, p.value)
         if p.key == "duration":
             return _apply_op(F.col("duration_nanos"), op, p.value)
+        if p.key == "kind":
+            return _apply_op(F.col("span_kind"), op, p.value)
         raise ValueError(p.key)
     if p.scope == "span":
         return _apply_op(F.element_at(F.col("span_attributes"), p.key), op, p.value)

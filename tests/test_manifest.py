@@ -317,3 +317,39 @@ def test_compaction_refreshes_stats_and_drops_removed(spark, tmp_path):
     lo = min(s["timestamp"][0] for s in m["stats"].values())
     hi = max(s["timestamp"][1] for s in m["stats"].values())
     assert lo == 1704078000_000000 and hi == 1704078000_000000 + 19_000_000
+
+
+def test_index_store_roundtrip_and_versions(spark, tmp_path):
+    """PQ codebooks survive the session: train → save → load → search
+    gives identical results; retrain appends a new version and readers
+    can still pin the old one."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.similarity import pq_adc_topn, pq_codes, pq_train
+    from signaldb_spark.storage.index_store import IndexStore
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(embs, "vec_id", "embedding", dims=8, m=2, k=4, iterations=1)
+    codes = pq_codes(embs, "vec_id", "embedding", dims=8, m=2, k=4, iterations=1)
+
+    store = IndexStore(str(tmp_path / "embeddings"))
+    v1 = store.save("pq_main", "pq", {"m": 2, "k": 4, "codebooks": books},
+                    table_snapshot_version=3)
+    assert v1 == 1
+    loaded = store.load("pq_main")
+    assert loaded["kind"] == "pq" and loaded["table_snapshot_version"] == 3
+
+    query = rows[0][1]
+    direct = [tuple(r) for r in pq_adc_topn(codes, books, query, n=5).collect()]
+    via_store = [
+        tuple(r) for r in pq_adc_topn(codes, loaded["codebooks"], query, n=5).collect()
+    ]
+    assert direct == via_store
+
+    v2 = store.save("pq_main", "pq", {"m": 2, "k": 4, "codebooks": books})
+    assert v2 == 2 and store.versions("pq_main") == [1, 2]
+    assert store.load("pq_main", version=1)["table_snapshot_version"] == 3

@@ -564,3 +564,21 @@ def test_negated_structural_ops(spark, tree_spans):
         assert pos + neg == all_right, pos_fn.__name__
     # at least one relation has both a positive and a negated hit
     assert child_spans(tree_spans, left, right, negate=True).count() > 0
+
+
+def test_kind_intrinsic_matcher(spark):
+    from signaldb_spark.traceql.parser import parse_traceql
+    from signaldb_spark.traceql.trace_ops import predicates_expr
+
+    spans = spark.createDataFrame(
+        [("t", 1, "a", "SERVER"), ("t", 2, "b", "CLIENT")],
+        "trace_id string, span_id long, span_name string, span_kind string",
+    )
+    preds = parse_traceql("{ kind = server }")
+    assert preds[0].value == "SERVER"
+    got = spans.filter(predicates_expr(spans, preds)).collect()
+    assert [r.span_name for r in got] == ["a"]
+    neg = spans.filter(
+        predicates_expr(spans, parse_traceql("{ kind != server }"))
+    ).collect()
+    assert [r.span_name for r in neg] == ["b"]
