@@ -158,6 +158,7 @@ HEADLINE = [
     "promql_tsdb_status",
     "promql_alert_state",
     "trace_not_child",
+    "trace_duration_filter",
 ]
 
 

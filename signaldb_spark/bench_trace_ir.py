@@ -1315,3 +1315,73 @@ WHERE c.flag = 'R' AND NOT EXISTS (
 
 QUERIES["trace_not_child"] = q_trace_not_child
 ORACLES["trace_not_child"] = ORACLE_TRACE_NOT_CHILD
+
+
+def q_trace_duration_filter(spark, sf_dir):
+    """Trace-level intrinsic `{ traceDuration >= 100ms && name =~ ... }`
+    (trace_ops.trace_level_filter): the duration predicate applies to
+    the WHOLE trace (max end − min start) via a trace-count-sized
+    verdict semi-join, composed with a normal span-level matcher, then
+    the standard newest-N truncation."""
+    from .traceql.trace_ops import search_traceql
+
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = l.select(
+        F.col("l_orderkey").alias("trace_id"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
+        F.when(
+            F.col("l_linenumber") > 1,
+            F.col("l_orderkey") * 10 + F.floor(F.col("l_linenumber") / 2),
+        ).alias("parent_span_id"),
+        F.concat(
+            F.lit("ship-"), F.col("l_returnflag"), F.lit("-"), F.col("l_linestatus")
+        ).alias("span_name"),
+        F.col("l_linestatus").alias("service_name"),
+        (F.col("l_shipdate").cast("timestamp").cast("double") * 1e9)
+        .cast("long")
+        .alias("start_time_unix_nano"),
+        (F.col("l_quantity") * 1e6).cast("long").alias("duration_nanos"),
+        F.col("l_shipdate").alias("timestamp"),
+    )
+    q = '{ traceDuration >= 100ms && name =~ "ship-[AR].*" }'
+    return search_traceql(spans, q, limit=12, span_limit=400)
+
+
+ORACLE_TRACE_DURATION_FILTER = """
+WITH spans AS (
+  SELECT l_orderkey AS trace_id,
+         l_orderkey * 10 + l_linenumber AS span_id,
+         CASE WHEN l_linenumber > 1
+              THEN l_orderkey * 10 + CAST(floor(l_linenumber / 2) AS BIGINT) END AS parent_span_id,
+         'ship-' || l_returnflag || '-' || l_linestatus AS span_name,
+         l_linestatus AS service_name,
+         CAST(epoch(l_shipdate) * 1e9 AS BIGINT) AS start_time_unix_nano,
+         CAST(l_quantity * 1e6 AS BIGINT) AS duration_nanos,
+         l_shipdate AS timestamp
+  FROM lineitem
+),
+verdict AS (
+  SELECT trace_id
+  FROM spans GROUP BY trace_id
+  HAVING max(start_time_unix_nano + duration_nanos) - min(start_time_unix_nano)
+         >= 100000000
+),
+filtered AS (
+  SELECT s.* FROM spans s SEMI JOIN verdict v ON s.trace_id = v.trace_id
+  WHERE regexp_matches(span_name, '^(?:ship-[AR].*)$')
+),
+limited AS (
+  SELECT trace_id, span_id, span_name, service_name,
+         start_time_unix_nano, duration_nanos, timestamp
+  FROM filtered ORDER BY start_time_unix_nano DESC, span_id DESC LIMIT 400
+),
+ranked AS (
+  SELECT trace_id, max(start_time_unix_nano) AS latest
+  FROM limited GROUP BY trace_id
+  ORDER BY latest DESC, trace_id DESC LIMIT 12
+)
+SELECT l.* FROM limited l SEMI JOIN ranked r ON l.trace_id = r.trace_id
+"""
+
+QUERIES["trace_duration_filter"] = q_trace_duration_filter
+ORACLES["trace_duration_filter"] = ORACLE_TRACE_DURATION_FILTER

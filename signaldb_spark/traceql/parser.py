@@ -98,6 +98,16 @@ def _parse_one(part: str, strict: bool) -> SpanPredicate:
     quoted = val.startswith('"')
     if quoted:
         val = re.sub(r"\\(.)", r"\1", val[1:-1])
+    if lhs in ("traceDuration", "rootName", "rootServiceName"):
+        # trace-LEVEL intrinsics (Tempo traceql.md): predicate on the
+        # whole trace, not the span
+        if strict:
+            raise TraceQLError(f"{lhs} not supported (equality only)")
+        if lhs == "traceDuration":
+            if op in ("=~", "!~"):
+                raise TraceQLError("traceDuration takes range/equality operators")
+            return SpanPredicate("trace", lhs, _parse_duration_nanos(val), op)
+        return SpanPredicate("trace", lhs, val, op)
     if lhs in INTRINSICS:
         if lhs == "duration":
             if strict:

@@ -293,6 +293,14 @@ def search_traceql(
         return search(
             traces, list(parsed.preds), extra_columns=extras, **search_kwargs
         )
+    if isinstance(parsed, list):
+        trace_preds = [p for p in parsed if p.scope == "trace"]
+        if trace_preds:
+            # trace-level intrinsics pre-filter the span table to
+            # qualifying traces; span-level predicates then run normally
+            for p in trace_preds:
+                traces = trace_level_filter(traces, p.key, p.op, p.value)
+            parsed = [p for p in parsed if p.scope != "trace"]
     return search(traces, parsed, **search_kwargs)
 
 
@@ -649,3 +657,37 @@ def tag_names_v2(traces: DataFrame, cap: int = 1000) -> DataFrame:
         [("intrinsic", n) for n in INTRINSIC_TAGS], "scope string, name string"
     )
     return span.unionByName(res).unionByName(intr).orderBy("scope", "name")
+
+
+TRACE_INTRINSICS = ("traceDuration", "rootName", "rootServiceName")
+
+
+def trace_level_filter(
+    spans: DataFrame,
+    which: str,
+    op: str,
+    value,
+) -> DataFrame:
+    """Tempo trace-level intrinsics (`{ traceDuration > 2s }`,
+    `{ rootName = "GET /" }`, `{ rootServiceName = "api" }`): the
+    predicate is a property of the WHOLE trace; spans of qualifying
+    traces are returned. One per-trace aggregate builds the tiny
+    verdict frame — traceDuration = max(start+duration) − min(start),
+    root fields from the root span (min start among is_root as the
+    deterministic pick) — then a broadcast semi-join keeps the spans.
+    Same shape as tail sampling: verdicts are trace-count-sized."""
+    root_pick = F.when(
+        F.col("parent_span_id").isNull(), F.col("start_time_unix_nano")
+    )
+    agg_for = {
+        "traceDuration": (
+            F.max(F.col("start_time_unix_nano") + F.col("duration_nanos"))
+            - F.min("start_time_unix_nano")
+        ),
+        "rootName": F.min_by(F.col("span_name"), root_pick),
+        "rootServiceName": F.min_by(F.col("service_name"), root_pick),
+    }[which]
+    per_trace = spans.groupBy("trace_id").agg(agg_for.alias("_v"))
+    col = F.col("_v")
+    keep = per_trace.filter(_apply_op(col, op, value)).select("trace_id")
+    return spans.join(F.broadcast(keep), "trace_id", "leftsemi")

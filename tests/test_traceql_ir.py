@@ -582,3 +582,27 @@ def test_kind_intrinsic_matcher(spark):
         predicates_expr(spans, parse_traceql("{ kind != server }"))
     ).collect()
     assert [r.span_name for r in neg] == ["b"]
+
+
+def test_trace_level_intrinsics_root_fields(spark, tree_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.trace_ops import trace_level_filter
+
+    spans = tree_spans.withColumn(
+        "start_time_unix_nano", F.col("span_id") * 1000
+    ).withColumn("duration_nanos", F.lit(10))
+    got = trace_level_filter(spans, "rootName", "=", "api")
+    # both fixture traces are rooted at "api"
+    assert got.count() == spans.count()
+    none = trace_level_filter(spans, "rootName", "=", "nope")
+    assert none.count() == 0
+
+
+def test_parse_trace_duration_intrinsic():
+    from signaldb_spark.traceql.parser import TraceQLError, parse_traceql
+
+    p = parse_traceql("{ traceDuration >= 2s }")
+    assert p[0].scope == "trace" and p[0].value == 2e9
+    with pytest.raises(TraceQLError):
+        parse_traceql("{ traceDuration >= 2s }", strict=True)
