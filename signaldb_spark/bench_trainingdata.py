@@ -1702,7 +1702,9 @@ def q_emb_pq_adc(spark, sf_dir):
     touched. Deterministic top-10 by (distance, id)."""
     embs = _embs(spark, sf_dir)
     books = sim.pq_train(embs, "vec_id", "embedding", dims=64, m=4, k=4, iterations=2)
-    codes = sim.pq_codes(embs, "vec_id", "embedding", dims=64, m=4, k=4, iterations=2)
+    codes = sim.pq_codes(
+        embs, "vec_id", "embedding", dims=64, m=4, k=4, codebooks=books
+    )
     query = [
         float(x)
         for x in embs.orderBy("vec_id").limit(1).collect()[0]["embedding"]

@@ -535,3 +535,43 @@ def repeated_ngram_stats(
             / F.greatest(F.col("total_tokens"), F.lit(1))
         ).alias("repeated_frac"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    quality_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-source dataset-card composition report: document counts,
+    length stats, quality pass rate (text_analysis.quality_features
+    composite ≥ threshold), and the exact-dup rate (1 − distinct
+    normalized digests / docs) — the summary table every curation run
+    publishes next to its output.
+
+    ONE partial+final aggregation over the per-row features plus one
+    digest count-distinct; document text contributes a digest and
+    per-row scalars to the shuffle, never the text itself."""
+    from .text_analysis import quality_features
+
+    feats = quality_features(df, text_col)
+    digest = F.md5(normalize_text(F.col(text_col)))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        feats.withColumn("_digest", digest)
+        .groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("q_chars").cast("long").alias("total_chars"),
+            r6(F.avg("q_words")).alias("mean_words"),
+            r6(F.avg("quality_score")).alias("mean_quality"),
+            r6(
+                F.avg((F.col("quality_score") >= quality_threshold).cast("double"))
+            ).alias("quality_pass_rate"),
+            r6(
+                F.lit(1.0) - F.countDistinct("_digest") / F.count(F.lit(1))
+            ).alias("exact_dup_rate"),
+        )
+        .orderBy("source")
+    )

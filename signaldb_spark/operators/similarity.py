@@ -579,6 +579,7 @@ def pq_codes(
     m: int = 4,
     k: int = 8,
     iterations: int = 2,
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """Product quantization (FAISS-PQ shape): split each vector into
     ``m`` contiguous subvectors, train an independent euclidean k-means
@@ -595,27 +596,49 @@ def pq_codes(
     joins anything. The determinism trick puts the WHOLE train+encode
     pipeline under the cross-engine oracle, as kmeans_iterations does
     for Lloyd's loop."""
-    codebooks = pq_train(df, id_col, vec_col, dims, m, k, iterations)
+    if codebooks is None:
+        codebooks = pq_train(df, id_col, vec_col, dims, m, k, iterations)
+    exploded = _explode_subspaces(df, id_col, vec_col, dims, m)
+    return exploded.select(
+        F.col(id_col),
+        F.col("subspace"),
+        (_pq_cell_expr(codebooks) - 1).cast("int").alias("code"),
+    )
+
+
+def _explode_subspaces(df, id_col, vec_col, dims, m):
+    """(id, subspace, _sv): every row split into its m contiguous
+    subvectors IN ONE PASS — the whole PQ pipeline then runs one Spark
+    job per step instead of one per subspace."""
     sub = dims // m
-    parts = []
-    for j, cents in enumerate(codebooks):
-        sub_df = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
-        )
-        scores = _sub_dist_scores(F.col("_sv"), cents)
-        parts.append(
-            sub_df.select(
-                F.col(id_col),
+    subs = F.array(
+        *[
+            F.struct(
                 F.lit(j).alias("subspace"),
-                (F.array_position(scores, F.array_min(scores)) - 1)
-                .cast("int")
-                .alias("code"),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv"),
             )
+            for j in range(m)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(subs).alias("_s")).select(
+        id_col, F.col("_s.subspace").alias("subspace"), F.col("_s._sv").alias("_sv")
+    )
+
+
+def _pq_cell_expr(codebooks: list[list[list[float]]]):
+    """1-based nearest-cell id for an exploded (subspace, _sv) row — a
+    when-chain over the per-subspace literal codebooks (ties → lowest
+    cell via array_position-of-min)."""
+    expr = None
+    for j in reversed(range(len(codebooks))):
+        scores = _sub_dist_scores(F.col("_sv"), codebooks[j])
+        pick = F.array_position(scores, F.array_min(scores))
+        expr = (
+            pick
+            if expr is None
+            else F.when(F.col("subspace") == j, pick).otherwise(expr)
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return expr
 
 
 def pq_train(
@@ -629,46 +652,48 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (see :func:`pq_codes` for the
     determinism contract) and return them as driver-side metadata —
-    m × k × (dims/m) doubles, the same regime as IVF centroids."""
+    m × k × (dims/m) doubles, the same regime as IVF centroids.
+
+    All m subspaces train TOGETHER: one init collect (the first k full
+    vectors, sliced driver-side), then per Lloyd iteration ONE job —
+    subspace-exploded assignment + a (subspace, cell, dim) mean
+    aggregate — instead of m sequential mini-jobs; with the default
+    m=4, iterations=2 that is 3 Spark jobs total."""
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     sub = dims // m
-    books = []
-    for j in range(m):
-        sub_df = df.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+    init_rows = [
+        [float(x) for x in row[vec_col]]
+        for row in df.orderBy(id_col).limit(k).collect()
+    ]
+    if len(init_rows) < k:
+        raise ValueError(
+            f"pq_train: k={k} but the corpus has only {len(init_rows)} vectors"
         )
-        init = [
-            [float(x) for x in row["_sv"]]
-            for row in sub_df.orderBy(id_col).limit(k).collect()
+    books = [
+        [vec[j * sub:(j + 1) * sub] for vec in init_rows] for j in range(m)
+    ]
+    exploded = _explode_subspaces(df, id_col, vec_col, dims, m)
+    for _ in range(iterations):
+        assigned = exploded.withColumn("cell", _pq_cell_expr(books).cast("int"))
+        means = (
+            assigned.select("subspace", "cell", F.posexplode("_sv").alias("d", "x"))
+            .groupBy("subspace", "cell", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cm"))
+            .groupBy("subspace", "cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "cm"))),
+                    lambda st: st["cm"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        by_key = {(row["subspace"], row["cell"]): list(row["cv"]) for row in means}
+        books = [
+            [by_key.get((j, i + 1), books[j][i]) for i in range(k)]
+            for j in range(m)
         ]
-        if len(init) < k:
-            raise ValueError(
-                f"pq_train: k={k} but the corpus has only {len(init)} vectors"
-            )
-        cents = init
-        for _ in range(iterations):
-            scores = _sub_dist_scores(F.col("_sv"), cents)
-            assigned = sub_df.select(
-                "_sv",
-                F.array_position(scores, F.array_min(scores)).cast("int").alias("cell"),
-            )
-            means = (
-                assigned.select("cell", F.posexplode("_sv").alias("d", "x"))
-                .groupBy("cell", "d")
-                .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cm"))
-                .groupBy("cell")
-                .agg(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("d", "cm"))),
-                        lambda s: s["cm"],
-                    ).alias("cv")
-                )
-                .collect()
-            )
-            by_cell = {row["cell"]: list(row["cv"]) for row in means}
-            cents = [by_cell.get(i + 1, cents[i]) for i in range(k)]
-        books.append(cents)
     return books
 
 
