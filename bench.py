@@ -159,6 +159,7 @@ HEADLINE = [
     "promql_alert_state",
     "trace_not_child",
     "trace_duration_filter",
+    "corpus_report",
 ]
 
 

@@ -1748,3 +1748,45 @@ ORACLE_EMB_PQ_ADC = _pq_adc_oracle_sql()
 
 QUERIES["emb_pq_adc"] = q_emb_pq_adc
 ORACLES["emb_pq_adc"] = ORACLE_EMB_PQ_ADC
+
+
+def q_corpus_report(spark, sf_dir):
+    """Per-source dataset-card report (corpus.corpus_report): doc
+    counts, length stats, quality pass rate, exact-dup rate — the
+    composition table a curation run publishes; one partial+final agg,
+    text contributes only per-row scalars and a digest."""
+    from .operators.corpus import corpus_report
+
+    return corpus_report(_docs(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_CORPUS_REPORT = f"""
+WITH n AS (SELECT doc_id, source, {NORM_SQL} AS t FROM documents),
+f AS (
+  SELECT doc_id, source, t,
+         length(t) AS n_chars,
+         len(string_split(t, ' ')) AS n_words,
+         len(regexp_extract_all(t, '[^\\w\\s]')) AS n_punct,
+         len(regexp_extract_all(t, '\\b(the|and|of|is|a|to|in)\\b')) AS n_stop
+  FROM n
+), scored AS (
+  SELECT source, n_chars, n_words, md5(t) AS digest,
+         least(1.0, greatest(0.0,
+             0.5 + 2.0 * (n_stop / greatest(n_words, 1))
+                 - 3.0 * (n_punct / greatest(n_chars, 1))
+                 - abs((n_chars - (n_words - 1)) / greatest(n_words, 1) - 5.0) / 10.0))
+         AS score
+  FROM f
+)
+SELECT source,
+       count(*) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       floor(avg(n_words) * 1e6 + 0.5) / 1e6 AS mean_words,
+       floor(avg(floor(score * 1e6 + 0.5) / 1e6) * 1e6 + 0.5) / 1e6 AS mean_quality,
+       floor(avg(CASE WHEN floor(score * 1e6 + 0.5) / 1e6 >= 0.5 THEN 1.0 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS quality_pass_rate,
+       floor((1.0 - count(DISTINCT digest) / count(*)) * 1e6 + 0.5) / 1e6 AS exact_dup_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_report"] = q_corpus_report
+ORACLES["corpus_report"] = ORACLE_CORPUS_REPORT
