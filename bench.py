@@ -160,6 +160,7 @@ HEADLINE = [
     "trace_not_child",
     "trace_duration_filter",
     "corpus_report",
+    "logql_offset",
 ]
 
 

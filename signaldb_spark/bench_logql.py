@@ -501,3 +501,32 @@ FROM events GROUP BY 1, 2
 
 QUERIES["logql_unwrap_duration"] = q_logql_unwrap_duration
 ORACLES["logql_unwrap_duration"] = ORACLE_LOGQL_UNWRAP_DURATION
+
+
+def q_logql_offset(spark, sf_dir):
+    """Range-selector offset (`[1d] offset 1d`): each bucket reports the
+    PREVIOUS day's count — the window shifts back, results stamp at the
+    query's own buckets."""
+    out = query_metric(
+        _ctx(spark, sf_dir),
+        'sum by (service) (count_over_time({service=~".+"}[1d] offset 1d))',
+    )
+    return out.select("bucket", "service_name", "value")
+
+
+# the engine window is [START, END]; shifted back 1d it covers
+# [START-1d, END-1d], so buckets re-stamp at day+86400 and only those
+# landing inside [START, END] appear
+ORACLE_LOGQL_OFFSET = f"""
+WITH c AS (
+  SELECT {_BUCKET} + 86400 AS bucket, event_type AS service_name,
+         CAST(count(*) AS DOUBLE) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT * FROM c
+WHERE bucket BETWEEN epoch('2024-01-01 00:00:00'::TIMESTAMP)
+                 AND epoch('2024-02-01 00:00:00'::TIMESTAMP)
+"""
+
+QUERIES["logql_offset"] = q_logql_offset
+ORACLES["logql_offset"] = ORACLE_LOGQL_OFFSET

@@ -63,6 +63,7 @@ class RangeAgg:
     selector: LogSelector
     range_seconds: float
     param: float | None = None  # quantile φ
+    offset_seconds: float = 0.0  # `[5m] offset 1h` — evaluate shifted back
 
 
 @dataclass(frozen=True)

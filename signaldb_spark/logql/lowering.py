@@ -542,6 +542,32 @@ def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
 def _eval_range_agg(
     ctx: LowerCtx, expr: RangeAgg, extra_labels: tuple[str, ...] = ()
 ) -> DataFrame:
+    if expr.offset_seconds:
+        # offset: evaluate over the window shifted BACK, then stamp
+        # results at the query's own buckets — implemented by shifting
+        # the window and sliding every row's timestamp forward before
+        # bucketing (Loki range-selector offset semantics)
+        import dataclasses
+        import datetime as dt
+
+        off = dt.timedelta(seconds=expr.offset_seconds)
+
+        def _shift(x):
+            if isinstance(x, str):
+                return (dt.datetime.fromisoformat(x) - off).isoformat(sep=" ")
+            return x - off
+
+        shifted_ctx = dataclasses.replace(ctx, start=_shift(ctx.start), end=_shift(ctx.end))
+        df = apply_selector(shifted_ctx, expr.selector).withColumn(
+            "timestamp",
+            F.col("timestamp") + F.make_interval(secs=F.lit(expr.offset_seconds)),
+        )
+        expr = dataclasses.replace(expr, offset_seconds=0.0)
+        for g in extra_labels:
+            df = df.withColumn(g, resolve_label(df, expr.selector, g))
+        agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)
+        series = [c for c in SERIES_COLS if c in df.columns] + list(extra_labels)
+        return ts.range_aggregate(df, "timestamp", ctx.step_seconds, series, agg)
     df = apply_selector(ctx, expr.selector)
     if expr.fn == "absent":
         # absent_over_time: 1 per empty step bucket over the range

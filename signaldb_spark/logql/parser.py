@@ -339,8 +339,11 @@ class _P:
         self.expect("OP", "[")
         dur = self.expect("DURATION").text
         self.expect("OP", "]")
+        offset = 0.0
+        if self.accept("IDENT", "offset"):
+            offset = parse_duration(self.expect("DURATION").text)
         self.expect("OP", ")")
-        return RangeAgg(fn, sel, parse_duration(dur), param)
+        return RangeAgg(fn, sel, parse_duration(dur), param, offset)
 
     def parse_vector_agg(self) -> VectorAgg:
         op = self.next().text
