@@ -163,6 +163,8 @@ class SignalDBAPI:
         from .maintenance.jobs import detected_labels
 
         logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
         return {"status": "success",
                 "data": [r[0] for r in detected_labels(logs).collect()]}
 
@@ -170,6 +172,8 @@ class SignalDBAPI:
         from .maintenance.jobs import label_values
 
         logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
         return {"status": "success",
                 "data": [r[0] for r in label_values(logs, label).collect()]}
 
@@ -177,6 +181,8 @@ class SignalDBAPI:
         from .maintenance.jobs import log_series
 
         logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
         return {"status": "success",
                 "data": [
                     {k: v for k, v in r.asDict().items() if v is not None}
@@ -248,12 +254,16 @@ class SignalDBAPI:
         from .traceql.trace_ops import tag_names
 
         traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
         return {"tagNames": [r[0] for r in tag_names(traces, scope).collect()]}
 
     def tempo_tags_v2(self) -> dict:
         from .traceql.trace_ops import tag_names_v2
 
         traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
         scopes: dict[str, list] = {}
         for r in tag_names_v2(traces).collect():
             scopes.setdefault(r["scope"], []).append(r["name"])
@@ -263,6 +273,8 @@ class SignalDBAPI:
         from .traceql.trace_ops import tag_values
 
         traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
         return {"tagValues": [r[0] for r in tag_values(traces, scope, key).collect()]}
 
     # -------------------------------------------------- Pyroscope surface

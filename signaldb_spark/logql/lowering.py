@@ -563,6 +563,9 @@ def _eval_range_agg(
             F.col("timestamp") + F.make_interval(secs=F.lit(expr.offset_seconds)),
         )
         expr = dataclasses.replace(expr, offset_seconds=0.0)
+        if expr.fn == "absent":
+            m = ts.count_over_time(df, "timestamp", ctx.step_seconds, [])
+            return ts.absent(m, _spine(ctx))
         for g in extra_labels:
             df = df.withColumn(g, resolve_label(df, expr.selector, g))
         agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)

@@ -150,7 +150,7 @@ def record_traceql_query(parsed, tenant: str, dataset: str) -> None:
             yield from p
 
     for pred in preds(parsed):
-        if pred.scope != "intrinsic" and pred.key != "service.name":
+        if pred.scope not in ("intrinsic", "trace") and pred.key != "service.name":
             record(tenant, dataset, "traces", pred.key)
     if isinstance(parsed, SelectQuery):
         # select()ed attribute refs are read demand too: a projected

@@ -557,7 +557,7 @@ def corpus_report(
 
     feats = quality_features(df, text_col)
     digest = F.md5(normalize_text(F.col(text_col)))
-    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    r6 = _r6
     return (
         feats.withColumn("_digest", digest)
         .groupBy(F.col(source_col).alias("source"))

@@ -625,8 +625,15 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         # named label values; ordering only, series set unchanged
         inner = eval_expr(ctx, c.args[0])
         series = [x for x in inner.columns if x not in ("bucket", "value")]
-        routed = _route_labels([str(a) for a in c.args[1:]], series)
-        cols = [c2 for c2 in series if c2 in routed] or series
+        # preserve the ARGUMENT order (sort by first label, ties by the
+        # next); unrouted names are skipped, and with none routed the
+        # ordering is left untouched
+        cols = []
+        for a in c.args[1:]:
+            routed = _route_labels([str(a)], series)
+            cols.extend(c2 for c2 in series if c2 in routed and c2 not in cols)
+        if not cols:
+            return inner
         desc = fn == "sort_by_label_desc"
         order = [F.col(c2).desc() if desc else F.col(c2).asc() for c2 in cols]
         return inner.orderBy(F.col("bucket").asc(), *order)
@@ -750,6 +757,11 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
         # the max-value reduction picks (struct max_by — deterministic)
         routed = _route_labels(b.group_labels, right_full.columns)
         extras = tuple(c for c in routed if c not in on)
+        # copied labels OVERWRITE the many side's same-named columns
+        # (the join would otherwise produce an ambiguous duplicate)
+        for c in extras:
+            if c in left.columns:
+                left = left.drop(c)
         one = right_full.select(*on, *extras, "value")
         right = one.groupBy(*on).agg(
             F.max("value").alias("value"),

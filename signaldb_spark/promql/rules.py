@@ -89,9 +89,14 @@ def alert_rule(ctx: PromCtx, expr: str, for_seconds: float = 0.0) -> DataFrame:
     evaluation over history that Grafana backtesting uses.)"""
     from pyspark.sql import Window
 
+    import math
+
     m = query_range(ctx, expr)
     series = [c for c in m.columns if c not in ("bucket", "value")]
-    need = int(for_seconds // ctx.step_seconds) + 1
+    # firing once the condition has HELD for `for` seconds: n buckets
+    # span (n-1)·step, so n = ceil(for/step) + 1 (floor under-counts
+    # whenever `for` is not a step multiple)
+    need = math.ceil(for_seconds / ctx.step_seconds) + 1
     w = Window.partitionBy(*series).orderBy("bucket")
     run_key = F.col("bucket") - F.row_number().over(w) * F.lit(ctx.step_seconds)
     with_run = m.withColumn("_rk", run_key)

@@ -120,10 +120,14 @@ def _parse_one(part: str, strict: bool) -> SpanPredicate:
             if norm is None:
                 raise TraceQLError(f"unknown status {val!r}")
             val = norm
-        if lhs == "kind" and op in ("=", "!="):
+        if lhs == "kind":
             # TraceQL spells kinds lowercase (kind = server); storage
-            # keeps the OTLP enum names
-            val = val.upper()
+            # keeps the OTLP enum names — equality uppercases, regex
+            # matchers go case-insensitive
+            if op in ("=", "!="):
+                val = val.upper()
+            elif op in ("=~", "!~"):
+                val = f"(?i){val}"
         return SpanPredicate("intrinsic", lhs, val, op)
     if lhs.startswith("span."):
         scope, key = "span", lhs[5:]

@@ -288,19 +288,33 @@ def search_traceql(
         from .structural import aggregate_search
 
         return aggregate_search(traces, parsed)
-    if isinstance(parsed, SelectQuery):
-        extras = {f: select_field_expr(f) for f in parsed.fields}
-        return search(
-            traces, list(parsed.preds), extra_columns=extras, **search_kwargs
-        )
-    if isinstance(parsed, list):
-        trace_preds = [p for p in parsed if p.scope == "trace"]
-        if trace_preds:
-            # trace-level intrinsics pre-filter the span table to
-            # qualifying traces; span-level predicates then run normally
-            for p in trace_preds:
+    def _split_trace_preds(preds):
+        # trace-level intrinsics pre-filter the span table to
+        # qualifying traces; span-level predicates then run normally
+        nonlocal traces
+        span_preds = []
+        for p in preds:
+            if p.scope == "trace":
                 traces = trace_level_filter(traces, p.key, p.op, p.value)
-            parsed = [p for p in parsed if p.scope != "trace"]
+            else:
+                span_preds.append(p)
+        return span_preds
+
+    if isinstance(parsed, SelectQuery):
+        preds = _split_trace_preds(list(parsed.preds))
+        extras = {f: select_field_expr(f) for f in parsed.fields}
+        return search(traces, preds, extra_columns=extras, **search_kwargs)
+    if isinstance(parsed, list):
+        parsed = _split_trace_preds(parsed)
+    else:
+        from .parser import Disjunction, TraceQLError
+
+        if isinstance(parsed, Disjunction) and any(
+            p.scope == "trace" for g in parsed.groups for p in g
+        ):
+            raise TraceQLError(
+                "trace-level intrinsics are not supported inside || groups"
+            )
     return search(traces, parsed, **search_kwargs)
 
 
@@ -446,11 +460,15 @@ def metrics_compare(
     aggregate in ONE (key, value) groupBy — no self-join of two
     filtered scans; the per-key top-N is a window over the already
     key-value-sized aggregate."""
+    present = [c for c in attr_cols if c in spans.columns]
+    if not present:
+        raise ValueError(
+            f"metrics_compare: none of {attr_cols} present — pass a spans "
+            "frame that still carries its attribute maps"
+        )
     flagged = spans.withColumn("_sel", selection_cond.cast("int"))
     per_attr = None
-    for c in attr_cols:
-        if c not in spans.columns:
-            continue
+    for c in present:
         e = flagged.select(
             "_sel", F.explode_outer(F.col(c)).alias("attr_key", "attr_value")
         ).filter(F.col("attr_key").isNotNull())

@@ -521,3 +521,11 @@ def test_unwrap_duration_and_bytes_hand_check(spark):
         c, 'sum_over_time({service_name="api"} | logfmt | unwrap bytes(size) [1h])'
     ).collect()
     assert byt[0].value == pytest.approx(2048 + 1.5e6)
+
+
+def test_absent_over_time_with_offset(ctx):
+    """Review fix: offset + absent_over_time must evaluate (not raise)."""
+    got = query_metric(
+        ctx, 'absent_over_time({service_name="no_such_service"}[1h] offset 1h)'
+    ).collect()
+    assert got and all(r.value == 1.0 for r in got)

@@ -829,3 +829,96 @@ def test_rule_group_sequential_visibility_and_alerts(spark, tmp_path_factory):
         if len(labels) >= 3:
             assert labels[0] == "pending" and labels[1] == "pending"
             assert "firing" in labels[2:]
+
+
+def test_group_left_overwrites_conflicting_label(spark):
+    """Review fix: a copied group_left label that also exists on the
+    many side must not produce an ambiguous duplicate column — the one
+    side's value wins."""
+    from pyspark.sql import functions as F
+
+    import signaldb_spark.promql.lowering as low
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.parser import parse
+
+    many = spark.createDataFrame(
+        [(0, "m", "a", "stale", 10.0)],
+        "b long, metric_name string, service_name string, label_team string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_team", "value")
+    one = spark.createDataFrame(
+        [(0, "info", "a", "fresh", 1.0)],
+        "b long, metric_name string, service_name string, label_team string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_team", "value")
+    expr = parse('m * on (service_name) group_left(team) info')
+    orig = low.eval_expr
+
+    def fake_eval(c, e):
+        if isinstance(e, VectorSelector):
+            return many if e.metric == "m" else one
+        return orig(c, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = low.PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                          "2024-01-01 01:00:00", 3600)
+        out = low._eval_binop(ctx, expr).collect()
+    finally:
+        low.eval_expr = orig
+    assert len(out) == 1 and out[0].label_team == "fresh"
+
+
+def test_alert_for_uses_ceiling(spark, tmp_path_factory):
+    """Review fix: for: 90s at 60s step needs 3 consecutive buckets
+    ((n-1)*60 >= 90), not 2."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.promql.rules import alert_rule
+    from signaldb_spark.promql.lowering import PromCtx
+
+    g = spark.createDataFrame(
+        [(f"2024-01-01 00:{m:02d}:30", "s", "m", 1.0) for m in range(5)],
+        "ts string, service_name string, metric_name string, value double",
+    ).select(F.to_timestamp("ts").alias("timestamp"), "service_name",
+             "metric_name", F.col("value"))
+    ctx = PromCtx(spark, g, None, None, "2024-01-01 00:00:00",
+                  "2024-01-01 00:05:00", 60)
+    out = sorted(
+        alert_rule(ctx, "m > 0", for_seconds=90).collect(),
+        key=lambda r: r.bucket,
+    )
+    states = [r.alertstate for r in out]
+    assert states[:2] == ["pending", "pending"] and states[2] == "firing"
+
+
+def test_sort_by_label_respects_argument_order(spark):
+    from pyspark.sql import functions as F
+
+    import signaldb_spark.promql.lowering as low
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.parser import parse
+
+    m = spark.createDataFrame(
+        [(0, "m", "b", "x", 1.0), (0, "m", "a", "y", 2.0), (0, "m", "a", "x", 3.0)],
+        "b long, metric_name string, service_name string, label_zone string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_zone", "value")
+    orig = low.eval_expr
+
+    def fake_eval(c, e):
+        if isinstance(e, VectorSelector):
+            return m
+        return orig(c, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = low.PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                          "2024-01-01 01:00:00", 3600)
+        # sort by zone FIRST, then job — argument order, not column order
+        out = low.query_range(ctx, 'sort_by_label(m, "zone", "job")').collect()
+    finally:
+        low.eval_expr = orig
+    assert [(r.label_zone, r.service_name) for r in out] == [
+        ("x", "a"), ("x", "b"), ("y", "a")
+    ]

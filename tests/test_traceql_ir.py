@@ -606,3 +606,42 @@ def test_parse_trace_duration_intrinsic():
     assert p[0].scope == "trace" and p[0].value == 2e9
     with pytest.raises(TraceQLError):
         parse_traceql("{ traceDuration >= 2s }", strict=True)
+
+
+def test_trace_intrinsic_in_select_and_disjunction(spark):
+    """Review fix: trace-level intrinsics compose with select(); inside
+    || groups they raise a clear error instead of silently matching
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.parser import TraceQLError
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "1", None, "a", 1000, 50, "2024-01-01", {"k": "v"}),
+            ("t2", "2", None, "b", 2000, 5, "2024-01-01", {"k": "w"}),
+        ],
+        "trace_id string, span_id string, parent_span_id string, span_name string,"
+        " start_time_unix_nano long, duration_nanos long, timestamp string,"
+        " span_attributes map<string,string>",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    out = search_traceql(spans, '{ traceDuration >= 10ns } | select(span.k)')
+    rows = out.collect()
+    assert [r.trace_id for r in rows] == ["t1"] and rows[0]["span.k"] == "v"
+    with pytest.raises(TraceQLError):
+        search_traceql(spans, '{ traceDuration >= 10ns } || { name = "b" }')
+
+
+def test_kind_regex_matcher_case_insensitive(spark):
+    from signaldb_spark.traceql.parser import parse_traceql
+    from signaldb_spark.traceql.trace_ops import predicates_expr
+
+    spans = spark.createDataFrame(
+        [("t", 1, "a", "SERVER"), ("t", 2, "b", "INTERNAL")],
+        "trace_id string, span_id long, span_name string, span_kind string",
+    )
+    got = spans.filter(
+        predicates_expr(spans, parse_traceql('{ kind =~ "server|client" }'))
+    ).collect()
+    assert [r.span_name for r in got] == ["a"]
