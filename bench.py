@@ -161,6 +161,7 @@ HEADLINE = [
     "trace_duration_filter",
     "corpus_report",
     "logql_offset",
+    "emb_ivf_pq",
 ]
 
 

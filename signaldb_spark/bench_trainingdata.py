@@ -1790,3 +1790,95 @@ FROM scored GROUP BY source ORDER BY source
 
 QUERIES["corpus_report"] = q_corpus_report
 ORACLES["corpus_report"] = ORACLE_CORPUS_REPORT
+
+
+def q_emb_ivf_pq(spark, sf_dir):
+    """IVF-PQ (similarity.ivf_pq_topn) — the FAISS IndexIVFPQ shape:
+    coarse cells restrict candidates (nprobe nearest of 8 cells), ADC
+    over PQ codes scores only those candidates; top-10 by (dist, id).
+    The oracle replays the coarse assignment, the probe ranking, the PQ
+    trajectory, AND the lookup-table scoring."""
+    embs = _embs(spark, sf_dir)
+    query = [
+        float(x)
+        for x in embs.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    return sim.ivf_pq_topn(
+        embs, query, "vec_id", "embedding", dims=64, n_cells=8, nprobe=2,
+        m=4, k=4, iterations=2, n=10,
+    )
+
+
+def _ivf_pq_oracle_sql(
+    dims: int = 64, n_cells: int = 8, nprobe: int = 2,
+    m: int = 4, k: int = 4, iterations: int = 2, n: int = 10,
+) -> str:
+    sub = dims // m
+    rng = f"UNNEST(range(1, {sub + 1})) AS d(d)"
+    full_rng = f"UNNEST(range(1, {dims + 1})) AS fd(fd)"
+    parts, code_selects = _pq_parts(dims, m, k, iterations)
+    parts.append("codes AS (\n" + "\nUNION ALL\n".join(code_selects) + "\n)")
+    cos = (
+        "round(sum(a.v[fd.fd]::DOUBLE * c.cv[fd.fd]::DOUBLE)"
+        " / (sqrt(sum(a.v[fd.fd]::DOUBLE * a.v[fd.fd]::DOUBLE))"
+        " * sqrt(sum(c.cv[fd.fd]::DOUBLE * c.cv[fd.fd]::DOUBLE))), 6)"
+    )
+    parts.append(f"""coarse AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+)""")
+    parts.append("""qv AS (
+  SELECT embedding AS v FROM embeddings
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+)""")
+    parts.append(f"""qcos AS (
+  SELECT c.cell, {cos} AS s FROM coarse c, qv a, {full_rng} GROUP BY c.cell
+)""")
+    parts.append(f"""probe AS (
+  SELECT cell FROM (
+    SELECT cell, row_number() OVER (ORDER BY s DESC, cell ASC) AS rk FROM qcos
+  ) WHERE rk <= {nprobe}
+)""")
+    parts.append(f"""asg_s AS (
+  SELECT a.vec_id, c.cell, {cos} AS s
+  FROM (SELECT vec_id, embedding AS v FROM embeddings) a, coarse c, {full_rng}
+  GROUP BY a.vec_id, c.cell
+)""")
+    parts.append("""cand AS (
+  SELECT vec_id FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rk
+    FROM asg_s
+  ) WHERE rk = 1 AND cell IN (SELECT cell FROM probe)
+)""")
+    lut_selects = []
+    for j in range(m):
+        parts.append(
+            f"q{j} AS (SELECT sv FROM sub{j} "
+            f"WHERE vec_id = (SELECT min(vec_id) FROM embeddings))"
+        )
+        parts.append(f"""lut{j} AS (
+  SELECT c.cell,
+         round(sum((q.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)
+                   * (q.sv[d.d]::DOUBLE - c.cv[d.d]::DOUBLE)), 6) AS pd
+  FROM c{j}_{iterations} c, q{j} q, {rng}
+  GROUP BY c.cell
+)""")
+        lut_selects.append(
+            f"SELECT {j} AS subspace, CAST(cell - 1 AS INT) AS code, pd FROM lut{j}"
+        )
+    parts.append("lut AS (\n" + "\nUNION ALL\n".join(lut_selects) + "\n)")
+    return (
+        "WITH " + ",\n".join(parts) + "\n"
+        + f"""SELECT codes.vec_id, round(sum(l.pd), 6) AS adc_dist
+FROM codes JOIN cand USING (vec_id) JOIN lut l USING (subspace, code)
+GROUP BY codes.vec_id
+ORDER BY adc_dist ASC, codes.vec_id ASC
+LIMIT {n}"""
+    )
+
+
+ORACLE_EMB_IVF_PQ = _ivf_pq_oracle_sql()
+
+QUERIES["emb_ivf_pq"] = q_emb_ivf_pq
+ORACLES["emb_ivf_pq"] = ORACLE_EMB_IVF_PQ

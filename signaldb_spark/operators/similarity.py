@@ -731,3 +731,62 @@ def pq_adc_topn(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def ivf_pq_topn(
+    corpus: DataFrame,
+    query: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k: int = 4,
+    iterations: int = 2,
+    n: int = 10,
+    codebooks: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """IVF-PQ — the production ANN composition (FAISS IndexIVFPQ shape):
+    the coarse quantizer restricts candidates to the query's ``nprobe``
+    nearest cells, then ADC over PQ codes scores ONLY those candidates,
+    never touching a stored vector. Candidate count per query is
+    ~corpus·nprobe/n_cells, and each candidate costs m table lookups.
+
+    Determinism contract as everywhere in this module: coarse centroids
+    are the first ``n_cells`` vectors by id, probe ranking is
+    6dp-rounded cosine with cell-ascending ties, and the PQ trajectory
+    is the replayable :func:`pq_train` one. Simplification vs FAISS:
+    codes quantize the raw vectors, not per-cell residuals — recall is
+    lower but the whole pipeline stays under the cross-engine oracle.
+    """
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r.cv) for r in cent_rows]
+
+    def _cos(a, b):
+        import math
+
+        dot = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(y) * float(y) for y in b))
+        return round(dot / (na * nb), 6)
+
+    ranked = sorted(
+        ((_cos(query, c), -(i + 1)) for i, c in enumerate(centroids)), reverse=True
+    )
+    probe = [-cell for _score, cell in ranked[:nprobe]]
+
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), "cv", centroids
+    )
+    cand = assigned.filter(F.col("cell").isin(probe)).select(id_col)
+    if codebooks is None:
+        codebooks = pq_train(corpus, id_col, vec_col, dims, m, k, iterations)
+    codes = pq_codes(corpus, id_col, vec_col, dims, m, k, codebooks=codebooks)
+    cand_codes = codes.join(F.broadcast(cand), id_col, "leftsemi")
+    return pq_adc_topn(cand_codes, codebooks, query, n=n, id_col=id_col)
