@@ -767,19 +767,16 @@ def ivf_pq_topn(
         .collect()
     )
     centroids = [list(r.cv) for r in cent_rows]
-
-    def _cos(a, b):
-        import math
-
-        dot = sum(float(x) * float(y) for x, y in zip(a, b))
-        na = math.sqrt(sum(float(x) * float(x) for x in a))
-        nb = math.sqrt(sum(float(y) * float(y) for y in b))
-        return round(dot / (na * nb), 6)
-
-    ranked = sorted(
-        ((_cos(query, c), -(i + 1)) for i, c in enumerate(centroids)), reverse=True
+    # probe ranking via the SAME _cell_scores expression the corpus
+    # assignment uses — one rounding/tie-break contract, no dual-language
+    # cosine to drift (and NULL-safe on degenerate vectors, as SQL is)
+    qdf = corpus.sparkSession.createDataFrame(
+        [([float(x) for x in query],)], f"qv array<double>"
     )
-    probe = [-cell for _score, cell in ranked[:nprobe]]
+    probe = [
+        r["cell"]
+        for r in ivf_probe_cells(qdf, "qv", centroids, nprobe).collect()
+    ]
 
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), "cv", centroids
@@ -787,6 +784,8 @@ def ivf_pq_topn(
     cand = assigned.filter(F.col("cell").isin(probe)).select(id_col)
     if codebooks is None:
         codebooks = pq_train(corpus, id_col, vec_col, dims, m, k, iterations)
-    codes = pq_codes(corpus, id_col, vec_col, dims, m, k, codebooks=codebooks)
-    cand_codes = codes.join(F.broadcast(cand), id_col, "leftsemi")
-    return pq_adc_topn(cand_codes, codebooks, query, n=n, id_col=id_col)
+    # encode ONLY the probed cells' rows — codebooks are corpus-trained,
+    # so restricting before encoding changes nothing but the work
+    cand_corpus = corpus.join(F.broadcast(cand), id_col, "leftsemi")
+    codes = pq_codes(cand_corpus, id_col, vec_col, dims, m, k, codebooks=codebooks)
+    return pq_adc_topn(codes, codebooks, query, n=n, id_col=id_col)

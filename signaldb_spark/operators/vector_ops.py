@@ -55,11 +55,12 @@ def vector_arith(
 
 
 def vector_compare(
-    left: DataFrame, right: DataFrame, op: str, on: list[str], bool_mode: bool = False
+    left: DataFrame, right: DataFrame, op: str, on: list[str],
+    bool_mode: bool = False, extras: tuple = (),
 ) -> DataFrame:
     """a CMP b: filter left by comparison, or 1/0 with ``bool``
-    (join_compare, logs.rs:1016-1046)."""
-    l, r = _prep(left, right, on)
+    (join_compare, logs.rs:1016-1046). ``extras`` as in vector_arith."""
+    l, r = _prep(left, right, on, extras)
     j = l.join(r, on, "inner")
     cond = COMPARE[op](F.col("_lv"), F.col("_rv"))
     if bool_mode:

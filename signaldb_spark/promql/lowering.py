@@ -633,7 +633,9 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
             routed = _route_labels([str(a)], series)
             cols.extend(c2 for c2 in series if c2 in routed and c2 not in cols)
         if not cols:
-            return inner
+            # nothing routed: keep the default deterministic ordering
+            # (query_range skips its own orderBy for sort_* calls)
+            return inner.orderBy("bucket", *series)
         desc = fn == "sort_by_label_desc"
         order = [F.col(c2).desc() if desc else F.col(c2).asc() for c2 in cols]
         return inner.orderBy(F.col("bucket").asc(), *order)
@@ -773,9 +775,14 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
     elif b.group_side == "right":
         left = left.groupBy(*on).agg(F.max("value").alias("value"))
     if b.op in ("and", "or", "unless"):
+        if b.group_side is not None:
+            # Prometheus: "no grouping allowed for set operations"
+            raise ValueError(f"group modifiers are not allowed for {b.op!r}")
         return vo.vector_logical(left, right, b.op, on)
     if b.op in vo.COMPARE:
-        return vo.vector_compare(left, right, b.op, on, bool_mode=b.bool_mode)
+        return vo.vector_compare(
+            left, right, b.op, on, bool_mode=b.bool_mode, extras=extras
+        )
     return vo.vector_arith(left, right, b.op, on, extras=extras)
 
 

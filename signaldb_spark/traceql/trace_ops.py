@@ -280,6 +280,19 @@ def search_traceql(
 
     parsed = parse_traceql_expr(query)
     attr_demand.record_traceql_query(parsed, tenant, dataset)
+    if isinstance(parsed, (StructuralQuery, AggregateQuery)):
+        from .parser import TraceQLError
+
+        sides = (
+            (*parsed.left, *parsed.right)
+            if isinstance(parsed, StructuralQuery)
+            else parsed.preds
+        )
+        if any(p.scope == "trace" for p in sides):
+            raise TraceQLError(
+                "trace-level intrinsics are not supported inside "
+                "structural/aggregate spansets"
+            )
     if isinstance(parsed, StructuralQuery):
         from .structural import structural_search
 

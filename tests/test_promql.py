@@ -922,3 +922,44 @@ def test_sort_by_label_respects_argument_order(spark):
     assert [(r.label_zone, r.service_name) for r in out] == [
         ("x", "a"), ("x", "b"), ("y", "a")
     ]
+
+
+def test_group_left_label_survives_comparison(spark):
+    """Review fix 2: a group_left-copied label rides comparison ops
+    too, and set operations reject group modifiers outright."""
+    from pyspark.sql import functions as F
+
+    import signaldb_spark.promql.lowering as low
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.parser import parse
+
+    many = spark.createDataFrame(
+        [(0, "m", "a", 10.0)],
+        "b long, metric_name string, service_name string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name", "value")
+    one = spark.createDataFrame(
+        [(0, "info", "a", "core", 1.0)],
+        "b long, metric_name string, service_name string, label_team string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_team", "value")
+    orig = low.eval_expr
+
+    def fake_eval(c, e):
+        if isinstance(e, VectorSelector):
+            return many if e.metric == "m" else one
+        return orig(c, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = low.PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                          "2024-01-01 01:00:00", 3600)
+        out = low._eval_binop(
+            ctx, parse('m > on (service_name) group_left(team) info')
+        ).collect()
+        assert len(out) == 1 and out[0].label_team == "core"
+        with pytest.raises(ValueError):
+            low._eval_binop(
+                ctx, parse('m and on (service_name) group_left(team) info')
+            )
+    finally:
+        low.eval_expr = orig

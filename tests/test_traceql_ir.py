@@ -645,3 +645,22 @@ def test_kind_regex_matcher_case_insensitive(spark):
         predicates_expr(spans, parse_traceql('{ kind =~ "server|client" }'))
     ).collect()
     assert [r.span_name for r in got] == ["a"]
+
+
+def test_trace_intrinsics_rejected_in_structural_and_aggregate(spark):
+    """Review fix 1: trace-level intrinsics raise clearly in structural
+    and aggregate spansets instead of silently matching nothing."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.parser import TraceQLError
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    spans = spark.createDataFrame(
+        [("t", "1", None, "a", 1000, 50, "2024-01-01")],
+        "trace_id string, span_id string, parent_span_id string, span_name string,"
+        " start_time_unix_nano long, duration_nanos long, timestamp string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    with pytest.raises(TraceQLError):
+        search_traceql(spans, '{ traceDuration > 2s } >> { name = "x" }')
+    with pytest.raises(TraceQLError):
+        search_traceql(spans, '{ traceDuration > 2s } | count() > 1')
