@@ -64,8 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and parquet filter pushdown intact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # schema sniff must hit a parquet FILE: tables written by Spark (our
+    # sinks, tools/scale_probe.py) are directories of part files
+    sniff = path
+    if os.path.isdir(path):
+        parts = sorted(
+            p for p in os.listdir(path) if p.endswith(".parquet")
+        )
+        if parts:
+            sniff = os.path.join(path, parts[0])
     ns_cols = [
-        f.name for f in pq.read_schema(path) if str(f.type) == "timestamp[ns]"
+        f.name for f in pq.read_schema(sniff) if str(f.type) == "timestamp[ns]"
     ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

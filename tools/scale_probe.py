@@ -1,0 +1,188 @@
+"""Scale probe: measured evidence that the operator plans scale linearly.
+
+Replicates the sf0.1 fact tables R times (default 16) into a scratch
+directory and times a representative operator per shuffle shape at 1x
+and Rx, reporting ``efficiency = t_Rx / (R * t_1x)`` — the fraction of
+perfectly-linear cost the engine actually pays. efficiency <= ~1 means
+the plan's cost grows at most linearly with the data (fixed per-job
+overhead makes small-scale runs look worse per row, so values well
+below 1 are expected on local[32]); anything clearly above 1 flags a
+superlinear shape (an unbanded pair blowup, a broadcast that stopped
+fitting, a collect that grew with the data) and fails the probe.
+
+Replication preserves the semantics each operator family depends on:
+
+- ``lineitem``/``orders`` copies offset ``*_orderkey`` so keys stay
+  unique and the order->lineitem join fans out correctly; dimension
+  tables (customer/supplier/part/nation/region) are NOT replicated —
+  at real scale facts grow, dims don't (that is what makes them the
+  broadcast side).
+- ``documents`` copies salt the text with the copy index so dedup does
+  not degenerate into R-sized duplicate groups (which would measure a
+  data artifact — R^2 pair growth — not the engine).
+- ``embeddings`` copies perturb the first component so LSH/IVF buckets
+  keep their load shape instead of stacking R identical vectors.
+- ``events`` copies offset ``event_id`` and ``user_id``; timestamps are
+  left alone, so per-(bucket, type) group sizes grow R-fold — the same
+  thing that happens when a tenant's traffic grows.
+
+Usage: ``python tools/scale_probe.py [--factor 16] [--out DIR]``.
+Prints one JSON line per query plus a summary line; exits non-zero if
+any efficiency exceeds the superlinearity threshold (1.3).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from signaldb_spark.catalog import load_table  # noqa: E402
+from signaldb_spark.registry import all_queries  # noqa: E402
+from signaldb_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+DIMS = ["customer", "supplier", "part", "nation", "region"]
+KEY_SPAN = 10_000_000  # > max orderkey at sf0.1; keeps offset keys disjoint
+
+# One representative per shuffle shape (see docs/architecture.md):
+# scan+agg, multi-join, window family, parse+quantile, explode+band join,
+# bucketed ANN join, trace shuffle + pointer chase, map-only text pass.
+PROBE_QUERIES = [
+    "pricing_summary",
+    "region_revenue",
+    "rate",
+    "logql_json_quantile",
+    "dedup_minhash_lsh",
+    "emb_lsh_ann",
+    "trace_descendant_spans",
+    "text_quality",
+]
+SUPERLINEAR_THRESHOLD = 1.3
+
+
+def build_scaled(spark, out_dir: str, factor: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+    def replicate(table: str, mutate):
+        base = load_table(spark, SRC, table)
+        copies = [mutate(base, i) for i in range(factor)]
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        # one file per table mirrors the testdata layout the catalog expects
+        out.coalesce(max(1, factor // 4)).write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+
+    replicate(
+        "lineitem",
+        lambda df, i: df.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_SPAN)
+        ),
+    )
+    replicate(
+        "orders",
+        lambda df, i: df.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_SPAN)
+        ),
+    )
+    replicate(
+        "events",
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * KEY_SPAN)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_SPAN)),
+    )
+    replicate(
+        "documents",
+        lambda df, i: df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * KEY_SPAN)
+        ).withColumn(
+            "text",
+            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" c{i}")),
+        ),
+    )
+    replicate(
+        "embeddings",
+        lambda df, i: df.withColumn(
+            "vec_id", F.col("vec_id") + F.lit(i * KEY_SPAN)
+        ).withColumn(
+            "embedding",
+            F.col("embedding")
+            if i == 0
+            else F.concat(
+                F.array(
+                    (F.element_at("embedding", 1) + F.lit(i * 1e-3)).cast("float")
+                ),
+                F.slice("embedding", 2, 10_000),
+            ),
+        ),
+    )
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--out", default="/tmp/signaldb_scale_probe")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    scaled_dir = os.path.join(args.out, f"x{args.factor}")
+    if not os.path.exists(os.path.join(scaled_dir, "lineitem.parquet")):
+        build_scaled(spark, scaled_dir, args.factor)
+
+    queries["pricing_summary"](spark, SRC).count()  # warm JIT/footers
+
+    results = {}
+    worst = 0.0
+    for name in PROBE_QUERIES:
+        t1 = time_query(queries[name], spark, SRC)
+        tr = time_query(queries[name], spark, scaled_dir)
+        eff = tr / (args.factor * t1)
+        worst = max(worst, eff)
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            f"t_{args.factor}x_sec": round(tr, 3),
+            "efficiency": round(eff, 3),
+        }
+        print(json.dumps({"query": name, **results[name]}), flush=True)
+
+    verdict = "linear" if worst <= SUPERLINEAR_THRESHOLD else "SUPERLINEAR"
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "factor": args.factor,
+                "worst_efficiency": round(worst, 3),
+                "threshold": SUPERLINEAR_THRESHOLD,
+                "verdict": verdict,
+                "queries": results,
+            }
+        )
+    )
+    return 0 if verdict == "linear" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
