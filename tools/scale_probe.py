@@ -48,7 +48,7 @@ from signaldb_spark.catalog import load_table  # noqa: E402
 from signaldb_spark.registry import all_queries  # noqa: E402
 from signaldb_spark.session import get_spark  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
+DEFAULT_SRC = "/root/testdata/sf0.1"
 DIMS = ["customer", "supplier", "part", "nation", "region"]
 KEY_SPAN = 10_000_000  # > max orderkey at sf0.1; keeps offset keys disjoint
 
@@ -68,13 +68,13 @@ PROBE_QUERIES = [
 SUPERLINEAR_THRESHOLD = 1.3
 
 
-def build_scaled(spark, out_dir: str, factor: int) -> None:
+def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for t in DIMS:
-        shutil.copyfile(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+        shutil.copyfile(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
     def replicate(table: str, mutate):
-        base = load_table(spark, SRC, table)
+        base = load_table(spark, src, table)
         copies = [mutate(base, i) for i in range(factor)]
         out = copies[0]
         for c in copies[1:]:
@@ -138,50 +138,60 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def run_probe(
+    spark,
+    src: str = DEFAULT_SRC,
+    out: str = "/tmp/signaldb_scale_probe",
+    factor: int = 16,
+    probe_queries: "list[str] | None" = None,
+    emit=None,
+) -> dict:
+    emit = emit or (lambda s: print(s, flush=True))
+    queries = all_queries()
+    scaled_dir = os.path.join(out, f"x{factor}")
+    if not os.path.exists(os.path.join(scaled_dir, "lineitem.parquet")):
+        build_scaled(spark, src, scaled_dir, factor)
+
+    queries["pricing_summary"](spark, src).count()  # warm JIT/footers
+
+    results = {}
+    worst = 0.0
+    for name in probe_queries or PROBE_QUERIES:
+        t1 = time_query(queries[name], spark, src)
+        tr = time_query(queries[name], spark, scaled_dir)
+        eff = tr / (factor * t1)
+        worst = max(worst, eff)
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            f"t_{factor}x_sec": round(tr, 3),
+            "efficiency": round(eff, 3),
+        }
+        emit(json.dumps({"query": name, **results[name]}))
+
+    verdict = "linear" if worst <= SUPERLINEAR_THRESHOLD else "SUPERLINEAR"
+    summary = {
+        "metric": "scale_probe",
+        "factor": factor,
+        "worst_efficiency": round(worst, 3),
+        "threshold": SUPERLINEAR_THRESHOLD,
+        "verdict": verdict,
+        "queries": results,
+    }
+    emit(json.dumps(summary))
+    return summary
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=16)
+    ap.add_argument("--src", default=DEFAULT_SRC)
     ap.add_argument("--out", default="/tmp/signaldb_scale_probe")
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    queries = all_queries()
-
-    scaled_dir = os.path.join(args.out, f"x{args.factor}")
-    if not os.path.exists(os.path.join(scaled_dir, "lineitem.parquet")):
-        build_scaled(spark, scaled_dir, args.factor)
-
-    queries["pricing_summary"](spark, SRC).count()  # warm JIT/footers
-
-    results = {}
-    worst = 0.0
-    for name in PROBE_QUERIES:
-        t1 = time_query(queries[name], spark, SRC)
-        tr = time_query(queries[name], spark, scaled_dir)
-        eff = tr / (args.factor * t1)
-        worst = max(worst, eff)
-        results[name] = {
-            "t_1x_sec": round(t1, 3),
-            f"t_{args.factor}x_sec": round(tr, 3),
-            "efficiency": round(eff, 3),
-        }
-        print(json.dumps({"query": name, **results[name]}), flush=True)
-
-    verdict = "linear" if worst <= SUPERLINEAR_THRESHOLD else "SUPERLINEAR"
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe",
-                "factor": args.factor,
-                "worst_efficiency": round(worst, 3),
-                "threshold": SUPERLINEAR_THRESHOLD,
-                "verdict": verdict,
-                "queries": results,
-            }
-        )
-    )
-    return 0 if verdict == "linear" else 1
+    summary = run_probe(spark, args.src, args.out, args.factor)
+    return 0 if summary["verdict"] == "linear" else 1
 
 
 if __name__ == "__main__":
