@@ -5,12 +5,14 @@ feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` transforms so heavy per-item work distributes across
 executors with vectorized transfer.
 
-The actual codec step is STUBBED: this container has no image/audio
-libraries, so ``decode_meta`` tries Pillow and falls back to a
-deterministic arithmetic fake over the byte payload (clearly marked).
-The Spark-side plumbing — schema, batch iteration, partitioning — is
-real and tested; swapping the fake for a real decoder changes one
-function.
+Decode: uncompressed formats (24-bit BMP, binary P5/P6 PNM) decode in
+PURE PYTHON — real pixel parsing, no libraries, tested in this
+container. Compressed formats (PNG/JPEG/...) need a codec: Pillow when
+installed, else a clearly marked NotImplementedError. The default
+bench path uses a documented deterministic arithmetic fake over the
+byte payload so the whole operator sits under the SQL oracle; the
+Spark-side plumbing — schema, batch iteration, partitioning — is
+identical in all three modes.
 """
 
 from __future__ import annotations
@@ -73,14 +75,90 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, brightness
 
 
+def _decode_bmp(payload: bytes):
+    """Pure-Python decode of uncompressed 24-bit BMP (BI_RGB,
+    BITMAPINFOHEADER) — real pixels, no libraries. Returns
+    (width, height, mean-of-RGB-bytes / 255) or None if the payload is
+    not a BMP this decoder handles (other depths/compressions fall
+    through to Pillow)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    rows = abs(height)
+    row_size = ((bpp * width + 31) // 32) * 4  # rows pad to 4 bytes
+    if len(payload) < pix_off + rows * row_size:
+        return None
+    total = 0
+    for r in range(rows):
+        start = pix_off + r * row_size
+        row = payload[start:start + width * 3]  # strip the padding
+        total += sum(row)
+    mean = total / (rows * width * 3)
+    return width, rows, mean / 255.0
+
+
+def _decode_pnm(payload: bytes):
+    """Pure-Python decode of binary PNM — P5 (grayscale) / P6 (RGB),
+    maxval <= 255, ``#`` comments allowed in the header. Returns
+    (width, height, mean-of-sample-bytes / maxval) or None."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 1 if payload[:2] == b"P5" else 3
+    pos, tokens = 2, []
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":  # comment runs to end of line
+            while pos < len(payload) and payload[pos:pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos:pos + 1].isspace():
+                pos += 1
+            tokens.append(payload[start:pos])
+    try:
+        width, height, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not 0 < maxval <= 255:
+        return None
+    pos += 1  # single whitespace after maxval, then raster
+    n = width * height * channels
+    raster = payload[pos:pos + n]
+    if len(raster) < n:
+        return None
+    return width, height, (sum(raster) / n) / maxval
+
+
 def _real_decode(payload: bytes):
+    """Real image decode. Uncompressed formats (24-bit BMP, binary
+    P5/P6 PNM) decode in pure Python — actual pixel parsing, zero
+    dependencies, exercised by the test suite in this container.
+    Anything else needs a codec: Pillow when available, else a clearly
+    marked NotImplementedError (the one remaining library gate)."""
+    for dec in (_decode_bmp, _decode_pnm):
+        out = dec(payload)
+        if out is not None:
+            return out
     try:
         import io
 
         from PIL import Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover - container has no PIL
         raise NotImplementedError(
-            "real image decode requires Pillow; use the deterministic fake"
+            "compressed-format decode requires Pillow; BMP/PNM decode "
+            "natively and the deterministic fake covers the rest"
         ) from exc
     img = Image.open(io.BytesIO(payload))  # pragma: no cover
     # brightness = mean grayscale / 255, same [0,1] range as the fake
