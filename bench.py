@@ -1,9 +1,11 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
-Each query is materialized via a count-style action (``df.count()`` after
-a no-op cache-free plan) so the full plan executes without driver-side
-result transfer dominating the measurement.
+Each query is materialized via the ``noop`` sink, which executes the
+full plan including every output column — ``count()`` would let
+Catalyst prune the entire project list of map-only queries and time a
+column-less row count instead of the operator — while keeping
+driver-side result transfer out of the measurement.
 """
 
 from __future__ import annotations
@@ -184,7 +186,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")  # keep the output stream clean
     # warm the JVM + parquet footer caches once so timings measure the
     # engine, not first-touch JIT
-    QUERIES["pricing_summary"](spark, sf_dir).count()
+    QUERIES["pricing_summary"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -194,7 +196,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):  # steady-state: min of 2 runs (JIT/footer-cache noise)
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         total += best

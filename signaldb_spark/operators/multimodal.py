@@ -133,7 +133,17 @@ def _decode_pnm(payload: bytes):
         return None
     if width <= 0 or height <= 0 or not 0 < maxval <= 255:
         return None
-    pos += 1  # single whitespace after maxval, then raster
+    # exactly one whitespace after maxval, then raster — but tolerate
+    # out-of-spec CRLF writers ('\r\n' as one delimiter; a bare '\r'
+    # followed by a raster starting 0x0A is vanishingly rarer than a
+    # Windows-written file, which would otherwise silently shift every
+    # sample by one byte)
+    if pos >= len(payload) or not payload[pos:pos + 1].isspace():
+        return None
+    if payload[pos:pos + 2] == b"\r\n":
+        pos += 2
+    else:
+        pos += 1
     n = width * height * channels
     raster = payload[pos:pos + n]
     if len(raster) < n:
@@ -142,24 +152,27 @@ def _decode_pnm(payload: bytes):
 
 
 def _real_decode(payload: bytes):
-    """Real image decode. Uncompressed formats (24-bit BMP, binary
-    P5/P6 PNM) decode in pure Python — actual pixel parsing, zero
-    dependencies, exercised by the test suite in this container.
-    Anything else needs a codec: Pillow when available, else a clearly
-    marked NotImplementedError (the one remaining library gate)."""
-    for dec in (_decode_bmp, _decode_pnm):
-        out = dec(payload)
-        if out is not None:
-            return out
+    """Real image decode. Pillow first when installed — one brightness
+    definition (ITU-R luma via ``convert("L")``) across every format.
+    Without Pillow, uncompressed formats (24-bit BMP, binary P5/P6 PNM)
+    still decode in pure Python — actual pixel parsing, zero
+    dependencies, exercised by the test suite in this container — with
+    brightness = mean of raw samples (documented divergence from luma,
+    applies only where no codec exists at all); compressed formats then
+    raise the clearly marked NotImplementedError."""
     try:
         import io
 
         from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
+    except ImportError:
+        for dec in (_decode_bmp, _decode_pnm):
+            out = dec(payload)
+            if out is not None:
+                return out
         raise NotImplementedError(
             "compressed-format decode requires Pillow; BMP/PNM decode "
             "natively and the deterministic fake covers the rest"
-        ) from exc
+        ) from None
     img = Image.open(io.BytesIO(payload))  # pragma: no cover
     # brightness = mean grayscale / 255, same [0,1] range as the fake
     gray = img.convert("L")  # pragma: no cover

@@ -548,29 +548,6 @@ def semantic_decontaminate(
     )
 
 
-def _sub_dist_scores(sub_col, cents: list[list[float]]):
-    """Array of 6dp-rounded squared euclidean distances to each literal
-    centroid — the same literal-centroid trick as ivf_assign, with L2
-    instead of cosine (PQ quantizes residual geometry, not direction)."""
-    return F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        sub_col,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-            for c in cents
-        ]
-    )
-
-
 def pq_codes(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -634,9 +611,11 @@ def _pq_cell_expr(codebooks: list[list[list[float]]]):
     one small loop regardless of m·k, where the previous unrolled
     per-centroid when-chain emitted a multi-KB Janino method that was
     recompiled for every training iteration's new literals (compile
-    time dominated the PQ pipeline at bench scale). Arithmetic contract
-    unchanged from :func:`_sub_dist_scores`: double math, 6dp-rounded
-    squared L2, ties → lowest cell via array_position-of-min."""
+    time dominated the PQ pipeline at bench scale). Arithmetic
+    contract: double math, 6dp-rounded squared L2 (the same
+    literal-centroid trick as ivf_assign, with L2 instead of cosine —
+    PQ quantizes residual geometry, not direction), ties → lowest cell
+    via array_position-of-min."""
     books = F.array(
         *[
             F.array(

@@ -87,6 +87,18 @@ def test_pnm_decodes_natively_with_header_comment(spark):
     assert abs(rows[2].brightness - (350 / 4) / 200) < 1e-6
 
 
+def test_pnm_crlf_header_does_not_shift_raster():
+    """A Windows-written P5 (CRLF after maxval) must not silently read
+    the leftover newline as the first sample."""
+    from signaldb_spark.operators.multimodal import _decode_pnm
+
+    w, h, br = _decode_pnm(b"P5\r\n2 1\r\n255\r\n" + bytes([100, 200]))
+    assert (w, h) == (2, 1)
+    assert abs(br - (300 / 2) / 255) < 1e-9
+    # truncated header (no whitespace after maxval) falls through, not garbage
+    assert _decode_pnm(b"P5\n2 1\n255") is None
+
+
 def test_real_decode_geometry_feeds_resize(spark):
     """resize_media with the real decoder: an 8x6 BMP fits into a 4x4
     box preserving aspect (4x3)."""

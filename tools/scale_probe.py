@@ -17,9 +17,10 @@ Replication preserves the semantics each operator family depends on:
   tables (customer/supplier/part/nation/region) are NOT replicated —
   at real scale facts grow, dims don't (that is what makes them the
   broadcast side).
-- ``documents`` copies salt the text with the copy index so dedup does
-  not degenerate into R-sized duplicate groups (which would measure a
-  data artifact — R^2 pair growth — not the engine).
+- ``documents`` copies rotate the letter alphabet so copies share
+  almost no shingles — otherwise dedup would (correctly) find R-sized
+  near-dup groups and the probe would measure R^2 pair-OUTPUT growth, a
+  data artifact rather than the engine.
 - ``embeddings`` copies perturb the first component so LSH/IVF buckets
   keep their load shape instead of stacking R identical vectors.
 - ``events`` copies offset ``event_id`` and ``user_id``; timestamps are
@@ -66,6 +67,11 @@ PROBE_QUERIES = [
     "text_quality",
 ]
 SUPERLINEAR_THRESHOLD = 1.3
+GEN_VERSION = 2  # bump when build_scaled's mutations change
+
+
+def _marker_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_PROBE_COMPLETE.json")
 
 
 def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
@@ -102,14 +108,25 @@ def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
             "event_id", F.col("event_id") + F.lit(i * KEY_SPAN)
         ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_SPAN)),
     )
+    # a SUFFIX salt is not enough for dedup shapes: a 3-word-shingle
+    # MinHash barely changes when only the tail shingles differ, so the
+    # R copies of each doc would form genuine R-sized near-dup groups and
+    # the probe would (correctly!) measure R^2 pair OUTPUT growth — a
+    # data artifact, not the engine. Rotating the letter alphabet per
+    # copy rewrites most words, so copies share almost no shingles.
+    alpha = "aeiounrstl"
+
+    def _rot_text(df, i):
+        if i == 0:
+            return F.col("text")
+        rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+        return F.translate(F.col("text"), alpha, rot)
+
     replicate(
         "documents",
         lambda df, i: df.withColumn(
             "doc_id", F.col("doc_id") + F.lit(i * KEY_SPAN)
-        ).withColumn(
-            "text",
-            F.col("text") if i == 0 else F.concat(F.col("text"), F.lit(f" c{i}")),
-        ),
+        ).withColumn("text", _rot_text(df, i)),
     )
     replicate(
         "embeddings",
@@ -127,13 +144,26 @@ def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
             ),
         ),
     )
+    # completion marker LAST, keyed by (src, factor, generator version):
+    # an interrupted build, a different --src, or an older generator must
+    # trigger a rebuild, not silently reuse
+    with open(_marker_path(out_dir), "w") as fh:
+        json.dump(
+            {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION},
+            fh,
+        )
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    # min of 3: queries run back-to-back in one JVM, so a single GC pause
+    # inherited from the previous query's churn can double one sample
     best = float("inf")
     for _ in range(runs):
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        # noop sink, not count(): count() lets Catalyst prune the entire
+        # project list of map-only queries, which would time a column-less
+        # row count instead of the operator being probed
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -149,7 +179,15 @@ def run_probe(
     emit = emit or (lambda s: print(s, flush=True))
     queries = all_queries()
     scaled_dir = os.path.join(out, f"x{factor}")
-    if not os.path.exists(os.path.join(scaled_dir, "lineitem.parquet")):
+    marker = _marker_path(scaled_dir)
+    expected = {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION}
+    have = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            have = json.load(fh)
+    if have != expected:
+        if os.path.isdir(scaled_dir):
+            shutil.rmtree(scaled_dir)
         build_scaled(spark, src, scaled_dir, factor)
 
     queries["pricing_summary"](spark, src).count()  # warm JIT/footers
