@@ -269,7 +269,7 @@ def q_span_event_filter(spark, sf_dir):
     where each span carries a [message, exception|log] event list; keep
     spans with an `exception` event whose linestatus attribute is O,
     then surface the matching event's fields."""
-    from .traceql.trace_ops import filter_by_event
+    from .traceql.trace_ops import explode_matching_events
 
     l = load_table(spark, sf_dir, "lineitem")
     ts = (F.col("l_orderkey") * 1000 + F.col("l_linenumber")).cast("long")
@@ -292,17 +292,15 @@ def q_span_event_filter(spark, sf_dir):
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("span_id"),
         events.alias("events"),
     )
-    matched = filter_by_event(spans, name="exception", attr_key="linestatus", attr_value="O")
-    return (
-        matched.select("trace_id", "span_id", F.explode("events").alias("e"))
-        .filter(F.col("e.name") == "exception")
-        .select(
-            "trace_id",
-            "span_id",
-            F.col("e.name").alias("event_name"),
-            F.col("e.timestamp_unix_nano").alias("event_ts"),
-            F.col("e.attributes")["linestatus"].alias("linestatus"),
-        )
+    matched = explode_matching_events(
+        spans, name="exception", attr_key="linestatus", attr_value="O"
+    )
+    return matched.select(
+        "trace_id",
+        "span_id",
+        F.col("event.name").alias("event_name"),
+        F.col("event.timestamp_unix_nano").alias("event_ts"),
+        F.col("event.attributes")["linestatus"].alias("linestatus"),
     )
 
 

@@ -129,6 +129,32 @@ def filter_by_event(
     return spans.filter(F.exists(F.col("events"), _match))
 
 
+def explode_matching_events(
+    spans: DataFrame,
+    name: str | None = None,
+    attr_key: str | None = None,
+    attr_value: str | None = None,
+) -> DataFrame:
+    """One row per MATCHING event (filter_by_event semantics plus the
+    surfaced event), evaluated in a single pass: ``explode(filter(...))``
+    reads/constructs the events array once and drops no-match spans for
+    free (explode of an empty array emits nothing) — vs. an ``exists``
+    filter followed by a re-exploding re-filter, which evaluates the
+    array expression once per pass."""
+
+    def _match(e):
+        cond = F.lit(True)
+        if name is not None:
+            cond = cond & (e["name"] == name)
+        if attr_key is not None:
+            cond = cond & (e["attributes"][attr_key] == attr_value)
+        return cond
+
+    return spans.withColumn(
+        "event", F.explode(F.filter(F.col("events"), _match))
+    ).drop("events")
+
+
 def assemble_hierarchy(spans: DataFrame) -> DataFrame:
     """Group spans into one row per trace with a sorted span array —
     the engine-side half of build_span_hierarchy (trace.rs:311-376);
