@@ -664,3 +664,44 @@ def test_trace_intrinsics_rejected_in_structural_and_aggregate(spark):
         search_traceql(spans, '{ traceDuration > 2s } >> { name = "x" }')
     with pytest.raises(TraceQLError):
         search_traceql(spans, '{ traceDuration > 2s } | count() > 1')
+
+
+def test_explode_matching_events_semantics(spark):
+    """Single-pass event surface: spans with no matching event vanish
+    (explode of an empty filtered array), spans with several matching
+    events expand to one row each, and results agree with the
+    exists-based filter_by_event on the keep-set."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.trace_ops import (
+        explode_matching_events,
+        filter_by_event,
+    )
+
+    def ev(name, ls):
+        return (name, 1, {"linestatus": ls})
+
+    spans = spark.createDataFrame(
+        [
+            ("t1", "s1", [ev("exception", "O"), ev("exception", "O")]),  # 2 matches
+            ("t1", "s2", [ev("exception", "F")]),                        # attr miss
+            ("t2", "s3", [ev("log", "O")]),                              # name miss
+            ("t2", "s4", []),                                            # no events
+            ("t2", "s5", [ev("message", "F"), ev("exception", "O")]),    # 1 match
+        ],
+        "trace_id string, span_id string, events array<struct<"
+        "name string, timestamp_unix_nano long, attributes map<string,string>>>",
+    )
+    got = explode_matching_events(
+        spans, name="exception", attr_key="linestatus", attr_value="O"
+    )
+    rows = sorted((r.span_id, r.event.name) for r in got.collect())
+    assert rows == [("s1", "exception"), ("s1", "exception"), ("s5", "exception")]
+    assert "events" not in got.columns
+    kept = {
+        r.span_id
+        for r in filter_by_event(
+            spans, name="exception", attr_key="linestatus", attr_value="O"
+        ).collect()
+    }
+    assert kept == {r for r, _ in rows}
