@@ -252,10 +252,10 @@ WITH j AS (
   JOIN nation ON c_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
 )
-SELECT r_name AS path, 1 AS depth, r_name AS frame, sum(w) AS value
+SELECT r_name AS path, 1 AS depth, r_name AS frame, CAST(sum(w) AS BIGINT) AS value
 FROM j GROUP BY r_name
 UNION ALL
-SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame, sum(w) AS value
+SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame, CAST(sum(w) AS BIGINT) AS value
 FROM j GROUP BY r_name, n_name
 """
 
@@ -546,10 +546,10 @@ p AS (
   SELECT r_name || ';' || n_name, 2, n_name, w, wc FROM j
 )
 SELECT path, depth, frame,
-       sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS base_value,
-       sum(CASE WHEN wc = 1 THEN w ELSE 0 END) AS comp_value,
-       sum(CASE WHEN wc = 1 THEN w ELSE 0 END)
-         - sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS delta
+       CAST(sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS BIGINT) AS base_value,
+       CAST(sum(CASE WHEN wc = 1 THEN w ELSE 0 END) AS BIGINT) AS comp_value,
+       CAST(sum(CASE WHEN wc = 1 THEN w ELSE 0 END)
+         - sum(CASE WHEN wc = 0 THEN w ELSE 0 END) AS BIGINT) AS delta
 FROM p GROUP BY 1, 2, 3
 """
 
@@ -951,11 +951,11 @@ WITH j AS (
   JOIN region ON n_regionkey = r_regionkey
 )
 SELECT r_name AS path, 1 AS depth, r_name AS frame,
-       sum(w) + sum(w2) AS value, sum(w2) AS value_self
+       CAST(sum(w) + sum(w2) AS BIGINT) AS value, CAST(sum(w2) AS BIGINT) AS value_self
 FROM j GROUP BY r_name
 UNION ALL
 SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame,
-       sum(w) AS value, sum(w) AS value_self
+       CAST(sum(w) AS BIGINT) AS value, CAST(sum(w) AS BIGINT) AS value_self
 FROM j GROUP BY r_name, n_name
 """
 
@@ -1133,8 +1133,8 @@ WITH spans AS (
   SELECT 'status' AS attr_key, status AS attr_value, dur FROM spans
 ), agg AS (
   SELECT attr_key, attr_value,
-         sum(CASE WHEN dur >= 25000000 THEN 1 ELSE 0 END) AS selection_count,
-         sum(CASE WHEN dur >= 25000000 THEN 0 ELSE 1 END) AS baseline_count
+         CAST(sum(CASE WHEN dur >= 25000000 THEN 1 ELSE 0 END) AS BIGINT) AS selection_count,
+         CAST(sum(CASE WHEN dur >= 25000000 THEN 0 ELSE 1 END) AS BIGINT) AS baseline_count
   FROM pairs GROUP BY 1, 2
 ), r AS (
   SELECT *, row_number() OVER (
@@ -1232,11 +1232,11 @@ WITH j AS (
   JOIN region ON n_regionkey = r_regionkey
 ), fg AS (
   SELECT r_name AS path, 1 AS depth, r_name AS frame,
-         sum(w) + sum(w2) AS value, sum(w2) AS value_self
+         CAST(sum(w) + sum(w2) AS BIGINT) AS value, CAST(sum(w2) AS BIGINT) AS value_self
   FROM j GROUP BY r_name
   UNION ALL
   SELECT r_name || ';' || n_name AS path, 2 AS depth, n_name AS frame,
-         sum(w) AS value, sum(w) AS value_self
+         CAST(sum(w) AS BIGINT) AS value, CAST(sum(w) AS BIGINT) AS value_self
   FROM j GROUP BY r_name, n_name
 ), kept AS (
   SELECT * FROM (
@@ -1245,7 +1245,7 @@ WITH j AS (
   ) WHERE rk <= 10
 ), child_sums AS (
   SELECT substr(path, 1, length(path) - length(frame) - 1) AS path,
-         sum(value) AS kept_children
+         CAST(sum(value) AS BIGINT) AS kept_children
   FROM kept WHERE depth > 1 GROUP BY 1
 ), others AS (
   SELECT k.path || ';other' AS path, k.depth + 1 AS depth, 'other' AS frame,

@@ -660,7 +660,7 @@ survivors AS (
 )
 SELECT source,
        count(*) AS kept_docs,
-       sum(bpe_tokens) AS sum_bpe_tokens,
+       CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
        floor((sum(CAST(round(quality_score * 1e6, 0) AS BIGINT)) / count(*) / 1e6) * 1e6 + 0.5) / 1e6 AS avg_quality
 FROM survivors WHERE rn = 1
 GROUP BY source ORDER BY source
@@ -941,7 +941,7 @@ dropped AS (SELECT id FROM labels WHERE id <> cluster_id),
 final AS (
   SELECT * FROM clean WHERE doc_id NOT IN (SELECT id FROM dropped)
 )
-SELECT source, count(*) AS kept_docs, sum(bpe_tokens) AS sum_bpe_tokens,
+SELECT source, count(*) AS kept_docs, CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe_tokens,
        floor((sum(CAST(round(quality_score * 1e6, 0) AS BIGINT)) / count(*) / 1e6) * 1e6 + 0.5) / 1e6 AS avg_quality
 FROM final GROUP BY source ORDER BY source
 """

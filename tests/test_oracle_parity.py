@@ -78,6 +78,39 @@ def test_query_matches_oracle(spark, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+# Types the driver's hasher is known to handle. HUGEINT/UHUGEINT (DuckDB's
+# int128 result of sum() over integers) hash differently driver-side even
+# when values are identical (round-3 finding: priority_shipmode,
+# curation_pipeline, curation_full failed hash with identical values).
+# Keep every oracle's output inside this envelope.
+_DRIVER_SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN", "DATE", "TIMESTAMP", "TIMESTAMP WITH TIME ZONE",
+    "TIMESTAMP_NS",
+}
+
+
+def _type_ok(t: str) -> bool:
+    return t in _DRIVER_SAFE_TYPES or t.startswith("DECIMAL")
+
+
+def test_no_hugeint_in_oracle_output_types():
+    """Every oracle's DuckDB result schema must avoid HUGEINT/UHUGEINT —
+    the one type class proven to break the driver's value hash. This
+    catches oracle typing drift in pytest, before the driver samples it."""
+    con = _duck(SF_DIR)
+    offenders = {}
+    for name, sql in entry_mod.oracle_sql().items():
+        types = [str(t) for t in con.sql(sql).types]
+        bad = [t for t in types if not _type_ok(t)]
+        if bad:
+            offenders[name] = types
+    assert not offenders, (
+        f"oracles with driver-unsafe output types (wrap integer sums in "
+        f"CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
