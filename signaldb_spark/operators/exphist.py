@@ -198,7 +198,17 @@ def exphist_rate_quantile(
     standard merge in :func:`exphist_quantile` then nets per-bucket
     deltas (dropping zero nets), downscales mixed scales, and folds the
     CDF exactly as the at-rest path does. Steps with a single datapoint
-    (no increase) net to zero mass and return no row."""
+    (no increase) net to zero mass and return no row.
+
+    Counter resets: a cumulative histogram restarting within a step
+    makes last − first negative, which would corrupt the CDF. Following
+    Prometheus's reset detection (the observation count or zero count
+    decreasing step-over-step means a reset), such steps drop the
+    subtrahend and use the LAST datapoint's distribution as the
+    increase — the post-reset value, exactly what rate() reports after
+    a reset. (Detection is count-based; a reset that coincidentally
+    ends with a higher total count than pre-reset is indistinguishable
+    from growth without per-bucket history, same as Prometheus.)"""
     keep = [scale_col, zero_col, pos_offset_col, pos_counts_col]
     if neg_offset_col is not None and neg_offset_col in df.columns:
         keep += [neg_offset_col, neg_counts_col]
@@ -213,8 +223,33 @@ def exphist_rate_quantile(
         F.max_by(snap, F.col(ts_col)).alias("_last"),
         F.min_by(snap, F.col(ts_col)).alias("_first"),
     )
+
+    def _tot(side: str) -> Column:
+        t = F.col(f"{side}.{zero_col}").cast("double") + F.coalesce(
+            F.aggregate(
+                F.col(f"{side}.{pos_counts_col}"),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            F.lit(0.0),
+        )
+        if neg_counts_col is not None and neg_offset_col in df.columns:
+            t = t + F.coalesce(
+                F.aggregate(
+                    F.col(f"{side}.{neg_counts_col}"),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                F.lit(0.0),
+            )
+        return t
+
+    reset = (_tot("_last") < _tot("_first")) | (
+        F.col(f"_last.{zero_col}") < F.col(f"_first.{zero_col}")
+    )
+    ends = ends.withColumn("_reset", reset)
     last = ends.select("bucket", *series_cols, F.col("_last.*"))
-    neg = ends.select(
+    neg = ends.filter(~F.col("_reset")).select(
         "bucket",
         *series_cols,
         F.col(f"_first.{scale_col}").alias(scale_col),

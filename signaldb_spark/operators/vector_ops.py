@@ -35,20 +35,32 @@ COMPARE = {
 }
 
 
-def _prep(left: DataFrame, right: DataFrame, on: list[str], extras: tuple = ()):
-    l = left.withColumnRenamed("value", "_lv")
-    r = right.withColumnRenamed("value", "_rv").select(*on, *extras, "_rv")
+def _prep(
+    left: DataFrame, right: DataFrame, on: list[str], extras: tuple = (),
+    extras_side: str = "right",
+):
+    # extras ride whichever operand is the group-modifier "one" side:
+    # group_left copies labels from the right operand (extras_side="right",
+    # the default — left keeps its full many-side identity), group_right
+    # mirrors it (extras_side="left" — right keeps full identity).
+    if extras_side == "right":
+        l = left.withColumnRenamed("value", "_lv")
+        r = right.withColumnRenamed("value", "_rv").select(*on, *extras, "_rv")
+    else:
+        l = left.withColumnRenamed("value", "_lv").select(*on, *extras, "_lv")
+        r = right.withColumnRenamed("value", "_rv")
     return l, r
 
 
 def vector_arith(
-    left: DataFrame, right: DataFrame, op: str, on: list[str], extras: tuple = ()
+    left: DataFrame, right: DataFrame, op: str, on: list[str], extras: tuple = (),
+    extras_side: str = "right",
 ) -> DataFrame:
     """a OP b: inner-join on (bucket, labels); unmatched series dropped
     (join_binary, logs.rs:988-1015). ``on`` already includes 'bucket'.
-    ``extras`` are group_left(lbl, …) columns copied from the one side
-    onto result rows — they ride the join."""
-    l, r = _prep(left, right, on, extras)
+    ``extras`` are group_left/right(lbl, …) columns copied from the one
+    side onto result rows — they ride the join."""
+    l, r = _prep(left, right, on, extras, extras_side)
     return l.join(r, on, "inner").withColumn("value", ARITH[op](F.col("_lv"), F.col("_rv"))).drop(
         "_lv", "_rv"
     )
@@ -56,11 +68,11 @@ def vector_arith(
 
 def vector_compare(
     left: DataFrame, right: DataFrame, op: str, on: list[str],
-    bool_mode: bool = False, extras: tuple = (),
+    bool_mode: bool = False, extras: tuple = (), extras_side: str = "right",
 ) -> DataFrame:
     """a CMP b: filter left by comparison, or 1/0 with ``bool``
     (join_compare, logs.rs:1016-1046). ``extras`` as in vector_arith."""
-    l, r = _prep(left, right, on, extras)
+    l, r = _prep(left, right, on, extras, extras_side)
     j = l.join(r, on, "inner")
     cond = COMPARE[op](F.col("_lv"), F.col("_rv"))
     if bool_mode:

@@ -753,6 +753,7 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
     # group_left/group_right many-to-one: reduce the "one" side to a
     # single deterministic row per join key (max value)
     extras: tuple = ()
+    extras_side = "right"
     if b.group_side == "left":
         # group_left(lbl, …): the named labels are COPIED from the one
         # (right) side onto result rows; the extras pick the same row
@@ -773,7 +774,24 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
             ],
         )
     elif b.group_side == "right":
-        left = left.groupBy(*on).agg(F.max("value").alias("value"))
+        # group_right(lbl, …): exact mirror — the one side is the LEFT
+        # operand; its named labels are copied onto the many (right)
+        # side's rows, which keep their full identity
+        extras_side = "left"
+        routed = _route_labels(b.group_labels, left.columns)
+        extras = tuple(c for c in routed if c not in on)
+        one = left.select(*on, *extras, "value")
+        left = one.groupBy(*on).agg(
+            F.max("value").alias("value"),
+            *[
+                F.max_by(c, F.struct(F.col("value"), F.col(c))).alias(c)
+                for c in extras
+            ],
+        )
+        right = right_full.drop("metric_name") if "metric_name" in right_full.columns else right_full
+        for c in extras:
+            if c in right.columns:
+                right = right.drop(c)
     if b.op in ("and", "or", "unless"):
         if b.group_side is not None:
             # Prometheus: "no grouping allowed for set operations"
@@ -781,9 +799,10 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
         return vo.vector_logical(left, right, b.op, on)
     if b.op in vo.COMPARE:
         return vo.vector_compare(
-            left, right, b.op, on, bool_mode=b.bool_mode, extras=extras
+            left, right, b.op, on, bool_mode=b.bool_mode, extras=extras,
+            extras_side=extras_side,
         )
-    return vo.vector_arith(left, right, b.op, on, extras=extras)
+    return vo.vector_arith(left, right, b.op, on, extras=extras, extras_side=extras_side)
 
 
 def _fold(b: BinOp) -> float:

@@ -136,6 +136,7 @@ def evaluate_rule_group(
         ctx = PromCtx(
             spark, t("metrics_gauge"), t("metrics_sum"), t("metrics_histogram"),
             start, end, step_seconds, tenant=tenant, dataset=dataset,
+            exphist=t("metrics_exponential_histogram"),
         )
         if "record" in rule:
             record_rule(

@@ -722,6 +722,67 @@ def test_exphist_rate_quantile_single_sample_step_empty(spark):
     assert out == []
 
 
+def test_exphist_rate_quantile_counter_reset(spark):
+    """A cumulative histogram that RESETS within the step (total count
+    drops) must not produce negative nets — the increase falls back to
+    the last datapoint's post-reset distribution (Prometheus reset
+    semantics). first: 10 obs in i=1; last (post-reset): 4 obs in i=2.
+    Without detection, last−first = {i=1: −10, i=2: +4} → corrupt.
+    With it, delta = {i=2: 4}; p50 rank 2 → 4 + (8−4)·(2/4) = 6.0."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    rows = [
+        ("s", "2024-01-01 00:10:00", 0, 0, 1, [10]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 2, [4]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "service_name string, ts string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts array<long>",
+    ).select(
+        "service_name", F.to_timestamp("ts").alias("timestamp"), "scale",
+        "zero_count", "positive_offset", "positive_bucket_counts",
+    )
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(6.0)
+
+
+def test_exphist_rate_quantile_zero_count_reset(spark):
+    """Reset detected via the zero bucket alone: total count grew but
+    zero_count dropped — still a reset (counts are cumulative, no
+    individual bucket may decrease)."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    rows = [
+        ("s", "2024-01-01 00:10:00", 0, 5, 1, [1]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 1, [8]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "service_name string, ts string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts array<long>",
+    ).select(
+        "service_name", F.to_timestamp("ts").alias("timestamp"), "scale",
+        "zero_count", "positive_offset", "positive_bucket_counts",
+    )
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    # post-reset distribution: 8 obs in i=1 → (2,4]; p50 rank 4 →
+    # 2 + (4−2)·(4/8) = 3.0
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(3.0)
+
+
 def test_histogram_quantile_unions_both_kinds(spark):
     """One query text serves both histogram kinds: explicit-bounds and
     exponential series union by name."""
@@ -795,6 +856,52 @@ def test_group_left_copies_labels(spark):
     assert len(out) == 2
     assert all(r.label_team == "core" for r in out)
     assert sorted(r.value for r in out) == [10.0, 20.0]
+
+
+def test_group_right_copies_labels(spark):
+    """group_right(team): mirror of group_left — the one side is the
+    LEFT operand; its named label rides onto every many-side (right)
+    result row, which keeps its own identity labels (ADVICE round-3:
+    group_right labels were silently dropped)."""
+    from pyspark.sql import functions as F
+
+    import signaldb_spark.promql.lowering as low
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.parser import parse
+
+    one = spark.createDataFrame(
+        [(0, "info", "a", "core", 2.0)],
+        "b long, metric_name string, service_name string, label_team string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_team", "value")
+    many = spark.createDataFrame(
+        [(0, "m", "a", "i1", 10.0), (0, "m", "a", "i2", 20.0)],
+        "b long, metric_name string, service_name string, label_instance string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             "label_instance", "value")
+    expr = parse('info * on (service_name) group_right(team) m')
+    assert expr.group_side == "right" and expr.group_labels == ("team",)
+    orig = low.eval_expr
+
+    def fake_eval(c, e):
+        if isinstance(e, VectorSelector):
+            return one if e.metric == "info" else many
+        return orig(c, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = low.PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                          "2024-01-01 01:00:00", 3600)
+        out = low._eval_binop(ctx, expr).collect()
+    finally:
+        low.eval_expr = orig
+    assert len(out) == 2
+    # copied label from the one (left) side present on every row
+    assert all(r.label_team == "core" for r in out)
+    # many-side identity label preserved
+    assert sorted(r.label_instance for r in out) == ["i1", "i2"]
+    # value = left op right = 2.0 * many
+    assert sorted(r.value for r in out) == [20.0, 40.0]
 
 
 def test_rule_group_sequential_visibility_and_alerts(spark, tmp_path_factory):
