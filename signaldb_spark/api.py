@@ -113,6 +113,35 @@ class SignalDBAPI:
         return {"status": "success",
                 "data": [r.asDict() for r in prom_series(ctx, selector).collect()]}
 
+    # GET /prometheus/api/v1/query_exemplars (endpoints/promql.rs — the
+    # reference stores exemplars but exposes no read-back endpoint; this
+    # is the metrics→traces pivot Prometheus ships)
+
+    def prom_query_exemplars(self, start, end) -> dict:
+        from .promql.lowering import query_exemplars
+
+        hist = self.session.table("metrics_histogram")
+        if hist is None:
+            return error_envelope("no histogram table for tenant", "not_found")
+        try:
+            by_series: dict[tuple, list] = {}
+            for r in query_exemplars(hist).collect():
+                d = r.asDict()
+                key = (d["metric_name"], d["service_name"])
+                by_series.setdefault(key, []).append({
+                    "labels": {"traceID": d["trace_id"], "spanID": d["span_id"]},
+                    "value": str(d["value"]),
+                    "timestamp": d["time_unix_nano"] / 1e9,
+                })
+            data = [
+                {"seriesLabels": {"__name__": m, "service_name": s},
+                 "exemplars": sorted(ex, key=lambda e: e["timestamp"])}
+                for (m, s), ex in sorted(by_series.items())
+            ]
+            return {"status": "success", "data": data}
+        except Exception as e:
+            return error_envelope(str(e))
+
     def prom_metadata(self) -> dict:
         from .promql.discovery import metric_metadata
 
@@ -188,6 +217,39 @@ class SignalDBAPI:
                     {k: v for k, v in r.asDict().items() if v is not None}
                     for r in log_series(logs).collect()
                 ]}
+
+    # GET /loki/api/v1/index/volume — per-stream ingested bytes over the
+    # window (Loki volume API; beyond the reference's endpoint set)
+
+    def loki_index_volume(self) -> dict:
+        from pyspark.sql import functions as F
+
+        logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
+        vols = (
+            logs.groupBy("service_name")
+            .agg(F.sum(F.octet_length("body")).cast("long").alias("volume"))
+            .orderBy(F.col("volume").desc(), "service_name")
+            .collect()
+        )
+        return {"status": "success", "data": {
+            "resultType": "vector",
+            "result": [
+                {"metric": {"service_name": r["service_name"]},
+                 "value": str(r["volume"])}
+                for r in vols
+            ],
+        }}
+
+    # GET /loki/api/v1/tail — live tail (reference's #380, unimplemented
+    # there); returns the UNSTARTED streaming DataFrame so the transport
+    # layer picks the sink (websocket push, memory for tests)
+
+    def loki_tail(self, source_dir: str, query: str = '{service_name=~".+"}'):
+        from .streaming.ingest import tail_logs
+
+        return tail_logs(self.spark, source_dir, query)
 
     # ------------------------------------------------------ Tempo surface
     # GET /tempo/api/traces/<id> (endpoints/tempo.rs)
@@ -294,6 +356,38 @@ class SignalDBAPI:
             key=lambda r: (r["depth"], r["path"]),
         )
         return {"flamegraph": rows}
+
+    # GET /pyroscope/profile-types, /label-names, /label-values
+    # (endpoints/pyroscope.rs → profile.rs:234-380)
+
+    def pyroscope_profile_types(self) -> dict:
+        from .operators.profiles import profile_types
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        return {"profileTypes": [r[0] for r in profile_types(profiles).collect()]}
+
+    def pyroscope_label_names(self) -> dict:
+        from .operators.profiles import profile_label_names
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        return {"names": [r[0] for r in profile_label_names(profiles).collect()]}
+
+    def pyroscope_label_values(self, label: str) -> dict:
+        from .operators.profiles import profile_label_values
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        try:
+            return {"names": [
+                r[0] for r in profile_label_values(profiles, label).collect()
+            ]}
+        except Exception as e:
+            return error_envelope(str(e))
 
     # ------------------------------------------------------- IR + raw SQL
 
