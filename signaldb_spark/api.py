@@ -42,6 +42,18 @@ def _minus_seconds(t, secs: float):
     return t - dt.timedelta(seconds=secs)
 
 
+def _epoch_nanos(t) -> int:
+    """ISO string / datetime / epoch-seconds number → epoch nanoseconds
+    (naive timestamps are UTC, matching the session timezone pin)."""
+    if isinstance(t, str):
+        t = dt.datetime.fromisoformat(t)
+    if isinstance(t, dt.datetime):
+        if t.tzinfo is None:
+            t = t.replace(tzinfo=dt.timezone.utc)
+        return int(t.timestamp() * 1e9)
+    return int(float(t) * 1e9)
+
+
 class SignalDBAPI:
     """Per-(tenant, dataset) query surface — the TenantCatalog-scoped
     router dispatch."""
@@ -117,15 +129,35 @@ class SignalDBAPI:
     # reference stores exemplars but exposes no read-back endpoint; this
     # is the metrics→traces pivot Prometheus ships)
 
-    def prom_query_exemplars(self, start, end) -> dict:
-        from .promql.lowering import query_exemplars
+    def prom_query_exemplars(self, start, end, query: str | None = None) -> dict:
+        from pyspark.sql import functions as F
+
+        from .promql.ast import VectorSelector
+        from .promql.lowering import matcher_expr, query_exemplars
 
         hist = self.session.table("metrics_histogram")
         if hist is None:
             return error_envelope("no histogram table for tenant", "not_found")
         try:
+            if query is not None:
+                from .promql.parser import parse as promql_parse
+
+                sel = promql_parse(query)
+                if not isinstance(sel, VectorSelector):
+                    return error_envelope(
+                        "query_exemplars takes a series selector", "bad_data"
+                    )
+                if sel.metric:
+                    hist = hist.filter(F.col("metric_name") == sel.metric)
+                for m in sel.matchers:
+                    hist = hist.filter(matcher_expr(hist, m))
+            # Prometheus contract: only exemplars inside [start, end].
+            lo, hi = _epoch_nanos(start), _epoch_nanos(end)
+            ex = query_exemplars(hist).filter(
+                F.col("time_unix_nano").between(lo, hi)
+            )
             by_series: dict[tuple, list] = {}
-            for r in query_exemplars(hist).collect():
+            for r in ex.collect():
                 d = r.asDict()
                 key = (d["metric_name"], d["service_name"])
                 by_series.setdefault(key, []).append({
@@ -221,23 +253,21 @@ class SignalDBAPI:
     # GET /loki/api/v1/index/volume — per-stream ingested bytes over the
     # window (Loki volume API; beyond the reference's endpoint set)
 
-    def loki_index_volume(self) -> dict:
-        from pyspark.sql import functions as F
+    def loki_index_volume(self, start=None, end=None) -> dict:
+        from .logql.lowering import index_volume
 
         logs = self.session.table("logs")
         if logs is None:
             return error_envelope("no logs table for tenant", "not_found")
-        vols = (
-            logs.groupBy("service_name")
-            .agg(F.sum(F.octet_length("body")).cast("long").alias("volume"))
-            .orderBy(F.col("volume").desc(), "service_name")
-            .collect()
+        vols = sorted(
+            index_volume(logs, start, end).collect(),
+            key=lambda r: (-r["volume_bytes"], r["service_name"]),
         )
         return {"status": "success", "data": {
             "resultType": "vector",
             "result": [
                 {"metric": {"service_name": r["service_name"]},
-                 "value": str(r["volume"])}
+                 "value": str(r["volume_bytes"])}
                 for r in vols
             ],
         }}
@@ -360,31 +390,47 @@ class SignalDBAPI:
     # GET /pyroscope/profile-types, /label-names, /label-values
     # (endpoints/pyroscope.rs → profile.rs:234-380)
 
-    def pyroscope_profile_types(self) -> dict:
-        from .operators.profiles import profile_types
+    def _profiles_discovery(self):
+        """Adapt the at-rest PROFILES schema (sample_type_type/
+        sample_type_unit/attributes) to the discovery operators'
+        surface (sample_type/sample_unit/profile_attributes)."""
+        from pyspark.sql import functions as F
 
         profiles = self.session.table("profiles")
         if profiles is None:
+            return None
+        return profiles.select(
+            F.col("sample_type_type").alias("sample_type"),
+            F.col("sample_type_unit").alias("sample_unit"),
+            "service_name",
+            F.col("attributes").alias("profile_attributes"),
+        )
+
+    def pyroscope_profile_types(self) -> dict:
+        from .operators.profiles import profile_types
+
+        view = self._profiles_discovery()
+        if view is None:
             return error_envelope("no profiles table for tenant", "not_found")
-        return {"profileTypes": [r[0] for r in profile_types(profiles).collect()]}
+        return {"profileTypes": [r[0] for r in profile_types(view).collect()]}
 
     def pyroscope_label_names(self) -> dict:
         from .operators.profiles import profile_label_names
 
-        profiles = self.session.table("profiles")
-        if profiles is None:
+        view = self._profiles_discovery()
+        if view is None:
             return error_envelope("no profiles table for tenant", "not_found")
-        return {"names": [r[0] for r in profile_label_names(profiles).collect()]}
+        return {"names": [r[0] for r in profile_label_names(view).collect()]}
 
     def pyroscope_label_values(self, label: str) -> dict:
         from .operators.profiles import profile_label_values
 
-        profiles = self.session.table("profiles")
-        if profiles is None:
+        view = self._profiles_discovery()
+        if view is None:
             return error_envelope("no profiles table for tenant", "not_found")
         try:
             return {"names": [
-                r[0] for r in profile_label_values(profiles, label).collect()
+                r[0] for r in profile_label_values(view, label).collect()
             ]}
         except Exception as e:
             return error_envelope(str(e))

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .logql import lowering
 from .logql.lowering import LowerCtx, query_metric
 
 START, END = "2024-01-01 00:00:00", "2024-02-01 00:00:00"
@@ -231,17 +232,11 @@ ORACLES["logql_series"] = ORACLE_LOGQL_SERIES
 
 
 def q_logql_volume(spark, sf_dir):
-    """/loki/api/v1/index/volume analog — per-stream ingested bytes over
-    the window (Loki's index volume API; beyond the reference's endpoint
-    set). One partial+final aggregation on the stream key; bytes =
-    UTF-8 length of the body, the same accounting bytes_over_time uses."""
-    v = _logs_view(spark, sf_dir)
-    return (
-        v.groupBy(F.col("service_name"))
-        .agg(F.sum(F.octet_length("body")).cast("long").alias("volume_bytes"),
-             F.count(F.lit(1)).alias("n_lines"))
-        .orderBy("service_name")
-    )
+    """/loki/api/v1/index/volume — the oracle-gated aggregation the
+    loki_index_volume façade route also runs (lowering.index_volume).
+    Unbounded here so the oracle covers the whole table; the endpoint
+    passes the request window."""
+    return lowering.index_volume(_logs_view(spark, sf_dir))
 
 
 ORACLE_LOGQL_VOLUME = """

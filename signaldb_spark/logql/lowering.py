@@ -387,6 +387,31 @@ def _apply_output_stages(df: DataFrame, sel: LogSelector) -> DataFrame:
     return df
 
 
+def index_volume(logs: DataFrame, start=None, end=None) -> DataFrame:
+    """Loki GET /loki/api/v1/index/volume analog: per-stream ingested
+    bytes (+ line count) over the inclusive [start, end] window (the
+    Loki volume API is range-scoped; beyond the reference's endpoint
+    set). Bytes = UTF-8 octet length of the body — the same accounting
+    bytes_over_time uses.
+
+    One partial+final aggregation on the short stream key; the body
+    column never shuffles (map-side octet_length + partial sum). With
+    no bounds the whole table is aggregated (admin/backfill use)."""
+    df = logs
+    if start is not None and end is not None:
+        df = ts.time_window(df, "timestamp", start, end)
+    elif start is not None:
+        df = df.filter(F.col("timestamp") >= start)
+    elif end is not None:
+        df = df.filter(F.col("timestamp") <= end)
+    return (
+        df.groupBy("service_name")
+        .agg(F.sum(F.octet_length("body")).cast("long").alias("volume_bytes"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("service_name")
+    )
+
+
 def query_logs(
     ctx: LowerCtx, sel: LogSelector, limit: int = 100, direction: str = "backward"
 ) -> DataFrame:

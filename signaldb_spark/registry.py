@@ -23,12 +23,9 @@ _MODULES = [
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
-# 1-3 (CORRECTNESS_r01/r02/r03.json). The gate samples a prefix of the dict,
+# 1-4 (CORRECTNESS_r01..r04.json). The gate samples a prefix of the dict,
 # so never-sampled queries are ordered FIRST to maximize cumulative driver
-# evidence across rounds; these go last. The three r3 hash-fails
-# (priority_shipmode, curation_pipeline, curation_full — HUGEINT oracle
-# typing, now cast to BIGINT) are deliberately NOT listed so the driver
-# re-samples and re-proves them.
+# evidence across rounds; these go last.
 _DRIVER_VERIFIED = frozenset({
     # rounds 1-2
     "absent", "bottomk_per_bucket", "bytes_over_time", "calendar",
@@ -60,22 +57,30 @@ _DRIVER_VERIFIED = frozenset({
     "logql_labels", "logql_label_values", "logql_series", "logql_volume",
     "logql_patterns", "logql_regexp_stage", "logql_pattern_stage",
     "logql_vector_fill", "logql_approx_topk",
-})
-
-
-# Force these to the very front of the never-verified block: the 8 queries
-# whose oracles were re-typed (HUGEINT→BIGINT) in round 4 need a driver row
-# this round to close the round-3 hash-fail finding.
-_PRIORITY = (
+    # round 4 (50 green rows in CORRECTNESS_r04.json)
     "priority_shipmode", "curation_pipeline", "curation_full",
     "flamegraph_rollup", "flamegraph_diff", "profile_self_time",
     "trace_metrics_compare", "flamegraph_truncate",
-)
+    "logql_pattern_filter", "logql_error_label", "logql_rate_counter",
+    "logql_unwrap_duration", "logql_offset", "promql_last",
+    "promql_sum_rate", "promql_topk_avg", "promql_clamp_compare",
+    "promql_attr_matcher", "promql_histogram_quantile",
+    "promql_histogram_fraction", "promql_predict_linear",
+    "promql_holt_winters", "promql_histogram_count_sum", "promql_labels",
+    "promql_label_values", "promql_series", "metrics_rollup_avg",
+    "promql_mad", "exphist_quantile", "summary_quantile", "label_stats",
+    "recording_rule_eval", "exphist_quantile_signed", "histogram_le_series",
+    "slo_burn_rate", "query_exemplars", "promql_hq_exemplars",
+    "promql_offset", "promql_at_pin", "promql_timestamp",
+    "promql_time_vector", "metrics_rollup_cascade", "promql_trig",
+    "promql_mod_pi", "promql_ts_of", "promql_first_over_time",
+    "promql_limitk", "promql_limit_ratio", "promql_hist_stddev",
+    "promql_hist_avg",
+})
 
 
 def _reorder(d):
-    out = {k: d[k] for k in _PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in _DRIVER_VERIFIED and k not in out})
+    out = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
     out.update({k: v for k, v in d.items() if k in _DRIVER_VERIFIED})
     return out
 

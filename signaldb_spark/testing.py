@@ -180,11 +180,22 @@ def gen_metrics(n_series_points: int = 360, seed: int = 42):
                             break
                     else:
                         counts[-1] += 1
+                # One exemplar per datapoint in the at-rest JSON shape
+                # (sources/otlp._exemplars_json) so the read-back
+                # endpoint has rows to pivot to traces.
+                ex_nanos = int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+                ex_id = rng.getrandbits(63)
+                exemplars = (
+                    '[{"time_unix_nano": %d, "value": %.6f, '
+                    '"trace_id": "%032x", "span_id": "%016x"}]'
+                    % (ex_nanos, samples[0], ex_id, ex_id & 0xFFFFFFFFFFFF)
+                )
+                htail = (*tail[:6], exemplars, *tail[7:])
                 hist.append(
                     (
                         *common,
                         "http_request_duration_ms",
-                        *tail,
+                        *htail,
                         len(samples),
                         float(sum(samples)),
                         float(min(samples)),

@@ -124,3 +124,108 @@ def test_ir_and_sql(api):
     assert sql["status"] == "success" and sql["data"][0]["n"] > 0
     bad = api.ir_query({"version": 99, "from": "logs"})
     assert bad["status"] == "error"
+
+
+def test_prom_query_exemplars_windowed(api):
+    """/api/v1/query_exemplars: Prometheus contract — only exemplars
+    inside [start, end], optionally restricted by a series selector."""
+    full = api.prom_query_exemplars(START, END)
+    assert full["status"] == "success" and full["data"]
+    series = full["data"][0]
+    assert series["seriesLabels"]["__name__"] == "http_request_duration_ms"
+    assert series["exemplars"][0]["labels"]["traceID"]
+    n_full = sum(len(s["exemplars"]) for s in full["data"])
+
+    narrow = api.prom_query_exemplars(START, "2024-01-01 00:10:00")
+    n_narrow = sum(len(s["exemplars"]) for s in narrow["data"])
+    assert 0 < n_narrow < n_full
+    lo, hi = 1704067200e9, (1704067200 + 600) * 1e9
+    assert all(
+        lo <= e["timestamp"] * 1e9 <= hi
+        for s in narrow["data"] for e in s["exemplars"]
+    )
+
+    disjoint = api.prom_query_exemplars("2024-01-02 00:00:00", "2024-01-02 01:00:00")
+    assert disjoint["status"] == "success" and disjoint["data"] == []
+
+    one = api.prom_query_exemplars(
+        START, END, query='http_request_duration_ms{service_name="api"}'
+    )
+    assert one["data"] and all(
+        s["seriesLabels"]["service_name"] == "api" for s in one["data"]
+    )
+    none = api.prom_query_exemplars(START, END, query='no_such_metric')
+    assert none["data"] == []
+    bad = api.prom_query_exemplars(START, END, query='sum(up)')
+    assert bad["status"] == "error"
+
+
+def test_loki_index_volume_windowed(api):
+    """/loki/api/v1/index/volume: range-scoped per-stream byte volume,
+    served by the same oracle-gated aggregation as logql_volume."""
+    full = api.loki_index_volume()
+    assert full["status"] == "success"
+    result = full["data"]["result"]
+    assert full["data"]["resultType"] == "vector" and result
+    vols = [int(r["value"]) for r in result]
+    assert vols == sorted(vols, reverse=True) and all(v > 0 for v in vols)
+
+    windowed = api.loki_index_volume(START, "2024-01-01 00:30:00")
+    wtotal = sum(int(r["value"]) for r in windowed["data"]["result"])
+    assert 0 < wtotal < sum(vols)
+
+    empty = api.loki_index_volume("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    assert empty["data"]["result"] == []
+
+
+def test_loki_tail_route(api, spark, tmp_path):
+    """/loki/api/v1/tail: the façade returns the unstarted streaming
+    DataFrame with the selector pipeline applied; memory sink e2e."""
+    import json as _json
+
+    src = tmp_path / "tail_src"
+    src.mkdir()
+
+    def rec(svc, body):
+        return _json.dumps({
+            "resourceLogs": [{
+                "resource": {"attributes": [
+                    {"key": "service.name", "value": {"stringValue": svc}}]},
+                "scopeLogs": [{"logRecords": [{
+                    "timeUnixNano": "1704067200000000000",
+                    "severityText": "INFO",
+                    "body": {"stringValue": body},
+                    "attributes": [],
+                }]}],
+            }]
+        })
+
+    (src / "a.json").write_text(
+        "\n".join([rec("api", "boom error"), rec("web", "boom error"),
+                   rec("api", "fine")])
+    )
+    tail = api.loki_tail(str(src), '{service_name="api"} |= "boom"')
+    assert tail.isStreaming
+    q = (
+        tail.writeStream.format("memory").queryName("api_tail_sink")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM api_tail_sink").collect()
+    assert len(rows) == 1 and rows[0].service_name == "api"
+
+
+def test_pyroscope_discovery_routes(api):
+    """/pyroscope/profile-types, /label-names, /label-values
+    (endpoints/pyroscope.rs -> profile.rs:234-380 envelopes)."""
+    types = api.pyroscope_profile_types()
+    assert types["profileTypes"] and all(":" in t for t in types["profileTypes"])
+
+    names = api.pyroscope_label_names()
+    assert "service_name" in names["names"]
+
+    values = api.pyroscope_label_values("service_name")
+    assert values["names"] and all(isinstance(v, str) for v in values["names"])
+
+    bad = api.pyroscope_label_values("__nope__")
+    assert bad.get("status") == "error" or bad.get("names") == []
