@@ -432,7 +432,9 @@ def test_remote_write_wire_decode_e2e(spark):
     payload = snappy_compress_literal(encode_write_request(req))
     raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
     decoded = decode_write_requests(raw)
-    assert _json.loads(decoded.first().value) == req
+    got = _json.loads(decoded.first().value)
+    assert [ts.pop("histograms") for ts in got["timeseries"]] == [[], []]
+    assert got == req
     routed = flatten_remote_write(decoded)
     sums = routed["metrics_sum"].collect()
     gauges = routed["metrics_gauge"].collect()
@@ -1266,3 +1268,83 @@ def test_live_tail_applies_selector_pipeline(spark, tmp_path):
     rows = spark.sql("SELECT * FROM tail_sink").collect()
     assert len(rows) == 1
     assert rows[0].service_name == "api" and "500" in rows[0].body
+
+
+def test_remote_write_native_histogram_wire_roundtrip(spark):
+    """Prometheus >=2.40 native histograms (TimeSeries.histograms=4):
+    span/delta wire decode -> OTLP exponential-histogram rows. Checks
+    the index convention shift (OTLP offset = prom index - 1), delta
+    accumulation across span gaps, and a negative-side first span."""
+    from signaldb_spark.sources.remote_write import (
+        decode_write_requests,
+        encode_write_request,
+        flatten_remote_write,
+        snappy_compress_literal,
+    )
+
+    req = {"timeseries": [{
+        "labels": [{"name": "__name__", "value": "rpc_latency_seconds"},
+                   {"name": "job", "value": "api"},
+                   {"name": "le_zone", "value": "eu"}],
+        "histograms": [{
+            "count_int": 22, "sum": 55.5, "schema": 3,
+            "zero_threshold": 1e-128, "zero_count_int": 2,
+            "positive_spans": [{"offset": 1, "length": 2},
+                               {"offset": 3, "length": 2}],
+            "positive_deltas": [5, -2, 1, 3],
+            "negative_spans": [{"offset": -2, "length": 2}],
+            "negative_deltas": [1, 1],
+            "timestamp": 1704067200000,
+        }],
+    }]}
+    payload = snappy_compress_literal(encode_write_request(req))
+    raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    out = flatten_remote_write(decode_write_requests(raw))
+    rows = out["metrics_exponential_histogram"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.metric_name == "rpc_latency_seconds" and r.service_name == "api"
+    assert r.scale == 3 and r["count"] == 22 and r.zero_count == 2
+    # prom positive indices [1,2] + [6,7]; deltas 5,-2,1,3 -> 5,3,4,7
+    assert r.positive_offset == 0
+    assert r.positive_bucket_counts == [5, 3, 0, 0, 0, 4, 7]
+    assert r.negative_offset == -3 and r.negative_bucket_counts == [1, 2]
+    assert r.aggregation_temporality == 2 and r.sum == 55.5
+    assert r.attributes["le_zone"] == "eu" and "job" not in r.attributes
+    assert str(r.timestamp).startswith("2024-01-01 00:00:00")
+
+
+def test_remote_write_float_histogram_and_quantile_gate(spark):
+    """Float-histogram decode (absolute packed counts) + the full loop:
+    remote_write wire -> exponential-histogram rows -> exphist_quantile
+    returns a median inside the crossing bucket's bounds."""
+    from signaldb_spark.operators.exphist import exphist_quantile
+    from signaldb_spark.sources.remote_write import (
+        decode_write_requests,
+        flatten_remote_write,
+        encode_write_request,
+        snappy_compress_literal,
+    )
+
+    # scale 0 (base 2): prom idx 1 -> (1,2], idx 2 -> (2,4], idx 3 -> (4,8]
+    req = {"timeseries": [{
+        "labels": [{"name": "__name__", "value": "req_size_bytes"},
+                   {"name": "job", "value": "web"}],
+        "histograms": [{
+            "count_float": 10.0, "sum": 30.0, "schema": 0,
+            "zero_count_float": 0.0,
+            "positive_spans": [{"offset": 1, "length": 3}],
+            "positive_counts": [2.0, 6.0, 2.0],
+            "timestamp": 1704067200000,
+        }],
+    }]}
+    payload = snappy_compress_literal(encode_write_request(req))
+    raw = spark.createDataFrame([(bytearray(payload),)], "payload binary")
+    hist = flatten_remote_write(decode_write_requests(raw))[
+        "metrics_exponential_histogram"
+    ]
+    assert hist.first().positive_bucket_counts == [2, 6, 2]
+    q = exphist_quantile(hist, 0.5, ["metric_name"]).collect()
+    assert len(q) == 1
+    # rank 5 of 10 lands in the middle bucket (2, 4]
+    assert 2.0 < q[0].value <= 4.0
