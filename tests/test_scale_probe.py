@@ -103,3 +103,48 @@ def test_run_probe_summary_shape(spark, scaled_dir, tmp_path):
         assert q["t_1x_sec"] > 0 and q["t_2x_sec"] > 0 and q["efficiency"] > 0
     # every emitted line is one parseable JSON object
     assert [json.loads(l) for l in lines][-1] == summary
+
+
+def test_skew_build_concentrates_hot_keys(spark, tmp_path_factory):
+    """Skew tier: ~50% of lineitem rows land in one giant trace and ~50%
+    of events on one hot event_type — without collapsing span ids into
+    a quadratic join blowup."""
+    from scale_probe import HOT_TRACE_KEY
+
+    out = str(tmp_path_factory.mktemp("probe_skew") / "x2skew")
+    build_scaled(spark, SF, out, factor=2, skew=True)
+
+    li = load_table(spark, out, "lineitem")
+    total = li.count()
+    hot = li.filter(F.col("l_orderkey") == HOT_TRACE_KEY).count()
+    assert hot == total // 2
+    # span ids inside the hot trace keep roughly the base duplicate
+    # rate (composite-key derivation), not a handful of mega-duplicates
+    base_li = load_table(spark, SF, "lineitem")
+    base_distinct = (
+        base_li.select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("s")
+        ).distinct().count()
+    )
+    hot_distinct = (
+        li.filter(F.col("l_orderkey") == HOT_TRACE_KEY)
+        .select(F.col("l_linenumber").alias("s")).distinct().count()
+    )
+    assert hot_distinct >= base_distinct
+
+    ev = load_table(spark, out, "events")
+    hot_ev = ev.filter(F.col("event_type") == "hot_event").count()
+    assert hot_ev == ev.count() // 2
+
+
+def test_run_probe_skew_tier_shape(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("probe_skew_run"))
+    lines = []
+    summary = run_probe(
+        spark, src=SF, out=out, factor=2,
+        probe_queries=["salted_agg"], emit=lines.append, skew=True,
+    )
+    assert summary["skew"] is True
+    assert os.path.isdir(os.path.join(out, "x2skew"))
+    assert set(summary["queries"]) == {"salted_agg"}
+    assert summary["verdict"] in ("linear", "SUPERLINEAR")

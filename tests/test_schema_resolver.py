@@ -1,0 +1,163 @@
+"""Versioned-schema resolver (schemas/resolver.py — the
+schema_parser.rs + schemas.toml machinery as data): inheritance,
+position-preserving renames, computed additions, Spark-schema
+rendering with label/attr_tokens appendage, and live-DataFrame
+migration between versions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from signaldb_spark.schemas.resolver import SchemaRegistry, builtin_registry
+from signaldb_spark.schemas.signal_schemas import (
+    LOGS,
+    METRICS_GAUGE,
+    METRICS_SUM,
+    TRACES,
+)
+
+REG = builtin_registry()
+
+
+# ------------------------------------------------- at-rest parity pins
+# signal_schemas.py stays the source of truth; the registry must render
+# byte-identical StructTypes so the two can never drift apart.
+
+def test_traces_v2_renders_the_at_rest_schema():
+    got = REG.resolve("traces", "v2").to_spark_schema(labels=["environment"])
+    assert got == TRACES
+
+
+def test_logs_v1_renders_the_at_rest_schema():
+    assert REG.resolve("logs", "v1").to_spark_schema() == LOGS
+
+
+def test_metrics_render_the_at_rest_schemas():
+    assert REG.resolve("metrics_gauge", "v1").to_spark_schema() == METRICS_GAUGE
+    assert REG.resolve("metrics_sum", "v1").to_spark_schema() == METRICS_SUM
+
+
+# ------------------------------------------------------ resolution rules
+
+def test_rename_preserves_position_and_inheritance_order():
+    v1 = REG.resolve("traces", "v1")
+    v2 = REG.resolve("traces", "v2")
+    assert v1.field_names()[3] == "name"
+    assert v2.field_names()[3] == "span_name"  # renamed in place
+    # additions append after every inherited field
+    assert v2.field_names()[-3:] == ["timestamp", "date_day", "hour"]
+    assert v2.partition_by == ["date_day", "hour"]
+
+
+def test_computed_fields_surface():
+    v2 = REG.resolve("traces", "v2")
+    computed = {f.name: f.computed for f in v2.computed_fields()}
+    assert computed == {
+        "timestamp": "start_time_unix_nano",
+        "date_day": "date_from_timestamp",
+        "hour": "hour_from_timestamp",
+    }
+
+
+def test_current_version_reads_metadata():
+    assert REG.current_version("traces") == "v2"
+    assert REG.current_version("logs") == "v1"
+
+
+def test_unknown_table_and_version_raise():
+    with pytest.raises(ValueError, match="unknown table"):
+        REG.resolve("nope")
+    with pytest.raises(ValueError, match="unknown version"):
+        REG.resolve("traces", "v99")
+
+
+def test_attr_tokens_variant_appends_optional_list_column():
+    got = REG.resolve("metrics_gauge").to_spark_schema(attr_tokens=True)
+    last = got.fields[-1]
+    assert last.name == "attr_tokens" and last.nullable
+    assert got.fields[:-1] == list(METRICS_GAUGE.fields)
+
+
+# ---------------------------------------------------------- TOML parsing
+
+FAKE_TOML = """
+[metadata]
+current_traces_version = "v3"
+
+[traces.v1]
+fields = [
+    { name = "trace_id", type = "string", required = true },
+    { name = "name", type = "string", required = true },
+    { name = "start_time_unix_nano", type = "uint64", required = true },
+]
+
+[traces.v2]
+inherits = "v1"
+field_renames = [ { from = "name", to = "span_name" } ]
+field_additions = [
+    { name = "timestamp", type = "timestamp_ns", required = true, computed = "start_time_unix_nano" },
+]
+
+[traces.v3]
+inherits = "v2"
+field_renames = [ { from = "span_name", to = "operation_name" } ]
+field_additions = [
+    { name = "date_day", type = "date", required = true, computed = "date_from_timestamp" },
+    { name = "region", type = "string" },
+]
+partition_by = ["date_day"]
+"""
+
+
+def test_toml_registry_resolves_transitive_inheritance():
+    reg = SchemaRegistry.from_toml(FAKE_TOML)
+    assert reg.current_version("traces") == "v3"
+    v3 = reg.resolve("traces")
+    assert v3.field_names() == [
+        "trace_id", "operation_name", "start_time_unix_nano",
+        "timestamp", "date_day", "region",
+    ]
+    assert v3.partition_by == ["date_day"]
+    sch = v3.to_spark_schema()
+    assert [f.dataType.simpleString() for f in sch.fields] == [
+        "string", "string", "bigint", "timestamp", "date", "string",
+    ]
+
+
+# ------------------------------------------------------ golden migration
+
+def test_migrate_v1_dataframe_to_v3(spark):
+    """The golden upgrade: a frame written at traces-v1 reads back at
+    v3 — renames replayed in inheritance order, computed additions
+    derived, plain additions arriving as typed NULLs."""
+    reg = SchemaRegistry.from_toml(FAKE_TOML)
+    df = spark.createDataFrame(
+        [("t1", "GET /", 1704067200_000_000_000)],
+        "trace_id string, name string, start_time_unix_nano long",
+    )
+    out = reg.migrate(df, "traces", "v1", "v3")
+    assert out.columns == [
+        "trace_id", "operation_name", "start_time_unix_nano",
+        "timestamp", "date_day", "region",
+    ]
+    row = out.first()
+    assert row.operation_name == "GET /"
+    assert row.timestamp == dt.datetime(2024, 1, 1, 0, 0)
+    assert row.date_day == dt.date(2024, 1, 1)
+    assert row.region is None
+
+
+def test_migrate_rejects_non_ancestor(spark):
+    reg = SchemaRegistry.from_toml(FAKE_TOML)
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="does not inherit"):
+        reg.migrate(df, "traces", "v3", "v2")
+
+
+def test_migrate_noop_when_versions_equal(spark):
+    reg = SchemaRegistry.from_toml(FAKE_TOML)
+    df = spark.createDataFrame([("t1",)], "trace_id string")
+    assert reg.migrate(df, "traces", "v3", "v3").columns == ["trace_id"]

@@ -66,15 +66,34 @@ PROBE_QUERIES = [
     "trace_descendant_spans",
     "text_quality",
 ]
+# Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
+# salted window top-k, unique-composite-key self-join, partial-agg
+# per-trace verdict). The skewed build puts ~50% of rows on one hot
+# key; the same 1.3 threshold applies against uniform 1x.
+SKEW_PROBE_QUERIES = [
+    "salted_agg",
+    "logql_approx_topk",
+    "service_graph",
+    "trace_tail_sample",
+]
 SUPERLINEAR_THRESHOLD = 1.3
-GEN_VERSION = 2  # bump when build_scaled's mutations change
+GEN_VERSION = 3  # bump when build_scaled's mutations change
+HOT_TRACE_KEY = 50_000_000  # beyond every offset orderkey at any factor
 
 
 def _marker_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_PROBE_COMPLETE.json")
 
 
-def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
+def build_scaled(spark, src: str, out_dir: str, factor: int, skew: bool = False) -> None:
+    """Uniform replication, or (``skew=True``) the same volume with the
+    copies ``i >= factor // 2`` collapsed onto one hot key: lineitem
+    copies land in a single giant trace (l_orderkey = HOT_TRACE_KEY,
+    l_linenumber re-derived from the source (orderkey, linenumber) so
+    span ids inside the hot trace keep the base duplicate rate instead
+    of colliding into a quadratic join blowup), and events copies land
+    on one hot ``event_type`` stream. ~50% of all rows share the hot
+    key — the 100 TB hot-tenant/hot-metric failure mode."""
     os.makedirs(out_dir, exist_ok=True)
     for t in DIMS:
         shutil.copyfile(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
@@ -90,24 +109,39 @@ def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
             f"{out_dir}/{table}.parquet"
         )
 
-    replicate(
-        "lineitem",
-        lambda df, i: df.withColumn(
-            "l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_SPAN)
-        ),
-    )
+    hot_half = factor // 2  # copies >= hot_half carry the hot key
+
+    def _lineitem(df, i):
+        df = df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_SPAN))
+        if skew and i >= hot_half:
+            # unique-ish line numbers within the giant trace: derived
+            # from the source composite key + a per-copy offset
+            df = df.withColumn(
+                "l_linenumber",
+                (
+                    (F.col("l_orderkey") - F.lit(i * KEY_SPAN)) * 10
+                    + F.col("l_linenumber")
+                    + F.lit(i * 2_000_000)
+                ).cast("int"),
+            ).withColumn("l_orderkey", F.lit(HOT_TRACE_KEY).cast("long"))
+        return df
+
+    def _events(df, i):
+        df = df.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * KEY_SPAN)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_SPAN))
+        if skew and i >= hot_half:
+            df = df.withColumn("event_type", F.lit("hot_event"))
+        return df
+
+    replicate("lineitem", _lineitem)
     replicate(
         "orders",
         lambda df, i: df.withColumn(
             "o_orderkey", F.col("o_orderkey") + F.lit(i * KEY_SPAN)
         ),
     )
-    replicate(
-        "events",
-        lambda df, i: df.withColumn(
-            "event_id", F.col("event_id") + F.lit(i * KEY_SPAN)
-        ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_SPAN)),
-    )
+    replicate("events", _events)
     # a SUFFIX salt is not enough for dedup shapes: a 3-word-shingle
     # MinHash barely changes when only the tail shingles differ, so the
     # R copies of each doc would form genuine R-sized near-dup groups and
@@ -144,12 +178,13 @@ def build_scaled(spark, src: str, out_dir: str, factor: int) -> None:
             ),
         ),
     )
-    # completion marker LAST, keyed by (src, factor, generator version):
-    # an interrupted build, a different --src, or an older generator must
-    # trigger a rebuild, not silently reuse
+    # completion marker LAST, keyed by (src, factor, skew, generator
+    # version): an interrupted build, a different --src, or an older
+    # generator must trigger a rebuild, not silently reuse
     with open(_marker_path(out_dir), "w") as fh:
         json.dump(
-            {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION},
+            {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION,
+             "skew": skew},
             fh,
         )
 
@@ -168,19 +203,11 @@ def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
     return best
 
 
-def run_probe(
-    spark,
-    src: str = DEFAULT_SRC,
-    out: str = "/tmp/signaldb_scale_probe",
-    factor: int = 16,
-    probe_queries: "list[str] | None" = None,
-    emit=None,
-) -> dict:
-    emit = emit or (lambda s: print(s, flush=True))
-    queries = all_queries()
-    scaled_dir = os.path.join(out, f"x{factor}")
+def _ensure_scaled(spark, src: str, out: str, factor: int, skew: bool) -> str:
+    scaled_dir = os.path.join(out, f"x{factor}" + ("skew" if skew else ""))
     marker = _marker_path(scaled_dir)
-    expected = {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION}
+    expected = {"src": os.path.abspath(src), "factor": factor, "gen": GEN_VERSION,
+                "skew": skew}
     have = None
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -188,13 +215,29 @@ def run_probe(
     if have != expected:
         if os.path.isdir(scaled_dir):
             shutil.rmtree(scaled_dir)
-        build_scaled(spark, src, scaled_dir, factor)
+        build_scaled(spark, src, scaled_dir, factor, skew=skew)
+    return scaled_dir
+
+
+def run_probe(
+    spark,
+    src: str = DEFAULT_SRC,
+    out: str = "/tmp/signaldb_scale_probe",
+    factor: int = 16,
+    probe_queries: "list[str] | None" = None,
+    emit=None,
+    skew: bool = False,
+) -> dict:
+    emit = emit or (lambda s: print(s, flush=True))
+    queries = all_queries()
+    scaled_dir = _ensure_scaled(spark, src, out, factor, skew)
 
     queries["pricing_summary"](spark, src).count()  # warm JIT/footers
 
     results = {}
     worst = 0.0
-    for name in probe_queries or PROBE_QUERIES:
+    default = SKEW_PROBE_QUERIES if skew else PROBE_QUERIES
+    for name in probe_queries or default:
         t1 = time_query(queries[name], spark, src)
         tr = time_query(queries[name], spark, scaled_dir)
         eff = tr / (factor * t1)
@@ -210,6 +253,7 @@ def run_probe(
     summary = {
         "metric": "scale_probe",
         "factor": factor,
+        "skew": skew,
         "worst_efficiency": round(worst, 3),
         "threshold": SUPERLINEAR_THRESHOLD,
         "verdict": verdict,
@@ -224,12 +268,26 @@ def main() -> int:
     ap.add_argument("--factor", type=int, default=16)
     ap.add_argument("--src", default=DEFAULT_SRC)
     ap.add_argument("--out", default="/tmp/signaldb_scale_probe")
+    ap.add_argument(
+        "--skew", action="store_true",
+        help="also run the hot-key tier (50%% of rows on one key)",
+    )
+    ap.add_argument(
+        "--skew-only", action="store_true",
+        help="run only the hot-key tier",
+    )
     args = ap.parse_args()
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    summary = run_probe(spark, args.src, args.out, args.factor)
-    return 0 if summary["verdict"] == "linear" else 1
+    summaries = []
+    if not args.skew_only:
+        summaries.append(run_probe(spark, args.src, args.out, args.factor))
+    if args.skew or args.skew_only:
+        summaries.append(
+            run_probe(spark, args.src, args.out, args.factor, skew=True)
+        )
+    return 0 if all(s["verdict"] == "linear" for s in summaries) else 1
 
 
 if __name__ == "__main__":
