@@ -32,10 +32,12 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def structural_search(spans: DataFrame, sq) -> DataFrame:
+def structural_search(spans: DataFrame, sq, depth_bound: int | None = None) -> DataFrame:
     """Lower a parsed :class:`~.parser.StructuralQuery` against a span
     table (the flatten_otlp_traces schema): fold each side's predicates
-    with AND via trace_ops.predicate_expr, then dispatch on the op."""
+    with AND via trace_ops.predicate_expr, then dispatch on the op.
+    ``depth_bound``: documented max parent-chain depth for the corpus;
+    None measures it (see descendant_spans_routed)."""
     from .trace_ops import predicate_expr
 
     def _fold(preds) -> Column:
@@ -50,7 +52,9 @@ def structural_search(spans: DataFrame, sq) -> DataFrame:
     if op == ">":
         return child_spans(spans, left, right, negate=neg)
     if op == ">>":
-        return descendant_spans(spans, left, right, negate=neg)
+        return descendant_spans_routed(
+            spans, left, right, negate=neg, depth_bound=depth_bound
+        )
     if op == "~":
         return sibling_spans(spans, left, right, negate=neg)
     raise ValueError(f"unknown structural op {sq.op!r}")
@@ -171,6 +175,79 @@ def descendant_spans(
         agg.select("trace_id", F.explode(matched).alias("_s"))
         .select("trace_id", *[F.col(f"_s.{c}").alias(c) for c in data_cols])
         .select(*spans.columns)
+    )
+
+
+JVM_UNROLL_CAP = 16  # descendant_spans' default expression-unroll depth
+
+
+def corpus_exceeds_depth(spans: DataFrame, cap: int = JVM_UNROLL_CAP) -> bool:
+    """Exact routing probe: does ANY span have a parent chain longer
+    than ``cap``? Chases ``cap`` hops through the same per-trace
+    ``map_from_entries`` parent map the JVM unroll uses and checks
+    whether anything is still un-rooted — one groupBy on trace_id (the
+    identical shuffle the routed query performs next) over three short
+    columns, reduced to a single boolean."""
+    agg = (
+        spans.select("trace_id", "span_id", "parent_span_id")
+        .groupBy("trace_id")
+        .agg(F.collect_list(F.struct("span_id", "parent_span_id")).alias("_ss"))
+        .withColumn(
+            "_pm",
+            F.map_from_entries(
+                F.transform(
+                    F.col("_ss"), lambda s: F.struct(s["span_id"], s["parent_span_id"])
+                )
+            ),
+        )
+    )
+
+    def _deep(s) -> Column:
+        cur = s["span_id"]
+        for _ in range(cap):
+            cur = F.element_at(F.col("_pm"), cur)
+        return cur.isNotNull()
+
+    row = (
+        agg.select(F.exists("_ss", _deep).alias("_d")).agg(F.max("_d")).first()
+    )
+    return bool(row[0])
+
+
+def descendant_spans_routed(
+    spans: DataFrame,
+    ancestor_cond: Column,
+    descendant_cond: Column,
+    negate: bool = False,
+    depth_bound: int | None = None,
+) -> DataFrame:
+    """``>>`` with measured depth routing: the JVM depth-unrolled chase
+    (descendant_spans) whenever the corpus' parent chains fit the
+    unroll cap, the Arrow closure only when they measurably don't — so
+    the Python fallback cannot be selected by accident at scale, and a
+    deep corpus cannot be silently truncated at 16 hops.
+
+    ``depth_bound`` short-circuits the probe with a documented bound
+    (e.g. an SDK-enforced max span depth); None runs
+    :func:`corpus_exceeds_depth` — one extra trace_id-shuffled job,
+    scan-shaped, before the query itself."""
+    if depth_bound is not None:
+        use_jvm = depth_bound <= JVM_UNROLL_CAP
+    else:
+        use_jvm = not corpus_exceeds_depth(spans)
+    if use_jvm:
+        return descendant_spans(
+            spans, ancestor_cond, descendant_cond, negate=negate
+        )
+    pos = descendant_spans_closure(spans, ancestor_cond, descendant_cond)
+    if not negate:
+        return pos
+    # anti form over the closure: descendant-matching spans minus the
+    # positive matches, joined on the span identity
+    return spans.filter(descendant_cond).join(
+        pos.select("trace_id", "span_id").distinct(),
+        ["trace_id", "span_id"],
+        "leftanti",
     )
 
 

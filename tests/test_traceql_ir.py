@@ -705,3 +705,97 @@ def test_explode_matching_events_semantics(spark):
         ).collect()
     }
     assert kept == {r for r, _ in rows}
+
+
+# ------------------------------------------------- depth-routed ``>>``
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def deep_spans(spark):
+    """A single 21-deep parent chain: span i's parent is i-1; the root
+    is 'api', the leaf (depth 20) is an error — the JVM 16-hop unroll
+    cannot see the root from the leaf."""
+    rows = [("d1", 0, None, "api", "Ok")]
+    rows += [
+        ("d1", i, i - 1, "mid" if i < 20 else "db",
+         "Error" if i == 20 else "Ok")
+        for i in range(1, 21)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "trace_id string, span_id long, parent_span_id long, "
+        "span_name string, status_code string",
+    )
+
+
+def test_corpus_exceeds_depth(tree_spans, deep_spans):
+    from signaldb_spark.traceql.structural import corpus_exceeds_depth
+
+    assert corpus_exceeds_depth(tree_spans) is False
+    assert corpus_exceeds_depth(deep_spans) is True
+    assert corpus_exceeds_depth(deep_spans, cap=25) is False
+
+
+def test_routed_picks_jvm_for_shallow_corpus(tree_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import descendant_spans_routed
+
+    anc, desc = F.col("span_name") == "api", F.col("status_code") == "Error"
+    out = descendant_spans_routed(tree_spans, anc, desc)
+    assert "FlatMapGroupsInPandas" not in _plan(out)  # JVM chase chosen
+    assert sorted((r.trace_id, r.span_id) for r in out.collect()) == [
+        ("t1", 4), ("t2", 8)
+    ]
+
+
+def test_routed_picks_closure_for_deep_corpus(deep_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import (
+        descendant_spans,
+        descendant_spans_routed,
+    )
+
+    anc, desc = F.col("span_name") == "api", F.col("status_code") == "Error"
+    # the unrouted JVM unroll silently truncates at 16 hops
+    assert descendant_spans(deep_spans, anc, desc).count() == 0
+    out = descendant_spans_routed(deep_spans, anc, desc)
+    assert "FlatMapGroupsInPandas" in _plan(out)  # Arrow closure chosen
+    assert [(r.trace_id, r.span_id) for r in out.collect()] == [("d1", 20)]
+
+
+def test_routed_deep_negate_and_depth_bound(deep_spans):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.structural import descendant_spans_routed
+
+    anc = F.col("span_name") == "nonexistent"
+    desc = F.col("status_code") == "Error"
+    # deep corpus + anti form: leaf has no matching ancestor -> kept
+    out = descendant_spans_routed(deep_spans, anc, desc, negate=True)
+    assert [(r.trace_id, r.span_id) for r in out.collect()] == [("d1", 20)]
+    # a documented depth bound short-circuits the probe and pins JVM
+    pinned = descendant_spans_routed(
+        deep_spans, anc, desc, negate=True, depth_bound=8
+    )
+    assert "FlatMapGroupsInPandas" not in _plan(pinned)
+
+
+def test_search_traceql_routes_structural_through_depth_router(spark, sf_dir=None):
+    """Plan pin for the bench corpus: the lineitem-as-spans tree (depth
+    <= 3) must take the JVM path end-to-end through search_traceql."""
+    from signaldb_spark.bench_trace_ir import _tree_spans
+    from signaldb_spark.traceql.parser import parse_traceql_expr
+    from signaldb_spark.traceql.structural import structural_search
+
+    spans = _tree_spans(spark, "/root/testdata/sf0.001").withColumnRenamed(
+        "flag", "span_name"
+    ).withColumnRenamed("status", "status_code")
+    sq = parse_traceql_expr('{ name = "R" } >> { status = error }')
+    out = structural_search(spans, sq)
+    assert "FlatMapGroupsInPandas" not in _plan(out)
