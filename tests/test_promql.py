@@ -1070,3 +1070,87 @@ def test_group_left_label_survives_comparison(spark):
             )
     finally:
         low.eval_expr = orig
+
+
+def _eval_with_frames(spark, expr_str, frames):
+    """Lower expr_str with VectorSelector evals substituted by the
+    given {metric: DataFrame} frames."""
+    import signaldb_spark.promql.lowering as low
+    from signaldb_spark.promql.ast import VectorSelector
+    from signaldb_spark.promql.parser import parse
+
+    expr = parse(expr_str)
+    orig = low.eval_expr
+
+    def fake_eval(c, e):
+        if isinstance(e, VectorSelector) and e.metric in frames:
+            return frames[e.metric]
+        return orig(c, e)
+
+    low.eval_expr = fake_eval
+    try:
+        ctx = low.PromCtx(spark, None, None, None, "2024-01-01 00:00:00",
+                          "2024-01-01 01:00:00", 3600)
+        return low._eval_binop(ctx, expr).collect()
+    finally:
+        low.eval_expr = orig
+
+
+def _series(spark, metric, rows, label):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(0, metric, "a", lv, v) for lv, v in rows],
+        f"b long, metric_name string, service_name string, label_{label} string, value double",
+    ).select(F.col("b").alias("bucket"), "metric_name", "service_name",
+             f"label_{label}", "value")
+
+
+def test_compare_group_left_filters_many_keeps_many_value(spark):
+    """Comparison + group_left (prometheus engine.go vectorElemBinop /
+    resultMetric): the many (left) side is filtered row-by-row by
+    `left CMP right`; survivors keep the many side's labels AND value,
+    with group_left(team) copied from the one side."""
+    many = _series(spark, "m", [("i1", 10.0), ("i2", 0.5)], "instance")
+    one = _series(spark, "info", [("core", 1.0)], "team")
+    out = _eval_with_frames(
+        spark, 'm > on (service_name) group_left(team) info',
+        {"m": many, "info": one},
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert r.label_instance == "i1" and r.label_team == "core"
+    assert r.value == 10.0  # many-side (written-left) value survives
+
+
+def test_compare_group_right_filters_many_keeps_written_left_value(spark):
+    """Comparison + group_right: the many side is the RIGHT operand —
+    result rows are the many-side series whose `left CMP right` (in the
+    WRITTEN order) holds; they keep the many side's identity labels but
+    carry the written-order LEFT value (prometheus vectorElemBinop
+    returns the written lhs float after the one-to-many swap-back)."""
+    one = _series(spark, "info", [("core", 2.0)], "team")
+    many = _series(spark, "m", [("i1", 10.0), ("i2", 1.0)], "instance")
+    out = _eval_with_frames(
+        spark, 'info < on (service_name) group_right(team) m',
+        {"m": many, "info": one},
+    )
+    # 2.0 < 10.0 keeps i1; 2.0 < 1.0 drops i2
+    assert len(out) == 1
+    r = out[0]
+    assert r.label_instance == "i1" and r.label_team == "core"
+    assert r.value == 2.0  # written-order left value, NOT the many value
+
+
+def test_compare_bool_group_right_keeps_every_many_row(spark):
+    """bool mode + group_right: nothing is filtered — every many-side
+    row returns 1.0/0.0, still carrying its identity + copied labels."""
+    one = _series(spark, "info", [("core", 2.0)], "team")
+    many = _series(spark, "m", [("i1", 10.0), ("i2", 1.0)], "instance")
+    out = _eval_with_frames(
+        spark, 'info < bool on (service_name) group_right(team) m',
+        {"m": many, "info": one},
+    )
+    got = {r.label_instance: r.value for r in out}
+    assert got == {"i1": 1.0, "i2": 0.0}
+    assert all(r.label_team == "core" for r in out)
