@@ -201,14 +201,20 @@ def exphist_rate_quantile(
     (no increase) net to zero mass and return no row.
 
     Counter resets: a cumulative histogram restarting within a step
-    makes last − first negative, which would corrupt the CDF. Following
-    Prometheus's reset detection (the observation count or zero count
-    decreasing step-over-step means a reset), such steps drop the
-    subtrahend and use the LAST datapoint's distribution as the
-    increase — the post-reset value, exactly what rate() reports after
-    a reset. (Detection is count-based; a reset that coincidentally
-    ends with a higher total count than pre-reset is indistinguishable
-    from growth without per-bucket history, same as Prometheus.)"""
+    makes last − first negative, which would corrupt the CDF. Reset
+    detection mirrors Prometheus's native-histogram rules: total
+    observation count decreasing, zero count decreasing, ANY individual
+    bucket decreasing (offset-aligned element-wise compare of the first
+    vs last bucket arrays, when the scales match), or the scale
+    INCREASING (SDKs only lower resolution as range grows; a finer
+    scale means a restart). A legitimate scale decrease merges buckets
+    and is not a reset. Detected resets drop the subtrahend and use the
+    LAST datapoint's distribution as the increase — the post-reset
+    value. NOTE the documented undercount: with >2 datapoints in a
+    step, the pre-reset increase (first → pre-reset peak) is discarded,
+    so the step's rate can be lower than Prometheus, which sums
+    reset-corrected adjacent deltas; first/last snapshots cannot see
+    the peak."""
     keep = [scale_col, zero_col, pos_offset_col, pos_counts_col]
     if neg_offset_col is not None and neg_offset_col in df.columns:
         keep += [neg_offset_col, neg_counts_col]
@@ -244,8 +250,37 @@ def exphist_rate_quantile(
             )
         return t
 
-    reset = (_tot("_last") < _tot("_first")) | (
-        F.col(f"_last.{zero_col}") < F.col(f"_first.{zero_col}")
+    def _any_bucket_decreased(off_col: str, counts_col: str) -> Column:
+        """Offset-aligned element-wise first > last on one side's bucket
+        arrays: index i of _first maps to i + (first_off − last_off) in
+        _last (0-based F.get is OOB-null-safe); a bucket missing from
+        _last counts as 0."""
+        shift = F.col(f"_first.{off_col}") - F.col(f"_last.{off_col}")
+        arr_l = F.col(f"_last.{counts_col}")
+        return F.coalesce(
+            F.exists(
+                F.transform(
+                    F.col(f"_first.{counts_col}"),
+                    lambda x, i: x
+                    > F.coalesce(
+                        F.when(i + shift >= 0, F.get(arr_l, i + shift)),
+                        F.lit(0.0),
+                    ),
+                ),
+                lambda b: b,
+            ),
+            F.lit(False),
+        )
+
+    scale_l, scale_f = F.col(f"_last.{scale_col}"), F.col(f"_first.{scale_col}")
+    bucket_dec = _any_bucket_decreased(pos_offset_col, pos_counts_col)
+    if neg_offset_col is not None and neg_offset_col in df.columns:
+        bucket_dec = bucket_dec | _any_bucket_decreased(neg_offset_col, neg_counts_col)
+    reset = (
+        (_tot("_last") < _tot("_first"))
+        | (F.col(f"_last.{zero_col}") < F.col(f"_first.{zero_col}"))
+        | (scale_l > scale_f)  # resolution can only rise after a restart
+        | ((scale_l == scale_f) & bucket_dec)
     )
     ends = ends.withColumn("_reset", reset)
     last = ends.select("bucket", *series_cols, F.col("_last.*"))

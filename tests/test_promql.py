@@ -1154,3 +1154,76 @@ def test_compare_bool_group_right_keeps_every_many_row(spark):
     got = {r.label_instance: r.value for r in out}
     assert got == {"i1": 1.0, "i2": 0.0}
     assert all(r.label_team == "core" for r in out)
+
+
+def _exphist_frame(spark, rows):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "service_name string, ts string, scale int, zero_count long, "
+        "positive_offset int, positive_bucket_counts array<long>",
+    ).select(
+        "service_name", F.to_timestamp("ts").alias("timestamp"), "scale",
+        "zero_count", "positive_offset", "positive_bucket_counts",
+    )
+
+
+def test_exphist_reset_detected_by_individual_bucket_decrease(spark):
+    """Total count GREW (10 → 12) and zero_count held, but bucket i=1
+    shrank 10 → 2: still a reset (no cumulative bucket may decrease).
+    The increase is the last snapshot alone: {i=1: 2, i=2: 10}; p50
+    rank 6 lands in i=2 → 4 + (8−4)·(4/10) = 5.6."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        ("s", "2024-01-01 00:10:00", 0, 0, 1, [10]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 1, [2, 10]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(5.6)
+
+
+def test_exphist_reset_detected_by_scale_increase(spark):
+    """Scale rising 0 → 2 means a restart (SDKs only lower resolution);
+    growth-shaped counts must not be netted across the scale change."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        ("s", "2024-01-01 00:10:00", 0, 0, 1, [4]),
+        ("s", "2024-01-01 00:50:00", 2, 0, 1, [8]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    # reset -> last snapshot alone at scale 2: bucket idx 1 covers
+    # (base^1, base^2], base = 2^(2^-2); p50 interpolates inside it
+    assert len(out) == 1
+    base = 2 ** (2 ** -2.0)
+    lo, hi = base, base * base
+    assert lo < out[0].value <= hi
+
+
+def test_exphist_legit_downscale_is_not_a_reset(spark):
+    """Scale falling 1 → 0 is the SDK merging buckets as range grows —
+    NOT a reset; the quantile nets first (downscaled) against last.
+    first at scale 1: {i=2: 4} → downscaled to scale 0 bucket i=1;
+    last at scale 0: {i=1: 10}. delta = {i=1: 6} at scale 0; p50
+    rank 3 → 2 + (4−2)·(3/6) = 3.0."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        ("s", "2024-01-01 00:10:00", 1, 0, 2, [4]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 1, [10]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(3.0)
