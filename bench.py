@@ -162,6 +162,17 @@ HEADLINE = [
     "trace_not_child",
     "trace_duration_filter",
     "corpus_report",
+    "event_funnel",
+    "user_retention",
+    "asof_nearest",
+    "event_rolling_window",
+    "zscore_anomaly",
+    "time_weighted_avg",
+    "text_entropy",
+    "unigram_logprob",
+    "dedup_containment",
+    "emb_mips_topk",
+    "logql_ip_filter",
     "logql_offset",
     "emb_ivf_pq",
 ]

@@ -525,3 +525,50 @@ WHERE bucket BETWEEN epoch('2024-01-01 00:00:00'::TIMESTAMP)
 
 QUERIES["logql_offset"] = q_logql_offset
 ORACLES["logql_offset"] = ORACLE_LOGQL_OFFSET
+
+
+def q_logql_ip_filter(spark, sf_dir):
+    """Loki ``ip()`` matcher (log-queries docs; line-filter form
+    ``|= ip("10.3.0.0/16")``): IPv4s are extracted from the line and
+    compared NUMERICALLY against the CIDR range (lowering.line_ip_hit)
+    — string prefix matching would accept 10.30.*. The view synthesizes
+    a client IP from the event identity so both engines derive the same
+    corpus."""
+    from .logql.parser import parse as logql_parse
+    from .logql.lowering import line_filter_expr
+
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_id",
+        F.col("event_type").alias("service_name"),
+        F.concat(
+            F.lit("client=10."), (F.col("user_id") % 64).cast("string"),
+            F.lit("."), (F.col("event_id") % 256).cast("string"),
+            F.lit(".1 msg=ok"),
+        ).alias("body"),
+    )
+    sel = logql_parse('{service_name=~".+"} |= ip("10.3.0.0/16")')
+    out = v.filter(line_filter_expr(sel.line_filters[0]))
+    return out.select("event_id", "service_name", "body").orderBy("event_id")
+
+
+ORACLE_LOGQL_IP_FILTER = r"""
+WITH v AS (
+  SELECT event_id, event_type AS service_name,
+         'client=10.' || (user_id % 64) || '.' || (event_id % 256) || '.1 msg=ok' AS body
+  FROM events
+), ip AS (
+  SELECT event_id, service_name, body,
+         regexp_extract(body, '(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})',
+                        ['a', 'b', 'c', 'd']) AS o
+  FROM v
+)
+SELECT event_id, service_name, body
+FROM ip
+WHERE o.a::BIGINT * 16777216 + o.b::BIGINT * 65536 + o.c::BIGINT * 256 + o.d::BIGINT
+      BETWEEN 167968768 AND 168034303
+ORDER BY event_id
+"""
+
+QUERIES["logql_ip_filter"] = q_logql_ip_filter
+ORACLES["logql_ip_filter"] = ORACLE_LOGQL_IP_FILTER

@@ -615,3 +615,81 @@ ORACLES = {
     "calendar": ORACLE_CALENDAR,
     "sliding_subquery": ORACLE_SLIDING_SUBQUERY,
 }
+
+
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score anomaly flags: each hourly count scored
+    against its own series' mean/stddev (the static baseline behind
+    every 'unusual traffic' alert). One partial-agg groupBy to hourly
+    counts, then a window over the tiny per-series rollup — the raw
+    stream never enters the window."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    mean, sd = F.avg("cnt").over(w), F.stddev_pop("cnt").over(w)
+    z = (F.col("cnt") - mean) / sd
+    return hourly.select(
+        "bucket", "event_type", "cnt",
+        F.round(z, 6).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+ORACLE_ZSCORE_ANOMALY = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, event_type, cnt,
+       round((cnt - avg(cnt) OVER (PARTITION BY event_type))
+             / stddev_pop(cnt) OVER (PARTITION BY event_type), 6) AS zscore,
+       abs((cnt - avg(cnt) OVER (PARTITION BY event_type))
+           / stddev_pop(cnt) OVER (PARTITION BY event_type)) > 2.0 AS is_anomaly
+FROM hourly
+"""
+
+QUERIES["zscore_anomaly"] = q_zscore_anomaly
+ORACLES["zscore_anomaly"] = ORACLE_ZSCORE_ANOMALY
+
+
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per series: each sample weighted by its
+    holding time until the next sample (the gauge-average TimescaleDB
+    calls time_weight 'LOCF'); the final sample carries no interval.
+    One window (lead) + one agg, both on the series key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros("ts")).over(w)
+    dur = (nxt - F.unix_micros("ts")).cast("double")
+    return (
+        e.select("event_type", "ts", "event_id", "value", dur.alias("dur"))
+        .filter(F.col("dur").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur")) / F.sum("dur"), 6
+            ).alias("twa"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TIME_WEIGHTED_AVG = """
+WITH d AS (
+  SELECT event_type, value,
+         CAST(lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              - epoch_us(ts) AS DOUBLE) AS dur
+  FROM events
+)
+SELECT event_type, round(sum(value * dur) / sum(dur), 6) AS twa,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM d WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["time_weighted_avg"] = q_time_weighted_avg
+ORACLES["time_weighted_avg"] = ORACLE_TIME_WEIGHTED_AVG

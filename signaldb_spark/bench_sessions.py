@@ -306,3 +306,196 @@ FROM j GROUP BY 1 ORDER BY 1
 
 QUERIES["interval_join"] = q_interval_join
 ORACLES["interval_join"] = ORACLE_INTERVAL_JOIN
+
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered funnel conversion (signup -> first click AFTER signup ->
+    first purchase AFTER that click), the product-analytics primitive
+    every event pipeline ships (beyond the reference's endpoint set).
+
+    Three per-user min-aggregations chained by ts-after joins — each
+    stage shuffles only (user_id, one timestamp), partial-agg friendly;
+    no window over the raw event stream."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id").agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users_signup"),
+            F.count("c_ts").cast("long").alias("users_click"),
+            F.count("p_ts").cast("long").alias("users_purchase"),
+        )
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS s_ts FROM events WHERE event_type = 'signup' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.s_ts GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS users_signup,
+       CAST(count(c.c_ts) AS BIGINT) AS users_click,
+       CAST(count(p.p_ts) AS BIGINT) AS users_purchase
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+QUERIES["event_funnel"] = q_event_funnel
+ORACLES["event_funnel"] = ORACLE_EVENT_FUNNEL
+
+
+def q_user_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    on each later active day as a day offset — the training-data /
+    product dual of the funnel. Two partial-agg passes + one join on
+    user_id; the matrix is (days x days), tiny."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    act = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+ORACLE_USER_RETENTION = """
+WITH f AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+), a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["user_retention"] = q_user_retention
+ORACLES["user_retention"] = ORACLE_USER_RETENTION
+
+
+def q_asof_nearest(spark, sf_dir):
+    """direction='nearest' as-of (temporal.asof_nearest — pandas
+    merge_asof parity): each purchase gets the CLOSER of the last click
+    at-or-before and the first click after, tie preferring backward,
+    within a 1-day tolerance. Both frames ride one window pass — still
+    a single shuffle on user_id."""
+    from .operators.temporal import asof_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_nearest(
+        purchases, clicks, ["user_id"], tolerance_seconds=86400,
+        right_prefix="click_",
+    )
+    return out.select(
+        "user_id", "ts", F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("click_ts"), F.round("click_click_value", 6).alias("click_value"),
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH purchases AS (
+  SELECT user_id, ts, max(value) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), clicks AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), b AS (
+  SELECT p.user_id, p.ts, p.purchase_value, c.ts AS b_ts, c.click_value AS b_v
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT p.user_id, p.ts, c.ts AS f_ts, c.click_value AS f_v
+  FROM purchases p ASOF LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND p.ts <= c.ts
+), picked AS (
+  SELECT b.user_id, b.ts, b.purchase_value,
+         CASE WHEN b.b_ts IS NULL THEN f.f_ts
+              WHEN f.f_ts IS NULL THEN b.b_ts
+              WHEN epoch_us(f.f_ts) - epoch_us(b.ts)
+                   < epoch_us(b.ts) - epoch_us(b.b_ts) THEN f.f_ts
+              ELSE b.b_ts END AS click_ts,
+         CASE WHEN b.b_ts IS NULL THEN f.f_v
+              WHEN f.f_ts IS NULL THEN b.b_v
+              WHEN epoch_us(f.f_ts) - epoch_us(b.ts)
+                   < epoch_us(b.ts) - epoch_us(b.b_ts) THEN f.f_v
+              ELSE b.b_v END AS click_value
+  FROM b JOIN f ON f.user_id = b.user_id AND f.ts = b.ts
+)
+SELECT user_id, ts, round(purchase_value, 6) AS purchase_value,
+       CASE WHEN abs(epoch_us(click_ts) - epoch_us(ts)) <= 86400000000
+            THEN click_ts END AS click_ts,
+       CASE WHEN abs(epoch_us(click_ts) - epoch_us(ts)) <= 86400000000
+            THEN round(click_value, 6) END AS click_value
+FROM picked
+"""
+
+QUERIES["asof_nearest"] = q_asof_nearest
+ORACLES["asof_nearest"] = ORACLE_ASOF_NEAREST
+
+
+def q_event_rolling_window(spark, sf_dir):
+    """Per-event trailing-1h activity count per user — a RANGE window
+    frame on epoch micros (not rows), the time-based frame Spark
+    executes natively; one shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_1h"),
+    )
+
+
+ORACLE_EVENT_ROLLING = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_trailing_1h
+FROM events
+"""
+
+QUERIES["event_rolling_window"] = q_event_rolling_window
+ORACLES["event_rolling_window"] = ORACLE_EVENT_ROLLING

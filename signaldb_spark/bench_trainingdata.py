@@ -1882,3 +1882,155 @@ ORACLE_EMB_IVF_PQ = _ivf_pq_oracle_sql()
 
 QUERIES["emb_ivf_pq"] = q_emb_ivf_pq
 ORACLES["emb_ivf_pq"] = ORACLE_EMB_IVF_PQ
+
+
+def q_text_entropy(spark, sf_dir):
+    """Per-document character Shannon entropy (bits/char) — the cheap
+    gibberish/compression-ratio quality signal (low entropy = repeated
+    boilerplate, high = random noise). Explode to (doc, char) longs,
+    two partial-agg groupBys; nothing but the doc id shuffles twice."""
+    d = _docs(spark, sf_dir)
+    chars = d.select(
+        "doc_id", F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch")
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+            F.max("n").cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TEXT_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+), freq AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM freq GROUP BY 1
+)
+SELECT doc_id,
+       round(-sum((c::DOUBLE / n) * log2(c::DOUBLE / n)), 6) AS entropy_bits,
+       CAST(max(n) AS BIGINT) AS n_chars
+FROM freq JOIN tot USING (doc_id) GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["text_entropy"] = q_text_entropy
+ORACLES["text_entropy"] = ORACLE_TEXT_ENTROPY
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus unigram LM scoring: avg(−ln p(token)) per document, the
+    classic quality/outlier filter a full KenLM replaces at scale. The
+    vocabulary is corpus-derived (one groupBy), then one join token→freq
+    and a per-doc agg; the vocab rides a broadcast."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("total"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+  FROM documents
+), t2 AS (
+  SELECT * FROM toks WHERE tok <> ''
+), vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t2 GROUP BY 1
+), n AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total FROM vocab
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(c::DOUBLE / total)), 6) AS avg_neg_logprob
+FROM t2 JOIN vocab USING (tok), n GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["unigram_logprob"] = q_unigram_logprob
+ORACLES["unigram_logprob"] = ORACLE_UNIGRAM_LOGPROB
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Shingle containment |A∩B| / min(|A|,|B|) ≥ 0.4 — near-superset
+    detection (dedup.containment_pairs): finds a doc embedded in a
+    bigger one where symmetric Jaccard stays low."""
+    d = _docs(spark, sf_dir)
+    return dd.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.4, max_shingle_df=100
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DEDUP_CONTAINMENT = f"""
+WITH {TOK_SQL}, {SHINGLE_SQL},
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+hot AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 100
+),
+kept AS (
+  SELECT doc_id, shingle FROM sh WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common / least(sa.n_sh, sb.n_sh) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+QUERIES["dedup_containment"] = q_dedup_containment
+ORACLES["dedup_containment"] = ORACLE_DEDUP_CONTAINMENT
+
+
+def q_emb_mips_topk(spark, sf_dir):
+    """Exact maximum-inner-product top-k (similarity.mips_topk) — the
+    unnormalized-retrieval dual of emb_cosine_topk."""
+    e = _embs(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 10)
+    return sim.mips_topk(e, queries, "vec_id", "embedding", k=5, dims=64)
+
+
+ORACLE_EMB_MIPS_TOPK = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(sum(q.embedding[d.d]::DOUBLE * c.embedding[d.d]::DOUBLE), 6) AS dot
+  FROM embeddings q, embeddings c, UNNEST(range(1, 65)) d(d)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, dot,
+         row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rk
+  FROM pairs
+)
+SELECT query_id, neighbor_id, dot, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+QUERIES["emb_mips_topk"] = q_emb_mips_topk
+ORACLES["emb_mips_topk"] = ORACLE_EMB_MIPS_TOPK

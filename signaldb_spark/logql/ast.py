@@ -25,6 +25,7 @@ class Matcher:
 class LineFilter:
     op: str  # |= != |~ !~
     value: str
+    is_ip: bool = False  # |= ip("cidr|range|addr") — Loki ip() matcher
 
 
 @dataclass(frozen=True)
@@ -39,6 +40,7 @@ class LabelFilter:
     op: str  # = == != > >= < <= =~ !~
     value: str | float
     unit: str | None = None  # duration/bytes literals normalized by parser
+    is_ip: bool = False  # | addr = ip("cidr|range|addr")
 
 
 @dataclass(frozen=True)

@@ -295,8 +295,78 @@ def _line_pattern_regex(pattern: str) -> str:
     return "(?s)^" + ".*?".join(_re.escape(p) for p in pattern.split("<_>")) + "$"
 
 
+IPV4_RE = r"(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+
+
+def parse_ip_pattern(pattern: str) -> tuple[int, int]:
+    """Loki ``ip()`` pattern → inclusive IPv4 numeric range. Three forms
+    (Loki log-queries docs): exact ``a.b.c.d``, CIDR ``a.b.c.d/n``,
+    range ``a.b.c.d-e.f.g.h``."""
+    def ip_int(s: str) -> int:
+        parts = s.strip().split(".")
+        if len(parts) != 4 or not all(p.isdigit() and int(p) <= 255 for p in parts):
+            raise ValueError(f"bad IPv4 address {s!r}")
+        a, b, c, d = (int(p) for p in parts)
+        return (a << 24) | (b << 16) | (c << 8) | d
+
+    if "/" in pattern:
+        base, bits = pattern.split("/", 1)
+        n = int(bits)
+        if not 0 <= n <= 32:
+            raise ValueError(f"bad CIDR prefix length {bits!r}")
+        host_mask = (1 << (32 - n)) - 1
+        lo = ip_int(base) & ~host_mask & 0xFFFFFFFF
+        return lo, lo | host_mask
+    if "-" in pattern:
+        a, b = pattern.split("-", 1)
+        lo, hi = ip_int(a), ip_int(b)
+        if lo > hi:
+            raise ValueError(f"inverted IP range {pattern!r}")
+        return lo, hi
+    v = ip_int(pattern)
+    return v, v
+
+
+def _ipv4_to_long(c: Column) -> Column:
+    """Dotted-quad string → numeric value; malformed input nets NULL
+    through the casts (so comparisons are false, never errors)."""
+    p = F.split(c, r"\.")
+    ok = F.size(p) == 4
+    val = (
+        p[0].try_cast("long") * 16777216
+        + p[1].try_cast("long") * 65536
+        + p[2].try_cast("long") * 256
+        + p[3].try_cast("long")
+    )
+    return F.when(ok, val)
+
+
+def ip_in_range(col: Column, pattern: str) -> Column:
+    """column value is an IPv4 inside the ip() pattern's range."""
+    lo, hi = parse_ip_pattern(pattern)
+    return _ipv4_to_long(col).between(lo, hi)
+
+
+def line_ip_hit(body: Column, pattern: str) -> Column:
+    """Any IPv4 substring of the line is inside the pattern's range —
+    Loki's line-filter ``|= ip("…")`` semantics. regexp_extract_all +
+    an array exists fold, all JVM expressions."""
+    lo, hi = parse_ip_pattern(pattern)
+    ips = F.regexp_extract_all(body, F.lit(IPV4_RE), 1)
+    return F.coalesce(
+        F.exists(ips, lambda s: _ipv4_to_long(s).between(lo, hi)), F.lit(False)
+    )
+
+
 def line_filter_expr(lf: LineFilter) -> Column:
     body = F.col("body")
+    if getattr(lf, "is_ip", False):
+        hit = line_ip_hit(body, lf.value)
+        if lf.op == "|=":
+            return hit
+        if lf.op == "!=":
+            return ~hit | body.isNull()
+        raise ValueError(f"ip() only supports |= and != line filters, got {lf.op}")
     if lf.op == "|=":
         return body.contains(lf.value)
     if lf.op == "!=":
@@ -314,6 +384,13 @@ def line_filter_expr(lf: LineFilter) -> Column:
 
 def label_filter_expr(df: DataFrame, sel: LogSelector, lf: LabelFilter) -> Column:
     col = resolve_label(df, sel, lf.label)
+    if getattr(lf, "is_ip", False):
+        hit = ip_in_range(col, str(lf.value))
+        if lf.op in ("=", "=="):
+            return F.coalesce(hit, F.lit(False))
+        if lf.op == "!=":
+            return col.isNull() | ~F.coalesce(hit, F.lit(False))
+        raise ValueError(f"ip() only supports =/!= label filters, got {lf.op}")
     if isinstance(lf.value, str):
         if lf.op in ("=", "=="):
             return col == lf.value

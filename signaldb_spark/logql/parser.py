@@ -113,10 +113,13 @@ class _P:
             t = self.peek()
             if t.kind == "OP" and t.text in ("|=", "|~", "|>"):
                 self.next()
-                line_filters.append(LineFilter(t.text, self.expect("STRING").text))
-            elif t.kind == "OP" and t.text in ("!=", "!~", "!>") and self.peek(1).kind == "STRING":
+                line_filters.append(self._line_filter_value(t.text))
+            elif t.kind == "OP" and t.text in ("!=", "!~", "!>") and (
+                self.peek(1).kind == "STRING"
+                or (self.peek(1).kind == "IDENT" and self.peek(1).text == "ip")
+            ):
                 self.next()
-                line_filters.append(LineFilter(t.text, self.expect("STRING").text))
+                line_filters.append(self._line_filter_value(t.text))
             elif t.kind == "OP" and t.text == "|":
                 self.next()
                 nxt = self.peek()
@@ -194,12 +197,28 @@ class _P:
                 break
         return matchers
 
+    def _line_filter_value(self, op: str) -> LineFilter:
+        """STRING, or ``ip("…")`` for ``|=``/``!=`` (Loki ip matcher)."""
+        t = self.peek()
+        if t.kind == "IDENT" and t.text == "ip" and op in ("|=", "!="):
+            self.next()
+            self.expect("OP", "(")
+            val = self.expect("STRING").text
+            self.expect("OP", ")")
+            return LineFilter(op, val, is_ip=True)
+        return LineFilter(op, self.expect("STRING").text)
+
     def parse_label_filter(self) -> LabelFilter:
         label = self.expect("IDENT").text
         op = self.next()
         if op.kind != "OP" or op.text not in _LABEL_FILTER_OPS:
             raise LogQLSyntaxError(f"bad label-filter op {op.text!r} at {op.pos}")
         v = self.next()
+        if v.kind == "IDENT" and v.text == "ip" and op.text in ("=", "==", "!="):
+            self.expect("OP", "(")
+            val = self.expect("STRING").text
+            self.expect("OP", ")")
+            return LabelFilter(label, op.text, val, is_ip=True)
         if v.kind == "STRING":
             return LabelFilter(label, op.text, v.text)
         if v.kind == "NUMBER":

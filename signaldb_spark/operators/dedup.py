@@ -177,6 +177,52 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Near-SUPERSET detection: shingle containment
+    ``|A∩B| / min(|A|, |B|)`` ≥ threshold — catches a document embedded
+    inside a larger one (boilerplate wrapping, quote-with-commentary),
+    which symmetric Jaccard misses because the union is dominated by
+    the big document.
+
+    Identical pair-generation shape (and df² guard) as
+    :func:`jaccard_pairs`: hashed shingles, broadcast hot-shingle anti
+    join, intersection via one equi-join on the shingle hash."""
+    sh = (
+        word_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
+            F.col("df_") > max_shingle_df
+        ).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_from_shingles(
     sh: DataFrame, id_col: str, num_hashes: int = 8
 ) -> DataFrame:

@@ -76,6 +76,34 @@ def cosine_topk(
     )
 
 
+def mips_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, dims: int | None = None,
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query vector — the
+    retrieval objective for unnormalized embeddings (e.g. recommender
+    towers), where cosine's normalization would discard magnitude.
+
+    Same shape as :func:`cosine_topk`: broadcast query battery ×
+    corpus scan, no norms; ties broken by corpus id. Self-matches
+    excluded."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", F.round(_dot(F.col("qv"), F.col("cv"), dims), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dot").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dot", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 def hyperplane_weight(bit: int, dim: int, salt: str | None = None) -> float:
     """Deterministic pseudo-random weight in [-7.5, 7.5]: the first md5
     nibble of '[<salt>:]b:<bit>:d:<dim>'. hashlib.md5 here is

@@ -159,6 +159,89 @@ def asof_join(
     )
 
 
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_seconds: int | None = None,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """``direction='nearest'`` as-of (pandas merge_asof parity): the
+    closer of the latest-at-or-before and earliest-at-or-after right
+    rows per left row; equal distance prefers the backward match.
+
+    Same union trick as :func:`asof_join`, but BOTH frames ride one
+    window spec (same partition + sort) so Spark evaluates them in a
+    single WindowExec — still exactly one shuffle on the keys, no range
+    join. A same-timestamp right row is only visible to the backward
+    frame; that is fine, it wins the tie at distance zero anyway."""
+    payload_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    r_struct_t = right.select(
+        F.struct(F.col(right_ts), *payload_cols).alias("s")
+    ).schema["s"].dataType.simpleString()
+    l_struct_t = left.select(
+        F.struct(*left.columns).alias("s")
+    ).schema["s"].dataType.simpleString()
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_src"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_struct_t).alias("_r"),
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_src"),
+        F.lit(None).cast(l_struct_t).alias("_l"),
+        F.struct(F.col(right_ts), *payload_cols).alias("_r"),
+    )
+    u = l.unionByName(r)
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_src")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_src")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    back = F.last("_r", ignorenulls=True).over(wb)
+    fwd = F.first("_r", ignorenulls=True).over(wf)
+    u = (
+        u.withColumn("_b", back)
+        .withColumn("_f", fwd)
+        .filter(F.col("_l").isNotNull())
+    )
+    lt = F.unix_micros(F.col("_l")[left_ts])
+    dist_b = lt - F.unix_micros(F.col("_b")[right_ts])
+    dist_f = F.unix_micros(F.col("_f")[right_ts]) - lt
+    match = (
+        F.when(F.col("_b").isNull(), F.col("_f"))
+        .when(F.col("_f").isNull(), F.col("_b"))
+        .when(dist_f < dist_b, F.col("_f"))
+        .otherwise(F.col("_b"))  # tie -> backward
+    )
+    matched = u.withColumn("_match", match)
+    if tolerance_seconds is not None:
+        dist = F.abs(
+            F.unix_micros(F.col("_match")[right_ts]) - lt
+        )
+        matched = matched.withColumn(
+            "_match",
+            F.when(dist <= F.lit(int(tolerance_seconds) * 1_000_000), F.col("_match")),
+        )
+    out_right = [
+        F.col("_match")[c].alias(f"{right_prefix}{c}") for c in [right_ts, *payload_cols]
+    ]
+    return matched.select(
+        *[F.col("_l")[c].alias(c) for c in left.columns], *out_right
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

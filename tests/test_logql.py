@@ -529,3 +529,57 @@ def test_absent_over_time_with_offset(ctx):
         ctx, 'absent_over_time({service_name="no_such_service"}[1h] offset 1h)'
     ).collect()
     assert got and all(r.value == 1.0 for r in got)
+
+
+def test_ip_pattern_parsing():
+    from signaldb_spark.logql.lowering import parse_ip_pattern
+
+    assert parse_ip_pattern("1.2.3.4") == (16909060, 16909060)
+    lo, hi = parse_ip_pattern("10.3.0.0/16")
+    assert (hi - lo) == 65535 and lo == (10 << 24) | (3 << 16)
+    assert parse_ip_pattern("10.0.0.1-10.0.0.9") == (167772161, 167772169)
+    assert parse_ip_pattern("0.0.0.0/0") == (0, 2**32 - 1)
+    import pytest as _p
+
+    for bad in ("1.2.3", "300.1.1.1", "1.2.3.4/33", "9.0.0.9-9.0.0.1", "abc"):
+        with _p.raises(ValueError):
+            parse_ip_pattern(bad)
+
+
+def test_ip_line_and_label_filters(spark):
+    """Loki ip() matcher end to end: numeric range semantics (10.30.x
+    must NOT match 10.3.0.0/16), both the line-filter and parsed-label
+    forms, and the != negation keeping lines with no IP at all."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.logql.lowering import LowerCtx, query_logs
+    from signaldb_spark.logql.parser import parse as logql_parse
+
+    logs = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", "api", "addr=10.3.7.7 ok"),
+            ("2024-01-01 00:00:02", "api", "addr=10.30.7.7 prefix-trap"),
+            ("2024-01-01 00:00:03", "api", "addr=10.4.0.1 out"),
+            ("2024-01-01 00:00:04", "api", "no ip at all"),
+        ],
+        "ts string, service_name string, body string",
+    ).select(
+        F.to_timestamp("ts").alias("timestamp"), "service_name", "body",
+        F.lit(None).cast("string").alias("severity_text"),
+        F.create_map().cast("map<string,string>").alias("log_attributes"),
+    )
+    ctx = LowerCtx(spark, logs, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+
+    sel = logql_parse('{service_name="api"} |= ip("10.3.0.0/16")')
+    rows = query_logs(ctx, sel, limit=10).collect()
+    assert [r.body for r in rows] == ["addr=10.3.7.7 ok"]
+
+    neg = logql_parse('{service_name="api"} != ip("10.3.0.0/16")')
+    bodies = {r.body for r in query_logs(ctx, neg, limit=10).collect()}
+    assert bodies == {"addr=10.30.7.7 prefix-trap", "addr=10.4.0.1 out", "no ip at all"}
+
+    lbl = logql_parse(
+        '{service_name="api"} | regexp "addr=(?P<client>[0-9.]+)" | client = ip("10.3.0.0/16")'
+    )
+    rows = query_logs(ctx, lbl, limit=10).collect()
+    assert [r.body for r in rows] == ["addr=10.3.7.7 ok"]

@@ -138,3 +138,71 @@ def test_repeated_ngram_interval_union_hand_check(spark):
     assert out[2].repeated_windows == 2 and out[2].masked_tokens == 12
     assert out[3].repeated_windows == 0 and out[3].masked_tokens == 0
     assert out[3].repeated_frac == 0.0
+
+
+def test_nearest_picks_closer_side_tie_backward(spark):
+    from datetime import datetime
+
+    from signaldb_spark.operators.temporal import asof_nearest
+
+    left = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0, 0), "l1"),   # r at 9:50 and 10:30
+            (1, datetime(2024, 1, 1, 12, 0, 0), "l2"),   # equidistant 11:30/12:30
+            (2, datetime(2024, 1, 1, 9, 0, 0), "l3"),    # only forward exists
+        ],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 9, 50, 0), "back_near"),
+            (1, datetime(2024, 1, 1, 10, 30, 0), "fwd_far"),
+            (1, datetime(2024, 1, 1, 11, 30, 0), "tie_back"),
+            (1, datetime(2024, 1, 1, 12, 30, 0), "tie_fwd"),
+            (2, datetime(2024, 1, 1, 9, 45, 0), "only_fwd"),
+        ],
+        "k int, ts timestamp, rv string",
+    )
+    out = {
+        r["lv"]: r["r_rv"] for r in asof_nearest(left, right, ["k"]).collect()
+    }
+    assert out == {
+        "l1": "back_near",  # 10 min back beats 30 min fwd
+        "l2": "tie_back",   # exact tie -> backward
+        "l3": "only_fwd",   # no backward candidate
+    }
+
+
+def test_nearest_tolerance_applies_to_picked_match(spark):
+    from datetime import datetime
+
+    from signaldb_spark.operators.temporal import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0, 0), "l1")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 9, 0, 0), "r1")], "k int, ts timestamp, rv string"
+    )
+    out = asof_nearest(left, right, ["k"], tolerance_seconds=600).collect()
+    assert out[0]["r_rv"] is None and out[0]["r_ts"] is None
+
+
+def test_nearest_single_window_pass(spark):
+    """Both frames share one partition+sort: exactly one Exchange and
+    one Sort in the physical plan — the single-shuffle claim."""
+    from datetime import datetime
+
+    from signaldb_spark.operators.temporal import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "a")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), "b")], "k int, ts timestamp, rv string"
+    )
+    plan = (
+        asof_nearest(left, right, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
