@@ -655,7 +655,7 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
         "metrics_gauge": num_points("gauge"),
         "metrics_sum": num_points("sum"),
         "metrics_histogram": hist,
-        "metrics_exp_histogram": exp_hist,
+        "metrics_exponential_histogram": exp_hist,
         "metrics_summary": summary,
     }
 

@@ -469,6 +469,79 @@ def ingest_otlp_pb_stream(
     return writer.trigger(processingTime="5 seconds").start()
 
 
+def ingest_remote_write_stream(
+    spark: SparkSession,
+    source_dir: str,
+    base: str,
+    tenant: str = "acme",
+    dataset: str = "prod",
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+):
+    """Prometheus remote_write ingest: binaryFile stream of
+    snappy+protobuf WriteRequest bodies (the POST /api/v1/write payload,
+    acceptor prometheus_handler.rs) → pure-Python wire decode → JVM
+    flatten → manifest commit. Float samples route to gauge/sum by the
+    counter-suffix heuristic; native histograms (Prometheus ≥2.40) land
+    in metrics_exponential_histogram — all tables committed under ONE
+    batch id, so a replay no-ops on all of them. Corrupt payloads
+    dead-letter instead of poisoning the stream."""
+    from ..sources import remote_write as rw
+    from ..storage import write_batch_manifest
+
+    checkpoint = checkpoint_dir or os.path.join(
+        base, "_checkpoints", tenant, dataset, "remote_write"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", "16")
+        .load(source_dir)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vals, dead = [], []
+            for p in pdf["content"]:
+                try:
+                    vals.append(rw.decode_snappy_protobuf(bytes(p)))
+                except Exception:
+                    dead.append(bytes(p).hex())
+            yield pd.DataFrame(
+                {
+                    "value": vals + [None] * len(dead),
+                    "_dead_payload": [None] * len(vals) + dead,
+                }
+            )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = batch_df.select("content").mapInPandas(
+            decode, "value string, _dead_payload string"
+        ).cache()
+        good = decoded.filter(F.col("value").isNotNull())
+        dead = decoded.filter(F.col("_dead_payload").isNotNull())
+        for table, df in rw.flatten_remote_write(good).items():
+            write_batch_manifest(
+                df, signal_table_path(base, tenant, dataset, table), table,
+                batch_id=batch_id,
+            )
+        if dead.limit(1).count():
+            write_dead_letters(
+                dead.select(F.col("_dead_payload").alias("value")),
+                base, tenant, dataset, "remote_write", batch_id,
+            )
+        decoded.unpersist()
+
+    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.trigger(processingTime="5 seconds").start()
+
+
 def tail_logs(
     spark: SparkSession,
     source_dir: str,

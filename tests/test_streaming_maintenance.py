@@ -350,7 +350,7 @@ def test_flatten_otlp_metrics_routing(spark):
     assert s[0].attributes["path"] == "/v1"
     assert len(h) == 1 and h[0].bucket_counts == [2.0, 6.0, 2.0] and h[0]["count"] == 10
     # exp-histogram + summary routing (schema_transform.rs:1493,1698)
-    eh = tables["metrics_exp_histogram"].collect()
+    eh = tables["metrics_exponential_histogram"].collect()
     sm = tables["metrics_summary"].collect()
     assert len(eh) == 1 and eh[0]["count"] == 7 and eh[0].scale == 2
     assert eh[0].zero_count == 1 and eh[0].positive_offset == 3
@@ -838,7 +838,7 @@ def test_exphist_quantile_over_flattened_ingest(spark):
         }]
     })
     raw = spark.createDataFrame([(payload,)], "value string")
-    at_rest = flatten_otlp_metrics(raw)["metrics_exp_histogram"]
+    at_rest = flatten_otlp_metrics(raw)["metrics_exponential_histogram"]
     out = exphist_quantile(at_rest, 0.5, ["service_name", "metric_name"]).collect()
     # rank 2 -> bucket (1,2] cum 2 >= 2: 1 + (2-1)*2/2 = 2.0
     assert out[0]["value"] == 2.0
@@ -1121,7 +1121,7 @@ def test_otlp_protobuf_metrics_wire_roundtrip(spark):
     assert len(h) == 1 and h[0]["count"] == 7 and h[0]["sum"] == 91.5
     assert list(h[0].bucket_counts) == [3.0, 2.0, 2.0]
     assert list(h[0].explicit_bounds) == [10.0, 50.0]
-    e = tables["metrics_exp_histogram"].collect()
+    e = tables["metrics_exponential_histogram"].collect()
     assert len(e) == 1 and e[0].scale == -1 and e[0].positive_offset == -2
     assert list(e[0].positive_bucket_counts) == [2, 2]
     su = tables["metrics_summary"].collect()
@@ -1222,7 +1222,7 @@ def test_protobuf_metrics_stream_routes_all_kinds(spark, tmp_path):
     base = str(tmp_path / "tables")
     ingest_otlp_pb_stream(spark, str(src), base, "metrics")
     for table in ("metrics_gauge", "metrics_sum", "metrics_histogram",
-                  "metrics_exp_histogram", "metrics_summary"):
+                  "metrics_exponential_histogram", "metrics_summary"):
         mt = ManifestTable(signal_table_path(base, "acme", "prod", table))
         assert mt.read(spark).count() == 1, table
 
@@ -1348,3 +1348,106 @@ def test_remote_write_float_histogram_and_quantile_gate(spark):
     assert len(q) == 1
     # rank 5 of 10 lands in the middle bucket (2, 4]
     assert 2.0 < q[0].value <= 4.0
+
+
+def test_remote_write_stream_ingest_and_query_loop(spark, tmp_path):
+    """POST /api/v1/write analog end to end: snappy+proto WriteRequest
+    files → float samples in gauge/sum, native histograms in
+    metrics_exponential_histogram — all manifest-committed under one
+    batch id; a corrupt payload dead-letters; replay no-ops; and the
+    ingested exp-histogram is readable through exphist_quantile (the
+    full native-histogram loop)."""
+    from signaldb_spark.catalog import signal_table_path
+    from signaldb_spark.operators.exphist import exphist_quantile
+    from signaldb_spark.sources.remote_write import (
+        encode_write_request,
+        snappy_compress_literal,
+    )
+    from signaldb_spark.storage.manifest import ManifestTable
+    from signaldb_spark.streaming.ingest import ingest_remote_write_stream
+
+    req = {"timeseries": [
+        {"labels": [{"name": "__name__", "value": "http_requests_total"},
+                    {"name": "job", "value": "api"}],
+         "samples": [{"value": 7.0, "timestamp": 1704067200000}]},
+        {"labels": [{"name": "__name__", "value": "mem_bytes"},
+                    {"name": "job", "value": "api"}],
+         "samples": [{"value": 128.0, "timestamp": 1704067200000}]},
+        {"labels": [{"name": "__name__", "value": "req_size_bytes"},
+                    {"name": "job", "value": "web"}],
+         "histograms": [{
+             "count_int": 10, "sum": 30.0, "schema": 0, "zero_count_int": 0,
+             "positive_spans": [{"offset": 1, "length": 3}],
+             "positive_deltas": [2, 4, -4],
+             "timestamp": 1704067200000}]},
+    ]}
+    src = tmp_path / "rw"
+    src.mkdir()
+    (src / "w1.bin").write_bytes(snappy_compress_literal(encode_write_request(req)))
+    (src / "bad.bin").write_bytes(b"\x05not-snappy")
+    base = str(tmp_path / "tables")
+    ingest_remote_write_stream(spark, str(src), base)
+
+    counts = {}
+    for table in ("metrics_gauge", "metrics_sum", "metrics_exponential_histogram"):
+        mt = ManifestTable(signal_table_path(base, "acme", "prod", table))
+        counts[table] = mt.read(spark).count()
+    assert counts == {
+        "metrics_gauge": 1, "metrics_sum": 1,
+        "metrics_exponential_histogram": 1,
+    }
+    # dead letter captured
+    from signaldb_spark.streaming.ingest import read_dead_letters
+
+    dl = read_dead_letters(spark, base, "acme", "prod", "remote_write")
+    assert dl is not None and dl.count() == 1
+
+    # replay with the same checkpoint: no duplicates
+    ingest_remote_write_stream(spark, str(src), base)
+    mt = ManifestTable(
+        signal_table_path(base, "acme", "prod", "metrics_exponential_histogram")
+    )
+    hist = mt.read(spark)
+    assert hist.count() == 1
+    # query the ingested native histogram: deltas 2,4,-4 -> counts 2,6,2;
+    # p50 rank 5 lands in the (2,4] bucket
+    q = exphist_quantile(hist, 0.5, ["metric_name"]).collect()
+    assert len(q) == 1 and 2.0 < q[0].value <= 4.0
+
+
+def test_otlp_exphist_table_name_matches_query_side(spark, tmp_path):
+    """Regression: flatten_otlp_metrics must emit the SAME table name
+    the catalog/query side reads (metrics_exponential_histogram) — the
+    old 'metrics_exp_histogram' key made wire-ingested exp-histograms
+    invisible to every query path."""
+    from signaldb_spark.catalog import SIGNAL_TABLES, optional_table
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+    from signaldb_spark.sources.otlp_pb import encode_metrics_request
+    from signaldb_spark.streaming.ingest import ingest_otlp_pb_stream
+
+    req = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "svc"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "eh", "exponentialHistogram": {"dataPoints": [{
+                    "timeUnixNano": "1704067200000000000", "count": "1",
+                    "sum": 2.0, "scale": 0, "zeroCount": "0",
+                    "positive": {"offset": 0, "bucketCounts": ["1"]}}]}},
+            ]}],
+        }]
+    }
+    import json as _json
+
+    raw = spark.createDataFrame([(_json.dumps(req),)], "value string")
+    keys = set(flatten_otlp_metrics(raw))
+    assert "metrics_exponential_histogram" in keys
+    assert keys <= set(SIGNAL_TABLES)
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    (src / "m.pb").write_bytes(encode_metrics_request(req))
+    base = str(tmp_path / "tables")
+    ingest_otlp_pb_stream(spark, str(src), base, "metrics")
+    t = optional_table(spark, base, "acme", "prod", "metrics_exponential_histogram")
+    assert t is not None and t.count() == 1
