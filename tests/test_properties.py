@@ -332,3 +332,114 @@ def test_kmeans_matches_python_replica(spark, vecs, k):
         scores = [cos(v, c) for c in cents]
         want[i] = scores.index(max(scores)) + 1
     assert got == want
+
+
+@given(case=_asof_case())
+@settings(**SETTINGS)
+def test_asof_nearest_matches_bruteforce(spark, case):
+    """nearest = closer of backward/forward, tie -> backward, tolerance
+    on the PICKED match."""
+    from datetime import datetime, timedelta
+
+    from signaldb_spark.operators.temporal import asof_nearest
+
+    left, right, tol, _direction = case
+    base = datetime(2024, 1, 1)
+    ts = lambda s: base + timedelta(seconds=s)
+    ldf = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(left)], "k int, ts timestamp, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, ts(s), f"r{i}") for i, (k, s) in enumerate(right)],
+        "k int, ts timestamp, rv string",
+    )
+    got = {
+        r["lid"]: r["r_rv"]
+        for r in asof_nearest(ldf, rdf, ["k"], tolerance_seconds=tol).collect()
+    }
+
+    def brute(k, s):
+        back = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs <= s]
+        fwd = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs > s]
+        b = max(back) if back else None
+        f = min(fwd) if fwd else None
+        if b is None and f is None:
+            return None
+        if b is None:
+            pick = f
+        elif f is None:
+            pick = b
+        else:
+            pick = f if (f[0] - s) < (s - b[0]) else b  # tie -> backward
+        if tol is not None and abs(pick[0] - s) > tol:
+            return None
+        return f"r{pick[1]}"
+
+    want = {i: brute(k, s) for i, (k, s) in enumerate(left)}
+    assert got == want
+
+
+@given(
+    addrs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255),
+                  st.integers(0, 255), st.integers(0, 255)),
+        min_size=1, max_size=12,
+    ),
+    net=st.tuples(st.integers(0, 255), st.integers(0, 255)),
+    prefix=st.integers(0, 32),
+)
+@settings(**SETTINGS)
+def test_ip_cidr_matches_stdlib_ipaddress(spark, addrs, net, prefix):
+    """The ip() numeric-range lowering agrees with Python's ipaddress
+    module for arbitrary CIDRs."""
+    import ipaddress
+
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.logql.lowering import ip_in_range
+
+    cidr = f"{net[0]}.{net[1]}.0.0/{prefix}"
+    network = ipaddress.ip_network(cidr, strict=False)
+    strs = [f"{a}.{b}.{c}.{d}" for a, b, c, d in addrs]
+    df = spark.createDataFrame([(s,) for s in strs], "ip string")
+    got = {
+        r.ip for r in df.filter(ip_in_range(F.col("ip"), cidr)).collect()
+    }
+    want = {s for s in strs if ipaddress.ip_address(s) in network}
+    assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=3, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=2, max_size=6,
+    ),
+)
+@settings(**SETTINGS)
+def test_containment_matches_bruteforce(spark, docs):
+    from signaldb_spark.operators.dedup import containment_pairs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=None
+        ).collect()
+    }
+
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            sa, sb = shingles(docs[a]), shingles(docs[b])
+            inter = len(sa & sb)
+            if sa and sb and inter:
+                want[(a, b)] = round(inter / min(len(sa), len(sb)), 6)
+    assert got == want
