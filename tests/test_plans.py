@@ -362,3 +362,29 @@ def test_pq_adc_is_join_free(spark):
     p = plan(pq_adc_topn(codes, books, [0.2, 0.2, 0.7, 0.7], n=2))
     assert "Join" not in p and "BroadcastNestedLoop" not in p
     assert "HashAggregate" in p
+
+
+def test_new_query_scale_shapes(spark):
+    """Round-5 operators keep their 100 TB shapes: the ip() filter is a
+    pure scan-filter (zero exchanges), MIPS broadcasts the query battery
+    (no shuffled join), the unigram LM broadcasts its vocab, and the
+    trailing-window count shuffles exactly once (on the user key)."""
+    def exchanges(p: str) -> int:
+        # formatted mode prints one "- Exchange (n)" tree node per shuffle
+        return sum(1 for l in p.splitlines() if l.lstrip("+- :").startswith("Exchange"))
+
+    qs = all_queries()
+    # scan-filter only: the single Exchange is the presentation sort
+    # (rangepartitioning); no hash shuffle anywhere
+    p_ip = plan(qs["logql_ip_filter"](spark, SF_DIR))
+    assert "hashpartitioning" not in p_ip
+
+    p_mips = plan(qs["emb_mips_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_mips or "BroadcastExchange" in p_mips
+    assert "SortMergeJoin" not in p_mips
+
+    p_lm = plan(qs["unigram_logprob"](spark, SF_DIR))
+    assert "BroadcastExchange" in p_lm or "BroadcastHashJoin" in p_lm
+
+    p_roll = plan(qs["event_rolling_window"](spark, SF_DIR))
+    assert exchanges(p_roll) == 1 and "Window" in p_roll
