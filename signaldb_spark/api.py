@@ -174,6 +174,19 @@ class SignalDBAPI:
         except Exception as e:
             return error_envelope(str(e))
 
+    # GET /prometheus/api/v1/status/tsdb — series-cardinality analysis
+
+    def prom_status_tsdb(self, start, end, top_n: int = 10) -> dict:
+        from .promql.discovery import tsdb_status
+
+        ctx = self._prom_ctx(start, end, DEFAULT_LOOKBACK_S)
+        rows = tsdb_status(ctx, top_n).collect()
+        return {"status": "success", "data": {
+            "seriesCountByMetricName": [
+                {"name": r["metric"], "value": r["series_count"]} for r in rows
+            ],
+        }}
+
     def prom_metadata(self) -> dict:
         from .promql.discovery import metric_metadata
 
@@ -272,6 +285,47 @@ class SignalDBAPI:
             ],
         }}
 
+    # GET /loki/api/v1/patterns — Drain-style log template mining
+    # (Loki 3.x pattern detection; beyond the reference's endpoint set)
+
+    def loki_patterns(self, start=None, end=None, k: int = 100) -> dict:
+        from pyspark.sql import functions as F
+
+        from .logql.lowering import log_patterns
+
+        logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
+        if start is not None and end is not None:
+            logs = logs.filter(F.col("timestamp").between(start, end))
+        rows = log_patterns(logs, k=k).collect()
+        return {"status": "success", "data": [
+            {"pattern": r["template"], "count": r["count"],
+             "example": r["example"]}
+            for r in rows
+        ]}
+
+    # GET /loki/api/v1/detected_fields — per-attribute sniffed type +
+    # cardinality (logs.rs:483-577 envelope)
+
+    def loki_detected_fields(self, start=None, end=None) -> dict:
+        from pyspark.sql import functions as F
+
+        from .maintenance.jobs import detect_field_types
+
+        logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
+        if start is not None and end is not None:
+            logs = logs.filter(F.col("timestamp").between(start, end))
+        kv = logs.select(F.explode("log_attributes").alias("field", "v"))
+        rows = detect_field_types(kv).orderBy("field").collect()
+        return {"fields": [
+            {"label": r["field"], "type": r["dtype"],
+             "cardinality": r["cardinality"]}
+            for r in rows
+        ]}
+
     # GET /loki/api/v1/tail — live tail (reference's #380, unimplemented
     # there); returns the UNSTARTED streaming DataFrame so the transport
     # layer picks the sink (websocket push, memory for tests)
@@ -339,6 +393,43 @@ class SignalDBAPI:
                 ]},
             })
         return {"traces": out}
+
+    # GET /tempo/api/metrics/query_range — TraceQL metrics
+    # (the reference answers 501 here, tempo.rs:1284-1304)
+
+    def tempo_metrics_query_range(self, q: str, start, end,
+                                  step_seconds: int = 60) -> dict:
+        from pyspark.sql import functions as F
+
+        from .traceql.trace_ops import metrics_query
+
+        traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
+        try:
+            spans = traces.filter(F.col("timestamp").between(start, end))
+            out = metrics_query(spans, q, step_seconds)
+        except Exception as e:
+            return error_envelope(str(e))
+        # histogram_over_time emits `count` per (bucket, le); rate and
+        # quantile emit `value`
+        val_col = "value" if "value" in out.columns else "count"
+        series_cols = [c for c in out.columns if c not in ("bucket", val_col)]
+        by_series: dict[tuple, list] = {}
+        for r in (row.asDict() for row in out.collect()):
+            key = tuple((c, r[c]) for c in series_cols)
+            by_series.setdefault(key, []).append(r)
+        return {"series": [
+            {
+                "labels": [{"key": k, "value": str(v)} for k, v in key],
+                "samples": [
+                    {"timestampMs": int(r["bucket"]) * 1000,
+                     "value": float(r[val_col]) if r[val_col] is not None else None}
+                    for r in sorted(rows, key=lambda r: r["bucket"])
+                ],
+            }
+            for key, rows in sorted(by_series.items())
+        ]}
 
     # /tempo/api/search/tags (+v2), /tag/<k>/values
 

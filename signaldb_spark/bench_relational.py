@@ -206,26 +206,10 @@ def q_detected_fields(spark, sf_dir):
         ),
         F.lit("type"), F.col("event_type"),
     )
-    kv = e.select(F.explode(rendered).alias("field", "v")).filter(F.col("v").isNotNull())
-    is_bool = F.col("v").isin("true", "false")
-    is_int = F.col("v").rlike("^[+-]?[0-9]+$")
-    is_float = F.col("v").try_cast("double").isNotNull()
-    agg = kv.groupBy("field").agg(
-        F.max((~is_bool & ~is_int & ~is_float).cast("int")).alias("s"),
-        F.max((~is_bool & is_int).cast("int")).alias("i"),
-        F.max((~is_bool & ~is_int & is_float).cast("int")).alias("f"),
-        F.max(is_bool.cast("int")).alias("b"),
-        F.count_distinct(F.col("v")).alias("cardinality"),
-    )
-    dtype = (
-        F.when((F.col("s") == 0) & (F.col("i") == 0) & (F.col("f") == 0) & (F.col("b") == 1),
-               "boolean")
-        .when((F.col("s") == 0) & (F.col("i") == 1) & (F.col("f") == 0) & (F.col("b") == 0),
-              "int")
-        .when((F.col("s") == 0) & (F.col("f") == 1) & (F.col("b") == 0), "float")
-        .otherwise("string")
-    )
-    return agg.select("field", dtype.alias("dtype"), "cardinality")
+    from .maintenance.jobs import detect_field_types
+
+    kv = e.select(F.explode(rendered).alias("field", "v"))
+    return detect_field_types(kv)
 
 
 ORACLE_DETECTED_FIELDS = """

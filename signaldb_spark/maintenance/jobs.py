@@ -352,6 +352,38 @@ def read_with_evolution(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(table_path)
 
 
+def detect_field_types(kv: DataFrame, field_col: str = "field",
+                       value_col: str = "v") -> DataFrame:
+    """detected_fields type sniffing over an exploded (field, value)
+    frame (logs.rs:483-577): per-value classification (true/false →
+    bool, integer format, float parse, else string), then the
+    reference's per-key resolution — all-bool → boolean, int-only →
+    int, int+float → float, any string → string — plus an exact
+    distinct count (the reference reports a capped lower bound). One
+    partial+final aggregation on the key; shared by the
+    ``detected_fields`` gate query and the Loki façade route."""
+    v = F.col(value_col)
+    is_bool = v.isin("true", "false")
+    is_int = v.rlike("^[+-]?[0-9]+$")
+    is_float = v.try_cast("double").isNotNull()
+    agg = kv.filter(v.isNotNull()).groupBy(field_col).agg(
+        F.max((~is_bool & ~is_int & ~is_float).cast("int")).alias("s"),
+        F.max((~is_bool & is_int).cast("int")).alias("i"),
+        F.max((~is_bool & ~is_int & is_float).cast("int")).alias("f"),
+        F.max(is_bool.cast("int")).alias("b"),
+        F.count_distinct(v).alias("cardinality"),
+    )
+    dtype = (
+        F.when((F.col("s") == 0) & (F.col("i") == 0) & (F.col("f") == 0)
+               & (F.col("b") == 1), "boolean")
+        .when((F.col("s") == 0) & (F.col("i") == 1) & (F.col("f") == 0)
+              & (F.col("b") == 0), "int")
+        .when((F.col("s") == 0) & (F.col("f") == 1) & (F.col("b") == 0), "float")
+        .otherwise("string")
+    )
+    return agg.select(F.col(field_col), dtype.alias("dtype"), "cardinality")
+
+
 def detected_labels(df: DataFrame, attr_col: str = "log_attributes", cap: int = 1000) -> DataFrame:
     """Label-name discovery: materialized label_* columns plus the keys
     present in the attribute map, deduped/sorted/capped

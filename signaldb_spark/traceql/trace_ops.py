@@ -442,6 +442,54 @@ def tag_names(traces: DataFrame, scope: str = "unscoped", cap: int = 1000) -> Da
     )
 
 
+def metrics_query(
+    spans: DataFrame,
+    q: str,
+    step_seconds: int,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """String-in entrypoint for Tempo's metrics endpoints
+    (GET /api/metrics/query_range, which the reference answers 501 —
+    tempo.rs:1284-1304): ``{spanset} | fn [by (col)]`` where fn is
+    ``rate()``, ``quantile_over_time(duration, φ)``, or
+    ``histogram_over_time(duration)``. The spanset parses through the
+    same (widened) TraceQL parser the search path uses; ``by`` takes a
+    span column name."""
+    import re
+
+    from .parser import TraceQLError, parse_traceql_expr
+
+    m = re.match(
+        r"^\s*(?P<spanset>\{.*\})\s*\|\s*(?P<fn>rate\(\)"
+        r"|quantile_over_time\(\s*duration\s*,\s*(?P<phi>[0-9.]+)\s*\)"
+        r"|histogram_over_time\(\s*duration\s*\))"
+        r"(?:\s*by\s*\(\s*(?P<by>[A-Za-z_][\w.]*)\s*\))?\s*$",
+        q, re.S,
+    )
+    if not m:
+        raise TraceQLError(f"not a TraceQL metrics query: {q!r}")
+    parsed = parse_traceql_expr(m.group("spanset"))
+    if not isinstance(parsed, list):
+        raise TraceQLError(
+            "metrics queries take a plain spanset, not structural/aggregate"
+        )
+    cond = F.lit(True)
+    for p in parsed:
+        cond = cond & predicate_expr(spans, p)
+    by = (m.group("by"),) if m.group("by") else ()
+    fn = m.group("fn")
+    if fn == "rate()":
+        return metrics_rate(spans, cond, step_seconds, by, ts_col)
+    if fn.startswith("quantile_over_time"):
+        return metrics_quantile(
+            spans, cond, step_seconds, float(m.group("phi")), by_cols=by,
+            ts_col=ts_col,
+        )
+    if by:
+        raise TraceQLError("histogram_over_time does not take by()")
+    return metrics_histogram(spans, cond, step_seconds, ts_col=ts_col)
+
+
 def metrics_rate(
     spans: DataFrame,
     cond,

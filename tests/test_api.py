@@ -229,3 +229,65 @@ def test_pyroscope_discovery_routes(api):
 
     bad = api.pyroscope_label_values("__nope__")
     assert bad.get("status") == "error" or bad.get("names") == []
+
+
+def test_prom_status_tsdb_route(api):
+    out = api.prom_status_tsdb(START, END, top_n=5)
+    assert out["status"] == "success"
+    entries = out["data"]["seriesCountByMetricName"]
+    assert entries and len(entries) <= 5
+    counts = [e["value"] for e in entries]
+    assert counts == sorted(counts, reverse=True) and all(c > 0 for c in counts)
+    assert any(e["name"] == "process_cpu_usage" for e in entries)
+
+
+def test_loki_patterns_route(api):
+    out = api.loki_patterns(START, END, k=10)
+    assert out["status"] == "success" and out["data"]
+    top = out["data"][0]
+    assert "<N>" in top["pattern"] and top["count"] >= out["data"][-1]["count"]
+    assert top["example"]
+    empty = api.loki_patterns("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+    assert empty["data"] == []
+
+
+def test_loki_detected_fields_route(api):
+    out = api.loki_detected_fields()
+    assert out["fields"]
+    by_label = {f["label"]: f for f in out["fields"]}
+    assert all(
+        f["type"] in ("string", "int", "float", "boolean") and f["cardinality"] > 0
+        for f in out["fields"]
+    )
+    # fixture attrs carry env=prod/staging strings
+    assert "env" in by_label and by_label["env"]["type"] == "string"
+
+
+def test_tempo_metrics_query_range_route(api):
+    rate = api.tempo_metrics_query_range(
+        "{ duration >= 0ns } | rate()", START, END, step_seconds=3600
+    )
+    assert rate["series"]
+    samples = rate["series"][0]["samples"]
+    assert samples and all(s["value"] >= 0 for s in samples)
+    ts = [s["timestampMs"] for s in samples]
+    assert ts == sorted(ts)
+
+    q90 = api.tempo_metrics_query_range(
+        '{ span.http.method = "GET" } | quantile_over_time(duration, 0.9) '
+        "by (service_name)", START, END, step_seconds=3600
+    )
+    assert q90["series"] and all(
+        s["labels"][0]["key"] == "service_name" for s in q90["series"]
+    )
+
+    hist = api.tempo_metrics_query_range(
+        "{ duration >= 0ns } | histogram_over_time(duration)",
+        START, END, step_seconds=3600,
+    )
+    assert hist["series"] and any(
+        lb["key"] == "le_nanos" for s in hist["series"] for lb in s["labels"]
+    )
+
+    bad = api.tempo_metrics_query_range("{ } | avg()", START, END)
+    assert bad["status"] == "error"
