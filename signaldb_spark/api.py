@@ -187,6 +187,24 @@ class SignalDBAPI:
             ],
         }}
 
+    # GET /prometheus/api/v1/label_stats (promql.rs:275-311)
+
+    def prom_label_stats(self, table: str = "logs", exact: bool = True) -> dict:
+        from .maintenance.jobs import attribute_stats
+
+        df = self.session.table(table)
+        if df is None:
+            return error_envelope(f"no {table} table for tenant", "not_found")
+        attr_col = "log_attributes" if "log_attributes" in df.columns else "attributes"
+        card = "cardinality" if exact else "approx_cardinality"
+        rows = attribute_stats(df, attr_col=attr_col, exact=exact).collect()
+        return {"status": "success", "data": sorted(
+            ({"key": r["key"], "presence": r["presence"],
+              "cardinality": r[card],
+              "presence_ratio": r["presence_ratio"]} for r in rows),
+            key=lambda d: d["key"],
+        )}
+
     def prom_metadata(self) -> dict:
         from .promql.discovery import metric_metadata
 
@@ -478,6 +496,24 @@ class SignalDBAPI:
         )
         return {"flamegraph": rows}
 
+    # GET /pyroscope/render-diff — differential flamegraph between two
+    # windows (endpoints/pyroscope.rs /render-diff)
+
+    def pyroscope_render_diff(self, base_start, base_end, comp_start,
+                              comp_end) -> dict:
+        from .operators.profiles import flamegraph_diff
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        rows = sorted(
+            (r.asDict() for r in flamegraph_diff(
+                profiles, base_start, base_end, comp_start, comp_end
+            ).collect()),
+            key=lambda r: (r["depth"], r["path"]),
+        )
+        return {"flamegraphDiff": rows}
+
     # GET /pyroscope/profile-types, /label-names, /label-values
     # (endpoints/pyroscope.rs → profile.rs:234-380)
 
@@ -549,3 +585,77 @@ class SignalDBAPI:
                     "data": [r.asDict() for r in self.session.sql(query).collect()]}
         except Exception as e:
             return error_envelope(str(e))
+
+    # --------------------------------------------------- ops + schemas
+    # POST /api/v1/ops/compact (+ /dry-run), GET /ops/compact/status
+    # (endpoints/ops.rs); GET /schemas/available (management surface)
+
+    def ops_compact_status(self, table: str) -> dict:
+        from .catalog import signal_table_path
+        from .maintenance.jobs import list_hour_partitions, partition_files
+        from .storage import ManifestTable
+
+        path = signal_table_path(self.session.base, self.tenant, self.dataset, table)
+        parts = list_hour_partitions(path)
+        if not parts:
+            return error_envelope(f"no {table} table for tenant", "not_found")
+        return {"status": "success", "data": {
+            "table": table,
+            "manifest_version": ManifestTable(path).current_version(),
+            "partitions": [
+                {"date_day": d, "hour": h, "n_files": len(partition_files(path, d, h))}
+                for d, h in parts
+            ],
+        }}
+
+    def ops_compact(self, table: str, day: str | None = None,
+                    hour: int | None = None, dry_run: bool = False) -> dict:
+        """Compact one partition (or every partition when day/hour are
+        None). dry_run reports what would be rewritten without touching
+        bytes — the /compact/dry-run form."""
+        from .catalog import signal_table_path
+        from .maintenance.jobs import (
+            compact_partition,
+            list_hour_partitions,
+            partition_files,
+        )
+
+        path = signal_table_path(self.session.base, self.tenant, self.dataset, table)
+        parts = list_hour_partitions(path)
+        if not parts:
+            return error_envelope(f"no {table} table for tenant", "not_found")
+        if day is not None:
+            parts = [(d, h) for d, h in parts
+                     if d == day and (hour is None or h == hour)]
+        results = []
+        for d, h in parts:
+            before = len(partition_files(path, d, h))
+            if dry_run:
+                results.append({"date_day": d, "hour": h, "n_files": before,
+                                "would_compact": before > 1})
+            else:
+                after = compact_partition(self.spark, path, table, d, h)
+                results.append({"date_day": d, "hour": h,
+                                "files_before": before, "files_after": after})
+        if not dry_run:
+            # legacy directory-layout tables swap files on compaction;
+            # re-pin the session's frames on the new listing
+            self.session.refresh()
+        return {"status": "success", "dry_run": dry_run, "data": results}
+
+    def schemas_available(self) -> dict:
+        """GET /schemas/available: the versioned-schema registry —
+        tables, their versions, and the current version per table."""
+        from .schemas.resolver import builtin_registry
+
+        reg = builtin_registry()
+        return {"status": "success", "data": [
+            {
+                "table": t,
+                "versions": reg.versions(t),
+                "current": reg.current_version(t),
+                "fields": len(reg.resolve(t).fields),
+                "partition_by": reg.resolve(t).partition_by,
+            }
+            for t in reg.tables()
+        ]}

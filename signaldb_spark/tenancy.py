@@ -28,11 +28,19 @@ class TenantSession:
         self.tenant = tenant
         self.dataset = dataset
         self._tables: dict[str, DataFrame] = {}
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-discover the tenant's tables — required after maintenance
+        that swaps files under a legacy directory-layout table (manifest
+        tables keep snapshots readable; the rename-aside compaction path
+        does not)."""
+        self._tables = {}
         for t in SIGNAL_TABLES:
-            df = optional_table(spark, base, tenant, dataset, t)
+            df = optional_table(self.spark, self.base, self.tenant, self.dataset, t)
             if df is not None:
                 self._tables[t] = df
-                df.createOrReplaceTempView(f"{tenant}_{dataset}_{t}")
+                df.createOrReplaceTempView(f"{self.tenant}_{self.dataset}_{t}")
 
     def table(self, name: str) -> DataFrame | None:
         return self._tables.get(name)

@@ -291,3 +291,55 @@ def test_tempo_metrics_query_range_route(api):
 
     bad = api.tempo_metrics_query_range("{ } | avg()", START, END)
     assert bad["status"] == "error"
+
+
+def test_prom_label_stats_route(api):
+    out = api.prom_label_stats("logs")
+    assert out["status"] == "success" and out["data"]
+    keys = {d["key"] for d in out["data"]}
+    assert "env" in keys
+    assert all(
+        0 < d["presence_ratio"] <= 1 and d["cardinality"] > 0 for d in out["data"]
+    )
+
+
+def test_pyroscope_render_diff_route(api):
+    mid = "2024-01-01 02:00:00"
+    out = api.pyroscope_render_diff(START, mid, mid, END)
+    assert out["flamegraphDiff"]
+    r = out["flamegraphDiff"][0]
+    assert {"base_value", "comp_value", "delta"} <= set(r)
+    assert all(
+        row["delta"] == row["comp_value"] - row["base_value"]
+        for row in out["flamegraphDiff"]
+    )
+
+
+def test_ops_compact_routes(api):
+    status = api.ops_compact_status("logs")
+    assert status["status"] == "success"
+    parts = status["data"]["partitions"]
+    assert parts and all(p["n_files"] >= 1 for p in parts)
+
+    dry = api.ops_compact("logs", dry_run=True)
+    assert dry["dry_run"] is True and len(dry["data"]) == len(parts)
+
+    d0 = parts[0]
+    done = api.ops_compact("logs", day=str(d0["date_day"]), hour=d0["hour"])
+    assert done["status"] == "success" and len(done["data"]) == 1
+    assert done["data"][0]["files_after"] == 1
+    # table still whole through the facade
+    n = api.sql("SELECT count(*) AS n FROM logs")["data"][0]["n"]
+    assert n > 0
+
+    missing = api.ops_compact_status("nope")
+    assert missing["status"] == "error"
+
+
+def test_schemas_available_route(api):
+    out = api.schemas_available()
+    assert out["status"] == "success"
+    by_table = {d["table"]: d for d in out["data"]}
+    assert by_table["traces"]["current"] == "v2"
+    assert "v1" in by_table["traces"]["versions"]
+    assert by_table["logs"]["partition_by"] == ["date_day", "hour"]
