@@ -1,0 +1,256 @@
+"""Tenant / dataset / API-key provisioning catalog.
+
+The reference keeps provisioning state in a catalog database
+(src/common/src/catalog.rs — TenantRecord :1273, DatasetRecord :1308,
+ApiKeyRecord :1284) behind the admin endpoints
+(src/router/src/endpoints/admin.rs): tenant creation validates
+id/name, 409s on conflict, and materializes the default dataset in the
+same transaction (a tenant without a dataset row fails closed — its
+issue #1066); API keys are stored as SHA-256 hashes only
+(catalog.rs hash_api_key), returned in plaintext exactly once at
+creation, and revocation is a timestamp, not a delete.
+
+Here the catalog is an immutable versioned JSON document under
+``{base}/_catalog/`` committed with the same put-if-absent protocol
+the manifest and index stores use (``os.link`` locally ≙ conditional
+PUT on an object store): concurrent writers race safely by re-reading
+the latest version and retrying, readers always see a complete
+document, and history is auditable. Data paths are untouched — a
+tenant's tables still live at ``{base}/{tenant}/{dataset}/{table}``,
+so provisioning and the query engine compose through the path layout
+alone.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+import os
+import secrets
+import uuid
+
+
+class AdminError(Exception):
+    def __init__(self, code: str, message: str):
+        super().__init__(message)
+        self.code = code
+        self.message = message
+
+
+def _hash_key(key: str) -> str:
+    return hashlib.sha256(key.encode("utf-8")).hexdigest()
+
+
+def _now_iso(now) -> str:
+    if now is None:
+        now = dt.datetime.now(dt.timezone.utc)
+    elif isinstance(now, str):
+        return now
+    return now.isoformat()
+
+
+class TenantCatalog:
+    """Provisioning state machine over a versioned JSON document."""
+
+    def __init__(self, base: str):
+        self.dir = os.path.join(base, "_catalog")
+
+    # ------------------------------------------------------- versioning
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        out = []
+        for n in os.listdir(self.dir):
+            if n.startswith("v") and n.endswith(".json"):
+                try:
+                    out.append(int(n[1:-5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _read(self) -> dict:
+        vs = self.versions()
+        if not vs:
+            return {"tenants": {}, "api_keys": {}}
+        with open(os.path.join(self.dir, f"v{vs[-1]:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _commit(self, mutate, max_retries: int = 20):
+        """Read-latest → mutate → put-if-absent next version. ``mutate``
+        receives the document and returns the method's result value; on
+        commit contention the whole cycle re-runs against the fresh
+        document (so conflict checks re-validate too)."""
+        os.makedirs(self.dir, exist_ok=True)
+        for _ in range(max_retries):
+            doc = self._read()
+            result = mutate(doc)
+            v = (self.versions() or [0])[-1] + 1
+            tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh, indent=1, sort_keys=True)
+            try:
+                os.link(tmp, os.path.join(self.dir, f"v{v:08d}.json"))
+                return result
+            except FileExistsError:
+                continue
+            finally:
+                os.unlink(tmp)
+        raise AdminError("contention", f"catalog commit exceeded {max_retries} retries")
+
+    # ---------------------------------------------------------- tenants
+
+    def create_tenant(self, tenant_id: str, name: str,
+                      default_dataset: str = "default", now=None) -> dict:
+        """409-on-conflict create; the default dataset materializes in
+        the SAME commit (admin.rs: a tenant without a dataset row is
+        invisible and cannot authenticate — issue #1066 parity)."""
+        if not tenant_id:
+            raise AdminError("validation_error", "Tenant ID must not be empty")
+        if not name:
+            raise AdminError("validation_error", "Tenant name must not be empty")
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            if tenant_id in doc["tenants"]:
+                raise AdminError("conflict", f"Tenant '{tenant_id}' already exists")
+            rec = {
+                "id": tenant_id, "name": name,
+                "default_dataset": default_dataset,
+                "created_at": ts, "updated_at": ts,
+                "datasets": {
+                    default_dataset: {"id": default_dataset, "name": default_dataset,
+                                      "created_at": ts},
+                },
+            }
+            doc["tenants"][tenant_id] = rec
+            return rec
+
+        return self._commit(mutate)
+
+    def get_tenant(self, tenant_id: str) -> dict | None:
+        return self._read()["tenants"].get(tenant_id)
+
+    def list_tenants(self) -> list[dict]:
+        return sorted(self._read()["tenants"].values(), key=lambda t: t["id"])
+
+    def delete_tenant(self, tenant_id: str) -> None:
+        """Removes the tenant record and revokes its keys; table data
+        under the tenant's path is retention's job, not the catalog's."""
+        def mutate(doc):
+            if tenant_id not in doc["tenants"]:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            del doc["tenants"][tenant_id]
+            for k in doc["api_keys"].values():
+                if k["tenant_id"] == tenant_id and k.get("revoked_at") is None:
+                    k["revoked_at"] = _now_iso(None)
+            return None
+
+        return self._commit(mutate)
+
+    # --------------------------------------------------------- datasets
+
+    def create_dataset(self, tenant_id: str, name: str, now=None) -> dict:
+        if not name:
+            raise AdminError("validation_error", "Dataset name must not be empty")
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            t = doc["tenants"].get(tenant_id)
+            if t is None:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            if name in t["datasets"]:
+                raise AdminError("conflict", f"Dataset '{name}' already exists")
+            rec = {"id": name, "name": name, "created_at": ts}
+            t["datasets"][name] = rec
+            return rec
+
+        return self._commit(mutate)
+
+    def list_datasets(self, tenant_id: str) -> list[dict]:
+        t = self.get_tenant(tenant_id)
+        if t is None:
+            raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+        return sorted(t["datasets"].values(), key=lambda d: d["id"])
+
+    def delete_dataset(self, tenant_id: str, name: str) -> None:
+        def mutate(doc):
+            t = doc["tenants"].get(tenant_id)
+            if t is None or name not in t["datasets"]:
+                raise AdminError("not_found", f"Dataset '{name}' not found")
+            if t.get("default_dataset") == name:
+                raise AdminError("validation_error",
+                                 "cannot delete the tenant's default dataset")
+            del t["datasets"][name]
+            return None
+
+        return self._commit(mutate)
+
+    # --------------------------------------------------------- API keys
+
+    def create_api_key(self, tenant_id: str, name: str | None = None,
+                       dataset: str | None = None, key: str | None = None,
+                       now=None) -> dict:
+        """Mint a key for a tenant (optionally pinned to one dataset).
+        The plaintext is returned ONCE here; only its SHA-256 persists
+        (catalog.rs hash_api_key). Pass ``key`` to make tests
+        deterministic."""
+        plaintext = key or f"sk_{secrets.token_hex(24)}"
+        key_id = f"key_{uuid.uuid4().hex[:12]}"
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            t = doc["tenants"].get(tenant_id)
+            if t is None:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            if dataset is not None and dataset not in t["datasets"]:
+                raise AdminError("not_found", f"Dataset '{dataset}' not found")
+            doc["api_keys"][_hash_key(plaintext)] = {
+                "id": key_id, "tenant_id": tenant_id, "name": name,
+                "dataset_id": dataset, "created_at": ts, "revoked_at": None,
+            }
+            return {"id": key_id, "tenant_id": tenant_id, "name": name,
+                    "dataset_id": dataset, "created_at": ts, "key": plaintext}
+
+        return self._commit(mutate)
+
+    def list_api_keys(self, tenant_id: str) -> list[dict]:
+        """Key records WITHOUT plaintext or hashes (ApiKeyRecord shape)."""
+        return sorted(
+            (dict(v) for v in self._read()["api_keys"].values()
+             if v["tenant_id"] == tenant_id),
+            key=lambda k: k["id"],
+        )
+
+    def revoke_api_key(self, tenant_id: str, key_id: str, now=None) -> None:
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            for rec in doc["api_keys"].values():
+                if rec["tenant_id"] == tenant_id and rec["id"] == key_id:
+                    if rec["revoked_at"] is not None:
+                        raise AdminError("conflict", "key already revoked")
+                    rec["revoked_at"] = ts
+                    return None
+            raise AdminError("not_found", f"API key '{key_id}' not found")
+
+        return self._commit(mutate)
+
+    def authenticate(self, key: str) -> dict | None:
+        """Plaintext key → (tenant, dataset) auth attributes, or None.
+        Fails closed: unknown, revoked, and deleted-tenant keys all
+        return None (resolve_database_tenant semantics — a tenant whose
+        dataset row is gone cannot authenticate)."""
+        doc = self._read()
+        rec = doc["api_keys"].get(_hash_key(key))
+        if rec is None or rec["revoked_at"] is not None:
+            return None
+        t = doc["tenants"].get(rec["tenant_id"])
+        if t is None:
+            return None
+        dataset = rec["dataset_id"] or t.get("default_dataset")
+        if dataset not in t["datasets"]:
+            return None
+        return {"tenant_id": rec["tenant_id"], "dataset": dataset,
+                "key_id": rec["id"]}

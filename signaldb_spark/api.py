@@ -659,3 +659,75 @@ class SignalDBAPI:
             }
             for t in reg.tables()
         ]}
+
+
+class AdminAPI:
+    """The provisioning surface (endpoints/admin.rs): tenant / dataset /
+    API-key CRUD over the versioned catalog — base-scoped, unlike the
+    per-(tenant, dataset) query façade. Errors come back as envelopes
+    carrying the reference's error codes (validation_error / conflict /
+    not_found) instead of raising."""
+
+    def __init__(self, base: str):
+        from .admin import TenantCatalog
+
+        self.catalog = TenantCatalog(base)
+
+    def _run(self, fn):
+        from .admin import AdminError
+
+        try:
+            return {"status": "success", "data": fn()}
+        except AdminError as e:
+            return error_envelope(e.message, e.code)
+
+    # POST/GET/DELETE /api/v1/admin/tenants[/{id}]
+    def create_tenant(self, tenant_id: str, name: str,
+                      default_dataset: str = "default") -> dict:
+        return self._run(
+            lambda: self.catalog.create_tenant(tenant_id, name, default_dataset)
+        )
+
+    def list_tenants(self) -> dict:
+        return self._run(self.catalog.list_tenants)
+
+    def get_tenant(self, tenant_id: str) -> dict:
+        def fn():
+            from .admin import AdminError
+
+            t = self.catalog.get_tenant(tenant_id)
+            if t is None:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            return t
+
+        return self._run(fn)
+
+    def delete_tenant(self, tenant_id: str) -> dict:
+        return self._run(lambda: self.catalog.delete_tenant(tenant_id))
+
+    # POST/GET/DELETE /api/v1/admin/tenants/{id}/datasets[/{name}]
+    def create_dataset(self, tenant_id: str, name: str) -> dict:
+        return self._run(lambda: self.catalog.create_dataset(tenant_id, name))
+
+    def list_datasets(self, tenant_id: str) -> dict:
+        return self._run(lambda: self.catalog.list_datasets(tenant_id))
+
+    def delete_dataset(self, tenant_id: str, name: str) -> dict:
+        return self._run(lambda: self.catalog.delete_dataset(tenant_id, name))
+
+    # POST/GET/DELETE /api/v1/admin/tenants/{id}/api-keys[/{key_id}]
+    def create_api_key(self, tenant_id: str, name: str | None = None,
+                       dataset: str | None = None) -> dict:
+        return self._run(lambda: self.catalog.create_api_key(tenant_id, name, dataset))
+
+    def list_api_keys(self, tenant_id: str) -> dict:
+        return self._run(lambda: self.catalog.list_api_keys(tenant_id))
+
+    def revoke_api_key(self, tenant_id: str, key_id: str) -> dict:
+        return self._run(lambda: self.catalog.revoke_api_key(tenant_id, key_id))
+
+    def authenticate(self, key: str) -> dict:
+        auth = self.catalog.authenticate(key)
+        if auth is None:
+            return error_envelope("invalid or revoked API key", "unauthorized")
+        return {"status": "success", "data": auth}

@@ -1,0 +1,119 @@
+"""Provisioning catalog (admin.py + api.AdminAPI): tenant/dataset/
+API-key CRUD semantics from the reference's admin endpoints —
+409-on-conflict, atomic default-dataset materialization (issue #1066
+parity), SHA-256-only key storage, fail-closed authentication — over
+the put-if-absent versioned JSON commit."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import pytest
+
+from signaldb_spark.admin import AdminError, TenantCatalog
+from signaldb_spark.api import AdminAPI
+
+NOW = "2024-01-01T00:00:00+00:00"
+
+
+def test_create_tenant_materializes_default_dataset(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    rec = cat.create_tenant("acme", "Acme Corp", now=NOW)
+    assert rec["id"] == "acme" and rec["default_dataset"] == "default"
+    # the dataset row exists in the SAME commit (one catalog version)
+    assert cat.versions() == [1]
+    assert [d["id"] for d in cat.list_datasets("acme")] == ["default"]
+
+
+def test_create_tenant_validation_and_conflict(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    with pytest.raises(AdminError, match="must not be empty"):
+        cat.create_tenant("", "x")
+    with pytest.raises(AdminError, match="must not be empty"):
+        cat.create_tenant("t", "")
+    cat.create_tenant("t", "T", now=NOW)
+    with pytest.raises(AdminError, match="already exists"):
+        cat.create_tenant("t", "T again")
+
+
+def test_dataset_crud_and_default_protection(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    cat.create_dataset("t", "staging", now=NOW)
+    assert [d["id"] for d in cat.list_datasets("t")] == ["default", "staging"]
+    with pytest.raises(AdminError, match="already exists"):
+        cat.create_dataset("t", "staging")
+    with pytest.raises(AdminError, match="default dataset"):
+        cat.delete_dataset("t", "default")
+    cat.delete_dataset("t", "staging")
+    assert [d["id"] for d in cat.list_datasets("t")] == ["default"]
+    with pytest.raises(AdminError, match="not found"):
+        cat.create_dataset("nope", "x")
+
+
+def test_api_key_lifecycle_and_fail_closed_auth(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    minted = cat.create_api_key("t", name="ingest", key="sk_test_123", now=NOW)
+    assert minted["key"] == "sk_test_123"
+
+    # plaintext never persists — only the SHA-256 hash
+    blobs = " ".join(
+        open(p).read() for p in glob.glob(f"{tmp_path}/_catalog/*.json")
+    )
+    assert "sk_test_123" not in blobs
+
+    auth = cat.authenticate("sk_test_123")
+    assert auth == {"tenant_id": "t", "dataset": "default", "key_id": minted["id"]}
+    assert cat.authenticate("sk_wrong") is None
+
+    # record listing carries no secrets
+    recs = cat.list_api_keys("t")
+    assert len(recs) == 1 and "key" not in recs[0]
+
+    cat.revoke_api_key("t", minted["id"], now=NOW)
+    assert cat.authenticate("sk_test_123") is None
+    with pytest.raises(AdminError, match="already revoked"):
+        cat.revoke_api_key("t", minted["id"])
+
+
+def test_dataset_scoped_key_and_tenant_delete_revokes(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    cat.create_dataset("t", "prod", now=NOW)
+    k = cat.create_api_key("t", dataset="prod", key="sk_prod", now=NOW)
+    assert cat.authenticate("sk_prod")["dataset"] == "prod"
+    with pytest.raises(AdminError, match="not found"):
+        cat.create_api_key("t", dataset="missing")
+    cat.delete_tenant("t")
+    assert cat.authenticate("sk_prod") is None
+    assert cat.get_tenant("t") is None and k["id"]
+
+
+def test_catalog_versions_are_immutable_history(tmp_path):
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("a", "A", now=NOW)
+    cat.create_tenant("b", "B", now=NOW)
+    cat.create_dataset("a", "x", now=NOW)
+    assert cat.versions() == [1, 2, 3]
+    # two handles over the same directory see the same latest state
+    other = TenantCatalog(str(tmp_path))
+    assert {t["id"] for t in other.list_tenants()} == {"a", "b"}
+
+
+def test_admin_api_envelopes(tmp_path):
+    api = AdminAPI(str(tmp_path))
+    out = api.create_tenant("acme", "Acme")
+    assert out["status"] == "success" and out["data"]["id"] == "acme"
+    dup = api.create_tenant("acme", "Acme")
+    assert dup["status"] == "error" and dup["errorType"] == "conflict"
+    missing = api.get_tenant("nope")
+    assert missing["status"] == "error" and missing["errorType"] == "not_found"
+    key = api.create_api_key("acme", name="ci")
+    assert key["status"] == "success" and key["data"]["key"].startswith("sk_")
+    ok = api.authenticate(key["data"]["key"])
+    assert ok["status"] == "success" and ok["data"]["tenant_id"] == "acme"
+    bad = api.authenticate("sk_nope")
+    assert bad["status"] == "error" and bad["errorType"] == "unauthorized"
+    assert api.list_tenants()["data"][0]["id"] == "acme"
