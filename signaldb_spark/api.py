@@ -478,6 +478,30 @@ class SignalDBAPI:
             return error_envelope("no traces table for tenant", "not_found")
         return {"tagValues": [r[0] for r in tag_values(traces, scope, key).collect()]}
 
+    # GET /tempo/api/v2/search/tag/<scoped>/values — same values in the
+    # v2 {tagValues: [{tag, value}]} shape, scoped-tag path + optional
+    # time bounds (tempo.rs search_tag_values_v2)
+
+    def tempo_tag_values_v2(self, scoped_tag: str, start=None, end=None) -> dict:
+        from pyspark.sql import functions as F
+
+        from .traceql.trace_ops import tag_values
+
+        traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
+        if start is not None and end is not None:
+            traces = traces.filter(F.col("timestamp").between(start, end))
+        scope, key = "unscoped", scoped_tag
+        for s in ("span", "resource"):
+            if scoped_tag.startswith(s + "."):
+                scope, key = s, scoped_tag[len(s) + 1:]
+                break
+        return {"tagValues": [
+            {"tag": scoped_tag, "value": r[0]}
+            for r in tag_values(traces, scope, key).collect()
+        ]}
+
     # -------------------------------------------------- Pyroscope surface
     # GET /pyroscope/render — merged (optionally truncated) flamegraph
 

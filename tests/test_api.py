@@ -343,3 +343,16 @@ def test_schemas_available_route(api):
     assert by_table["traces"]["current"] == "v2"
     assert "v1" in by_table["traces"]["versions"]
     assert by_table["logs"]["partition_by"] == ["date_day", "hour"]
+
+
+def test_tempo_tag_values_v2_route(api):
+    out = api.tempo_tag_values_v2("resource.service.name")
+    assert out["tagValues"] and all(
+        e["tag"] == "resource.service.name" and e["value"] for e in out["tagValues"]
+    )
+    v1 = api.tempo_tag_values("service.name")
+    assert {e["value"] for e in out["tagValues"]} == set(v1["tagValues"])
+    empty = api.tempo_tag_values_v2(
+        "span.http.method", "2030-01-01 00:00:00", "2030-01-02 00:00:00"
+    )
+    assert empty["tagValues"] == []
