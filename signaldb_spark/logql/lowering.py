@@ -185,8 +185,26 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
                         F.lit(""),
                     )
                 )
-    sources.append(F.element_at(F.col("log_attributes"), label))
+    sources.append(_attr_map_value(df, label))
     return F.coalesce(*sources) if len(sources) > 1 else sources[0]
+
+
+def _attr_map_value(df: DataFrame, label: str) -> Column:
+    """The ``log_attributes`` route, layout-aware: native
+    ``map<string,string>`` tables probe the map; tables written in the
+    reference's LEGACY layout — attributes as one JSON string
+    (storage-layout.md pre-map era; the json_extract predicate path in
+    logql.rs) — route through get_json_object. The dtype decides at
+    plan time, so the map fast path pays nothing for the compat."""
+    import pyspark.sql.types as T
+
+    try:
+        dtype = df.schema["log_attributes"].dataType
+    except KeyError:
+        return F.lit(None).cast("string")
+    if isinstance(dtype, T.StringType):
+        return F.get_json_object(F.col("log_attributes"), f"$.{label}")
+    return F.element_at(F.col("log_attributes"), label)
 
 
 def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:

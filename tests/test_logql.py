@@ -583,3 +583,38 @@ def test_ip_line_and_label_filters(spark):
     )
     rows = query_logs(ctx, lbl, limit=10).collect()
     assert [r.body for r in rows] == ["addr=10.3.7.7 ok"]
+
+
+def test_legacy_json_string_attributes_route(spark):
+    """Tables written in the reference's legacy layout (log_attributes
+    as ONE JSON string, not a map) still answer attribute matchers and
+    label filters: the resolution routes through get_json_object when
+    the column's dtype is string (logql.rs json_extract predicate
+    path). Map-layout behavior is unchanged."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.logql.lowering import LowerCtx, query_logs
+    from signaldb_spark.logql.parser import parse as logql_parse
+
+    legacy = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", "api", "a", '{"env": "prod", "region": "eu"}'),
+            ("2024-01-01 00:00:02", "api", "b", '{"env": "staging"}'),
+            ("2024-01-01 00:00:03", "api", "c", None),
+        ],
+        "ts string, service_name string, body string, log_attributes string",
+    ).select(
+        F.to_timestamp("ts").alias("timestamp"), "service_name", "body",
+        F.lit(None).cast("string").alias("severity_text"), "log_attributes",
+    )
+    ctx = LowerCtx(spark, legacy, "2024-01-01 00:00:00", "2024-01-01 01:00:00", 3600)
+
+    sel = logql_parse('{service_name="api", env="prod"}')
+    assert [r.body for r in query_logs(ctx, sel, limit=10).collect()] == ["a"]
+
+    # negation admits absent attributes (NULL-matching), legacy too
+    neg = logql_parse('{service_name="api", env!="prod"}')
+    assert {r.body for r in query_logs(ctx, neg, limit=10).collect()} == {"b", "c"}
+
+    lbl = logql_parse('{service_name="api"} | region = "eu"')
+    assert [r.body for r in query_logs(ctx, lbl, limit=10).collect()] == ["a"]
