@@ -203,7 +203,8 @@ def _attr_map_value(df: DataFrame, label: str) -> Column:
     except KeyError:
         return F.lit(None).cast("string")
     if isinstance(dtype, T.StringType):
-        return F.get_json_object(F.col("log_attributes"), f"$.{label}")
+        # bracket path form: dotted attribute keys are single map keys
+        return F.get_json_object(F.col("log_attributes"), f"$['{label}']")
     return F.element_at(F.col("log_attributes"), label)
 
 

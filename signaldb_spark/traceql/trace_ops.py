@@ -58,11 +58,31 @@ def _apply_op(col, op: str, value):
     raise ValueError(op)
 
 
+def _span_attr_value(df: DataFrame, attr_col: str, key: str):
+    """Attribute access, layout-aware: native map columns probe with
+    element_at; tables written in the reference's LEGACY layout —
+    attributes as one JSON string (search_filter.rs:157-170 substring
+    era) — extract the key exactly via get_json_object. The dtype
+    decides at plan time; absent columns resolve to NULL."""
+    import pyspark.sql.types as T
+
+    try:
+        dtype = df.schema[attr_col].dataType
+    except KeyError:
+        return F.lit(None).cast("string")
+    if isinstance(dtype, T.StringType):
+        # bracket path form: dotted keys (http.method) are single map
+        # keys, not nesting
+        return F.get_json_object(F.col(attr_col), f"$['{key}']")
+    return F.element_at(F.col(attr_col), key)
+
+
 def predicate_expr(df: DataFrame, p: SpanPredicate):
     """Lower one TraceQL predicate over native map columns instead of
     JSON substring matching (equality core: search_filter.rs:157-170;
     the non-equality operators are the Tempo grammar the reference
-    rejects, search_filter.rs:234-330 — beyond-parity upgrade)."""
+    rejects, search_filter.rs:234-330 — beyond-parity upgrade). Legacy
+    JSON-string attribute tables route per _span_attr_value."""
     op = getattr(p, "op", "=")
     if p.scope == "intrinsic":
         if p.key == "name":
@@ -75,9 +95,9 @@ def predicate_expr(df: DataFrame, p: SpanPredicate):
             return _apply_op(F.col("span_kind"), op, p.value)
         raise ValueError(p.key)
     if p.scope == "span":
-        return _apply_op(F.element_at(F.col("span_attributes"), p.key), op, p.value)
+        return _apply_op(_span_attr_value(df, "span_attributes", p.key), op, p.value)
     if p.scope == "resource":
-        return _apply_op(F.element_at(F.col("resource_attributes"), p.key), op, p.value)
+        return _apply_op(_span_attr_value(df, "resource_attributes", p.key), op, p.value)
     # unscoped: well-known service.name → column; else span attr OR resource
     # attr. Positive matchers OR the two scopes; negated matchers apply to
     # the span-then-resource coalesce (exists-and-differs on the value the
@@ -85,8 +105,8 @@ def predicate_expr(df: DataFrame, p: SpanPredicate):
     # that lacks the key in one scope).
     if p.key == "service.name":
         return _apply_op(F.col("service_name"), op, p.value)
-    span_attr = F.element_at(F.col("span_attributes"), p.key)
-    res_attr = F.element_at(F.col("resource_attributes"), p.key)
+    span_attr = _span_attr_value(df, "span_attributes", p.key)
+    res_attr = _span_attr_value(df, "resource_attributes", p.key)
     if op in ("!=", "!~"):
         return _apply_op(F.coalesce(span_attr, res_attr), op, p.value)
     return _apply_op(span_attr, op, p.value) | _apply_op(res_attr, op, p.value)

@@ -799,3 +799,30 @@ def test_search_traceql_routes_structural_through_depth_router(spark, sf_dir=Non
     sq = parse_traceql_expr('{ name = "R" } >> { status = error }')
     out = structural_search(spans, sq)
     assert "FlatMapGroupsInPandas" not in _plan(out)
+
+
+def test_legacy_json_string_span_attributes(spark):
+    """Legacy-layout trace tables (span/resource attributes as JSON
+    strings, the reference's substring-predicate era) answer scoped and
+    unscoped matchers through exact get_json_object extraction."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.traceql.trace_ops import predicate_expr
+    from signaldb_spark.traceql.parser import parse_traceql
+
+    legacy = spark.createDataFrame(
+        [
+            ("t1", 1, "GET", '{"http.method": "GET"}', '{"env": "prod"}'),
+            ("t1", 2, "POST", '{"http.method": "POST"}', '{"env": "prod"}'),
+            ("t2", 3, "GET", None, '{"env": "staging"}'),
+        ],
+        "trace_id string, span_id long, span_name string, "
+        "span_attributes string, resource_attributes string",
+    )
+    preds = parse_traceql('{ span.http.method = "GET" }')
+    got = legacy.filter(predicate_expr(legacy, preds[0]))
+    assert [r.span_id for r in got.collect()] == [1]
+    # unscoped routes across both legacy scopes
+    preds = parse_traceql('{ .env = "staging" }')
+    got = legacy.filter(predicate_expr(legacy, preds[0]))
+    assert [r.span_id for r in got.collect()] == [3]
