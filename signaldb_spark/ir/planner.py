@@ -48,7 +48,9 @@ def _field(df: DataFrame, name: str) -> Column:
     candidates = [c for c in ("log_attributes", "attributes", "span_attributes") if c in df.columns]
     if not candidates:
         return F.lit(None).cast("string")
-    cols = [F.element_at(F.col(c), name) for c in candidates]
+    from ..operators.attrs import attr_value
+
+    cols = [attr_value(df, c, name) for c in candidates]
     return F.coalesce(*cols) if len(cols) > 1 else cols[0]
 
 

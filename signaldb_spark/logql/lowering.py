@@ -190,22 +190,14 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
 
 
 def _attr_map_value(df: DataFrame, label: str) -> Column:
-    """The ``log_attributes`` route, layout-aware: native
-    ``map<string,string>`` tables probe the map; tables written in the
-    reference's LEGACY layout — attributes as one JSON string
-    (storage-layout.md pre-map era; the json_extract predicate path in
-    logql.rs) — route through get_json_object. The dtype decides at
-    plan time, so the map fast path pays nothing for the compat."""
-    import pyspark.sql.types as T
+    """The ``log_attributes`` route, layout-aware
+    (operators.attrs.attr_value): legacy JSON-string tables
+    (logql.rs:330-361 substring era) extract exactly; map tables probe
+    element_at. The dtype decides at plan time, so the map fast path
+    pays nothing for the compat."""
+    from ..operators.attrs import attr_value
 
-    try:
-        dtype = df.schema["log_attributes"].dataType
-    except KeyError:
-        return F.lit(None).cast("string")
-    if isinstance(dtype, T.StringType):
-        # bracket path form: dotted attribute keys are single map keys
-        return F.get_json_object(F.col("log_attributes"), f"$['{label}']")
-    return F.element_at(F.col("log_attributes"), label)
+    return attr_value(df, "log_attributes", label)
 
 
 def _pattern_to_regex(pattern: str) -> tuple[str, list[str]]:

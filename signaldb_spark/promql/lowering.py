@@ -95,7 +95,11 @@ def matcher_expr(df: DataFrame, m: LabelMatcher) -> Column:
     elif m.label in df.columns:
         col = F.col(m.label)
     else:
-        col = F.element_at(F.col("attributes"), m.label)
+        from ..operators.attrs import attr_value
+
+        # layout-aware: legacy JSON-string attribute tables route
+        # through exact get_json_object extraction
+        col = attr_value(df, "attributes", m.label)
     if m.op == "=":
         return col == m.value
     if m.op == "!=":

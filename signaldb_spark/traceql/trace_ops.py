@@ -59,22 +59,12 @@ def _apply_op(col, op: str, value):
 
 
 def _span_attr_value(df: DataFrame, attr_col: str, key: str):
-    """Attribute access, layout-aware: native map columns probe with
-    element_at; tables written in the reference's LEGACY layout —
-    attributes as one JSON string (search_filter.rs:157-170 substring
-    era) — extract the key exactly via get_json_object. The dtype
-    decides at plan time; absent columns resolve to NULL."""
-    import pyspark.sql.types as T
+    """Layout-aware attribute access (operators.attrs.attr_value):
+    legacy JSON-string tables (search_filter.rs:157-170 substring era)
+    extract exactly; map tables probe element_at."""
+    from ..operators.attrs import attr_value
 
-    try:
-        dtype = df.schema[attr_col].dataType
-    except KeyError:
-        return F.lit(None).cast("string")
-    if isinstance(dtype, T.StringType):
-        # bracket path form: dotted keys (http.method) are single map
-        # keys, not nesting
-        return F.get_json_object(F.col(attr_col), f"$['{key}']")
-    return F.element_at(F.col(attr_col), key)
+    return attr_value(df, attr_col, key)
 
 
 def predicate_expr(df: DataFrame, p: SpanPredicate):
