@@ -70,28 +70,35 @@ class TenantCatalog:
                     continue
         return sorted(out)
 
-    def _read(self) -> dict:
+    def _read_versioned(self) -> tuple[dict, int]:
+        """(document, version) from ONE listing — the version the commit
+        must link at +1. Computing the target version from a second
+        listing would let a concurrent commit land in between and be
+        silently overwritten (lost update) instead of colliding."""
         vs = self.versions()
         if not vs:
-            return {"tenants": {}, "api_keys": {}}
+            return {"tenants": {}, "api_keys": {}}, 0
         with open(os.path.join(self.dir, f"v{vs[-1]:08d}.json")) as fh:
-            return json.load(fh)
+            return json.load(fh), vs[-1]
+
+    def _read(self) -> dict:
+        return self._read_versioned()[0]
 
     def _commit(self, mutate, max_retries: int = 20):
-        """Read-latest → mutate → put-if-absent next version. ``mutate``
-        receives the document and returns the method's result value; on
-        commit contention the whole cycle re-runs against the fresh
-        document (so conflict checks re-validate too)."""
+        """Read-latest → mutate → put-if-absent at read-version + 1.
+        ``mutate`` receives the document and returns the method's result
+        value; a FileExistsError means another writer committed first —
+        the whole cycle re-runs against the fresh document (so conflict
+        checks re-validate too)."""
         os.makedirs(self.dir, exist_ok=True)
         for _ in range(max_retries):
-            doc = self._read()
+            doc, read_v = self._read_versioned()
             result = mutate(doc)
-            v = (self.versions() or [0])[-1] + 1
             tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(doc, fh, indent=1, sort_keys=True)
             try:
-                os.link(tmp, os.path.join(self.dir, f"v{v:08d}.json"))
+                os.link(tmp, os.path.join(self.dir, f"v{read_v + 1:08d}.json"))
                 return result
             except FileExistsError:
                 continue

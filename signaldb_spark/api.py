@@ -446,7 +446,12 @@ class SignalDBAPI:
                     for r in sorted(rows, key=lambda r: r["bucket"])
                 ],
             }
-            for key, rows in sorted(by_series.items())
+            # None-safe ordering: a by() over a nullable column yields a
+            # None-labeled series, which plain tuple sort would TypeError
+            for key, rows in sorted(
+                by_series.items(),
+                key=lambda kv: [(k, v is None, str(v)) for k, v in kv[0]],
+            )
         ]}
 
     # /tempo/api/search/tags (+v2), /tag/<k>/values
@@ -644,6 +649,10 @@ class SignalDBAPI:
             partition_files,
         )
 
+        if hour is not None and day is None:
+            # an hour without a day would silently compact the whole
+            # table — reject instead
+            return error_envelope("hour requires day", "validation_error")
         path = signal_table_path(self.session.base, self.tenant, self.dataset, table)
         parts = list_hour_partitions(path)
         if not parts:

@@ -306,7 +306,10 @@ def _line_pattern_regex(pattern: str) -> str:
     return "(?s)^" + ".*?".join(_re.escape(p) for p in pattern.split("<_>")) + "$"
 
 
-IPV4_RE = r"(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
+# token-bounded: a digit or dot on either side disqualifies the match,
+# so "1234.5.6.7" does not yield the false IP 234.5.6.7 and
+# "1.2.3.4567" matches nothing (Loki scans whole tokens)
+IPV4_RE = r"(?<![\d.])(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})(?![\d.])"
 
 
 def parse_ip_pattern(pattern: str) -> tuple[int, int]:
@@ -339,16 +342,16 @@ def parse_ip_pattern(pattern: str) -> tuple[int, int]:
 
 
 def _ipv4_to_long(c: Column) -> Column:
-    """Dotted-quad string → numeric value; malformed input nets NULL
-    through the casts (so comparisons are false, never errors)."""
+    """Dotted-quad string → numeric value; malformed input (wrong part
+    count, non-numeric, or any octet > 255 — 10.3.260.0 must NOT alias
+    into 10.4.0.0/16) nets NULL through the casts and range guards, so
+    comparisons are false, never errors."""
     p = F.split(c, r"\.")
+    octs = [p[i].try_cast("long") for i in range(4)]
     ok = F.size(p) == 4
-    val = (
-        p[0].try_cast("long") * 16777216
-        + p[1].try_cast("long") * 65536
-        + p[2].try_cast("long") * 256
-        + p[3].try_cast("long")
-    )
+    for o in octs:
+        ok = ok & o.between(0, 255)
+    val = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
     return F.when(ok, val)
 
 

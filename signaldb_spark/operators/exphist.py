@@ -204,11 +204,12 @@ def exphist_rate_quantile(
     makes last − first negative, which would corrupt the CDF. Reset
     detection mirrors Prometheus's native-histogram rules: total
     observation count decreasing, zero count decreasing, ANY individual
-    bucket decreasing (offset-aligned element-wise compare of the first
-    vs last bucket arrays, when the scales match), or the scale
-    INCREASING (SDKs only lower resolution as range grows; a finer
-    scale means a restart). A legitimate scale decrease merges buckets
-    and is not a reset. Detected resets drop the subtrahend and use the
+    bucket decreasing (offset-aligned element-wise compare — at equal
+    scales directly; across a legitimate scale decrease by first
+    merging the finer snapshot's buckets down, the same
+    downscale-then-compare Prometheus's detectReset performs), or the
+    scale INCREASING (SDKs only lower resolution as range grows; a
+    finer scale means a restart). Detected resets drop the subtrahend and use the
     LAST datapoint's distribution as the increase — the post-reset
     value. NOTE the documented undercount: with >2 datapoints in a
     step, the pre-reset increase (first → pre-reset peak) is discarded,
@@ -273,16 +274,60 @@ def exphist_rate_quantile(
         )
 
     scale_l, scale_f = F.col(f"_last.{scale_col}"), F.col(f"_first.{scale_col}")
+    # cross-scale compare support: when _first is FINER (scale_f >
+    # scale_l — the legitimate SDK downscale direction), its buckets
+    # must be merged to _last's scale before the element-wise check
+    # (Prometheus detectReset downscales the higher resolution first).
+    # Downscale groups 2^d CONTIGUOUS fine indices per coarse bucket,
+    # so each coarse sum is a slice-sum — no explode.
+    ends = ends.withColumn(
+        "_dsd", (scale_f - scale_l).cast("int")
+    ).withColumn(
+        "_p2", F.expr("CAST(pow(2, greatest(_dsd, 0)) AS BIGINT)")
+    )
+
+    def _down_bucket_decreased(off_col: str, counts_col: str) -> Column:
+        arr_f = F.col(f"_first.{counts_col}")
+        off_f = F.col(f"_first.{off_col}").cast("long")
+        arr_l = F.col(f"_last.{counts_col}")
+        off_l = F.col(f"_last.{off_col}").cast("long")
+        n = F.coalesce(F.size(arr_f), F.lit(0))
+        p2 = F.col("_p2")
+        jlo = F.floor(off_f / p2)
+        jhi = F.floor((off_f + n - 1) / p2)
+        seq = F.when(n > 0, F.sequence(jlo, jhi)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+        def _dec(j) -> Column:
+            lo = F.greatest(j * p2, off_f)
+            hi = F.least((j + 1) * p2 - 1, off_f + n - 1)
+            first_sum = F.aggregate(
+                F.slice(arr_f, (lo - off_f + 1).cast("int"), (hi - lo + 1).cast("int")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            last_at = F.coalesce(
+                F.when(j - off_l >= 0, F.get(arr_l, (j - off_l).cast("int"))),
+                F.lit(0),
+            ).cast("double")
+            return first_sum > last_at
+
+        return F.coalesce(F.exists(seq, _dec), F.lit(False))
+
     bucket_dec = _any_bucket_decreased(pos_offset_col, pos_counts_col)
+    cross_dec = _down_bucket_decreased(pos_offset_col, pos_counts_col)
     if neg_offset_col is not None and neg_offset_col in df.columns:
         bucket_dec = bucket_dec | _any_bucket_decreased(neg_offset_col, neg_counts_col)
+        cross_dec = cross_dec | _down_bucket_decreased(neg_offset_col, neg_counts_col)
     reset = (
         (_tot("_last") < _tot("_first"))
         | (F.col(f"_last.{zero_col}") < F.col(f"_first.{zero_col}"))
         | (scale_l > scale_f)  # resolution can only rise after a restart
         | ((scale_l == scale_f) & bucket_dec)
+        | ((scale_f > scale_l) & cross_dec)
     )
-    ends = ends.withColumn("_reset", reset)
+    ends = ends.withColumn("_reset", reset).drop("_dsd", "_p2")
     last = ends.select("bucket", *series_cols, F.col("_last.*"))
     neg = ends.filter(~F.col("_reset")).select(
         "bucket",

@@ -84,8 +84,11 @@ def _computed_column(expr: str, source_cols: dict[str, str]) -> Column:
         return F.to_date(ts)
     if expr == "hour_from_timestamp":
         return F.hour(ts)
-    # anything else names a source column carrying epoch nanoseconds
-    return F.timestamp_micros((F.col(expr).cast("long") / 1000).cast("long"))
+    # anything else names a source column carrying epoch nanoseconds;
+    # integer `div`, not float `/` — a long→double round-trip rounds by
+    # up to 256 ns near 2^60 and can flip the microsecond (otlp.py uses
+    # the same div)
+    return F.timestamp_micros(F.expr(f"CAST(`{expr}` AS LONG) div 1000"))
 
 
 # -------------------------------------------------------------- resolver
@@ -166,7 +169,15 @@ class SchemaRegistry:
         return sorted(k for k in self._defs if k != "metadata")
 
     def versions(self, table: str) -> list[str]:
-        return sorted(self._table_defs(table))
+        # natural order: v10 sorts AFTER v9, not between v1 and v2 —
+        # the metadata-less current_version fallback takes the last
+        def key(v: str):
+            import re
+
+            m = re.fullmatch(r"v(\d+)", v)
+            return (0, int(m.group(1)), "") if m else (1, 0, v)
+
+        return sorted(self._table_defs(table), key=key)
 
     def current_version(self, table: str) -> str:
         meta = self._defs.get("metadata", {})

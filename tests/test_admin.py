@@ -117,3 +117,29 @@ def test_admin_api_envelopes(tmp_path):
     bad = api.authenticate("sk_nope")
     assert bad["status"] == "error" and bad["errorType"] == "unauthorized"
     assert api.list_tenants()["data"][0]["id"] == "acme"
+
+
+def test_commit_version_comes_from_the_same_read(tmp_path, monkeypatch):
+    """Lost-update guard: a commit that raced (another version landed
+    after our read) must COLLIDE and retry, not link a fresh version
+    built from the stale document. Simulated by injecting a competing
+    commit between A's read and link."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    other = TenantCatalog(str(tmp_path))
+
+    real = TenantCatalog._read_versioned
+    fired = {"done": False}
+
+    def race(self):
+        doc, v = real(self)
+        if not fired["done"]:
+            fired["done"] = True
+            other.create_api_key("t", key="sk_b", now=NOW)  # B lands first
+        return doc, v
+
+    monkeypatch.setattr(TenantCatalog, "_read_versioned", race)
+    cat.create_api_key("t", key="sk_a", now=NOW)  # A retries, does not clobber B
+    monkeypatch.setattr(TenantCatalog, "_read_versioned", real)
+    assert cat.authenticate("sk_a") is not None
+    assert cat.authenticate("sk_b") is not None  # B's key survived

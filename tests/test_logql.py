@@ -618,3 +618,30 @@ def test_legacy_json_string_attributes_route(spark):
 
     lbl = logql_parse('{service_name="api"} | region = "eu"')
     assert [r.body for r in query_logs(ctx, lbl, limit=10).collect()] == ["a"]
+
+
+def test_ip_matcher_rejects_invalid_octets_and_substrings(spark):
+    """Numeric-range hardening: 10.3.260.0 must not alias into
+    10.4.0.0/16 (octet > 255 is not an IP) and digit-adjacent
+    substrings are not IPs (1234.5.6.7 does not contain 234.5.6.7)."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.logql.lowering import ip_in_range, line_ip_hit
+
+    df = spark.createDataFrame(
+        [("10.3.260.0",), ("10.4.0.1",), ("1234.5.6.7",), ("10.4.0",)],
+        "ip string",
+    )
+    got = {r.ip for r in df.filter(ip_in_range(F.col("ip"), "10.4.0.0/16")).collect()}
+    assert got == {"10.4.0.1"}
+
+    lines = spark.createDataFrame(
+        [("x=1234.5.6.7 ok",), ("x=234.5.6.7 ok",), ("bad=10.3.260.0",),
+         ("v=1.2.3.4567",)],
+        "body string",
+    )
+    hits = {
+        r.body for r in lines.filter(line_ip_hit(F.col("body"), "234.5.0.0/16")).collect()
+    }
+    assert hits == {"x=234.5.6.7 ok"}
+    assert lines.filter(line_ip_hit(F.col("body"), "10.3.0.0/8")).count() == 0

@@ -1230,3 +1230,45 @@ def test_exphist_legit_downscale_is_not_a_reset(spark):
     ).collect()
     assert len(out) == 1
     assert out[0].value == pytest.approx(3.0)
+
+
+def test_exphist_cross_scale_bucket_decrease_is_reset(spark):
+    """Reset hidden behind a legitimate-looking downscale: totals GREW
+    (8 -> 12) and scale fell 1 -> 0 (normal SDK direction), but the
+    first snapshot's buckets merged down to scale 0 give {i=1: 8} while
+    last has {i=1: 2, i=2: 10} — bucket i=1 shrank 8 -> 2, so this is a
+    restart. Detection must downscale-then-compare (Prometheus
+    detectReset), not skip the check because scales differ. The
+    increase is the last snapshot alone: p50 rank 6 in i=2 ->
+    4 + (8-4)*(4/10) = 5.6."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        # scale 1 buckets at prom idx 2,3 both map to scale-0 idx 1
+        ("s", "2024-01-01 00:10:00", 1, 0, 2, [5, 3]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 1, [2, 10]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    assert out[0].value == pytest.approx(5.6)
+
+
+def test_exphist_downscale_growth_still_nets(spark):
+    """Same scale change, genuine growth: merged first {i=1: 8}, last
+    {i=1: 10} — no bucket shrank, so the delta nets 10-8=2 in (2,4]."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        ("s", "2024-01-01 00:10:00", 1, 0, 2, [5, 3]),
+        ("s", "2024-01-01 00:50:00", 0, 0, 1, [10]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    assert len(out) == 1
+    # delta {scale0 i=1: 2}; p50 rank 1 -> 2 + (4-2)*(1/2) = 3.0
+    assert out[0].value == pytest.approx(3.0)

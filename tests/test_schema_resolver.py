@@ -161,3 +161,25 @@ def test_migrate_noop_when_versions_equal(spark):
     reg = SchemaRegistry.from_toml(FAKE_TOML)
     df = spark.createDataFrame([("t1",)], "trace_id string")
     assert reg.migrate(df, "traces", "v3", "v3").columns == ["trace_id"]
+
+
+def test_versions_sort_naturally_past_v9():
+    reg = SchemaRegistry({
+        "t": {f"v{i}": {"fields": [{"name": "a", "type": "string"}]}
+              for i in (1, 2, 9, 10, 11)},
+    })
+    assert reg.versions("t") == ["v1", "v2", "v9", "v10", "v11"]
+    assert reg.current_version("t") == "v11"
+
+
+def test_computed_nanos_division_is_integer_exact(spark):
+    """A nano timestamp with sub-256ns structure must not shift by a
+    microsecond through a float divide (long->double rounds near 2^60)."""
+    reg = SchemaRegistry.from_toml(FAKE_TOML)
+    nanos = 1704067200123456789  # ...456.789 us
+    df = spark.createDataFrame(
+        [("t1", "GET /", nanos)],
+        "trace_id string, name string, start_time_unix_nano long",
+    )
+    row = reg.migrate(df, "traces", "v1", "v2").first()
+    assert row.timestamp.microsecond == 123456

@@ -77,7 +77,7 @@ SKEW_PROBE_QUERIES = [
     "trace_tail_sample",
 ]
 SUPERLINEAR_THRESHOLD = 1.3
-GEN_VERSION = 3  # bump when build_scaled's mutations change
+GEN_VERSION = 4  # bump when build_scaled's mutations change
 HOT_TRACE_KEY = 50_000_000  # beyond every offset orderkey at any factor
 
 
@@ -111,6 +111,15 @@ def build_scaled(spark, src: str, out_dir: str, factor: int, skew: bool = False)
 
     hot_half = factor // 2  # copies >= hot_half carry the hot key
 
+    # per-copy skew offset must exceed the derived-key range
+    # (orderkey*10 + linenumber < KEY_SPAN*10 by the KEY_SPAN contract),
+    # or copies would collide inside the giant trace and fan joins out
+    # beyond the base duplicate rate; int32 l_linenumber bounds the
+    # factor
+    skew_span = KEY_SPAN * 10
+    if skew and factor * skew_span > 2**31 - 1:
+        raise ValueError(f"skew build supports factor <= {(2**31 - 1) // skew_span}")
+
     def _lineitem(df, i):
         df = df.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * KEY_SPAN))
         if skew and i >= hot_half:
@@ -121,7 +130,7 @@ def build_scaled(spark, src: str, out_dir: str, factor: int, skew: bool = False)
                 (
                     (F.col("l_orderkey") - F.lit(i * KEY_SPAN)) * 10
                     + F.col("l_linenumber")
-                    + F.lit(i * 2_000_000)
+                    + F.lit(i * skew_span)
                 ).cast("int"),
             ).withColumn("l_orderkey", F.lit(HOT_TRACE_KEY).cast("long"))
         return df
