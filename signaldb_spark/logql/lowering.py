@@ -306,12 +306,6 @@ def _line_pattern_regex(pattern: str) -> str:
     return "(?s)^" + ".*?".join(_re.escape(p) for p in pattern.split("<_>")) + "$"
 
 
-# token-bounded: a digit or dot on either side disqualifies the match,
-# so "1234.5.6.7" does not yield the false IP 234.5.6.7 and
-# "1.2.3.4567" matches nothing (Loki scans whole tokens)
-IPV4_RE = r"(?<![\d.])(\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})(?![\d.])"
-
-
 def parse_ip_pattern(pattern: str) -> tuple[int, int]:
     """Loki ``ip()`` pattern → inclusive IPv4 numeric range. Three forms
     (Loki log-queries docs): exact ``a.b.c.d``, CIDR ``a.b.c.d/n``,
@@ -362,13 +356,22 @@ def ip_in_range(col: Column, pattern: str) -> Column:
 
 
 def line_ip_hit(body: Column, pattern: str) -> Column:
-    """Any IPv4 substring of the line is inside the pattern's range —
-    Loki's line-filter ``|= ip("…")`` semantics. regexp_extract_all +
-    an array exists fold, all JVM expressions."""
+    """Any IPv4 TOKEN of the line is inside the pattern's range —
+    Loki's line-filter ``|= ip("…")`` semantics. The line splits on
+    non-[digit dot] runs (one cheap scan — faster than a boundary
+    regex, and exactly Loki's whole-token reading: 1234.5.6.7 is one
+    non-IP token, never a hidden 234.5.6.7); _ipv4_to_long then
+    null-rejects tokens that are not a valid dotted quad."""
     lo, hi = parse_ip_pattern(pattern)
-    ips = F.regexp_extract_all(body, F.lit(IPV4_RE), 1)
+    toks = F.split(body, r"[^0-9.]+")
+    # punctuation dots glue onto tokens ("... 10.3.7.7." at sentence
+    # end) — btrim the edges (non-regex scan; a per-token regexp_replace
+    # costs ~2x end to end)
     return F.coalesce(
-        F.exists(ips, lambda s: _ipv4_to_long(s).between(lo, hi)), F.lit(False)
+        F.exists(
+            toks, lambda s: _ipv4_to_long(F.btrim(s, F.lit("."))).between(lo, hi)
+        ),
+        F.lit(False),
     )
 
 

@@ -251,35 +251,15 @@ def exphist_rate_quantile(
             )
         return t
 
-    def _any_bucket_decreased(off_col: str, counts_col: str) -> Column:
-        """Offset-aligned element-wise first > last on one side's bucket
-        arrays: index i of _first maps to i + (first_off − last_off) in
-        _last (0-based F.get is OOB-null-safe); a bucket missing from
-        _last counts as 0."""
-        shift = F.col(f"_first.{off_col}") - F.col(f"_last.{off_col}")
-        arr_l = F.col(f"_last.{counts_col}")
-        return F.coalesce(
-            F.exists(
-                F.transform(
-                    F.col(f"_first.{counts_col}"),
-                    lambda x, i: x
-                    > F.coalesce(
-                        F.when(i + shift >= 0, F.get(arr_l, i + shift)),
-                        F.lit(0.0),
-                    ),
-                ),
-                lambda b: b,
-            ),
-            F.lit(False),
-        )
-
     scale_l, scale_f = F.col(f"_last.{scale_col}"), F.col(f"_first.{scale_col}")
-    # cross-scale compare support: when _first is FINER (scale_f >
-    # scale_l — the legitimate SDK downscale direction), its buckets
-    # must be merged to _last's scale before the element-wise check
-    # (Prometheus detectReset downscales the higher resolution first).
-    # Downscale groups 2^d CONTIGUOUS fine indices per coarse bucket,
-    # so each coarse sum is a slice-sum — no explode.
+    # Element-wise bucket-decrease check, scale-aware in ONE fold: when
+    # _first is FINER (scale_f > scale_l — the legitimate SDK downscale
+    # direction) its buckets merge down to _last's scale before
+    # comparing (Prometheus detectReset downscales the higher
+    # resolution first); at equal scales the same formula degenerates
+    # to the plain offset-aligned compare (_dsd = 0 → one-element
+    # slices). Downscale groups 2^d CONTIGUOUS fine indices per coarse
+    # bucket, so each coarse sum is a slice-sum — no explode.
     ends = ends.withColumn(
         "_dsd", (scale_f - scale_l).cast("int")
     ).withColumn(
@@ -315,17 +295,16 @@ def exphist_rate_quantile(
 
         return F.coalesce(F.exists(seq, _dec), F.lit(False))
 
-    bucket_dec = _any_bucket_decreased(pos_offset_col, pos_counts_col)
-    cross_dec = _down_bucket_decreased(pos_offset_col, pos_counts_col)
+    bucket_dec = _down_bucket_decreased(pos_offset_col, pos_counts_col)
     if neg_offset_col is not None and neg_offset_col in df.columns:
-        bucket_dec = bucket_dec | _any_bucket_decreased(neg_offset_col, neg_counts_col)
-        cross_dec = cross_dec | _down_bucket_decreased(neg_offset_col, neg_counts_col)
+        bucket_dec = bucket_dec | _down_bucket_decreased(neg_offset_col, neg_counts_col)
     reset = (
         (_tot("_last") < _tot("_first"))
         | (F.col(f"_last.{zero_col}") < F.col(f"_first.{zero_col}"))
         | (scale_l > scale_f)  # resolution can only rise after a restart
-        | ((scale_l == scale_f) & bucket_dec)
-        | ((scale_f > scale_l) & cross_dec)
+        # when(): If evaluates lazily per row, so the fold only runs on
+        # rows whose scales admit a comparison
+        | F.when(scale_f >= scale_l, bucket_dec).otherwise(F.lit(False))
     )
     ends = ends.withColumn("_reset", reset).drop("_dsd", "_p2")
     last = ends.select("bucket", *series_cols, F.col("_last.*"))
