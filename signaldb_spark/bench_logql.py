@@ -549,7 +549,11 @@ def q_logql_ip_filter(spark, sf_dir):
     )
     sel = logql_parse('{service_name=~".+"} |= ip("10.3.0.0/16")')
     out = v.filter(line_filter_expr(sel.line_filters[0]))
-    return out.select("event_id", "service_name", "body").orderBy("event_id")
+    # no presentation orderBy: a global sort over a map-only child makes
+    # the range partitioner re-execute the scan to sample boundaries —
+    # the sort would cost more than the filter (the gate sorts rows
+    # itself before hashing)
+    return out.select("event_id", "service_name", "body")
 
 
 ORACLE_LOGQL_IP_FILTER = r"""
