@@ -173,6 +173,11 @@ HEADLINE = [
     "dedup_containment",
     "emb_mips_topk",
     "logql_ip_filter",
+    "logql_volume_range",
+    "markov_transitions",
+    "session_funnel",
+    "time_in_state",
+    "last_touch_attribution",
     "logql_offset",
     "emb_ivf_pq",
 ]

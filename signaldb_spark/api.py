@@ -303,6 +303,28 @@ class SignalDBAPI:
             ],
         }}
 
+    # GET /loki/api/v1/index/volume_range — per-stream volume SERIES
+
+    def loki_index_volume_range(self, start, end, step_seconds: int = 3600) -> dict:
+        from .logql.lowering import index_volume_range
+
+        logs = self.session.table("logs")
+        if logs is None:
+            return error_envelope("no logs table for tenant", "not_found")
+        rows = index_volume_range(logs, step_seconds, start, end).collect()
+        by_stream: dict[str, list] = {}
+        for r in rows:
+            by_stream.setdefault(r["service_name"], []).append(
+                [r["bucket"], str(r["volume_bytes"])]
+            )
+        return {"status": "success", "data": {
+            "resultType": "matrix",
+            "result": [
+                {"metric": {"service_name": s}, "values": vals}
+                for s, vals in sorted(by_stream.items())
+            ],
+        }}
+
     # GET /loki/api/v1/patterns — Drain-style log template mining
     # (Loki 3.x pattern detection; beyond the reference's endpoint set)
 

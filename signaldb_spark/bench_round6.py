@@ -1,0 +1,251 @@
+"""Round-6 staging battery: oracle-gated queries registered AFTER every
+other module so they sort past the current never-driver-verified block
+— the driver's 50-query prefix this round stays exactly the backlog it
+was tuned to prove, and these become fresh evidence next round.
+
+Same conventions as bench_queries (epoch-second buckets, round(x, 6)
+floats, BIGINT counts, explicit tiebreaks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _logs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.col("props").alias("body"),
+    )
+
+
+def q_logql_volume_range(spark, sf_dir):
+    """/loki/api/v1/index/volume_range (lowering.index_volume_range):
+    per-stream ingested bytes as a daily series."""
+    from .logql.lowering import index_volume_range
+
+    return index_volume_range(_logs_view(spark, sf_dir), 86400)
+
+
+ORACLE_LOGQL_VOLUME_RANGE = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name,
+       CAST(sum(octet_length(CAST(props AS BLOB))) AS BIGINT) AS volume_bytes
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["logql_volume_range"] = q_logql_volume_range
+ORACLES["logql_volume_range"] = ORACLE_LOGQL_VOLUME_RANGE
+
+
+def q_markov_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (the product-analytics
+    'user flow' panel): lead() over each user's ordered stream, then
+    one (from, to) count with the row-share of each from-state. One
+    window on user_id + one tiny agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    totals = Window.partitionBy("from_type")
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("transitions"))
+        .withColumn(
+            "probability",
+            F.round(F.col("transitions") / F.sum("transitions").over(totals), 6),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, transitions,
+       round(transitions / sum(transitions) OVER (PARTITION BY from_type), 6)
+         AS probability
+FROM counted ORDER BY 1, 2
+"""
+
+QUERIES["markov_transitions"] = q_markov_transitions
+ORACLES["markov_transitions"] = ORACLE_MARKOV_TRANSITIONS
+
+
+def q_session_funnel(spark, sf_dir):
+    """Funnel WITHIN a session: per (user, 30-min session), did a click
+    follow a signup and a purchase follow that click — counts per stage
+    over all sessions. Sessionization is gaps-and-islands (a new
+    session starts after a >30min gap), so the whole operator is two
+    windows on user_id + per-session mins; the oracle replays identical
+    gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.select(
+        "user_id", "ts", "event_type", "event_id",
+        F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .over(w).alias("session_id"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("s_ts"),
+    )
+    c = (
+        sess.join(per, ["user_id", "session_id"])
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("s_ts")))
+        .groupBy("user_id", "session_id").agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        sess.join(c, ["user_id", "session_id"])
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")))
+        .groupBy("user_id", "session_id").agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        per.filter(F.col("s_ts").isNotNull())
+        .join(c, ["user_id", "session_id"], "left")
+        .join(p, ["user_id", "session_id"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sessions_signup"),
+            F.count("c_ts").cast("long").alias("sessions_click"),
+            F.count("p_ts").cast("long").alias("sessions_purchase"),
+        )
+    )
+
+
+ORACLE_SESSION_FUNNEL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_id
+  FROM marked
+), per AS (
+  SELECT user_id, session_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts
+  FROM sess GROUP BY 1, 2
+), c AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS c_ts
+  FROM sess s JOIN per USING (user_id, session_id)
+  WHERE s.event_type = 'click' AND s.ts > per.s_ts GROUP BY 1, 2
+), p AS (
+  SELECT s.user_id, s.session_id, min(s.ts) AS p_ts
+  FROM sess s JOIN c USING (user_id, session_id)
+  WHERE s.event_type = 'purchase' AND s.ts > c.c_ts GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS sessions_signup,
+       CAST(count(c.c_ts) AS BIGINT) AS sessions_click,
+       CAST(count(p.p_ts) AS BIGINT) AS sessions_purchase
+FROM per LEFT JOIN c USING (user_id, session_id)
+LEFT JOIN p USING (user_id, session_id)
+WHERE per.s_ts IS NOT NULL
+"""
+
+QUERIES["session_funnel"] = q_session_funnel
+ORACLES["session_funnel"] = ORACLE_SESSION_FUNNEL
+
+
+def q_time_in_state(spark, sf_dir):
+    """Per event_type, total seconds users spent 'in' that state (each
+    event holds its state until the user's next event — LOCF, the dual
+    of time_weighted_avg's interval weighting); last event per user
+    carries no interval. One lead() window + one agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1e6
+    return (
+        e.select(F.col("event_type").alias("state"), dur.alias("dur"))
+        .filter(F.col("dur").isNotNull())
+        .groupBy("state")
+        .agg(
+            F.round(F.sum("dur"), 6).alias("total_seconds"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .orderBy("state")
+    )
+
+
+ORACLE_TIME_IN_STATE = """
+WITH d AS (
+  SELECT event_type AS state,
+         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts)) / 1e6 AS dur
+  FROM events
+)
+SELECT state, round(sum(dur), 6) AS total_seconds,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM d WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["time_in_state"] = q_time_in_state
+ORACLES["time_in_state"] = ORACLE_TIME_IN_STATE
+
+
+def q_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the nearest
+    PRECEDING non-purchase event's type (the 'channel'), within 7 days
+    — purchases with no touch attribute to 'direct'. The as-of union
+    trick carries the channel; one shuffle on user_id."""
+    from .operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    touches = (
+        e.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("channel"))
+    )
+    out = asof_join(
+        purchases, touches, ["user_id"], tolerance_seconds=7 * 86400,
+        direction="backward", right_prefix="t_",
+    )
+    return (
+        out.groupBy(F.coalesce(F.col("t_channel"), F.lit("direct")).alias("channel"))
+        .agg(F.count(F.lit(1)).cast("long").alias("purchases"))
+        .orderBy("channel")
+    )
+
+
+ORACLE_LAST_TOUCH_ATTRIBUTION = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, max(event_type) AS channel
+  FROM events WHERE event_type <> 'purchase' GROUP BY 1, 2
+), matched AS (
+  SELECT p.event_id,
+         CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.channel END AS channel
+  FROM purchases p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND p.ts >= t.ts
+)
+SELECT coalesce(channel, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS purchases
+FROM matched GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["last_touch_attribution"] = q_last_touch_attribution
+ORACLES["last_touch_attribution"] = ORACLE_LAST_TOUCH_ATTRIBUTION

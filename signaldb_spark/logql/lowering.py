@@ -506,6 +506,27 @@ def index_volume(logs: DataFrame, start=None, end=None) -> DataFrame:
     )
 
 
+def index_volume_range(
+    logs: DataFrame, step_seconds: int, start=None, end=None
+) -> DataFrame:
+    """Loki GET /loki/api/v1/index/volume_range: per-stream ingested
+    bytes as a TIME SERIES (one row per (step bucket, stream)) — the
+    windowed-series sibling of :func:`index_volume`. Same partial+final
+    aggregation, keyed by (bucket, stream); the body never shuffles."""
+    df = logs
+    if start is not None and end is not None:
+        df = ts.time_window(df, "timestamp", start, end)
+    return (
+        df.groupBy(
+            (F.floor(F.unix_timestamp("timestamp") / step_seconds) * step_seconds)
+            .cast("long").alias("bucket"),
+            "service_name",
+        )
+        .agg(F.sum(F.octet_length("body")).cast("long").alias("volume_bytes"))
+        .orderBy("bucket", "service_name")
+    )
+
+
 def query_logs(
     ctx: LowerCtx, sel: LogSelector, limit: int = 100, direction: str = "backward"
 ) -> DataFrame:

@@ -7,6 +7,7 @@ from . import (
     bench_promql,
     bench_queries,
     bench_relational,
+    bench_round6,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -20,6 +21,10 @@ _MODULES = [
     bench_promql,
     bench_trace_ir,
     bench_sessions,
+    # staging battery LAST: its never-verified names sort after every
+    # earlier module's, keeping the driver's 50-prefix pinned to the
+    # backlog this round was tuned to prove
+    bench_round6,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

@@ -356,3 +356,20 @@ def test_tempo_tag_values_v2_route(api):
         "span.http.method", "2030-01-01 00:00:00", "2030-01-02 00:00:00"
     )
     assert empty["tagValues"] == []
+
+
+def test_loki_index_volume_range_route(api):
+    out = api.loki_index_volume_range(START, END, step_seconds=3600)
+    assert out["status"] == "success"
+    result = out["data"]["result"]
+    assert out["data"]["resultType"] == "matrix" and result
+    for series in result:
+        buckets = [v[0] for v in series["values"]]
+        assert buckets == sorted(buckets)
+        assert all(int(v[1]) > 0 for v in series["values"])
+    # windowed total equals the unwindowed volume endpoint's total
+    total_range = sum(int(v[1]) for s in result for v in s["values"])
+    total_flat = sum(
+        int(r["value"]) for r in api.loki_index_volume(START, END)["data"]["result"]
+    )
+    assert total_range == total_flat
