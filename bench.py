@@ -178,6 +178,10 @@ HEADLINE = [
     "session_funnel",
     "time_in_state",
     "last_touch_attribution",
+    "suppliers_sole_blame",
+    "idle_customer_balance",
+    "top_supplier",
+    "small_quantity_revenue",
     "logql_offset",
     "emb_ivf_pq",
 ]

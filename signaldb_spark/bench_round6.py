@@ -249,3 +249,166 @@ FROM matched GROUP BY 1 ORDER BY 1
 
 QUERIES["last_touch_attribution"] = q_last_touch_attribution
 ORACLES["last_touch_attribution"] = ORACLE_LAST_TOUCH_ATTRIBUTION
+
+
+def q_suppliers_sole_blame(spark, sf_dir):
+    """TPC-H Q21 shape on the available columns: suppliers whose item
+    was the ONLY returned line in a multi-supplier order (EXISTS a
+    second supplier in the order, NOT EXISTS another supplier's
+    returned line). Both correlated quantifiers become aggregated
+    per-order counts joined back — no correlated re-scan, two shuffles
+    on the order key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+    )
+    blamed = (
+        l.filter(F.col("l_returnflag") == "R")
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey").distinct()
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+ORACLE_SUPPLIERS_SOLE_BLAME = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_ret_supp
+  FROM lineitem GROUP BY 1
+), blamed AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN per_order p USING (l_orderkey)
+  WHERE l.l_returnflag = 'R' AND p.n_supp >= 2 AND p.n_ret_supp = 1
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM blamed b JOIN supplier s ON s.s_suppkey = b.l_suppkey
+GROUP BY 1 ORDER BY numwait DESC, s_name
+"""
+
+QUERIES["suppliers_sole_blame"] = q_suppliers_sole_blame
+ORACLES["suppliers_sole_blame"] = ORACLE_SUPPLIERS_SOLE_BLAME
+
+
+def q_idle_customer_balance(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO completed ('F') orders, grouped by nation. The scalar avg
+    rides a broadcast cross join; the NOT EXISTS is a left-anti join on
+    the order key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o.filter(F.col("o_orderstatus") == "F")
+               .select("o_custkey").distinct(),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_IDLE_CUSTOMER_BALANCE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 6) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["idle_customer_balance"] = q_idle_customer_balance
+ORACLES["idle_customer_balance"] = ORACLE_IDLE_CUSTOMER_BALANCE
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) whose 1996-H1 revenue equals the
+    maximum over all suppliers — revenue view + scalar max subquery,
+    both one aggregation; the max broadcast-joins back."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(F.col("l_shipdate").between("1996-01-01", "1996-06-30"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-06-30'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+"""
+
+QUERIES["top_supplier"] = q_top_supplier
+ORACLES["top_supplier"] = ORACLE_TOP_SUPPLIER
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: average yearly revenue that would be lost by
+    dropping small orders — lineitems with quantity below 20% of their
+    part's average quantity. The correlated per-part avg becomes one
+    partial+final agg broadcast back onto the scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        l.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+ORACLE_SMALL_QUANTITY_REVENUE = """
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey
+)
+"""
+
+QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
+ORACLES["small_quantity_revenue"] = ORACLE_SMALL_QUANTITY_REVENUE
