@@ -542,6 +542,32 @@ def ingest_remote_write_stream(
     return writer.trigger(processingTime="5 seconds").start()
 
 
+def deduplicated_log_stream(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "10 minutes",
+):
+    """Streaming exact-once ROW semantics over at-least-once producers:
+    an OTLP exporter that retries after a dropped ack re-sends whole
+    payloads, duplicating every record inside (the reference's WAL
+    replay dedups at the batch boundary only — wal_replay_idempotency
+    covers replays, not re-sends). ``dropDuplicatesWithinWatermark`` on
+    the record identity (event time, stream, body) keeps the dedup
+    state BOUNDED by the watermark horizon — the property that makes
+    this viable on an unbounded stream at scale, where a plain
+    dropDuplicates would grow state forever.
+
+    Returns the unstarted deduplicated streaming DataFrame; compose
+    with any sink (the ingest writers, memory for tests)."""
+    from ..sources.otlp import flatten_otlp_logs
+
+    raw = spark.readStream.format("text").load(source_dir)
+    df = flatten_otlp_logs(raw, json_col="value")
+    return df.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
+        ["timestamp", "service_name", "body"]
+    )
+
+
 def tail_logs(
     spark: SparkSession,
     source_dir: str,

@@ -1451,3 +1451,28 @@ def test_otlp_exphist_table_name_matches_query_side(spark, tmp_path):
     ingest_otlp_pb_stream(spark, str(src), base, "metrics")
     t = optional_table(spark, base, "acme", "prod", "metrics_exponential_histogram")
     assert t is not None and t.count() == 1
+
+
+def test_deduplicated_stream_drops_resent_records(spark, tmp_path):
+    """An at-least-once producer re-sends a whole payload: every record
+    inside duplicates. The watermarked stream dedup keeps exactly one
+    row per (time, stream, body) while distinct records survive."""
+    from signaldb_spark.streaming.ingest import deduplicated_log_stream
+
+    src = tmp_path / "dup_src"
+    src.mkdir()
+    t0 = 1704067200_000_000_000
+    a = _otlp_log_payload(t0, "api", "info", "hello once", {})
+    b = _otlp_log_payload(t0 + 1_000_000_000, "api", "info", "hello twice", {})
+    # the producer's retry re-sends payload `a` verbatim; `b` arrives once
+    (src / "batch1.jsonl").write_text("\n".join([a, a, b]))
+    (src / "batch2.jsonl").write_text(a)  # and once more in a later file
+
+    dedup = deduplicated_log_stream(spark, str(src))
+    q = (
+        dedup.writeStream.format("memory").queryName("dedup_sink")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT body FROM dedup_sink ORDER BY body").collect()
+    assert [r.body for r in rows] == ["hello once", "hello twice"]
