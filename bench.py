@@ -182,6 +182,10 @@ HEADLINE = [
     "idle_customer_balance",
     "top_supplier",
     "small_quantity_revenue",
+    "service_gap_analysis",
+    "percentile_bands",
+    "anomaly_mad_events",
+    "weekday_seasonality",
     "logql_offset",
     "emb_ivf_pq",
 ]

@@ -412,3 +412,175 @@ WHERE l_quantity < (
 
 QUERIES["small_quantity_revenue"] = q_small_quantity_revenue
 ORACLES["small_quantity_revenue"] = ORACLE_SMALL_QUANTITY_REVENUE
+
+
+def q_service_gap_analysis(spark, sf_dir):
+    """Heartbeat-loss detection: per stream, the largest gap between
+    consecutive events and the count of gaps over 30 minutes — the
+    'did this service go quiet' panel. One lead() window per stream +
+    one agg."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1e6
+    return (
+        e.select(F.col("event_type").alias("service"), gap.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("service")
+        .agg(
+            F.round(F.max("gap_s"), 6).alias("max_gap_s"),
+            F.sum((F.col("gap_s") > 1800).cast("long")).cast("long").alias("gaps_over_30m"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_SERVICE_GAP_ANALYSIS = """
+WITH g AS (
+  SELECT event_type AS service,
+         (lead(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+          - epoch_us(ts)) / 1e6 AS gap_s
+  FROM events
+)
+SELECT service, round(max(gap_s), 6) AS max_gap_s,
+       CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS gaps_over_30m
+FROM g WHERE gap_s IS NOT NULL GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["service_gap_analysis"] = q_service_gap_analysis
+ORACLES["service_gap_analysis"] = ORACLE_SERVICE_GAP_ANALYSIS
+
+
+def q_percentile_bands(spark, sf_dir):
+    """Latency-band panel: exact interpolated p50/p90/p99 of the value
+    per stream in ONE sorted-collect aggregation (three quantiles read
+    the same per-group sorted array — no triple shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("service"))
+        .agg(F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("_p"))
+        .select(
+            "service",
+            F.round(F.col("_p")[0], 6).alias("p50"),
+            F.round(F.col("_p")[1], 6).alias("p90"),
+            F.round(F.col("_p")[2], 6).alias("p99"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_PERCENTILE_BANDS = """
+SELECT event_type AS service,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["percentile_bands"] = q_percentile_bands
+ORACLES["percentile_bands"] = ORACLE_PERCENTILE_BANDS
+
+
+def q_anomaly_mad_events(spark, sf_dir):
+    """Robust (median/MAD) anomaly flags on hourly counts — the outlier
+    detector that survives the outliers skewing the baseline, the
+    robust dual of zscore_anomaly. Hourly partial-agg first; medians
+    via two windows over the tiny per-series rollup."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.partitionBy("event_type")
+    med = F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY cnt)").over(w)
+    dev = hourly.withColumn("_med", med).withColumn(
+        "_adev", F.abs(F.col("cnt") - F.col("_med"))
+    )
+    w2 = Window.partitionBy("event_type")
+    mad = F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY _adev)").over(w2)
+    # a constant series has MAD 0 — no scale to score against; NULL out
+    # (ANSI division would error, DuckDB would emit inf)
+    score = F.when(
+        F.col("_mad") > 0,
+        (F.col("cnt") - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+    )
+    return (
+        dev.withColumn("_mad", mad)
+        .select(
+            "bucket", "event_type", "cnt",
+            F.round(score, 6).alias("robust_z"),
+            (F.abs(score) > 3.5).alias("is_anomaly"),
+        )
+    )
+
+
+ORACLE_ANOMALY_MAD = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT *, median(cnt) OVER (PARTITION BY event_type) AS _med FROM hourly
+), dev AS (
+  SELECT *, abs(cnt - _med) AS _adev FROM med
+), mads AS (
+  SELECT *, median(_adev) OVER (PARTITION BY event_type) AS _mad FROM dev
+)
+SELECT bucket, event_type, cnt,
+       round(CASE WHEN _mad > 0 THEN (cnt - _med) / (1.4826 * _mad) END, 6)
+         AS robust_z,
+       abs(CASE WHEN _mad > 0 THEN (cnt - _med) / (1.4826 * _mad) END) > 3.5
+         AS is_anomaly
+FROM mads
+"""
+
+QUERIES["anomaly_mad_events"] = q_anomaly_mad_events
+ORACLES["anomaly_mad_events"] = ORACLE_ANOMALY_MAD
+
+
+def q_weekday_seasonality(spark, sf_dir):
+    """Seasonal baseline: average hourly event count per (day-of-week,
+    hour-of-day) cell per stream — the weekly-pattern heatmap anomaly
+    baselines subtract. Two partial-agg groupBys, both tiny."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long").alias("bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    t = F.timestamp_seconds(F.col("bucket"))
+    # ISO day-of-week 1=Mon..7=Sun on both engines
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.dayofweek(t).alias("_dow_sun1"),
+            F.hour(t).cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.round(F.avg("cnt"), 6).alias("avg_hourly_events"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+        .select(
+            "event_type",
+            (((F.col("_dow_sun1") + 5) % 7) + 1).cast("long").alias("iso_dow"),
+            "hour_of_day", "avg_hourly_events", "n_cells",
+        )
+        .orderBy("event_type", "iso_dow", "hour_of_day")
+    )
+
+
+ORACLE_WEEKDAY_SEASONALITY = """
+WITH hourly AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+         event_type, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(isodow(to_timestamp(bucket)) AS BIGINT) AS iso_dow,
+       CAST(hour(to_timestamp(bucket)) AS BIGINT) AS hour_of_day,
+       round(avg(cnt), 6) AS avg_hourly_events,
+       CAST(count(*) AS BIGINT) AS n_cells
+FROM hourly GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES["weekday_seasonality"] = q_weekday_seasonality
+ORACLES["weekday_seasonality"] = ORACLE_WEEKDAY_SEASONALITY
