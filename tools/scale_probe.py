@@ -65,6 +65,10 @@ PROBE_QUERIES = [
     "emb_lsh_ann",
     "trace_descendant_spans",
     "text_quality",
+    # round-5 shapes: time-RANGE window frame per key, and the
+    # gaps-and-islands double window + chained joins
+    "event_rolling_window",
+    "session_funnel",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
