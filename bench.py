@@ -186,6 +186,14 @@ HEADLINE = [
     "percentile_bands",
     "anomaly_mad_events",
     "weekday_seasonality",
+    "logql_bytes_rate",
+    "promql_quantile_by",
+    "customer_order_distribution",
+    "priority_exists_check",
+    "forecast_revenue",
+    "concurrent_sessions",
+    "user_activity_percentiles",
+    "value_histogram",
     "logql_offset",
     "emb_ivf_pq",
 ]

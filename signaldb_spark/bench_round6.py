@@ -584,3 +584,296 @@ FROM hourly GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 
 QUERIES["weekday_seasonality"] = q_weekday_seasonality
 ORACLES["weekday_seasonality"] = ORACLE_WEEKDAY_SEASONALITY
+
+
+def _logs_ctx(spark, sf_dir):
+    from .logql.lowering import LowerCtx
+
+    e = load_table(spark, sf_dir, "events")
+    logs = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("string").alias("label_namespace"),
+        F.col("props").alias("body"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string")).alias(
+            "log_attributes"
+        ),
+    )
+    return LowerCtx(spark, logs, "2024-01-01 00:00:00", "2024-02-01 00:00:00", 86400)
+
+
+def q_logql_bytes_rate(spark, sf_dir):
+    """LogQL ``bytes_rate`` (bytes/second over the range) through the
+    full parse->lower path."""
+    from .logql.lowering import query_metric
+
+    out = query_metric(
+        _logs_ctx(spark, sf_dir),
+        'sum by (service) (bytes_rate({service=~".+"}[1d]))',
+    )
+    return out.select("bucket", "service_name", F.round("value", 6).alias("value"))
+
+
+ORACLE_LOGQL_BYTES_RATE = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name,
+       round(sum(octet_length(CAST(props AS BLOB))) / 86400.0, 6) AS value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES["logql_bytes_rate"] = q_logql_bytes_rate
+ORACLES["logql_bytes_rate"] = ORACLE_LOGQL_BYTES_RATE
+
+
+def q_promql_quantile_by(spark, sf_dir):
+    """PromQL OUTER ``quantile(0.9, ...) by (...)`` aggregation across
+    series (distinct from quantile_over_time's within-series reduce)."""
+    from .promql.lowering import PromCtx, query_range
+
+    e = load_table(spark, sf_dir, "events")
+    gauge = e.select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("u"), (F.col("user_id") % 20).cast("string")).alias(
+            "service_name"
+        ),
+        F.col("event_type").alias("metric_name"),
+        F.col("value"),
+    )
+    ctx = PromCtx(spark, gauge, None, None,
+                  "2024-01-01 00:00:00", "2024-02-01 00:00:00", 86400)
+    out = query_range(ctx, 'quantile by (metric_name) (0.9, purchase)')
+    return out.select(
+        "bucket", "metric_name", F.round("value", 6).alias("value")
+    )
+
+
+ORACLE_PROMQL_QUANTILE_BY = """
+WITH latest AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         'purchase' AS metric_name,
+         concat('u', user_id % 20) AS series,
+         max_by(value, ts) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 3
+)
+SELECT bucket, metric_name, round(quantile_cont(value, 0.9), 6) AS value
+FROM latest GROUP BY 1, 2
+"""
+
+QUERIES["promql_quantile_by"] = q_promql_quantile_by
+ORACLES["promql_quantile_by"] = ORACLE_PROMQL_QUANTILE_BY
+
+
+def q_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of customers by order count
+    (including zero-order customers via the left join) — custdist. One
+    outer join + two partial-agg groupBys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+QUERIES["customer_order_distribution"] = q_customer_order_distribution
+ORACLES["customer_order_distribution"] = ORACLE_CUSTOMER_ORDER_DISTRIBUTION
+
+
+def q_priority_exists_check(spark, sf_dir):
+    """TPC-H Q4 shape: orders counted per priority when at least one
+    lineitem shipped after mid-1996 EXISTS — the semi-join count."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    keep = l.filter(F.col("l_shipdate") >= "1996-07-01").select("l_orderkey").distinct()
+    return (
+        o.join(keep, o["o_orderkey"] == keep["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_EXISTS_CHECK = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate >= '1996-07-01'
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["priority_exists_check"] = q_priority_exists_check
+ORACLES["priority_exists_check"] = ORACLE_PRIORITY_EXISTS_CHECK
+
+
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the canonical scan-only filter aggregate —
+    discount-band revenue over one ship year; the whole plan is one
+    pushed-down scan + partial/final sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6)
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_FORECAST_REVENUE = """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+QUERIES["forecast_revenue"] = q_forecast_revenue
+ORACLES["forecast_revenue"] = ORACLE_FORECAST_REVENUE
+
+
+def q_concurrent_sessions(spark, sf_dir):
+    """Max concurrent user sessions per day — the classic interval
+    sweep: each session (gaps-and-islands, 30-min timeout) emits a +1
+    at its start and a -1 after its end; a running sum ordered by time
+    gives instantaneous concurrency, maxed per day. Windows only — no
+    interval self-join."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = (
+        e.select(
+            "user_id", "ts", "event_id",
+            F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+            .over(w).alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    deltas = sess.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    # starts before ends at the same instant: d DESC makes a session
+    # that starts exactly when another ends count as overlapping
+    sweep = Window.orderBy(F.col("t"), F.col("d").desc())
+    conc = deltas.withColumn("conc", F.sum("d").over(sweep))
+    return (
+        conc.groupBy(F.to_date("t").alias("day"))
+        .agg(F.max("conc").cast("long").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+ORACLE_CONCURRENT_SESSIONS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS session_id,
+         ts
+  FROM marked
+), spans AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM sess GROUP BY 1, 2
+), deltas AS (
+  SELECT s_start AS t, 1 AS d FROM spans
+  UNION ALL SELECT s_end, -1 FROM spans
+), sweep AS (
+  SELECT t, sum(d) OVER (ORDER BY t, d DESC) AS conc FROM deltas
+)
+SELECT CAST(t AS DATE) AS day, CAST(max(conc) AS BIGINT) AS max_concurrent
+FROM sweep GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["concurrent_sessions"] = q_concurrent_sessions
+ORACLES["concurrent_sessions"] = ORACLE_CONCURRENT_SESSIONS
+
+
+def q_user_activity_percentiles(spark, sf_dir):
+    """Events-per-user distribution percentiles — the fan-out profile
+    that sizes per-key state everywhere else. Partial-agg per user,
+    then one exact-percentile fold over the tiny per-user rollup."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.round(F.percentile("n", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("n", F.lit(0.99)), 6).alias("p99"),
+        F.max("n").cast("long").alias("max_events"),
+    )
+
+
+ORACLE_USER_ACTIVITY_PERCENTILES = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS users,
+       round(quantile_cont(n, 0.5), 6) AS p50,
+       round(quantile_cont(n, 0.99), 6) AS p99,
+       CAST(max(n) AS BIGINT) AS max_events
+FROM per_user
+"""
+
+QUERIES["user_activity_percentiles"] = q_user_activity_percentiles
+ORACLES["user_activity_percentiles"] = ORACLE_USER_ACTIVITY_PERCENTILES
+
+
+def q_value_histogram(spark, sf_dir):
+    """Power-of-two value histogram per stream (the heatmap shape
+    trace_metrics_histogram uses, on the events value): the log2 bucket
+    of a positive value via the integer bit length of its ceil —
+    integer-exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    nonneg = e.filter(F.col("value") > 0)
+    le_exp = F.expr("CAST(ceil(log2(ceil(value))) AS BIGINT)")
+    return (
+        nonneg.groupBy(
+            F.col("event_type").alias("service"),
+            F.greatest(le_exp, F.lit(0).cast("bigint")).alias("le_exp"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .orderBy("service", "le_exp")
+    )
+
+
+ORACLE_VALUE_HISTOGRAM = """
+SELECT event_type AS service,
+       greatest(CAST(ceil(log2(ceil(value))) AS BIGINT), 0) AS le_exp,
+       CAST(count(*) AS BIGINT) AS count
+FROM events WHERE value > 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["value_histogram"] = q_value_histogram
+ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM
