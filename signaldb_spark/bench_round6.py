@@ -761,7 +761,11 @@ def q_concurrent_sessions(spark, sf_dir):
     sweep: each session (gaps-and-islands, 30-min timeout) emits a +1
     at its start and a -1 after its end; a running sum ordered by time
     gives instantaneous concurrency, maxed per day. Windows only — no
-    interval self-join."""
+    interval self-join. The sweep input is 2 rows per SESSION (orders
+    of magnitude below event volume); the unpartitioned running sum is
+    the same global-cumsum shape as pack_sequences — at 100 TB it
+    range-partitions on t with per-partition partials + a driver-side
+    offset cumsum over the tiny partition totals."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
