@@ -213,6 +213,10 @@ class TenantCatalog:
                 raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
             if dataset is not None and dataset not in t["datasets"]:
                 raise AdminError("not_found", f"Dataset '{dataset}' not found")
+            if _hash_key(plaintext) in doc["api_keys"]:
+                # a reused plaintext would silently re-bind the existing
+                # credential to this tenant and destroy its record
+                raise AdminError("conflict", "API key already exists")
             doc["api_keys"][_hash_key(plaintext)] = {
                 "id": key_id, "tenant_id": tenant_id, "name": name,
                 "dataset_id": dataset, "created_at": ts, "revoked_at": None,

@@ -196,11 +196,13 @@ class SignalDBAPI:
         if df is None:
             return error_envelope(f"no {table} table for tenant", "not_found")
         attr_col = "log_attributes" if "log_attributes" in df.columns else "attributes"
+        # the response field name keeps the operator's exact-vs-approx
+        # distinction — an HLL estimate must not masquerade as exact
         card = "cardinality" if exact else "approx_cardinality"
         rows = attribute_stats(df, attr_col=attr_col, exact=exact).collect()
         return {"status": "success", "data": sorted(
             ({"key": r["key"], "presence": r["presence"],
-              "cardinality": r[card],
+              card: r[card],
               "presence_ratio": r["presence_ratio"]} for r in rows),
             key=lambda d: d["key"],
         )}
@@ -517,8 +519,10 @@ class SignalDBAPI:
         traces = self.session.table("traces")
         if traces is None:
             return error_envelope("no traces table for tenant", "not_found")
-        if start is not None and end is not None:
-            traces = traces.filter(F.col("timestamp").between(start, end))
+        if start is not None:
+            traces = traces.filter(F.col("timestamp") >= start)
+        if end is not None:
+            traces = traces.filter(F.col("timestamp") <= end)
         scope, key = "unscoped", scoped_tag
         for s in ("span", "resource"):
             if scoped_tag.startswith(s + "."):
@@ -643,18 +647,19 @@ class SignalDBAPI:
 
     def ops_compact_status(self, table: str) -> dict:
         from .catalog import signal_table_path
-        from .maintenance.jobs import list_hour_partitions, partition_files
+        from .maintenance.jobs import list_hour_partitions, partition_file_counts
         from .storage import ManifestTable
 
         path = signal_table_path(self.session.base, self.tenant, self.dataset, table)
         parts = list_hour_partitions(path)
         if not parts:
             return error_envelope(f"no {table} table for tenant", "not_found")
+        counts = partition_file_counts(path)  # one manifest parse
         return {"status": "success", "data": {
             "table": table,
             "manifest_version": ManifestTable(path).current_version(),
             "partitions": [
-                {"date_day": d, "hour": h, "n_files": len(partition_files(path, d, h))}
+                {"date_day": d, "hour": h, "n_files": counts.get((d, h), 0)}
                 for d, h in parts
             ],
         }}
@@ -668,7 +673,7 @@ class SignalDBAPI:
         from .maintenance.jobs import (
             compact_partition,
             list_hour_partitions,
-            partition_files,
+            partition_file_counts,
         )
 
         if hour is not None and day is None:
@@ -682,9 +687,15 @@ class SignalDBAPI:
         if day is not None:
             parts = [(d, h) for d, h in parts
                      if d == day and (hour is None or h == hour)]
+            if not parts:
+                # a typo'd day/hour must not report success-on-nothing
+                return error_envelope(
+                    f"no partition matches day={day} hour={hour}", "not_found"
+                )
         results = []
+        counts = partition_file_counts(path)  # one manifest parse
         for d, h in parts:
-            before = len(partition_files(path, d, h))
+            before = counts.get((d, h), 0)
             if dry_run:
                 results.append({"date_day": d, "hour": h, "n_files": before,
                                 "would_compact": before > 1})

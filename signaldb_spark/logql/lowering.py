@@ -516,6 +516,10 @@ def index_volume_range(
     df = logs
     if start is not None and end is not None:
         df = ts.time_window(df, "timestamp", start, end)
+    elif start is not None:
+        df = df.filter(F.col("timestamp") >= start)
+    elif end is not None:
+        df = df.filter(F.col("timestamp") <= end)
     return (
         df.groupBy(
             (F.floor(F.unix_timestamp("timestamp") / step_seconds) * step_seconds)

@@ -81,6 +81,29 @@ def partition_data_path(table_path: str, day: str, hour: int) -> str:
     return os.path.join(root, f"date_day={day}", f"hour={hour}")
 
 
+def partition_file_counts(table_path: str) -> dict[tuple[str, int], int]:
+    """File count per (day, hour) from ONE manifest parse (or one
+    directory walk for legacy layouts) — status over a 1000-partition
+    manifest table must not re-open the manifest per partition."""
+    mt = _manifest_table(table_path)
+    if mt is not None:
+        counts: dict[tuple[str, int], int] = {}
+        for f in mt.load_manifest()["files"]:
+            parts = f.split(os.sep)
+            if (
+                len(parts) >= 3
+                and parts[0].startswith("date_day=")
+                and parts[1].startswith("hour=")
+            ):
+                key = (parts[0][len("date_day="):], int(parts[1][len("hour="):]))
+                counts[key] = counts.get(key, 0) + 1
+        return counts
+    return {
+        (d, h): len(partition_files(table_path, d, h))
+        for d, h in list_hour_partitions(table_path)
+    }
+
+
 def partition_files(table_path: str, day: str, hour: int) -> list[str]:
     """Parquet files of one partition: the current snapshot's list for
     manifest tables (orphans excluded), a directory listing otherwise."""

@@ -29,3 +29,18 @@ def attr_value(df: DataFrame, attr_col: str, key: str) -> Column:
     if isinstance(dtype, T.StringType):
         return F.get_json_object(F.col(attr_col), f"$['{key}']")
     return F.element_at(F.col(attr_col), key)
+
+
+def attr_keys(df: DataFrame, attr_col: str) -> Column:
+    """The attribute KEY array — map_keys for map columns; legacy
+    string columns parse through from_json first (discovery endpoints
+    need the key set, which get_json_object cannot enumerate). Absent
+    columns resolve to an empty array."""
+    try:
+        dtype = df.schema[attr_col].dataType
+    except KeyError:
+        return F.array().cast("array<string>")
+    col = F.col(attr_col)
+    if isinstance(dtype, T.StringType):
+        col = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
+    return F.map_keys(col)

@@ -547,25 +547,29 @@ def deduplicated_log_stream(
     source_dir: str,
     watermark: str = "10 minutes",
 ):
-    """Streaming exact-once ROW semantics over at-least-once producers:
-    an OTLP exporter that retries after a dropped ack re-sends whole
-    payloads, duplicating every record inside (the reference's WAL
-    replay dedups at the batch boundary only — wal_replay_idempotency
-    covers replays, not re-sends). ``dropDuplicatesWithinWatermark`` on
-    the record identity (event time, stream, body) keeps the dedup
-    state BOUNDED by the watermark horizon — the property that makes
-    this viable on an unbounded stream at scale, where a plain
-    dropDuplicates would grow state forever.
+    """OTLP log stream with re-sent records dropped (see
+    :func:`deduped_stream` for the state-bounding argument). The record
+    identity is the FULL row: time, stream, trace/span correlation,
+    severity, body, and a JSON rendering of the attribute map (maps
+    cannot key a dedup directly; a verbatim re-send renders its
+    attributes identically) — two genuinely distinct records that share
+    a body do NOT collapse.
 
     Returns the unstarted deduplicated streaming DataFrame; compose
     with any sink (the ingest writers, memory for tests)."""
     from ..sources.otlp import flatten_otlp_logs
 
     raw = spark.readStream.format("text").load(source_dir)
-    df = flatten_otlp_logs(raw, json_col="value")
-    return df.withWatermark("timestamp", watermark).dropDuplicatesWithinWatermark(
-        ["timestamp", "service_name", "body"]
+    df = flatten_otlp_logs(raw, json_col="value").withColumn(
+        "_attr_sig", F.to_json("log_attributes")
     )
+    out = deduped_stream(
+        df,
+        ["timestamp", "service_name", "trace_id", "span_id",
+         "severity_text", "body", "_attr_sig"],
+        watermark=watermark,
+    )
+    return out.drop("_attr_sig")
 
 
 def tail_logs(

@@ -400,16 +400,18 @@ def select_field_expr(field: str):
 def tag_values(traces: DataFrame, scope: str, key: str, cap: int = 1000) -> DataFrame:
     """Distinct tag values, sorted, capped (tempo tag discovery,
     docs/users/tempo-api-reference.md:26,45)."""
+    from ..operators.attrs import attr_value
+
     if key == "service.name":
         col = F.col("service_name")
     elif scope == "span":
-        col = F.element_at(F.col("span_attributes"), key)
+        col = attr_value(traces, "span_attributes", key)
     elif scope == "resource":
-        col = F.element_at(F.col("resource_attributes"), key)
+        col = attr_value(traces, "resource_attributes", key)
     else:
         col = F.coalesce(
-            F.element_at(F.col("span_attributes"), key),
-            F.element_at(F.col("resource_attributes"), key),
+            attr_value(traces, "span_attributes", key),
+            attr_value(traces, "resource_attributes", key),
         )
     return (
         traces.select(col.alias("value"))
@@ -428,16 +430,18 @@ def tag_names(traces: DataFrame, scope: str = "unscoped", cap: int = 1000) -> Da
     distinct runs on a tiny exploded-key projection in-engine (scan
     prunes to the attribute column only), then sorts and caps — same
     deterministic bound as tag_values."""
+    from ..operators.attrs import attr_keys
+
     spark = traces.sparkSession
     parts = []
     if scope in ("span", "unscoped"):
         parts.append(
-            traces.select(F.explode(F.map_keys(F.col("span_attributes"))).alias("name"))
+            traces.select(F.explode(attr_keys(traces, "span_attributes")).alias("name"))
         )
     if scope in ("resource", "unscoped"):
         parts.append(
             traces.select(
-                F.explode(F.map_keys(F.col("resource_attributes"))).alias("name")
+                F.explode(attr_keys(traces, "resource_attributes")).alias("name")
             )
         )
         parts.append(spark.createDataFrame([("service.name",)], "name string"))

@@ -143,3 +143,17 @@ def test_commit_version_comes_from_the_same_read(tmp_path, monkeypatch):
     monkeypatch.setattr(TenantCatalog, "_read_versioned", real)
     assert cat.authenticate("sk_a") is not None
     assert cat.authenticate("sk_b") is not None  # B's key survived
+
+
+def test_api_key_plaintext_reuse_conflicts(tmp_path):
+    """The key store is keyed by hash(plaintext): minting the same
+    plaintext again (even for another tenant) must refuse rather than
+    silently re-bind the credential and destroy the first record."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("a", "A", now=NOW)
+    cat.create_tenant("b", "B", now=NOW)
+    cat.create_api_key("a", key="sk_shared", now=NOW)
+    with pytest.raises(AdminError, match="already exists"):
+        cat.create_api_key("b", key="sk_shared", now=NOW)
+    ident = cat.authenticate("sk_shared")
+    assert ident["tenant_id"] == "a"  # original binding intact

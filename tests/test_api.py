@@ -373,3 +373,30 @@ def test_loki_index_volume_range_route(api):
         int(r["value"]) for r in api.loki_index_volume(START, END)["data"]["result"]
     )
     assert total_range == total_flat
+
+
+def test_prom_label_stats_approx_field_name(api):
+    """exact=False responses must label the estimate approx_cardinality —
+    an HLL estimate must not masquerade as the exact count."""
+    out = api.prom_label_stats("logs", exact=False)
+    assert out["status"] == "success" and out["data"]
+    for d in out["data"]:
+        assert "approx_cardinality" in d and "cardinality" not in d
+        assert d["approx_cardinality"] > 0
+
+
+def test_ops_compact_unknown_partition_not_found(api):
+    """A typo'd day/hour must not report success-on-nothing."""
+    out = api.ops_compact("logs", day="1999-01-01", dry_run=True)
+    assert out["status"] == "error" and "no partition matches" in out["error"]
+
+
+def test_tempo_tag_values_v2_one_sided_window(api):
+    """start-only and end-only windows each filter their own side —
+    previously a single-sided request silently dropped the bound."""
+    lo = api.tempo_tag_values_v2("resource.service.name", start="2030-01-01 00:00:00")
+    assert lo["tagValues"] == []
+    hi = api.tempo_tag_values_v2("resource.service.name", end="1999-01-01 00:00:00")
+    assert hi["tagValues"] == []
+    both = api.tempo_tag_values_v2("resource.service.name", start=START)
+    assert both["tagValues"]

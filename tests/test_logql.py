@@ -645,3 +645,18 @@ def test_ip_matcher_rejects_invalid_octets_and_substrings(spark):
     }
     assert hits == {"x=234.5.6.7 ok"}
     assert lines.filter(line_ip_hit(F.col("body"), "10.3.0.0/8")).count() == 0
+
+
+def test_index_volume_range_one_sided_bounds(spark):
+    """start-only / end-only windows each apply their own bound."""
+    from signaldb_spark.logql.lowering import index_volume_range
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "api", "aaaa"),
+         ("2024-01-01 02:00:05", "api", "bbbbbb")],
+        "timestamp string, service_name string, body string",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    lo = index_volume_range(df, 3600, start="2024-01-01 01:00:00")
+    assert lo.count() == 1
+    hi = index_volume_range(df, 3600, end="2024-01-01 01:00:00")
+    assert hi.count() == 1

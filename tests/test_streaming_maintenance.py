@@ -1476,3 +1476,48 @@ def test_deduplicated_stream_drops_resent_records(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("SELECT body FROM dedup_sink ORDER BY body").collect()
     assert [r.body for r in rows] == ["hello once", "hello twice"]
+
+
+def test_partition_file_counts_single_parse(spark, ingested):
+    """partition_file_counts agrees with per-partition partition_files on
+    a manifest table but parses the manifest exactly once — the status
+    endpoint over a 1000-partition table must not re-open it per row."""
+    from signaldb_spark.maintenance.jobs import (
+        list_hour_partitions,
+        partition_file_counts,
+        partition_files,
+    )
+
+    _, base = ingested
+    path = signal_table_path(base, "acme", "prod", "logs")
+    counts = partition_file_counts(path)
+    parts = list_hour_partitions(path)
+    assert parts and set(counts) == set(parts)
+    for d, h in parts:
+        assert counts[(d, h)] == len(partition_files(path, d, h))
+
+
+def test_deduplicated_stream_keeps_distinct_attrs(spark, tmp_path):
+    """Two genuinely distinct records sharing (time, stream, body) but
+    differing in attributes must BOTH survive — the dedup identity is
+    the full row, not the body alone."""
+    from signaldb_spark.streaming.ingest import deduplicated_log_stream
+
+    src = tmp_path / "dup_attrs_src"
+    src.mkdir()
+    t0 = 1704067200_000_000_000
+    a = _otlp_log_payload(t0, "api", "info", "same body", {"k": "one"})
+    b = _otlp_log_payload(t0, "api", "info", "same body", {"k": "two"})
+    (src / "batch.jsonl").write_text("\n".join([a, b, a]))  # a re-sent once
+
+    dedup = deduplicated_log_stream(spark, str(src))
+    q = (
+        dedup.writeStream.format("memory").queryName("dedup_attrs_sink")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT log_attributes['k'] AS k FROM dedup_attrs_sink ORDER BY k"
+    ).collect()
+    assert [r.k for r in rows] == ["one", "two"]
+    assert "_attr_sig" not in spark.table("dedup_attrs_sink").columns

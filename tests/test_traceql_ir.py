@@ -826,3 +826,25 @@ def test_legacy_json_string_span_attributes(spark):
     preds = parse_traceql('{ .env = "staging" }')
     got = legacy.filter(predicate_expr(legacy, preds[0]))
     assert [r.span_id for r in got.collect()] == [3]
+
+
+def test_tag_discovery_legacy_string_attrs(spark):
+    """Tag discovery over a LEGACY layout where attributes landed as a
+    JSON string column: tag_values parses per-key via get_json_object
+    and tag_names enumerates keys via from_json→map_keys — neither may
+    assume MapType (attrs.attr_value/attr_keys route on the dtype)."""
+    from signaldb_spark.traceql.trace_ops import tag_names
+
+    df = spark.createDataFrame(
+        [
+            ("svc-a", '{"http.method": "GET", "peer": "db"}', '{"region": "us"}'),
+            ("svc-b", '{"http.method": "POST"}', None),
+        ],
+        "service_name string, span_attributes string, resource_attributes string",
+    )
+    vals = [r.value for r in tag_values(df, "span", "http.method").collect()]
+    assert vals == ["GET", "POST"]
+    names = [r.name for r in tag_names(df, "span").collect()]
+    assert set(names) == {"http.method", "peer"}
+    both = [r.name for r in tag_names(df, "unscoped").collect()]
+    assert {"http.method", "peer", "region", "service.name"} <= set(both)
