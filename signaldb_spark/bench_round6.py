@@ -881,3 +881,737 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["value_histogram"] = q_value_histogram
 ORACLES["value_histogram"] = ORACLE_VALUE_HISTOGRAM
+
+
+# ---------------------------------------------------- SQL-surface battery
+# Grouping-set / pivot / ranking / regression surfaces a reference user
+# exercising the SQL endpoint (src/router SQL passthrough) would expect
+# from any warehouse engine — each lowered to the native Catalyst
+# operator (Expand for rollup/cube, PivotFirst, WindowExec) rather than
+# a union-of-groupbys, so at 100 TB one shuffle serves every grouping set.
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """GROUP BY ROLLUP(region, nation) over customer order revenue —
+    region subtotals and the grand total ride the SAME single shuffle
+    via Catalyst's Expand, not one groupBy per level."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "revenue",
+            "n_orders",
+        )
+        .orderBy("region", "nation")
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT coalesce(r_name, '(all)') AS region,
+       coalesce(n_name, '(all)') AS nation,
+       round(sum(o_totalprice), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY 1, 2
+"""
+
+QUERIES["rollup_revenue"] = q_rollup_revenue
+ORACLES["rollup_revenue"] = ORACLE_ROLLUP_REVENUE
+
+
+def q_cube_priority_status(spark, sf_dir):
+    """GROUP BY CUBE(priority, status): all four grouping sets from one
+    Expand + one shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+ORACLE_CUBE_PRIORITY_STATUS = """
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+       coalesce(o_orderstatus, '(all)') AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 6) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY 1, 2
+"""
+
+QUERIES["cube_priority_status"] = q_cube_priority_status
+ORACLES["cube_priority_status"] = ORACLE_CUBE_PRIORITY_STATUS
+
+
+def q_pivot_status_count(spark, sf_dir):
+    """Status-by-priority PIVOT with an explicit value list — Catalyst
+    lowers to a single-pass PivotFirst agg (no per-column scan), and the
+    explicit list keeps the schema static so the plan never needs the
+    distinct-values pre-query that breaks pipelining at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.coalesce("F", F.lit(0)).cast("bigint").alias("cnt_f"),
+        F.coalesce("O", F.lit(0)).cast("bigint").alias("cnt_o"),
+        F.coalesce("P", F.lit(0)).cast("bigint").alias("cnt_p"),
+    ).orderBy("priority")
+
+
+ORACLE_PIVOT_STATUS_COUNT = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+       CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+       CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_p
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["pivot_status_count"] = q_pivot_status_count
+ORACLES["pivot_status_count"] = ORACLE_PIVOT_STATUS_COUNT
+
+
+def q_ntile_customer_quartiles(spark, sf_dir):
+    """NTILE(4) balance quartiles per market segment (unique c_custkey
+    tiebreak makes tile assignment deterministic), then one rollup agg
+    per (segment, quartile) — the window shuffles on segment only."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 6).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 6).alias("max_bal"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "quartile",
+            "n_customers", "min_bal", "max_bal",
+        )
+        .orderBy("segment", "quartile")
+    )
+
+
+ORACLE_NTILE_CUSTOMER_QUARTILES = """
+WITH t AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+)
+SELECT c_mktsegment AS segment, quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(min(c_acctbal), 6) AS min_bal,
+       round(max(c_acctbal), 6) AS max_bal
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ntile_customer_quartiles"] = q_ntile_customer_quartiles
+ORACLES["ntile_customer_quartiles"] = ORACLE_NTILE_CUSTOMER_QUARTILES
+
+
+def q_price_band_cheapest(spark, sf_dir):
+    """cume_dist price bands: the cheapest 5% of parts within each
+    brand (ties share a cume_dist, so the band edge is value-determined,
+    not row-order-determined)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return (
+        p.withColumn("cd", F.cume_dist().over(w))
+        .filter(F.col("cd") <= 0.05)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.round("p_retailprice", 6).alias("price"),
+        )
+        .orderBy("brand", "partkey")
+    )
+
+
+ORACLE_PRICE_BAND_CHEAPEST = """
+WITH t AS (
+  SELECT p_brand, p_partkey, p_retailprice,
+         cume_dist() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS cd
+  FROM part
+)
+SELECT p_brand AS brand, p_partkey AS partkey,
+       round(p_retailprice, 6) AS price
+FROM t WHERE cd <= 0.05 ORDER BY 1, 2
+"""
+
+QUERIES["price_band_cheapest"] = q_price_band_cheapest
+ORACLES["price_band_cheapest"] = ORACLE_PRICE_BAND_CHEAPEST
+
+
+def q_corr_quantity_price(spark, sf_dir):
+    """Correlation / least-squares battery per return flag — corr,
+    regr_slope, regr_r2 are all ratio statistics, so engine-order float
+    drift cancels; one partial+final agg, no window."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        )
+        .orderBy("flag")
+    )
+
+
+ORACLE_CORR_QUANTITY_PRICE = """
+SELECT l_returnflag AS flag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["corr_quantity_price"] = q_corr_quantity_price
+ORACLES["corr_quantity_price"] = ORACLE_CORR_QUANTITY_PRICE
+
+
+def q_region_nation_list(spark, sf_dir):
+    """listagg/string_agg parity: sorted comma-joined nation list per
+    region — collect_list sorted IN-ROW (array_sort) so the agg itself
+    stays order-insensitive and shuffle-safe."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+        .orderBy("region")
+    )
+
+
+ORACLE_REGION_NATION_LIST = """
+SELECT r_name AS region,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["region_nation_list"] = q_region_nation_list
+ORACLES["region_nation_list"] = ORACLE_REGION_NATION_LIST
+
+
+def q_orders_above_segment_avg(spark, sf_dir):
+    """Decorrelated scalar subquery: orders beating their customer
+    segment's average order value — the per-segment avg is a 5-row agg
+    broadcast back onto the fact scan (DuckDB writes it correlated; the
+    Spark plan is the decorrelation every optimizer targets)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    oc = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    seg_avg = oc.groupBy("c_mktsegment").agg(F.avg("o_totalprice").alias("seg_avg"))
+    return (
+        oc.join(F.broadcast(seg_avg), "c_mktsegment")
+        .filter(F.col("o_totalprice") > F.col("seg_avg"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_above"),
+            F.round(F.sum("o_totalprice"), 6).alias("above_revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_ORDERS_ABOVE_SEGMENT_AVG = """
+WITH oc AS (
+  SELECT o_totalprice, c_mktsegment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_above,
+       round(sum(o_totalprice), 6) AS above_revenue
+FROM oc o
+WHERE o_totalprice > (
+  SELECT avg(o_totalprice) FROM oc i WHERE i.c_mktsegment = o.c_mktsegment
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_above_segment_avg"] = q_orders_above_segment_avg
+ORACLES["orders_above_segment_avg"] = ORACLE_ORDERS_ABOVE_SEGMENT_AVG
+
+
+# ------------------------------------------- global-join + SRE analytics
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3 suppliers' yearly share of PROMO-part
+    revenue sold to EUROPE customers. Five dimension joins — every one
+    broadcast (all dims are KB-scale even at 100 TB fact size); the
+    share is a ratio, so engine-order float drift cancels."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cust_eur = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey")
+    )
+    supp_nat = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("s_nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+               l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_eur), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("s_nation") == "NATION_3", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["market_share"] = q_market_share
+ORACLES["market_share"] = ORACLE_MARKET_SHARE
+
+
+def q_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (sans partsupp): PROMO-part profit per supplier
+    nation per year — positive-sum aggregation (round-6-stable), dims
+    broadcast, fact shuffles once on the grouping key."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+    supp_nat = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_type") == "PROMO")),
+               l.l_partkey == p.p_partkey)
+        .join(o.select("o_orderkey", "o_orderdate"), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp_nat), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("profit")
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+ORACLE_PRODUCT_PROFIT = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["product_profit"] = q_product_profit
+ORACLES["product_profit"] = ORACLE_PRODUCT_PROFIT
+
+
+def q_yoy_revenue(spark, sf_dir):
+    """Year-over-year revenue growth: the lag/pct-change window runs on
+    the already-ROUNDED per-year rollup (a handful of rows), so the
+    derived ratio is bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    w = Window.orderBy("o_year")
+    return (
+        yearly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn(
+            "yoy_pct",
+            F.round(
+                (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 6
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+ORACLE_YOY_REVENUE = """
+WITH yearly AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         round(sum(o_totalprice), 6) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT o_year, revenue,
+       lag(revenue) OVER (ORDER BY o_year) AS prev_revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY o_year))
+             / lag(revenue) OVER (ORDER BY o_year), 6) AS yoy_pct
+FROM yearly ORDER BY o_year
+"""
+
+QUERIES["yoy_revenue"] = q_yoy_revenue
+ORACLES["yoy_revenue"] = ORACLE_YOY_REVENUE
+
+
+def q_apdex_score(spark, sf_dir):
+    """Apdex (satisfied ≤ 10, tolerating ≤ 40) per event stream from the
+    value column as latency — one map-side conditional fold, integer
+    counts divided once at the end."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.col("event_type").alias("service"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") <= 10, 1).otherwise(0))
+            .cast("bigint").alias("satisfied"),
+            F.sum(F.when((F.col("value") > 10) & (F.col("value") <= 40), 1)
+                  .otherwise(0)).cast("bigint").alias("tolerating"),
+        )
+        .withColumn(
+            "apdex",
+            F.round(
+                (F.col("satisfied") + F.col("tolerating") / 2.0) / F.col("n"), 6
+            ),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_APDEX_SCORE = """
+SELECT event_type AS service,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (value <= 10) AS BIGINT) AS satisfied,
+       CAST(count(*) FILTER (value > 10 AND value <= 40) AS BIGINT) AS tolerating,
+       round((count(*) FILTER (value <= 10)
+              + count(*) FILTER (value > 10 AND value <= 40) / 2.0)
+             / count(*), 6) AS apdex
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["apdex_score"] = q_apdex_score
+ORACLES["apdex_score"] = ORACLE_APDEX_SCORE
+
+
+def q_sli_error_budget(spark, sf_dir):
+    """Daily SLI error ratio plus the cumulative ratio-to-date — the
+    cumulative window runs over the DAILY rollup (integer counts), so
+    the running division is exact and the raw stream never enters the
+    window state."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("err_ratio", F.round(F.col("errors") / F.col("total"), 6))
+        .withColumn(
+            "cum_err_ratio",
+            F.round(F.sum("errors").over(w) / F.sum("total").over(w), 6),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "total", "errors", "err_ratio", "cum_err_ratio",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_SLI_ERROR_BUDGET = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS errors
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, total, errors,
+       round(errors * 1.0 / total, 6) AS err_ratio,
+       round(sum(errors) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) * 1.0
+             / sum(total) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+             6) AS cum_err_ratio
+FROM daily ORDER BY day
+"""
+
+QUERIES["sli_error_budget"] = q_sli_error_budget
+ORACLES["sli_error_budget"] = ORACLE_SLI_ERROR_BUDGET
+
+
+# --------------------------------------- corpus + embedding diagnostics
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per corpus source: documents project to
+    16-byte md5 digests before the shuffle (text never shuffles), then
+    one count-distinct per source."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", F.md5("text").alias("digest"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("digest").cast("bigint").alias("n_unique"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DUP_RATE_BY_SOURCE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_rate
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dup_rate_by_source"] = q_dup_rate_by_source
+ORACLES["dup_rate_by_source"] = ORACLE_DUP_RATE_BY_SOURCE
+
+
+def q_embedding_norm_stats(spark, sf_dir):
+    """Per-label L2-norm distribution: the norm is a ROW-LOCAL in-order
+    fold over the vector (bit-identical across engines), aggregated with
+    one partial+final agg — an index-health diagnostic that reads only
+    (embedding, label)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: a + x.cast("double") * x.cast("double"),
+    )
+    return (
+        e.select("label", F.sqrt(sq).alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMBEDDING_NORM_STATS = """
+WITH t AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(
+             embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(norm), 6) AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
+ORACLES["embedding_norm_stats"] = ORACLE_EMBEDDING_NORM_STATS
+
+
+def q_slo_multiwindow_burn(spark, sf_dir):
+    """Google-SRE multiwindow burn-rate alert: hours where BOTH the 1h
+    error ratio and the trailing-6h ratio burn past 2× a 5% objective.
+    Both windows run over the hourly rollup — the raw stream is reduced
+    once, then a 6-row sliding frame does the long-window ratio."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("errors"),
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    burn = 2 * 0.05
+    return (
+        hourly.withColumn("ratio_1h", F.col("errors") / F.col("total"))
+        .withColumn("ratio_6h", F.sum("errors").over(w6) / F.sum("total").over(w6))
+        .filter((F.col("ratio_1h") > burn) & (F.col("ratio_6h") > burn))
+        .select(
+            F.col("hour").cast("string").alias("hour"),
+            F.round("ratio_1h", 6).alias("ratio_1h"),
+            F.round("ratio_6h", 6).alias("ratio_6h"),
+        )
+        .orderBy("hour")
+    )
+
+
+ORACLE_SLO_MULTIWINDOW_BURN = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS errors
+  FROM events GROUP BY 1
+), r AS (
+  SELECT hour,
+         errors * 1.0 / total AS ratio_1h,
+         sum(errors) OVER (ORDER BY hour ROWS 5 PRECEDING) * 1.0
+           / sum(total) OVER (ORDER BY hour ROWS 5 PRECEDING) AS ratio_6h
+  FROM hourly
+)
+SELECT CAST(hour AS VARCHAR) AS hour,
+       round(ratio_1h, 6) AS ratio_1h,
+       round(ratio_6h, 6) AS ratio_6h
+FROM r WHERE ratio_1h > 0.1 AND ratio_6h > 0.1 ORDER BY hour
+"""
+
+QUERIES["slo_multiwindow_burn"] = q_slo_multiwindow_burn
+ORACLES["slo_multiwindow_burn"] = ORACLE_SLO_MULTIWINDOW_BURN
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit per language: regr_slope of ln(freq) on ln(rank)
+    over the top-200 terms (row_number with term tiebreak). Term counts
+    are one groupBy; the regression runs on a 200-row-per-lang rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 200)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.round(
+                F.regr_slope(F.log(F.col("freq").cast("double")),
+                             F.log(F.col("rank").cast("double"))), 6
+            ).alias("zipf_slope"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_ZIPF_SLOPE = """
+WITH tf AS (
+  SELECT lang, t.term, CAST(count(*) AS BIGINT) AS freq
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, term) AS rank
+  FROM tf
+)
+SELECT lang,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+         AS zipf_slope,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM ranked WHERE rank <= 200 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zipf_slope"] = q_zipf_slope
+ORACLES["zipf_slope"] = ORACLE_ZIPF_SLOPE
+
+
+def q_fano_factor(spark, sf_dir):
+    """Burstiness (Fano factor, variance-to-mean of hourly counts) per
+    stream — Poisson arrivals sit at 1.0, bursty streams above. Two
+    stacked partial+final aggs; the dispersion ratio's float drift
+    cancels."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("service"),
+        F.date_trunc("hour", "ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return (
+        hourly.groupBy("service")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.round(F.var_samp("cnt") / F.avg("cnt"), 6).alias("fano"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_FANO_FACTOR = """
+WITH hourly AS (
+  SELECT event_type AS service, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT service, CAST(count(*) AS BIGINT) AS n_hours,
+       round(var_samp(cnt) / avg(cnt), 6) AS fano
+FROM hourly GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["fano_factor"] = q_fano_factor
+ORACLES["fano_factor"] = ORACLE_FANO_FACTOR
