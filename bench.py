@@ -196,6 +196,24 @@ HEADLINE = [
     "value_histogram",
     "logql_offset",
     "emb_ivf_pq",
+    "rollup_revenue",
+    "cube_priority_status",
+    "pivot_status_count",
+    "ntile_customer_quartiles",
+    "price_band_cheapest",
+    "corr_quantity_price",
+    "region_nation_list",
+    "orders_above_segment_avg",
+    "market_share",
+    "product_profit",
+    "yoy_revenue",
+    "apdex_score",
+    "sli_error_budget",
+    "slo_multiwindow_burn",
+    "dup_rate_by_source",
+    "embedding_norm_stats",
+    "zipf_slope",
+    "fano_factor",
 ]
 
 
