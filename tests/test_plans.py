@@ -388,3 +388,46 @@ def test_new_query_scale_shapes(spark):
 
     p_roll = plan(qs["event_rolling_window"](spark, SF_DIR))
     assert exchanges(p_roll) == 1 and "Window" in p_roll
+
+
+def test_grouping_sets_use_one_expand(spark):
+    """rollup/cube lower to a single Expand feeding ONE partial+final
+    agg — not a union of per-level groupBys (which would rescan the
+    fact table per grouping set at 100 TB)."""
+    for name in ("rollup_revenue", "cube_priority_status"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert p.count("Expand") >= 1, name
+        assert "Union" not in p, name
+        assert "partial_" in p.lower() or "HashAggregate" in p, name
+
+
+def test_global_join_reports_broadcast_all_dims(spark):
+    """market_share / product_profit: every dimension side is a
+    broadcast join; no SortMergeJoin and no cartesian appears at the
+    test SF."""
+    for name in ("market_share", "product_profit", "orders_above_segment_avg"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_pivot_is_single_pass_agg(spark):
+    """The explicit-value pivot compiles to aggregation (pivot_first /
+    conditional agg) — no join, no union, one shuffle on the group key."""
+    p = plan(all_queries()["pivot_status_count"](spark, SF_DIR))
+    assert "Join" not in p and "Union" not in p
+    # group-key shuffle + the final orderBy range exchange
+    assert p.count("+- Exchange") <= 3
+
+
+def test_sre_windows_run_on_rollups(spark):
+    """sli_error_budget / slo_multiwindow_burn: the raw event stream is
+    reduced by a partial+final agg BEFORE any WindowExec — the window
+    input is the daily/hourly rollup, so the single-partition global
+    window holds ~10^3-10^4 rows at any fact scale."""
+    for name in ("sli_error_budget", "slo_multiwindow_burn", "yoy_revenue"):
+        p = plan(all_queries()[name](spark, SF_DIR))
+        lines = p.splitlines()
+        win = next(i for i, l in enumerate(lines) if "Window" in l)
+        assert any("HashAggregate" in l for l in lines[win:]), name
