@@ -69,6 +69,12 @@ PROBE_QUERIES = [
     # gaps-and-islands double window + chained joins
     "event_rolling_window",
     "session_funnel",
+    # late-round-5 shapes: grouping-set Expand (2x pre-shuffle rows into
+    # one partial+final agg), five-way broadcast-dim fact join, and the
+    # explode-to-terms wordcount + per-lang window topk
+    "rollup_revenue",
+    "market_share",
+    "zipf_slope",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
