@@ -737,6 +737,7 @@ class AdminAPI:
     def __init__(self, base: str):
         from .admin import TenantCatalog
 
+        self.base = base
         self.catalog = TenantCatalog(base)
 
     def _run(self, fn):
@@ -797,3 +798,113 @@ class AdminAPI:
         if auth is None:
             return error_envelope("invalid or revoked API key", "unauthorized")
         return {"status": "success", "data": auth}
+
+    # GET/POST /api/v1/tenants/{id}/tables[/create] (endpoints/tenant.rs)
+
+    _TABLE_DESCRIPTIONS = {
+        "traces": "OpenTelemetry traces and spans",
+        "logs": "OpenTelemetry log entries",
+        "metrics_gauge": "OpenTelemetry gauge metrics",
+        "metrics_sum": "OpenTelemetry sum/counter metrics",
+        "metrics_histogram": "OpenTelemetry histogram metrics",
+        "metrics_exponential_histogram":
+            "OpenTelemetry exponential histogram metrics",
+        "metrics_summary": "OpenTelemetry summary metrics",
+        "profiles": "OpenTelemetry profiles",
+    }
+
+    def _tenant_guard(self, tenant_id: str, ctx_tenant_id: str | None):
+        """endpoints/tenant.rs:87-89: a caller authenticated as another
+        tenant is refused BEFORE any catalog or filesystem access."""
+        if ctx_tenant_id is not None and ctx_tenant_id != tenant_id:
+            return error_envelope("tenant context does not match", "forbidden")
+        if self.catalog.get_tenant(tenant_id) is None:
+            return error_envelope(f"Tenant '{tenant_id}' not found", "not_found")
+        return None
+
+    def list_tenant_tables(self, tenant_id: str, ctx_tenant_id: str | None = None,
+                           dataset: str = "default") -> dict:
+        """GET /tenants/{id}/tables: the tenant's table inventory with
+        the reference's name/schema_type/description rows
+        (src/common/src/tenant_api.rs:224-252). Unlike the reference's
+        registry walk (schema/mod.rs:497 — a TODO returning []), the
+        listing is real: table directories under {base}/{tenant}/{dataset}."""
+        import os
+
+        guard = self._tenant_guard(tenant_id, ctx_tenant_id)
+        if guard is not None:
+            return guard
+        root = os.path.join(self.base, tenant_id, dataset)
+        names = sorted(
+            d for d in (os.listdir(root) if os.path.isdir(root) else [])
+            if os.path.isdir(os.path.join(root, d)) and not d.startswith("_")
+        )
+        return {"status": "success", "data": {
+            "tenant_id": tenant_id,
+            "tables": [
+                {"name": n,
+                 "schema_type": n if n in self._TABLE_DESCRIPTIONS else "custom",
+                 "description": self._TABLE_DESCRIPTIONS.get(
+                     n, f"Custom table: {n}")}
+                for n in names
+            ],
+        }}
+
+    def create_tenant_tables(self, spark, tenant_id: str,
+                             ctx_tenant_id: str | None = None,
+                             can_manage: bool = True,
+                             dataset: str = "default") -> dict:
+        """POST /tenants/{id}/tables/create: materialize the DEFAULT
+        signal tables as real (empty) manifest tables — the reference
+        pins that this endpoint must actually create them, not 201 on a
+        log line (endpoints/tenant.rs:356-359). Requires tenant-admin
+        privilege (tenant.rs:121-127). Idempotent: existing tables are
+        left untouched and reported as skipped."""
+        import os
+
+        from .catalog import signal_table_path
+        from .schemas.signal_schemas import SCHEMAS
+        from .storage.manifest import ManifestTable
+
+        if ctx_tenant_id is not None and ctx_tenant_id != tenant_id:
+            return error_envelope("tenant context does not match", "forbidden")
+        if not can_manage:
+            return error_envelope(
+                "Tenant administrator privileges required", "forbidden")
+        if self.catalog.get_tenant(tenant_id) is None:
+            return error_envelope(f"Tenant '{tenant_id}' not found", "not_found")
+        created, skipped = [], []
+        for table in SCHEMAS:
+            path = signal_table_path(self.base, tenant_id, dataset, table)
+            mt = ManifestTable(path)
+            if os.path.isdir(mt.manifest_dir):
+                skipped.append(table)
+                continue
+            os.makedirs(mt.manifest_dir, exist_ok=True)
+            os.makedirs(mt.data_dir, exist_ok=True)
+            mt.commit([], batch_id="provision")
+            created.append(table)
+        return {"status": "success", "data": {
+            "message": f"Default tables created for tenant '{tenant_id}'",
+            "tenant_id": tenant_id, "created": created, "skipped": skipped,
+        }}
+
+    def list_tenant_schemas(self, tenant_id: str,
+                            ctx_tenant_id: str | None = None) -> dict:
+        """GET /tenants/{id}/schemas: the schema registry's declared
+        versions per table (tenant_api.rs:254 list_table_schemas over
+        the versioned declarations, schemas/resolver.py)."""
+        from .schemas.resolver import builtin_registry
+
+        guard = self._tenant_guard(tenant_id, ctx_tenant_id)
+        if guard is not None:
+            return guard
+        reg = builtin_registry()
+        return {"status": "success", "data": {
+            "tenant_id": tenant_id,
+            "schemas": [
+                {"table": t, "versions": reg.versions(t),
+                 "current": reg.current_version(t)}
+                for t in sorted(reg.tables())
+            ],
+        }}

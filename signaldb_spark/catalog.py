@@ -121,7 +121,18 @@ def optional_table(
     from .storage.manifest import MANIFEST_DIR, ManifestTable
 
     if os.path.isdir(os.path.join(path, MANIFEST_DIR)):
-        return ManifestTable(path).read(spark)
+        df = ManifestTable(path).read(spark)
+        if df is None:
+            # A PROVISIONED table with no committed files yet (the
+            # /tenants/{id}/tables/create path) must answer queries with
+            # an EMPTY result in the declared schema, not "no table" —
+            # the reference materializes real empty tables
+            # (src/router/src/endpoints/tenant.rs:109-146).
+            from .schemas.signal_schemas import SCHEMAS
+
+            if table in SCHEMAS:
+                return spark.createDataFrame([], SCHEMAS[table])
+        return df
     if not _parquet_dir_exists(path):
         return None
     return spark.read.parquet(path)

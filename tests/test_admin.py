@@ -157,3 +157,60 @@ def test_api_key_plaintext_reuse_conflicts(tmp_path):
         cat.create_api_key("b", key="sk_shared", now=NOW)
     ident = cat.authenticate("sk_shared")
     assert ident["tenant_id"] == "a"  # original binding intact
+
+
+def test_tenant_tables_lifecycle(spark, tmp_path):
+    """GET/POST /tenants/{id}/tables[/create] (endpoints/tenant.rs):
+    listing is tenant-guarded; create materializes REAL empty manifest
+    tables (tenant.rs:356-359 pins created-not-logged), is idempotent,
+    and a provisioned table answers queries as empty-in-schema rather
+    than not_found."""
+    from signaldb_spark.catalog import optional_table
+
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("acme", "Acme")
+
+    # cross-tenant context is refused before any filesystem access
+    forbidden = api.list_tenant_tables("acme", ctx_tenant_id="evil")
+    assert forbidden["status"] == "error" and forbidden["errorType"] == "forbidden"
+    missing = api.list_tenant_tables("nope")
+    assert missing["status"] == "error" and missing["errorType"] == "not_found"
+
+    # nothing provisioned yet
+    assert api.list_tenant_tables("acme")["data"]["tables"] == []
+
+    # create requires the admin role
+    denied = api.create_tenant_tables(spark, "acme", can_manage=False)
+    assert denied["status"] == "error" and denied["errorType"] == "forbidden"
+
+    out = api.create_tenant_tables(spark, "acme")
+    assert out["status"] == "success"
+    created = out["data"]["created"]
+    assert "traces" in created and "logs" in created
+
+    listed = api.list_tenant_tables("acme")["data"]["tables"]
+    assert [t["name"] for t in listed] == sorted(created)
+    by_name = {t["name"]: t for t in listed}
+    assert by_name["logs"]["schema_type"] == "logs"
+    assert "log entries" in by_name["logs"]["description"]
+
+    # idempotent re-create: everything skipped, nothing re-created
+    again = api.create_tenant_tables(spark, "acme")
+    assert again["data"]["created"] == []
+    assert sorted(again["data"]["skipped"]) == sorted(created)
+
+    # a provisioned-but-empty table is QUERYABLE as empty, not absent
+    logs = optional_table(spark, str(tmp_path), "acme", "default", "logs")
+    assert logs is not None and logs.count() == 0
+    assert "body" in logs.columns and "timestamp" in logs.columns
+
+
+def test_tenant_schemas_route(tmp_path):
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("acme", "Acme")
+    out = api.list_tenant_schemas("acme")
+    assert out["status"] == "success"
+    schemas = {s["table"]: s for s in out["data"]["schemas"]}
+    assert "traces" in schemas and schemas["traces"]["current"] in schemas["traces"]["versions"]
+    forbidden = api.list_tenant_schemas("acme", ctx_tenant_id="other")
+    assert forbidden["errorType"] == "forbidden"
