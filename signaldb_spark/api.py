@@ -641,6 +641,150 @@ class SignalDBAPI:
         except Exception as e:
             return error_envelope(str(e))
 
+    # ------------------------------------------------------- query IR
+    # POST /api/v1/query (endpoints/query.rs:144) — the typed IR endpoint
+
+    _IR_VALUE_TYPES = (
+        ("boolean", "bool"), ("byte", "int64"), ("short", "int64"),
+        ("int", "int64"), ("long", "int64"), ("float", "float64"),
+        ("double", "float64"), ("timestamp", "timestamp_ns"),
+        ("binary", "bytes"),
+    )
+
+    @classmethod
+    def _ir_value_type(cls, spark_type: str) -> str:
+        for prefix, ir in cls._IR_VALUE_TYPES:
+            if spark_type.startswith(prefix):
+                return ir
+        return "string"
+
+    @staticmethod
+    def _resolve_anchor(s, now_ns: int) -> int:
+        """A range bound → epoch nanoseconds: 'now' / 'now-<dur>'
+        relative anchors resolve against the ONE server-stamped clock
+        (query.rs:152-155 — every stage of the plan sees the same
+        absolute window), everything else parses as ISO or epoch
+        seconds."""
+        import re
+
+        if isinstance(s, str) and s.strip().startswith("now"):
+            rest = s.strip()[3:].replace(" ", "")
+            if not rest:
+                return now_ns
+            m = re.fullmatch(r"-((?:\d+(?:\.\d+)?[smhdw])+)", rest)
+            if not m:
+                raise ValueError(f"invalid time bound: {s}")
+            unit_ns = {"s": 10**9, "m": 60 * 10**9, "h": 3600 * 10**9,
+                       "d": 86400 * 10**9, "w": 7 * 86400 * 10**9}
+            total = 0
+            for num, unit in re.findall(r"(\d+(?:\.\d+)?)([smhdw])", rest):
+                total += int(float(num) * unit_ns[unit])
+            return now_ns - total
+        return _epoch_nanos(s)
+
+    def query_ir(self, req: dict, now=None) -> dict:
+        """POST /query: the request IS the IR document plus ``range``
+        and ``result``. The validation wall runs first (ir.model), the
+        window filter is applied BEFORE the lowered plan so partition
+        pruning engages, and the output shapes into the reference's
+        rows/table or series envelope (query.rs:266-297: result=series
+        reads column 0 as the time axis, the last column as the value,
+        everything between as grouping labels)."""
+        from pyspark.sql import functions as F
+
+        from .ir.model import IRValidationError, validate
+        from .ir.planner import lower
+
+        result = req.get("result", "rows")
+        if result not in ("rows", "table", "series"):
+            return error_envelope(
+                f"unsupported result envelope '{result}'", "bad_data")
+        try:
+            now_ns = _epoch_nanos(now) if now is not None else _epoch_nanos(
+                dt.datetime.now(dt.timezone.utc))
+            rng = req.get("range") or {}
+            start_ns = self._resolve_anchor(rng["from"], now_ns)
+            end_ns = self._resolve_anchor(rng["to"], now_ns)
+        except (KeyError, ValueError) as e:
+            return error_envelope(f"invalid range: {e}", "bad_data")
+        try:
+            q = validate(req)
+        except IRValidationError as e:
+            return error_envelope(str(e), "bad_data")
+        df = self.session.table(q.source)
+        if df is None:
+            return error_envelope(f"no {q.source} table for tenant", "not_found")
+        correlate_df = None
+        if q.correlate is not None:
+            correlate_df = self.session.table(q.correlate.with_table)
+            if correlate_df is None:
+                return error_envelope(
+                    f"no {q.correlate.with_table} table for tenant", "not_found")
+        try:
+            # timestamp-literal comparison (not a cast on the column) so
+            # the window predicate pushes down to the scan
+            df = df.filter(
+                F.col("timestamp").between(
+                    F.timestamp_micros(F.lit(start_ns // 1000)),
+                    F.timestamp_micros(F.lit(end_ns // 1000)),
+                )
+            )
+            out = lower(df, q, correlate_df=correlate_df)
+            rows = out.collect()
+        except Exception as e:
+            return error_envelope(str(e))
+        window = {"start_ns": start_ns, "end_ns": end_ns}
+        cols = [
+            {"name": f.name,
+             "value_type": self._ir_value_type(f.dataType.simpleString())}
+            for f in out.schema.fields
+        ]
+
+        def cell(v, value_type):
+            if v is None:
+                return None
+            if value_type == "timestamp_ns":
+                return _epoch_nanos(v)
+            if value_type == "bytes":
+                import base64
+
+                return base64.b64encode(bytes(v)).decode()
+            if value_type in ("int64", "float64", "bool"):
+                return v
+            return str(v)
+
+        if result in ("rows", "table"):
+            return {"result": result, "window": window, "columns": cols,
+                    "rows": [
+                        [cell(v, c["value_type"]) for v, c in zip(r, cols)]
+                        for r in rows
+                    ],
+                    "series": [], "step_ns": None}
+        if len(cols) < 2:
+            return error_envelope(
+                "series envelope needs a time axis and a value column", "bad_data")
+        series_order, series = [], {}
+        for r in rows:
+            labels = {
+                cols[i]["name"]: (str(r[i]) if r[i] is not None else "null")
+                for i in range(1, len(cols) - 1)
+            }
+            key = ",".join(f"{k}={v}" for k, v in sorted(labels.items()))
+            if key not in series:
+                series_order.append(key)
+                series[key] = {"labels": labels, "points": []}
+            series[key]["points"].append(
+                [cell(r[0], cols[0]["value_type"]), cell(r[-1], cols[-1]["value_type"])]
+            )
+        for s in series.values():
+            s["points"].sort(key=lambda p: (p[0] is None, p[0]))
+        agg = req.get("aggregate") or {}
+        step_ns = (int(agg["step_seconds"]) * 10**9
+                   if agg.get("step_seconds") else None)
+        return {"result": "series", "window": window, "columns": [],
+                "rows": [], "series": [series[k] for k in series_order],
+                "step_ns": step_ns}
+
     # --------------------------------------------------- ops + schemas
     # POST /api/v1/ops/compact (+ /dry-run), GET /ops/compact/status
     # (endpoints/ops.rs); GET /schemas/available (management surface)

@@ -400,3 +400,60 @@ def test_tempo_tag_values_v2_one_sided_window(api):
     assert hi["tagValues"] == []
     both = api.tempo_tag_values_v2("resource.service.name", start=START)
     assert both["tagValues"]
+
+
+def test_query_ir_rows_envelope(api):
+    """POST /query (endpoints/query.rs:144): rows result — validated IR
+    plan over the windowed logs table, shaped into the reference's
+    columns/rows envelope with IR value types."""
+    req = {
+        "version": 1, "from": "logs", "result": "rows",
+        "range": {"from": START, "to": END},
+        "where": {"field": "severity_text", "op": "eq", "value": "error"},
+        "select": ["timestamp", "service_name", "body"],
+        "limit": 5,
+    }
+    out = api.query_ir(req)
+    assert out["result"] == "rows"
+    assert out["window"]["start_ns"] < out["window"]["end_ns"]
+    names = [c["name"] for c in out["columns"]]
+    assert names == ["timestamp", "service_name", "body"]
+    types = {c["name"]: c["value_type"] for c in out["columns"]}
+    assert types["timestamp"] == "timestamp_ns" and types["body"] == "string"
+    assert 0 < len(out["rows"]) <= 5
+    assert all(isinstance(r[0], int) for r in out["rows"])  # ns-encoded
+
+
+def test_query_ir_series_envelope_and_anchors(api):
+    """series result: column 0 = time axis, last = value, middle =
+    labels (query.rs:414-466); relative `now-…` anchors resolve against
+    one stamped clock."""
+    req = {
+        "version": 1, "from": "logs", "result": "series",
+        "range": {"from": "now-4h", "to": "now"},
+        "aggregate": {"op": "count", "by": ["service_name"],
+                      "step_seconds": 3600},
+    }
+    out = api.query_ir(req, now=END)
+    assert out["result"] == "series" and out["series"]
+    assert out["step_ns"] == 3600 * 10**9
+    s = out["series"][0]
+    assert set(s["labels"]) == {"service_name"}
+    assert all(len(p) == 2 for p in s["points"])
+    ts = [p[0] for p in s["points"]]
+    assert ts == sorted(ts)
+
+
+def test_query_ir_validation_and_errors(api):
+    bad = api.query_ir({"version": 1, "from": "logs", "result": "cubes",
+                        "range": {"from": START, "to": END}})
+    assert bad["status"] == "error" and "unsupported result" in bad["error"]
+    bad2 = api.query_ir({"version": 99, "from": "logs", "result": "rows",
+                         "range": {"from": START, "to": END}})
+    assert bad2["status"] == "error" and bad2["errorType"] == "bad_data"
+    bad3 = api.query_ir({"version": 1, "from": "logs", "result": "rows",
+                         "range": {"from": "now-1x", "to": "now"}})
+    assert bad3["status"] == "error" and "invalid range" in bad3["error"]
+    missing = api.query_ir({"version": 1, "from": "nope_table", "result": "rows",
+                            "range": {"from": START, "to": END}})
+    assert missing["errorType"] == "not_found"
