@@ -338,8 +338,9 @@ class SignalDBAPI:
         logs = self.session.table("logs")
         if logs is None:
             return error_envelope("no logs table for tenant", "not_found")
-        if start is not None and end is not None:
-            logs = logs.filter(F.col("timestamp").between(start, end))
+        from .operators.timeseries import time_window
+
+        logs = time_window(logs, "timestamp", start, end)
         rows = log_patterns(logs, k=k).collect()
         return {"status": "success", "data": [
             {"pattern": r["template"], "count": r["count"],
@@ -358,8 +359,9 @@ class SignalDBAPI:
         logs = self.session.table("logs")
         if logs is None:
             return error_envelope("no logs table for tenant", "not_found")
-        if start is not None and end is not None:
-            logs = logs.filter(F.col("timestamp").between(start, end))
+        from .operators.timeseries import time_window
+
+        logs = time_window(logs, "timestamp", start, end)
         kv = logs.select(F.explode("log_attributes").alias("field", "v"))
         rows = detect_field_types(kv).orderBy("field").collect()
         return {"fields": [
@@ -519,10 +521,9 @@ class SignalDBAPI:
         traces = self.session.table("traces")
         if traces is None:
             return error_envelope("no traces table for tenant", "not_found")
-        if start is not None:
-            traces = traces.filter(F.col("timestamp") >= start)
-        if end is not None:
-            traces = traces.filter(F.col("timestamp") <= end)
+        from .operators.timeseries import time_window
+
+        traces = time_window(traces, "timestamp", start, end)
         scope, key = "unscoped", scoped_tag
         for s in ("span", "resource"):
             if scoped_tag.startswith(s + "."):
@@ -644,19 +645,19 @@ class SignalDBAPI:
     # ------------------------------------------------------- query IR
     # POST /api/v1/query (endpoints/query.rs:144) — the typed IR endpoint
 
-    _IR_VALUE_TYPES = (
-        ("boolean", "bool"), ("byte", "int64"), ("short", "int64"),
-        ("int", "int64"), ("long", "int64"), ("float", "float64"),
-        ("double", "float64"), ("timestamp", "timestamp_ns"),
-        ("binary", "bytes"),
-    )
+    # exact simpleString names (query.rs:301-323 column_meta): prefix
+    # matching is a trap here — Spark renders LongType as 'bigint' (not
+    # 'long') and 'interval day to second' starts with 'int'
+    _IR_VALUE_TYPES = {
+        "boolean": "bool", "tinyint": "int64", "smallint": "int64",
+        "int": "int64", "bigint": "int64", "float": "float64",
+        "double": "float64", "timestamp": "timestamp_ns",
+        "timestamp_ntz": "timestamp_ns", "binary": "bytes",
+    }
 
     @classmethod
     def _ir_value_type(cls, spark_type: str) -> str:
-        for prefix, ir in cls._IR_VALUE_TYPES:
-            if spark_type.startswith(prefix):
-                return ir
-        return "string"
+        return cls._IR_VALUE_TYPES.get(spark_type, "string")
 
     @staticmethod
     def _resolve_anchor(s, now_ns: int) -> int:
@@ -714,21 +715,28 @@ class SignalDBAPI:
         df = self.session.table(q.source)
         if df is None:
             return error_envelope(f"no {q.source} table for tenant", "not_found")
+        # timestamp-literal comparison (not a cast on the column) so the
+        # window predicate pushes down to the scan; the SAME window
+        # applies to the correlate side (query.rs:152: every stage of
+        # the plan sees one absolute window — and an unwindowed build
+        # side would read every file ever committed at scale)
+        def window(t):
+            return t.filter(
+                F.col("timestamp").between(
+                    F.timestamp_micros(F.lit(start_ns // 1000)),
+                    F.timestamp_micros(F.lit(end_ns // 1000)),
+                )
+            ) if "timestamp" in t.columns else t
+
         correlate_df = None
         if q.correlate is not None:
             correlate_df = self.session.table(q.correlate.with_table)
             if correlate_df is None:
                 return error_envelope(
                     f"no {q.correlate.with_table} table for tenant", "not_found")
+            correlate_df = window(correlate_df)
         try:
-            # timestamp-literal comparison (not a cast on the column) so
-            # the window predicate pushes down to the scan
-            df = df.filter(
-                F.col("timestamp").between(
-                    F.timestamp_micros(F.lit(start_ns // 1000)),
-                    F.timestamp_micros(F.lit(end_ns // 1000)),
-                )
-            )
+            df = window(df)
             out = lower(df, q, correlate_df=correlate_df)
             rows = out.collect()
         except Exception as e:
@@ -957,17 +965,31 @@ class AdminAPI:
         "profiles": "OpenTelemetry profiles",
     }
 
-    def _tenant_guard(self, tenant_id: str, ctx_tenant_id: str | None):
+    def _tenant_guard(self, tenant_id: str, ctx_tenant_id: str | None,
+                      dataset: str | None = None):
         """endpoints/tenant.rs:87-89: a caller authenticated as another
-        tenant is refused BEFORE any catalog or filesystem access."""
+        tenant is refused BEFORE any catalog or filesystem access. On
+        success returns (None, resolved_dataset) — the tenant's OWN
+        default dataset when none was named (a tenant provisioned with
+        default_dataset='prod' must not get tables under a stray
+        'default' directory), else the named one validated against the
+        tenant's dataset records."""
         if ctx_tenant_id is not None and ctx_tenant_id != tenant_id:
-            return error_envelope("tenant context does not match", "forbidden")
-        if self.catalog.get_tenant(tenant_id) is None:
-            return error_envelope(f"Tenant '{tenant_id}' not found", "not_found")
-        return None
+            return error_envelope("tenant context does not match",
+                                  "forbidden"), None
+        t = self.catalog.get_tenant(tenant_id)
+        if t is None:
+            return error_envelope(f"Tenant '{tenant_id}' not found",
+                                  "not_found"), None
+        if dataset is None:
+            dataset = t["default_dataset"]
+        elif dataset not in t["datasets"]:
+            return error_envelope(f"Dataset '{dataset}' not found",
+                                  "not_found"), None
+        return None, dataset
 
     def list_tenant_tables(self, tenant_id: str, ctx_tenant_id: str | None = None,
-                           dataset: str = "default") -> dict:
+                           dataset: str | None = None) -> dict:
         """GET /tenants/{id}/tables: the tenant's table inventory with
         the reference's name/schema_type/description rows
         (src/common/src/tenant_api.rs:224-252). Unlike the reference's
@@ -975,7 +997,7 @@ class AdminAPI:
         listing is real: table directories under {base}/{tenant}/{dataset}."""
         import os
 
-        guard = self._tenant_guard(tenant_id, ctx_tenant_id)
+        guard, dataset = self._tenant_guard(tenant_id, ctx_tenant_id, dataset)
         if guard is not None:
             return guard
         root = os.path.join(self.base, tenant_id, dataset)
@@ -997,31 +1019,33 @@ class AdminAPI:
     def create_tenant_tables(self, spark, tenant_id: str,
                              ctx_tenant_id: str | None = None,
                              can_manage: bool = True,
-                             dataset: str = "default") -> dict:
+                             dataset: str | None = None) -> dict:
         """POST /tenants/{id}/tables/create: materialize the DEFAULT
         signal tables as real (empty) manifest tables — the reference
         pins that this endpoint must actually create them, not 201 on a
         log line (endpoints/tenant.rs:356-359). Requires tenant-admin
-        privilege (tenant.rs:121-127). Idempotent: existing tables are
-        left untouched and reported as skipped."""
+        privilege (tenant.rs:121-127). Idempotent: an existing table —
+        manifest-committed OR legacy parquet layout — is left untouched
+        and reported as skipped (committing an empty manifest over a
+        legacy table would shadow every file in it, since readers prefer
+        the manifest snapshot)."""
         import os
 
-        from .catalog import signal_table_path
+        from .catalog import _parquet_dir_exists, signal_table_path
         from .schemas.signal_schemas import SCHEMAS
         from .storage.manifest import ManifestTable
 
-        if ctx_tenant_id is not None and ctx_tenant_id != tenant_id:
-            return error_envelope("tenant context does not match", "forbidden")
         if not can_manage:
             return error_envelope(
                 "Tenant administrator privileges required", "forbidden")
-        if self.catalog.get_tenant(tenant_id) is None:
-            return error_envelope(f"Tenant '{tenant_id}' not found", "not_found")
+        guard, dataset = self._tenant_guard(tenant_id, ctx_tenant_id, dataset)
+        if guard is not None:
+            return guard
         created, skipped = [], []
         for table in SCHEMAS:
             path = signal_table_path(self.base, tenant_id, dataset, table)
             mt = ManifestTable(path)
-            if os.path.isdir(mt.manifest_dir):
+            if os.path.isdir(mt.manifest_dir) or _parquet_dir_exists(path):
                 skipped.append(table)
                 continue
             os.makedirs(mt.manifest_dir, exist_ok=True)
@@ -1040,7 +1064,7 @@ class AdminAPI:
         the versioned declarations, schemas/resolver.py)."""
         from .schemas.resolver import builtin_registry
 
-        guard = self._tenant_guard(tenant_id, ctx_tenant_id)
+        guard, _ = self._tenant_guard(tenant_id, ctx_tenant_id)
         if guard is not None:
             return guard
         reg = builtin_registry()

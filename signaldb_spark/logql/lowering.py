@@ -491,13 +491,7 @@ def index_volume(logs: DataFrame, start=None, end=None) -> DataFrame:
     One partial+final aggregation on the short stream key; the body
     column never shuffles (map-side octet_length + partial sum). With
     no bounds the whole table is aggregated (admin/backfill use)."""
-    df = logs
-    if start is not None and end is not None:
-        df = ts.time_window(df, "timestamp", start, end)
-    elif start is not None:
-        df = df.filter(F.col("timestamp") >= start)
-    elif end is not None:
-        df = df.filter(F.col("timestamp") <= end)
+    df = ts.time_window(logs, "timestamp", start, end)
     return (
         df.groupBy("service_name")
         .agg(F.sum(F.octet_length("body")).cast("long").alias("volume_bytes"),
@@ -513,13 +507,7 @@ def index_volume_range(
     bytes as a TIME SERIES (one row per (step bucket, stream)) — the
     windowed-series sibling of :func:`index_volume`. Same partial+final
     aggregation, keyed by (bucket, stream); the body never shuffles."""
-    df = logs
-    if start is not None and end is not None:
-        df = ts.time_window(df, "timestamp", start, end)
-    elif start is not None:
-        df = df.filter(F.col("timestamp") >= start)
-    elif end is not None:
-        df = df.filter(F.col("timestamp") <= end)
+    df = ts.time_window(logs, "timestamp", start, end)
     return (
         df.groupBy(
             (F.floor(F.unix_timestamp("timestamp") / step_seconds) * step_seconds)

@@ -95,7 +95,11 @@ def partition_file_counts(table_path: str) -> dict[tuple[str, int], int]:
                 and parts[0].startswith("date_day=")
                 and parts[1].startswith("hour=")
             ):
-                key = (parts[0][len("date_day="):], int(parts[1][len("hour="):]))
+                try:
+                    hour = int(parts[1][len("hour="):])
+                except ValueError:
+                    continue  # malformed entry: skip, like list_hour_partitions
+                key = (parts[0][len("date_day="):], hour)
                 counts[key] = counts.get(key, 0) + 1
         return counts
     return {

@@ -52,12 +52,21 @@ def with_bucket(df: DataFrame, ts_col: str, step_seconds: int, out: str = "bucke
 
 def time_window(df: DataFrame, ts_col: str, start, end) -> DataFrame:
     """Inclusive [start, end] window predicate (apply_window, logs.rs:692).
+    Either bound may be None — a one-sided request filters its own side
+    (every windowed endpoint shares THIS function, so a single-sided
+    start/end can't silently scan all history at one call site).
 
     With hour-partitioned signal tables the partition column is derived
     from the same timestamp, so Catalyst prunes partitions from this one
     predicate — no dual-bound trick needed (SURVEY §2.2).
     """
-    return df.filter(F.col(ts_col).between(start, end))
+    if start is not None and end is not None:
+        return df.filter(F.col(ts_col).between(start, end))
+    if start is not None:
+        return df.filter(F.col(ts_col) >= start)
+    if end is not None:
+        return df.filter(F.col(ts_col) <= end)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -157,11 +157,61 @@ PROFILES = T.StructType(
     ]
 )
 
+# Exponential histogram / summary at-rest schemas: the column set the
+# OTLP flattener emits (sources/otlp.py flatten_otlp_metrics;
+# schema_transform.rs:1493/:1698, storage-layout.md:555-588) — pinned
+# equal to the flattener output by tests/test_schema_resolver.py.
+METRICS_EXPONENTIAL_HISTOGRAM = T.StructType(
+    [
+        _f("timestamp", _TS, False),
+        _f("service_name", _S, False),
+        _f("metric_name", _S, False),
+        _f("count", _L),
+        _f("sum", _D),
+        _f("min", _D),
+        _f("max", _D),
+        _f("scale", _I),
+        _f("zero_count", _L),
+        _f("positive_offset", _I),
+        _f("positive_bucket_counts", T.ArrayType(_L)),
+        _f("negative_offset", _I),
+        _f("negative_bucket_counts", T.ArrayType(_L)),
+        _f("flags", _I),
+        _f("aggregation_temporality", _I),
+        _f("zero_threshold", _D),
+        _f("attributes", _MAP),
+        _f("date_day", T.DateType(), False),
+        _f("hour", _I, False),
+    ]
+)
+
+METRICS_SUMMARY = T.StructType(
+    [
+        _f("timestamp", _TS, False),
+        _f("service_name", _S, False),
+        _f("metric_name", _S, False),
+        _f("count", _L),
+        _f("sum", _D),
+        _f(
+            "quantile_values",
+            T.ArrayType(
+                T.StructType([_f("quantile", _D), _f("value", _D)])
+            ),
+        ),
+        _f("flags", _I),
+        _f("attributes", _MAP),
+        _f("date_day", T.DateType(), False),
+        _f("hour", _I, False),
+    ]
+)
+
 SCHEMAS = {
     "traces": TRACES,
     "logs": LOGS,
     "metrics_gauge": METRICS_GAUGE,
     "metrics_sum": METRICS_SUM,
     "metrics_histogram": METRICS_HISTOGRAM,
+    "metrics_exponential_histogram": METRICS_EXPONENTIAL_HISTOGRAM,
+    "metrics_summary": METRICS_SUMMARY,
     "profiles": PROFILES,
 }

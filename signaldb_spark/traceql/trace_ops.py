@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators import timeseries as ts_ops
 from .parser import SpanPredicate
 
 TRACE_LOOKUP_COLUMNS = [
@@ -109,9 +110,7 @@ def find_by_id(traces: DataFrame, trace_id: str, start=None, end=None) -> DataFr
     trace_id equality consults the parquet bloom filter (trace.rs:111-170
     replicates this with its dual-bound trick; our partition column
     derives from the same timestamp so one bound suffices)."""
-    df = traces
-    if start is not None and end is not None:
-        df = df.filter(F.col("timestamp").between(start, end))
+    df = ts_ops.time_window(traces, "timestamp", start, end)
     return df.filter(F.col("trace_id") == trace_id).select(
         *[c for c in TRACE_LOOKUP_COLUMNS if c in df.columns]
     )
@@ -255,9 +254,7 @@ def search(
     truncation, so the TRACE ranking is unaffected by the cap.
     """
     limit = min(limit, max_search_limit)
-    df = traces
-    if start is not None and end is not None:
-        df = df.filter(F.col("timestamp").between(start, end))
+    df = ts_ops.time_window(traces, "timestamp", start, end)
     df = df.filter(predicates_expr(df, predicates))
     if min_duration_nanos is not None:
         df = df.filter(F.col("duration_nanos") >= min_duration_nanos)

@@ -214,3 +214,63 @@ def test_tenant_schemas_route(tmp_path):
     assert "traces" in schemas and schemas["traces"]["current"] in schemas["traces"]["versions"]
     forbidden = api.list_tenant_schemas("acme", ctx_tenant_id="other")
     assert forbidden["errorType"] == "forbidden"
+
+
+def test_create_tables_skips_legacy_layout(spark, tmp_path):
+    """An existing legacy directory-layout table (real parquet, no
+    manifest) must be SKIPPED — committing an empty manifest over it
+    would shadow every file, since readers prefer the manifest
+    snapshot."""
+    import os
+
+    from signaldb_spark.catalog import optional_table, signal_table_path
+
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("acme", "Acme")
+    legacy = signal_table_path(str(tmp_path), "acme", "default", "logs")
+    os.makedirs(legacy)
+    spark.createDataFrame(
+        [("2024-01-01 00:00:00", "api", "hello")],
+        "timestamp string, service_name string, body string",
+    ).write.parquet(legacy, mode="overwrite")
+
+    out = api.create_tenant_tables(spark, "acme")
+    assert "logs" in out["data"]["skipped"]
+    assert "logs" not in out["data"]["created"]
+    logs = optional_table(spark, str(tmp_path), "acme", "default", "logs")
+    assert logs.count() == 1  # pre-existing data still visible
+
+
+def test_tenant_tables_resolve_default_dataset(spark, tmp_path):
+    """A tenant provisioned with default_dataset='prod' gets its tables
+    under prod — not a stray 'default' directory; naming a dataset the
+    tenant doesn't have is not_found."""
+    import os
+
+    api = AdminAPI(str(tmp_path))
+    api.catalog.create_tenant("acme", "Acme", default_dataset="prod")
+    out = api.create_tenant_tables(spark, "acme")
+    assert out["status"] == "success" and out["data"]["created"]
+    assert os.path.isdir(os.path.join(str(tmp_path), "acme", "prod", "logs"))
+    assert not os.path.isdir(os.path.join(str(tmp_path), "acme", "default"))
+    listed = api.list_tenant_tables("acme")["data"]["tables"]
+    assert any(t["name"] == "logs" for t in listed)
+    bad = api.list_tenant_tables("acme", dataset="staging")
+    assert bad["status"] == "error" and bad["errorType"] == "not_found"
+
+
+def test_create_tables_covers_exp_histogram_and_summary(spark, tmp_path):
+    """The default set must include every table the engine queries —
+    metrics_exponential_histogram feeds exphist_quantile and the rule
+    context; a provisioned tenant must not get not_found there."""
+    from signaldb_spark.catalog import optional_table
+
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("acme", "Acme")
+    created = api.create_tenant_tables(spark, "acme")["data"]["created"]
+    assert "metrics_exponential_histogram" in created
+    assert "metrics_summary" in created
+    eh = optional_table(spark, str(tmp_path), "acme", "default",
+                        "metrics_exponential_histogram")
+    assert eh is not None and eh.count() == 0
+    assert "positive_bucket_counts" in eh.columns

@@ -410,16 +410,19 @@ def test_query_ir_rows_envelope(api):
         "version": 1, "from": "logs", "result": "rows",
         "range": {"from": START, "to": END},
         "where": {"field": "severity_text", "op": "eq", "value": "error"},
-        "select": ["timestamp", "service_name", "body"],
+        "select": ["timestamp", "service_name", "body", "severity_number"],
         "limit": 5,
     }
     out = api.query_ir(req)
     assert out["result"] == "rows"
     assert out["window"]["start_ns"] < out["window"]["end_ns"]
     names = [c["name"] for c in out["columns"]]
-    assert names == ["timestamp", "service_name", "body"]
+    assert names == ["timestamp", "service_name", "body", "severity_number"]
     types = {c["name"]: c["value_type"] for c in out["columns"]}
     assert types["timestamp"] == "timestamp_ns" and types["body"] == "string"
+    # int columns must map by EXACT simpleString ('int'/'bigint'), not a
+    # prefix that 'interval…' would also match
+    assert types["severity_number"] == "int64"
     assert 0 < len(out["rows"]) <= 5
     assert all(isinstance(r[0], int) for r in out["rows"])  # ns-encoded
 

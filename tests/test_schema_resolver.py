@@ -183,3 +183,45 @@ def test_computed_nanos_division_is_integer_exact(spark):
     )
     row = reg.migrate(df, "traces", "v1", "v2").first()
     assert row.timestamp.microsecond == 123456
+
+
+def test_exp_histogram_and_summary_schemas_match_flattener(spark):
+    """SCHEMAS must cover EVERY table the flatteners emit — a
+    provisioned-but-empty exp-histogram/summary table answers queries in
+    exactly the column set flatten_otlp_metrics produces (names + types;
+    nullability is writer-determined)."""
+    import json
+
+    from signaldb_spark.schemas.signal_schemas import SCHEMAS
+    from signaldb_spark.sources.otlp import flatten_otlp_metrics
+
+    req = {
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "lat", "exponentialHistogram": {
+                    "aggregationTemporality": 2,
+                    "dataPoints": [{
+                        "timeUnixNano": "1704067200000000000",
+                        "count": "5", "sum": 10.0, "scale": 3,
+                        "zeroCount": "1",
+                        "positive": {"offset": 0, "bucketCounts": ["2", "2"]},
+                        "negative": {"offset": 0, "bucketCounts": []},
+                        "zeroThreshold": 1e-9, "flags": 0, "attributes": [],
+                    }]}},
+                {"name": "rpc", "summary": {"dataPoints": [{
+                    "timeUnixNano": "1704067200000000000",
+                    "count": "4", "sum": 8.0,
+                    "quantileValues": [{"quantile": 0.5, "value": 2.0}],
+                    "flags": 0, "attributes": [],
+                }]}},
+            ]}],
+        }]
+    }
+    raw = spark.createDataFrame([(json.dumps(req),)], "value string")
+    out = flatten_otlp_metrics(raw)
+    for table in ("metrics_exponential_histogram", "metrics_summary"):
+        got = [(f.name, f.dataType.simpleString()) for f in out[table].schema.fields]
+        want = [(f.name, f.dataType.simpleString()) for f in SCHEMAS[table].fields]
+        assert got == want, (table, got, want)

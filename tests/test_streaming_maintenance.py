@@ -1521,3 +1521,25 @@ def test_deduplicated_stream_keeps_distinct_attrs(spark, tmp_path):
     ).collect()
     assert [r.k for r in rows] == ["one", "two"]
     assert "_attr_sig" not in spark.table("dedup_attrs_sink").columns
+
+
+def test_partition_file_counts_skips_malformed_entries(spark, tmp_path):
+    """A corrupt manifest entry with a non-numeric hour is SKIPPED, like
+    list_hour_partitions does — the ops status endpoint must not raise
+    on one bad path."""
+    import json
+    import os
+
+    from signaldb_spark.maintenance.jobs import partition_file_counts
+    from signaldb_spark.storage.manifest import ManifestTable
+
+    path = str(tmp_path / "tbl")
+    mt = ManifestTable(path)
+    os.makedirs(mt.manifest_dir)
+    os.makedirs(mt.data_dir)
+    mt.commit([
+        os.path.join("date_day=2024-01-01", "hour=3", "a.parquet"),
+        os.path.join("date_day=2024-01-01", "hour=bad", "b.parquet"),
+    ])
+    counts = partition_file_counts(path)
+    assert counts == {("2024-01-01", 3): 1}
