@@ -49,6 +49,8 @@ _SPARK_TYPES: dict[str, T.DataType] = {
     "timestamp_ns": T.TimestampType(),  # µs precision at rest (catalog.py)
     "map<string,string>": T.MapType(T.StringType(), T.StringType()),
     "list<string>": T.ArrayType(T.StringType()),
+    "list<double>": T.ArrayType(T.DoubleType()),
+    "list<int64>": T.ArrayType(T.LongType()),
     # generic list<struct> (reference TOML vocabulary) rides as a JSON
     # string; the engine's own tables use the typed variants below
     "list<struct>": T.StringType(),
@@ -57,10 +59,11 @@ _SPARK_TYPES: dict[str, T.DataType] = {
 
 
 def _register_signal_types() -> None:
-    from .signal_schemas import SPAN_EVENT, SPAN_LINK
+    from .signal_schemas import QUANTILE_VALUE, SPAN_EVENT, SPAN_LINK
 
     _SPARK_TYPES["list<span_event>"] = T.ArrayType(SPAN_EVENT)
     _SPARK_TYPES["list<span_link>"] = T.ArrayType(SPAN_LINK)
+    _SPARK_TYPES["list<quantile_value>"] = T.ArrayType(QUANTILE_VALUE)
 
 
 _register_signal_types()
@@ -402,6 +405,87 @@ def builtin_registry() -> SchemaRegistry:
                     s("value", "double", required=True),
                     s("aggregation_temporality", "int32", required=True),
                     s("is_monotonic", "boolean", required=True),
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
+        },
+        "metrics_histogram": {
+            "v1": {
+                "fields": metric_common + [
+                    s("count", "uint64", required=True),
+                    s("sum", "double"),
+                    s("min", "double"),
+                    s("max", "double"),
+                    s("bucket_counts", "list<double>", required=True),
+                    s("explicit_bounds", "list<double>", required=True),
+                    s("aggregation_temporality", "int32", required=True),
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
+        },
+        # exp-histogram / summary: the REDUCED column sets the flattener
+        # persists (schema_transform.rs:1493/:1698) — not metric_common
+        "metrics_exponential_histogram": {
+            "v1": {
+                "fields": [
+                    ts,
+                    s("service_name", required=True),
+                    s("metric_name", required=True),
+                    s("count", "int64"),
+                    s("sum", "double"),
+                    s("min", "double"),
+                    s("max", "double"),
+                    s("scale", "int32"),
+                    s("zero_count", "int64"),
+                    s("positive_offset", "int32"),
+                    s("positive_bucket_counts", "list<int64>"),
+                    s("negative_offset", "int32"),
+                    s("negative_bucket_counts", "list<int64>"),
+                    s("flags", "int32"),
+                    s("aggregation_temporality", "int32"),
+                    s("zero_threshold", "double"),
+                    s("attributes", "map<string,string>"),
+                    day,
+                    hour,
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
+        },
+        "metrics_summary": {
+            "v1": {
+                "fields": [
+                    ts,
+                    s("service_name", required=True),
+                    s("metric_name", required=True),
+                    s("count", "int64"),
+                    s("sum", "double"),
+                    s("quantile_values", "list<quantile_value>"),
+                    s("flags", "int32"),
+                    s("attributes", "map<string,string>"),
+                    day,
+                    hour,
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
+        },
+        "profiles": {
+            "v1": {
+                "fields": [
+                    s("profile_id", required=True),
+                    ts,
+                    s("duration_nano", "int64"),
+                    s("sample_type_type"),
+                    s("sample_type_unit"),
+                    s("period", "int64"),
+                    s("service_name", required=True),
+                    s("stacktraces_json"),
+                    s("samples_json"),
+                    s("resource_attributes", "map<string,string>"),
+                    s("attributes", "map<string,string>"),
+                    s("trace_id"),
+                    s("span_id"),
+                    day,
+                    hour,
                 ],
                 "partition_by": ["date_day", "hour"],
             },

@@ -185,6 +185,8 @@ METRICS_EXPONENTIAL_HISTOGRAM = T.StructType(
     ]
 )
 
+QUANTILE_VALUE = T.StructType([_f("quantile", _D), _f("value", _D)])
+
 METRICS_SUMMARY = T.StructType(
     [
         _f("timestamp", _TS, False),
@@ -192,12 +194,7 @@ METRICS_SUMMARY = T.StructType(
         _f("metric_name", _S, False),
         _f("count", _L),
         _f("sum", _D),
-        _f(
-            "quantile_values",
-            T.ArrayType(
-                T.StructType([_f("quantile", _D), _f("value", _D)])
-            ),
-        ),
+        _f("quantile_values", T.ArrayType(QUANTILE_VALUE)),
         _f("flags", _I),
         _f("attributes", _MAP),
         _f("date_day", T.DateType(), False),

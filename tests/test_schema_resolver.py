@@ -225,3 +225,18 @@ def test_exp_histogram_and_summary_schemas_match_flattener(spark):
         got = [(f.name, f.dataType.simpleString()) for f in out[table].schema.fields]
         want = [(f.name, f.dataType.simpleString()) for f in SCHEMAS[table].fields]
         assert got == want, (table, got, want)
+
+
+def test_all_persisted_tables_render_at_rest_schemas():
+    """EVERY table in SCHEMAS has a registry declaration rendering the
+    byte-identical StructType — the schemas-as-data story covers the
+    whole persisted surface, not just the first four tables."""
+    from signaldb_spark.schemas.signal_schemas import SCHEMAS
+
+    assert set(REG.tables()) == set(SCHEMAS)
+    for table, want in SCHEMAS.items():
+        labels = ["environment"] if table == "traces" else None
+        ver = REG.current_version(table)
+        got = REG.resolve(table, ver).to_spark_schema(labels=labels) \
+            if labels else REG.resolve(table, ver).to_spark_schema()
+        assert got == want, table
