@@ -214,6 +214,17 @@ HEADLINE = [
     "embedding_norm_stats",
     "zipf_slope",
     "fano_factor",
+    "array_ops_battery",
+    "json_extract_battery",
+    "fuzzy_prefix_pairs",
+    "funnel_conversion_time",
+    "cumulative_unique_users",
+    "pareto_revenue",
+    "weighted_median_price",
+    "dense_rank_spenders",
+    "session_duration_stats",
+    "mode_value_per_group",
+    "behavior_cohorts",
 ]
 
 

@@ -1615,3 +1615,531 @@ FROM hourly GROUP BY 1 ORDER BY 1
 
 QUERIES["fano_factor"] = q_fano_factor
 ORACLES["fano_factor"] = ORACLE_FANO_FACTOR
+
+
+# ------------------------------------ round-6 prefix completion (11 more)
+# With these the round-6 driver prefix is 50/50 never-sampled queries —
+# zero re-proof slots wasted.
+
+
+def q_array_ops_battery(spark, sf_dir):
+    """Higher-order array-function battery over embeddings: filter/
+    exists/aggregate/zip_with all run INSIDE codegen on the row's own
+    array — map-only, no shuffle until the final 10-row agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    pos_cnt = F.size(F.filter(vec, lambda x: x > 0))
+    has_big = F.exists(vec, lambda x: x > F.lit(0.9))
+    sq_sum = F.aggregate(
+        vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(vec, F.reverse(vec),
+                   lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", pos_cnt.alias("pos"), has_big.alias("big"),
+                 sq_sum.alias("sq"), rev_dot.alias("rd"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("pos"), 6).alias("avg_positive"),
+            F.sum(F.col("big").cast("int")).cast("bigint").alias("n_with_big"),
+            F.round(F.avg(F.sqrt("sq")), 6).alias("avg_norm"),
+            F.round(F.avg("rd"), 6).alias("avg_rev_dot"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_ARRAY_OPS_BATTERY = """
+WITH t AS (
+  SELECT label,
+         len(list_filter(embedding, x -> x > 0)) AS pos,
+         len(list_filter(embedding, x -> x > 0.9)) > 0 AS big,
+         list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq,
+         list_sum(list_transform(
+             list_zip(embedding, list_reverse(embedding)),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS rd
+  FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(avg(pos), 6) AS avg_positive,
+       CAST(sum(CASE WHEN big THEN 1 ELSE 0 END) AS BIGINT) AS n_with_big,
+       round(avg(sqrt(sq)), 6) AS avg_norm,
+       round(avg(rd), 6) AS avg_rev_dot
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["array_ops_battery"] = q_array_ops_battery
+ORACLES["array_ops_battery"] = ORACLE_ARRAY_OPS_BATTERY
+
+
+def q_json_extract_battery(spark, sf_dir):
+    """JSON scalar extraction in the hot path: get_json_object stays in
+    codegen (no UDF); typed cast + agg per stream."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy(F.col("event_type").alias("service"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("k").cast("bigint").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_JSON_EXTRACT_BATTERY = """
+WITH t AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type AS service,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_with_k,
+       round(avg(k), 6) AS avg_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["json_extract_battery"] = q_json_extract_battery
+ORACLES["json_extract_battery"] = ORACLE_JSON_EXTRACT_BATTERY
+
+
+def q_fuzzy_prefix_pairs(spark, sf_dir):
+    """Edit-distance near-dup: candidate pairs BAND on a cheap blocking
+    key (first 12 chars) so levenshtein runs only within buckets — the
+    all-pairs blowup is bounded by the largest block, never the corpus.
+    Scores the 40-char prefixes; keeps distance <= 8."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix"),
+        F.substring("text", 1, 12).alias("block"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+            .cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_FUZZY_PREFIX_PAIRS = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 40) AS prefix,
+         substring(text, 1, 12) AS block
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS dist
+FROM d a JOIN d b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 8
+ORDER BY 1, 2
+"""
+
+QUERIES["fuzzy_prefix_pairs"] = q_fuzzy_prefix_pairs
+ORACLES["fuzzy_prefix_pairs"] = ORACLE_FUZZY_PREFIX_PAIRS
+
+
+def q_funnel_conversion_time(spark, sf_dir):
+    """Time-to-convert: per user the FIRST signup and the first purchase
+    after it; p50/p90 of the conversion lag in seconds. Two per-user
+    min-aggs + one tiny percentile pass — the raw stream reduces before
+    any ordering."""
+    e = load_table(spark, sf_dir, "events")
+    signup = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    # cast-to-double keeps the fractional microseconds (unix_timestamp
+    # truncates to whole seconds; DuckDB epoch() does not)
+    lag_s = (F.col("purchase_ts").cast("double")
+             - F.col("signup_ts").cast("double"))
+    return purch.select(lag_s.alias("lag_s")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("lag_s", F.lit(0.9)), 6).alias("p90_s"),
+    )
+
+
+ORACLE_FUNNEL_CONVERSION_TIME = """
+WITH signup AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), conv AS (
+  SELECT e.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(epoch(purchase_ts) - epoch(signup_ts), 0.5), 6) AS p50_s,
+       round(quantile_cont(epoch(purchase_ts) - epoch(signup_ts), 0.9), 6) AS p90_s
+FROM conv
+"""
+
+QUERIES["funnel_conversion_time"] = q_funnel_conversion_time
+ORACLES["funnel_conversion_time"] = ORACLE_FUNNEL_CONVERSION_TIME
+
+
+def q_cumulative_unique_users(spark, sf_dir):
+    """Growth analytics: daily NEW users + the running unique-user
+    total. Exact running distinct without window state: a user counts on
+    their FIRST-SEEN day (one per-user min), then a cumsum over the tiny
+    daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("total_users",
+                         F.sum("new_users").over(w).cast("bigint"))
+        .select(F.col("day").cast("string").alias("day"),
+                "new_users", "total_users")
+        .orderBy("day")
+    )
+
+
+ORACLE_CUMULATIVE_UNIQUE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS day
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS total_users
+FROM daily ORDER BY day
+"""
+
+QUERIES["cumulative_unique_users"] = q_cumulative_unique_users
+ORACLES["cumulative_unique_users"] = ORACLE_CUMULATIVE_UNIQUE_USERS
+
+
+def q_pareto_revenue(spark, sf_dir):
+    """Pareto/ABC analysis: per market segment, how many customers cover
+    80% of revenue. Rank customers by revenue inside the segment, take
+    the running share, count rows where the PREVIOUS cumulative share is
+    still under 0.8 (so the crossing customer is included)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("rev"), "c_custkey"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("c_mktsegment")
+    ranked = per_cust.withColumn(
+        "cum_share", F.sum("rev").over(w) / F.sum("rev").over(tot)
+    ).withColumn("share", F.col("rev") / F.sum("rev").over(tot))
+    return (
+        ranked.filter((F.col("cum_share") - F.col("share")) < 0.8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_top_customers"),
+            F.round(F.max("cum_share"), 6).alias("share_covered"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_PARETO_REVENUE = """
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey, sum(o_totalprice) AS rev
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, rev,
+         sum(rev) OVER (PARTITION BY c_mktsegment
+                        ORDER BY rev DESC, c_custkey
+                        ROWS UNBOUNDED PRECEDING)
+           / sum(rev) OVER (PARTITION BY c_mktsegment) AS cum_share,
+         rev / sum(rev) OVER (PARTITION BY c_mktsegment) AS share
+  FROM per_cust
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_top_customers,
+       round(max(cum_share), 6) AS share_covered
+FROM ranked WHERE cum_share - share < 0.8
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["pareto_revenue"] = q_pareto_revenue
+ORACLES["pareto_revenue"] = ORACLE_PARETO_REVENUE
+
+
+def q_weighted_median_price(spark, sf_dir):
+    """Quantity-weighted median price per return flag: the price where
+    the running quantity crosses half the total — EXACT, via two-phase
+    band-then-refine. Prices are near-unique, so a naive per-flag
+    cumulative window would sort the whole table in as many partitions
+    as there are flags; instead phase 1 cumulates over ~1k price BANDS
+    (a partial+final agg plus a tiny window) to locate the crossing
+    band + the quantity carried into it, and phase 2 re-scans ONLY that
+    band's rows for the exact crossing price. The banding never changes
+    the answer — it partitions the same cumulative domain."""
+    l = load_table(spark, sf_dir, "lineitem")
+    band = (F.floor(F.col("l_extendedprice") / 100)).cast("bigint")
+    by_band = l.groupBy(
+        F.col("l_returnflag"), band.alias("band")
+    ).agg(F.sum("l_quantity").alias("qty"))
+    w = Window.partitionBy("l_returnflag").orderBy("band") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy("l_returnflag")
+    crossing = (
+        by_band.withColumn("cum", F.sum("qty").over(w))
+        .withColumn("half", F.sum("qty").over(tot) / 2)
+        .filter(F.col("cum") >= F.col("half"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min_by(F.struct("band", "cum", "qty", "half"), "band").alias("x")
+        )
+        .select(
+            F.col("l_returnflag").alias("flag_c"),
+            F.col("x.band").alias("band_c"),
+            (F.col("x.cum") - F.col("x.qty")).alias("carried"),
+            F.col("x.half").alias("half"),
+        )
+    )
+    within = (
+        l.join(F.broadcast(crossing),
+               (F.col("l_returnflag") == F.col("flag_c"))
+               & (band == F.col("band_c")))
+        .groupBy("l_returnflag", "l_extendedprice", "carried", "half")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy("l_extendedprice") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        within.withColumn("cum", F.col("carried") + F.sum("qty").over(w2))
+        .filter(F.col("cum") >= F.col("half"))
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(F.round(F.min("l_extendedprice"), 6).alias("weighted_median_price"))
+        .orderBy("flag")
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN_PRICE = """
+WITH by_price AS (
+  SELECT l_returnflag, l_extendedprice, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(qty) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(qty) OVER (PARTITION BY l_returnflag) / 2 AS half
+  FROM by_price
+)
+SELECT l_returnflag AS flag,
+       round(min(l_extendedprice), 6) AS weighted_median_price
+FROM cum WHERE cum >= half GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weighted_median_price"] = q_weighted_median_price
+ORACLES["weighted_median_price"] = ORACLE_WEIGHTED_MEDIAN_PRICE
+
+
+def q_dense_rank_spenders(spark, sf_dir):
+    """dense_rank over revenue BANDS (rounded to 1000s, so ties are
+    real): the top-3 bands per segment with the customer count at each
+    band — dense ranks don't skip after ties, unlike rank()."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg((F.floor(F.sum("o_totalprice") / 1000) * 1000)
+             .cast("bigint").alias("rev_band"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("rev_band"))
+    return (
+        per_cust.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .groupBy(F.col("c_mktsegment").alias("segment"),
+                 F.col("rnk").cast("bigint").alias("rnk"))
+        .agg(
+            F.max("rev_band").alias("rev_band"),
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        )
+        .orderBy("segment", "rnk")
+    )
+
+
+ORACLE_DENSE_RANK_SPENDERS = """
+WITH per_cust AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(floor(sum(o_totalprice) / 1000) * 1000 AS BIGINT) AS rev_band
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, rev_band,
+         dense_rank() OVER (PARTITION BY c_mktsegment
+                            ORDER BY rev_band DESC) AS rnk
+  FROM per_cust
+)
+SELECT c_mktsegment AS segment, CAST(rnk AS BIGINT) AS rnk,
+       max(rev_band) AS rev_band,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM ranked WHERE rnk <= 3 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["dense_rank_spenders"] = q_dense_rank_spenders
+ORACLES["dense_rank_spenders"] = ORACLE_DENSE_RANK_SPENDERS
+
+
+def q_session_duration_stats(spark, sf_dir):
+    """Session-duration distribution: gaps-and-islands sessionization
+    (30-min gap) per user, then duration percentiles + events/session
+    over the small per-session rollup."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.col("ts").cast("double")
+           - F.lag(F.col("ts").cast("double")).over(w))
+    marked = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_id", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        (F.max(F.col("ts").cast("double"))
+         - F.min(F.col("ts").cast("double"))).alias("dur_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.percentile("dur_s", F.lit(0.5)), 6).alias("p50_dur_s"),
+        F.round(F.percentile("dur_s", F.lit(0.9)), 6).alias("p90_dur_s"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )
+
+
+ORACLE_SESSION_DURATION_STATS = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), per_sess AS (
+  SELECT user_id, sess_id,
+         max(epoch(ts)) - min(epoch(ts)) AS dur_s,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(dur_s, 0.5), 6) AS p50_dur_s,
+       round(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s,
+       round(avg(n_events), 6) AS avg_events
+FROM per_sess
+"""
+
+QUERIES["session_duration_stats"] = q_session_duration_stats
+ORACLES["session_duration_stats"] = ORACLE_SESSION_DURATION_STATS
+
+
+def q_mode_value_per_group(spark, sf_dir):
+    """Statistical mode with an EXPLICIT tiebreak (smallest value wins)
+    — mode() builtins leave ties engine-defined, so both sides spell the
+    same counts → row_number pipeline."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    counts = (
+        e.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "k")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_type").alias("service"),
+                F.col("k").alias("mode_k"), "cnt")
+        .orderBy("service")
+    )
+
+
+ORACLE_MODE_VALUE_PER_GROUP = """
+WITH counts AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, k, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, k) AS rn
+  FROM counts
+)
+SELECT event_type AS service, k AS mode_k, cnt
+FROM ranked WHERE rn = 1 ORDER BY 1
+"""
+
+QUERIES["mode_value_per_group"] = q_mode_value_per_group
+ORACLES["mode_value_per_group"] = ORACLE_MODE_VALUE_PER_GROUP
+
+
+def q_behavior_cohorts(spark, sf_dir):
+    """Behavior cohorts: users grouped by their SET of event types
+    (sorted set-agg as the cohort signature) — output is bounded by the
+    number of distinct type combinations, not users."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",")
+        .alias("types")
+    )
+    return (
+        per_user.groupBy("types")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("types")
+    )
+
+
+ORACLE_BEHAVIOR_COHORTS = """
+WITH per_user AS (
+  SELECT user_id,
+         string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+  FROM events GROUP BY 1
+)
+SELECT types, CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["behavior_cohorts"] = q_behavior_cohorts
+ORACLES["behavior_cohorts"] = ORACLE_BEHAVIOR_COHORTS
