@@ -75,6 +75,13 @@ PROBE_QUERIES = [
     "rollup_revenue",
     "market_share",
     "zipf_slope",
+    # blocked-similarity self-join (levenshtein inside prefix blocks;
+    # alphabet rotation keeps per-copy blocks disjoint, so block size —
+    # and the all-pairs bound — must stay constant as the corpus grows)
+    "fuzzy_prefix_pairs",
+    # two-phase band-then-refine weighted median: the banded window must
+    # stay rollup-sized while the raw scan grows
+    "weighted_median_price",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
