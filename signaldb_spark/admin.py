@@ -139,6 +139,33 @@ class TenantCatalog:
     def get_tenant(self, tenant_id: str) -> dict | None:
         return self._read()["tenants"].get(tenant_id)
 
+    def set_tenant_limits(self, tenant_id: str, **limits) -> dict:
+        """Per-tenant quotas (config TenantLimits, issue #610 lineage):
+        max_api_keys / max_datasets / max_storage_bytes. Unset (None)
+        means unlimited; passing None clears a limit."""
+        allowed = {"max_api_keys", "max_datasets", "max_storage_bytes"}
+        bad = set(limits) - allowed
+        if bad:
+            raise AdminError("validation_error", f"unknown limits: {sorted(bad)}")
+
+        def mutate(doc):
+            t = doc["tenants"].get(tenant_id)
+            if t is None:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            cur = t.setdefault("limits", {})
+            for k, v in limits.items():
+                if v is None:
+                    cur.pop(k, None)
+                else:
+                    cur[k] = int(v)
+            return dict(cur)
+
+        return self._commit(mutate)
+
+    def limits_for(self, tenant_id: str) -> dict:
+        t = self.get_tenant(tenant_id)
+        return dict((t or {}).get("limits") or {})
+
     def list_tenants(self) -> list[dict]:
         return sorted(self._read()["tenants"].values(), key=lambda t: t["id"])
 
@@ -169,6 +196,14 @@ class TenantCatalog:
                 raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
             if name in t["datasets"]:
                 raise AdminError("conflict", f"Dataset '{name}' already exists")
+            max_ds = (t.get("limits") or {}).get("max_datasets")
+            if max_ds is not None and len(t["datasets"]) >= max_ds:
+                raise AdminError(
+                    "quota_exceeded",
+                    f"Tenant '{tenant_id}' already has {len(t['datasets'])} "
+                    f"datasets (limit {max_ds}); delete a dataset or raise "
+                    f"max_datasets",
+                )
             rec = {"id": name, "name": name, "created_at": ts}
             t["datasets"][name] = rec
             return rec
@@ -217,6 +252,19 @@ class TenantCatalog:
                 # a reused plaintext would silently re-bind the existing
                 # credential to this tenant and destroy its record
                 raise AdminError("conflict", "API key already exists")
+            max_keys = (t.get("limits") or {}).get("max_api_keys")
+            if max_keys is not None:
+                active = sum(
+                    1 for k in doc["api_keys"].values()
+                    if k["tenant_id"] == tenant_id and k["revoked_at"] is None
+                )
+                if active >= max_keys:
+                    raise AdminError(
+                        "quota_exceeded",
+                        f"Tenant '{tenant_id}' already has {active} active "
+                        f"API keys (limit {max_keys}); revoke a key or raise "
+                        f"max_api_keys",
+                    )
             doc["api_keys"][_hash_key(plaintext)] = {
                 "id": key_id, "tenant_id": tenant_id, "name": name,
                 "dataset_id": dataset, "created_at": ts, "revoked_at": None,

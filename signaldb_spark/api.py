@@ -951,6 +951,43 @@ class AdminAPI:
             return error_envelope("invalid or revoked API key", "unauthorized")
         return {"status": "success", "data": auth}
 
+    # PUT/GET /api/v1/admin/tenants/{id}/limits + GET /admin/storage-usage
+    # (config TenantLimits + storage_usage.rs, issue #610)
+
+    def set_tenant_limits(self, tenant_id: str, **limits) -> dict:
+        return self._run(
+            lambda: self.catalog.set_tenant_limits(tenant_id, **limits))
+
+    def get_tenant_limits(self, tenant_id: str) -> dict:
+        def fn():
+            from .admin import AdminError
+
+            if self.catalog.get_tenant(tenant_id) is None:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            return self.catalog.limits_for(tenant_id)
+
+        return self._run(fn)
+
+    def storage_usage(self) -> dict:
+        """Per-tenant live storage bytes (current snapshots only, so
+        compaction/retention shrink it) + each tenant's quota and
+        whether it is at/over — the operator's usage panel."""
+        from .storage.quota import compute_usage
+
+        usage = compute_usage(self.base)
+        rows = []
+        for tenant_id in sorted(set(usage) | {
+            t["id"] for t in self.catalog.list_tenants()
+        }):
+            limit = self.catalog.limits_for(tenant_id).get("max_storage_bytes")
+            bytes_ = usage.get(tenant_id, 0)
+            rows.append({
+                "tenant_id": tenant_id, "usage_bytes": bytes_,
+                "max_storage_bytes": limit,
+                "over_quota": limit is not None and bytes_ >= limit,
+            })
+        return {"status": "success", "data": rows}
+
     # GET/POST /api/v1/tenants/{id}/tables[/create] (endpoints/tenant.rs)
 
     _TABLE_DESCRIPTIONS = {

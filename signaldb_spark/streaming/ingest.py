@@ -140,8 +140,15 @@ def ingest_otlp_logs_stream(
     watermark: str = "10 minutes",
     available_now: bool = True,
     use_manifest: bool = True,
+    usage_tracker=None,
 ):
     """File-source OTLP/JSON ingest → hour-partitioned logs table.
+
+    ``usage_tracker`` (a :class:`..storage.quota.StorageUsageTracker`)
+    gates each micro-batch on the tenant's ``max_storage_bytes`` quota —
+    the acceptor-side rejection of storage_usage.rs (issue #610).
+    Enforcement is eventually consistent by design: the tracker's cached
+    usage decides, never a hot-path recount.
 
     ``available_now=True`` drains everything then stops (read-your-writes
     for tests / batch backfill); ``False`` runs continuous micro-batches
@@ -164,6 +171,8 @@ def ingest_otlp_logs_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if usage_tracker is not None:
+            usage_tracker.check_ingest(tenant)  # raises StorageQuotaExceeded
         # split poison payloads off the batch BEFORE flattening: the raw
         # line is preserved in the dead-letter sink and the batch itself
         # is marked processed by the checkpoint — one bad payload cannot

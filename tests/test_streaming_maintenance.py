@@ -1543,3 +1543,33 @@ def test_partition_file_counts_skips_malformed_entries(spark, tmp_path):
     ])
     counts = partition_file_counts(path)
     assert counts == {("2024-01-01", 3): 1}
+
+
+def test_ingest_rejects_over_quota_tenant(spark, tmp_path):
+    """The ingest path gates each micro-batch on the tenant's cached
+    storage usage (storage_usage.rs check_ingest): an over-quota tenant's
+    stream fails with quota_exceeded; a fresh tracker (usage unknown)
+    never blocks."""
+    import pytest
+
+    from signaldb_spark.storage.quota import StorageUsageTracker
+
+    src = tmp_path / "quota_src"
+    src.mkdir()
+    (src / "b.jsonl").write_text(
+        _otlp_log_payload(1704067200_000_000_000, "api", "info", "hi", {})
+    )
+    base = str(tmp_path / "tables")
+
+    # usage unknown: accounting lag must not block the first drain
+    lagging = StorageUsageTracker(overrides={"acme": 1})
+    ingest_otlp_logs_stream(spark, str(src), base, usage_tracker=lagging)
+    assert optional_table(spark, base, "acme", "prod", "logs").count() == 1
+
+    # refreshed: the tenant is over its 1-byte quota → stream rejects
+    lagging.refresh(base)
+    (src / "c.jsonl").write_text(
+        _otlp_log_payload(1704067201_000_000_000, "api", "info", "again", {})
+    )
+    with pytest.raises(Exception, match="quota_exceeded"):
+        ingest_otlp_logs_stream(spark, str(src), base, usage_tracker=lagging)
