@@ -460,3 +460,59 @@ def test_query_ir_validation_and_errors(api):
     missing = api.query_ir({"version": 1, "from": "nope_table", "result": "rows",
                             "range": {"from": START, "to": END}})
     assert missing["errorType"] == "not_found"
+
+
+def test_self_monitoring_dogfood_loop(spark, tmp_path_factory):
+    """Self-monitoring acceptance (#455 criteria, adapted): instrumented
+    query spans land in the _system tenant queryable via the SAME trace
+    surface; the anti-loop guard suppresses _system requests; W3C
+    traceparent joins parent/child into one trace; sampling=0 records
+    nothing."""
+    from signaldb_spark.api import SignalDBAPI
+    from signaldb_spark.catalog import optional_table
+    from signaldb_spark.monitoring import SYSTEM_DATASET, SYSTEM_TENANT, SelfMonitor
+    from signaldb_spark.testing import write_signal_tables
+
+    base = str(tmp_path_factory.mktemp("selfmon"))
+    write_signal_tables(spark, base)
+    mon = SelfMonitor(spark, base)
+    api = mon.instrument(SignalDBAPI(spark, base, "acme", "prod"))
+
+    ok = api.loki_labels()
+    assert ok["status"] == "success"  # results pass through unchanged
+    bad = api.prom_query_range("no_such_fn(up[5m])",
+                               "2024-01-01 00:00:00",
+                               "2024-01-01 01:00:00", 600)
+    assert bad["status"] == "error"
+    # child call joins the parent's trace via W3C context
+    parent_trace = "ab" * 16
+    api.loki_series(traceparent=f"00-{parent_trace}-{'cd' * 8}-01")
+    assert mon.flush() == 3
+
+    spans = optional_table(spark, base, SYSTEM_TENANT, SYSTEM_DATASET, "traces")
+    rows = {r.span_name: r for r in spans.collect()}
+    assert rows["loki_labels"].status_code == "STATUS_CODE_OK"
+    assert rows["prom_query_range"].status_code == "STATUS_CODE_ERROR"
+    assert rows["loki_series"].trace_id == parent_trace
+    assert rows["loki_series"].parent_span_id == "cd" * 8
+    assert not rows["loki_series"].is_root
+    assert all(r.duration_nanos >= 0 for r in rows.values())
+
+    # dogfooding: the engine's OWN trace surface queries the spans
+    from signaldb_spark.traceql import parse_traceql
+    from signaldb_spark.traceql.trace_ops import search
+
+    hits = search(spans, parse_traceql('{ .service.name = "signaldb-spark" }'),
+                  limit=10).collect()
+    assert hits
+
+    # anti-loop guard: a _system-tenant API is never re-instrumented
+    sys_api = mon.instrument(
+        SignalDBAPI(spark, base, SYSTEM_TENANT, SYSTEM_DATASET))
+    sys_api.loki_labels()
+    assert mon.flush() == 0
+
+    # sampling ratio 0: nothing recorded
+    mon0 = SelfMonitor(spark, base, sample_ratio=0.0)
+    mon0.instrument(SignalDBAPI(spark, base, "acme", "prod")).loki_labels()
+    assert mon0.flush() == 0
