@@ -103,7 +103,9 @@ def dead_letter_path(base: str, tenant: str, dataset: str, signal: str) -> str:
 
 
 def write_dead_letters(
-    dead: DataFrame, base: str, tenant: str, dataset: str, signal: str, batch_id: int
+    dead: DataFrame, base: str, tenant: str, dataset: str, signal: str,
+    batch_id: int, reason: str = "undecodable payload",
+    payload_col: str = "value",
 ) -> None:
     """Preserve undecodable payloads verbatim with a reason instead of
     wedging or silently dropping the batch — the WAL dead-letter
@@ -112,13 +114,39 @@ def write_dead_letters(
     with mode=overwrite so an at-least-once replay of the same batch
     cannot duplicate entries."""
     out = dead.select(
-        F.col("value").alias("payload"),
-        F.lit("undecodable payload").alias("reason"),
+        F.col(payload_col).alias("payload"),
+        F.lit(reason).alias("reason"),
         F.lit(batch_id).alias("batch_id"),
     )
     out.write.mode("overwrite").parquet(
         os.path.join(dead_letter_path(base, tenant, dataset, signal), f"batch-{batch_id}")
     )
+
+
+def split_schema_violations(df: DataFrame, table: str):
+    """(good, bad) split on the at-rest schema's NON-NULLABLE columns.
+
+    A batch that decodes fine but violates a required column — the
+    issue-#1060 poison, a metrics_sum datapoint with a null value — is a
+    DETERMINISTIC writer refusal: retrying cannot help, and letting it
+    fail the whole drain would shadow every batch queued behind it. The
+    violating rows split off for the dead-letter sink; everything else
+    commits. ``bad`` is None when the table declares no required columns
+    (or none are present in the frame)."""
+    from functools import reduce
+
+    from ..schemas.signal_schemas import SCHEMAS
+
+    schema = SCHEMAS.get(table)
+    if schema is None:
+        return df, None
+    required = [f.name for f in schema.fields
+                if not f.nullable and f.name in df.columns]
+    if not required:
+        return df, None
+    violated = reduce(lambda a, b: a | b,
+                      [F.col(c).isNull() for c in required])
+    return df.filter(~violated), df.filter(violated)
 
 
 def read_dead_letters(
@@ -363,6 +391,16 @@ def ingest_otlp_metrics_stream(
         good = flagged.filter(~F.col("_dead")).drop("_dead")
         tables = flatten_otlp_metrics(good, json_col="value")
         for table, df in tables.items():
+            # deterministic refusals (null in a required column) split to
+            # the dead-letter sink BEFORE the commit — a poison batch
+            # must not wedge the drain or shadow the batches behind it
+            df, violations = split_schema_violations(df, table)
+            if violations is not None and violations.limit(1).count():
+                write_dead_letters(
+                    violations.select(F.to_json(F.struct("*")).alias("value")),
+                    base, tenant, dataset, table, batch_id,
+                    reason="required column is null",
+                )
             table_path = signal_table_path(base, tenant, dataset, table)
             if use_manifest:
                 from ..storage import write_batch_manifest

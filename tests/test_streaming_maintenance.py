@@ -1573,3 +1573,46 @@ def test_ingest_rejects_over_quota_tenant(spark, tmp_path):
     )
     with pytest.raises(Exception, match="quota_exceeded"):
         ingest_otlp_logs_stream(spark, str(src), base, usage_tracker=lagging)
+
+
+def test_metrics_ingest_dead_letters_required_violations(spark, tmp_path):
+    """Issue-#1060 analog: a metrics_sum datapoint whose non-nullable
+    value is null is a DETERMINISTIC refusal — it must dead-letter, not
+    wedge the drain or shadow the healthy points in the same batch."""
+    from signaldb_spark.streaming.ingest import (
+        ingest_otlp_metrics_stream,
+        read_dead_letters,
+    )
+
+    src = tmp_path / "m_src"
+    src.mkdir()
+    payload = json.dumps({
+        "resourceMetrics": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeMetrics": [{"metrics": [
+                {"name": "reqs", "sum": {
+                    "dataPoints": [
+                        # healthy point
+                        {"timeUnixNano": "1704067200000000000", "asInt": "42",
+                         "attributes": []},
+                        # poison: no asInt/asDouble -> null required value
+                        {"timeUnixNano": "1704067210000000000",
+                         "attributes": []},
+                    ],
+                    "aggregationTemporality": 2, "isMonotonic": True}},
+            ]}],
+        }]
+    })
+    (src / "b.jsonl").write_text(payload)
+    base = str(tmp_path / "tables")
+    ingest_otlp_metrics_stream(spark, str(src), base)
+
+    t = optional_table(spark, base, "acme", "prod", "metrics_sum")
+    assert t.count() == 1  # the healthy point committed
+    assert t.first().value == 42.0
+    dead = read_dead_letters(spark, base, "acme", "prod", "metrics_sum")
+    assert dead is not None and dead.count() == 1
+    row = dead.first()
+    assert row.reason == "required column is null"
+    assert '"metric_name":"reqs"' in row.payload
