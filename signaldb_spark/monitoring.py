@@ -79,24 +79,26 @@ class SelfMonitor:
                     start_ns: int, end_ns: int, status_code: str = "OK",
                     status_message: str | None = None,
                     traceparent: str | None = None) -> str | None:
-        """One span for one endpoint call. Returns the trace id (for
-        propagation) or None when suppressed.
-
-        Anti-loop guard: queries FROM the system tenant are never
-        re-instrumented — the reference's suppress.rs, without which the
-        dogfooding loop monitors itself forever."""
+        """One span for one endpoint call. Returns the server span's
+        W3C ``traceresponse`` value (docs/users/response-trace-context.md
+        — the span id is the SERVER's own span; the final flag reflects
+        the sampling decision) or None when suppressed by the anti-loop
+        guard: queries FROM the system tenant are never re-instrumented
+        (suppress.rs), without which the dogfooding loop monitors itself
+        forever."""
         if tenant == SYSTEM_TENANT:
             return None
         ctx = parse_traceparent(traceparent)
         trace_id = ctx[0] if ctx else secrets.token_hex(16)
         parent = ctx[1] if ctx else ""
+        span_id = secrets.token_hex(8)
         if not self.should_sample(trace_id):
-            return None
+            return f"00-{trace_id}-{span_id}-00"  # sampled out
         ts = datetime.fromtimestamp(start_ns / 1e9, tz=timezone.utc) \
             .replace(tzinfo=None)
         self._rows.append({
             "trace_id": trace_id,
-            "span_id": secrets.token_hex(8),
+            "span_id": span_id,
             "parent_span_id": parent,
             "span_name": endpoint,
             "service_name": SERVICE_NAME,
@@ -120,7 +122,7 @@ class SelfMonitor:
         })
         if len(self._rows) >= self.max_buffer:
             self.flush()
-        return trace_id
+        return f"00-{trace_id}-{span_id}-01"
 
     # ------------------------------------------------------------- flush
 
@@ -158,6 +160,11 @@ class _MonitoredAPI:
     def __init__(self, api, monitor: SelfMonitor):
         self._api = api
         self._monitor = monitor
+        #: the HTTP Server-Timing / traceresponse analog for the LAST
+        #: call (docs/users/response-trace-context.md): the server
+        #: span's context + total stage duration, for client-side
+        #: correlation without a transport layer
+        self.last_server_timing: dict | None = None
 
     def __getattr__(self, name: str):
         target = getattr(self._api, name)
@@ -169,13 +176,18 @@ class _MonitoredAPI:
             try:
                 out = target(*args, **kwargs)
                 err = isinstance(out, dict) and out.get("status") == "error"
-                self._monitor.record_span(
+                t1 = time.time_ns()
+                ctx = self._monitor.record_span(
                     name, self._api.tenant, self._api.dataset,
-                    t0, time.time_ns(),
+                    t0, t1,
                     status_code="ERROR" if err else "OK",
                     status_message=(out.get("error") if err else None),
                     traceparent=traceparent,
                 )
+                self.last_server_timing = None if ctx is None else {
+                    "traceresponse": ctx,
+                    "total_ms": round((t1 - t0) / 1e6, 3),
+                }
                 return out
             except Exception as e:
                 self._monitor.record_span(

@@ -516,3 +516,33 @@ def test_self_monitoring_dogfood_loop(spark, tmp_path_factory):
     mon0 = SelfMonitor(spark, base, sample_ratio=0.0)
     mon0.instrument(SignalDBAPI(spark, base, "acme", "prod")).loki_labels()
     assert mon0.flush() == 0
+
+
+def test_response_trace_context_analog(spark, tmp_path_factory):
+    """docs/users/response-trace-context.md without the transport: the
+    proxy exposes the server span's W3C traceresponse + total timing
+    after each call; the trailing flag reflects the sampling decision;
+    the anti-loop guard yields no context at all."""
+    from signaldb_spark.api import SignalDBAPI
+    from signaldb_spark.monitoring import SYSTEM_TENANT, SelfMonitor
+    from signaldb_spark.testing import write_signal_tables
+
+    base = str(tmp_path_factory.mktemp("tracectx"))
+    write_signal_tables(spark, base)
+    mon = SelfMonitor(spark, base)
+    api = mon.instrument(SignalDBAPI(spark, base, "acme", "prod"))
+    api.loki_labels()
+    st = api.last_server_timing
+    assert st and st["traceresponse"].startswith("00-")
+    assert st["traceresponse"].endswith("-01") and st["total_ms"] > 0
+
+    sampled_out = SelfMonitor(spark, base, sample_ratio=0.0)
+    api0 = sampled_out.instrument(SignalDBAPI(spark, base, "acme", "prod"))
+    api0.loki_labels()
+    assert api0.last_server_timing["traceresponse"].endswith("-00")
+    assert sampled_out.flush() == 0
+
+    sys_api = mon.instrument(
+        SignalDBAPI(spark, base, SYSTEM_TENANT, "monitoring"))
+    sys_api.loki_labels()
+    assert sys_api.last_server_timing is None
