@@ -225,6 +225,10 @@ HEADLINE = [
     "session_duration_stats",
     "mode_value_per_group",
     "behavior_cohorts",
+    "cross_lingual_contamination",
+    "embedding_outliers",
+    "source_overlap_matrix",
+    "open_order_aging",
 ]
 
 

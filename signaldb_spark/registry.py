@@ -8,6 +8,7 @@ from . import (
     bench_queries,
     bench_relational,
     bench_round6,
+    bench_round7,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -21,10 +22,11 @@ _MODULES = [
     bench_promql,
     bench_trace_ir,
     bench_sessions,
-    # staging battery LAST: its never-verified names sort after every
-    # earlier module's, keeping the driver's 50-prefix pinned to the
-    # backlog this round was tuned to prove
+    # staging batteries LAST (round7 after round6): their never-verified
+    # names sort after every earlier module's, keeping the driver's
+    # 50-prefix pinned to the backlog each round was tuned to prove
     bench_round6,
+    bench_round7,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
