@@ -229,6 +229,11 @@ HEADLINE = [
     "embedding_outliers",
     "source_overlap_matrix",
     "open_order_aging",
+    "latency_heatmap",
+    "daily_reconciliation",
+    "wow_service_volume",
+    "char_trigram_signature",
+    "vocab_growth_curve",
 ]
 
 

@@ -198,3 +198,226 @@ FROM aged GROUP BY 1 ORDER BY 1
 
 QUERIES["open_order_aging"] = q_open_order_aging
 ORACLES["open_order_aging"] = ORACLE_OPEN_ORDER_AGING
+
+
+def q_latency_heatmap(spark, sf_dir):
+    """Grafana-heatmap input: (hour bucket, value band) counts — the 2D
+    histogram behind a latency heatmap panel. One partial+final agg on a
+    short composite key; band edges are exact decimal arithmetic
+    (width-10 bands), never a float log that can flip at a power
+    boundary."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour"),
+            (F.floor(F.col("value") / 10) * 10).cast("bigint").alias("band_lo"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("hour", "band_lo")
+    )
+
+
+ORACLE_LATENCY_HEATMAP = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+       CAST(floor(value / 10) * 10 AS BIGINT) AS band_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["latency_heatmap"] = q_latency_heatmap
+ORACLES["latency_heatmap"] = ORACLE_LATENCY_HEATMAP
+
+
+def q_daily_reconciliation(spark, sf_dir):
+    """Two-pipeline reconciliation: per-day order headers FULL OUTER
+    JOIN per-day shipped lineitems — days where either side is missing
+    or the ratio is off are the rows an ops runbook looks at first. The
+    outer join runs on two pre-aggregated daily rollups, never raw."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    od = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    ld = l.groupBy(
+        F.col("l_shipdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_shipped"))
+    return (
+        od.join(ld, "day", "full_outer")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce("n_shipped", F.lit(0)).cast("bigint").alias("n_shipped"),
+            (F.col("n_orders").isNull() | F.col("n_shipped").isNull())
+            .alias("one_sided"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_RECONCILIATION = """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), ld AS (
+  SELECT CAST(l_shipdate AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_shipped
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(coalesce(od.day, ld.day) AS VARCHAR) AS day,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(n_shipped, 0) AS BIGINT) AS n_shipped,
+       (od.day IS NULL OR ld.day IS NULL) AS one_sided
+FROM od FULL OUTER JOIN ld ON od.day = ld.day
+ORDER BY 1
+"""
+
+QUERIES["daily_reconciliation"] = q_daily_reconciliation
+ORACLES["daily_reconciliation"] = ORACLE_DAILY_RECONCILIATION
+
+
+def q_wow_service_volume(spark, sf_dir):
+    """Week-over-week volume change per stream: lag window over the
+    weekly rollup; the pct change divides two exact BIGINT counts, so
+    cross-engine float drift is impossible."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.col("event_type").alias("service"),
+        F.date_trunc("week", "ts").cast("date").alias("week"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("service").orderBy("week")
+    return (
+        weekly.withColumn("prev_n", F.lag("n").over(w))
+        .withColumn(
+            "wow_pct",
+            F.round((F.col("n") - F.col("prev_n")) / F.col("prev_n"), 6),
+        )
+        .select(F.col("week").cast("string").alias("week"), "service",
+                "n", "prev_n", "wow_pct")
+        .orderBy("service", "week")
+    )
+
+
+ORACLE_WOW_SERVICE_VOLUME = """
+WITH weekly AS (
+  SELECT event_type AS service, CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(week AS VARCHAR) AS week, service, n,
+       lag(n) OVER (PARTITION BY service ORDER BY week) AS prev_n,
+       round((n - lag(n) OVER (PARTITION BY service ORDER BY week)) * 1.0
+             / lag(n) OVER (PARTITION BY service ORDER BY week), 6) AS wow_pct
+FROM weekly ORDER BY service, week
+"""
+
+QUERIES["wow_service_volume"] = q_wow_service_volume
+ORACLES["wow_service_volume"] = ORACLE_WOW_SERVICE_VOLUME
+
+
+def q_char_trigram_signature(spark, sf_dir):
+    """Language-signature trigrams: top-5 character trigrams per
+    language (the n-gram profile language-ID models rank against) over
+    each document's 200-char PREFIX — the standard LID practice, and
+    what bounds the explode at 200 rows/doc regardless of document
+    length. Wordcount-class shuffle on a 3-char key with map-side
+    partials."""
+    d = load_table(spark, sf_dir, "documents")
+    pfx = F.substring(F.lower("text"), 1, 200)
+    tri = (
+        d.select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length(pfx) - 2, F.lit(0)))
+            ).alias("i"),
+            pfx.alias("t"),
+        )
+        .select("lang", F.substring(F.col("t"), F.col("i"), 3).alias("tri"))
+        .filter(F.col("tri").rlike("^[a-z ]{3}$"))
+        .groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tri")
+    return (
+        tri.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("rnk").cast("bigint").alias("rnk"), "tri", "n")
+        .orderBy("lang", "rnk")
+    )
+
+
+ORACLE_CHAR_TRIGRAM_SIGNATURE = """
+WITH idx AS (
+  SELECT lang, substr(lower(text), 1, 200) AS t,
+         unnest(range(1, greatest(length(substr(lower(text), 1, 200)) - 1, 1))) AS i
+  FROM documents
+), tri AS (
+  SELECT lang, substr(t, CAST(i AS INT), 3) AS tri FROM idx
+), counts AS (
+  SELECT lang, tri, CAST(count(*) AS BIGINT) AS n
+  FROM tri WHERE regexp_full_match(tri, '[a-z ]{3}')
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, tri, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rnk
+  FROM counts
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, tri, n
+FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+QUERIES["char_trigram_signature"] = q_char_trigram_signature
+ORACLES["char_trigram_signature"] = ORACLE_CHAR_TRIGRAM_SIGNATURE
+
+
+def q_vocab_growth_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth: corpus in 10 doc-id buckets, new
+    terms per bucket (term first-seen bucket via one min-agg — the
+    first-seen trick again, no running distinct state) + the running
+    vocabulary size over the 10-row rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    terms = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)))
+            .cast("bigint").alias("bucket"),
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    first_seen = terms.groupBy("term").agg(F.min("bucket").alias("bucket"))
+    per_bucket = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_terms")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.withColumn(
+            "vocab_size", F.sum("new_terms").over(w).cast("bigint")
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_VOCAB_GROWTH_CURVE = """
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+terms AS (
+  SELECT least(9, CAST(floor(d.doc_id * 10 / (mx.mx + 1)) AS BIGINT)) AS bucket,
+         t.term
+  FROM documents d, mx,
+       LATERAL unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+), first_seen AS (
+  SELECT term, min(bucket) AS bucket FROM terms GROUP BY 1
+), per_bucket AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+  FROM first_seen GROUP BY 1
+)
+SELECT bucket, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS vocab_size
+FROM per_bucket ORDER BY bucket
+"""
+
+QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
+ORACLES["vocab_growth_curve"] = ORACLE_VOCAB_GROWTH_CURVE
