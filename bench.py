@@ -234,6 +234,14 @@ HEADLINE = [
     "wow_service_volume",
     "char_trigram_signature",
     "vocab_growth_curve",
+    "unpivot_daily_mix",
+    "top_product_pairs",
+    "graph_2hop_reach",
+    "ohlc_candles",
+    "partition_fingerprint",
+    "grouping_sets_explicit",
+    "decile_lift",
+    "seq_bigram_pmi",
 ]
 
 

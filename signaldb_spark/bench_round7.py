@@ -421,3 +421,410 @@ FROM per_bucket ORDER BY bucket
 
 QUERIES["vocab_growth_curve"] = q_vocab_growth_curve
 ORACLES["vocab_growth_curve"] = ORACLE_VOCAB_GROWTH_CURVE
+
+
+def q_unpivot_daily_mix(spark, sf_dir):
+    """Wide-to-long UNPIVOT (melt) — the inverse of the pivot gate and
+    the reshape every per-metric-column table needs before a long-form
+    engine can aggregate it. A conditional agg first builds the wide
+    per-day event-mix table (one shuffle), then `unpivot` melts the
+    five type columns back to (day, event_type, n) rows — Expand-based,
+    map-only, no second shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    wide = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").cast("string").alias("day")
+    ).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("bigint")
+            .alias(t)
+            for t in ["click", "error", "purchase", "signup", "view"]
+        ]
+    )
+    return (
+        wide.unpivot(
+            "day",
+            ["click", "error", "purchase", "signup", "view"],
+            "event_type",
+            "n",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_UNPIVOT_DAILY_MIX = """
+WITH wide AS (
+  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+         CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+         CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+         CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, n
+FROM wide UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+ORDER BY day, event_type
+"""
+
+QUERIES["unpivot_daily_mix"] = q_unpivot_daily_mix
+ORACLES["unpivot_daily_mix"] = ORACLE_UNPIVOT_DAILY_MIX
+
+
+def q_top_product_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: the 20 part pairs most often bought
+    in the same order. Per-order distinct parts first (kills line-level
+    multiplicity), then the pair self-join runs WITHIN an order — work
+    is bounded by sum(lines_per_order choose 2), ~6 pairs/order at any
+    scale, never a global cross join. Deterministic cut: (n DESC, pa,
+    pb)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    parts = l.select("l_orderkey", "l_partkey").distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+    )
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "pa", "pb")
+        .limit(20)
+    )
+
+
+ORACLE_TOP_PRODUCT_PAIRS = """
+WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       CAST(count(*) AS BIGINT) AS n
+FROM parts a JOIN parts b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 20
+"""
+
+QUERIES["top_product_pairs"] = q_top_product_pairs
+ORACLES["top_product_pairs"] = ORACLE_TOP_PRODUCT_PAIRS
+
+
+def q_graph_2hop_reach(spark, sf_dir):
+    """2-hop reachability over the behavior graph: edges are distinct
+    consecutive event-type transitions per user (lag window, event_id
+    tiebreak); reach(origin) counts distinct non-origin types reachable
+    in <= 2 hops. The edge list collapses to the type-vocabulary domain
+    BEFORE the hop join, so the self-join is vocabulary-sized (KB)
+    regardless of event volume — the service-graph trick one hop
+    deeper."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull() & (F.col("src") != F.col("event_type")))
+        .select("src", F.col("event_type").alias("dst"))
+        .distinct()
+    )
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    two = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst")
+    )
+    return (
+        edges.unionByName(two)
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+        .groupBy(F.col("src").alias("origin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_reachable_2hop"))
+        .orderBy("origin")
+    )
+
+
+ORACLE_GRAPH_2HOP_REACH = """
+WITH lagged AS (
+  SELECT user_id, event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events
+), edges AS (
+  SELECT DISTINCT src, dst FROM lagged
+  WHERE src IS NOT NULL AND src <> dst
+), two AS (
+  SELECT e1.src, e2.dst FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+), reach AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges UNION ALL SELECT src, dst FROM two
+  ) WHERE dst <> src
+)
+SELECT src AS origin, CAST(count(*) AS BIGINT) AS n_reachable_2hop
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["graph_2hop_reach"] = q_graph_2hop_reach
+ORACLES["graph_2hop_reach"] = ORACLE_GRAPH_2HOP_REACH
+
+
+def q_ohlc_candles(spark, sf_dir):
+    """OHLC downsampling (the Gorilla/M3-style candle rollup every
+    metrics UI draws): per event_type per hour, open/close = first/last
+    value in (ts, event_id) order, high/low = max/min. Open/close ride
+    a bounded window INSIDE the (type, hour) partition, then one
+    groupBy; values are carried, never summed, so cross-engine float
+    drift is impossible."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", "ts")
+    )
+    w = (
+        Window.partitionBy("event_type", "hour")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cand = e.select(
+        "event_type",
+        F.col("hour").cast("string").alias("hour"),
+        "value",
+        F.first("value").over(w).alias("open"),
+        F.last("value").over(w).alias("close"),
+    )
+    return (
+        cand.groupBy("event_type", "hour")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+ORACLE_OHLC_CANDLES = """
+WITH c AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, value,
+         first_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS open,
+         last_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS close
+  FROM events
+)
+SELECT event_type, hour, min(open) AS open, max(value) AS high,
+       min(value) AS low, min(close) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ohlc_candles"] = q_ohlc_candles
+ORACLES["ohlc_candles"] = ORACLE_OHLC_CANDLES
+
+
+def q_partition_fingerprint(spark, sf_dir):
+    """Cross-engine table-diff fingerprint: per day, row count + an
+    order-independent content checksum (sum of md5-derived 32-bit keys
+    over the identity columns). This is how two copies of a 100 TB
+    table are reconciled without moving rows — map-only key derivation,
+    one tiny agg; a mismatched day pinpoints where to re-sync. md5 is
+    the one hash both engines (and every other engine) agree on."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", "event_id", "event_type", "user_id")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(key).cast("bigint").alias("fingerprint"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_PARTITION_FINGERPRINT = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(
+              event_id::VARCHAR || ':' || event_type || ':' ||
+              user_id::VARCHAR), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS fingerprint
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["partition_fingerprint"] = q_partition_fingerprint
+ORACLES["partition_fingerprint"] = ORACLE_PARTITION_FINGERPRINT
+
+
+def q_grouping_sets_explicit(spark, sf_dir):
+    """Explicit GROUPING SETS — the general form ROLLUP/CUBE are sugar
+    for: ((priority, status), (priority), ()) with the grouping_id
+    bitmask disambiguating NULL-as-aggregated from NULL-as-value.
+    Lowers to ONE Expand + one shuffle, same as the rollup gate."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+ORACLE_GROUPING_SETS_EXPLICIT = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                        (o_orderpriority), ())
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+QUERIES["grouping_sets_explicit"] = q_grouping_sets_explicit
+ORACLES["grouping_sets_explicit"] = ORACLE_GROUPING_SETS_EXPLICIT
+
+
+def q_decile_lift(spark, sf_dir):
+    """Model-lift table: customers ranked into acctbal deciles, revenue
+    share + cumulative share per decile. Revenue sums in exact integer
+    CENTS (round(x*100) per order before the sum) so the decile sums
+    are drift-free; shares divide two BIGINTs. ntile here is exact over
+    the customer table — at 100 TB the decile BOUNDS would come from
+    approx quantiles and assignment becomes a map-only broadcast
+    compare; the lift math is unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    dec = c.select(
+        "c_custkey",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("c_acctbal"), "c_custkey"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    per = (
+        dec.join(rev, dec.c_custkey == rev.o_custkey, "left")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("revenue_cents"),
+        )
+    )
+    wall = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.withColumn("_tot", F.sum("revenue_cents").over(wall))
+        .withColumn(
+            "rev_share", F.round(F.col("revenue_cents") / F.col("_tot"), 6)
+        )
+        .withColumn(
+            "cum_share",
+            F.round(F.sum("revenue_cents").over(wcum) / F.col("_tot"), 6),
+        )
+        .select("decile", "n_customers", "revenue_cents", "rev_share", "cum_share")
+        .orderBy("decile")
+    )
+
+
+ORACLE_DECILE_LIFT = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), dec AS (
+  SELECT c_custkey,
+         CAST(ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+           AS decile
+  FROM customer
+), per AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents
+  FROM dec LEFT JOIN rev ON c_custkey = o_custkey
+  GROUP BY 1
+)
+SELECT decile, n_customers, revenue_cents,
+       round(revenue_cents * 1.0 / sum(revenue_cents) OVER (), 6)
+         AS rev_share,
+       round(sum(revenue_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1.0 / sum(revenue_cents) OVER (), 6) AS cum_share
+FROM per ORDER BY decile
+"""
+
+QUERIES["decile_lift"] = q_decile_lift
+ORACLES["decile_lift"] = ORACLE_DECILE_LIFT
+
+
+def q_seq_bigram_pmi(spark, sf_dir):
+    """Pointwise mutual information of consecutive event-type bigrams —
+    the sequence-mining score behind 'what actually follows what'
+    (vs what follows anything). One lag window builds bigrams, one
+    groupBy counts them; marginals and the grand total are window sums
+    over the vocabulary-sized count table (|types|^2 rows), so the
+    information math never touches the event stream again."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    big = (
+        e.withColumn("src", F.lag("event_type").over(w))
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
+    wsrc = Window.partitionBy("src")
+    wdst = Window.partitionBy("dst")
+    wall = Window.partitionBy()
+    return (
+        big.withColumn("n_a", F.sum("n_ab").over(wsrc).cast("bigint"))
+        .withColumn("n_b", F.sum("n_ab").over(wdst).cast("bigint"))
+        .withColumn("n_tot", F.sum("n_ab").over(wall).cast("bigint"))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_tot"))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ),
+        )
+        .select("src", "dst", "n_ab", "pmi")
+        .orderBy("src", "dst")
+    )
+
+
+ORACLE_SEQ_BIGRAM_PMI = """
+WITH lagged AS (
+  SELECT event_type AS dst,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src
+  FROM events
+), big AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_ab
+  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, n_ab,
+       round(ln((n_ab * (sum(n_ab) OVER ())) * 1.0
+                / ((sum(n_ab) OVER (PARTITION BY src))
+                   * (sum(n_ab) OVER (PARTITION BY dst)))), 6) AS pmi
+FROM big ORDER BY src, dst
+"""
+
+QUERIES["seq_bigram_pmi"] = q_seq_bigram_pmi
+ORACLES["seq_bigram_pmi"] = ORACLE_SEQ_BIGRAM_PMI

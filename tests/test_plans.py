@@ -431,3 +431,48 @@ def test_sre_windows_run_on_rollups(spark):
         lines = p.splitlines()
         win = next(i for i, l in enumerate(lines) if "Window" in l)
         assert any("HashAggregate" in l for l in lines[win:]), name
+
+
+def test_round7_staged_scale_shapes(spark):
+    """Round-7 staged gates keep their 100 TB shapes: the basket pair
+    self-join is an equi-join on the order key (never cartesian), the
+    2-hop reach windows partition on user_id before the vocabulary-
+    sized hop join, unpivot lowers to Expand (no Union/Join), the
+    fingerprint is one map-side key derivation + one agg with no join,
+    the reconciliation FULL OUTER joins two rollups (both sides
+    aggregated before the join), and OHLC's window is partitioned on
+    (type, hour) — no single-partition window over raw events."""
+    qs = all_queries()
+
+    p_pairs = plan(qs["top_product_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_pairs
+    assert "BroadcastNestedLoopJoin" not in p_pairs
+    assert "l_orderkey" in p_pairs
+
+    p_reach = plan(qs["graph_2hop_reach"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_reach
+    assert "CartesianProduct" not in p_reach
+
+    p_melt = plan(qs["unpivot_daily_mix"](spark, SF_DIR))
+    assert "Expand" in p_melt
+    assert "Join" not in p_melt and "Union" not in p_melt
+
+    p_fp = plan(qs["partition_fingerprint"](spark, SF_DIR))
+    assert "Join" not in p_fp
+    assert "HashAggregate" in p_fp
+    assert "BatchEvalPython" not in p_fp and "ArrowEvalPython" not in p_fp
+
+    p_rec = plan(qs["daily_reconciliation"](spark, SF_DIR))
+    lines = p_rec.splitlines()
+    join_at = next(i for i, l in enumerate(lines) if "Join" in l and "FullOuter" in l)
+    assert sum(1 for l in lines[join_at:] if "HashAggregate" in l) >= 2
+
+    p_ohlc = plan(qs["ohlc_candles"](spark, SF_DIR))
+    assert "Window" in p_ohlc
+    assert "hashpartitioning(event_type" in p_ohlc
+
+    p_gs = plan(qs["grouping_sets_explicit"](spark, SF_DIR))
+    assert "Expand" in p_gs and "Union" not in p_gs
+
+    p_pmi = plan(qs["seq_bigram_pmi"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_pmi
