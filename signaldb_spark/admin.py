@@ -313,3 +313,213 @@ class TenantCatalog:
             return None
         return {"tenant_id": rec["tenant_id"], "dataset": dataset,
                 "key_id": rec["id"]}
+
+    # ----------------------------------------------- users + memberships
+    #
+    # Reference: endpoints/admin.rs create_user (validation: non-empty
+    # email, password >= 12 chars, role in {admin, member, viewer};
+    # tenant must exist; duplicate email is a conflict; only a hash of
+    # the password is stored), endpoints/management.rs
+    # list/upsert/remove_membership (active-user lookup by email, the
+    # last-administrator guards, the self-removal guard), and
+    # endpoints/session.rs create_session (tenant resolution against
+    # memberships; instance admins may pick any tenant). The reference
+    # creates the user and grants the membership in two catalog calls —
+    # here both land in ONE versioned commit, so a crash between them
+    # cannot leave a user with no membership.
+
+    ROLES = ("admin", "member", "viewer")
+
+    @staticmethod
+    def _hash_password(password: str, salt: str | None = None) -> str:
+        """scrypt KDF, ``salt$hash`` on disk — plaintext never persists
+        (admin.rs hashes off-thread before the catalog sees it; the
+        exact KDF there is an implementation detail)."""
+        salt = salt or secrets.token_hex(16)
+        h = hashlib.scrypt(password.encode("utf-8"), salt=bytes.fromhex(salt),
+                           n=2 ** 12, r=8, p=1)
+        return f"{salt}${h.hex()}"
+
+    @classmethod
+    def _verify_password(cls, password: str, stored: str) -> bool:
+        salt = stored.split("$", 1)[0]
+        return secrets.compare_digest(cls._hash_password(password, salt), stored)
+
+    def create_user(self, email: str, password: str, tenant_id: str,
+                    role: str = "member", display_name: str | None = None,
+                    instance_admin: bool = False, now=None) -> dict:
+        email = (email or "").strip()
+        if not email:
+            raise AdminError("validation_error", "email must not be empty")
+        if len(password) < 12:
+            raise AdminError("validation_error",
+                             "password must be at least 12 characters")
+        if role not in self.ROLES:
+            raise AdminError(
+                "validation_error",
+                f"invalid role '{role}': expected admin, member, or viewer")
+        ts = _now_iso(now)
+        user_id = f"user_{uuid.uuid4().hex[:12]}"
+        pw_hash = self._hash_password(password)
+
+        def mutate(doc):
+            if tenant_id not in doc["tenants"]:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            users = doc.setdefault("users", {})
+            if any(u["email"] == email for u in users.values()):
+                raise AdminError("conflict", f"User '{email}' already exists")
+            users[user_id] = {
+                "id": user_id, "email": email, "display_name": display_name,
+                "password_hash": pw_hash, "instance_admin": bool(instance_admin),
+                "created_at": ts, "disabled_at": None,
+            }
+            doc.setdefault("memberships", {})[f"{user_id}|{tenant_id}"] = {
+                "user_id": user_id, "tenant_id": tenant_id, "role": role,
+            }
+            return {"id": user_id, "email": email,
+                    "display_name": display_name,
+                    "instance_admin": bool(instance_admin), "created_at": ts}
+
+        return self._commit(mutate)
+
+    def get_user(self, user_id: str) -> dict | None:
+        return (self._read().get("users") or {}).get(user_id)
+
+    def get_user_by_email(self, email: str) -> dict | None:
+        for u in (self._read().get("users") or {}).values():
+            if u["email"] == email:
+                return u
+        return None
+
+    def disable_user(self, user_id: str, now=None) -> None:
+        """Disabled users fail membership upserts and session creation
+        (management.rs / session.rs check ``disabled_at`` is unset)."""
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            u = (doc.get("users") or {}).get(user_id)
+            if u is None:
+                raise AdminError("not_found", f"User '{user_id}' not found")
+            u["disabled_at"] = ts
+            return None
+
+        return self._commit(mutate)
+
+    def _members_of(self, doc: dict, tenant_id: str) -> list[dict]:
+        return [m for m in (doc.get("memberships") or {}).values()
+                if m["tenant_id"] == tenant_id]
+
+    def list_memberships(self, tenant_id: str) -> list[dict]:
+        """(user_id, email, role) rows; memberships whose user record is
+        gone are skipped, not errors (management.rs list_memberships
+        ``Ok(None) => continue``)."""
+        doc = self._read()
+        if tenant_id not in doc["tenants"]:
+            raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+        users = doc.get("users") or {}
+        out = []
+        for m in self._members_of(doc, tenant_id):
+            u = users.get(m["user_id"])
+            if u is None:
+                continue
+            out.append({"user_id": u["id"], "email": u["email"],
+                        "role": m["role"]})
+        return sorted(out, key=lambda r: (r["email"], r["user_id"]))
+
+    def upsert_membership(self, tenant_id: str, email: str, role: str) -> dict:
+        """Grant or change a user's role. Demoting the LAST administrator
+        is a conflict (management.rs: the admin-count guard runs only
+        when the new role is not admin)."""
+        if role not in self.ROLES:
+            raise AdminError(
+                "validation_error",
+                f"invalid role '{role}': expected admin, member, or viewer")
+
+        def mutate(doc):
+            if tenant_id not in doc["tenants"]:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            user = next(
+                (u for u in (doc.get("users") or {}).values()
+                 if u["email"] == email and u["disabled_at"] is None),
+                None,
+            )
+            if user is None:
+                raise AdminError("not_found", "Active user not found")
+            members = self._members_of(doc, tenant_id)
+            if role != "admin":
+                target_is_admin = any(
+                    m["user_id"] == user["id"] and m["role"] == "admin"
+                    for m in members)
+                admin_count = sum(1 for m in members if m["role"] == "admin")
+                if target_is_admin and admin_count == 1:
+                    raise AdminError(
+                        "conflict",
+                        "The last tenant administrator cannot be demoted")
+            doc.setdefault("memberships", {})[f"{user['id']}|{tenant_id}"] = {
+                "user_id": user["id"], "tenant_id": tenant_id, "role": role,
+            }
+            return {"user_id": user["id"], "email": user["email"],
+                    "role": role}
+
+        return self._commit(mutate)
+
+    def remove_membership(self, tenant_id: str, user_id: str,
+                          actor_user_id: str | None = None) -> None:
+        """Self-removal is a validation error; removing the last
+        administrator is a conflict; removing an absent membership is a
+        no-op success (management.rs remove_membership)."""
+        if actor_user_id is not None and actor_user_id == user_id:
+            raise AdminError("validation_error",
+                             "You cannot remove your own active membership")
+
+        def mutate(doc):
+            if tenant_id not in doc["tenants"]:
+                raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
+            members = self._members_of(doc, tenant_id)
+            target_is_admin = any(
+                m["user_id"] == user_id and m["role"] == "admin"
+                for m in members)
+            admin_count = sum(1 for m in members if m["role"] == "admin")
+            if target_is_admin and admin_count == 1:
+                raise AdminError(
+                    "conflict",
+                    "The last tenant administrator cannot be removed")
+            (doc.get("memberships") or {}).pop(f"{user_id}|{tenant_id}", None)
+            return None
+
+        return self._commit(mutate)
+
+    def create_session(self, email: str, password: str,
+                       tenant: str | None = None) -> dict:
+        """UI login resolution (session.rs create_session): invalid or
+        disabled credentials are indistinguishable ('Invalid email or
+        password'); an explicit tenant must be among the user's
+        memberships unless the user is an instance admin; with no
+        explicit tenant a sole membership auto-selects and multiple
+        memberships defer the pick (tenant None); zero memberships is
+        forbidden. The response always carries the memberships."""
+        user = self.get_user_by_email(email)
+        if user is None or user["disabled_at"] is not None \
+                or not self._verify_password(password, user["password_hash"]):
+            raise AdminError("unauthorized", "Invalid email or password")
+        doc = self._read()
+        memberships = sorted(
+            ({"tenant_id": m["tenant_id"], "role": m["role"]}
+             for m in (doc.get("memberships") or {}).values()
+             if m["user_id"] == user["id"]),
+            key=lambda m: m["tenant_id"],
+        )
+        if tenant is not None:
+            if not user["instance_admin"] and not any(
+                    m["tenant_id"] == tenant for m in memberships):
+                raise AdminError("forbidden",
+                                 "User is not a member of this tenant")
+            resolved = tenant
+        elif not memberships:
+            raise AdminError("forbidden", "User has no tenant memberships")
+        elif len(memberships) == 1:
+            resolved = memberships[0]["tenant_id"]
+        else:
+            resolved = None
+        return {"user_id": user["id"], "email": user["email"],
+                "tenant": resolved, "memberships": memberships}

@@ -1113,3 +1113,39 @@ class AdminAPI:
                 for t in sorted(reg.tables())
             ],
         }}
+
+    # POST /api/v1/admin/users (endpoints/admin.rs create_user) +
+    # GET/PUT/DELETE /api/v1/manage/tenants/{id}/memberships[/{user_id}]
+    # (endpoints/management.rs) + POST /ui/session (endpoints/session.rs)
+
+    def create_user(self, email: str, password: str, tenant: str,
+                    role: str = "member", display_name: str | None = None,
+                    instance_admin: bool = False) -> dict:
+        """Create a human user and grant the initial tenant membership
+        in one catalog commit. Validation and error codes match
+        admin.rs: empty email / short password / unknown role →
+        validation_error, missing tenant → not_found, duplicate email →
+        conflict. The response never carries the password or its hash."""
+        return self._run(lambda: self.catalog.create_user(
+            email, password, tenant, role, display_name, instance_admin))
+
+    def list_memberships(self, tenant_id: str) -> dict:
+        return self._run(lambda: self.catalog.list_memberships(tenant_id))
+
+    def upsert_membership(self, tenant_id: str, email: str, role: str) -> dict:
+        return self._run(
+            lambda: self.catalog.upsert_membership(tenant_id, email, role))
+
+    def remove_membership(self, tenant_id: str, user_id: str,
+                          actor_user_id: str | None = None) -> dict:
+        return self._run(lambda: self.catalog.remove_membership(
+            tenant_id, user_id, actor_user_id))
+
+    def create_session(self, email: str, password: str,
+                       tenant: str | None = None) -> dict:
+        """UI login (session.rs create_session): resolves which tenant
+        the login lands in from the user's memberships; the envelope
+        always carries the memberships so the UI can offer the picker
+        when the tenant comes back null."""
+        return self._run(
+            lambda: self.catalog.create_session(email, password, tenant))

@@ -359,3 +359,128 @@ def test_storage_usage_route_and_limits_roundtrip(spark, tmp_path):
     assert row["max_storage_bytes"] == 10 and row["over_quota"] is False
     missing = api.get_tenant_limits("nope")
     assert missing["errorType"] == "not_found"
+
+
+def test_user_creation_validation_and_single_commit(tmp_path):
+    """admin.rs create_user: empty email / <12-char password / unknown
+    role are validation errors, the tenant must exist, a duplicate
+    email conflicts — and user + initial membership land in ONE catalog
+    version (the reference's two catalog calls can strand a user with
+    no membership on a crash between them; the versioned commit can't)."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("acme", "Acme", now=NOW)
+    v_before = cat.versions()[-1]
+    with pytest.raises(AdminError, match="email must not be empty"):
+        cat.create_user("  ", "longpassword123", "acme")
+    with pytest.raises(AdminError, match="at least 12 characters"):
+        cat.create_user("a@x.io", "short", "acme")
+    with pytest.raises(AdminError, match="expected admin, member, or viewer"):
+        cat.create_user("a@x.io", "longpassword123", "acme", role="owner")
+    with pytest.raises(AdminError, match="not found"):
+        cat.create_user("a@x.io", "longpassword123", "ghost")
+    u = cat.create_user("a@x.io", "longpassword123", "acme", role="admin",
+                        now=NOW)
+    assert cat.versions()[-1] == v_before + 1
+    assert cat.list_memberships("acme") == [
+        {"user_id": u["id"], "email": "a@x.io", "role": "admin"}]
+    with pytest.raises(AdminError, match="already exists"):
+        cat.create_user("a@x.io", "longpassword123", "acme")
+    # only a salted KDF hash is on disk — never the plaintext
+    raw = "".join(
+        open(p).read() for p in glob.glob(str(tmp_path / "_catalog" / "*.json")))
+    assert "longpassword123" not in raw
+
+
+def test_last_admin_demotion_and_removal_guards(tmp_path):
+    """management.rs: the last tenant administrator can be neither
+    demoted (upsert to a non-admin role) nor removed; adding a second
+    admin unlocks both. Self-removal is always a validation error."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    u1 = cat.create_user("one@x.io", "longpassword123", "t", role="admin")
+    with pytest.raises(AdminError, match="cannot be demoted"):
+        cat.upsert_membership("t", "one@x.io", "viewer")
+    with pytest.raises(AdminError, match="cannot be removed"):
+        cat.remove_membership("t", u1["id"])
+    with pytest.raises(AdminError, match="your own active membership"):
+        cat.remove_membership("t", u1["id"], actor_user_id=u1["id"])
+    cat.create_user("two@x.io", "longpassword123", "t", role="admin")
+    demoted = cat.upsert_membership("t", "one@x.io", "viewer")
+    assert demoted["role"] == "viewer"
+    cat.remove_membership("t", u1["id"])
+    assert [m["email"] for m in cat.list_memberships("t")] == ["two@x.io"]
+    # removing an absent membership is a no-op success (reference 204s)
+    cat.remove_membership("t", u1["id"])
+
+
+def test_membership_upsert_requires_active_user(tmp_path):
+    """management.rs upsert_membership: lookup is by email and must
+    find an ACTIVE (not disabled) user — both misses read as the same
+    not_found."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    with pytest.raises(AdminError, match="Active user not found"):
+        cat.upsert_membership("t", "ghost@x.io", "member")
+    u = cat.create_user("u@x.io", "longpassword123", "t", role="admin")
+    cat.create_user("v@x.io", "longpassword123", "t", role="admin")
+    cat.disable_user(u["id"], now=NOW)
+    with pytest.raises(AdminError, match="Active user not found"):
+        cat.upsert_membership("t", "u@x.io", "member")
+
+
+def test_session_tenant_resolution(tmp_path):
+    """session.rs create_session: bad password and disabled user are
+    indistinguishable; sole membership auto-selects; multiple
+    memberships defer (tenant None) while still carrying the list; an
+    explicit tenant must be a membership unless instance admin; zero
+    memberships is forbidden."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("a", "A", now=NOW)
+    cat.create_tenant("b", "B", now=NOW)
+    u = cat.create_user("u@x.io", "longpassword123", "a", role="member")
+    assert cat.create_session("u@x.io", "longpassword123")["tenant"] == "a"
+    with pytest.raises(AdminError, match="Invalid email or password"):
+        cat.create_session("u@x.io", "wrong-password!!")
+    with pytest.raises(AdminError, match="Invalid email or password"):
+        cat.create_session("ghost@x.io", "longpassword123")
+    with pytest.raises(AdminError, match="not a member"):
+        cat.create_session("u@x.io", "longpassword123", tenant="b")
+    cat.upsert_membership("b", "u@x.io", "viewer")
+    s = cat.create_session("u@x.io", "longpassword123")
+    assert s["tenant"] is None and [m["tenant_id"] for m in s["memberships"]] == ["a", "b"]
+    assert cat.create_session(
+        "u@x.io", "longpassword123", tenant="b")["tenant"] == "b"
+    root = cat.create_user("root@x.io", "longpassword123", "a",
+                           instance_admin=True)
+    assert cat.create_session(
+        "root@x.io", "longpassword123", tenant="b")["tenant"] == "b"
+    cat.disable_user(root["id"], now=NOW)
+    with pytest.raises(AdminError, match="Invalid email or password"):
+        cat.create_session("root@x.io", "longpassword123")
+
+
+def test_admin_api_user_membership_routes(tmp_path):
+    """AdminAPI envelopes for the user/membership/session routes: data
+    on success, the reference's error codes on failure, and no
+    password material in any envelope."""
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("t", "T")
+    out = api.create_user("u@x.io", "longpassword123", "t", role="admin")
+    assert out["status"] == "success"
+    assert "password" not in json.dumps(out)
+    assert api.create_user("u@x.io", "longpassword123", "t")[
+        "errorType"] == "conflict"
+    assert api.create_user("v@x.io", "short", "t")[
+        "errorType"] == "validation_error"
+    ms = api.list_memberships("t")
+    assert ms["status"] == "success" and ms["data"][0]["role"] == "admin"
+    assert api.list_memberships("ghost")["errorType"] == "not_found"
+    assert api.upsert_membership("t", "u@x.io", "viewer")[
+        "errorType"] == "conflict"  # last-admin demotion
+    s = api.create_session("u@x.io", "longpassword123")
+    assert s["status"] == "success" and s["data"]["tenant"] == "t"
+    assert api.create_session("u@x.io", "nope-nope-nope")[
+        "errorType"] == "unauthorized"
+    uid = out["data"]["id"]
+    assert api.remove_membership("t", uid, actor_user_id=uid)[
+        "errorType"] == "validation_error"
