@@ -242,6 +242,13 @@ HEADLINE = [
     "grouping_sets_explicit",
     "decile_lift",
     "seq_bigram_pmi",
+    "gapfill_daily_counts",
+    "except_all_multiset",
+    "chi_square_independence",
+    "benford_deviation",
+    "rfm_segments",
+    "session_path_trigrams",
+    "padding_waste_analysis",
 ]
 
 

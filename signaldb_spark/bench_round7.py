@@ -828,3 +828,383 @@ FROM big ORDER BY src, dst
 
 QUERIES["seq_bigram_pmi"] = q_seq_bigram_pmi
 ORACLES["seq_bigram_pmi"] = ORACLE_SEQ_BIGRAM_PMI
+
+
+def q_gapfill_daily_counts(spark, sf_dir):
+    """Dense calendar-spine gap fill — the null-fill every time-series
+    UI needs before drawing a continuous line: a generated day spine
+    (min..max) crossed with the stream vocabulary, LEFT JOIN the real
+    daily rollup, zero-fill, and flag the filled rows. Both spine sides
+    are KB-scale derived dims at any fact size, so the cross join is
+    broadcast territory; the fact table is touched exactly once by the
+    rollup."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("service"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    services = e.select(F.col("event_type").alias("service")).distinct()
+    spine = days.crossJoin(F.broadcast(services))
+    return (
+        spine.join(daily, ["service", "day"], "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "service",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.col("n").isNull().alias("filled"),
+        )
+        .orderBy("day", "service")
+    )
+
+
+ORACLE_GAPFILL_DAILY_COUNTS = """
+WITH daily AS (
+  SELECT event_type AS service, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), days AS (
+  SELECT CAST(unnest(generate_series(
+           (SELECT min(CAST(ts AS DATE)) FROM events),
+           (SELECT max(CAST(ts AS DATE)) FROM events),
+           INTERVAL 1 DAY)) AS DATE) AS day
+), spine AS (
+  SELECT day, service FROM days
+  CROSS JOIN (SELECT DISTINCT event_type AS service FROM events)
+)
+SELECT CAST(s.day AS VARCHAR) AS day, s.service,
+       CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+       d.n IS NULL AS filled
+FROM spine s LEFT JOIN daily d ON s.day = d.day AND s.service = d.service
+ORDER BY 1, 2
+"""
+
+QUERIES["gapfill_daily_counts"] = q_gapfill_daily_counts
+ORACLES["gapfill_daily_counts"] = ORACLE_GAPFILL_DAILY_COUNTS
+
+
+def q_except_all_multiset(spark, sf_dir):
+    """EXCEPT ALL — bag (multiset) difference, the set op the engine's
+    INTERSECT/EXCEPT gate does NOT cover: per part, returned-line
+    multiplicity minus accepted-line multiplicity, keeping survivors
+    with their counts. Spark's exceptAll lowers to the
+    count-and-replicate rewrite (no row-pairing join); the gate keeps
+    the top-50 surviving parts with a full deterministic tiebreak."""
+    l = load_table(spark, sf_dir, "lineitem")
+    returned = l.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    accepted = l.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return (
+        returned.exceptAll(accepted)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("surplus"))
+        .orderBy(F.desc("surplus"), "l_partkey")
+        .limit(50)
+    )
+
+
+ORACLE_EXCEPT_ALL_MULTISET = """
+WITH surv AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+  EXCEPT ALL
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+)
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS surplus
+FROM surv GROUP BY 1 ORDER BY surplus DESC, l_partkey LIMIT 50
+"""
+
+QUERIES["except_all_multiset"] = q_except_all_multiset
+ORACLES["except_all_multiset"] = ORACLE_EXCEPT_ALL_MULTISET
+
+
+def q_chi_square_independence(spark, sf_dir):
+    """Chi-square independence test on the event_type x weekday
+    contingency table — the statistical QA check behind 'is traffic mix
+    actually day-of-week dependent'. Observed counts come from one
+    partial+final agg; expected counts are marginal window products
+    over the contingency rollup (|types| x 7 rows), so the statistic
+    never rescans the stream. Weekday alignment: Spark dayofweek is
+    1=Sunday..7, DuckDB's is 0=Sunday..6 — the oracle adds 1."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    wrow = Window.partitionBy("event_type")
+    wcol = Window.partitionBy("dow")
+    wall = Window.partitionBy()
+    cells = (
+        obs.withColumn("row_tot", F.sum("obs").over(wrow))
+        .withColumn("col_tot", F.sum("obs").over(wcol))
+        .withColumn("n_tot", F.sum("obs").over(wall))
+        .withColumn("exp", F.col("row_tot") * F.col("col_tot") / F.col("n_tot"))
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 6
+        ).alias("chi2"),
+        ((F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1))
+        .cast("bigint")
+        .alias("dof"),
+    )
+
+
+ORACLE_CHI_SQUARE_INDEPENDENCE = """
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(count(*) AS DOUBLE) AS obs
+  FROM events GROUP BY 1, 2
+), cells AS (
+  SELECT obs,
+         sum(obs) OVER (PARTITION BY event_type) AS row_tot,
+         sum(obs) OVER (PARTITION BY dow) AS col_tot,
+         sum(obs) OVER () AS n_tot,
+         event_type, dow
+  FROM obs
+)
+SELECT round(sum(pow(obs - row_tot * col_tot / n_tot, 2)
+                 / (row_tot * col_tot / n_tot)), 6) AS chi2,
+       CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+            AS BIGINT) AS dof
+FROM cells
+"""
+
+QUERIES["chi_square_independence"] = q_chi_square_independence
+ORACLES["chi_square_independence"] = ORACLE_CHI_SQUARE_INDEPENDENCE
+
+
+def q_benford_deviation(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals — the forensic
+    data-quality sweep for fabricated or truncated numeric columns. The
+    first significant digit comes from the INTEGER cents string (never
+    float formatting, which engines disagree on); expected share is
+    log10(1 + 1/d). Map-only digit derivation + one 9-row agg."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    w = Window.partitionBy()
+    return (
+        o.groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("total", F.sum("n").over(w))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("observed_share"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_share"),
+            F.round(
+                F.abs(F.col("n") / F.col("total") - F.log10(1 + 1 / F.col("digit"))),
+                6,
+            ).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+ORACLE_BENFORD_DEVIATION = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+)
+SELECT digit, n,
+       round(n * 1.0 / sum(n) OVER (), 6) AS observed_share,
+       round(log10(1 + 1.0 / digit), 6) AS benford_share,
+       round(abs(n * 1.0 / sum(n) OVER () - log10(1 + 1.0 / digit)), 6)
+         AS abs_dev
+FROM counts ORDER BY digit
+"""
+
+QUERIES["benford_deviation"] = q_benford_deviation
+ORACLES["benford_deviation"] = ORACLE_BENFORD_DEVIATION
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) with explicit
+    integer thresholds — the marketing-analytics rollup, drift-free:
+    monetary sums exact cents, recency is whole days against the
+    corpus max day (broadcast scalar), segments are a deterministic
+    CASE. One agg over events + one 4-row re-agg."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    per_user = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.first("mx"), F.max(F.to_date("ts")))
+            .cast("bigint")
+            .alias("recency_d"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+        )
+    )
+    seg = (
+        F.when((F.col("recency_d") <= 0) & (F.col("freq") >= 67), "champion")
+        .when(F.col("recency_d") <= 0, "recent")
+        .when(F.col("freq") >= 67, "loyal_lapsing")
+        .otherwise("dormant")
+    )
+    return (
+        per_user.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_RFM_SEGMENTS = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(date_diff('day', max(CAST(ts AS DATE)),
+              (SELECT max(CAST(ts AS DATE)) FROM events)) AS BIGINT)
+           AS recency_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN recency_d <= 0 AND freq >= 67 THEN 'champion'
+            WHEN recency_d <= 0 THEN 'recent'
+            WHEN freq >= 67 THEN 'loyal_lapsing'
+            ELSE 'dormant' END AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["rfm_segments"] = q_rfm_segments
+ORACLES["rfm_segments"] = ORACLE_RFM_SEGMENTS
+
+
+def q_session_path_trigrams(spark, sf_dir):
+    """Top-15 three-step paths within 30-minute-gap sessions — sequence
+    mining one step deeper than the bigram/markov gates, with the
+    sessionization done by the portable lag-gap-cumsum idiom (the same
+    rows session_window produces, but expressible identically in the
+    oracle). All windows partition on user_id; paths never cross a
+    session boundary."""
+    e = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu)
+    sess = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_s").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    tri = (
+        sess.withColumn("p1", F.lag("event_type", 2).over(ws))
+        .withColumn("p2", F.lag("event_type", 1).over(ws))
+        .filter(F.col("p1").isNotNull())
+        .select(
+            F.concat_ws(">", "p1", "p2", "event_type").alias("path")
+        )
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+ORACLE_SESSION_PATH_TRIGRAMS = """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gapped
+), tri AS (
+  SELECT lag(event_type, 2) OVER ws AS p1,
+         lag(event_type, 1) OVER ws AS p2,
+         event_type
+  FROM sess
+  WINDOW ws AS (PARTITION BY user_id, sess_id ORDER BY ts, event_id)
+)
+SELECT p1 || '>' || p2 || '>' || event_type AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM tri WHERE p1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+"""
+
+QUERIES["session_path_trigrams"] = q_session_path_trigrams
+ORACLES["session_path_trigrams"] = ORACLE_SESSION_PATH_TRIGRAMS
+
+
+def q_padding_waste_analysis(spark, sf_dir):
+    """Sequence-packing economics: for each candidate max length, how
+    many documents fit, how many truncate, how many pad tokens a
+    naive one-doc-per-row batch wastes, and the utilization pct — the
+    table that decides a pretraining context length. Token counts are
+    whitespace-class word counts (exact integers); candidate lengths
+    explode from a 3-element literal array, so the pass over documents
+    stays single-scan map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda t: F.length(t) > 0
+            )
+        )
+        .cast("bigint")
+        .alias("tokens")
+    )
+    cand = toks.select(
+        "tokens", F.explode(F.array(F.lit(128), F.lit(256), F.lit(512))).alias("max_len")
+    )
+    return (
+        cand.groupBy(F.col("max_len").cast("bigint").alias("max_len"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("tokens") > F.col("max_len")).cast("int"))
+            .cast("bigint")
+            .alias("n_truncated"),
+            F.sum(
+                F.greatest(F.col("max_len") - F.col("tokens"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("pad_tokens"),
+            F.round(
+                F.sum(F.least(F.col("tokens"), F.col("max_len")))
+                / F.sum(F.col("max_len")),
+                6,
+            ).alias("utilization"),
+        )
+        .orderBy("max_len")
+    )
+
+
+ORACLE_PADDING_WASTE_ANALYSIS = """
+WITH toks AS (
+  SELECT CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                              t -> len(t) > 0)) AS BIGINT) AS tokens
+  FROM documents
+), cand AS (
+  SELECT tokens, CAST(unnest([128, 256, 512]) AS BIGINT) AS max_len FROM toks
+)
+SELECT max_len, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN tokens > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(greatest(max_len - tokens, 0)) AS BIGINT) AS pad_tokens,
+       round(sum(least(tokens, max_len)) * 1.0 / sum(max_len), 6)
+         AS utilization
+FROM cand GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["padding_waste_analysis"] = q_padding_waste_analysis
+ORACLES["padding_waste_analysis"] = ORACLE_PADDING_WASTE_ANALYSIS

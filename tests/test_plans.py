@@ -476,3 +476,28 @@ def test_round7_staged_scale_shapes(spark):
 
     p_pmi = plan(qs["seq_bigram_pmi"](spark, SF_DIR))
     assert "hashpartitioning(user_id" in p_pmi
+
+
+def test_round7_batch4_scale_shapes(spark):
+    """Batch-4 staged gates: the gap-fill spine cross join is broadcast
+    (tiny derived dims) and the fact rollup feeds a left join — no
+    nested-loop against the fact table; EXCEPT ALL lowers to the
+    count-replicate rewrite (a single aggregate family, no row-pairing
+    SortMergeJoin on the raw multiset); sessionized trigrams keep every
+    window partitioned on user_id; padding-waste is one scan + one agg
+    with no join."""
+    qs = all_queries()
+
+    p_gap = plan(qs["gapfill_daily_counts"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_gap or "BroadcastExchange" in p_gap
+    assert "CartesianProduct" not in p_gap
+
+    p_xall = plan(qs["except_all_multiset"](spark, SF_DIR))
+    assert "SortMergeJoin" not in p_xall
+
+    p_tri = plan(qs["session_path_trigrams"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_tri
+
+    p_pad = plan(qs["padding_waste_analysis"](spark, SF_DIR))
+    assert "Join" not in p_pad
+    assert "HashAggregate" in p_pad
