@@ -331,6 +331,15 @@ class TenantCatalog:
     ROLES = ("admin", "member", "viewer")
 
     @staticmethod
+    def _canon_email(email: str) -> str:
+        """Email is the login identity and is CASE-INSENSITIVE: trimmed
+        + lowercased at account creation and at every lookup, with
+        uniqueness on the canonical form (ADR users-tenant-membership —
+        canonicalizing in the application keeps identity semantics
+        identical across catalog backends)."""
+        return (email or "").strip().lower()
+
+    @staticmethod
     def _hash_password(password: str, salt: str | None = None) -> str:
         """scrypt KDF, ``salt$hash`` on disk — plaintext never persists
         (admin.rs hashes off-thread before the catalog sees it; the
@@ -348,7 +357,7 @@ class TenantCatalog:
     def create_user(self, email: str, password: str, tenant_id: str,
                     role: str = "member", display_name: str | None = None,
                     instance_admin: bool = False, now=None) -> dict:
-        email = (email or "").strip()
+        email = self._canon_email(email)
         if not email:
             raise AdminError("validation_error", "email must not be empty")
         if len(password) < 12:
@@ -386,6 +395,7 @@ class TenantCatalog:
         return (self._read().get("users") or {}).get(user_id)
 
     def get_user_by_email(self, email: str) -> dict | None:
+        email = self._canon_email(email)
         for u in (self._read().get("users") or {}).values():
             if u["email"] == email:
                 return u
@@ -434,6 +444,7 @@ class TenantCatalog:
             raise AdminError(
                 "validation_error",
                 f"invalid role '{role}': expected admin, member, or viewer")
+        email = self._canon_email(email)
 
         def mutate(doc):
             if tenant_id not in doc["tenants"]:
@@ -489,26 +500,44 @@ class TenantCatalog:
 
         return self._commit(mutate)
 
+    SESSION_TTL_SECONDS = 12 * 3600
+
+    @staticmethod
+    def _as_dt(now) -> dt.datetime:
+        if now is None:
+            return dt.datetime.now(dt.timezone.utc)
+        if isinstance(now, str):
+            return dt.datetime.fromisoformat(now)
+        return now
+
+    def _memberships_for(self, doc: dict, user_id: str) -> list[dict]:
+        return sorted(
+            ({"tenant_id": m["tenant_id"], "role": m["role"]}
+             for m in (doc.get("memberships") or {}).values()
+             if m["user_id"] == user_id),
+            key=lambda m: m["tenant_id"],
+        )
+
     def create_session(self, email: str, password: str,
-                       tenant: str | None = None) -> dict:
-        """UI login resolution (session.rs create_session): invalid or
-        disabled credentials are indistinguishable ('Invalid email or
-        password'); an explicit tenant must be among the user's
-        memberships unless the user is an instance admin; with no
-        explicit tenant a sole membership auto-selects and multiple
-        memberships defer the pick (tenant None); zero memberships is
-        forbidden. The response always carries the memberships."""
+                       tenant: str | None = None, now=None,
+                       ttl_seconds: int | None = None) -> dict:
+        """UI login (session.rs create_session + the users ADR session
+        contract): invalid or disabled credentials are indistinguishable
+        ('Invalid email or password'); an explicit tenant must be among
+        the user's memberships unless the user is an instance admin;
+        with no explicit tenant a sole membership auto-selects and
+        multiple memberships defer the pick (tenant None); zero
+        memberships is forbidden. The response always carries the
+        memberships. A FRESH opaque token is issued on every login and
+        returned exactly once; only its SHA-256 lands in the catalog
+        (high-entropy random tokens keep the unsalted-hash idiom the
+        ADR reserves for them), with a bounded absolute lifetime."""
         user = self.get_user_by_email(email)
         if user is None or user["disabled_at"] is not None \
                 or not self._verify_password(password, user["password_hash"]):
             raise AdminError("unauthorized", "Invalid email or password")
         doc = self._read()
-        memberships = sorted(
-            ({"tenant_id": m["tenant_id"], "role": m["role"]}
-             for m in (doc.get("memberships") or {}).values()
-             if m["user_id"] == user["id"]),
-            key=lambda m: m["tenant_id"],
-        )
+        memberships = self._memberships_for(doc, user["id"])
         if tenant is not None:
             if not user["instance_admin"] and not any(
                     m["tenant_id"] == tenant for m in memberships):
@@ -521,5 +550,57 @@ class TenantCatalog:
             resolved = memberships[0]["tenant_id"]
         else:
             resolved = None
+        token = f"sess_{secrets.token_hex(32)}"
+        created = self._as_dt(now)
+        expires = created + dt.timedelta(
+            seconds=self.SESSION_TTL_SECONDS if ttl_seconds is None
+            else ttl_seconds)
+        sess_id = f"sess_{uuid.uuid4().hex[:12]}"
+
+        def mutate(d):
+            d.setdefault("sessions", {})[_hash_key(token)] = {
+                "id": sess_id, "user_id": user["id"],
+                "created_at": created.isoformat(),
+                "expires_at": expires.isoformat(), "revoked_at": None,
+            }
+            return None
+
+        self._commit(mutate)
         return {"user_id": user["id"], "email": user["email"],
-                "tenant": resolved, "memberships": memberships}
+                "tenant": resolved, "memberships": memberships,
+                "token": token, "expires_at": expires.isoformat()}
+
+    def validate_session(self, token: str, now=None) -> dict | None:
+        """Session-cookie validation → the whoami payload, or None.
+        Fails closed: unknown, revoked, and expired tokens all read the
+        same, and a disabled user invalidates every existing session at
+        the next request (the lookup joins users, per the ADR — no
+        per-session revocation needed)."""
+        doc = self._read()
+        rec = (doc.get("sessions") or {}).get(_hash_key(token))
+        if rec is None or rec["revoked_at"] is not None:
+            return None
+        if self._as_dt(now) >= dt.datetime.fromisoformat(rec["expires_at"]):
+            return None
+        user = (doc.get("users") or {}).get(rec["user_id"])
+        if user is None or user["disabled_at"] is not None:
+            return None
+        return {"user_id": user["id"], "email": user["email"],
+                "display_name": user["display_name"],
+                "instance_admin": user["instance_admin"],
+                "memberships": self._memberships_for(doc, user["id"])}
+
+    def revoke_session(self, token: str, now=None) -> None:
+        """Logout: server-side revocation (the raw-key cookie the ADR
+        replaces could not be invalidated). Revoking an unknown or
+        already-revoked token is a no-op success, like the reference's
+        DELETE returning 204 regardless."""
+        ts = _now_iso(now)
+
+        def mutate(doc):
+            rec = (doc.get("sessions") or {}).get(_hash_key(token))
+            if rec is not None and rec["revoked_at"] is None:
+                rec["revoked_at"] = ts
+            return None
+
+        return self._commit(mutate)

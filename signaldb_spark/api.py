@@ -1149,3 +1149,17 @@ class AdminAPI:
         when the tenant comes back null."""
         return self._run(
             lambda: self.catalog.create_session(email, password, tenant))
+
+    def whoami(self, token: str) -> dict:
+        """GET /whoami with a session cookie: the user's identity and
+        ALL memberships (one person, many tenants — the ADR's fix for
+        whoami only ever naming the key's single tenant)."""
+        out = self.catalog.validate_session(token)
+        if out is None:
+            return error_envelope("invalid or expired session", "unauthorized")
+        return {"status": "success", "data": out}
+
+    def logout(self, token: str) -> dict:
+        """DELETE /ui/session: server-side revocation; always succeeds."""
+        self.catalog.revoke_session(token)
+        return {"status": "success", "data": None}

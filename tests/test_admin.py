@@ -484,3 +484,67 @@ def test_admin_api_user_membership_routes(tmp_path):
     uid = out["data"]["id"]
     assert api.remove_membership("t", uid, actor_user_id=uid)[
         "errorType"] == "validation_error"
+
+
+def test_email_canonicalization_is_case_insensitive(tmp_path):
+    """ADR users-tenant-membership: email is trimmed + lowercased at
+    creation AND at every lookup; uniqueness applies to the canonical
+    form, so 'User@X.io' and 'user@x.io' are the same identity at
+    create, membership upsert, and login."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    u = cat.create_user("  User@X.io ", "longpassword123", "t", role="admin")
+    assert u["email"] == "user@x.io"
+    with pytest.raises(AdminError, match="already exists"):
+        cat.create_user("USER@x.IO", "longpassword123", "t")
+    assert cat.get_user_by_email(" USER@X.io")["id"] == u["id"]
+    s = cat.create_session("User@X.IO ", "longpassword123")
+    assert s["user_id"] == u["id"]
+    cat.create_user("two@x.io", "longpassword123", "t", role="admin")
+    assert cat.upsert_membership("t", "USER@X.io", "viewer")["role"] == "viewer"
+
+
+def test_session_tokens_hash_only_expiry_and_revocation(tmp_path):
+    """ADR session contract: a fresh opaque token per login, only its
+    SHA-256 in the catalog, bounded absolute lifetime, server-side
+    logout, and disabled-user cutoff at the next validation."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("t", "T", now=NOW)
+    u = cat.create_user("u@x.io", "longpassword123", "t", role="member")
+    s1 = cat.create_session("u@x.io", "longpassword123", now=NOW)
+    s2 = cat.create_session("u@x.io", "longpassword123", now=NOW)
+    assert s1["token"] != s2["token"]  # fresh token every login
+    raw = "".join(
+        open(p).read() for p in glob.glob(str(tmp_path / "_catalog" / "*.json")))
+    assert s1["token"] not in raw and s2["token"] not in raw
+    who = cat.validate_session(s1["token"], now=NOW)
+    assert who["user_id"] == u["id"]
+    assert who["memberships"] == [{"tenant_id": "t", "role": "member"}]
+    # expiry: 12h default lifetime, checked against the supplied clock
+    assert cat.validate_session(
+        s1["token"], now="2024-01-01T11:00:00+00:00") is not None
+    assert cat.validate_session(
+        s1["token"], now="2024-01-02T00:00:00+00:00") is None
+    # unknown and revoked tokens read identically
+    assert cat.validate_session("sess_bogus", now=NOW) is None
+    cat.revoke_session(s1["token"], now=NOW)
+    assert cat.validate_session(s1["token"], now=NOW) is None
+    cat.revoke_session(s1["token"], now=NOW)  # no-op, no error
+    # disabling the user kills the OTHER live session without touching it
+    assert cat.validate_session(s2["token"], now=NOW) is not None
+    cat.disable_user(u["id"], now=NOW)
+    assert cat.validate_session(s2["token"], now=NOW) is None
+
+
+def test_whoami_and_logout_routes(tmp_path):
+    api = AdminAPI(str(tmp_path))
+    api.create_tenant("a", "A")
+    api.create_tenant("b", "B")
+    api.create_user("u@x.io", "longpassword123", "a", role="admin")
+    api.upsert_membership("b", "u@x.io", "viewer")
+    tok = api.create_session("u@x.io", "longpassword123")["data"]["token"]
+    who = api.whoami(tok)
+    assert who["status"] == "success"
+    assert [m["tenant_id"] for m in who["data"]["memberships"]] == ["a", "b"]
+    assert api.logout(tok)["status"] == "success"
+    assert api.whoami(tok)["errorType"] == "unauthorized"
