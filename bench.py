@@ -249,6 +249,11 @@ HEADLINE = [
     "rfm_segments",
     "session_path_trigrams",
     "padding_waste_analysis",
+    "hopping_window_counts",
+    "audience_overlap",
+    "ks_drift_statistic",
+    "alert_debounce",
+    "topk_with_ties",
 ]
 
 

@@ -1208,3 +1208,259 @@ FROM cand GROUP BY 1 ORDER BY 1
 
 QUERIES["padding_waste_analysis"] = q_padding_waste_analysis
 ORACLES["padding_waste_analysis"] = ORACLE_PADDING_WASTE_ANALYSIS
+
+
+def q_hopping_window_counts(spark, sf_dir):
+    """Hopping (sliding) windows in BATCH mode: 1-hour windows hopping
+    every 15 minutes — each event lands in exactly four overlapping
+    buckets, the shape Structured Streaming's F.window(slide) executes
+    and Grafana's smoothed rate panels consume. Spark's window() does
+    the multi-assignment natively (one Expand-style explode, map-side);
+    the oracle replays the same epoch-aligned window-start arithmetic.
+    Restricted to one day so the gate stays bucket-bounded."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.to_date("ts") == F.lit("2024-01-02")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+ORACLE_HOPPING_WINDOW_COUNTS = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+  WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+), assigned AS (
+  SELECT event_type,
+         (CAST(floor(us / (900 * 1000000)) AS BIGINT) - i) * 900 AS win_s
+  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+  WHERE (CAST(floor(us / (900 * 1000000)) AS BIGINT) - i) * 900
+        > us / 1000000 - 3600
+)
+SELECT CAST(to_timestamp(win_s) AT TIME ZONE 'UTC' AS VARCHAR) AS win_start,
+       event_type, CAST(count(*) AS BIGINT) AS n
+FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["hopping_window_counts"] = q_hopping_window_counts
+ORACLES["hopping_window_counts"] = ORACLE_HOPPING_WINDOW_COUNTS
+
+
+def q_audience_overlap(spark, sf_dir):
+    """Audience set algebra via boolean aggregation — the bitmap-index
+    idiom: one pass flags each user's week-1 / week-2 activity with two
+    conditional max-aggs (no self-join, no distinct-of-distinct), then
+    a 1-row re-agg yields intersection, union, each side's exclusive
+    count, and the exact Jaccard. At 100 TB this is the shape roaring-
+    bitmap audience engines compute; here it is two stacked partial+
+    final aggs."""
+    e = load_table(spark, sf_dir, "events")
+    flags = (
+        e.withColumn("d", F.to_date("ts"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                (F.col("d").between("2024-01-01", "2024-01-07")).cast("int")
+            ).alias("w1"),
+            F.max(
+                (F.col("d").between("2024-01-08", "2024-01-14")).cast("int")
+            ).alias("w2"),
+        )
+    )
+    return flags.agg(
+        F.sum((F.col("w1") * F.col("w2"))).cast("bigint").alias("both"),
+        F.sum(F.greatest("w1", "w2")).cast("bigint").alias("either"),
+        F.sum(F.col("w1") * (1 - F.col("w2"))).cast("bigint").alias("only_w1"),
+        F.sum(F.col("w2") * (1 - F.col("w1"))).cast("bigint").alias("only_w2"),
+        F.round(
+            F.sum(F.col("w1") * F.col("w2"))
+            / F.sum(F.greatest("w1", "w2")),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+ORACLE_AUDIENCE_OVERLAP = """
+WITH flags AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-01'
+                   AND DATE '2024-01-07' THEN 1 ELSE 0 END) AS w1,
+         max(CASE WHEN CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+                   AND DATE '2024-01-14' THEN 1 ELSE 0 END) AS w2
+  FROM events GROUP BY 1
+)
+SELECT CAST(sum(w1 * w2) AS BIGINT) AS both,
+       CAST(sum(greatest(w1, w2)) AS BIGINT) AS either,
+       CAST(sum(w1 * (1 - w2)) AS BIGINT) AS only_w1,
+       CAST(sum(w2 * (1 - w1)) AS BIGINT) AS only_w2,
+       round(sum(w1 * w2) * 1.0 / sum(greatest(w1, w2)), 6) AS jaccard
+FROM flags
+"""
+
+QUERIES["audience_overlap"] = q_audience_overlap
+ORACLES["audience_overlap"] = ORACLE_AUDIENCE_OVERLAP
+
+
+def q_ks_drift_statistic(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov distance between order-total
+    distributions before/after 1998 — the data-drift monitor an ML
+    pipeline runs between training and serving windows. Values band to
+    exact integer $100 buckets first (the two sides' rollups are
+    band-vocabulary sized), the banded CDFs come from cumulative window
+    sums over the FULL OUTER of the two rollups, and D = max |cdfA -
+    cdfB|. The raw table is scanned once; every float is a ratio of
+    exact BIGINTs."""
+    o = load_table(spark, sf_dir, "orders")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", "a").otherwise("b")
+    band = (F.floor(F.col("o_totalprice") / 100) * 100).cast("bigint")
+    rolled = o.groupBy(side.alias("side"), band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = rolled.filter(F.col("side") == "a").select(
+        "band", F.col("n").alias("na"))
+    b = rolled.filter(F.col("side") == "b").select(
+        "band", F.col("n").alias("nb"))
+    j = (
+        a.join(b, "band", "full_outer")
+        .select(
+            "band",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    wcum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cdf = (
+        j.withColumn("ca", F.sum("na").over(wcum) / F.sum("na").over(wall))
+        .withColumn("cb", F.sum("nb").over(wcum) / F.sum("nb").over(wall))
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("ca") - F.col("cb"))), 6).alias("ks_d"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+    )
+
+
+ORACLE_KS_DRIFT_STATISTIC = """
+WITH rolled AS (
+  SELECT CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a'
+              ELSE 'b' END AS side,
+         CAST(floor(o_totalprice / 100) * 100 AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(a.band, b.band) AS band,
+         coalesce(a.n, 0) AS na, coalesce(b.n, 0) AS nb
+  FROM (SELECT band, n FROM rolled WHERE side = 'a') a
+  FULL OUTER JOIN (SELECT band, n FROM rolled WHERE side = 'b') b
+    ON a.band = b.band
+), cdf AS (
+  SELECT band,
+         sum(na) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) * 1.0
+           / sum(na) OVER () AS ca,
+         sum(nb) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING) * 1.0
+           / sum(nb) OVER () AS cb
+  FROM j
+)
+SELECT round(max(abs(ca - cb)), 6) AS ks_d,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM cdf
+"""
+
+QUERIES["ks_drift_statistic"] = q_ks_drift_statistic
+ORACLES["ks_drift_statistic"] = ORACLE_KS_DRIFT_STATISTIC
+
+
+def q_alert_debounce(spark, sf_dir):
+    """Alert flap suppression: an 'error' event is SUPPRESSED when the
+    same user fired one under 5 minutes earlier — the notification
+    debounce every alerting pipeline applies before paging. One lag
+    window per (user), then a per-stream rollup of kept vs suppressed;
+    no state machine, no self-join."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    flagged = e.withColumn(
+        "suppressed",
+        F.when(gap_us.isNotNull() & (gap_us < 5 * 60 * 1_000_000), 1)
+        .otherwise(0),
+    )
+    return flagged.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_alerts"),
+        F.sum("suppressed").cast("bigint").alias("n_suppressed"),
+        (F.count(F.lit(1)) - F.sum("suppressed")).cast("bigint").alias("n_paged"),
+    ).orderBy("day")
+
+
+ORACLE_ALERT_DEBOUNCE = """
+WITH err AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events WHERE event_type = 'error'
+), flagged AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CASE WHEN gap_us IS NOT NULL AND gap_us < 5 * 60 * 1000000
+              THEN 1 ELSE 0 END AS suppressed
+  FROM err
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_alerts,
+       CAST(sum(suppressed) AS BIGINT) AS n_suppressed,
+       CAST(count(*) - sum(suppressed) AS BIGINT) AS n_paged
+FROM flagged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["alert_debounce"] = q_alert_debounce
+ORACLES["alert_debounce"] = ORACLE_ALERT_DEBOUNCE
+
+
+def q_topk_with_ties(spark, sf_dir):
+    """Top-3 parts per brand by shipped quantity WITH ties (rank, not
+    row_number) — the semantic difference every leaderboard eventually
+    hits: equal quantities share a rank and all survive the cut, so the
+    result is deterministic WITHOUT a tiebreak column. Quantities sum
+    exactly (doubles holding small integers), the rank window
+    partitions on brand."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")),
+               l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("qty"))
+    return (
+        qty.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("p_brand", "rnk", "l_partkey")
+    )
+
+
+ORACLE_TOPK_WITH_TIES = """
+WITH qty AS (
+  SELECT p_brand, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, l_partkey, qty,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY qty DESC) AS BIGINT)
+         AS rnk
+FROM qty QUALIFY rnk <= 3
+ORDER BY p_brand, rnk, l_partkey
+"""
+
+QUERIES["topk_with_ties"] = q_topk_with_ties
+ORACLES["topk_with_ties"] = ORACLE_TOPK_WITH_TIES

@@ -501,3 +501,29 @@ def test_round7_batch4_scale_shapes(spark):
     p_pad = plan(qs["padding_waste_analysis"](spark, SF_DIR))
     assert "Join" not in p_pad
     assert "HashAggregate" in p_pad
+
+
+def test_round7_batch5_scale_shapes(spark):
+    """Batch-5 staged gates: the hopping-window multi-assignment stays
+    a map-side explode feeding one shuffle (no join), audience overlap
+    is two stacked aggregates with no self-join, the KS statistic's
+    full-outer joins band rollups (both sides aggregated first), and
+    the debounce window partitions on user_id."""
+    qs = all_queries()
+
+    p_hop = plan(qs["hopping_window_counts"](spark, SF_DIR))
+    assert "Join" not in p_hop
+    assert "HashAggregate" in p_hop
+
+    p_aud = plan(qs["audience_overlap"](spark, SF_DIR))
+    assert "Join" not in p_aud
+    assert p_aud.count("Exchange hashpartitioning") <= 1  # user_id only
+
+    p_ks = plan(qs["ks_drift_statistic"](spark, SF_DIR))
+    lines = p_ks.splitlines()
+    join_at = next(
+        i for i, l in enumerate(lines) if "Join" in l and "FullOuter" in l)
+    assert sum(1 for l in lines[join_at:] if "HashAggregate" in l) >= 2
+
+    p_db = plan(qs["alert_debounce"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_db
