@@ -254,6 +254,12 @@ HEADLINE = [
     "ks_drift_statistic",
     "alert_debounce",
     "topk_with_ties",
+    "gini_coefficient",
+    "cusum_changepoint",
+    "posting_lists",
+    "ring_negative_pairs",
+    "neyman_allocation",
+    "survival_curve",
 ]
 
 

@@ -1464,3 +1464,357 @@ ORDER BY p_brand, rnk, l_partkey
 
 QUERIES["topk_with_ties"] = q_topk_with_ties
 ORACLES["topk_with_ties"] = ORACLE_TOPK_WITH_TIES
+
+
+def q_gini_coefficient(spark, sf_dir):
+    """Gini inequality coefficient of order value per market segment —
+    the rank-weighted ordered aggregation (G = 2*sum(i*x)/(n*sum(x)) -
+    (n+1)/n over ascending x). Order values are exact integer cents, so
+    both the rank weights and the sums are drift-free BIGINT math until
+    the single final division; the rank window partitions on segment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ranked = cents.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                2 * F.sum(F.col("i") * F.col("cents"))
+                / (F.count(F.lit(1)) * F.sum("cents"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_GINI_COEFFICIENT = """
+WITH cents AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT segment, cents,
+         CAST(row_number() OVER (
+           PARTITION BY segment ORDER BY cents, o_orderkey) AS BIGINT) AS i
+  FROM cents
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(2.0 * sum(i * cents) / (count(*) * sum(cents))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["gini_coefficient"] = q_gini_coefficient
+ORACLES["gini_coefficient"] = ORACLE_GINI_COEFFICIENT
+
+
+def q_cusum_changepoint(spark, sf_dir):
+    """CUSUM changepoint localization: per stream, the day where the
+    cumulative deviation from that stream's own daily mean peaks in
+    magnitude — where the level shift happened, not just that one did
+    (the complement of the z-score anomaly gate). All windows run over
+    the (service, day) rollup; deterministic tie-break on earliest
+    day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("service"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ws = Window.partitionBy("service")
+    wcum = Window.partitionBy("service").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cs = (
+        daily.withColumn("mean_n", F.avg("n").over(ws))
+        .withColumn("cusum", F.sum(F.col("n") - F.col("mean_n")).over(wcum))
+    )
+    wpick = Window.partitionBy("service").orderBy(
+        F.desc(F.abs(F.col("cusum"))), "day"
+    )
+    return (
+        cs.withColumn("rk", F.row_number().over(wpick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "service",
+            F.col("day").cast("string").alias("change_day"),
+            F.round("cusum", 6).alias("peak_cusum"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type AS service, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), withmean AS (
+  SELECT service, day, n, avg(n) OVER (PARTITION BY service) AS mean_n
+  FROM daily
+), cs AS (
+  SELECT service, day,
+         sum(n - mean_n) OVER (
+           PARTITION BY service ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS cusum
+  FROM withmean
+), picked AS (
+  SELECT service, day, cusum,
+         row_number() OVER (
+           PARTITION BY service ORDER BY abs(cusum) DESC, day) AS rk
+  FROM cs
+)
+SELECT service, CAST(day AS VARCHAR) AS change_day,
+       round(cusum, 6) AS peak_cusum
+FROM picked WHERE rk = 1 ORDER BY service
+"""
+
+QUERIES["cusum_changepoint"] = q_cusum_changepoint
+ORACLES["cusum_changepoint"] = ORACLE_CUSUM_CHANGEPOINT
+
+
+def q_posting_lists(spark, sf_dir):
+    """Inverted-index build: per term, document frequency and the first
+    ten postings (sorted doc ids, comma-joined) — the search-index
+    construction every retrieval stack runs over a corpus. One distinct
+    + one groupBy on the term key; posting arrays are truncated BEFORE
+    stringification so the shuffle rows stay bounded. Top-20 terms by
+    (df DESC, term)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .distinct()
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+        .limit(20)
+    )
+
+
+ORACLE_POSTING_LISTS = """
+WITH toks AS (
+  SELECT DISTINCT d.doc_id, t.term
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(term)
+  WHERE len(t.term) >= 3
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings
+FROM toks GROUP BY 1 ORDER BY df DESC, term LIMIT 20
+"""
+
+QUERIES["posting_lists"] = q_posting_lists
+ORACLES["posting_lists"] = ORACLE_POSTING_LISTS
+
+
+def q_ring_negative_pairs(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    document pairs with its successor on an md5 hash ring (uniform
+    pseudo-random partner, reproducible across runs — no RNG), the last
+    ring position wrapping to the first. Here the ring is one global
+    ordered window; at 100 TB the same pairing runs inside hash-RANGE
+    partitions (successors stay adjacent within a range; only the
+    per-partition boundary doc needs the cross-partition wrap)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.orderBy("h", "doc_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        d.withColumn(
+            "neg_doc_id",
+            F.coalesce(
+                F.lead("doc_id").over(w), F.first("doc_id").over(wall)
+            ),
+        )
+        .select("doc_id", "neg_doc_id")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_RING_NEGATIVE_PAIRS = """
+WITH ring AS (
+  SELECT doc_id, md5('neg:' || doc_id::VARCHAR) AS h FROM documents
+)
+SELECT doc_id,
+       coalesce(
+         lead(doc_id) OVER (ORDER BY h, doc_id),
+         first_value(doc_id) OVER (
+           ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ) AS neg_doc_id
+FROM ring ORDER BY doc_id
+"""
+
+QUERIES["ring_negative_pairs"] = q_ring_negative_pairs
+ORACLES["ring_negative_pairs"] = ORACLE_RING_NEGATIVE_PAIRS
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman allocation of a 1000-item labeling budget across language
+    strata — annotation spend proportional to stratum size times
+    within-stratum variability (n_h * sd_h), the survey-sampling answer
+    to 'which languages deserve annotators'. One partial+final agg for
+    the strata stats; shares are rounded ratios over the
+    vocabulary-sized rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.stddev_pop("n_chars").alias("sd"),
+    )
+    wall = Window.partitionBy()
+    return (
+        stats.withColumn("w", F.col("n_docs") * F.col("sd"))
+        .withColumn("share", F.col("w") / F.sum("w").over(wall))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("sd", 6).alias("sd_chars"),
+            F.round("share", 6).alias("alloc_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_NEYMAN_ALLOCATION = """
+WITH stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         stddev_pop(n_chars) AS sd
+  FROM documents GROUP BY 1
+)
+SELECT lang, n_docs, round(sd, 6) AS sd_chars,
+       round(n_docs * sd / sum(n_docs * sd) OVER (), 6) AS alloc_share
+FROM stats ORDER BY lang
+"""
+
+QUERIES["neyman_allocation"] = q_neyman_allocation
+ORACLES["neyman_allocation"] = ORACLE_NEYMAN_ALLOCATION
+
+
+def q_survival_curve(spark, sf_dir):
+    """Kaplan-Meier time-to-first-purchase with right censoring at the
+    corpus horizon — the survival estimator product-limit form, S(t) =
+    exp(cumsum(ln(1 - d_t / n_risk_t))), with the at-risk counts as a
+    REVERSED cumulative window over the per-duration rollup (no
+    per-user scan per time point). Users who never purchase censor at
+    the horizon and deflate n_risk without contributing events."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    per_user = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_seen"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+            ).alias("first_purchase"),
+            F.first("mx").alias("mx"),
+        )
+        .select(
+            F.when(
+                F.col("first_purchase").isNotNull(),
+                F.datediff("first_purchase", "first_seen"),
+            )
+            .otherwise(F.datediff("mx", "first_seen"))
+            .cast("bigint")
+            .alias("duration_d"),
+            F.col("first_purchase").isNotNull().cast("int").alias("event"),
+        )
+    )
+    rolled = per_user.groupBy("duration_d").agg(
+        F.sum("event").cast("bigint").alias("d_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_exit"),
+    )
+    wrisk = Window.orderBy("duration_d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    wcum = Window.orderBy("duration_d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    factor = 1 - F.col("d_events") / F.col("n_risk")
+    ln_f = F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0))
+    hit_zero = F.max(F.when(factor <= 0, 1).otherwise(0)).over(wcum)
+    return (
+        rolled.withColumn("n_risk", F.sum("n_exit").over(wrisk).cast("bigint"))
+        .withColumn(
+            # a step where every at-risk user converts drives S to
+            # exactly 0 from there on; both engines must special-case it
+            # (DuckDB raises on ln(0), Spark nulls it)
+            "s",
+            F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum(ln_f).over(wcum)), 6)
+            ),
+        )
+        .select("duration_d", "n_risk", "d_events", "s")
+        .orderBy("duration_d")
+    )
+
+
+ORACLE_SURVIVAL_CURVE = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CAST(ts AS DATE)) AS first_seen,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS first_purchase
+  FROM events GROUP BY 1
+), durations AS (
+  SELECT CASE WHEN first_purchase IS NOT NULL
+              THEN date_diff('day', first_seen, first_purchase)
+              ELSE date_diff('day', first_seen,
+                             (SELECT max(CAST(ts AS DATE)) FROM events)) END
+           AS duration_d,
+         CASE WHEN first_purchase IS NOT NULL THEN 1 ELSE 0 END AS event
+  FROM per_user
+), rolled AS (
+  SELECT CAST(duration_d AS BIGINT) AS duration_d,
+         CAST(sum(event) AS BIGINT) AS d_events,
+         CAST(count(*) AS BIGINT) AS n_exit
+  FROM durations GROUP BY 1
+)
+SELECT duration_d, n_risk, d_events,
+       CASE WHEN max(CASE WHEN 1 - d_events * 1.0 / n_risk <= 0
+                          THEN 1 ELSE 0 END)
+                 OVER (ORDER BY duration_d ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE round(exp(sum(CASE WHEN 1 - d_events * 1.0 / n_risk > 0
+                                    THEN ln(1 - d_events * 1.0 / n_risk)
+                                    ELSE 0 END)
+                 OVER (ORDER BY duration_d ROWS UNBOUNDED PRECEDING)), 6)
+       END AS s
+FROM (
+  SELECT duration_d, d_events,
+         CAST(sum(n_exit) OVER (ORDER BY duration_d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+           AS n_risk
+  FROM rolled
+) ORDER BY duration_d
+"""
+
+QUERIES["survival_curve"] = q_survival_curve
+ORACLES["survival_curve"] = ORACLE_SURVIVAL_CURVE

@@ -527,3 +527,24 @@ def test_round7_batch5_scale_shapes(spark):
 
     p_db = plan(qs["alert_debounce"](spark, SF_DIR))
     assert "hashpartitioning(user_id" in p_db
+
+
+def test_round7_batch6_scale_shapes(spark):
+    """Batch-6 staged gates: Gini's rank window partitions on segment
+    (no global sort of the fact table), the CUSUM windows run over the
+    daily rollup (aggregate BEFORE any WindowExec), posting lists carry
+    one term-keyed shuffle, and the survival curve aggregates per-user
+    rows before its rollup windows."""
+    qs = all_queries()
+
+    p_gini = plan(qs["gini_coefficient"](spark, SF_DIR))
+    assert "hashpartitioning(segment" in p_gini
+
+    for name in ("cusum_changepoint", "survival_curve"):
+        p = plan(qs[name](spark, SF_DIR))
+        lines = p.splitlines()
+        win = next(i for i, l in enumerate(lines) if "Window" in l)
+        assert any("HashAggregate" in l for l in lines[win:]), name
+
+    p_post = plan(qs["posting_lists"](spark, SF_DIR))
+    assert "hashpartitioning(term" in p_post
