@@ -260,6 +260,21 @@ HEADLINE = [
     "ring_negative_pairs",
     "neyman_allocation",
     "survival_curve",
+    "min_cost_supplier",
+    "important_stock",
+    "parts_supplier_census",
+    "excess_inventory",
+    "jackknife_lang_quality",
+    "trimmed_mean_price",
+    "psi_length_drift",
+    "hhi_concentration",
+    "autocorr_daily_volume",
+    "token_budget_mix",
+    "unigram_kl_by_source",
+    "ngram_novelty_rate",
+    "wilson_error_rank",
+    "pareto_tail_alpha",
+    "keyset_pagination",
 ]
 
 

@@ -325,9 +325,15 @@ def q_char_trigram_signature(spark, sf_dir):
     array transform before the explode, so the exploded rows carry
     3-char strings only — exploding the index first would duplicate
     the 200-char prefix into every one of its ~198 rows (measured
-    1.6x slower at sf0.1)."""
+    1.6x slower at sf0.1). The prefix MATERIALIZES as a column before
+    the transform: a lambda referencing the raw substring(lower())
+    expression re-evaluates it per element (no common-subexpression
+    elimination across the lambda boundary)."""
     d = load_table(spark, sf_dir, "documents")
-    pfx = F.substring(F.lower("text"), 1, 200)
+    pre = d.select(
+        "lang", F.substring(F.lower("text"), 1, 200).alias("pfx")
+    )
+    pfx = F.col("pfx")
     tris = F.filter(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(pfx) - 2, F.lit(0))),
@@ -336,7 +342,7 @@ def q_char_trigram_signature(spark, sf_dir):
         lambda t: t.rlike("^[a-z ]{3}$"),
     )
     tri = (
-        d.select("lang", F.explode(tris).alias("tri"))
+        pre.select("lang", F.explode(tris).alias("tri"))
         .groupBy("lang", "tri")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
@@ -1821,3 +1827,868 @@ FROM (
 
 QUERIES["survival_curve"] = q_survival_curve
 ORACLES["survival_curve"] = ORACLE_SURVIVAL_CURVE
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: the four remaining TPC-H shapes (Q2/Q11/Q16/Q20, against a
+# supplier-part relation DERIVED from lineitem — the testdata ships no
+# partsupp table) plus eleven statistics / curation / API-pattern gates.
+# ---------------------------------------------------------------------------
+
+
+def _derived_partsupp(spark, sf_dir):
+    """partsupp analog derived from lineitem: per (partkey, suppkey),
+    the min observed unit price as supplycost and the total shipped
+    quantity as availqty. One shuffle on the composite key; reused by
+    the Q2/Q11/Q16/Q20 shapes below."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for STANDARD parts of
+    size >= 45, the ASIA supplier(s) offering the minimum derived unit
+    cost. The classic correlated-min subquery DECORRELATED into a
+    per-part min aggregate joined back on equality; part and the
+    supplier->nation->region chain are KB-scale broadcasts at any fact
+    size, so the only big shuffle is the derived-partsupp groupBy.
+    Cost doubles are identical in both engines (same division, same
+    inputs), so the equality join is drift-free."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") >= 45) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    elig = ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey).join(
+        F.broadcast(s), ps.ps_suppkey == s.s_suppkey
+    )
+    minc = elig.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        elig.join(
+            minc,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.round("ps_supplycost", 6).alias("cost_per_unit"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+), s AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+), elig AS (
+  SELECT ps.*, s.s_name, s.n_name
+  FROM ps
+  JOIN part ON ps_partkey = p_partkey
+           AND p_size >= 45 AND p_type = 'STANDARD'
+  JOIN s ON ps_suppkey = s_suppkey
+), minc AS (
+  SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM elig GROUP BY 1
+)
+SELECT e.ps_partkey AS p_partkey, e.s_name, e.n_name,
+       round(e.ps_supplycost, 6) AS cost_per_unit
+FROM elig e JOIN minc m
+  ON e.ps_partkey = m.ps_partkey AND e.ps_supplycost = m.min_cost
+ORDER BY p_partkey, s_name LIMIT 100
+"""
+
+QUERIES["min_cost_supplier"] = q_min_cost_supplier
+ORACLES["min_cost_supplier"] = ORACLE_MIN_COST_SUPPLIER
+
+
+def q_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part inventory value from
+    one nation's suppliers, keeping parts above a fraction of the
+    nation's total. Value is summed in EXACT integer cents so the
+    group-by agg and the global scalar it is compared against are both
+    drift-free; the global total rides a single unpartitioned window
+    over the parts-sized rollup (bounded by the part vocabulary, never
+    the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .alias("value_cents")
+        )
+    )
+    wall = Window.partitionBy()
+    return (
+        per_part.withColumn("total", F.sum("value_cents").over(wall))
+        .filter(F.col("value_cents") > F.col("total") * 0.001)
+        .select(
+            "p_partkey",
+            F.round(F.col("value_cents") / 100.0, 6).alias("value_usd"),
+        )
+        .orderBy(F.desc("value_usd"), "p_partkey")
+    )
+
+
+ORACLE_IMPORTANT_STOCK = """
+WITH per_part AS (
+  SELECT l_partkey AS p_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT p_partkey, round(value_cents / 100.0, 6) AS value_usd
+FROM (SELECT *, sum(value_cents) OVER () AS total FROM per_part)
+WHERE value_cents > total * 0.001
+ORDER BY value_usd DESC, p_partkey
+"""
+
+QUERIES["important_stock"] = q_important_stock
+ORACLES["important_stock"] = ORACLE_IMPORTANT_STOCK
+
+
+def q_parts_supplier_census(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship census): distinct
+    supplier counts per (brand, type, size) bucket over the derived
+    supplier-part pairs, excluding one brand, restricting to eight
+    sizes, and ANTI-JOINING out suppliers in deficit (negative account
+    balance — the testdata has no comment column for Q16's complaint
+    filter). Pairs project to two longs before any shuffle; part and
+    the exclusion list are broadcasts."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+ORACLE_PARTS_SUPPLIER_CENSUS = """
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30
+"""
+
+QUERIES["parts_supplier_census"] = q_parts_supplier_census
+ORACLES["parts_supplier_census"] = ORACLE_PARTS_SUPPLIER_CENSUS
+
+
+def q_excess_inventory(spark, sf_dir):
+    """TPC-H Q20 shape (excess inventory): EUROPE suppliers holding
+    1995 shipments of 'red' parts exceeding half their 1996 demand —
+    the nested-aggregate + double-semi-join pattern (who over-stocked
+    ahead of realized demand). Per-(part,supplier) year quantities
+    aggregate before any join; quantities are integral doubles so the
+    sums are exact; the final output is a supplier-vocabulary-sized
+    semi join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    red = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    yr = F.year("l_shipdate")
+    per_ps = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .filter(yr.isin(1995, 1996))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(yr == 1995, F.col("l_quantity")).otherwise(0.0))
+            .alias("q95"),
+            F.sum(F.when(yr == 1996, F.col("l_quantity")).otherwise(0.0))
+            .alias("q96"),
+        )
+        .filter((F.col("q96") > 0) & (F.col("q95") > F.col("q96") * 0.5))
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        s.join(
+            per_ps.select("l_suppkey").distinct(),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_EXCESS_INVENTORY = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN year(l_shipdate) = 1995 THEN l_quantity ELSE 0 END) AS q95,
+         sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity ELSE 0 END) AS q96
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+  WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps WHERE q96 > 0 AND q95 > q96 * 0.5)
+ORDER BY s_suppkey
+"""
+
+QUERIES["excess_inventory"] = q_excess_inventory
+ORACLES["excess_inventory"] = ORACLE_EXCESS_INVENTORY
+
+
+def q_jackknife_lang_quality(spark, sf_dir):
+    """Leave-one-stratum-out (jackknife) corpus means: how much each
+    language stratum pulls the corpus mean document length — the
+    robustness diagnostic run before trusting a per-language curation
+    threshold. Sums stay exact BIGINTs until the final division; the
+    global sums ride one unpartitioned window over the 5-row language
+    rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    roll = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    wall = Window.partitionBy()
+    tot_n = F.sum("n_docs").over(wall)
+    tot_s = F.sum("sum_chars").over(wall)
+    loo = (tot_s - F.col("sum_chars")) / (tot_n - F.col("n_docs"))
+    return (
+        roll.select(
+            "lang",
+            "n_docs",
+            F.round(loo, 6).alias("loo_mean_chars"),
+            F.round(loo - tot_s / tot_n, 6).alias("influence"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_JACKKNIFE_LANG_QUALITY = """
+WITH roll AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT lang, n_docs,
+       round((tot_s - sum_chars) * 1.0 / (tot_n - n_docs), 6) AS loo_mean_chars,
+       round((tot_s - sum_chars) * 1.0 / (tot_n - n_docs)
+             - tot_s * 1.0 / tot_n, 6) AS influence
+FROM (SELECT *, sum(n_docs) OVER () AS tot_n, sum(sum_chars) OVER () AS tot_s
+      FROM roll)
+ORDER BY lang
+"""
+
+QUERIES["jackknife_lang_quality"] = q_jackknife_lang_quality
+ORACLES["jackknife_lang_quality"] = ORACLE_JACKKNIFE_LANG_QUALITY
+
+
+def q_trimmed_mean_price(spark, sf_dir):
+    """5%-trimmed mean order value per market segment — the outlier-
+    robust mean with EXACT integer-rank trimming (row_number over
+    (cents, orderkey), drop the bottom and top floor(n*0.05) ranks), so
+    which rows are trimmed is bit-deterministic in both engines; cents
+    stay BIGINT until the final division. The rank window partitions on
+    segment — no global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy("cents", "o_orderkey")
+    ws = Window.partitionBy("segment")
+    ranked = cents.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(ws)
+    )
+    cut = F.floor(F.col("n") * 0.05)
+    return (
+        ranked.filter((F.col("rn") > cut) & (F.col("rn") <= F.col("n") - cut))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum("cents") / (F.count(F.lit(1)) * 100.0), 6
+            ).alias("trimmed_mean_usd"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_TRIMMED_MEAN_PRICE = """
+WITH cents AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT segment, cents,
+         row_number() OVER (PARTITION BY segment ORDER BY cents, o_orderkey)
+           AS rn,
+         count(*) OVER (PARTITION BY segment) AS n
+  FROM cents
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_kept,
+       round(sum(cents) / (count(*) * 100.0), 6) AS trimmed_mean_usd
+FROM ranked
+WHERE rn > floor(n * 0.05) AND rn <= n - floor(n * 0.05)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["trimmed_mean_price"] = q_trimmed_mean_price
+ORACLES["trimmed_mean_price"] = ORACLE_TRIMMED_MEAN_PRICE
+
+
+def q_psi_length_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the corpus (by doc_id) over document-length bands — the standard
+    train/serve input-drift metric (PSI > 0.2 = retrain), complementing
+    the KS gate's CDF test. Band counts aggregate per half in one
+    conditional agg; shares are Laplace-smoothed from exact integers so
+    ln never sees zero. The whole computation after the first groupBy
+    runs on a <=12-row band rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    banded = d.crossJoin(F.broadcast(mx)).select(
+        F.least(F.floor(F.col("n_chars") / 50), F.lit(10)).cast("bigint")
+        .alias("band"),
+        (F.col("doc_id") * 2 <= F.col("mx")).alias("is_old"),
+    )
+    roll = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).cast("bigint")
+        .alias("c_new"),
+    )
+    wall = Window.partitionBy()
+    n_old, n_new = F.sum("c_old").over(wall), F.sum("c_new").over(wall)
+    b = F.count(F.lit(1)).over(wall)
+    p = (F.col("c_old") + 1) / (n_old + b)
+    q = (F.col("c_new") + 1) / (n_new + b)
+    return (
+        roll.withColumn("contrib", F.round((p - q) * F.log(p / q), 6))
+        .select("band", "c_old", "c_new", "contrib")
+        .orderBy("band")
+    )
+
+
+ORACLE_PSI_LENGTH_DRIFT = """
+WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+banded AS (
+  SELECT least(CAST(floor(n_chars / 50) AS BIGINT), 10) AS band,
+         d.doc_id * 2 <= mx.mx AS is_old
+  FROM documents d, mx
+), roll AS (
+  SELECT band,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+  FROM banded GROUP BY 1
+)
+SELECT band, c_old, c_new,
+       round(((c_old + 1) * 1.0 / (n_old + b) - (c_new + 1) * 1.0 / (n_new + b))
+             * ln(((c_old + 1) * 1.0 / (n_old + b))
+                  / ((c_new + 1) * 1.0 / (n_new + b))), 6) AS contrib
+FROM (SELECT *, sum(c_old) OVER () AS n_old, sum(c_new) OVER () AS n_new,
+             count(*) OVER () AS b
+      FROM roll)
+ORDER BY band
+"""
+
+QUERIES["psi_length_drift"] = q_psi_length_drift
+ORACLES["psi_length_drift"] = ORACLE_PSI_LENGTH_DRIFT
+
+
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman revenue concentration per market segment —
+    is this segment's revenue spread across customers or owned by a
+    few? Per-customer revenue aggregates to exact cents first; the
+    squared-share sum runs over the customer-vocabulary rollup with the
+    segment totals as a partitioned window (never a second scan of
+    orders)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    ws = Window.partitionBy("segment")
+    share = F.col("cents") / F.sum("cents").over(ws)
+    return (
+        per_cust.withColumn("sh2", share * share)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.sum("sh2"), 6).alias("hhi"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_HHI_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT c_mktsegment AS segment, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(sh2), 6) AS hhi
+FROM (SELECT segment,
+             (cents * 1.0 / sum(cents) OVER (PARTITION BY segment)) ^ 2 AS sh2
+      FROM per_cust)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hhi_concentration"] = q_hhi_concentration
+ORACLES["hhi_concentration"] = ORACLE_HHI_CONCENTRATION
+
+
+def q_autocorr_daily_volume(spark, sf_dir):
+    """Lag-1 autocorrelation of daily event volume per stream — the
+    'is today predictive of tomorrow' seasonality diagnostic that
+    decides whether a forecast beats a constant. One lag window and the
+    corr aggregate both run over the (service, day) rollup; consecutive
+    ROWS are paired (calendar gaps pair across the gap — documented,
+    identical in the oracle)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("service"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.partitionBy("service").orderBy("day")
+    return (
+        daily.withColumn("n_next", F.lead("n").over(w))
+        .groupBy("service")
+        .agg(
+            F.count("n_next").cast("bigint").alias("n_pairs"),
+            F.round(F.corr("n", "n_next"), 6).alias("autocorr_lag1"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_AUTOCORR_DAILY_VOLUME = """
+WITH daily AS (
+  SELECT event_type AS service, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT service, n,
+         lead(n) OVER (PARTITION BY service ORDER BY day) AS n_next
+  FROM daily
+)
+SELECT service, CAST(count(n_next) AS BIGINT) AS n_pairs,
+       round(corr(n, n_next), 6) AS autocorr_lag1
+FROM paired GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["autocorr_daily_volume"] = q_autocorr_daily_volume
+ORACLES["autocorr_daily_volume"] = ORACLE_AUTOCORR_DAILY_VOLUME
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Temperature-weighted multilingual sampling mix: share of a
+    training-token budget per language under p^alpha smoothing
+    (alpha=0.3, the mT5/XLM-R up-sampling rule for low-resource
+    languages). Token counts are exact whitespace-token BIGINTs per
+    language; only the final pow/normalize runs in float, over the
+    5-row language rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    roll = d.groupBy("lang").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("bigint").alias("n_tokens")
+    )
+    wall = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    w_ = F.pow(p, F.lit(0.3))
+    return (
+        roll.withColumn("w", w_)
+        .withColumn("sample_share", F.round(F.col("w") / F.sum("w").over(wall), 6))
+        .withColumn("raw_share", F.round(p, 6))
+        .select("lang", "n_tokens", "raw_share", "sample_share")
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKEN_BUDGET_MIX = r"""
+WITH roll AS (
+  SELECT lang,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY 1
+), shares AS (
+  SELECT lang, n_tokens,
+         n_tokens * 1.0 / sum(n_tokens) OVER () AS p
+  FROM roll
+)
+SELECT lang, n_tokens, round(p, 6) AS raw_share,
+       round(p ^ 0.3 / sum(p ^ 0.3) OVER (), 6) AS sample_share
+FROM shares ORDER BY lang
+"""
+
+QUERIES["token_budget_mix"] = q_token_budget_mix
+ORACLES["token_budget_mix"] = ORACLE_TOKEN_BUDGET_MIX
+
+
+def q_unigram_kl_by_source(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus distribution —
+    which ingestion sources are lexically drifted and deserve a look
+    before they skew training. The corpus distribution is a vocabulary-
+    sized broadcast; each source's divergence sums only over words that
+    source actually uses (true KL terms, q>0 guaranteed by
+    construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+    ).filter(F.length("word") > 0)
+    corpus = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot")
+    )
+    wall = Window.partitionBy()
+    corpus = corpus.withColumn("p_corpus", F.col("c_tot") / F.sum("c_tot").over(wall))
+    per_src = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sw")
+    )
+    wsrc = Window.partitionBy("source")
+    per_src = per_src.withColumn(
+        "p_sw", F.col("c_sw") / F.sum("c_sw").over(wsrc)
+    )
+    return (
+        per_src.join(F.broadcast(corpus.select("word", "p_corpus")), "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c_sw").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("p_sw") * F.log(F.col("p_sw") / F.col("p_corpus"))),
+                6,
+            ).alias("kl_divergence"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_UNIGRAM_KL_BY_SOURCE = """
+WITH words AS (
+  SELECT source, t.word
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(word)
+  WHERE len(t.word) > 0
+), corpus AS (
+  SELECT word, count(*) * 1.0 / sum(count(*)) OVER () AS p_corpus
+  FROM words GROUP BY 1
+), per_src AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw,
+         count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY source) AS p_sw
+  FROM words GROUP BY 1, 2
+)
+SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_tokens,
+       round(sum(p_sw * ln(p_sw / p_corpus)), 6) AS kl_divergence
+FROM per_src JOIN corpus USING (word)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["unigram_kl_by_source"] = q_unigram_kl_by_source
+ORACLES["unigram_kl_by_source"] = ORACLE_UNIGRAM_KL_BY_SOURCE
+
+
+def q_ngram_novelty_rate(spark, sf_dir):
+    """Per-decile 3-gram novelty: as the corpus grows (by doc_id), what
+    fraction of each document's word trigrams has never been seen
+    before — the marginal-value-of-more-data curve (novelty ~0 means
+    the source is mined out). Trigram first-occurrence is one min-agg
+    over 16-byte digests (the first-seen trick — no running state);
+    per-doc ratios aggregate to a 10-row decile rollup. The word split
+    MATERIALIZES as a column before the trigram transform — a lambda
+    referencing the raw split() expression re-evaluates the regex split
+    per element (no common-subexpression elimination across the lambda
+    boundary; measured 6x slower end to end at sf0.1)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    toks = d.select("doc_id", F.split(F.lower("text"), "[^a-z]+").alias("w"))
+    wc = F.size(F.col("w"))
+    grams = F.when(
+        wc >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), wc - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = toks.select(
+        "doc_id", F.explode(grams).alias("g")
+    ).select("doc_id", F.md5("g").alias("gh"))
+    first = doc_grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        doc_grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(F.lit(9), F.floor(F.col("doc_id") * 10 / (F.col("mx") + 1)))
+            .cast("bigint").alias("decile"),
+            (F.col("n_novel") / F.col("n_grams")).alias("ratio"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("avg_novelty"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_NGRAM_NOVELTY_RATE = """
+WITH arrs AS (
+  SELECT doc_id, string_split_regex(lower(text), '[^a-z]+') AS arr
+  FROM documents
+), doc_grams AS (
+  SELECT DISTINCT doc_id,
+         md5(arr[CAST(i AS INT)] || ' ' || arr[CAST(i AS INT) + 1] || ' ' ||
+             arr[CAST(i AS INT) + 2]) AS gh
+  FROM arrs, LATERAL unnest(range(1, greatest(len(arr) - 1, 1))) AS t(i)
+  WHERE len(arr) >= 3
+), first AS (
+  SELECT gh, min(doc_id) AS first_doc FROM doc_grams GROUP BY 1
+), per_doc AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM doc_grams g JOIN first f USING (gh)
+  GROUP BY 1
+), mx AS (SELECT max(doc_id) AS mx FROM documents)
+SELECT least(9, CAST(floor(p.doc_id * 10 / (mx.mx + 1)) AS BIGINT)) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_novel * 1.0 / n_grams), 6) AS avg_novelty
+FROM per_doc p, mx
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ngram_novelty_rate"] = q_ngram_novelty_rate
+ORACLES["ngram_novelty_rate"] = ORACLE_NGRAM_NOVELTY_RATE
+
+
+def q_wilson_error_rank(spark, sf_dir):
+    """Users ranked by Wilson-score LOWER bound of their error-event
+    rate — the small-sample-honest ranking (a 2/3 user does not outrank
+    a 40/100 user, which a raw-rate sort gets wrong). One partial+final
+    agg to the per-user rollup; the closed-form bound is row-local
+    float math."""
+    e = load_table(spark, sf_dir, "events")
+    roll = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint").alias("n_errors"),
+    )
+    z = F.lit(1.96)
+    n, ph = F.col("n_events"), F.col("n_errors") / F.col("n_events")
+    lb = (
+        ph + z * z / (2 * n)
+        - z * F.sqrt((ph * (1 - ph) + z * z / (4 * n)) / n)
+    ) / (1 + z * z / n)
+    return (
+        roll.withColumn("wilson_lb", F.round(lb, 6))
+        .withColumn("raw_rate", F.round(ph, 6))
+        .select("user_id", "n_events", "n_errors", "raw_rate", "wilson_lb")
+        .orderBy(F.desc("wilson_lb"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_WILSON_ERROR_RANK = """
+WITH roll AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1
+)
+SELECT user_id, n_events, n_errors,
+       round(ph, 6) AS raw_rate,
+       round((ph + 1.96 * 1.96 / (2 * n_events)
+              - 1.96 * sqrt((ph * (1 - ph) + 1.96 * 1.96 / (4 * n_events))
+                            / n_events))
+             / (1 + 1.96 * 1.96 / n_events), 6) AS wilson_lb
+FROM (SELECT *, n_errors * 1.0 / n_events AS ph FROM roll)
+ORDER BY wilson_lb DESC, user_id LIMIT 20
+"""
+
+QUERIES["wilson_error_rank"] = q_wilson_error_rank
+ORACLES["wilson_error_rank"] = ORACLE_WILSON_ERROR_RANK
+
+
+def q_pareto_tail_alpha(spark, sf_dir):
+    """Hill estimator of the power-law tail exponent of order values
+    per segment (alpha = k / sum(ln(x_i / x_k)) over the top-10% order
+    statistics) — quantifying HOW heavy the heavy tail is, where the
+    Zipf gate fits word frequencies. Which rows are 'the tail' is an
+    exact integer-rank cut (row_number over cents desc), so both
+    engines select bit-identical sets before any float math."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("segment").orderBy(F.desc("cents"), "o_orderkey")
+    ws = Window.partitionBy("segment")
+    kept = (
+        cents.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.floor(F.count(F.lit(1)).over(ws) * 0.1))
+        .filter(F.col("rn") <= F.col("k"))
+    )
+    kept = kept.withColumn("xmin", F.min("cents").over(ws))
+    return (
+        kept.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_tail"),
+            F.round(
+                F.count(F.lit(1))
+                / F.sum(F.log(F.col("cents") / F.col("xmin"))),
+                6,
+            ).alias("hill_alpha"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_PARETO_TAIL_ALPHA = """
+WITH cents AS (
+  SELECT c_mktsegment AS segment, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), ranked AS (
+  SELECT segment, cents,
+         row_number() OVER (
+           PARTITION BY segment ORDER BY cents DESC, o_orderkey) AS rn,
+         floor(count(*) OVER (PARTITION BY segment) * 0.1) AS k
+  FROM cents
+), kept AS (
+  SELECT segment, cents,
+         min(cents) OVER (PARTITION BY segment) AS xmin
+  FROM ranked WHERE rn <= k
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS k_tail,
+       round(count(*) / sum(ln(cents * 1.0 / xmin)), 6) AS hill_alpha
+FROM kept GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["pareto_tail_alpha"] = q_pareto_tail_alpha
+ORACLES["pareto_tail_alpha"] = ORACLE_PARETO_TAIL_ALPHA
+
+
+def q_keyset_pagination(spark, sf_dir):
+    """Keyset (cursor) pagination over orders by (orderdate, orderkey):
+    the page AFTER cursor (1997-06-15, 12345) — the at-scale
+    replacement for OFFSET, whose cost grows with page depth while a
+    keyset predicate pushes to the scan (PushedFilters on the date
+    column; min/max stats skip whole row groups of a date-partitioned
+    100 TB table). The comparison runs on the RAW timestamp column
+    (order dates are midnight-aligned at every SF) so the predicate
+    reaches the scan as PushedFilters — wrapping the column in
+    to_date() would defeat pushdown."""
+    o = load_table(spark, sf_dir, "orders")
+    cts = F.lit("1997-06-15 00:00:00").cast("timestamp")
+    page = o.filter(
+        (F.col("o_orderdate") > cts)
+        | ((F.col("o_orderdate") == cts) & (F.col("o_orderkey") > 12345))
+    )
+    return (
+        page.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").cast("string").alias("order_date"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("price_cents"),
+        )
+        .orderBy("order_date", "o_orderkey")
+        .limit(100)
+    )
+
+
+ORACLE_KEYSET_PAGINATION = """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+WHERE CAST(o_orderdate AS DATE) > DATE '1997-06-15'
+   OR (CAST(o_orderdate AS DATE) = DATE '1997-06-15' AND o_orderkey > 12345)
+ORDER BY order_date, o_orderkey LIMIT 100
+"""
+
+QUERIES["keyset_pagination"] = q_keyset_pagination
+ORACLES["keyset_pagination"] = ORACLE_KEYSET_PAGINATION

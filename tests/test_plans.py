@@ -548,3 +548,27 @@ def test_round7_batch6_scale_shapes(spark):
 
     p_post = plan(qs["posting_lists"](spark, SF_DIR))
     assert "hashpartitioning(term" in p_post
+
+
+def test_round7_batch7_scale_shapes(spark):
+    """Batch-7 staged gates: the Q2 shape joins its part and
+    supplier-chain dims as broadcasts (only the derived-partsupp
+    groupBy shuffles the fact table), the trimmed-mean and Hill-tail
+    rank windows partition on segment (no global sort of orders), the
+    novelty first-seen agg shuffles on the 16-byte gram digest, and the
+    keyset page's OR-of-ANDs cursor predicate reaches the parquet scan
+    as a pushed filter."""
+    qs = all_queries()
+
+    p_q2 = plan(qs["min_cost_supplier"](spark, SF_DIR))
+    assert p_q2.count("BroadcastHashJoin") >= 2
+    assert "hashpartitioning(l_partkey" in p_q2
+
+    for name in ("trimmed_mean_price", "pareto_tail_alpha"):
+        assert "hashpartitioning(segment" in plan(qs[name](spark, SF_DIR)), name
+
+    p_ng = plan(qs["ngram_novelty_rate"](spark, SF_DIR))
+    assert "hashpartitioning(gh" in p_ng
+
+    p_ks = plan(qs["keyset_pagination"](spark, SF_DIR))
+    assert "PushedFilters: [Or(GreaterThan(o_orderdate" in p_ks
