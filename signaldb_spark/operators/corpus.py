@@ -199,7 +199,14 @@ def segment_dedup(
     Output: (id, clean_text, n_segments, n_kept) — docs whose every
     segment was dropped still appear, with empty clean_text.
     """
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    # token array materializes before the transform — a lambda slicing
+    # the raw split(normalize) expression re-runs the regex pipeline
+    # once per segment
+    base = fan_out(df).select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tokens = F.col("_toks")
     n_seg = F.ceil(F.size(tokens) / seg_words).cast("int")
     segs = F.when(
         F.size(tokens) >= 1,
@@ -211,7 +218,7 @@ def segment_dedup(
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = (
-        fan_out(df)
+        base
         .select(F.col(id_col), F.posexplode(segs).alias("pos", "seg"))
         .withColumn("seg_h", F.xxhash64("seg"))
     )
@@ -374,7 +381,14 @@ def bigram_familiarity(
     Output: (id, n_bigrams, familiarity ∈ [0,1]) for every document;
     docs with fewer than two tokens score 0 over 0 bigrams.
     """
-    tokens = F.split(normalize_text(F.col(text_col)), " ")
+    # token array materializes before the transform — a lambda indexing
+    # the raw split(normalize) expression re-runs the regex pipeline
+    # twice per bigram
+    tok_base = fan_out(df).select(
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tokens = F.col("_toks")
     n_bg = F.size(tokens) - 1
     bigrams = F.when(
         n_bg >= 1,
@@ -391,7 +405,7 @@ def bigram_familiarity(
     # the model join's shuffle width is the cost center and the word
     # pair is its widest column (same trick as dedup.jaccard_pairs).
     bg = (
-        fan_out(df)
+        tok_base
         .select(F.col(id_col), F.explode(bigrams).alias("b"))
         .select(
             F.col(id_col),

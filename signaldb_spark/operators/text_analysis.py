@@ -123,17 +123,24 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     ``array_sort`` + linear ``aggregate`` run-length fold instead of an
     explode + groupBy, so nothing leaves the row.
     """
-    t = normalize_text(F.col(text_col))
-    tokens = F.split(t, " ")
+    # token and bigram arrays materialize as columns before reuse: a
+    # lambda (or repeated expression) referencing the raw
+    # split(normalize) re-evaluates the regex pipeline per element
+    base = fan_out(df).withColumn(
+        "_toks", F.split(normalize_text(F.col(text_col)), " ")
+    )
+    tokens = F.col("_toks")
     n_tok = F.size(tokens)
     n_bi = n_tok - 1
-    bigrams = F.when(
+    bigrams_expr = F.when(
         n_bi >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_bi, F.lit(1))),
             lambda i: F.concat_ws(" ", F.slice(tokens, i, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    base = base.withColumn("_bigrams", bigrams_expr)
+    bigrams = F.col("_bigrams")
     total = F.size(bigrams)
     distinct_bi = F.size(F.array_distinct(bigrams))
     # longest run in the sorted bigram array == max per-bigram count
@@ -155,7 +162,7 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
     dup_tok = n_tok - F.size(F.array_distinct(tokens))
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6
     safe_total = F.greatest(total, F.lit(1))
-    return fan_out(df).select(
+    return base.select(
         "*",
         total.cast("long").alias("n_bigrams"),
         distinct_bi.cast("long").alias("n_distinct_bigrams"),
@@ -166,7 +173,7 @@ def repetition_features(df: DataFrame, text_col: str) -> DataFrame:
             "top_bigram_frac"
         ),
         r6(dup_tok / F.greatest(n_tok, F.lit(1))).alias("dup_token_frac"),
-    )
+    ).drop("_toks", "_bigrams")
 
 
 def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
