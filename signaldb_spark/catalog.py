@@ -116,12 +116,19 @@ def optional_table(
     """
     path = signal_table_path(base, tenant, dataset, table)
     # Manifest-committed tables (the default sink) resolve through their
-    # current snapshot — readers see exactly the committed file set,
-    # never a half-finished writer's files.
-    from .storage.manifest import MANIFEST_DIR, ManifestTable
+    # current snapshot UNIONED with the hot (acked-but-unflushed) store —
+    # data is queryable at ack, commit cadence is a storage knob only
+    # (reference: openspec/changes/unflushed-data-visibility; the
+    # hot-before-cold ordering lives in storage/hot.py). Readers see
+    # exactly the committed file set plus published hot batches above
+    # the committed watermark, never a half-finished writer's files.
+    from .storage.hot import HOT_DIR, hybrid_read
+    from .storage.manifest import MANIFEST_DIR
 
-    if os.path.isdir(os.path.join(path, MANIFEST_DIR)):
-        df = ManifestTable(path).read(spark)
+    if os.path.isdir(os.path.join(path, MANIFEST_DIR)) or os.path.isdir(
+        os.path.join(path, HOT_DIR)
+    ):
+        df = hybrid_read(spark, path)
         if df is None:
             # A PROVISIONED table with no committed files yet (the
             # /tenants/{id}/tables/create path) must answer queries with

@@ -1,0 +1,217 @@
+"""Unflushed-data visibility: acknowledged-but-uncommitted batches are
+queryable immediately by unioning the hot (resident) store with the cold
+committed snapshot — visibility decouples from commit cadence, so the
+manifest commit interval becomes a pure storage-shape tuning knob.
+
+Behavior parity with the reference's unflushed-data-visibility change
+(openspec/changes/unflushed-data-visibility/proposal.md): every hot batch
+gets a per-table MONOTONIC sequence at ack time; every flush commit
+records the committed high-water sequence (the watermark) atomically in
+the SAME manifest version as the flushed files; the reader snapshots the
+hot sequence list BEFORE resolving the cold snapshot, then drops hot
+batches at or below the cold watermark. That ordering provably yields no
+duplication and no omission across the flush boundary:
+
+- a batch flushed between the hot listing and the manifest read appears
+  in both — but the (later-read) manifest's watermark now covers it, so
+  the hot copy is dropped: no duplication;
+- a batch acked after the hot listing is missing from this read but has
+  sequence above any watermark this read can see — later reads get it:
+  no omission, normal snapshot semantics.
+
+Spark-first shape: a hot batch is a small parquet directory (one ack =
+one file set, KB–MB scale); the hybrid view is
+``cold.unionByName(hot_above_watermark)``. At 100 TB the hot store is
+bounded by flush cadence (seconds of ingest), so the union adds a
+constant small scan regardless of table size; the cold side keeps its
+manifest-stats pruning untouched.
+
+First-run experience (per the reference proposal): a table with hot data
+but no committed snapshot yet serves hot-only — a new tenant's data is
+queryable before the first commit creates the table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .manifest import ManifestTable, collect_file_stats, _stage_into_data
+
+HOT_DIR = "hot"
+WATERMARK_PROP = "hot_watermark"
+_SEQ_RE = re.compile(r"^seq-(\d{8})$")
+
+
+class HotStore:
+    """Per-table resident-batch store with monotonic ack sequences.
+
+    A sequence is claimed by atomically renaming the written staging
+    directory to ``hot/seq-NNNNNNNN`` — ``os.rename`` to an existing
+    target raises on POSIX when the target is a non-empty directory, so
+    two concurrent ackers can never share a sequence; the loser retries
+    with the next number. Readers only ever see fully-written batches
+    (the rename is the publish point).
+    """
+
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.hot_dir = os.path.join(table_path, HOT_DIR)
+
+    # ---------------------------------------------------------------- ack
+
+    def sequences(self) -> list[int]:
+        """Published hot sequences, ascending. Snapshot this FIRST when
+        reading (see module docstring for why the order matters)."""
+        if not os.path.isdir(self.hot_dir):
+            return []
+        out = []
+        for name in os.listdir(self.hot_dir):
+            m = _SEQ_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _seq_path(self, seq: int) -> str:
+        return os.path.join(self.hot_dir, f"seq-{seq:08d}")
+
+    def ack(self, df: DataFrame) -> int:
+        """Write one hot batch and publish it under the next sequence.
+        Returns the claimed sequence. The write is staged under a
+        unique temp name and published by one atomic rename — a crashed
+        ack leaves only an unpublished ``.tmp-*`` orphan."""
+        os.makedirs(self.hot_dir, exist_ok=True)
+        staging = os.path.join(self.hot_dir, f".tmp-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        seqs = self.sequences()
+        seq = (seqs[-1] + 1) if seqs else 1
+        while True:
+            try:
+                os.rename(staging, self._seq_path(seq))
+                return seq
+            except OSError:
+                seq += 1
+
+    # --------------------------------------------------------------- read
+
+    def read_hot(
+        self, spark: SparkSession, above: int = -1, seqs: list[int] | None = None
+    ) -> DataFrame | None:
+        """Union of hot batches with sequence > ``above``. Pass the
+        pre-snapshot ``seqs`` list from :meth:`sequences` to keep the
+        hot-before-cold ordering contract."""
+        use = [s for s in (self.sequences() if seqs is None else seqs) if s > above]
+        if not use:
+            return None
+        return spark.read.parquet(*[self._seq_path(s) for s in use])
+
+    # ----------------------------------------------------------------- gc
+
+    def gc(self, watermark: int) -> list[int]:
+        """Remove hot batches at or below the committed watermark. Safe
+        for current readers: they resolve the current manifest, whose
+        watermark is >= this one, and never open dropped sequences. Run
+        it AFTER in-flight reads settle (or with a retention delay) —
+        a reader pinned to an old manifest version is the one consumer
+        that could still want these."""
+        dropped = []
+        for s in self.sequences():
+            if s <= watermark:
+                shutil.rmtree(self._seq_path(s), ignore_errors=True)
+                dropped.append(s)
+        return dropped
+
+
+def committed_watermark(table_path: str, version: int | None = None) -> int:
+    """The high-water hot sequence covered by the cold snapshot
+    (-1 before any flush commit)."""
+    man = ManifestTable(table_path).load_manifest(version)
+    return int(man.get("props", {}).get(WATERMARK_PROP, -1))
+
+
+def hybrid_read(
+    spark: SparkSession,
+    table_path: str,
+    table: str | None = None,
+) -> DataFrame | None:
+    """The querier's hot/cold union at one chokepoint: hot sequence list
+    snapshots FIRST, then the cold snapshot and its watermark resolve,
+    then hot batches at or below the watermark drop (no dup / no
+    omission — module docstring). ``None`` only when the table has
+    neither committed files nor hot batches."""
+    store = HotStore(table_path)
+    hot_seqs = store.sequences()  # MUST precede the manifest read
+    mt = ManifestTable(table_path)
+    wm = committed_watermark(table_path)
+    cold = mt.read(spark)
+    hot = store.read_hot(spark, above=wm, seqs=hot_seqs)
+    if cold is None:
+        return hot
+    if hot is None:
+        return cold
+    return cold.unionByName(hot, allowMissingColumns=True)
+
+
+def flush_hot(
+    spark: SparkSession,
+    table_path: str,
+    table: str,
+    partition_cols: tuple[str, ...] = ("date_day", "hour"),
+    stats_cols: tuple[str, ...] = ("timestamp",),
+) -> int:
+    """Flush every published hot batch into the cold table with ONE
+    manifest commit that adds the files AND advances the watermark in
+    the same atomic version object. Returns the new watermark (or the
+    current one when there is nothing to flush).
+
+    Idempotent under replay: the batch lineage key embeds the flushed
+    high-water sequence, so a crashed-and-retried flush of the same
+    range commits exactly once; the losing attempt's staged files stay
+    orphans for expire_snapshots. Hot batches are NOT deleted here —
+    readers already drop them via the watermark; reclaim is gc()'s job
+    (separating visibility from reclaim keeps the flush commit the only
+    correctness-critical step).
+    """
+    from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
+
+    store = HotStore(table_path)
+    seqs = store.sequences()
+    wm = committed_watermark(table_path)
+    todo = [s for s in seqs if s > wm]
+    if not todo:
+        return wm
+    hi = max(todo)
+    df = store.read_hot(spark, above=wm, seqs=seqs)
+    mt = ManifestTable(table_path)
+    batch_id = f"hotflush-{hi}"
+    if batch_id in mt.load_manifest()["batches"]:
+        return hi
+    attempt = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_path, "_staging", f"{batch_id}-{attempt}")
+    sort_cols = [c for c in SORT_ORDERS.get(table, []) if c in df.columns]
+    sorted_df = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    parts = [c for c in partition_cols if c in df.columns]
+    writer = sorted_df.write.mode("overwrite")
+    if parts:
+        writer = writer.partitionBy(*parts)
+    for k, v in BLOOM_WRITE_OPTIONS.items():
+        writer = writer.option(k, v)
+    writer.parquet(staging)
+    rel_files = _stage_into_data(staging, mt.data_dir, f"{batch_id}-{attempt}")
+    use_stats = [c for c in stats_cols if c in df.columns]
+    stats = (
+        collect_file_stats(mt.data_dir, rel_files, tuple(use_stats))
+        if use_stats
+        else None
+    )
+    mt.commit(
+        rel_files,
+        batch_id=batch_id,
+        stats=stats,
+        properties={WATERMARK_PROP: hi},
+    )
+    return hi

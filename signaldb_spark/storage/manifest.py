@@ -105,6 +105,7 @@ class ManifestTable:
         batch_id: int | str | None = None,
         max_retries: int = 20,
         stats: dict[str, dict] | None = None,
+        properties: dict | None = None,
     ) -> bool:
         """Commit a snapshot: current files − removed + added. Paths are
         relative to ``data/``. Returns False (no commit) if ``batch_id``
@@ -117,6 +118,12 @@ class ManifestTable:
         :meth:`read` can prune the file list by predicate range BEFORE
         Spark ever plans the scan — at 100 TB the planner should list
         the matching hour's files, not every file ever committed.
+
+        ``properties`` merges into the snapshot's table properties IN
+        THE SAME atomic version object as the file list (the Iceberg
+        table-properties analog) — the channel the hot/cold watermark
+        rides (storage/hot.py); properties carry forward on later
+        commits that don't touch them.
         """
         removed = set(remove_files)
         for _ in range(max_retries):
@@ -133,6 +140,7 @@ class ManifestTable:
                 "files": sorted(files),
                 "batches": cur["batches"] + ([batch_id] if batch_id is not None else []),
                 "stats": kept_stats,
+                "props": {**cur.get("props", {}), **(properties or {})},
             }
             try:
                 self._put_if_absent(manifest, cur["version"] + 1)

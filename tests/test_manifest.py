@@ -353,3 +353,136 @@ def test_index_store_roundtrip_and_versions(spark, tmp_path):
     v2 = store.save("pq_main", "pq", {"m": 2, "k": 4, "codebooks": books})
     assert v2 == 2 and store.versions("pq_main") == [1, 2]
     assert store.load("pq_main", version=1)["table_snapshot_version"] == 3
+
+
+# ------------------------------------------------------------- hot / cold
+
+
+def test_hot_data_visible_before_any_commit(spark, tmp_path):
+    """First-run experience: a table with hot batches but no committed
+    snapshot serves hot-only (reference: unflushed-data-visibility
+    proposal, 'first-run experience')."""
+    from signaldb_spark.storage.hot import HotStore, hybrid_read
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    assert hybrid_read(spark, table) is None
+    assert store.ack(_rows(spark, 10)) == 1
+    assert store.ack(_rows(spark, 5)) == 2
+    df = hybrid_read(spark, table)
+    assert df.count() == 15
+
+
+def test_flush_advances_watermark_no_dup_no_omission(spark, tmp_path):
+    from signaldb_spark.storage.hot import (
+        HotStore,
+        committed_watermark,
+        flush_hot,
+        hybrid_read,
+    )
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 10))
+    store.ack(_rows(spark, 5))
+    assert hybrid_read(spark, table).count() == 15
+    wm = flush_hot(spark, table, "logs")
+    assert wm == 2 and committed_watermark(table) == 2
+    # across the flush boundary the row count is unchanged: the flushed
+    # rows are now cold AND still present as hot files, but the
+    # watermark drops the hot copies
+    assert hybrid_read(spark, table).count() == 15
+    assert store.sequences() == [1, 2]  # flush does not reclaim
+    # new hot data post-flush unions on top of cold
+    store.ack(_rows(spark, 3))
+    assert hybrid_read(spark, table).count() == 18
+    # replayed flush of the same range is a no-op commit
+    assert flush_hot(spark, table, "logs") == 3  # flushes only seq 3
+    assert hybrid_read(spark, table).count() == 18
+
+
+def test_flush_replay_is_idempotent(spark, tmp_path):
+    from signaldb_spark.storage.hot import HotStore, flush_hot, hybrid_read
+
+    table = str(tmp_path / "t")
+    HotStore(table).ack(_rows(spark, 10))
+    assert flush_hot(spark, table, "logs") == 1
+    # replay with the same high-water sequence: lineage key matches, no
+    # second commit, no duplicated rows
+    assert flush_hot(spark, table, "logs") == 1
+    mt = ManifestTable(table)
+    assert sum(b == "hotflush-1" for b in mt.load_manifest()["batches"]) == 1
+    assert hybrid_read(spark, table).count() == 10
+
+
+def test_gc_reclaims_only_covered_sequences(spark, tmp_path):
+    from signaldb_spark.storage.hot import HotStore, flush_hot, hybrid_read
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 10))
+    flush_hot(spark, table, "logs")
+    store.ack(_rows(spark, 4))
+    assert store.gc(1) == [1]
+    assert store.sequences() == [2]
+    assert hybrid_read(spark, table).count() == 14
+
+
+def test_watermark_survives_unrelated_commits(spark, tmp_path):
+    """Table properties carry forward: a later plain batch commit must
+    not lose the hot watermark (else flushed hot batches would
+    reappear as duplicates)."""
+    from signaldb_spark.storage.hot import (
+        HotStore,
+        committed_watermark,
+        flush_hot,
+        hybrid_read,
+    )
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 10))
+    flush_hot(spark, table, "logs")
+    assert committed_watermark(table) == 1
+    write_batch_manifest(_rows(spark, 7), table, "logs", batch_id=99)
+    assert committed_watermark(table) == 1
+    assert hybrid_read(spark, table).count() == 17
+
+
+def test_hot_before_cold_ordering_prevents_duplication(spark, tmp_path):
+    """The reader's hot list is snapshot BEFORE the manifest: a flush
+    landing in between leaves the flushed batch in both the hot list
+    and the cold snapshot — the (later-read) watermark must drop the
+    hot copy."""
+    from signaldb_spark.storage.hot import HotStore, ManifestTable, flush_hot
+    from signaldb_spark.storage.hot import committed_watermark
+    from signaldb_spark.storage import hot as hotmod
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 10))
+    # simulate the race by replaying hybrid_read's steps with a flush
+    # wedged between the hot listing and the manifest read
+    hot_seqs = store.sequences()
+    flush_hot(spark, table, "logs")
+    wm = committed_watermark(table)
+    cold = ManifestTable(table).read(spark)
+    hot = store.read_hot(spark, above=wm, seqs=hot_seqs)
+    assert hot is None  # covered by the watermark -> dropped
+    assert cold.count() == 10
+
+
+def test_optional_table_serves_hot_union(spark, tmp_path):
+    """The catalog chokepoint (optional_table) serves acked hot data
+    before any commit, and exactly-once across the flush boundary."""
+    from signaldb_spark.catalog import optional_table, signal_table_path
+    from signaldb_spark.storage.hot import HotStore, flush_hot
+
+    base = str(tmp_path)
+    path = signal_table_path(base, "acme", "default", "logs")
+    assert optional_table(spark, base, "acme", "default", "logs") is None
+    HotStore(path).ack(_rows(spark, 12))
+    df = optional_table(spark, base, "acme", "default", "logs")
+    assert df is not None and df.count() == 12
+    flush_hot(spark, path, "logs")
+    assert optional_table(spark, base, "acme", "default", "logs").count() == 12
