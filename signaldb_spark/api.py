@@ -234,11 +234,68 @@ class SignalDBAPI:
         try:
             parsed = logql_parse(query)
             if isinstance(parsed, LogSelector):
+                if direction == "backward":
+                    fast = self._tail_topk(parsed, start, end, step_seconds, limit)
+                    if fast is not None:
+                        return logs_to_loki_streams(fast)
                 rows = query_logs(ctx, parsed, limit=limit, direction=direction)
                 return logs_to_loki_streams(rows)
             return matrix_to_prom(query_metric(ctx, query))
         except Exception as e:
             return error_envelope(str(e))
+
+    def _tail_topk(self, sel, start, end, step_seconds, limit):
+        """Statistics-ordered TopK fast path for backward log tails —
+        the declared-sort-orders analog (reference: openspec/changes/
+        declared-sort-orders): a manifest-backed logs table reads its
+        newest files first and stops as soon as the limit is provably
+        satisfied, instead of scanning the window (at 100 TB a tail
+        reads the newest hour, not the whole day). Returns None when
+        the fast path does not apply (non-manifest table, or unflushed
+        hot batches whose rows the manifest cannot see) — callers fall
+        back to the ordinary scan, so this is only ever an
+        optimization, never a semantics change. Selector predicates and
+        output stages apply per wave; the early-stop counts SURVIVING
+        rows (read_recent_topk's transform contract)."""
+        import os as _os
+
+        from .catalog import signal_table_path
+        from .storage.hot import HotStore, committed_watermark
+        from .storage.manifest import MANIFEST_DIR, ManifestTable
+
+        if any(s.name == "distinct" for s in sel.stages):
+            # distinct keeps the EARLIEST row per combination — a
+            # cross-row stage a partial newest-first file set answers
+            # wrongly; it violates read_recent_topk's transform contract
+            return None
+        path = signal_table_path(
+            self.session.base, self.tenant, self.dataset, "logs"
+        )
+        if not _os.path.isdir(_os.path.join(path, MANIFEST_DIR)):
+            return None
+        seqs = HotStore(path).sequences()
+        if seqs and seqs[-1] > committed_watermark(path):
+            return None  # hot rows are invisible to the manifest scan
+        from .logql.lowering import _apply_output_stages, apply_selector
+        from .maintenance import attr_demand
+
+        logs_cols = self.session.table("logs")
+        attr_demand.record_logql_query(
+            sel, self.tenant, self.dataset,
+            logs_cols.columns if logs_cols is not None else [],
+        )
+
+        def transform(df):
+            wave_ctx = LowerCtx(
+                self.spark, df, start, end, step_seconds,
+                tenant=self.tenant, dataset=self.dataset,
+            )
+            return _apply_output_stages(apply_selector(wave_ctx, sel), sel)
+
+        top, _files = ManifestTable(path).read_recent_topk(
+            self.spark, "timestamp", limit, transform=transform
+        )
+        return top
 
     # GET /loki/api/v1/query — instant metric query
 

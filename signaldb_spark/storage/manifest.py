@@ -197,6 +197,78 @@ class ManifestTable:
             return None
         return spark.read.option("basePath", self.data_dir).parquet(*fs)
 
+    def read_recent_topk(
+        self,
+        spark: SparkSession,
+        ts_col: str,
+        n: int,
+        version: int | None = None,
+        transform=None,
+    ) -> tuple[DataFrame | None, int]:
+        """Statistics-ordered TopK scan for the dominant observability
+        shape ``ORDER BY ts DESC LIMIT n`` — read the most-promising
+        files first instead of scanning the table (the reference's
+        declared-sort-orders change: DataFusion's statistics-based file
+        reordering + TopK pushdown, 27-49x on exactly this shape; our
+        ordering claim is the manifest's per-file [min, max], which the
+        committing writer recorded from the parquet footers — honest by
+        construction, never declared beyond what the file proves).
+
+        Files sort by recorded max(ts) descending and read in doubling
+        waves; the scan stops as soon as n rows are in hand AND the
+        n-th newest timestamp strictly exceeds every unread file's max
+        — unread files then provably hold no top-n row, so the result's
+        timestamp multiset equals the full scan's. Files without
+        recorded stats make no claim and are always read in the first
+        wave. The driver-side wave loop costs at most log2(files) Spark
+        jobs — the price of limit pushdown Spark's parquet scan does
+        not do natively.
+
+        Returns (top-n DataFrame ordered newest-first, files_read);
+        (None, 0) for an empty table. Ties at the n-th timestamp are
+        resolved arbitrarily, exactly like the unhinted full scan.
+
+        ``transform`` (optional) applies per wave BEFORE the order/limit
+        — the hook that makes the early-stop work under query
+        predicates (a filtered tail still stops once n SURVIVING rows
+        beat every unread file's max). The transform must only filter
+        rows or add/project columns; it must never alter ``ts_col``
+        values or synthesize rows, or the file-stats boundary check is
+        no longer an upper bound.
+        """
+        m = self.load_manifest(version)
+        stats = m.get("stats", {})
+        blind = [f for f in m["files"] if stats.get(f, {}).get(ts_col) is None]
+        known = sorted(
+            (f for f in m["files"] if f not in set(blind)),
+            key=lambda f: stats[f][ts_col][1],
+            reverse=True,
+        )
+        if not blind and not known:
+            return None, 0
+        taken = list(blind)
+        wave = 1
+        while True:
+            taken += known[len(taken) - len(blind):][:wave]
+            wave *= 2
+            unread = known[len(taken) - len(blind):]
+            df = spark.read.option("basePath", self.data_dir).parquet(
+                *[os.path.join(self.data_dir, f) for f in taken]
+            )
+            if transform is not None:
+                df = transform(df)
+            from pyspark.sql import functions as F
+
+            top = df.orderBy(F.desc(ts_col)).limit(n)
+            if not unread:
+                return top, len(taken)
+            rows = top.select(ts_col).collect()
+            if len(rows) >= n:
+                nth = _stat_key(rows[-1][0])
+                boundary = stats[unread[0]][ts_col][1]
+                if nth > boundary:
+                    return top, len(taken)
+
     # ------------------------------------------------------- housekeeping
 
     def _all_data_files(self) -> list[str]:

@@ -486,3 +486,55 @@ def test_optional_table_serves_hot_union(spark, tmp_path):
     assert df is not None and df.count() == 12
     flush_hot(spark, path, "logs")
     assert optional_table(spark, base, "acme", "default", "logs").count() == 12
+
+
+# ------------------------------------------------- stats-ordered TopK scan
+
+
+def _seq_ts_rows(spark, n, day, hour, start):
+    """n rows with distinct increasing timestamps inside (day, hour)."""
+    return spark.range(n).select(
+        F.col("id"),
+        F.lit(day).alias("date_day"),
+        F.lit(hour).alias("hour"),
+        (F.lit(start).cast("timestamp") + F.make_interval(secs=F.col("id")))
+        .alias("timestamp"),
+    )
+
+
+def test_read_recent_topk_matches_full_scan(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for b, (day, hour, start) in enumerate([
+        ("2024-01-01", 3, "2024-01-01 03:00:00"),
+        ("2024-01-01", 4, "2024-01-01 04:00:00"),
+        ("2024-01-02", 9, "2024-01-02 09:00:00"),
+    ]):
+        write_batch_manifest(_seq_ts_rows(spark, 50, day, hour, start), table, "logs", batch_id=b)
+    mt = ManifestTable(table)
+    top, files_read = mt.read_recent_topk(spark, "timestamp", 10)
+    got = [r.timestamp for r in top.select("timestamp").collect()]
+    want = [
+        r.timestamp
+        for r in mt.read(spark).orderBy(F.desc("timestamp")).limit(10)
+        .select("timestamp").collect()
+    ]
+    assert got == want
+    # the newest hour alone satisfies the limit: the scan must not have
+    # opened every file
+    assert files_read < len(mt.load_manifest()["files"])
+
+
+def test_read_recent_topk_reads_everything_when_needed(spark, tmp_path):
+    table = str(tmp_path / "t")
+    write_batch_manifest(
+        _seq_ts_rows(spark, 5, "2024-01-01", 3, "2024-01-01 03:00:00"),
+        table, "logs", batch_id=1)
+    write_batch_manifest(
+        _seq_ts_rows(spark, 5, "2024-01-01", 4, "2024-01-01 04:00:00"),
+        table, "logs", batch_id=2)
+    mt = ManifestTable(table)
+    top, files_read = mt.read_recent_topk(spark, "timestamp", 100)
+    assert top.count() == 10
+    assert files_read == len(mt.load_manifest()["files"])
+    empty = ManifestTable(str(tmp_path / "none"))
+    assert empty.read_recent_topk(spark, "timestamp", 5) == (None, 0)
