@@ -51,6 +51,12 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         # from a bounded tail capture; progress bars would displace it.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # FAIR scheduling so per-tenant scheduler pools share the
+        # cluster instead of FIFO head-of-line blocking — one tenant's
+        # heavy query must not starve every other tenant (the
+        # resource-fairness contract in execution.py; reference:
+        # openspec/changes/querier-execution-model).
+        .config("spark.scheduler.mode", "FAIR")
         # INT64 µs timestamps on write (NOT the INT96 legacy type):
         # INT96 carries no parquet min/max statistics, which would blind
         # both the manifest's file-level stats pruning and the scan's

@@ -1,0 +1,95 @@
+"""Query-execution contract (execution.py): deadline cancellation that
+actually stops the work, per-tenant fair pools and bounded concurrency,
+and incremental result delivery — the querier-execution-model parity."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from signaldb_spark.execution import (
+    FairQueryRunner,
+    QueryDeadlineExceeded,
+    TenantOverConcurrency,
+    stream_rows,
+)
+
+
+def test_deadline_cancels_server_side(spark):
+    runner = FairQueryRunner(spark, default_timeout_s=2.0)
+
+    def heavy():
+        # ~10^10-row crossJoin count: far beyond the 2s budget
+        return spark.range(100_000).crossJoin(spark.range(100_000)).count()
+
+    t0 = time.time()
+    with pytest.raises(QueryDeadlineExceeded) as ei:
+        runner.run("acme", heavy)
+    elapsed = time.time() - t0
+    assert ei.value.tenant == "acme" and ei.value.seconds == 2.0
+    # the deadline fired on budget (not after the query finished), and
+    # the cancel unwound promptly — CPU is not still burning
+    assert elapsed < 20
+
+
+def test_fast_query_returns_value_and_pool_is_tenant_scoped(spark):
+    runner = FairQueryRunner(spark, default_timeout_s=30.0)
+
+    def thunk():
+        pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        return pool, spark.range(10).count()
+
+    pool, n = runner.run("tenant-a", thunk)
+    assert pool == "tenant-a" and n == 10
+    # the calling thread's properties are untouched (thread-local)
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+
+def test_bounded_per_tenant_concurrency(spark):
+    runner = FairQueryRunner(spark, max_concurrent_per_tenant=1,
+                             default_timeout_s=30.0)
+    release = threading.Event()
+    started = threading.Event()
+
+    def slow():
+        started.set()
+        release.wait(20)
+        return 1
+
+    holder: list = []
+    t = threading.Thread(
+        target=lambda: holder.append(runner.run("acme", slow)), daemon=True
+    )
+    t.start()
+    assert started.wait(10)
+    # same tenant at the limit: attributable, immediate rejection
+    with pytest.raises(TenantOverConcurrency):
+        runner.run("acme", lambda: 2)
+    # a DIFFERENT tenant is not head-of-line blocked
+    assert runner.run("other", lambda: 3) == 3
+    release.set()
+    t.join(20)
+    assert holder == [1]
+    # the slot is free again
+    assert runner.run("acme", lambda: 4) == 4
+
+
+def test_errors_propagate_attributably(spark):
+    runner = FairQueryRunner(spark, default_timeout_s=10.0)
+
+    def boom():
+        raise ValueError("bad query")
+
+    with pytest.raises(ValueError, match="bad query"):
+        runner.run("acme", boom)
+
+
+def test_stream_rows_incremental(spark):
+    df = spark.range(1000).repartition(8)
+    it = stream_rows(df)
+    first = next(it)
+    assert set(first) == {"id"}
+    rest = sum(1 for _ in it)
+    assert rest == 999
