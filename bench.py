@@ -275,6 +275,13 @@ HEADLINE = [
     "wilson_error_rank",
     "pareto_tail_alpha",
     "keyset_pagination",
+    "customer_ltv_cohort",
+    "percent_of_total_window",
+    "robust_scaler_stats",
+    "dup_cluster_size_histogram",
+    "rolling_distinct_users",
+    "emb_centroid_shift",
+    "longest_activity_streak",
 ]
 
 

@@ -1,0 +1,437 @@
+"""Round-8 staging battery: oracle-gated queries registered AFTER the
+round-7 block so earlier rounds' tuned driver prefixes stay intact;
+these become fresh evidence once rounds 6-7 are proven.
+
+Same conventions as bench_queries (round(x, 6) floats, BIGINT counts,
+explicit tiebreaks, aliases identical on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q_customer_ltv_cohort(spark, sf_dir):
+    """Customer-lifetime-value cohort triangle: acquisition quarter ×
+    quarters-since-acquisition × revenue — the LTV matrix every growth
+    team reads. Acquisition quarter is a per-customer min-agg (one
+    shuffle on custkey), the triangle is one exact-cents rollup; ages
+    are integer quarter arithmetic so both engines bucket identically."""
+    o = load_table(spark, sf_dir, "orders")
+    qtr = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("bigint")
+    with_q = o.select(
+        "o_custkey",
+        qtr.alias("q"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_q = with_q.groupBy("o_custkey").agg(F.min("q").alias("cohort_q"))
+    return (
+        with_q.join(first_q, "o_custkey")
+        .groupBy(
+            "cohort_q", (F.col("q") - F.col("cohort_q")).alias("age_quarters")
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+            F.round(F.sum("cents") / 100.0, 6).alias("revenue_usd"),
+        )
+        .orderBy("cohort_q", "age_quarters")
+    )
+
+
+ORACLE_CUSTOMER_LTV_COHORT = """
+WITH with_q AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT) AS q,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first_q AS (
+  SELECT o_custkey, min(q) AS cohort_q FROM with_q GROUP BY 1
+)
+SELECT cohort_q, q - cohort_q AS age_quarters,
+       CAST(count(DISTINCT w.o_custkey) AS BIGINT) AS n_customers,
+       round(sum(cents) / 100.0, 6) AS revenue_usd
+FROM with_q w JOIN first_q f USING (o_custkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["customer_ltv_cohort"] = q_customer_ltv_cohort
+ORACLES["customer_ltv_cohort"] = ORACLE_CUSTOMER_LTV_COHORT
+
+
+def q_percent_of_total_window(spark, sf_dir):
+    """Two-level contribution analysis: each nation's share of its
+    region's revenue AND the region's share of global revenue — the BI
+    percent-of-total drilldown, as two stacked windows over one
+    nation-sized rollup (the fact table aggregates exactly once; both
+    ratios are divisions of exact cents)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    roll = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    wreg = Window.partitionBy("r_name")
+    wall = Window.partitionBy()
+    return (
+        roll.select(
+            "r_name",
+            "n_name",
+            F.round(F.col("cents") / 100.0, 6).alias("revenue_usd"),
+            F.round(F.col("cents") / F.sum("cents").over(wreg), 6)
+            .alias("share_of_region"),
+            F.round(
+                F.sum("cents").over(wreg) / F.sum("cents").over(wall), 6
+            ).alias("region_share_of_global"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_PERCENT_OF_TOTAL_WINDOW = """
+WITH roll AS (
+  SELECT r_name, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name,
+       round(cents / 100.0, 6) AS revenue_usd,
+       round(cents * 1.0 / sum(cents) OVER (PARTITION BY r_name), 6)
+         AS share_of_region,
+       round(sum(cents) OVER (PARTITION BY r_name) * 1.0
+             / sum(cents) OVER (), 6) AS region_share_of_global
+FROM roll ORDER BY r_name, n_name
+"""
+
+QUERIES["percent_of_total_window"] = q_percent_of_total_window
+ORACLES["percent_of_total_window"] = ORACLE_PERCENT_OF_TOTAL_WINDOW
+
+
+def q_robust_scaler_stats(spark, sf_dir):
+    """Robust-scaler fit per stream: EXACT median and IQR of event
+    values via integer-rank selection (the outlier-immune alternative
+    to the z-score gate's mean/sd) — medians as the average of the two
+    middle ranks so odd/even group sizes bucket identically in both
+    engines, quartiles as the rank-ceil(p*n) order statistic (the
+    classic type-1 estimator, pure integer math). Values quantize to
+    integer cents BEFORE ranking so ties resolve identically."""
+    e = load_table(spark, sf_dir, "events")
+    vals = e.select(
+        F.col("event_type").alias("service"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("service").orderBy("v")
+    ws = Window.partitionBy("service")
+    ranked = vals.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(ws)
+    )
+    n, rn = F.col("n"), F.col("rn")
+    is_mid = (rn == F.floor((n + 1) / 2)) | (rn == F.ceil((n + 1) / 2))
+    is_q1 = rn == F.ceil(n * 0.25)
+    is_q3 = rn == F.ceil(n * 0.75)
+    return (
+        ranked.filter(is_mid | is_q1 | is_q3)
+        .groupBy("service")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(F.avg(F.when(is_mid, F.col("v"))) / 100.0, 6)
+            .alias("median_value"),
+            F.round(
+                (
+                    F.max(F.when(is_q3, F.col("v")))
+                    - F.min(F.when(is_q1, F.col("v")))
+                ) / 100.0,
+                6,
+            ).alias("iqr"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_ROBUST_SCALER_STATS = """
+WITH vals AS (
+  SELECT event_type AS service,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT service, v,
+         row_number() OVER (PARTITION BY service ORDER BY v) AS rn,
+         count(*) OVER (PARTITION BY service) AS n
+  FROM vals
+)
+SELECT service, CAST(max(n) AS BIGINT) AS n_events,
+       round(avg(CASE WHEN rn IN (floor((n + 1) / 2), ceil((n + 1) / 2))
+                      THEN v END) / 100.0, 6) AS median_value,
+       round((max(CASE WHEN rn = ceil(n * 0.75) THEN v END)
+              - min(CASE WHEN rn = ceil(n * 0.25) THEN v END)) / 100.0, 6)
+         AS iqr
+FROM ranked
+WHERE rn IN (floor((n + 1) / 2), ceil((n + 1) / 2),
+             ceil(n * 0.25), ceil(n * 0.75))
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["robust_scaler_stats"] = q_robust_scaler_stats
+ORACLES["robust_scaler_stats"] = ORACLE_ROBUST_SCALER_STATS
+
+
+def q_dup_cluster_size_histogram(spark, sf_dir):
+    """Exact-duplicate cluster-size distribution: how much of the
+    corpus sits in singletons vs 2x vs 4x+ clusters — the corpus-health
+    histogram read before choosing a dedup budget. Text projects to
+    md5 digests (one 16-byte-keyed shuffle), cluster sizes roll up to a
+    log2-banded vocabulary, and the doc shares are exact integer
+    ratios."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.select(F.md5("text").alias("digest")).groupBy("digest").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    banded = clusters.select(
+        F.pow(F.lit(2.0), F.floor(F.log2("sz"))).cast("bigint").alias("size_band"),
+        "sz",
+    )
+    wall = Window.partitionBy()
+    return (
+        banded.groupBy("size_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+        )
+        .withColumn(
+            "doc_share",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(wall), 6),
+        )
+        .orderBy("size_band")
+    )
+
+
+ORACLE_DUP_CLUSTER_SIZE_HISTOGRAM = """
+WITH clusters AS (
+  SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS sz
+  FROM documents GROUP BY 1
+), banded AS (
+  SELECT CAST(2 ** floor(log2(sz)) AS BIGINT) AS size_band, sz FROM clusters
+)
+SELECT size_band, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       round(sum(sz) * 1.0 / sum(sum(sz)) OVER (), 6) AS doc_share
+FROM banded GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dup_cluster_size_histogram"] = q_dup_cluster_size_histogram
+ORACLES["dup_cluster_size_histogram"] = ORACLE_DUP_CLUSTER_SIZE_HISTOGRAM
+
+
+def q_rolling_distinct_users(spark, sf_dir):
+    """DAU and rolling 7-day distinct users (stickiness = DAU/WAU7) —
+    rolling COUNT DISTINCT, which no window frame can express without
+    unbounded state, via the contribution-explode trick: each (user,
+    active day) pair fans out to the <=7 window-end days it counts
+    toward, then one exact distinct per day. The explode factor is the
+    window length (a constant), so the shuffle is 7x the per-day user
+    vocabulary — not 7x the event stream."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    contrib = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            "day",
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.least(F.date_add(F.col("day"), 6), F.col("mx")),
+                )
+            ).alias("win_end"),
+        )
+    )
+    wau = contrib.groupBy("win_end").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau7")
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.win_end)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau") / F.col("wau7"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ROLLING_DISTINCT_USERS = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), bounds AS (
+  SELECT max(CAST(ts AS DATE)) AS mx FROM events
+), contrib AS (
+  SELECT ud.user_id, ud.day, t.win_end
+  FROM ud, bounds,
+       LATERAL unnest(generate_series(
+         ud.day, least(ud.day + INTERVAL 6 DAY, bounds.mx),
+         INTERVAL 1 DAY)) AS t(win_end)
+), wau AS (
+  SELECT CAST(win_end AS DATE) AS win_end,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau7
+  FROM contrib GROUP BY 1
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau7,
+       round(dau * 1.0 / wau7, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.win_end
+ORDER BY day
+"""
+
+QUERIES["rolling_distinct_users"] = q_rolling_distinct_users
+ORACLES["rolling_distinct_users"] = ORACLE_ROLLING_DISTINCT_USERS
+
+
+def q_emb_centroid_shift(spark, sf_dir):
+    """Embedding drift monitor: per-label centroid L2 shift between the
+    first and second half of the corpus (by vec_id) — did the meaning
+    of a class move between two snapshots. One posexplode to (label,
+    dim, value) with CONDITIONAL sums for both halves in a single
+    partial+final agg (the halves never materialize separately, vectors
+    shuffle only as per-dimension partial sums), then the distance
+    folds over the (labels x dims)-sized rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mx = e.agg(F.max("vec_id").alias("mx"))
+    exploded = (
+        e.crossJoin(F.broadcast(mx))
+        .select(
+            "label",
+            (F.col("vec_id") * 2 <= F.col("mx")).alias("is_old"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+    )
+    per_dim = exploded.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("is_old"), F.col("x")).otherwise(0.0)).alias("s_old"),
+        F.count(F.when(F.col("is_old"), 1)).cast("bigint").alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), F.col("x")).otherwise(0.0)).alias("s_new"),
+        F.count(F.when(~F.col("is_old"), 1)).cast("bigint").alias("n_new"),
+    )
+    d = F.col("s_old") / F.col("n_old") - F.col("s_new") / F.col("n_new")
+    return (
+        per_dim.withColumn("d2", d * d)
+        .groupBy("label")
+        .agg(
+            F.max("n_old").alias("n_old"),
+            F.max("n_new").alias("n_new"),
+            F.round(F.sqrt(F.sum("d2")), 6).alias("centroid_shift_l2"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_CENTROID_SHIFT = """
+WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
+exploded AS (
+  -- parallel unnest zips positionally (DuckDB has no WITH ORDINALITY)
+  SELECT label, e.vec_id * 2 <= mx.mx AS is_old,
+         unnest(range(len(e.embedding))) AS pos,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x
+  FROM embeddings e, mx
+), per_dim AS (
+  SELECT label, pos,
+         sum(CASE WHEN is_old THEN x ELSE 0 END) AS s_old,
+         CAST(count(CASE WHEN is_old THEN 1 END) AS BIGINT) AS n_old,
+         sum(CASE WHEN NOT is_old THEN x ELSE 0 END) AS s_new,
+         CAST(count(CASE WHEN NOT is_old THEN 1 END) AS BIGINT) AS n_new
+  FROM exploded GROUP BY 1, 2
+)
+SELECT label, CAST(max(n_old) AS BIGINT) AS n_old,
+       CAST(max(n_new) AS BIGINT) AS n_new,
+       round(sqrt(sum((s_old / n_old - s_new / n_new)
+                      * (s_old / n_old - s_new / n_new))), 6)
+         AS centroid_shift_l2
+FROM per_dim GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_centroid_shift"] = q_emb_centroid_shift
+ORACLES["emb_centroid_shift"] = ORACLE_EMB_CENTROID_SHIFT
+
+
+def q_longest_activity_streak(spark, sf_dir):
+    """Longest run of consecutive active DAYS per user (gaps-and-islands
+    on the calendar): the engagement-streak leaderboard. Distinct
+    (user, day) first (one shuffle), then the classic day - dense-rank
+    island key — consecutive days share a key with zero self-joins; top
+    20 by (streak, user) is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ud.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        F.min("day").alias("start_day"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_days"), "start_day"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.col("start_day").cast("string").alias("start_day"),
+        )
+        .orderBy(F.desc("streak_days"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_LONGEST_ACTIVITY_STREAK = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY day) AS INT) AS grp
+  FROM ud
+), streaks AS (
+  SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_days,
+         min(day) AS start_day
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, streak_days, CAST(start_day AS VARCHAR) AS start_day
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY streak_days DESC, start_day) AS rk
+      FROM streaks)
+WHERE rk = 1
+ORDER BY streak_days DESC, user_id LIMIT 20
+"""
+
+QUERIES["longest_activity_streak"] = q_longest_activity_streak
+ORACLES["longest_activity_streak"] = ORACLE_LONGEST_ACTIVITY_STREAK

@@ -9,6 +9,7 @@ from . import (
     bench_relational,
     bench_round6,
     bench_round7,
+    bench_round8,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -27,6 +28,7 @@ _MODULES = [
     # 50-prefix pinned to the backlog each round was tuned to prove
     bench_round6,
     bench_round7,
+    bench_round8,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

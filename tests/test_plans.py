@@ -572,3 +572,25 @@ def test_round7_batch7_scale_shapes(spark):
 
     p_ks = plan(qs["keyset_pagination"](spark, SF_DIR))
     assert "PushedFilters: [Or(GreaterThan(o_orderdate" in p_ks
+
+
+def test_round8_batch1_scale_shapes(spark):
+    """Round-8 staged gates: the rolling-distinct contribution explode
+    aggregates on the window-end day (one exact distinct per day, no
+    unbounded window state), the streak window partitions on user_id,
+    the centroid-shift partial sums shuffle on (label, pos) — vectors
+    never shuffle whole — and the robust-scaler rank window partitions
+    on the stream key."""
+    qs = all_queries()
+
+    p_rd = plan(qs["rolling_distinct_users"](spark, SF_DIR))
+    assert "hashpartitioning(win_end" in p_rd
+
+    p_st = plan(qs["longest_activity_streak"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_st
+
+    p_cs = plan(qs["emb_centroid_shift"](spark, SF_DIR))
+    assert "hashpartitioning(label" in p_cs
+
+    p_rs = plan(qs["robust_scaler_stats"](spark, SF_DIR))
+    assert "hashpartitioning(service" in p_rs
