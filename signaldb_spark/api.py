@@ -854,6 +854,18 @@ class SignalDBAPI:
     # POST /api/v1/ops/compact (+ /dry-run), GET /ops/compact/status
     # (endpoints/ops.rs); GET /schemas/available (management surface)
 
+    def health(self) -> dict:
+        """GET /health (router lib.rs:331): unconditional liveness —
+        the reference returns a bare 200; the envelope form carries the
+        same signal for dict-shaped callers."""
+        return {"status": "success", "data": "ok"}
+
+    def tempo_echo(self) -> str:
+        """GET /api/echo (endpoints/tempo.rs:599): Grafana's Tempo
+        connectivity check — the literal body \"echo\", per the Tempo
+        API doc."""
+        return "echo"
+
     def ops_compact_status(self, table: str) -> dict:
         from .catalog import signal_table_path
         from .maintenance.jobs import list_hour_partitions, partition_file_counts

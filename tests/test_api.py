@@ -611,3 +611,8 @@ def test_tail_topk_fast_path_matches_ordinary_scan(spark, tmp_path):
     assert api_fast._tail_topk(sel, START, END, 60, 5) is None
     flush_hot(spark, path, "logs")
     assert api_fast._tail_topk(sel, START, END, 60, 5) is not None
+
+
+def test_health_and_echo(api):
+    assert api.health() == {"status": "success", "data": "ok"}
+    assert api.tempo_echo() == "echo"
