@@ -333,6 +333,13 @@ def main() -> None:
              "unit": "sec", "queries": timings, "sf": sf_val, "n": len(timings)},
             fh, indent=1)
 
+    # write-path micro-benches (OTLP decode, manifest append, hot
+    # round-trip, compaction) — the ingest-side coverage the reference's
+    # performance-benchmarking-suite change specifies
+    from signaldb_spark.bench_write_paths import run as run_write_paths
+
+    write_paths = run_write_paths(spark)
+
     fams: dict[str, float] = {}
     for name, sec in timings.items():
         fams[_family(name)] = round(fams.get(_family(name), 0.0) + sec, 3)
@@ -347,6 +354,7 @@ def main() -> None:
                 "families": fams,
                 "n_queries": len(timings),
                 "per_query_file": "bench_per_query.json",
+                "write_paths": write_paths,
                 "sf": sf_val,
             }
         )
