@@ -282,6 +282,12 @@ HEADLINE = [
     "rolling_distinct_users",
     "emb_centroid_shift",
     "longest_activity_streak",
+    "top_k_movers",
+    "abandonment_by_hour",
+    "user_entropy_bands",
+    "peak_to_median_load",
+    "locf_gap_fill",
+    "returns_share_matrix",
 ]
 
 

@@ -435,3 +435,369 @@ ORDER BY streak_days DESC, user_id LIMIT 20
 
 QUERIES["longest_activity_streak"] = q_longest_activity_streak
 ORACLES["longest_activity_streak"] = ORACLE_LONGEST_ACTIVITY_STREAK
+
+
+def q_top_k_movers(spark, sf_dir):
+    """Week-over-week rank volatility: products whose revenue RANK moved
+    most between the last two full weeks — the merchandising 'movers'
+    report. Two weekly exact-cents rollups rank independently (windows
+    over part-vocabulary rollups), one join on partkey, top 15 by
+    absolute rank delta with deterministic tiebreaks."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    wk = F.weekofyear("o_orderdate")
+    yr = F.year("o_orderdate")
+    weekly = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter((yr == 1997) & wk.isin(10, 11))
+        .groupBy(wk.alias("wk"), "l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("wk").orderBy(F.desc("cents"), "l_partkey")
+    ranked = weekly.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    a = ranked.filter(F.col("wk") == 10).select(
+        "l_partkey", F.col("rnk").alias("rank_w1")
+    )
+    b = ranked.filter(F.col("wk") == 11).select(
+        "l_partkey", F.col("rnk").alias("rank_w2")
+    )
+    return (
+        a.join(b, "l_partkey")
+        .select(
+            "l_partkey",
+            "rank_w1",
+            "rank_w2",
+            (F.col("rank_w1") - F.col("rank_w2")).alias("rank_gain"),
+        )
+        .orderBy(F.desc(F.abs(F.col("rank_gain"))), "l_partkey")
+        .limit(15)
+    )
+
+
+ORACLE_TOP_K_MOVERS = """
+WITH weekly AS (
+  SELECT weekofyear(o_orderdate) AS wk, l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997 AND weekofyear(o_orderdate) IN (10, 11)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT wk, l_partkey,
+         CAST(row_number() OVER (
+           PARTITION BY wk ORDER BY cents DESC, l_partkey) AS BIGINT) AS rnk
+  FROM weekly
+)
+SELECT a.l_partkey, a.rnk AS rank_w1, b.rnk AS rank_w2,
+       a.rnk - b.rnk AS rank_gain
+FROM ranked a JOIN ranked b USING (l_partkey)
+WHERE a.wk = 10 AND b.wk = 11
+ORDER BY abs(a.rnk - b.rnk) DESC, a.l_partkey LIMIT 15
+"""
+
+QUERIES["top_k_movers"] = q_top_k_movers
+ORACLES["top_k_movers"] = ORACLE_TOP_K_MOVERS
+
+
+def q_abandonment_by_hour(spark, sf_dir):
+    """Hour-of-day session abandonment: share of 30-minute-gap sessions
+    containing a view but NO purchase, bucketed by the session's start
+    hour — where in the day the funnel leaks. Sessionization is the
+    portable lag-gap-cumsum idiom; the verdicts are one boolean agg per
+    session; the final rollup is 24 rows of exact integer ratios."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts").cast("double")).over(w)
+    )
+    sess = (
+        e.select("user_id", "ts", "event_type")
+        .withColumn(
+            "new_sess",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                Window.partitionBy("user_id").orderBy("ts")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.hour(F.min("ts")).cast("bigint").alias("start_hour"),
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("bought"),
+    )
+    return (
+        per_sess.filter(F.col("saw") == 1)
+        .groupBy("start_hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(1 - F.col("bought")).cast("bigint").alias("n_abandoned"),
+            F.round(F.sum(1 - F.col("bought")) / F.count(F.lit(1)), 6)
+            .alias("abandon_rate"),
+        )
+        .orderBy("start_hour")
+    )
+
+
+ORACLE_ABANDONMENT_BY_HOUR = """
+WITH gaps AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_type,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS sess_id
+  FROM gaps
+), per_sess AS (
+  SELECT user_id, sess_id,
+         CAST(hour(min(ts)) AS BIGINT) AS start_hour,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+  FROM sess GROUP BY 1, 2
+)
+SELECT start_hour, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(1 - bought) AS BIGINT) AS n_abandoned,
+       round(sum(1 - bought) * 1.0 / count(*), 6) AS abandon_rate
+FROM per_sess WHERE saw = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["abandonment_by_hour"] = q_abandonment_by_hour
+ORACLES["abandonment_by_hour"] = ORACLE_ABANDONMENT_BY_HOUR
+
+
+def q_user_entropy_bands(spark, sf_dir):
+    """Behavioral-diversity segmentation: per-user Shannon entropy of
+    the event-type distribution, banded to one decimal — single-track
+    users (entropy ~0) vs omnivores (~log2(5)). Counts stay exact
+    integers through both rollups; ln only touches the per-user
+    vocabulary-sized rows; the band key is exact integer deci-bits."""
+    e = load_table(spark, sf_dir, "events")
+    per_ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(wu)
+    per_user = (
+        per_ut.withColumn("term", -p * F.log2(p))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum("term").alias("entropy"),
+        )
+    )
+    band = F.floor(F.col("entropy") * 10).cast("bigint")
+    return (
+        per_user.groupBy(band.alias("entropy_band_decibits"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("entropy_band_decibits")
+    )
+
+
+ORACLE_USER_ENTROPY_BANDS = """
+WITH per_ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         sum(-(c * 1.0 / tot) * log2(c * 1.0 / tot)) AS entropy
+  FROM (SELECT *, sum(c) OVER (PARTITION BY user_id) AS tot FROM per_ut)
+  GROUP BY 1
+)
+SELECT CAST(floor(entropy * 10) AS BIGINT) AS entropy_band_decibits,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_entropy_bands"] = q_user_entropy_bands
+ORACLES["user_entropy_bands"] = ORACLE_USER_ENTROPY_BANDS
+
+
+def q_peak_to_median_load(spark, sf_dir):
+    """Capacity-planning headroom: per stream, the peak hourly event
+    count over the EXACT median hourly count (rank-selected, odd/even
+    handled identically in both engines) — how bursty is this service
+    relative to its typical hour. Everything after the hourly rollup is
+    window math over a few hundred rows per stream."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.col("event_type").alias("service"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("service").orderBy("n", "hr")
+    ws = Window.partitionBy("service")
+    ranked = hourly.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(ws)
+    )
+    n, rn = F.col("cnt"), F.col("rn")
+    is_mid = (rn == F.floor((n + 1) / 2)) | (rn == F.ceil((n + 1) / 2))
+    return (
+        ranked.groupBy("service")
+        .agg(
+            F.max("cnt").alias("n_hours"),
+            F.max("n").alias("peak_hourly"),
+            F.round(F.avg(F.when(is_mid, F.col("n"))), 6).alias("median_hourly"),
+            F.round(
+                F.max("n") / F.avg(F.when(is_mid, F.col("n"))), 6
+            ).alias("peak_to_median"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_PEAK_TO_MEDIAN_LOAD = """
+WITH hourly AS (
+  SELECT event_type AS service, date_trunc('hour', ts) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT service, hr, n,
+         row_number() OVER (PARTITION BY service ORDER BY n, hr) AS rn,
+         count(*) OVER (PARTITION BY service) AS cnt
+  FROM hourly
+)
+SELECT service, CAST(max(cnt) AS BIGINT) AS n_hours,
+       CAST(max(n) AS BIGINT) AS peak_hourly,
+       round(avg(CASE WHEN rn IN (floor((cnt + 1) / 2), ceil((cnt + 1) / 2))
+                      THEN n END), 6) AS median_hourly,
+       round(max(n) * 1.0
+             / avg(CASE WHEN rn IN (floor((cnt + 1) / 2),
+                                    ceil((cnt + 1) / 2)) THEN n END), 6)
+         AS peak_to_median
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["peak_to_median_load"] = q_peak_to_median_load
+ORACLES["peak_to_median_load"] = ORACLE_PEAK_TO_MEDIAN_LOAD
+
+
+def q_locf_gap_fill(spark, sf_dir):
+    """Last-observation-carried-forward over a dense daily spine: each
+    (service, day) cell carries that day's closing event value, or the
+    most recent earlier day's when the day is empty — the standard
+    timeseries imputation the null-filling gap gate stops short of.
+    The spine is generated-days x stream vocabulary (KB-scale); LOCF is
+    one last(ignoreNulls) window per stream; the fact table aggregates
+    once."""
+    e = load_table(spark, sf_dir, "events")
+    daily_last = (
+        e.groupBy(
+            F.col("event_type").alias("service"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.max_by(F.round(F.col("value"), 6), F.col("ts")).alias("close_value")
+        )
+    )
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("mn"), F.max(F.to_date("ts")).alias("mx")
+    )
+    days = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    services = e.select(F.col("event_type").alias("service")).distinct()
+    spine = days.crossJoin(F.broadcast(services))
+    w = Window.partitionBy("service").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spine.join(daily_last, ["service", "day"], "left")
+        .withColumn(
+            "filled_value", F.last("close_value", ignorenulls=True).over(w)
+        )
+        .select(
+            "service",
+            F.col("day").cast("string").alias("day"),
+            F.col("close_value").isNull().cast("int").cast("bigint")
+            .alias("was_gap"),
+            F.round("filled_value", 6).alias("filled_value"),
+        )
+        .orderBy("service", "day")
+    )
+
+
+ORACLE_LOCF_GAP_FILL = """
+WITH daily_last AS (
+  SELECT event_type AS service, CAST(ts AS DATE) AS day,
+         round(max_by(value, ts), 6) AS close_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events
+), days AS (
+  SELECT CAST(t.day AS DATE) AS day
+  FROM bounds, LATERAL unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS t(day)
+), spine AS (
+  SELECT s.service, d.day
+  FROM days d CROSS JOIN (SELECT DISTINCT event_type AS service FROM events) s
+)
+SELECT sp.service, CAST(sp.day AS VARCHAR) AS day,
+       CAST(CASE WHEN dl.close_value IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS was_gap,
+       round(last_value(dl.close_value IGNORE NULLS) OVER (
+         PARTITION BY sp.service ORDER BY sp.day
+         ROWS UNBOUNDED PRECEDING), 6) AS filled_value
+FROM spine sp LEFT JOIN daily_last dl
+  ON sp.service = dl.service AND sp.day = dl.day
+ORDER BY sp.service, sp.day
+"""
+
+QUERIES["locf_gap_fill"] = q_locf_gap_fill
+ORACLES["locf_gap_fill"] = ORACLE_LOCF_GAP_FILL
+
+
+def q_returns_share_matrix(spark, sf_dir):
+    """Returns exposure matrix: share of shipped quantity RETURNED per
+    (ship quarter, brand) — the merchandising quality read. One fact
+    rollup with a conditional exact-quantity sum; brand rides a
+    broadcast; shares are integral-double ratios (quantities are whole
+    numbers, so the sums are exact at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    qtr = (F.year("l_shipdate") * 4 + F.quarter("l_shipdate") - 1).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(F.year("l_shipdate") == 1997)
+        .groupBy(qtr.alias("ship_q"), "p_brand")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("qty_shipped"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+                  .otherwise(0.0)).cast("bigint").alias("qty_returned"),
+        )
+        .withColumn(
+            "return_share",
+            F.round(F.col("qty_returned") / F.col("qty_shipped"), 6),
+        )
+        .orderBy("ship_q", "p_brand")
+    )
+
+
+ORACLE_RETURNS_SHARE_MATRIX = """
+SELECT CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT)
+         AS ship_q,
+       p_brand,
+       CAST(sum(l_quantity) AS BIGINT) AS qty_shipped,
+       CAST(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+            AS BIGINT) AS qty_returned,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+             / sum(l_quantity), 6) AS return_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["returns_share_matrix"] = q_returns_share_matrix
+ORACLES["returns_share_matrix"] = ORACLE_RETURNS_SHARE_MATRIX

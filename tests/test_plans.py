@@ -594,3 +594,22 @@ def test_round8_batch1_scale_shapes(spark):
 
     p_rs = plan(qs["robust_scaler_stats"](spark, SF_DIR))
     assert "hashpartitioning(service" in p_rs
+
+
+def test_round8_batch2_scale_shapes(spark):
+    """Batch-2 staged gates: sessionization and entropy windows
+    partition on user_id (no global sort of events), the weekly rank
+    windows partition on the week key, and the LOCF spine joins the
+    stream vocabulary as a broadcast before its per-stream carry
+    window."""
+    qs = all_queries()
+
+    for name in ("abandonment_by_hour", "user_entropy_bands"):
+        assert "hashpartitioning(user_id" in plan(qs[name](spark, SF_DIR)), name
+
+    p_mv = plan(qs["top_k_movers"](spark, SF_DIR))
+    assert "hashpartitioning(wk" in p_mv
+
+    p_lf = plan(qs["locf_gap_fill"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_lf or "BroadcastHashJoin" in p_lf
+    assert "hashpartitioning(service" in p_lf
