@@ -243,13 +243,17 @@ def maintenance_cycle(
     1. lease-guarded compaction of closed multi-file partitions;
     2. retention drop of partitions outside ``keep_partitions`` (one
        snapshot commit, readers stay whole);
-    3. ``expire_snapshots(keep_last=keep_snapshots)`` — the ONLY place
-       data bytes die: manifests older than the horizon go away and the
-       files no retained snapshot references (compacted-away,
-       retention-dropped, crashed write attempts) are deleted.
+    3. ``expire_snapshots(keep_last=keep_snapshots)`` — manifests older
+       than the horizon go away and the files no retained snapshot
+       references (compacted-away, retention-dropped) are deleted;
+    4. grace-period orphan sweep (``cleanup_orphans``) — crashed write
+       attempts reclaim by default WITHOUT shortening time-travel
+       history (the lifecycle-reclamation default the reference's
+       compactor rework turns on).
 
-    Returns {"compacted": [...], "dropped": [...], "expired_files": [...]}.
-    No-op steps are safe to rerun; the whole cycle is idempotent."""
+    Returns {"compacted": [...], "dropped": [...], "expired_files":
+    [...], "orphans_deleted": [...]}. No-op steps are safe to rerun;
+    the whole cycle is idempotent."""
     from ..catalog import signal_table_path
 
     table_path = signal_table_path(base, tenant, dataset, table)
@@ -265,7 +269,51 @@ def maintenance_cycle(
     mt = _manifest_table(table_path)
     if mt is not None:
         expired = mt.expire_snapshots(keep_last=keep_snapshots)
-    return {"compacted": compacted, "dropped": dropped, "expired_files": expired}
+    orphans = cleanup_orphans(table_path, now=now)
+    return {"compacted": compacted, "dropped": dropped,
+            "expired_files": expired, "orphans_deleted": orphans}
+
+
+def cleanup_orphans(
+    table_path: str,
+    grace_seconds: float = 3600.0,
+    now: dt.datetime | None = None,
+) -> list[str]:
+    """Default-on physical reclamation of orphaned data files with a
+    grace period — the lifecycle-reclamation contract of the
+    reference's compactor-partition-scoped-lifecycle change: liveness
+    derives from the UNION of retained manifests' file lists (never
+    snapshot age, the #925 data-loss hazard), and a file must sit
+    unreferenced for ``grace_seconds`` past its last modification
+    before deletion, which protects a concurrent writer's just-staged
+    files whose commit has not landed yet. Unlike expire_snapshots
+    (which retires whole manifest versions), this reclaims crashed
+    write attempts WITHOUT shortening time-travel history. Returns the
+    deleted relative paths; idempotent and safe to run concurrently
+    with ingest."""
+    import time as _time
+
+    mt = _manifest_table(table_path)
+    if mt is None:
+        return []
+    cutoff = (
+        _time.time() if now is None else now.timestamp()
+    ) - grace_seconds
+    deleted = []
+    for rel in mt.find_orphans():
+        path = os.path.join(mt.data_dir, rel)
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue  # inside the grace window — maybe mid-commit
+            os.unlink(path)
+        except FileNotFoundError:
+            continue
+        deleted.append(rel)
+        d = os.path.dirname(path)
+        while d != mt.data_dir and os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    return deleted
 
 
 def apply_retention(

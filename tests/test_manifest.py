@@ -538,3 +538,35 @@ def test_read_recent_topk_reads_everything_when_needed(spark, tmp_path):
     assert files_read == len(mt.load_manifest()["files"])
     empty = ManifestTable(str(tmp_path / "none"))
     assert empty.read_recent_topk(spark, "timestamp", 5) == (None, 0)
+
+
+def test_cleanup_orphans_grace_period(spark, tmp_path):
+    """Grace-period orphan reclamation: a crashed write attempt's file
+    deletes once it ages past the grace window; a fresh (possibly
+    mid-commit) file survives; committed files are never candidates —
+    liveness comes from the union of retained manifests, not age."""
+    import datetime as dt
+
+    from signaldb_spark.maintenance.jobs import cleanup_orphans
+
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10), table, "logs", batch_id=1)
+    mt = ManifestTable(table)
+    part = os.path.join(mt.data_dir, "date_day=2024-01-01", "hour=3")
+    committed = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    payload = open(os.path.join(part, committed), "rb").read()
+    stray = os.path.join(part, "batch-9-deadbeef-00000.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(payload)
+    # inside the grace window: kept (a writer may be about to commit it)
+    assert cleanup_orphans(table, grace_seconds=3600) == []
+    assert os.path.exists(stray)
+    # past the grace window: reclaimed; the committed file is untouched
+    future = dt.datetime.now() + dt.timedelta(hours=2)
+    deleted = cleanup_orphans(table, grace_seconds=3600, now=future)
+    assert deleted == [os.path.relpath(stray, mt.data_dir)]
+    assert not os.path.exists(stray)
+    assert os.path.exists(os.path.join(part, committed))
+    assert mt.read(spark).count() == 10
+    # idempotent
+    assert cleanup_orphans(table, grace_seconds=0) == []
