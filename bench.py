@@ -288,6 +288,12 @@ HEADLINE = [
     "peak_to_median_load",
     "locf_gap_fill",
     "returns_share_matrix",
+    "holiday_diff_in_diff",
+    "ab_test_two_proportion",
+    "lead_lag_correlation",
+    "weekly_revenue_waterfall",
+    "percent_rank_bands",
+    "linear_attribution",
 ]
 
 

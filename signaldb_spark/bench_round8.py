@@ -801,3 +801,417 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["returns_share_matrix"] = q_returns_share_matrix
 ORACLES["returns_share_matrix"] = ORACLE_RETURNS_SHARE_MATRIX
+
+
+def q_holiday_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences revenue estimate: ASIA customers
+    (treatment) vs everyone else, before vs after 1998-01-01 — the
+    causal-inference workhorse as one conditional exact-cents rollup
+    per market segment (four sums in a single agg pass; the fact table
+    never scans twice). Normalized to per-order means so group-size
+    imbalance cancels; the DiD is (T_post - T_pre) - (C_post -
+    C_pre)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", (F.col("r_name") == "ASIA").alias("treated")
+    )
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "treated",
+            (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+            .alias("post"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+
+    def mean_if(t, p):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.sum(F.when(cond, F.col("cents")).otherwise(0)) / F.sum(
+            F.when(cond, 1).otherwise(0)
+        )
+
+    return (
+        base.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                (
+                    (mean_if(True, True) - mean_if(True, False))
+                    - (mean_if(False, True) - mean_if(False, False))
+                ) / 100.0,
+                6,
+            ).alias("did_usd"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_HOLIDAY_DIFF_IN_DIFF = """
+WITH base AS (
+  SELECT c_mktsegment AS segment,
+         r_name = 'ASIA' AS treated,
+         o_orderdate >= TIMESTAMP '1998-01-01' AS post,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_orders,
+       round(((sum(CASE WHEN treated AND post THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN treated AND post THEN 1 ELSE 0 END)
+               - sum(CASE WHEN treated AND NOT post THEN cents ELSE 0 END) * 1.0
+               / sum(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END))
+              - (sum(CASE WHEN NOT treated AND post THEN cents ELSE 0 END) * 1.0
+                 / sum(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END)
+                 - sum(CASE WHEN NOT treated AND NOT post THEN cents ELSE 0 END) * 1.0
+                   / sum(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END)))
+             / 100.0, 6) AS did_usd
+FROM base GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["holiday_diff_in_diff"] = q_holiday_diff_in_diff
+ORACLES["holiday_diff_in_diff"] = ORACLE_HOLIDAY_DIFF_IN_DIFF
+
+
+def q_ab_test_two_proportion(spark, sf_dir):
+    """Two-proportion z-test over a deterministic user split (user_id
+    parity as the assignment hash): did arm B convert (>=1 purchase)
+    more than arm A — the experimentation readout. One per-user verdict
+    agg, one 2-row arm rollup, then the closed-form pooled z; every
+    input to the float math is an exact integer count."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted")
+    )
+    arms = per_user.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wall = Window.partitionBy()
+    n, x = F.col("n_users"), F.col("n_converted")
+    n_tot = F.sum("n_users").over(wall)
+    x_tot = F.sum("n_converted").over(wall)
+    p_pool = x_tot / n_tot
+    # signed deviation of THIS arm's rate from the pooled rate, in
+    # pooled-standard-error units (symmetric across arms)
+    se = F.sqrt(p_pool * (1 - p_pool) * (1 / n + 1 / (n_tot - n)))
+    # a degenerate pool (everyone or no one converted) has zero pooled
+    # variance: no evidence either way -> z = 0 in BOTH engines (ANSI
+    # Spark would otherwise throw on the 0-division)
+    z = F.when(
+        (x_tot == 0) | (x_tot == n_tot), F.lit(0.0)
+    ).otherwise((x / n - (x_tot - x) / (n_tot - n)) / se)
+    return (
+        arms.select(
+            "arm",
+            "n_users",
+            "n_converted",
+            F.round(x / n, 6).alias("conv_rate"),
+            F.round(z, 6).alias("z_vs_other"),
+        )
+        .orderBy("arm")
+    )
+
+
+ORACLE_AB_TEST_TWO_PROPORTION = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+), arms AS (
+  SELECT CAST(user_id % 2 AS BIGINT) AS arm,
+         CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM per_user GROUP BY 1
+)
+SELECT arm, n_users, n_converted,
+       round(n_converted * 1.0 / n_users, 6) AS conv_rate,
+       CASE WHEN x_tot = 0 OR x_tot = n_tot THEN 0.0
+            ELSE round((n_converted * 1.0 / n_users
+              - (x_tot - n_converted) * 1.0 / (n_tot - n_users))
+             / sqrt((x_tot * 1.0 / n_tot) * (1 - x_tot * 1.0 / n_tot)
+                    * (1.0 / n_users + 1.0 / (n_tot - n_users))), 6)
+       END AS z_vs_other
+FROM (SELECT *, sum(n_users) OVER () AS n_tot,
+             sum(n_converted) OVER () AS x_tot
+      FROM arms)
+ORDER BY arm
+"""
+
+QUERIES["ab_test_two_proportion"] = q_ab_test_two_proportion
+ORACLES["ab_test_two_proportion"] = ORACLE_AB_TEST_TWO_PROPORTION
+
+
+def q_lead_lag_correlation(spark, sf_dir):
+    """Lead-lag cross-correlation between streams: corr of service A's
+    daily volume against service B's volume k days LATER (k = 0..3) —
+    does an error spike foreshadow signup drops. The daily rollup
+    self-joins on the shifted calendar key (vocabulary-sized, never the
+    event stream); output is the service-pair x lag matrix."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("svc"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    lags = spark.range(4).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(
+        F.col("svc").alias("svc_a"), F.col("day").alias("day_a"),
+        F.col("n").alias("n_a"),
+    ).crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("svc").alias("svc_b"), F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        a.join(b, F.date_add(F.col("day_a"), F.col("lag")) == F.col("day_b"))
+        .filter(F.col("svc_a") < F.col("svc_b"))
+        .groupBy("svc_a", "svc_b", F.col("lag").cast("bigint").alias("lag_days"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("n_a", "n_b"), 6).alias("xcorr"),
+        )
+        .orderBy("svc_a", "svc_b", "lag_days")
+    )
+
+
+ORACLE_LEAD_LAG_CORRELATION = """
+WITH daily AS (
+  SELECT event_type AS svc, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.svc AS svc_a, b.svc AS svc_b, CAST(l.lag AS BIGINT) AS lag_days,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.n, b.n), 6) AS xcorr
+FROM daily a
+CROSS JOIN (SELECT unnest(range(4)) AS lag) l
+JOIN daily b ON a.day + CAST(l.lag AS INT) = b.day AND a.svc < b.svc
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+QUERIES["lead_lag_correlation"] = q_lead_lag_correlation
+ORACLES["lead_lag_correlation"] = ORACLE_LEAD_LAG_CORRELATION
+
+
+def q_weekly_revenue_waterfall(spark, sf_dir):
+    """Weekly purchase-revenue waterfall: each week's revenue decomposed
+    into new users, retained users' growth/shrinkage, and churned
+    users' loss — the SaaS MRR-bridge shape on the event stream. Per
+    (user, week) exact cents roll up first; the week-over-week user
+    ledger is one FULL OUTER self-join on the shifted week key
+    (user-vocabulary-sized); the waterfall is a 5-way conditional sum."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.weekofyear("ts").cast("bigint")
+    per_uw = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", wk.alias("wk"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    cur = per_uw.select("user_id", "wk", F.col("cents").alias("c_cur"))
+    prv = per_uw.select(
+        "user_id", (F.col("wk") + 1).alias("wk"), F.col("cents").alias("c_prv")
+    )
+    ledger = cur.join(prv, ["user_id", "wk"], "full_outer")
+    first_wk = per_uw.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    ledger = ledger.join(first_wk, "user_id")
+    new_c = F.when(F.col("wk") == F.col("wk0"), F.col("c_cur")).otherwise(0)
+    churn_c = F.when(F.col("c_cur").isNull(), -F.col("c_prv")).otherwise(0)
+    expan = F.when(
+        F.col("c_cur").isNotNull() & F.col("c_prv").isNotNull()
+        & (F.col("wk") > F.col("wk0")),
+        F.col("c_cur") - F.col("c_prv"),
+    ).otherwise(0)
+    resur = F.when(
+        F.col("c_cur").isNotNull() & F.col("c_prv").isNull()
+        & (F.col("wk") > F.col("wk0")),
+        F.col("c_cur"),
+    ).otherwise(0)
+    return (
+        ledger.groupBy("wk")
+        .agg(
+            F.round(F.sum(new_c) / 100.0, 6).alias("new_usd"),
+            F.round(F.sum(expan) / 100.0, 6).alias("net_expansion_usd"),
+            F.round(F.sum(resur) / 100.0, 6).alias("resurrected_usd"),
+            F.round(F.sum(churn_c) / 100.0, 6).alias("churned_usd"),
+        )
+        .orderBy("wk")
+    )
+
+
+ORACLE_WEEKLY_REVENUE_WATERFALL = """
+WITH per_uw AS (
+  SELECT user_id, CAST(weekofyear(ts) AS BIGINT) AS wk,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), ledger AS (
+  SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         coalesce(c.wk, p.wk) AS wk,
+         c.cents AS c_cur, p.cents AS c_prv
+  FROM per_uw c
+  FULL OUTER JOIN (SELECT user_id, wk + 1 AS wk, cents FROM per_uw) p
+    ON c.user_id = p.user_id AND c.wk = p.wk
+), first_wk AS (
+  SELECT user_id, min(wk) AS wk0 FROM per_uw GROUP BY 1
+)
+SELECT wk,
+       round(sum(CASE WHEN wk = wk0 THEN c_cur ELSE 0 END) / 100.0, 6)
+         AS new_usd,
+       round(sum(CASE WHEN c_cur IS NOT NULL AND c_prv IS NOT NULL
+                      AND wk > wk0 THEN c_cur - c_prv ELSE 0 END) / 100.0, 6)
+         AS net_expansion_usd,
+       round(sum(CASE WHEN c_cur IS NOT NULL AND c_prv IS NULL
+                      AND wk > wk0 THEN c_cur ELSE 0 END) / 100.0, 6)
+         AS resurrected_usd,
+       round(sum(CASE WHEN c_cur IS NULL THEN -c_prv ELSE 0 END) / 100.0, 6)
+         AS churned_usd
+FROM ledger JOIN first_wk USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekly_revenue_waterfall"] = q_weekly_revenue_waterfall
+ORACLES["weekly_revenue_waterfall"] = ORACLE_WEEKLY_REVENUE_WATERFALL
+
+
+def q_percent_rank_bands(spark, sf_dir):
+    """percent_rank calibration bands: documents scored by length
+    percentile WITHIN their language ((rank-1)/(n-1), the engine-
+    portable definition), banded to deciles — the normalized-score
+    distribution check before cross-language thresholds. Window over
+    the lang partition; the tie-break on doc_id makes the rank
+    bit-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    band = F.least(F.lit(9), F.floor(pr * 10)).cast("bigint")
+    return (
+        d.select("lang", band.alias("pr_decile"))
+        .groupBy("lang", "pr_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pr_decile")
+    )
+
+
+ORACLE_PERCENT_RANK_BANDS = """
+WITH pr AS (
+  SELECT lang,
+         least(9, CAST(floor(percent_rank() OVER (
+           PARTITION BY lang ORDER BY n_chars, doc_id) * 10) AS BIGINT))
+           AS pr_decile
+  FROM documents
+)
+SELECT lang, pr_decile, CAST(count(*) AS BIGINT) AS n_docs
+FROM pr GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["percent_rank_bands"] = q_percent_rank_bands
+ORACLES["percent_rank_bands"] = ORACLE_PERCENT_RANK_BANDS
+
+
+def q_linear_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across the user's touches (view/click) EARLIER IN THE SAME
+    30-minute session — the complement of the last-touch gate. Touch
+    counting is one conditional window per purchase row (running count
+    over the session); credit per event type is exact cents divided by
+    an integer."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (
+        F.col("ts").cast("double")
+        - F.lag(F.col("ts").cast("double")).over(w)
+    )
+    sess = (
+        e.select("user_id", "ts", "event_type", "value")
+        .withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    purchases = (
+        sess.withColumn(
+            "n_touches",
+            F.sum(F.when(is_touch, 1).otherwise(0)).over(ws),
+        )
+        .filter((F.col("event_type") == "purchase") & (F.col("n_touches") > 0))
+        .select(
+            "user_id", "sess_id", "ts",
+            (F.round(F.col("value") * 100).cast("bigint")
+             / F.col("n_touches")).alias("credit_cents"),
+        )
+    )
+    touches = sess.filter(is_touch).select(
+        "user_id", "sess_id",
+        F.col("ts").alias("touch_ts"), F.col("event_type").alias("touch_type"),
+    )
+    return (
+        purchases.join(touches, ["user_id", "sess_id"])
+        .filter(F.col("touch_ts") < F.col("ts"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_credits"),
+            F.round(F.sum("credit_cents") / 100.0, 6).alias("attributed_usd"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+ORACLE_LINEAR_ATTRIBUTION = """
+WITH gaps AS (
+  SELECT user_id, ts, event_type, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, ts, event_type, value,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+           AS sess_id
+  FROM gaps
+), purchases AS (
+  SELECT user_id, sess_id, ts,
+         CAST(round(value * 100) AS BIGINT) * 1.0 / n_touches
+           AS credit_cents
+  FROM (SELECT *, sum(CASE WHEN event_type IN ('view', 'click')
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id, sess_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS n_touches
+        FROM sess)
+  WHERE event_type = 'purchase' AND n_touches > 0
+), touches AS (
+  SELECT user_id, sess_id, ts AS touch_ts, event_type AS touch_type
+  FROM sess WHERE event_type IN ('view', 'click')
+)
+SELECT touch_type, CAST(count(*) AS BIGINT) AS n_credits,
+       round(sum(credit_cents) / 100.0, 6) AS attributed_usd
+FROM purchases p JOIN touches t USING (user_id, sess_id)
+WHERE t.touch_ts < p.ts
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["linear_attribution"] = q_linear_attribution
+ORACLES["linear_attribution"] = ORACLE_LINEAR_ATTRIBUTION

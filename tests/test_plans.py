@@ -613,3 +613,29 @@ def test_round8_batch2_scale_shapes(spark):
     p_lf = plan(qs["locf_gap_fill"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p_lf or "BroadcastHashJoin" in p_lf
     assert "hashpartitioning(service" in p_lf
+
+
+def test_round8_batch3_scale_shapes(spark):
+    """Batch-3 staged gates: the DiD joins its entire dim chain as
+    broadcasts (the fact table aggregates in ONE conditional pass), the
+    attribution and waterfall session/ledger windows partition on
+    user_id, and the lead-lag self-join runs on the day-keyed rollup
+    with the 4-row lag table broadcast."""
+    qs = all_queries()
+
+    p_did = plan(qs["holiday_diff_in_diff"](spark, SF_DIR))
+    assert p_did.count("BroadcastHashJoin") >= 2
+    # tree-level SHUFFLE exchanges only (details repeat each node, and
+    # broadcast exchanges are not data shuffles): one agg shuffle + the
+    # presentation sort's range partitioning
+    shuffles = [
+        l for l in p_did.splitlines()
+        if " Exchange (" in l and "BroadcastExchange" not in l
+    ]
+    assert len(shuffles) <= 2, shuffles
+
+    for name in ("linear_attribution", "weekly_revenue_waterfall"):
+        assert "hashpartitioning(user_id" in plan(qs[name](spark, SF_DIR)), name
+
+    p_ll = plan(qs["lead_lag_correlation"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_ll or "BroadcastHashJoin" in p_ll

@@ -82,6 +82,13 @@ PROBE_QUERIES = [
     # two-phase band-then-refine weighted median: the banded window must
     # stay rollup-sized while the raw scan grows
     "weighted_median_price",
+    # round-8 shapes: rolling COUNT DISTINCT via the contribution
+    # explode (constant 7x fan-out of the per-day user vocabulary — the
+    # explode must scale with distinct users, not the event stream),
+    # and the dense-spine LOCF carry window (spine stays calendar-sized
+    # while the fact table grows)
+    "rolling_distinct_users",
+    "locf_gap_fill",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
