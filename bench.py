@@ -294,6 +294,11 @@ HEADLINE = [
     "weekly_revenue_waterfall",
     "percent_rank_bands",
     "linear_attribution",
+    "key_skew_profile",
+    "freshness_report",
+    "minhash_error_bands",
+    "ann_recall_at_k",
+    "bm25_topk",
 ]
 
 

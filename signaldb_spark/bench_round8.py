@@ -1215,3 +1215,454 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["linear_attribution"] = q_linear_attribution
 ORACLES["linear_attribution"] = ORACLE_LINEAR_ATTRIBUTION
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Shuffle-skew profiler: the distribution of per-key row counts for
+    the lineitem order key, log2-banded — the diagnostic read BEFORE
+    choosing a join strategy at 100 TB (a hot band at 2^20 means salting
+    or AQE skew-join; a flat profile means plain hash partitioning is
+    fine). One count per key, one band rollup; exact integers
+    throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_per_key")
+    )
+    band = F.pow(F.lit(2.0), F.floor(F.log2("rows_per_key"))).cast("bigint")
+    wall = Window.partitionBy()
+    return (
+        per_key.groupBy(band.alias("rows_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("rows_per_key").cast("bigint").alias("n_rows"),
+        )
+        .withColumn(
+            "row_share", F.round(F.col("n_rows") / F.sum("n_rows").over(wall), 6)
+        )
+        .orderBy("rows_band")
+    )
+
+
+ORACLE_KEY_SKEW_PROFILE = """
+WITH per_key AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS rows_per_key
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(2 ** floor(log2(rows_per_key)) AS BIGINT) AS rows_band,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(rows_per_key) AS BIGINT) AS n_rows,
+       round(sum(rows_per_key) * 1.0 / sum(sum(rows_per_key)) OVER (), 6)
+         AS row_share
+FROM per_key GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["key_skew_profile"] = q_key_skew_profile
+ORACLES["key_skew_profile"] = ORACLE_KEY_SKEW_PROFILE
+
+
+def q_freshness_report(spark, sf_dir):
+    """Per-stream data-freshness report: last event time and minutes of
+    staleness against the corpus watermark — the first panel of every
+    ingest-health dashboard. One agg per stream plus a broadcast 1-row
+    watermark; staleness is exact epoch arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("wm"))
+    per_svc = e.groupBy(F.col("event_type").alias("service")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    return (
+        per_svc.crossJoin(F.broadcast(wm))
+        .select(
+            "service",
+            "n_events",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            F.round(
+                (F.col("wm").cast("double") - F.col("last_ts").cast("double"))
+                / 60.0,
+                6,
+            ).alias("minutes_stale"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_FRESHNESS_REPORT = """
+WITH wm AS (SELECT max(ts) AS wm FROM events)
+SELECT event_type AS service, CAST(count(*) AS BIGINT) AS n_events,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+       round((epoch(wm.wm) - epoch(max(ts))) / 60.0, 6) AS minutes_stale
+FROM events, wm
+GROUP BY 1, wm.wm ORDER BY 1
+"""
+
+QUERIES["freshness_report"] = q_freshness_report
+ORACLES["freshness_report"] = ORACLE_FRESHNESS_REPORT
+
+
+def q_minhash_error_bands(spark, sf_dir):
+    """Sketch-accuracy audit: |MinHash-64 estimate − exact Jaccard|
+    error distribution over document pairs sharing their md5 digest
+    PREFIX (a cheap deterministic candidate blocking both engines
+    replay identically) — the measured answer to 'how much do I trust
+    the sketch'. Signatures are min(md5(h:shingle)) per (doc, h); the
+    estimate is matching components / 64; errors band at 0.05. The
+    audit runs on a FIXED deterministic 800-doc sample (doc_id bound):
+    sketch-error distributions converge with a few hundred pairs, and
+    the fixed sample keeps the audit's cost SF-invariant — an accuracy
+    check should not scan the corpus it audits."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    base = d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("_toks"),
+    )
+    toks = F.col("_toks")
+    n3 = F.size(toks) - 2
+    shing = F.when(
+        n3 >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n3, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = base.select(
+        "doc_id", F.explode(F.array_distinct(shing)).alias("shingle")
+    )
+    # deterministic UNIFORM pair blocking on a doc-id hash ring: ~3
+    # docs per 2-hex block -> a few pairs per block, bounded at any
+    # corpus size (the audit wants a reproducible pair sample across
+    # the similarity spectrum, not near-dup candidates — content
+    # blocking would hot-spot on the corpus's shared boilerplate)
+    blocks = sh.select("doc_id").distinct().select(
+        "doc_id",
+        F.substring(F.md5(F.concat(F.lit("pair:"), F.col("doc_id").cast("string"))), 1, 2)
+        .alias("blk"),
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), (F.col("a.blk") == F.col("b.blk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    # exact jaccard over the candidate pairs
+    sa = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a").join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    exact = (
+        inter.join(sizes.select(F.col("doc_id").alias("id_a"),
+                                F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("n_inter")
+             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+            .alias("exact_j"),
+        )
+    )
+    # minhash-64 signatures. Plain explode-then-md5 measured FASTER
+    # than building the 64 digests inside an array transform: the
+    # shingle is ~25 chars, so duplicating it 64x is cheaper than
+    # materializing a 64x32-char array per shingle row (the transform
+    # trick only wins when the duplicated payload is large)
+    hs = sh.select(
+        "doc_id", "shingle",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("h"),
+    ).select(
+        "doc_id", "h",
+        F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
+    )
+    sig = hs.groupBy("doc_id", "h").agg(F.min("hv").alias("mh"))
+    est = (
+        pairs.join(sig.select(F.col("doc_id").alias("id_a"), "h",
+                              F.col("mh").alias("mh_a")), "id_a")
+        .join(sig.select(F.col("doc_id").alias("id_b"),
+                         F.col("h").alias("h"), F.col("mh").alias("mh_b")),
+              ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
+            .alias("n_match")
+        )
+        .select("id_a", "id_b", (F.col("n_match") / 64.0).alias("est_j"))
+    )
+    err = exact.join(est, ["id_a", "id_b"]).select(
+        (F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * 20).cast("bigint"))
+        .alias("err_band_5pct")
+    )
+    return (
+        err.groupBy("err_band_5pct")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("err_band_5pct")
+    )
+
+
+ORACLE_MINHASH_ERROR_BANDS = r"""
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 800
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ')
+           AS shingle
+  FROM base, LATERAL unnest(range(1, greatest(len(toks) - 1, 1))) AS t(i)
+  WHERE len(toks) >= 3
+), blocks AS (
+  SELECT DISTINCT doc_id,
+         substr(md5('pair:' || doc_id::VARCHAR), 1, 2) AS blk
+  FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT p.id_a, p.id_b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), exact AS (
+  SELECT i.id_a, i.id_b,
+         i.n_inter * 1.0 / (za.sz + zb.sz - i.n_inter) AS exact_j
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+), sig AS (
+  SELECT doc_id, t.h, min(md5(t.h || ':' || shingle)) AS mh
+  FROM sh, LATERAL unnest(range(64)) AS t(h)
+  GROUP BY 1, 2
+), est AS (
+  SELECT p.id_a, p.id_b,
+         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS est_j
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b AND sb.h = sa.h
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(abs(est_j - exact_j) * 20) AS BIGINT) AS err_band_5pct,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM exact JOIN est USING (id_a, id_b)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["minhash_error_bands"] = q_minhash_error_bands
+ORACLES["minhash_error_bands"] = ORACLE_MINHASH_ERROR_BANDS
+
+
+def q_ann_recall_at_k(spark, sf_dir):
+    """ANN quality audit: recall@5 of the IVF index against the
+    brute-force ground truth, per query — the measured answer to 'what
+    does probing 2 of 8 cells cost in recall'. Composes the two
+    existing oracle-gated operators; the overlap is one semi-join on
+    (query, neighbor)."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 10)
+    truth = sim.cosine_topk(e, queries, "vec_id", "embedding", k=5, dims=64)
+    approx = sim.ivf_ann_topk(
+        e, queries, "vec_id", "embedding", k=5, n_cells=8, nprobe=2
+    )
+    hits = truth.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_hit = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    base = truth.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_truth")
+    )
+    return (
+        base.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "k_truth",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("k_truth"), 6)
+            .alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ORACLE_ANN_RECALL_AT_K = """
+WITH norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings)
+  GROUP BY vec_id
+),
+bpairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         sum(q.embedding[d.d]::DOUBLE * c.embedding[d.d]::DOUBLE) AS dot
+  FROM embeddings q, embeddings c, UNNEST(range(1, 65)) d(d)
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                      neighbor_id ASC) AS rk
+    FROM bpairs
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+  ) WHERE rk <= 5
+),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cell, embedding AS cv
+  FROM embeddings ORDER BY vec_id LIMIT 8
+),
+cnorms AS (
+  SELECT cell, sqrt(sum(x * x)) AS nrm
+  FROM (SELECT cell, unnest(cv)::DOUBLE AS x FROM cents)
+  GROUP BY cell
+),
+cscores AS (
+  SELECT e.vec_id, c.cell,
+         round(sum(e.embedding[d.d]::DOUBLE * c.cv[d.d]::DOUBLE)
+               / (n.nrm * cn.nrm), 6) AS score
+  FROM embeddings e
+  JOIN norms n ON n.vec_id = e.vec_id, cents c
+  JOIN cnorms cn ON cn.cell = c.cell, UNNEST(range(1, 65)) d(d)
+  GROUP BY e.vec_id, c.cell, n.nrm, cn.nrm
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+    FROM cscores
+  ) WHERE rk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+    FROM cscores WHERE vec_id < 10
+  ) WHERE rk <= 2
+),
+apairs AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         sum(eq.embedding[d.d]::DOUBLE * ec.embedding[d.d]::DOUBLE) AS dot
+  FROM probes p
+  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings ec ON ec.vec_id = a.vec_id
+  , UNNEST(range(1, 65)) d(d)
+  GROUP BY 1, 2
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(dot / (nq.nrm * nc.nrm), 6) DESC,
+                      neighbor_id ASC) AS rk
+    FROM apairs
+    JOIN norms nq ON nq.vec_id = query_id
+    JOIN norms nc ON nc.vec_id = neighbor_id
+  ) WHERE rk <= 5
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS k_truth,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hit,
+       round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall_at_5
+FROM truth t
+LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ann_recall_at_k"] = q_ann_recall_at_k
+ORACLES["ann_recall_at_k"] = ORACLE_ANN_RECALL_AT_K
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed 3-term query over the document
+    corpus (k1=1.2, b=0.75) — the sparse-retrieval baseline every
+    hybrid-search stack keeps next to its ANN index. Term frequencies
+    and document lengths are exact integers; idf/score float math is
+    per-row identical in both engines; top 15 with a doc_id
+    tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") > 0)
+    dlen = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    terms = ["data", "spark", "query"]
+    tf = (
+        words.filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    tfn = (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        F.round(F.sum(idf * tfn), 6).alias("bm25"),
+    )
+    return (
+        per_doc.orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+        .select("doc_id", "n_terms_hit", "bm25")
+    )
+
+
+ORACLE_BM25_TOPK = """
+WITH words AS (
+  SELECT doc_id, t.w
+  FROM documents d,
+       LATERAL unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(w)
+  WHERE len(t.w) > 0
+), dlen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM words GROUP BY 1
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dlen
+), tf AS (
+  SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM words WHERE w IN ('data', 'spark', 'query')
+  GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tf GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                 * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl * 1.0 / avgdl))), 6)
+         AS bm25
+FROM tf JOIN df USING (term) JOIN dlen USING (doc_id), stats
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLES["bm25_topk"] = ORACLE_BM25_TOPK

@@ -639,3 +639,22 @@ def test_round8_batch3_scale_shapes(spark):
 
     p_ll = plan(qs["lead_lag_correlation"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in p_ll or "BroadcastHashJoin" in p_ll
+
+
+def test_round8_batch4_scale_shapes(spark):
+    """Batch-4 staged gates: the skew profiler's per-key count shuffles
+    on the key being profiled, the BM25 document-frequency and term
+    stats broadcast onto the tf table, and the MinHash audit's
+    signature agg shuffles on (doc, hash-slot) — never the shingle
+    text past the first rollup."""
+    qs = all_queries()
+
+    p_sk = plan(qs["key_skew_profile"](spark, SF_DIR))
+    assert "hashpartitioning(l_orderkey" in p_sk
+
+    p_bm = plan(qs["bm25_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_bm
+    assert "TakeOrderedAndProject" in p_bm  # top-15 never global-sorts
+
+    p_mh = plan(qs["minhash_error_bands"](spark, SF_DIR))
+    assert "hashpartitioning(doc_id" in p_mh
