@@ -299,6 +299,11 @@ HEADLINE = [
     "minhash_error_bands",
     "ann_recall_at_k",
     "bm25_topk",
+    "new_vs_returning_mix",
+    "power_user_curve",
+    "cr4_concentration",
+    "seasonal_trend_decomposition",
+    "ship_lag_distribution",
 ]
 
 

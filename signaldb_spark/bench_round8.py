@@ -1666,3 +1666,258 @@ GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 15
 
 QUERIES["bm25_topk"] = q_bm25_topk
 ORACLES["bm25_topk"] = ORACLE_BM25_TOPK
+
+
+def q_new_vs_returning_mix(spark, sf_dir):
+    """Daily new-vs-returning user mix: events split by whether the
+    user was first seen that calendar day — the acquisition/retention
+    mix panel. First-seen is one min-agg on user_id (the first-seen
+    trick, no running state); the daily split is one conditional
+    rollup of exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day"))
+    first_day = days.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        days.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("bigint").alias("new_user_events"),
+            F.sum(F.when(F.col("day") != F.col("d0"), 1).otherwise(0))
+            .cast("bigint").alias("returning_events"),
+            F.round(
+                F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("new_share"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "new_user_events", "returning_events", "new_share",
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_NEW_VS_RETURNING_MIX = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+), first_day AS (
+  SELECT user_id, min(day) AS d0 FROM days GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_user_events,
+       CAST(sum(CASE WHEN day <> d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_events,
+       round(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS new_share
+FROM days JOIN first_day USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["new_vs_returning_mix"] = q_new_vs_returning_mix
+ORACLES["new_vs_returning_mix"] = ORACLE_NEW_VS_RETURNING_MIX
+
+
+def q_power_user_curve(spark, sf_dir):
+    """The power-user curve: how many users were active on exactly N
+    distinct days of the window — the engagement-frequency histogram
+    whose right-heaviness separates habit products from drive-by ones.
+    One distinct, one per-user count, one histogram rollup; all exact
+    integers."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.select("user_id", F.to_date("ts").alias("day")).distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_days"))
+    )
+    wall = Window.partitionBy()
+    return (
+        per_user.groupBy("active_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .withColumn(
+            "user_share",
+            F.round(F.col("n_users") / F.sum("n_users").over(wall), 6),
+        )
+        .orderBy("active_days")
+    )
+
+
+ORACLE_POWER_USER_CURVE = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS active_days
+  FROM events GROUP BY 1
+)
+SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS user_share
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["power_user_curve"] = q_power_user_curve
+ORACLES["power_user_curve"] = ORACLE_POWER_USER_CURVE
+
+
+def q_cr4_concentration(spark, sf_dir):
+    """Four-firm concentration ratio per region: the revenue share of
+    each region's four largest customers — the antitrust-style CR4
+    complement to the HHI gate. Per-customer exact cents roll up once;
+    the top-4 cut is a rank window over the customer-vocabulary
+    rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dims = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(F.desc("cents"), "o_custkey")
+    ws = Window.partitionBy("r_name")
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("cents").over(ws))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 4, F.col("cents")).otherwise(0))
+                / F.max("total"),
+                6,
+            ).alias("cr4"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_CR4_CONCENTRATION = """
+WITH per_cust AS (
+  SELECT r_name, o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT r_name, cents,
+         row_number() OVER (
+           PARTITION BY r_name ORDER BY cents DESC, o_custkey) AS rk,
+         sum(cents) OVER (PARTITION BY r_name) AS total
+  FROM per_cust
+)
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(CASE WHEN rk <= 4 THEN cents ELSE 0 END) * 1.0
+             / max(total), 6) AS cr4
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cr4_concentration"] = q_cr4_concentration
+ORACLES["cr4_concentration"] = ORACLE_CR4_CONCENTRATION
+
+
+def q_seasonal_trend_decomposition(spark, sf_dir):
+    """Additive seasonal decomposition of daily volume per stream:
+    trend = 7-day CENTERED moving average, seasonal = the stream's
+    mean weekday deviation from trend, residual = the rest — the
+    classic STL-lite every capacity forecast starts from. Three
+    stacked windows over the daily rollup; interior days only (the
+    centered window needs 3 days each side), weekday keyed identically
+    in both engines via dayofweek."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type").alias("service"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    wc = Window.partitionBy("service").orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.withColumn("n_win", F.count(F.lit(1)).over(wc)) \
+        .withColumn("trend", F.avg("n").over(wc)) \
+        .filter(F.col("n_win") == 7)
+    wd = F.dayofweek("day").cast("bigint")
+    wsd = Window.partitionBy("service", wd)
+    out = (
+        with_trend.withColumn("dev", F.col("n") - F.col("trend"))
+        .withColumn("seasonal", F.avg("dev").over(wsd))
+        .select(
+            "service",
+            F.col("day").cast("string").alias("day"),
+            F.round("trend", 6).alias("trend"),
+            F.round("seasonal", 6).alias("seasonal"),
+            F.round(F.col("n") - F.col("trend") - F.col("seasonal"), 6)
+            .alias("residual"),
+        )
+        .orderBy("service", "day")
+    )
+    return out
+
+
+ORACLE_SEASONAL_TREND_DECOMPOSITION = """
+WITH daily AS (
+  SELECT event_type AS service, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), with_trend AS (
+  SELECT service, day, n,
+         count(*) OVER w AS n_win,
+         avg(n) OVER w AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY service ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), interior AS (
+  SELECT * FROM with_trend WHERE n_win = 7
+)
+SELECT service, CAST(day AS VARCHAR) AS day,
+       round(trend, 6) AS trend,
+       round(avg(n - trend) OVER (
+         PARTITION BY service, dayofweek(day)), 6) AS seasonal,
+       round(n - trend - avg(n - trend) OVER (
+         PARTITION BY service, dayofweek(day)), 6) AS residual
+FROM interior ORDER BY service, day
+"""
+
+QUERIES["seasonal_trend_decomposition"] = q_seasonal_trend_decomposition
+ORACLES["seasonal_trend_decomposition"] = ORACLE_SEASONAL_TREND_DECOMPOSITION
+
+
+def q_ship_lag_distribution(spark, sf_dir):
+    """Order-to-ship lag histogram: days between order placement and
+    each line's ship date, banded weekly — the fulfillment-SLA
+    distribution. One fact-to-fact join on the order key (both sides
+    pre-projected to two columns) and one exact-integer band rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    wall = Window.partitionBy()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.floor(lag / 7).cast("bigint").alias("lag_weeks"))
+        .groupBy("lag_weeks")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .withColumn(
+            "share", F.round(F.col("n_lines") / F.sum("n_lines").over(wall), 6)
+        )
+        .orderBy("lag_weeks")
+    )
+
+
+ORACLE_SHIP_LAG_DISTRIBUTION = """
+SELECT CAST(floor(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(l_shipdate AS DATE)) / 7) AS BIGINT)
+         AS lag_weeks,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ship_lag_distribution"] = q_ship_lag_distribution
+ORACLES["ship_lag_distribution"] = ORACLE_SHIP_LAG_DISTRIBUTION

@@ -658,3 +658,26 @@ def test_round8_batch4_scale_shapes(spark):
 
     p_mh = plan(qs["minhash_error_bands"](spark, SF_DIR))
     assert "hashpartitioning(doc_id" in p_mh
+
+
+def test_round8_batch5_scale_shapes(spark):
+    """Batch-5 staged gates: first-seen and engagement rollups shuffle
+    on user_id, the CR4 rank window partitions on region over the
+    customer rollup (never raw orders), the STL-lite decomposition's
+    centered window runs over the (service, day) rollup, and the ship-
+    lag join projects both fact sides to two columns before the join
+    (ReadSchema stays narrow)."""
+    qs = all_queries()
+
+    for name in ("new_vs_returning_mix", "power_user_curve"):
+        assert "hashpartitioning(user_id" in plan(qs[name](spark, SF_DIR)), name
+
+    p_cr = plan(qs["cr4_concentration"](spark, SF_DIR))
+    assert "hashpartitioning(r_name" in p_cr
+
+    p_st = plan(qs["seasonal_trend_decomposition"](spark, SF_DIR))
+    assert "hashpartitioning(service" in p_st
+
+    p_sl = plan(qs["ship_lag_distribution"](spark, SF_DIR))
+    read = [l for l in p_sl.splitlines() if "ReadSchema" in l]
+    assert all("l_extendedprice" not in l for l in read)
