@@ -304,6 +304,10 @@ HEADLINE = [
     "cr4_concentration",
     "seasonal_trend_decomposition",
     "ship_lag_distribution",
+    "tfidf_cosine_pairs",
+    "centroid_confusion_matrix",
+    "emb_dim_variance_scree",
+    "load_average_rates",
 ]
 
 

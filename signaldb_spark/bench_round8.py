@@ -1921,3 +1921,294 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["ship_lag_distribution"] = q_ship_lag_distribution
 ORACLES["ship_lag_distribution"] = ORACLE_SHIP_LAG_DISTRIBUTION
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    """Weighted (TF-IDF) document-similarity audit over a deterministic
+    hash-ring pair sample — the sparse-weighted complement of the
+    Jaccard and MinHash gates (rare shared terms count more than
+    stopwords). Term vectors stay (doc, term-hash, weight) longs and
+    doubles; the sampled pairs join both docs' vectors on the term key;
+    output is the cosine-band histogram."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("w")
+    ).filter(F.length("w") > 0)
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    df_ = tf.groupBy("w").agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+    wts = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "w",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("wt"),
+        )
+    )
+    norms = wts.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    blocks = d.select(
+        "doc_id",
+        F.substring(
+            F.md5(F.concat(F.lit("tfidf:"), F.col("doc_id").cast("string"))), 1, 2
+        ).alias("blk"),
+    )
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), (F.col("a.blk") == F.col("b.blk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    dots = (
+        pairs.join(wts.select(F.col("doc_id").alias("id_a"), "w",
+                              F.col("wt").alias("wa")), "id_a")
+        .join(wts.select(F.col("doc_id").alias("id_b"), F.col("w").alias("w"),
+                         F.col("wt").alias("wb")), ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col("doc_id").alias("id_a"),
+                               F.col("nrm").alias("na")), "id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"),
+                           F.col("nrm").alias("nb")), "id_b")
+        .select(
+            F.floor(F.col("dot") / (F.col("na") * F.col("nb")) * 10)
+            .cast("bigint").alias("cos_band")
+        )
+    )
+    return (
+        cos.groupBy("cos_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("cos_band")
+    )
+
+
+ORACLE_TFIDF_COSINE_PAIRS = """
+WITH d AS (SELECT * FROM documents WHERE doc_id < 800),
+words AS (
+  SELECT doc_id, t.w
+  FROM d, LATERAL unnest(string_split_regex(lower(d.text), '[^a-z]+')) AS t(w)
+  WHERE len(t.w) > 0
+), tf AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2
+), dfreq AS (
+  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY 1
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+wts AS (
+  SELECT doc_id, w, tf * ln(n_docs * 1.0 / df) AS wt
+  FROM tf JOIN dfreq USING (w), nd
+), norms AS (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wts GROUP BY 1
+), blocks AS (
+  SELECT doc_id, substr(md5('tfidf:' || doc_id::VARCHAR), 1, 2) AS blk FROM d
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.doc_id < b.doc_id
+), dots AS (
+  SELECT p.id_a, p.id_b, sum(wa.wt * wb.wt) AS dot
+  FROM pairs p
+  JOIN wts wa ON wa.doc_id = p.id_a
+  JOIN wts wb ON wb.doc_id = p.id_b AND wb.w = wa.w
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(dot / (na.nrm * nb.nrm) * 10) AS BIGINT) AS cos_band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["tfidf_cosine_pairs"] = q_tfidf_cosine_pairs
+ORACLES["tfidf_cosine_pairs"] = ORACLE_TFIDF_COSINE_PAIRS
+
+
+def q_centroid_confusion_matrix(spark, sf_dir):
+    """Label-noise detector: confusion matrix of each vector's tagged
+    label vs its nearest label CENTROID (cosine) — off-diagonal mass is
+    candidate mislabeling. Centroids are (label, dim) partial sums (one
+    pass, vectors never shuffle whole); assignment scores every vector
+    against the 10-row centroid table broadcast; ties break on label
+    asc."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", "vec_id", F.posexplode("embedding").alias("pos", "x"))
+    cents = exploded.groupBy("label", "pos").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("c")
+    )
+    cnorm = cents.groupBy(F.col("label").alias("c_label")).agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    cvec = cents.select(F.col("label").alias("c_label"), "pos", "c")
+    vnorm = exploded.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("vn")
+    )
+    dots = (
+        exploded.join(F.broadcast(cvec), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+    scored = (
+        dots.join(vnorm, "vec_id")
+        .join(F.broadcast(cnorm), "c_label")
+        .select(
+            "vec_id", "label", "c_label",
+            F.round(F.col("dot") / (F.col("vn") * F.col("cn")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "c_label")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(
+            F.col("label").cast("bigint").alias("true_label"),
+            F.col("c_label").cast("bigint").alias("pred_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+ORACLE_CENTROID_CONFUSION_MATRIX = """
+WITH exploded AS (
+  SELECT label, vec_id,
+         unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cents AS (
+  SELECT label AS c_label, pos, sum(x) / count(*) AS c
+  FROM exploded GROUP BY 1, 2
+), cnorm AS (
+  SELECT c_label, sqrt(sum(c * c)) AS cn FROM cents GROUP BY 1
+), vnorm AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS vn FROM exploded GROUP BY 1
+), dots AS (
+  SELECT e.vec_id, e.label, c.c_label, sum(e.x * c.c) AS dot
+  FROM exploded e JOIN cents c USING (pos)
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.vec_id, d.label, d.c_label,
+         round(d.dot / (v.vn * n.cn), 6) AS cos
+  FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm n USING (c_label)
+), best AS (
+  SELECT vec_id, label, c_label FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, c_label) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT CAST(label AS BIGINT) AS true_label,
+       CAST(c_label AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM best GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["centroid_confusion_matrix"] = q_centroid_confusion_matrix
+ORACLES["centroid_confusion_matrix"] = ORACLE_CENTROID_CONFUSION_MATRIX
+
+
+def q_emb_dim_variance_scree(spark, sf_dir):
+    """Embedding scree table: per-dimension variance share and the
+    cumulative share in descending-variance order — how many of the 64
+    dimensions carry the signal (the PCA-lite read before quantizing or
+    truncating an index). One (dim)-keyed variance agg; everything
+    after runs on a 64-row table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy(F.col("pos").cast("bigint").alias("dim"))
+        .agg(F.var_pop("x").alias("var"))
+    )
+    wall = Window.partitionBy()
+    word = Window.orderBy(F.desc("var"), "dim").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_dim.withColumn("share", F.col("var") / F.sum("var").over(wall))
+        .withColumn("cum_share", F.sum("share").over(word))
+        .withColumn(
+            "var_rank",
+            F.row_number().over(Window.orderBy(F.desc("var"), "dim"))
+            .cast("bigint"),
+        )
+        .select(
+            "dim", "var_rank",
+            F.round("share", 6).alias("share"),
+            F.round("cum_share", 6).alias("cum_share"),
+        )
+        .orderBy("var_rank")
+    )
+
+
+ORACLE_EMB_DIM_VARIANCE_SCREE = """
+WITH per_dim AS (
+  SELECT CAST(pos AS BIGINT) AS dim, var_pop(x) AS var
+  FROM (SELECT unnest(range(len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+  GROUP BY 1
+), shares AS (
+  SELECT dim, var, var / sum(var) OVER () AS share FROM per_dim
+)
+SELECT dim,
+       CAST(row_number() OVER (ORDER BY var DESC, dim) AS BIGINT) AS var_rank,
+       round(share, 6) AS share,
+       round(sum(share) OVER (
+         ORDER BY var DESC, dim ROWS UNBOUNDED PRECEDING), 6) AS cum_share
+FROM shares ORDER BY var_rank
+"""
+
+QUERIES["emb_dim_variance_scree"] = q_emb_dim_variance_scree
+ORACLES["emb_dim_variance_scree"] = ORACLE_EMB_DIM_VARIANCE_SCREE
+
+
+def q_load_average_rates(spark, sf_dir):
+    """Load-average triple per stream: events/minute over the trailing
+    1h, 6h, and 24h windows ending at the corpus watermark — the
+    1/5/15-style saturation read. One conditional agg per stream
+    against a broadcast watermark; rates are exact counts over fixed
+    divisors."""
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max("ts").alias("wm"))
+    base = e.crossJoin(F.broadcast(wm)).select(
+        F.col("event_type").alias("service"),
+        (F.col("wm").cast("double") - F.col("ts").cast("double")).alias("age_s"),
+    )
+
+    def rate(hours):
+        return F.round(
+            F.sum(F.when(F.col("age_s") < hours * 3600, 1).otherwise(0))
+            / (hours * 60.0),
+            6,
+        )
+
+    return (
+        base.groupBy("service")
+        .agg(
+            rate(1).alias("rate_1h_per_min"),
+            rate(6).alias("rate_6h_per_min"),
+            rate(24).alias("rate_24h_per_min"),
+        )
+        .orderBy("service")
+    )
+
+
+ORACLE_LOAD_AVERAGE_RATES = """
+WITH wm AS (SELECT max(ts) AS wm FROM events)
+SELECT event_type AS service,
+       round(sum(CASE WHEN epoch(wm.wm) - epoch(ts) < 3600
+                      THEN 1 ELSE 0 END) / 60.0, 6) AS rate_1h_per_min,
+       round(sum(CASE WHEN epoch(wm.wm) - epoch(ts) < 21600
+                      THEN 1 ELSE 0 END) / 360.0, 6) AS rate_6h_per_min,
+       round(sum(CASE WHEN epoch(wm.wm) - epoch(ts) < 86400
+                      THEN 1 ELSE 0 END) / 1440.0, 6) AS rate_24h_per_min
+FROM events, wm
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["load_average_rates"] = q_load_average_rates
+ORACLES["load_average_rates"] = ORACLE_LOAD_AVERAGE_RATES

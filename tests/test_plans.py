@@ -681,3 +681,27 @@ def test_round8_batch5_scale_shapes(spark):
     p_sl = plan(qs["ship_lag_distribution"](spark, SF_DIR))
     read = [l for l in p_sl.splitlines() if "ReadSchema" in l]
     assert all("l_extendedprice" not in l for l in read)
+
+
+def test_round8_batch6_scale_shapes(spark):
+    """Batch-6 staged gates: the confusion-matrix assignment joins the
+    label-vocabulary centroid table as a BROADCAST (vectors never
+    shuffle whole — only (label, dim) partial sums do), the TF-IDF
+    audit's dot joins shuffle on the sampled pair ids, and the scree's
+    variance agg shuffles on the 64-value dim key."""
+    qs = all_queries()
+
+    p_cm = plan(qs["centroid_confusion_matrix"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_cm
+    assert "hashpartitioning(vec_id" in p_cm
+
+    p_tc = plan(qs["tfidf_cosine_pairs"](spark, SF_DIR))
+    assert "hashpartitioning(id_a" in p_tc or "hashpartitioning(id_b" in p_tc
+
+    # scree: variance aggregates (partial+final, one hash exchange on
+    # the dim grouping expr) BEFORE any Window touches the 64-row table
+    p_sc = plan(qs["emb_dim_variance_scree"](spark, SF_DIR))
+    lines = p_sc.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[win:])
+    assert "hashpartitioning" in p_sc
