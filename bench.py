@@ -308,6 +308,10 @@ HEADLINE = [
     "centroid_confusion_matrix",
     "emb_dim_variance_scree",
     "load_average_rates",
+    "median_order_gap",
+    "error_burst_streaks",
+    "priority_mix_shift",
+    "realized_vs_retail_margin",
 ]
 
 

@@ -2212,3 +2212,220 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["load_average_rates"] = q_load_average_rates
 ORACLES["load_average_rates"] = ORACLE_LOAD_AVERAGE_RATES
+
+
+def q_median_order_gap(spark, sf_dir):
+    """Purchase-cycle analysis: the EXACT median days between a
+    customer's consecutive orders, per market segment — the reorder
+    cadence that sizes retention campaigns. Gaps come from one lag
+    window per customer; the median is integer-rank selected over the
+    per-segment gap rollup (odd/even identical in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev_d", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_d").isNotNull())
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_d"))
+            .cast("bigint").alias("gap_d"),
+            "o_orderkey",
+        )
+    )
+    wr = Window.partitionBy("segment").orderBy("gap_d", "o_orderkey")
+    ws = Window.partitionBy("segment")
+    ranked = gaps.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "n", F.count(F.lit(1)).over(ws)
+    )
+    n, rn = F.col("n"), F.col("rn")
+    is_mid = (rn == F.floor((n + 1) / 2)) | (rn == F.ceil((n + 1) / 2))
+    return (
+        ranked.filter(is_mid)
+        .groupBy("segment")
+        .agg(
+            F.max("n").alias("n_gaps"),
+            F.round(F.avg("gap_d"), 6).alias("median_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_MEDIAN_ORDER_GAP = """
+WITH gaps AS (
+  SELECT c_mktsegment AS segment,
+         CAST(date_diff('day',
+              CAST(lag(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS DATE),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_d,
+         o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), nn AS (
+  SELECT * FROM gaps WHERE gap_d IS NOT NULL
+), ranked AS (
+  SELECT segment, gap_d,
+         row_number() OVER (PARTITION BY segment ORDER BY gap_d, o_orderkey)
+           AS rn,
+         count(*) OVER (PARTITION BY segment) AS n
+  FROM nn
+)
+SELECT segment, CAST(max(n) AS BIGINT) AS n_gaps,
+       round(avg(gap_d), 6) AS median_gap_days
+FROM ranked
+WHERE rn IN (floor((n + 1) / 2), ceil((n + 1) / 2))
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["median_order_gap"] = q_median_order_gap
+ORACLES["median_order_gap"] = ORACLE_MEDIAN_ORDER_GAP
+
+
+def q_error_burst_streaks(spark, sf_dir):
+    """Longest error BURST per user: the maximum run of consecutive
+    error events in each user's event sequence (gaps-and-islands on the
+    sequence index, not the calendar) — the flappiest-session
+    leaderboard. Two windows per user over the raw stream, then a
+    bounded top-20; tiebreak on (user, burst start)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    errs = seq.filter(F.col("event_type") == "error").withColumn(
+        "ern",
+        F.row_number().over(Window.partitionBy("user_id").orderBy("rn")),
+    )
+    streaks = (
+        errs.withColumn("grp", F.col("rn") - F.col("ern"))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("burst_len"),
+            F.min("ts").alias("start_ts"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("burst_len"), "start_ts")
+    return (
+        streaks.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", "burst_len",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("burst_start"),
+        )
+        .orderBy(F.desc("burst_len"), "user_id")
+        .limit(20)
+    )
+
+
+ORACLE_ERROR_BURST_STREAKS = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+), errs AS (
+  SELECT user_id, ts, rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY rn) AS ern
+  FROM seq WHERE event_type = 'error'
+), streaks AS (
+  SELECT user_id, rn - ern AS grp,
+         CAST(count(*) AS BIGINT) AS burst_len,
+         min(ts) AS start_ts
+  FROM errs GROUP BY 1, 2
+)
+SELECT user_id, burst_len,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS burst_start
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY burst_len DESC, start_ts) AS rk
+      FROM streaks)
+WHERE rk = 1
+ORDER BY burst_len DESC, user_id LIMIT 20
+"""
+
+QUERIES["error_burst_streaks"] = q_error_burst_streaks
+ORACLES["error_burst_streaks"] = ORACLE_ERROR_BURST_STREAKS
+
+
+def q_priority_mix_shift(spark, sf_dir):
+    """Order-priority mix shift: each priority's share of orders per
+    quarter and the share's delta vs the previous quarter (lag over the
+    priority x quarter rollup) — the leading indicator mix dashboards
+    watch. Exact integer shares; one rollup, two windows over it."""
+    o = load_table(spark, sf_dir, "orders")
+    qtr = (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1).cast("bigint")
+    roll = o.groupBy(qtr.alias("q"), "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wq = Window.partitionBy("q")
+    share = F.col("n") / F.sum("n").over(wq)
+    wp = Window.partitionBy("o_orderpriority").orderBy("q")
+    return (
+        roll.withColumn("share", share)
+        .withColumn("prev_share", F.lag("share").over(wp))
+        .select(
+            "q",
+            "o_orderpriority",
+            "n",
+            F.round("share", 6).alias("share"),
+            F.round(F.col("share") - F.col("prev_share"), 6)
+            .alias("share_delta"),
+        )
+        .orderBy("q", "o_orderpriority")
+    )
+
+
+ORACLE_PRIORITY_MIX_SHIFT = """
+WITH roll AS (
+  SELECT CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT)
+           AS q,
+         o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), shares AS (
+  SELECT q, o_orderpriority, n,
+         n * 1.0 / sum(n) OVER (PARTITION BY q) AS share
+  FROM roll
+)
+SELECT q, o_orderpriority, n, round(share, 6) AS share,
+       round(share - lag(share) OVER (
+         PARTITION BY o_orderpriority ORDER BY q), 6) AS share_delta
+FROM shares ORDER BY q, o_orderpriority
+"""
+
+QUERIES["priority_mix_shift"] = q_priority_mix_shift
+ORACLES["priority_mix_shift"] = ORACLE_PRIORITY_MIX_SHIFT
+
+
+def q_realized_vs_retail_margin(spark, sf_dir):
+    """Discount-depth report: realized unit price (extendedprice /
+    quantity, after-discount) vs the part's retail price, per brand —
+    where list price and street price diverge. Per-line ratios are
+    identical doubles in both engines; the brand rollup averages them
+    with an exact line count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.avg(unit / F.col("p_retailprice")), 6)
+            .alias("avg_realized_over_retail"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_REALIZED_VS_RETAIL_MARGIN = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+       round(avg((l_extendedprice / l_quantity) / p_retailprice), 6)
+         AS avg_realized_over_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["realized_vs_retail_margin"] = q_realized_vs_retail_margin
+ORACLES["realized_vs_retail_margin"] = ORACLE_REALIZED_VS_RETAIL_MARGIN

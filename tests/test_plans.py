@@ -705,3 +705,20 @@ def test_round8_batch6_scale_shapes(spark):
     win = next(i for i, l in enumerate(lines) if "Window" in l)
     assert any("HashAggregate" in l for l in lines[win:])
     assert "hashpartitioning" in p_sc
+
+
+def test_round8_batch7_scale_shapes(spark):
+    """Batch-7 staged gates: the order-gap and error-burst windows
+    partition on their natural keys (customer / user — no global sort
+    of the fact tables), and the margin report joins part as a
+    broadcast."""
+    qs = all_queries()
+
+    p_g = plan(qs["median_order_gap"](spark, SF_DIR))
+    assert "hashpartitioning(o_custkey" in p_g
+
+    p_b = plan(qs["error_burst_streaks"](spark, SF_DIR))
+    assert "hashpartitioning(user_id" in p_b
+
+    p_m = plan(qs["realized_vs_retail_margin"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_m
