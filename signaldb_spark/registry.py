@@ -85,6 +85,23 @@ _DRIVER_VERIFIED = frozenset({
     "promql_mod_pi", "promql_ts_of", "promql_first_over_time",
     "promql_limitk", "promql_limit_ratio", "promql_hist_stddev",
     "promql_hist_avg",
+    # round 5 (50 green rows in CORRECTNESS_r05.json)
+    "alert_for", "asof_forward", "asof_join", "asof_join_sliced",
+    "asof_nearest", "dedup_containment", "emb_mips_topk", "event_funnel",
+    "event_rolling_window", "event_sessions", "exphist_rate_quantile",
+    "interval_join", "ir_agg_pipeline", "ir_correlate", "ir_extract_rank",
+    "ir_match", "logql_ip_filter", "profile_label_values", "profile_types",
+    "promql_alert_state", "promql_metadata", "promql_native_quantile",
+    "promql_tsdb_status", "red_metrics", "service_graph",
+    "span_event_filter", "text_entropy", "time_weighted_avg",
+    "trace_child_spans", "trace_critical_path", "trace_descendant_closure",
+    "trace_descendant_spans", "trace_duration_filter", "trace_linked",
+    "trace_metrics_histogram", "trace_metrics_p90", "trace_metrics_rate",
+    "trace_not_child", "trace_search_regex", "trace_search_select",
+    "trace_search_truncation", "trace_sibling_spans", "trace_spanset_agg",
+    "trace_tag_names", "trace_tag_names_v2", "trace_tag_values",
+    "trace_tail_sample", "unigram_logprob", "user_retention",
+    "zscore_anomaly",
 })
 
 
