@@ -170,8 +170,11 @@ class TenantCatalog:
         return sorted(self._read()["tenants"].values(), key=lambda t: t["id"])
 
     def delete_tenant(self, tenant_id: str) -> None:
-        """Removes the tenant record and revokes its keys; table data
-        under the tenant's path is retention's job, not the catalog's."""
+        """Removes the tenant record, revokes its keys, and drops its
+        membership rows in the SAME commit — otherwise a user whose
+        sole membership pointed here would keep auto-resolving logins
+        to the dead tenant id. Table data under the tenant's path is
+        retention's job, not the catalog's."""
         def mutate(doc):
             if tenant_id not in doc["tenants"]:
                 raise AdminError("not_found", f"Tenant '{tenant_id}' not found")
@@ -179,6 +182,10 @@ class TenantCatalog:
             for k in doc["api_keys"].values():
                 if k["tenant_id"] == tenant_id and k.get("revoked_at") is None:
                     k["revoked_at"] = _now_iso(None)
+            ms = doc.get("memberships") or {}
+            for key in [k for k, m in ms.items()
+                        if m["tenant_id"] == tenant_id]:
+                del ms[key]
             return None
 
         return self._commit(mutate)

@@ -17,6 +17,7 @@ endpoints/promql.rs error paths).
 from __future__ import annotations
 
 import datetime as dt
+import functools
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -54,16 +55,57 @@ def _epoch_nanos(t) -> int:
     return int(float(t) * 1e9)
 
 
+def _guarded_route(fn):
+    """Route the method through the façade's execution contract (see
+    SignalDBAPI._guarded) — applied to every query-evaluating endpoint,
+    not to the cheap metadata routes."""
+
+    @functools.wraps(fn)
+    def wrapper(self, *args, **kwargs):
+        return self._guarded(lambda: fn(self, *args, **kwargs))
+
+    return wrapper
+
+
 class SignalDBAPI:
     """Per-(tenant, dataset) query surface — the TenantCatalog-scoped
     router dispatch."""
 
     def __init__(self, spark: SparkSession, base: str, tenant: str = "acme",
-                 dataset: str = "prod"):
+                 dataset: str = "prod", runner=None,
+                 query_timeout_s: float | None = None):
         self.spark = spark
         self.tenant = tenant
         self.dataset = dataset
         self.session = TenantSession(spark, base, tenant, dataset)
+        # Execution contract (opt-in): pass an execution.FairQueryRunner
+        # (typically one shared across all tenants' façades) and every
+        # query-evaluating route runs under the tenant's FAIR pool with
+        # a server-side-cancellable deadline and bounded concurrency —
+        # the querier-execution-model applied at the real endpoints.
+        self.runner = runner
+        self.query_timeout_s = query_timeout_s
+
+    def _guarded(self, thunk):
+        """Chokepoint for the execution contract: with no runner this is
+        a plain call (zero-overhead default); with one, the whole route
+        evaluation (lowering + action) runs in the tenant's scheduler
+        pool under a deadline that cancels the Spark job group on
+        expiry, and the two contract violations come back as
+        ATTRIBUTABLE error envelopes (who + budget), not as a hung
+        request or a stranger's queue."""
+        if self.runner is None:
+            return thunk()
+        from .execution import QueryDeadlineExceeded, TenantOverConcurrency
+
+        try:
+            return self.runner.run(
+                self.tenant, thunk, timeout_s=self.query_timeout_s
+            )
+        except QueryDeadlineExceeded as e:
+            return error_envelope(str(e), "timeout")
+        except TenantOverConcurrency as e:
+            return error_envelope(str(e), "too_many_requests")
 
     def _prom_ctx(self, start, end, step_seconds: int) -> PromCtx:
         t = self.session.table
@@ -84,6 +126,7 @@ class SignalDBAPI:
     # ------------------------------------------------- Prometheus surface
     # GET/POST /prometheus/api/v1/query_range (endpoints/promql.rs)
 
+    @_guarded_route
     def prom_query_range(self, query: str, start, end, step_seconds: int) -> dict:
         try:
             return matrix_to_prom(
@@ -95,6 +138,7 @@ class SignalDBAPI:
     # GET/POST /prometheus/api/v1/query — instant: evaluate one lookback
     # window ending at `time`, reduce to the latest sample per series
 
+    @_guarded_route
     def prom_query(self, query: str, time, lookback_s: int = DEFAULT_LOOKBACK_S) -> dict:
         try:
             ctx = self._prom_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
@@ -224,6 +268,7 @@ class SignalDBAPI:
     # GET /loki/api/v1/query_range (endpoints/logql.rs): log selectors
     # return streams, metric queries return a matrix
 
+    @_guarded_route
     def loki_query_range(self, query: str, start, end, step_seconds: int = 60,
                          limit: int = 100, direction: str = "backward") -> dict:
         from .logql.ast import LogSelector
@@ -299,6 +344,7 @@ class SignalDBAPI:
 
     # GET /loki/api/v1/query — instant metric query
 
+    @_guarded_route
     def loki_query(self, query: str, time, lookback_s: int = DEFAULT_LOOKBACK_S) -> dict:
         ctx = self._logs_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
         if ctx is None:
@@ -439,6 +485,7 @@ class SignalDBAPI:
     # ------------------------------------------------------ Tempo surface
     # GET /tempo/api/traces/<id> (endpoints/tempo.rs)
 
+    @_guarded_route
     def tempo_trace(self, trace_id: str, start=None, end=None) -> dict:
         from .traceql.trace_ops import assemble_hierarchy, find_by_id
 
@@ -453,6 +500,7 @@ class SignalDBAPI:
 
     # GET /tempo/api/search — q (TraceQL) or tags (logfmt), newest-N
 
+    @_guarded_route
     def tempo_search(self, q: str | None = None, tags: str | None = None,
                      limit: int = 20, spss: int | None = None,
                      start=None, end=None) -> dict:
@@ -498,6 +546,7 @@ class SignalDBAPI:
     # GET /tempo/api/metrics/query_range — TraceQL metrics
     # (the reference answers 501 here, tempo.rs:1284-1304)
 
+    @_guarded_route
     def tempo_metrics_query_range(self, q: str, start, end,
                                   step_seconds: int = 60) -> dict:
         from pyspark.sql import functions as F
@@ -594,6 +643,7 @@ class SignalDBAPI:
     # -------------------------------------------------- Pyroscope surface
     # GET /pyroscope/render — merged (optionally truncated) flamegraph
 
+    @_guarded_route
     def pyroscope_render(self, max_nodes: int | None = None) -> dict:
         from .operators.profiles import flamegraph_self, flamegraph_truncate
 
@@ -612,6 +662,7 @@ class SignalDBAPI:
     # GET /pyroscope/render-diff — differential flamegraph between two
     # windows (endpoints/pyroscope.rs /render-diff)
 
+    @_guarded_route
     def pyroscope_render_diff(self, base_start, base_end, comp_start,
                               comp_end) -> dict:
         from .operators.profiles import flamegraph_diff
@@ -677,6 +728,7 @@ class SignalDBAPI:
 
     # ------------------------------------------------------- IR + raw SQL
 
+    @_guarded_route
     def ir_query(self, doc: dict) -> dict:
         from .ir import lower, validate
 
@@ -692,6 +744,7 @@ class SignalDBAPI:
         except Exception as e:
             return error_envelope(str(e))
 
+    @_guarded_route
     def sql(self, query: str) -> dict:
         try:
             return {"status": "success",
@@ -740,6 +793,7 @@ class SignalDBAPI:
             return now_ns - total
         return _epoch_nanos(s)
 
+    @_guarded_route
     def query_ir(self, req: dict, now=None) -> dict:
         """POST /query: the request IS the IR document plus ``range``
         and ``result``. The validation wall runs first (ir.model), the

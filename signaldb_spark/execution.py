@@ -84,10 +84,12 @@ class FairQueryRunner:
         spark: SparkSession,
         max_concurrent_per_tenant: int = 4,
         default_timeout_s: float = 60.0,
+        cancel_grace_s: float = 30.0,
     ):
         self.spark = spark
         self.max_concurrent = max_concurrent_per_tenant
         self.default_timeout_s = default_timeout_s
+        self.cancel_grace_s = cancel_grace_s
         self._sems: dict[str, threading.BoundedSemaphore] = {}
         self._lock = threading.Lock()
 
@@ -121,21 +123,34 @@ class FairQueryRunner:
             except BaseException as e:  # surfaced below on join
                 result["error"] = e
             finally:
-                sc.setLocalProperty("spark.scheduler.pool", None)
+                # The WORKER owns the concurrency slot: a cancelled job
+                # that is slow to unwind keeps holding it, so the bound
+                # is a real bound — releasing from the caller would let
+                # a tenant with slow-to-cancel queries stack live worker
+                # threads past max_concurrent_per_tenant.
+                try:
+                    # PySpark has no clearJobGroup; the group rides
+                    # thread-local properties, so nulling them clears it
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.interruptOnCancel", None)
+                    sc.setLocalProperty("spark.scheduler.pool", None)
+                finally:
+                    sem.release()
 
         t = threading.Thread(target=worker, daemon=True)
         try:
             t.start()
-            t.join(timeout)
-            if t.is_alive():
-                sc.cancelJobGroup(group)
-                t.join(30)  # cancelled jobs unwind quickly
-                raise QueryDeadlineExceeded(tenant, timeout)
-            if "error" in result:
-                raise result["error"]
-            return result["value"]
-        finally:
-            sem.release()
+        except BaseException:
+            sem.release()  # worker never ran; the slot reverts to us
+            raise
+        t.join(timeout)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(self.cancel_grace_s)  # cancelled jobs unwind quickly
+            raise QueryDeadlineExceeded(tenant, timeout)
+        if "error" in result:
+            raise result["error"]
+        return result["value"]
 
 
 def stream_rows(df: DataFrame, prefetch: bool = True) -> Iterator[dict]:

@@ -235,6 +235,7 @@ def maintenance_cycle(
     now: dt.datetime | None = None,
     manager=None,
     target_files: int = 1,
+    orphan_grace_seconds: float = 259200.0,
 ) -> dict:
     """The full maintenance pass a manifest table needs, in reference
     order (src/compactor/src/lib.rs run loop: planner → rewriter →
@@ -249,7 +250,14 @@ def maintenance_cycle(
     4. grace-period orphan sweep (``cleanup_orphans``) — crashed write
        attempts reclaim by default WITHOUT shortening time-travel
        history (the lifecycle-reclamation default the reference's
-       compactor rework turns on).
+       compactor rework turns on). The sweep clock is WALL TIME, never
+       the ``now`` retention clock: retention is a logical decision
+       ("which partitions to keep") that callers may pin or replay,
+       but orphan grace protects concurrent writers' staged-but-
+       uncommitted files, and only real elapsed time says whether a
+       writer can still be in flight. ``orphan_grace_seconds`` defaults
+       to 3 days (Iceberg's remove_orphan_files posture), far above any
+       stage-to-commit latency.
 
     Returns {"compacted": [...], "dropped": [...], "expired_files":
     [...], "orphans_deleted": [...]}. No-op steps are safe to rerun;
@@ -269,14 +277,14 @@ def maintenance_cycle(
     mt = _manifest_table(table_path)
     if mt is not None:
         expired = mt.expire_snapshots(keep_last=keep_snapshots)
-    orphans = cleanup_orphans(table_path, now=now)
+    orphans = cleanup_orphans(table_path, grace_seconds=orphan_grace_seconds)
     return {"compacted": compacted, "dropped": dropped,
             "expired_files": expired, "orphans_deleted": orphans}
 
 
 def cleanup_orphans(
     table_path: str,
-    grace_seconds: float = 3600.0,
+    grace_seconds: float = 259200.0,
     now: dt.datetime | None = None,
 ) -> list[str]:
     """Default-on physical reclamation of orphaned data files with a
@@ -286,7 +294,14 @@ def cleanup_orphans(
     snapshot age, the #925 data-loss hazard), and a file must sit
     unreferenced for ``grace_seconds`` past its last modification
     before deletion, which protects a concurrent writer's just-staged
-    files whose commit has not landed yet. Unlike expire_snapshots
+    files whose commit has not landed yet. The grace clock must be
+    WALL TIME (``now`` exists only so tests can age files without
+    sleeping — never pass a logical/retention clock here: a future
+    ``now`` would delete a slow writer's staged files and the commit
+    that follows would reference deleted data). The 3-day default
+    matches Iceberg's remove_orphan_files posture — the grace must
+    exceed the slowest plausible stage-to-commit latency, not a
+    typical one. Unlike expire_snapshots
     (which retires whole manifest versions), this reclaims crashed
     write attempts WITHOUT shortening time-travel history. Returns the
     deleted relative paths; idempotent and safe to run concurrently

@@ -33,6 +33,7 @@ queryable before the first commit creates the table.
 
 from __future__ import annotations
 
+import errno
 import os
 import re
 import shutil
@@ -89,12 +90,18 @@ class HotStore:
         df.write.mode("overwrite").parquet(staging)
         seqs = self.sequences()
         seq = (seqs[-1] + 1) if seqs else 1
-        while True:
+        for _ in range(100_000):
             try:
                 os.rename(staging, self._seq_path(seq))
                 return seq
-            except OSError:
+            except OSError as e:
+                # Only a claimed-sequence collision (rename onto an
+                # existing non-empty directory) is retryable; EACCES /
+                # ENOSPC / EXDEV etc. must surface, not spin forever.
+                if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                    raise
                 seq += 1
+        raise RuntimeError("hot ack: sequence contention exceeded retry cap")
 
     # --------------------------------------------------------------- read
 
@@ -208,10 +215,19 @@ def flush_hot(
         if use_stats
         else None
     )
-    mt.commit(
+    committed = mt.commit(
         rel_files,
         batch_id=batch_id,
         stats=stats,
         properties={WATERMARK_PROP: hi},
+        # CAS on the watermark: only commit if it is still the one this
+        # flush planned against. A racing flush that advanced it first
+        # already covers some (or all) of our sequences — committing ours
+        # anyway would re-add those batches' rows and possibly regress
+        # the watermark. The staged files stay expire-able orphans; any
+        # sequences the winner did NOT cover remain hot (still readable
+        # via the watermark filter) and the next flush picks them up.
+        precondition=lambda m: int(m.get("props", {}).get(WATERMARK_PROP, -1))
+        == wm,
     )
-    return hi
+    return hi if committed else committed_watermark(table_path)

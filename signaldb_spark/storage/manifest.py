@@ -106,6 +106,7 @@ class ManifestTable:
         max_retries: int = 20,
         stats: dict[str, dict] | None = None,
         properties: dict | None = None,
+        precondition=None,
     ) -> bool:
         """Commit a snapshot: current files − removed + added. Paths are
         relative to ``data/``. Returns False (no commit) if ``batch_id``
@@ -124,11 +125,21 @@ class ManifestTable:
         table-properties analog) — the channel the hot/cold watermark
         rides (storage/hot.py); properties carry forward on later
         commits that don't touch them.
+
+        ``precondition`` (manifest → bool), when given, is re-evaluated
+        against the CURRENT manifest on every retry; a falsy result
+        aborts the whole commit with False. This is the
+        compare-and-swap hook watermark-bearing commits need: a flush
+        asserts "the watermark is still the one I planned against", so
+        a racing flush can never re-add already-flushed batches or
+        regress the watermark, whichever order the two commits land in.
         """
         removed = set(remove_files)
         for _ in range(max_retries):
             cur = self.load_manifest()
             if batch_id is not None and batch_id in cur["batches"]:
+                return False
+            if precondition is not None and not precondition(cur):
                 return False
             files = [f for f in cur["files"] if f not in removed] + list(add_files)
             kept_stats = {
@@ -292,23 +303,43 @@ class ManifestTable:
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Drop old manifests (keep the newest ``keep_last``), then
-        delete data files no retained snapshot references. Readers that
-        resolved a retained version stay consistent — this, not commit,
-        is the only place data files die (snapshot expiration,
-        src/compactor/src/retention/)."""
+        delete the data files those EXPIRED manifests referenced and no
+        retained snapshot still does. Readers that resolved a retained
+        version stay consistent — this, not commit, is the only place
+        committed data files die (snapshot expiration,
+        src/compactor/src/retention/).
+
+        Deliberately NOT a directory diff: a file on disk that no
+        manifest has ever referenced may be a concurrent writer's
+        staged batch whose commit is about to land — deleting it here
+        (with zero grace) would be the lost-staged-file hazard. Such
+        files are maintenance.cleanup_orphans' job, behind its
+        wall-clock grace window (the Iceberg split: expireSnapshots vs
+        removeOrphanFiles)."""
         vs = self.versions()
-        for v in vs[:-keep_last] if keep_last > 0 else vs:
+        drop = vs[:-keep_last] if keep_last > 0 else vs
+        keep = vs[len(drop):]
+        expired_refs: set[str] = set()
+        for v in drop:  # read before unlinking the manifests
+            expired_refs.update(self.load_manifest(v)["files"])
+        retained_refs: set[str] = set()
+        for v in keep:
+            retained_refs.update(self.load_manifest(v)["files"])
+        dead = sorted(expired_refs - retained_refs)
+        for v in drop:
             os.unlink(self._manifest_path(v))
-        orphans = self.find_orphans()
-        for rel in orphans:
+        for rel in dead:
             path = os.path.join(self.data_dir, rel)
-            os.unlink(path)
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
             # prune now-empty partition dirs
             d = os.path.dirname(path)
             while d != self.data_dir and os.path.isdir(d) and not os.listdir(d):
                 os.rmdir(d)
                 d = os.path.dirname(d)
-        return orphans
+        return dead
 
 
 # ------------------------------------------------------------------ writers

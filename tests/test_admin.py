@@ -91,6 +91,31 @@ def test_dataset_scoped_key_and_tenant_delete_revokes(tmp_path):
     assert cat.get_tenant("t") is None and k["id"]
 
 
+def test_delete_tenant_drops_memberships_and_sessions_follow(tmp_path):
+    """delete_tenant removes the tenant's membership rows in the same
+    commit: a user whose sole membership pointed at the deleted tenant
+    must not keep auto-resolving logins to the dead tenant id, and
+    whoami must stop reporting the membership (ADVICE round 5)."""
+    cat = TenantCatalog(str(tmp_path))
+    cat.create_tenant("dead", "Dead", now=NOW)
+    cat.create_tenant("live", "Live", now=NOW)
+    u = cat.create_user("solo@x.io", "longpassword123", "dead")
+    cat.create_user("both@x.io", "longpassword123", "dead")
+    cat.upsert_membership("live", "both@x.io", "viewer")
+    sess = cat.create_session("both@x.io", "longpassword123")
+
+    cat.delete_tenant("dead")
+    # sole-membership user: login is forbidden, not resolved to a ghost
+    with pytest.raises(AdminError, match="no tenant memberships"):
+        cat.create_session("solo@x.io", "longpassword123")
+    assert cat._memberships_for(cat._read(), u["id"]) == []
+    # multi-membership user now auto-resolves to the surviving tenant
+    assert cat.create_session("both@x.io", "longpassword123")["tenant"] == "live"
+    # an existing session's whoami no longer reports the dead tenant
+    who = cat.validate_session(sess["token"])
+    assert [m["tenant_id"] for m in who["memberships"]] == ["live"]
+
+
 def test_catalog_versions_are_immutable_history(tmp_path):
     cat = TenantCatalog(str(tmp_path))
     cat.create_tenant("a", "A", now=NOW)

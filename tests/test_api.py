@@ -616,3 +616,69 @@ def test_tail_topk_fast_path_matches_ordinary_scan(spark, tmp_path):
 def test_health_and_echo(api):
     assert api.health() == {"status": "success", "data": "ok"}
     assert api.tempo_echo() == "echo"
+
+
+def test_facade_routes_run_under_execution_contract(spark, tmp_path_factory):
+    """The execution contract holds on the REAL endpoints (opt-in
+    runner): a deadline-exceeding façade query cancels server-side and
+    comes back as the attributable timeout envelope; an over-limit
+    tenant gets the attributable rejection; normal queries pass through
+    unchanged (querier-execution-model, VERDICT r5 item 5)."""
+    import threading
+    import time as _time
+
+    from signaldb_spark.execution import FairQueryRunner
+
+    base = str(tmp_path_factory.mktemp("api_exec"))
+    write_signal_tables(spark, base)
+    runner = FairQueryRunner(spark, max_concurrent_per_tenant=1,
+                             default_timeout_s=30.0)
+    api = SignalDBAPI(spark, base, "acme", "prod", runner=runner)
+
+    # normal query: unchanged envelope through the guarded path
+    out = api.prom_query_range("sum(rate(http_requests_total[10m]))",
+                               START, END, 600)
+    assert out["status"] == "success" and out["data"]["result"]
+
+    # deadline exceeded: attributable timeout envelope, prompt unwind.
+    # (Route methods carry the guard: assert the decorator is present,
+    # then drive _guarded with a heavy action so the test doesn't need
+    # a pathological query string.)
+    assert hasattr(type(api).prom_query_range, "__wrapped__")
+    assert hasattr(type(api).loki_query_range, "__wrapped__")
+    assert hasattr(type(api).tempo_search, "__wrapped__")
+    slow_api = SignalDBAPI(spark, base, "acme", "prod", runner=runner,
+                           query_timeout_s=1.0)
+
+    def stalled(*a, **k):
+        return spark.range(200_000).crossJoin(spark.range(200_000)).count()
+
+    t0 = _time.time()
+    out = slow_api._guarded(stalled)
+    assert _time.time() - t0 < 25
+    assert out["status"] == "error" and out["errorType"] == "timeout"
+    assert "acme" in out["error"] and "1.0s" in out["error"]
+
+    # bounded concurrency: second in-flight query for the SAME tenant is
+    # rejected attributably; the envelope names the limit
+    gate, entered = threading.Event(), threading.Event()
+
+    def holder():
+        def hold():
+            entered.set()
+            gate.wait(20)
+            return {"status": "success"}
+        return api._guarded(hold)
+
+    th = threading.Thread(target=holder, daemon=True)
+    th.start()
+    assert entered.wait(10)
+    busy = api.prom_query("process_cpu_usage", "2024-01-01 00:45:00")
+    assert busy["status"] == "error"
+    assert busy["errorType"] == "too_many_requests" and "acme" in busy["error"]
+    gate.set()
+    th.join(20)
+    # slot released: the route works again
+    ok = api.prom_query("process_cpu_usage", "2024-01-01 00:45:00",
+                        lookback_s=3600)
+    assert ok["status"] == "success"

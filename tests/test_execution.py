@@ -76,6 +76,36 @@ def test_bounded_per_tenant_concurrency(spark):
     assert runner.run("acme", lambda: 4) == 4
 
 
+def test_slow_to_cancel_worker_keeps_holding_its_slot(spark):
+    """The WORKER owns the concurrency slot: when a cancelled query
+    outlives the cancel grace, the tenant's slot stays held until the
+    worker actually dies — the bound is a real bound, not one the
+    deadline path can leak past (ADVICE round 5)."""
+    runner = FairQueryRunner(spark, max_concurrent_per_tenant=1,
+                             default_timeout_s=0.2, cancel_grace_s=0.1)
+    done = threading.Event()
+
+    def stubborn():
+        # pure-Python sleep: cancelJobGroup cannot interrupt it, so the
+        # worker outlives the grace join — the slow-to-cancel case
+        time.sleep(1.5)
+        done.set()
+        return 1
+
+    with pytest.raises(QueryDeadlineExceeded):
+        runner.run("acme", stubborn)
+    # the worker thread is still alive past the grace: the slot is HELD
+    assert not done.is_set()
+    with pytest.raises(TenantOverConcurrency):
+        runner.run("acme", lambda: 2)
+    # once the worker finally unwinds, its finally releases the slot
+    assert done.wait(10)
+    time.sleep(0.1)
+    assert runner.run("acme", lambda: 3) == 3
+    # and the worker cleared its job group + pool (thread-local hygiene)
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+
 def test_errors_propagate_attributably(spark):
     runner = FairQueryRunner(spark, default_timeout_s=10.0)
 

@@ -57,7 +57,20 @@ def test_crashed_attempt_is_invisible_and_gc_able(spark, tmp_path):
     assert mt.find_orphans() == [
         os.path.relpath(stray, mt.data_dir)
     ]
+    # expire_snapshots must NOT touch it: a never-referenced file may be
+    # a concurrent writer's staged batch mid-commit (zero-grace deletion
+    # there is the lost-staged-file hazard); reclaim is the grace-period
+    # orphan sweep's job
     mt.expire_snapshots(keep_last=1)
+    assert os.path.exists(stray)
+    import datetime as dt
+
+    from signaldb_spark.maintenance.jobs import cleanup_orphans
+
+    assert cleanup_orphans(
+        table, grace_seconds=3600,
+        now=dt.datetime.now() + dt.timedelta(hours=2),
+    ) == [os.path.relpath(stray, mt.data_dir)]
     assert not os.path.exists(stray)
     assert mt.read(spark).count() == 10
 
@@ -232,6 +245,33 @@ def test_maintenance_cycle_end_to_end(spark, tmp_path):
         t.filter(F.col("hour") == 0).select("body").explain("formatted")
     p = buf.getvalue()
     assert "PartitionFilters" in p and "hour" in p.split("PartitionFilters", 1)[1][:200]
+
+
+def test_maintenance_orphan_clock_is_wall_time(spark, tmp_path):
+    """The orphan sweep must never run on the logical retention clock:
+    a caller replaying maintenance with a future `now` must not delete
+    a writer's freshly staged (uncommitted) file — grace is real
+    elapsed time, with a days-scale default (ADVICE round 5)."""
+    import datetime as dt
+
+    from signaldb_spark.catalog import signal_table_path
+    from signaldb_spark.maintenance.jobs import maintenance_cycle
+
+    base = str(tmp_path / "b")
+    path = signal_table_path(base, "acme", "prod", "logs")
+    write_batch_manifest(_rows(spark, 10), path, "logs", batch_id=1)
+    mt = ManifestTable(path)
+    part = os.path.join(mt.data_dir, "date_day=2024-01-01", "hour=3")
+    committed = next(f for f in os.listdir(part) if f.endswith(".parquet"))
+    stray = os.path.join(part, "batch-9-deadbeef-00000.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(open(os.path.join(part, committed), "rb").read())
+    out = maintenance_cycle(
+        spark, base, "acme", "prod", "logs",
+        now=dt.datetime.now() + dt.timedelta(days=365),  # logical clock
+    )
+    assert out["orphans_deleted"] == []
+    assert os.path.exists(stray)  # a slow writer's staged file survives
 
 
 def _ts_rows(spark, n, day, hour):
@@ -413,6 +453,87 @@ def test_flush_replay_is_idempotent(spark, tmp_path):
     mt = ManifestTable(table)
     assert sum(b == "hotflush-1" for b in mt.load_manifest()["batches"]) == 1
     assert hybrid_read(spark, table).count() == 10
+
+
+def test_commit_precondition_is_compare_and_swap(spark, tmp_path):
+    """A falsy precondition aborts the commit with False and no version
+    bump — the CAS hook watermark-bearing commits use (ADVICE round 5)."""
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10), table, "logs", batch_id=1)
+    mt = ManifestTable(table)
+    v = mt.current_version()
+    ok = mt.commit([], batch_id="x", properties={"p": 1},
+                   precondition=lambda m: False)
+    assert ok is False and mt.current_version() == v
+    assert "x" not in mt.load_manifest()["batches"]
+    # a truthy precondition commits normally
+    assert mt.commit([], batch_id="x", properties={"p": 1},
+                     precondition=lambda m: m["version"] == v)
+    assert mt.load_manifest()["props"]["p"] == 1
+
+
+def test_concurrent_flush_loser_aborts_no_duplication(spark, tmp_path, monkeypatch):
+    """Two racing flushes: the loser's commit must abort, whatever the
+    relative high-water marks — flush_hot CASes on the watermark it
+    planned against, so the second committer always sees a moved
+    watermark and backs off instead of re-adding already-flushed
+    batches or regressing the watermark (ADVICE round 5).
+
+    Deterministic interleaving: flusher A plans against wm=-1 with only
+    seq 1 published; while A is inside its commit, a new ack lands and
+    flusher B runs to completion (flushing seqs 1-2, wm→2); A's commit
+    then finds wm=2 != -1 and aborts."""
+    from signaldb_spark.storage import hot as hotmod
+
+    table = str(tmp_path / "t")
+    store = hotmod.HotStore(table)
+    store.ack(_rows(spark, 10))  # seq 1
+
+    orig_commit = hotmod.ManifestTable.commit
+    state = {"injected": False}
+
+    def racing_commit(self, *args, **kwargs):
+        if not state["injected"]:
+            state["injected"] = True
+            store.ack(_rows(spark, 5))  # seq 2 lands mid-flush
+            hotmod.flush_hot(spark, table, "logs")  # B wins: wm -> 2
+        return orig_commit(self, *args, **kwargs)
+
+    monkeypatch.setattr(hotmod.ManifestTable, "commit", racing_commit)
+    wm = hotmod.flush_hot(spark, table, "logs")  # A planned wm=-1, hi=1
+    monkeypatch.undo()
+
+    assert wm == 2  # A reports the winner's watermark, not a regression
+    assert hotmod.committed_watermark(table) == 2
+    mt = ManifestTable(table)
+    batches = mt.load_manifest()["batches"]
+    assert "hotflush-2" in batches and "hotflush-1" not in batches
+    # no duplication: 10 + 5 rows exactly, across cold+hot union
+    assert hotmod.hybrid_read(spark, table).count() == 15
+    assert mt.read(spark).count() == 15
+
+
+def test_ack_surfaces_non_collision_errors(spark, tmp_path, monkeypatch):
+    """ack retries only the claimed-sequence collision; a persistent
+    EACCES must raise, not spin forever claiming sequences."""
+    import errno as _errno
+
+    from signaldb_spark.storage import hot as hotmod
+
+    table = str(tmp_path / "t")
+    store = hotmod.HotStore(table)
+    assert store.ack(_rows(spark, 3)) == 1
+
+    def denied(src, dst):
+        raise OSError(_errno.EACCES, "permission denied", dst)
+
+    monkeypatch.setattr(hotmod.os, "rename", denied)
+    with pytest.raises(OSError) as ei:
+        store.ack(_rows(spark, 3))
+    assert ei.value.errno == _errno.EACCES
+    monkeypatch.undo()
+    # sequence space unpolluted by the failed attempt
+    assert store.ack(_rows(spark, 3)) == 2
 
 
 def test_gc_reclaims_only_covered_sequences(spark, tmp_path):
