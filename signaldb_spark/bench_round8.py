@@ -2429,3 +2429,670 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["realized_vs_retail_margin"] = q_realized_vs_retail_margin
 ORACLES["realized_vs_retail_margin"] = ORACLE_REALIZED_VS_RETAIL_MARGIN
+
+
+# --------------------------------------------------------------- batch 8
+# Two engine-chokepoint gates (the stats-ordered TopK tail scan and the
+# hot/cold visibility union get ORACLE-verified results, not just pytest
+# pins) plus eleven analytics shapes.
+
+import tempfile as _tempfile
+
+_MANIFEST_CACHE: dict = {}
+
+
+def _events_tail_table(spark, sf_dir: str) -> str:
+    """Build (once per process per sf_dir) a manifest-committed copy of
+    the events table, one file per event day with per-file [min, max]
+    ts stats — the storage shape the stats-ordered TopK tail scan
+    reads. Temp-dir resident; dropped with the process."""
+    key = ("tail", sf_dir)
+    if key not in _MANIFEST_CACHE:
+        from .storage.manifest import write_batch_manifest
+
+        path = _tempfile.mkdtemp(prefix="sdb-tailscan-")
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "date_day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_batch_manifest(
+            e.repartition("date_day"), path, "events_tail", batch_id=1,
+            partition_cols=("date_day",), stats_cols=("ts",),
+        )
+        _MANIFEST_CACHE[key] = path
+    return _MANIFEST_CACHE[key]
+
+
+def q_logql_backward_topk(spark, sf_dir):
+    """Driver gate for the stats-ordered TopK tail scan
+    (ManifestTable.read_recent_topk — the loki_query_range backward
+    fast path): the early-stopping wave reader's top-200 TIMESTAMP
+    MULTISET must equal the full scan's, which the oracle computes as a
+    plain ORDER BY ts DESC LIMIT 200. The multiset of top-n timestamps
+    is order-statistic-determined (unique regardless of how ties at the
+    boundary resolve), so grouping the result by ts makes the compare
+    tiebreak-proof. At 100 TB this is the shape that reads 1-2 recent
+    files instead of the table."""
+    from .storage.manifest import ManifestTable
+
+    path = _events_tail_table(spark, sf_dir)
+    df, _files_read = ManifestTable(path).read_recent_topk(spark, "ts", 200)
+    return (
+        df.groupBy("ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("ts")
+    )
+
+
+ORACLE_LOGQL_BACKWARD_TOPK = """
+SELECT ts, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT ts FROM events ORDER BY ts DESC LIMIT 200)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["logql_backward_topk"] = q_logql_backward_topk
+ORACLES["logql_backward_topk"] = ORACLE_LOGQL_BACKWARD_TOPK
+
+
+def q_hot_cold_visibility(spark, sf_dir):
+    """Driver gate for unflushed-data visibility (storage/hot.py): the
+    events table is split three ways — 60% manifest-committed cold, 20%
+    acked hot THEN flushed (so the watermark must drop the hot copies),
+    20% acked hot and left unflushed — and the hybrid hot/cold union
+    must reproduce the WHOLE table's per-type rollup exactly once: no
+    duplication across the flush boundary, no omission of unflushed
+    acks. Value sums quantize to integer cents pre-agg so the compare
+    is exact under any partitioning."""
+    from .storage.hot import HotStore, flush_hot, hybrid_read
+    from .storage.manifest import write_batch_manifest
+
+    key = ("hotcold", sf_dir)
+    if key not in _MANIFEST_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-hotcold-")
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "date_day", F.date_format("ts", "yyyy-MM-dd")
+        )
+        write_batch_manifest(
+            e.filter(F.col("event_id") % 5 < 3), path, "events_hc",
+            batch_id=1, partition_cols=("date_day",), stats_cols=("ts",),
+        )
+        store = HotStore(path)
+        store.ack(e.filter(F.col("event_id") % 5 == 3))
+        flush_hot(spark, path, "events_hc", partition_cols=("date_day",),
+                  stats_cols=("ts",))
+        store.ack(e.filter(F.col("event_id") % 5 == 4))
+        _MANIFEST_CACHE[key] = path
+    df = hybrid_read(spark, _MANIFEST_CACHE[key])
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOT_COLD_VISIBILITY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hot_cold_visibility"] = q_hot_cold_visibility
+ORACLES["hot_cold_visibility"] = ORACLE_HOT_COLD_VISIBILITY
+
+
+def q_event_interarrival_histogram(spark, sf_dir):
+    """Per-user inter-arrival-time histogram on a log2 scale — the
+    burstiness fingerprint (Poisson traffic is one hump; humans are
+    heavy-tailed). One window per user (lag over ts with event_id
+    tiebreak), then a tiny bucket rollup; gap sums stay exact integer
+    microseconds until the single final division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    bucket = F.floor(F.log2(F.col("gap_us") / 1000000.0 + 1.0)).cast("bigint")
+    return (
+        gaps.groupBy(bucket.alias("log2_gap_s"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("avg_gap_s"),
+        )
+        .orderBy("log2_gap_s")
+    )
+
+
+ORACLE_EVENT_INTERARRIVAL_HISTOGRAM = """
+WITH gaps AS (
+  SELECT epoch_us(ts)
+         - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(floor(log2(gap_us / 1000000.0 + 1.0)) AS BIGINT)
+         AS log2_gap_s,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       round(sum(gap_us) / 1000000.0 / count(*), 6) AS avg_gap_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_interarrival_histogram"] = q_event_interarrival_histogram
+ORACLES["event_interarrival_histogram"] = ORACLE_EVENT_INTERARRIVAL_HISTOGRAM
+
+
+def q_doc_word_stats(spark, sf_dir):
+    """Word-length profile per source: docs, total words, and average
+    word length — the quick tokenizer-cost predictor (long-word corpora
+    cost more BPE merges per byte). Words and word-chars derive from
+    integer space counts (words = spaces + 1 on single-space text), so
+    everything is exact until the one final division; map-only over
+    documents, the text column never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    spaces = F.length("text") - F.length(
+        F.replace(F.col("text"), F.lit(" "))
+    )
+    per_doc = d.select(
+        "source",
+        "n_chars",
+        (spaces + 1).alias("words"),
+        (F.col("n_chars") - spaces).alias("word_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.round(F.sum("word_chars") / F.sum("words"), 6).alias(
+                "avg_word_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOC_WORD_STATS = """
+WITH per_doc AS (
+  SELECT source, n_chars,
+         length(text) - length(replace(text, ' ', '')) AS spaces
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(spaces + 1) AS BIGINT) AS n_words,
+       round(sum(n_chars - spaces) * 1.0 / sum(spaces + 1), 6)
+         AS avg_word_chars
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_word_stats"] = q_doc_word_stats
+ORACLES["doc_word_stats"] = ORACLE_DOC_WORD_STATS
+
+
+def q_discount_elasticity(spark, sf_dir):
+    """Quantity-vs-discount linear fit per return flag (regr_slope /
+    intercept / r²) — does a deeper discount actually move volume?
+    Pure JVM-side regression aggregates (one map-side-combinable
+    shuffle on a 3-value key); the same moments DuckDB's regr_*
+    computes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_quantity").cast("double")
+    x = F.col("l_discount").cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.regr_slope(y, x), 6).alias("qty_per_discount"),
+            F.round(F.regr_intercept(y, x), 6).alias("base_qty"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_DISCOUNT_ELASTICITY = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines,
+       round(regr_slope(l_quantity, l_discount), 6) AS qty_per_discount,
+       round(regr_intercept(l_quantity, l_discount), 6) AS base_qty,
+       round(regr_r2(l_quantity, l_discount), 6) AS r2
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["discount_elasticity"] = q_discount_elasticity
+ORACLES["discount_elasticity"] = ORACLE_DISCOUNT_ELASTICITY
+
+
+def q_text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena share per source — the fraction of vocabulary
+    seen exactly once, corpus linguistics' quick health check (too low
+    = boilerplate/duplication, too high = OCR noise). One wordcount
+    shuffle on hashed (source, term); the ratio reduce is vocab-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        tf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax"),
+            F.round(
+                F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_HAPAX_RATIO = """
+WITH tf AS (
+  SELECT source, t.term, count(*) AS freq
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+)
+SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS hapax_ratio
+FROM tf GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["text_hapax_ratio"] = q_text_hapax_ratio
+ORACLES["text_hapax_ratio"] = ORACLE_TEXT_HAPAX_RATIO
+
+
+def q_bipartite_degree_distribution(spark, sf_dir):
+    """Degree distribution of the part↔supplier bipartite graph implied
+    by lineitem: how many distinct suppliers ship each part, then the
+    histogram of that degree — the graph-shape profile that predicts
+    join fan-out. Distinct-pair projection, one exact countDistinct per
+    part, then a degree-sized rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("deg")
+        .select(F.col("deg").cast("bigint").alias("deg"), "n_parts")
+    )
+
+
+ORACLE_BIPARTITE_DEGREE_DISTRIBUTION = """
+WITH deg AS (
+  SELECT l_partkey, count(*) AS deg
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+  GROUP BY 1
+)
+SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_parts
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bipartite_degree_distribution"] = q_bipartite_degree_distribution
+ORACLES["bipartite_degree_distribution"] = ORACLE_BIPARTITE_DEGREE_DISTRIBUTION
+
+
+def q_revenue_drawdown(spark, sf_dir):
+    """Max drawdown of daily order revenue per month — the finance
+    lens on demand dips: running peak (unbounded-preceding window over
+    the DAILY rollup, ~2.4k rows, never the fact table) minus the day,
+    maxed per month. Cents stay integer-exact through the window."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.withColumn(
+        "drawdown_cents", F.max("cents").over(w) - F.col("cents")
+    )
+    return (
+        dd.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.max("drawdown_cents") / 100.0, 6).alias(
+                "max_drawdown_usd"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_REVENUE_DRAWDOWN = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), dd AS (
+  SELECT d, max(cents) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+           AS drawdown_cents
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m') AS month,
+       round(max(drawdown_cents) / 100.0, 6) AS max_drawdown_usd,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM dd GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["revenue_drawdown"] = q_revenue_drawdown
+ORACLES["revenue_drawdown"] = ORACLE_REVENUE_DRAWDOWN
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Shannon entropy of each event type's NEXT-event distribution —
+    how predictable the flow out of each state is (0 = deterministic
+    funnel step, ln(k) = uniform chaos). Extends the Markov transition
+    matrix with an entropy reduce; transition counts are exact and the
+    entropy sums over at most |event_type| terms per row."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    cnt = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = Window.partitionBy("event_type")
+    p = F.col("cnt") / F.sum("cnt").over(tot)
+    per_edge = cnt.select(
+        "event_type", F.col("cnt"), (-p * F.log(p)).alias("term")
+    )
+    return (
+        per_edge.groupBy("event_type")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_transitions"),
+            F.round(F.sum("term"), 6).alias("entropy_nats"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TRANSITION_ENTROPY = """
+WITH pairs AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), cnt AS (
+  SELECT event_type, next_type, count(*) AS cnt
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+), withp AS (
+  SELECT event_type, cnt,
+         cnt * 1.0 / sum(cnt) OVER (PARTITION BY event_type) AS p
+  FROM cnt
+)
+SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_transitions,
+       round(sum(-p * ln(p)), 6) AS entropy_nats
+FROM withp GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["transition_entropy"] = q_transition_entropy
+ORACLES["transition_entropy"] = ORACLE_TRANSITION_ENTROPY
+
+
+def q_unit_price_dispersion(spark, sf_dir):
+    """Unit-price dispersion per brand: each part's realized unit-price
+    spread (max − min of extendedprice/quantity across its lineitems),
+    averaged over the brand's parts — where pricing discipline is loose.
+    Per-line unit prices are identical IEEE doubles in both engines;
+    the two-level agg never moves the fact table twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    spread = (
+        li.select("l_partkey", unit.alias("unit"))
+        .groupBy("l_partkey")
+        .agg((F.max("unit") - F.min("unit")).alias("spread"))
+    )
+    return (
+        spread.join(F.broadcast(p), spread.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.avg("spread"), 6).alias("avg_unit_price_spread"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_UNIT_PRICE_DISPERSION = """
+WITH spread AS (
+  SELECT l_partkey,
+         max(l_extendedprice / l_quantity)
+         - min(l_extendedprice / l_quantity) AS spread
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts,
+       round(avg(spread), 6) AS avg_unit_price_spread
+FROM spread JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["unit_price_dispersion"] = q_unit_price_dispersion
+ORACLES["unit_price_dispersion"] = ORACLE_UNIT_PRICE_DISPERSION
+
+
+def q_nation_rank_shift(spark, sf_dir):
+    """Year-over-year league table: each nation's revenue rank in 1996
+    vs 1997 and the rank delta — who moved, not just who grew (the
+    yoy_revenue gate reports values; ranks expose reordering). Ranks
+    derive from exact cents with a name tiebreak, so they are
+    deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("y"), "n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("y").orderBy(F.desc("cents"), "n_name")
+    ranked = rev.withColumn("rnk", F.rank().over(w))
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.max(F.when(F.col("y") == 1996, F.col("rnk")))
+            .cast("bigint")
+            .alias("rank_1996"),
+            F.max(F.when(F.col("y") == 1997, F.col("rnk")))
+            .cast("bigint")
+            .alias("rank_1997"),
+        )
+        .filter(
+            F.col("rank_1996").isNotNull() & F.col("rank_1997").isNotNull()
+        )
+        .select(
+            "n_name",
+            "rank_1996",
+            "rank_1997",
+            (F.col("rank_1996") - F.col("rank_1997")).alias("rank_gain"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_RANK_SHIFT = """
+WITH rev AS (
+  SELECT year(o_orderdate) AS y, n_name,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT y, n_name,
+         rank() OVER (PARTITION BY y ORDER BY cents DESC, n_name) AS rnk
+  FROM rev
+), pivoted AS (
+  SELECT n_name,
+         CAST(max(CASE WHEN y = 1996 THEN rnk END) AS BIGINT) AS rank_1996,
+         CAST(max(CASE WHEN y = 1997 THEN rnk END) AS BIGINT) AS rank_1997
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, rank_1996, rank_1997,
+       rank_1996 - rank_1997 AS rank_gain
+FROM pivoted
+WHERE rank_1996 IS NOT NULL AND rank_1997 IS NOT NULL
+ORDER BY n_name
+"""
+
+QUERIES["nation_rank_shift"] = q_nation_rank_shift
+ORACLES["nation_rank_shift"] = ORACLE_NATION_RANK_SHIFT
+
+
+def q_order_size_histogram(spark, sf_dir):
+    """Order-size profile: lineitems-per-order histogram with the
+    average order value per size — basket-size economics (the
+    customer_order_distribution gate counts ORDERS per customer; this
+    counts LINES per order). Exact cents; two map-side-combinable
+    shuffles, orderkey then size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("bigint")
+        ).alias("cents"),
+    )
+    return (
+        per_order.groupBy(F.col("n_lines").cast("bigint").alias("n_lines"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum("cents") / F.count(F.lit(1)) / 100.0, 6).alias(
+                "avg_order_usd"
+            ),
+        )
+        .orderBy("n_lines")
+    )
+
+
+ORACLE_ORDER_SIZE_HISTOGRAM = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(cents) * 1.0 / count(*) / 100.0, 6) AS avg_order_usd
+FROM per_order GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["order_size_histogram"] = q_order_size_histogram
+ORACLES["order_size_histogram"] = ORACLE_ORDER_SIZE_HISTOGRAM
+
+
+def q_session_bounce_rate(spark, sf_dir):
+    """Bounce rate by session entry type: 30-minute-gap sessionization,
+    then the share of single-event sessions per ENTRY event type — the
+    landing-page diagnostic. The session-start flag row IS the entry
+    event, so no argmin gymnastics; two windows per user plus a
+    session-key agg, all exact counts."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "is_start",
+            F.when(
+                (F.col("us") - F.lag("us").over(w)) > 1800 * 1000000, 1
+            )
+            .when(F.lag("us").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_start").over(w))
+    )
+    per_sess = flagged.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(F.when(F.col("is_start") == 1, F.col("event_type"))).alias(
+            "entry_type"
+        ),
+    )
+    return (
+        per_sess.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
+
+
+ORACLE_SESSION_BOUNCE_RATE = """
+WITH flagged AS (
+  SELECT user_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000 THEN 1
+              WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type, is_start,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sid
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         max(CASE WHEN is_start = 1 THEN event_type END) AS entry_type
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS bounce_rate
+FROM per_sess GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["session_bounce_rate"] = q_session_bounce_rate
+ORACLES["session_bounce_rate"] = ORACLE_SESSION_BOUNCE_RATE

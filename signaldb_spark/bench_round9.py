@@ -1,0 +1,870 @@
+"""Round-9 staging battery: oracle-gated queries registered AFTER the
+round-8 block so earlier rounds' tuned driver prefixes stay intact;
+these become fresh evidence once rounds 6-8 are proven.
+
+Same conventions as bench_queries (round(x, 6) floats, BIGINT counts,
+explicit tiebreaks, aliases identical on both sides). The engine block
+at the end drives storage-layer contracts (snapshot time travel,
+manifest stats-pruning, compaction, retention) through the DRIVER's
+oracle compare, not just pytest.
+"""
+
+from __future__ import annotations
+
+import tempfile as _tempfile
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q_spearman_daily_corr(spark, sf_dir):
+    """Spearman rank correlation between daily order count and daily
+    revenue — the monotonic-association check Pearson (corr gate)
+    misses under heavy tails. Ranks use the average-rank tie rule via
+    rank() + (tie_count-1)/2, integer-derived so both engines agree
+    exactly; corr is a ratio statistic over the ~2.4k-row DAILY rollup
+    (the fact table aggregates once; no global sort of raw rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+    rn = Window.orderBy("n_orders")
+    rc = Window.orderBy("cents")
+    cn = Window.partitionBy("n_orders")
+    cc = Window.partitionBy("cents")
+    ranked = daily.select(
+        (F.rank().over(rn) + (F.count(F.lit(1)).over(cn) - 1) / 2.0).alias(
+            "rx"
+        ),
+        (F.rank().over(rc) + (F.count(F.lit(1)).over(cc) - 1) / 2.0).alias(
+            "ry"
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.round(F.corr("rx", "ry"), 6).alias("spearman_rho"),
+    )
+
+
+ORACLE_SPEARMAN_DAILY_CORR = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT rank() OVER (ORDER BY n_orders)
+           + (count(*) OVER (PARTITION BY n_orders) - 1) / 2.0 AS rx,
+         rank() OVER (ORDER BY cents)
+           + (count(*) OVER (PARTITION BY cents) - 1) / 2.0 AS ry
+  FROM daily
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(rx, ry), 6) AS spearman_rho
+FROM ranked
+"""
+
+QUERIES["spearman_daily_corr"] = q_spearman_daily_corr
+ORACLES["spearman_daily_corr"] = ORACLE_SPEARMAN_DAILY_CORR
+
+
+def q_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (rank-sum) test: do 'error' and 'purchase' event
+    values come from the same distribution? Computed the 100-TB-safe
+    way: ranks NEVER touch rows — group to (value, type) counts, one
+    cumulative window over the DISTINCT-value rollup gives every
+    value's average rank, and the rank-sum is a weighted fold. Tie
+    correction uses the standard sum(t^3 - t) term. Everything is
+    integer-exact until the final z division."""
+    e = load_table(spark, sf_dir, "events")
+    ab = e.filter(F.col("event_type").isin("error", "purchase")).select(
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_a"),
+    )
+    per_v = ab.groupBy("v").agg(
+        F.sum("is_a").alias("na_v"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_v.withColumn(
+        "cum_before", F.coalesce(F.sum("t").over(w), F.lit(0))
+    ).withColumn("avg_rank", F.col("cum_before") + (F.col("t") + 1) / 2.0)
+    return ranked.agg(
+        F.sum("na_v").cast("bigint").alias("n_a"),
+        (F.sum("t") - F.sum("na_v")).cast("bigint").alias("n_b"),
+        F.round(
+            F.sum(F.col("na_v") * F.col("avg_rank"))
+            - F.sum("na_v") * (F.sum("na_v") + 1) / 2.0,
+            6,
+        ).alias("u_a"),
+        F.round(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")), 6)
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+
+
+ORACLE_MANN_WHITNEY_U = """
+WITH ab AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('error', 'purchase')
+), per_v AS (
+  SELECT v, sum(is_a) AS na_v, count(*) AS t FROM ab GROUP BY 1
+), ranked AS (
+  SELECT na_v, t,
+         coalesce(sum(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (t + 1) / 2.0 AS avg_rank
+  FROM per_v
+)
+SELECT CAST(sum(na_v) AS BIGINT) AS n_a,
+       CAST(sum(t) - sum(na_v) AS BIGINT) AS n_b,
+       round(sum(na_v * avg_rank) - sum(na_v) * (sum(na_v) + 1) / 2.0, 6)
+         AS u_a,
+       CAST(round(sum(t * t * t - t), 6) AS BIGINT) AS tie_term
+FROM ranked
+"""
+
+QUERIES["mann_whitney_u"] = q_mann_whitney_u
+ORACLES["mann_whitney_u"] = ORACLE_MANN_WHITNEY_U
+
+
+def q_welch_t_test(spark, sf_dir):
+    """Welch's unequal-variance t-test on document length between two
+    sources (src0 vs src1) with the Welch-Satterthwaite degrees of
+    freedom — the means complement of the two-proportion z gate. One
+    conditional agg pass over integer n_chars; var_samp is the same
+    moments formula in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    two = d.filter(F.col("source").isin("src0", "src1"))
+    agg = two.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("n_chars").alias("m"),
+        F.var_samp(F.col("n_chars").cast("double")).alias("s2"),
+    )
+    a = agg.filter(F.col("source") == "src0").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("s2").alias("s21")
+    )
+    b = agg.filter(F.col("source") == "src1").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("s2").alias("s22")
+    )
+    j = a.crossJoin(b)
+    se2 = F.col("s21") / F.col("n1") + F.col("s22") / F.col("n2")
+    df_w = (se2 * se2) / (
+        (F.col("s21") / F.col("n1")) * (F.col("s21") / F.col("n1"))
+        / (F.col("n1") - 1)
+        + (F.col("s22") / F.col("n2")) * (F.col("s22") / F.col("n2"))
+        / (F.col("n2") - 1)
+    )
+    return j.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(F.col("m1"), 6).alias("mean_src0"),
+        F.round(F.col("m2"), 6).alias("mean_src1"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(df_w, 6).alias("welch_df"),
+    )
+
+
+ORACLE_WELCH_T_TEST = """
+WITH agg AS (
+  SELECT source, count(*) AS n, avg(n_chars) AS m,
+         var_samp(CAST(n_chars AS DOUBLE)) AS s2
+  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1
+), j AS (
+  SELECT a.n AS n1, a.m AS m1, a.s2 AS s21,
+         b.n AS n2, b.m AS m2, b.s2 AS s22
+  FROM (SELECT * FROM agg WHERE source = 'src0') a,
+       (SELECT * FROM agg WHERE source = 'src1') b
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(m1, 6) AS mean_src0, round(m2, 6) AS mean_src1,
+       round((m1 - m2) / sqrt(s21 / n1 + s22 / n2), 6) AS t_stat,
+       round(pow(s21 / n1 + s22 / n2, 2)
+             / (pow(s21 / n1, 2) / (n1 - 1)
+                + pow(s22 / n2, 2) / (n2 - 1)), 6) AS welch_df
+FROM j
+"""
+
+QUERIES["welch_t_test"] = q_welch_t_test
+ORACLES["welch_t_test"] = ORACLE_WELCH_T_TEST
+
+
+def q_ngram_coverage_curve(spark, sf_dir):
+    """Vocabulary compression curve per language: the share of total
+    token mass covered by the top-10 / top-100 / top-1000 unigrams —
+    how far a small vocab goes (the tokenizer-budget read next to the
+    Zipf slope). One wordcount shuffle; the ranked fold runs on the
+    per-language term rollup with exact integer masses."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 10, F.col("freq")).otherwise(0))
+                / F.sum("freq"),
+                6,
+            ).alias("top10_share"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 100, F.col("freq")).otherwise(0))
+                / F.sum("freq"),
+                6,
+            ).alias("top100_share"),
+            F.round(
+                F.sum(F.when(F.col("rk") <= 1000, F.col("freq")).otherwise(0))
+                / F.sum("freq"),
+                6,
+            ).alias("top1000_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_NGRAM_COVERAGE_CURVE = """
+WITH tf AS (
+  SELECT lang, t.term, count(*) AS freq
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, term) AS rk
+  FROM tf
+)
+SELECT lang, CAST(sum(freq) AS BIGINT) AS total_tokens,
+       round(sum(CASE WHEN rk <= 10 THEN freq ELSE 0 END) * 1.0
+             / sum(freq), 6) AS top10_share,
+       round(sum(CASE WHEN rk <= 100 THEN freq ELSE 0 END) * 1.0
+             / sum(freq), 6) AS top100_share,
+       round(sum(CASE WHEN rk <= 1000 THEN freq ELSE 0 END) * 1.0
+             / sum(freq), 6) AS top1000_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ngram_coverage_curve"] = q_ngram_coverage_curve
+ORACLES["ngram_coverage_curve"] = ORACLE_NGRAM_COVERAGE_CURVE
+
+
+def q_dwell_time_stats(spark, sf_dir):
+    """Dwell time by CURRENT state: how long users sit on each event
+    type before their next event — the per-state complement of the
+    global inter-arrival histogram. One lead window per user; gap sums
+    stay exact integer microseconds until the final division."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap_us", F.lead("us").over(w) - F.col("us"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dwells"),
+            F.round(
+                F.sum("gap_us") / 1000000.0 / F.count(F.lit(1)), 6
+            ).alias("avg_dwell_s"),
+            F.round(F.max("gap_us") / 1000000.0, 6).alias("max_dwell_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DWELL_TIME_STATS = """
+WITH gaps AS (
+  SELECT event_type,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+         - epoch_us(ts) AS gap_us
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_dwells,
+       round(sum(gap_us) / 1000000.0 / count(*), 6) AS avg_dwell_s,
+       round(max(gap_us) / 1000000.0, 6) AS max_dwell_s
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dwell_time_stats"] = q_dwell_time_stats
+ORACLES["dwell_time_stats"] = ORACLE_DWELL_TIME_STATS
+
+
+def q_session_position_dropoff(spark, sf_dir):
+    """Within-session drop-off curve: how many sessions reach event
+    position k (1..10) and the continuation rate k→k+1 — the
+    session-internal funnel (the event_funnel gate tracks named steps;
+    this tracks depth). Sessionization (30-min gap) plus a position
+    row_number, then everything runs on an 11-row rollup."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "is_start",
+            F.when(
+                (F.col("us") - F.lag("us").over(w)) > 1800 * 1000000, 1
+            )
+            .when(F.lag("us").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_start").over(w))
+    )
+    wp = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = flagged.withColumn("k", F.row_number().over(wp)).filter(
+        F.col("k") <= 10
+    )
+    per_k = pos.groupBy("k").agg(F.count(F.lit(1)).alias("n_sessions"))
+    wk = Window.orderBy("k")
+    return (
+        per_k.select(
+            F.col("k").cast("bigint").alias("position"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.round(
+                F.lead("n_sessions").over(wk) / F.col("n_sessions"), 6
+            ).alias("continue_rate"),
+        )
+        .orderBy("position")
+    )
+
+
+ORACLE_SESSION_POSITION_DROPOFF = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000 THEN 1
+              WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id,
+         sum(is_start) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS sid
+  FROM flagged
+), pos AS (
+  SELECT row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS k
+  FROM sess
+), per_k AS (
+  SELECT k, count(*) AS n_sessions FROM pos WHERE k <= 10 GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS position,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       round(lead(n_sessions) OVER (ORDER BY k) * 1.0 / n_sessions, 6)
+         AS continue_rate
+FROM per_k ORDER BY position
+"""
+
+QUERIES["session_position_dropoff"] = q_session_position_dropoff
+ORACLES["session_position_dropoff"] = ORACLE_SESSION_POSITION_DROPOFF
+
+
+def q_session_type_lift(spark, sf_dir):
+    """Event-type co-occurrence lift within sessions: P(A,B in same
+    session) / (P(A) * P(B)) for unordered type pairs — the
+    market-basket read on behavior (the bigram-PMI gate scores
+    ADJACENCY; this scores set co-presence). Sessions dedup to
+    (session, type) first, so the pair join fans out over at most
+    |types| per session, never events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "is_start",
+            F.when(
+                (F.col("us") - F.lag("us").over(w)) > 1800 * 1000000, 1
+            )
+            .when(F.lag("us").over(w).isNull(), 1)
+            .otherwise(0),
+        )
+        .withColumn("sid", F.sum("is_start").over(w))
+    )
+    st = flagged.select(
+        F.concat_ws("#", F.col("user_id"), F.col("sid")).alias("skey"),
+        "event_type",
+    ).distinct()
+    totals = st.agg(
+        F.countDistinct("skey").cast("double").alias("n_sessions")
+    )
+    singles = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("skey", F.col("event_type").alias("type_a"))
+    b = st.select("skey", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "skey")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("n_both"),
+            F.round(
+                F.col("n_ab") * F.col("n_sessions")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+ORACLE_SESSION_TYPE_LIFT = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800 * 1000000 THEN 1
+              WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT event_type,
+         CAST(user_id AS VARCHAR) || '#' || CAST(
+           sum(is_start) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS VARCHAR) AS skey
+  FROM flagged
+), st AS (
+  SELECT DISTINCT skey, event_type FROM sess
+), totals AS (
+  SELECT count(DISTINCT skey) AS n_sessions FROM st
+), singles AS (
+  SELECT event_type, count(*) AS n_t FROM st GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_ab
+  FROM st a JOIN st b ON a.skey = b.skey
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_both,
+       round(n_ab * 1.0 * (SELECT n_sessions FROM totals)
+             / (sa.n_t * sb.n_t), 6) AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+ORDER BY type_a, type_b
+"""
+
+QUERIES["session_type_lift"] = q_session_type_lift
+ORACLES["session_type_lift"] = ORACLE_SESSION_TYPE_LIFT
+
+
+def q_emb_centroid_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per label: a = distance
+    to own centroid, b = nearest other centroid, s = (b−a)/max(a,b) —
+    the cluster-quality audit next to the confusion matrix. Centroids
+    are (label, dim) partial sums; the per-vector scoring joins the
+    10×64 centroid table as a broadcast — stored vectors never
+    shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).withColumn("x", F.col("xf").cast("double"))
+    cents = exploded.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("c")
+    )
+    dists = (
+        exploded.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+        .withColumn("d", F.sqrt("d2"))
+    )
+    own = dists.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("d").alias("a")
+    )
+    other = (
+        dists.filter(F.col("label") != F.col("c_label"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("b"))
+    )
+    s = own.join(other, "vec_id").withColumn(
+        "s", (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        s.groupBy(F.col("label").cast("bigint").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_CENTROID_SILHOUETTE = """
+WITH exploded AS (
+  SELECT vec_id, label,
+         unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cents AS (
+  SELECT label AS c_label, pos, sum(x) / count(*) AS c
+  FROM exploded GROUP BY 1, 2
+), dists AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         sqrt(sum((e.x - c.c) * (e.x - c.c))) AS d
+  FROM exploded e JOIN cents c USING (pos)
+  GROUP BY 1, 2, 3
+), own AS (
+  SELECT vec_id, label, d AS a FROM dists WHERE label = c_label
+), other AS (
+  SELECT vec_id, min(d) AS b FROM dists WHERE label <> c_label
+  GROUP BY 1
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg((b - a) / greatest(a, b)), 6) AS avg_silhouette
+FROM own JOIN other USING (vec_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_centroid_silhouette"] = q_emb_centroid_silhouette
+ORACLES["emb_centroid_silhouette"] = ORACLE_EMB_CENTROID_SILHOUETTE
+
+
+def q_trailing_30d_revenue(spark, sf_dir):
+    """Trailing-30-day revenue per day via a RANGE window frame over
+    epoch days — the SQL surface (RANGE, not ROWS) the rolling gates
+    haven't pinned: days can be MISSING, and a ROWS frame would silently
+    span more than 30 calendar days across gaps. Integer cents through
+    the frame; the window runs over the ~2.4k-row daily rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    epoch_day = (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    w = Window.orderBy(epoch_day).rangeBetween(-29, 0)
+    return (
+        daily.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.sum("cents").over(w) / 100.0, 6).alias(
+                "trailing_30d_usd"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_TRAILING_30D_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(sum(cents) OVER (
+         ORDER BY CAST(epoch(CAST(d AS TIMESTAMP)) / 86400 AS BIGINT)
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) / 100.0, 6)
+         AS trailing_30d_usd
+FROM daily ORDER BY day
+"""
+
+QUERIES["trailing_30d_revenue"] = q_trailing_30d_revenue
+ORACLES["trailing_30d_revenue"] = ORACLE_TRAILING_30D_REVENUE
+
+
+def q_month_arithmetic_battery(spark, sf_dir):
+    """Calendar-arithmetic parity battery: month-end clamping under
+    add-months (Jan 31 + 1 month = Feb 29 on leap years), last_day,
+    and quarter-start truncation, over every distinct order month —
+    the semantics corner where engines historically disagree. Tiny
+    distinct rollup; the point is agreement, not volume."""
+    o = load_table(spark, sf_dir, "orders")
+    months = o.select(
+        F.last_day(F.col("o_orderdate")).cast("date").alias("month_end")
+    ).distinct()
+    return (
+        months.select(
+            F.date_format("month_end", "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months("month_end", 1), "yyyy-MM-dd").alias(
+                "plus_1m"
+            ),
+            F.date_format(F.add_months("month_end", -13), "yyyy-MM-dd").alias(
+                "minus_13m"
+            ),
+            F.date_format(
+                F.date_trunc("quarter", F.col("month_end").cast("timestamp"))
+                .cast("date"),
+                "yyyy-MM-dd",
+            ).alias("quarter_start"),
+        )
+        .orderBy("month_end")
+    )
+
+
+ORACLE_MONTH_ARITHMETIC_BATTERY = """
+WITH months AS (
+  SELECT DISTINCT last_day(CAST(o_orderdate AS DATE)) AS month_end
+  FROM orders
+)
+SELECT strftime(month_end, '%Y-%m-%d') AS month_end,
+       strftime(CAST(month_end + INTERVAL 1 MONTH AS DATE),
+                '%Y-%m-%d') AS plus_1m,
+       strftime(CAST(month_end + INTERVAL (-13) MONTH AS DATE),
+                '%Y-%m-%d') AS minus_13m,
+       strftime(CAST(date_trunc('quarter', month_end) AS DATE),
+                '%Y-%m-%d') AS quarter_start
+FROM months ORDER BY month_end
+"""
+
+QUERIES["month_arithmetic_battery"] = q_month_arithmetic_battery
+ORACLES["month_arithmetic_battery"] = ORACLE_MONTH_ARITHMETIC_BATTERY
+
+
+# ---------------------------------------------------------- engine gates
+# Storage-layer contracts driven through the DRIVER's oracle compare.
+# Tables build once per process (module cache) in temp dirs; every gate
+# is idempotent under re-runs, so bench's min-of-2 loop is safe.
+
+_R9_CACHE: dict = {}
+
+
+def _events_day_hour(spark, sf_dir, max_day: int | None = None):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "date_day", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("hour", F.lit(0))
+    if max_day is not None:
+        e = e.filter(F.dayofmonth("ts") <= max_day)
+    return e
+
+
+def _events_versioned_table(spark, sf_dir: str) -> str:
+    """Full events committed as TWO manifest versions split on
+    event_id parity — the snapshot-history fixture the time-travel and
+    stats-pruning gates read (read-only; shared)."""
+    key = ("versioned", sf_dir)
+    if key not in _R9_CACHE:
+        from .storage.manifest import write_batch_manifest
+
+        path = _tempfile.mkdtemp(prefix="sdb-r9-versions-")
+        e = _events_day_hour(spark, sf_dir)
+        for i in (0, 1):
+            write_batch_manifest(
+                e.filter(F.col("event_id") % 2 == i), path, "events_r9",
+                batch_id=i + 1, partition_cols=("date_day", "hour"),
+                stats_cols=("ts",),
+            )
+        _R9_CACHE[key] = path
+    return _R9_CACHE[key]
+
+
+def q_snapshot_time_travel(spark, sf_dir):
+    """Driver gate for snapshot isolation: reading manifest VERSION 1
+    of a two-batch table must return exactly the first batch's rows
+    (event_id even), long after version 2 committed — time travel as
+    the oracle-checked contract, not a pytest pin. The version read
+    plans an explicit immutable file list; at 100 TB this is what makes
+    a long query immune to concurrent commits."""
+    from .storage.manifest import ManifestTable
+
+    path = _events_versioned_table(spark, sf_dir)
+    v1 = ManifestTable(path).read(spark, version=1)
+    return (
+        v1.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SNAPSHOT_TIME_TRAVEL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_id % 2 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["snapshot_time_travel"] = q_snapshot_time_travel
+ORACLES["snapshot_time_travel"] = ORACLE_SNAPSHOT_TIME_TRAVEL
+
+
+def q_manifest_time_prune(spark, sf_dir):
+    """Driver gate for manifest stats-pruning: a three-day time-window
+    query served through ``read(between=...)`` — the manifest drops
+    files whose recorded [min, max] ts is disjoint BEFORE Spark plans
+    the scan, and the row-level predicate still applies (file stats
+    bound files, not rows). The result must equal the oracle's plain
+    WHERE; the plan pin asserts files were actually pruned. At 100 TB
+    this is the difference between listing the matching days' files
+    and planning every file ever committed."""
+    import datetime as dt
+
+    from .storage.manifest import ManifestTable
+
+    path = _events_versioned_table(spark, sf_dir)
+    lo = dt.datetime(2024, 1, 10)
+    hi = dt.datetime(2024, 1, 13) - dt.timedelta(microseconds=1)
+    df = ManifestTable(path).read(spark, between=("ts", lo, hi))
+    return (
+        df.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANIFEST_TIME_PRUNE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["manifest_time_prune"] = q_manifest_time_prune
+ORACLES["manifest_time_prune"] = ORACLE_MANIFEST_TIME_PRUNE
+
+
+def q_compaction_equivalence(spark, sf_dir):
+    """Driver gate for compaction: a week of events committed as THREE
+    interleaved batches (3 files per day partition), every partition
+    rewritten to one file under snapshot isolation — and the rollup
+    must be byte-identical to the oracle over the raw rows. Re-runs
+    skip already-single-file partitions, so the gate is idempotent."""
+    from .maintenance.jobs import list_hour_partitions, partition_files
+    from .storage.manifest import ManifestTable, write_batch_manifest
+    from .storage.manifest import compact_partition_manifest
+
+    key = ("compact", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-compact-")
+        e = _events_day_hour(spark, sf_dir, max_day=7)
+        for i in range(3):
+            write_batch_manifest(
+                e.filter(F.col("event_id") % 3 == i), path, "events_r9c",
+                batch_id=i + 1, partition_cols=("date_day", "hour"),
+                stats_cols=("ts",),
+            )
+        _R9_CACHE[key] = path
+    path = _R9_CACHE[key]
+    for day, hour in list_hour_partitions(path):
+        if len(partition_files(path, day, hour)) > 1:
+            compact_partition_manifest(spark, path, "events_r9c", day, hour)
+    df = ManifestTable(path).read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_COMPACTION_EQUIVALENCE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE day(ts) <= 7
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["compaction_equivalence"] = q_compaction_equivalence
+ORACLES["compaction_equivalence"] = ORACLE_COMPACTION_EQUIVALENCE
+
+
+def q_retention_drop_equivalence(spark, sf_dir):
+    """Driver gate for retention: a week-long table with days 5-7
+    dropped by the retention job (one snapshot commit removing the
+    files — readers on the old snapshot stay whole) must answer
+    exactly the oracle's WHERE day <= 4. Idempotent: re-running the
+    drop with the same keep-set is a no-op."""
+    from .maintenance.jobs import apply_retention, list_hour_partitions
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("retention", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-retain-")
+        e = _events_day_hour(spark, sf_dir, max_day=7)
+        write_batch_manifest(
+            e, path, "events_r9r", batch_id=1,
+            partition_cols=("date_day", "hour"), stats_cols=("ts",),
+        )
+        _R9_CACHE[key] = path
+    path = _R9_CACHE[key]
+    keep = {
+        (day, hour)
+        for day, hour in list_hour_partitions(path)
+        if day <= "2024-01-04"
+    }
+    apply_retention(path, keep)
+    df = ManifestTable(path).read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_RETENTION_DROP_EQUIVALENCE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE day(ts) <= 4
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["retention_drop_equivalence"] = q_retention_drop_equivalence
+ORACLES["retention_drop_equivalence"] = ORACLE_RETENTION_DROP_EQUIVALENCE

@@ -10,6 +10,7 @@ from . import (
     bench_round6,
     bench_round7,
     bench_round8,
+    bench_round9,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -29,6 +30,7 @@ _MODULES = [
     bench_round6,
     bench_round7,
     bench_round8,
+    bench_round9,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

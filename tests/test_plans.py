@@ -722,3 +722,102 @@ def test_round8_batch7_scale_shapes(spark):
 
     p_m = plan(qs["realized_vs_retail_margin"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p_m
+
+
+def test_round8_batch8_scale_shapes(spark):
+    """Batch-8 staged gates: the tail-scan gate actually EARLY-STOPS
+    (reads a strict subset of the manifest's files for top-200 over a
+    month of days), the hot/cold gate unions cold parquet with hot
+    batches, and the analytics windows partition on their natural keys
+    instead of globally sorting the fact table."""
+    from signaldb_spark import bench_round8 as b8
+    from signaldb_spark.storage.manifest import ManifestTable
+
+    qs = all_queries()
+
+    # tail scan: files_read < total committed files, result multiset tied
+    # to the oracle by the driver gate; here we pin the early stop itself
+    path = b8._events_tail_table(spark, SF_DIR)
+    mt = ManifestTable(path)
+    total_files = len(mt.load_manifest()["files"])
+    df, files_read = mt.read_recent_topk(spark, "ts", 200)
+    assert df is not None and total_files >= 20
+    assert files_read < total_files / 2  # a tail read, not a table scan
+
+    p_hc = plan(qs["hot_cold_visibility"](spark, SF_DIR))
+    assert "Union" in p_hc
+
+    # per-user windows shuffle on user_id, never a single global sort
+    for name in ("event_interarrival_histogram", "transition_entropy",
+                 "session_bounce_rate"):
+        p = plan(qs[name](spark, SF_DIR))
+        assert "hashpartitioning(user_id" in p, name
+
+    # drawdown's running-max window runs over the DAILY rollup: the
+    # HashAggregate must appear below the Window in the plan tree
+    p_dd = plan(qs["revenue_drawdown"](spark, SF_DIR))
+    lines = p_dd.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[win:])
+
+    # dimension joins broadcast
+    for name in ("unit_price_dispersion", "nation_rank_shift"):
+        assert "BroadcastHashJoin" in plan(qs[name](spark, SF_DIR)), name
+
+    # regression aggregates stay JVM-side (no Python UDF in the plan)
+    p_el = plan(qs["discount_elasticity"](spark, SF_DIR))
+    assert "Python" not in p_el and "HashAggregate" in p_el
+
+
+def test_round9_staged_scale_shapes(spark):
+    """Round-9 staged gates: rank statistics run over ROLLUPS (the
+    Mann-Whitney ranks come from a distinct-value window, never a
+    global sort of events), the silhouette broadcasts the centroid
+    table, and the engine gates' storage behaviors hold (stats pruning
+    actually drops files; time travel pins the old file list)."""
+    import datetime as dt
+
+    from signaldb_spark import bench_round9 as b9
+    from signaldb_spark.storage.manifest import ManifestTable
+
+    qs = all_queries()
+
+    # mann-whitney: the window input is the per-value rollup — a
+    # HashAggregate must appear below the Window in the plan tree
+    p_mw = plan(qs["mann_whitney_u"](spark, SF_DIR))
+    lines = p_mw.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l for l in lines[win:])
+
+    p_sil = plan(qs["emb_centroid_silhouette"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_sil
+
+    # sessionized gates shuffle on user_id
+    for name in ("session_position_dropoff", "session_type_lift",
+                 "dwell_time_stats"):
+        assert "hashpartitioning(user_id" in plan(qs[name](spark, SF_DIR)), name
+
+    # stats pruning: the 3-day window plans a strict subset of files
+    path = b9._events_versioned_table(spark, SF_DIR)
+    mt = ManifestTable(path)
+    total = len(mt.load_manifest()["files"])
+    lo, hi = dt.datetime(2024, 1, 10), dt.datetime(2024, 1, 13)
+    pruned, n_pruned = mt.pruned_files("ts", lo, hi)
+    assert n_pruned > 0 and len(pruned) < total
+
+    # time travel: version 1 plans strictly fewer files than current
+    v1_files = len(mt.load_manifest(1)["files"])
+    assert 0 < v1_files < total
+
+    # retention + compaction gates leave single-file / dropped layouts
+    qs["compaction_equivalence"](spark, SF_DIR).collect()
+    from signaldb_spark.maintenance.jobs import (
+        list_hour_partitions,
+        partition_files,
+    )
+    cpath = b9._R9_CACHE[("compact", SF_DIR)]
+    for day, hour in list_hour_partitions(cpath):
+        assert len(partition_files(cpath, day, hour)) == 1, (day, hour)
+    qs["retention_drop_equivalence"](spark, SF_DIR).collect()
+    rpath = b9._R9_CACHE[("retention", SF_DIR)]
+    assert max(d for d, _ in list_hour_partitions(rpath)) <= "2024-01-04"
