@@ -273,6 +273,24 @@ def exphist_rate_quantile(
         off_l = F.col(f"_last.{off_col}").cast("long")
         n = F.coalesce(F.size(arr_f), F.lit(0))
         p2 = F.col("_p2")
+
+        # Equal-scale fast path (_dsd = 0 — by far the common case: SDKs
+        # rarely rescale within one step): the general fold below would
+        # degenerate to a length-1 slice + aggregate PER BUCKET, paying
+        # a slice allocation and a fold setup per element. One
+        # offset-aligned index transform + exists does the same compare
+        # in a single array pass. (r5 bench: this fold was the
+        # exphist_rate_quantile +58% regression; hoisting the
+        # degenerate case recovers it.)
+        eq_flags = F.transform(
+            arr_f,
+            lambda x, i: x.cast("double")
+            > F.coalesce(
+                F.get(arr_l, (off_f + i - off_l).cast("int")), F.lit(0)
+            ).cast("double"),
+        )
+        dec_equal = F.coalesce(F.exists(eq_flags, lambda b: b), F.lit(False))
+
         jlo = F.floor(off_f / p2)
         jhi = F.floor((off_f + n - 1) / p2)
         seq = F.when(n > 0, F.sequence(jlo, jhi)).otherwise(
@@ -293,7 +311,8 @@ def exphist_rate_quantile(
             ).cast("double")
             return first_sum > last_at
 
-        return F.coalesce(F.exists(seq, _dec), F.lit(False))
+        dec_general = F.coalesce(F.exists(seq, _dec), F.lit(False))
+        return F.when(F.col("_dsd") == 0, dec_equal).otherwise(dec_general)
 
     bucket_dec = _down_bucket_decreased(pos_offset_col, pos_counts_col)
     if neg_offset_col is not None and neg_offset_col in df.columns:
@@ -307,10 +326,11 @@ def exphist_rate_quantile(
         | F.when(scale_f >= scale_l, bucket_dec).otherwise(F.lit(False))
     )
     ends = ends.withColumn("_reset", reset).drop("_dsd", "_p2")
-    last = ends.select("bucket", *series_cols, F.col("_last.*"))
-    neg = ends.filter(~F.col("_reset")).select(
-        "bucket",
-        *series_cols,
+    # ONE pass over the agg output: each (bucket, series) row explodes
+    # to [last, negated-first-unless-reset] — a union of two selects
+    # over the same aggregate would compute the groupBy twice (the two
+    # branches project differently, so the exchange is not reusable).
+    neg_struct = F.struct(
         F.col(f"_first.{scale_col}").alias(scale_col),
         (-F.col(f"_first.{zero_col}")).alias(zero_col),
         F.col(f"_first.{pos_offset_col}").alias(pos_offset_col),
@@ -328,7 +348,20 @@ def exphist_rate_quantile(
             else []
         ),
     )
-    union = last.unionByName(neg)
+    union = (
+        ends.select(
+            "bucket",
+            *series_cols,
+            F.explode(
+                F.array(
+                    F.col("_last"),
+                    F.when(~F.col("_reset"), neg_struct),
+                )
+            ).alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select("bucket", *series_cols, F.col("_s.*"))
+    )
     q = exphist_quantile(
         union,
         phi,
