@@ -868,3 +868,594 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["retention_drop_equivalence"] = q_retention_drop_equivalence
 ORACLES["retention_drop_equivalence"] = ORACLE_RETENTION_DROP_EQUIVALENCE
+
+
+# --------------------------------------------------------------- batch 2
+# SQL-surface parity batteries, corpus/relational analytics, and three
+# more storage contracts under the driver's oracle compare.
+
+
+def q_quantile_disc_battery(spark, sf_dir):
+    """percentile_cont vs percentile_disc parity per return flag — the
+    two ANSI quantile conventions (interpolated vs order-statistic)
+    whose off-by-one disagreements are a classic cross-engine bug.
+    Quantities quantize to integers so ties resolve identically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return (
+        q.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY q)"), 6)
+            .alias("median_cont"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)")
+            .cast("bigint")
+            .alias("median_disc"),
+            F.round(
+                F.expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY q)"), 6
+            ).alias("p90_cont"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY q)")
+            .cast("bigint")
+            .alias("p90_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_QUANTILE_DISC_BATTERY = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       round(percentile_cont(0.5) WITHIN GROUP
+             (ORDER BY CAST(l_quantity AS BIGINT)), 6) AS median_cont,
+       CAST(percentile_disc(0.5) WITHIN GROUP
+            (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS median_disc,
+       round(percentile_cont(0.9) WITHIN GROUP
+             (ORDER BY CAST(l_quantity AS BIGINT)), 6) AS p90_cont,
+       CAST(percentile_disc(0.9) WITHIN GROUP
+            (ORDER BY CAST(l_quantity AS BIGINT)) AS BIGINT) AS p90_disc
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quantile_disc_battery"] = q_quantile_disc_battery
+ORACLES["quantile_disc_battery"] = ORACLE_QUANTILE_DISC_BATTERY
+
+
+def q_string_ops_battery(spark, sf_dir):
+    """String-function parity battery over distinct part names:
+    translate / reverse / repeat / lpad / substring-from-right — the
+    scalar surface both engines must agree on byte-for-byte. Tiny
+    distinct rollup; the point is agreement, not volume."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    return (
+        names.select(
+            "name",
+            F.translate("name", "aeiou", "AEIOU").alias("vowels_up"),
+            F.reverse(F.col("name")).alias("reversed"),
+            F.repeat(F.substring("name", 1, 2), 3).alias("rep2x3"),
+            F.lpad(F.substring("name", 1, 4), 8, "*").alias("lpad8"),
+            F.substring(F.col("name"), -3, 3).alias("last3"),
+        )
+        .orderBy("name")
+    )
+
+
+ORACLE_STRING_OPS_BATTERY = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT name,
+       translate(name, 'aeiou', 'AEIOU') AS vowels_up,
+       reverse(name) AS reversed,
+       repeat(substring(name, 1, 2), 3) AS rep2x3,
+       lpad(substring(name, 1, 4), 8, '*') AS lpad8,
+       substring(name, length(name) - 2, 3) AS last3
+FROM names ORDER BY name
+"""
+
+QUERIES["string_ops_battery"] = q_string_ops_battery
+ORACLES["string_ops_battery"] = ORACLE_STRING_OPS_BATTERY
+
+
+def q_bitwise_battery(spark, sf_dir):
+    """Bitwise aggregate parity: bit_and / bit_or / bit_xor over event
+    ids per type, plus scalar shifts on the rolled-up values — the
+    integer-surface agreement check (hash partitioners and bloom
+    filters live on exactly these ops)."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("band"),
+        F.bit_or("event_id").alias("bor"),
+        F.bit_xor("event_id").alias("bxor"),
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("band").cast("bigint").alias("band"),
+            F.col("bor").cast("bigint").alias("bor"),
+            F.col("bxor").cast("bigint").alias("bxor"),
+            F.shiftright(F.col("bxor"), 3).cast("bigint").alias("bxor_shr3"),
+            (F.col("bor").bitwiseAND(F.lit(255))).cast("bigint").alias(
+                "bor_low8"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_BITWISE_BATTERY = """
+WITH agg AS (
+  SELECT event_type,
+         bit_and(event_id) AS band, bit_or(event_id) AS bor,
+         bit_xor(event_id) AS bxor
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(band AS BIGINT) AS band,
+       CAST(bor AS BIGINT) AS bor, CAST(bxor AS BIGINT) AS bxor,
+       CAST(bxor >> 3 AS BIGINT) AS bxor_shr3,
+       CAST(bor & 255 AS BIGINT) AS bor_low8
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["bitwise_battery"] = q_bitwise_battery
+ORACLES["bitwise_battery"] = ORACLE_BITWISE_BATTERY
+
+
+def q_argmax_battery(spark, sf_dir):
+    """max_by/min_by (argmax) parity with DETERMINISTIC tie-breaking:
+    the ordering key is a fixed-width string composite
+    (value-micros # event-id), so lexicographic equals numeric order
+    and ties at the extreme value resolve identically in both engines
+    — the discipline any argmax on real data needs."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat_ws(
+        "#",
+        F.lpad(F.round(F.col("value") * 1000000).cast("bigint"), 20, "0"),
+        F.lpad(F.col("event_id"), 12, "0"),
+    )
+    return (
+        e.select("event_type", "event_id", "ts", key.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.max_by("event_id", F.col("k")).cast("bigint").alias(
+                "max_value_event"
+            ),
+            F.min_by("event_id", F.col("k")).cast("bigint").alias(
+                "min_value_event"
+            ),
+            F.max_by("ts", F.col("k")).alias("max_value_ts"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ARGMAX_BATTERY = """
+WITH keyed AS (
+  SELECT event_type, event_id, ts,
+         lpad(CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR),
+              20, '0')
+         || '#' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(arg_max(event_id, k) AS BIGINT) AS max_value_event,
+       CAST(arg_min(event_id, k) AS BIGINT) AS min_value_event,
+       arg_max(ts, k) AS max_value_ts
+FROM keyed GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["argmax_battery"] = q_argmax_battery
+ORACLES["argmax_battery"] = ORACLE_ARGMAX_BATTERY
+
+
+def q_lsh_band_tuning_curve(spark, sf_dir):
+    """LSH band-count tuning curve: candidate-pair volume at 2 / 4 / 8
+    bands over the SAME 8-hash MinHash signatures — the knob you turn
+    BEFORE a 100 TB dedup (more bands = higher recall = more pairs to
+    verify; this measures the cost side). Signatures compute once; each
+    banding is a bucket groupBy with C(n,2) arithmetic — pairs are
+    counted, never materialized."""
+    from .operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", n=3, num_hashes=8)
+    out = None
+    for bands in (2, 4, 8):
+        rows_per_band = 8 // bands
+        banded = sigs.withColumn(
+            "band", F.floor(F.col("h") / rows_per_band)
+        )
+        bh = banded.groupBy("doc_id", "band").agg(
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))))
+            .alias("band_hash")
+        )
+        buckets = bh.groupBy("band", "band_hash").agg(
+            F.count(F.lit(1)).alias("sz")
+        )
+        one = buckets.filter(F.col("sz") > 1).agg(
+            F.lit(bands).cast("bigint").alias("bands"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2)
+            .cast("bigint")
+            .alias("n_candidate_pairs"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("bands")
+
+
+ORACLE_LSH_BAND_TUNING_CURVE = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM tok, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) u(i)
+  WHERE len(t) >= 3
+), hx AS (SELECT doc_id, shingle, h FROM sh, UNNEST(range(0, 8)) u(h)),
+sigs AS (
+  SELECT doc_id, h, min(md5(h || ':' || shingle)) AS minhash
+  FROM hx GROUP BY 1, 2
+), curve AS (
+  SELECT b.bands, s.h // (8 // b.bands) AS band, s.doc_id, s.minhash
+  FROM sigs s, (VALUES (2), (4), (8)) AS b(bands)
+), bh AS (
+  SELECT bands, band, doc_id,
+         md5(array_to_string(list_sort(list(minhash)), '|')) AS band_hash
+  FROM curve GROUP BY 1, 2, 3
+), buckets AS (
+  SELECT bands, band, band_hash, count(*) AS sz
+  FROM bh GROUP BY 1, 2, 3
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets WHERE sz > 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lsh_band_tuning_curve"] = q_lsh_band_tuning_curve
+ORACLES["lsh_band_tuning_curve"] = ORACLE_LSH_BAND_TUNING_CURVE
+
+
+def q_brand_repeat_rate(spark, sf_dir):
+    """Repeat-purchase rate per brand: the share of a brand's customers
+    who ordered it in 2+ DISTINCT orders — loyalty vs one-off demand.
+    Facts project to three columns before the broadcast part join; the
+    (customer, brand) rollup carries exact order counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    )
+    return (
+        cb.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("repeat_customers"),
+            F.round(
+                F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("repeat_rate"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_REPEAT_RATE = """
+WITH cb AS (
+  SELECT o_custkey, p_brand, count(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS repeat_customers,
+       round(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS repeat_rate
+FROM cb GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["brand_repeat_rate"] = q_brand_repeat_rate
+ORACLES["brand_repeat_rate"] = ORACLE_BRAND_REPEAT_RATE
+
+
+def q_nation_trade_balance(spark, sf_dir):
+    """Trade-balance matrix collapsed per nation: revenue its suppliers
+    ship out (exports) vs revenue its customers buy (imports) and the
+    net — the Q7 volume-shipping join reshaped into a balance sheet.
+    Supplier and customer dimensions broadcast; cents stay exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    flows = (
+        li.select("l_orderkey", "l_suppkey", rev.alias("cents"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("exp_key"),
+            F.col("c_nationkey").alias("imp_key"),
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    exports = flows.groupBy(F.col("exp_key").alias("nk")).agg(
+        F.sum("cents").alias("exp_cents")
+    )
+    imports = flows.groupBy(F.col("imp_key").alias("nk")).agg(
+        F.sum("cents").alias("imp_cents")
+    )
+    return (
+        exports.join(imports, "nk", "full_outer")
+        .join(F.broadcast(n), F.col("nk") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.round(F.coalesce("exp_cents", F.lit(0)) / 100.0, 6).alias(
+                "exports_usd"
+            ),
+            F.round(F.coalesce("imp_cents", F.lit(0)) / 100.0, 6).alias(
+                "imports_usd"
+            ),
+            F.round(
+                (
+                    F.coalesce("exp_cents", F.lit(0))
+                    - F.coalesce("imp_cents", F.lit(0))
+                )
+                / 100.0,
+                6,
+            ).alias("balance_usd"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_TRADE_BALANCE = """
+WITH flows AS (
+  SELECT s_nationkey AS exp_key, c_nationkey AS imp_key,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+), exports AS (
+  SELECT exp_key AS nk, CAST(sum(cents) AS BIGINT) AS exp_cents
+  FROM flows GROUP BY 1
+), imports AS (
+  SELECT imp_key AS nk, CAST(sum(cents) AS BIGINT) AS imp_cents
+  FROM flows GROUP BY 1
+)
+SELECT n_name,
+       round(coalesce(exp_cents, 0) / 100.0, 6) AS exports_usd,
+       round(coalesce(imp_cents, 0) / 100.0, 6) AS imports_usd,
+       round((coalesce(exp_cents, 0) - coalesce(imp_cents, 0)) / 100.0, 6)
+         AS balance_usd
+FROM exports FULL OUTER JOIN imports USING (nk)
+JOIN nation ON nk = n_nationkey
+ORDER BY n_name
+"""
+
+QUERIES["nation_trade_balance"] = q_nation_trade_balance
+ORACLES["nation_trade_balance"] = ORACLE_NATION_TRADE_BALANCE
+
+
+def q_value_qq_deciles(spark, sf_dir):
+    """QQ table: interpolated deciles of 'error' event values against
+    'purchase' values side by side — the distribution-shape compare
+    that says WHERE two streams diverge (the KS gate says only how
+    much). One percentile-array agg per type over integer-quantized
+    values; the decile table is 9 rows."""
+    e = load_table(spark, sf_dir, "events")
+    probs = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    per_type = (
+        e.filter(F.col("event_type").isin("error", "purchase"))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 1000000).cast("bigint").alias("v"),
+        )
+        .groupBy("event_type")
+        .agg(F.percentile("v", probs).alias("qs"))
+    )
+    wide = per_type.select(
+        F.posexplode("qs").alias("i", "q"), "event_type"
+    ).groupBy((F.col("i") + 1).cast("bigint").alias("decile")).agg(
+        F.round(
+            F.max(F.when(F.col("event_type") == "error", F.col("q")))
+            / 1000000.0,
+            6,
+        ).alias("error_q"),
+        F.round(
+            F.max(F.when(F.col("event_type") == "purchase", F.col("q")))
+            / 1000000.0,
+            6,
+        ).alias("purchase_q"),
+    )
+    return wide.orderBy("decile")
+
+
+ORACLE_VALUE_QQ_DECILES = """
+WITH per_type AS (
+  SELECT event_type,
+         quantile_cont(CAST(round(value * 1000000) AS BIGINT),
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+  FROM events WHERE event_type IN ('error', 'purchase')
+  GROUP BY 1
+), ex AS (
+  SELECT event_type, unnest(range(1, 10)) AS decile, unnest(qs) AS q
+  FROM per_type
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       round(max(CASE WHEN event_type = 'error' THEN q END)
+             / 1000000.0, 6) AS error_q,
+       round(max(CASE WHEN event_type = 'purchase' THEN q END)
+             / 1000000.0, 6) AS purchase_q
+FROM ex GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_qq_deciles"] = q_value_qq_deciles
+ORACLES["value_qq_deciles"] = ORACLE_VALUE_QQ_DECILES
+
+
+def q_hot_gc_safety(spark, sf_dir):
+    """Driver gate for hot-store GC safety: after flushing and then
+    GC-ing the covered hot batches, the hybrid read must STILL equal
+    the whole table — gc reclaims only what the watermark covers, and
+    the unflushed ack survives both the flush and the sweep."""
+    from .storage.hot import HotStore, flush_hot, hybrid_read
+    from .storage.manifest import write_batch_manifest
+
+    key = ("hotgc", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-hotgc-")
+        e = _events_day_hour(spark, sf_dir)
+        write_batch_manifest(
+            e.filter(F.col("event_id") % 4 < 2), path, "events_r9g",
+            batch_id=1, partition_cols=("date_day", "hour"),
+            stats_cols=("ts",),
+        )
+        store = HotStore(path)
+        store.ack(e.filter(F.col("event_id") % 4 == 2))
+        wm = flush_hot(spark, path, "events_r9g",
+                       partition_cols=("date_day", "hour"),
+                       stats_cols=("ts",))
+        store.ack(e.filter(F.col("event_id") % 4 == 3))  # stays hot
+        store.gc(wm)  # reclaims ONLY the flushed sequence
+        _R9_CACHE[key] = path
+    df = hybrid_read(spark, _R9_CACHE[key])
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOT_GC_SAFETY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hot_gc_safety"] = q_hot_gc_safety
+ORACLES["hot_gc_safety"] = ORACLE_HOT_GC_SAFETY
+
+
+def q_snapshot_expiry_read_stability(spark, sf_dir):
+    """Driver gate for snapshot expiration: expiring history down to
+    the latest snapshot (keep_last=1) must not change what the current
+    version answers — expiration retires manifests and the files ONLY
+    they referenced, never current data. Runs against a two-batch
+    table whose batch-1-era files are all still referenced."""
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("expiry", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-expiry-")
+        e = _events_day_hour(spark, sf_dir)
+        for i in (0, 1):
+            write_batch_manifest(
+                e.filter(F.col("event_id") % 2 == i), path, "events_r9e",
+                batch_id=i + 1, partition_cols=("date_day", "hour"),
+                stats_cols=("ts",),
+            )
+        _R9_CACHE[key] = path
+    path = _R9_CACHE[key]
+    mt = ManifestTable(path)
+    mt.expire_snapshots(keep_last=1)
+    df = mt.read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SNAPSHOT_EXPIRY_READ_STABILITY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["snapshot_expiry_read_stability"] = q_snapshot_expiry_read_stability
+ORACLES["snapshot_expiry_read_stability"] = (
+    ORACLE_SNAPSHOT_EXPIRY_READ_STABILITY
+)
+
+
+def q_idempotent_replay_visibility(spark, sf_dir):
+    """Driver gate for at-least-once replay: the same batch committed
+    TWICE under one lineage id (with different parallelism, as a retry
+    would) must count exactly once — the WAL-replay idempotence
+    contract, proven by the oracle's whole-table rollup instead of a
+    pytest row count."""
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("replay", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-replay-")
+        e = _events_day_hour(spark, sf_dir)
+        evens = e.filter(F.col("event_id") % 2 == 0)
+        write_batch_manifest(
+            evens, path, "events_r9i", batch_id="b1",
+            partition_cols=("date_day", "hour"), stats_cols=("ts",),
+        )
+        # the replay: same lineage id, different file count
+        write_batch_manifest(
+            evens.repartition(3), path, "events_r9i", batch_id="b1",
+            partition_cols=("date_day", "hour"), stats_cols=("ts",),
+        )
+        write_batch_manifest(
+            e.filter(F.col("event_id") % 2 == 1), path, "events_r9i",
+            batch_id="b2", partition_cols=("date_day", "hour"),
+            stats_cols=("ts",),
+        )
+        _R9_CACHE[key] = path
+    df = ManifestTable(_R9_CACHE[key]).read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_IDEMPOTENT_REPLAY_VISIBILITY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["idempotent_replay_visibility"] = q_idempotent_replay_visibility
+ORACLES["idempotent_replay_visibility"] = ORACLE_IDEMPOTENT_REPLAY_VISIBILITY
