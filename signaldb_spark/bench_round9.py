@@ -1459,3 +1459,399 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["idempotent_replay_visibility"] = q_idempotent_replay_visibility
 ORACLES["idempotent_replay_visibility"] = ORACLE_IDEMPOTENT_REPLAY_VISIBILITY
+
+
+# --------------------------------------------------------------- batch 3
+
+
+def q_recency_weighted_activity(spark, sf_dir):
+    """Exponential-decay engagement score per user segment: each event
+    contributes exp(−age_days/7) relative to the corpus watermark —
+    the recency weighting every ranking/retention model starts from.
+    The watermark is a 1-row agg broadcast back over the facts; scores
+    band to integer deciles so the rollup is tie-stable."""
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max(F.unix_micros("ts")).alias("wm_us"))
+    scored = e.crossJoin(F.broadcast(wm)).select(
+        "user_id",
+        F.exp(
+            -(F.col("wm_us") - F.unix_micros("ts"))
+            / (7.0 * 86400.0 * 1000000.0)
+        ).alias("w"),
+    )
+    per_user = scored.groupBy("user_id").agg(F.sum("w").alias("score"))
+    band = F.least(F.floor(F.col("score")), F.lit(20)).cast("bigint")
+    return (
+        per_user.groupBy(band.alias("score_band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("score_band")
+    )
+
+
+ORACLE_RECENCY_WEIGHTED_ACTIVITY = """
+WITH wm AS (SELECT max(epoch_us(ts)) AS wm_us FROM events),
+per_user AS (
+  SELECT user_id,
+         sum(exp(-(wm_us - epoch_us(ts))
+                 / (7.0 * 86400.0 * 1000000.0))) AS score
+  FROM events, wm GROUP BY 1
+)
+SELECT CAST(least(floor(score), 20) AS BIGINT) AS score_band,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["recency_weighted_activity"] = q_recency_weighted_activity
+ORACLES["recency_weighted_activity"] = ORACLE_RECENCY_WEIGHTED_ACTIVITY
+
+
+def q_customer_trend_mix(spark, sf_dir):
+    """Rising vs declining customers per market segment: a per-customer
+    regression of order value on order date classifies each customer's
+    trend; the segment rollup reports the mix — per-KEY regression then
+    re-aggregation, a shape none of the single regr gates pin.
+    Customers need 3+ orders for a meaningful slope."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    day = (F.unix_timestamp("o_orderdate") / 86400.0).alias("x")
+    per_cust = (
+        o.select("o_custkey", day, F.col("o_totalprice").alias("y"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.regr_slope("y", "x").alias("slope"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    return (
+        per_cust.join(F.broadcast(c), per_cust.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("slope") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("rising"),
+            F.sum(F.when(F.col("slope") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("declining"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_CUSTOMER_TREND_MIX = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n,
+         regr_slope(o_totalprice,
+                    epoch(o_orderdate) / 86400.0) AS slope
+  FROM orders GROUP BY 1
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN slope > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rising,
+       CAST(sum(CASE WHEN slope < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS declining
+FROM per_cust JOIN customer ON o_custkey = c_custkey
+WHERE n >= 3
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_trend_mix"] = q_customer_trend_mix
+ORACLES["customer_trend_mix"] = ORACLE_CUSTOMER_TREND_MIX
+
+
+def q_skewness_report(spark, sf_dir):
+    """Distribution-shape report per event type: skewness and excess
+    kurtosis computed EXPLICITLY from raw power sums (engines disagree
+    on sample-vs-population corrections, so neither built-in is
+    trusted) — values quantize to integer micros first, and both
+    engines fold the same four raw moments."""
+    e = load_table(spark, sf_dir, "events")
+    x = (F.round(F.col("value") * 1000000).cast("bigint") / 1000000.0)
+    raw = e.select("event_type", x.alias("x")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * F.col("s2") / F.col("n") + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    return raw.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness_pop"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis_pop"),
+    ).orderBy("event_type")
+
+
+ORACLE_SKEWNESS_REPORT = """
+WITH raw AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+  FROM (SELECT event_type,
+               CAST(round(value * 1000000) AS BIGINT) / 1000000.0 AS x
+        FROM events)
+  GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round((s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3))
+             / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skewness_pop,
+       round((s4 / n - 4 * (s1 / n) * s3 / n
+              + 6 * pow(s1 / n, 2) * s2 / n - 3 * pow(s1 / n, 4))
+             / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6)
+         AS excess_kurtosis_pop
+FROM raw ORDER BY event_type
+"""
+
+QUERIES["skewness_report"] = q_skewness_report
+ORACLES["skewness_report"] = ORACLE_SKEWNESS_REPORT
+
+
+def q_anova_f_component(spark, sf_dir):
+    """One-way ANOVA F statistic of the first embedding component
+    across labels — do the clusters even separate on this axis before
+    you trust a distance index? (The vectors are unit-normalized, so
+    norms are degenerate; a coordinate projection is the honest
+    response variable.) The scalar is a per-vector element read —
+    vectors never shuffle; SSB/SSW derive from per-label
+    count/sum/sumsq."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp0 = F.element_at("embedding", 1).cast("double")
+    per_label = e.select(F.col("label"), comp0.alias("v")).groupBy(
+        "label"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    tot = per_label.agg(
+        F.sum("n").alias("N"),
+        F.sum("s").alias("S"),
+        F.sum(F.col("ss")).alias("SS"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("group_sq"),
+    )
+    ssb = F.col("group_sq") - F.col("S") * F.col("S") / F.col("N")
+    ssw = F.col("SS") - F.col("group_sq")
+    fstat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("N") - F.col("k")))
+    return tot.select(
+        F.col("N").cast("bigint").alias("n_vectors"),
+        F.col("k").cast("bigint").alias("n_labels"),
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+    )
+
+
+ORACLE_ANOVA_F_COMPONENT = """
+WITH norms AS (
+  SELECT label, CAST(embedding[1] AS DOUBLE) AS v
+  FROM embeddings
+), per_label AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS n, sum(v) AS s,
+         sum(v * v) AS ss
+  FROM norms GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS N, sum(s) AS S, sum(ss) AS SS,
+         CAST(count(*) AS DOUBLE) AS k,
+         sum(s * s / n) AS group_sq
+  FROM per_label
+)
+SELECT CAST(N AS BIGINT) AS n_vectors, CAST(k AS BIGINT) AS n_labels,
+       round(group_sq - S * S / N, 6) AS ss_between,
+       round(SS - group_sq, 6) AS ss_within,
+       round(((group_sq - S * S / N) / (k - 1))
+             / ((SS - group_sq) / (N - k)), 6) AS f_stat
+FROM tot
+"""
+
+QUERIES["anova_f_component"] = q_anova_f_component
+ORACLES["anova_f_component"] = ORACLE_ANOVA_F_COMPONENT
+
+
+def q_skyline_orders(spark, sf_dir):
+    """Skyline (Pareto frontier) of orders on (price ASC, date DESC):
+    orders no other order beats on BOTH cheapness and recency — the
+    multi-objective shortlist operator. One running-max window over
+    the price ordering (with full deterministic tiebreaks) instead of
+    the naive all-pairs dominance join."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(
+        "o_orderkey",
+        cents.alias("cents"),
+        F.unix_timestamp("o_orderdate").alias("ep"),
+    )
+    w = (
+        Window.orderBy("cents", F.desc("ep"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = base.withColumn("best_ep", F.max("ep").over(w)).filter(
+        F.col("best_ep").isNull() | (F.col("ep") > F.col("best_ep"))
+    )
+    return sky.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round(F.col("cents") / 100.0, 6).alias("price_usd"),
+        F.to_date(F.to_timestamp(F.col("ep"))).cast("string").alias(
+            "order_date"
+        ),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_SKYLINE_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         epoch(o_orderdate) AS ep
+  FROM orders
+), sky AS (
+  SELECT o_orderkey, cents, ep,
+         max(ep) OVER (ORDER BY cents, ep DESC, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS best_ep
+  FROM base
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       round(cents / 100.0, 6) AS price_usd,
+       strftime(CAST(to_timestamp(ep) AS DATE), '%Y-%m-%d') AS order_date
+FROM sky WHERE best_ep IS NULL OR ep > best_ep
+ORDER BY o_orderkey
+"""
+
+QUERIES["skyline_orders"] = q_skyline_orders
+ORACLES["skyline_orders"] = ORACLE_SKYLINE_ORDERS
+
+
+def q_manifest_stats_report(spark, sf_dir):
+    """Driver gate for the manifest's per-file column statistics: the
+    [min, max] ts the committing writer recorded from parquet footers,
+    rolled up per day, must equal the oracle's real min/max per day.
+    This is the load-bearing metadata — stats-pruning and the TopK
+    tail scan are only correct if these bounds are honest."""
+    from .storage.manifest import ManifestTable
+
+    path = _events_versioned_table(spark, sf_dir)
+    man = ManifestTable(path).load_manifest()
+    rows = []
+    for rel, stats in man.get("stats", {}).items():
+        rng = stats.get("ts")
+        if rng is None:
+            continue
+        day = rel.split("date_day=", 1)[1].split("/", 1)[0]
+        rows.append((day, int(rng[0]), int(rng[1])))
+    df = spark.createDataFrame(rows, "day string, lo long, hi long")
+    return (
+        df.groupBy("day")
+        .agg(
+            F.timestamp_micros(F.min("lo")).alias("min_ts"),
+            F.timestamp_micros(F.max("hi")).alias("max_ts"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_MANIFEST_STATS_REPORT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["manifest_stats_report"] = q_manifest_stats_report
+ORACLES["manifest_stats_report"] = ORACLE_MANIFEST_STATS_REPORT
+
+
+def q_tenant_isolation_scan(spark, sf_dir):
+    """Driver gate for tenant routing: two tenants' events tables under
+    one base (acme = even ids, globex = odd), and the acme-scoped
+    catalog read must answer EXACTLY acme's subset — the multi-tenancy
+    path (tenant → dataset → table directory) proven by the oracle,
+    not by trusting the path join."""
+    from .catalog import optional_table, signal_table_path
+    from .storage.manifest import write_batch_manifest
+
+    key = ("tenants", sf_dir)
+    if key not in _R9_CACHE:
+        base = _tempfile.mkdtemp(prefix="sdb-r9-tenants-")
+        e = _events_day_hour(spark, sf_dir)
+        for tenant, parity in (("acme", 0), ("globex", 1)):
+            write_batch_manifest(
+                e.filter(F.col("event_id") % 2 == parity),
+                signal_table_path(base, tenant, "prod", "events_iso"),
+                "events_iso", batch_id=1,
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+        _R9_CACHE[key] = base
+    df = optional_table(spark, _R9_CACHE[key], "acme", "prod", "events_iso")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TENANT_ISOLATION_SCAN = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_id % 2 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["tenant_isolation_scan"] = q_tenant_isolation_scan
+ORACLES["tenant_isolation_scan"] = ORACLE_TENANT_ISOLATION_SCAN
+
+
+def q_hot_only_first_run(spark, sf_dir):
+    """Driver gate for the first-run experience: a table with hot acks
+    and NO committed snapshot yet serves hot-only — a new tenant's
+    data is queryable before the first flush creates the cold table
+    (the reference's unflushed-data-visibility proposal names exactly
+    this case)."""
+    from .storage.hot import HotStore, hybrid_read
+
+    key = ("hotonly", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-hotonly-")
+        e = _events_day_hour(spark, sf_dir)
+        store = HotStore(path)
+        store.ack(e.filter(F.col("event_id") % 10 == 0))
+        store.ack(e.filter(F.col("event_id") % 10 == 5))
+        _R9_CACHE[key] = path
+    df = hybrid_read(spark, _R9_CACHE[key])
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOT_ONLY_FIRST_RUN = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_id % 5 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hot_only_first_run"] = q_hot_only_first_run
+ORACLES["hot_only_first_run"] = ORACLE_HOT_ONLY_FIRST_RUN

@@ -854,3 +854,30 @@ def test_round9_batch2_scale_shapes(spark):
     qs["hot_gc_safety"](spark, SF_DIR).collect()
     store = HotStore(b9._R9_CACHE[("hotgc", SF_DIR)])
     assert len(store.sequences()) == 1
+
+
+def test_round9_batch3_scale_shapes(spark):
+    """Round-9 batch-3 gates: the decay score's watermark is a 1-row
+    broadcast (never a second scan join), the per-customer regression
+    shuffles on custkey then broadcasts the customer dim, the skyline
+    is one window (no all-pairs dominance join), and the tenant
+    isolation fixture routes acme to acme's files only."""
+    from signaldb_spark import bench_round9 as b9
+
+    qs = all_queries()
+
+    p_rw = plan(qs["recency_weighted_activity"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_rw or "BroadcastExchange" in p_rw
+
+    p_ct = plan(qs["customer_trend_mix"](spark, SF_DIR))
+    assert "hashpartitioning(o_custkey" in p_ct
+    assert "BroadcastHashJoin" in p_ct
+
+    p_sky = plan(qs["skyline_orders"](spark, SF_DIR))
+    assert "Window" in p_sky
+    assert "CartesianProduct" not in p_sky and "SortMergeJoin" not in p_sky
+
+    qs["tenant_isolation_scan"](spark, SF_DIR).collect()
+    base = b9._R9_CACHE[("tenants", SF_DIR)]
+    p_iso = plan(qs["tenant_isolation_scan"](spark, SF_DIR))
+    assert "acme" in p_iso and "globex" not in p_iso
