@@ -770,15 +770,13 @@ QUERIES["manifest_time_prune"] = q_manifest_time_prune
 ORACLES["manifest_time_prune"] = ORACLE_MANIFEST_TIME_PRUNE
 
 
-def q_compaction_equivalence(spark, sf_dir):
-    """Driver gate for compaction: a week of events committed as THREE
-    interleaved batches (3 files per day partition), every partition
-    rewritten to one file under snapshot isolation — and the rollup
-    must be byte-identical to the oracle over the raw rows. Re-runs
-    skip already-single-file partitions, so the gate is idempotent."""
+def _compacted_table(spark, sf_dir: str) -> str:
+    """Week-of-events fixture committed as three interleaved batches,
+    then every multi-file partition compacted to one file (idempotent:
+    re-runs skip single-file partitions)."""
     from .maintenance.jobs import list_hour_partitions, partition_files
-    from .storage.manifest import ManifestTable, write_batch_manifest
     from .storage.manifest import compact_partition_manifest
+    from .storage.manifest import write_batch_manifest
 
     key = ("compact", sf_dir)
     if key not in _R9_CACHE:
@@ -795,6 +793,43 @@ def q_compaction_equivalence(spark, sf_dir):
     for day, hour in list_hour_partitions(path):
         if len(partition_files(path, day, hour)) > 1:
             compact_partition_manifest(spark, path, "events_r9c", day, hour)
+    return path
+
+
+def _retained_table(spark, sf_dir: str) -> str:
+    """Week-of-events fixture with days 5-7 dropped by the retention
+    job (idempotent: re-applying the same keep-set is a no-op)."""
+    from .maintenance.jobs import apply_retention, list_hour_partitions
+    from .storage.manifest import write_batch_manifest
+
+    key = ("retention", sf_dir)
+    if key not in _R9_CACHE:
+        path = _tempfile.mkdtemp(prefix="sdb-r9-retain-")
+        e = _events_day_hour(spark, sf_dir, max_day=7)
+        write_batch_manifest(
+            e, path, "events_r9r", batch_id=1,
+            partition_cols=("date_day", "hour"), stats_cols=("ts",),
+        )
+        _R9_CACHE[key] = path
+    path = _R9_CACHE[key]
+    keep = {
+        (day, hour)
+        for day, hour in list_hour_partitions(path)
+        if day <= "2024-01-04"
+    }
+    apply_retention(path, keep)
+    return path
+
+
+def q_compaction_equivalence(spark, sf_dir):
+    """Driver gate for compaction: a week of events committed as THREE
+    interleaved batches (3 files per day partition), every partition
+    rewritten to one file under snapshot isolation — and the rollup
+    must be byte-identical to the oracle over the raw rows. Re-runs
+    skip already-single-file partitions, so the gate is idempotent."""
+    from .storage.manifest import ManifestTable
+
+    path = _compacted_table(spark, sf_dir)
     df = ManifestTable(path).read(spark)
     return (
         df.groupBy("event_type")
@@ -826,26 +861,9 @@ def q_retention_drop_equivalence(spark, sf_dir):
     files — readers on the old snapshot stay whole) must answer
     exactly the oracle's WHERE day <= 4. Idempotent: re-running the
     drop with the same keep-set is a no-op."""
-    from .maintenance.jobs import apply_retention, list_hour_partitions
-    from .storage.manifest import ManifestTable, write_batch_manifest
+    from .storage.manifest import ManifestTable
 
-    key = ("retention", sf_dir)
-    if key not in _R9_CACHE:
-        path = _tempfile.mkdtemp(prefix="sdb-r9-retain-")
-        e = _events_day_hour(spark, sf_dir, max_day=7)
-        write_batch_manifest(
-            e, path, "events_r9r", batch_id=1,
-            partition_cols=("date_day", "hour"), stats_cols=("ts",),
-        )
-        _R9_CACHE[key] = path
-    path = _R9_CACHE[key]
-    keep = {
-        (day, hour)
-        for day, hour in list_hour_partitions(path)
-        if day <= "2024-01-04"
-    }
-    apply_retention(path, keep)
-    df = ManifestTable(path).read(spark)
+    df = ManifestTable(_retained_table(spark, sf_dir)).read(spark)
     return (
         df.groupBy("event_type")
         .agg(
@@ -1855,3 +1873,982 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["hot_only_first_run"] = q_hot_only_first_run
 ORACLES["hot_only_first_run"] = ORACLE_HOT_ONLY_FIRST_RUN
+
+
+# --------------------------------------------------------------- batch 4
+
+
+def q_theil_sen_daily_trend(spark, sf_dir):
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise day-to-day slopes — immune to the outlier days that drag
+    least-squares around. The pair join runs over the DAILY rollup
+    (calendar-bounded, never the fact table), broadcast on one side;
+    slopes are exact-cents over integer day gaps."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp")) / 86400)
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("d").alias("db"), F.col("cents").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        ((F.col("cb") - F.col("ca")) / (F.col("db") - F.col("da"))).alias(
+            "slope"
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile("slope", F.lit(0.5)) / 100.0, 6).alias(
+            "sen_slope_usd_per_day"
+        ),
+    )
+
+
+ORACLE_THEIL_SEN_DAILY_TREND = """
+WITH daily AS (
+  SELECT CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) / 86400
+              AS BIGINT) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT (b.cents - a.cents) * 1.0 / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(quantile_cont(slope, 0.5) / 100.0, 6)
+         AS sen_slope_usd_per_day
+FROM pairs
+"""
+
+QUERIES["theil_sen_daily_trend"] = q_theil_sen_daily_trend
+ORACLES["theil_sen_daily_trend"] = ORACLE_THEIL_SEN_DAILY_TREND
+
+
+def q_runs_test_randomness(spark, sf_dir):
+    """Wald-Wolfowitz runs test per event type: is the above/below-
+    median sequence of values random in time, or does it streak? The
+    per-type median joins back as a broadcast; runs count with one lag
+    window; expectation and variance are the closed-form n1/n2
+    formulas. Ties at the median count as below (documented
+    convention, applied identically in both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000000).cast("bigint")
+    base = e.select("event_type", "ts", "event_id", v.alias("v"))
+    med = base.groupBy("event_type").agg(
+        F.percentile("v", F.lit(0.5)).alias("med")
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    signed = (
+        base.join(F.broadcast(med), "event_type")
+        .withColumn("hi", (F.col("v") > F.col("med")).cast("int"))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.lag("hi").over(w).isNull()
+                | (F.lag("hi").over(w) != F.col("hi")),
+                1,
+            ).otherwise(0),
+        )
+    )
+    agg = signed.groupBy("event_type").agg(
+        F.sum("new_run").cast("double").alias("runs"),
+        F.sum("hi").cast("double").alias("n1"),
+        F.sum(1 - F.col("hi")).cast("double").alias("n2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    er = 1 + 2 * F.col("n1") * F.col("n2") / n
+    vr = (
+        2 * F.col("n1") * F.col("n2")
+        * (2 * F.col("n1") * F.col("n2") - n)
+        / (n * n * (n - 1))
+    )
+    return agg.select(
+        "event_type",
+        F.col("runs").cast("bigint").alias("runs"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.round((F.col("runs") - er) / F.sqrt(vr), 6).alias("z"),
+    ).orderBy("event_type")
+
+
+ORACLE_RUNS_TEST_RANDOMNESS = """
+WITH base AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v, 0.5) AS med FROM base GROUP BY 1
+), signed AS (
+  SELECT b.event_type,
+         CASE WHEN b.v > m.med THEN 1 ELSE 0 END AS hi,
+         b.ts, b.event_id
+  FROM base b JOIN med m USING (event_type)
+), runs AS (
+  SELECT event_type, hi,
+         CASE WHEN lag(hi) OVER w IS NULL
+                   OR lag(hi) OVER w <> hi THEN 1 ELSE 0 END AS new_run
+  FROM signed
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), agg AS (
+  SELECT event_type,
+         CAST(sum(new_run) AS DOUBLE) AS runs,
+         CAST(sum(hi) AS DOUBLE) AS n1,
+         CAST(sum(1 - hi) AS DOUBLE) AS n2
+  FROM runs GROUP BY 1
+)
+SELECT event_type, CAST(runs AS BIGINT) AS runs,
+       CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+       round((runs - (1 + 2 * n1 * n2 / (n1 + n2)))
+             / sqrt(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                    / (pow(n1 + n2, 2) * (n1 + n2 - 1))), 6) AS z
+FROM agg ORDER BY event_type
+"""
+
+QUERIES["runs_test_randomness"] = q_runs_test_randomness
+ORACLES["runs_test_randomness"] = ORACLE_RUNS_TEST_RANDOMNESS
+
+
+def q_chi2_keyness_terms(spark, sf_dir):
+    """Keyness: the top-10 terms most OVER-represented in each language
+    vs the rest of the corpus by 2x2 chi-square — the corpus-linguistics
+    ranking TF-IDF isn't (TF-IDF rewards rarity; keyness rewards
+    statistical surprise). One wordcount shuffle; the 2x2 cells are
+    integer-exact and the rank runs per language on the term rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    lang_tot = tf.groupBy("lang").agg(F.sum("a").alias("lt"))
+    term_tot = tf.groupBy("term").agg(F.sum("a").alias("tt"))
+    corpus = tf.agg(F.sum("a").alias("N"))
+    cells = (
+        tf.join(F.broadcast(lang_tot), "lang")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "lang",
+            "term",
+            F.col("a").cast("double").alias("a"),
+            (F.col("lt") - F.col("a")).cast("double").alias("b"),
+            (F.col("tt") - F.col("a")).cast("double").alias("c"),
+            (F.col("N") - F.col("lt") - F.col("tt") + F.col("a"))
+            .cast("double")
+            .alias("dd"),
+            F.col("N").cast("double").alias("N"),
+        )
+    )
+    chi2 = (
+        F.col("N")
+        * F.pow(F.col("a") * F.col("dd") - F.col("b") * F.col("c"), 2)
+        / (
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("dd"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("dd"))
+        )
+    )
+    scored = cells.filter(
+        F.col("a") * F.col("dd") > F.col("b") * F.col("c")  # over-represented
+    ).select("lang", "term", F.round(chi2, 6).alias("chi2"))
+    w = Window.partitionBy("lang").orderBy(F.desc("chi2"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", F.col("rk").cast("bigint").alias("rk"), "term", "chi2")
+        .orderBy("lang", "rk")
+    )
+
+
+ORACLE_CHI2_KEYNESS_TERMS = """
+WITH tf AS (
+  SELECT lang, t.term, count(*) AS a
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+), lang_tot AS (SELECT lang, sum(a) AS lt FROM tf GROUP BY 1),
+term_tot AS (SELECT term, sum(a) AS tt FROM tf GROUP BY 1),
+corpus AS (SELECT sum(a) AS N FROM tf),
+cells AS (
+  SELECT tf.lang, tf.term,
+         CAST(a AS DOUBLE) AS a,
+         CAST(lt - a AS DOUBLE) AS b,
+         CAST(tt - a AS DOUBLE) AS c,
+         CAST(N - lt - tt + a AS DOUBLE) AS dd,
+         CAST(N AS DOUBLE) AS N
+  FROM tf JOIN lang_tot USING (lang) JOIN term_tot USING (term), corpus
+), scored AS (
+  SELECT lang, term,
+         round(N * pow(a * dd - b * c, 2)
+               / ((a + b) * (c + dd) * (a + c) * (b + dd)), 6) AS chi2
+  FROM cells WHERE a * dd > b * c
+), ranked AS (
+  SELECT lang, term, chi2,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY chi2 DESC, term) AS rk
+  FROM scored
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, term, chi2
+FROM ranked WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+QUERIES["chi2_keyness_terms"] = q_chi2_keyness_terms
+ORACLES["chi2_keyness_terms"] = ORACLE_CHI2_KEYNESS_TERMS
+
+
+def q_llr_collocations(spark, sf_dir):
+    """Dunning log-likelihood-ratio collocations: the top-15 adjacent
+    word pairs that co-occur far beyond chance — the standard
+    collocation measure that, unlike PMI, doesn't explode on rare
+    pairs. The token array materializes ONCE per doc before the bigram
+    zip (lambda-capture discipline); LLR's xlogx cells are exact
+    integers until the log."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("t")
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg")
+    )
+    parts = bigrams.select(
+        "bg",
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+    )
+    k11 = parts.groupBy("bg", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("k11")
+    )
+    c1 = parts.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = parts.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    tot = parts.agg(F.count(F.lit(1)).alias("N"))
+
+    def xlx(k):
+        return F.when(k > 0, k * F.log(k)).otherwise(F.lit(0.0))
+
+    cells = (
+        k11.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            F.col("k11").cast("double").alias("k11"),
+            (F.col("c1") - F.col("k11")).cast("double").alias("k12"),
+            (F.col("c2") - F.col("k11")).cast("double").alias("k21"),
+            (F.col("N") - F.col("c1") - F.col("c2") + F.col("k11"))
+            .cast("double")
+            .alias("k22"),
+            F.col("N").cast("double").alias("N"),
+        )
+    )
+    llr = 2 * (
+        xlx(F.col("k11")) + xlx(F.col("k12")) + xlx(F.col("k21"))
+        + xlx(F.col("k22")) + xlx(F.col("N"))
+        - xlx(F.col("k11") + F.col("k12"))
+        - xlx(F.col("k21") + F.col("k22"))
+        - xlx(F.col("k11") + F.col("k21"))
+        - xlx(F.col("k12") + F.col("k22"))
+    )
+    scored = cells.select("bg", F.round(llr, 6).alias("llr"))
+    w = Window.orderBy(F.desc("llr"), "bg")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .select(F.col("rk").cast("bigint").alias("rk"), "bg", "llr")
+        .orderBy("rk")
+    )
+
+
+ORACLE_LLR_COLLOCATIONS = """
+WITH tok AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+), bg AS (
+  SELECT t[i] || ' ' || t[i + 1] AS bg, t[i] AS w1, t[i + 1] AS w2
+  FROM tok, UNNEST(range(1, greatest(len(t), 1))) u(i)
+  WHERE len(t) >= 2 AND i < len(t)
+), k AS (
+  SELECT bg, w1, w2, count(*) AS k11 FROM bg GROUP BY 1, 2, 3
+), c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY 1),
+tot AS (SELECT count(*) AS N FROM bg),
+cells AS (
+  SELECT bg, CAST(k11 AS DOUBLE) AS k11,
+         CAST(c1 - k11 AS DOUBLE) AS k12,
+         CAST(c2 - k11 AS DOUBLE) AS k21,
+         CAST(N - c1 - c2 + k11 AS DOUBLE) AS k22,
+         CAST(N AS DOUBLE) AS N
+  FROM k JOIN c1 USING (w1) JOIN c2 USING (w2), tot
+), scored AS (
+  SELECT bg,
+         round(2 * (
+           (CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END)
+           + (CASE WHEN k12 > 0 THEN k12 * ln(k12) ELSE 0 END)
+           + (CASE WHEN k21 > 0 THEN k21 * ln(k21) ELSE 0 END)
+           + (CASE WHEN k22 > 0 THEN k22 * ln(k22) ELSE 0 END)
+           + N * ln(N)
+           - (k11 + k12) * ln(k11 + k12)
+           - (k21 + k22) * ln(k21 + k22)
+           - (k11 + k21) * ln(k11 + k21)
+           - (k12 + k22) * ln(k12 + k22)), 6) AS llr
+  FROM cells
+), ranked AS (
+  SELECT bg, llr, row_number() OVER (ORDER BY llr DESC, bg) AS rk
+  FROM scored
+)
+SELECT CAST(rk AS BIGINT) AS rk, bg, llr FROM ranked
+WHERE rk <= 15 ORDER BY rk
+"""
+
+QUERIES["llr_collocations"] = q_llr_collocations
+ORACLES["llr_collocations"] = ORACLE_LLR_COLLOCATIONS
+
+
+def q_mean_battery(spark, sf_dir):
+    """Pythagorean-means battery per event type over positive values:
+    arithmetic, geometric (exp-mean-log), harmonic (n over reciprocal
+    sum) — the three rate-vs-level conventions a latency pipeline must
+    not mix up. One agg pass; the log/reciprocal folds are identical
+    IEEE expressions in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    pos = e.filter(F.col("value") > 0).select(
+        "event_type", F.col("value").alias("v")
+    )
+    return (
+        pos.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("v"), 6).alias("mean_arith"),
+            F.round(F.exp(F.avg(F.log("v"))), 6).alias("mean_geom"),
+            F.round(F.count(F.lit(1)) / F.sum(1.0 / F.col("v")), 6).alias(
+                "mean_harm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MEAN_BATTERY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_arith,
+       round(exp(avg(ln(value))), 6) AS mean_geom,
+       round(count(*) / sum(1.0 / value), 6) AS mean_harm
+FROM events WHERE value > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["mean_battery"] = q_mean_battery
+ORACLES["mean_battery"] = ORACLE_MEAN_BATTERY
+
+
+def q_null_semantics_battery(spark, sf_dir):
+    """NULL-semantics parity battery: COUNT(*) vs COUNT(col), null-
+    skipping avg, coalesce fallbacks, and null-keyed grouping (every
+    7th value nulled deterministically) — the three-valued-logic
+    corners engines must agree on before any other result can be
+    trusted."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 7 != 0, F.col("value"))
+    base = e.select(
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        v.alias("v"),
+    )
+    return (
+        base.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("v").cast("bigint").alias("n_nonnull"),
+            F.round(F.avg("v"), 6).alias("avg_skipnull"),
+            F.sum(F.round(F.coalesce(F.col("v"), F.lit(-1.0)) * 100).cast("bigint"))
+            .alias("sum_coalesce_cents"),
+        )
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+ORACLE_NULL_SEMANTICS_BATTERY = """
+WITH base AS (
+  SELECT CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS k,
+         CASE WHEN event_id % 7 <> 0 THEN value END AS v
+  FROM events
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(v) AS BIGINT) AS n_nonnull,
+       round(avg(v), 6) AS avg_skipnull,
+       CAST(sum(CAST(round(coalesce(v, -1.0) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_coalesce_cents
+FROM base GROUP BY 1 ORDER BY k NULLS FIRST
+"""
+
+QUERIES["null_semantics_battery"] = q_null_semantics_battery
+ORACLES["null_semantics_battery"] = ORACLE_NULL_SEMANTICS_BATTERY
+
+
+def q_intdiv_mod_battery(spark, sf_dir):
+    """Integer division and modulo on NEGATIVE operands — truncating
+    div, floor div, C-style %, and always-positive pmod, pinned over
+    every residue in [-5, 5]. The corner where engines (and languages)
+    classically diverge; each output uses the construction both
+    engines define identically."""
+    e = load_table(spark, sf_dir, "events")
+    a = (F.col("event_id") % 11 - 5).cast("bigint")
+    vals = e.select(a.alias("a")).distinct()
+    return (
+        vals.select(
+            "a",
+            F.expr("div(a, 3)").cast("bigint").alias("div_trunc"),
+            F.floor(F.col("a") / 3.0).cast("bigint").alias("div_floor"),
+            (F.col("a") % 3).cast("bigint").alias("mod_c"),
+            F.pmod(F.col("a"), F.lit(3)).cast("bigint").alias("mod_pos"),
+        )
+        .orderBy("a")
+    )
+
+
+ORACLE_INTDIV_MOD_BATTERY = """
+WITH vals AS (
+  SELECT DISTINCT CAST(event_id % 11 - 5 AS BIGINT) AS a FROM events
+)
+SELECT a,
+       CAST(trunc(a / 3.0) AS BIGINT) AS div_trunc,
+       CAST(floor(a / 3.0) AS BIGINT) AS div_floor,
+       CAST(a % 3 AS BIGINT) AS mod_c,
+       CAST(((a % 3) + 3) % 3 AS BIGINT) AS mod_pos
+FROM vals ORDER BY a
+"""
+
+QUERIES["intdiv_mod_battery"] = q_intdiv_mod_battery
+ORACLES["intdiv_mod_battery"] = ORACLE_INTDIV_MOD_BATTERY
+
+
+def q_compaction_stats_pruning(spark, sf_dir):
+    """Composition gate: stats-pruned time-window reads must still be
+    correct AFTER compaction — the rewriter re-records each replacement
+    file's [min, max] from its parquet footer, so read(between=) on
+    the compacted table prunes against HONEST bounds. Catches the
+    compactor that forgets to refresh stats."""
+    import datetime as dt
+
+    from .storage.manifest import ManifestTable
+
+    path = _compacted_table(spark, sf_dir)
+    lo = dt.datetime(2024, 1, 2)
+    hi = dt.datetime(2024, 1, 4) - dt.timedelta(microseconds=1)
+    df = ManifestTable(path).read(spark, between=("ts", lo, hi))
+    return (
+        df.filter(F.col("ts").between(F.lit(lo), F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_COMPACTION_STATS_PRUNING = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-03 23:59:59.999999'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["compaction_stats_pruning"] = q_compaction_stats_pruning
+ORACLES["compaction_stats_pruning"] = ORACLE_COMPACTION_STATS_PRUNING
+
+
+def q_retention_tail_topk(spark, sf_dir):
+    """Composition gate: the stats-ordered TopK tail scan over a table
+    retention has already trimmed — the newest-100 multiset must come
+    from the KEPT days only (a tail scan that still surfaced dropped
+    partitions' rows would be reading files outside the snapshot)."""
+    from .storage.manifest import ManifestTable
+
+    path = _retained_table(spark, sf_dir)
+    df, _files = ManifestTable(path).read_recent_topk(spark, "ts", 100)
+    return (
+        df.groupBy("ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("ts")
+    )
+
+
+ORACLE_RETENTION_TAIL_TOPK = """
+SELECT ts, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT ts FROM events WHERE day(ts) <= 4
+      ORDER BY ts DESC LIMIT 100)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["retention_tail_topk"] = q_retention_tail_topk
+ORACLES["retention_tail_topk"] = ORACLE_RETENTION_TAIL_TOPK
+
+
+def q_partition_filter_scan(spark, sf_dir):
+    """Hive-style partition pruning on a manifest read: filtering on
+    the date_day partition column must answer one day exactly (and the
+    plan pin asserts PartitionFilters engaged — the directory value,
+    not row data, does the pruning)."""
+    from .storage.manifest import ManifestTable
+
+    path = _events_versioned_table(spark, sf_dir)
+    df = ManifestTable(path).read(spark)
+    return (
+        df.filter(F.col("date_day") == "2024-01-05")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PARTITION_FILTER_SCAN = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["partition_filter_scan"] = q_partition_filter_scan
+ORACLES["partition_filter_scan"] = ORACLE_PARTITION_FILTER_SCAN
+
+
+# --------------------------------------------------------------- batch 5
+
+
+def q_streaming_ingest_visibility(spark, sf_dir):
+    """Driver gate for the STREAMING ingest path end-to-end: events
+    replayed through readStream (file source, 2 files per trigger) →
+    foreachBatch → manifest-committed batches with checkpointing, then
+    the table must answer the oracle's whole-corpus rollup — the
+    WAL→exactly-once-sink contract proven by result equality, not by a
+    pytest row count. availableNow drains the backlog deterministically
+    once per process."""
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("streaming", sf_dir)
+    if key not in _R9_CACHE:
+        src = _tempfile.mkdtemp(prefix="sdb-r9-streamsrc-")
+        table = _tempfile.mkdtemp(prefix="sdb-r9-streamtbl-")
+        ckpt = _tempfile.mkdtemp(prefix="sdb-r9-streamckpt-")
+        e = _events_day_hour(spark, sf_dir)
+        e.repartition(4).write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def sink(bdf, bid):
+            write_batch_manifest(
+                bdf, table, "events_r9s", batch_id=bid,
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _R9_CACHE[key] = table
+    df = ManifestTable(_R9_CACHE[key]).read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAMING_INGEST_VISIBILITY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["streaming_ingest_visibility"] = q_streaming_ingest_visibility
+ORACLES["streaming_ingest_visibility"] = ORACLE_STREAMING_INGEST_VISIBILITY
+
+
+def q_simpson_diversity(spark, sf_dir):
+    """Simpson diversity per source: 1 − Σp² over the term distribution
+    plus the effective vocabulary size 1/Σp² — the concentration-side
+    complement of the entropy gate (Simpson weights dominant terms;
+    entropy weights the tail). Exact integer term counts; one division
+    at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    sump2 = F.col("ss") / (F.col("n") * F.col("n"))
+    return agg.select(
+        "source",
+        "vocab",
+        F.round(1 - sump2, 6).alias("simpson_diversity"),
+        F.round(1 / sump2, 6).alias("effective_vocab"),
+    ).orderBy("source")
+
+
+ORACLE_SIMPSON_DIVERSITY = """
+WITH tf AS (
+  SELECT source, t.term, count(*) AS c
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+), agg AS (
+  SELECT source, sum(c) AS n, sum(c * c) AS ss,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM tf GROUP BY 1
+)
+SELECT source, vocab,
+       round(1 - ss * 1.0 / (n * n), 6) AS simpson_diversity,
+       round((n * n) * 1.0 / ss, 6) AS effective_vocab
+FROM agg ORDER BY source
+"""
+
+QUERIES["simpson_diversity"] = q_simpson_diversity
+ORACLES["simpson_diversity"] = ORACLE_SIMPSON_DIVERSITY
+
+
+def q_sla_attainment_by_priority(spark, sf_dir):
+    """Fulfillment SLA attainment per order priority: the share of
+    orders whose LAST lineitem shipped within 90 days — max-per-order
+    then a priority rollup, the order-level (not line-level) view the
+    ship-lag histogram can't answer. Day arithmetic is integer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lag_days = F.datediff(
+        F.to_date("last_ship"), F.to_date("o_orderdate")
+    )
+    return (
+        o.join(last_ship, o.o_orderkey == last_ship.l_orderkey)
+        .select("o_orderpriority", lag_days.alias("lag"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("lag") <= 90, 1).otherwise(0))
+            .cast("bigint")
+            .alias("within_sla"),
+            F.round(
+                F.sum(F.when(F.col("lag") <= 90, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("attainment"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SLA_ATTAINMENT_BY_PRIORITY = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY 1
+), lagd AS (
+  SELECT o_orderpriority,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   CAST(last_ship AS DATE)) AS lag
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) AS BIGINT)
+         AS within_sla,
+       round(sum(CASE WHEN lag <= 90 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS attainment
+FROM lagd GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sla_attainment_by_priority"] = q_sla_attainment_by_priority
+ORACLES["sla_attainment_by_priority"] = ORACLE_SLA_ATTAINMENT_BY_PRIORITY
+
+
+def q_revenue_milestone_days(spark, sf_dir):
+    """Revenue milestone calendar per nation: the first day cumulative
+    revenue crossed 25% / 50% / 75% of the nation's final total — the
+    pacing read (which markets front-load). One cumulative window over
+    the (nation, day) rollup, milestones as conditional mins; exact
+    cents so crossings are unambiguous."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("n_name")
+    cum = daily.select(
+        "n_name",
+        "d",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(tot).alias("total"),
+    )
+    day_s = F.date_format("d", "yyyy-MM-dd")
+    return (
+        cum.groupBy("n_name")
+        .agg(
+            F.min(F.when(F.col("cum") * 4 >= F.col("total"), day_s)).alias(
+                "day_25pct"
+            ),
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), day_s)).alias(
+                "day_50pct"
+            ),
+            F.min(F.when(F.col("cum") * 4 >= F.col("total") * 3, day_s)).alias(
+                "day_75pct"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_REVENUE_MILESTONE_DAYS = """
+WITH daily AS (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), cum AS (
+  SELECT n_name, d,
+         sum(cents) OVER (PARTITION BY n_name ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(cents) OVER (PARTITION BY n_name) AS total
+  FROM daily
+)
+SELECT n_name,
+       min(CASE WHEN cum * 4 >= total THEN strftime(d, '%Y-%m-%d') END)
+         AS day_25pct,
+       min(CASE WHEN cum * 2 >= total THEN strftime(d, '%Y-%m-%d') END)
+         AS day_50pct,
+       min(CASE WHEN cum * 4 >= total * 3 THEN strftime(d, '%Y-%m-%d') END)
+         AS day_75pct
+FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["revenue_milestone_days"] = q_revenue_milestone_days
+ORACLES["revenue_milestone_days"] = ORACLE_REVENUE_MILESTONE_DAYS
+
+
+def q_emb_dim_correlation_top(spark, sf_dir):
+    """Most-correlated embedding dimension pairs (top 10 by |corr|) —
+    redundancy detection before PQ subspace splits (correlated dims in
+    one subquantizer waste codebook bits). The (dim, dim) moment matrix
+    comes from a posexplode self-join keyed on vec_id; corr is a ratio
+    statistic over exact per-pair folds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    a = ex.select("vec_id", F.col("i").alias("di"), F.col("x").alias("xi"))
+    b = ex.select("vec_id", F.col("i").alias("dj"), F.col("x").alias("xj"))
+    pairs = a.join(b, "vec_id").filter(F.col("di") < F.col("dj"))
+    corr = pairs.groupBy("di", "dj").agg(
+        F.round(F.corr("xi", "xj"), 6).alias("corr")
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("corr"))), "di", "dj")
+    return (
+        corr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("di").cast("bigint").alias("dim_a"),
+            F.col("dj").cast("bigint").alias("dim_b"),
+            "corr",
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_EMB_DIM_CORRELATION_TOP = """
+WITH ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), pairs AS (
+  SELECT a.i AS di, b.i AS dj, a.x AS xi, b.x AS xj
+  FROM ex a JOIN ex b USING (vec_id)
+  WHERE a.i < b.i
+), c AS (
+  SELECT di, dj, round(corr(xi, xj), 6) AS corr
+  FROM pairs GROUP BY 1, 2
+), ranked AS (
+  SELECT di, dj, corr,
+         row_number() OVER (ORDER BY abs(corr) DESC, di, dj) AS rk
+  FROM c
+)
+SELECT CAST(rk AS BIGINT) AS rk, CAST(di AS BIGINT) AS dim_a,
+       CAST(dj AS BIGINT) AS dim_b, corr
+FROM ranked WHERE rk <= 10 ORDER BY rk
+"""
+
+QUERIES["emb_dim_correlation_top"] = q_emb_dim_correlation_top
+ORACLES["emb_dim_correlation_top"] = ORACLE_EMB_DIM_CORRELATION_TOP
+
+
+def q_price_size_monotonicity(spark, sf_dir):
+    """Pricing-curve QA per brand: is average retail price monotone in
+    part size? Reports the correlation-free violation count — adjacent
+    size steps where the average price DROPS — plus the curve span.
+    One rollup, one lag window over ≤50 sizes per brand; exact cents."""
+    p = load_table(spark, sf_dir, "part")
+    curve = p.groupBy("p_brand", "p_size").agg(
+        (
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+            / F.count(F.lit(1))
+        ).alias("avg_cents"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    stepped = curve.withColumn("prev", F.lag("avg_cents").over(w))
+    return (
+        stepped.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sizes"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("avg_cents") < F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("drops"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_PRICE_SIZE_MONOTONICITY = """
+WITH curve AS (
+  SELECT p_brand, p_size,
+         sum(CAST(round(p_retailprice * 100) AS BIGINT)) * 1.0
+           / count(*) AS avg_cents
+  FROM part GROUP BY 1, 2
+), stepped AS (
+  SELECT p_brand, avg_cents,
+         lag(avg_cents) OVER (PARTITION BY p_brand
+                              ORDER BY p_size) AS prev
+  FROM curve
+)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_sizes,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND avg_cents < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS drops
+FROM stepped GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["price_size_monotonicity"] = q_price_size_monotonicity
+ORACLES["price_size_monotonicity"] = ORACLE_PRICE_SIZE_MONOTONICITY
+
+
+def q_weekday_profile_distance(spark, sf_dir):
+    """Mix-divergence per event type: L1 distance between the type's
+    weekday activity profile and the GLOBAL weekday profile — which
+    streams follow their own calendar. Two rollups and one broadcast
+    join on the 7-row profile; shares are exact counts over counts."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select("event_type", F.dayofweek("ts").alias("dow"))
+    per = base.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot_t = per.groupBy("event_type").agg(F.sum("c").alias("nt"))
+    glob = base.groupBy("dow").agg(F.count(F.lit(1)).alias("g"))
+    gtot = base.agg(F.count(F.lit(1)).alias("N"))
+    joined = (
+        per.join(F.broadcast(tot_t), "event_type")
+        .join(F.broadcast(glob), "dow")
+        .crossJoin(F.broadcast(gtot))
+    )
+    l1_term = F.abs(
+        F.col("c") / F.col("nt") - F.col("g") / F.col("N")
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("nt").cast("bigint").alias("n_events"),
+            F.round(F.sum(l1_term), 6).alias("l1_distance"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WEEKDAY_PROFILE_DISTANCE = """
+WITH base AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow FROM events
+), per AS (
+  SELECT event_type, dow, count(*) AS c FROM base GROUP BY 1, 2
+), tot_t AS (SELECT event_type, sum(c) AS nt FROM per GROUP BY 1),
+gdow AS (SELECT dow, count(*) AS g FROM base GROUP BY 1),
+gtot AS (SELECT count(*) AS N FROM base)
+SELECT event_type, CAST(max(nt) AS BIGINT) AS n_events,
+       round(sum(abs(c * 1.0 / nt - g * 1.0 / N)), 6) AS l1_distance
+FROM per JOIN tot_t USING (event_type) JOIN gdow USING (dow), gtot
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekday_profile_distance"] = q_weekday_profile_distance
+ORACLES["weekday_profile_distance"] = ORACLE_WEEKDAY_PROFILE_DISTANCE

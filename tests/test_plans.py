@@ -881,3 +881,37 @@ def test_round9_batch3_scale_shapes(spark):
     base = b9._R9_CACHE[("tenants", SF_DIR)]
     p_iso = plan(qs["tenant_isolation_scan"](spark, SF_DIR))
     assert "acme" in p_iso and "globex" not in p_iso
+
+
+def test_round9_batch4_batch5_scale_shapes(spark):
+    """Round-9 batches 4-5: the Theil-Sen pair join runs over the
+    calendar-bounded DAILY rollup with a broadcast side (never the
+    fact table), keyness/collocation vocabularies aggregate before any
+    window, the streaming gate's table carries multiple checkpointed
+    batches, and the partition-filter gate prunes at the directory
+    level."""
+    from signaldb_spark import bench_round9 as b9
+    from signaldb_spark.storage.manifest import ManifestTable
+
+    qs = all_queries()
+
+    p_ts = plan(qs["theil_sen_daily_trend"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_ts  # non-equi over the rollup
+    lines = p_ts.splitlines()
+    bj = next(i for i, l in enumerate(lines) if "BroadcastNestedLoopJoin" in l)
+    assert any("HashAggregate" in l for l in lines[bj:])  # rollup below join
+
+    for name in ("chi2_keyness_terms", "llr_collocations"):
+        p = plan(qs[name](spark, SF_DIR))
+        w = p.find("Window")
+        assert w == -1 or "HashAggregate" in p[w:], name
+
+    # streaming: availableNow drained the 4-file source into >=2
+    # checkpointed manifest batches
+    qs["streaming_ingest_visibility"](spark, SF_DIR).collect()
+    mt = ManifestTable(b9._R9_CACHE[("streaming", SF_DIR)])
+    assert len(mt.load_manifest()["batches"]) >= 2
+
+    p_pf = plan(qs["partition_filter_scan"](spark, SF_DIR))
+    assert "PartitionFilters" in p_pf
+    assert "date_day" in p_pf.split("PartitionFilters", 1)[1][:250]
