@@ -54,8 +54,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        if name not in QUERIES:
-            continue
         best = float("inf")
         for _ in range(2):  # steady-state: min of 2 runs (JIT/footer-cache noise)
             t0 = time.perf_counter()

@@ -57,8 +57,12 @@ def _epoch_nanos(t) -> int:
 
 def _guarded_route(fn):
     """Route the method through the façade's execution contract (see
-    SignalDBAPI._guarded) — applied to every query-evaluating endpoint,
-    not to the cheap metadata routes."""
+    SignalDBAPI._guarded) — applied to every endpoint that evaluates a
+    Spark plan over tenant data, INCLUDING the discovery/metadata
+    routes: label/series/tag listings are distinct-aggregation scans
+    plus a driver collect, exactly the shape the deadline and the
+    per-tenant bound exist for. Only pure-driver routes (health, echo,
+    schema listings) stay unguarded."""
 
     @functools.wraps(fn)
     def wrapper(self, *args, **kwargs):
@@ -148,6 +152,7 @@ class SignalDBAPI:
 
     # /prometheus/api/v1/labels, /label/<x>/values, /series, /metadata
 
+    @_guarded_route
     def prom_labels(self, start, end) -> dict:
         from .promql.discovery import prom_labels
 
@@ -155,6 +160,7 @@ class SignalDBAPI:
         return {"status": "success",
                 "data": [r[0] for r in prom_labels(ctx).collect()]}
 
+    @_guarded_route
     def prom_label_values(self, label: str, start, end) -> dict:
         from .promql.discovery import prom_label_values
 
@@ -162,6 +168,7 @@ class SignalDBAPI:
         return {"status": "success",
                 "data": [r[0] for r in prom_label_values(ctx, label).collect()]}
 
+    @_guarded_route
     def prom_series(self, selector: str, start, end) -> dict:
         from .promql.discovery import prom_series
 
@@ -173,6 +180,7 @@ class SignalDBAPI:
     # reference stores exemplars but exposes no read-back endpoint; this
     # is the metrics→traces pivot Prometheus ships)
 
+    @_guarded_route
     def prom_query_exemplars(self, start, end, query: str | None = None) -> dict:
         from pyspark.sql import functions as F
 
@@ -220,6 +228,7 @@ class SignalDBAPI:
 
     # GET /prometheus/api/v1/status/tsdb — series-cardinality analysis
 
+    @_guarded_route
     def prom_status_tsdb(self, start, end, top_n: int = 10) -> dict:
         from .promql.discovery import tsdb_status
 
@@ -233,6 +242,7 @@ class SignalDBAPI:
 
     # GET /prometheus/api/v1/label_stats (promql.rs:275-311)
 
+    @_guarded_route
     def prom_label_stats(self, table: str = "logs", exact: bool = True) -> dict:
         from .maintenance.jobs import attribute_stats
 
@@ -356,6 +366,7 @@ class SignalDBAPI:
 
     # /loki/api/v1/labels, /label/<x>/values, /series, /index/volume
 
+    @_guarded_route
     def loki_labels(self) -> dict:
         from .maintenance.jobs import detected_labels
 
@@ -365,6 +376,7 @@ class SignalDBAPI:
         return {"status": "success",
                 "data": [r[0] for r in detected_labels(logs).collect()]}
 
+    @_guarded_route
     def loki_label_values(self, label: str) -> dict:
         from .maintenance.jobs import label_values
 
@@ -374,6 +386,7 @@ class SignalDBAPI:
         return {"status": "success",
                 "data": [r[0] for r in label_values(logs, label).collect()]}
 
+    @_guarded_route
     def loki_series(self) -> dict:
         from .maintenance.jobs import log_series
 
@@ -389,6 +402,7 @@ class SignalDBAPI:
     # GET /loki/api/v1/index/volume — per-stream ingested bytes over the
     # window (Loki volume API; beyond the reference's endpoint set)
 
+    @_guarded_route
     def loki_index_volume(self, start=None, end=None) -> dict:
         from .logql.lowering import index_volume
 
@@ -410,6 +424,7 @@ class SignalDBAPI:
 
     # GET /loki/api/v1/index/volume_range — per-stream volume SERIES
 
+    @_guarded_route
     def loki_index_volume_range(self, start, end, step_seconds: int = 3600) -> dict:
         from .logql.lowering import index_volume_range
 
@@ -433,6 +448,7 @@ class SignalDBAPI:
     # GET /loki/api/v1/patterns — Drain-style log template mining
     # (Loki 3.x pattern detection; beyond the reference's endpoint set)
 
+    @_guarded_route
     def loki_patterns(self, start=None, end=None, k: int = 100) -> dict:
         from pyspark.sql import functions as F
 
@@ -454,6 +470,7 @@ class SignalDBAPI:
     # GET /loki/api/v1/detected_fields — per-attribute sniffed type +
     # cardinality (logs.rs:483-577 envelope)
 
+    @_guarded_route
     def loki_detected_fields(self, start=None, end=None) -> dict:
         from pyspark.sql import functions as F
 
@@ -588,6 +605,7 @@ class SignalDBAPI:
 
     # /tempo/api/search/tags (+v2), /tag/<k>/values
 
+    @_guarded_route
     def tempo_tags(self, scope: str = "unscoped") -> dict:
         from .traceql.trace_ops import tag_names
 
@@ -596,6 +614,7 @@ class SignalDBAPI:
             return error_envelope("no traces table for tenant", "not_found")
         return {"tagNames": [r[0] for r in tag_names(traces, scope).collect()]}
 
+    @_guarded_route
     def tempo_tags_v2(self) -> dict:
         from .traceql.trace_ops import tag_names_v2
 
@@ -607,6 +626,7 @@ class SignalDBAPI:
             scopes.setdefault(r["scope"], []).append(r["name"])
         return {"scopes": [{"name": k, "tags": v} for k, v in sorted(scopes.items())]}
 
+    @_guarded_route
     def tempo_tag_values(self, key: str, scope: str = "unscoped") -> dict:
         from .traceql.trace_ops import tag_values
 
@@ -619,6 +639,7 @@ class SignalDBAPI:
     # v2 {tagValues: [{tag, value}]} shape, scoped-tag path + optional
     # time bounds (tempo.rs search_tag_values_v2)
 
+    @_guarded_route
     def tempo_tag_values_v2(self, scoped_tag: str, start=None, end=None) -> dict:
         from pyspark.sql import functions as F
 
@@ -697,6 +718,7 @@ class SignalDBAPI:
             F.col("attributes").alias("profile_attributes"),
         )
 
+    @_guarded_route
     def pyroscope_profile_types(self) -> dict:
         from .operators.profiles import profile_types
 
@@ -705,6 +727,7 @@ class SignalDBAPI:
             return error_envelope("no profiles table for tenant", "not_found")
         return {"profileTypes": [r[0] for r in profile_types(view).collect()]}
 
+    @_guarded_route
     def pyroscope_label_names(self) -> dict:
         from .operators.profiles import profile_label_names
 
@@ -713,6 +736,7 @@ class SignalDBAPI:
             return error_envelope("no profiles table for tenant", "not_found")
         return {"names": [r[0] for r in profile_label_names(view).collect()]}
 
+    @_guarded_route
     def pyroscope_label_values(self, label: str) -> dict:
         from .operators.profiles import profile_label_values
 

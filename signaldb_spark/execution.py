@@ -85,11 +85,13 @@ class FairQueryRunner:
         max_concurrent_per_tenant: int = 4,
         default_timeout_s: float = 60.0,
         cancel_grace_s: float = 30.0,
+        slot_reclaim_s: float = 300.0,
     ):
         self.spark = spark
         self.max_concurrent = max_concurrent_per_tenant
         self.default_timeout_s = default_timeout_s
         self.cancel_grace_s = cancel_grace_s
+        self.slot_reclaim_s = slot_reclaim_s
         self._sems: dict[str, threading.BoundedSemaphore] = {}
         self._lock = threading.Lock()
 
@@ -113,6 +115,15 @@ class FairQueryRunner:
         sc = self.spark.sparkContext
         result: dict[str, Any] = {}
 
+        # Exactly-once slot release shared by the three owners below
+        # (worker finally, failed-start caller, reclaim watchdog).
+        released = threading.Event()
+
+        def release_once():
+            if not released.is_set():
+                released.set()
+                sem.release()
+
         def worker():
             # thread-local Spark properties: this thread's jobs belong
             # to the tenant's pool and this query's cancellable group
@@ -135,18 +146,32 @@ class FairQueryRunner:
                     sc.setLocalProperty("spark.job.interruptOnCancel", None)
                     sc.setLocalProperty("spark.scheduler.pool", None)
                 finally:
-                    sem.release()
+                    release_once()
 
         t = threading.Thread(target=worker, daemon=True)
         try:
             t.start()
         except BaseException:
-            sem.release()  # worker never ran; the slot reverts to us
+            release_once()  # worker never ran; the slot reverts to us
             raise
         t.join(timeout)
         if t.is_alive():
             sc.cancelJobGroup(group)
             t.join(self.cancel_grace_s)  # cancelled jobs unwind quickly
+            if t.is_alive():
+                # cancelJobGroup reaches Spark jobs, not wedged driver-
+                # side Python (a deadlock, a no-timeout external call).
+                # The slot stays held while the worker lives — the bound
+                # is real — but a watchdog force-reclaims it after
+                # slot_reclaim_s so one wedged thunk per slot cannot
+                # permanently zero the tenant's concurrency. Temporary
+                # over-concurrency after reclaim is the documented,
+                # bounded trade.
+                def reclaim():
+                    t.join(self.slot_reclaim_s)
+                    release_once()
+
+                threading.Thread(target=reclaim, daemon=True).start()
             raise QueryDeadlineExceeded(tenant, timeout)
         if "error" in result:
             raise result["error"]

@@ -34,7 +34,7 @@ _MODULES = [
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
-# 1-4 (CORRECTNESS_r01..r04.json). The gate samples a prefix of the dict,
+# 1-5 (CORRECTNESS_r01..r05.json). The gate samples a prefix of the dict,
 # so never-sampled queries are ordered FIRST to maximize cumulative driver
 # evidence across rounds; these go last.
 _DRIVER_VERIFIED = frozenset({

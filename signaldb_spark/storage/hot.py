@@ -178,7 +178,9 @@ def flush_hot(
     Idempotent under replay: the batch lineage key embeds the flushed
     high-water sequence, so a crashed-and-retried flush of the same
     range commits exactly once; the losing attempt's staged files stay
-    orphans for expire_snapshots. Hot batches are NOT deleted here —
+    orphans for maintenance.cleanup_orphans (the grace-period sweep —
+    expire_snapshots deliberately never touches never-referenced
+    files). Hot batches are NOT deleted here —
     readers already drop them via the watermark; reclaim is gc()'s job
     (separating visibility from reclaim keeps the flush commit the only
     correctness-critical step).
@@ -196,7 +198,10 @@ def flush_hot(
     mt = ManifestTable(table_path)
     batch_id = f"hotflush-{hi}"
     if batch_id in mt.load_manifest()["batches"]:
-        return hi
+        # replayed range already committed — but a LATER flush may have
+        # advanced the watermark past hi since our read; report the real
+        # committed mark, consistent with the CAS-abort branch below
+        return max(hi, committed_watermark(table_path))
     attempt = uuid.uuid4().hex[:8]
     staging = os.path.join(table_path, "_staging", f"{batch_id}-{attempt}")
     sort_cols = [c for c in SORT_ORDERS.get(table, []) if c in df.columns]
@@ -224,9 +229,10 @@ def flush_hot(
         # flush planned against. A racing flush that advanced it first
         # already covers some (or all) of our sequences — committing ours
         # anyway would re-add those batches' rows and possibly regress
-        # the watermark. The staged files stay expire-able orphans; any
-        # sequences the winner did NOT cover remain hot (still readable
-        # via the watermark filter) and the next flush picks them up.
+        # the watermark. The staged files become cleanup_orphans fodder;
+        # any sequences the winner did NOT cover remain hot (still
+        # readable via the watermark filter) and the next flush picks
+        # them up.
         precondition=lambda m: int(m.get("props", {}).get(WATERMARK_PROP, -1))
         == wm,
     )

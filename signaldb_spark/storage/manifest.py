@@ -430,8 +430,9 @@ def write_batch_manifest(
     """foreachBatch sink with manifest commit: idempotent under
     at-least-once replay even when the replay produces a different file
     count (each attempt's names carry a fresh attempt id; only the
-    committing attempt's files enter the manifest; the rest are orphans
-    for expire_snapshots). Returns True if this call committed."""
+    committing attempt's files enter the manifest; the rest are
+    never-referenced orphans, reclaimed by maintenance.cleanup_orphans
+    after its grace window). Returns True if this call committed."""
     from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
 
     mt = ManifestTable(table_path)

@@ -102,8 +102,34 @@ def test_slow_to_cancel_worker_keeps_holding_its_slot(spark):
     assert done.wait(10)
     time.sleep(0.1)
     assert runner.run("acme", lambda: 3) == 3
-    # and the worker cleared its job group + pool (thread-local hygiene)
-    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+
+def test_wedged_worker_slot_is_force_reclaimed(spark):
+    """A thunk that never unwinds (cancelJobGroup cannot interrupt
+    non-Spark Python) must not zero the tenant's concurrency forever:
+    after slot_reclaim_s the watchdog force-releases the slot —
+    bounded, documented over-concurrency instead of a permanent
+    lockout (round-6 self-review finding)."""
+    runner = FairQueryRunner(spark, max_concurrent_per_tenant=1,
+                             default_timeout_s=0.2, cancel_grace_s=0.1,
+                             slot_reclaim_s=0.5)
+
+    def wedged():
+        time.sleep(30)  # far beyond reclaim; thread outlives the test
+        return 1
+
+    with pytest.raises(QueryDeadlineExceeded):
+        runner.run("acme", wedged)
+    # immediately after the deadline the slot is still held
+    with pytest.raises(TenantOverConcurrency):
+        runner.run("acme", lambda: 2)
+    # ... but the watchdog reclaims it after slot_reclaim_s
+    time.sleep(0.8)
+    assert runner.run("acme", lambda: 3) == 3
+    # and when the wedged worker EVENTUALLY dies, release_once keeps the
+    # semaphore balanced (BoundedSemaphore would raise on double release
+    # — later runs still work)
+    assert runner.run("acme", lambda: 4) == 4
 
 
 def test_errors_propagate_attributably(spark):

@@ -878,7 +878,6 @@ def test_round9_batch3_scale_shapes(spark):
     assert "CartesianProduct" not in p_sky and "SortMergeJoin" not in p_sky
 
     qs["tenant_isolation_scan"](spark, SF_DIR).collect()
-    base = b9._R9_CACHE[("tenants", SF_DIR)]
     p_iso = plan(qs["tenant_isolation_scan"](spark, SF_DIR))
     assert "acme" in p_iso and "globex" not in p_iso
 
