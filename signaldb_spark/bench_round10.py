@@ -1,0 +1,517 @@
+"""Round-10 staging battery: oracle-gated queries registered AFTER the
+round-9 block so earlier rounds' tuned driver prefixes stay intact;
+these become fresh evidence once rounds 6-9 are proven.
+
+Same conventions as bench_queries (round(x, 6) floats, BIGINT counts,
+explicit tiebreaks, aliases identical on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _daily_cents(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+
+
+def q_moving_median_revenue(spark, sf_dir):
+    """7-day centered MOVING MEDIAN of daily revenue — the robust
+    smoother a mean-based moving average isn't. No engine supports a
+    median window frame, so the ±3-day neighborhood materializes as a
+    self-join over the DAILY rollup (calendar-bounded, broadcast) and
+    the median is one exact percentile per center day. Reported for
+    interior days only (full 7-day windows), so edges can't disagree."""
+    daily = _daily_cents(spark, sf_dir).withColumn(
+        "ed",
+        (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast("long"),
+    )
+    c = daily.select(F.col("ed").alias("c_ed"), F.col("d").alias("c_d"))
+    n = daily.select(F.col("ed").alias("n_ed"), F.col("cents"))
+    win = c.join(
+        F.broadcast(n),
+        (F.col("n_ed") >= F.col("c_ed") - 3)
+        & (F.col("n_ed") <= F.col("c_ed") + 3),
+    )
+    med = win.groupBy("c_d").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.percentile("cents", F.lit(0.5)).alias("med_cents"),
+    )
+    return (
+        med.filter(F.col("n_days") == 7)
+        .select(
+            F.date_format("c_d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("med_cents") / 100.0, 6).alias(
+                "median_7d_usd"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_MOVING_MEDIAN_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) / 86400
+              AS BIGINT) AS ed,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT c.d AS c_d, n.cents
+  FROM daily c JOIN daily n
+    ON n.ed BETWEEN c.ed - 3 AND c.ed + 3
+), med AS (
+  SELECT c_d, count(*) AS n_days,
+         quantile_cont(cents, 0.5) AS med_cents
+  FROM win GROUP BY 1
+)
+SELECT strftime(c_d, '%Y-%m-%d') AS day,
+       round(med_cents / 100.0, 6) AS median_7d_usd
+FROM med WHERE n_days = 7 ORDER BY day
+"""
+
+QUERIES["moving_median_revenue"] = q_moving_median_revenue
+ORACLES["moving_median_revenue"] = ORACLE_MOVING_MEDIAN_REVENUE
+
+
+def q_ewma_14d_revenue(spark, sf_dir):
+    """Exponentially-weighted 14-day revenue per day (α-decay weights
+    0.8^k over the trailing window) — the finite-horizon EWMA that IS
+    expressible without recursion: the trailing neighborhood is a
+    bounded self-join on the daily rollup, the weights are exact powers
+    folded with the exact cents. Reported monthly (max EWMA day per
+    month) to keep the output calendar-stable."""
+    daily = _daily_cents(spark, sf_dir).withColumn(
+        "ed",
+        (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast("long"),
+    )
+    c = daily.select(F.col("ed").alias("c_ed"), F.col("d").alias("c_d"))
+    n = daily.select(F.col("ed").alias("n_ed"), F.col("cents"))
+    win = c.join(
+        F.broadcast(n),
+        (F.col("n_ed") >= F.col("c_ed") - 13)
+        & (F.col("n_ed") <= F.col("c_ed")),
+    )
+    k = F.col("c_ed") - F.col("n_ed")
+    ew = win.groupBy("c_d").agg(
+        F.round(
+            F.sum(F.col("cents") * F.pow(F.lit(0.8), k))
+            / F.sum(F.pow(F.lit(0.8), k))
+            / 100.0,
+            6,
+        ).alias("ewma_usd")
+    )
+    return (
+        ew.groupBy(F.date_format("c_d", "yyyy-MM").alias("month"))
+        .agg(
+            F.round(F.max("ewma_usd"), 6).alias("peak_ewma_usd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_EWMA_14D_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) / 86400
+              AS BIGINT) AS ed,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT c.d AS c_d, n.cents, c.ed - n.ed AS k
+  FROM daily c JOIN daily n
+    ON n.ed BETWEEN c.ed - 13 AND c.ed
+), ew AS (
+  SELECT c_d,
+         round(sum(cents * pow(0.8, k)) / sum(pow(0.8, k)) / 100.0, 6)
+           AS ewma_usd
+  FROM win GROUP BY 1
+)
+SELECT strftime(c_d, '%Y-%m') AS month,
+       round(max(ewma_usd), 6) AS peak_ewma_usd,
+       CAST(count(*) AS BIGINT) AS n_days
+FROM ew GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ewma_14d_revenue"] = q_ewma_14d_revenue
+ORACLES["ewma_14d_revenue"] = ORACLE_EWMA_14D_REVENUE
+
+
+def q_price_volume_decomposition(spark, sf_dir):
+    """Laspeyres price/volume decomposition of the 1996→1997 revenue
+    delta per brand: volume effect Σ(p96·Δq) at base prices plus price
+    effect Σ(Δp·q97) at new volumes — the index-number split of WHY
+    revenue moved. Unit prices are per-brand-year quantity-weighted
+    averages; everything stays a ratio of exact sums until the last
+    multiply."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("p_brand", F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("double")).alias("q"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("cents"),
+        )
+    )
+    a = base.filter(F.col("y") == 1996).select(
+        "p_brand", F.col("q").alias("q0"), F.col("cents").alias("c0")
+    )
+    b = base.filter(F.col("y") == 1997).select(
+        "p_brand", F.col("q").alias("q1"), F.col("cents").alias("c1")
+    )
+    j = a.join(b, "p_brand")
+    p0 = F.col("c0") / F.col("q0")
+    p1 = F.col("c1") / F.col("q1")
+    return j.select(
+        "p_brand",
+        F.round((F.col("c1") - F.col("c0")) / 100.0, 6).alias("delta_usd"),
+        F.round(p0 * (F.col("q1") - F.col("q0")) / 100.0, 6).alias(
+            "volume_effect_usd"
+        ),
+        F.round((p1 - p0) * F.col("q1") / 100.0, 6).alias(
+            "price_effect_usd"
+        ),
+    ).orderBy("p_brand")
+
+
+ORACLE_PRICE_VOLUME_DECOMPOSITION = """
+WITH base AS (
+  SELECT p_brand, year(o_orderdate) AS y,
+         sum(CAST(l_quantity AS DOUBLE)) AS q,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+), j AS (
+  SELECT a.p_brand, a.q AS q0, a.cents AS c0, b.q AS q1, b.cents AS c1
+  FROM (SELECT * FROM base WHERE y = 1996) a
+  JOIN (SELECT * FROM base WHERE y = 1997) b USING (p_brand)
+)
+SELECT p_brand,
+       round((c1 - c0) / 100.0, 6) AS delta_usd,
+       round((c0 / q0) * (q1 - q0) / 100.0, 6) AS volume_effect_usd,
+       round((c1 / q1 - c0 / q0) * q1 / 100.0, 6) AS price_effect_usd
+FROM j ORDER BY p_brand
+"""
+
+QUERIES["price_volume_decomposition"] = q_price_volume_decomposition
+ORACLES["price_volume_decomposition"] = ORACLE_PRICE_VOLUME_DECOMPOSITION
+
+
+def q_null_key_join_battery(spark, sf_dir):
+    """NULL-key join semantics battery: inner, left, and full joins on
+    a key nulled every 5th row — SQL equality never matches NULL to
+    NULL, so nulled rows must drop from inner matches and survive only
+    as outer padding. Counts make the row-fate ledger explicit."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 5 != 0, F.col("user_id"))
+    a = e.select(k.alias("ka")).groupBy("ka").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = e.select(k.alias("kb")).groupBy("kb").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    inner = a.join(b, a.ka == b.kb).agg(
+        F.lit("inner").alias("join_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("na").cast("bigint").alias("sum_left"),
+    )
+    left = a.join(b, a.ka == b.kb, "left").agg(
+        F.lit("left").alias("join_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("na").cast("bigint").alias("sum_left"),
+    )
+    full = a.join(b, a.ka == b.kb, "full").agg(
+        F.lit("full").alias("join_type"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("na").cast("bigint").alias("sum_left"),
+    )
+    return inner.unionByName(left).unionByName(full).orderBy("join_type")
+
+
+ORACLE_NULL_KEY_JOIN_BATTERY = """
+WITH a AS (
+  SELECT CASE WHEN event_id % 5 <> 0 THEN user_id END AS ka,
+         count(*) AS na
+  FROM events GROUP BY 1
+), b AS (
+  SELECT CASE WHEN event_id % 5 <> 0 THEN user_id END AS kb,
+         count(*) AS nb
+  FROM events GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'inner' AS join_type, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(na) AS BIGINT) AS sum_left
+  FROM a JOIN b ON ka = kb
+  UNION ALL
+  SELECT 'left', CAST(count(*) AS BIGINT), CAST(sum(na) AS BIGINT)
+  FROM a LEFT JOIN b ON ka = kb
+  UNION ALL
+  SELECT 'full', CAST(count(*) AS BIGINT), CAST(sum(na) AS BIGINT)
+  FROM a FULL OUTER JOIN b ON ka = kb
+) ORDER BY join_type
+"""
+
+QUERIES["null_key_join_battery"] = q_null_key_join_battery
+ORACLES["null_key_join_battery"] = ORACLE_NULL_KEY_JOIN_BATTERY
+
+
+def q_grouping_sets_distinct_users(spark, sf_dir):
+    """COUNT(DISTINCT) under GROUPING SETS — the Expand-times-distinct
+    execution shape none of the rollup gates pin (each grouping set
+    must deduplicate users independently; a shared dedup would
+    undercount coarser sets). Three levels: (type, dow), (type), ()."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type", F.dayofweek("ts").alias("dow"), "user_id"
+    )
+    base.createOrReplaceTempView("gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, dow,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+               CAST(count(*) AS BIGINT) AS events
+        FROM gs_events
+        GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+        ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+        """
+    )
+
+
+ORACLE_GROUPING_SETS_DISTINCT_USERS = """
+SELECT event_type, dow,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(count(*) AS BIGINT) AS events
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow, user_id FROM events)
+GROUP BY GROUPING SETS ((event_type, dow), (event_type), ())
+ORDER BY event_type NULLS FIRST, dow NULLS FIRST
+"""
+
+QUERIES["grouping_sets_distinct_users"] = q_grouping_sets_distinct_users
+ORACLES["grouping_sets_distinct_users"] = ORACLE_GROUPING_SETS_DISTINCT_USERS
+
+
+def q_abc_xyz_matrix(spark, sf_dir):
+    """ABC-XYZ inventory classification matrix: parts banded by
+    cumulative revenue share (A ≤ 70% < B ≤ 90% < C) and by demand
+    variability (coefficient of variation of monthly quantities:
+    X < 0.5 ≤ Y < 1.0 ≤ Z), reported as the 9-cell count matrix — the
+    planner's first read on any catalog. Exact cents drive the ABC
+    cumulative window; CV is a ratio of per-part moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("double")).alias("q"))
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.avg("q").alias("mq"),
+        F.stddev_pop("q").alias("sq"),
+    )
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    abc = rev.select(
+        "l_partkey",
+        (F.sum("cents").over(w) * 100 <= F.sum("cents").over(tot) * 70)
+        .alias("is_a"),
+        (F.sum("cents").over(w) * 100 <= F.sum("cents").over(tot) * 90)
+        .alias("is_ab"),
+    ).select(
+        "l_partkey",
+        F.when(F.col("is_a"), "A")
+        .when(F.col("is_ab"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    xyz = per_part.select(
+        "l_partkey",
+        F.when(F.col("sq") / F.col("mq") < 0.5, "X")
+        .when(F.col("sq") / F.col("mq") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("abc", "xyz")
+    )
+
+
+ORACLE_ABC_XYZ_MATRIX = """
+WITH monthly AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS m,
+         sum(CAST(l_quantity AS DOUBLE)) AS q
+  FROM lineitem GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, avg(q) AS mq, stddev_pop(q) AS sq
+  FROM monthly GROUP BY 1
+), rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+), abc AS (
+  SELECT l_partkey,
+         CASE WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= sum(cents) OVER () * 70 THEN 'A'
+              WHEN sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+                <= sum(cents) OVER () * 90 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM rev
+), xyz AS (
+  SELECT l_partkey,
+         CASE WHEN sq / mq < 0.5 THEN 'X'
+              WHEN sq / mq < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM per_part
+)
+SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+FROM abc JOIN xyz USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["abc_xyz_matrix"] = q_abc_xyz_matrix
+ORACLES["abc_xyz_matrix"] = ORACLE_ABC_XYZ_MATRIX
+
+
+def q_net_revenue_retention(spark, sf_dir):
+    """Dollar-based cohort retention: each acquisition-year cohort's
+    revenue in later years as a share of its first-year revenue — the
+    NRR curve (the user_retention gate counts heads; this follows the
+    money). Exact cents; two shuffles (customer cohorting, cohort-year
+    rollup)."""
+    o = load_table(spark, sf_dir, "orders")
+    with_y = o.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("y"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = with_y.groupBy("o_custkey").agg(F.min("y").alias("cohort"))
+    cell = (
+        with_y.join(first, "o_custkey")
+        .groupBy("cohort", "y")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    base = cell.filter(F.col("y") == F.col("cohort")).select(
+        "cohort", F.col("cents").alias("base_cents")
+    )
+    return (
+        cell.join(base, "cohort")
+        .select(
+            F.col("cohort").cast("bigint").alias("cohort"),
+            (F.col("y") - F.col("cohort")).cast("bigint").alias("age_years"),
+            F.round(F.col("cents") / F.col("base_cents"), 6).alias(
+                "revenue_retention"
+            ),
+        )
+        .orderBy("cohort", "age_years")
+    )
+
+
+ORACLE_NET_REVENUE_RETENTION = """
+WITH with_y AS (
+  SELECT o_custkey, year(o_orderdate) AS y,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT o_custkey, min(y) AS cohort FROM with_y GROUP BY 1
+), cell AS (
+  SELECT cohort, y, CAST(sum(cents) AS BIGINT) AS cents
+  FROM with_y JOIN first USING (o_custkey)
+  GROUP BY 1, 2
+), base AS (
+  SELECT cohort, cents AS base_cents FROM cell WHERE y = cohort
+)
+SELECT CAST(cohort AS BIGINT) AS cohort,
+       CAST(y - cohort AS BIGINT) AS age_years,
+       round(cents * 1.0 / base_cents, 6) AS revenue_retention
+FROM cell JOIN base USING (cohort)
+ORDER BY cohort, age_years
+"""
+
+QUERIES["net_revenue_retention"] = q_net_revenue_retention
+ORACLES["net_revenue_retention"] = ORACLE_NET_REVENUE_RETENTION
+
+
+def q_type_hierarchy_rollup(spark, sf_dir):
+    """ROLLUP over a STRING-DERIVED hierarchy: p_type's three words
+    ("STANDARD ANODIZED COPPER") split into level-1/2/3 dimensions and
+    revenue rolled up at every prefix depth — the
+    parse-then-cube shape real catalogs need when hierarchy lives
+    inside a denormalized label. Exact cents; one Expand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    # split_part yields '' for a missing level where DuckDB's list index
+    # yields NULL — normalize to NULL so short labels agree
+    def level(i):
+        return F.nullif(
+            F.split_part(F.col("p_type"), F.lit(" "), F.lit(i)), F.lit("")
+        )
+
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        level(1).alias("t1"),
+        level(2).alias("t2"),
+        level(3).alias("t3"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        j.rollup("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(F.sum("cents") / 100.0, 6).alias("revenue_usd"),
+        )
+        .orderBy(
+            F.col("t1").asc_nulls_first(),
+            F.col("t2").asc_nulls_first(),
+            F.col("t3").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_TYPE_HIERARCHY_ROLLUP = """
+WITH j AS (
+  SELECT string_split(p_type, ' ')[1] AS t1,
+         string_split(p_type, ' ')[2] AS t2,
+         string_split(p_type, ' ')[3] AS t3,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(cents) / 100.0, 6) AS revenue_usd
+FROM j GROUP BY ROLLUP (t1, t2, t3)
+ORDER BY t1 NULLS FIRST, t2 NULLS FIRST, t3 NULLS FIRST
+"""
+
+QUERIES["type_hierarchy_rollup"] = q_type_hierarchy_rollup
+ORACLES["type_hierarchy_rollup"] = ORACLE_TYPE_HIERARCHY_ROLLUP

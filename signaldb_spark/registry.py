@@ -11,6 +11,7 @@ from . import (
     bench_round7,
     bench_round8,
     bench_round9,
+    bench_round10,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -31,6 +32,7 @@ _MODULES = [
     bench_round7,
     bench_round8,
     bench_round9,
+    bench_round10,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

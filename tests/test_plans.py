@@ -914,3 +914,25 @@ def test_round9_batch4_batch5_scale_shapes(spark):
     p_pf = plan(qs["partition_filter_scan"](spark, SF_DIR))
     assert "PartitionFilters" in p_pf
     assert "date_day" in p_pf.split("PartitionFilters", 1)[1][:250]
+
+
+def test_round10_staged_scale_shapes(spark):
+    """Round-10 staged gates: the moving-median / EWMA neighborhoods
+    are calendar-bounded broadcast self-joins over the DAILY rollup
+    (never the fact table), the grouping-sets distinct runs through an
+    Expand, and the hierarchy rollup broadcasts the part dim."""
+    qs = all_queries()
+
+    for name in ("moving_median_revenue", "ewma_14d_revenue"):
+        p = plan(qs[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" in p, name
+        lines = p.splitlines()
+        bj = next(i for i, l in enumerate(lines)
+                  if "BroadcastNestedLoopJoin" in l)
+        assert any("HashAggregate" in l for l in lines[bj:]), name
+
+    p_gs = plan(qs["grouping_sets_distinct_users"](spark, SF_DIR))
+    assert "Expand" in p_gs
+
+    p_th = plan(qs["type_hierarchy_rollup"](spark, SF_DIR))
+    assert "Expand" in p_th and "BroadcastHashJoin" in p_th
