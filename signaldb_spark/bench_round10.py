@@ -515,3 +515,311 @@ ORDER BY t1 NULLS FIRST, t2 NULLS FIRST, t3 NULLS FIRST
 
 QUERIES["type_hierarchy_rollup"] = q_type_hierarchy_rollup
 ORACLES["type_hierarchy_rollup"] = ORACLE_TYPE_HIERARCHY_ROLLUP
+
+
+# --------------------------------------------------------------- batch 2
+
+
+def q_cdc_keep_latest(spark, sf_dir):
+    """CDC upsert compaction: keep only the LATEST event per
+    (user, event_type) key — the change-data-capture dedup every
+    mutable-table mirror runs before serving. One ranked window per
+    key with full deterministic tiebreaks; output is the per-type
+    survivor count and the exact cents of surviving values."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "latest_value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_CDC_KEEP_LATEST = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS latest_value_cents
+FROM ranked WHERE rk = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cdc_keep_latest"] = q_cdc_keep_latest
+ORACLES["cdc_keep_latest"] = ORACLE_CDC_KEEP_LATEST
+
+
+def q_session_definition_sensitivity(spark, sf_dir):
+    """Methodology-sensitivity audit: session counts under three gap
+    thresholds (10 / 30 / 60 minutes) in ONE pass — if the metric swings
+    hard with the cutoff, the cutoff is doing the analysis. Session
+    count = start-flag sum, so the three defs are three conditional
+    sums over the same lag."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    )
+
+    def n_sessions(minutes):
+        return F.sum(
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > minutes * 60 * 1000000),
+                1,
+            ).otherwise(0)
+        ).cast("bigint")
+
+    return gaps.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        n_sessions(10).alias("sessions_10m"),
+        n_sessions(30).alias("sessions_30m"),
+        n_sessions(60).alias("sessions_60m"),
+    )
+
+
+ORACLE_SESSION_DEFINITION_SENSITIVITY = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN gap_us IS NULL
+                     OR gap_us > 600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sessions_10m,
+       CAST(sum(CASE WHEN gap_us IS NULL
+                     OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sessions_30m,
+       CAST(sum(CASE WHEN gap_us IS NULL
+                     OR gap_us > 3600000000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS sessions_60m
+FROM gaps
+"""
+
+QUERIES["session_definition_sensitivity"] = q_session_definition_sensitivity
+ORACLES["session_definition_sensitivity"] = (
+    ORACLE_SESSION_DEFINITION_SENSITIVITY
+)
+
+
+def q_topk_stability_quarters(spark, sf_dir):
+    """Rank-stability audit: Jaccard overlap of the top-20 revenue
+    parts between consecutive quarters — a leaderboard that reshuffles
+    every quarter is noise, not signal. Two ranked rollups self-joined
+    on adjacent quarter keys; overlap counted, never materialized as
+    lists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = (F.year("l_shipdate") * 4 + F.quarter("l_shipdate") - 1).cast(
+        "bigint"
+    )
+    rev = li.groupBy(q.alias("q"), "l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("cents"), "l_partkey")
+    top = rev.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 20
+    )
+    a = top.select(F.col("q").alias("qa"), "l_partkey")
+    b = top.select(
+        (F.col("q") - 1).alias("qb"), F.col("l_partkey").alias("pk_b")
+    )
+    overlap = (
+        a.join(b, (a.qa == b.qb) & (a.l_partkey == b.pk_b))
+        .groupBy("qa")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = top.groupBy("q").agg(F.count(F.lit(1)).alias("sz"))
+    cur = sizes.select(F.col("q").alias("qa"), F.col("sz").alias("sz_a"))
+    nxt = sizes.select((F.col("q") - 1).alias("qa"), F.col("sz").alias("sz_b"))
+    return (
+        cur.join(nxt, "qa")
+        .join(overlap, "qa", "left")
+        .select(
+            F.col("qa").alias("quarter"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.round(
+                F.coalesce("n_common", F.lit(0))
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce("n_common", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("quarter")
+    )
+
+
+ORACLE_TOPK_STABILITY_QUARTERS = """
+WITH rev AS (
+  SELECT CAST(year(l_shipdate) * 4 + quarter(l_shipdate) - 1 AS BIGINT)
+           AS q,
+         l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1, 2
+), top AS (
+  SELECT q, l_partkey FROM (
+    SELECT q, l_partkey,
+           row_number() OVER (PARTITION BY q
+                              ORDER BY cents DESC, l_partkey) AS rk
+    FROM rev
+  ) WHERE rk <= 20
+), overlap AS (
+  SELECT a.q AS qa, count(*) AS n_common
+  FROM top a JOIN top b
+    ON b.q = a.q + 1 AND b.l_partkey = a.l_partkey
+  GROUP BY 1
+), sizes AS (
+  SELECT q, count(*) AS sz FROM top GROUP BY 1
+)
+SELECT cur.q AS quarter,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       round(coalesce(n_common, 0) * 1.0
+             / (cur.sz + nxt.sz - coalesce(n_common, 0)), 6) AS jaccard
+FROM sizes cur
+JOIN sizes nxt ON nxt.q = cur.q + 1
+LEFT JOIN overlap ON overlap.qa = cur.q
+ORDER BY quarter
+"""
+
+QUERIES["topk_stability_quarters"] = q_topk_stability_quarters
+ORACLES["topk_stability_quarters"] = ORACLE_TOPK_STABILITY_QUARTERS
+
+
+def q_median_ci_rank_bounds(spark, sf_dir):
+    """Distribution-free 95% confidence interval for the median per
+    event type via ORDER-STATISTIC rank selection: the values at ranks
+    floor(n/2 − 1.96·√n/2) and ceil(n/2 + 1.96·√n/2) — the exact,
+    bootstrap-free CI. Ranks come from one window ordered purely by
+    the (micro-quantized) value, so the value AT a rank is
+    deterministic even under ties; neither engine's quantile function
+    is involved (both require constant fractions)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 1000000).cast("bigint")
+    base = e.select("event_type", v.alias("v"))
+    w = Window.partitionBy("event_type").orderBy("v")
+    n_w = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    k_med = F.floor((F.col("n") + 1) / 2)
+    k_lo = F.greatest(
+        F.floor(F.col("n") / 2 - 1.96 * F.sqrt(F.col("n")) / 2), F.lit(1)
+    )
+    k_hi = F.least(
+        F.ceil(F.col("n") / 2 + 1.96 * F.sqrt(F.col("n")) / 2), F.col("n")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.round(
+                F.max(F.when(F.col("rk") == k_med, F.col("v"))) / 1000000.0,
+                6,
+            ).alias("median"),
+            F.round(
+                F.max(F.when(F.col("rk") == k_lo, F.col("v"))) / 1000000.0,
+                6,
+            ).alias("ci_lo"),
+            F.round(
+                F.max(F.when(F.col("rk") == k_hi, F.col("v"))) / 1000000.0,
+                6,
+            ).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MEDIAN_CI_RANK_BOUNDS = """
+WITH base AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM base
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(max(CASE WHEN rk = floor((n + 1) / 2) THEN v END)
+             / 1000000.0, 6) AS median,
+       round(max(CASE WHEN rk = greatest(
+                 floor(n / 2 - 1.96 * sqrt(n) / 2), 1) THEN v END)
+             / 1000000.0, 6) AS ci_lo,
+       round(max(CASE WHEN rk = least(
+                 ceil(n / 2 + 1.96 * sqrt(n) / 2), n) THEN v END)
+             / 1000000.0, 6) AS ci_hi
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["median_ci_rank_bounds"] = q_median_ci_rank_bounds
+ORACLES["median_ci_rank_bounds"] = ORACLE_MEDIAN_CI_RANK_BOUNDS
+
+
+def q_dead_letter_split(spark, sf_dir):
+    """Driver gate for the schema-violation dead-letter contract: a
+    metrics_gauge batch whose every 13th row violates the required
+    `value` column splits deterministically — the GOOD side (returned
+    here, oracle-checked) commits, the poison rows route to the
+    dead-letter sink instead of wedging the drain (issue-#1060
+    analog). The split predicate is the at-rest schema's non-nullable
+    columns, not a hand-rolled filter."""
+    from .streaming.ingest import split_schema_violations
+
+    e = load_table(spark, sf_dir, "events")
+    gauge = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit("bench_metric").alias("metric_name"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date_day"),
+        F.lit(0).alias("hour"),
+        F.when(F.col("event_id") % 13 != 0, F.col("value")).alias("value"),
+        F.col("event_id"),
+    )
+    good, bad = split_schema_violations(gauge, "metrics_gauge")
+    assert bad is not None  # the schema declares required columns
+    return (
+        good.groupBy("service_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_good"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("service_name")
+    )
+
+
+ORACLE_DEAD_LETTER_SPLIT = """
+SELECT event_type AS service_name,
+       CAST(count(*) AS BIGINT) AS n_good,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_id % 13 <> 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dead_letter_split"] = q_dead_letter_split
+ORACLES["dead_letter_split"] = ORACLE_DEAD_LETTER_SPLIT
