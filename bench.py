@@ -53,7 +53,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
+        if i % 64 == 63:
+            # 400+ distinct plans' generated classes accumulate in the
+            # JVM old gen over the run; without an occasional full GC the
+            # tail queries pay multi-second collection pauses that read
+            # as (false) per-query regressions
+            spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(2):  # steady-state: min of 2 runs (JIT/footer-cache noise)
             t0 = time.perf_counter()

@@ -823,3 +823,317 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["dead_letter_split"] = q_dead_letter_split
 ORACLES["dead_letter_split"] = ORACLE_DEAD_LETTER_SPLIT
+
+
+# --------------------------------------------------------------- batch 3
+
+
+def q_activation_velocity(spark, sf_dir):
+    """Activation velocity: days from each user's FIRST event to their
+    10th — how fast new users reach the activation bar. One ranked
+    window per user; the ramp reduces to exact rank-selected quartiles
+    over the per-user rollup (integer microsecond gaps until the final
+    division)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn("rk", F.row_number().over(w)).drop("ts", "event_id")
+    ramp = (
+        ranked.filter(F.col("rk").isin(1, 10))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("hits"),
+            (F.max("us") - F.min("us")).alias("ramp_us"),
+        )
+        .filter(F.col("hits") == 2)
+        .select((F.col("ramp_us") / 86400000000.0).alias("ramp_days"))
+    )
+    return ramp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_activated"),
+        F.round(F.percentile("ramp_days", F.lit(0.25)), 6).alias("p25_days"),
+        F.round(F.percentile("ramp_days", F.lit(0.5)), 6).alias("p50_days"),
+        F.round(F.percentile("ramp_days", F.lit(0.75)), 6).alias("p75_days"),
+    )
+
+
+ORACLE_ACTIVATION_VELOCITY = """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rk
+  FROM events
+), ramp AS (
+  SELECT (max(us) - min(us)) / 86400000000.0 AS ramp_days
+  FROM ranked WHERE rk IN (1, 10)
+  GROUP BY user_id HAVING count(*) = 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_activated,
+       round(quantile_cont(ramp_days, 0.25), 6) AS p25_days,
+       round(quantile_cont(ramp_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(ramp_days, 0.75), 6) AS p75_days
+FROM ramp
+"""
+
+QUERIES["activation_velocity"] = q_activation_velocity
+ORACLES["activation_velocity"] = ORACLE_ACTIVATION_VELOCITY
+
+
+def q_dual_sourcing_share(spark, sf_dir):
+    """Supply-chain resilience: the share of each part type's parts
+    sourced from 2+ DISTINCT supplier NATIONS — single-nation parts are
+    the procurement risk register. The supplier dim broadcasts; the
+    distinct projection happens before any wide join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    nations = (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", "s_nationkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+    return (
+        nations.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.when(F.col("n_nations") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dual_sourced"),
+            F.round(
+                F.sum(F.when(F.col("n_nations") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dual_share"),
+        )
+        .orderBy("p_type")
+    )
+
+
+ORACLE_DUAL_SOURCING_SHARE = """
+WITH nations AS (
+  SELECT l_partkey, count(*) AS n_nations FROM (
+    SELECT DISTINCT l_partkey, s_nationkey
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    JOIN supplier ON l_suppkey = s_suppkey
+  ) GROUP BY 1
+)
+SELECT p_type, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN n_nations >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dual_sourced,
+       round(sum(CASE WHEN n_nations >= 2 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS dual_share
+FROM nations JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dual_sourcing_share"] = q_dual_sourcing_share
+ORACLES["dual_sourcing_share"] = ORACLE_DUAL_SOURCING_SHARE
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness for the top-50 document-frequency terms:
+    P(term appears 2+ times in a doc | appears at all) — content words
+    burst, function words don't; the adaptive-language-model read on a
+    corpus. Per-(doc, term) counts roll up to df/df2 per term; the
+    top-50 rank runs on the term rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_term = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.when(F.col("tf") >= 2, 1).otherwise(0)).alias("df2"),
+    )
+    w = Window.orderBy(F.desc("df"), "term")
+    return (
+        per_term.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 50)
+        .select(
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("df2") / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy("rk")
+    )
+
+
+ORACLE_TERM_BURSTINESS = """
+WITH dt AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+  GROUP BY 1, 2
+), per_term AS (
+  SELECT term, count(*) AS df,
+         sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS df2
+  FROM dt GROUP BY 1
+), ranked AS (
+  SELECT term, df, df2,
+         row_number() OVER (ORDER BY df DESC, term) AS rk
+  FROM per_term
+)
+SELECT CAST(rk AS BIGINT) AS rk, term, CAST(df AS BIGINT) AS df,
+       round(df2 * 1.0 / df, 6) AS burstiness
+FROM ranked WHERE rk <= 50 ORDER BY rk
+"""
+
+QUERIES["term_burstiness"] = q_term_burstiness
+ORACLES["term_burstiness"] = ORACLE_TERM_BURSTINESS
+
+
+def q_sq8_reconstruction_snr(spark, sf_dir):
+    """Int8 scalar-quantization SNR per label: signal power over
+    round-trip error power at a single global scale (127 / max|x|) —
+    the fidelity audit run before shipping a quantized index. The
+    scale is a 1-row broadcast; rounding and reconstruction are
+    identical IEEE expressions in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.explode("embedding").alias("xf")
+    ).select("label", F.col("xf").cast("double").alias("x"))
+    scale = ex.agg((127.0 / F.max(F.abs("x"))).alias("s"))
+    err = (
+        ex.crossJoin(F.broadcast(scale))
+        .select(
+            "label",
+            (F.col("x") * F.col("x")).alias("p_sig"),
+            (
+                (F.col("x") - F.round(F.col("x") * F.col("s")) / F.col("s"))
+                * (F.col("x") - F.round(F.col("x") * F.col("s")) / F.col("s"))
+            ).alias("p_err"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.round(
+                10 * F.log(10.0, F.sum("p_sig") / F.sum("p_err")), 6
+            ).alias("snr_db"),
+        )
+    )
+    return err.select(
+        F.col("label").cast("bigint").alias("label"), "n_values", "snr_db"
+    ).orderBy("label")
+
+
+ORACLE_SQ8_RECONSTRUCTION_SNR = """
+WITH ex AS (
+  SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+), scale AS (
+  SELECT 127.0 / max(abs(x)) AS s FROM ex
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n_values,
+       round(10 * log10(sum(x * x)
+             / sum((x - round(x * s) / s) * (x - round(x * s) / s))), 6)
+         AS snr_db
+FROM ex, scale GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sq8_reconstruction_snr"] = q_sq8_reconstruction_snr
+ORACLES["sq8_reconstruction_snr"] = ORACLE_SQ8_RECONSTRUCTION_SNR
+
+
+def q_iso_week_boundary(spark, sf_dir):
+    """ISO-week boundary battery: weekofyear around the year turn (the
+    week-53 / week-1 corners where naive week math silently
+    misattributes a year of data) over every order date in the
+    Dec 26 - Jan 7 windows. Tiny distinct rollup; the point is
+    byte-identical week labels."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(F.to_date("o_orderdate").alias("d")).distinct().filter(
+        (F.month("d").isin(12) & (F.dayofmonth("d") >= 26))
+        | (F.month("d") == 1) & (F.dayofmonth("d") <= 7)
+    )
+    return (
+        d.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.weekofyear("d").cast("bigint").alias("iso_week"),
+            F.dayofweek("d").cast("bigint").alias("dow_sun1"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ISO_WEEK_BOUNDARY = """
+WITH d AS (
+  SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+  WHERE (month(o_orderdate) = 12 AND day(o_orderdate) >= 26)
+     OR (month(o_orderdate) = 1 AND day(o_orderdate) <= 7)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(weekofyear(d) AS BIGINT) AS iso_week,
+       CAST(dayofweek(d) + 1 AS BIGINT) AS dow_sun1
+FROM d ORDER BY day
+"""
+
+QUERIES["iso_week_boundary"] = q_iso_week_boundary
+ORACLES["iso_week_boundary"] = ORACLE_ISO_WEEK_BOUNDARY
+
+
+def q_expiry_retains_window(spark, sf_dir):
+    """Driver gate for the time-travel retention window: after
+    ``expire_snapshots(keep_last=2)`` the PREVIOUS version must still
+    answer exactly its own (batch-1) rows — expiration trims history
+    to the configured window, never inside it. Complements the
+    read-stability gate (which pins the CURRENT version)."""
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("expiry2", sf_dir)
+    if key not in _R10_CACHE:
+        import tempfile as _tempfile
+
+        from .bench_round9 import _events_day_hour
+
+        path = _tempfile.mkdtemp(prefix="sdb-r10-expiry2-")
+        e = _events_day_hour(spark, sf_dir)
+        for i in (0, 1):
+            write_batch_manifest(
+                e.filter(F.col("event_id") % 2 == i), path, "events_r10e",
+                batch_id=i + 1, partition_cols=("date_day", "hour"),
+                stats_cols=("ts",),
+            )
+        _R10_CACHE[key] = path
+    path = _R10_CACHE[key]
+    mt = ManifestTable(path)
+    mt.expire_snapshots(keep_last=2)
+    prev_version = mt.versions()[-2]
+    df = mt.read(spark, version=prev_version)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_R10_CACHE: dict = {}
+
+ORACLE_EXPIRY_RETAINS_WINDOW = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE event_id % 2 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["expiry_retains_window"] = q_expiry_retains_window
+ORACLES["expiry_retains_window"] = ORACLE_EXPIRY_RETAINS_WINDOW

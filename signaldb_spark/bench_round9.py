@@ -1879,12 +1879,16 @@ ORACLES["hot_only_first_run"] = ORACLE_HOT_ONLY_FIRST_RUN
 
 
 def q_theil_sen_daily_trend(spark, sf_dir):
-    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
-    pairwise day-to-day slopes — immune to the outlier days that drag
-    least-squares around. The pair join runs over the DAILY rollup
-    (calendar-bounded, never the fact table), broadcast on one side;
-    slopes are exact-cents over integer day gaps."""
-    o = load_table(spark, sf_dir, "orders")
+    """Theil-Sen robust trend of 1997's daily revenue: the MEDIAN of
+    all pairwise day-to-day slopes — immune to the outlier days that
+    drag least-squares around. The pair join runs over ONE YEAR of the
+    DAILY rollup (365 days → ~66k pairs; the full multi-year domain
+    would put millions of slopes under a single exact-median group —
+    the classic quadratic trap Theil-Sen invites), broadcast on one
+    side; slopes are exact-cents over integer day gaps."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
     daily = o.groupBy(
         (F.unix_timestamp(F.to_date("o_orderdate").cast("timestamp")) / 86400)
         .cast("long")
@@ -1915,7 +1919,7 @@ WITH daily AS (
               AS BIGINT) AS d,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
            AS cents
-  FROM orders GROUP BY 1
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
 ), pairs AS (
   SELECT (b.cents - a.cents) * 1.0 / (b.d - a.d) AS slope
   FROM daily a JOIN daily b ON a.d < b.d
