@@ -1137,3 +1137,353 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["expiry_retains_window"] = q_expiry_retains_window
 ORACLES["expiry_retains_window"] = ORACLE_EXPIRY_RETAINS_WINDOW
+
+
+# --------------------------------------------------------------- batch 4
+
+
+def q_chi2_gof_quantity(spark, sf_dir):
+    """Chi-square goodness-of-fit of lineitem quantities against the
+    discrete-uniform null, per return flag — is the demand distribution
+    actually flat across 1..50? (The independence gate tests ASSOCIATION
+    between two columns; GOF tests one column against a model.)
+    Observed counts are exact; expected = n/50; the statistic folds
+    over the 50-cell rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = Window.partitionBy("l_returnflag")
+    scored = cells.select(
+        "l_returnflag",
+        "obs",
+        (F.sum("obs").over(tot) / 50.0).alias("exp"),
+    )
+    return (
+        scored.groupBy("l_returnflag")
+        .agg(
+            F.sum("obs").cast("bigint").alias("n"),
+            F.count(F.lit(1)).cast("bigint").alias("cells"),
+            F.round(
+                F.sum(
+                    (F.col("obs") - F.col("exp"))
+                    * (F.col("obs") - F.col("exp"))
+                    / F.col("exp")
+                ),
+                6,
+            ).alias("chi2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_CHI2_GOF_QUANTITY = """
+WITH cells AS (
+  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+         count(*) AS obs
+  FROM lineitem GROUP BY 1, 2
+), scored AS (
+  SELECT l_returnflag, obs,
+         sum(obs) OVER (PARTITION BY l_returnflag) / 50.0 AS exp
+  FROM cells
+)
+SELECT l_returnflag, CAST(sum(obs) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS cells,
+       round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["chi2_gof_quantity"] = q_chi2_gof_quantity
+ORACLES["chi2_gof_quantity"] = ORACLE_CHI2_GOF_QUANTITY
+
+
+def q_journeys_per_user(spark, sf_dir):
+    """Two-level sessionization: 30-minute-gap SESSIONS nest inside
+    24-hour-gap JOURNEYS (the visit vs trip distinction) — hierarchical
+    gaps-and-islands that single-threshold sessionization can't see.
+    Both levels come from the same lag pass; the report is the
+    distribution of sessions-per-journey."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("us", F.unix_micros("ts"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .withColumn(
+            "sess_start",
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > 1800000000), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "jour_start",
+            F.when(
+                F.col("gap").isNull() | (F.col("gap") > 86400000000), 1
+            ).otherwise(0),
+        )
+        .withColumn("jid", F.sum("jour_start").over(w))
+    )
+    per_journey = flagged.groupBy("user_id", "jid").agg(
+        F.sum("sess_start").alias("n_sessions")
+    )
+    return (
+        per_journey.groupBy(
+            F.col("n_sessions").cast("bigint").alias("sessions_in_journey")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_journeys"))
+        .orderBy("sessions_in_journey")
+    )
+
+
+ORACLE_JOURNEYS_PER_USER = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END
+           AS sess_start,
+         CASE WHEN gap IS NULL OR gap > 86400000000 THEN 1 ELSE 0 END
+           AS jour_start
+  FROM flagged
+), jd AS (
+  SELECT user_id, sess_start,
+         sum(jour_start) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS jid
+  FROM marked
+), per_journey AS (
+  SELECT user_id, jid, sum(sess_start) AS n_sessions
+  FROM jd GROUP BY 1, 2
+)
+SELECT CAST(n_sessions AS BIGINT) AS sessions_in_journey,
+       CAST(count(*) AS BIGINT) AS n_journeys
+FROM per_journey GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["journeys_per_user"] = q_journeys_per_user
+ORACLES["journeys_per_user"] = ORACLE_JOURNEYS_PER_USER
+
+
+def q_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, pinned: NOT IN against a list containing
+    NULL returns NO rows (three-valued logic), while NOT EXISTS and an
+    anti-join return the intuitive complement — the single most common
+    silent-wrong-answer in SQL. All three counts side by side over the
+    same nullable key list."""
+    e = load_table(spark, sf_dir, "events")
+    e.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 97 != 0, F.col("user_id")).alias("k"),
+    ).createOrReplaceTempView("nit_events")
+    return spark.sql(
+        """
+        SELECT
+          CAST((SELECT count(*) FROM nit_events
+                WHERE user_id NOT IN (SELECT k FROM nit_events
+                                      WHERE event_id % 3 = 0))
+               AS BIGINT) AS not_in_count,
+          CAST((SELECT count(*) FROM nit_events a
+                WHERE NOT EXISTS (SELECT 1 FROM nit_events b
+                                  WHERE b.event_id % 3 = 0
+                                    AND b.k = a.user_id))
+               AS BIGINT) AS not_exists_count,
+          CAST((SELECT count(*) FROM nit_events
+                WHERE user_id NOT IN (SELECT k FROM nit_events
+                                      WHERE event_id % 3 = 0
+                                        AND k IS NOT NULL))
+               AS BIGINT) AS not_in_filtered_count
+        """
+    )
+
+
+ORACLE_NOT_IN_NULL_TRAP = """
+WITH nit_events AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 97 <> 0 THEN user_id END AS k
+  FROM events
+)
+SELECT
+  CAST((SELECT count(*) FROM nit_events
+        WHERE user_id NOT IN (SELECT k FROM nit_events
+                              WHERE event_id % 3 = 0))
+       AS BIGINT) AS not_in_count,
+  CAST((SELECT count(*) FROM nit_events a
+        WHERE NOT EXISTS (SELECT 1 FROM nit_events b
+                          WHERE b.event_id % 3 = 0
+                            AND b.k = a.user_id))
+       AS BIGINT) AS not_exists_count,
+  CAST((SELECT count(*) FROM nit_events
+        WHERE user_id NOT IN (SELECT k FROM nit_events
+                              WHERE event_id % 3 = 0
+                                AND k IS NOT NULL))
+       AS BIGINT) AS not_in_filtered_count
+"""
+
+QUERIES["not_in_null_trap"] = q_not_in_null_trap
+ORACLES["not_in_null_trap"] = ORACLE_NOT_IN_NULL_TRAP
+
+
+def q_rows_vs_range_peers(spark, sf_dir):
+    """ROWS vs RANGE frame semantics with duplicate ORDER keys: a RANGE
+    cumulative sum includes ALL peer rows of the current key while ROWS
+    cuts mid-peer-group — the window-frame corner that silently skews
+    running totals on tied timestamps. Reported as the number of days
+    where the two conventions disagree (and by how much at the end,
+    where they must agree)."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate").alias("d")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select(day, cents.alias("cents"), "o_orderkey")
+    w_rows = (
+        Window.orderBy("d", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ed = (F.unix_timestamp(F.col("d").cast("timestamp")) / 86400).cast("long")
+    w_range = Window.orderBy(ed).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    both = base.select(
+        "d",
+        F.sum("cents").over(w_rows).alias("cum_rows"),
+        F.sum("cents").over(w_range).alias("cum_range"),
+    )
+    return both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("cum_rows") != F.col("cum_range"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_mid_peer_disagreements"),
+        F.round((F.max("cum_rows") - F.max("cum_range")) / 100.0, 6).alias(
+            "final_total_diff_usd"
+        ),
+    )
+
+
+ORACLE_ROWS_VS_RANGE_PEERS = """
+WITH base AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) / 86400
+              AS BIGINT) AS ed,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), cum AS (
+  SELECT d,
+         sum(cents) OVER (ORDER BY d, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rows,
+         sum(cents) OVER (ORDER BY ed
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_range
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN cum_rows <> cum_range THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_mid_peer_disagreements,
+       round((max(cum_rows) - max(cum_range)) / 100.0, 6)
+         AS final_total_diff_usd
+FROM cum
+"""
+
+QUERIES["rows_vs_range_peers"] = q_rows_vs_range_peers
+ORACLES["rows_vs_range_peers"] = ORACLE_ROWS_VS_RANGE_PEERS
+
+
+def q_type_cosine_affinity(spark, sf_dir):
+    """Item-item collaborative-filtering affinity: cosine similarity
+    between event types over their per-user activity-count vectors —
+    which behaviors travel together across the user base. The classic
+    CF shape: per-(user, type) rollup, self-join on user (dot
+    products), norms from the same rollup; the type pair table is
+    tiny."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = ut.select(
+        "user_id", F.col("event_type").alias("ta"), F.col("c").alias("ca")
+    )
+    b = ut.select(
+        "user_id", F.col("event_type").alias("tb"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "user_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    norms = ut.groupBy("event_type").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    na = norms.select(F.col("event_type").alias("ta"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("event_type").alias("tb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "ta")
+        .join(F.broadcast(nb), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+ORACLE_TYPE_COSINE_AFFINITY = """
+WITH ut AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), dots AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         sum(a.c * b.c) AS dot
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+), norms AS (
+  SELECT event_type, sqrt(sum(c * c)) AS nrm FROM ut GROUP BY 1
+)
+SELECT ta, tb, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.event_type = ta
+JOIN norms nb ON nb.event_type = tb
+ORDER BY ta, tb
+"""
+
+QUERIES["type_cosine_affinity"] = q_type_cosine_affinity
+ORACLES["type_cosine_affinity"] = ORACLE_TYPE_COSINE_AFFINITY
+
+
+def q_filtered_tail_topk(spark, sf_dir):
+    """Driver gate for the PREDICATED tail scan: read_recent_topk's
+    transform hook filters to one event type, and the early stop must
+    still be correct — the scan only halts once n SURVIVING rows beat
+    every unread file's max ts. The top-100 'error' timestamp multiset
+    equals the oracle's filtered ORDER BY ts DESC LIMIT."""
+    from .bench_round9 import _events_versioned_table
+    from .storage.manifest import ManifestTable
+
+    path = _events_versioned_table(spark, sf_dir)
+    df, _files = ManifestTable(path).read_recent_topk(
+        spark, "ts", 100,
+        transform=lambda d: d.filter(F.col("event_type") == "error"),
+    )
+    return (
+        df.groupBy("ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy("ts")
+    )
+
+
+ORACLE_FILTERED_TAIL_TOPK = """
+SELECT ts, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT ts FROM events WHERE event_type = 'error'
+      ORDER BY ts DESC LIMIT 100)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["filtered_tail_topk"] = q_filtered_tail_topk
+ORACLES["filtered_tail_topk"] = ORACLE_FILTERED_TAIL_TOPK
