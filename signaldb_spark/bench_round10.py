@@ -1487,3 +1487,233 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["filtered_tail_topk"] = q_filtered_tail_topk
 ORACLES["filtered_tail_topk"] = ORACLE_FILTERED_TAIL_TOPK
+
+
+# --------------------------------------------------------------- batch 5
+
+
+def q_dau_mau_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per month: average daily active users over
+    monthly active users — the canonical engagement ratio (1/30 =
+    tourists, 1.0 = daily habit). Two distinct-count rollups from one
+    projection; exact integers until the final division."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.date_format("ts", "yyyy-MM").alias("m"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    dau = base.groupBy("m", "d").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    avg_dau = dau.groupBy("m").agg(
+        F.sum("dau").alias("dau_sum"), F.count(F.lit(1)).alias("n_days")
+    )
+    mau = base.groupBy("m").agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        avg_dau.join(mau, "m")
+        .select(
+            F.col("m").alias("month"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.round(F.col("dau_sum") / F.col("n_days"), 6).alias("avg_dau"),
+            F.round(
+                F.col("dau_sum") / F.col("n_days") / F.col("mau"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_DAU_MAU_STICKINESS = """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m') AS m, CAST(ts AS DATE) AS d, user_id
+  FROM events
+), dau AS (
+  SELECT m, d, count(DISTINCT user_id) AS dau FROM base GROUP BY 1, 2
+), avg_dau AS (
+  SELECT m, sum(dau) AS dau_sum, count(*) AS n_days FROM dau GROUP BY 1
+), mau AS (
+  SELECT m, count(DISTINCT user_id) AS mau FROM base GROUP BY 1
+)
+SELECT m AS month, CAST(mau AS BIGINT) AS mau,
+       round(dau_sum * 1.0 / n_days, 6) AS avg_dau,
+       round(dau_sum * 1.0 / n_days / mau, 6) AS stickiness
+FROM avg_dau JOIN mau USING (m) ORDER BY month
+"""
+
+QUERIES["dau_mau_stickiness"] = q_dau_mau_stickiness
+ORACLES["dau_mau_stickiness"] = ORACLE_DAU_MAU_STICKINESS
+
+
+def q_scd2_validity_intervals(spark, sf_dir):
+    """SCD-type-2 modeling from an event stream: each user's
+    event_type becomes a slowly-changing attribute with validity
+    intervals [ts, next_change); the report is intervals and total
+    covered duration per attribute value — the dimension-history build
+    every warehouse runs. Change points collapse consecutive
+    duplicates first (the SCD2 dedup), then one lead per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    intervals = changes.withColumn(
+        "valid_to_us", F.lead(F.unix_micros("ts")).over(wc)
+    ).withColumn("valid_from_us", F.unix_micros("ts"))
+    closed = intervals.filter(F.col("valid_to_us").isNotNull())
+    return (
+        closed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.round(
+                F.sum(F.col("valid_to_us") - F.col("valid_from_us"))
+                / 86400000000.0,
+                6,
+            ).alias("total_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_SCD2_VALIDITY_INTERVALS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+), intervals AS (
+  SELECT event_type, epoch_us(ts) AS valid_from_us,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to_us
+  FROM changes
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+       round(sum(valid_to_us - valid_from_us) / 86400000000.0, 6)
+         AS total_days
+FROM intervals WHERE valid_to_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["scd2_validity_intervals"] = q_scd2_validity_intervals
+ORACLES["scd2_validity_intervals"] = ORACLE_SCD2_VALIDITY_INTERVALS
+
+
+def q_compaction_time_travel(spark, sf_dir):
+    """Composition gate: the PRE-compaction snapshot stays readable
+    after compaction rewrites every partition — the replaced files die
+    at snapshot expiration, never at commit, so a long-running query
+    pinned to the old version finishes consistently. The pre-compact
+    version must answer the full week exactly (same oracle as the
+    compacted current version — that equality IS the isolation
+    proof)."""
+    from .bench_round9 import _compacted_table
+    from .storage.manifest import ManifestTable
+
+    path = _compacted_table(spark, sf_dir)
+    mt = ManifestTable(path)
+    # version 3 = the third batch commit, before any compaction commit
+    df = mt.read(spark, version=3)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_COMPACTION_TIME_TRAVEL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE day(ts) <= 7
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["compaction_time_travel"] = q_compaction_time_travel
+ORACLES["compaction_time_travel"] = ORACLE_COMPACTION_TIME_TRAVEL
+
+
+def q_knn_reciprocity(spark, sf_dir):
+    """kNN-graph reciprocity: the share of top-5 cosine edges i→j whose
+    reverse j→i is also a top-5 edge — low reciprocity flags hubness,
+    the failure mode that quietly wrecks ANN recall. Runs on a
+    deterministic 400-vector sample (vec_id mod); distances come from
+    one posexplode self-join keyed on dimension, so stored vectors
+    never shuffle whole."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sample = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    ex = sample.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    a = ex.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
+    b = ex.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("va") != F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    w = Window.partitionBy("va").orderBy(F.desc("dot"), "vb")
+    knn = dots.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 5
+    )
+    fwd = knn.select("va", "vb")
+    rev = knn.select(
+        F.col("vb").alias("va"), F.col("va").alias("vb"), F.lit(1).alias("r")
+    )
+    joined = fwd.join(rev, ["va", "vb"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.coalesce(F.col("r"), F.lit(0))).cast("bigint").alias(
+            "reciprocal_edges"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("r"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("reciprocity"),
+    )
+
+
+ORACLE_KNN_RECIPROCITY = """
+WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+), ex AS (
+  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM sample
+), dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x * b.x) AS dot
+  FROM ex a JOIN ex b USING (i)
+  WHERE a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), knn AS (
+  SELECT va, vb FROM (
+    SELECT va, vb,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY dot DESC, vb) AS rk
+    FROM dots
+  ) WHERE rk <= 5
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.va IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reciprocal_edges,
+       round(sum(CASE WHEN r.va IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS reciprocity
+FROM knn f
+LEFT JOIN knn r ON r.va = f.vb AND r.vb = f.va
+"""
+
+QUERIES["knn_reciprocity"] = q_knn_reciprocity
+ORACLES["knn_reciprocity"] = ORACLE_KNN_RECIPROCITY
