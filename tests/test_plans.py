@@ -936,3 +936,37 @@ def test_round10_staged_scale_shapes(spark):
 
     p_th = plan(qs["type_hierarchy_rollup"](spark, SF_DIR))
     assert "Expand" in p_th and "BroadcastHashJoin" in p_th
+
+
+def test_round10_batch4_batch5_scale_shapes(spark):
+    """Round-10 batches 4-5: the predicated tail scan still early-stops
+    (strict subset of files even under the filter transform), the
+    hierarchical sessionization and SCD2 builds shuffle on user_id, and
+    the CF affinity join runs on the (user, type) rollup."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark import bench_round9 as b9
+    from signaldb_spark.storage.manifest import ManifestTable
+
+    qs = all_queries()
+
+    path = b9._events_versioned_table(spark, SF_DIR)
+    mt = ManifestTable(path)
+    total = len(mt.load_manifest()["files"])
+    # top-10 filtered: the surviving rows concentrate in the newest
+    # days, so the wave reader must stop before the full file list
+    # (top-100 at sf0.001 legitimately needs ~all files — too few
+    # 'error' rows per day to stop early; n=10 pins the mechanism)
+    _df, files_read = mt.read_recent_topk(
+        spark, "ts", 10,
+        transform=lambda d: d.filter(F.col("event_type") == "error"),
+    )
+    assert files_read < total  # filtered early stop engaged
+
+    for name in ("journeys_per_user", "scd2_validity_intervals"):
+        assert "hashpartitioning(user_id" in plan(qs[name](spark, SF_DIR)), name
+
+    p_cf = plan(qs["type_cosine_affinity"](spark, SF_DIR))
+    lines = p_cf.splitlines()
+    j = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert any("HashAggregate" in l for l in lines[j:])  # rollup below join
