@@ -1717,3 +1717,217 @@ LEFT JOIN knn r ON r.va = f.vb AND r.vb = f.va
 
 QUERIES["knn_reciprocity"] = q_knn_reciprocity
 ORACLES["knn_reciprocity"] = ORACLE_KNN_RECIPROCITY
+
+
+# --------------------------------------------------------------- batch 6
+
+
+def q_null_safe_equality_battery(spark, sf_dir):
+    """Null-safe equality (Spark's <=> / SQL's IS NOT DISTINCT FROM)
+    vs plain equality on a nulled join key: null-safe matches NULL to
+    NULL (nulled rows pair up), plain equality drops them — the
+    deliberate inverse of the null_key_join gate, pinning the operator
+    that OPTS INTO null matching."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 11 != 0, F.col("event_type"))
+    a = e.select(k.alias("ka")).groupBy("ka").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = e.select(k.alias("kb")).groupBy("kb").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    plain = a.join(b, a.ka == b.kb).agg(
+        F.lit("plain_eq").alias("mode"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("pair_mass"),
+    )
+    safe = a.join(b, a.ka.eqNullSafe(b.kb)).agg(
+        F.lit("null_safe_eq").alias("mode"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("pair_mass"),
+    )
+    return plain.unionByName(safe).orderBy("mode")
+
+
+ORACLE_NULL_SAFE_EQUALITY_BATTERY = """
+WITH a AS (
+  SELECT CASE WHEN event_id % 11 <> 0 THEN event_type END AS ka,
+         count(*) AS na
+  FROM events GROUP BY 1
+), b AS (
+  SELECT CASE WHEN event_id % 11 <> 0 THEN event_type END AS kb,
+         count(*) AS nb
+  FROM events GROUP BY 1
+)
+SELECT * FROM (
+  SELECT 'plain_eq' AS mode, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(na * nb) AS BIGINT) AS pair_mass
+  FROM a JOIN b ON ka = kb
+  UNION ALL
+  SELECT 'null_safe_eq', CAST(count(*) AS BIGINT),
+         CAST(sum(na * nb) AS BIGINT)
+  FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+) ORDER BY mode
+"""
+
+QUERIES["null_safe_equality_battery"] = q_null_safe_equality_battery
+ORACLES["null_safe_equality_battery"] = ORACLE_NULL_SAFE_EQUALITY_BATTERY
+
+
+def q_multi_distinct_agg(spark, sf_dir):
+    """Several COUNT(DISTINCT …) over DIFFERENT columns in ONE
+    aggregation (users, types, active days per month) — the
+    multi-distinct Expand plan none of the single-distinct gates
+    exercise: each distinct column dedups independently inside one
+    pass over the facts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("users"),
+            F.countDistinct("event_type").cast("bigint").alias("types"),
+            F.countDistinct(F.to_date("ts")).cast("bigint").alias(
+                "active_days"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("events"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MULTI_DISTINCT_AGG = """
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS types,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+       CAST(count(*) AS BIGINT) AS events
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["multi_distinct_agg"] = q_multi_distinct_agg
+ORACLES["multi_distinct_agg"] = ORACLE_MULTI_DISTINCT_AGG
+
+
+def q_balance_revenue_quadrants(spark, sf_dir):
+    """Quadrant segmentation: customers split by the MEDIANS of account
+    balance and lifetime revenue into the classic 2×2 (invest / harvest
+    / maintain / divest) — counts plus each quadrant's revenue share.
+    Medians are exact rank statistics over integer cents; the 1-row
+    threshold table broadcasts back over the rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    base = c.join(rev, c.c_custkey == rev.o_custkey, "inner").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        "rev_cents",
+    )
+    med = base.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY bal_cents)")
+        .alias("mb"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_cents)")
+        .alias("mr"),
+    )
+    tagged = base.crossJoin(F.broadcast(med)).select(
+        F.concat(
+            F.when(F.col("bal_cents") > F.col("mb"), F.lit("hi_bal"))
+            .otherwise(F.lit("lo_bal")),
+            F.lit("/"),
+            F.when(F.col("rev_cents") > F.col("mr"), F.lit("hi_rev"))
+            .otherwise(F.lit("lo_rev")),
+        ).alias("quadrant"),
+        "rev_cents",
+    )
+    tot = Window.partitionBy()
+    return (
+        tagged.groupBy("quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("rev_cents").alias("_rc"),
+        )
+        .select(
+            "quadrant",
+            "n_customers",
+            F.round(F.col("_rc") / F.sum("_rc").over(tot), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("quadrant")
+    )
+
+
+ORACLE_BALANCE_REVENUE_QUADRANTS = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, rev_cents
+  FROM customer JOIN rev ON c_custkey = o_custkey
+), med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY bal_cents) AS mb,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY rev_cents) AS mr
+  FROM base
+), tagged AS (
+  SELECT (CASE WHEN bal_cents > mb THEN 'hi_bal' ELSE 'lo_bal' END)
+         || '/' ||
+         (CASE WHEN rev_cents > mr THEN 'hi_rev' ELSE 'lo_rev' END)
+           AS quadrant,
+         rev_cents
+  FROM base, med
+)
+SELECT quadrant, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(rev_cents) * 1.0 / sum(sum(rev_cents)) OVER (), 6)
+         AS revenue_share
+FROM tagged GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["balance_revenue_quadrants"] = q_balance_revenue_quadrants
+ORACLES["balance_revenue_quadrants"] = ORACLE_BALANCE_REVENUE_QUADRANTS
+
+
+def q_hot_cold_time_filter(spark, sf_dir):
+    """Composition gate: a time-window query over the HYBRID hot/cold
+    table (60% cold / 20% flushed / 20% hot-unflushed fixture) — the
+    row-level predicate must apply uniformly across both sides of the
+    union, and partition pruning on the cold side must not drop hot
+    rows that lack committed partitions. Three mid-month days against
+    the oracle's plain WHERE."""
+    from .bench_round8 import _MANIFEST_CACHE, q_hot_cold_visibility
+    from .storage.hot import hybrid_read
+
+    q_hot_cold_visibility(spark, sf_dir)  # ensure the fixture exists
+    path = _MANIFEST_CACHE[("hotcold", sf_dir)]
+    df = hybrid_read(spark, path)
+    return (
+        df.filter(
+            F.col("date_day").between("2024-01-10", "2024-01-12")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOT_COLD_TIME_FILTER = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hot_cold_time_filter"] = q_hot_cold_time_filter
+ORACLES["hot_cold_time_filter"] = ORACLE_HOT_COLD_TIME_FILTER

@@ -89,6 +89,10 @@ PROBE_QUERIES = [
     # while the fact table grows)
     "rolling_distinct_users",
     "locf_gap_fill",
+    # round-6 shape: the exp-histogram rate path (max_by/min_by endpoint
+    # agg + in-row reset folds + explode merge) after its equal-scale
+    # fast-path rewrite — the one operator whose plan changed this round
+    "exphist_rate_quantile",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
