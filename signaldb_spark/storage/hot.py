@@ -84,12 +84,25 @@ class HotStore:
         """Write one hot batch and publish it under the next sequence.
         Returns the claimed sequence. The write is staged under a
         unique temp name and published by one atomic rename — a crashed
-        ack leaves only an unpublished ``.tmp-*`` orphan."""
+        ack leaves only an unpublished ``.tmp-*`` orphan.
+
+        The sequence floor is the COMMITTED WATERMARK, not just the
+        surviving directory listing: gc() deletes covered sequence
+        directories, and deriving the next sequence from the listing
+        alone would re-issue a covered number after a full reclaim —
+        the reader's watermark filter would then silently drop the new
+        batch (found by the ack→flush→gc→ack property schedule). The
+        watermark is the durable record of every sequence that can
+        ever have been gc'd, so max(listing, watermark) + 1 can never
+        collide with a covered sequence."""
         os.makedirs(self.hot_dir, exist_ok=True)
         staging = os.path.join(self.hot_dir, f".tmp-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(staging)
         seqs = self.sequences()
-        seq = (seqs[-1] + 1) if seqs else 1
+        floor = max(
+            seqs[-1] if seqs else 0, committed_watermark(self.table_path)
+        )
+        seq = floor + 1
         for _ in range(100_000):
             try:
                 os.rename(staging, self._seq_path(seq))

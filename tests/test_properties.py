@@ -443,3 +443,80 @@ def test_containment_matches_bruteforce(spark, docs):
             if sa and sb and inter:
                 want[(a, b)] = round(inter / min(len(sa), len(sb)), 6)
     assert got == want
+
+
+# ----------------------------------------------- hot/cold flush protocol
+
+
+@st.composite
+def _hot_cold_script(draw):
+    """A random interleaving of the hot-store protocol's operations:
+    ack (publish a batch of rows), flush (commit everything above the
+    watermark), gc (reclaim covered sequences). Acks carry disjoint
+    row ranges so the expected visible set is exactly the union of
+    acked rows at every point."""
+    n_ops = draw(st.integers(min_value=3, max_value=8))
+    ops = []
+    for _ in range(n_ops):
+        ops.append(draw(st.sampled_from(["ack", "flush", "gc", "flush"])))
+    # at least one ack so the table is non-trivial
+    if "ack" not in ops:
+        ops[0] = "ack"
+    sizes = draw(
+        st.lists(
+            st.integers(min_value=1, max_value=20),
+            min_size=ops.count("ack"),
+            max_size=ops.count("ack"),
+        )
+    )
+    return ops, sizes
+
+
+@given(script=_hot_cold_script())
+@settings(**SETTINGS)
+def test_hot_cold_protocol_no_dup_no_loss(spark, tmp_path_factory, script):
+    """INVARIANT under any ack/flush/gc interleaving: the hybrid read
+    returns exactly the union of acked rows — never a duplicate across
+    the flush boundary, never a lost unflushed ack, and gc at the
+    committed watermark cannot remove anything a reader still needs.
+    This is the protocol claim storage/hot.py's docstring makes, held
+    against randomized schedules instead of the three hand-picked
+    orderings the example tests pin."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.storage.hot import (
+        HotStore,
+        committed_watermark,
+        flush_hot,
+        hybrid_read,
+    )
+
+    ops, sizes = script
+    table = str(tmp_path_factory.mktemp("hotprop"))
+    store = HotStore(table)
+    next_id = 0
+    expected: set[int] = set()
+    size_iter = iter(sizes)
+    for op in ops:
+        if op == "ack":
+            n = next(size_iter)
+            rows = spark.range(next_id, next_id + n).select(
+                F.col("id"),
+                F.lit("2024-01-01").alias("date_day"),
+                F.lit(3).alias("hour"),
+            )
+            store.ack(rows)
+            expected |= set(range(next_id, next_id + n))
+            next_id += n
+        elif op == "flush":
+            flush_hot(spark, table, "logs")
+        elif op == "gc":
+            store.gc(committed_watermark(table))
+        # the invariant holds at EVERY step, not just the end
+        df = hybrid_read(spark, table)
+        got = (
+            set()
+            if df is None
+            else {r.id for r in df.select("id").collect()}
+        )
+        assert got == expected, (op, ops)
