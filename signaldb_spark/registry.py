@@ -106,6 +106,25 @@ _DRIVER_VERIFIED = frozenset({
     "trace_tag_names", "trace_tag_names_v2", "trace_tag_values",
     "trace_tail_sample", "unigram_logprob", "user_retention",
     "zscore_anomaly",
+    # round 6 (50 green rows in CORRECTNESS_r06.json)
+    "anomaly_mad_events", "apdex_score", "array_ops_battery",
+    "behavior_cohorts", "concurrent_sessions", "corr_quantity_price",
+    "cube_priority_status", "cumulative_unique_users",
+    "customer_order_distribution", "dense_rank_spenders",
+    "dup_rate_by_source", "embedding_norm_stats", "fano_factor",
+    "forecast_revenue", "funnel_conversion_time", "fuzzy_prefix_pairs",
+    "idle_customer_balance", "json_extract_battery",
+    "last_touch_attribution", "logql_bytes_rate", "logql_volume_range",
+    "market_share", "markov_transitions", "mode_value_per_group",
+    "ntile_customer_quartiles", "orders_above_segment_avg",
+    "pareto_revenue", "percentile_bands", "pivot_status_count",
+    "price_band_cheapest", "priority_exists_check", "product_profit",
+    "promql_quantile_by", "region_nation_list", "rollup_revenue",
+    "service_gap_analysis", "session_duration_stats", "session_funnel",
+    "sli_error_budget", "slo_multiwindow_burn", "small_quantity_revenue",
+    "suppliers_sole_blame", "time_in_state", "top_supplier",
+    "user_activity_percentiles", "value_histogram", "weekday_seasonality",
+    "weighted_median_price", "yoy_revenue", "zipf_slope",
 })
 
 
