@@ -318,11 +318,15 @@ def connected_components(
     label's label (path compression). The jump halves path lengths, so
     rounds needed are O(log diameter) instead of O(diameter) — the
     difference between ~5 and ~30 Spark jobs on the chain-shaped
-    components LSH near-dup graphs actually produce. Intermediate
-    labels are cached and the previous round unpersisted, so lineage
-    stays bounded; convergence is detected from a one-row
-    bit_xor(xxhash64) checksum of the label table (one cheap action per
-    round instead of a compare-join).
+    components LSH near-dup graphs actually produce. Each round's label
+    table is eagerly ``localCheckpoint``-ed, which TRUNCATES the logical
+    plan — a plain ``.cache()`` bounds recomputation but not the plan,
+    and since every round references the previous one ~4× (union +
+    propagation join + pointer-jump self-join) a cached loop grows the
+    Catalyst tree ~4^k until analysis itself OOMs the driver.
+    Convergence is detected from a one-row bit_xor(xxhash64) checksum of
+    the label table (one cheap action per round instead of a
+    compare-join).
 
     Only ids that appear in ``pairs`` are clustered — singletons never
     entered the pair list and need no consolidation.
@@ -383,10 +387,15 @@ def connected_components(
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     edges = fwd.unionByName(rev).repartition("src").cache()
+    # Eager local checkpoints: each round's labels must start from a
+    # truncated plan or the loop's Catalyst tree grows ~4^k. The
+    # checkpointed blocks are MEMORY_AND_DISK (spillable, can't OOM) and
+    # the ContextCleaner reclaims each round's blocks once the rebound
+    # Python reference drops.
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lab", F.col("id"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_iterations):
@@ -408,10 +417,9 @@ def connected_components(
                 merged.id,
                 F.coalesce(F.col("_jlab"), merged.lab).alias("lab"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         sig = new.agg(F.expr("bit_xor(xxhash64(id, lab))")).collect()[0][0]
-        labels.unpersist()
         labels = new
         if sig == prev_sig:
             break

@@ -144,6 +144,34 @@ def test_connected_components_multihop_chain(spark):
     assert dist == want
 
 
+def test_connected_components_distributed_lineage_truncated(spark):
+    """The hash-min/pointer-jump loop must checkpoint each round: a
+    64-node chain (diameter 63) needs ~6 rounds, deep enough that a
+    cache-only loop — whose plan references the previous round ~4x via
+    union + propagation join + pointer-jump self-join — would unroll to
+    ~4^6 operator nodes and stall/OOM Catalyst before converging."""
+    import time
+
+    from signaldb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    t0 = time.monotonic()
+    out = connected_components(pairs, driver_threshold=0)
+    rows = {r.id: (r.cluster_id, r.cluster_size) for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    assert rows == {i: (0, 64) for i in range(64)}
+    # lineage pin: the label table feeding the final window is a
+    # checkpoint scan, not the unrolled iteration tree
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert len(plan) < 20_000, f"plan grew to {len(plan)} chars"
+    assert "LogicalRDD" in plan
+    # flat-iteration ceiling: ~6 truncated rounds run in seconds on
+    # local[32]; the exponential-plan regime dies long before this
+    assert elapsed < 120, f"distributed CC took {elapsed:.1f}s"
+
+
 def test_simhash_band_pairs_equal_brute_force(spark):
     """The first-matching-band dedup-free rewrite must return exactly
     the pairs a brute-force hamming scan finds: every pair within
