@@ -140,10 +140,18 @@ class TenantCatalog:
         return self._read()["tenants"].get(tenant_id)
 
     def set_tenant_limits(self, tenant_id: str, **limits) -> dict:
-        """Per-tenant quotas (config TenantLimits, issue #610 lineage):
-        max_api_keys / max_datasets / max_storage_bytes. Unset (None)
-        means unlimited; passing None clears a limit."""
-        allowed = {"max_api_keys", "max_datasets", "max_storage_bytes"}
+        """Per-tenant quotas and rate limits (config TenantLimits, issue
+        #610 + ratelimit.rs lineage): max_api_keys / max_datasets /
+        max_storage_bytes counts, plus the token-bucket rates
+        max_ingest_requests_per_sec / max_ingest_bytes_per_sec /
+        max_query_requests_per_sec and the burst_seconds allowance
+        (float, ≥1.0 effective). Unset (None) means unlimited; passing
+        None clears a limit."""
+        allowed = {
+            "max_api_keys", "max_datasets", "max_storage_bytes",
+            "max_ingest_requests_per_sec", "max_ingest_bytes_per_sec",
+            "max_query_requests_per_sec", "burst_seconds",
+        }
         bad = set(limits) - allowed
         if bad:
             raise AdminError("validation_error", f"unknown limits: {sorted(bad)}")
@@ -156,6 +164,8 @@ class TenantCatalog:
             for k, v in limits.items():
                 if v is None:
                     cur.pop(k, None)
+                elif k == "burst_seconds":
+                    cur[k] = float(v)
                 else:
                     cur[k] = int(v)
             return dict(cur)

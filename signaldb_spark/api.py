@@ -101,6 +101,7 @@ class SignalDBAPI:
         if self.runner is None:
             return thunk()
         from .execution import QueryDeadlineExceeded, TenantOverConcurrency
+        from .ratelimit import RateLimitExceeded
 
         try:
             return self.runner.run(
@@ -109,6 +110,10 @@ class SignalDBAPI:
         except QueryDeadlineExceeded as e:
             return error_envelope(str(e), "timeout")
         except TenantOverConcurrency as e:
+            return error_envelope(str(e), "too_many_requests")
+        except RateLimitExceeded as e:
+            # router query_rate_layer: HTTP 429 with the limiter's reason
+            # (src/router/src/lib.rs:131-135)
             return error_envelope(str(e), "too_many_requests")
 
     def _prom_ctx(self, start, end, step_seconds: int) -> PromCtx:

@@ -86,12 +86,19 @@ class FairQueryRunner:
         default_timeout_s: float = 60.0,
         cancel_grace_s: float = 30.0,
         slot_reclaim_s: float = 300.0,
+        rate_limiter=None,
     ):
         self.spark = spark
         self.max_concurrent = max_concurrent_per_tenant
         self.default_timeout_s = default_timeout_s
         self.cancel_grace_s = cancel_grace_s
         self.slot_reclaim_s = slot_reclaim_s
+        # Optional ratelimit.TenantRateLimiter: admission charges one
+        # query token per run() BEFORE the concurrency slot — the
+        # router middleware position (reference src/router/src/lib.rs:
+        # 122-138, after auth, before the handler), so a rate-limited
+        # tenant is rejected without touching shared capacity at all.
+        self.rate_limiter = rate_limiter
         self._sems: dict[str, threading.BoundedSemaphore] = {}
         self._lock = threading.Lock()
 
@@ -108,6 +115,8 @@ class FairQueryRunner:
         timeout_s: float | None = None,
     ) -> Any:
         timeout = self.default_timeout_s if timeout_s is None else timeout_s
+        if self.rate_limiter is not None:
+            self.rate_limiter.check_query(tenant)  # raises RateLimitExceeded
         sem = self._sem(tenant)
         if not sem.acquire(blocking=False):
             raise TenantOverConcurrency(tenant, self.max_concurrent)

@@ -158,6 +158,26 @@ def read_dead_letters(
     return spark.read.parquet(os.path.join(path, "batch-*"))
 
 
+def _charge_ingest(rate_limiter, tenant: str, batch_df: DataFrame, size_col) -> None:
+    """Charge a micro-batch against the tenant's ingest rate budgets
+    BEFORE any decode/commit work — each source payload is one acceptor
+    request (k files in a batch = k requests, charged atomically) plus
+    its payload bytes, mirroring the reference's per-HTTP-body check
+    (src/acceptor/src/handler/prometheus_handler.rs:119-124). A
+    rejection raises :class:`..ratelimit.RateLimitExceeded` out of
+    foreachBatch, so the checkpoint does NOT advance and the batch
+    retries later — the 429-and-retry contract remote_write clients
+    already implement."""
+    if rate_limiter is None:
+        return
+    stats = batch_df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(size_col).alias("b")
+    ).first()
+    n = int(stats["n"] or 0)
+    if n:
+        rate_limiter.check_ingest(tenant, int(stats["b"] or 0), requests=n)
+
+
 def ingest_otlp_logs_stream(
     spark: SparkSession,
     source_dir: str,
@@ -169,6 +189,7 @@ def ingest_otlp_logs_stream(
     available_now: bool = True,
     use_manifest: bool = True,
     usage_tracker=None,
+    rate_limiter=None,
 ):
     """File-source OTLP/JSON ingest → hour-partitioned logs table.
 
@@ -199,6 +220,8 @@ def ingest_otlp_logs_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # rate limit first (ratelimit.rs order: 429 rate before 429 quota)
+        _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         if usage_tracker is not None:
             usage_tracker.check_ingest(tenant)  # raises StorageQuotaExceeded
         # split poison payloads off the batch BEFORE flattening: the raw
@@ -322,6 +345,7 @@ def ingest_otlp_traces_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     use_manifest: bool = True,
+    rate_limiter=None,
 ):
     """File-source OTLP/JSON trace ingest → hour-partitioned traces
     table — the span half of the acceptor→writer pipeline
@@ -340,6 +364,7 @@ def ingest_otlp_traces_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         flagged = with_dead_letter_flag(batch_df, OTLP_TRACES_SCHEMA).cache()
         dead = flagged.filter(F.col("_dead"))
         good = flagged.filter(~F.col("_dead")).drop("_dead")
@@ -366,6 +391,7 @@ def ingest_otlp_metrics_stream(
     checkpoint_dir: str | None = None,
     available_now: bool = True,
     use_manifest: bool = True,
+    rate_limiter=None,
 ):
     """File-source OTLP/JSON metrics ingest: one stream, per-type
     routing inside the batch — gauge/sum/histogram/exp-histogram/summary
@@ -386,6 +412,7 @@ def ingest_otlp_metrics_stream(
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         flagged = with_dead_letter_flag(batch_df, OTLP_METRICS_SCHEMA).cache()
         dead = flagged.filter(F.col("_dead"))
         good = flagged.filter(~F.col("_dead")).drop("_dead")
@@ -423,12 +450,14 @@ def ingest_otlp_traces_pb_stream(
     dataset: str = "prod",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    rate_limiter=None,
 ):
     """OTLP *protobuf* trace ingest — see :func:`ingest_otlp_pb_stream`
     (this is the signal="traces" form, kept as the named entry point)."""
     return ingest_otlp_pb_stream(
         spark, source_dir, base, "traces", tenant=tenant, dataset=dataset,
         checkpoint_dir=checkpoint_dir, available_now=available_now,
+        rate_limiter=rate_limiter,
     )
 
 
@@ -441,6 +470,7 @@ def ingest_otlp_pb_stream(
     dataset: str = "prod",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    rate_limiter=None,
 ):
     """Generic OTLP protobuf ingest: binaryFile stream of wire bodies →
     pure-Python decode → JVM flatten → manifest commit, for any signal.
@@ -485,6 +515,9 @@ def ingest_otlp_pb_stream(
             )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # wire bodies charge their on-the-wire length (the binaryFile
+        # `length` column), BEFORE the decode spends any executor work
+        _charge_ingest(rate_limiter, tenant, batch_df, F.col("length"))
         decoded = batch_df.select("content").mapInPandas(
             decode, "value string, _dead_payload string"
         ).cache()
@@ -524,6 +557,7 @@ def ingest_remote_write_stream(
     dataset: str = "prod",
     checkpoint_dir: str | None = None,
     available_now: bool = True,
+    rate_limiter=None,
 ):
     """Prometheus remote_write ingest: binaryFile stream of
     snappy+protobuf WriteRequest bodies (the POST /api/v1/write payload,
@@ -564,6 +598,7 @@ def ingest_remote_write_stream(
             )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        _charge_ingest(rate_limiter, tenant, batch_df, F.col("length"))
         decoded = batch_df.select("content").mapInPandas(
             decode, "value string, _dead_payload string"
         ).cache()
