@@ -1931,3 +1931,791 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["hot_cold_time_filter"] = q_hot_cold_time_filter
 ORACLES["hot_cold_time_filter"] = ORACLE_HOT_COLD_TIME_FILTER
+
+
+# --------------------------------------------------------------- batch 7
+# (round 7 additions: the distributed-CC and rate-limit engine gates the
+# r6 verdict asked for, plus fresh analytics coverage)
+
+
+def q_dedup_cc_distributed(spark, sf_dir):
+    """Driver gate for the DISTRIBUTED connected-components regime:
+    ``driver_threshold=0`` forces the hash-min/pointer-jump loop that
+    the >2M-edge production path uses (the regime whose lineage
+    explosion the round-7 localCheckpoint fix closed), never the
+    driver-side union-find. Nodes are ``user_id % 4096`` (SF-invariant
+    node count); edges chain consecutive node ids within ``id % 250``
+    buckets, so every bucket is one CHAIN-shaped component — multi-hop,
+    needing several hash-min/pointer-jump rounds (each a fixed number
+    of Spark jobs; the test_plans lineage pin covers the DEEP-chain
+    regime) — and the expected labeling is closed-form: the bucket's
+    min id and size."""
+    from .operators.dedup import connected_components
+
+    e = load_table(spark, sf_dir, "events")
+    nodes = (
+        e.select((F.col("user_id") % 4096).cast("long").alias("id"))
+        .distinct()
+        .withColumn("bkt", F.col("id") % 250)
+    )
+    w = Window.partitionBy("bkt").orderBy("id")
+    pairs = (
+        nodes.withColumn("nxt", F.lead("id").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.col("id").alias("id_a"), F.col("nxt").alias("id_b"))
+    )
+    return (
+        connected_components(pairs, driver_threshold=0)
+        .select("id", "cluster_id", "cluster_size")
+        .orderBy("id")
+    )
+
+
+ORACLE_DEDUP_CC_DISTRIBUTED = """
+WITH nodes AS (
+  SELECT DISTINCT CAST(user_id % 4096 AS BIGINT) AS id FROM events
+), b AS (
+  SELECT id, id % 250 AS bkt FROM nodes
+), g AS (
+  SELECT bkt, min(id) AS cid, CAST(count(*) AS BIGINT) AS sz
+  FROM b GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT b.id AS id, g.cid AS cluster_id, g.sz AS cluster_size
+FROM b JOIN g USING (bkt) ORDER BY id
+"""
+
+QUERIES["dedup_cc_distributed"] = q_dedup_cc_distributed
+ORACLES["dedup_cc_distributed"] = ORACLE_DEDUP_CC_DISTRIBUTED
+
+
+def q_ratelimit_admission(spark, sf_dir):
+    """Engine-contract gate for the per-tenant token-bucket limiter
+    (ratelimit.py, reference src/common/src/ratelimit.rs): tenants are
+    the event types; each hour's arrivals charge the REAL limiter at
+    that hour's instant with rate 1 req/s and burst_seconds 1.0
+    (bucket cap 1.0). Hours are >=3600s apart, so every bucket refills
+    to FULL between bursts and the admission outcome has a closed form
+    the oracle states independently: 1 admit per non-empty
+    (tenant, hour), the rest rejected. The schedule is bounded by
+    tenants x hours — a contract gate, not a data-scale query."""
+    from .ratelimit import RateLimitExceeded, TenantRateLimiter
+
+    e = load_table(spark, sf_dir, "events")
+    sched = (
+        e.groupBy(
+            F.col("event_type").alias("tenant"),
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("k"))
+        .collect()
+    )
+    limiter = TenantRateLimiter(
+        {"max_ingest_requests_per_sec": 1, "burst_seconds": 1.0}
+    )
+    stats: dict = {}
+    for row in sorted(sched, key=lambda r: (r["hr"], r["tenant"])):
+        adm = rej = 0
+        for _ in range(row["k"]):
+            try:
+                limiter.check_ingest(
+                    row["tenant"], 0, now=float(row["hr"]) * 3600.0
+                )
+                adm += 1
+            except RateLimitExceeded:
+                rej += 1
+        a, rr = stats.get(row["tenant"], (0, 0))
+        stats[row["tenant"]] = (a + adm, rr + rej)
+    rows = [(t, a, r) for t, (a, r) in sorted(stats.items())]
+    return spark.createDataFrame(
+        rows, "tenant string, admitted long, rejected long"
+    ).orderBy("tenant")
+
+
+ORACLE_RATELIMIT_ADMISSION = """
+WITH sched AS (
+  SELECT event_type AS tenant,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+         count(*) AS k
+  FROM events GROUP BY 1, 2
+)
+SELECT tenant,
+       CAST(count(*) AS BIGINT) AS admitted,
+       CAST(sum(k - 1) AS BIGINT) AS rejected
+FROM sched GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ratelimit_admission"] = q_ratelimit_admission
+ORACLES["ratelimit_admission"] = ORACLE_RATELIMIT_ADMISSION
+
+
+def q_iqr_price_outliers(spark, sf_dir):
+    """Tukey-fence outliers per order priority: exact q1/q3 of
+    o_totalprice, upper fence q3 + 1.5*IQR, count of orders above it.
+    Two-pass: tiny per-priority fence table broadcasts back onto the
+    scan — no window over the full data."""
+    o = load_table(spark, sf_dir, "orders")
+    fences = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    return (
+        o.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                (
+                    F.col("o_totalprice")
+                    > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+                ).cast("long")
+            ).alias("n_high_outliers"),
+            F.round(
+                F.first(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))), 6
+            ).alias("upper_fence"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_IQR_PRICE_OUTLIERS = """
+WITH f AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.25) AS q1,
+         quantile_cont(o_totalprice, 0.75) AS q3
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o.o_totalprice > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outliers,
+       round(any_value(f.q3 + 1.5 * (f.q3 - f.q1)), 6) AS upper_fence
+FROM orders o JOIN f USING (o_orderpriority)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["iqr_price_outliers"] = q_iqr_price_outliers
+ORACLES["iqr_price_outliers"] = ORACLE_IQR_PRICE_OUTLIERS
+
+
+def q_tax_discount_grid(spark, sf_dir):
+    """Tax x discount contingency grid: lineitem rates are discrete
+    hundredths, so the integer-percent cross-grid is small and exact —
+    per cell: row count and extended-price cents."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.round(F.col("l_tax") * 100).cast("int").alias("tax_pct"),
+            F.round(F.col("l_discount") * 100).cast("int").alias("disc_pct"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            ).alias("price_cents"),
+        )
+        .orderBy("tax_pct", "disc_pct")
+    )
+
+
+ORACLE_TAX_DISCOUNT_GRID = """
+SELECT CAST(round(l_tax * 100) AS INTEGER) AS tax_pct,
+       CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["tax_discount_grid"] = q_tax_discount_grid
+ORACLES["tax_discount_grid"] = ORACLE_TAX_DISCOUNT_GRID
+
+
+def q_geo_harmonic_means(spark, sf_dir):
+    """Geometric and harmonic means of order value per priority —
+    pure map-side folds (exp of avg-log, n over sum of reciprocals);
+    o_totalprice is strictly positive so both are defined."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.exp(F.avg(F.log("o_totalprice"))), 6).alias("geo_mean"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("o_totalprice")),
+                6,
+            ).alias("harmonic_mean"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_GEO_HARMONIC_MEANS = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(exp(avg(ln(o_totalprice))), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / o_totalprice), 6) AS harmonic_mean
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["geo_harmonic_means"] = q_geo_harmonic_means
+ORACLES["geo_harmonic_means"] = ORACLE_GEO_HARMONIC_MEANS
+
+
+def q_priority_entropy_by_segment(spark, sf_dir):
+    """Shannon entropy (nats) of the order-priority distribution per
+    customer market segment — how priority-diverse each segment's
+    demand is. The customer dim broadcasts; the entropy folds over the
+    tiny (segment, priority) rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cell = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    tot = Window.partitionBy("c_mktsegment")
+    return (
+        cell.withColumn("p", F.col("k") / F.sum("k").over(tot))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum("k").cast("bigint").alias("n_orders"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy_nats"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_PRIORITY_ENTROPY_BY_SEGMENT = """
+WITH cell AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS k
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), p AS (
+  SELECT c_mktsegment, k,
+         k * 1.0 / sum(k) OVER (PARTITION BY c_mktsegment) AS p
+  FROM cell
+)
+SELECT c_mktsegment AS segment,
+       CAST(sum(k) AS BIGINT) AS n_orders,
+       round(-sum(p * ln(p)), 6) AS entropy_nats
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["priority_entropy_by_segment"] = q_priority_entropy_by_segment
+ORACLES["priority_entropy_by_segment"] = ORACLE_PRIORITY_ENTROPY_BY_SEGMENT
+
+
+def q_lang_length_zscore(spark, sf_dir):
+    """Per-language doc-length z-score extremes: population stddev over
+    n_chars, max |z| per language with >=5 docs — the outlier screen a
+    curation pass runs before length filtering."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("mu"),
+        F.stddev_pop("n_chars").alias("sd"),
+    )
+    return (
+        d.join(F.broadcast(stats), "lang")
+        .filter((F.col("n_docs") >= 5) & (F.col("sd") > 0))
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").cast("bigint").alias("n_docs"),
+            F.round(
+                F.max(F.abs((F.col("n_chars") - F.col("mu")) / F.col("sd"))),
+                6,
+            ).alias("max_abs_z"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_LANG_LENGTH_ZSCORE = """
+WITH s AS (
+  SELECT lang, count(*) AS n_docs, avg(n_chars) AS mu,
+         stddev_pop(n_chars) AS sd
+  FROM documents GROUP BY 1
+)
+SELECT d.lang AS lang,
+       CAST(any_value(s.n_docs) AS BIGINT) AS n_docs,
+       round(max(abs((d.n_chars - s.mu) / s.sd)), 6) AS max_abs_z
+FROM documents d JOIN s USING (lang)
+WHERE s.n_docs >= 5 AND s.sd > 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lang_length_zscore"] = q_lang_length_zscore
+ORACLES["lang_length_zscore"] = ORACLE_LANG_LENGTH_ZSCORE
+
+
+def q_emb_clip_fractions(spark, sf_dir):
+    """Per-dimension clip audit over the first 8 embedding dims: exact
+    p05/p95 and the fraction of values outside them — the stats a
+    quantization clip range is chosen from. Exploded (dim, value)
+    longs only; whole vectors never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "v")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("v").cast("double").alias("v"))
+    qs = ex.groupBy("dim").agg(
+        F.percentile("v", F.lit(0.05)).alias("p05"),
+        F.percentile("v", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        ex.join(F.broadcast(qs), "dim")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.first("p05"), 6).alias("p05"),
+            F.round(F.first("p95"), 6).alias("p95"),
+            F.round(
+                F.avg(
+                    (
+                        (F.col("v") < F.col("p05"))
+                        | (F.col("v") > F.col("p95"))
+                    ).cast("double")
+                ),
+                6,
+            ).alias("clip_frac"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_CLIP_FRACTIONS = """
+WITH ex AS (
+  SELECT d.d AS dim, CAST(embedding[d.d] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, 9)) d(d)
+), qs AS (
+  SELECT dim, quantile_cont(v, 0.05) AS p05, quantile_cont(v, 0.95) AS p95
+  FROM ex GROUP BY 1
+)
+SELECT ex.dim AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(qs.p05), 6) AS p05,
+       round(any_value(qs.p95), 6) AS p95,
+       round(avg(CASE WHEN ex.v < qs.p05 OR ex.v > qs.p95
+                      THEN 1.0 ELSE 0.0 END), 6) AS clip_frac
+FROM ex JOIN qs USING (dim)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_clip_fractions"] = q_emb_clip_fractions
+ORACLES["emb_clip_fractions"] = ORACLE_EMB_CLIP_FRACTIONS
+
+
+def q_winsorized_mean_value(spark, sf_dir):
+    """Winsorized mean per event type: clamp value into its type's
+    exact [p05, p95] before averaging — the robust center an anomaly
+    threshold derives from. Second pass broadcasts the 5-row quantile
+    table back onto the scan."""
+    e = load_table(spark, sf_dir, "events")
+    qs = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p05"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    return (
+        e.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.avg(
+                    F.greatest(F.least(F.col("value"), F.col("p95")), F.col("p05"))
+                ),
+                6,
+            ).alias("winsorized_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WINSORIZED_MEAN_VALUE = """
+WITH qs AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(greatest(least(e.value, qs.p95), qs.p05)), 6)
+         AS winsorized_mean
+FROM events e JOIN qs USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["winsorized_mean_value"] = q_winsorized_mean_value
+ORACLES["winsorized_mean_value"] = ORACLE_WINSORIZED_MEAN_VALUE
+
+
+def q_month_end_load(spark, sf_dir):
+    """Month-end load: the share of each month's revenue landing in the
+    last 3 calendar days — the close-of-books skew a capacity plan
+    budgets for. Integer cents until the final division."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.datediff(
+                F.last_day("o_orderdate"), F.to_date("o_orderdate")
+            )
+            <= 2
+        ).alias("is_tail"),
+    )
+    return (
+        d.groupBy("month")
+        .agg(
+            F.sum("cents").alias("total_cents"),
+            F.sum(F.when(F.col("is_tail"), F.col("cents")).otherwise(0)).alias(
+                "tail_cents"
+            ),
+        )
+        .select(
+            "month",
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            F.col("tail_cents").cast("bigint").alias("tail_cents"),
+            F.round(F.col("tail_cents") / F.col("total_cents"), 6).alias(
+                "tail_share"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTH_END_LOAD = """
+WITH d AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', CAST(o_orderdate AS DATE),
+                   last_day(CAST(o_orderdate AS DATE))) <= 2 AS is_tail
+  FROM orders
+)
+SELECT month,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN is_tail THEN cents ELSE 0 END) AS BIGINT)
+         AS tail_cents,
+       round(sum(CASE WHEN is_tail THEN cents ELSE 0 END) * 1.0
+             / sum(cents), 6) AS tail_share
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["month_end_load"] = q_month_end_load
+ORACLES["month_end_load"] = ORACLE_MONTH_END_LOAD
+
+
+def q_acctbal_decile_profile(spark, sf_dir):
+    """Customer account-balance decile profile: ntile(10) over
+    (c_acctbal, c_custkey) — the explicit tiebreak keeps both engines'
+    tile assignment identical — with per-decile count and exact cents
+    bounds."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "min_cents"
+            ),
+            F.max(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias(
+                "max_cents"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_ACCTBAL_DECILE_PROFILE = """
+WITH t AS (
+  SELECT c_acctbal,
+         ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["acctbal_decile_profile"] = q_acctbal_decile_profile
+ORACLES["acctbal_decile_profile"] = ORACLE_ACCTBAL_DECILE_PROFILE
+
+
+def q_part_token_revenue(spark, sf_dir):
+    """Top-10 part-name tokens by attributed revenue: tokenize p_name,
+    attribute each lineitem's discounted cents to every token of its
+    part — wordcount-class shuffle over (token, cents) pairs; the part
+    dim broadcasts into the fact scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    rev = li.select(
+        "l_partkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("bigint").alias("cents"),
+    )
+    return (
+        rev.join(F.broadcast(p), rev.l_partkey == p.p_partkey)
+        .select(F.explode(F.split("p_name", " ")).alias("token"), "cents")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy(F.desc("revenue_cents"), "token")
+        .limit(10)
+    )
+
+
+ORACLE_PART_TOKEN_REVENUE = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+), tok AS (
+  SELECT UNNEST(string_split(p.p_name, ' ')) AS token, rev.cents
+  FROM rev JOIN part p ON rev.l_partkey = p.p_partkey
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM tok GROUP BY 1
+ORDER BY revenue_cents DESC, token LIMIT 10
+"""
+
+QUERIES["part_token_revenue"] = q_part_token_revenue
+ORACLES["part_token_revenue"] = ORACLE_PART_TOKEN_REVENUE
+
+
+def q_hll_error_bound(spark, sf_dir):
+    """HLL sketch audit: per event type, exact distinct users PLUS an
+    in-query assertion that Spark's approx_count_distinct lands within
+    5% relative error of the exact count (the label-stats HLL path's
+    accuracy contract). The oracle checks the exact side; the sketch
+    bound is asserted here because no other engine reproduces Spark's
+    HLL++ estimate bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+    )
+    for r in both.collect():
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.05, (
+            f"HLL drift {err:.3f} for {r['event_type']}"
+        )
+    return both.select("event_type", "exact_users").orderBy("event_type")
+
+
+ORACLE_HLL_ERROR_BOUND = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hll_error_bound"] = q_hll_error_bound
+ORACLES["hll_error_bound"] = ORACLE_HLL_ERROR_BOUND
+
+
+def q_range_interval_window(spark, sf_dir):
+    """Time-based RANGE window: per event, the sum of value cents over
+    the trailing hour of the SAME event type (range frame over
+    microsecond epoch, so same-instant peers are included on both
+    engines); reported as the per-type peak — the rolling-load shape a
+    rate limiter's burst is sized from. Integer cents keep the rolling
+    sums exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rolled = e.select(
+        "event_type",
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w).alias(
+            "rolling_cents"
+        ),
+    )
+    return (
+        rolled.groupBy("event_type")
+        .agg(F.max("rolling_cents").cast("bigint").alias("peak_hour_cents"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_RANGE_INTERVAL_WINDOW = """
+WITH rolled AS (
+  SELECT event_type,
+         sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY event_type ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+         ) AS rolling_cents
+  FROM events
+)
+SELECT event_type,
+       CAST(max(rolling_cents) AS BIGINT) AS peak_hour_cents
+FROM rolled GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["range_interval_window"] = q_range_interval_window
+ORACLES["range_interval_window"] = ORACLE_RANGE_INTERVAL_WINDOW
+
+
+def q_weekend_premium_by_segment(spark, sf_dir):
+    """Weekend order-value premium per market segment: weekend minus
+    weekday mean order value. Integer-cents sums with explicit counts,
+    so the means (and their difference) are exact before the one
+    rounded division."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    d = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.dayofweek("o_orderdate").isin(1, 7).alias("is_weekend"),
+        )
+    )
+    agg = d.groupBy("segment").agg(
+        F.sum(F.when(F.col("is_weekend"), F.col("cents"))).alias("we_cents"),
+        F.count(F.when(F.col("is_weekend"), F.lit(1))).alias("we_n"),
+        F.sum(F.when(~F.col("is_weekend"), F.col("cents"))).alias("wd_cents"),
+        F.count(F.when(~F.col("is_weekend"), F.lit(1))).alias("wd_n"),
+    )
+    return agg.select(
+        "segment",
+        F.col("we_n").cast("bigint").alias("weekend_orders"),
+        F.col("wd_n").cast("bigint").alias("weekday_orders"),
+        F.round(
+            F.col("we_cents") / F.col("we_n") / 100.0
+            - F.col("wd_cents") / F.col("wd_n") / 100.0,
+            6,
+        ).alias("weekend_premium_usd"),
+    ).orderBy("segment")
+
+
+ORACLE_WEEKEND_PREMIUM_BY_SEGMENT = """
+WITH d AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+         dayofweek(CAST(o.o_orderdate AS DATE)) IN (0, 6) AS is_weekend
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment,
+       CAST(count(CASE WHEN is_weekend THEN 1 END) AS BIGINT)
+         AS weekend_orders,
+       CAST(count(CASE WHEN NOT is_weekend THEN 1 END) AS BIGINT)
+         AS weekday_orders,
+       round(sum(CASE WHEN is_weekend THEN cents END) * 1.0
+               / count(CASE WHEN is_weekend THEN 1 END) / 100.0
+             - sum(CASE WHEN NOT is_weekend THEN cents END) * 1.0
+               / count(CASE WHEN NOT is_weekend THEN 1 END) / 100.0,
+             6) AS weekend_premium_usd
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekend_premium_by_segment"] = q_weekend_premium_by_segment
+ORACLES["weekend_premium_by_segment"] = ORACLE_WEEKEND_PREMIUM_BY_SEGMENT
+
+
+def q_first_priority_repeat(spark, sf_dir):
+    """Does the FIRST order's priority predict repeat purchasing? Per
+    customer: the priority of their first order (orderdate, then
+    orderkey tiebreak) and how many later orders they placed; rolled
+    up per first-priority."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    per_cust = (
+        o.withColumn("rk", F.row_number().over(w))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("o_orderpriority"))).alias(
+                "first_priority"
+            ),
+            (F.count(F.lit(1)) - 1).alias("n_later"),
+        )
+    )
+    return (
+        per_cust.groupBy(F.col("first_priority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("n_later").cast("bigint").alias("later_orders"),
+            F.round(F.avg("n_later"), 6).alias("avg_later_orders"),
+        )
+        .orderBy("priority")
+    )
+
+
+ORACLE_FIRST_PRIORITY_REPEAT = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+  FROM orders
+)
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders - 1) AS BIGINT) AS later_orders,
+       round(avg(n_orders - 1), 6) AS avg_later_orders
+FROM ranked WHERE rk = 1
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["first_priority_repeat"] = q_first_priority_repeat
+ORACLES["first_priority_repeat"] = ORACLE_FIRST_PRIORITY_REPEAT
+
+
+def q_least_greatest_battery(spark, sf_dir):
+    """Scalar-function battery: LEAST/GREATEST across mixed expressions,
+    NULLIF null-injection, and sign/ceil/floor folds, aggregated
+    exactly (cents) per linestatus so every scalar's result is pinned
+    cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select(
+        "l_linestatus",
+        F.greatest(
+            F.col("l_quantity"), F.col("l_discount") * 100.0, F.lit(10.0)
+        ).alias("g"),
+        F.least(
+            F.col("l_extendedprice") / 1000.0, F.col("l_quantity")
+        ).alias("l"),
+        F.nullif(F.col("l_tax"), F.lit(0.0)).alias("nz_tax"),
+        (F.ceil("l_quantity") - F.floor("l_quantity")).alias("frac_flag"),
+    )
+    return (
+        d.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("g") * 100).cast("bigint")).alias("g_cents"),
+            F.sum(F.round(F.col("l") * 100).cast("bigint")).alias("l_cents"),
+            F.sum(F.col("nz_tax").isNull().cast("long")).alias("zero_tax_rows"),
+            F.sum("frac_flag").cast("bigint").alias("fractional_qty_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_LEAST_GREATEST_BATTERY = """
+SELECT l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(greatest(l_quantity, l_discount * 100.0, 10.0)
+                           * 100) AS BIGINT)) AS BIGINT) AS g_cents,
+       CAST(sum(CAST(round(least(l_extendedprice / 1000.0, l_quantity)
+                           * 100) AS BIGINT)) AS BIGINT) AS l_cents,
+       CAST(sum(CASE WHEN nullif(l_tax, 0.0) IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_tax_rows,
+       CAST(sum(ceil(l_quantity) - floor(l_quantity)) AS BIGINT)
+         AS fractional_qty_rows
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["least_greatest_battery"] = q_least_greatest_battery
+ORACLES["least_greatest_battery"] = ORACLE_LEAST_GREATEST_BATTERY

@@ -386,7 +386,16 @@ def connected_components(
     # partitioning and only the (smaller) label side shuffles.
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     rev = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    edges = fwd.unionByName(rev).repartition("src").cache()
+    # Right-size the loop's shuffle width to the edge count (known from
+    # the regime split above): ~1M edges per partition, capped at the
+    # session's shuffle parallelism. An explicit repartition is exempt
+    # from AQE coalescing, so without this every iteration schedules
+    # full-width tasks over a graph that may be far smaller than the
+    # corpus it came from.
+    spark = pairs.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_parts = max(1, min(width, 1 + n_edges // 1_000_000))
+    edges = fwd.unionByName(rev).repartition(n_parts, "src").cache()
     # Eager local checkpoints: each round's labels must start from a
     # truncated plan or the loop's Catalyst tree grows ~4^k. The
     # checkpointed blocks are MEMORY_AND_DISK (spillable, can't OOM) and
