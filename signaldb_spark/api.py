@@ -95,9 +95,12 @@ class SignalDBAPI:
         a plain call (zero-overhead default); with one, the whole route
         evaluation (lowering + action) runs in the tenant's scheduler
         pool under a deadline that cancels the Spark job group on
-        expiry, and the two contract violations come back as
-        ATTRIBUTABLE error envelopes (who + budget), not as a hung
-        request or a stranger's queue."""
+        expiry, and contract violations come back as ATTRIBUTABLE error
+        envelopes (who + budget), not as a hung request or a stranger's
+        queue. Violations use the uniform error_envelope shape on EVERY
+        surface — including Tempo/Pyroscope routes whose reference
+        analogs emit bare (status, message) pairs — per the documented
+        façade-wide error contract (shapers.error_envelope)."""
         if self.runner is None:
             return thunk()
         from .execution import QueryDeadlineExceeded, TenantOverConcurrency

@@ -312,7 +312,15 @@ def exphist_rate_quantile(
             return first_sum > last_at
 
         dec_general = F.coalesce(F.exists(seq, _dec), F.lit(False))
-        return F.when(F.col("_dsd") == 0, dec_equal).otherwise(dec_general)
+        # The fast path needs BOTH offsets non-null: F.get(arr, null)
+        # coalesces to 0, so a malformed null-offset row would flag a
+        # reset on any positive first bucket while the general fold's
+        # null sequence coalesces to no-reset. Route degenerate rows to
+        # the general fold so both branches agree on them.
+        return F.when(
+            (F.col("_dsd") == 0) & off_f.isNotNull() & off_l.isNotNull(),
+            dec_equal,
+        ).otherwise(dec_general)
 
     bucket_dec = _down_bucket_decreased(pos_offset_col, pos_counts_col)
     if neg_offset_col is not None and neg_offset_col in df.columns:

@@ -92,5 +92,16 @@ def trace_to_tempo(assembled_row) -> dict[str, Any]:
 
 
 def error_envelope(message: str, error_type: str = "bad_data") -> dict[str, Any]:
-    """Prometheus/Loki error envelope (docs/users/logql-reference.md:249-264)."""
+    """Prometheus/Loki error envelope (docs/users/logql-reference.md:249-264).
+
+    DELIBERATE CONTRACT: the façade uses this shape for errors on EVERY
+    surface, including Tempo/Pyroscope routes whose reference analogs
+    return a bare (HTTP status, message) pair (tempo.rs:777,
+    pyroscope.rs:239-246). The façade returns dicts, not HTTP
+    responses, so the status code is carried as ``errorType``
+    ("not_found", "timeout", "too_many_requests", "bad_data", …) — the
+    same information the reference's StatusCode conveys, in one uniform
+    shape a caller can always pattern-match on ``status == "error"``.
+    An HTTP adapter mapping errorType back to a status code recovers
+    the reference's wire behavior exactly."""
     return {"status": "error", "errorType": error_type, "error": message}

@@ -97,24 +97,35 @@ class HotStore:
         collide with a covered sequence."""
         os.makedirs(self.hot_dir, exist_ok=True)
         staging = os.path.join(self.hot_dir, f".tmp-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
-        seqs = self.sequences()
-        floor = max(
-            seqs[-1] if seqs else 0, committed_watermark(self.table_path)
-        )
-        seq = floor + 1
-        for _ in range(100_000):
-            try:
-                os.rename(staging, self._seq_path(seq))
-                return seq
-            except OSError as e:
-                # Only a claimed-sequence collision (rename onto an
-                # existing non-empty directory) is retryable; EACCES /
-                # ENOSPC / EXDEV etc. must surface, not spin forever.
-                if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
-                    raise
-                seq += 1
-        raise RuntimeError("hot ack: sequence contention exceeded retry cap")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            seqs = self.sequences()
+            floor = max(
+                seqs[-1] if seqs else 0, committed_watermark(self.table_path)
+            )
+            seq = floor + 1
+            for _ in range(100_000):
+                try:
+                    os.rename(staging, self._seq_path(seq))
+                    return seq
+                except OSError as e:
+                    # Only a claimed-sequence collision (rename onto an
+                    # existing non-empty directory) is retryable; EACCES /
+                    # ENOSPC / EXDEV etc. must surface, not spin forever.
+                    if e.errno not in (errno.ENOTEMPTY, errno.EEXIST):
+                        raise
+                    seq += 1
+            raise RuntimeError(
+                "hot ack: sequence contention exceeded retry cap"
+            )
+        except BaseException:
+            # A failed ack must not leak its staging directory: nothing
+            # else reclaims .tmp-* (gc() only sweeps published seq-*
+            # dirs), so crashed-ack orphans would accumulate unboundedly.
+            # Best-effort — a process kill still leaves the orphan, which
+            # is why only-a-crash leftovers stay documented above.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
     # --------------------------------------------------------------- read
 

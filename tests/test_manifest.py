@@ -536,6 +536,31 @@ def test_ack_surfaces_non_collision_errors(spark, tmp_path, monkeypatch):
     assert store.ack(_rows(spark, 3)) == 2
 
 
+def test_failed_ack_reclaims_staging_dir(spark, tmp_path, monkeypatch):
+    """A raising ack must not leak its .tmp-* staging directory:
+    nothing else sweeps them (gc only removes published seq-* dirs), so
+    crashed-ack orphans would otherwise accumulate unboundedly."""
+    import errno as _errno
+    import os as _os
+
+    from signaldb_spark.storage import hot as hotmod
+
+    table = str(tmp_path / "t")
+    store = hotmod.HotStore(table)
+
+    def denied(src, dst):
+        raise OSError(_errno.EACCES, "permission denied", dst)
+
+    monkeypatch.setattr(hotmod.os, "rename", denied)
+    with pytest.raises(OSError):
+        store.ack(_rows(spark, 3))
+    monkeypatch.undo()
+    leftovers = [n for n in _os.listdir(store.hot_dir) if n.startswith(".tmp-")]
+    assert leftovers == []
+    # the store still works and sequences stay clean
+    assert store.ack(_rows(spark, 3)) == 1
+
+
 def test_gc_reclaims_only_covered_sequences(spark, tmp_path):
     from signaldb_spark.storage.hot import HotStore, flush_hot, hybrid_read
 

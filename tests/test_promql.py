@@ -1212,6 +1212,38 @@ def test_exphist_reset_detected_by_scale_increase(spark):
     assert lo < out[0].value <= hi
 
 
+def test_exphist_null_offset_rows_agree_across_scale_branches(spark):
+    """Malformed rows with a NULL positive_offset must not flag a reset
+    on the equal-scale fast path: F.get(arr, null) coalesces to 0 there,
+    which would read any positive first bucket as a decrease, while the
+    general fold's null sequence reads no-reset. Both branches now route
+    degenerate rows through the general fold → growth nets normally.
+    first {i=?: 4} with null offset, last {i=?: 10} with null offset:
+    no bucket-decrease reset is detectable; totals grew 4 → 10, so no
+    reset — the net distribution is last + negated-first, whose rows
+    carry null offsets and contribute no locatable mass, yielding no
+    output row rather than a corrupted reset-driven quantile."""
+    from signaldb_spark.operators.exphist import exphist_rate_quantile
+
+    df = _exphist_frame(spark, [
+        ("s", "2024-01-01 00:10:00", 0, 0, None, [4]),
+        ("s", "2024-01-01 00:50:00", 0, 0, None, [10]),
+        # healthy sibling series in the same frame: unaffected
+        ("t", "2024-01-01 00:10:00", 0, 0, 1, [4]),
+        ("t", "2024-01-01 00:50:00", 0, 0, 1, [10]),
+    ])
+    out = exphist_rate_quantile(
+        df, 0.5, ["service_name"], step_seconds=3600,
+        neg_offset_col=None, neg_counts_col=None,
+    ).collect()
+    by_series = {r.service_name: r.value for r in out}
+    # the healthy series nets 6 obs in bucket i=1 → p50 = 2+(4-2)*(3/6)
+    assert by_series.get("t") == pytest.approx(3.0)
+    # the degenerate series must not produce a reset-shaped value (the
+    # old fast path returned the LAST snapshot alone as a reset)
+    assert "s" not in by_series or by_series["s"] == pytest.approx(3.0)
+
+
 def test_exphist_legit_downscale_is_not_a_reset(spark):
     """Scale falling 1 → 0 is the SDK merging buckets as range grows —
     NOT a reset; the quantile nets first (downscaled) against last.
