@@ -12,6 +12,7 @@ from . import (
     bench_round8,
     bench_round9,
     bench_round10,
+    bench_round11,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -33,6 +34,7 @@ _MODULES = [
     bench_round8,
     bench_round9,
     bench_round10,
+    bench_round11,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
