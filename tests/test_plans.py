@@ -998,3 +998,56 @@ def test_round10_batch4_batch5_scale_shapes(spark):
     lines = p_cf.splitlines()
     j = next(i for i, l in enumerate(lines) if "Join" in l)
     assert any("HashAggregate" in l for l in lines[j:])  # rollup below join
+
+
+def test_round10_batch7_scale_shapes(spark):
+    """Round-10 batch 7: two-pass quantile queries broadcast their tiny
+    fence/quantile tables back onto the scan; the token-revenue top-10
+    ends in TakeOrdered (never a global sort); the distributed-CC gate's
+    final frame reads from a checkpoint scan (truncated lineage), not an
+    unrolled iteration tree."""
+    qs = all_queries()
+
+    for name in ("iqr_price_outliers", "winsorized_mean_value",
+                 "emb_clip_fractions"):
+        p = plan(qs[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in p, name
+        assert "CartesianProduct" not in p, name
+
+    p_tok = plan(qs["part_token_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_tok
+    assert "TakeOrderedAndProject" in p_tok
+
+    p_cc = plan(qs["dedup_cc_distributed"](spark, SF_DIR))
+    assert "Scan ExistingRDD" in p_cc  # checkpointed labels, plan truncated
+    assert len(p_cc) < 20_000
+
+
+def test_round11_staged_scale_shapes(spark):
+    """Round-11 staged gates: dims and derived spines broadcast into
+    fact scans, the global-scalar index rides a 1-row broadcast (never
+    a shuffle), the cosine histogram's pair join is a bounded broadcast
+    (10 x N, not N x N), and the widest-orders leaderboard ends in
+    TakeOrdered."""
+    qs = all_queries()
+
+    p_idx = plan(qs["regional_price_index"](spark, SF_DIR))
+    assert p_idx.count("BroadcastHashJoin") >= 3
+    assert "BroadcastNestedLoopJoin" in p_idx  # 1-row global scalar
+    assert "CartesianProduct" not in p_idx
+
+    p_lt = plan(qs["local_trade_share"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_lt
+
+    p_gap = plan(qs["calendar_gap_days"](spark, SF_DIR))
+    assert "LeftAnti" in p_gap
+
+    p_cos = plan(qs["cosine_angle_histogram"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_cos
+    assert "CartesianProduct" not in p_cos
+
+    p_wide = plan(qs["widest_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p_wide
+
+    p_dead = plan(qs["never_ordered_parts"](spark, SF_DIR))
+    assert "LeftAnti" in p_dead
