@@ -127,11 +127,48 @@ _DRIVER_VERIFIED = frozenset({
     "suppliers_sole_blame", "time_in_state", "top_supplier",
     "user_activity_percentiles", "value_histogram", "weekday_seasonality",
     "weighted_median_price", "yoy_revenue", "zipf_slope",
+    # round 7 (50 green rows in CORRECTNESS_r07.json)
+    "alert_debounce", "audience_overlap", "autocorr_daily_volume",
+    "benford_deviation", "char_trigram_signature",
+    "chi_square_independence", "cross_lingual_contamination",
+    "cusum_changepoint", "daily_reconciliation", "decile_lift",
+    "embedding_outliers", "except_all_multiset", "excess_inventory",
+    "gapfill_daily_counts", "gini_coefficient", "graph_2hop_reach",
+    "grouping_sets_explicit", "hhi_concentration", "hopping_window_counts",
+    "important_stock", "jackknife_lang_quality", "keyset_pagination",
+    "ks_drift_statistic", "latency_heatmap", "min_cost_supplier",
+    "neyman_allocation", "ngram_novelty_rate", "ohlc_candles",
+    "open_order_aging", "padding_waste_analysis", "pareto_tail_alpha",
+    "partition_fingerprint", "parts_supplier_census", "posting_lists",
+    "psi_length_drift", "rfm_segments", "ring_negative_pairs",
+    "seq_bigram_pmi", "session_path_trigrams", "source_overlap_matrix",
+    "survival_curve", "token_budget_mix", "top_product_pairs",
+    "topk_with_ties", "trimmed_mean_price", "unigram_kl_by_source",
+    "unpivot_daily_mix", "vocab_growth_curve", "wilson_error_rank",
+    "wow_service_volume",
 })
+
+# Engine-contract gates that prove the highest-value components (the r7
+# connected-components fix, the r7 rate limiter, hot/cold visibility, the
+# TopK tail scan) under the driver's DuckDB oracle. They live in the
+# round-10/11 staging batteries, ~3 rounds out in plain module order; this
+# tier pulls them to the very front of the never-verified prefix so the
+# next driver sample covers them first.
+_PRIORITY = (
+    "dedup_cc_distributed",
+    "ratelimit_admission",
+    "ratelimit_bytes_admission",
+    "hot_cold_visibility",
+    "logql_backward_topk",
+    "filtered_tail_topk",
+)
 
 
 def _reorder(d):
-    out = {k: v for k, v in d.items() if k not in _DRIVER_VERIFIED}
+    out = {k: d[k] for k in _PRIORITY
+           if k in d and k not in _DRIVER_VERIFIED}
+    out.update({k: v for k, v in d.items()
+                if k not in _DRIVER_VERIFIED and k not in out})
     out.update({k: v for k, v in d.items() if k in _DRIVER_VERIFIED})
     return out
 
