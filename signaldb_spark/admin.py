@@ -156,6 +156,25 @@ class TenantCatalog:
         if bad:
             raise AdminError("validation_error", f"unknown limits: {sorted(bad)}")
 
+        # Rate keys are stored as FLOATS (0.5 req/s is a valid slow
+        # rate; int() would truncate it to a zero-capacity bucket that
+        # rejects everything) and must be positive — a zero or negative
+        # rate is total denial masquerading as a limit, which the
+        # validation wall rejects instead of storing.
+        rate_keys = {"max_ingest_requests_per_sec", "max_ingest_bytes_per_sec",
+                     "max_query_requests_per_sec", "burst_seconds"}
+        for k, v in limits.items():
+            if v is None:
+                continue
+            if k in rate_keys:
+                if not float(v) > 0:
+                    raise AdminError(
+                        "validation_error",
+                        f"{k} must be positive, got {v!r}")
+            elif int(v) < 0:
+                raise AdminError(
+                    "validation_error", f"{k} must be >= 0, got {v!r}")
+
         def mutate(doc):
             t = doc["tenants"].get(tenant_id)
             if t is None:
@@ -164,7 +183,7 @@ class TenantCatalog:
             for k, v in limits.items():
                 if v is None:
                     cur.pop(k, None)
-                elif k == "burst_seconds":
+                elif k in rate_keys:
                     cur[k] = float(v)
                 else:
                     cur[k] = int(v)

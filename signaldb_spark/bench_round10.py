@@ -1943,18 +1943,21 @@ def q_dedup_cc_distributed(spark, sf_dir):
     ``driver_threshold=0`` forces the hash-min/pointer-jump loop that
     the >2M-edge production path uses (the regime whose lineage
     explosion the round-7 localCheckpoint fix closed), never the
-    driver-side union-find. Nodes are ``user_id % 4096`` (SF-invariant
-    node count); edges chain consecutive node ids within ``id % 250``
-    buckets, so every bucket is one CHAIN-shaped component — multi-hop,
-    needing several hash-min/pointer-jump rounds (each a fixed number
-    of Spark jobs; the test_plans lineage pin covers the DEEP-chain
-    regime) — and the expected labeling is closed-form: the bucket's
-    min id and size."""
+    driver-side union-find. Nodes are ``o_orderkey % 4096`` —
+    SF-invariant at 4096 nodes from sf0.01 up (events.user_id, the
+    first draft's source, tops out at 150 distinct values at the
+    driver's sf0.01, which made every ``% 250`` bucket a singleton and
+    the gate vacuously 0-row); edges chain consecutive node ids within
+    ``id % 250`` buckets, so every bucket is one CHAIN-shaped component
+    — multi-hop, needing several hash-min/pointer-jump rounds (each a
+    fixed number of Spark jobs; the test_plans lineage pin covers the
+    DEEP-chain regime) — and the expected labeling is closed-form: the
+    bucket's min id and size."""
     from .operators.dedup import connected_components
 
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "orders")
     nodes = (
-        e.select((F.col("user_id") % 4096).cast("long").alias("id"))
+        e.select((F.col("o_orderkey") % 4096).cast("long").alias("id"))
         .distinct()
         .withColumn("bkt", F.col("id") % 250)
     )
@@ -1973,7 +1976,7 @@ def q_dedup_cc_distributed(spark, sf_dir):
 
 ORACLE_DEDUP_CC_DISTRIBUTED = """
 WITH nodes AS (
-  SELECT DISTINCT CAST(user_id % 4096 AS BIGINT) AS id FROM events
+  SELECT DISTINCT CAST(o_orderkey % 4096 AS BIGINT) AS id FROM orders
 ), b AS (
   SELECT id, id % 250 AS bkt FROM nodes
 ), g AS (

@@ -319,7 +319,9 @@ def connected_components(
     rounds needed are O(log diameter) instead of O(diameter) — the
     difference between ~5 and ~30 Spark jobs on the chain-shaped
     components LSH near-dup graphs actually produce. Each round's label
-    table is eagerly ``localCheckpoint``-ed, which TRUNCATES the logical
+    table is eagerly checkpointed (reliable ``checkpoint`` when the
+    session has a checkpoint dir, ``localCheckpoint`` otherwise), which
+    TRUNCATES the logical
     plan — a plain ``.cache()`` bounds recomputation but not the plan,
     and since every round references the previous one ~4× (union +
     propagation join + pointer-jump self-join) a cached loop grows the
@@ -396,15 +398,27 @@ def connected_components(
     width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     n_parts = max(1, min(width, 1 + n_edges // 1_000_000))
     edges = fwd.unionByName(rev).repartition(n_parts, "src").cache()
-    # Eager local checkpoints: each round's labels must start from a
-    # truncated plan or the loop's Catalyst tree grows ~4^k. The
-    # checkpointed blocks are MEMORY_AND_DISK (spillable, can't OOM) and
-    # the ContextCleaner reclaims each round's blocks once the rebound
-    # Python reference drops.
-    labels = (
+
+    # Eager checkpoints: each round's labels must start from a truncated
+    # plan or the loop's Catalyst tree grows ~4^k. When a checkpoint dir
+    # is configured (sc.setCheckpointDir) use RELIABLE checkpoints —
+    # blocks written to shared storage survive executor loss, the right
+    # choice under dynamic allocation / spot decommission where a lost
+    # executor would otherwise fail the whole loop (the truncated plan
+    # cannot recompute). Otherwise fall back to localCheckpoint: blocks
+    # live only on executors (MEMORY_AND_DISK, spillable) — faster, and
+    # safe on static-executor / local deployments; the ContextCleaner
+    # reclaims each round's blocks once the rebound Python reference
+    # drops.
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _truncate(df):
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
+    labels = _truncate(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("lab", F.col("id"))
-        .localCheckpoint(eager=True)
     )
     prev_sig = None
     for _ in range(max_iterations):
@@ -420,13 +434,12 @@ def connected_components(
         # pointer jump: lab <- lab(lab). Labels are always ids of real
         # nodes, so the self-join hits; coalesce guards the no-op case.
         jump = merged.select(F.col("id").alias("_jid"), F.col("lab").alias("_jlab"))
-        new = (
+        new = _truncate(
             merged.join(jump, merged.lab == jump._jid, "left")
             .select(
                 merged.id,
                 F.coalesce(F.col("_jlab"), merged.lab).alias("lab"),
             )
-            .localCheckpoint(eager=True)
         )
         sig = new.agg(F.expr("bit_xor(xxhash64(id, lab))")).collect()[0][0]
         labels = new

@@ -85,7 +85,18 @@ class _TokenBucket:
         self.tokens = float(burst)
         self.last_refill = now
 
-    def try_acquire(self, cost: float, now: float) -> bool:
+    def try_acquire(self, cost: float, now: float,
+                    clamp: bool = False) -> bool:
+        if clamp:
+            # A cost above the bucket's full capacity could NEVER be
+            # admitted (refill caps at burst), so callers that must make
+            # progress — the micro-batch ingest sinks, whose retry loop
+            # re-presents the identical batch forever — charge it AT
+            # capacity: the oversized item waits for a completely full
+            # bucket, drains it, and is admitted. Liveness over
+            # precision; the per-HTTP-request reference never hits this
+            # because remote_write clients chunk their bodies.
+            cost = min(cost, self.burst)
         elapsed = max(0.0, now - self.last_refill)
         self.tokens = min(self.tokens + elapsed * self.rate, self.burst)
         self.last_refill = now
@@ -141,14 +152,24 @@ class TenantRateLimiter:
     @classmethod
     def from_admin(cls, store, defaults: dict | None = None) -> "TenantRateLimiter":
         """Build from an :class:`admin.TenantCatalog`:
-        every tenant with any rate-limit key in its stored limits gets
-        an override (the `[[auth.tenants]].limits` analog)."""
+        every tenant with at least one RATE key in its stored limits
+        gets an override (the `[[auth.tenants]].limits` analog). A
+        tenant that tuned ONLY ``burst_seconds`` does NOT become an
+        override on its own — overrides replace defaults wholesale, so
+        that would silently lift every default limit; instead its burst
+        tune is merged onto a copy of the defaults."""
+        rate_keys = ("max_ingest_requests_per_sec",
+                     "max_ingest_bytes_per_sec",
+                     "max_query_requests_per_sec")
         overrides = {}
         for t in store.list_tenants():
             lim = t.get("limits") or {}
             rates = {k: lim[k] for k in RATE_LIMIT_KEYS if k in lim}
-            if rates:
+            if any(k in rates for k in rate_keys):
                 overrides[t["id"]] = rates
+            elif "burst_seconds" in rates and defaults:
+                overrides[t["id"]] = {**defaults,
+                                      "burst_seconds": rates["burst_seconds"]}
         return cls(defaults, overrides)
 
     def limits_for(self, tenant_id: str) -> dict:
@@ -163,14 +184,24 @@ class TenantRateLimiter:
             return entry
 
     def check_ingest(self, tenant_id: str, n_bytes: int,
-                     requests: int = 1, now: float | None = None) -> None:
+                     requests: int = 1, now: float | None = None,
+                     clamp_to_capacity: bool = False) -> None:
         """Charge ``requests`` ingest requests totalling ``n_bytes``
         payload bytes, raising :class:`RateLimitExceeded` if either the
         request-rate or byte-rate budget is exhausted. ``requests``
         covers the micro-batch case — k source files in one batch are k
         acceptor requests, charged atomically. Request tokens spent
         before a byte-rate rejection stay spent (the reference charges
-        the dimensions sequentially too)."""
+        the dimensions sequentially too).
+
+        ``clamp_to_capacity=True`` caps each dimension's cost at its
+        bucket's full capacity, guaranteeing a batch whose cost exceeds
+        ``rate × burst_seconds`` is still eventually admissible (after a
+        full refill) instead of 429-retrying the identical batch
+        forever. The streaming sinks pass it; deployments should still
+        size ``burst_seconds`` so ``rate × burst ≥`` the max batch cost
+        (e.g. request rate × burst ≥ maxFilesPerTrigger) to keep the
+        clamp inactive in normal operation."""
         limits = self.limits_for(tenant_id)
         if (limits.get("max_ingest_requests_per_sec") is None
                 and limits.get("max_ingest_bytes_per_sec") is None):
@@ -180,10 +211,10 @@ class TenantRateLimiter:
         entry = self._bucket_entry(tenant_id, now)
         with entry.lock:
             if entry.requests is not None and not entry.requests.try_acquire(
-                    float(requests), now):
+                    float(requests), now, clamp=clamp_to_capacity):
                 raise RateLimitExceeded(tenant_id, "requests")
             if entry.bytes is not None and not entry.bytes.try_acquire(
-                    float(n_bytes), now):
+                    float(n_bytes), now, clamp=clamp_to_capacity):
                 raise RateLimitExceeded(tenant_id, "bytes")
 
     def check_query(self, tenant_id: str, now: float | None = None) -> None:

@@ -167,7 +167,19 @@ def _charge_ingest(rate_limiter, tenant: str, batch_df: DataFrame, size_col) -> 
     rejection raises :class:`..ratelimit.RateLimitExceeded` out of
     foreachBatch, so the checkpoint does NOT advance and the batch
     retries later — the 429-and-retry contract remote_write clients
-    already implement."""
+    already implement.
+
+    The charge is clamped to bucket capacity (``clamp_to_capacity``):
+    unlike the reference's external HTTP clients — which chunk bodies,
+    so a single request never exceeds ``rate × burst`` — our file
+    source re-presents the IDENTICAL batch on every retry, so a batch
+    priced above capacity would otherwise 429-loop forever and wedge
+    the checkpoint. Clamping means an oversized batch waits for a full
+    bucket, drains it completely, and commits — drain liveness is
+    preserved and the long-run rate still converges to the configured
+    limit. Size ``burst_seconds`` so ``rate × burst ≥`` the max batch
+    cost (requests: ≥ maxFilesPerTrigger=16) to keep the clamp
+    inactive in normal operation."""
     if rate_limiter is None:
         return
     stats = batch_df.agg(
@@ -175,7 +187,8 @@ def _charge_ingest(rate_limiter, tenant: str, batch_df: DataFrame, size_col) -> 
     ).first()
     n = int(stats["n"] or 0)
     if n:
-        rate_limiter.check_ingest(tenant, int(stats["b"] or 0), requests=n)
+        rate_limiter.check_ingest(tenant, int(stats["b"] or 0), requests=n,
+                                  clamp_to_capacity=True)
 
 
 def ingest_otlp_logs_stream(

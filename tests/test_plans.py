@@ -172,6 +172,35 @@ def test_connected_components_distributed_lineage_truncated(spark):
     assert elapsed < 120, f"distributed CC took {elapsed:.1f}s"
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """When the session has a checkpoint dir, the CC loop uses RELIABLE
+    checkpoints (blocks on shared storage survive executor loss — the
+    dynamic-allocation / spot-decommission deployment) and still
+    converges to the same clusters with a truncated plan."""
+    from signaldb_spark.operators.dedup import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+        )
+        out = connected_components(pairs, driver_threshold=0)
+        rows = {r.id: (r.cluster_id, r.cluster_size) for r in out.collect()}
+        assert rows == {i: (0, 32) for i in range(32)}
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert len(plan) < 20_000, f"plan grew to {len(plan)} chars"
+        # reliable checkpoints materialize under the configured dir
+        import os
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+    finally:
+        # unset so the rest of the suite keeps the localCheckpoint path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+        assert sc.getCheckpointDir() is None
+
+
 def test_simhash_band_pairs_equal_brute_force(spark):
     """The first-matching-band dedup-free rewrite must return exactly
     the pairs a brute-force hamming scan finds: every pair within

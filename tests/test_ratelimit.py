@@ -166,6 +166,46 @@ def test_micro_batch_requests_charge_atomically():
     limiter.check_ingest("acme", 0, requests=2, now=0.0)
 
 
+def test_clamp_to_capacity_admits_oversized_batch():
+    """A batch priced above rate×burst can never pass an unclamped
+    check (refill caps at burst) — the permanent-stall shape. With
+    clamp_to_capacity the oversized batch waits for a FULL bucket,
+    drains it, and is admitted, so the ingest drain stays live."""
+    limiter = TenantRateLimiter(
+        {"max_ingest_requests_per_sec": 4, "burst_seconds": 1.0}
+    )
+    # unclamped: 16 requests > capacity 4 → rejected even on a full
+    # bucket, and forever after no matter how long the refill runs
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 0, requests=16, now=0.0)
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 0, requests=16, now=1_000.0)
+    # clamped: the same batch charges at capacity and commits
+    limiter.check_ingest("acme", 0, requests=16, now=2_000.0,
+                         clamp_to_capacity=True)
+    # ...and it really drained the whole bucket: the next request is
+    # rejected until tokens refill
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 0, now=2_000.0)
+    limiter.check_ingest("acme", 0, now=2_000.25)  # 0.25s = 1 token
+    # a partially-full bucket still rejects the oversized batch — the
+    # clamp is capacity, not current tokens, so the long-run rate holds
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 0, requests=16, now=2_000.3,
+                             clamp_to_capacity=True)
+
+
+def test_clamp_applies_to_byte_dimension_too():
+    limiter = TenantRateLimiter(
+        {"max_ingest_bytes_per_sec": 1_000, "burst_seconds": 1.0}
+    )
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 50_000, now=0.0)
+    limiter.check_ingest("acme", 50_000, now=10.0, clamp_to_capacity=True)
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("acme", 1, now=10.0)
+
+
 def test_from_admin_builds_overrides(tmp_path):
     from signaldb_spark.admin import TenantCatalog
 
@@ -186,6 +226,52 @@ def test_from_admin_builds_overrides(tmp_path):
         limiter.check_query("acme", now=0.0)
     for _ in range(100):
         limiter.check_query("vip", now=0.0)
+
+
+def test_from_admin_burst_only_tenant_keeps_default_rates(tmp_path):
+    """Tuning burst_seconds ALONE must not become a wholesale override
+    (that would silently lift every default limit for the tenant): the
+    burst tune is merged onto the defaults instead."""
+    from signaldb_spark.admin import TenantCatalog
+
+    store = TenantCatalog(str(tmp_path))
+    store.create_tenant("bursty", "Bursty")
+    store.set_tenant_limits("bursty", burst_seconds=3.0)
+    limiter = TenantRateLimiter.from_admin(
+        store, {"max_query_requests_per_sec": 2, "burst_seconds": 1.0}
+    )
+    # the default RATE still applies — 2/s — but with the tenant's own
+    # 3s burst: a fresh bucket holds 6 tokens, not 2, and not infinity
+    for _ in range(6):
+        limiter.check_query("bursty", now=0.0)
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_query("bursty", now=0.0)
+    # with NO defaults, a burst-only tenant needs no override at all
+    assert TenantRateLimiter.from_admin(store).overrides == {}
+
+
+def test_admin_validates_rate_limits(tmp_path):
+    """Fractional rates survive as floats (0.5 req/s is a slow rate,
+    not a zero-capacity bucket); zero/negative rates are rejected."""
+    from signaldb_spark.admin import AdminError, TenantCatalog
+
+    store = TenantCatalog(str(tmp_path))
+    store.create_tenant("t", "T")
+    store.set_tenant_limits("t", max_query_requests_per_sec=0.5,
+                            burst_seconds=2.0)
+    assert store.limits_for("t")["max_query_requests_per_sec"] == 0.5
+    limiter = TenantRateLimiter.from_admin(store)
+    limiter.check_query("t", now=0.0)  # burst = 0.5*2 = 1 token
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_query("t", now=0.0)
+    limiter.check_query("t", now=2.0)  # 2s refills one token at 0.5/s
+    for bad in (0, -1, -0.5):
+        with pytest.raises(AdminError):
+            store.set_tenant_limits("t", max_ingest_requests_per_sec=bad)
+        with pytest.raises(AdminError):
+            store.set_tenant_limits("t", burst_seconds=bad)
+    with pytest.raises(AdminError):
+        store.set_tenant_limits("t", max_datasets=-1)
 
 
 # ------------------------------------------------- enforcement points
@@ -279,7 +365,8 @@ def test_ingest_stream_rejected_then_retries(spark, tmp_path):
         def __init__(self):
             self.open = False
 
-        def check_ingest(self, tenant, n_bytes, requests=1, now=None):
+        def check_ingest(self, tenant, n_bytes, requests=1, now=None,
+                         clamp_to_capacity=False):
             if not self.open:
                 raise RateLimitExceeded(tenant, "bytes")
 
