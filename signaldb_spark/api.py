@@ -855,9 +855,17 @@ class SignalDBAPI:
             q = validate(req)
         except IRValidationError as e:
             return error_envelope(str(e), "bad_data")
-        df = self.session.table(q.source)
+        if q.source == "metrics":
+            # metric-native sub-model (query-metrics-model proposal):
+            # the metric type routes to its typed at-rest table and the
+            # metric lowering owns the pipeline
+            from .ir.metrics import METRIC_TABLES
+            table_name = METRIC_TABLES[q.metric.metric_type]
+        else:
+            table_name = q.source
+        df = self.session.table(table_name)
         if df is None:
-            return error_envelope(f"no {q.source} table for tenant", "not_found")
+            return error_envelope(f"no {table_name} table for tenant", "not_found")
         # timestamp-literal comparison (not a cast on the column) so the
         # window predicate pushes down to the scan; the SAME window
         # applies to the correlate side (query.rs:152: every stage of
@@ -880,7 +888,11 @@ class SignalDBAPI:
             correlate_df = window(correlate_df)
         try:
             df = window(df)
-            out = lower(df, q, correlate_df=correlate_df)
+            if q.source == "metrics":
+                from .ir.metrics import lower_metrics
+                out = lower_metrics(df, q)
+            else:
+                out = lower(df, q, correlate_df=correlate_df)
             rows = out.collect()
         except Exception as e:
             return error_envelope(str(e))

@@ -1,0 +1,300 @@
+"""Metric-native IR lowering (query-metrics-model proposal).
+
+Implements the reference's `query-metrics-model` proposal
+(/root/reference/openspec/changes/query-metrics-model/proposal.md and
+specs/query-metrics-model/spec.md) — the metric sub-model the reference
+designed but never built: metrics join the IR through their own relation
+types (instant vector / range vector / scalar) instead of being forced
+through the generic scalar-per-sample stages, and the two headline
+guarantees hold:
+
+- **Rate respects temporality** (spec scenario 1): rate/increase over a
+  CUMULATIVE sum uses the KNOWN reset points — OTLP's
+  ``start_timestamp`` changes mark stream restarts, so a window's
+  increase is computed per (series, start_timestamp) run: the earliest
+  run contributes ``last − first`` and every later run contributes its
+  full ``last`` (the counter restarted at 0 at a point inside the
+  window) — never the Prometheus scrape-inferred value-drop heuristic.
+  A DELTA sum's samples each already carry their own increase, so the
+  window's increase is simply ``sum(value)``. Rows with unset
+  temporality default to cumulative (the OTLP sum default).
+- **Histogram quantile uses buckets** (spec scenario 2): computed
+  across OTLP explicit-bounds bucket structure (per-bucket counts +
+  bounds array, NOT Prometheus cumulative ``le`` series): per-bucket
+  counts are accumulated over the window (delta: summed; cumulative:
+  the same run logic, element-wise), then the quantile interpolates
+  linearly inside the bucket containing ``q × total``. The first
+  bucket's open lower bound is treated as 0 and an overflow-bucket hit
+  returns the highest finite bound — both rules deterministic so the
+  DuckDB oracle can replicate them exactly.
+
+Scale shape (the 100 TB contract): every stage reduces samples to
+(bucket, series) digests before anything wide — the cumulative-run
+grouping shuffles (bucket, series, start_ts) rows, the histogram path
+explodes to per-(bucket, series, bucket-index) postings with map-side
+partial aggregation, and the only window function runs over the
+run/posting digest tables (series × buckets × runs — thousands), never
+over raw samples. Labels shuffle only as bounded series keys.
+
+v1 scope (the proposal's own "minimum sound v1"): gauge instant/range
+fns, sum rate/increase, histogram quantile. Exponential histogram,
+summary, and vector-matching binop stay on the PromQL dialect
+(promql/lowering.py), exactly as the proposal defers them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators import timeseries as ts
+from .model import IRQuery, Metric
+
+# OTLP AggregationTemporality enum (metrics.proto): 1=DELTA, 2=CUMULATIVE
+TEMPORALITY_DELTA = 1
+
+# Tables the metric source reads, by metric sub-type (the at-rest layout
+# splits metric kinds into typed tables, schemas/signal_schemas.py).
+METRIC_TABLES = {
+    "gauge": "metrics_gauge",
+    "sum": "metrics_sum",
+    "histogram": "metrics_histogram",
+}
+
+
+def _series_cols(df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Canonical per-series identity: service_name plus the attribute
+    map as a SORTED entries array (maps are not groupable; sorted
+    entries are, and are order-deterministic)."""
+    keys = [c for c in ("service_name",) if c in df.columns]
+    if "attributes" in df.columns:
+        df = df.withColumn("_attrs", F.array_sort(F.map_entries("attributes")))
+        keys.append("_attrs")
+    return df, keys
+
+
+def _label_col(by: str, series_keys: list[str]):
+    """Resolve an output/grouping label from the series identity:
+    a materialized series column or an attribute-map key."""
+    if by in series_keys:
+        return F.col(by)
+    if "_attrs" in series_keys:
+        return F.element_at(F.map_from_entries(F.col("_attrs")), by)
+    return F.lit(None).cast("string")
+
+
+def _cumulative_increase(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Known-reset-point increase for cumulative streams: group samples
+    into (keys, start_timestamp) runs, then earliest-run = last−first,
+    later runs = last (spec scenario: 'not a single monotonicity-only
+    heuristic')."""
+    runs = df.groupBy(*keys, "start_timestamp").agg(
+        F.max_by("value", "timestamp").alias("_run_last"),
+        F.min_by("value", "timestamp").alias("_run_first"),
+    )
+    w = Window.partitionBy(*keys)
+    return (
+        runs.withColumn("_first_start", F.min("start_timestamp").over(w))
+        # null-safe: streams without start_timestamp are ONE run (no
+        # known resets → plain last−first, the only sound reading)
+        .withColumn(
+            "_contrib",
+            F.col("_run_last")
+            - F.when(
+                F.col("start_timestamp").eqNullSafe(F.col("_first_start")),
+                F.col("_run_first"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy(*keys)
+        .agg(F.sum("_contrib").alias("value"))
+    )
+
+
+def _sum_increase(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Temporality-routed increase: delta rows sum their samples,
+    cumulative rows go through the run logic; a series that switched
+    temporality mid-window (pathological but legal) gets the sum of
+    both regimes' contributions."""
+    temp = F.coalesce(F.col("aggregation_temporality"), F.lit(2))
+    delta_part = (
+        df.filter(temp == TEMPORALITY_DELTA)
+        .groupBy(*keys)
+        .agg(F.sum("value").alias("value"))
+    )
+    cum_part = _cumulative_increase(df.filter(temp != TEMPORALITY_DELTA), keys)
+    return (
+        delta_part.unionByName(cum_part)
+        .groupBy(*keys)
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def _gauge_range(df: DataFrame, keys: list[str], fn: str) -> DataFrame:
+    exprs = {
+        "avg_over_time": F.avg("value"),
+        "min_over_time": F.min("value"),
+        "max_over_time": F.max("value"),
+        "sum_over_time": F.sum("value"),
+        "last_over_time": F.max_by("value", "timestamp"),
+        # PromQL delta over gauges: last − first in the window
+        "delta": F.max_by("value", "timestamp") - F.min_by("value", "timestamp"),
+    }
+    return df.groupBy(*keys).agg(exprs[fn].alias("value"))
+
+
+def _histogram_quantile(df: DataFrame, keys: list[str], q: float) -> DataFrame:
+    """Quantile across OTLP explicit-bounds buckets.
+
+    Postings shape: posexplode(bucket_counts) → one row per (sample,
+    bucket-index) with that bucket's finite bounds attached at explode
+    time (upper NULL = overflow bucket). Counts accumulate over the
+    window per temporality (delta: sum; cumulative: run logic — counts
+    are cumulative-since-start exactly like sum values, element-wise by
+    index), then one window pass over the (keys, idx) digest computes
+    the CDF and the first bucket reaching q×total interpolates."""
+    temp = F.coalesce(F.col("aggregation_temporality"), F.lit(2))
+    posting = df.select(
+        *keys,
+        "timestamp",
+        "start_timestamp",
+        temp.alias("_temp"),
+        F.posexplode("bucket_counts").alias("_idx", "_cnt"),
+        F.col("explicit_bounds"),
+    ).select(
+        *keys,
+        "timestamp",
+        "start_timestamp",
+        "_temp",
+        "_idx",
+        F.col("_cnt").cast("double").alias("_cnt"),
+        # bucket i covers (bounds[i-1], bounds[i]]; the last index has
+        # no upper bound (overflow). element_at is 1-based.
+        F.when(F.col("_idx") > 0,
+               F.element_at("explicit_bounds", F.col("_idx"))).alias("_lo"),
+        F.when(F.col("_idx") < F.size("explicit_bounds"),
+               F.element_at("explicit_bounds", F.col("_idx") + 1)).alias("_hi"),
+    )
+    pk = [*keys, "_idx"]
+    delta_part = posting.filter(F.col("_temp") == TEMPORALITY_DELTA).groupBy(
+        *pk
+    ).agg(
+        F.sum("_cnt").alias("_n"),
+        F.first("_lo").alias("_lo"),
+        F.first("_hi").alias("_hi"),
+    )
+    cum_runs = (
+        posting.filter(F.col("_temp") != TEMPORALITY_DELTA)
+        .groupBy(*pk, "start_timestamp")
+        .agg(
+            F.max_by("_cnt", "timestamp").alias("_run_last"),
+            F.min_by("_cnt", "timestamp").alias("_run_first"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    w_runs = Window.partitionBy(*pk)
+    cum_part = (
+        cum_runs.withColumn("_first_start", F.min("start_timestamp").over(w_runs))
+        .withColumn(
+            "_contrib",
+            F.col("_run_last")
+            - F.when(
+                F.col("start_timestamp").eqNullSafe(F.col("_first_start")),
+                F.col("_run_first"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .groupBy(*pk)
+        .agg(
+            F.sum("_contrib").alias("_n"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    counts = (
+        delta_part.unionByName(cum_part)
+        .groupBy(*pk)
+        .agg(
+            F.sum("_n").alias("_n"),
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+        )
+    )
+    w_series = Window.partitionBy(*keys)
+    w_cdf = w_series.orderBy("_idx").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        counts.withColumn("_total", F.sum("_n").over(w_series))
+        .withColumn("_cum", F.sum("_n").over(w_cdf))
+        .withColumn("_target", F.lit(q) * F.col("_total"))
+        .filter((F.col("_cum") >= F.col("_target")) & (F.col("_n") > 0)
+                & (F.col("_total") > 0))
+    )
+    hit = ranked.groupBy(*keys).agg(
+        F.min_by(F.struct("_lo", "_hi", "_n", "_cum", "_target"), "_idx").alias("_b")
+    )
+    lo = F.coalesce(F.col("_b._lo"), F.lit(0.0))  # first bucket: open below → 0
+    hi = F.col("_b._hi")
+    frac = (F.col("_b._target") - (F.col("_b._cum") - F.col("_b._n"))) / F.col("_b._n")
+    return hit.select(
+        *keys,
+        F.when(hi.isNull(), F.coalesce(F.col("_b._lo"), F.lit(0.0)))  # overflow → top finite bound
+        .otherwise(lo + (hi - lo) * frac)
+        .alias("value"),
+    )
+
+
+def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataFrame:
+    """Lower a validated ``from: "metrics"`` IR query over its typed
+    metric table (``METRIC_TABLES[q.metric.metric_type]``). ``where``
+    predicates resolve against series labels exactly like the row-set
+    planner (materialized column or attributes map — promotion
+    invariant), then the metric stage runs, then the outer agg."""
+    from .planner import _pred
+
+    m: Metric = q.metric
+    df = df.filter(F.col("metric_name") == m.name)
+    if q.where is not None:
+        df = df.filter(_pred(df, q.where))
+    df, skeys = _series_cols(df)
+
+    bucketed = m.window_seconds if m.fn not in ("last",) else m.step_seconds
+    if bucketed:
+        df = ts.with_bucket(df, ts_col, bucketed)
+        keys = ["bucket", *skeys]
+    else:
+        keys = list(skeys)
+
+    if m.fn == "last":
+        out = df.groupBy(*keys).agg(F.max_by("value", ts_col).alias("value"))
+    elif m.fn in ("rate", "increase"):
+        out = _sum_increase(df, keys)
+        if m.fn == "rate":
+            out = out.withColumn(
+                "value", F.col("value") / F.lit(float(m.window_seconds))
+            )
+    elif m.fn == "quantile":
+        out = _histogram_quantile(df, keys, m.quantile)
+    else:
+        out = _gauge_range(df, keys, m.fn)
+
+    if m.agg is not None:
+        gcols = (["bucket"] if "bucket" in out.columns else []) + list(m.by)
+        for b in m.by:
+            out = out.withColumn(b, _label_col(b, skeys))
+        aggexpr = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "count": F.count(F.lit(1)).cast("double"),
+        }[m.agg].alias("value")
+        out = out.groupBy(*gcols).agg(aggexpr) if gcols else out.agg(aggexpr)
+    elif "_attrs" in out.columns:
+        out = out.withColumn(
+            "attributes", F.map_from_entries("_attrs")
+        ).drop("_attrs")
+
+    if q.select:
+        out = out.select(*q.select)
+    if q.limit is not None:
+        out = out.limit(q.limit)
+    return out

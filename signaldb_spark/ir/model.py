@@ -38,6 +38,32 @@ PARSERS = {"json", "logfmt", "regex"}
 TYPES = {"string", "long", "double", "boolean"}
 SUPPORTED_VERSIONS = {1}
 
+# ---- metric-native sub-model (the reference's query-metrics-model
+# proposal, openspec/changes/query-metrics-model/proposal.md: metrics do
+# not fit the flat row-set model — samples carry aggregation_temporality
+# and metric_type, histograms are not scalar — so `from: "metrics"`
+# routes to its own relation types instead of the generic stages).
+# v1 scope follows the proposal's own "minimum sound v1": gauge + sum
+# (temporality-aware rate/increase) + histogram_quantile over OTLP
+# explicit buckets; exponential_histogram and summary stay on the
+# PromQL dialect until the bucket model is settled (the proposal's open
+# question), and vector-matching binop is explicitly deferred there too.
+METRIC_TYPES_V1 = {"gauge", "sum", "histogram"}
+METRIC_TYPES_DEFERRED = {"exponential_histogram", "summary"}
+METRIC_INSTANT_FNS = {"last"}
+METRIC_GAUGE_RANGE_FNS = {
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "last_over_time", "delta",
+}
+METRIC_SUM_RANGE_FNS = {"rate", "increase"}
+METRIC_HIST_FNS = {"quantile"}
+METRIC_FNS_BY_TYPE = {
+    "gauge": METRIC_INSTANT_FNS | METRIC_GAUGE_RANGE_FNS,
+    "sum": METRIC_INSTANT_FNS | METRIC_SUM_RANGE_FNS,
+    "histogram": METRIC_HIST_FNS,
+}
+METRIC_OUTER_AGGS = {"sum", "avg", "min", "max", "count"}
+
 
 class IRValidationError(ValueError):
     pass
@@ -114,6 +140,26 @@ class Match:
 
 
 @dataclass(frozen=True)
+class Metric:
+    """Metric-native query stage (query-metrics-model proposal): the
+    relation type is implied by ``fn`` — instant vector (``last``),
+    range vector (windowed fns), or scalar (outer ``agg`` with no
+    ``by`` and no ``step_seconds``). ``window_seconds`` buckets range
+    fns (v1 is tumbling: step, when given, must equal the window —
+    hopping stays on the PromQL dialect's subquery machinery);
+    ``quantile`` drives bucket-based histogram quantiles."""
+
+    name: str
+    metric_type: str
+    fn: str
+    window_seconds: int | None
+    step_seconds: int | None
+    by: tuple[str, ...]
+    agg: str | None
+    quantile: float | None
+
+
+@dataclass(frozen=True)
 class IRQuery:
     version: int
     source: str
@@ -125,6 +171,7 @@ class IRQuery:
     limit: int | None
     correlate: "Correlate | None" = None
     match: "Match | None" = None
+    metric: "Metric | None" = None
 
 
 def _validate_pred(node: Any) -> Pred:
@@ -199,6 +246,71 @@ def _coerce(value, units_only: bool = False):
             return value
 
 
+def _validate_metric(doc: dict) -> Metric:
+    """Validation wall for the metric sub-model — every relation-type
+    soundness rule from the proposal is enforced HERE so lowering never
+    sees an unsound combination (the same posture as the rest of the
+    IR wall)."""
+    m = doc.get("metric")
+    if not isinstance(m, dict):
+        raise IRValidationError("from 'metrics' requires a 'metric' object")
+    # generic row-set stages don't apply to the metric relation types:
+    # forcing metrics through them is exactly the unsoundness the
+    # proposal exists to prevent
+    for stage in ("extract", "aggregate", "rank", "match", "correlate"):
+        if doc.get(stage) is not None:
+            raise IRValidationError(
+                f"'{stage}' does not apply to metric queries; use the "
+                "metric sub-model's fn/agg/by")
+    name = m.get("name")
+    if not isinstance(name, str) or not name:
+        raise IRValidationError("metric needs a 'name'")
+    mtype = m.get("type", "gauge")
+    if mtype in METRIC_TYPES_DEFERRED:
+        raise IRValidationError(
+            f"metric type {mtype!r} is not in the IR v1 sub-model; use "
+            "the PromQL dialect (proposal open question: bucket model)")
+    if mtype not in METRIC_TYPES_V1:
+        raise IRValidationError(f"unknown metric type {mtype!r}")
+    fn = m.get("fn", "last" if mtype != "histogram" else "quantile")
+    allowed = METRIC_FNS_BY_TYPE[mtype]
+    if fn not in allowed:
+        raise IRValidationError(
+            f"fn {fn!r} is invalid for metric type {mtype!r} "
+            f"(allowed: {sorted(allowed)})")
+    window = m.get("window_seconds")
+    step = m.get("step_seconds")
+    for label, v in (("window_seconds", window), ("step_seconds", step)):
+        if v is not None and (not isinstance(v, int) or v <= 0):
+            raise IRValidationError(f"{label} must be a positive int")
+    is_range = fn not in METRIC_INSTANT_FNS
+    if is_range and window is None:
+        raise IRValidationError(f"range fn {fn!r} needs window_seconds")
+    if not is_range and window is not None:
+        raise IRValidationError(
+            "instant fn 'last' takes step_seconds, not window_seconds")
+    if is_range and step is not None and step != window:
+        raise IRValidationError(
+            "v1 range vectors are tumbling: step_seconds must equal "
+            "window_seconds (hopping stays on the PromQL dialect)")
+    q = m.get("quantile")
+    if fn == "quantile":
+        if not (isinstance(q, (int, float)) and 0 <= q <= 1):
+            raise IRValidationError("histogram quantile needs 0<=quantile<=1")
+    elif q is not None:
+        raise IRValidationError("'quantile' only applies to fn 'quantile'")
+    agg = m.get("agg")
+    by = tuple(m.get("by", []) or ())
+    if agg is not None and agg not in METRIC_OUTER_AGGS:
+        raise IRValidationError(f"unknown outer agg {agg!r}")
+    if by and agg is None:
+        raise IRValidationError("'by' grouping needs an outer 'agg'")
+    return Metric(
+        name, mtype, fn, window, step, by, agg,
+        float(q) if q is not None else None,
+    )
+
+
 def validate(doc: dict) -> IRQuery:
     version = doc.get("version")
     if version not in SUPPORTED_VERSIONS:
@@ -206,6 +318,9 @@ def validate(doc: dict) -> IRQuery:
     source = doc.get("from")
     if not isinstance(source, str) or not source:
         raise IRValidationError("missing 'from' table")
+    metric = _validate_metric(doc) if source == "metrics" else None
+    if metric is None and doc.get("metric") is not None:
+        raise IRValidationError("'metric' requires from: 'metrics'")
     where = _validate_pred(doc["where"]) if doc.get("where") is not None else None
     extract = []
     for e in doc.get("extract", []) or []:
@@ -273,5 +388,5 @@ def validate(doc: dict) -> IRQuery:
         match = Match(mm["op"], _validate_pred(mm["left"]), _validate_pred(mm["right"]))
     return IRQuery(
         version, source, where, tuple(extract), agg, rank,
-        tuple(doc.get("select", [])), limit, corr, match,
+        tuple(doc.get("select", [])), limit, corr, match, metric,
     )

@@ -13,6 +13,7 @@ from . import (
     bench_round9,
     bench_round10,
     bench_round11,
+    bench_round12,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -35,6 +36,7 @@ _MODULES = [
     bench_round9,
     bench_round10,
     bench_round11,
+    bench_round12,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

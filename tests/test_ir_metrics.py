@@ -1,0 +1,273 @@
+"""Metric-native IR sub-model (the reference's query-metrics-model
+proposal, openspec/changes/query-metrics-model/: relation types,
+temporality-aware rate/increase with KNOWN reset points, bucket-based
+histogram quantile) — validation wall + lowering semantics over
+hand-built frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from signaldb_spark.ir.metrics import lower_metrics
+from signaldb_spark.ir.model import IRValidationError, validate
+
+
+def _q(metric: dict, **extra) -> dict:
+    return {"version": 1, "from": "metrics", "metric": metric, **extra}
+
+
+# ---------------------------------------------------- validation wall
+
+
+def test_metric_validation_wall():
+    ok = validate(_q({"name": "reqs", "type": "sum", "fn": "rate",
+                      "window_seconds": 60}))
+    assert ok.metric.metric_type == "sum" and ok.metric.fn == "rate"
+
+    # deferred types stay on the PromQL dialect (the proposal's open
+    # bucket-model question)
+    for t in ("exponential_histogram", "summary"):
+        with pytest.raises(IRValidationError, match="PromQL dialect"):
+            validate(_q({"name": "m", "type": t, "fn": "last"}))
+    with pytest.raises(IRValidationError, match="unknown metric type"):
+        validate(_q({"name": "m", "type": "widget"}))
+    # fn/type soundness: rate is sum-only (temporality-aware); quantile
+    # is histogram-only (bucket-based)
+    with pytest.raises(IRValidationError, match="invalid for metric type"):
+        validate(_q({"name": "m", "type": "gauge", "fn": "rate",
+                     "window_seconds": 60}))
+    with pytest.raises(IRValidationError, match="invalid for metric type"):
+        validate(_q({"name": "m", "type": "sum", "fn": "quantile",
+                     "window_seconds": 60, "quantile": 0.9}))
+    # relation types: range fns need a window; instant takes none
+    with pytest.raises(IRValidationError, match="needs window_seconds"):
+        validate(_q({"name": "m", "type": "sum", "fn": "rate"}))
+    with pytest.raises(IRValidationError, match="step_seconds, not window"):
+        validate(_q({"name": "m", "type": "gauge", "fn": "last",
+                     "window_seconds": 60}))
+    # v1 range vectors are tumbling
+    with pytest.raises(IRValidationError, match="tumbling"):
+        validate(_q({"name": "m", "type": "sum", "fn": "increase",
+                     "window_seconds": 300, "step_seconds": 60}))
+    with pytest.raises(IRValidationError, match="0<=quantile<=1"):
+        validate(_q({"name": "m", "type": "histogram", "fn": "quantile",
+                     "window_seconds": 60, "quantile": 1.5}))
+    with pytest.raises(IRValidationError, match="needs an outer 'agg'"):
+        validate(_q({"name": "m", "type": "gauge", "fn": "last",
+                     "by": ["service_name"]}))
+    # generic row-set stages don't apply to the metric relation types
+    with pytest.raises(IRValidationError, match="does not apply"):
+        validate(_q({"name": "m", "type": "gauge", "fn": "last"},
+                    aggregate={"op": "count"}))
+    with pytest.raises(IRValidationError, match="requires from: 'metrics'"):
+        validate({"version": 1, "from": "logs",
+                  "metric": {"name": "m", "type": "gauge"}})
+
+
+# ------------------------------------------------- temporality-aware sum
+
+
+def _sum_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, start_timestamp timestamp, service_name string, "
+        "metric_name string, value double, aggregation_temporality int, "
+        "attributes map<string,string>",
+    )
+
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_cumulative_rate_uses_known_reset_points(spark):
+    """Spec scenario 'Rate respects temporality': a counter that RESETS
+    (new start_timestamp) but whose first post-reset sample EXCEEDS the
+    pre-reset value. Value-drop inference (the Prometheus scrape
+    heuristic) sees a monotone 10→25→40 and reports increase=30; the
+    known reset point says the counter restarted, so the real increase
+    is (25−10) + 40 = 55."""
+    t0, t1, t2 = _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:10:00"), _ts("2024-01-01 00:20:00")
+    s0, s1 = _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:15:00")
+    df = _sum_df(spark, [
+        (t0, s0, "api", "reqs", 10.0, 2, {}),
+        (t1, s0, "api", "reqs", 25.0, 2, {}),
+        (t2, s1, "api", "reqs", 40.0, 2, {}),
+    ])
+    q = validate(_q({"name": "reqs", "type": "sum", "fn": "increase",
+                     "window_seconds": 3600, "agg": "sum",
+                     "by": ["service_name"]}))
+    out = lower_metrics(df, q).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(55.0)
+
+
+def test_delta_vs_cumulative_each_respect_their_temporality(spark):
+    """Spec scenario verbatim: a delta series and a cumulative series
+    in the same query window — the delta one SUMS its samples, the
+    cumulative one takes last−first, not one heuristic for both."""
+    t = [_ts(f"2024-01-01 00:{m:02d}:00") for m in (0, 10, 20)]
+    s0 = _ts("2024-01-01 00:00:00")
+    df = _sum_df(spark, [
+        # delta: samples ARE increases → 5+7+3 = 15
+        (t[0], s0, "delta-svc", "reqs", 5.0, 1, {}),
+        (t[1], s0, "delta-svc", "reqs", 7.0, 1, {}),
+        (t[2], s0, "delta-svc", "reqs", 3.0, 1, {}),
+        # cumulative, no reset: last − first = 30 − 5 = 25 (NOT 5+17+30)
+        (t[0], s0, "cum-svc", "reqs", 5.0, 2, {}),
+        (t[1], s0, "cum-svc", "reqs", 17.0, 2, {}),
+        (t[2], s0, "cum-svc", "reqs", 30.0, 2, {}),
+    ])
+    q = validate(_q({"name": "reqs", "type": "sum", "fn": "rate",
+                     "window_seconds": 3600, "agg": "sum",
+                     "by": ["service_name"]}))
+    got = {r["service_name"]: r["value"] for r in lower_metrics(df, q).collect()}
+    assert got["delta-svc"] == pytest.approx(15.0 / 3600)
+    assert got["cum-svc"] == pytest.approx(25.0 / 3600)
+
+
+def test_unset_temporality_defaults_to_cumulative(spark):
+    df = _sum_df(spark, [
+        (_ts("2024-01-01 00:00:00"), None, "api", "reqs", 5.0, None, {}),
+        (_ts("2024-01-01 00:10:00"), None, "api", "reqs", 30.0, None, {}),
+    ])
+    q = validate(_q({"name": "reqs", "type": "sum", "fn": "increase",
+                     "window_seconds": 3600, "agg": "sum",
+                     "by": ["service_name"]}))
+    assert lower_metrics(df, q).collect()[0]["value"] == pytest.approx(25.0)
+
+
+def test_windowed_rate_buckets_are_tumbling(spark):
+    """Two window buckets, per-bucket increase; series identity from
+    the attributes map keeps distinct label sets apart and `by` can
+    pull a label back out of the map."""
+    rows = []
+    for h, vals in ((0, (0.0, 4.0)), (1, (10.0, 16.0))):
+        for i, v in enumerate(vals):
+            rows.append((
+                _ts(f"2024-01-01 {h:02d}:{i * 30:02d}:00"),
+                _ts("2024-01-01 00:00:00"), "api", "reqs", v, 2,
+                {"region": "eu"},
+            ))
+    df = _sum_df(spark, rows)
+    q = validate(_q({"name": "reqs", "type": "sum", "fn": "increase",
+                     "window_seconds": 3600, "agg": "sum",
+                     "by": ["region"]}))
+    got = {r["bucket"]: (r["region"], r["value"])
+           for r in lower_metrics(df, q).collect()}
+    # bucket 0: 4−0; bucket 1: 16−10 (window min, NOT the global first)
+    b0 = min(got)
+    assert got[b0] == ("eu", pytest.approx(4.0))
+    assert got[max(got)] == ("eu", pytest.approx(6.0))
+    assert len(got) == 2
+
+
+# ------------------------------------------------------------ gauge fns
+
+
+def test_gauge_last_and_range_fns(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:00:00"), "api", "temp", 10.0, {}),
+            (_ts("2024-01-01 00:30:00"), "api", "temp", 30.0, {}),
+            (_ts("2024-01-01 00:45:00"), "api", "temp", 20.0, {}),
+        ],
+        "timestamp timestamp, service_name string, metric_name string, "
+        "value double, attributes map<string,string>",
+    )
+    def run(fn, **kw):
+        q = validate(_q({"name": "temp", "type": "gauge", "fn": fn,
+                         "agg": "sum", "by": ["service_name"], **kw}))
+        return lower_metrics(df, q).collect()[0]["value"]
+
+    assert run("last") == pytest.approx(20.0)
+    assert run("avg_over_time", window_seconds=3600) == pytest.approx(20.0)
+    assert run("max_over_time", window_seconds=3600) == pytest.approx(30.0)
+    assert run("delta", window_seconds=3600) == pytest.approx(10.0)  # last−first
+
+
+# --------------------------------------------------- histogram quantile
+
+
+def _hist_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, start_timestamp timestamp, service_name string, "
+        "metric_name string, bucket_counts array<double>, "
+        "explicit_bounds array<double>, aggregation_temporality int, "
+        "attributes map<string,string>",
+    )
+
+
+def test_histogram_quantile_accumulates_delta_buckets(spark):
+    """Spec scenario 'Histogram quantile uses buckets': two delta
+    samples sum element-wise to [2,2,2,2] over bounds [1,2,4]; p50
+    target=4 lands at cum=4 in bucket (1,2] fully consumed → 2.0; p90
+    target=7.2 lands in the overflow bucket → top finite bound 4.0."""
+    bounds = [1.0, 2.0, 4.0]
+    s = _ts("2024-01-01 00:00:00")
+    df = _hist_df(spark, [
+        (_ts("2024-01-01 00:05:00"), s, "api", "lat", [1.0, 2.0, 1.0, 0.0], bounds, 1, {}),
+        (_ts("2024-01-01 00:10:00"), s, "api", "lat", [1.0, 0.0, 1.0, 2.0], bounds, 1, {}),
+    ])
+    def quant(qv):
+        q = validate(_q({"name": "lat", "type": "histogram", "fn": "quantile",
+                         "window_seconds": 3600, "quantile": qv,
+                         "agg": "max", "by": ["service_name"]}))
+        return lower_metrics(df, q).collect()[0]["value"]
+
+    assert quant(0.5) == pytest.approx(2.0)
+    assert quant(0.9) == pytest.approx(4.0)
+    # p25: target=2 → first bucket (-inf,1], lower treated as 0 →
+    # 0 + (1−0) * 2/2 = 1.0
+    assert quant(0.25) == pytest.approx(1.0)
+
+
+def test_histogram_quantile_cumulative_counts_use_resets(spark):
+    """Cumulative histogram counts follow the same known-reset run
+    logic element-wise: run1 contributes last−first, the post-reset
+    run contributes its full counts."""
+    bounds = [10.0]
+    s0, s1 = _ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:12:00")
+    df = _hist_df(spark, [
+        (_ts("2024-01-01 00:05:00"), s0, "api", "lat", [2.0, 0.0], bounds, 2, {}),
+        (_ts("2024-01-01 00:10:00"), s0, "api", "lat", [6.0, 0.0], bounds, 2, {}),
+        # reset: new start, counts restart and land in the upper bucket
+        (_ts("2024-01-01 00:15:00"), s1, "api", "lat", [0.0, 4.0], bounds, 2, {}),
+    ])
+    # accumulated counts: bucket0 = (6−2) = 4, bucket1 = 4 → total 8
+    # p50 target 4 → bucket0 fully consumed → 0 + 10*(4/4) = 10
+    q = validate(_q({"name": "lat", "type": "histogram", "fn": "quantile",
+                     "window_seconds": 3600, "quantile": 0.5,
+                     "agg": "max", "by": ["service_name"]}))
+    assert lower_metrics(df, q).collect()[0]["value"] == pytest.approx(10.0)
+
+
+# ------------------------------------------------------------ API route
+
+
+def test_api_routes_metrics_ir(spark, tmp_path):
+    """query_ir with from:'metrics' routes to the typed metric table
+    and the metric lowering; validation failures surface as bad_data."""
+    from signaldb_spark.api import SignalDBAPI
+
+    api = SignalDBAPI(spark, str(tmp_path), "acme", "prod")
+    doc = {
+        "version": 1, "from": "metrics",
+        "metric": {"name": "reqs", "type": "sum", "fn": "rate",
+                   "window_seconds": 300, "step_seconds": 60},
+        "range": {"from": "2024-01-01T00:00:00Z", "to": "2024-01-02T00:00:00Z"},
+    }
+    out = api.query_ir(doc)
+    assert out["status"] == "error" and out["errorType"] == "bad_data"
+    assert "tumbling" in out["error"]
+    # a sound query against a tenant with no metrics tables → not_found
+    ok = {**doc, "metric": {"name": "reqs", "type": "sum", "fn": "rate",
+                            "window_seconds": 300}}
+    out2 = api.query_ir(ok)
+    assert out2["status"] == "error"
+    assert out2["errorType"] == "not_found"
+    assert "metrics_sum" in out2["error"]

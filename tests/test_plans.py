@@ -1080,3 +1080,31 @@ def test_round11_staged_scale_shapes(spark):
 
     p_dead = plan(qs["never_ordered_parts"](spark, SF_DIR))
     assert "LeftAnti" in p_dead
+
+
+def test_ir_metrics_scale_shapes(spark):
+    """Metric-native IR lowering plan pins: samples reduce to (bucket,
+    series) digests through hash aggregates (map-side partial combine),
+    the only window functions run over the run/posting digest tables,
+    and nothing degenerates to a cartesian product. The histogram path
+    explodes to per-bucket postings BEFORE its aggregate (Generate under
+    HashAggregate), never collecting arrays to the driver."""
+    qs = all_queries()
+
+    p_cum = plan(qs["ir_metrics_rate_cumulative"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_cum
+    assert "HashAggregate" in p_cum
+    assert "Window" in p_cum  # run ranking over the digest table
+
+    p_delta = plan(qs["ir_metrics_rate_delta"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_delta
+    assert "HashAggregate" in p_delta
+
+    p_hist = plan(qs["ir_metrics_histogram_quantile"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_hist
+    assert "Generate" in p_hist  # posexplode postings shape
+    assert "HashAggregate" in p_hist
+
+    p_last = plan(qs["ir_metrics_gauge_last"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_last
+    assert "Window" not in p_last  # instant last is a pure groupBy
