@@ -290,3 +290,61 @@ FROM hit ORDER BY 1, 2
 
 QUERIES["ir_metrics_histogram_quantile"] = q_ir_metrics_histogram_quantile
 ORACLES["ir_metrics_histogram_quantile"] = ORACLE_IR_METRICS_HISTOGRAM_QUANTILE
+
+
+def q_typed_attr_int_predicate(spark, sf_dir):
+    """Typed attribute values (otel-native-schema proposal) through the
+    FULL path: a v1 logs table with STRINGIFIED attributes migrates to
+    the v2 typed layout under the type authority (semconv hint makes
+    http.response.status_code canonical int), then an IR `gt` predicate
+    reads the typed int HOME — longs compared in codegen, and the
+    off-type residue rows ('n/a' strings under the int key) read NULL
+    and drop per Kleene instead of ANSI-poisoning the scan (gt 450
+    keeps only the 503 class). The oracle
+    replicates the fixture's code assignment and the residue exclusion
+    directly over events."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))  # residue class
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(
+            F.lit("http.response.status_code"), code,
+            F.lit("user"), F.col("user_id").cast("string"),
+        ).alias("log_attributes"),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "gt",
+                  "value": 450},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_INT_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 100
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_int_predicate"] = q_typed_attr_int_predicate
+ORACLES["typed_attr_int_predicate"] = ORACLE_TYPED_ATTR_INT_PREDICATE

@@ -54,6 +54,32 @@ def _field(df: DataFrame, name: str) -> Column:
     return F.coalesce(*cols) if len(cols) > 1 else cols[0]
 
 
+def _numeric_field(df: DataFrame, name: str) -> Column | None:
+    """Typed numeric view of an attribute (otel-native-schema layout):
+    when the backing map is a typed AnyValue map, numeric predicates
+    read the int/double HOME directly — longs compare in codegen, and a
+    string residue under a numeric key reads NULL (row dropped, Kleene)
+    instead of poisoning the scan with an ANSI cast error. Returns None
+    for materialized columns and legacy layouts (their existing cast
+    semantics stand)."""
+    if name in df.columns:
+        return None
+    from ..operators.attrs import attr_number
+
+    cols = [
+        c
+        for c in (
+            attr_number(df, ac, name)
+            for ac in ("log_attributes", "attributes", "span_attributes")
+            if ac in df.columns
+        )
+        if c is not None
+    ]
+    if not cols:
+        return None
+    return F.coalesce(*cols) if len(cols) > 1 else cols[0]
+
+
 def _pred(df: DataFrame, p: Pred) -> Column:
     if isinstance(p, Node):
         if p.kind == "and":
@@ -68,6 +94,14 @@ def _pred(df: DataFrame, p: Pred) -> Column:
             return out
         return ~_pred(df, p.children[0])  # NOT: NULL stays NULL → row dropped (Kleene)
     col = _field(df, p.f)
+    if (
+        p.op in ("eq", "ne", "gt", "gte", "lt", "lte", "between")
+        and isinstance(p.value, (int, float))
+        and not isinstance(p.value, bool)
+    ):
+        typed = _numeric_field(df, p.f)
+        if typed is not None:
+            col = typed
     if p.op == "exists":
         return col.isNotNull()
     if p.op == "eq":

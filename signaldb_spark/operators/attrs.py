@@ -21,14 +21,53 @@ def attr_value(df: DataFrame, attr_col: str, key: str) -> Column:
     """``attr_col[key]`` for map columns, ``get_json_object`` (bracket
     path form — dotted keys like ``http.method`` are single map keys,
     not nesting) for legacy string columns, NULL when the column is
-    absent entirely."""
+    absent entirely. Typed AnyValue maps (the otel-native-schema
+    layout, schemas/anyvalue.py) return the DISPLAY string — the value
+    ``Map<String,String>`` would have stored — so string matchers stay
+    layout-invariant across all three eras; typed reads go through
+    :func:`attr_typed` / :func:`attr_number`."""
     try:
         dtype = df.schema[attr_col].dataType
     except KeyError:
         return F.lit(None).cast("string")
     if isinstance(dtype, T.StringType):
         return F.get_json_object(F.col(attr_col), f"$['{key}']")
+    from ..schemas.anyvalue import anyvalue_display, is_anyvalue_map
+
+    if is_anyvalue_map(dtype):
+        return anyvalue_display(F.element_at(F.col(attr_col), key))
     return F.element_at(F.col(attr_col), key)
+
+
+def attr_typed(df: DataFrame, attr_col: str, key: str) -> Column | None:
+    """The explicit RAW accessor for typed AnyValue maps
+    (typed-attribute-storage spec: residue content is read through a
+    raw retrieval returning the original AnyValue, never coerced).
+    Returns None when the column is not a typed map."""
+    try:
+        dtype = df.schema[attr_col].dataType
+    except KeyError:
+        return None
+    from ..schemas.anyvalue import is_anyvalue_map
+
+    if not is_anyvalue_map(dtype):
+        return None
+    return F.element_at(F.col(attr_col), key)
+
+
+def attr_number(df: DataFrame, attr_col: str, key: str) -> Column | None:
+    """Canonical NUMERIC read from a typed AnyValue map: the int or
+    double home as a double, NULL for everything else — a string
+    residue ``'abc'`` under an int-canonical key reads NULL here (never
+    an ANSI cast error, never a coerced residue). None when the column
+    is not a typed map (legacy layouts keep their existing cast
+    semantics)."""
+    v = attr_typed(df, attr_col, key)
+    if v is None:
+        return None
+    from ..schemas.anyvalue import anyvalue_read
+
+    return anyvalue_read(v, "number")
 
 
 def attr_keys(df: DataFrame, attr_col: str) -> Column:

@@ -59,11 +59,15 @@ _SPARK_TYPES: dict[str, T.DataType] = {
 
 
 def _register_signal_types() -> None:
+    from .anyvalue import ANY_VALUE_MAP
     from .signal_schemas import QUANTILE_VALUE, SPAN_EVENT, SPAN_LINK
 
     _SPARK_TYPES["list<span_event>"] = T.ArrayType(SPAN_EVENT)
     _SPARK_TYPES["list<span_link>"] = T.ArrayType(SPAN_LINK)
     _SPARK_TYPES["list<quantile_value>"] = T.ArrayType(QUANTILE_VALUE)
+    # typed attribute map (otel-native-schema proposal: the typed
+    # substrate that replaces stringified Map<String,String>)
+    _SPARK_TYPES["map<string,any_value>"] = ANY_VALUE_MAP
 
 
 _register_signal_types()
@@ -225,6 +229,18 @@ class SchemaRegistry:
                 ResolvedField(f["name"], f["type"], f.get("required", False),
                               f.get("computed"))
             )
+            by_name[f["name"]] = len(fields) - 1
+        # field_retypes: the otel-native-schema proposal's breaking
+        # typed-layout cutover expressed as resolver data — the field
+        # keeps its name and position, its TYPE changes (e.g.
+        # map<string,string> → map<string,any_value>), and ``migration``
+        # names the value-conversion kernel migrate() applies
+        for rt in d.get("field_retypes", []):
+            if rt["name"] not in by_name:
+                raise ValueError(
+                    f"retype of unknown field {rt['name']!r} in "
+                    f"{table}/{version}")
+            fields[by_name[rt["name"]]].type = rt["to_type"]
         return ResolvedSchema(
             table, version, fields,
             list(d.get("partition_by", []) or []),
@@ -256,12 +272,21 @@ class SchemaRegistry:
         table: str,
         from_version: str,
         to_version: str | None = None,
+        attr_types: dict[str, str] | None = None,
     ) -> DataFrame:
         """Upgrade a DataFrame written at ``from_version`` to
-        ``to_version`` by replaying each intermediate version's renames
-        and computed additions (non-computed additions arrive as typed
-        NULL columns). The inverse of nothing — downgrades are reads
-        with column pruning, never rewrites."""
+        ``to_version`` by replaying each intermediate version's renames,
+        computed additions (non-computed additions arrive as typed NULL
+        columns), and retypes. The inverse of nothing — downgrades are
+        reads with column pruning, never rewrites.
+
+        ``attr_types`` (key → canonical type, usually
+        ``AttributeTypeRegistry.assignments()``) drives the
+        ``stringified_to_anyvalue`` retype kernel: each stringified
+        value casts into its key's canonical home, off-type values are
+        retained losslessly as string residue — the proposal's
+        type-authority precedence applied retroactively to
+        pre-cutover data."""
         to_version = to_version or self.current_version(table)
         defs = self._table_defs(table)
         for v in self._chain(table, from_version, to_version):
@@ -277,6 +302,27 @@ class SchemaRegistry:
                 else:
                     col = F.lit(None).cast(spark_type(f["type"]))
                 df = df.withColumn(f["name"], col)
+            for rt in d.get("field_retypes", []):
+                if rt["name"] not in df.columns:
+                    continue
+                kernel = rt.get("migration")
+                if kernel == "stringified_to_anyvalue":
+                    from .anyvalue import typed_attrs_from_stringified
+
+                    df = df.withColumn(
+                        rt["name"],
+                        typed_attrs_from_stringified(
+                            F.col(rt["name"]), attr_types or {}),
+                    )
+                elif kernel == "cast":
+                    df = df.withColumn(
+                        rt["name"],
+                        F.col(rt["name"]).cast(spark_type(rt["to_type"])),
+                    )
+                else:
+                    raise ValueError(
+                        f"unknown retype migration {kernel!r} for "
+                        f"{rt['name']!r} in {table}/{v}")
         return df
 
 
@@ -389,6 +435,21 @@ def builtin_registry() -> SchemaRegistry:
                     s("label_namespace"),
                     day,
                     hour,
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
+            # v2: the typed-attribute layout (otel-native-schema
+            # proposal's breaking cutover): record attributes become the
+            # typed AnyValue map in one go — same name, same position,
+            # new type. current stays v1 until a deployment opts in
+            # (metadata current_logs_version); migrate(v1→v2) replays
+            # pre-cutover stringified maps through the type authority.
+            "v2": {
+                "inherits": "v1",
+                "field_retypes": [
+                    {"name": "log_attributes",
+                     "to_type": "map<string,any_value>",
+                     "migration": "stringified_to_anyvalue"},
                 ],
                 "partition_by": ["date_day", "hour"],
             },

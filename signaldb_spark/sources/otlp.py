@@ -33,6 +33,12 @@ _KV = T.StructType(
                     T.StructField("intValue", T.StringType()),
                     T.StructField("doubleValue", T.DoubleType()),
                     T.StructField("boolValue", T.BooleanType()),
+                    # OTLP/JSON encodes BytesValue as base64 — parsed
+                    # here so the typed layout can preserve it AS BYTES
+                    # (the otel-native-schema extract_value fidelity
+                    # fix; the reference degrades bytes to a possibly
+                    # invalid UTF-8 string, conversion_common.rs)
+                    T.StructField("bytesValue", T.StringType()),
                 ]
             ),
         ),
@@ -117,9 +123,55 @@ def _attrs_to_map(col: Column) -> Column:
     )
 
 
-def flatten_otlp_logs(raw: DataFrame, json_col: str = "value") -> DataFrame:
+def _attrs_to_anyvalue_map(col: Column) -> Column:
+    """OTLP attribute list → typed ``map<string,any_value>`` (the
+    otel-native-schema layout): each sent scalar lands in its OWN typed
+    home — int64 parsed from OTLP/JSON's string carrier with integer
+    exactness (a double round-trip corrupts above 2^53), bytes decoded
+    from base64 to real binary, distinguishable from strings. Order of
+    the coalesce follows OTLP AnyValue field precedence; exactly one
+    payload field is non-null per value."""
+    from ..schemas.anyvalue import (
+        ANY_VALUE_MAP,
+        av_bool,
+        av_bytes,
+        av_double,
+        av_int,
+        av_string,
+    )
+
+    def one(kv):
+        v = kv["value"]
+        return F.struct(
+            kv["key"].alias("key"),
+            F.coalesce(
+                F.when(v["stringValue"].isNotNull(), av_string(v["stringValue"])),
+                F.when(v["intValue"].isNotNull(),
+                       av_int(v["intValue"].try_cast("long"))),
+                F.when(v["doubleValue"].isNotNull(), av_double(v["doubleValue"])),
+                F.when(v["boolValue"].isNotNull(), av_bool(v["boolValue"])),
+                F.when(v["bytesValue"].isNotNull(),
+                       av_bytes(F.unbase64(v["bytesValue"]))),
+            ).alias("value"),
+        )
+
+    entries = F.filter(F.transform(col, one), lambda e: e["value"].isNotNull())
+    return F.when(col.isNull(), F.lit(None).cast(ANY_VALUE_MAP)).otherwise(
+        F.map_from_entries(entries)
+    )
+
+
+def flatten_otlp_logs(raw: DataFrame, json_col: str = "value",
+                      typed_attrs: bool = False) -> DataFrame:
     """OTLP/JSON log payloads → flat logs rows (works on batch and
-    streaming DataFrames alike — pure explode/select)."""
+    streaming DataFrames alike — pure explode/select).
+
+    ``typed_attrs=True`` emits the logs.v2 typed-attribute layout:
+    ``log_attributes`` as ``map<string,any_value>`` with each sent
+    scalar preserved in its typed home (``http.response.status_code=200``
+    stays an int64; bytes stay bytes). attr_tokens and the materialized
+    label derive from the DISPLAY strings so bloom pruning and label
+    routing stay layout-invariant."""
     parsed = raw.select(F.from_json(F.col(json_col), OTLP_LOGS_SCHEMA).alias("p"))
     rl = parsed.select(F.explode("p.resourceLogs").alias("rl"))
     sl = rl.select(
@@ -134,6 +186,24 @@ def flatten_otlp_logs(raw: DataFrame, json_col: str = "value") -> DataFrame:
     )
     res_map = _attrs_to_map(F.col("res_attrs"))
     attr_map = _attrs_to_map(F.col("r.attributes"))
+    if typed_attrs:
+        from ..schemas.anyvalue import anyvalue_display
+
+        typed_map = _attrs_to_anyvalue_map(F.col("r.attributes"))
+        stored_attrs = typed_map.alias("log_attributes")
+        tokens = F.transform(
+            F.map_entries(typed_map),
+            lambda e: F.concat_ws("=", e["key"], anyvalue_display(e["value"])),
+        ).alias("attr_tokens")
+        label_ns = anyvalue_display(
+            F.element_at(typed_map, "namespace")
+        ).alias("label_namespace")
+    else:
+        stored_attrs = attr_map.alias("log_attributes")
+        tokens = F.transform(
+            F.map_entries(attr_map), lambda e: F.concat_ws("=", e["key"], e["value"])
+        ).alias("attr_tokens")
+        label_ns = attr_map["namespace"].alias("label_namespace")
     # Integer `div`, not float `/`: at 2024+ epochs (~1.7e18 ns) doubles
     # carry ±128ns error, truncating to the wrong microsecond.
     ts = F.timestamp_micros(F.expr("CAST(r.timeUnixNano AS LONG) div 1000"))
@@ -153,11 +223,9 @@ def flatten_otlp_logs(raw: DataFrame, json_col: str = "value") -> DataFrame:
         F.col("scope_version"),
         res_map.alias("resource_attributes"),
         F.lit(None).cast("map<string,string>").alias("scope_attributes"),
-        attr_map.alias("log_attributes"),
-        F.transform(
-            F.map_entries(attr_map), lambda e: F.concat_ws("=", e["key"], e["value"])
-        ).alias("attr_tokens"),
-        attr_map["namespace"].alias("label_namespace"),
+        stored_attrs,
+        tokens,
+        label_ns,
         F.to_date(ts).alias("date_day"),
         F.hour(ts).alias("hour"),
     )

@@ -240,3 +240,198 @@ def test_all_persisted_tables_render_at_rest_schemas():
         got = REG.resolve(table, ver).to_spark_schema(labels=labels) \
             if labels else REG.resolve(table, ver).to_spark_schema()
         assert got == want, table
+
+
+# ---------------------------------------------------------------------------
+# typed attribute values (otel-native-schema proposal: typed substrate,
+# type authority, lossless residue, bytes fidelity)
+
+
+def test_logs_v2_retypes_attributes_to_anyvalue():
+    from signaldb_spark.schemas.anyvalue import ANY_VALUE_MAP
+
+    v2 = REG.resolve("logs", "v2")
+    f = {x.name: x for x in v2.fields}["log_attributes"]
+    assert f.type == "map<string,any_value>"
+    # position preserved: retype changes the type, not the layout
+    assert v2.field_names() == REG.resolve("logs", "v1").field_names()
+    spark_schema = v2.to_spark_schema()
+    assert spark_schema["log_attributes"].dataType == ANY_VALUE_MAP
+    # current stays v1 until a deployment opts in
+    assert REG.current_version("logs") == "v1"
+
+
+def test_migrate_golden_stringified_to_typed(spark):
+    """The golden migration: a v1 row with stringified attributes
+    upgrades to v2 with http.response.status_code=200 surviving AS AN
+    INT (the proposal's headline example), an off-type value retained
+    losslessly as string residue, and unregistered keys defaulting to
+    string."""
+    import datetime as dt
+
+    from signaldb_spark.schemas.anyvalue import AttributeTypeRegistry
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "api",
+             {"http.response.status_code": "200", "retry": "true",
+              "latency_ms": "12.5", "note": "hello"}),
+            (dt.datetime(2024, 1, 1), "api",
+             {"http.response.status_code": "abc"}),  # off-type → residue
+            (dt.datetime(2024, 1, 1), "api", None),
+        ],
+        "timestamp timestamp, service_name string, log_attributes map<string,string>",
+    )
+    reg = AttributeTypeRegistry(config={"retry": "bool", "latency_ms": "double"})
+    out = REG.migrate(df, "logs", "v1", "v2", attr_types=reg.assignments())
+    rows = out.select("log_attributes").collect()
+    a0 = rows[0]["log_attributes"]
+    sc = a0["http.response.status_code"]
+    assert sc["type"] == "int" and sc["int"] == 200 and sc["str"] is None
+    assert a0["retry"]["type"] == "bool" and a0["retry"]["bool"] is True
+    assert a0["latency_ms"]["type"] == "double" and a0["latency_ms"]["dbl"] == 12.5
+    assert a0["note"]["type"] == "string" and a0["note"]["str"] == "hello"
+    # off-type: retained losslessly in the residue, NOT dropped, NOT
+    # coerced into the int home
+    bad = rows[1]["log_attributes"]["http.response.status_code"]
+    assert bad["type"] == "string" and bad["str"] == "abc" and bad["int"] is None
+    assert rows[2]["log_attributes"] is None
+
+
+def test_type_authority_precedence_and_monotonicity():
+    """Canonical type per (level, key): config beats semconv beats
+    observed; first observation establishes, later conflicts never
+    retype; levels are independent field identities."""
+    from signaldb_spark.schemas.anyvalue import AttributeTypeRegistry
+
+    reg = AttributeTypeRegistry(config={"custom.flag": "bool"})
+    # config tier wins regardless of observations
+    assert reg.observe("custom.flag", "string") == "bool"
+    # semconv hint beats the observed type
+    assert reg.observe("http.response.status_code", "string") == "int"
+    # observed establishes for unknown keys...
+    assert reg.observe("myapp.count", "int") == "int"
+    # ...and is MONOTONIC: a later conflicting observation cannot flip it
+    assert reg.observe("myapp.count", "string") == "int"
+    assert reg.canonical("myapp.count") == "int"
+    # attribute level is part of the field identity
+    assert reg.observe("myapp.count", "double", level="resource") == "double"
+    assert reg.canonical("myapp.count", level="resource") == "double"
+    assert reg.canonical("myapp.count") == "int"
+    # persistence round-trip keeps establishments
+    reg2 = AttributeTypeRegistry.from_dict(reg.to_dict())
+    assert reg2.canonical("myapp.count") == "int"
+    assert reg2.canonical("custom.flag") == "bool"
+
+
+def test_typed_reads_never_coerce_residue(spark):
+    """typed-attribute-storage spec: a canonical-typed read returns the
+    typed value or NULL — never a coerced residue; the raw accessor
+    returns the original AnyValue."""
+    from signaldb_spark.operators.attrs import attr_number, attr_typed, attr_value
+    from signaldb_spark.schemas.anyvalue import AttributeTypeRegistry
+    from signaldb_spark.schemas.resolver import builtin_registry
+
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "api", {"code": "200"}),
+            (dt.datetime(2024, 1, 1), "api", {"code": "oops"}),
+        ],
+        "timestamp timestamp, service_name string, log_attributes map<string,string>",
+    )
+    reg = AttributeTypeRegistry(config={"code": "int"})
+    t = builtin_registry().migrate(df, "logs", "v1", "v2",
+                                   attr_types=reg.assignments())
+    rows = t.select(
+        attr_number(t, "log_attributes", "code").alias("n"),
+        attr_typed(t, "log_attributes", "code").alias("raw"),
+        attr_value(t, "log_attributes", "code").alias("display"),
+    ).collect()
+    assert rows[0]["n"] == 200.0 and rows[0]["display"] == "200"
+    # residue: numeric read is NULL (not an ANSI cast error, not 0);
+    # the raw accessor still returns the original value losslessly
+    assert rows[1]["n"] is None
+    assert rows[1]["raw"]["str"] == "oops" and rows[1]["display"] == "oops"
+
+
+def test_otlp_typed_ingest_preserves_bytes_and_ints(spark):
+    """The extract_value fidelity fix (otel-native-schema phase 1):
+    BytesValue survives as BYTES distinguishable from a string, int64
+    survives integer-exact beyond 2^53, and the display/token surfaces
+    stay layout-invariant."""
+    import base64
+    import json
+
+    from signaldb_spark.sources.otlp import flatten_otlp_logs
+
+    big = 9007199254740995  # 2^53 + 3: double round-trip would corrupt
+    payload = json.dumps({
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeLogs": [{
+                "scope": {"name": "t", "version": "1"},
+                "logRecords": [{
+                    "timeUnixNano": "1704067200000000000",
+                    "observedTimeUnixNano": "1704067200000000000",
+                    "severityText": "INFO", "severityNumber": 9,
+                    "body": {"stringValue": "hello"},
+                    "attributes": [
+                        {"key": "http.response.status_code",
+                         "value": {"intValue": "200"}},
+                        {"key": "big", "value": {"intValue": str(big)}},
+                        {"key": "blob",
+                         "value": {"bytesValue": base64.b64encode(
+                             b"\xde\xad\xbe\xef").decode()}},
+                        {"key": "who", "value": {"stringValue": "deadbeef"}},
+                    ],
+                    "traceId": "ab" * 16, "spanId": "cd" * 8,
+                }],
+            }],
+        }]
+    })
+    raw = spark.createDataFrame([(payload,)], "value string")
+    out = flatten_otlp_logs(raw, typed_attrs=True).collect()[0]
+    attrs = out["log_attributes"]
+    assert attrs["http.response.status_code"]["type"] == "int"
+    assert attrs["http.response.status_code"]["int"] == 200
+    assert attrs["big"]["int"] == big  # integer-exact past 2^53
+    assert attrs["blob"]["type"] == "bytes"
+    assert bytes(attrs["blob"]["bytes"]) == b"\xde\xad\xbe\xef"
+    # bytes are DISTINGUISHABLE from a string whose display collides
+    assert attrs["who"]["type"] == "string" and attrs["who"]["bytes"] is None
+    assert "http.response.status_code=200" in out["attr_tokens"]
+    assert "blob=deadbeef" in out["attr_tokens"]  # hex display, not UTF-8
+
+
+def test_ir_numeric_predicate_uses_typed_home(spark):
+    """An IR `gt` over a typed int attribute compares LONGS: matching
+    rows pass, a string residue under the same key reads NULL and drops
+    (Kleene) instead of ANSI-poisoning the scan — impossible on the
+    stringified layout."""
+    import datetime as dt
+
+    from signaldb_spark.ir import lower, validate
+    from signaldb_spark.schemas.anyvalue import AttributeTypeRegistry
+    from signaldb_spark.schemas.resolver import builtin_registry
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), "api", {"http.response.status_code": "500"}),
+            (dt.datetime(2024, 1, 1), "api", {"http.response.status_code": "200"}),
+            (dt.datetime(2024, 1, 1), "api", {"http.response.status_code": "n/a"}),
+            (dt.datetime(2024, 1, 1), "api", None),
+        ],
+        "timestamp timestamp, service_name string, log_attributes map<string,string>",
+    )
+    t = builtin_registry().migrate(
+        df, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments())
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "gt", "value": 400},
+        "select": ["service_name"],
+    })
+    assert lower(t, q).count() == 1
