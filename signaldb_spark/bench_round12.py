@@ -348,3 +348,696 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["typed_attr_int_predicate"] = q_typed_attr_int_predicate
 ORACLES["typed_attr_int_predicate"] = ORACLE_TYPED_ATTR_INT_PREDICATE
+
+
+# ----------------------------------------------------- batch 2: relational
+
+
+def q_supplier_lead_time_rank(spark, sf_dir):
+    """Top-3 slowest suppliers per nation by average order→ship lag:
+    the fulfillment league table. Lag sums stay exact integer days until
+    the final division (identical IEEE divide both engines), row_number
+    breaks ties on the supplier name; supplier/nation dims broadcast
+    into the lineitem scan and orders projects to two columns before
+    the fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    lag = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        o, li.l_orderkey == o.o_orderkey
+    ).select(
+        "l_suppkey",
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("d"),
+    )
+    per_s = lag.groupBy("l_suppkey").agg(
+        F.sum("d").alias("sum_days"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = per_s.join(F.broadcast(s), per_s.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    scored = j.select(
+        "n_name", "s_name",
+        (F.col("sum_days").cast("double") / F.col("n")).alias("avg_lag"),
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("avg_lag").desc(), F.col("s_name").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "rk", "s_name", F.round("avg_lag", 6).alias("avg_lag"))
+        .orderBy("n_name", "rk")
+    )
+
+
+ORACLE_SUPPLIER_LEAD_TIME_RANK = """
+WITH lag AS (
+  SELECT l_suppkey, CAST(sum(datediff('day', o_orderdate, l_shipdate))
+         AS BIGINT) AS sum_days, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+),
+scored AS (
+  SELECT n.n_name, s.s_name,
+         CAST(sum_days AS DOUBLE) / n AS avg_lag
+  FROM lag JOIN supplier s ON l_suppkey = s_suppkey
+  JOIN nation n ON s_nationkey = n_nationkey
+),
+r AS (
+  SELECT n_name, s_name, avg_lag,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY avg_lag DESC, s_name ASC) AS rk
+  FROM scored
+)
+SELECT n_name, rk, s_name, round(avg_lag, 6) AS avg_lag
+FROM r WHERE rk <= 3 ORDER BY n_name, rk
+"""
+
+QUERIES["supplier_lead_time_rank"] = q_supplier_lead_time_rank
+ORACLES["supplier_lead_time_rank"] = ORACLE_SUPPLIER_LEAD_TIME_RANK
+
+
+def q_line_discount_stack(spark, sf_dir):
+    """Revenue waterfall per order-year: list gross → after-discount →
+    after-tax, each summed from PER-LINE integer cents (the rounding
+    point is part of the contract — rounding the per-line product, not
+    the total, is what a billing system does)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+                li.l_orderkey == F.col("o_orderkey"))
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("gross_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("disc_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax")))).alias("net_cents"),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_LINE_DISCOUNT_STACK = """
+SELECT year(o_orderdate) AS yr,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS gross_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS disc_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+         AS BIGINT)) AS net_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["line_discount_stack"] = q_line_discount_stack
+ORACLES["line_discount_stack"] = ORACLE_LINE_DISCOUNT_STACK
+
+
+def q_customer_order_imbalance(spark, sf_dir):
+    """Demand-concentration audit per priority: buyers, the heaviest
+    buyer's order count, and the max/mean imbalance ratio — exact
+    counts until the one final division."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        per_cust.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buyers"),
+            F.max("n").alias("max_orders"),
+            F.sum("n").alias("total_orders"),
+        )
+        .select(
+            "o_orderpriority", "n_buyers", "max_orders",
+            F.round(
+                F.col("max_orders") * F.col("n_buyers")
+                / F.col("total_orders"), 6
+            ).alias("imbalance"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_CUSTOMER_ORDER_IMBALANCE = """
+WITH per_cust AS (
+  SELECT o_orderpriority, o_custkey, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_buyers,
+       max(n) AS max_orders,
+       round(max(n) * count(*) / sum(n), 6) AS imbalance
+FROM per_cust GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_order_imbalance"] = q_customer_order_imbalance
+ORACLES["customer_order_imbalance"] = ORACLE_CUSTOMER_ORDER_IMBALANCE
+
+
+def q_monthly_new_customers(spark, sf_dir):
+    """Acquisition curve: customers by FIRST-order month (one min-agg
+    per customer, then a month rollup — the first-seen trick, no
+    window distinct)."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    return (
+        first.groupBy(F.date_trunc("month", "d0").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_customers"))
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY_NEW_CUSTOMERS = """
+WITH first AS (
+  SELECT o_custkey, min(o_orderdate) AS d0 FROM orders GROUP BY 1
+)
+SELECT CAST(date_trunc('month', d0) AS DATE) AS month,
+       CAST(count(*) AS BIGINT) AS new_customers
+FROM first GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["monthly_new_customers"] = q_monthly_new_customers
+ORACLES["monthly_new_customers"] = ORACLE_MONTHLY_NEW_CUSTOMERS
+
+
+def q_running_backlog(spark, sf_dir):
+    """Open-order backlog per month: cumulative opened minus cumulative
+    completed (an order completes at its LAST lineitem receipt). Two
+    monthly rollups FULL OUTER joined on the month spine, then one
+    cumulative window over the ~84-row table — the fact tables are
+    touched exactly once each."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("opened"))
+    done = (
+        li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("completed"))
+        .groupBy(F.date_trunc("month", "completed").cast("date").alias("month"))
+        .agg(F.count(F.lit(1)).cast("long").alias("closed"))
+    )
+    merged = (
+        opened.join(done, "month", "full")
+        .select(
+            "month",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.withColumn(
+            "backlog", (F.sum("opened").over(w) - F.sum("closed").over(w))
+        )
+        .select("month", "opened", "closed", "backlog")
+        .orderBy("month")
+    )
+
+
+ORACLE_RUNNING_BACKLOG = """
+WITH opened AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS opened
+  FROM orders GROUP BY 1
+),
+done AS (
+  SELECT CAST(date_trunc('month', completed) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS closed
+  FROM (SELECT l_orderkey, max(l_shipdate) AS completed
+        FROM lineitem GROUP BY 1)
+  GROUP BY 1
+),
+merged AS (
+  SELECT coalesce(o.month, d.month) AS month,
+         coalesce(opened, 0) AS opened, coalesce(closed, 0) AS closed
+  FROM opened o FULL OUTER JOIN done d ON o.month = d.month
+)
+SELECT month, opened, closed,
+       sum(opened) OVER (ORDER BY month) - sum(closed) OVER (ORDER BY month)
+         AS backlog
+FROM merged ORDER BY month
+"""
+
+QUERIES["running_backlog"] = q_running_backlog
+ORACLES["running_backlog"] = ORACLE_RUNNING_BACKLOG
+
+
+def q_weekday_order_mix(spark, sf_dir):
+    """Order volume by weekday × priority with within-priority shares;
+    pins the cross-engine weekday convention (Spark dayofweek is
+    1=Sunday; DuckDB's 0=Sunday shifts by one)."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        "o_orderpriority", F.dayofweek("o_orderdate").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        per.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .select("o_orderpriority", "dow", "n", "share")
+        .orderBy("o_orderpriority", "dow")
+    )
+
+
+ORACLE_WEEKDAY_ORDER_MIX = """
+WITH per AS (
+  SELECT o_orderpriority, CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, dow, n,
+       round(n / sum(n) OVER (PARTITION BY o_orderpriority), 6) AS share
+FROM per ORDER BY o_orderpriority, dow
+"""
+
+QUERIES["weekday_order_mix"] = q_weekday_order_mix
+ORACLES["weekday_order_mix"] = ORACLE_WEEKDAY_ORDER_MIX
+
+
+def q_cross_quarter_retention(spark, sf_dir):
+    """Customer quarter-over-quarter retention: for each consecutive
+    quarter pair, how many of Q(n)'s buyers bought again in Q(n+1).
+    Distinct (customer, quarter) rollup first; the self-join runs on
+    that digest, never on orders."""
+    o = load_table(spark, sf_dir, "orders")
+    cq = o.select(
+        "o_custkey",
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("q"),
+    ).distinct()
+    nxt = cq.select(
+        F.col("o_custkey").alias("c2"),
+        F.add_months(F.col("q"), -3).alias("q_prev"),
+    )
+    joined = cq.join(
+        nxt, (cq.o_custkey == nxt.c2) & (cq.q == nxt.q_prev), "left"
+    )
+    return (
+        joined.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("buyers"),
+            F.count("c2").cast("long").alias("retained"),
+        )
+        .withColumn("retention", F.round(F.col("retained") / F.col("buyers"), 6))
+        .orderBy("q")
+    )
+
+
+ORACLE_CROSS_QUARTER_RETENTION = """
+WITH cq AS (
+  SELECT DISTINCT o_custkey,
+         CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q
+  FROM orders
+)
+SELECT a.q, CAST(count(*) AS BIGINT) AS buyers,
+       CAST(count(b.o_custkey) AS BIGINT) AS retained,
+       round(count(b.o_custkey) / count(*), 6) AS retention
+FROM cq a LEFT JOIN cq b
+  ON a.o_custkey = b.o_custkey AND b.q = a.q + INTERVAL 3 MONTH
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["cross_quarter_retention"] = q_cross_quarter_retention
+ORACLES["cross_quarter_retention"] = ORACLE_CROSS_QUARTER_RETENTION
+
+
+def q_price_last_digit_uniformity(spark, sf_dir):
+    """Pricing forensics, the Benford complement: the LAST digit of the
+    retail-price cents should be ~uniform; digits come from exact
+    integer cents (never float formatting), with each digit's deviation
+    from the uniform expectation."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    per = p.select((cents % 10).alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn(
+            "dev_pct",
+            F.round((F.col("n") * 10 - F.sum("n").over(w))
+                    / F.sum("n").over(w) * 10.0, 6),
+        )
+        .select("digit", "n", "dev_pct")
+        .orderBy("digit")
+    )
+
+
+ORACLE_PRICE_LAST_DIGIT_UNIFORMITY = """
+WITH per AS (
+  SELECT CAST(round(p_retailprice * 100) AS BIGINT) % 10 AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1
+)
+SELECT digit, n,
+       round((n * 10 - sum(n) OVER ()) / sum(n) OVER () * 10.0, 6) AS dev_pct
+FROM per ORDER BY digit
+"""
+
+QUERIES["price_last_digit_uniformity"] = q_price_last_digit_uniformity
+ORACLES["price_last_digit_uniformity"] = ORACLE_PRICE_LAST_DIGIT_UNIFORMITY
+
+
+# --------------------------------------------------------- batch 3: events
+
+
+def q_session_entry_exit_matrix(spark, sf_dir):
+    """Session entry→exit transition matrix: per 30-min-gap session,
+    the (first event type, last event type) pair — where journeys start
+    vs where they die. The portable lag-gap-cumsum idiom builds session
+    ids; first/last picked by the (ts, event_id) composite so ties are
+    deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry"),
+        F.max_by("event_type", key).alias("exit"),
+    )
+    return (
+        per_sess.groupBy("entry", "exit")
+        .agg(F.count(F.lit(1)).cast("long").alias("sessions"))
+        .orderBy("entry", "exit")
+    )
+
+
+ORACLE_SESSION_ENTRY_EXIT_MATRIX = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+),
+per_sess AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS entry,
+         last(event_type ORDER BY ts, event_id) AS exit
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry, exit, CAST(count(*) AS BIGINT) AS sessions
+FROM per_sess GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["session_entry_exit_matrix"] = q_session_entry_exit_matrix
+ORACLES["session_entry_exit_matrix"] = ORACLE_SESSION_ENTRY_EXIT_MATRIX
+
+
+def q_longest_quiet_hours(spark, sf_dir):
+    """Stream-liveness audit per type: the longest silence between
+    consecutive events (exact integer µs) and how many gaps exceeded
+    one hour — what a missing-data alert would page on."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.select("event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros("prev")).alias("gap_us"),
+        )
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum((F.col("gap_us") > 3_600_000_000).cast("long"))
+            .alias("gaps_over_1h"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_LONGEST_QUIET_HOURS = """
+WITH gaps AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) - epoch_us(lag(ts) OVER w) AS BIGINT) AS gap_us
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, max(gap_us) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS gaps_over_1h
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["longest_quiet_hours"] = q_longest_quiet_hours
+ORACLES["longest_quiet_hours"] = ORACLE_LONGEST_QUIET_HOURS
+
+
+def q_weekly_active_histogram(spark, sf_dir):
+    """Engagement-breadth histogram: users by number of DISTINCT active
+    weeks — the weekly complement of the active-days power-user curve."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = (
+        e.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("weeks"))
+    )
+    return (
+        per_user.groupBy("weeks")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("weeks")
+    )
+
+
+ORACLE_WEEKLY_ACTIVE_HISTOGRAM = """
+WITH per_user AS (
+  SELECT user_id, CAST(count(DISTINCT date_trunc('week', ts)) AS BIGINT)
+         AS weeks
+  FROM events GROUP BY 1
+)
+SELECT weeks, CAST(count(*) AS BIGINT) AS users
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekly_active_histogram"] = q_weekly_active_histogram
+ORACLES["weekly_active_histogram"] = ORACLE_WEEKLY_ACTIVE_HISTOGRAM
+
+
+def q_daily_zscore_outlier_days(spark, sf_dir):
+    """Volume-anomaly days per stream: |z| > 2 on the daily count,
+    with mean/std derived from EXPLICIT raw power sums over the daily
+    rollup (population convention — neither engine's stddev correction
+    trusted, same posture as the skewness gate)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type")
+    scored = (
+        daily.withColumn("mean_n", F.sum("n").over(w) / F.count("n").over(w))
+        .withColumn(
+            "var_n",
+            F.sum(F.col("n") * F.col("n")).over(w) / F.count("n").over(w)
+            - F.col("mean_n") * F.col("mean_n"),
+        )
+        .withColumn("z", (F.col("n") - F.col("mean_n")) / F.sqrt("var_n"))
+        .filter(F.abs("z") > 2)
+    )
+    return scored.select(
+        "event_type", "day", "n", F.round("z", 6).alias("z")
+    ).orderBy("event_type", "day")
+
+
+ORACLE_DAILY_ZSCORE_OUTLIER_DAYS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, day, n,
+         sum(n) OVER w / count(n) OVER w AS mean_n,
+         sum(n * n) OVER w / count(n) OVER w
+           - (sum(n) OVER w / count(n) OVER w)
+             * (sum(n) OVER w / count(n) OVER w) AS var_n
+  FROM daily WINDOW w AS (PARTITION BY event_type)
+)
+SELECT event_type, day, n,
+       round((n - mean_n) / sqrt(var_n), 6) AS z
+FROM scored WHERE abs((n - mean_n) / sqrt(var_n)) > 2
+ORDER BY event_type, day
+"""
+
+QUERIES["daily_zscore_outlier_days"] = q_daily_zscore_outlier_days
+ORACLES["daily_zscore_outlier_days"] = ORACLE_DAILY_ZSCORE_OUTLIER_DAYS
+
+
+def q_first_week_activation(spark, sf_dir):
+    """Lifecycle-day activity curve: events on each user's day 0-6
+    (days since their first event) by type — what a week-one onboarding
+    dashboard plots. One min-agg per user broadcast back into the scan."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    j = e.join(F.broadcast(first), "user_id")
+    return (
+        j.withColumn("day_idx", F.datediff(F.to_date("ts"), F.col("d0")))
+        .filter(F.col("day_idx") <= 6)
+        .groupBy("day_idx", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("day_idx", "event_type")
+    )
+
+
+ORACLE_FIRST_WEEK_ACTIVATION = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+)
+SELECT datediff('day', d0, CAST(ts AS DATE)) AS day_idx, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM events JOIN first USING (user_id)
+WHERE datediff('day', d0, CAST(ts AS DATE)) <= 6
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["first_week_activation"] = q_first_week_activation
+ORACLES["first_week_activation"] = ORACLE_FIRST_WEEK_ACTIVATION
+
+
+def q_props_k_distribution(spark, sf_dir):
+    """JSON-payload profiling over the events props blob: extract the
+    integer field k (get_json_object — JVM-side, no UDF), band by tens,
+    count per type; the NULL/missing band is first-class."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(
+            "event_type",
+            F.coalesce(F.floor(k / 10).cast("long"), F.lit(-1)).alias("k_band"),
+        )
+        .groupBy("event_type", "k_band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "k_band")
+    )
+
+
+ORACLE_PROPS_K_DISTRIBUTION = """
+SELECT event_type,
+       coalesce(CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                / 10) AS BIGINT), -1) AS k_band,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["props_k_distribution"] = q_props_k_distribution
+ORACLES["props_k_distribution"] = ORACLE_PROPS_K_DISTRIBUTION
+
+
+def q_hourly_load_concentration(spark, sf_dir):
+    """Peak-hour concentration per stream: the busiest wall-clock hour
+    and its share of total volume — exact counts, the peak picked by
+    (count desc, hour asc) so ties are deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("h").asc()
+    )
+    wt = Window.partitionBy("event_type")
+    return (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", F.col("h").alias("peak_hour"),
+            F.col("n").alias("peak_n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_HOURLY_LOAD_CONCENTRATION = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, h, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, h ASC) AS rk,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM hourly
+)
+SELECT event_type, h AS peak_hour, n AS peak_n,
+       round(n / total, 6) AS share
+FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+QUERIES["hourly_load_concentration"] = q_hourly_load_concentration
+ORACLES["hourly_load_concentration"] = ORACLE_HOURLY_LOAD_CONCENTRATION
+
+
+def q_user_mean_gap_deciles(spark, sf_dir):
+    """Per-user cadence profile: mean inter-event gap (exact integer µs
+    sums / exact counts) cut into deciles by exact integer ranks — the
+    engagement-frequency segmentation."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.unix_micros("ts") - F.unix_micros("prev")).alias("sum_us"),
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        )
+        .withColumn("mean_us", F.col("sum_us") / F.col("n_gaps"))
+    )
+    dw = Window.orderBy(F.col("mean_us").asc(), F.col("user_id").asc())
+    return (
+        per_user.withColumn("decile", F.ntile(10).over(dw))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.round(F.avg("mean_us"), 6).alias("avg_gap_us"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_USER_MEAN_GAP_DECILES = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id, sum(gap_us) / count(*) AS mean_us
+  FROM gaps WHERE gap_us IS NOT NULL GROUP BY 1
+),
+cut AS (
+  SELECT ntile(10) OVER (ORDER BY mean_us ASC, user_id ASC) AS decile,
+         mean_us
+  FROM per_user
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS users,
+       round(avg(mean_us), 6) AS avg_gap_us
+FROM cut GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_mean_gap_deciles"] = q_user_mean_gap_deciles
+ORACLES["user_mean_gap_deciles"] = ORACLE_USER_MEAN_GAP_DECILES
