@@ -1041,3 +1041,459 @@ FROM cut GROUP BY 1 ORDER BY 1
 
 QUERIES["user_mean_gap_deciles"] = q_user_mean_gap_deciles
 ORACLES["user_mean_gap_deciles"] = ORACLE_USER_MEAN_GAP_DECILES
+
+
+# -------------------------------------------------- batch 4: corpus / docs
+
+
+def q_sentence_length_stats(spark, sf_dir):
+    """Tokenizer-cost proxy per source: words-per-doc mean and the p90
+    by exact integer rank selection over the word-count rollup (split
+    on whitespace runs — both engines count identically)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("w"),
+    )
+    per = words.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("w").alias("total_words"),
+    )
+    ranked = words.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("source").orderBy("w"))
+    )
+    p90 = ranked.join(
+        per.select("source", F.ceil(F.col("docs") * 0.9).alias("rk90")),
+        "source",
+    ).filter(F.col("rk") == F.col("rk90")).select(
+        "source", F.col("w").alias("p90_words")
+    )
+    return (
+        per.join(p90, "source")
+        .select(
+            "source", "docs",
+            F.round(F.col("total_words") / F.col("docs"), 6).alias("avg_words"),
+            "p90_words",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SENTENCE_LENGTH_STATS = r"""
+WITH words AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(w) AS BIGINT) AS total_words
+  FROM words GROUP BY 1
+),
+ranked AS (
+  SELECT source, w,
+         row_number() OVER (PARTITION BY source ORDER BY w) AS rk
+  FROM words
+),
+p90 AS (
+  SELECT r.source, r.w AS p90_words
+  FROM ranked r JOIN per USING (source)
+  WHERE r.rk = CAST(ceil(per.docs * 0.9) AS BIGINT)
+)
+SELECT source, docs, round(total_words / docs, 6) AS avg_words, p90_words
+FROM per JOIN p90 USING (source) ORDER BY source
+"""
+
+QUERIES["sentence_length_stats"] = q_sentence_length_stats
+ORACLES["sentence_length_stats"] = ORACLE_SENTENCE_LENGTH_STATS
+
+
+def q_numeric_token_share(spark, sf_dir):
+    """Numeric-token density per source — a high share marks tables/
+    logs masquerading as prose (a pretraining-quality screen). Counts
+    are exact integers from one regexp pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    num = F.size(F.filter(toks, lambda t: t.rlike(r"^[0-9]+$")))
+    per = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        num.cast("long").alias("n_num"),
+    ).groupBy("source").agg(
+        F.sum("n_tok").alias("tokens"), F.sum("n_num").alias("numeric_tokens")
+    )
+    return per.select(
+        "source", "tokens", "numeric_tokens",
+        F.round(F.col("numeric_tokens") / F.col("tokens"), 6).alias("share"),
+    ).orderBy("source")
+
+
+ORACLE_NUMERIC_TOKEN_SHARE = r"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tok,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              t -> regexp_matches(t, '^[0-9]+$')))
+           AS BIGINT) AS n_num
+  FROM documents
+)
+SELECT source, CAST(sum(n_tok) AS BIGINT) AS tokens,
+       CAST(sum(n_num) AS BIGINT) AS numeric_tokens,
+       round(sum(n_num) / sum(n_tok), 6) AS share
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["numeric_token_share"] = q_numeric_token_share
+ORACLES["numeric_token_share"] = ORACLE_NUMERIC_TOKEN_SHARE
+
+
+def q_bigram_hapax_share(spark, sf_dir):
+    """Bigram hapax share per lang: the fraction of distinct word
+    bigrams seen exactly once — rises with genuine novelty, collapses
+    under duplication (the 2-gram complement of the hapax gate).
+    Bigrams live as (w1, w2) rollup rows, never concatenated strings."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    pairs = d.select(
+        "lang", F.posexplode(toks).alias("i", "w1"),
+        toks.alias("_toks"),
+    ).select(
+        "lang", "w1",
+        F.try_element_at("_toks", F.col("i") + 2).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    counts = pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+            F.sum((F.col("n") == 1).cast("long")).alias("hapax_bigrams"),
+        )
+        .withColumn(
+            "hapax_share",
+            F.round(F.col("hapax_bigrams") / F.col("distinct_bigrams"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BIGRAM_HAPAX_SHARE = r"""
+WITH toks AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+pairs AS (
+  SELECT lang, t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+counts AS (
+  SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS distinct_bigrams,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax_bigrams,
+       round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS hapax_share
+FROM counts GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bigram_hapax_share"] = q_bigram_hapax_share
+ORACLES["bigram_hapax_share"] = ORACLE_BIGRAM_HAPAX_SHARE
+
+
+def q_char_class_entropy(spark, sf_dir):
+    """Character-CLASS entropy per source (letters/digits/spaces/other
+    — a 4-symbol alphabet): crude but fully cross-engine-exact text
+    signal (class counts are integers; the entropy fold happens on the
+    4-row rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    total = F.length("text").cast("long")
+    letters = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
+    digits = F.length(F.regexp_replace("text", r"[^0-9]", "")).cast("long")
+    spaces = F.length(F.regexp_replace("text", r"[^ ]", "")).cast("long")
+    per = d.select(
+        "source", total.alias("t"), letters.alias("l"),
+        digits.alias("g"), spaces.alias("s"),
+    ).groupBy("source").agg(
+        F.sum("t").alias("t"), F.sum("l").alias("l"),
+        F.sum("g").alias("g"), F.sum("s").alias("s"),
+    ).withColumn("o", F.col("t") - F.col("l") - F.col("g") - F.col("s"))
+
+    def term(c):
+        p = F.col(c) / F.col("t")
+        return F.when(F.col(c) > 0, -p * F.log2(p)).otherwise(F.lit(0.0))
+
+    return per.select(
+        "source", F.col("t").alias("chars"),
+        F.round(term("l") + term("g") + term("s") + term("o"), 6)
+        .alias("class_entropy"),
+    ).orderBy("source")
+
+
+ORACLE_CHAR_CLASS_ENTROPY = """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(text)) AS BIGINT) AS t,
+         CAST(sum(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))) AS BIGINT) AS l,
+         CAST(sum(len(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT) AS g,
+         CAST(sum(len(regexp_replace(text, '[^ ]', '', 'g'))) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+),
+full_t AS (SELECT *, t - l - g - s AS o FROM per)
+SELECT source, t AS chars,
+       round(
+         (CASE WHEN l > 0 THEN -(l / t) * log2(l / t) ELSE 0 END)
+         + (CASE WHEN g > 0 THEN -(g / t) * log2(g / t) ELSE 0 END)
+         + (CASE WHEN s > 0 THEN -(s / t) * log2(s / t) ELSE 0 END)
+         + (CASE WHEN o > 0 THEN -(o / t) * log2(o / t) ELSE 0 END), 6)
+         AS class_entropy
+FROM full_t ORDER BY source
+"""
+
+QUERIES["char_class_entropy"] = q_char_class_entropy
+ORACLES["char_class_entropy"] = ORACLE_CHAR_CLASS_ENTROPY
+
+
+def q_doc_length_lang_profile(spark, sf_dir):
+    """Length-by-language census on the PRECOMPUTED n_chars column:
+    min/max/total plus the exact rank-selected median — the corpus
+    balance sheet before a token-budget allocation."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    ranked = d.select("lang", "n_chars", "doc_id").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        ),
+    )
+    med = ranked.join(
+        per.select("lang",
+                   F.floor((F.col("docs") + 1) / 2).cast("long").alias("mrk")),
+        "lang",
+    ).filter(F.col("rk") == F.col("mrk")).select(
+        "lang", F.col("n_chars").alias("median_chars")
+    )
+    return per.join(med, "lang").select(
+        "lang", "docs", "min_chars", "median_chars", "max_chars", "total_chars"
+    ).orderBy("lang")
+
+
+ORACLE_DOC_LENGTH_LANG_PROFILE = """
+WITH per AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS docs,
+         min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
+),
+ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rk
+  FROM documents
+),
+med AS (
+  SELECT r.lang, r.n_chars AS median_chars
+  FROM ranked r JOIN per USING (lang)
+  WHERE r.rk = CAST(floor((per.docs + 1) / 2) AS BIGINT)
+)
+SELECT lang, docs, min_chars, median_chars, max_chars, total_chars
+FROM per JOIN med USING (lang) ORDER BY lang
+"""
+
+QUERIES["doc_length_lang_profile"] = q_doc_length_lang_profile
+ORACLES["doc_length_lang_profile"] = ORACLE_DOC_LENGTH_LANG_PROFILE
+
+
+# ------------------------------------------------- batch 5: embeddings
+
+
+def q_emb_norm_percentile_bands(spark, sf_dir):
+    """Per-label L2-norm p10/p50/p90 by EXACT integer-rank selection
+    over the per-vector norm table: the normalization health-check
+    before cosine ops. Norms are in-order folds (F.aggregate) — one
+    row per vector, vectors never shuffle whole."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    scored = e.select("label", "vec_id", norm.alias("nrm"))
+    w = Window.partitionBy("label").orderBy("nrm", "vec_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.join(F.broadcast(per), "label")
+    out = None
+    for q, name in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90")):
+        sel = j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select("label", F.round("nrm", 6).alias(name))
+        out = sel if out is None else out.join(sel, "label")
+    return out.orderBy("label")
+
+
+ORACLE_EMB_NORM_PERCENTILE_BANDS = """
+WITH scored AS (
+  SELECT label, vec_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+ranked AS (
+  SELECT label, nrm,
+         row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rk,
+         count(*) OVER (PARTITION BY label) AS n
+  FROM scored
+)
+SELECT label,
+       round(max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.1) AS BIGINT))
+                 THEN nrm END), 6) AS p10,
+       round(max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+                 THEN nrm END), 6) AS p50,
+       round(max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.9) AS BIGINT))
+                 THEN nrm END), 6) AS p90
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_norm_percentile_bands"] = q_emb_norm_percentile_bands
+ORACLES["emb_norm_percentile_bands"] = ORACLE_EMB_NORM_PERCENTILE_BANDS
+
+
+def q_emb_label_centroid_distances(spark, sf_dir):
+    """Inter-label centroid distance matrix (upper triangle): how
+    separable the label space is BEFORE training a probe. Centroids
+    come from (label, dim) partial sums — vectors never shuffle whole;
+    the 10×64 centroid table self-joins broadcast."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cd = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("x").cast("double"))
+              / F.count(F.lit(1))).alias("c"))
+    )
+    a = cd.select(F.col("label").alias("la"), "dim", F.col("c").alias("ca"))
+    b_ = cd.select(F.col("label").alias("lb"), "dim", F.col("c").alias("cb"))
+    return (
+        a.join(F.broadcast(b_), "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb"))
+                         * (F.col("ca") - F.col("cb")))), 6).alias("dist"))
+        .orderBy("la", "lb")
+    )
+
+
+ORACLE_EMB_LABEL_CENTROID_DISTANCES = """
+WITH cd AS (
+  SELECT label, i AS dim,
+         sum(CAST(embedding[i + 1] AS DOUBLE)) / count(*) AS c
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+  GROUP BY 1, 2
+)
+SELECT a.label AS la, b.label AS lb,
+       round(sqrt(sum((a.c - b.c) * (a.c - b.c))), 6) AS dist
+FROM cd a JOIN cd b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["emb_label_centroid_distances"] = q_emb_label_centroid_distances
+ORACLES["emb_label_centroid_distances"] = ORACLE_EMB_LABEL_CENTROID_DISTANCES
+
+
+def q_emb_coordinate_range_report(spark, sf_dir):
+    """Per-dimension min/max/mean over the whole collection for the
+    FIRST 8 dimensions — the quantizer calibration table. (label, dim)
+    partial sums; output bounded at 8 rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 8)
+        .groupBy("dim")
+        .agg(
+            F.round(F.min(F.col("x").cast("double")), 6).alias("min_x"),
+            F.round(F.max(F.col("x").cast("double")), 6).alias("max_x"),
+            F.round(F.sum(F.col("x").cast("double")) / F.count(F.lit(1)), 6)
+            .alias("mean_x"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_COORDINATE_RANGE_REPORT = """
+SELECT i AS dim,
+       round(min(CAST(embedding[i + 1] AS DOUBLE)), 6) AS min_x,
+       round(max(CAST(embedding[i + 1] AS DOUBLE)), 6) AS max_x,
+       round(sum(CAST(embedding[i + 1] AS DOUBLE)) / count(*), 6) AS mean_x
+FROM embeddings, unnest(range(len(embedding))) AS u(i)
+WHERE i < 8
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_coordinate_range_report"] = q_emb_coordinate_range_report
+ORACLES["emb_coordinate_range_report"] = ORACLE_EMB_COORDINATE_RANGE_REPORT
+
+
+def q_emb_label_purity_knn1(spark, sf_dir):
+    """1-NN label purity on a deterministic 200-vector sample (vec_id
+    % 29 == 0): the share whose nearest OTHER sampled vector (cosine)
+    carries the same label — the cheapest labeled-manifold sanity
+    check. The sample self-join is 200×200 on dim-keyed partial sums,
+    never the full collection."""
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 29 == 0
+    )
+    flat = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "label", "dim", F.col("x").cast("double").alias("x"))
+    a = flat.select(F.col("vec_id").alias("ia"), F.col("label").alias("la"),
+                    "dim", F.col("x").alias("xa"))
+    b_ = flat.select(F.col("vec_id").alias("ib"), F.col("label").alias("lb"),
+                     "dim", F.col("x").alias("xb"))
+    dots = (
+        a.join(b_, "dim")
+        .filter(F.col("ia") != F.col("ib"))
+        .groupBy("ia", "la", "ib", "lb")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+    )
+    w = Window.partitionBy("ia").orderBy(F.col("dot").desc(), F.col("ib").asc())
+    nn = dots.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return nn.agg(
+        F.count(F.lit(1)).cast("long").alias("sampled"),
+        F.sum((F.col("la") == F.col("lb")).cast("long")).alias("pure"),
+        F.round(F.sum((F.col("la") == F.col("lb")).cast("double"))
+                / F.count(F.lit(1)), 6).alias("purity"),
+    )
+
+
+ORACLE_EMB_LABEL_PURITY_KNN1 = """
+WITH s AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 29 = 0
+),
+dots AS (
+  SELECT a.vec_id AS ia, a.label AS la, b.vec_id AS ib, b.label AS lb,
+         list_sum(list_transform(range(len(a.embedding)),
+           i -> CAST(a.embedding[i + 1] AS DOUBLE)
+                * CAST(b.embedding[i + 1] AS DOUBLE))) AS dot
+  FROM s a JOIN s b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT ia, la, lb,
+         row_number() OVER (PARTITION BY ia ORDER BY dot DESC, ib ASC) AS rk
+  FROM dots
+)
+SELECT CAST(count(*) AS BIGINT) AS sampled,
+       CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS pure,
+       round(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS purity
+FROM nn WHERE rk = 1
+"""
+
+QUERIES["emb_label_purity_knn1"] = q_emb_label_purity_knn1
+ORACLES["emb_label_purity_knn1"] = ORACLE_EMB_LABEL_PURITY_KNN1
