@@ -1497,3 +1497,849 @@ FROM nn WHERE rk = 1
 
 QUERIES["emb_label_purity_knn1"] = q_emb_label_purity_knn1
 ORACLES["emb_label_purity_knn1"] = ORACLE_EMB_LABEL_PURITY_KNN1
+
+
+# --------------------------------- batch 6: IR metrics depth + engine
+
+
+def q_ir_metrics_sum_over_time(spark, sf_dir):
+    """IR gauge range fn sum_over_time: daily sum of the hourly-cents
+    gauge — exact integer accumulation through the metric sub-model's
+    tumbling range vector."""
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "sum_over_time",
+        "window_seconds": DAY, "agg": "sum", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_SUM_OVER_TIME = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT {_DAY_BUCKET} AS bucket, service_name,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_sum_over_time"] = q_ir_metrics_sum_over_time
+ORACLES["ir_metrics_sum_over_time"] = ORACLE_IR_METRICS_SUM_OVER_TIME
+
+
+def q_ir_metrics_gauge_delta(spark, sf_dir):
+    """IR gauge `delta` (PromQL last−first semantics) over the daily
+    window: picks exactly two exact values per (series, day) — no
+    accumulation, so cross-engine float drift is impossible."""
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "delta",
+        "window_seconds": DAY, "agg": "sum", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_GAUGE_DELTA = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT {_DAY_BUCKET} AS bucket, service_name,
+       round((max_by(CAST(cents AS DOUBLE), h)
+              - min_by(CAST(cents AS DOUBLE), h)) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_gauge_delta"] = q_ir_metrics_gauge_delta
+ORACLES["ir_metrics_gauge_delta"] = ORACLE_IR_METRICS_GAUGE_DELTA
+
+
+def q_ir_metrics_instant_nostep(spark, sf_dir):
+    """IR instant vector with NO step: one row per series — the
+    latest sample over the whole query window (the /query instant
+    endpoint's shape, vs /query_range's bucketed one)."""
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "last",
+        "agg": "max", "by": ["service_name"],
+    })
+    return out.select(
+        "service_name", F.round(F.col("value") / 100.0, 6).alias("value")
+    ).orderBy("service_name")
+
+
+ORACLE_IR_METRICS_INSTANT_NOSTEP = f"""
+WITH hourly AS ({_HOURLY_SQL})
+SELECT service_name,
+       round(max_by(CAST(cents AS DOUBLE), h) / 100.0, 6) AS value
+FROM hourly GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ir_metrics_instant_nostep"] = q_ir_metrics_instant_nostep
+ORACLES["ir_metrics_instant_nostep"] = ORACLE_IR_METRICS_INSTANT_NOSTEP
+
+
+def q_typed_attr_eq_numeric(spark, sf_dir):
+    """Typed-attribute EQUALITY with a numeric literal: eq 404 reads
+    the int home (the eq branch of the typed numeric view); residue
+    rows under the same key never match, and the count matches the
+    oracle's direct band predicate."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(F.lit("http.response.status_code"), code).alias(
+            "log_attributes"
+        ),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "eq",
+                  "value": 404},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_EQ_NUMERIC = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 20 AND value < 100
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_eq_numeric"] = q_typed_attr_eq_numeric
+ORACLES["typed_attr_eq_numeric"] = ORACLE_TYPED_ATTR_EQ_NUMERIC
+
+
+_R12_CACHE: dict = {}
+
+
+def q_streaming_resume_drain(spark, sf_dir):
+    """DRIVER gate for checkpointed RESUME: the backlog drains in TWO
+    separate availableNow runs against ONE checkpoint — first over half
+    the source files, then (after the 'stream stopped', more data
+    arrived) over all of them. The second run must pick up exactly
+    where the first checkpointed: no batch replayed into the manifest,
+    no file skipped, and the final table answers the oracle's
+    whole-corpus rollup."""
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("resume", sf_dir)
+    if key not in _R12_CACHE:
+        src_all = _tempfile.mkdtemp(prefix="sdb-r12-all-")
+        src = _tempfile.mkdtemp(prefix="sdb-r12-src-")
+        table = _tempfile.mkdtemp(prefix="sdb-r12-tbl-")
+        ckpt = _tempfile.mkdtemp(prefix="sdb-r12-ckpt-")
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "date_day", F.date_format("ts", "yyyy-MM-dd")
+        ).withColumn("hour", F.lit(0))
+        e.repartition(6).write.mode("overwrite").parquet(src_all)
+        parts = sorted(
+            n for n in _os.listdir(src_all) if n.endswith(".parquet")
+        )
+        schema = spark.read.parquet(src_all).schema
+
+        def sink(bdf, bid):
+            write_batch_manifest(
+                bdf, table, "events_r12s", batch_id=bid,
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+
+        def drain():
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # phase 1: half the backlog
+        for n in parts[: len(parts) // 2]:
+            _shutil.copy(_os.path.join(src_all, n), _os.path.join(src, n))
+        drain()
+        # phase 2: the rest lands, the SAME checkpoint resumes
+        for n in parts[len(parts) // 2:]:
+            _shutil.copy(_os.path.join(src_all, n), _os.path.join(src, n))
+        drain()
+        _R12_CACHE[key] = table
+    df = ManifestTable(_R12_CACHE[key]).read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_cents"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STREAMING_RESUME_DRAIN = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["streaming_resume_drain"] = q_streaming_resume_drain
+ORACLES["streaming_resume_drain"] = ORACLE_STREAMING_RESUME_DRAIN
+
+
+# ------------------------------------- batch 7: SQL pins + relational
+
+
+def q_interval_containment_probe(spark, sf_dir):
+    """Point-in-interval cardinality at fixed probe dates: how many
+    orders were 'active' (within 30 days of placement) on each probe —
+    the scalar-probe shape whose predicate pushes to the scan instead
+    of materializing an interval join."""
+    o = load_table(spark, sf_dir, "orders")
+    probes = ["1997-06-15", "1996-01-01", "1995-03-31"]
+    aggs = [
+        F.sum(
+            (
+                (F.to_date("o_orderdate") <= F.lit(p).cast("date"))
+                & (F.date_add(F.to_date("o_orderdate"), 30)
+                   >= F.lit(p).cast("date"))
+            ).cast("long")
+        ).alias(f"active_{p.replace('-', '_')}")
+        for p in probes
+    ]
+    return o.agg(*aggs)
+
+
+ORACLE_INTERVAL_CONTAINMENT_PROBE = """
+SELECT
+  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) <= DATE '1997-06-15'
+       AND CAST(o_orderdate AS DATE) + 30 >= DATE '1997-06-15'
+       THEN 1 ELSE 0 END) AS BIGINT) AS active_1997_06_15,
+  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) <= DATE '1996-01-01'
+       AND CAST(o_orderdate AS DATE) + 30 >= DATE '1996-01-01'
+       THEN 1 ELSE 0 END) AS BIGINT) AS active_1996_01_01,
+  CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) <= DATE '1995-03-31'
+       AND CAST(o_orderdate AS DATE) + 30 >= DATE '1995-03-31'
+       THEN 1 ELSE 0 END) AS BIGINT) AS active_1995_03_31
+FROM orders
+"""
+
+QUERIES["interval_containment_probe"] = q_interval_containment_probe
+ORACLES["interval_containment_probe"] = ORACLE_INTERVAL_CONTAINMENT_PROBE
+
+
+def q_rounding_conventions_battery(spark, sf_dir):
+    """floor/ceil/trunc-toward-zero pins over signed balances — the
+    integer-conversion conventions that silently diverge across
+    engines; every output is an exact BIGINT sum."""
+    c = load_table(spark, sf_dir, "customer")
+    b = F.col("c_acctbal")
+    return c.agg(
+        F.sum(F.floor(b).cast("long")).alias("sum_floor"),
+        F.sum(F.ceil(b).cast("long")).alias("sum_ceil"),
+        F.sum(b.cast("long")).alias("sum_trunc"),  # cast truncates toward 0
+        F.sum(F.round(b, 0).cast("long")).alias("sum_round"),
+        F.sum((b < 0).cast("long")).alias("n_negative"),
+    )
+
+
+ORACLE_ROUNDING_CONVENTIONS_BATTERY = """
+SELECT CAST(sum(floor(c_acctbal)) AS BIGINT) AS sum_floor,
+       CAST(sum(ceil(c_acctbal)) AS BIGINT) AS sum_ceil,
+       CAST(sum(trunc(c_acctbal)) AS BIGINT) AS sum_trunc,
+       CAST(sum(round(c_acctbal, 0)) AS BIGINT) AS sum_round,
+       CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negative
+FROM customer
+"""
+
+QUERIES["rounding_conventions_battery"] = q_rounding_conventions_battery
+ORACLES["rounding_conventions_battery"] = ORACLE_ROUNDING_CONVENTIONS_BATTERY
+
+
+def q_union_vs_union_all_battery(spark, sf_dir):
+    """UNION dedup vs UNION ALL multiset over two overlapping
+    projections (high-value click users vs purchase users) — the
+    row-fate ledger for the two set semantics."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 50)
+    ).select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return spark.createDataFrame(
+        [("union_all",)], "which string"
+    ).crossJoin(
+        a.unionAll(b).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).unionByName(
+        spark.createDataFrame([("union_distinct",)], "which string").crossJoin(
+            a.unionAll(b).distinct().agg(
+                F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    ).orderBy("which")
+
+
+ORACLE_UNION_VS_UNION_ALL_BATTERY = """
+WITH a AS (SELECT user_id FROM events
+           WHERE event_type = 'click' AND value > 50),
+b AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'union_all' AS which,
+       CAST((SELECT count(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b))
+            AS BIGINT) AS n
+UNION ALL
+SELECT 'union_distinct' AS which,
+       CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+            AS BIGINT) AS n
+ORDER BY which
+"""
+
+QUERIES["union_vs_union_all_battery"] = q_union_vs_union_all_battery
+ORACLES["union_vs_union_all_battery"] = ORACLE_UNION_VS_UNION_ALL_BATTERY
+
+
+def q_bool_agg_battery(spark, sf_dir):
+    """Boolean aggregates per priority: every/some/count_if — the
+    predicate-rollup vocabulary (bool_and/bool_or in the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.some(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+            F.count_if(F.col("o_orderstatus") == "F").cast("long")
+            .alias("n_finished"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BOOL_AGG_BATTERY = """
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["bool_agg_battery"] = q_bool_agg_battery
+ORACLES["bool_agg_battery"] = ORACLE_BOOL_AGG_BATTERY
+
+
+def q_basket_value_quartiles_by_region(spark, sf_dir):
+    """Order-value quartile cuts per customer region (exact integer
+    ranks over cents; the customer→nation→region chain broadcasts into
+    the orders scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("c_custkey", "r_name")
+    j = o.join(F.broadcast(dim), o.o_custkey == F.col("c_custkey")).select(
+        "r_name", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("r_name").orderBy("cents", "o_orderkey")
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    per = j.groupBy("r_name").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    jj = ranked.join(F.broadcast(per), "r_name")
+    out = None
+    for q, name in ((0.25, "q1_cents"), (0.5, "q2_cents"), (0.75, "q3_cents")):
+        sel = jj.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select("r_name", F.col("cents").alias(name))
+        out = sel if out is None else out.join(sel, "r_name")
+    return out.orderBy("r_name")
+
+
+ORACLE_BASKET_VALUE_QUARTILES_BY_REGION = """
+WITH j AS (
+  SELECT r_name, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+ranked AS (
+  SELECT r_name, cents,
+         row_number() OVER (PARTITION BY r_name
+                            ORDER BY cents, o_orderkey) AS rk,
+         count(*) OVER (PARTITION BY r_name) AS n
+  FROM j
+)
+SELECT r_name,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+           THEN cents END) AS q1_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN cents END) AS q2_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+           THEN cents END) AS q3_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["basket_value_quartiles_by_region"] = q_basket_value_quartiles_by_region
+ORACLES["basket_value_quartiles_by_region"] = (
+    ORACLE_BASKET_VALUE_QUARTILES_BY_REGION
+)
+
+
+def q_events_value_ecdf_probe(spark, sf_dir):
+    """Empirical CDF at fixed probe values per stream — one conditional
+    agg pass, the monitoring-threshold calibration table."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.round(
+                    F.sum((F.col("value") <= v).cast("long"))
+                    / F.count(F.lit(1)), 6
+                ).alias(f"cdf_{v}")
+                for v in (10, 50, 100)
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_VALUE_ECDF_PROBE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN value <= 10 THEN 1 ELSE 0 END) / count(*), 6)
+         AS cdf_10,
+       round(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) / count(*), 6)
+         AS cdf_50,
+       round(sum(CASE WHEN value <= 100 THEN 1 ELSE 0 END) / count(*), 6)
+         AS cdf_100
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_value_ecdf_probe"] = q_events_value_ecdf_probe
+ORACLES["events_value_ecdf_probe"] = ORACLE_EVENTS_VALUE_ECDF_PROBE
+
+
+def q_order_fill_latency_bands(spark, sf_dir):
+    """Fulfillment-start latency (order→FIRST ship) banded per
+    priority: the ops SLA view that complements the per-supplier lag
+    leaderboard; one min-agg per order before the band rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    j = o.join(first_ship, o.o_orderkey == F.col("l_orderkey"))
+    lag = F.datediff("first_ship", "o_orderdate")
+    band = (
+        F.when(lag <= 7, "0-7d")
+        .when(lag <= 30, "8-30d")
+        .when(lag <= 60, "31-60d")
+        .otherwise("60d+")
+    )
+    return (
+        j.groupBy("o_orderpriority", band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("o_orderpriority", "band")
+    )
+
+
+ORACLE_ORDER_FILL_LATENCY_BANDS = """
+WITH first_ship AS (
+  SELECT l_orderkey, min(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority,
+       CASE WHEN datediff('day', o_orderdate, first_ship) <= 7 THEN '0-7d'
+            WHEN datediff('day', o_orderdate, first_ship) <= 30 THEN '8-30d'
+            WHEN datediff('day', o_orderdate, first_ship) <= 60 THEN '31-60d'
+            ELSE '60d+' END AS band,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["order_fill_latency_bands"] = q_order_fill_latency_bands
+ORACLES["order_fill_latency_bands"] = ORACLE_ORDER_FILL_LATENCY_BANDS
+
+
+# ------------------------------------------------------- batch 8: mixed
+
+
+def q_doc_source_lang_matrix(spark, sf_dir):
+    """Corpus composition matrix with marginals via GROUPING SETS:
+    (source, lang) cells plus per-source, per-lang, and grand totals in
+    ONE Expand pass — the census a mixture-rebalance reads."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("r12_docs")
+    return d.sparkSession.sql("""
+        SELECT coalesce(source, '(all)') AS source,
+               coalesce(lang, '(all)') AS lang,
+               CAST(grouping_id(source, lang) AS INT) AS gid,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM r12_docs
+        GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        ORDER BY gid, source, lang
+    """)
+
+
+ORACLE_DOC_SOURCE_LANG_MATRIX = """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       CAST(grouping(source) * 2 + grouping(lang) AS INT) AS gid,
+       CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+ORDER BY gid, 1, 2
+"""
+
+QUERIES["doc_source_lang_matrix"] = q_doc_source_lang_matrix
+ORACLES["doc_source_lang_matrix"] = ORACLE_DOC_SOURCE_LANG_MATRIX
+
+
+def q_mode_stability_weekly(spark, sf_dir):
+    """Weekly modal event type and whether it flipped week-over-week —
+    regime-change detection on the cheapest possible signal. The mode
+    picks deterministically by (count desc, type asc); the lag runs
+    over the ~5-row weekly table."""
+    e = load_table(spark, sf_dir, "events")
+    weekly = e.groupBy(
+        F.date_trunc("week", "ts").cast("date").alias("wk"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("wk").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    modes = weekly.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    ).select("wk", F.col("event_type").alias("mode_type"), "n")
+    lw = Window.orderBy("wk")
+    return (
+        modes.withColumn(
+            "changed",
+            F.when(F.lag("mode_type").over(lw).isNull(), F.lit(None))
+            .otherwise(F.lag("mode_type").over(lw) != F.col("mode_type")),
+        )
+        .select("wk", "mode_type", "n", "changed")
+        .orderBy("wk")
+    )
+
+
+ORACLE_MODE_STABILITY_WEEKLY = """
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS wk, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+modes AS (
+  SELECT wk, event_type AS mode_type, n,
+         row_number() OVER (PARTITION BY wk
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM weekly
+)
+SELECT wk, mode_type, n,
+       CASE WHEN lag(mode_type) OVER (ORDER BY wk) IS NULL THEN NULL
+            ELSE lag(mode_type) OVER (ORDER BY wk) <> mode_type END
+         AS changed
+FROM modes WHERE rk = 1 ORDER BY wk
+"""
+
+QUERIES["mode_stability_weekly"] = q_mode_stability_weekly
+ORACLES["mode_stability_weekly"] = ORACLE_MODE_STABILITY_WEEKLY
+
+
+def q_brand_price_premium(spark, sf_dir):
+    """Per-brand list-price premium vs the catalog mean, in exact
+    cents until the final two divisions — the assortment pricing view;
+    the global scalar rides a 1-row broadcast."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    per = p.select("p_brand", cents.alias("c")).groupBy("p_brand").agg(
+        F.sum("c").alias("sum_c"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    glob = p.select(cents.alias("c")).agg(
+        F.sum("c").alias("gsum"), F.count(F.lit(1)).cast("long").alias("gn")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "p_brand", "n",
+            F.round(
+                (F.col("sum_c") / F.col("n"))
+                / (F.col("gsum") / F.col("gn")) - 1, 6
+            ).alias("premium"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_PRICE_PREMIUM = """
+WITH per AS (
+  SELECT p_brand,
+         CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM part GROUP BY 1
+),
+g AS (
+  SELECT CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS gsum,
+         CAST(count(*) AS BIGINT) AS gn
+  FROM part
+)
+SELECT p_brand, n,
+       round((sum_c / n) / (gsum / gn) - 1, 6) AS premium
+FROM per, g ORDER BY p_brand
+"""
+
+QUERIES["brand_price_premium"] = q_brand_price_premium
+ORACLES["brand_price_premium"] = ORACLE_BRAND_PRICE_PREMIUM
+
+
+def q_cume_dist_battery(spark, sf_dir):
+    """cume_dist + percent_rank over supplier balances per nation —
+    the two normalized-rank functions whose tie handling differs from
+    each other (cume_dist counts peers IN, percent_rank counts them
+    OUT); pinned at the top-balance supplier of each nation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy("s_acctbal")
+    scored = j.select(
+        "n_name", "s_name", "s_acctbal",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+    pick = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_name").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "s_name", "cd", "pr")
+        .orderBy("n_name")
+    )
+
+
+ORACLE_CUME_DIST_BATTERY = """
+WITH scored AS (
+  SELECT n_name, s_name, s_acctbal,
+         round(cume_dist() OVER (PARTITION BY n_name ORDER BY s_acctbal), 6)
+           AS cd,
+         round(percent_rank() OVER (PARTITION BY n_name ORDER BY s_acctbal), 6)
+           AS pr,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY s_acctbal DESC, s_name ASC) AS rk
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+)
+SELECT n_name, s_name, cd, pr FROM scored WHERE rk = 1 ORDER BY n_name
+"""
+
+QUERIES["cume_dist_battery"] = q_cume_dist_battery
+ORACLES["cume_dist_battery"] = ORACLE_CUME_DIST_BATTERY
+
+
+def q_trade_region_matrix(spark, sf_dir):
+    """Supplier-region × customer-region revenue matrix (exact cents):
+    the Q7 nation-pair shape widened to the full region grid; both dim
+    chains broadcast, lineitem-orders is the only fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    sdim = s.join(F.broadcast(nr), s.s_nationkey == nr.n_nationkey).select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("r_name").alias("supp_region"),
+    )
+    cdim = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey).select(
+        "c_custkey", F.col("r_name").alias("cust_region")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.select("l_orderkey", "l_suppkey", cents.alias("c"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(sdim), "l_suppkey")
+        .join(F.broadcast(cdim), F.col("o_custkey") == cdim.c_custkey)
+        .groupBy("supp_region", "cust_region")
+        .agg(F.sum("c").alias("revenue_cents"))
+        .orderBy("supp_region", "cust_region")
+    )
+
+
+ORACLE_TRADE_REGION_MATRIX = """
+SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["trade_region_matrix"] = q_trade_region_matrix
+ORACLES["trade_region_matrix"] = ORACLE_TRADE_REGION_MATRIX
+
+
+def q_user_span_bands(spark, sf_dir):
+    """User lifetime-span histogram: days between first and last event
+    per user, banded — the churn-exposure census (one min/max agg per
+    user, then a band rollup)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .alias("span_days")
+    )
+    band = (
+        F.when(F.col("span_days") == 0, "same-day")
+        .when(F.col("span_days") <= 7, "1-7d")
+        .when(F.col("span_days") <= 21, "8-21d")
+        .otherwise("22d+")
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_USER_SPAN_BANDS = """
+WITH per AS (
+  SELECT user_id,
+         datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+           AS span_days
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN span_days = 0 THEN 'same-day'
+            WHEN span_days <= 7 THEN '1-7d'
+            WHEN span_days <= 21 THEN '8-21d'
+            ELSE '22d+' END AS band,
+       CAST(count(*) AS BIGINT) AS users
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_span_bands"] = q_user_span_bands
+ORACLES["user_span_bands"] = ORACLE_USER_SPAN_BANDS
+
+
+def q_top_type_by_hourofday(spark, sf_dir):
+    """Modal event type per hour-of-day with its share — the daily
+    rhythm fingerprint; deterministic mode pick, shares from exact
+    counts."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(F.hour("ts").cast("int").alias("hod"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("hod").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    wt = Window.partitionBy("hod")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "hod", F.col("event_type").alias("mode_type"), "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy("hod")
+    )
+
+
+ORACLE_TOP_TYPE_BY_HOUROFDAY = """
+WITH per AS (
+  SELECT CAST(hour(ts) AS INT) AS hod, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hod, event_type, n,
+         row_number() OVER (PARTITION BY hod
+                            ORDER BY n DESC, event_type ASC) AS rk,
+         sum(n) OVER (PARTITION BY hod) AS total
+  FROM per
+)
+SELECT hod, event_type AS mode_type, n, round(n / total, 6) AS share
+FROM r WHERE rk = 1 ORDER BY hod
+"""
+
+QUERIES["top_type_by_hourofday"] = q_top_type_by_hourofday
+ORACLES["top_type_by_hourofday"] = ORACLE_TOP_TYPE_BY_HOUROFDAY
+
+
+def q_dow_hour_heatmap(spark, sf_dir):
+    """The ops-dashboard weekday×hour traffic heatmap with global
+    shares — 168 cells, exact counts, the dayofweek convention pinned
+    once more on a 2-D grid."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy()
+    return (
+        per.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .select("dow", "hod", "n", "share")
+        .orderBy("dow", "hod")
+    )
+
+
+ORACLE_DOW_HOUR_HEATMAP = """
+WITH per AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(hour(ts) AS INT) AS hod, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hod, n, round(n / sum(n) OVER (), 6) AS share
+FROM per ORDER BY dow, hod
+"""
+
+QUERIES["dow_hour_heatmap"] = q_dow_hour_heatmap
+ORACLES["dow_hour_heatmap"] = ORACLE_DOW_HOUR_HEATMAP

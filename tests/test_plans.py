@@ -1108,3 +1108,34 @@ def test_ir_metrics_scale_shapes(spark):
     p_last = plan(qs["ir_metrics_gauge_last"](spark, SF_DIR))
     assert "CartesianProduct" not in p_last
     assert "Window" not in p_last  # instant last is a pure groupBy
+
+
+def test_round12_staged_scale_shapes(spark):
+    """Round-12 staged gates: dim chains broadcast into fact scans,
+    1-row global scalars ride broadcast nested loops (never a shuffle),
+    the bigram walk explodes (Generate) before its aggregate, and
+    nothing degenerates to a cartesian product."""
+    qs = all_queries()
+
+    p_trade = plan(qs["trade_region_matrix"](spark, SF_DIR))
+    assert p_trade.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p_trade
+
+    p_quart = plan(qs["basket_value_quartiles_by_region"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_quart
+    assert "CartesianProduct" not in p_quart
+
+    p_prem = plan(qs["brand_price_premium"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_prem  # 1-row global scalar
+    assert "CartesianProduct" not in p_prem
+
+    p_week = plan(qs["first_week_activation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_week
+
+    p_bi = plan(qs["bigram_hapax_share"](spark, SF_DIR))
+    assert "Generate" in p_bi  # posexplode token walk
+    assert "CartesianProduct" not in p_bi
+
+    p_lead = plan(qs["supplier_lead_time_rank"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_lead
+    assert "CartesianProduct" not in p_lead
