@@ -948,6 +948,89 @@ class SignalDBAPI:
                 "rows": [], "series": [series[k] for k in series_order],
                 "step_ns": step_ns}
 
+    @_guarded_route
+    def query_describe(self, req: dict, attr_registry=None, now=None) -> dict:
+        """POST /describe — the unified field-discovery surface
+        (query-field-discovery proposal): one tenant-scoped
+        introspection endpoint replacing the scattered dialect metadata
+        routes, over the SAME logical namespace as the IR, answering in
+        the proposal's `metadata` result envelope.
+
+        ``req["describe"]`` selects the mode:
+
+        - ``"sources"`` — available signal sources (catalog lookup, no
+          scan);
+        - ``"fields"`` — queryable fields for ``req["from"]``:
+          materialized columns typed from the schema plus attribute
+          keys detected from a bounded sample, canonical types from the
+          attribute type authority when one is passed;
+        - ``"values"`` — value suggestions for ``req["field"]`` within
+          ``req["range"]``, scoped by the IR predicates chosen so far
+          (``req["where"]``), capped (``req["limit"]``, default 100);
+        - ``"cardinality"`` — approx-distinct hints for
+          ``req["fields"]`` over a bounded sample.
+        """
+        from .ir.discovery import (
+            DEFAULT_VALUE_LIMIT,
+            describe_fields,
+            describe_sources,
+            field_cardinality_hints,
+            suggest_values,
+        )
+        from .ir.model import IRValidationError, _validate_pred
+
+        mode = req.get("describe")
+        if mode == "sources":
+            return {"status": "success",
+                    "data": {"resultType": "metadata",
+                             "result": describe_sources(self.session)}}
+        source = req.get("from")
+        df = self.session.table(source) if source else None
+        if df is None:
+            return error_envelope(
+                f"no {source!r} table for tenant", "not_found")
+        if mode == "fields":
+            return {"status": "success",
+                    "data": {"resultType": "metadata",
+                             "result": describe_fields(df, attr_registry)}}
+        if mode == "cardinality":
+            fields = req.get("fields") or []
+            if not fields:
+                return error_envelope("cardinality needs 'fields'", "bad_data")
+            return {"status": "success",
+                    "data": {"resultType": "metadata",
+                             "result": field_cardinality_hints(df, fields)}}
+        if mode == "values":
+            field = req.get("field")
+            if not field:
+                return error_envelope("values needs a 'field'", "bad_data")
+            try:
+                rng = req.get("range") or {}
+                if rng:
+                    now_ns = _epoch_nanos(now) if now is not None else _epoch_nanos(
+                        dt.datetime.now(dt.timezone.utc))
+                    start_ns = self._resolve_anchor(rng["from"], now_ns)
+                    end_ns = self._resolve_anchor(rng["to"], now_ns)
+                    from pyspark.sql import functions as F
+                    if "timestamp" in df.columns:
+                        df = df.filter(F.col("timestamp").between(
+                            F.timestamp_micros(F.lit(start_ns // 1000)),
+                            F.timestamp_micros(F.lit(end_ns // 1000)),
+                        ))
+                where = (_validate_pred(req["where"])
+                         if req.get("where") is not None else None)
+            except (KeyError, ValueError, IRValidationError) as e:
+                return error_envelope(f"invalid describe request: {e}", "bad_data")
+            limit = int(req.get("limit") or DEFAULT_VALUE_LIMIT)
+            rows = suggest_values(df, field, where=where, limit=limit).collect()
+            return {"status": "success",
+                    "data": {"resultType": "metadata",
+                             "result": [{"value": r["value"], "count": r["n"]}
+                                        for r in rows]}}
+        return error_envelope(
+            f"unknown describe mode {mode!r} "
+            "(sources|fields|values|cardinality)", "bad_data")
+
     # --------------------------------------------------- ops + schemas
     # POST /api/v1/ops/compact (+ /dry-run), GET /ops/compact/status
     # (endpoints/ops.rs); GET /schemas/available (management surface)

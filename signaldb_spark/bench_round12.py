@@ -1155,13 +1155,21 @@ def q_bigram_hapax_share(spark, sf_dir):
     Bigrams live as (w1, w2) rollup rows, never concatenated strings."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim("text"), r"\s+")
-    pairs = d.select(
-        "lang", F.posexplode(toks).alias("i", "w1"),
-        toks.alias("_toks"),
-    ).select(
-        "lang", "w1",
-        F.try_element_at("_toks", F.col("i") + 2).alias("w2"),
-    ).filter(F.col("w2").isNotNull())
+    # Build the bigram-struct array FIRST (zip_with over two slices),
+    # then explode once: O(words) cells per doc. Exploding token
+    # positions and re-indexing the full array per row would carry the
+    # WHOLE token array on every exploded row — O(words²) cells, which
+    # measured 5-6s at sf0.1 vs ~1s for this shape.
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        d.filter(F.size(toks) >= 2)
+        .select("lang", F.explode(bigrams).alias("p"))
+        .select("lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
     counts = pairs.groupBy("lang", "w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
