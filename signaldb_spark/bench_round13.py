@@ -1,0 +1,1043 @@
+"""Round-13 staging battery: oracle-gated queries registered AFTER the
+round-12 block so earlier rounds' tuned driver prefixes stay intact;
+these become fresh driver evidence once rounds 8-12 are proven.
+
+Same conventions as bench_queries (round(x, 6) floats, BIGINT counts,
+explicit tiebreaks, aliases identical on both sides, integer cents
+wherever exactness matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------------------- batch 1
+
+
+def q_order_growth_rate(spark, sf_dir):
+    """Month-over-month order-count growth: exact counts, one lag over
+    the monthly rollup, growth as an exact-int ratio rounded once."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("n").over(w))
+        .select(
+            "month", "n",
+            F.round((F.col("n") - F.col("prev")) / F.col("prev"), 6)
+            .alias("growth"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_ORDER_GROWTH_RATE = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT month, n,
+       round((n - lag(n) OVER (ORDER BY month))
+             / lag(n) OVER (ORDER BY month), 6) AS growth
+FROM monthly ORDER BY month
+"""
+
+QUERIES["order_growth_rate"] = q_order_growth_rate
+ORACLES["order_growth_rate"] = ORACLE_ORDER_GROWTH_RATE
+
+
+def q_discount_cap_counterfactual(spark, sf_dir):
+    """Counterfactual pricing: revenue recovered per year if every
+    discount above 5% were capped at 5% — the what-if a pricing review
+    runs; per-line integer cents under BOTH discount schedules."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    actual = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    capped = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.least(F.col("l_discount"), F.lit(0.05))) * 100
+    ).cast("long")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("yr")
+        .agg(
+            F.sum(actual).alias("actual_cents"),
+            F.sum(capped - actual).alias("recovered_cents"),
+            F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
+                "lines_over_cap"
+            ),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_DISCOUNT_CAP_COUNTERFACTUAL = """
+SELECT year(o_orderdate) AS yr,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS actual_cents,
+       sum(CAST(round(l_extendedprice * (1 - least(l_discount, 0.05)) * 100)
+                AS BIGINT)
+           - CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         AS recovered_cents,
+       CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS lines_over_cap
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["discount_cap_counterfactual"] = q_discount_cap_counterfactual
+ORACLES["discount_cap_counterfactual"] = ORACLE_DISCOUNT_CAP_COUNTERFACTUAL
+
+
+def q_orders_per_customer_tail(spark, sf_dir):
+    """Survival counts P(orders ≥ k) for k = 1..10 — the heavy-buyer
+    tail a loyalty program sizes against; one rollup, one bounded
+    spine join."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("long").alias("k"))
+    return (
+        ks.crossJoin(F.broadcast(per.agg(
+            *[F.sum((F.col("n") >= k).cast("long")).alias(f"c{k}")
+              for k in range(1, 11)]
+        )))
+        .select(
+            "k",
+            F.coalesce(*[
+                F.when(F.col("k") == k, F.col(f"c{k}")) for k in range(1, 11)
+            ]).alias("customers"),
+        )
+        .orderBy("k")
+    )
+
+
+ORACLE_ORDERS_PER_CUSTOMER_TAIL = """
+WITH per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+)
+SELECT k, CAST(sum(CASE WHEN n >= k THEN 1 ELSE 0 END) AS BIGINT)
+       AS customers
+FROM per, unnest(range(1, 11)) AS u(k)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["orders_per_customer_tail"] = q_orders_per_customer_tail
+ORACLES["orders_per_customer_tail"] = ORACLE_ORDERS_PER_CUSTOMER_TAIL
+
+
+def q_linenumber_price_trend(spark, sf_dir):
+    """Average line value by position in the order (linenumber 1-7):
+    do later lines carry smaller items? Exact cents until the one
+    division, plus each position's share of lines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = li.groupBy("l_linenumber").agg(
+        F.sum(cents).alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy()
+    return (
+        per.select(
+            "l_linenumber", "n",
+            F.round(F.col("sum_cents") / F.col("n") / 100.0, 6)
+            .alias("avg_value"),
+            F.round(F.col("n") / F.sum("n").over(w), 6).alias("line_share"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+ORACLE_LINENUMBER_PRICE_TREND = """
+WITH per AS (
+  SELECT l_linenumber,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_linenumber, n,
+       round(sum_cents / n / 100.0, 6) AS avg_value,
+       round(n / sum(n) OVER (), 6) AS line_share
+FROM per ORDER BY l_linenumber
+"""
+
+QUERIES["linenumber_price_trend"] = q_linenumber_price_trend
+ORACLES["linenumber_price_trend"] = ORACLE_LINENUMBER_PRICE_TREND
+
+
+def q_quantity_histogram_cumshare(spark, sf_dir):
+    """The full integer-quantity histogram (1-50) with cumulative
+    share — exact counts, one cumulative window over the 50-row
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_quantity").cast("int").alias("qty")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    return (
+        per.withColumn(
+            "cum_share",
+            F.round(F.sum("n").over(w) / F.sum("n").over(wt), 6),
+        )
+        .select("qty", "n", "cum_share")
+        .orderBy("qty")
+    )
+
+
+ORACLE_QUANTITY_HISTOGRAM_CUMSHARE = """
+WITH per AS (
+  SELECT CAST(l_quantity AS INT) AS qty, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT qty, n,
+       round(sum(n) OVER (ORDER BY qty) / sum(n) OVER (), 6) AS cum_share
+FROM per ORDER BY qty
+"""
+
+QUERIES["quantity_histogram_cumshare"] = q_quantity_histogram_cumshare
+ORACLES["quantity_histogram_cumshare"] = ORACLE_QUANTITY_HISTOGRAM_CUMSHARE
+
+
+def q_value_top_decile_share(spark, sf_dir):
+    """Value-mass concentration per stream: the share of total value
+    carried by the top 10% of events (exact integer-rank cut on cents,
+    tiebreak event_id)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    scored = e.select("event_type", cents.alias("c"), "event_id")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("event_id").asc()
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").alias("total_c"),
+    )
+    return (
+        ranked.join(F.broadcast(per), "event_type")
+        .filter(F.col("rk") <= F.greatest(F.lit(1), F.floor(F.col("n") / 10)))
+        .groupBy("event_type")
+        .agg(
+            F.first("n").alias("events"),
+            F.round(F.sum("c") / F.first("total_c"), 6).alias(
+                "top_decile_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_TOP_DECILE_SHARE = """
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c DESC, event_id ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(c) OVER (PARTITION BY event_type) AS total_c
+  FROM scored
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS events,
+       round(sum(c) / max(total_c), 6) AS top_decile_share
+FROM ranked
+WHERE rk <= greatest(1, CAST(floor(n / 10) AS BIGINT))
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_top_decile_share"] = q_value_top_decile_share
+ORACLES["value_top_decile_share"] = ORACLE_VALUE_TOP_DECILE_SHARE
+
+
+def q_user_loyalty_bands(spark, sf_dir):
+    """Behavioral focus bands: each user's dominant-event-type share
+    (exact counts, deterministic dominant pick), banded — how
+    single-purpose the audience is."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    wt = Window.partitionBy("user_id")
+    dom = (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select((F.col("n") * 100 / F.col("total")).alias("pct"))
+    )
+    band = (
+        F.when(F.col("pct") >= 80, "focused-80+")
+        .when(F.col("pct") >= 50, "major-50-79")
+        .otherwise("diverse-<50")
+    )
+    return (
+        dom.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_USER_LOYALTY_BANDS = """
+WITH per AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+dom AS (
+  SELECT user_id, n * 100 / sum(n) OVER (PARTITION BY user_id) AS pct,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM per
+)
+SELECT CASE WHEN pct >= 80 THEN 'focused-80+'
+            WHEN pct >= 50 THEN 'major-50-79'
+            ELSE 'diverse-<50' END AS band,
+       CAST(count(*) AS BIGINT) AS users
+FROM dom WHERE rk = 1 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_loyalty_bands"] = q_user_loyalty_bands
+ORACLES["user_loyalty_bands"] = ORACLE_USER_LOYALTY_BANDS
+
+
+def q_value_quantile_by_dow(spark, sf_dir):
+    """p50/p90 of event value per day-of-week by exact integer-rank
+    selection on cents — does weekend traffic carry different value?"""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    scored = e.select(
+        F.dayofweek("ts").cast("int").alias("dow"),
+        cents.alias("c"), "event_id",
+    )
+    w = Window.partitionBy("dow").orderBy("c", "event_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.join(F.broadcast(per), "dow")
+    p50 = j.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.5))
+    ).select("dow", F.col("c").alias("p50_cents"))
+    p90 = j.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.9))
+    ).select("dow", F.col("c").alias("p90_cents"))
+    return p50.join(p90, "dow").orderBy("dow")
+
+
+ORACLE_VALUE_QUANTILE_BY_DOW = """
+WITH scored AS (
+  SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+         CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events
+),
+ranked AS (
+  SELECT dow, c,
+         row_number() OVER (PARTITION BY dow ORDER BY c, event_id) AS rk,
+         count(*) OVER (PARTITION BY dow) AS n
+  FROM scored
+)
+SELECT dow,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN c END) AS p50_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.9) AS BIGINT))
+           THEN c END) AS p90_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_quantile_by_dow"] = q_value_quantile_by_dow
+ORACLES["value_quantile_by_dow"] = ORACLE_VALUE_QUANTILE_BY_DOW
+
+
+# ------------------------------------------------ batch 2: corpus + engine
+
+
+def q_hour_stickiness(spark, sf_dir):
+    """Consecutive-hour user stickiness: of users active in hour h,
+    the share also active in hour h+1, rolled up by hour-of-day — the
+    short-horizon retention curve. Distinct (user, hour) rollup first;
+    the self-join runs on that digest."""
+    e = load_table(spark, sf_dir, "events")
+    uh = e.select(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).distinct()
+    nxt = uh.select(
+        F.col("user_id").alias("u2"),
+        (F.col("h") - F.expr("INTERVAL 1 HOUR")).alias("h_prev"),
+    )
+    j = uh.join(
+        nxt, (uh.user_id == nxt.u2) & (uh.h == nxt.h_prev), "left"
+    )
+    return (
+        j.groupBy(F.hour("h").cast("int").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("user_hours"),
+            F.count("u2").cast("long").alias("retained_next_hour"),
+        )
+        .withColumn(
+            "stickiness",
+            F.round(F.col("retained_next_hour") / F.col("user_hours"), 6),
+        )
+        .orderBy("hod")
+    )
+
+
+ORACLE_HOUR_STICKINESS = """
+WITH uh AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS h FROM events
+)
+SELECT CAST(hour(a.h) AS INT) AS hod,
+       CAST(count(*) AS BIGINT) AS user_hours,
+       CAST(count(b.user_id) AS BIGINT) AS retained_next_hour,
+       round(count(b.user_id) / count(*), 6) AS stickiness
+FROM uh a LEFT JOIN uh b
+  ON a.user_id = b.user_id AND b.h = a.h + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["hour_stickiness"] = q_hour_stickiness
+ORACLES["hour_stickiness"] = ORACLE_HOUR_STICKINESS
+
+
+def q_doc_prefix_dup_rate(spark, sf_dir):
+    """Cheap near-dup screen: docs sharing their first 48 characters,
+    per source — prefix-block sizes and the share of docs in blocks of
+    2+ (the triage BEFORE paying for MinHash)."""
+    d = load_table(spark, sf_dir, "documents")
+    blocks = d.groupBy(
+        "source", F.substring("text", 1, 48).alias("pfx")
+    ).agg(F.count(F.lit(1)).cast("long").alias("bn"))
+    return (
+        blocks.groupBy("source")
+        .agg(
+            F.sum("bn").alias("docs"),
+            F.sum(F.when(F.col("bn") >= 2, F.col("bn")).otherwise(0))
+            .alias("docs_in_dup_blocks"),
+            F.count(F.lit(1)).cast("long").alias("blocks"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(F.col("docs_in_dup_blocks") / F.col("docs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOC_PREFIX_DUP_RATE = """
+WITH blocks AS (
+  SELECT source, substring(text, 1, 48) AS pfx,
+         CAST(count(*) AS BIGINT) AS bn
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, CAST(sum(bn) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN bn >= 2 THEN bn ELSE 0 END) AS BIGINT)
+         AS docs_in_dup_blocks,
+       CAST(count(*) AS BIGINT) AS blocks,
+       round(sum(CASE WHEN bn >= 2 THEN bn ELSE 0 END) / sum(bn), 6)
+         AS dup_rate
+FROM blocks GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_prefix_dup_rate"] = q_doc_prefix_dup_rate
+ORACLES["doc_prefix_dup_rate"] = ORACLE_DOC_PREFIX_DUP_RATE
+
+
+def q_boundary_token_vocab(spark, sf_dir):
+    """First-token vs last-token vocabulary per lang: documents that
+    start formulaically but end diversely (or vice versa) mark
+    template contamination — two bounded distinct counts from one
+    projection."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    per = d.select(
+        "lang",
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.countDistinct("first_tok").cast("long").alias("first_vocab"),
+            F.countDistinct("last_tok").cast("long").alias("last_vocab"),
+            F.count(F.lit(1)).cast("long").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_BOUNDARY_TOKEN_VOCAB = r"""
+WITH per AS (
+  SELECT lang,
+         regexp_split_to_array(trim(text), '\s+')[1] AS first_tok,
+         regexp_split_to_array(trim(text), '\s+')[-1] AS last_tok
+  FROM documents
+)
+SELECT lang, CAST(count(DISTINCT first_tok) AS BIGINT) AS first_vocab,
+       CAST(count(DISTINCT last_tok) AS BIGINT) AS last_vocab,
+       CAST(count(*) AS BIGINT) AS docs
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["boundary_token_vocab"] = q_boundary_token_vocab
+ORACLES["boundary_token_vocab"] = ORACLE_BOUNDARY_TOKEN_VOCAB
+
+
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources (upper triangle):
+    which sources write alike — the mixture-design complement of the
+    digest-keyed source-overlap gate. The pair join runs on the
+    (word, source) DISTINCT rollup, bounded by vocabulary size, never
+    on documents."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = (
+        d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .distinct()
+    )
+    sizes = ws.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("v"))
+    a = ws.select(F.col("source").alias("sa"), "w")
+    b_ = ws.select(F.col("source").alias("sb"), "w")
+    inter = (
+        a.join(b_, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    va = sizes.select(F.col("source").alias("sa"), F.col("v").alias("va"))
+    vb = sizes.select(F.col("source").alias("sb"), F.col("v").alias("vb"))
+    out = (
+        inter.join(F.broadcast(va), "sa").join(F.broadcast(vb), "sb")
+        .select(
+            "sa", "sb",
+            F.round(F.col("i") / (F.col("va") + F.col("vb") - F.col("i")), 6)
+            .alias("jaccard"),
+        )
+        .orderBy("sa", "sb")
+    )
+    return out
+
+
+ORACLE_SOURCE_VOCAB_JACCARD = r"""
+WITH ws AS (
+  SELECT DISTINCT source, w
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+),
+sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS v FROM ws GROUP BY 1
+),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+  FROM ws a JOIN ws b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, round(i / (va.v + vb.v - i), 6) AS jaccard
+FROM inter
+JOIN sizes va ON va.source = sa
+JOIN sizes vb ON vb.source = sb
+ORDER BY sa, sb
+"""
+
+QUERIES["source_vocab_jaccard"] = q_source_vocab_jaccard
+ORACLES["source_vocab_jaccard"] = ORACLE_SOURCE_VOCAB_JACCARD
+
+
+def q_emb_top_norm_label_mix(spark, sf_dir):
+    """Label mix among the 100 largest-norm vectors (exact rank cut,
+    tiebreak vec_id) — norm outliers concentrated in one label mark a
+    preprocessing bug; norms are row-local folds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    scored = e.select("label", "vec_id", norm2.alias("n2"))
+    w = Window.orderBy(F.col("n2").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 100)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("in_top100"))
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_TOP_NORM_LABEL_MIX = """
+WITH scored AS (
+  SELECT label, vec_id,
+         list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+  FROM embeddings
+),
+ranked AS (
+  SELECT label, row_number() OVER (ORDER BY n2 DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT label, CAST(count(*) AS BIGINT) AS in_top100
+FROM ranked WHERE rk <= 100 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_top_norm_label_mix"] = q_emb_top_norm_label_mix
+ORACLES["emb_top_norm_label_mix"] = ORACLE_EMB_TOP_NORM_LABEL_MIX
+
+
+def q_ratelimit_fractional_rates(spark, sf_dir):
+    """DRIVER gate for FRACTIONAL rate limits (the r8 admin fix: 0.5
+    req/s survives as a float instead of truncating to a zero-capacity
+    bucket): replay a deterministic admission schedule against the
+    REAL limiter at rate 0.5/s burst 2 (capacity 1.0) and compare the
+    per-tenant admit/reject ledger to the oracle's closed-form replay
+    of the same token arithmetic."""
+    from .ratelimit import RateLimitExceeded, TenantRateLimiter
+
+    limiter = TenantRateLimiter(
+        {"max_query_requests_per_sec": 0.5, "burst_seconds": 2.0}
+    )
+    rows = []
+    for tenant in ("acme", "globex"):
+        for i in range(40):
+            t = i * 0.7  # 0.35 tokens refilled per step at 0.5/s
+            try:
+                limiter.check_query(tenant, now=float(t))
+                rows.append((tenant, i, True))
+            except RateLimitExceeded:
+                rows.append((tenant, i, False))
+    df = spark.createDataFrame(rows, "tenant string, step int, admitted boolean")
+    return (
+        df.groupBy("tenant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("requests"),
+            F.sum(F.col("admitted").cast("long")).alias("admitted"),
+            F.min(F.when(~F.col("admitted"), F.col("step"))).alias(
+                "first_reject_step"
+            ),
+        )
+        .orderBy("tenant")
+    )
+
+
+ORACLE_RATELIMIT_FRACTIONAL_RATES = """
+WITH RECURSIVE sim(tenant, step, tokens, admitted) AS (
+  SELECT t.tenant, 0, 1.0 - 1.0, TRUE
+  FROM (VALUES ('acme'), ('globex')) AS t(tenant)
+  UNION ALL
+  SELECT tenant, step + 1,
+         CASE WHEN least(tokens + 0.35, 1.0) >= 1.0
+              THEN least(tokens + 0.35, 1.0) - 1.0
+              ELSE least(tokens + 0.35, 1.0) END,
+         least(tokens + 0.35, 1.0) >= 1.0
+  FROM sim WHERE step < 39
+)
+SELECT tenant, CAST(count(*) AS BIGINT) AS requests,
+       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS admitted,
+       min(CASE WHEN NOT admitted THEN step END) AS first_reject_step
+FROM sim GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ratelimit_fractional_rates"] = q_ratelimit_fractional_rates
+ORACLES["ratelimit_fractional_rates"] = ORACLE_RATELIMIT_FRACTIONAL_RATES
+
+
+def q_typed_attr_migration_census(spark, sf_dir):
+    """Typed-migration routing census: after v1→v2, every (key,
+    type-tag) combination counted — ints landed in the int home,
+    off-type strings in the residue, bools as bools; the oracle counts
+    the same routing straight off the fixture rule."""
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))
+        .otherwise(F.round(F.col("value")).cast("long").cast("string"))
+    )
+    flag = F.when(F.col("value") >= 50, F.lit("true")).otherwise(F.lit("false"))
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(
+            F.lit("http.response.status_code"), code,
+            F.lit("exception.escaped"), flag,
+            F.lit("note"), F.lit("hello"),
+        ).alias("log_attributes"),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    return (
+        v2.select(F.explode("log_attributes").alias("k", "v"))
+        .groupBy("k", F.col("v.type").alias("vtype"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("k", "vtype")
+    )
+
+
+ORACLE_TYPED_ATTR_MIGRATION_CENSUS = """
+WITH rows_t AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'string' ELSE 'int' END
+           AS code_type,
+         'bool' AS flag_type
+  FROM events
+)
+SELECT 'exception.escaped' AS k, flag_type AS vtype,
+       CAST(count(*) AS BIGINT) AS n
+FROM rows_t GROUP BY 1, 2
+UNION ALL
+SELECT 'http.response.status_code' AS k, code_type AS vtype,
+       CAST(count(*) AS BIGINT) AS n
+FROM rows_t GROUP BY 1, 2
+UNION ALL
+SELECT 'note' AS k, 'string' AS vtype, CAST(count(*) AS BIGINT) AS n
+FROM rows_t GROUP BY 1, 2
+ORDER BY k, vtype
+"""
+
+QUERIES["typed_attr_migration_census"] = q_typed_attr_migration_census
+ORACLES["typed_attr_migration_census"] = ORACLE_TYPED_ATTR_MIGRATION_CENSUS
+
+
+# ------------------------------------------------------------- batch 3
+
+
+def q_price_band_transition(spark, sf_dir):
+    """Customers' order-value band in their FIRST vs LAST order — the
+    upsell/downsell transition matrix (deterministic first/last by
+    (date, orderkey); bands from exact cents)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    per = o.select("o_custkey", cents.alias("c"), key.alias("k")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.min_by("c", F.col("k")).alias("first_c"),
+        F.max_by("c", F.col("k")).alias("last_c"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+
+    def band(c):
+        return (
+            F.when(c < 5_000_000, "low")
+            .when(c < 20_000_000, "mid")
+            .otherwise("high")
+        )
+
+    return (
+        per.groupBy(
+            band(F.col("first_c")).alias("first_band"),
+            band(F.col("last_c")).alias("last_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("first_band", "last_band")
+    )
+
+
+ORACLE_PRICE_BAND_TRANSITION = """
+WITH per AS (
+  SELECT o_custkey,
+         first(CAST(round(o_totalprice * 100) AS BIGINT)
+               ORDER BY o_orderdate, o_orderkey) AS first_c,
+         last(CAST(round(o_totalprice * 100) AS BIGINT)
+              ORDER BY o_orderdate, o_orderkey) AS last_c,
+         count(*) AS n
+  FROM orders GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CASE WHEN first_c < 5000000 THEN 'low'
+            WHEN first_c < 20000000 THEN 'mid' ELSE 'high' END AS first_band,
+       CASE WHEN last_c < 5000000 THEN 'low'
+            WHEN last_c < 20000000 THEN 'mid' ELSE 'high' END AS last_band,
+       CAST(count(*) AS BIGINT) AS customers
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["price_band_transition"] = q_price_band_transition
+ORACLES["price_band_transition"] = ORACLE_PRICE_BAND_TRANSITION
+
+
+def q_supplier_active_months(spark, sf_dir):
+    """Supplier activity breadth: distinct shipping months per
+    supplier, histogrammed — the always-on vs seasonal supplier mix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.select("l_suppkey", F.date_trunc("month", "l_shipdate").alias("m"))
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("months"))
+    )
+    return (
+        per.groupBy("months")
+        .agg(F.count(F.lit(1)).cast("long").alias("suppliers"))
+        .orderBy("months")
+    )
+
+
+ORACLE_SUPPLIER_ACTIVE_MONTHS = """
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(count(DISTINCT date_trunc('month', l_shipdate)) AS BIGINT)
+           AS months
+  FROM lineitem GROUP BY 1
+)
+SELECT months, CAST(count(*) AS BIGINT) AS suppliers
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["supplier_active_months"] = q_supplier_active_months
+ORACLES["supplier_active_months"] = ORACLE_SUPPLIER_ACTIVE_MONTHS
+
+
+def q_tax_rate_census(spark, sf_dir):
+    """The discrete tax-rate vocabulary with per-rate line counts and
+    taxed-value sums (exact cents) — the rate table recovered from the
+    data, as a fiscal audit would."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rate = F.round(F.col("l_tax") * 100).cast("int")
+    taxed = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        * F.col("l_tax") * 100
+    ).cast("long")
+    return (
+        li.groupBy(rate.alias("tax_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lines"),
+            F.sum(taxed).alias("tax_cents"),
+        )
+        .orderBy("tax_pct")
+    )
+
+
+ORACLE_TAX_RATE_CENSUS = """
+SELECT CAST(round(l_tax * 100) AS INT) AS tax_pct,
+       CAST(count(*) AS BIGINT) AS lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                AS BIGINT)) AS BIGINT) AS tax_cents
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["tax_rate_census"] = q_tax_rate_census
+ORACLES["tax_rate_census"] = ORACLE_TAX_RATE_CENSUS
+
+
+def q_part_name_token_idf(spark, sf_dir):
+    """Top-15 rarest part-name tokens by IDF (exact doc-frequency
+    counts, ln((N+1)/(df+1)) computed once on the token rollup) — the
+    catalog-search weighting table."""
+    p = load_table(spark, sf_dir, "part")
+    toks = (
+        p.select("p_partkey", F.explode(F.split("p_name", " ")).alias("w"))
+        .distinct()
+    )
+    n_parts = p.select(F.count(F.lit(1)).cast("long").alias("n_parts"))
+    df = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return (
+        df.crossJoin(F.broadcast(n_parts))
+        .select(
+            "w", "df",
+            F.round(F.log((F.col("n_parts") + 1) / (F.col("df") + 1)), 6)
+            .alias("idf"),
+        )
+        .orderBy(F.col("idf").desc(), F.col("w").asc())
+        .limit(15)
+    )
+
+
+ORACLE_PART_NAME_TOKEN_IDF = """
+WITH toks AS (
+  SELECT DISTINCT p_partkey, w
+  FROM part, unnest(string_split(p_name, ' ')) AS t(w)
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part),
+df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1)
+SELECT w, df, round(ln((n_parts + 1) / (df + 1)), 6) AS idf
+FROM df, n ORDER BY idf DESC, w ASC LIMIT 15
+"""
+
+QUERIES["part_name_token_idf"] = q_part_name_token_idf
+ORACLES["part_name_token_idf"] = ORACLE_PART_NAME_TOKEN_IDF
+
+
+def q_weekend_weekday_value_gap(spark, sf_dir):
+    """Weekend vs weekday value profile per stream: exact-cents means
+    and the gap, one conditional agg pass (Spark dayofweek 1=Sun,
+    7=Sat; weekend = {1, 7})."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wknd = F.dayofweek("ts").isin(1, 7)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(F.when(wknd, cents)).alias("wknd_cents"),
+            F.sum(F.when(wknd, 1).otherwise(0)).cast("long").alias("wknd_n"),
+            F.sum(F.when(~wknd, cents)).alias("wkday_cents"),
+            F.sum(F.when(~wknd, 1).otherwise(0)).cast("long").alias("wkday_n"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("wknd_cents") / F.col("wknd_n") / 100.0, 6)
+            .alias("weekend_avg"),
+            F.round(F.col("wkday_cents") / F.col("wkday_n") / 100.0, 6)
+            .alias("weekday_avg"),
+            F.round(
+                (F.col("wknd_cents") / F.col("wknd_n")
+                 - F.col("wkday_cents") / F.col("wkday_n")) / 100.0, 6
+            ).alias("gap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_WEEKEND_WEEKDAY_VALUE_GAP = """
+WITH per AS (
+  SELECT event_type,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6)
+             THEN CAST(round(value * 100) AS BIGINT) END) AS wknd_cents,
+         CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wknd_n,
+         sum(CASE WHEN dayofweek(ts) NOT IN (0, 6)
+             THEN CAST(round(value * 100) AS BIGINT) END) AS wkday_cents,
+         CAST(sum(CASE WHEN dayofweek(ts) NOT IN (0, 6) THEN 1 ELSE 0 END)
+              AS BIGINT) AS wkday_n
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       round(wknd_cents / wknd_n / 100.0, 6) AS weekend_avg,
+       round(wkday_cents / wkday_n / 100.0, 6) AS weekday_avg,
+       round((wknd_cents / wknd_n - wkday_cents / wkday_n) / 100.0, 6) AS gap
+FROM per ORDER BY event_type
+"""
+
+QUERIES["weekend_weekday_value_gap"] = q_weekend_weekday_value_gap
+ORACLES["weekend_weekday_value_gap"] = ORACLE_WEEKEND_WEEKDAY_VALUE_GAP
+
+
+def q_doc_repeat_word_runs(spark, sf_dir):
+    """Immediate word-repetition rate per source (w[i] == w[i+1]) —
+    the stutter artifact detector; the adjacent-pair walk is the same
+    O(words) zip_with shape as the bigram gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(toks, 1, F.size(toks) - 1),
+                F.slice(toks, 2, F.size(toks) - 1),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    per = d.filter(F.size(toks) >= 2).select(
+        "source",
+        reps.cast("long").alias("reps"),
+        (F.size(toks) - 1).cast("long").alias("pairs"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("reps").alias("repeat_pairs"),
+            F.sum("pairs").alias("total_pairs"),
+            F.sum((F.col("reps") > 0).cast("long")).alias("docs_with_repeats"),
+        )
+        .withColumn(
+            "repeat_rate",
+            F.round(F.col("repeat_pairs") / F.col("total_pairs"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_DOC_REPEAT_WORD_RUNS = r"""
+WITH per AS (
+  SELECT source,
+         CAST(len(list_filter(range(1, len(t)),
+                  i -> t[i] = t[i + 1])) AS BIGINT) AS reps,
+         CAST(len(t) - 1 AS BIGINT) AS pairs
+  FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents)
+  WHERE len(t) >= 2
+)
+SELECT source, CAST(sum(reps) AS BIGINT) AS repeat_pairs,
+       CAST(sum(pairs) AS BIGINT) AS total_pairs,
+       CAST(sum(CASE WHEN reps > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_repeats,
+       round(sum(reps) / sum(pairs), 6) AS repeat_rate
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["doc_repeat_word_runs"] = q_doc_repeat_word_runs
+ORACLES["doc_repeat_word_runs"] = ORACLE_DOC_REPEAT_WORD_RUNS
+
+
+def q_balance_percentile_of_spenders(spark, sf_dir):
+    """Do big spenders hold big balances? The top-100 spenders' (exact
+    cents, tiebreak custkey) account-balance percentile within the
+    whole customer population — a rank join over two digests."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
+    )
+    top = (
+        spend.orderBy(F.col("sp").desc(), F.col("o_custkey").asc())
+        .limit(100)
+        .select("o_custkey")
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        "c_custkey",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    pct = (
+        top.join(ranked, top.o_custkey == ranked.c_custkey)
+        .select((F.col("rk") / F.col("n")).alias("p"))
+    )
+    return pct.agg(
+        F.count(F.lit(1)).cast("long").alias("spenders"),
+        F.round(F.avg("p"), 6).alias("avg_balance_pctile"),
+        F.round(F.min("p"), 6).alias("min_balance_pctile"),
+    )
+
+
+ORACLE_BALANCE_PERCENTILE_OF_SPENDERS = """
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sp
+  FROM orders GROUP BY 1
+),
+top AS (
+  SELECT o_custkey FROM spend ORDER BY sp DESC, o_custkey ASC LIMIT 100
+),
+ranked AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM customer
+)
+SELECT CAST(count(*) AS BIGINT) AS spenders,
+       round(avg(rk * 1.0 / n), 6) AS avg_balance_pctile,
+       round(min(rk * 1.0 / n), 6) AS min_balance_pctile
+FROM top JOIN ranked ON o_custkey = c_custkey
+"""
+
+QUERIES["balance_percentile_of_spenders"] = q_balance_percentile_of_spenders
+ORACLES["balance_percentile_of_spenders"] = (
+    ORACLE_BALANCE_PERCENTILE_OF_SPENDERS
+)

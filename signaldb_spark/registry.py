@@ -14,6 +14,7 @@ from . import (
     bench_round10,
     bench_round11,
     bench_round12,
+    bench_round13,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -37,6 +38,7 @@ _MODULES = [
     bench_round10,
     bench_round11,
     bench_round12,
+    bench_round13,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
