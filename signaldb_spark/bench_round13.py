@@ -1041,3 +1041,629 @@ QUERIES["balance_percentile_of_spenders"] = q_balance_percentile_of_spenders
 ORACLES["balance_percentile_of_spenders"] = (
     ORACLE_BALANCE_PERCENTILE_OF_SPENDERS
 )
+
+
+# ------------------------------------------------------------- batch 4
+
+
+def q_session_length_by_entry_type(spark, sf_dir):
+    """Session depth by ENTRY event type (30-min gaps): does the first
+    touch predict engagement? Exact counts; entry picked by the
+    (ts, event_id) composite."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min_by("event_type", key).alias("entry"),
+        F.count(F.lit(1)).cast("long").alias("depth"),
+    )
+    return (
+        per.groupBy("entry")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sessions"),
+            F.sum("depth").alias("events"),
+            F.round(F.sum("depth") / F.count(F.lit(1)), 6).alias("avg_depth"),
+            F.max("depth").alias("max_depth"),
+        )
+        .orderBy("entry")
+    )
+
+
+ORACLE_SESSION_LENGTH_BY_ENTRY_TYPE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+),
+per AS (
+  SELECT user_id, sid,
+         first(event_type ORDER BY ts, event_id) AS entry,
+         CAST(count(*) AS BIGINT) AS depth
+  FROM sess GROUP BY 1, 2
+)
+SELECT entry, CAST(count(*) AS BIGINT) AS sessions,
+       CAST(sum(depth) AS BIGINT) AS events,
+       round(sum(depth) / count(*), 6) AS avg_depth,
+       max(depth) AS max_depth
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["session_length_by_entry_type"] = q_session_length_by_entry_type
+ORACLES["session_length_by_entry_type"] = ORACLE_SESSION_LENGTH_BY_ENTRY_TYPE
+
+
+def q_purchase_conversion_lag(spark, sf_dir):
+    """View→purchase conversion lag bands: per converting user, hours
+    from first view to first purchase AFTER it (exact integer µs until
+    the band cut)."""
+    e = load_table(spark, sf_dir, "events")
+    fv = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    fp = e.filter(F.col("event_type") == "purchase").join(
+        F.broadcast(fv), "user_id"
+    ).filter(F.col("ts") >= F.col("first_view")).groupBy("user_id").agg(
+        F.min("ts").alias("first_purchase"),
+        F.min("first_view").alias("first_view"),
+    )
+    hours = F.floor(
+        (F.unix_micros("first_purchase") - F.unix_micros("first_view"))
+        / 3_600_000_000
+    )
+    band = (
+        F.when(hours < 1, "<1h")
+        .when(hours < 24, "1-24h")
+        .when(hours < 168, "1-7d")
+        .otherwise("7d+")
+    )
+    return (
+        fp.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_PURCHASE_CONVERSION_LAG = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase, min(fv.first_view)
+         AS first_view
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= fv.first_view
+  GROUP BY 1
+)
+SELECT CASE
+         WHEN floor((epoch_us(first_purchase) - epoch_us(first_view))
+                    / 3600000000) < 1 THEN '<1h'
+         WHEN floor((epoch_us(first_purchase) - epoch_us(first_view))
+                    / 3600000000) < 24 THEN '1-24h'
+         WHEN floor((epoch_us(first_purchase) - epoch_us(first_view))
+                    / 3600000000) < 168 THEN '1-7d'
+         ELSE '7d+' END AS band,
+       CAST(count(*) AS BIGINT) AS users
+FROM fp GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["purchase_conversion_lag"] = q_purchase_conversion_lag
+ORACLES["purchase_conversion_lag"] = ORACLE_PURCHASE_CONVERSION_LAG
+
+
+def q_type_run_length_profile(spark, sf_dir):
+    """Consecutive same-type run lengths per stream (gaps-and-islands
+    on the type-change flag within each user's sequence): repetitive
+    interaction bursts vs alternating behavior."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.withColumn(
+            "chg",
+            (F.lag("event_type").over(w).isNull()
+             | (F.lag("event_type").over(w) != F.col("event_type"))
+             ).cast("int"),
+        )
+        .withColumn("rid", F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "rid", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("runs"),
+            F.max("run_len").alias("max_run"),
+            F.round(F.sum("run_len") / F.count(F.lit(1)), 6).alias("avg_run"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TYPE_RUN_LENGTH_PROFILE = """
+WITH marked AS (
+  SELECT user_id, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+              OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg,
+         ts, event_id
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rid
+  FROM marked
+),
+per AS (
+  SELECT user_id, rid, event_type, CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY 1, 2, 3
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS runs,
+       max(run_len) AS max_run,
+       round(sum(run_len) / count(*), 6) AS avg_run
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["type_run_length_profile"] = q_type_run_length_profile
+ORACLES["type_run_length_profile"] = ORACLE_TYPE_RUN_LENGTH_PROFILE
+
+
+def q_order_value_zscore_by_segment(spark, sf_dir):
+    """Outlier orders per market segment: |z| > 3 on order value with
+    mean/variance from EXPLICIT power sums over exact cents (population
+    convention) — the fraud-screen shape."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", cents.alias("v")
+    )
+    w = Window.partitionBy("c_mktsegment")
+    scored = (
+        j.withColumn("mean_v", F.sum("v").over(w) / F.count("v").over(w))
+        .withColumn(
+            "var_v",
+            F.sum(F.col("v") * F.col("v")).over(w) / F.count("v").over(w)
+            - F.col("mean_v") * F.col("mean_v"),
+        )
+        .withColumn("z", (F.col("v") - F.col("mean_v")) / F.sqrt("var_v"))
+    )
+    return (
+        scored.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum((F.abs("z") > 3).cast("long")).alias("outliers"),
+            F.round(F.max("z"), 6).alias("max_z"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ORDER_VALUE_ZSCORE_BY_SEGMENT = """
+WITH j AS (
+  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+scored AS (
+  SELECT c_mktsegment, v,
+         sum(v) OVER w / count(v) OVER w AS mean_v,
+         sum(v * v) OVER w / count(v) OVER w
+           - (sum(v) OVER w / count(v) OVER w)
+             * (sum(v) OVER w / count(v) OVER w) AS var_v
+  FROM j WINDOW w AS (PARTITION BY c_mktsegment)
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS orders,
+       CAST(sum(CASE WHEN abs((v - mean_v) / sqrt(var_v)) > 3
+                THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+       round(max((v - mean_v) / sqrt(var_v)), 6) AS max_z
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["order_value_zscore_by_segment"] = q_order_value_zscore_by_segment
+ORACLES["order_value_zscore_by_segment"] = ORACLE_ORDER_VALUE_ZSCORE_BY_SEGMENT
+
+
+def q_regional_quarter_share_shift(spark, sf_dir):
+    """Region revenue share per quarter plus the quarter-over-quarter
+    share delta — the market-shift monitor (exact cents, shares from
+    one window, delta from one lag)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey
+    ).select("c_custkey", "r_name")
+    per = (
+        o.join(F.broadcast(dim), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("q"),
+            "r_name",
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("cents"))
+    )
+    wq = Window.partitionBy("q")
+    wr = Window.partitionBy("r_name").orderBy("q")
+    return (
+        per.withColumn("share", F.col("cents") / F.sum("cents").over(wq))
+        .withColumn(
+            "share_delta",
+            F.round(F.col("share") - F.lag("share").over(wr), 6),
+        )
+        .select("q", "r_name", F.round("share", 6).alias("share"),
+                "share_delta")
+        .orderBy("q", "r_name")
+    )
+
+
+ORACLE_REGIONAL_QUARTER_SHARE_SHIFT = """
+WITH per AS (
+  SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q, r_name,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT q, r_name, cents / sum(cents) OVER (PARTITION BY q) AS share
+  FROM per
+)
+SELECT q, r_name, round(share, 6) AS share,
+       round(share - lag(share) OVER (PARTITION BY r_name ORDER BY q), 6)
+         AS share_delta
+FROM shares ORDER BY q, r_name
+"""
+
+QUERIES["regional_quarter_share_shift"] = q_regional_quarter_share_shift
+ORACLES["regional_quarter_share_shift"] = ORACLE_REGIONAL_QUARTER_SHARE_SHIFT
+
+
+def q_priority_escalation_matrix(spark, sf_dir):
+    """First-order vs last-order priority transition for repeat
+    customers (priorities order lexically '1-URGENT' < '5-LOW', so the
+    string pick is deterministic): do accounts escalate?"""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    per = o.groupBy("o_custkey").agg(
+        F.min_by("o_orderpriority", key).alias("first_p"),
+        F.max_by("o_orderpriority", key).alias("last_p"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+    return (
+        per.groupBy("first_p", "last_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("first_p", "last_p")
+    )
+
+
+ORACLE_PRIORITY_ESCALATION_MATRIX = """
+WITH per AS (
+  SELECT o_custkey,
+         first(o_orderpriority ORDER BY o_orderdate, o_orderkey) AS first_p,
+         last(o_orderpriority ORDER BY o_orderdate, o_orderkey) AS last_p,
+         count(*) AS n
+  FROM orders GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT first_p, last_p, CAST(count(*) AS BIGINT) AS customers
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["priority_escalation_matrix"] = q_priority_escalation_matrix
+ORACLES["priority_escalation_matrix"] = ORACLE_PRIORITY_ESCALATION_MATRIX
+
+
+def q_supplier_customer_reuse(spark, sf_dir):
+    """Repeat-business census: (supplier, customer) pairs by number of
+    DISTINCT orders — relationship stickiness; the pair rollup runs on
+    a 3-column projection of the fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.select("l_suppkey", "l_orderkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("l_suppkey", "o_custkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey", "o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders"))
+    )
+    return (
+        pairs.groupBy("orders")
+        .agg(F.count(F.lit(1)).cast("long").alias("pairs"))
+        .orderBy("orders")
+    )
+
+
+ORACLE_SUPPLIER_CUSTOMER_REUSE = """
+WITH pairs AS (
+  SELECT l_suppkey, o_custkey,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS orders
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+)
+SELECT orders, CAST(count(*) AS BIGINT) AS pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["supplier_customer_reuse"] = q_supplier_customer_reuse
+ORACLES["supplier_customer_reuse"] = ORACLE_SUPPLIER_CUSTOMER_REUSE
+
+
+def q_lang_top_words_overlap(spark, sf_dir):
+    """Cross-language contamination screen: overlap count of each
+    language pair's top-20 words (exact df ranks, tiebreak word asc) —
+    high overlap between 'different' languages marks mislabeled docs.
+    The pair join runs on the 20-per-lang rank-cut vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("w").asc())
+    top = wc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 20
+    ).select("lang", "w")
+    a = top.select(F.col("lang").alias("la"), "w")
+    b_ = top.select(F.col("lang").alias("lb"), "w")
+    return (
+        a.join(b_, "w")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_top20"))
+        .orderBy("la", "lb")
+    )
+
+
+ORACLE_LANG_TOP_WORDS_OVERLAP = r"""
+WITH wc AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT lang, w,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w ASC) AS rk
+  FROM wc
+)
+SELECT a.lang AS la, b.lang AS lb, CAST(count(*) AS BIGINT) AS shared_top20
+FROM top a JOIN top b ON a.w = b.w AND a.lang < b.lang
+WHERE a.rk <= 20 AND b.rk <= 20
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["lang_top_words_overlap"] = q_lang_top_words_overlap
+ORACLES["lang_top_words_overlap"] = ORACLE_LANG_TOP_WORDS_OVERLAP
+
+
+def q_type_token_ratio_bands(spark, sf_dir):
+    """Type-token ratio (distinct words / words) per doc, banded per
+    source — the lexical-diversity screen; per-doc distinct counts are
+    row-local (array_distinct on the token array, no shuffle)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    band = (
+        F.when(ttr < 0.5, "low-<0.5")
+        .when(ttr < 0.8, "mid-0.5-0.8")
+        .otherwise("high-0.8+")
+    )
+    return (
+        d.filter(F.size(toks) >= 1)
+        .groupBy("source", band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("source", "band")
+    )
+
+
+ORACLE_TYPE_TOKEN_RATIO_BANDS = r"""
+WITH per AS (
+  SELECT source,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+           * 1.0
+           / len(regexp_split_to_array(trim(text), '\s+')) AS ttr
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1
+)
+SELECT source,
+       CASE WHEN ttr < 0.5 THEN 'low-<0.5'
+            WHEN ttr < 0.8 THEN 'mid-0.5-0.8'
+            ELSE 'high-0.8+' END AS band,
+       CAST(count(*) AS BIGINT) AS docs
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["type_token_ratio_bands"] = q_type_token_ratio_bands
+ORACLES["type_token_ratio_bands"] = ORACLE_TYPE_TOKEN_RATIO_BANDS
+
+
+def q_emb_quadrant_occupancy(spark, sf_dir):
+    """Sign-quadrant occupancy of the first two dimensions per label —
+    the cheapest geometry read on the label manifold (pure map-side
+    projection before one rollup)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    quad = F.concat(
+        F.when(F.element_at("embedding", 1) >= 0, F.lit("+")).otherwise(F.lit("-")),
+        F.when(F.element_at("embedding", 2) >= 0, F.lit("+")).otherwise(F.lit("-")),
+    )
+    return (
+        e.groupBy("label", quad.alias("quadrant"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "quadrant")
+    )
+
+
+ORACLE_EMB_QUADRANT_OCCUPANCY = """
+SELECT label,
+       concat(CASE WHEN embedding[1] >= 0 THEN '+' ELSE '-' END,
+              CASE WHEN embedding[2] >= 0 THEN '+' ELSE '-' END) AS quadrant,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["emb_quadrant_occupancy"] = q_emb_quadrant_occupancy
+ORACLES["emb_quadrant_occupancy"] = ORACLE_EMB_QUADRANT_OCCUPANCY
+
+
+def q_emb_dim_mean_shift_halves(spark, sf_dir):
+    """Per-dimension mean shift between the vec_id halves of the
+    collection (first 8 dims) — the ingestion-order drift screen;
+    (half, dim) partial sums, vectors never shuffle whole."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mid = e.agg(
+        F.percentile(F.col("vec_id").cast("double"), F.lit(0.5)).alias("m")
+    )
+    flat = (
+        e.crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("vec_id") <= F.col("m")).alias("first_half"),
+            F.posexplode("embedding").alias("dim", "x"),
+        )
+        .filter(F.col("dim") < 8)
+    )
+    per = flat.groupBy("dim", "first_half").agg(
+        (F.sum(F.col("x").cast("double")) / F.count(F.lit(1))).alias("mu")
+    )
+    a = per.filter(F.col("first_half")).select("dim", F.col("mu").alias("mu_a"))
+    b_ = per.filter(~F.col("first_half")).select("dim", F.col("mu").alias("mu_b"))
+    return (
+        a.join(b_, "dim")
+        .select("dim", F.round(F.col("mu_b") - F.col("mu_a"), 6).alias("shift"))
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_DIM_MEAN_SHIFT_HALVES = """
+WITH mid AS (
+  SELECT quantile_cont(CAST(vec_id AS DOUBLE), 0.5) AS m FROM embeddings
+),
+flat AS (
+  SELECT vec_id <= m AS first_half, i AS dim,
+         CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, mid, unnest(range(len(embedding))) AS u(i)
+  WHERE i < 8
+),
+per AS (
+  SELECT dim, first_half, sum(x) / count(*) AS mu
+  FROM flat GROUP BY 1, 2
+)
+SELECT a.dim, round(b.mu - a.mu, 6) AS shift
+FROM per a JOIN per b ON a.dim = b.dim
+WHERE a.first_half AND NOT b.first_half
+ORDER BY a.dim
+"""
+
+QUERIES["emb_dim_mean_shift_halves"] = q_emb_dim_mean_shift_halves
+ORACLES["emb_dim_mean_shift_halves"] = ORACLE_EMB_DIM_MEAN_SHIFT_HALVES
+
+
+def q_discovery_value_suggestions(spark, sf_dir):
+    """DRIVER gate for the field-discovery surface: suggest_values over
+    an events-derived logs frame, scoped by a chosen predicate —
+    exactly what the builder's 'what can I add next' call runs — vs the
+    oracle's direct scoped distinct-count."""
+    from .ir.discovery import suggest_values
+    from .ir.model import _validate_pred
+
+    e = load_table(spark, sf_dir, "events")
+    df = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(
+            F.lit("band"),
+            F.when(F.col("value") >= 100, F.lit("hot")).otherwise(F.lit("cold")),
+        ).alias("log_attributes"),
+    )
+    where = _validate_pred(
+        {"field": "service_name", "op": "eq", "value": "purchase"})
+    return (
+        suggest_values(df, "band", where=where, limit=10)
+        .select("value", "n")
+        .orderBy(F.col("n").desc(), F.col("value").asc())
+    )
+
+
+ORACLE_DISCOVERY_VALUE_SUGGESTIONS = """
+SELECT CASE WHEN value >= 100 THEN 'hot' ELSE 'cold' END AS value,
+       CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY n DESC, value ASC
+"""
+
+QUERIES["discovery_value_suggestions"] = q_discovery_value_suggestions
+ORACLES["discovery_value_suggestions"] = ORACLE_DISCOVERY_VALUE_SUGGESTIONS
+
+
+_R13_CACHE: dict = {}
+
+
+def q_manifest_lineage_census(spark, sf_dir):
+    """DRIVER gate for idempotent lineage accounting: commit the events
+    corpus as K=4 batches with every batch REPLAYED once (different
+    file lists on the replay — the crashed-retry shape), then read the
+    final table: rows must count exactly once and the lineage must hold
+    exactly K entries; the oracle is the whole-corpus rollup plus the
+    closed-form K."""
+    import tempfile as _tempfile
+
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("lineage", sf_dir)
+    if key not in _R13_CACHE:
+        table = _tempfile.mkdtemp(prefix="sdb-r13-lineage-")
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "date_day", F.date_format("ts", "yyyy-MM-dd")
+        ).withColumn("hour", F.lit(0))
+        for k in range(4):
+            part = e.filter(F.col("event_id") % 4 == k)
+            write_batch_manifest(
+                part, table, "events_r13l", batch_id=f"b{k}",
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+            # replay with a DIFFERENT parallelism (file list differs):
+            # the lineage guard must refuse the duplicate
+            write_batch_manifest(
+                part.repartition(2), table, "events_r13l", batch_id=f"b{k}",
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+        _R13_CACHE[key] = table
+    mt = ManifestTable(_R13_CACHE[key])
+    df = mt.read(spark)
+    lineage_n = len(mt.load_manifest()["batches"])
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("lineage_batches", F.lit(lineage_n).cast("long"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANIFEST_LINEAGE_CENSUS = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(4 AS BIGINT) AS lineage_batches
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["manifest_lineage_census"] = q_manifest_lineage_census
+ORACLES["manifest_lineage_census"] = ORACLE_MANIFEST_LINEAGE_CENSUS
