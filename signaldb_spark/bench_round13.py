@@ -1667,3 +1667,652 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["manifest_lineage_census"] = q_manifest_lineage_census
 ORACLES["manifest_lineage_census"] = ORACLE_MANIFEST_LINEAGE_CENSUS
+
+
+# ------------------------------------------------------------- batch 5
+
+
+def q_monthly_aov_trend(spark, sf_dir):
+    """Average order value per month with a 3-month centered moving
+    average — exact cents to the last division, the MA over the
+    ~84-row monthly rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.orderBy("month").rowsBetween(-1, 1)
+    return (
+        monthly.withColumn("aov", F.col("cents") / F.col("n") / 100.0)
+        .withColumn("aov_ma3", F.round(F.avg("aov").over(w), 6))
+        .select("month", F.round("aov", 6).alias("aov"), "aov_ma3")
+        .orderBy("month")
+    )
+
+
+ORACLE_MONTHLY_AOV_TREND = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+aov AS (SELECT month, cents / n / 100.0 AS aov FROM monthly)
+SELECT month, round(aov, 6) AS aov,
+       round(avg(aov) OVER (ORDER BY month
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 6) AS aov_ma3
+FROM aov ORDER BY month
+"""
+
+QUERIES["monthly_aov_trend"] = q_monthly_aov_trend
+ORACLES["monthly_aov_trend"] = ORACLE_MONTHLY_AOV_TREND
+
+
+def q_status_mix_by_year(spark, sf_dir):
+    """Order-status mix per year (exact counts + shares): the
+    fulfillment-state ledger over time."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_orderstatus"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("yr")
+    return (
+        per.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .select("yr", "o_orderstatus", "n", "share")
+        .orderBy("yr", "o_orderstatus")
+    )
+
+
+ORACLE_STATUS_MIX_BY_YEAR = """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, o_orderstatus, n,
+       round(n / sum(n) OVER (PARTITION BY yr), 6) AS share
+FROM per ORDER BY yr, o_orderstatus
+"""
+
+QUERIES["status_mix_by_year"] = q_status_mix_by_year
+ORACLES["status_mix_by_year"] = ORACLE_STATUS_MIX_BY_YEAR
+
+
+def q_size_quantity_correlation(spark, sf_dir):
+    """Does part size predict order quantity? Pearson r from explicit
+    raw moments over the (size, quantity) pairs — part broadcast into
+    the lineitem scan, integers exact until the closed form."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_size")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_size").cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    m = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    # closed form in DOUBLES built from the exact integer moments —
+    # n·Σxy and Σx·Σy overflow int64 at corpus scale, and identical
+    # double arithmetic from identical exact ints is engine-portable
+    d = {c: F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+    den = F.sqrt(
+        (d["n"] * d["sxx"] - d["sx"] * d["sx"])
+        * (d["n"] * d["syy"] - d["sy"] * d["sy"])
+    )
+    return m.select("n", F.round(num / den, 6).alias("pearson_r"))
+
+
+ORACLE_SIZE_QUANTITY_CORRELATION = """
+WITH j AS (
+  SELECT CAST(p_size AS BIGINT) AS x, CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+FROM m
+"""
+
+QUERIES["size_quantity_correlation"] = q_size_quantity_correlation
+ORACLES["size_quantity_correlation"] = ORACLE_SIZE_QUANTITY_CORRELATION
+
+
+def q_first_value_cohort_ltv(spark, sf_dir):
+    """Lifetime value by FIRST-order-value cohort: does a big first
+    basket predict a big account? Deterministic first pick, exact-cents
+    LTV sums."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    key = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+    per = o.select("o_custkey", cents.alias("c"), key.alias("k")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.min_by("c", F.col("k")).alias("first_c"),
+        F.sum("c").alias("ltv_c"),
+        F.count(F.lit(1)).cast("long").alias("orders"),
+    )
+    band = (
+        F.when(F.col("first_c") < 5_000_000, "low")
+        .when(F.col("first_c") < 20_000_000, "mid")
+        .otherwise("high")
+    )
+    return (
+        per.groupBy(band.alias("first_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("customers"),
+            F.round(F.sum("ltv_c") / F.count(F.lit(1)) / 100.0, 6)
+            .alias("avg_ltv"),
+            F.round(F.sum("orders") / F.count(F.lit(1)), 6)
+            .alias("avg_orders"),
+        )
+        .orderBy("first_band")
+    )
+
+
+ORACLE_FIRST_VALUE_COHORT_LTV = """
+WITH per AS (
+  SELECT o_custkey,
+         first(CAST(round(o_totalprice * 100) AS BIGINT)
+               ORDER BY o_orderdate, o_orderkey) AS first_c,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS ltv_c,
+         CAST(count(*) AS BIGINT) AS orders
+  FROM orders GROUP BY 1
+)
+SELECT CASE WHEN first_c < 5000000 THEN 'low'
+            WHEN first_c < 20000000 THEN 'mid' ELSE 'high' END AS first_band,
+       CAST(count(*) AS BIGINT) AS customers,
+       round(sum(ltv_c) / count(*) / 100.0, 6) AS avg_ltv,
+       round(sum(orders) / count(*), 6) AS avg_orders
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["first_value_cohort_ltv"] = q_first_value_cohort_ltv
+ORACLES["first_value_cohort_ltv"] = ORACLE_FIRST_VALUE_COHORT_LTV
+
+
+def q_multi_supplier_order_share(spark, sf_dir):
+    """Orders whose lines span 2+ suppliers, per priority — the
+    split-shipment complexity share; distinct-supplier counts per
+    order, then one rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    per = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("nsupp")
+    )
+    j = o.join(per, o.o_orderkey == per.l_orderkey)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum((F.col("nsupp") >= 2).cast("long")).alias("multi_supplier"),
+        )
+        .withColumn(
+            "share", F.round(F.col("multi_supplier") / F.col("orders"), 6)
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_MULTI_SUPPLIER_ORDER_SHARE = """
+WITH per AS (
+  SELECT l_orderkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nsupp
+  FROM lineitem GROUP BY 1
+)
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS orders,
+       CAST(sum(CASE WHEN nsupp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS multi_supplier,
+       round(sum(CASE WHEN nsupp >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+         AS share
+FROM orders JOIN per ON o_orderkey = l_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["multi_supplier_order_share"] = q_multi_supplier_order_share
+ORACLES["multi_supplier_order_share"] = ORACLE_MULTI_SUPPLIER_ORDER_SHARE
+
+
+def q_daily_new_user_share(spark, sf_dir):
+    """Share of each day's events from users FIRST SEEN that day (the
+    first-seen trick): acquisition-vs-retention load split, daily."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    j = e.join(F.broadcast(first), "user_id")
+    return (
+        j.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum((F.to_date("ts") == F.col("d0")).cast("long"))
+            .alias("new_user_events"),
+        )
+        .withColumn(
+            "new_share",
+            F.round(F.col("new_user_events") / F.col("events"), 6),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_DAILY_NEW_USER_SHARE = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+)
+SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CASE WHEN CAST(ts AS DATE) = d0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_user_events,
+       round(sum(CASE WHEN CAST(ts AS DATE) = d0 THEN 1 ELSE 0 END)
+             / count(*), 6) AS new_share
+FROM events JOIN first USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["daily_new_user_share"] = q_daily_new_user_share
+ORACLES["daily_new_user_share"] = ORACLE_DAILY_NEW_USER_SHARE
+
+
+def q_type_percentile_ladder(spark, sf_dir):
+    """p25/p50/p75/p95 value ladder per stream by exact integer-rank
+    selection — the full calibration card in one ranked pass."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    scored = e.select("event_type", cents.alias("c"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = ranked.join(F.broadcast(per), "event_type")
+    out = None
+    for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")):
+        sel = j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select("event_type", F.col("c").alias(name))
+        out = sel if out is None else out.join(sel, "event_type")
+    return out.orderBy("event_type")
+
+
+ORACLE_TYPE_PERCENTILE_LADDER = """
+WITH scored AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY c, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM scored
+)
+SELECT event_type,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+           THEN c END) AS p25,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN c END) AS p50,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+           THEN c END) AS p75,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.95) AS BIGINT))
+           THEN c END) AS p95
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["type_percentile_ladder"] = q_type_percentile_ladder
+ORACLES["type_percentile_ladder"] = ORACLE_TYPE_PERCENTILE_LADDER
+
+
+def q_error_rate_by_hourofday(spark, sf_dir):
+    """Error share by wall-clock hour — does the error rate follow
+    load or fight it? One conditional agg over the hour rollup."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").cast("int").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum((F.col("event_type") == "error").cast("long"))
+            .alias("errors"),
+        )
+        .withColumn(
+            "error_rate", F.round(F.col("errors") / F.col("events"), 6)
+        )
+        .orderBy("hod")
+    )
+
+
+ORACLE_ERROR_RATE_BY_HOUROFDAY = """
+SELECT CAST(hour(ts) AS INT) AS hod, CAST(count(*) AS BIGINT) AS events,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS errors,
+       round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             / count(*), 6) AS error_rate
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["error_rate_by_hourofday"] = q_error_rate_by_hourofday
+ORACLES["error_rate_by_hourofday"] = ORACLE_ERROR_RATE_BY_HOUROFDAY
+
+
+def q_exact_dup_pair_count(spark, sf_dir):
+    """Exact-duplicate PAIR counts per lang from md5 groups — C(n,2)
+    per digest group summed, the pair-count complement of the dup-rate
+    gates (pairs counted, never materialized)."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("lang", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        groups.groupBy("lang")
+        .agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long")
+            .alias("dup_pairs"),
+            F.sum((F.col("n") >= 2).cast("long")).alias("dup_groups"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_EXACT_DUP_PAIR_COUNT = """
+WITH groups AS (
+  SELECT lang, md5(text) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, CAST(sum(n * (n - 1) / 2) AS BIGINT) AS dup_pairs,
+       CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_groups
+FROM groups GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["exact_dup_pair_count"] = q_exact_dup_pair_count
+ORACLES["exact_dup_pair_count"] = ORACLE_EXACT_DUP_PAIR_COUNT
+
+
+def q_top_trigram_by_source(spark, sf_dir):
+    """The modal word-trigram per source (deterministic pick by count
+    desc, trigram asc) — the template-detection headline; trigrams
+    built with the O(words) zip_with walk and kept as 3 columns."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    tris = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 2),
+        F.zip_with(
+            F.slice(toks, 2, F.size(toks) - 2),
+            F.slice(toks, 3, F.size(toks) - 2),
+            lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+        ),
+        lambda a, bc: F.struct(
+            a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+        ),
+    )
+    per = (
+        d.filter(F.size(toks) >= 3)
+        .select("source", F.explode(tris).alias("t"))
+        .groupBy("source", "t.w1", "t.w2", "t.w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc(),
+        F.col("w3").asc(),
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.concat_ws(" ", "w1", "w2", "w3").alias("top_trigram"),
+            "n",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_TOP_TRIGRAM_BY_SOURCE = r"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents
+),
+tris AS (
+  SELECT source, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+per AS (
+  SELECT source, w1, w2, w3, CAST(count(*) AS BIGINT) AS n
+  FROM tris GROUP BY 1, 2, 3, 4
+),
+r AS (
+  SELECT source, w1, w2, w3, n,
+         row_number() OVER (PARTITION BY source
+             ORDER BY n DESC, w1 ASC, w2 ASC, w3 ASC) AS rk
+  FROM per
+)
+SELECT source, concat_ws(' ', w1, w2, w3) AS top_trigram, n
+FROM r WHERE rk = 1 ORDER BY source
+"""
+
+QUERIES["top_trigram_by_source"] = q_top_trigram_by_source
+ORACLES["top_trigram_by_source"] = ORACLE_TOP_TRIGRAM_BY_SOURCE
+
+
+def q_emb_norm_by_vecid_decile(spark, sf_dir):
+    """Mean L2 norm over vec_id deciles — norm drift along ingestion
+    order (the scale-calibration complement of the per-dim shift
+    gate); deciles by exact integer ranks."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    ))
+    scored = e.select("vec_id", norm.alias("nrm"))
+    w = Window.orderBy("vec_id")
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vectors"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_EMB_NORM_BY_VECID_DECILE = """
+WITH scored AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cut AS (
+  SELECT ntile(10) OVER (ORDER BY vec_id) AS decile, nrm FROM scored
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS vectors,
+       round(avg(nrm), 6) AS avg_norm
+FROM cut GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_norm_by_vecid_decile"] = q_emb_norm_by_vecid_decile
+ORACLES["emb_norm_by_vecid_decile"] = ORACLE_EMB_NORM_BY_VECID_DECILE
+
+
+def q_emb_centroid_global_cosine(spark, sf_dir):
+    """Per-label centroid cosine vs the GLOBAL centroid — how far each
+    label sits off the collection's mean direction; centroids from
+    (label, dim) partial sums, the 10×64 table joined to the 64-row
+    global one."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("label", F.posexplode("embedding").alias("dim", "x")
+                    ).select("label", "dim", F.col("x").cast("double").alias("x"))
+    cl = flat.groupBy("label", "dim").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("c")
+    )
+    cg = flat.groupBy("dim").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("g")
+    )
+    j = cl.join(F.broadcast(cg), "dim")
+    return (
+        j.groupBy("label")
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.col("g"))
+                / (F.sqrt(F.sum(F.col("c") * F.col("c")))
+                   * F.sqrt(F.sum(F.col("g") * F.col("g")))), 6
+            ).alias("cosine_to_global")
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_CENTROID_GLOBAL_COSINE = """
+WITH flat AS (
+  SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+),
+cl AS (SELECT label, dim, sum(x) / count(*) AS c FROM flat GROUP BY 1, 2),
+cg AS (SELECT dim, sum(x) / count(*) AS g FROM flat GROUP BY 1)
+SELECT label,
+       round(sum(c * g) / (sqrt(sum(c * c)) * sqrt(sum(g * g))), 6)
+         AS cosine_to_global
+FROM cl JOIN cg USING (dim) GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_centroid_global_cosine"] = q_emb_centroid_global_cosine
+ORACLES["emb_centroid_global_cosine"] = ORACLE_EMB_CENTROID_GLOBAL_COSINE
+
+
+def q_ir_metrics_min_over_time(spark, sf_dir):
+    """IR gauge min_over_time daily — the floor tracker through the
+    metric sub-model's range vector (exact value picks)."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "min_over_time",
+        "window_seconds": 86400, "agg": "min", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_MIN_OVER_TIME = """
+WITH hourly AS (
+  SELECT event_type AS service_name, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(h) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name,
+       round(CAST(min(cents) AS DOUBLE) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_min_over_time"] = q_ir_metrics_min_over_time
+ORACLES["ir_metrics_min_over_time"] = ORACLE_IR_METRICS_MIN_OVER_TIME
+
+
+def q_ir_metrics_last_over_time(spark, sf_dir):
+    """IR gauge last_over_time daily — the range-vector LAST (exact
+    sample pick by timestamp), distinct from the instant `last` path
+    in the lowering."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "last_over_time",
+        "window_seconds": 86400, "agg": "max", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_LAST_OVER_TIME = """
+WITH hourly AS (
+  SELECT event_type AS service_name, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(h) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name,
+       round(max_by(CAST(cents AS DOUBLE), h) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_last_over_time"] = q_ir_metrics_last_over_time
+ORACLES["ir_metrics_last_over_time"] = ORACLE_IR_METRICS_LAST_OVER_TIME
+
+
+def q_typed_attr_between_predicate(spark, sf_dir):
+    """IR BETWEEN over the typed int home (the range form of the typed
+    numeric view): 4xx codes only, residue rows excluded by NULL
+    semantics, never by a cast error."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(F.lit("http.response.status_code"), code).alias(
+            "log_attributes"
+        ),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "between",
+                  "value": 400, "upper": 499},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_BETWEEN_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 20 AND value < 100
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_between_predicate"] = q_typed_attr_between_predicate
+ORACLES["typed_attr_between_predicate"] = ORACLE_TYPED_ATTR_BETWEEN_PREDICATE

@@ -1139,3 +1139,30 @@ def test_round12_staged_scale_shapes(spark):
     p_lead = plan(qs["supplier_lead_time_rank"](spark, SF_DIR))
     assert "BroadcastHashJoin" in p_lead
     assert "CartesianProduct" not in p_lead
+
+
+def test_round13_staged_scale_shapes(spark):
+    """Round-13 staged gates: dims broadcast, rank cuts ride windows
+    over rollups, the trigram/bigram walks are O(words) Generate
+    shapes, and the vocabulary pair joins never degrade to cartesian
+    products."""
+    qs = all_queries()
+
+    p_trade = plan(qs["regional_quarter_share_shift"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_trade
+    assert "CartesianProduct" not in p_trade
+
+    p_corr = plan(qs["size_quantity_correlation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_corr
+
+    p_tri = plan(qs["top_trigram_by_source"](spark, SF_DIR))
+    assert "Generate" in p_tri
+    assert "CartesianProduct" not in p_tri
+
+    p_vj = plan(qs["source_vocab_jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_vj  # word-keyed equi-join
+
+    p_idf = plan(qs["part_name_token_idf"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p_idf
+    assert "BroadcastNestedLoopJoin" in p_idf  # 1-row N broadcast
+    assert "CartesianProduct" not in p_idf
