@@ -442,11 +442,12 @@ def q_line_discount_stack(spark, sf_dir):
 
 ORACLE_LINE_DISCOUNT_STACK = """
 SELECT year(o_orderdate) AS yr,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS gross_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS disc_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
-         AS BIGINT)) AS net_cents
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                * 100) AS BIGINT)) AS BIGINT) AS net_cents
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """
@@ -575,8 +576,8 @@ merged AS (
   FROM opened o FULL OUTER JOIN done d ON o.month = d.month
 )
 SELECT month, opened, closed,
-       sum(opened) OVER (ORDER BY month) - sum(closed) OVER (ORDER BY month)
-         AS backlog
+       CAST(sum(opened) OVER (ORDER BY month)
+            - sum(closed) OVER (ORDER BY month) AS BIGINT) AS backlog
 FROM merged ORDER BY month
 """
 

@@ -87,12 +87,12 @@ def q_discount_cap_counterfactual(spark, sf_dir):
 
 ORACLE_DISCOUNT_CAP_COUNTERFACTUAL = """
 SELECT year(o_orderdate) AS yr,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS actual_cents,
-       sum(CAST(round(l_extendedprice * (1 - least(l_discount, 0.05)) * 100)
-                AS BIGINT)
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS actual_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - least(l_discount, 0.05))
+                     * 100) AS BIGINT)
            - CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-         AS recovered_cents,
+         AS BIGINT) AS recovered_cents,
        CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
          AS lines_over_cap
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
