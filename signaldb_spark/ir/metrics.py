@@ -59,6 +59,7 @@ METRIC_TABLES = {
     "gauge": "metrics_gauge",
     "sum": "metrics_sum",
     "histogram": "metrics_histogram",
+    "exponential_histogram": "metrics_exponential_histogram",
 }
 
 
@@ -242,6 +243,36 @@ def _histogram_quantile(df: DataFrame, keys: list[str], q: float) -> DataFrame:
     )
 
 
+def _exphist_quantile(df: DataFrame, keys: list[str], q: float) -> DataFrame:
+    """Quantile across OTLP EXPONENTIAL histogram buckets — the bucket
+    model the proposal left open, reused from operators/exphist.py
+    (value-ordered CDF walk over 2^(2^-s)-based buckets, cross-scale
+    downscale merge). v1 accumulates DELTA streams (datapoint counts
+    sum over the window, which is what the operator's per-series merge
+    does); a CUMULATIVE exphist row fails the query LOUDLY via a
+    filter-side raise_error — never a silently-wrong answer (run-aware
+    cumulative merging of offset arrays stays deferred)."""
+    from ..operators.exphist import exphist_quantile
+
+    temp = F.coalesce(F.col("aggregation_temporality"), F.lit(1))
+    guarded = df.filter(
+        F.when(
+            temp == 2,
+            F.raise_error(
+                "IR v1 exponential_histogram quantile supports DELTA "
+                "temporality only; cumulative exphist accumulation is "
+                "deferred (use the PromQL dialect)"),
+        ).otherwise(F.lit(True))
+    )
+    has_neg = ("negative_offset" in df.columns
+               and "negative_bucket_counts" in df.columns)
+    return exphist_quantile(
+        guarded, q, series_cols=keys,
+        neg_offset_col="negative_offset" if has_neg else None,
+        neg_counts_col="negative_bucket_counts" if has_neg else None,
+    )
+
+
 def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataFrame:
     """Lower a validated ``from: "metrics"`` IR query over its typed
     metric table (``METRIC_TABLES[q.metric.metric_type]``). ``where``
@@ -271,6 +302,8 @@ def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataF
             out = out.withColumn(
                 "value", F.col("value") / F.lit(float(m.window_seconds))
             )
+    elif m.fn == "quantile" and m.metric_type == "exponential_histogram":
+        out = _exphist_quantile(df, keys, m.quantile)
     elif m.fn == "quantile":
         out = _histogram_quantile(df, keys, m.quantile)
     else:

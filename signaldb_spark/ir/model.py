@@ -43,13 +43,19 @@ SUPPORTED_VERSIONS = {1}
 # not fit the flat row-set model — samples carry aggregation_temporality
 # and metric_type, histograms are not scalar — so `from: "metrics"`
 # routes to its own relation types instead of the generic stages).
-# v1 scope follows the proposal's own "minimum sound v1": gauge + sum
+# v1 scope follows the proposal's "minimum sound v1" — gauge + sum
 # (temporality-aware rate/increase) + histogram_quantile over OTLP
-# explicit buckets; exponential_histogram and summary stay on the
-# PromQL dialect until the bucket model is settled (the proposal's open
-# question), and vector-matching binop is explicitly deferred there too.
-METRIC_TYPES_V1 = {"gauge", "sum", "histogram"}
-METRIC_TYPES_DEFERRED = {"exponential_histogram", "summary"}
+# explicit buckets — PLUS exponential_histogram quantile: the proposal
+# defers exphist only because its bucket model was an open question
+# there, and this engine already ships that model (operators/exphist.py
+# — value-ordered CDF walk over scale-based buckets, cross-scale merge
+# by downscaling). Exphist accumulation is DELTA-temporality in v1; a
+# cumulative exphist stream fails loudly at lowering (run-aware
+# cumulative merging of offset arrays is the genuinely open part).
+# Summary stays on the PromQL dialect, and vector-matching binop is
+# explicitly deferred by the proposal too.
+METRIC_TYPES_V1 = {"gauge", "sum", "histogram", "exponential_histogram"}
+METRIC_TYPES_DEFERRED = {"summary"}
 METRIC_INSTANT_FNS = {"last"}
 METRIC_GAUGE_RANGE_FNS = {
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -61,6 +67,7 @@ METRIC_FNS_BY_TYPE = {
     "gauge": METRIC_INSTANT_FNS | METRIC_GAUGE_RANGE_FNS,
     "sum": METRIC_INSTANT_FNS | METRIC_SUM_RANGE_FNS,
     "histogram": METRIC_HIST_FNS,
+    "exponential_histogram": METRIC_HIST_FNS,
 }
 METRIC_OUTER_AGGS = {"sum", "avg", "min", "max", "count"}
 

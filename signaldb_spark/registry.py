@@ -15,6 +15,7 @@ from . import (
     bench_round11,
     bench_round12,
     bench_round13,
+    bench_round14,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -39,6 +40,7 @@ _MODULES = [
     bench_round11,
     bench_round12,
     bench_round13,
+    bench_round14,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds

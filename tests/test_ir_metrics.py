@@ -25,11 +25,18 @@ def test_metric_validation_wall():
                       "window_seconds": 60}))
     assert ok.metric.metric_type == "sum" and ok.metric.fn == "rate"
 
-    # deferred types stay on the PromQL dialect (the proposal's open
-    # bucket-model question)
-    for t in ("exponential_histogram", "summary"):
-        with pytest.raises(IRValidationError, match="PromQL dialect"):
-            validate(_q({"name": "m", "type": t, "fn": "last"}))
+    # summary stays on the PromQL dialect; exponential_histogram is IN
+    # v1 (quantile only — this engine ships the bucket model the
+    # proposal left open)
+    with pytest.raises(IRValidationError, match="PromQL dialect"):
+        validate(_q({"name": "m", "type": "summary", "fn": "last"}))
+    eh = validate(_q({"name": "m", "type": "exponential_histogram",
+                      "fn": "quantile", "window_seconds": 60,
+                      "quantile": 0.9}))
+    assert eh.metric.metric_type == "exponential_histogram"
+    with pytest.raises(IRValidationError, match="invalid for metric type"):
+        validate(_q({"name": "m", "type": "exponential_histogram",
+                     "fn": "rate", "window_seconds": 60}))
     with pytest.raises(IRValidationError, match="unknown metric type"):
         validate(_q({"name": "m", "type": "widget"}))
     # fn/type soundness: rate is sum-only (temporality-aware); quantile
@@ -271,3 +278,51 @@ def test_api_routes_metrics_ir(spark, tmp_path):
     assert out2["status"] == "error"
     assert out2["errorType"] == "not_found"
     assert "metrics_sum" in out2["error"]
+
+
+# ------------------------------------------------- exponential histogram
+
+
+def _exphist_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, service_name string, metric_name string, "
+        "scale int, zero_count long, positive_offset int, "
+        "positive_bucket_counts array<long>, aggregation_temporality int",
+    )
+
+
+def test_exphist_quantile_through_ir(spark):
+    """Exponential-histogram quantile through the IR sub-model: scale 0
+    (base 2) buckets — offset 0 covers (1,2], offset 1 covers (2,4] —
+    two DELTA datapoints sum element-wise. counts [2,0]+[0,2] →
+    [2,2] + 2 zeros: total 6, p50 target=3 lands at the first positive
+    bucket's upper edge... walk: zeros cover ranks 1-2, bucket(1,2]
+    covers 3-4 → p50 interpolates inside (1,2] at (3-2)/2 → value
+    1 + (2-1)*0.5 = 1.5."""
+    t0, t1 = _ts("2024-01-01 00:05:00"), _ts("2024-01-01 00:10:00")
+    df = _exphist_df(spark, [
+        (t0, "api", "lat", 0, 1, 0, [2, 0], 1),
+        (t1, "api", "lat", 0, 1, 0, [0, 2], 1),
+    ])
+    q = validate(_q({"name": "lat", "type": "exponential_histogram",
+                     "fn": "quantile", "quantile": 0.5,
+                     "window_seconds": 3600,
+                     "agg": "max", "by": ["service_name"]}))
+    out = lower_metrics(df, q).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(1.5)
+
+
+def test_exphist_cumulative_fails_loudly(spark):
+    """A CUMULATIVE exphist stream must error out, never silently
+    double-count — the v1 deferral is explicit."""
+    df = _exphist_df(spark, [
+        (_ts("2024-01-01 00:05:00"), "api", "lat", 0, 0, 0, [2, 2], 2),
+    ])
+    q = validate(_q({"name": "lat", "type": "exponential_histogram",
+                     "fn": "quantile", "quantile": 0.5,
+                     "window_seconds": 3600,
+                     "agg": "max", "by": ["service_name"]}))
+    with pytest.raises(Exception, match="DELTA temporality only"):
+        lower_metrics(df, q).collect()
