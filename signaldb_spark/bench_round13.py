@@ -1228,13 +1228,16 @@ ORACLES["type_run_length_profile"] = ORACLE_TYPE_RUN_LENGTH_PROFILE
 
 def q_order_value_zscore_by_segment(spark, sf_dir):
     """Outlier orders per market segment: |z| > 3 on order value with
-    mean/variance from EXPLICIT power sums over exact cents (population
-    convention) — the fraud-screen shape."""
+    mean/variance from EXPLICIT power sums over exact whole DOLLARS
+    (population convention) — the fraud-screen shape. Dollars, not
+    cents: the Σv² power sum must stay inside int64 (cents² × rows
+    overflows at sf0.1), and whole-dollar values keep every moment
+    integer-exact on both engines."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
-        "c_mktsegment", cents.alias("v")
+        "c_mktsegment", dollars.alias("v")
     )
     w = Window.partitionBy("c_mktsegment")
     scored = (
@@ -1259,7 +1262,7 @@ def q_order_value_zscore_by_segment(spark, sf_dir):
 
 ORACLE_ORDER_VALUE_ZSCORE_BY_SEGMENT = """
 WITH j AS (
-  SELECT c_mktsegment, CAST(round(o_totalprice * 100) AS BIGINT) AS v
+  SELECT c_mktsegment, CAST(round(o_totalprice) AS BIGINT) AS v
   FROM orders JOIN customer ON o_custkey = c_custkey
 ),
 scored AS (
