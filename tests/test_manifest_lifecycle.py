@@ -174,10 +174,14 @@ class ManifestLifecycle(RuleBasedStateMachine):
     def orphan_sweep_aged(self):
         """Past the grace window, exactly the unreferenced files die:
         staged/crashed files go, files still referenced by ANY retained
-        manifest (time travel) survive."""
+        manifest (time travel) survive. A path with NO committed
+        manifest is not a manifest table yet — the sweep must refuse to
+        delete anything there (the files may be a first batch being
+        staged), so the model expects nothing until the first commit."""
+        expected = self.staged if self.mt.versions() else set()
         deleted = set(cleanup_orphans(self.dir, grace_seconds=0.0, now=AGED))
-        assert deleted == self.staged, (deleted, self.staged)
-        self.staged = set()
+        assert deleted == expected, (deleted, expected)
+        self.staged -= deleted
 
     # ----------------------------------------------------------- invariant
 
