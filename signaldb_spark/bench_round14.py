@@ -127,3 +127,353 @@ ORDER BY 1, 2
 
 QUERIES["ir_metrics_exphist_quantile"] = q_ir_metrics_exphist_quantile
 ORACLES["ir_metrics_exphist_quantile"] = ORACLE_IR_METRICS_EXPHIST_QUANTILE
+
+
+# ------------------------------------------------------------- batch 2
+
+
+def q_order_halves_symmetry(spark, sf_dir):
+    """H1-vs-H2 revenue split per year — the seasonality-balance read
+    (exact cents, one conditional agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    h1 = F.month("o_orderdate") <= 6
+    return (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.when(h1, cents).otherwise(0)).alias("h1_cents"),
+            F.sum(F.when(~h1, cents).otherwise(0)).alias("h2_cents"),
+        )
+        .withColumn(
+            "h1_share",
+            F.round(F.col("h1_cents")
+                    / (F.col("h1_cents") + F.col("h2_cents")), 6),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_ORDER_HALVES_SYMMETRY = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       sum(CASE WHEN month(o_orderdate) <= 6
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+         AS h1_cents,
+       sum(CASE WHEN month(o_orderdate) > 6
+           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+         AS h2_cents,
+       round(sum(CASE WHEN month(o_orderdate) <= 6
+                 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+             / (sum(CAST(round(o_totalprice * 100) AS BIGINT))), 6)
+         AS h1_share
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["order_halves_symmetry"] = q_order_halves_symmetry
+ORACLES["order_halves_symmetry"] = ORACLE_ORDER_HALVES_SYMMETRY
+
+
+def q_quantity_discount_interaction(spark, sf_dir):
+    """Do bigger orders get deeper discounts? Mean discount (basis
+    points, exact) per quantity band — the pricing-policy check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 10, "q01-10")
+        .when(F.col("l_quantity") <= 25, "q11-25")
+        .when(F.col("l_quantity") <= 40, "q26-40")
+        .otherwise("q41-50")
+    )
+    bps = F.round(F.col("l_discount") * 10000).cast("long")
+    return (
+        li.groupBy(band.alias("qty_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lines"),
+            F.sum(bps).alias("bps_sum"),
+        )
+        .select(
+            "qty_band", "lines",
+            F.round(F.col("bps_sum") / F.col("lines"), 6).alias("avg_bps"),
+        )
+        .orderBy("qty_band")
+    )
+
+
+ORACLE_QUANTITY_DISCOUNT_INTERACTION = """
+WITH per AS (
+  SELECT CASE WHEN l_quantity <= 10 THEN 'q01-10'
+              WHEN l_quantity <= 25 THEN 'q11-25'
+              WHEN l_quantity <= 40 THEN 'q26-40'
+              ELSE 'q41-50' END AS qty_band,
+         CAST(round(l_discount * 10000) AS BIGINT) AS bps
+  FROM lineitem
+)
+SELECT qty_band, CAST(count(*) AS BIGINT) AS lines,
+       round(sum(bps) / count(*), 6) AS avg_bps
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quantity_discount_interaction"] = q_quantity_discount_interaction
+ORACLES["quantity_discount_interaction"] = ORACLE_QUANTITY_DISCOUNT_INTERACTION
+
+
+def q_yearly_top10_customer_share(spark, sf_dir):
+    """Revenue share of each year's top-10 customers (exact rank cut,
+    tiebreak custkey) — key-account concentration over time."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+    ).agg(F.sum(cents).alias("c"))
+    w = Window.partitionBy("yr").orderBy(
+        F.col("c").desc(), F.col("o_custkey").asc()
+    )
+    wt = Window.partitionBy("yr")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("c").over(wt))
+        .filter(F.col("rk") <= 10)
+        .groupBy("yr")
+        .agg(
+            F.round(F.sum("c") / F.first("total"), 6).alias("top10_share")
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_YEARLY_TOP10_CUSTOMER_SHARE = """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT yr, c,
+         row_number() OVER (PARTITION BY yr
+                            ORDER BY c DESC, o_custkey ASC) AS rk,
+         sum(c) OVER (PARTITION BY yr) AS total
+  FROM per
+)
+SELECT yr, round(sum(c) / max(total), 6) AS top10_share
+FROM ranked WHERE rk <= 10 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["yearly_top10_customer_share"] = q_yearly_top10_customer_share
+ORACLES["yearly_top10_customer_share"] = ORACLE_YEARLY_TOP10_CUSTOMER_SHARE
+
+
+def q_brand_size_coverage(spark, sf_dir):
+    """Assortment coverage per brand: distinct sizes offered and their
+    share of the catalog's full size range — the range-planning view."""
+    p = load_table(spark, sf_dir, "part")
+    total_sizes = p.select(
+        F.countDistinct("p_size").cast("long").alias("catalog_sizes")
+    )
+    per = p.groupBy("p_brand").agg(
+        F.countDistinct("p_size").cast("long").alias("sizes"),
+        F.count(F.lit(1)).cast("long").alias("parts"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total_sizes))
+        .select(
+            "p_brand", "parts", "sizes",
+            F.round(F.col("sizes") / F.col("catalog_sizes"), 6)
+            .alias("coverage"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BRAND_SIZE_COVERAGE = """
+WITH t AS (SELECT CAST(count(DISTINCT p_size) AS BIGINT) AS catalog_sizes
+           FROM part)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS parts,
+       CAST(count(DISTINCT p_size) AS BIGINT) AS sizes,
+       round(count(DISTINCT p_size) / t.catalog_sizes, 6) AS coverage
+FROM part, t GROUP BY 1, t.catalog_sizes ORDER BY 1
+"""
+
+QUERIES["brand_size_coverage"] = q_brand_size_coverage
+ORACLES["brand_size_coverage"] = ORACLE_BRAND_SIZE_COVERAGE
+
+
+def q_segment_priority_affinity(spark, sf_dir):
+    """Segment × priority lift matrix (observed / expected under
+    independence, from exact counts) — where sales motion differs by
+    customer type."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    per = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    ws = Window.partitionBy("c_mktsegment")
+    wp = Window.partitionBy("o_orderpriority")
+    wt = Window.partitionBy()
+    return (
+        per.withColumn(
+            "lift",
+            F.round(
+                F.col("n") * F.sum("n").over(wt)
+                / (F.sum("n").over(ws) * F.sum("n").over(wp)), 6
+            ),
+        )
+        .select("c_mktsegment", "o_orderpriority", "n", "lift")
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+ORACLE_SEGMENT_PRIORITY_AFFINITY = """
+WITH per AS (
+  SELECT c_mktsegment, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, o_orderpriority, n,
+       round(n * sum(n) OVER ()
+             / (sum(n) OVER (PARTITION BY c_mktsegment)
+                * sum(n) OVER (PARTITION BY o_orderpriority)), 6) AS lift
+FROM per ORDER BY c_mktsegment, o_orderpriority
+"""
+
+QUERIES["segment_priority_affinity"] = q_segment_priority_affinity
+ORACLES["segment_priority_affinity"] = ORACLE_SEGMENT_PRIORITY_AFFINITY
+
+
+def q_basket_size_by_value_band(spark, sf_dir):
+    """Average lines-per-order by order-value band — basket geometry
+    against spend (exact counts/cents, one join of two rollups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lines = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    band = (
+        F.when(cents < 5_000_000, "low")
+        .when(cents < 20_000_000, "mid")
+        .otherwise("high")
+    )
+    j = o.select("o_orderkey", band.alias("band")).join(
+        lines, F.col("o_orderkey") == lines.l_orderkey
+    )
+    return (
+        j.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.round(F.sum("n_lines") / F.count(F.lit(1)), 6)
+            .alias("avg_lines"),
+            F.max("n_lines").alias("max_lines"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_BASKET_SIZE_BY_VALUE_BAND = """
+WITH lines AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 5000000
+              THEN 'low'
+              WHEN CAST(round(o_totalprice * 100) AS BIGINT) < 20000000
+              THEN 'mid' ELSE 'high' END AS band,
+         n_lines
+  FROM orders JOIN lines ON o_orderkey = l_orderkey
+)
+SELECT band, CAST(count(*) AS BIGINT) AS orders,
+       round(sum(n_lines) / count(*), 6) AS avg_lines,
+       max(n_lines) AS max_lines
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["basket_size_by_value_band"] = q_basket_size_by_value_band
+ORACLES["basket_size_by_value_band"] = ORACLE_BASKET_SIZE_BY_VALUE_BAND
+
+
+def q_same_month_ship_share(spark, sf_dir):
+    """Fulfillment locality: share of lineitems shipped in the SAME
+    calendar month as the order, per year — the quick-turn ratio."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    same = (F.date_trunc("month", "l_shipdate")
+            == F.date_trunc("month", "o_orderdate"))
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lines"),
+            F.sum(same.cast("long")).alias("same_month"),
+        )
+        .withColumn("share", F.round(F.col("same_month") / F.col("lines"), 6))
+        .orderBy("yr")
+    )
+
+
+ORACLE_SAME_MONTH_SHIP_SHARE = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(count(*) AS BIGINT) AS lines,
+       CAST(sum(CASE WHEN date_trunc('month', l_shipdate)
+                = date_trunc('month', o_orderdate)
+                THEN 1 ELSE 0 END) AS BIGINT) AS same_month,
+       round(sum(CASE WHEN date_trunc('month', l_shipdate)
+             = date_trunc('month', o_orderdate) THEN 1 ELSE 0 END)
+             / count(*), 6) AS share
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["same_month_ship_share"] = q_same_month_ship_share
+ORACLES["same_month_ship_share"] = ORACLE_SAME_MONTH_SHIP_SHARE
+
+
+def q_nation_balance_iqr(spark, sf_dir):
+    """Supplier account-balance IQR per nation by exact integer-rank
+    selection on cents — the spread audit behind the MAD gate."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", cents.alias("c"), "s_suppkey"
+    )
+    w = Window.partitionBy("n_name").orderBy("c", "s_suppkey")
+    ranked = j.withColumn("rk", F.row_number().over(w))
+    per = j.groupBy("n_name").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    jj = ranked.join(F.broadcast(per), "n_name")
+    q1 = jj.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.25))
+    ).select("n_name", F.col("c").alias("q1_cents"))
+    q3 = jj.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.75))
+    ).select("n_name", F.col("c").alias("q3_cents"))
+    return (
+        q1.join(q3, "n_name")
+        .withColumn("iqr_cents", F.col("q3_cents") - F.col("q1_cents"))
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_BALANCE_IQR = """
+WITH j AS (
+  SELECT n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS c, s_suppkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT n_name, c,
+         row_number() OVER (PARTITION BY n_name ORDER BY c, s_suppkey) AS rk,
+         count(*) OVER (PARTITION BY n_name) AS n
+  FROM j
+)
+SELECT n_name,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+           THEN c END) AS q1_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+           THEN c END) AS q3_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+           THEN c END)
+       - max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+             THEN c END) AS iqr_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["nation_balance_iqr"] = q_nation_balance_iqr
+ORACLES["nation_balance_iqr"] = ORACLE_NATION_BALANCE_IQR
