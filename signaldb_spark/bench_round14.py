@@ -477,3 +477,450 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 QUERIES["nation_balance_iqr"] = q_nation_balance_iqr
 ORACLES["nation_balance_iqr"] = ORACLE_NATION_BALANCE_IQR
+
+
+# ------------------------------------------------------------- batch 3
+
+
+def q_daily_peak_trough_ratio(spark, sf_dir):
+    """Intraday load shape per stream: mean of each day's peak/trough
+    hourly-count ratio — capacity-planning headroom (exact counts; the
+    ratio averaged over the ~30-row daily table)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    daily = hourly.groupBy("event_type", "day").agg(
+        F.max("n").alias("peak"), F.min("n").alias("trough"),
+        F.count(F.lit(1)).cast("long").alias("active_hours"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("days"),
+            F.round(F.avg(F.col("peak") / F.col("trough")), 6)
+            .alias("avg_peak_trough"),
+            F.round(F.avg("active_hours"), 6).alias("avg_active_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DAILY_PEAK_TROUGH_RATIO = """
+WITH hourly AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+daily AS (
+  SELECT event_type, day, max(n) AS peak, min(n) AS trough,
+         CAST(count(*) AS BIGINT) AS active_hours
+  FROM hourly GROUP BY 1, 2
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+       round(avg(peak * 1.0 / trough), 6) AS avg_peak_trough,
+       round(avg(active_hours), 6) AS avg_active_hours
+FROM daily GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["daily_peak_trough_ratio"] = q_daily_peak_trough_ratio
+ORACLES["daily_peak_trough_ratio"] = ORACLE_DAILY_PEAK_TROUGH_RATIO
+
+
+def q_value_round_number_bias(spark, sf_dir):
+    """Forensic round-number bias per stream: shares of values that
+    are exact integers and exact multiples of 5 (from integer cents —
+    never float formatting)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((cents % 100 == 0).cast("long")).alias("integers"),
+            F.sum((cents % 500 == 0).cast("long")).alias("mult5"),
+        )
+        .select(
+            "event_type", "n",
+            F.round(F.col("integers") / F.col("n"), 6).alias("int_share"),
+            F.round(F.col("mult5") / F.col("n"), 6).alias("mult5_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_ROUND_NUMBER_BIAS = """
+WITH per AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END)
+             / count(*), 6) AS int_share,
+       round(sum(CASE WHEN cents % 500 = 0 THEN 1 ELSE 0 END)
+             / count(*), 6) AS mult5_share
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_round_number_bias"] = q_value_round_number_bias
+ORACLES["value_round_number_bias"] = ORACLE_VALUE_ROUND_NUMBER_BIAS
+
+
+def q_first_session_depth_retention(spark, sf_dir):
+    """Does first-session depth predict coming back? Users bucketed by
+    FIRST 30-min session's event count, each bucket's share of users
+    with a later session."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("depth")
+    )
+    agg = per.groupBy("user_id").agg(
+        F.min_by("depth", "sid").alias("first_depth"),
+        F.max("sid").alias("sessions"),
+    )
+    band = (
+        F.when(F.col("first_depth") == 1, "1")
+        .when(F.col("first_depth") <= 3, "2-3")
+        .otherwise("4+")
+    )
+    return (
+        agg.groupBy(band.alias("first_depth_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.sum((F.col("sessions") >= 2).cast("long")).alias("returned"),
+        )
+        .withColumn(
+            "return_rate", F.round(F.col("returned") / F.col("users"), 6)
+        )
+        .orderBy("first_depth_band")
+    )
+
+
+ORACLE_FIRST_SESSION_DEPTH_RETENTION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+),
+per AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS depth
+  FROM sess GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, arg_min(depth, sid) AS first_depth,
+         max(sid) AS sessions
+  FROM per GROUP BY 1
+)
+SELECT CASE WHEN first_depth = 1 THEN '1'
+            WHEN first_depth <= 3 THEN '2-3' ELSE '4+' END
+         AS first_depth_band,
+       CAST(count(*) AS BIGINT) AS users,
+       CAST(sum(CASE WHEN sessions >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returned,
+       round(sum(CASE WHEN sessions >= 2 THEN 1 ELSE 0 END) / count(*), 6)
+         AS return_rate
+FROM agg GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["first_session_depth_retention"] = q_first_session_depth_retention
+ORACLES["first_session_depth_retention"] = ORACLE_FIRST_SESSION_DEPTH_RETENTION
+
+
+def q_hourly_autocorr_lag24(spark, sf_dir):
+    """Daily-rhythm strength per stream: lag-24 autocorrelation of the
+    hourly count series (Pearson over (h, h+24) pairs; exact integer
+    moments, closed form in doubles)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nxt = hourly.select(
+        F.col("event_type").alias("t2"),
+        (F.col("h") - F.expr("INTERVAL 24 HOURS")).alias("h_prev"),
+        F.col("n").alias("n2"),
+    )
+    pairs = hourly.join(
+        nxt, (hourly.event_type == nxt.t2) & (hourly.h == nxt.h_prev)
+    ).select("event_type", F.col("n").alias("x"), F.col("n2").alias("y"))
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    d = {c: F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+    num = d["n"] * d["sxy"] - d["sx"] * d["sy"]
+    den = F.sqrt(
+        (d["n"] * d["sxx"] - d["sx"] * d["sx"])
+        * (d["n"] * d["syy"] - d["sy"] * d["sy"])
+    )
+    return m.select(
+        "event_type", "n", F.round(num / den, 6).alias("autocorr_24h")
+    ).orderBy("event_type")
+
+
+ORACLE_HOURLY_AUTOCORR_LAG24 = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.n AS x, b.n AS y
+  FROM hourly a JOIN hourly b
+    ON a.event_type = b.event_type AND b.h = a.h + INTERVAL 24 HOURS
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT event_type, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS autocorr_24h
+FROM m ORDER BY event_type
+"""
+
+QUERIES["hourly_autocorr_lag24"] = q_hourly_autocorr_lag24
+ORACLES["hourly_autocorr_lag24"] = ORACLE_HOURLY_AUTOCORR_LAG24
+
+
+def q_active_days_value_corr(spark, sf_dir):
+    """Engagement-monetization link: Pearson r between per-user active
+    days and total value cents (integer moments, double closed form)."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("double") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    d = {c: F.col(c).cast("double") for c in ("n", "sx", "sy")}
+    num = d["n"] * F.col("sxy") - d["sx"] * d["sy"]
+    den = F.sqrt(
+        (d["n"] * F.col("sxx") - d["sx"] * d["sx"])
+        * (d["n"] * F.col("syy") - d["sy"] * d["sy"])
+    )
+    return m.select("n", F.round(num / den, 6).alias("pearson_r"))
+
+
+ORACLE_ACTIVE_DAYS_VALUE_CORR = """
+WITH per AS (
+  SELECT user_id,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS x,
+         sum(CAST(round(value * 100) AS BIGINT)) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS DOUBLE) * x) AS sxx,
+         sum(CAST(y AS DOUBLE) * y) AS syy,
+         sum(CAST(x AS DOUBLE) * y) AS sxy
+  FROM per
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS pearson_r
+FROM m
+"""
+
+QUERIES["active_days_value_corr"] = q_active_days_value_corr
+ORACLES["active_days_value_corr"] = ORACLE_ACTIVE_DAYS_VALUE_CORR
+
+
+def q_source_lang_purity(spark, sf_dir):
+    """Dominant language share per source — mislabeled-source triage
+    (deterministic dominant pick by count desc, lang asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    wt = Window.partitionBy("source")
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source", F.col("lang").alias("dominant_lang"),
+            F.round(F.col("n") / F.col("total"), 6).alias("purity"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_LANG_PURITY = """
+WITH per AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT source, lang, n,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n DESC, lang ASC) AS rk,
+         sum(n) OVER (PARTITION BY source) AS total
+  FROM per
+)
+SELECT source, lang AS dominant_lang, round(n / total, 6) AS purity
+FROM r WHERE rk = 1 ORDER BY source
+"""
+
+QUERIES["source_lang_purity"] = q_source_lang_purity
+ORACLES["source_lang_purity"] = ORACLE_SOURCE_LANG_PURITY
+
+
+def q_alpha_density_percentiles(spark, sf_dir):
+    """Alphabetic-character density p10/p50/p90 per source by exact
+    integer-rank selection on ppm-scaled densities — the binary-junk
+    screen."""
+    d = load_table(spark, sf_dir, "documents")
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("long")
+    ppm = F.floor(alpha * 1_000_000 / F.length("text")).cast("long")
+    scored = d.filter(F.length("text") > 0).select(
+        "source", ppm.alias("ppm"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("ppm", "doc_id")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = ranked.join(F.broadcast(per), "source")
+    out = None
+    for q, name in ((0.1, "p10_ppm"), (0.5, "p50_ppm"), (0.9, "p90_ppm")):
+        sel = j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select("source", F.col("ppm").alias(name))
+        out = sel if out is None else out.join(sel, "source")
+    return out.orderBy("source")
+
+
+ORACLE_ALPHA_DENSITY_PERCENTILES = """
+WITH scored AS (
+  SELECT source,
+         CAST(floor(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+              * 1000000 / len(text)) AS BIGINT) AS ppm,
+         doc_id
+  FROM documents WHERE len(text) > 0
+),
+ranked AS (
+  SELECT source, ppm,
+         row_number() OVER (PARTITION BY source ORDER BY ppm, doc_id) AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM scored
+)
+SELECT source,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.1) AS BIGINT))
+           THEN ppm END) AS p10_ppm,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN ppm END) AS p50_ppm,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.9) AS BIGINT))
+           THEN ppm END) AS p90_ppm
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["alpha_density_percentiles"] = q_alpha_density_percentiles
+ORACLES["alpha_density_percentiles"] = ORACLE_ALPHA_DENSITY_PERCENTILES
+
+
+def q_vocab_half_drift(spark, sf_dir):
+    """Corpus drift along ingestion order: vocabulary Jaccard between
+    the doc_id halves, per lang — the (word, lang, half) distinct
+    rollup joins on itself, bounded by vocabulary size."""
+    d = load_table(spark, sf_dir, "documents")
+    mid = d.agg(F.percentile(F.col("doc_id").cast("double"), F.lit(0.5))
+                .alias("m"))
+    ws = (
+        d.crossJoin(F.broadcast(mid))
+        .select(
+            "lang",
+            (F.col("doc_id") <= F.col("m")).alias("first_half"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+        )
+        .distinct()
+    )
+    a = ws.filter(F.col("first_half")).select("lang", "w")
+    b_ = ws.filter(~F.col("first_half")).select(F.col("lang").alias("l2"), F.col("w").alias("w2"))
+    inter = a.join(
+        b_, (a.lang == b_.l2) & (a.w == b_.w2)
+    ).groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("i"))
+    sizes = ws.groupBy("lang", "first_half").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    va = sizes.filter(F.col("first_half")).select("lang", F.col("v").alias("va"))
+    vb = sizes.filter(~F.col("first_half")).select("lang", F.col("v").alias("vb"))
+    return (
+        inter.join(va, "lang").join(vb, "lang")
+        .select(
+            "lang",
+            F.round(F.col("i") / (F.col("va") + F.col("vb") - F.col("i")), 6)
+            .alias("half_jaccard"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_VOCAB_HALF_DRIFT = r"""
+WITH mid AS (
+  SELECT quantile_cont(CAST(doc_id AS DOUBLE), 0.5) AS m FROM documents
+),
+ws AS (
+  SELECT DISTINCT lang, doc_id <= m AS first_half, w
+  FROM documents, mid,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+),
+inter AS (
+  SELECT a.lang, CAST(count(*) AS BIGINT) AS i
+  FROM ws a JOIN ws b
+    ON a.lang = b.lang AND a.w = b.w AND a.first_half AND NOT b.first_half
+  GROUP BY 1
+),
+sizes AS (
+  SELECT lang, first_half, CAST(count(*) AS BIGINT) AS v
+  FROM ws GROUP BY 1, 2
+)
+SELECT i.lang,
+       round(i.i / (va.v + vb.v - i.i), 6) AS half_jaccard
+FROM inter i
+JOIN sizes va ON va.lang = i.lang AND va.first_half
+JOIN sizes vb ON vb.lang = i.lang AND NOT vb.first_half
+ORDER BY i.lang
+"""
+
+QUERIES["vocab_half_drift"] = q_vocab_half_drift
+ORACLES["vocab_half_drift"] = ORACLE_VOCAB_HALF_DRIFT
