@@ -924,3 +924,648 @@ ORDER BY i.lang
 
 QUERIES["vocab_half_drift"] = q_vocab_half_drift
 ORACLES["vocab_half_drift"] = ORACLE_VOCAB_HALF_DRIFT
+
+
+# ------------------------------------------------------------- batch 4
+
+
+def q_balance_sign_activity(spark, sf_dir):
+    """Do negative-balance customers order differently? Order rate and
+    value per balance-sign cohort — exact counts/cents, one broadcast
+    dim join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative").otherwise("non-negative")
+        .alias("bal_sign"),
+    )
+    cust = c.groupBy("bal_sign").agg(
+        F.count(F.lit(1)).cast("long").alias("customers")
+    )
+    ords = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("bal_sign")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("cents"),
+        )
+    )
+    return (
+        cust.join(ords, "bal_sign")
+        .select(
+            "bal_sign", "customers", "orders",
+            F.round(F.col("orders") / F.col("customers"), 6)
+            .alias("orders_per_customer"),
+            F.round(F.col("cents") / F.col("orders") / 100.0, 6)
+            .alias("avg_order_value"),
+        )
+        .orderBy("bal_sign")
+    )
+
+
+ORACLE_BALANCE_SIGN_ACTIVITY = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_acctbal < 0 THEN 'negative'
+              ELSE 'non-negative' END AS bal_sign
+  FROM customer
+),
+cust AS (
+  SELECT bal_sign, CAST(count(*) AS BIGINT) AS customers FROM c GROUP BY 1
+),
+ords AS (
+  SELECT bal_sign, CAST(count(*) AS BIGINT) AS orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders JOIN c ON o_custkey = c_custkey GROUP BY 1
+)
+SELECT bal_sign, customers, orders,
+       round(orders / customers, 6) AS orders_per_customer,
+       round(cents / orders / 100.0, 6) AS avg_order_value
+FROM cust JOIN ords USING (bal_sign) ORDER BY bal_sign
+"""
+
+QUERIES["balance_sign_activity"] = q_balance_sign_activity
+ORACLES["balance_sign_activity"] = ORACLE_BALANCE_SIGN_ACTIVITY
+
+
+def q_typeclass_price_quartiles(spark, sf_dir):
+    """Retail-price quartiles per type class (first word of p_type) by
+    exact integer-rank selection on cents."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    scored = p.select(
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_class"),
+        cents.alias("c"), "p_partkey",
+    )
+    w = Window.partitionBy("type_class").orderBy("c", "p_partkey")
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    per = scored.groupBy("type_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    j = ranked.join(F.broadcast(per), "type_class")
+    out = None
+    for q, name in ((0.25, "q1_cents"), (0.5, "q2_cents"), (0.75, "q3_cents")):
+        sel = j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select("type_class", F.col("c").alias(name))
+        out = sel if out is None else out.join(sel, "type_class")
+    return out.orderBy("type_class")
+
+
+ORACLE_TYPECLASS_PRICE_QUARTILES = """
+WITH scored AS (
+  SELECT split_part(p_type, ' ', 1) AS type_class,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS c, p_partkey
+  FROM part
+),
+ranked AS (
+  SELECT type_class, c,
+         row_number() OVER (PARTITION BY type_class
+                            ORDER BY c, p_partkey) AS rk,
+         count(*) OVER (PARTITION BY type_class) AS n
+  FROM scored
+)
+SELECT type_class,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+           THEN c END) AS q1_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN c END) AS q2_cents,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+           THEN c END) AS q3_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typeclass_price_quartiles"] = q_typeclass_price_quartiles
+ORACLES["typeclass_price_quartiles"] = ORACLE_TYPECLASS_PRICE_QUARTILES
+
+
+def q_busiest_quietest_dates(spark, sf_dir):
+    """Global order-volume extremes: top-3 and bottom-3 dates by count
+    (deterministic tiebreak on the date) — the calendar outlier card."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    top = daily.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("day").asc()))
+    ).filter(F.col("rk") <= 3).select(
+        F.lit("busiest").alias("kind"), "rk", "day", "n")
+    bot = daily.withColumn(
+        "rk", F.row_number().over(
+            Window.orderBy(F.col("n").asc(), F.col("day").asc()))
+    ).filter(F.col("rk") <= 3).select(
+        F.lit("quietest").alias("kind"), "rk", "day", "n")
+    return top.unionByName(bot).orderBy("kind", "rk")
+
+
+ORACLE_BUSIEST_QUIETEST_DATES = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+top AS (
+  SELECT 'busiest' AS kind,
+         row_number() OVER (ORDER BY n DESC, day ASC) AS rk, day, n
+  FROM daily
+),
+bot AS (
+  SELECT 'quietest' AS kind,
+         row_number() OVER (ORDER BY n ASC, day ASC) AS rk, day, n
+  FROM daily
+)
+SELECT kind, CAST(rk AS BIGINT) AS rk, day, n FROM top WHERE rk <= 3
+UNION ALL
+SELECT kind, CAST(rk AS BIGINT) AS rk, day, n FROM bot WHERE rk <= 3
+ORDER BY kind, rk
+"""
+
+QUERIES["busiest_quietest_dates"] = q_busiest_quietest_dates
+ORACLES["busiest_quietest_dates"] = ORACLE_BUSIEST_QUIETEST_DATES
+
+
+def q_supplier_part_efficiency(spark, sf_dir):
+    """Top-10 suppliers by revenue per distinct part served — focus vs
+    breadth; two exact rollup columns per supplier, TakeOrdered cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(cents).alias("cents"),
+        F.countDistinct("l_partkey").cast("long").alias("parts"),
+    )
+    return (
+        per.select(
+            "l_suppkey", "parts",
+            F.round(F.col("cents") / F.col("parts") / 100.0, 6)
+            .alias("revenue_per_part"),
+        )
+        .orderBy(F.col("revenue_per_part").desc(), F.col("l_suppkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_SUPPLIER_PART_EFFICIENCY = """
+WITH per AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+             AS BIGINT)) AS cents,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts
+  FROM lineitem GROUP BY 1
+)
+SELECT l_suppkey, parts,
+       round(cents / parts / 100.0, 6) AS revenue_per_part
+FROM per ORDER BY revenue_per_part DESC, l_suppkey ASC LIMIT 10
+"""
+
+QUERIES["supplier_part_efficiency"] = q_supplier_part_efficiency
+ORACLES["supplier_part_efficiency"] = ORACLE_SUPPLIER_PART_EFFICIENCY
+
+
+def q_nation_market_depth(spark, sf_dir):
+    """Customers-per-supplier ratio per nation — demand vs supply
+    footprint from two dim rollups joined on the nation."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cc = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("customers"))
+    ss = s.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("suppliers"))
+    return (
+        n.join(cc, n.n_nationkey == cc.c_nationkey, "left")
+        .join(ss, n.n_nationkey == ss.s_nationkey, "left")
+        .select(
+            "n_name",
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+            F.round(
+                F.coalesce("customers", F.lit(0))
+                / F.greatest(F.coalesce("suppliers", F.lit(0)), F.lit(1)), 6
+            ).alias("depth"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_MARKET_DEPTH = """
+WITH cc AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS customers
+  FROM customer GROUP BY 1
+),
+ss AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS suppliers
+  FROM supplier GROUP BY 1
+)
+SELECT n_name,
+       coalesce(customers, 0) AS customers,
+       coalesce(suppliers, 0) AS suppliers,
+       round(coalesce(customers, 0)
+             / greatest(coalesce(suppliers, 0), 1), 6) AS depth
+FROM nation
+LEFT JOIN cc ON n_nationkey = c_nationkey
+LEFT JOIN ss ON n_nationkey = s_nationkey
+ORDER BY n_name
+"""
+
+QUERIES["nation_market_depth"] = q_nation_market_depth
+ORACLES["nation_market_depth"] = ORACLE_NATION_MARKET_DEPTH
+
+
+def q_quarter_end_loading(spark, sf_dir):
+    """Fiscal-pressure read: share of each quarter's orders landing in
+    its LAST month — exact counts, one conditional agg."""
+    o = load_table(spark, sf_dir, "orders")
+    last_month = F.month("o_orderdate").isin(3, 6, 9, 12)
+    return (
+        o.groupBy(
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("q")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("orders"),
+            F.sum(last_month.cast("long")).alias("last_month_orders"),
+        )
+        .withColumn(
+            "loading",
+            F.round(F.col("last_month_orders") / F.col("orders"), 6),
+        )
+        .orderBy("q")
+    )
+
+
+ORACLE_QUARTER_END_LOADING = """
+SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q,
+       CAST(count(*) AS BIGINT) AS orders,
+       CAST(sum(CASE WHEN month(o_orderdate) IN (3, 6, 9, 12)
+                THEN 1 ELSE 0 END) AS BIGINT) AS last_month_orders,
+       round(sum(CASE WHEN month(o_orderdate) IN (3, 6, 9, 12)
+             THEN 1 ELSE 0 END) / count(*), 6) AS loading
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quarter_end_loading"] = q_quarter_end_loading
+ORACLES["quarter_end_loading"] = ORACLE_QUARTER_END_LOADING
+
+
+def q_second_session_gap_bands(spark, sf_dir):
+    """Time from FIRST to SECOND session start, banded — the
+    habit-formation clock (30-min-gap sessions; exact integer µs until
+    the band cut)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    starts = sess.groupBy("user_id", "sid").agg(F.min("ts").alias("start"))
+    two = starts.filter(F.col("sid") <= 2).groupBy("user_id").agg(
+        F.min_by("start", "sid").alias("s1"),
+        F.max_by("start", "sid").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).filter(F.col("k") == 2)
+    hours = F.floor(
+        (F.unix_micros("s2") - F.unix_micros("s1")) / 3_600_000_000
+    )
+    band = (
+        F.when(hours < 6, "<6h")
+        .when(hours < 48, "6-48h")
+        .when(hours < 168, "2-7d")
+        .otherwise("7d+")
+    )
+    return (
+        two.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_SECOND_SESSION_GAP_BANDS = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid,
+         ts
+  FROM marked
+),
+starts AS (
+  SELECT user_id, sid, min(ts) AS start FROM sess GROUP BY 1, 2
+),
+two AS (
+  SELECT user_id, arg_min(start, sid) AS s1, arg_max(start, sid) AS s2,
+         count(*) AS k
+  FROM starts WHERE sid <= 2 GROUP BY 1 HAVING count(*) = 2
+)
+SELECT CASE
+         WHEN floor((epoch_us(s2) - epoch_us(s1)) / 3600000000) < 6
+           THEN '<6h'
+         WHEN floor((epoch_us(s2) - epoch_us(s1)) / 3600000000) < 48
+           THEN '6-48h'
+         WHEN floor((epoch_us(s2) - epoch_us(s1)) / 3600000000) < 168
+           THEN '2-7d'
+         ELSE '7d+' END AS band,
+       CAST(count(*) AS BIGINT) AS users
+FROM two GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["second_session_gap_bands"] = q_second_session_gap_bands
+ORACLES["second_session_gap_bands"] = ORACLE_SECOND_SESSION_GAP_BANDS
+
+
+def q_peak_day_contribution(spark, sf_dir):
+    """Each stream's busiest day as a share of its month — single-day
+    concentration that breaks naive capacity plans (deterministic peak
+    pick)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("month", "ts").cast("date").alias("month"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type", "month").orderBy(
+        F.col("n").desc(), F.col("day").asc()
+    )
+    wt = Window.partitionBy("event_type", "month")
+    return (
+        daily.withColumn("rk", F.row_number().over(w))
+        .withColumn("total", F.sum("n").over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", "month", F.col("day").alias("peak_day"),
+            F.round(F.col("n") / F.col("total"), 6).alias("peak_share"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+ORACLE_PEAK_DAY_CONTRIBUTION = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month,
+         CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT event_type, month, day, n,
+         row_number() OVER (PARTITION BY event_type, month
+                            ORDER BY n DESC, day ASC) AS rk,
+         sum(n) OVER (PARTITION BY event_type, month) AS total
+  FROM daily
+)
+SELECT event_type, month, day AS peak_day,
+       round(n / total, 6) AS peak_share
+FROM r WHERE rk = 1 ORDER BY event_type, month
+"""
+
+QUERIES["peak_day_contribution"] = q_peak_day_contribution
+ORACLES["peak_day_contribution"] = ORACLE_PEAK_DAY_CONTRIBUTION
+
+
+def q_chars_per_token_by_lang(spark, sf_dir):
+    """Average characters per whitespace token per lang — the
+    tokenizer-fertility proxy that drives token-budget conversion
+    rates; exact integer sums to the one division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    per = d.select(
+        "lang",
+        F.length("text").cast("long").alias("chars"),
+        F.size(toks).cast("long").alias("tokens"),
+    ).groupBy("lang").agg(
+        F.sum("chars").alias("chars"), F.sum("tokens").alias("tokens")
+    )
+    return per.select(
+        "lang", "tokens",
+        F.round(F.col("chars") / F.col("tokens"), 6).alias("chars_per_token"),
+    ).orderBy("lang")
+
+
+ORACLE_CHARS_PER_TOKEN_BY_LANG = r"""
+WITH per AS (
+  SELECT lang, CAST(sum(len(text)) AS BIGINT) AS chars,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+)
+SELECT lang, tokens, round(chars / tokens, 6) AS chars_per_token
+FROM per ORDER BY lang
+"""
+
+QUERIES["chars_per_token_by_lang"] = q_chars_per_token_by_lang
+ORACLES["chars_per_token_by_lang"] = ORACLE_CHARS_PER_TOKEN_BY_LANG
+
+
+def q_long_word_profile(spark, sf_dir):
+    """Tokenizer-pathology screen per source: longest word and the
+    per-mille of words over 15 chars (exact counts)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    per = d.select(
+        "source",
+        F.array_max(F.transform(toks, F.length)).cast("long")
+        .alias("max_word"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 15)).cast("long")
+        .alias("long_words"),
+        F.size(toks).cast("long").alias("words"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.max("max_word").alias("longest_word"),
+            F.sum("long_words").alias("long_words"),
+            F.sum("words").alias("words"),
+        )
+        .withColumn(
+            "long_per_mille",
+            F.round(F.col("long_words") * 1000 / F.col("words"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LONG_WORD_PROFILE = r"""
+WITH per AS (
+  SELECT source,
+         CAST(list_max(list_transform(
+              regexp_split_to_array(trim(text), '\s+'), w -> len(w)))
+              AS BIGINT) AS max_word,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+              w -> len(w) > 15)) AS BIGINT) AS long_words,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS words
+  FROM documents
+)
+SELECT source, max(max_word) AS longest_word,
+       CAST(sum(long_words) AS BIGINT) AS long_words,
+       CAST(sum(words) AS BIGINT) AS words,
+       round(sum(long_words) * 1000 / sum(words), 6) AS long_per_mille
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["long_word_profile"] = q_long_word_profile
+ORACLES["long_word_profile"] = ORACLE_LONG_WORD_PROFILE
+
+
+def q_emb_dim_extreme_census(spark, sf_dir):
+    """Per-dimension extreme-coordinate census (|x| > 0.3, first 8
+    dims) — the heavy-coordinate read behind clip-range choices."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select(F.posexplode("embedding").alias("dim", "x"))
+        .filter(F.col("dim") < 8)
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.abs(F.col("x").cast("double")) > 0.3).cast("long"))
+            .alias("extremes"),
+        )
+        .withColumn(
+            "extreme_share", F.round(F.col("extremes") / F.col("n"), 6)
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_DIM_EXTREME_CENSUS = """
+SELECT i AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(CAST(embedding[i + 1] AS DOUBLE)) > 0.3
+                THEN 1 ELSE 0 END) AS BIGINT) AS extremes,
+       round(sum(CASE WHEN abs(CAST(embedding[i + 1] AS DOUBLE)) > 0.3
+             THEN 1 ELSE 0 END) / count(*), 6) AS extreme_share
+FROM embeddings, unnest(range(len(embedding))) AS u(i)
+WHERE i < 8 GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_dim_extreme_census"] = q_emb_dim_extreme_census
+ORACLES["emb_dim_extreme_census"] = ORACLE_EMB_DIM_EXTREME_CENSUS
+
+
+def q_ir_metrics_avg_over_time(spark, sf_dir):
+    """IR gauge avg_over_time daily — exact integer sums over exact
+    counts inside the window, one identical IEEE division per bucket."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "avg_over_time",
+        "window_seconds": DAY, "agg": "max", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_AVG_OVER_TIME = """
+WITH hourly AS (
+  SELECT event_type AS service_name, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(h) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name,
+       round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_avg_over_time"] = q_ir_metrics_avg_over_time
+ORACLES["ir_metrics_avg_over_time"] = ORACLE_IR_METRICS_AVG_OVER_TIME
+
+
+def q_ir_metrics_max_over_time(spark, sf_dir):
+    """IR gauge max_over_time daily — the ceiling tracker (exact value
+    picks)."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "max_over_time",
+        "window_seconds": DAY, "agg": "max", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_MAX_OVER_TIME = """
+WITH hourly AS (
+  SELECT event_type AS service_name, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(floor(epoch(h) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name,
+       round(CAST(max(cents) AS DOUBLE) / 100.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_max_over_time"] = q_ir_metrics_max_over_time
+ORACLES["ir_metrics_max_over_time"] = ORACLE_IR_METRICS_MAX_OVER_TIME
+
+
+def q_typed_attr_exists_predicate(spark, sf_dir):
+    """IR `exists` over the typed attribute map: only `exists` observes
+    absence (Kleene) — rows whose map lacks the key drop, rows with ANY
+    typed value (including residue strings) pass."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    # only non-error rows carry the key at all
+    attrs = F.when(
+        F.col("event_type") != "error",
+        F.create_map(F.lit("http.response.status_code"),
+                     F.round(F.col("value")).cast("long").cast("string")),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        attrs.alias("log_attributes"),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "exists"},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_EXISTS_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE event_type <> 'error'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_exists_predicate"] = q_typed_attr_exists_predicate
+ORACLES["typed_attr_exists_predicate"] = ORACLE_TYPED_ATTR_EXISTS_PREDICATE
