@@ -1569,3 +1569,862 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["typed_attr_exists_predicate"] = q_typed_attr_exists_predicate
 ORACLES["typed_attr_exists_predicate"] = ORACLE_TYPED_ATTR_EXISTS_PREDICATE
+
+
+# ------------------------------------------------------------- batch 5
+
+
+def q_nation_balance_deviation(spark, sf_dir):
+    """Nations whose supplier-balance mean deviates most from the
+    global mean (exact cents moments, deviation in dollars) — the
+    regional-risk screen."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("s_acctbal") * 100).cast("long")
+    j = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", cents.alias("c")
+    )
+    per = j.groupBy("n_name").agg(
+        F.sum("c").alias("sc"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    glob = j.agg(F.sum("c").alias("gc"),
+                 F.count(F.lit(1)).cast("long").alias("gn"))
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "n_name", "n",
+            F.round(
+                (F.col("sc") / F.col("n") - F.col("gc") / F.col("gn"))
+                / 100.0, 6
+            ).alias("mean_deviation"),
+        )
+        .orderBy(F.abs(F.col("mean_deviation")).desc(), F.col("n_name").asc())
+        .limit(10)
+    )
+
+
+ORACLE_NATION_BALANCE_DEVIATION = """
+WITH j AS (
+  SELECT n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS c
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+per AS (
+  SELECT n_name, CAST(sum(c) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS n
+  FROM j GROUP BY 1
+),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS gc,
+             CAST(count(*) AS BIGINT) AS gn FROM j)
+SELECT n_name, n,
+       round((sc / n - gc / gn) / 100.0, 6) AS mean_deviation
+FROM per, g
+ORDER BY abs(round((sc / n - gc / gn) / 100.0, 6)) DESC, n_name ASC
+LIMIT 10
+"""
+
+QUERIES["nation_balance_deviation"] = q_nation_balance_deviation
+ORACLES["nation_balance_deviation"] = ORACLE_NATION_BALANCE_DEVIATION
+
+
+def q_annual_repeat_revenue_share(spark, sf_dir):
+    """Share of each year's revenue from customers who ALSO bought the
+    previous year — the repeat-business dependency curve (two distinct
+    rollups, one shifted semi-join on digests)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+    ).agg(F.sum(cents).alias("c"))
+    prev = per.select(
+        (F.col("yr") + 1).alias("yr2"), F.col("o_custkey").alias("c2")
+    ).distinct()
+    j = per.join(
+        prev, (per.yr == prev.yr2) & (per.o_custkey == prev.c2), "left"
+    )
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.sum("c").alias("total_c"),
+            F.sum(F.when(F.col("c2").isNotNull(), F.col("c"))
+                  .otherwise(0)).alias("repeat_c"),
+        )
+        .select(
+            "yr",
+            F.round(F.col("repeat_c") / F.col("total_c"), 6)
+            .alias("repeat_share"),
+        )
+        .orderBy("yr")
+    )
+
+
+ORACLE_ANNUAL_REPEAT_REVENUE_SHARE = """
+WITH per AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+  FROM orders GROUP BY 1, 2
+),
+prev AS (SELECT DISTINCT yr + 1 AS yr, o_custkey FROM per)
+SELECT p.yr,
+       round(sum(CASE WHEN pr.o_custkey IS NOT NULL THEN p.c ELSE 0 END)
+             / sum(p.c), 6) AS repeat_share
+FROM per p LEFT JOIN prev pr
+  ON p.yr = pr.yr AND p.o_custkey = pr.o_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["annual_repeat_revenue_share"] = q_annual_repeat_revenue_share
+ORACLES["annual_repeat_revenue_share"] = ORACLE_ANNUAL_REPEAT_REVENUE_SHARE
+
+
+def q_dominant_line_share_bands(spark, sf_dir):
+    """How concentrated is an order in its biggest line? max-line share
+    of order total, banded — exact cents, one max/sum rollup per
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = li.groupBy("l_orderkey").agg(
+        F.max(cents).alias("mx"), F.sum(cents).alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    ).filter(F.col("n_lines") >= 2)
+    share = F.col("mx") / F.col("tot")
+    band = (
+        F.when(share < 0.4, "<40%")
+        .when(share < 0.6, "40-60%")
+        .when(share < 0.8, "60-80%")
+        .otherwise("80%+")
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("orders"))
+        .orderBy("band")
+    )
+
+
+ORACLE_DOMINANT_LINE_SHARE_BANDS = """
+WITH per AS (
+  SELECT l_orderkey,
+         max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS mx,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS tot,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CASE WHEN mx * 1.0 / tot < 0.4 THEN '<40%'
+            WHEN mx * 1.0 / tot < 0.6 THEN '40-60%'
+            WHEN mx * 1.0 / tot < 0.8 THEN '60-80%'
+            ELSE '80%+' END AS band,
+       CAST(count(*) AS BIGINT) AS orders
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dominant_line_share_bands"] = q_dominant_line_share_bands
+ORACLES["dominant_line_share_bands"] = ORACLE_DOMINANT_LINE_SHARE_BANDS
+
+
+def q_span_ordercount_correlation(spark, sf_dir):
+    """Pearson r between customer lifetime span (days between first
+    and last order) and order count — does tenure buy frequency?
+    Integer moments, double closed form."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("double") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("double") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast("double") * F.col("y")).alias("sxy"),
+    )
+    d = {c: F.col(c).cast("double") for c in ("n", "sx", "sy")}
+    num = d["n"] * F.col("sxy") - d["sx"] * d["sy"]
+    den = F.sqrt(
+        (d["n"] * F.col("sxx") - d["sx"] * d["sx"])
+        * (d["n"] * F.col("syy") - d["sy"] * d["sy"])
+    )
+    return m.select("n", F.round(num / den, 6).alias("pearson_r"))
+
+
+ORACLE_SPAN_ORDERCOUNT_CORRELATION = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+              AS BIGINT) AS x,
+         CAST(count(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         sum(CAST(x AS DOUBLE) * x) AS sxx,
+         sum(CAST(y AS DOUBLE) * y) AS syy,
+         sum(CAST(x AS DOUBLE) * y) AS sxy
+  FROM per
+)
+SELECT n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS pearson_r
+FROM m
+"""
+
+QUERIES["span_ordercount_correlation"] = q_span_ordercount_correlation
+ORACLES["span_ordercount_correlation"] = ORACLE_SPAN_ORDERCOUNT_CORRELATION
+
+
+def q_zero_discount_share_by_brand(spark, sf_dir):
+    """Discount discipline per brand: share of lines sold at list price
+    (zero discount) — part broadcast into the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("lines"),
+            F.sum((F.col("l_discount") == 0).cast("long")).alias("list_price"),
+        )
+        .withColumn(
+            "list_share", F.round(F.col("list_price") / F.col("lines"), 6)
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_ZERO_DISCOUNT_SHARE_BY_BRAND = """
+SELECT p_brand, CAST(count(*) AS BIGINT) AS lines,
+       CAST(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS list_price,
+       round(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) / count(*), 6)
+         AS list_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zero_discount_share_by_brand"] = q_zero_discount_share_by_brand
+ORACLES["zero_discount_share_by_brand"] = ORACLE_ZERO_DISCOUNT_SHARE_BY_BRAND
+
+
+def q_monthday_order_profile(spark, sf_dir):
+    """Orders by day-of-month (1-31) with shares — billing-cycle and
+    month-edge loading."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.dayofmonth("o_orderdate").cast("int").alias("dom")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy()
+    return (
+        per.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("dom")
+    )
+
+
+ORACLE_MONTHDAY_ORDER_PROFILE = """
+WITH per AS (
+  SELECT CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT dom, n, round(n / sum(n) OVER (), 6) AS share
+FROM per ORDER BY dom
+"""
+
+QUERIES["monthday_order_profile"] = q_monthday_order_profile
+ORACLES["monthday_order_profile"] = ORACLE_MONTHDAY_ORDER_PROFILE
+
+
+def q_user_max_daily_histogram(spark, sf_dir):
+    """Histogram of each user's BUSIEST day (max daily event count) —
+    the burst-capacity profile of the user base."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).groupBy("user_id").agg(F.max("n").alias("max_daily"))
+    return (
+        per.groupBy("max_daily")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("max_daily")
+    )
+
+
+ORACLE_USER_MAX_DAILY_HISTOGRAM = """
+WITH per AS (
+  SELECT user_id, max(n) AS max_daily
+  FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT max_daily, CAST(count(*) AS BIGINT) AS users
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_max_daily_histogram"] = q_user_max_daily_histogram
+ORACLES["user_max_daily_histogram"] = ORACLE_USER_MAX_DAILY_HISTOGRAM
+
+
+def q_value_by_session_position(spark, sf_dir):
+    """Average value by within-session position band (1st event, 2-5,
+    6+) — does intent build or decay inside a session? Exact cents and
+    the session index from one lag-cumsum pass."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.withColumn("idx", F.row_number().over(ws))
+    band = (
+        F.when(F.col("idx") == 1, "pos-1")
+        .when(F.col("idx") <= 5, "pos-2-5")
+        .otherwise("pos-6+")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        pos.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("events"),
+            F.sum(cents).alias("cents"),
+        )
+        .select(
+            "band", "events",
+            F.round(F.col("cents") / F.col("events") / 100.0, 6)
+            .alias("avg_value"),
+        )
+        .orderBy("band")
+    )
+
+
+ORACLE_VALUE_BY_SESSION_POSITION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+),
+pos AS (
+  SELECT value,
+         row_number() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS idx
+  FROM sess
+)
+SELECT CASE WHEN idx = 1 THEN 'pos-1'
+            WHEN idx <= 5 THEN 'pos-2-5' ELSE 'pos-6+' END AS band,
+       CAST(count(*) AS BIGINT) AS events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / count(*) / 100.0, 6)
+         AS avg_value
+FROM pos GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_by_session_position"] = q_value_by_session_position
+ORACLES["value_by_session_position"] = ORACLE_VALUE_BY_SESSION_POSITION
+
+
+def q_weekly_value_retention(spark, sf_dir):
+    """VALUE-based weekly retention: of week W's active users, the
+    value they spend in W+1 as a share of their week-W value — follows
+    the money where cohort_triangle counts heads."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    uw = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(F.sum(cents).alias("c"))
+    nxt = uw.select(
+        F.col("user_id").alias("u2"),
+        F.add_months(F.col("wk"), 0).alias("_ignore"),
+        F.date_sub(F.col("wk"), 7).alias("wk_prev"),
+        F.col("c").alias("c2"),
+    ).drop("_ignore")
+    j = uw.join(
+        nxt, (uw.user_id == nxt.u2) & (uw.wk == nxt.wk_prev), "left"
+    )
+    return (
+        j.groupBy("wk")
+        .agg(
+            F.sum("c").alias("week_cents"),
+            F.sum(F.coalesce("c2", F.lit(0))).alias("next_week_cents"),
+        )
+        .select(
+            "wk",
+            F.round(F.col("next_week_cents") / F.col("week_cents"), 6)
+            .alias("value_retention"),
+        )
+        .orderBy("wk")
+    )
+
+
+ORACLE_WEEKLY_VALUE_RETENTION = """
+WITH uw AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT a.wk,
+       round(sum(coalesce(b.c, 0)) / sum(a.c), 6) AS value_retention
+FROM uw a LEFT JOIN uw b
+  ON a.user_id = b.user_id AND b.wk = a.wk + 7
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["weekly_value_retention"] = q_weekly_value_retention
+ORACLES["weekly_value_retention"] = ORACLE_WEEKLY_VALUE_RETENTION
+
+
+def q_short_doc_census(spark, sf_dir):
+    """Under-64-char docs per source: count, share, and the shortest
+    length — the stub-document screen."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum((F.length("text") < 64).cast("long")).alias("short_docs"),
+            F.min(F.length("text")).cast("long").alias("min_chars"),
+        )
+        .withColumn(
+            "short_share", F.round(F.col("short_docs") / F.col("docs"), 6)
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SHORT_DOC_CENSUS = """
+SELECT source, CAST(count(*) AS BIGINT) AS docs,
+       CAST(sum(CASE WHEN len(text) < 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS short_docs,
+       CAST(min(len(text)) AS BIGINT) AS min_chars,
+       round(sum(CASE WHEN len(text) < 64 THEN 1 ELSE 0 END) / count(*), 6)
+         AS short_share
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["short_doc_census"] = q_short_doc_census
+ORACLES["short_doc_census"] = ORACLE_SHORT_DOC_CENSUS
+
+
+def q_initial_letter_entropy(spark, sf_dir):
+    """Shannon entropy of word-INITIAL letters per lang (a-z folded,
+    exact counts; the fold runs over the ≤27-row rollup) — a crude but
+    fully portable orthography fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    first = F.lower(F.substring(F.col("w"), 1, 1))
+    letters = (
+        d.select("lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("w"))
+        .select("lang", F.when(first.rlike("^[a-z]$"), first)
+                .otherwise(F.lit("#")).alias("ch"))
+        .groupBy("lang", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    p = F.col("n") / F.sum("n").over(w)
+    return (
+        letters.withColumn("term", -p * F.log2(p))
+        .groupBy("lang")
+        .agg(
+            F.round(F.sum("term"), 6).alias("entropy_bits"),
+            F.count(F.lit(1)).cast("long").alias("symbols"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_INITIAL_LETTER_ENTROPY = r"""
+WITH letters AS (
+  SELECT lang,
+         CASE WHEN regexp_matches(lower(substring(w, 1, 1)), '^[a-z]$')
+              THEN lower(substring(w, 1, 1)) ELSE '#' END AS ch,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       unnest(regexp_split_to_array(trim(text), '\s+')) AS t(w)
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT lang, n / sum(n) OVER (PARTITION BY lang) AS p FROM letters
+)
+SELECT lang, round(sum(-p * log2(p)), 6) AS entropy_bits,
+       CAST(count(*) AS BIGINT) AS symbols
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["initial_letter_entropy"] = q_initial_letter_entropy
+ORACLES["initial_letter_entropy"] = ORACLE_INITIAL_LETTER_ENTROPY
+
+
+def q_emb_first_dim_histogram(spark, sf_dir):
+    """Fixed-edge histogram of dimension 0 (10 bands over [-0.5, 0.5))
+    per label — the marginal-distribution read before choosing scalar
+    quantizer edges."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.element_at("embedding", 1).cast("double")
+    band = F.least(
+        F.greatest(F.floor((x + 0.5) * 10).cast("int"), F.lit(0)), F.lit(9)
+    )
+    return (
+        e.groupBy("label", band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("label", "band")
+    )
+
+
+ORACLE_EMB_FIRST_DIM_HISTOGRAM = """
+SELECT label,
+       least(greatest(CAST(floor((CAST(embedding[1] AS DOUBLE) + 0.5) * 10)
+                      AS INT), 0), 9) AS band,
+       CAST(count(*) AS BIGINT) AS n
+FROM embeddings GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["emb_first_dim_histogram"] = q_emb_first_dim_histogram
+ORACLES["emb_first_dim_histogram"] = ORACLE_EMB_FIRST_DIM_HISTOGRAM
+
+
+def q_emb_ring_dot_extremes(spark, sf_dir):
+    """Max/min dot product over the deterministic md5 hash-ring pairing
+    (each vector paired with its ring successor — N pairs, never N²):
+    the quick spread read on pairwise geometry."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ringed = e.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.md5(F.col("vec_id").cast("string")))),
+    )
+    n_total = ringed.agg(F.max("rk").alias("m"))
+    nxt = ringed.crossJoin(F.broadcast(n_total)).select(
+        (F.when(F.col("rk") == F.col("m"), 1).otherwise(F.col("rk") + 1))
+        .alias("rk2"),
+        F.col("embedding").alias("e2"),
+    )
+    pairs = ringed.join(nxt, ringed.rk == nxt.rk2).select(
+        F.zip_with(
+            "embedding", "e2",
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ).alias("prods")
+    )
+    dot = F.aggregate("prods", F.lit(0.0), lambda acc, x: acc + x)
+    return pairs.select(dot.alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("pairs"),
+        F.round(F.max("d"), 6).alias("max_dot"),
+        F.round(F.min("d"), 6).alias("min_dot"),
+    )
+
+
+ORACLE_EMB_RING_DOT_EXTREMES = """
+WITH ringed AS (
+  SELECT embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rk
+  FROM embeddings
+),
+m AS (SELECT max(rk) AS mx FROM ringed),
+pairs AS (
+  SELECT a.embedding AS ea, b.embedding AS eb
+  FROM ringed a, m
+  JOIN ringed b
+    ON b.rk = CASE WHEN a.rk = m.mx THEN 1 ELSE a.rk + 1 END
+),
+dots AS (
+  SELECT list_sum(list_transform(range(len(ea)),
+           i -> CAST(ea[i + 1] AS DOUBLE) * CAST(eb[i + 1] AS DOUBLE)))
+           AS d
+  FROM pairs
+)
+SELECT CAST(count(*) AS BIGINT) AS pairs,
+       round(max(d), 6) AS max_dot, round(min(d), 6) AS min_dot
+FROM dots
+"""
+
+QUERIES["emb_ring_dot_extremes"] = q_emb_ring_dot_extremes
+ORACLES["emb_ring_dot_extremes"] = ORACLE_EMB_RING_DOT_EXTREMES
+
+
+def q_ir_extract_logfmt_gate(spark, sf_dir):
+    """IR logfmt EXTRACT under the oracle: bodies synthesized from
+    events as logfmt lines, the IR extract stage pulls a typed field
+    and aggregates — the zero-UDF parser path proven end-to-end."""
+    from .ir import lower, validate
+
+    e = load_table(spark, sf_dir, "events")
+    body = F.format_string(
+        "evt=%s k=%d", F.col("event_type"),
+        F.get_json_object("props", "$.k").cast("long"),
+    )
+    df = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        body.alias("body"),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "extract": [{"field": "k", "parser": "logfmt", "source": "body",
+                     "type": "long"}],
+        "where": {"field": "k", "op": "gte", "value": 50},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(df, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_IR_EXTRACT_LOGFMT_GATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ir_extract_logfmt_gate"] = q_ir_extract_logfmt_gate
+ORACLES["ir_extract_logfmt_gate"] = ORACLE_IR_EXTRACT_LOGFMT_GATE
+
+
+def q_typed_attr_in_predicate(spark, sf_dir):
+    """IR `in` over the typed map's DISPLAY strings (the set-membership
+    op keeps string semantics across layouts): 4xx/5xx selection."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(F.lit("http.response.status_code"), code).alias(
+            "log_attributes"
+        ),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "in",
+                  "value": ["404", "503"]},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_IN_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 20
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_in_predicate"] = q_typed_attr_in_predicate
+ORACLES["typed_attr_in_predicate"] = ORACLE_TYPED_ATTR_IN_PREDICATE
+
+
+_R14_CACHE: dict = {}
+
+
+def q_manifest_props_carry(spark, sf_dir):
+    """DRIVER gate for table-property carry-forward: a property set on
+    commit 2 of 3 must survive later commits that don't touch it (the
+    channel the hot/cold watermark rides), while the table answers the
+    whole-corpus rollup."""
+    import tempfile as _tempfile
+
+    from .storage.manifest import ManifestTable, write_batch_manifest
+
+    key = ("props", sf_dir)
+    if key not in _R14_CACHE:
+        table = _tempfile.mkdtemp(prefix="sdb-r14-props-")
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "date_day", F.date_format("ts", "yyyy-MM-dd")
+        ).withColumn("hour", F.lit(0))
+        mt = ManifestTable(table)
+        for k in range(3):
+            part = e.filter(F.col("event_id") % 3 == k)
+            write_batch_manifest(
+                part, table, "events_r14p", batch_id=f"b{k}",
+                partition_cols=("date_day", "hour"), stats_cols=("ts",),
+            )
+            if k == 1:
+                mt.commit([], batch_id="mark",
+                          properties={"pipeline.watermark": "batch-1"})
+        _R14_CACHE[key] = table
+    mt = ManifestTable(_R14_CACHE[key])
+    prop = mt.load_manifest().get("props", {}).get("pipeline.watermark")
+    df = mt.read(spark)
+    return (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("watermark", F.lit(prop))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MANIFEST_PROPS_CARRY = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       'batch-1' AS watermark
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["manifest_props_carry"] = q_manifest_props_carry
+ORACLES["manifest_props_carry"] = ORACLE_MANIFEST_PROPS_CARRY
+
+
+def q_ratelimit_override_isolation(spark, sf_dir):
+    """DRIVER gate for override-replaces-defaults semantics: a VIP
+    override lifting the query rate also lifts unlisted dimensions
+    (wholesale replace, ratelimit.rs limits_for), while default tenants
+    stay capped — the admit ledger for both tenants vs a closed-form
+    replay."""
+    from .ratelimit import RateLimitExceeded, TenantRateLimiter
+
+    limiter = TenantRateLimiter(
+        {"max_query_requests_per_sec": 2, "burst_seconds": 1.0},
+        {"vip": {"max_ingest_requests_per_sec": 1000,
+                 "burst_seconds": 1.0}},  # query dim UNLISTED → unlimited
+    )
+    rows = []
+    for tenant in ("acme", "vip"):
+        for i in range(30):
+            t = i * 0.25  # 0.5 tokens refilled per step at 2/s
+            try:
+                limiter.check_query(tenant, now=float(t))
+                rows.append((tenant, i, True))
+            except RateLimitExceeded:
+                rows.append((tenant, i, False))
+    df = spark.createDataFrame(rows, "tenant string, step int, admitted boolean")
+    return (
+        df.groupBy("tenant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("requests"),
+            F.sum(F.col("admitted").cast("long")).alias("admitted"),
+        )
+        .orderBy("tenant")
+    )
+
+
+ORACLE_RATELIMIT_OVERRIDE_ISOLATION = """
+WITH RECURSIVE sim(step, tokens, admitted) AS (
+  SELECT 0, 2.0 - 1.0, TRUE
+  UNION ALL
+  SELECT step + 1,
+         CASE WHEN least(tokens + 0.5, 2.0) >= 1.0
+              THEN least(tokens + 0.5, 2.0) - 1.0
+              ELSE least(tokens + 0.5, 2.0) END,
+         least(tokens + 0.5, 2.0) >= 1.0
+  FROM sim WHERE step < 29
+)
+SELECT 'acme' AS tenant, CAST(count(*) AS BIGINT) AS requests,
+       CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+         AS admitted
+FROM sim
+UNION ALL
+SELECT 'vip' AS tenant, CAST(30 AS BIGINT), CAST(30 AS BIGINT)
+ORDER BY tenant
+"""
+
+QUERIES["ratelimit_override_isolation"] = q_ratelimit_override_isolation
+ORACLES["ratelimit_override_isolation"] = ORACLE_RATELIMIT_OVERRIDE_ISOLATION
+
+
+def q_ir_metrics_series_count(spark, sf_dir):
+    """IR outer agg COUNT: active series per daily bucket — the
+    cardinality meter through the metric sub-model (each (service,
+    attrs) series counts once per bucket)."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    g = _hourly(spark, sf_dir).select(
+        "timestamp", "service_name",
+        F.lit("events_cents").alias("metric_name"),
+        F.col("cents").cast("double").alias("value"),
+        F.create_map(F.lit("src"), F.lit("events")).alias("attributes"),
+    )
+    out = _ir_metrics(g, {
+        "name": "events_cents", "type": "gauge", "fn": "last",
+        "step_seconds": DAY, "agg": "count",
+    })
+    return out.select(
+        "bucket", F.col("value").cast("bigint").alias("series")
+    ).orderBy("bucket")
+
+
+ORACLE_IR_METRICS_SERIES_COUNT = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts)) / 86400) * 86400 AS BIGINT)
+         AS bucket,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS series
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["ir_metrics_series_count"] = q_ir_metrics_series_count
+ORACLES["ir_metrics_series_count"] = ORACLE_IR_METRICS_SERIES_COUNT
+
+
+def q_typed_attr_contains_predicate(spark, sf_dir):
+    """IR `contains` over the typed map's display string — substring
+    matchers stay layout-invariant (the int home renders '503', so
+    contains '50' hits 503s and nothing else in this fixture)."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(F.lit("http.response.status_code"), code).alias(
+            "log_attributes"
+        ),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "logs", "v1", "v2",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "logs",
+        "where": {"field": "http.response.status_code", "op": "contains",
+                  "value": "50"},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v2, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_CONTAINS_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 100
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_contains_predicate"] = q_typed_attr_contains_predicate
+ORACLES["typed_attr_contains_predicate"] = ORACLE_TYPED_ATTR_CONTAINS_PREDICATE

@@ -1166,3 +1166,26 @@ def test_round13_staged_scale_shapes(spark):
     assert "TakeOrderedAndProject" in p_idf
     assert "BroadcastNestedLoopJoin" in p_idf  # 1-row N broadcast
     assert "CartesianProduct" not in p_idf
+
+
+def test_round14_staged_scale_shapes(spark):
+    """Round-14 staged gates: dims and global scalars broadcast, rank
+    cuts ride windows over rollups, leaderboards end in TakeOrdered,
+    and the ring pairing joins on the rank key (never a cross join)."""
+    qs = all_queries()
+
+    p_eff = plan(qs["supplier_part_efficiency"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p_eff
+
+    p_dev = plan(qs["nation_balance_deviation"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p_dev  # 1-row global scalar
+    assert "CartesianProduct" not in p_dev
+
+    p_rep = plan(qs["annual_repeat_revenue_share"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_rep
+
+    p_zero = plan(qs["zero_discount_share_by_brand"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in p_zero
+
+    p_ring = plan(qs["emb_ring_dot_extremes"](spark, SF_DIR))
+    assert "CartesianProduct" not in p_ring
