@@ -155,12 +155,12 @@ def q_order_halves_symmetry(spark, sf_dir):
 
 ORACLE_ORDER_HALVES_SYMMETRY = """
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
-       sum(CASE WHEN month(o_orderdate) <= 6
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
-         AS h1_cents,
-       sum(CASE WHEN month(o_orderdate) > 6
-           THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
-         AS h2_cents,
+       CAST(sum(CASE WHEN month(o_orderdate) <= 6
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS h1_cents,
+       CAST(sum(CASE WHEN month(o_orderdate) > 6
+            THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
+         AS BIGINT) AS h2_cents,
        round(sum(CASE WHEN month(o_orderdate) <= 6
                  THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END)
              / (sum(CAST(round(o_totalprice * 100) AS BIGINT))), 6)
