@@ -93,6 +93,20 @@ PROBE_QUERIES = [
     # agg + in-row reset folds + explode merge) after its equal-scale
     # fast-path rewrite — the one operator whose plan changed this round
     "exphist_rate_quantile",
+    # round-8 shapes: the metric-native IR sub-model's two wide paths —
+    # cumulative-run increase (runs grouped on (bucket, series,
+    # start_ts), window over the run digest) and the histogram posting
+    # explode (per-(bucket, series, idx) partial sums + CDF window) —
+    # plus the O(words) zip_with bigram walk (the O(words^2) shape it
+    # replaced measured 5x slower at sf0.1 alone), the vocab-bounded
+    # source-pair join (cost must follow vocabulary, not documents),
+    # and the typed-attribute migration + typed-int predicate (map-only
+    # transform, must stay flat)
+    "ir_metrics_rate_cumulative",
+    "ir_metrics_histogram_quantile",
+    "bigram_hapax_share",
+    "source_vocab_jaccard",
+    "typed_attr_int_predicate",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
