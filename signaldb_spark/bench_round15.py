@@ -1,0 +1,621 @@
+"""Round-15 staging battery: oracle-gated queries registered AFTER the
+round-14 block. Same conventions as bench_queries (round(x, 6) floats,
+BIGINT counts, explicit tiebreaks, aliases identical on both sides,
+integer cents wherever exactness matters, every batch sf0.1-smoked for
+ANSI overflow before commit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+# ------------------------------------------------------------- batch 1
+
+
+def q_order_line_status_mix(spark, sf_dir):
+    """Per-order line-status composition (all-F / all-O / mixed) by
+    year — the fulfillment-state ledger at order grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_linestatus") == "F").cast("long")).alias("f"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    mix = (
+        F.when(F.col("f") == F.col("n"), "all-F")
+        .when(F.col("f") == 0, "all-O")
+        .otherwise("mixed")
+    )
+    j = per.join(o, per.l_orderkey == o.o_orderkey)
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                  mix.alias("mix"))
+        .agg(F.count(F.lit(1)).cast("long").alias("orders"))
+        .orderBy("yr", "mix")
+    )
+
+
+ORACLE_ORDER_LINE_STATUS_MIX = """
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS f,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CASE WHEN f = n THEN 'all-F' WHEN f = 0 THEN 'all-O'
+            ELSE 'mixed' END AS mix,
+       CAST(count(*) AS BIGINT) AS orders
+FROM per JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["order_line_status_mix"] = q_order_line_status_mix
+ORACLES["order_line_status_mix"] = ORACLE_ORDER_LINE_STATUS_MIX
+
+
+def q_price_spread_within_order(spark, sf_dir):
+    """Line-price spread inside multi-line orders (max−min extended
+    price, exact cents), banded — order heterogeneity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = li.groupBy("l_orderkey").agg(
+        (F.max(cents) - F.min(cents)).alias("spread"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ).filter(F.col("n") >= 2)
+    band = (
+        F.when(F.col("spread") < 1_000_000, "<$10k")
+        .when(F.col("spread") < 3_000_000, "$10-30k")
+        .otherwise("$30k+")
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("orders"))
+        .orderBy("band")
+    )
+
+
+ORACLE_PRICE_SPREAD_WITHIN_ORDER = """
+WITH per AS (
+  SELECT l_orderkey,
+         max(CAST(round(l_extendedprice * 100) AS BIGINT))
+         - min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS spread,
+         count(*) AS n
+  FROM lineitem GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CASE WHEN spread < 1000000 THEN '<$10k'
+            WHEN spread < 3000000 THEN '$10-30k'
+            ELSE '$30k+' END AS band,
+       CAST(count(*) AS BIGINT) AS orders
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["price_spread_within_order"] = q_price_spread_within_order
+ORACLES["price_spread_within_order"] = ORACLE_PRICE_SPREAD_WITHIN_ORDER
+
+
+def q_quarter_streaks(spark, sf_dir):
+    """Longest consecutive-quarter buying streak per customer,
+    histogrammed — gaps-and-islands on the quarter INDEX (year*4 + q),
+    never the calendar."""
+    o = load_table(spark, sf_dir, "orders")
+    cq = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 4 + F.quarter("o_orderdate") - 1)
+        .cast("long").alias("qi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("qi")
+    runs = (
+        cq.withColumn("grp", F.col("qi") - F.row_number().over(w))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("len"))
+        .groupBy("o_custkey")
+        .agg(F.max("len").alias("best"))
+    )
+    return (
+        runs.groupBy("best")
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("best")
+    )
+
+
+ORACLE_QUARTER_STREAKS = """
+WITH cq AS (
+  SELECT DISTINCT o_custkey,
+         CAST(year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS BIGINT)
+           AS qi
+  FROM orders
+),
+runs AS (
+  SELECT o_custkey,
+         qi - row_number() OVER (PARTITION BY o_custkey ORDER BY qi) AS grp
+  FROM cq
+),
+per AS (
+  SELECT o_custkey, max(len) AS best
+  FROM (SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+        FROM runs GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT best, CAST(count(*) AS BIGINT) AS customers
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["quarter_streaks"] = q_quarter_streaks
+ORACLES["quarter_streaks"] = ORACLE_QUARTER_STREAKS
+
+
+def q_session_gap_percentiles(spark, sf_dir):
+    """Inter-SESSION gap percentiles (end of one 30-min session to
+    start of the next, exact integer-rank selection on µs) — the
+    return-cadence clock at session grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (F.col("prev").isNull()
+             | (F.unix_timestamp("ts") - F.unix_timestamp("prev") > 1800)
+             ).cast("int"),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    per = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("start"), F.max("ts").alias("end")
+    )
+    ws = Window.partitionBy("user_id").orderBy("sid")
+    gaps = (
+        per.withColumn("prev_end", F.lag("end").over(ws))
+        .filter(F.col("prev_end").isNotNull())
+        .select(
+            (F.unix_micros("start") - F.unix_micros("prev_end"))
+            .alias("gap_us")
+        )
+    )
+    wr = Window.orderBy("gap_us")
+    ranked = gaps.withColumn("rk", F.row_number().over(wr))
+    n = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(n))
+    out = None
+    for q, name in ((0.25, "p25_us"), (0.5, "p50_us"), (0.9, "p90_us")):
+        sel = j.filter(
+            F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * q))
+        ).select(F.col("gap_us").alias(name))
+        out = sel if out is None else out.crossJoin(sel)
+    return out
+
+
+ORACLE_SESSION_GAP_PERCENTILES = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid,
+         ts
+  FROM marked
+),
+per AS (
+  SELECT user_id, sid, min(ts) AS start, max(ts) AS send
+  FROM sess GROUP BY 1, 2
+),
+gaps AS (
+  SELECT epoch_us(start) - epoch_us(lag(send) OVER (
+           PARTITION BY user_id ORDER BY sid)) AS gap_us
+  FROM per
+),
+ranked AS (
+  SELECT gap_us, row_number() OVER (ORDER BY gap_us) AS rk,
+         count(*) OVER () AS n
+  FROM gaps WHERE gap_us IS NOT NULL
+)
+SELECT max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+           THEN gap_us END) AS p25_us,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.5) AS BIGINT))
+           THEN gap_us END) AS p50_us,
+       max(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.9) AS BIGINT))
+           THEN gap_us END) AS p90_us
+FROM ranked
+"""
+
+QUERIES["session_gap_percentiles"] = q_session_gap_percentiles
+ORACLES["session_gap_percentiles"] = ORACLE_SESSION_GAP_PERCENTILES
+
+
+def q_type_mix_by_tenure(spark, sf_dir):
+    """Event-type mix by user tenure band (days since the user's first
+    event at event time) — does behavior change as accounts age?"""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    j = e.join(F.broadcast(first), "user_id")
+    tenure = F.datediff(F.to_date("ts"), F.col("d0"))
+    band = (
+        F.when(tenure == 0, "day-0")
+        .when(tenure <= 7, "week-1")
+        .otherwise("later")
+    )
+    per = j.groupBy(band.alias("tenure"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("tenure")
+    return (
+        per.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("tenure", "event_type")
+    )
+
+
+ORACLE_TYPE_MIX_BY_TENURE = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+),
+per AS (
+  SELECT CASE WHEN datediff('day', d0, CAST(ts AS DATE)) = 0 THEN 'day-0'
+              WHEN datediff('day', d0, CAST(ts AS DATE)) <= 7
+                THEN 'week-1'
+              ELSE 'later' END AS tenure,
+         event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events JOIN first USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT tenure, event_type, n,
+       round(n / sum(n) OVER (PARTITION BY tenure), 6) AS share
+FROM per ORDER BY tenure, event_type
+"""
+
+QUERIES["type_mix_by_tenure"] = q_type_mix_by_tenure
+ORACLES["type_mix_by_tenure"] = ORACLE_TYPE_MIX_BY_TENURE
+
+
+def q_daily_revenue_cv(spark, sf_dir):
+    """Coefficient of variation of the DAILY value sum per stream
+    (population convention, explicit power sums over exact cents on
+    the 30-row daily rollup) — revenue predictability."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("days"),
+            F.sum("c").alias("sc"),
+            F.sum(F.col("c").cast("double") * F.col("c")).alias("scc"),
+        )
+        .select(
+            "event_type", "days",
+            F.round(
+                F.sqrt(F.col("scc") / F.col("days")
+                       - (F.col("sc").cast("double") / F.col("days"))
+                       * (F.col("sc").cast("double") / F.col("days")))
+                / (F.col("sc").cast("double") / F.col("days")), 6
+            ).alias("daily_cv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_DAILY_REVENUE_CV = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS days,
+         CAST(sum(c) AS BIGINT) AS sc, sum(CAST(c AS DOUBLE) * c) AS scc
+  FROM daily GROUP BY 1
+)
+SELECT event_type, days,
+       round(sqrt(scc / days - (CAST(sc AS DOUBLE) / days)
+                  * (CAST(sc AS DOUBLE) / days))
+             / (CAST(sc AS DOUBLE) / days), 6) AS daily_cv
+FROM m ORDER BY event_type
+"""
+
+QUERIES["daily_revenue_cv"] = q_daily_revenue_cv
+ORACLES["daily_revenue_cv"] = ORACLE_DAILY_REVENUE_CV
+
+
+def q_cross_source_prefix_overlap(spark, sf_dir):
+    """Syndication screen: 48-char prefixes appearing in 2+ SOURCES —
+    the cross-source complement of the per-source prefix dup gate;
+    the prefix rollup is digest-sized, never documents."""
+    d = load_table(spark, sf_dir, "documents")
+    ps = d.select(
+        "source", F.substring("text", 1, 48).alias("pfx")
+    ).distinct()
+    per = ps.groupBy("pfx").agg(
+        F.countDistinct("source").cast("long").alias("nsrc")
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("prefixes"),
+        F.sum((F.col("nsrc") >= 2).cast("long")).alias("shared_prefixes"),
+        F.max("nsrc").alias("max_sources"),
+    )
+
+
+ORACLE_CROSS_SOURCE_PREFIX_OVERLAP = """
+WITH ps AS (
+  SELECT DISTINCT source, substring(text, 1, 48) AS pfx FROM documents
+),
+per AS (
+  SELECT pfx, CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+  FROM ps GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS prefixes,
+       CAST(sum(CASE WHEN nsrc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS shared_prefixes,
+       max(nsrc) AS max_sources
+FROM per
+"""
+
+QUERIES["cross_source_prefix_overlap"] = q_cross_source_prefix_overlap
+ORACLES["cross_source_prefix_overlap"] = ORACLE_CROSS_SOURCE_PREFIX_OVERLAP
+
+
+def q_tail_token_census(spark, sf_dir):
+    """Top-5 document-ENDING tokens per lang (deterministic rank) —
+    the closing-formula detector that complements the boundary-vocab
+    gate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    per = d.select(
+        "lang", F.element_at(toks, -1).alias("w")
+    ).groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("w").asc())
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", F.col("rk").cast("long").alias("rk"), "w", "n")
+        .orderBy("lang", "rk")
+    )
+
+
+ORACLE_TAIL_TOKEN_CENSUS = r"""
+WITH per AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\s+')[-1] AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, w, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, w ASC) AS rk
+  FROM per
+)
+SELECT lang, CAST(rk AS BIGINT) AS rk, w, n
+FROM r WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+QUERIES["tail_token_census"] = q_tail_token_census
+ORACLES["tail_token_census"] = ORACLE_TAIL_TOKEN_CENSUS
+
+
+def q_emb_dim_separability(spark, sf_dir):
+    """Per-dimension between-label variance share (first 8 dims): the
+    ANOVA-lite 'which dims carry the labels' read — label means from
+    (label, dim) partial sums, total moments from the same explode."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).filter(F.col("dim") < 8).select(
+        "label", "dim", F.col("x").cast("double").alias("x")
+    )
+    per_label = flat.groupBy("dim", "label").agg(
+        F.sum("x").alias("sx"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = flat.groupBy("dim").agg(
+        F.sum("x").alias("gsx"),
+        F.sum(F.col("x") * F.col("x")).alias("gsxx"),
+        F.count(F.lit(1)).cast("long").alias("gn"),
+    )
+    between = (
+        per_label.join(F.broadcast(tot), "dim")
+        .withColumn("gmu", F.col("gsx") / F.col("gn"))
+        .withColumn(
+            "term",
+            F.col("n") * (F.col("sx") / F.col("n") - F.col("gmu"))
+            * (F.col("sx") / F.col("n") - F.col("gmu")),
+        )
+        .groupBy("dim")
+        .agg(F.sum("term").alias("ssb"), F.first("gsxx").alias("gsxx"),
+             F.first("gsx").alias("gsx"), F.first("gn").alias("gn"))
+    )
+    sst = F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("gn")
+    return between.select(
+        "dim", F.round(F.col("ssb") / sst, 6).alias("between_share")
+    ).orderBy("dim")
+
+
+ORACLE_EMB_DIM_SEPARABILITY = """
+WITH flat AS (
+  SELECT label, i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+  WHERE i < 8
+),
+per_label AS (
+  SELECT dim, label, sum(x) AS sx, CAST(count(*) AS BIGINT) AS n
+  FROM flat GROUP BY 1, 2
+),
+tot AS (
+  SELECT dim, sum(x) AS gsx, sum(x * x) AS gsxx,
+         CAST(count(*) AS BIGINT) AS gn
+  FROM flat GROUP BY 1
+),
+between_t AS (
+  SELECT p.dim,
+         sum(p.n * (p.sx / p.n - t.gsx / t.gn)
+             * (p.sx / p.n - t.gsx / t.gn)) AS ssb,
+         max(t.gsxx) AS gsxx, max(t.gsx) AS gsx, max(t.gn) AS gn
+  FROM per_label p JOIN tot t USING (dim)
+  GROUP BY 1
+)
+SELECT dim, round(ssb / (gsxx - gsx * gsx / gn), 6) AS between_share
+FROM between_t ORDER BY dim
+"""
+
+QUERIES["emb_dim_separability"] = q_emb_dim_separability
+ORACLES["emb_dim_separability"] = ORACLE_EMB_DIM_SEPARABILITY
+
+
+def q_emb_anchor_cosine_profile(spark, sf_dir):
+    """Cosine-to-anchor profile: every vector's cosine to the FIXED
+    anchor (vec_id 0), mean per label — one broadcast anchor row, one
+    row-local fold per vector, vectors never shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchor = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("a")
+    )
+    j = e.crossJoin(F.broadcast(anchor))
+    dot = F.aggregate(
+        F.zip_with("embedding", "a",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        c, F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    cos = dot / (norm(F.col("embedding")) * norm(F.col("a")))
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vectors"),
+            F.round(F.avg(cos), 6).alias("mean_cos_to_anchor"),
+        )
+        .orderBy("label")
+    )
+
+
+ORACLE_EMB_ANCHOR_COSINE_PROFILE = """
+WITH anchor AS (
+  SELECT embedding AS a FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+  SELECT label,
+         list_sum(list_transform(range(len(embedding)),
+           i -> CAST(embedding[i + 1] AS DOUBLE)
+                * CAST(a[i + 1] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(a,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings, anchor
+)
+SELECT label, CAST(count(*) AS BIGINT) AS vectors,
+       round(avg(cos), 6) AS mean_cos_to_anchor
+FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_anchor_cosine_profile"] = q_emb_anchor_cosine_profile
+ORACLES["emb_anchor_cosine_profile"] = ORACLE_EMB_ANCHOR_COSINE_PROFILE
+
+
+def q_ir_rank_topk_gate(spark, sf_dir):
+    """The IR rank stage under the oracle: topk 20 over an aggregated
+    frame — the planner's deterministic tiebreak contract (rank value
+    desc, then every other column asc in schema order) replicated in
+    SQL."""
+    from .ir import lower, validate
+
+    e = load_table(spark, sf_dir, "events")
+    df = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    q = validate({
+        "version": 1, "from": "events",
+        "aggregate": {"op": "sum", "by": ["service_name", "user_id"],
+                      "value_field": "cents"},
+        "rank": {"kind": "topk", "k": 20, "value": "value"},
+    })
+    return lower(df, q).select(
+        "service_name", "user_id", F.col("value").cast("long").alias("value")
+    )
+
+
+ORACLE_IR_RANK_TOPK_GATE = """
+WITH agg AS (
+  SELECT event_type AS service_name, user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value
+  FROM events GROUP BY 1, 2
+)
+SELECT service_name, user_id, value
+FROM agg ORDER BY value DESC, service_name ASC, user_id ASC
+LIMIT 20
+"""
+
+QUERIES["ir_rank_topk_gate"] = q_ir_rank_topk_gate
+ORACLES["ir_rank_topk_gate"] = ORACLE_IR_RANK_TOPK_GATE
+
+
+def q_ir_metrics_sum_instant(spark, sf_dir):
+    """Instant `last` on a SUM-type metric (the bare-counter read —
+    /query's shape for counters): last cumulative sample per series per
+    day through the metric sub-model's sum table path."""
+    from .bench_round12 import _hourly, _ir_metrics
+
+    c = (
+        _hourly(spark, sf_dir)
+        .withColumn("week", F.date_trunc("week", "timestamp"))
+        .withColumn(
+            "cum",
+            F.sum("cents").over(
+                Window.partitionBy("service_name", "week").orderBy("timestamp")
+            ),
+        )
+        .select(
+            "timestamp",
+            F.col("week").alias("start_timestamp"),
+            "service_name",
+            F.lit("events_total").alias("metric_name"),
+            F.col("cum").cast("double").alias("value"),
+            F.lit(2).alias("aggregation_temporality"),
+            F.lit(True).alias("is_monotonic"),
+        )
+    )
+    out = _ir_metrics(c, {
+        "name": "events_total", "type": "sum", "fn": "last",
+        "step_seconds": 86400, "agg": "max", "by": ["service_name"],
+    })
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_SUM_INSTANT = """
+WITH hourly AS (
+  SELECT event_type AS service_name, date_trunc('hour', ts) AS h,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT service_name, h,
+         CAST(sum(cents) OVER (
+           PARTITION BY service_name, date_trunc('week', h) ORDER BY h
+         ) AS DOUBLE) AS cum_v
+  FROM hourly
+)
+SELECT CAST(floor(epoch(h) / 86400) * 86400 AS BIGINT) AS bucket,
+       service_name,
+       round(max_by(cum_v, h) / 100.0, 6) AS value
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_sum_instant"] = q_ir_metrics_sum_instant
+ORACLES["ir_metrics_sum_instant"] = ORACLE_IR_METRICS_SUM_INSTANT

@@ -16,6 +16,7 @@ from . import (
     bench_round12,
     bench_round13,
     bench_round14,
+    bench_round15,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -41,6 +42,7 @@ _MODULES = [
     bench_round12,
     bench_round13,
     bench_round14,
+    bench_round15,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
