@@ -154,21 +154,46 @@ _DRIVER_VERIFIED = frozenset({
     "topk_with_ties", "trimmed_mean_price", "unigram_kl_by_source",
     "unpivot_daily_mix", "vocab_growth_curve", "wilson_error_rank",
     "wow_service_volume",
+    # round 8 (50 green rows in CORRECTNESS_r08.json)
+    "dedup_cc_distributed", "ratelimit_admission",
+    "ratelimit_bytes_admission", "hot_cold_visibility",
+    "logql_backward_topk", "filtered_tail_topk", "customer_ltv_cohort",
+    "percent_of_total_window", "robust_scaler_stats",
+    "dup_cluster_size_histogram", "rolling_distinct_users",
+    "emb_centroid_shift", "longest_activity_streak", "top_k_movers",
+    "abandonment_by_hour", "user_entropy_bands", "peak_to_median_load",
+    "locf_gap_fill", "returns_share_matrix", "holiday_diff_in_diff",
+    "ab_test_two_proportion", "lead_lag_correlation",
+    "weekly_revenue_waterfall", "percent_rank_bands", "linear_attribution",
+    "key_skew_profile", "freshness_report", "minhash_error_bands",
+    "ann_recall_at_k", "bm25_topk", "new_vs_returning_mix",
+    "power_user_curve", "cr4_concentration",
+    "seasonal_trend_decomposition", "ship_lag_distribution",
+    "tfidf_cosine_pairs", "centroid_confusion_matrix",
+    "emb_dim_variance_scree", "load_average_rates", "median_order_gap",
+    "error_burst_streaks", "priority_mix_shift",
+    "realized_vs_retail_margin", "event_interarrival_histogram",
+    "doc_word_stats", "discount_elasticity", "text_hapax_ratio",
+    "bipartite_degree_distribution", "revenue_drawdown",
+    "transition_entropy",
 })
 
-# Engine-contract gates that prove the highest-value components (the r7
-# connected-components fix, the r7 rate limiter, hot/cold visibility, the
-# TopK tail scan) under the driver's DuckDB oracle. They live in the
-# round-10/11 staging batteries, ~3 rounds out in plain module order; this
-# tier pulls them to the very front of the never-verified prefix so the
-# next driver sample covers them first.
+# Engine-contract gates that prove the highest-value components under the
+# driver's DuckDB oracle. The r7 tier (CC loop, rate limiter, hot/cold,
+# TopK tail scan) all went green in CORRECTNESS_r08.json; this round's tier
+# pulls the round-8 flagship components — the metric-native IR sub-model,
+# the typed-attribute substrate, the unified discovery surface, and the
+# streaming resume-drain contract — from their round-12/13/14 staging
+# blocks to the very front of the never-verified prefix so they get
+# driver-oracle evidence now instead of 3-5 rounds out.
 _PRIORITY = (
-    "dedup_cc_distributed",
-    "ratelimit_admission",
-    "ratelimit_bytes_admission",
-    "hot_cold_visibility",
-    "logql_backward_topk",
-    "filtered_tail_topk",
+    "ir_metrics_rate_cumulative",
+    "ir_metrics_histogram_quantile",
+    "ir_metrics_gauge_last",
+    "ir_metrics_exphist_quantile",
+    "typed_attr_int_predicate",
+    "discovery_value_suggestions",
+    "streaming_resume_drain",
 )
 
 
