@@ -166,14 +166,18 @@ class TenantCatalog:
         for k, v in limits.items():
             if v is None:
                 continue
-            if k in rate_keys:
-                if not float(v) > 0:
+            try:
+                if k in rate_keys:
+                    if not float(v) > 0:
+                        raise AdminError(
+                            "validation_error",
+                            f"{k} must be positive, got {v!r}")
+                elif int(v) < 0:
                     raise AdminError(
-                        "validation_error",
-                        f"{k} must be positive, got {v!r}")
-            elif int(v) < 0:
+                        "validation_error", f"{k} must be >= 0, got {v!r}")
+            except (TypeError, ValueError):
                 raise AdminError(
-                    "validation_error", f"{k} must be >= 0, got {v!r}")
+                    "validation_error", f"{k} must be numeric, got {v!r}")
 
         def mutate(doc):
             t = doc["tenants"].get(tenant_id)

@@ -965,8 +965,10 @@ class SignalDBAPI:
           keys detected from a bounded sample, canonical types from the
           attribute type authority when one is passed;
         - ``"values"`` — value suggestions for ``req["field"]`` within
-          ``req["range"]``, scoped by the IR predicates chosen so far
-          (``req["where"]``), capped (``req["limit"]``, default 100);
+          ``req["range"]`` (defaults to the trailing 24 h — values
+          scans are always time-bounded), scoped by the IR predicates
+          chosen so far (``req["where"]``), capped (``req["limit"]``,
+          default 100, must be positive);
         - ``"cardinality"`` — approx-distinct hints for
           ``req["fields"]`` over a bounded sample.
         """
@@ -990,39 +992,53 @@ class SignalDBAPI:
             return error_envelope(
                 f"no {source!r} table for tenant", "not_found")
         if mode == "fields":
+            try:
+                result = describe_fields(df, attr_registry)
+            except Exception as e:  # router behavior: envelope, not a 500
+                return error_envelope(str(e))
             return {"status": "success",
-                    "data": {"resultType": "metadata",
-                             "result": describe_fields(df, attr_registry)}}
+                    "data": {"resultType": "metadata", "result": result}}
         if mode == "cardinality":
             fields = req.get("fields") or []
             if not fields:
                 return error_envelope("cardinality needs 'fields'", "bad_data")
+            try:
+                result = field_cardinality_hints(df, fields)
+            except Exception as e:
+                return error_envelope(str(e))
             return {"status": "success",
-                    "data": {"resultType": "metadata",
-                             "result": field_cardinality_hints(df, fields)}}
+                    "data": {"resultType": "metadata", "result": result}}
         if mode == "values":
             field = req.get("field")
             if not field:
                 return error_envelope("values needs a 'field'", "bad_data")
             try:
-                rng = req.get("range") or {}
-                if rng:
-                    now_ns = _epoch_nanos(now) if now is not None else _epoch_nanos(
-                        dt.datetime.now(dt.timezone.utc))
-                    start_ns = self._resolve_anchor(rng["from"], now_ns)
-                    end_ns = self._resolve_anchor(rng["to"], now_ns)
-                    from pyspark.sql import functions as F
-                    if "timestamp" in df.columns:
-                        df = df.filter(F.col("timestamp").between(
-                            F.timestamp_micros(F.lit(start_ns // 1000)),
-                            F.timestamp_micros(F.lit(end_ns // 1000)),
-                        ))
+                # values scans are time-bounded by contract: no range in
+                # the request defaults to the trailing day so partition
+                # pruning always engages (never a full-table distinct)
+                rng = req.get("range") or {"from": "now-24h", "to": "now"}
+                now_ns = _epoch_nanos(now) if now is not None else _epoch_nanos(
+                    dt.datetime.now(dt.timezone.utc))
+                start_ns = self._resolve_anchor(rng["from"], now_ns)
+                end_ns = self._resolve_anchor(rng["to"], now_ns)
+                from pyspark.sql import functions as F
+                if "timestamp" in df.columns:
+                    df = df.filter(F.col("timestamp").between(
+                        F.timestamp_micros(F.lit(start_ns // 1000)),
+                        F.timestamp_micros(F.lit(end_ns // 1000)),
+                    ))
                 where = (_validate_pred(req["where"])
                          if req.get("where") is not None else None)
-            except (KeyError, ValueError, IRValidationError) as e:
+                limit = int(req.get("limit") or DEFAULT_VALUE_LIMIT)
+                if limit <= 0:
+                    raise ValueError("limit must be a positive int")
+            except (KeyError, TypeError, ValueError, IRValidationError) as e:
                 return error_envelope(f"invalid describe request: {e}", "bad_data")
-            limit = int(req.get("limit") or DEFAULT_VALUE_LIMIT)
-            rows = suggest_values(df, field, where=where, limit=limit).collect()
+            try:
+                rows = suggest_values(df, field, where=where,
+                                      limit=limit).collect()
+            except Exception as e:
+                return error_envelope(str(e))
             return {"status": "success",
                     "data": {"resultType": "metadata",
                              "result": [{"value": r["value"], "count": r["n"]}

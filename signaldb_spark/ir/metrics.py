@@ -254,14 +254,18 @@ def _exphist_quantile(df: DataFrame, keys: list[str], q: float) -> DataFrame:
     cumulative merging of offset arrays stays deferred)."""
     from ..operators.exphist import exphist_quantile
 
-    temp = F.coalesce(F.col("aggregation_temporality"), F.lit(1))
+    # Unset temporality is CUMULATIVE per the OTLP sum default — the same
+    # coalesce _sum_increase and _histogram_quantile use — so a NULL row
+    # hits the loud guard below instead of being silently summed as DELTA.
+    temp = F.coalesce(F.col("aggregation_temporality"), F.lit(2))
     guarded = df.filter(
         F.when(
             temp == 2,
             F.raise_error(
                 "IR v1 exponential_histogram quantile supports DELTA "
-                "temporality only; cumulative exphist accumulation is "
-                "deferred (use the PromQL dialect)"),
+                "temporality only (unset counts as cumulative, the OTLP "
+                "default); cumulative exphist accumulation is deferred "
+                "(use the PromQL dialect)"),
         ).otherwise(F.lit(True))
     )
     has_neg = ("negative_offset" in df.columns

@@ -279,7 +279,12 @@ def _validate_metric(doc: dict) -> Metric:
             "the PromQL dialect (proposal open question: bucket model)")
     if mtype not in METRIC_TYPES_V1:
         raise IRValidationError(f"unknown metric type {mtype!r}")
-    fn = m.get("fn", "last" if mtype != "histogram" else "quantile")
+    fn = m.get(
+        "fn",
+        "quantile"
+        if mtype in ("histogram", "exponential_histogram")
+        else "last",
+    )
     allowed = METRIC_FNS_BY_TYPE[mtype]
     if fn not in allowed:
         raise IRValidationError(

@@ -152,24 +152,19 @@ class TenantRateLimiter:
     @classmethod
     def from_admin(cls, store, defaults: dict | None = None) -> "TenantRateLimiter":
         """Build from an :class:`admin.TenantCatalog`:
-        every tenant with at least one RATE key in its stored limits
-        gets an override (the `[[auth.tenants]].limits` analog). A
-        tenant that tuned ONLY ``burst_seconds`` does NOT become an
-        override on its own — overrides replace defaults wholesale, so
-        that would silently lift every default limit; instead its burst
-        tune is merged onto a copy of the defaults."""
-        rate_keys = ("max_ingest_requests_per_sec",
-                     "max_ingest_bytes_per_sec",
-                     "max_query_requests_per_sec")
+        every tenant with at least one :data:`RATE_LIMIT_KEYS` entry in
+        its stored limits gets an override (the `[[auth.tenants]].limits`
+        analog). Because runtime ``limits_for`` returns override OR
+        defaults wholesale (ratelimit.rs `limits_for`), EVERY partial
+        tune — one rate key, or only ``burst_seconds`` — is merged onto
+        a copy of the defaults here; a wholesale replacement would
+        silently lift the tenant's unlisted default limits."""
         overrides = {}
         for t in store.list_tenants():
             lim = t.get("limits") or {}
             rates = {k: lim[k] for k in RATE_LIMIT_KEYS if k in lim}
-            if any(k in rates for k in rate_keys):
-                overrides[t["id"]] = rates
-            elif "burst_seconds" in rates and defaults:
-                overrides[t["id"]] = {**defaults,
-                                      "burst_seconds": rates["burst_seconds"]}
+            if rates:
+                overrides[t["id"]] = {**(defaults or {}), **rates}
         return cls(defaults, overrides)
 
     def limits_for(self, tenant_id: str) -> dict:

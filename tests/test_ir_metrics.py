@@ -326,3 +326,28 @@ def test_exphist_cumulative_fails_loudly(spark):
                      "agg": "max", "by": ["service_name"]}))
     with pytest.raises(Exception, match="DELTA temporality only"):
         lower_metrics(df, q).collect()
+
+
+def test_exphist_null_temporality_counts_as_cumulative(spark):
+    """Unset temporality is CUMULATIVE (the OTLP sum default, the same
+    coalesce rate/increase and the explicit-bounds quantile use) — a
+    NULL-temporality exphist row hits the loud guard instead of being
+    silently summed as DELTA."""
+    df = _exphist_df(spark, [
+        (_ts("2024-01-01 00:05:00"), "api", "lat", 0, 0, 0, [2, 2], None),
+    ])
+    q = validate(_q({"name": "lat", "type": "exponential_histogram",
+                     "fn": "quantile", "quantile": 0.5,
+                     "window_seconds": 3600,
+                     "agg": "max", "by": ["service_name"]}))
+    with pytest.raises(Exception, match="DELTA temporality only"):
+        lower_metrics(df, q).collect()
+
+
+def test_exphist_default_fn_is_quantile():
+    """An exphist query omitting fn defaults to quantile (the only
+    sensible default for a bucketed type), not the invalid 'last'."""
+    q = validate(_q({"name": "lat", "type": "exponential_histogram",
+                     "quantile": 0.5, "window_seconds": 3600,
+                     "agg": "max", "by": ["service_name"]}))
+    assert q.metric.fn == "quantile"

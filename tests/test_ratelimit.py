@@ -246,8 +246,36 @@ def test_from_admin_burst_only_tenant_keeps_default_rates(tmp_path):
         limiter.check_query("bursty", now=0.0)
     with pytest.raises(RateLimitExceeded):
         limiter.check_query("bursty", now=0.0)
-    # with NO defaults, a burst-only tenant needs no override at all
-    assert TenantRateLimiter.from_admin(store).overrides == {}
+    # with NO defaults, the burst tune is still RECORDED (never
+    # silently dropped) but carries no rate keys, so the tenant stays
+    # unlimited exactly like the defaults
+    bare = TenantRateLimiter.from_admin(store)
+    assert bare.overrides == {"bursty": {"burst_seconds": 3.0}}
+    for _ in range(1000):
+        bare.check_query("bursty", now=0.0)
+
+
+def test_from_admin_partial_rate_override_keeps_default_ingest(tmp_path):
+    """A tenant tuning ONE rate key must keep the defaults for the
+    others: overrides replace defaults wholesale at runtime, so
+    from_admin merges the partial set onto a copy of the defaults —
+    otherwise lifting the query rate would silently lift the ingest
+    limits too."""
+    from signaldb_spark.admin import TenantCatalog
+
+    store = TenantCatalog(str(tmp_path))
+    store.create_tenant("q", "Q")
+    store.set_tenant_limits("q", max_query_requests_per_sec=100)
+    limiter = TenantRateLimiter.from_admin(
+        store, {"max_query_requests_per_sec": 1,
+                "max_ingest_requests_per_sec": 1,
+                "burst_seconds": 1.0}
+    )
+    for _ in range(100):
+        limiter.check_query("q", now=0.0)  # tuned key lifted
+    limiter.check_ingest("q", 0, now=0.0)  # default ingest limit kept
+    with pytest.raises(RateLimitExceeded):
+        limiter.check_ingest("q", 0, now=0.0)
 
 
 def test_admin_validates_rate_limits(tmp_path):
@@ -272,6 +300,15 @@ def test_admin_validates_rate_limits(tmp_path):
             store.set_tenant_limits("t", burst_seconds=bad)
     with pytest.raises(AdminError):
         store.set_tenant_limits("t", max_datasets=-1)
+    # non-numeric values surface as validation_error, never a raw
+    # TypeError/ValueError out of the coercion
+    for bad in ("fast", [1], {"x": 1}):
+        with pytest.raises(AdminError) as ei:
+            store.set_tenant_limits("t", max_ingest_requests_per_sec=bad)
+        assert ei.value.code == "validation_error"
+        with pytest.raises(AdminError) as ei:
+            store.set_tenant_limits("t", max_datasets=bad)
+        assert ei.value.code == "validation_error"
 
 
 # ------------------------------------------------- enforcement points
