@@ -879,6 +879,16 @@ class SignalDBAPI:
                 )
             ) if "timestamp" in t.columns else t
 
+        rhs_df = None
+        if q.binop is not None:
+            from .ir.metrics import METRIC_TABLES
+            rhs_table = METRIC_TABLES[q.binop.rhs.metric_type]
+            rhs_df = self.session.table(rhs_table)
+            if rhs_df is None:
+                return error_envelope(
+                    f"no {rhs_table} table for tenant", "not_found")
+            rhs_df = window(rhs_df)
+
         correlate_df = None
         if q.correlate is not None:
             correlate_df = self.session.table(q.correlate.with_table)
@@ -890,7 +900,7 @@ class SignalDBAPI:
             df = window(df)
             if q.source == "metrics":
                 from .ir.metrics import lower_metrics
-                out = lower_metrics(df, q)
+                out = lower_metrics(df, q, rhs_df=rhs_df)
             else:
                 out = lower(df, q, correlate_df=correlate_df)
             rows = out.collect()

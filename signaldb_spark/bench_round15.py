@@ -619,3 +619,186 @@ FROM cum GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["ir_metrics_sum_instant"] = q_ir_metrics_sum_instant
 ORACLES["ir_metrics_sum_instant"] = ORACLE_IR_METRICS_SUM_INSTANT
+
+
+# ---------------------------------------- batch 2: IR v1 deferral lifts
+# (summary source + vector-matching binop — the proposal's last two
+# deferred items, round-9 work; unit semantics in tests/test_ir_metrics)
+
+DAY = 86400
+
+
+def q_ir_metrics_summary_quantile(spark, sf_dir):
+    """Summary metrics as an IR source: φ=0.5 read-back against stored
+    quantile anchors, instant semantics (the LATEST datapoint per
+    (day, series) — earlier anchors must not leak in). Anchors here are
+    (0.25→hourly min, 0.75→hourly max), so the interpolated φ=0.5 is
+    exactly their midpoint — single float ops over exact picks, no
+    order-sensitive summation."""
+    from .ir.metrics import lower_metrics
+    from .ir.model import validate
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+    ).agg(
+        F.min("value").alias("_lo"),
+        F.max("value").alias("_hi"),
+        F.count(F.lit(1)).cast("long").alias("count"),
+        F.sum("value").alias("sum"),
+    )
+    atrest = hourly.select(
+        "timestamp", "service_name",
+        F.lit("ev_summary").alias("metric_name"),
+        "count", "sum",
+        F.array(
+            F.struct(F.lit(0.25).alias("quantile"),
+                     F.col("_lo").alias("value")),
+            F.struct(F.lit(0.75).alias("quantile"),
+                     F.col("_hi").alias("value")),
+        ).alias("quantile_values"),
+    )
+    q = validate({
+        "version": 1, "from": "metrics",
+        "metric": {"name": "ev_summary", "type": "summary",
+                   "fn": "quantile", "quantile": 0.5,
+                   "step_seconds": DAY},
+    })
+    out = lower_metrics(atrest, q)
+    return out.select(
+        "bucket", "service_name", F.round("value", 6).alias("value")
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_SUMMARY_QUANTILE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name,
+         min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT bucket, service_name,
+       round((max_by(lo, h) + max_by(hi, h)) / 2.0, 6) AS value
+FROM hourly GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_summary_quantile"] = q_ir_metrics_summary_quantile
+ORACLES["ir_metrics_summary_quantile"] = ORACLE_IR_METRICS_SUMMARY_QUANTILE
+
+
+def q_ir_metrics_vector_binop(spark, sf_dir):
+    """Vector-matching binop inside IR: hot-value share per (day,
+    service) as `increase(ev_hot[1d]) / increase(ev_all[1d])` — two
+    DELTA sum metrics in one table, default full-identity matching
+    (raw series, service_name only), inner-join drop of unmatched
+    series. Integer cents keep both engines' sums exact."""
+    from .ir.metrics import lower_metrics
+    from .ir.model import validate
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+    ).agg(
+        F.sum(F.when(F.col("value") >= 100, cents)).alias("_hot"),
+        F.sum(cents).alias("_all"),
+    )
+    mk = lambda name, col: hourly.filter(F.col(col).isNotNull()).select(  # noqa: E731
+        "timestamp", "service_name",
+        F.lit(name).alias("metric_name"),
+        F.col(col).cast("double").alias("value"),
+        F.lit(1).alias("aggregation_temporality"),
+        F.lit(None).cast("timestamp").alias("start_timestamp"),
+    )
+    both = mk("ev_hot", "_hot").unionByName(mk("ev_all", "_all"))
+    q = validate({
+        "version": 1, "from": "metrics",
+        "metric": {"name": "ev_hot", "type": "sum", "fn": "increase",
+                   "window_seconds": DAY},
+        "binop": {"op": "/", "metric": {"name": "ev_all", "type": "sum",
+                                        "fn": "increase"}},
+    })
+    out = lower_metrics(both, q, rhs_df=both)
+    return out.select(
+        "bucket", "service_name", F.round("value", 6).alias("value")
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_IR_METRICS_VECTOR_BINOP = """
+WITH base AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name,
+         CAST(sum(CASE WHEN value >= 100
+                       THEN CAST(round(value * 100) AS BIGINT) END)
+              AS DOUBLE) AS hot,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, service_name, round(hot / total, 6) AS value
+FROM base WHERE hot IS NOT NULL ORDER BY 1, 2
+"""
+
+QUERIES["ir_metrics_vector_binop"] = q_ir_metrics_vector_binop
+ORACLES["ir_metrics_vector_binop"] = ORACLE_IR_METRICS_VECTOR_BINOP
+
+
+def q_ir_metrics_binop_group_left(spark, sf_dir):
+    """Many-to-one binop: per-(service, band) count share of the
+    service total via on(service_name) group_left — the many side
+    keeps its full label identity, with 'band' resolved from the
+    attributes map through the aggregated 'by' path."""
+    from .ir.metrics import lower_metrics
+    from .ir.model import validate
+
+    e = load_table(spark, sf_dir, "events")
+    atrest = e.groupBy(
+        F.date_trunc("hour", "ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.when(F.col("value") >= 100, F.lit("hot"))
+        .otherwise(F.lit("cold")).alias("_band"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("value")).select(
+        "timestamp", "service_name",
+        F.lit("ev_cnt").alias("metric_name"),
+        "value",
+        F.lit(1).alias("aggregation_temporality"),
+        F.lit(None).cast("timestamp").alias("start_timestamp"),
+        F.create_map(F.lit("band"), F.col("_band")).alias("attributes"),
+    )
+    q = validate({
+        "version": 1, "from": "metrics",
+        "metric": {"name": "ev_cnt", "type": "sum", "fn": "increase",
+                   "window_seconds": DAY, "agg": "sum",
+                   "by": ["service_name", "band"]},
+        "binop": {"op": "/",
+                  "metric": {"name": "ev_cnt", "type": "sum",
+                             "fn": "increase", "agg": "sum",
+                             "by": ["service_name"]},
+                  "on": ["service_name"], "group": "left"},
+    })
+    out = lower_metrics(atrest, q, rhs_df=atrest)
+    return out.select(
+        "bucket", "service_name", F.col("band"),
+        F.round("value", 6).alias("value"),
+    ).orderBy("bucket", "service_name", "band")
+
+
+ORACLE_IR_METRICS_BINOP_GROUP_LEFT = """
+WITH cnt AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name,
+         CASE WHEN value >= 100 THEN 'hot' ELSE 'cold' END AS band,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2, 3
+), tot AS (
+  SELECT bucket, service_name, sum(c) AS t FROM cnt GROUP BY 1, 2
+)
+SELECT c.bucket, c.service_name, c.band, round(c.c / t.t, 6) AS value
+FROM cnt c JOIN tot t USING (bucket, service_name)
+ORDER BY 1, 2, 3
+"""
+
+QUERIES["ir_metrics_binop_group_left"] = q_ir_metrics_binop_group_left
+ORACLES["ir_metrics_binop_group_left"] = ORACLE_IR_METRICS_BINOP_GROUP_LEFT

@@ -36,10 +36,17 @@ partial aggregation, and the only window function runs over the
 run/posting digest tables (series × buckets × runs — thousands), never
 over raw samples. Labels shuffle only as bounded series keys.
 
-v1 scope (the proposal's own "minimum sound v1"): gauge instant/range
-fns, sum rate/increase, histogram quantile. Exponential histogram,
-summary, and vector-matching binop stay on the PromQL dialect
-(promql/lowering.py), exactly as the proposal defers them.
+v1 scope started from the proposal's "minimum sound v1" (gauge
+instant/range fns, sum rate/increase, histogram quantile) and has since
+lifted every deferral the proposal listed: exponential-histogram
+quantile (operators/exphist.py bucket model, DELTA-only with a loud
+cumulative guard), summary quantile (instant φ read-back of stored
+anchors, operators/summary.py — outer re-aggregation rejected at the
+wall because quantiles don't merge), and vector-matching binop
+(on()/ignoring() + group_left/group_right over bucket-aligned operands
+— an ordinary DataFrame equi-join on (bucket, matching labels), reusing
+operators/vector_ops.py exactly like the PromQL dialect, so Catalyst
+picks broadcast vs sort-merge and AQE fixes skew).
 """
 
 from __future__ import annotations
@@ -60,6 +67,7 @@ METRIC_TABLES = {
     "sum": "metrics_sum",
     "histogram": "metrics_histogram",
     "exponential_histogram": "metrics_exponential_histogram",
+    "summary": "metrics_summary",
 }
 
 
@@ -277,21 +285,34 @@ def _exphist_quantile(df: DataFrame, keys: list[str], q: float) -> DataFrame:
     )
 
 
-def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataFrame:
-    """Lower a validated ``from: "metrics"`` IR query over its typed
-    metric table (``METRIC_TABLES[q.metric.metric_type]``). ``where``
-    predicates resolve against series labels exactly like the row-set
-    planner (materialized column or attributes map — promotion
-    invariant), then the metric stage runs, then the outer agg."""
+def _summary_quantile(df: DataFrame, keys: list[str],
+                      phi: float, ts_col: str) -> DataFrame:
+    """φ read-back from the latest summary datapoint per (bucket,
+    series) — the only statistically faithful query over pre-computed
+    quantile anchors (operators/summary.py; re-aggregation across
+    series is rejected at the validation wall)."""
+    from ..operators.summary import summary_quantile
+
+    return summary_quantile(df, phi, series_cols=keys, ts_col=ts_col)
+
+
+def _metric_vector(df: DataFrame, m: Metric, where,
+                   ts_col: str) -> tuple[DataFrame, list[str], list[str]]:
+    """Lower ONE metric operand to its vector: columns are
+    ``[bucket?] + label_cols + value``. Returns (out, label_cols,
+    series_keys) — label_cols is ``m.by`` when the operand carries its
+    own outer agg, else the raw series identity (service_name +
+    ``_attrs`` sorted entries, joinable and order-deterministic)."""
     from .planner import _pred
 
-    m: Metric = q.metric
     df = df.filter(F.col("metric_name") == m.name)
-    if q.where is not None:
-        df = df.filter(_pred(df, q.where))
+    if where is not None:
+        df = df.filter(_pred(df, where))
     df, skeys = _series_cols(df)
 
-    bucketed = m.window_seconds if m.fn not in ("last",) else m.step_seconds
+    bucketed = (m.step_seconds
+                if m.fn == "last" or m.metric_type == "summary"
+                else m.window_seconds)
     if bucketed:
         df = ts.with_bucket(df, ts_col, bucketed)
         keys = ["bucket", *skeys]
@@ -306,6 +327,8 @@ def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataF
             out = out.withColumn(
                 "value", F.col("value") / F.lit(float(m.window_seconds))
             )
+    elif m.fn == "quantile" and m.metric_type == "summary":
+        out = _summary_quantile(df, keys, m.quantile, ts_col)
     elif m.fn == "quantile" and m.metric_type == "exponential_histogram":
         out = _exphist_quantile(df, keys, m.quantile)
     elif m.fn == "quantile":
@@ -325,10 +348,109 @@ def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp") -> DataF
             "count": F.count(F.lit(1)).cast("double"),
         }[m.agg].alias("value")
         out = out.groupBy(*gcols).agg(aggexpr) if gcols else out.agg(aggexpr)
-    elif "_attrs" in out.columns:
+        return out, list(m.by), skeys
+    return out, [k for k in skeys], skeys
+
+
+def _resolve_labels(out: DataFrame, skeys: list[str],
+                    labels: tuple[str, ...]) -> DataFrame:
+    """Materialize matching/include labels as columns on one operand:
+    already a column (an aggregated ``by`` label or a series column) or
+    an attribute-map key pulled from ``_attrs``."""
+    for lbl in labels:
+        if lbl not in out.columns:
+            out = out.withColumn(lbl, _label_col(lbl, skeys))
+    return out
+
+
+def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp",
+                  rhs_df: DataFrame | None = None) -> DataFrame:
+    """Lower a validated ``from: "metrics"`` IR query over its typed
+    metric table (``METRIC_TABLES[q.metric.metric_type]``). ``where``
+    predicates resolve against series labels exactly like the row-set
+    planner (materialized column or attributes map — promotion
+    invariant), then the metric stage runs, then the outer agg. With a
+    ``binop``, ``rhs_df`` is the right operand's typed table and the
+    two vectors equi-join on (bucket, matching labels)."""
+    m: Metric = q.metric
+    out, lcols, lskeys = _metric_vector(df, m, q.where, ts_col)
+
+    if q.binop is not None:
+        if rhs_df is None:
+            raise ValueError(
+                "binop lowering needs rhs_df (the right operand's table)")
+        bop = q.binop
+        rout, rcols, rskeys = _metric_vector(rhs_df, bop.rhs,
+                                             bop.rhs_where, ts_col)
+        from ..operators.vector_ops import vector_arith, vector_compare
+
+        has_bucket = "bucket" in out.columns and "bucket" in rout.columns
+        if bop.on:
+            out = _resolve_labels(out, lskeys, bop.on)
+            rout = _resolve_labels(rout, rskeys, bop.on)
+            match_labels = list(bop.on)
+        elif bop.ignoring:
+            ig = list(bop.ignoring)
+
+            def strip(side, side_skeys):
+                labels = []
+                if "service_name" in side_skeys and "service_name" not in ig:
+                    labels.append("service_name")
+                if "_attrs" in side_skeys:
+                    side = side.withColumn(
+                        "_match_attrs",
+                        F.filter(F.col("_attrs"),
+                                 lambda e: ~e["key"].isin(*ig)),
+                    )
+                    labels.append("_match_attrs")
+                return side, labels
+
+            out, match_labels = strip(out, lskeys)
+            rout, r_labels = strip(rout, rskeys)
+            match_labels = [c for c in match_labels if c in r_labels]
+        else:
+            # default matching: full shared label identity (validated
+            # equal 'by' sets for aggregated operands)
+            match_labels = [c for c in lcols if c in rcols]
+        join_on = (["bucket"] if has_bucket else []) + match_labels
+        if not join_on:
+            raise ValueError("binop operands share no matching labels")
+
+        if bop.group is None:
+            # one-to-one: result labels are exactly the matching labels
+            lsel = out.select(*join_on, "value")
+            rsel = rout.select(*join_on, "value")
+            if bop.op in ("==", "!=", ">", "<", ">=", "<="):
+                out = vector_compare(lsel, rsel, bop.op, join_on,
+                                     bool_mode=bop.bool_mode)
+            else:
+                out = vector_arith(lsel, rsel, bop.op, join_on)
+        else:
+            # many-to-one: the group side keeps its full label identity,
+            # 'include' labels ride the join from the one side
+            one_side = "right" if bop.group == "left" else "left"
+            if bop.group == "left":
+                rout = _resolve_labels(rout, rskeys, bop.include)
+            else:
+                out = _resolve_labels(out, lskeys, bop.include)
+            if bop.op in ("==", "!=", ">", "<", ">=", "<="):
+                out = vector_compare(out, rout, bop.op, join_on,
+                                     bool_mode=bop.bool_mode,
+                                     extras=tuple(bop.include),
+                                     extras_side=one_side)
+            else:
+                out = vector_arith(out, rout, bop.op, join_on,
+                                   extras=tuple(bop.include),
+                                   extras_side=one_side)
+
+    if "_attrs" in out.columns:
         out = out.withColumn(
             "attributes", F.map_from_entries("_attrs")
         ).drop("_attrs")
+    if "_match_attrs" in out.columns:
+        out = out.withColumn(
+            "match_attributes", F.map_from_entries("_match_attrs")
+        ).drop("_match_attrs")
 
     if q.select:
         out = out.select(*q.select)

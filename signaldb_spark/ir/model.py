@@ -43,19 +43,26 @@ SUPPORTED_VERSIONS = {1}
 # not fit the flat row-set model — samples carry aggregation_temporality
 # and metric_type, histograms are not scalar — so `from: "metrics"`
 # routes to its own relation types instead of the generic stages).
-# v1 scope follows the proposal's "minimum sound v1" — gauge + sum
+# v1 scope started from the proposal's "minimum sound v1" — gauge + sum
 # (temporality-aware rate/increase) + histogram_quantile over OTLP
-# explicit buckets — PLUS exponential_histogram quantile: the proposal
-# defers exphist only because its bucket model was an open question
-# there, and this engine already ships that model (operators/exphist.py
-# — value-ordered CDF walk over scale-based buckets, cross-scale merge
-# by downscaling). Exphist accumulation is DELTA-temporality in v1; a
-# cumulative exphist stream fails loudly at lowering (run-aware
-# cumulative merging of offset arrays is the genuinely open part).
-# Summary stays on the PromQL dialect, and vector-matching binop is
-# explicitly deferred by the proposal too.
-METRIC_TYPES_V1 = {"gauge", "sum", "histogram", "exponential_histogram"}
-METRIC_TYPES_DEFERRED = {"summary"}
+# explicit buckets — and has since lifted every deferral the proposal
+# listed, each with the soundness rule the proposal worried about made
+# explicit:
+# - exponential_histogram quantile (deferred there because the bucket
+#   model was open; operators/exphist.py ships it — value-ordered CDF
+#   walk over scale-based buckets, cross-scale merge by downscaling;
+#   DELTA accumulation only, cumulative streams fail loudly);
+# - summary quantile (φ read-back against the datapoint's stored
+#   quantile anchors, INSTANT relation type; outer re-aggregation is
+#   REJECTED at the wall — quantiles don't merge, the same reason
+#   Prometheus documents summaries as non-aggregatable);
+# - vector-matching binop (the proposal's "candidate for v1" whose
+#   matching semantics were unspecified): on()/ignoring() +
+#   group_left/group_right over bucket-aligned operands, both operands'
+#   windows forced equal at the wall so series align by construction.
+METRIC_TYPES_V1 = {"gauge", "sum", "histogram", "exponential_histogram",
+                   "summary"}
+METRIC_TYPES_DEFERRED: set[str] = set()
 METRIC_INSTANT_FNS = {"last"}
 METRIC_GAUGE_RANGE_FNS = {
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
@@ -68,8 +75,13 @@ METRIC_FNS_BY_TYPE = {
     "sum": METRIC_INSTANT_FNS | METRIC_SUM_RANGE_FNS,
     "histogram": METRIC_HIST_FNS,
     "exponential_histogram": METRIC_HIST_FNS,
+    # summary quantile is an instant read-back of stored anchors — it
+    # takes step_seconds like 'last', never window_seconds
+    "summary": {"quantile"},
 }
 METRIC_OUTER_AGGS = {"sum", "avg", "min", "max", "count"}
+BINOP_ARITH_OPS = {"+", "-", "*", "/", "%", "^"}
+BINOP_COMPARE_OPS = {"==", "!=", ">", "<", ">=", "<="}
 
 
 class IRValidationError(ValueError):
@@ -167,6 +179,29 @@ class Metric:
 
 
 @dataclass(frozen=True)
+class MetricBinop:
+    """Vector-matching arithmetic/comparison between two metric vectors
+    (the proposal's 'most of real PromQL arithmetic' candidate, owned
+    by query-metrics-model): the IRQuery's ``metric`` is the LEFT
+    operand, ``rhs`` the right. ``on``/``ignoring`` pick the matching
+    labels (mutually exclusive; neither = full series identity);
+    ``group`` 'left'/'right' declares the many side of a many-to-one
+    match and ``include`` copies labels from the one side. ``rhs_where``
+    scopes the right operand's rows (the left operand uses the query's
+    own ``where``). Both operands' bucketing is validated equal, so
+    series align by construction — never nearest/interpolated."""
+
+    op: str
+    rhs: Metric
+    rhs_where: Pred | None
+    on: tuple[str, ...]
+    ignoring: tuple[str, ...]
+    group: str | None
+    include: tuple[str, ...]
+    bool_mode: bool
+
+
+@dataclass(frozen=True)
 class IRQuery:
     version: int
     source: str
@@ -179,6 +214,7 @@ class IRQuery:
     correlate: "Correlate | None" = None
     match: "Match | None" = None
     metric: "Metric | None" = None
+    binop: "MetricBinop | None" = None
 
 
 def _validate_pred(node: Any) -> Pred:
@@ -253,36 +289,25 @@ def _coerce(value, units_only: bool = False):
             return value
 
 
-def _validate_metric(doc: dict) -> Metric:
-    """Validation wall for the metric sub-model — every relation-type
-    soundness rule from the proposal is enforced HERE so lowering never
-    sees an unsound combination (the same posture as the rest of the
-    IR wall)."""
-    m = doc.get("metric")
-    if not isinstance(m, dict):
-        raise IRValidationError("from 'metrics' requires a 'metric' object")
-    # generic row-set stages don't apply to the metric relation types:
-    # forcing metrics through them is exactly the unsoundness the
-    # proposal exists to prevent
-    for stage in ("extract", "aggregate", "rank", "match", "correlate"):
-        if doc.get(stage) is not None:
-            raise IRValidationError(
-                f"'{stage}' does not apply to metric queries; use the "
-                "metric sub-model's fn/agg/by")
+def _metric_obj(m: dict, what: str = "metric") -> Metric:
+    """Validate one metric-operand object (the query's ``metric`` or a
+    binop ``rhs``) — every relation-type soundness rule from the
+    proposal is enforced HERE so lowering never sees an unsound
+    combination (the same posture as the rest of the IR wall)."""
     name = m.get("name")
     if not isinstance(name, str) or not name:
-        raise IRValidationError("metric needs a 'name'")
+        raise IRValidationError(f"{what} needs a 'name'")
     mtype = m.get("type", "gauge")
     if mtype in METRIC_TYPES_DEFERRED:
         raise IRValidationError(
             f"metric type {mtype!r} is not in the IR v1 sub-model; use "
-            "the PromQL dialect (proposal open question: bucket model)")
+            "the PromQL dialect")
     if mtype not in METRIC_TYPES_V1:
         raise IRValidationError(f"unknown metric type {mtype!r}")
     fn = m.get(
         "fn",
         "quantile"
-        if mtype in ("histogram", "exponential_histogram")
+        if mtype in ("histogram", "exponential_histogram", "summary")
         else "last",
     )
     allowed = METRIC_FNS_BY_TYPE[mtype]
@@ -295,12 +320,16 @@ def _validate_metric(doc: dict) -> Metric:
     for label, v in (("window_seconds", window), ("step_seconds", step)):
         if v is not None and (not isinstance(v, int) or v <= 0):
             raise IRValidationError(f"{label} must be a positive int")
-    is_range = fn not in METRIC_INSTANT_FNS
+    # summary quantile is an INSTANT read-back of the latest datapoint's
+    # stored anchors — it steps like 'last', never windows
+    is_range = fn not in METRIC_INSTANT_FNS and mtype != "summary"
     if is_range and window is None:
         raise IRValidationError(f"range fn {fn!r} needs window_seconds")
     if not is_range and window is not None:
         raise IRValidationError(
-            "instant fn 'last' takes step_seconds, not window_seconds")
+            f"instant fn {fn!r}"
+            + (" over summary" if mtype == "summary" else "")
+            + " takes step_seconds, not window_seconds")
     if is_range and step is not None and step != window:
         raise IRValidationError(
             "v1 range vectors are tumbling: step_seconds must equal "
@@ -308,7 +337,7 @@ def _validate_metric(doc: dict) -> Metric:
     q = m.get("quantile")
     if fn == "quantile":
         if not (isinstance(q, (int, float)) and 0 <= q <= 1):
-            raise IRValidationError("histogram quantile needs 0<=quantile<=1")
+            raise IRValidationError("quantile fn needs 0<=quantile<=1")
     elif q is not None:
         raise IRValidationError("'quantile' only applies to fn 'quantile'")
     agg = m.get("agg")
@@ -317,10 +346,107 @@ def _validate_metric(doc: dict) -> Metric:
         raise IRValidationError(f"unknown outer agg {agg!r}")
     if by and agg is None:
         raise IRValidationError("'by' grouping needs an outer 'agg'")
+    if mtype == "summary" and agg is not None:
+        raise IRValidationError(
+            "summary quantiles cannot be re-aggregated across series "
+            "(quantile anchors don't merge); drop 'agg'/'by'")
     return Metric(
         name, mtype, fn, window, step, by, agg,
         float(q) if q is not None else None,
     )
+
+
+def _validate_metric(doc: dict) -> Metric:
+    m = doc.get("metric")
+    if not isinstance(m, dict):
+        raise IRValidationError("from 'metrics' requires a 'metric' object")
+    # generic row-set stages don't apply to the metric relation types:
+    # forcing metrics through them is exactly the unsoundness the
+    # proposal exists to prevent
+    for stage in ("extract", "aggregate", "rank", "match", "correlate"):
+        if doc.get(stage) is not None:
+            raise IRValidationError(
+                f"'{stage}' does not apply to metric queries; use the "
+                "metric sub-model's fn/agg/by")
+    return _metric_obj(m)
+
+
+def _validate_binop(doc: dict, lhs: Metric) -> MetricBinop:
+    """Vector-matching binop wall. The alignment rule that makes v1
+    sound without nearest/interpolate semantics: both operands MUST
+    share one bucketing — the rhs inherits the lhs's window/step when
+    unset and is rejected when it differs."""
+    b = doc.get("binop")
+    if not isinstance(b, dict):
+        raise IRValidationError("'binop' must be an object")
+    op = b.get("op")
+    if op not in BINOP_ARITH_OPS | BINOP_COMPARE_OPS:
+        raise IRValidationError(
+            f"unknown binop op {op!r} (arith {sorted(BINOP_ARITH_OPS)}, "
+            f"compare {sorted(BINOP_COMPARE_OPS)})")
+    bool_mode = bool(b.get("bool", False))
+    if bool_mode and op not in BINOP_COMPARE_OPS:
+        raise IRValidationError("'bool' only applies to comparison ops")
+    rm = b.get("metric")
+    if not isinstance(rm, dict):
+        raise IRValidationError("binop needs a 'metric' object (the rhs)")
+    rm = dict(rm)
+    rm.setdefault("window_seconds", lhs.window_seconds)
+    rm.setdefault("step_seconds", lhs.step_seconds)
+    # inherited Nones must not re-trip the per-operand wall
+    rm = {k: v for k, v in rm.items() if v is not None}
+    rhs = _metric_obj(rm, what="binop rhs metric")
+    lhs_bucket = (lhs.step_seconds
+                  if lhs.fn == "last" or lhs.metric_type == "summary"
+                  else lhs.window_seconds)
+    rhs_bucket = (rhs.step_seconds
+                  if rhs.fn == "last" or rhs.metric_type == "summary"
+                  else rhs.window_seconds)
+    if lhs_bucket != rhs_bucket:
+        raise IRValidationError(
+            f"binop operands must share one bucketing: lhs resolves to "
+            f"{lhs_bucket!r}s, rhs to {rhs_bucket!r}s")
+    rhs_where = (_validate_pred(b["where"])
+                 if b.get("where") is not None else None)
+    on = tuple(b.get("on", []) or ())
+    ignoring = tuple(b.get("ignoring", []) or ())
+    if on and ignoring:
+        raise IRValidationError("'on' and 'ignoring' are mutually exclusive")
+    for lbl in (*on, *ignoring):
+        if not isinstance(lbl, str) or not lbl:
+            raise IRValidationError("on/ignoring entries must be label names")
+    group = b.get("group")
+    if group not in (None, "left", "right"):
+        raise IRValidationError("group must be 'left' or 'right'")
+    include = tuple(b.get("include", []) or ())
+    if group is None and include:
+        raise IRValidationError("'include' needs group 'left' or 'right'")
+    if group is not None and not on:
+        raise IRValidationError(
+            "group_left/group_right needs explicit 'on' matching labels")
+    # aggregated operands expose only their 'by' labels — matching
+    # labels outside them cannot be resolved after the fact
+    for side, met in (("lhs", lhs), ("rhs", rhs)):
+        if met.agg is not None and on and not set(on) <= set(met.by):
+            raise IRValidationError(
+                f"binop 'on' labels must be within the {side} 'by' "
+                f"grouping (on={sorted(on)}, {side} by={sorted(met.by)})")
+        if met.agg is not None and ignoring:
+            raise IRValidationError(
+                "'ignoring' does not apply to aggregated operands; "
+                "use 'on' with labels from 'by'")
+    if not on and not ignoring:
+        l_agg, r_agg = lhs.agg is not None, rhs.agg is not None
+        if l_agg != r_agg:
+            raise IRValidationError(
+                "binop between an aggregated and a raw-series operand "
+                "needs explicit 'on' matching labels")
+        if l_agg and set(lhs.by) != set(rhs.by):
+            raise IRValidationError(
+                "default vector matching needs identical 'by' label sets "
+                "on both operands; use 'on' to pick the shared subset")
+    return MetricBinop(op, rhs, rhs_where, on, ignoring, group, include,
+                       bool_mode)
 
 
 def validate(doc: dict) -> IRQuery:
@@ -333,6 +459,11 @@ def validate(doc: dict) -> IRQuery:
     metric = _validate_metric(doc) if source == "metrics" else None
     if metric is None and doc.get("metric") is not None:
         raise IRValidationError("'metric' requires from: 'metrics'")
+    binop = None
+    if doc.get("binop") is not None:
+        if metric is None:
+            raise IRValidationError("'binop' requires from: 'metrics'")
+        binop = _validate_binop(doc, metric)
     where = _validate_pred(doc["where"]) if doc.get("where") is not None else None
     extract = []
     for e in doc.get("extract", []) or []:
@@ -400,5 +531,5 @@ def validate(doc: dict) -> IRQuery:
         match = Match(mm["op"], _validate_pred(mm["left"]), _validate_pred(mm["right"]))
     return IRQuery(
         version, source, where, tuple(extract), agg, rank,
-        tuple(doc.get("select", [])), limit, corr, match, metric,
+        tuple(doc.get("select", [])), limit, corr, match, metric, binop,
     )

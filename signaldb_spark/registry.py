@@ -194,6 +194,11 @@ _PRIORITY = (
     "typed_attr_int_predicate",
     "discovery_value_suggestions",
     "streaming_resume_drain",
+    # round-9 work: the IR v1 deferral lifts (summary source +
+    # vector-matching binop) go under the driver oracle immediately
+    "ir_metrics_summary_quantile",
+    "ir_metrics_vector_binop",
+    "ir_metrics_binop_group_left",
 )
 
 

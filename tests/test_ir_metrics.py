@@ -25,10 +25,11 @@ def test_metric_validation_wall():
                       "window_seconds": 60}))
     assert ok.metric.metric_type == "sum" and ok.metric.fn == "rate"
 
-    # summary stays on the PromQL dialect; exponential_histogram is IN
-    # v1 (quantile only — this engine ships the bucket model the
-    # proposal left open)
-    with pytest.raises(IRValidationError, match="PromQL dialect"):
+    # summary IS in v1 now (quantile read-back only — 'last' over raw
+    # anchor arrays is not a vector); exponential_histogram likewise
+    # (quantile only — this engine ships the bucket model the proposal
+    # left open)
+    with pytest.raises(IRValidationError, match="invalid for metric type"):
         validate(_q({"name": "m", "type": "summary", "fn": "last"}))
     eh = validate(_q({"name": "m", "type": "exponential_histogram",
                       "fn": "quantile", "window_seconds": 60,
@@ -351,3 +352,217 @@ def test_exphist_default_fn_is_quantile():
                      "quantile": 0.5, "window_seconds": 3600,
                      "agg": "max", "by": ["service_name"]}))
     assert q.metric.fn == "quantile"
+
+
+# ----------------------------------------------------------- summary
+
+
+def _summary_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "timestamp timestamp, service_name string, metric_name string, "
+        "count long, sum double, "
+        "quantile_values array<struct<quantile:double,value:double>>, "
+        "attributes map<string,string>",
+    )
+
+
+def test_summary_quantile_through_ir(spark):
+    """Summary joins IR v1 (the proposal's enum lists it): φ read-back
+    against the LATEST datapoint's stored anchors, interpolating
+    between them — φ=0.75 between (0.5→10) and (0.9→30) is
+    10 + 20·(0.25/0.4) = 22.5. The earlier datapoint's anchors must
+    not leak in (instant semantics)."""
+    t0, t1 = _ts("2024-01-01 00:05:00"), _ts("2024-01-01 00:10:00")
+    df = _summary_df(spark, [
+        (t0, "api", "lat", 10, 100.0,
+         [(0.5, 999.0), (0.9, 999.0)], {}),
+        (t1, "api", "lat", 10, 100.0,
+         [(0.5, 10.0), (0.9, 30.0)], {}),
+    ])
+    q = validate(_q({"name": "lat", "type": "summary",
+                     "fn": "quantile", "quantile": 0.75}))
+    out = lower_metrics(df, q).collect()
+    assert len(out) == 1
+    assert out[0]["value"] == pytest.approx(22.5)
+
+
+def test_summary_wall_rules():
+    """Summary soundness at the wall: no window (instant read-back),
+    no outer agg (quantile anchors don't merge), default fn is
+    quantile."""
+    q = validate(_q({"name": "lat", "type": "summary", "quantile": 0.9,
+                     "step_seconds": 60}))
+    assert q.metric.fn == "quantile" and q.metric.step_seconds == 60
+    with pytest.raises(IRValidationError, match="step_seconds, not window"):
+        validate(_q({"name": "lat", "type": "summary", "fn": "quantile",
+                     "quantile": 0.9, "window_seconds": 60}))
+    with pytest.raises(IRValidationError, match="don't merge"):
+        validate(_q({"name": "lat", "type": "summary", "fn": "quantile",
+                     "quantile": 0.9, "agg": "avg", "by": ["service_name"]}))
+
+
+# ------------------------------------------------ vector-matching binop
+
+
+def _binop_doc(lhs, binop, **extra):
+    return {"version": 1, "from": "metrics", "metric": lhs,
+            "binop": binop, **extra}
+
+
+def test_binop_validation_wall():
+    lhs = {"name": "errs", "type": "sum", "fn": "rate",
+           "window_seconds": 60, "agg": "sum", "by": ["service_name"]}
+    rhs = {"name": "reqs", "type": "sum", "fn": "rate",
+           "agg": "sum", "by": ["service_name"]}
+    ok = validate(_binop_doc(lhs, {"op": "/", "metric": rhs}))
+    # rhs inherits the lhs bucketing when unset
+    assert ok.binop.rhs.window_seconds == 60
+    with pytest.raises(IRValidationError, match="share one bucketing"):
+        validate(_binop_doc(lhs, {"op": "/", "metric":
+                                  {**rhs, "window_seconds": 300}}))
+    with pytest.raises(IRValidationError, match="unknown binop op"):
+        validate(_binop_doc(lhs, {"op": "??", "metric": rhs}))
+    with pytest.raises(IRValidationError, match="'bool' only applies"):
+        validate(_binop_doc(lhs, {"op": "+", "metric": rhs, "bool": True}))
+    with pytest.raises(IRValidationError, match="mutually exclusive"):
+        validate(_binop_doc(lhs, {"op": "/", "metric": rhs,
+                                  "on": ["a"], "ignoring": ["b"]}))
+    with pytest.raises(IRValidationError, match="needs explicit 'on'"):
+        validate(_binop_doc(lhs, {"op": "/", "metric": rhs,
+                                  "group": "left"}))
+    with pytest.raises(IRValidationError, match="'include' needs group"):
+        validate(_binop_doc(lhs, {"op": "/", "metric": rhs,
+                                  "include": ["x"]}))
+    # matching labels must be resolvable on aggregated operands
+    with pytest.raises(IRValidationError, match="within the lhs 'by'"):
+        validate(_binop_doc(lhs, {"op": "/", "metric": rhs,
+                                  "on": ["region"]}))
+    # aggregated vs raw without explicit on is ambiguous
+    with pytest.raises(IRValidationError, match="needs explicit 'on'"):
+        validate(_binop_doc(
+            lhs, {"op": "/", "metric": {"name": "reqs", "type": "sum",
+                                        "fn": "rate"}}))
+    with pytest.raises(IRValidationError, match="identical 'by' label sets"):
+        validate(_binop_doc(
+            lhs, {"op": "/", "metric": {**rhs, "by": ["zone"]}}))
+    with pytest.raises(IRValidationError, match="requires from: 'metrics'"):
+        validate({"version": 1, "from": "logs",
+                  "binop": {"op": "/", "metric": rhs}})
+
+
+def test_binop_ratio_one_to_one(spark):
+    """errs/reqs per (bucket, service): DELTA sums, both sides
+    aggregated by service_name — the canonical error-ratio shape."""
+    t0 = _ts("2024-01-01 00:05:00")
+    errs = _sum_df(spark, [
+        (t0, None, "api", "errs", 5.0, 1, {}),
+        (t0, None, "db", "errs", 1.0, 1, {}),
+    ])
+    reqs = _sum_df(spark, [
+        (t0, None, "api", "reqs", 50.0, 1, {}),
+        (t0, None, "db", "reqs", 10.0, 1, {}),
+        (t0, None, "cache", "reqs", 7.0, 1, {}),  # unmatched: dropped
+    ])
+    q = validate(_binop_doc(
+        {"name": "errs", "type": "sum", "fn": "increase",
+         "window_seconds": 3600, "agg": "sum", "by": ["service_name"]},
+        {"op": "/", "metric": {"name": "reqs", "type": "sum",
+                               "fn": "increase", "agg": "sum",
+                               "by": ["service_name"]}},
+    ))
+    out = {r["service_name"]: r["value"]
+           for r in lower_metrics(errs, q, rhs_df=reqs).collect()}
+    assert out == {"api": pytest.approx(0.1), "db": pytest.approx(0.1)}
+
+
+def test_binop_compare_bool_and_filter(spark):
+    """Comparison binop: filter semantics keep lhs rows (with lhs
+    values); bool mode emits 1/0 for every matched pair."""
+    t0 = _ts("2024-01-01 00:05:00")
+    cur = _sum_df(spark, [
+        (t0, None, "api", "load", 9.0, 1, {}),
+        (t0, None, "db", "load", 2.0, 1, {}),
+    ])
+    cap = _sum_df(spark, [
+        (t0, None, "api", "cap", 5.0, 1, {}),
+        (t0, None, "db", "cap", 5.0, 1, {}),
+    ])
+    base_l = {"name": "load", "type": "sum", "fn": "increase",
+              "window_seconds": 3600, "agg": "sum", "by": ["service_name"]}
+    base_r = {"name": "cap", "type": "sum", "fn": "increase",
+              "agg": "sum", "by": ["service_name"]}
+    q = validate(_binop_doc(base_l, {"op": ">", "metric": base_r}))
+    rows = lower_metrics(cur, q, rhs_df=cap).collect()
+    assert [(r["service_name"], r["value"]) for r in rows] == [("api", 9.0)]
+    qb = validate(_binop_doc(base_l, {"op": ">", "metric": base_r,
+                                      "bool": True}))
+    out = {r["service_name"]: r["value"]
+           for r in lower_metrics(cur, qb, rhs_df=cap).collect()}
+    assert out == {"api": 1.0, "db": 0.0}
+
+
+def test_binop_group_left_include(spark):
+    """Many-to-one: per-(service, code) counts divided by per-service
+    totals via on(service) group_left — the many side keeps its full
+    identity and 'include' copies a label from the one side."""
+    t0 = _ts("2024-01-01 00:05:00")
+    by_code = _sum_df(spark, [
+        (t0, None, "api", "hits", 30.0, 1, {"code": "200"}),
+        (t0, None, "api", "hits", 10.0, 1, {"code": "500"}),
+    ])
+    totals = _sum_df(spark, [
+        (t0, None, "api", "total", 40.0, 1, {"region": "eu"}),
+    ])
+    q = validate(_binop_doc(
+        {"name": "hits", "type": "sum", "fn": "increase",
+         "window_seconds": 3600, "agg": "sum",
+         "by": ["service_name", "code"]},
+        {"op": "/",
+         "metric": {"name": "total", "type": "sum", "fn": "increase",
+                    "agg": "sum", "by": ["service_name"]},
+         "on": ["service_name"], "group": "left"},
+    ))
+    out = {r["code"]: r["value"]
+           for r in lower_metrics(by_code, q, rhs_df=totals).collect()}
+    assert out == {"200": pytest.approx(0.75), "500": pytest.approx(0.25)}
+    # include rides the join from the one side
+    qi = validate(_binop_doc(
+        {"name": "hits", "type": "sum", "fn": "increase",
+         "window_seconds": 3600, "agg": "sum",
+         "by": ["service_name", "code"]},
+        {"op": "/",
+         "metric": {"name": "total", "type": "sum", "fn": "increase"},
+         "on": ["service_name"], "group": "left", "include": ["region"]},
+    ))
+    rows = lower_metrics(by_code, qi, rhs_df=totals).collect()
+    assert all(r["region"] == "eu" for r in rows)
+
+
+def test_binop_ignoring_raw_series(spark):
+    """ignoring(code) over raw (non-aggregated) series: the attribute
+    entries minus the ignored key form the match identity."""
+    t0 = _ts("2024-01-01 00:05:00")
+    a = _sum_df(spark, [
+        (t0, None, "api", "a", 6.0, 1, {"code": "200", "zone": "z1"}),
+    ])
+    b = _sum_df(spark, [
+        (t0, None, "api", "b", 3.0, 1, {"code": "500", "zone": "z1"}),
+    ])
+    q = validate(_binop_doc(
+        {"name": "a", "type": "sum", "fn": "increase",
+         "window_seconds": 3600},
+        {"op": "/", "metric": {"name": "b", "type": "sum",
+                               "fn": "increase"},
+         "ignoring": ["code"]},
+    ))
+    rows = lower_metrics(a, q, rhs_df=b).collect()
+    assert len(rows) == 1 and rows[0]["value"] == pytest.approx(2.0)
+    # without ignoring, the differing 'code' label prevents the match
+    q2 = validate(_binop_doc(
+        {"name": "a", "type": "sum", "fn": "increase",
+         "window_seconds": 3600},
+        {"op": "/", "metric": {"name": "b", "type": "sum",
+                               "fn": "increase"}},
+    ))
+    assert lower_metrics(a, q2, rhs_df=b).count() == 0
