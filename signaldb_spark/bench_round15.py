@@ -802,3 +802,67 @@ ORDER BY 1, 2, 3
 
 QUERIES["ir_metrics_binop_group_left"] = q_ir_metrics_binop_group_left
 ORACLES["ir_metrics_binop_group_left"] = ORACLE_IR_METRICS_BINOP_GROUP_LEFT
+
+
+def q_typed_attr_trace_predicate(spark, sf_dir):
+    """Typed attributes across the TRACES signal (otel-native-schema,
+    round-9 extension of the logs-only r8 substrate): a v2 traces table
+    with stringified span/resource attributes migrates to the v3 typed
+    layout (traces.v3 retype, one type authority across signals), then
+    an IR `between` predicate reads the typed int home on
+    span_attributes — codegen long compares, residue rows ('n/a' under
+    the int key) drop per Kleene, and the resource-side typed home is
+    exercised via an eq predicate on process.pid."""
+    from .ir import lower, validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "error", F.lit("n/a"))  # residue
+        .when(F.col("value") >= 100, F.lit("503"))
+        .when(F.col("value") >= 20, F.lit("404"))
+        .otherwise(F.lit("200"))
+    )
+    v2 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.concat(F.lit("tr-"), F.col("user_id").cast("string")).alias("trace_id"),
+        F.col("event_type").alias("service_name"),
+        F.create_map(
+            F.lit("http.response.status_code"), code,
+            F.lit("peer"), F.col("event_type"),
+        ).alias("span_attributes"),
+        F.create_map(
+            F.lit("process.pid"),
+            (F.col("user_id") % 2).cast("string"),
+        ).alias("resource_attributes"),
+    )
+    v3 = builtin_registry().migrate(
+        v2, "traces", "v2", "v3",
+        attr_types=AttributeTypeRegistry().assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "traces",
+        "where": {"and": [
+            {"field": "http.response.status_code", "op": "between",
+             "value": 400, "upper": 599},
+            {"field": "process.pid", "op": "eq", "value": 0},
+        ]},
+        "aggregate": {"op": "count", "by": ["service_name"]},
+    })
+    return (
+        lower(v3, q)
+        .select("service_name", F.col("value").cast("bigint").alias("n"))
+        .orderBy("service_name")
+    )
+
+
+ORACLE_TYPED_ATTR_TRACE_PREDICATE = """
+SELECT event_type AS service_name, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE event_type <> 'error' AND value >= 20 AND user_id % 2 = 0
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["typed_attr_trace_predicate"] = q_typed_attr_trace_predicate
+ORACLES["typed_attr_trace_predicate"] = ORACLE_TYPED_ATTR_TRACE_PREDICATE

@@ -44,8 +44,12 @@ def _field(df: DataFrame, name: str) -> Column:
     if name in df.columns:
         return F.col(name)
     # attribute-map fallback chain (promotion-invariant resolution: the
-    # same IR works whether a key is materialized or still in the map)
-    candidates = [c for c in ("log_attributes", "attributes", "span_attributes") if c in df.columns]
+    # same IR works whether a key is materialized or still in the map);
+    # record-level maps win, resource-level resolves last — the traces.v3
+    # typed layout makes resource_attributes a first-class predicate home
+    candidates = [c for c in ("log_attributes", "attributes",
+                              "span_attributes", "resource_attributes")
+                  if c in df.columns]
     if not candidates:
         return F.lit(None).cast("string")
     from ..operators.attrs import attr_value
@@ -70,7 +74,8 @@ def _numeric_field(df: DataFrame, name: str) -> Column | None:
         c
         for c in (
             attr_number(df, ac, name)
-            for ac in ("log_attributes", "attributes", "span_attributes")
+            for ac in ("log_attributes", "attributes",
+                       "span_attributes", "resource_attributes")
             if ac in df.columns
         )
         if c is not None

@@ -199,6 +199,7 @@ _PRIORITY = (
     "ir_metrics_summary_quantile",
     "ir_metrics_vector_binop",
     "ir_metrics_binop_group_left",
+    "typed_attr_trace_predicate",
 )
 
 

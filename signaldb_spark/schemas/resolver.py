@@ -413,6 +413,25 @@ def builtin_registry() -> SchemaRegistry:
                 ],
                 "partition_by": ["date_day", "hour"],
             },
+            # v3: the typed-attribute layout extended across the traces
+            # signal (otel-native-schema: the type authority owns ONE
+            # canonical type per field tenant-wide, so span and resource
+            # attributes share the same assignments the logs cutover
+            # used). Same breaking-retype shape as logs.v2: names and
+            # positions keep, types change, migrate(v2→v3) replays
+            # stringified maps through the authority.
+            "v3": {
+                "inherits": "v2",
+                "field_retypes": [
+                    {"name": "span_attributes",
+                     "to_type": "map<string,any_value>",
+                     "migration": "stringified_to_anyvalue"},
+                    {"name": "resource_attributes",
+                     "to_type": "map<string,any_value>",
+                     "migration": "stringified_to_anyvalue"},
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
         },
         "logs": {
             "v1": {

@@ -435,3 +435,57 @@ def test_ir_numeric_predicate_uses_typed_home(spark):
         "select": ["service_name"],
     })
     assert lower(t, q).count() == 1
+
+
+def test_traces_v3_retypes_span_and_resource_attributes():
+    from signaldb_spark.schemas.anyvalue import ANY_VALUE_MAP
+
+    v3 = REG.resolve("traces", "v3")
+    by = {x.name: x for x in v3.fields}
+    assert by["span_attributes"].type == "map<string,any_value>"
+    assert by["resource_attributes"].type == "map<string,any_value>"
+    # position preserved: retype changes types, not the layout
+    assert v3.field_names() == REG.resolve("traces", "v2").field_names()
+    ss = v3.to_spark_schema()
+    assert ss["span_attributes"].dataType == ANY_VALUE_MAP
+    assert ss["resource_attributes"].dataType == ANY_VALUE_MAP
+    # current stays v2 until a deployment opts in
+    assert REG.current_version("traces") == "v2"
+
+
+def test_migrate_traces_v2_to_v3_typed(spark):
+    """The traces cutover mirrors logs: one type authority across
+    signals, so span_attributes AND resource_attributes retype in one
+    migration with the same assignments — typed homes for canonical
+    matches, string residue for off-type values."""
+    import datetime as dt
+
+    from signaldb_spark.schemas.anyvalue import AttributeTypeRegistry
+
+    df = spark.createDataFrame(
+        [
+            ("t1", "s1", "GET /", "api",
+             {"http.response.status_code": "503", "peer": "db"},
+             {"process.pid": "42", "host": "h1"},
+             dt.datetime(2024, 1, 1)),
+            ("t2", "s2", "GET /", "api",
+             {"http.response.status_code": "n/a"},  # residue
+             None,
+             dt.datetime(2024, 1, 1)),
+        ],
+        "trace_id string, span_id string, span_name string, "
+        "service_name string, span_attributes map<string,string>, "
+        "resource_attributes map<string,string>, timestamp timestamp",
+    )
+    out = REG.migrate(df, "traces", "v2", "v3",
+                      attr_types=AttributeTypeRegistry().assignments())
+    rows = out.orderBy("trace_id").collect()
+    sc = rows[0]["span_attributes"]["http.response.status_code"]
+    assert sc["type"] == "int" and sc["int"] == 503 and sc["str"] is None
+    pid = rows[0]["resource_attributes"]["process.pid"]
+    assert pid["type"] == "int" and pid["int"] == 42
+    host = rows[0]["resource_attributes"]["host"]
+    assert host["type"] == "string" and host["str"] == "h1"
+    bad = rows[1]["span_attributes"]["http.response.status_code"]
+    assert bad["type"] == "string" and bad["str"] == "n/a" and bad["int"] is None
+    assert rows[1]["resource_attributes"] is None
