@@ -866,3 +866,279 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["typed_attr_trace_predicate"] = q_typed_attr_trace_predicate
 ORACLES["typed_attr_trace_predicate"] = ORACLE_TYPED_ATTR_TRACE_PREDICATE
+
+
+# --------------------------- batch 3: engine contracts as driver gates
+# (the two pytest-only surfaces VERDICT r8 called out — admin quotas and
+# the self-monitoring loop — plus typed attrs on the metrics signal)
+
+import tempfile as _tempfile
+
+_R15_CACHE: dict = {}
+
+
+def q_quota_enforcement(spark, sf_dir):
+    """Engine-contract gate for admin dataset quotas (admin.py
+    create_dataset, reference config TenantLimits lineage): tenants are
+    the event types; each tenant's max_datasets quota is a closed form
+    of the data (1 + distinct-users mod 3) and it then attempts one
+    dataset per distinct active day. The REAL catalog admits/rejects
+    (quota_exceeded) each create; the oracle states the closed form
+    admitted = least(days, quota) independently. Bounded by
+    tenants x days — a contract gate, not a data-scale query."""
+    from .admin import AdminError, TenantCatalog
+
+    e = load_table(spark, sf_dir, "events")
+    plan = (
+        e.groupBy(F.col("event_type").alias("tenant"))
+        .agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct(F.to_date("ts")).alias("days"),
+        )
+        .collect()
+    )
+    store = TenantCatalog(_tempfile.mkdtemp(prefix="sdb-quota-"))
+    rows = []
+    for r in sorted(plan, key=lambda x: x["tenant"]):
+        quota = 1 + int(r["u"]) % 3
+        store.create_tenant(r["tenant"], r["tenant"], now="1970-01-01T00:00:00+00:00")
+        store.set_tenant_limits(r["tenant"], max_datasets=quota)
+        admitted = rejected = 0
+        # the default dataset created with the tenant counts against
+        # the quota — exactly the reference's accounting
+        for d in range(int(r["days"])):
+            try:
+                store.create_dataset(r["tenant"], f"ds-{d}", now="1970-01-01T00:00:00+00:00")
+                admitted += 1
+            except AdminError as err:
+                assert err.code == "quota_exceeded"
+                rejected += 1
+        rows.append((r["tenant"], quota, admitted, rejected))
+    return spark.createDataFrame(
+        rows, "tenant string, quota long, admitted long, rejected long"
+    ).orderBy("tenant")
+
+
+ORACLE_QUOTA_ENFORCEMENT = """
+WITH plan AS (
+  SELECT event_type AS tenant,
+         1 + count(DISTINCT user_id) % 3 AS quota,
+         count(DISTINCT CAST(ts AS DATE)) AS days
+  FROM events GROUP BY 1
+)
+SELECT tenant, CAST(quota AS BIGINT) AS quota,
+       CAST(least(days, quota - 1) AS BIGINT) AS admitted,
+       CAST(days - least(days, quota - 1) AS BIGINT) AS rejected
+FROM plan ORDER BY tenant
+"""
+
+QUERIES["quota_enforcement"] = q_quota_enforcement
+ORACLES["quota_enforcement"] = ORACLE_QUOTA_ENFORCEMENT
+
+
+def q_api_key_quota_lifecycle(spark, sf_dir):
+    """API-key lifecycle under max_api_keys (admin.py create/revoke/
+    authenticate): per tenant, quota = 1 + (distinct days mod 4); it
+    requests one key per distinct user bucket (users mod 7), revokes
+    every 3rd GRANTED key, and the verdict is (granted, denied,
+    live-after-revoke, auth_ok for every live key). The oracle states
+    the arithmetic independently."""
+    from .admin import AdminError, TenantCatalog
+
+    e = load_table(spark, sf_dir, "events")
+    plan = (
+        e.groupBy(F.col("event_type").alias("tenant"))
+        .agg(
+            F.countDistinct(F.col("user_id") % 7).alias("want"),
+            F.countDistinct(F.to_date("ts")).alias("days"),
+        )
+        .collect()
+    )
+    store = TenantCatalog(_tempfile.mkdtemp(prefix="sdb-keys-"))
+    rows = []
+    for r in sorted(plan, key=lambda x: x["tenant"]):
+        quota = 1 + int(r["days"]) % 4
+        store.create_tenant(r["tenant"], r["tenant"], now="1970-01-01T00:00:00+00:00")
+        store.set_tenant_limits(r["tenant"], max_api_keys=quota)
+        granted, denied = [], 0
+        for _ in range(int(r["want"])):
+            try:
+                granted.append(store.create_api_key(r["tenant"], now="1970-01-01T00:00:00+00:00"))
+            except AdminError as err:
+                assert err.code == "quota_exceeded"
+                denied += 1
+        for i, k in enumerate(granted):
+            if i % 3 == 2:
+                store.revoke_api_key(r["tenant"], k["id"], now="1970-01-01T00:00:00+00:00")
+        live = [k for i, k in enumerate(granted) if i % 3 != 2]
+        auth_ok = sum(
+            1 for k in live
+            if (store.authenticate(k["key"]) or {}).get("tenant_id")
+            == r["tenant"]
+        )
+        rows.append((r["tenant"], len(granted), denied, len(live), auth_ok))
+    return spark.createDataFrame(
+        rows,
+        "tenant string, granted long, denied long, live long, auth_ok long",
+    ).orderBy("tenant")
+
+
+ORACLE_API_KEY_QUOTA_LIFECYCLE = """
+WITH plan AS (
+  SELECT event_type AS tenant,
+         count(DISTINCT user_id % 7) AS want,
+         1 + count(DISTINCT CAST(ts AS DATE)) % 4 AS quota
+  FROM events GROUP BY 1
+), verdict AS (
+  SELECT tenant, least(want, quota) AS granted,
+         want - least(want, quota) AS denied
+  FROM plan
+)
+SELECT tenant, CAST(granted AS BIGINT) AS granted,
+       CAST(denied AS BIGINT) AS denied,
+       CAST(granted - granted / 3 AS BIGINT) AS live,
+       CAST(granted - granted / 3 AS BIGINT) AS auth_ok
+FROM verdict ORDER BY tenant
+"""
+
+QUERIES["api_key_quota_lifecycle"] = q_api_key_quota_lifecycle
+ORACLES["api_key_quota_lifecycle"] = ORACLE_API_KEY_QUOTA_LIFECYCLE
+
+
+def q_selfmon_query_spans(spark, sf_dir):
+    """The self-monitoring dogfood loop as a driver gate
+    (monitoring.py, reference src/common/src/self_monitoring/): one
+    server span per (endpoint=event_type, hour) with duration = the
+    hour's event count in µs, recorded through SelfMonitor, flushed
+    through the SAME manifest sink ingest uses, and read back with the
+    normal hybrid reader — then rolled up per endpoint. Spans recorded
+    FOR the system tenant must be suppressed (the anti-loop guard), and
+    a traceparent-joined child span must keep its parent's trace_id —
+    both verified inline; the oracle states the per-endpoint rollup
+    closed form."""
+    from .monitoring import SYSTEM_TENANT, SelfMonitor
+    from .storage import hybrid_read
+
+    key = ("selfmon", sf_dir)
+    if key not in _R15_CACHE:
+        e = load_table(spark, sf_dir, "events")
+        # contract gate, not a data-scale query: the span schedule is
+        # bounded to the first 2 days (endpoints x <=48 hours) at any SF
+        mn = e.agg(F.min("ts")).first()[0]
+        e = e.filter(
+            F.col("ts") < F.lit(mn) + F.expr("INTERVAL 2 DAYS"))
+        sched = (
+            e.groupBy(
+                F.col("event_type").alias("endpoint"),
+                F.date_trunc("hour", "ts").alias("h"),
+            )
+            .agg(F.count(F.lit(1)).alias("k"))
+            .collect()
+        )
+        base = _tempfile.mkdtemp(prefix="sdb-selfmon-")
+        mon = SelfMonitor(spark, base, sample_ratio=1.0, max_buffer=10**6)
+        for r in sorted(sched, key=lambda x: (x["endpoint"], x["h"])):
+            start = int(r["h"].timestamp()) * 10**9
+            resp = mon.record_span(r["endpoint"], "acme", "prod",
+                                   start, start + int(r["k"]) * 1000)
+            assert resp is not None and resp.endswith("-01")
+            # anti-loop: a system-tenant call records NOTHING
+            assert mon.record_span(r["endpoint"], SYSTEM_TENANT, "prod",
+                                   start, start + 1) is None
+            # context propagation: child joins the parent's trace
+            trace_id = resp.split("-")[1]
+            child = mon.record_span("child:" + r["endpoint"], "acme",
+                                    "prod", start, start + 1,
+                                    traceparent=resp)
+            assert child.split("-")[1] == trace_id
+        mon.flush()
+        _R15_CACHE[key] = base
+    from .catalog import signal_table_path
+    from .monitoring import SYSTEM_DATASET
+
+    spans = hybrid_read(spark, signal_table_path(
+        _R15_CACHE[key], SYSTEM_TENANT, SYSTEM_DATASET, "traces"))
+    return (
+        spans.filter(~F.col("span_name").startswith("child:"))
+        .groupBy(F.col("span_name").alias("endpoint"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            (F.sum("duration_nanos") / 1000).cast("bigint")
+            .alias("total_events"),
+            F.sum(F.col("is_root").cast("bigint")).alias("n_roots"),
+        )
+        .orderBy("endpoint")
+    )
+
+
+ORACLE_SELFMON_QUERY_SPANS = """
+WITH hourly AS (
+  SELECT event_type AS endpoint, date_trunc('hour', ts) AS h,
+         count(*) AS k
+  FROM events
+  WHERE ts < (SELECT min(ts) + INTERVAL 2 DAY FROM events)
+  GROUP BY 1, 2
+)
+SELECT endpoint, CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(k) AS BIGINT) AS total_events,
+       CAST(count(*) AS BIGINT) AS n_roots
+FROM hourly GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["selfmon_query_spans"] = q_selfmon_query_spans
+ORACLES["selfmon_query_spans"] = ORACLE_SELFMON_QUERY_SPANS
+
+
+def q_typed_attr_metric_predicate(spark, sf_dir):
+    """Typed attributes on the METRICS signal (metrics_gauge.v2 — the
+    third signal under the one type authority): a v1 gauge table with
+    stringified datapoint attributes migrates to the typed layout
+    (config makes 'shard' canonical int), then an IR metric query's
+    `where` reads the typed int home — avg_over_time per (day, service)
+    restricted to shard 0, residue-free by construction. Integer cents
+    keep the averages exact on both engines."""
+    from .ir.metrics import lower_metrics
+    from .ir.model import validate
+    from .schemas.anyvalue import AttributeTypeRegistry
+    from .schemas.resolver import builtin_registry
+
+    e = load_table(spark, sf_dir, "events")
+    v1 = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit("ev_gauge").alias("metric_name"),
+        F.round(F.col("value") * 100).cast("double").alias("value"),
+        F.create_map(
+            F.lit("shard"), (F.col("user_id") % 2).cast("string"),
+            F.lit("env"), F.lit("prod"),
+        ).alias("attributes"),
+    )
+    v2 = builtin_registry().migrate(
+        v1, "metrics_gauge", "v1", "v2",
+        attr_types=AttributeTypeRegistry(
+            config={"shard": "int"}).assignments(),
+    )
+    q = validate({
+        "version": 1, "from": "metrics",
+        "metric": {"name": "ev_gauge", "type": "gauge",
+                   "fn": "avg_over_time", "window_seconds": DAY,
+                   "agg": "avg", "by": ["service_name"]},
+        "where": {"field": "shard", "op": "eq", "value": 0},
+    })
+    out = lower_metrics(v2, q)
+    return out.select(
+        "bucket", "service_name",
+        F.round(F.col("value") / 100.0, 6).alias("value"),
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_TYPED_ATTR_METRIC_PREDICATE = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name,
+       round(avg(CAST(round(value * 100) AS BIGINT)) / 100.0, 6) AS value
+FROM events WHERE user_id % 2 = 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["typed_attr_metric_predicate"] = q_typed_attr_metric_predicate
+ORACLES["typed_attr_metric_predicate"] = ORACLE_TYPED_ATTR_METRIC_PREDICATE

@@ -478,6 +478,19 @@ def builtin_registry() -> SchemaRegistry:
                 "fields": metric_common + [s("value", "double", required=True)],
                 "partition_by": ["date_day", "hour"],
             },
+            # v2: typed datapoint attributes — the third signal under the
+            # one tenant-wide type authority (logs.v2, traces.v3,
+            # metrics_gauge.v2 complete the otel-native-schema cutover
+            # story across signals). current stays v1 until opt-in.
+            "v2": {
+                "inherits": "v1",
+                "field_retypes": [
+                    {"name": "attributes",
+                     "to_type": "map<string,any_value>",
+                     "migration": "stringified_to_anyvalue"},
+                ],
+                "partition_by": ["date_day", "hour"],
+            },
         },
         "metrics_sum": {
             "v1": {

@@ -489,3 +489,29 @@ def test_migrate_traces_v2_to_v3_typed(spark):
     bad = rows[1]["span_attributes"]["http.response.status_code"]
     assert bad["type"] == "string" and bad["str"] == "n/a" and bad["int"] is None
     assert rows[1]["resource_attributes"] is None
+
+
+def test_metrics_gauge_v2_typed_attributes(spark):
+    """The third signal under the one type authority: metrics_gauge.v2
+    retypes datapoint attributes to the AnyValue map; migration routes
+    config-typed keys into typed homes."""
+    import datetime as dt
+
+    from signaldb_spark.schemas.anyvalue import ANY_VALUE_MAP, AttributeTypeRegistry
+
+    v2 = REG.resolve("metrics_gauge", "v2")
+    f = {x.name: x for x in v2.fields}["attributes"]
+    assert f.type == "map<string,any_value>"
+    assert v2.to_spark_schema()["attributes"].dataType == ANY_VALUE_MAP
+    assert REG.current_version("metrics_gauge") == "v1"
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), "api", "g", 1.0, {"shard": "3"})],
+        "timestamp timestamp, service_name string, metric_name string, "
+        "value double, attributes map<string,string>",
+    )
+    out = REG.migrate(
+        df, "metrics_gauge", "v1", "v2",
+        attr_types=AttributeTypeRegistry(config={"shard": "int"}).assignments(),
+    )
+    a = out.first()["attributes"]["shard"]
+    assert a["type"] == "int" and a["int"] == 3
