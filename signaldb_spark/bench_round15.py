@@ -1142,3 +1142,428 @@ GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["typed_attr_metric_predicate"] = q_typed_attr_metric_predicate
 ORACLES["typed_attr_metric_predicate"] = ORACLE_TYPED_ATTR_METRIC_PREDICATE
+
+
+# ----------------------------------- batch 4: relational / stat depth
+
+
+def q_order_fill_rate_matrix(spark, sf_dir):
+    """Order-status composition per priority tier with the within-tier
+    share — exact integer counts, one division at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        cnt.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+ORACLE_ORDER_FILL_RATE_MATRIX = """
+SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / sum(count(*)) OVER (
+         PARTITION BY o_orderpriority), 6) AS share
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["order_fill_rate_matrix"] = q_order_fill_rate_matrix
+ORACLES["order_fill_rate_matrix"] = ORACLE_ORDER_FILL_RATE_MATRIX
+
+
+def q_customer_interpurchase_cv(spark, sf_dir):
+    """Coefficient of variation of inter-purchase gaps per customer
+    (>= 3 orders, positive mean gap), banded into cadence classes.
+    Gaps are integer DAYS; mean/variance computed from exact integer
+    sums in the same expression order on both engines, so the band
+    edges cannot flip."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.withColumn("prev", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev").cast("long").alias("g"),
+        )
+    )
+    per = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    ).filter((F.col("n") >= 2) & (F.col("s") > 0))
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.lit(0.0), F.col("ss") / F.col("n") - mean * mean)
+    cv = F.sqrt(var) / mean
+    band = (
+        F.when(cv < 0.5, "regular")
+        .when(cv < 1.0, "mixed")
+        .otherwise("bursty")
+    )
+    return (
+        per.groupBy(band.alias("cadence"))
+        .agg(F.count(F.lit(1)).cast("long").alias("customers"))
+        .orderBy("cadence")
+    )
+
+
+ORACLE_CUSTOMER_INTERPURCHASE_CV = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate)
+              AS BIGINT) AS g
+  FROM orders WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+),
+per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+  HAVING count(*) >= 2 AND sum(g) > 0
+),
+cvs AS (
+  SELECT sqrt(greatest(0.0, ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)))
+         / (s * 1.0 / n) AS cv
+  FROM per
+)
+SELECT CASE WHEN cv < 0.5 THEN 'regular'
+            WHEN cv < 1.0 THEN 'mixed' ELSE 'bursty' END AS cadence,
+       CAST(count(*) AS BIGINT) AS customers
+FROM cvs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_interpurchase_cv"] = q_customer_interpurchase_cv
+ORACLES["customer_interpurchase_cv"] = ORACLE_CUSTOMER_INTERPURCHASE_CV
+
+
+def q_customer_order_gini(spark, sf_dir):
+    """Gini coefficient of order counts across customers — demand
+    concentration in one number. Rank-weighted sum stays in exact
+    integers (rank ties broken on custkey); only the final closed form
+    touches floats."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    wr = Window.orderBy("x", "o_custkey")
+    ranked = per.withColumn("rk", F.row_number().over(wr).cast("long"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("x"))
+             / (F.count(F.lit(1)) * F.sum("x")))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+ORACLE_CUSTOMER_ORDER_GINI = """
+WITH per AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rk
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(2.0 * sum(rk * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+QUERIES["customer_order_gini"] = q_customer_order_gini
+ORACLES["customer_order_gini"] = ORACLE_CUSTOMER_ORDER_GINI
+
+
+def q_part_brand_price_iqr(spark, sf_dir):
+    """Retail-price interquartile range per brand — exact integer-rank
+    selection on cents (rank ceil(q*n), ties broken on partkey), never
+    an interpolating percentile."""
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100).cast("long")
+    w = Window.partitionBy("p_brand").orderBy("c", "p_partkey")
+    ranked = (
+        p.select("p_brand", "p_partkey", cents.alias("c"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(
+            Window.partitionBy("p_brand")).cast("long"))
+    )
+    q1 = ranked.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.25))
+    ).select("p_brand", F.col("c").alias("q1_cents"))
+    q3 = ranked.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("n") * 0.75))
+    ).select("p_brand", F.col("c").alias("q3_cents"))
+    return (
+        q1.join(q3, "p_brand")
+        .select(
+            "p_brand", "q1_cents", "q3_cents",
+            (F.col("q3_cents") - F.col("q1_cents")).alias("iqr_cents"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_PART_BRAND_PRICE_IQR = """
+WITH ranked AS (
+  SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS c,
+         CAST(row_number() OVER (
+           PARTITION BY p_brand
+           ORDER BY CAST(round(p_retailprice * 100) AS BIGINT), p_partkey)
+           AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS n
+  FROM part
+)
+SELECT p_brand,
+       min(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+                THEN c END) AS q1_cents,
+       min(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+                THEN c END) AS q3_cents,
+       min(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.75) AS BIGINT))
+                THEN c END)
+       - min(CASE WHEN rk = greatest(1, CAST(ceil(n * 0.25) AS BIGINT))
+                  THEN c END) AS iqr_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["part_brand_price_iqr"] = q_part_brand_price_iqr
+ORACLES["part_brand_price_iqr"] = ORACLE_PART_BRAND_PRICE_IQR
+
+
+def q_orders_monthly_momentum(spark, sf_dir):
+    """Month-over-month revenue momentum — exact cents per month, one
+    lag, one division."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    monthly = o.groupBy(
+        F.trunc("o_orderdate", "month").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev", F.lag("rev_cents").over(w))
+        .select(
+            "month", "rev_cents",
+            F.round((F.col("rev_cents") - F.col("prev"))
+                    / F.col("prev"), 6).alias("mom"),
+        )
+        .orderBy("month")
+    )
+
+
+ORACLE_ORDERS_MONTHLY_MOMENTUM = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       round((rev_cents - lag(rev_cents) OVER (ORDER BY month)) * 1.0
+             / lag(rev_cents) OVER (ORDER BY month), 6) AS mom
+FROM monthly ORDER BY month
+"""
+
+QUERIES["orders_monthly_momentum"] = q_orders_monthly_momentum
+ORACLES["orders_monthly_momentum"] = ORACLE_ORDERS_MONTHLY_MOMENTUM
+
+
+def q_returnflag_price_gap(spark, sf_dir):
+    """Average line price per return flag and its gap to the overall
+    average — integer-cent sums, divisions in the same order both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(cents).alias("s"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "l_returnflag", F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("s") / F.col("n") / 100.0, 6).alias("avg_price"),
+            F.round(F.col("s") / F.col("n") / 100.0
+                    - F.col("ts") / F.col("tn") / 100.0, 6).alias("gap"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_RETURNFLAG_PRICE_GAP = """
+WITH per AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(n) AS tn, sum(s) AS ts FROM per)
+SELECT l_returnflag, n,
+       round(s * 1.0 / n / 100.0, 6) AS avg_price,
+       round(s * 1.0 / n / 100.0 - ts * 1.0 / tn / 100.0, 6) AS gap
+FROM per, tot ORDER BY l_returnflag
+"""
+
+QUERIES["returnflag_price_gap"] = q_returnflag_price_gap
+ORACLES["returnflag_price_gap"] = ORACLE_RETURNFLAG_PRICE_GAP
+
+
+def q_supplier_part_coverage_deciles(spark, sf_dir):
+    """Distinct-part coverage per supplier, cut into deciles (ntile
+    with explicit (coverage, suppkey) tiebreak) — the assortment-width
+    distribution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = (
+        li.select("l_suppkey", "l_partkey").distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("parts"))
+    )
+    w = Window.orderBy("parts", "l_suppkey")
+    return (
+        per.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("suppliers"),
+            F.min("parts").cast("bigint").alias("min_parts"),
+            F.max("parts").cast("bigint").alias("max_parts"),
+        )
+        .orderBy("decile")
+    )
+
+
+ORACLE_SUPPLIER_PART_COVERAGE_DECILES = """
+WITH per AS (
+  SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS parts
+  FROM lineitem GROUP BY 1
+),
+cut AS (
+  SELECT parts, ntile(10) OVER (ORDER BY parts, l_suppkey) AS decile
+  FROM per
+)
+SELECT decile, CAST(count(*) AS BIGINT) AS suppliers,
+       CAST(min(parts) AS BIGINT) AS min_parts,
+       CAST(max(parts) AS BIGINT) AS max_parts
+FROM cut GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["supplier_part_coverage_deciles"] = q_supplier_part_coverage_deciles
+ORACLES["supplier_part_coverage_deciles"] = ORACLE_SUPPLIER_PART_COVERAGE_DECILES
+
+
+def q_weekday_hour_load_matrix(spark, sf_dir):
+    """Event load per (ISO weekday, hour) with the within-day share —
+    the traffic heatmap, integer counts and one division."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("int").alias("isodow"),
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("isodow")
+    return (
+        cnt.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("isodow", "hr")
+    )
+
+
+ORACLE_WEEKDAY_HOUR_LOAD_MATRIX = """
+WITH cnt AS (
+  SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hr,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT isodow, hr, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY isodow), 6) AS share
+FROM cnt ORDER BY 1, 2
+"""
+
+QUERIES["weekday_hour_load_matrix"] = q_weekday_hour_load_matrix
+ORACLES["weekday_hour_load_matrix"] = ORACLE_WEEKDAY_HOUR_LOAD_MATRIX
+
+
+def q_value_log2_histogram(spark, sf_dir):
+    """Event-value magnitude histogram on a log2 scale — bucket index
+    from the binary-representation length of integer cents
+    (floor(log2)+1), integer-exact on both engines, no libm."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.round(F.col("value") * 100).cast("long")
+    bkt = F.when(w <= 0, F.lit(0)).otherwise(F.length(F.bin(w))).cast("int")
+    return (
+        e.select(bkt.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_VALUE_LOG2_HISTOGRAM = """
+WITH b AS (
+  SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) <= 0 THEN 0
+              ELSE length(bin(CAST(round(value * 100) AS BIGINT)))
+         END AS bucket
+  FROM events
+)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["value_log2_histogram"] = q_value_log2_histogram
+ORACLES["value_log2_histogram"] = ORACLE_VALUE_LOG2_HISTOGRAM
+
+
+def q_doc_type_token_ratio(spark, sf_dir):
+    """Type-token ratio per document (the battery's shared [^a-z]+
+    tokenization), banded per language — lexical-diversity profile.
+    TTR is one division of exact integers; the band cut is identical
+    IEEE on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    per = words.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("toks"),
+        F.countDistinct("term").cast("long").alias("types"),
+    )
+    ttr = F.col("types") / F.col("toks")
+    band = (
+        F.when(ttr < 0.5, "low")
+        .when(ttr < 0.8, "mid")
+        .otherwise("high")
+    )
+    return (
+        per.groupBy("lang", band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("lang", "band")
+    )
+
+
+ORACLE_DOC_TYPE_TOKEN_RATIO = """
+WITH words AS (
+  SELECT doc_id, lang, t.term
+  FROM documents,
+       LATERAL unnest(string_split_regex(lower(text), '[^a-z]+')) AS t(term)
+  WHERE length(t.term) > 0
+),
+per AS (
+  SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS toks,
+         CAST(count(DISTINCT term) AS BIGINT) AS types
+  FROM words GROUP BY 1, 2
+)
+SELECT lang,
+       CASE WHEN types * 1.0 / toks < 0.5 THEN 'low'
+            WHEN types * 1.0 / toks < 0.8 THEN 'mid'
+            ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS docs
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["doc_type_token_ratio"] = q_doc_type_token_ratio
+ORACLES["doc_type_token_ratio"] = ORACLE_DOC_TYPE_TOKEN_RATIO
