@@ -1567,3 +1567,444 @@ FROM per GROUP BY 1, 2 ORDER BY 1, 2
 
 QUERIES["doc_type_token_ratio"] = q_doc_type_token_ratio
 ORACLES["doc_type_token_ratio"] = ORACLE_DOC_TYPE_TOKEN_RATIO
+
+
+# ------------------------------------ batch 5: behavioral / text depth
+
+
+def q_user_burstiness_bands(spark, sf_dir):
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of per-user event
+    inter-arrivals (seconds, exact integers), banded — Poisson traffic
+    sits near 0, humans are bursty. Moments from exact integer sums;
+    identical float order both engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev"))
+            .cast("long").alias("g"),
+        )
+    )
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(F.col("g") * F.col("g")).alias("ss"),
+    ).filter((F.col("n") >= 5) & (F.col("s") > 0))
+    mean = F.col("s") / F.col("n")
+    sig = F.sqrt(F.greatest(F.lit(0.0), F.col("ss") / F.col("n") - mean * mean))
+    b = (sig - mean) / (sig + mean)
+    band = (
+        F.when(b < -0.1, "regular")
+        .when(b <= 0.1, "poissonian")
+        .otherwise("bursty")
+    )
+    return (
+        per.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+        .orderBy("band")
+    )
+
+
+ORACLE_USER_BURSTINESS_BANDS = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(epoch(ts) - epoch(lag(ts) OVER w) AS BIGINT) AS g
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(g) AS BIGINT) AS s, CAST(sum(g * g) AS BIGINT) AS ss
+  FROM gaps WHERE g IS NOT NULL GROUP BY 1
+  HAVING count(*) >= 5 AND sum(g) > 0
+),
+bs AS (
+  SELECT (sqrt(greatest(0.0, ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)))
+          - s * 1.0 / n)
+         / (sqrt(greatest(0.0, ss * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)))
+            + s * 1.0 / n) AS b
+  FROM per
+)
+SELECT CASE WHEN b < -0.1 THEN 'regular'
+            WHEN b <= 0.1 THEN 'poissonian' ELSE 'bursty' END AS band,
+       CAST(count(*) AS BIGINT) AS users
+FROM bs GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_burstiness_bands"] = q_user_burstiness_bands
+ORACLES["user_burstiness_bands"] = ORACLE_USER_BURSTINESS_BANDS
+
+
+def q_emb_dim_range_profile(spark, sf_dir):
+    """Per-dimension min/max/range over the embedding corpus — the
+    quantizer's calibration table. Min/max are exact picks (no
+    summation), so floats compare exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "_x")
+    ).filter(F.col("dim") < 16).withColumn("x", F.col("_x").cast("double"))
+    return (
+        flat.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+            F.round(F.max("x") - F.min("x"), 6).alias("range"),
+        )
+        .orderBy("dim")
+    )
+
+
+ORACLE_EMB_DIM_RANGE_PROFILE = """
+WITH flat AS (
+  SELECT i AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(len(embedding))) AS u(i)
+  WHERE i < 16
+)
+SELECT CAST(dim AS INT) AS dim, round(min(x), 6) AS lo,
+       round(max(x), 6) AS hi, round(max(x) - min(x), 6) AS range
+FROM flat GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["emb_dim_range_profile"] = q_emb_dim_range_profile
+ORACLES["emb_dim_range_profile"] = ORACLE_EMB_DIM_RANGE_PROFILE
+
+
+def q_doc_char_class_profile(spark, sf_dir):
+    """Character-class composition per source (letter/digit/space/other
+    shares) — the OCR-noise sniff test. Counts via regexp_replace
+    lengths (integer-exact), one division each."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n_of(pat):
+        return F.length(F.regexp_replace(F.lower("text"), pat, ""))
+
+    per = d.groupBy("source").agg(
+        F.sum(F.length("text")).cast("long").alias("total"),
+        F.sum(F.length(F.lower("text")) - n_of("[a-z]")).cast("long")
+        .alias("letters"),
+        F.sum(F.length("text") - n_of("[0-9]")).cast("long").alias("digits"),
+        F.sum(F.length("text") - n_of(" ")).cast("long").alias("spaces"),
+    )
+    return per.select(
+        "source", "total",
+        F.round(F.col("letters") / F.col("total"), 6).alias("letter_share"),
+        F.round(F.col("digits") / F.col("total"), 6).alias("digit_share"),
+        F.round(F.col("spaces") / F.col("total"), 6).alias("space_share"),
+    ).orderBy("source")
+
+
+ORACLE_DOC_CHAR_CLASS_PROFILE = """
+WITH per AS (
+  SELECT source, CAST(sum(length(text)) AS BIGINT) AS total,
+         CAST(sum(length(lower(text))
+                  - length(regexp_replace(lower(text), '[a-z]', '', 'g')))
+              AS BIGINT) AS letters,
+         CAST(sum(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g')))
+              AS BIGINT) AS digits,
+         CAST(sum(length(text)
+                  - length(regexp_replace(text, ' ', '', 'g')))
+              AS BIGINT) AS spaces
+  FROM documents GROUP BY 1
+)
+SELECT source, total,
+       round(letters * 1.0 / total, 6) AS letter_share,
+       round(digits * 1.0 / total, 6) AS digit_share,
+       round(spaces * 1.0 / total, 6) AS space_share
+FROM per ORDER BY source
+"""
+
+QUERIES["doc_char_class_profile"] = q_doc_char_class_profile
+ORACLES["doc_char_class_profile"] = ORACLE_DOC_CHAR_CLASS_PROFILE
+
+
+def q_brand_price_quantity_corr(spark, sf_dir):
+    """Pearson correlation of line price (cents) and quantity per
+    brand, from EXACT integer moment sums — the closed form touches
+    floats once, in the same order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    y = F.col("l_quantity").cast("long")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per = j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return per.select(
+        "p_brand", F.col("n").cast("bigint").alias("n"),
+        F.round(num / den, 6).alias("corr"),
+    ).orderBy("p_brand")
+
+
+ORACLE_BRAND_PRICE_QUANTITY_CORR = """
+WITH per AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sxx,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS syy
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS corr
+FROM per ORDER BY p_brand
+"""
+
+QUERIES["brand_price_quantity_corr"] = q_brand_price_quantity_corr
+ORACLES["brand_price_quantity_corr"] = ORACLE_BRAND_PRICE_QUANTITY_CORR
+
+
+def q_wau_mau_stickiness(spark, sf_dir):
+    """Weekly-active / monthly-active stickiness: each ISO week's
+    distinct users over its calendar month's distinct users (weeks
+    keyed to the month containing their Monday) — integer distincts,
+    one division."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    ).distinct()
+    wau = wk.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    mau = (
+        e.select(F.date_trunc("month", "ts").alias("month"), "user_id")
+        .distinct()
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    j = wau.join(
+        mau, F.date_trunc("month", F.col("week")) == F.col("month")
+    )
+    return j.select(
+        F.col("week").cast("date").alias("week"), "wau", "mau",
+        F.round(F.col("wau") / F.col("mau"), 6).alias("stickiness"),
+    ).orderBy("week")
+
+
+ORACLE_WAU_MAU_STICKINESS = """
+WITH wau AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+),
+mau AS (
+  SELECT date_trunc('month', ts) AS month,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+)
+SELECT week, wau, mau, round(wau * 1.0 / mau, 6) AS stickiness
+FROM wau JOIN mau ON date_trunc('month', week) = month
+ORDER BY week
+"""
+
+QUERIES["wau_mau_stickiness"] = q_wau_mau_stickiness
+ORACLES["wau_mau_stickiness"] = ORACLE_WAU_MAU_STICKINESS
+
+
+def q_event_value_top10_share(spark, sf_dir):
+    """Share of each event type's total value held by its 10 largest
+    events (exact cents, event_id tiebreak) — whale concentration."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("c").desc(), F.col("event_id")
+    )
+    ranked = e.select(
+        "event_type", "event_id", cents.alias("c")
+    ).withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("total_cents"),
+            F.sum(F.when(F.col("rk") <= 10, F.col("c")).otherwise(0))
+            .alias("top10_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("total_cents").cast("bigint").alias("total_cents"),
+            F.round(F.col("top10_cents") / F.col("total_cents"), 6)
+            .alias("top10_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENT_VALUE_TOP10_SHARE = """
+WITH ranked AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rk
+  FROM events
+)
+SELECT event_type, CAST(sum(c) AS BIGINT) AS total_cents,
+       round(sum(CASE WHEN rk <= 10 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+         AS top10_share
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["event_value_top10_share"] = q_event_value_top10_share
+ORACLES["event_value_top10_share"] = ORACLE_EVENT_VALUE_TOP10_SHARE
+
+
+def q_lineitem_discount_ladder(spark, sf_dir):
+    """Revenue and volume by discrete discount level — the discount
+    ladder, exact cents with the discount key held as integer basis
+    points so grouping never touches float identity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bp = F.round(F.col("l_discount") * 100).cast("int")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupBy(bp.alias("discount_pct"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("lines"),
+            F.sum(cents).cast("bigint").alias("gross_cents"),
+            F.sum(F.round(cents * (1 - F.col("l_discount"))).cast("long"))
+            .cast("bigint").alias("net_cents"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6)
+            .alias("avg_qty"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+ORACLE_LINEITEM_DISCOUNT_LADDER = """
+SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+       CAST(count(*) AS BIGINT) AS lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS gross_cents,
+       CAST(sum(CAST(round(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (1 - l_discount)) AS BIGINT)) AS BIGINT)
+         AS net_cents,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["lineitem_discount_ladder"] = q_lineitem_discount_ladder
+ORACLES["lineitem_discount_ladder"] = ORACLE_LINEITEM_DISCOUNT_LADDER
+
+
+def q_user_first_touch_conversion(spark, sf_dir):
+    """Conversion by acquisition channel: each user's FIRST event type
+    (ts then event_id tiebreak) vs whether they ever purchase —
+    first-touch attribution at user grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    buyers = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    j = first.join(buyers, "user_id", "left").fillna({"converted": 0})
+    return (
+        j.groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("users"),
+            F.sum("converted").cast("bigint").alias("converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6)
+            .alias("cr"),
+        )
+        .orderBy("first_touch")
+    )
+
+
+ORACLE_USER_FIRST_TOUCH_CONVERSION = """
+WITH first AS (
+  SELECT user_id, event_type AS first_touch
+  FROM (SELECT user_id, event_type, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        FROM events)
+  WHERE rk = 1
+),
+buyers AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT first_touch, CAST(count(*) AS BIGINT) AS users,
+       CAST(count(b.user_id) AS BIGINT) AS converted,
+       round(count(b.user_id) * 1.0 / count(*), 6) AS cr
+FROM first f LEFT JOIN buyers b USING (user_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["user_first_touch_conversion"] = q_user_first_touch_conversion
+ORACLES["user_first_touch_conversion"] = ORACLE_USER_FIRST_TOUCH_CONVERSION
+
+
+def q_nation_balance_spread(spark, sf_dir):
+    """Customer account-balance spread per nation: exact integer-rank
+    median plus min/max on cents — dimension join broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "n_name", cents.alias("bal"), "c_custkey"
+    )
+    w = Window.partitionBy("n_name").orderBy("bal", "c_custkey")
+    ranked = j.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("n_name"))
+    )
+    med = ranked.filter(
+        F.col("rk") == F.greatest(F.lit(1), F.ceil(F.col("cnt") * 0.5))
+    ).select("n_name", F.col("bal").alias("median_cents"))
+    mm = j.groupBy("n_name").agg(
+        F.min("bal").cast("bigint").alias("min_cents"),
+        F.max("bal").cast("bigint").alias("max_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("customers"),
+    )
+    return (
+        mm.join(med, "n_name")
+        .select("n_name", "customers", "min_cents",
+                F.col("median_cents").cast("bigint").alias("median_cents"),
+                "max_cents")
+        .orderBy("n_name")
+    )
+
+
+ORACLE_NATION_BALANCE_SPREAD = """
+WITH j AS (
+  SELECT n_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal, c_custkey
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+ranked AS (
+  SELECT n_name, bal,
+         row_number() OVER (PARTITION BY n_name ORDER BY bal, c_custkey)
+           AS rk,
+         count(*) OVER (PARTITION BY n_name) AS cnt
+  FROM j
+)
+SELECT n_name, CAST(max(cnt) AS BIGINT) AS customers,
+       CAST(min(bal) AS BIGINT) AS min_cents,
+       CAST(min(CASE WHEN rk = greatest(1, CAST(ceil(cnt * 0.5) AS BIGINT))
+                     THEN bal END) AS BIGINT) AS median_cents,
+       CAST(max(bal) AS BIGINT) AS max_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["nation_balance_spread"] = q_nation_balance_spread
+ORACLES["nation_balance_spread"] = ORACLE_NATION_BALANCE_SPREAD
