@@ -2008,3 +2008,370 @@ FROM ranked GROUP BY 1 ORDER BY 1
 
 QUERIES["nation_balance_spread"] = q_nation_balance_spread
 ORACLES["nation_balance_spread"] = ORACLE_NATION_BALANCE_SPREAD
+
+
+# -------------------------- batch 6: dialect corners + mix analytics
+# LogQL output stages (the reference PARSES these but ignores them —
+# logql.rs:107-128; executing them is this engine's upgrade, so each
+# goes under the oracle) and PromQL aggregation corners, through the
+# FULL parse→lower→execute pipelines.
+
+
+def _r15_logql_ctx(spark, sf_dir):
+    from .bench_logql import _ctx
+
+    return _ctx(spark, sf_dir)
+
+
+def q_logql_distinct_stage(spark, sf_dir):
+    """LogQL `| distinct k`: keep the EARLIEST line per distinct value
+    of the json-extracted label (timestamp then body tiebreak), then a
+    daily count by service — dedup-by-label executed, not parsed-and-
+    ignored."""
+    from .logql.lowering import query_metric
+
+    out = query_metric(
+        _r15_logql_ctx(spark, sf_dir),
+        'sum by (service) (count_over_time('
+        '{service=~".+"} | json | distinct k [1d]))',
+    )
+    return out.select("bucket", "service_name", "value").orderBy(
+        "bucket", "service_name")
+
+
+ORACLE_LOGQL_DISTINCT_STAGE = """
+WITH rows AS (
+  SELECT ts, event_type, props,
+         json_extract_string(props, '$.k') AS k
+  FROM events
+),
+first AS (
+  SELECT * FROM (
+    SELECT ts, event_type,
+           row_number() OVER (PARTITION BY k ORDER BY ts, props) AS rn
+    FROM rows)
+  WHERE rn = 1
+)
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name, CAST(count(*) AS DOUBLE) AS value
+FROM first GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["logql_distinct_stage"] = q_logql_distinct_stage
+ORACLES["logql_distinct_stage"] = ORACLE_LOGQL_DISTINCT_STAGE
+
+
+def q_logql_drop_label_stage(spark, sf_dir):
+    """LogQL `| drop user`: the attribute is pruned from the map, so a
+    later `by (user)` grouping sees one NULL-label group per service —
+    the drop must actually execute for the user dimension to
+    disappear."""
+    from .logql.lowering import query_metric
+
+    out = query_metric(
+        _r15_logql_ctx(spark, sf_dir),
+        'sum by (service, user) (count_over_time('
+        '{service=~".+"} | drop user [1d]))',
+    )
+    return out.select(
+        "bucket", "service_name", F.col("user"), "value"
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_LOGQL_DROP_LABEL_STAGE = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name, CAST(NULL AS VARCHAR) AS user,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["logql_drop_label_stage"] = q_logql_drop_label_stage
+ORACLES["logql_drop_label_stage"] = ORACLE_LOGQL_DROP_LABEL_STAGE
+
+
+def q_logql_decolorize_bytes(spark, sf_dir):
+    """LogQL `| decolorize`: ANSI escape sequences are stripped from
+    the line BEFORE byte accounting — bytes_over_time over a view whose
+    bodies carry a 9-byte color wrapper must equal the clean length."""
+    from .logql.lowering import LowerCtx, query_metric
+
+    e = load_table(spark, sf_dir, "events")
+    view = e.select(
+        F.col("ts").alias("timestamp"),
+        F.col("event_type").alias("service_name"),
+        F.lit(None).cast("string").alias("severity_text"),
+        F.lit(None).cast("string").alias("label_namespace"),
+        F.concat(F.lit("\x1b[31m"), F.col("props"), F.lit("\x1b[0m"))
+        .alias("body"),
+        F.create_map(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("log_attributes"),
+    )
+    from .bench_logql import DAY as LDAY
+    from .bench_logql import END, START
+
+    out = query_metric(
+        LowerCtx(spark, view, START, END, LDAY),
+        'sum by (service) (bytes_over_time('
+        '{service=~".+"} | decolorize [1d]))',
+    )
+    return out.select("bucket", "service_name", "value").orderBy(
+        "bucket", "service_name")
+
+
+ORACLE_LOGQL_DECOLORIZE_BYTES = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name,
+       CAST(sum(strlen(props)) AS DOUBLE) AS value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["logql_decolorize_bytes"] = q_logql_decolorize_bytes
+ORACLES["logql_decolorize_bytes"] = ORACLE_LOGQL_DECOLORIZE_BYTES
+
+
+def q_logql_line_format_bytes(spark, sf_dir):
+    """LogQL `| line_format "{{.k}}"`: the body is REWRITTEN to the
+    template rendering before byte accounting — bytes_over_time equals
+    the summed length of the extracted k values, not the raw lines."""
+    from .logql.lowering import query_metric
+
+    out = query_metric(
+        _r15_logql_ctx(spark, sf_dir),
+        'sum by (service) (bytes_over_time('
+        '{service=~".+"} | json | line_format "{{.k}}" [1d]))',
+    )
+    return out.select("bucket", "service_name", "value").orderBy(
+        "bucket", "service_name")
+
+
+ORACLE_LOGQL_LINE_FORMAT_BYTES = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+       event_type AS service_name,
+       CAST(sum(length(json_extract_string(props, '$.k'))) AS DOUBLE)
+         AS value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["logql_line_format_bytes"] = q_logql_line_format_bytes
+ORACLES["logql_line_format_bytes"] = ORACLE_LOGQL_LINE_FORMAT_BYTES
+
+
+def q_promql_stdvar_agg(spark, sf_dir):
+    """PromQL `stdvar(...)` across series per bucket — the population
+    variance outer agg, over per-service daily averages."""
+    from .bench_promql import _ctx as _pctx
+    from .promql.lowering import query_range
+
+    out = query_range(
+        _pctx(spark, sf_dir),
+        "stdvar(avg_over_time(events_value[1d]))",
+    )
+    return out.select("bucket", F.round("value", 6).alias("value")).orderBy(
+        "bucket")
+
+
+ORACLE_PROMQL_STDVAR_AGG = """
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, round(var_pop(v), 6) AS value
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["promql_stdvar_agg"] = q_promql_stdvar_agg
+ORACLES["promql_stdvar_agg"] = ORACLE_PROMQL_STDVAR_AGG
+
+
+def q_promql_bottomk_min(spark, sf_dir):
+    """PromQL `bottomk(2, min by (...) (min_over_time(...)))` — the
+    bottom-k mirror of the gated topk path, exact min picks, (value,
+    label) tiebreak."""
+    from .bench_promql import _ctx as _pctx
+    from .promql.lowering import query_range
+
+    out = query_range(
+        _pctx(spark, sf_dir),
+        "bottomk(2, min by (service_name) (min_over_time(events_value[1d])))",
+    )
+    return out.select(
+        "bucket", "service_name", F.round("value", 6).alias("value")
+    ).orderBy("bucket", "service_name")
+
+
+ORACLE_PROMQL_BOTTOMK_MIN = """
+WITH m AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name, min(value) AS value
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT bucket, service_name, round(value, 6) AS value,
+         row_number() OVER (PARTITION BY bucket
+                            ORDER BY value ASC, service_name ASC) AS rk
+  FROM m
+)
+SELECT bucket, service_name, value FROM r WHERE rk <= 2
+ORDER BY bucket, service_name
+"""
+
+QUERIES["promql_bottomk_min"] = q_promql_bottomk_min
+ORACLES["promql_bottomk_min"] = ORACLE_PROMQL_BOTTOMK_MIN
+
+
+def q_promql_sum_without(spark, sf_dir):
+    """PromQL `sum without (service_name) (...)`: the without-form
+    grouping collapses the only series label, one row per bucket."""
+    from .bench_promql import _ctx as _pctx
+    from .promql.lowering import query_range
+
+    out = query_range(
+        _pctx(spark, sf_dir),
+        "sum without (service_name) (increase(events_value[1d]))",
+    )
+    return out.select("bucket", F.round("value", 6).alias("value")).orderBy(
+        "bucket")
+
+
+ORACLE_PROMQL_SUM_WITHOUT = """
+WITH per AS (
+  SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+         event_type AS service_name,
+         max_by(value, ts) - min_by(value, ts) AS inc
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, round(sum(inc), 6) AS value
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["promql_sum_without"] = q_promql_sum_without
+ORACLES["promql_sum_without"] = ORACLE_PROMQL_SUM_WITHOUT
+
+
+def q_orders_priority_weekday_mix(spark, sf_dir):
+    """Order volume by (priority, ISO weekday) with within-priority
+    share — staffing heatmap, integer counts."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy(
+        "o_orderpriority",
+        (F.expr("weekday(o_orderdate)") + 1).cast("int").alias("isodow"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        cnt.withColumn("share", F.round(F.col("n") / F.sum("n").over(w), 6))
+        .orderBy("o_orderpriority", "isodow")
+    )
+
+
+ORACLE_ORDERS_PRIORITY_WEEKDAY_MIX = """
+WITH cnt AS (
+  SELECT o_orderpriority, CAST(isodow(o_orderdate) AS INT) AS isodow,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderpriority, isodow, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY o_orderpriority), 6)
+         AS share
+FROM cnt ORDER BY 1, 2
+"""
+
+QUERIES["orders_priority_weekday_mix"] = q_orders_priority_weekday_mix
+ORACLES["orders_priority_weekday_mix"] = ORACLE_ORDERS_PRIORITY_WEEKDAY_MIX
+
+
+def q_doc_lang_source_matrix(spark, sf_dir):
+    """Document counts and mean length per (lang, source) with the
+    within-lang share — corpus composition ledger."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = Window.partitionBy("lang")
+    return (
+        cnt.select(
+            "lang", "source", "docs",
+            F.round(F.col("chars") / F.col("docs"), 6).alias("avg_chars"),
+            F.round(F.col("docs") / F.sum("docs").over(w), 6).alias("share"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+ORACLE_DOC_LANG_SOURCE_MATRIX = """
+WITH cnt AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, docs,
+       round(chars * 1.0 / docs, 6) AS avg_chars,
+       round(docs * 1.0 / sum(docs) OVER (PARTITION BY lang), 6) AS share
+FROM cnt ORDER BY 1, 2
+"""
+
+QUERIES["doc_lang_source_matrix"] = q_doc_lang_source_matrix
+ORACLES["doc_lang_source_matrix"] = ORACLE_DOC_LANG_SOURCE_MATRIX
+
+
+def q_event_props_k_distribution(spark, sf_dir):
+    """Distribution of the json payload key `k` in decade bands per
+    event type — the props column queried as data, integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    band = (k / 10).cast("int")
+    return (
+        e.select("event_type", band.alias("k_decade"))
+        .filter(F.col("k_decade").isNotNull())
+        .groupBy("event_type", "k_decade")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("event_type", "k_decade")
+    )
+
+
+ORACLE_EVENT_PROPS_K_DISTRIBUTION = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS INT)
+         AS k_decade,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["event_props_k_distribution"] = q_event_props_k_distribution
+ORACLES["event_props_k_distribution"] = ORACLE_EVENT_PROPS_K_DISTRIBUTION
+
+
+def q_customer_segment_balance_profile(spark, sf_dir):
+    """Per market segment: customer count, mean balance (exact cents),
+    and the share with negative balances — credit-risk profile."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("customers"),
+            F.round(F.sum(cents) / F.count(F.lit(1)) / 100.0, 6)
+            .alias("avg_balance"),
+            F.round(
+                F.sum((cents < 0).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("negative_share"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_CUSTOMER_SEGMENT_BALANCE_PROFILE = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS customers,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 1.0
+             / count(*) / 100.0, 6) AS avg_balance,
+       round(sum(CASE WHEN CAST(round(c_acctbal * 100) AS BIGINT) < 0
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS negative_share
+FROM customer GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["customer_segment_balance_profile"] = q_customer_segment_balance_profile
+ORACLES["customer_segment_balance_profile"] = ORACLE_CUSTOMER_SEGMENT_BALANCE_PROFILE

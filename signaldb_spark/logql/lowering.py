@@ -439,13 +439,24 @@ def apply_selector(ctx: LowerCtx, sel: LogSelector) -> DataFrame:
     return df
 
 
+_OUTPUT_STAGES = {"decolorize", "line_format", "unpack", "drop", "keep",
+                  "distinct"}
+
+
+def _has_output_stages(sel: LogSelector) -> bool:
+    return any(s.name in _OUTPUT_STAGES for s in sel.stages)
+
+
 def _apply_output_stages(df: DataFrame, sel: LogSelector) -> DataFrame:
     """Execute the line/label-rewriting stages on the filtered rows, in
     pipeline order: line_format / decolorize / unpack rewrite ``body``;
     drop / keep prune the attribute map; distinct keeps the earliest
     row per label-value combination. The reference parses these stages
     but ignores them (logql.rs:107-128) — executing them is an
-    upgrade."""
+    upgrade, and they apply on BOTH paths: log queries and metric
+    queries (Loki pipeline semantics — a line_format before
+    bytes_over_time changes the byte accounting, a distinct changes
+    the counts)."""
     body = F.col("body")
     for i, stage in enumerate(sel.stages):
         if stage.name == "decolorize":
@@ -690,7 +701,10 @@ def _eval_range_agg(
             return x - off
 
         shifted_ctx = dataclasses.replace(ctx, start=_shift(ctx.start), end=_shift(ctx.end))
-        df = apply_selector(shifted_ctx, expr.selector).withColumn(
+        df = apply_selector(shifted_ctx, expr.selector)
+        if _has_output_stages(expr.selector):
+            df = _apply_output_stages(df, expr.selector)
+        df = df.withColumn(
             "timestamp",
             F.col("timestamp") + F.make_interval(secs=F.lit(expr.offset_seconds)),
         )
@@ -704,6 +718,8 @@ def _eval_range_agg(
         series = [c for c in SERIES_COLS if c in df.columns] + list(extra_labels)
         return ts.range_aggregate(df, "timestamp", ctx.step_seconds, series, agg)
     df = apply_selector(ctx, expr.selector)
+    if _has_output_stages(expr.selector):
+        df = _apply_output_stages(df, expr.selector)
     if expr.fn == "absent":
         # absent_over_time: 1 per empty step bucket over the range
         m = ts.count_over_time(df, "timestamp", ctx.step_seconds, [])

@@ -660,3 +660,41 @@ def test_index_volume_range_one_sided_bounds(spark):
     assert lo.count() == 1
     hi = index_volume_range(df, 3600, end="2024-01-01 01:00:00")
     assert hi.count() == 1
+
+
+def test_output_stages_apply_on_metric_path(spark):
+    """distinct / drop / line_format execute inside METRIC queries too
+    (Loki pipeline semantics), not only in log queries — the metric
+    path silently ignoring them was the reference's bug (logql.rs:
+    107-128), not a behavior to keep."""
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 0, i), "api", '{"k": "a"}', {"u": str(i)})
+        for i in range(3)
+    ] + [
+        (dt.datetime(2024, 1, 1, 0, 1, 0), "api", '{"k": "b"}', {"u": "9"}),
+    ]
+    logs = spark.createDataFrame(
+        rows,
+        "timestamp timestamp, service_name string, body string, "
+        "log_attributes map<string,string>",
+    )
+    ctx2 = LowerCtx(spark, logs, "2024-01-01 00:00:00",
+                    "2024-01-02 00:00:00", 86400)
+    # distinct k: 2 distinct values -> count 2, not 4
+    out = query_metric(
+        ctx2, 'sum(count_over_time({service_name="api"} | json'
+              ' | distinct k [1d]))')
+    assert out.collect()[0]["value"] == 2.0
+    # drop u: by (u) grouping collapses to one NULL-label group
+    out = query_metric(
+        ctx2, 'sum by (u) (count_over_time({service_name="api"}'
+              ' | drop u [1d]))')
+    got = out.collect()
+    assert len(got) == 1 and got[0]["u"] is None and got[0]["value"] == 4.0
+    # line_format rewrites the body BEFORE byte accounting: 4 x "a|b"
+    out = query_metric(
+        ctx2, 'sum(bytes_over_time({service_name="api"} | json'
+              ' | line_format "{{.k}}" [1d]))')
+    assert out.collect()[0]["value"] == 4.0
