@@ -1189,3 +1189,35 @@ def test_round14_staged_scale_shapes(spark):
 
     p_ring = plan(qs["emb_ring_dot_extremes"](spark, SF_DIR))
     assert "CartesianProduct" not in p_ring
+
+
+def test_ir_binop_is_hash_join_no_cartesian(spark):
+    """The IR vector-matching binop lowers to an equi-join on (bucket,
+    matching labels): hash-join family in the plan, never a
+    CartesianProduct/BroadcastNestedLoop — and with an aggregated
+    operand the join inputs are the (bucket, by) digests, so map-side
+    partial aggregation precedes the shuffle."""
+    p = plan(all_queries()["ir_metrics_vector_binop"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) \
+        or ("ShuffledHashJoin" in p)
+    pg = plan(all_queries()["ir_metrics_binop_group_left"](spark, SF_DIR))
+    assert "CartesianProduct" not in pg and "BroadcastNestedLoop" not in pg
+    assert "partial" in pg.lower()  # map-side combine before the shuffle
+
+
+def test_ir_summary_quantile_no_explode_no_join(spark):
+    """Summary quantile is one groupBy (max_by anchors) plus pure array
+    expressions — no explode, no join in the plan (operators/summary.py
+    scale note)."""
+    p = plan(all_queries()["ir_metrics_summary_quantile"](spark, SF_DIR))
+    assert "Generate" not in p  # no explode
+    assert "Join" not in p
+
+
+def test_typed_attr_trace_predicate_plan_shape(spark):
+    """The typed-trace gate's migration + typed predicate stays
+    join-free: the AnyValue retype is a map_transform projection and
+    the predicate reads struct fields — one aggregate over the scan."""
+    p = plan(all_queries()["typed_attr_trace_predicate"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "Join" not in p

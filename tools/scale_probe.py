@@ -107,6 +107,18 @@ PROBE_QUERIES = [
     "bigram_hapax_share",
     "source_vocab_jaccard",
     "typed_attr_int_predicate",
+    # round-9 shapes: the IR binop equi-join over (bucket, series)
+    # digests (both one-to-one raw-series matching and the aggregated
+    # group_left share), the summary anchor read-back (one max_by
+    # groupBy, no explode/join), the traces typed-attribute migration +
+    # two-map typed predicate (map-only), and the distinct output stage
+    # on the metric path (window partitioned by label VALUE — cost must
+    # follow label cardinality, not the stream)
+    "ir_metrics_vector_binop",
+    "ir_metrics_binop_group_left",
+    "ir_metrics_summary_quantile",
+    "typed_attr_trace_predicate",
+    "logql_distinct_stage",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
