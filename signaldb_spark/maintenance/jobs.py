@@ -36,21 +36,15 @@ def list_hour_partitions(table_path: str) -> list[tuple[str, int]]:
 
     Manifest tables enumerate from the CURRENT SNAPSHOT's file list, not
     the directory tree: orphaned files from crashed attempts must not
-    resurrect partitions."""
+    resurrect partitions. Identity comes from the manifest's recorded
+    partition structs (hive-path fallback for pre-recording entries,
+    storage.manifest.file_partitions) — never a fresh path parse."""
     mt = _manifest_table(table_path)
     if mt is not None:
         out = set()
-        for rel in mt.load_manifest()["files"]:
-            parts = rel.split(os.sep)
-            if (
-                len(parts) >= 3
-                and parts[0].startswith("date_day=")
-                and parts[1].startswith("hour=")
-            ):
-                try:
-                    out.add((parts[0].split("=", 1)[1], int(parts[1].split("=", 1)[1])))
-                except ValueError:
-                    continue
+        for ident in mt.file_partitions().values():
+            if "date_day" in ident and isinstance(ident.get("hour"), int):
+                out.add((str(ident["date_day"]), ident["hour"]))
         return sorted(out)
     if not os.path.isdir(table_path):
         return []
@@ -88,18 +82,9 @@ def partition_file_counts(table_path: str) -> dict[tuple[str, int], int]:
     mt = _manifest_table(table_path)
     if mt is not None:
         counts: dict[tuple[str, int], int] = {}
-        for f in mt.load_manifest()["files"]:
-            parts = f.split(os.sep)
-            if (
-                len(parts) >= 3
-                and parts[0].startswith("date_day=")
-                and parts[1].startswith("hour=")
-            ):
-                try:
-                    hour = int(parts[1][len("hour="):])
-                except ValueError:
-                    continue  # malformed entry: skip, like list_hour_partitions
-                key = (parts[0][len("date_day="):], hour)
+        for ident in mt.file_partitions().values():
+            if "date_day" in ident and isinstance(ident.get("hour"), int):
+                key = (str(ident["date_day"]), ident["hour"])
                 counts[key] = counts.get(key, 0) + 1
         return counts
     return {
@@ -113,9 +98,9 @@ def partition_files(table_path: str, day: str, hour: int) -> list[str]:
     manifest tables (orphans excluded), a directory listing otherwise."""
     mt = _manifest_table(table_path)
     if mt is not None:
-        prefix = os.path.join(f"date_day={day}", f"hour={hour}") + os.sep
         return sorted(
-            f for f in mt.load_manifest()["files"] if f.startswith(prefix)
+            f for f, p in mt.file_partitions().items()
+            if p.get("date_day") == day and p.get("hour") == int(hour)
         )
     p = _part_path(table_path, day, hour)
     if not os.path.isdir(p):
@@ -129,6 +114,43 @@ def is_partition_closed(hour: int, day: dt.date, lateness_seconds: int, now: dt.
     src/compactor/src/planner.rs:83-118)."""
     end = dt.datetime.combine(day, dt.time()) + dt.timedelta(hours=hour + 1)
     return now >= end + dt.timedelta(seconds=lateness_seconds)
+
+
+def compaction_candidates(
+    table_path: str,
+    target_bytes: int,
+    min_small_files: int = 2,
+) -> list[tuple[str, int]]:
+    """Size-aware compaction candidacy (the reference compactor
+    rework's D3): a partition is a candidate when it holds at least
+    ``min_small_files`` files BELOW ``target_bytes``. Small files are
+    never excluded for being small (the defect the reference's #934
+    fixes — its old min-input-size filter skipped exactly the files
+    compaction exists to merge); files already at/above target size
+    don't count toward candidacy and won't be rewritten. Candidates
+    return largest-small-file-count first, so a bounded compactor pass
+    burns its budget where fragmentation is worst. One manifest parse
+    for the whole table."""
+    mt = _manifest_table(table_path)
+    if mt is None:
+        counts = partition_file_counts(table_path)
+        return sorted(
+            (k for k, n in counts.items() if n >= min_small_files),
+            key=lambda k: (-counts[k], k),
+        )
+    parts = mt.file_partitions(strict=True)
+    sizes = mt.file_sizes()
+    small: dict[tuple[str, int], int] = {}
+    for f, ident in parts.items():
+        if "date_day" not in ident or not isinstance(ident.get("hour"), int):
+            continue
+        if sizes.get(f, 0) < target_bytes:
+            key = (str(ident["date_day"]), ident["hour"])
+            small[key] = small.get(key, 0) + 1
+    return sorted(
+        (k for k, n in small.items() if n >= min_small_files),
+        key=lambda k: (-small[k], k),
+    )
 
 
 def compact_partition(
@@ -190,13 +212,25 @@ def compaction_cycle(
     now: dt.datetime | None = None,
     manager=None,
     target_files: int = 1,
+    target_bytes: int | None = None,
+    min_small_files: int = 2,
+    max_partitions_per_cycle: int | None = None,
 ) -> list[tuple[str, int]]:
     """One compactor pass over a table, safe to run from many instances
     at once (the reference's run loop: planner → lease → rewriter,
     src/compactor/src/lib.rs): enumerate closed partitions, take the
     per-partition lease, compact, release. Partitions whose lease is
     held by a live peer are skipped — duplicate work is prevented, not
-    just tolerated. Returns the partitions this instance compacted."""
+    just tolerated. Returns the partitions this instance compacted.
+
+    With ``target_bytes``, candidacy is size-aware (see
+    :func:`compaction_candidates`): partitions with at least
+    ``min_small_files`` files under target size qualify, worst
+    fragmentation first, and the rewrite touches ONLY the small files
+    (at-target files stay byte-identical — no rewrite amplification).
+    ``max_partitions_per_cycle`` bounds one pass's work — an enforced
+    budget, per the reference's D3 rule that every planning limit is
+    either enforced or deleted."""
     from ..catalog import signal_table_path
     from .lease import LeaseManager, partition_unit
 
@@ -204,20 +238,35 @@ def compaction_cycle(
     manager = manager or LeaseManager(base)
     table_path = signal_table_path(base, tenant, dataset, table)
     done: list[tuple[str, int]] = []
-    for day, hour in list_hour_partitions(table_path):
+    if target_bytes is not None:
+        candidates = compaction_candidates(table_path, target_bytes, min_small_files)
+    else:
+        # legacy count-based candidacy: any partition above the file
+        # target (small-file candidates only, src/compactor/src/planner.rs)
+        candidates = [
+            (d, h) for d, h in list_hour_partitions(table_path)
+            if len(partition_files(table_path, d, h)) > target_files
+        ]
+    for day, hour in candidates:
+        if max_partitions_per_cycle is not None and len(done) >= max_partitions_per_cycle:
+            break
         if not is_partition_closed(hour, dt.date.fromisoformat(day), lateness_seconds, now):
-            continue
-        # planner candidate check: a partition already at/under the file
-        # target needs no rewrite (small-file candidates only,
-        # src/compactor/src/planner.rs)
-        if len(partition_files(table_path, day, hour)) <= target_files:
             continue
         lease = manager.try_acquire(partition_unit(tenant, dataset, table, day, hour))
         if lease is None:
             continue
         try:
-            compact_partition(spark, table_path, table, day, hour, target_files)
-            done.append((day, hour))
+            if target_bytes is not None and _manifest_table(table_path) is not None:
+                from ..storage.manifest import compact_partition_manifest
+
+                n = compact_partition_manifest(
+                    spark, table_path, table, day, hour, target_files,
+                    max_input_bytes=target_bytes,
+                )
+            else:
+                n = compact_partition(spark, table_path, table, day, hour, target_files)
+            if n:
+                done.append((day, hour))
         finally:
             manager.release(lease)
     return done
@@ -340,17 +389,26 @@ def apply_retention(
 
     Manifest tables drop via ONE snapshot commit removing the files
     (readers on the old snapshot stay whole; the bytes die later in
-    expire_snapshots) — the Iceberg retention semantics."""
+    expire_snapshots) — the Iceberg retention semantics. The pass runs
+    on STRICT manifest partition identity: a live file whose partition
+    cannot be classified raises storage.manifest.UnclassifiableFile
+    instead of being silently skipped, because a skipped file would
+    never age out while staying in every query result (the reference
+    compactor rework's #930 rule)."""
     mt = _manifest_table(table_path)
     if mt is not None:
-        dropped_m, remove = [], []
-        for day, hour in list_hour_partitions(table_path):
-            if (day, hour) not in keep:
-                remove.extend(partition_files(table_path, day, hour))
-                dropped_m.append((day, hour))
+        dropped_set: set[tuple[str, int]] = set()
+        remove = []
+        for f, ident in mt.file_partitions(strict=True).items():
+            if "date_day" not in ident or not isinstance(ident.get("hour"), int):
+                continue  # non-time-partitioned table: retention n/a
+            key = (str(ident["date_day"]), ident["hour"])
+            if key not in keep:
+                remove.append(f)
+                dropped_set.add(key)
         if remove:
             mt.commit([], remove_files=remove)
-        return dropped_m
+        return sorted(dropped_set)
     dropped = []
     for day, hour in list_hour_partitions(table_path):
         if (day, hour) not in keep:

@@ -47,6 +47,15 @@ class CommitConflict(Exception):
     """Another writer committed this version first — reread and retry."""
 
 
+class UnclassifiableFile(Exception):
+    """A live data file has no recorded partition identity and no
+    parseable hive path — lifecycle jobs must fail loudly rather than
+    silently skip it (a skipped file is immortal: retention never drops
+    it, compaction never rewrites it, yet every read includes it). The
+    reference's compactor rework makes the same call (#930:
+    'unclassifiable files are a loud error, not silently kept')."""
+
+
 class ManifestTable:
     def __init__(self, table_path: str):
         self.table_path = table_path
@@ -107,6 +116,9 @@ class ManifestTable:
         stats: dict[str, dict] | None = None,
         properties: dict | None = None,
         precondition=None,
+        partitions: dict[str, dict] | None = None,
+        sizes: dict[str, int] | None = None,
+        sort_orders: dict[str, list] | None = None,
     ) -> bool:
         """Commit a snapshot: current files − removed + added. Paths are
         relative to ``data/``. Returns False (no commit) if ``batch_id``
@@ -133,8 +145,39 @@ class ManifestTable:
         asserts "the watermark is still the one I planned against", so
         a racing flush can never re-add already-flushed batches or
         regress the watermark, whichever order the two commits land in.
+
+        ``partitions`` maps added file → its partition values (e.g.
+        ``{"date_day": "2024-01-01", "hour": 3}``) — the Iceberg
+        manifest-entry partition struct analog. Recorded by the WRITER,
+        which knows the layout it just produced, so lifecycle jobs
+        (retention, compaction, candidacy) classify files from manifest
+        metadata instead of parsing path strings (the reference's
+        compactor rework, compactor-partition-scoped-lifecycle: path
+        parsing misclassifies silently; manifest identity is
+        authoritative — openspec design.md D-facts, #930).
+
+        ``sizes`` maps added file → on-disk bytes (the Iceberg
+        ``file_size_in_bytes`` analog) — what size-aware compaction
+        candidacy reads instead of stat()ing every file per planning
+        pass.
+
+        ``sort_orders`` maps added file → the column list the producer
+        ACTUALLY sorted that file by. The honesty invariant of the
+        reference's declared-sort-orders change: a declaration is only
+        ever written by the producer that performed the sort, so a
+        declared ordering is physically true per file by construction;
+        producers that didn't sort declare nothing and the file is
+        classified inexact (see :meth:`declared_ordering`).
         """
         removed = set(remove_files)
+
+        def _carry(key: str, new: dict | None) -> dict:
+            kept = {
+                f: v for f, v in (cur.get(key) or {}).items() if f not in removed
+            }
+            kept.update(new or {})
+            return kept
+
         for _ in range(max_retries):
             cur = self.load_manifest()
             if batch_id is not None and batch_id in cur["batches"]:
@@ -142,15 +185,14 @@ class ManifestTable:
             if precondition is not None and not precondition(cur):
                 return False
             files = [f for f in cur["files"] if f not in removed] + list(add_files)
-            kept_stats = {
-                f: s for f, s in cur.get("stats", {}).items() if f not in removed
-            }
-            kept_stats.update(stats or {})
             manifest = {
                 "version": cur["version"] + 1,
                 "files": sorted(files),
                 "batches": cur["batches"] + ([batch_id] if batch_id is not None else []),
-                "stats": kept_stats,
+                "stats": _carry("stats", stats),
+                "parts": _carry("parts", partitions),
+                "sizes": _carry("sizes", sizes),
+                "sorts": _carry("sorts", sort_orders),
                 "props": {**cur.get("props", {}), **(properties or {})},
             }
             try:
@@ -166,6 +208,81 @@ class ManifestTable:
         return [
             os.path.join(self.data_dir, f) for f in self.load_manifest(version)["files"]
         ]
+
+    def file_partitions(
+        self, version: int | None = None, strict: bool = False
+    ) -> dict[str, dict]:
+        """Partition identity per live file: the manifest-recorded
+        partition struct when the committing writer recorded one,
+        falling back to hive-path parsing for entries committed before
+        partition recording existed. ``strict=True`` raises
+        :class:`UnclassifiableFile` when neither source yields an
+        identity — the mode lifecycle jobs (retention, compaction
+        planning) run in, because a silently unclassified file escapes
+        lifecycle forever while remaining in every query result.
+        Non-strict callers get ``{}`` for such files (read paths don't
+        care about partition identity)."""
+        m = self.load_manifest(version)
+        recorded = m.get("parts") or {}
+        out: dict[str, dict] = {}
+        for f in m["files"]:
+            ident = recorded.get(f)
+            if ident is None:
+                ident = _parse_hive_partition(f)
+            if ident is None:
+                if strict:
+                    raise UnclassifiableFile(
+                        f"data file {f!r} has no recorded partition and "
+                        "no parseable hive path; refusing to run a "
+                        "lifecycle pass that would silently skip it"
+                    )
+                ident = {}
+            out[f] = ident
+        return out
+
+    def file_sizes(self, version: int | None = None) -> dict[str, int]:
+        """Recorded on-disk bytes per live file (``sizes`` manifest
+        entries); files committed before size recording fall back to a
+        stat() probe so size-aware candidacy still works on old
+        manifests."""
+        m = self.load_manifest(version)
+        recorded = m.get("sizes") or {}
+        out: dict[str, int] = {}
+        for f in m["files"]:
+            sz = recorded.get(f)
+            if sz is None:
+                try:
+                    sz = os.path.getsize(os.path.join(self.data_dir, f))
+                except OSError:
+                    sz = 0
+            out[f] = int(sz)
+        return out
+
+    def declared_ordering(
+        self, sort_cols: list[str], version: int | None = None
+    ) -> str:
+        """Classify the live file population against a declared sort
+        order — the reference's declared-data-ordering contract
+        (openspec/changes/declared-sort-orders): ``"exact"`` when EVERY
+        live file carries a producer-written claim for (a prefix
+        extension of) ``sort_cols``, ``"inexact"`` when any file lacks
+        the claim (pre-change files, external adds), ``"none"`` for an
+        empty claim set. Inexact never makes results wrong — it only
+        withholds sort-elimination-style shortcuts; compaction converges
+        a mixed population back to exact because the rewriter sorts and
+        claims (the proposal's one-shot-cutover story)."""
+        m = self.load_manifest(version)
+        sorts = m.get("sorts") or {}
+        if not m["files"]:
+            return "none"
+        claimed = 0
+        for f in m["files"]:
+            claim = sorts.get(f)
+            if claim is not None and list(claim)[: len(sort_cols)] == list(sort_cols):
+                claimed += 1
+        if claimed == len(m["files"]):
+            return "exact"
+        return "inexact" if claimed else "none"
 
     def pruned_files(
         self, col: str, lo, hi, version: int | None = None
@@ -345,6 +462,22 @@ class ManifestTable:
 # ------------------------------------------------------------------ writers
 
 
+def _parse_hive_partition(rel: str) -> dict | None:
+    """Best-effort partition identity from a hive-layout relative path
+    (``k=v/k=v/file.parquet``) — the COMPATIBILITY fallback for manifest
+    entries committed before writers recorded partition structs, never
+    the preferred source. Returns None (unclassifiable) when no path
+    segment is a k=v pair."""
+    segs = rel.split(os.sep)[:-1]
+    if not segs or not all("=" in s for s in segs):
+        return None
+    out = {}
+    for s in segs:
+        k, v = s.split("=", 1)
+        out[k] = int(v) if v.lstrip("-").isdigit() else v
+    return out
+
+
 def _stat_key(v):
     """Normalize a stats value to a JSON-storable, totally-ordered key:
     timestamps → epoch microseconds (int); everything else unchanged.
@@ -448,7 +581,20 @@ def write_batch_manifest(
     writer.parquet(staging)
     rel_files = _stage_into_data(staging, mt.data_dir, f"batch-{batch_id}-{attempt}")
     stats = collect_file_stats(mt.data_dir, rel_files, stats_cols) if stats_cols else None
-    return mt.commit(rel_files, batch_id=batch_id, stats=stats)
+    return mt.commit(
+        rel_files,
+        batch_id=batch_id,
+        stats=stats,
+        partitions={f: p for f in rel_files
+                    if (p := _parse_hive_partition(f)) is not None},
+        sizes={f: os.path.getsize(os.path.join(mt.data_dir, f))
+               for f in rel_files},
+        # honest by construction: this writer just sorted each file by
+        # sort_cols (within the partitionBy groups), so it may declare
+        # exactly that — and declares nothing when the table has no
+        # configured sort order
+        sort_orders={f: sort_cols for f in rel_files} if sort_cols else None,
+    )
 
 
 def compact_partition_manifest(
@@ -458,18 +604,48 @@ def compact_partition_manifest(
     day: str,
     hour: int,
     target_files: int = 1,
+    max_input_bytes: int | None = None,
 ) -> int:
     """Compact one (day, hour) partition under snapshot isolation: write
     the coalesced+sorted replacement files, then ONE manifest commit
     that swaps them in. Concurrent readers on the previous version keep
     reading the old files (deleted only by expire_snapshots); there is
-    no window where the partition is absent. Returns file count after.
-    """
+    no window where the partition is absent. Returns the number of
+    replacement files committed, 0 when there was nothing to do OR the
+    commit aborted (see below).
+
+    Input selection is manifest-derived (recorded partition structs,
+    hive-path fallback), never a path-prefix string match — the
+    reference compactor rework's #930 rule. With ``max_input_bytes``,
+    only files BELOW that size are rewritten and at-target files stay
+    byte-for-byte untouched: at 100 TB, re-coalescing an already-
+    compacted multi-GB file every cycle is pure write amplification,
+    and the reference's D3 candidacy spec scopes job inputs to small
+    files for exactly this reason.
+
+    The commit carries an input-scoped precondition (the reference's D2
+    delta-commit conflict rule): it lands iff every input file is still
+    live in the current snapshot. Appends elsewhere — other partitions,
+    or NEW files in this partition committed while the rewrite ran —
+    never conflict (they're not in the input set and survive the
+    commit untouched). A retention drop of this partition DOES conflict
+    and aborts the commit, because re-adding the replacement files
+    would resurrect rows retention already dropped; the staged
+    replacement files are then unreferenced orphans for
+    maintenance.cleanup_orphans' grace window."""
     from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
 
     mt = ManifestTable(table_path)
-    part_rel = os.path.join(f"date_day={day}", f"hour={hour}") + os.sep
-    old = [f for f in mt.load_manifest()["files"] if f.startswith(part_rel)]
+    ident = {"date_day": day, "hour": int(hour)}
+    parts = mt.file_partitions(strict=True)
+    old = [
+        f for f, p in parts.items()
+        if p.get("date_day") == ident["date_day"]
+        and p.get("hour") == ident["hour"]
+    ]
+    if max_input_bytes is not None:
+        sizes = mt.file_sizes()
+        old = [f for f in old if sizes.get(f, 0) < max_input_bytes]
     if not old:
         return 0
     df = spark.read.option("basePath", mt.data_dir).parquet(
@@ -497,5 +673,15 @@ def compact_partition_manifest(
         rel_files.append(os.path.join(f"date_day={day}", f"hour={hour}", fname))
     shutil.rmtree(staging, ignore_errors=True)
     stats = collect_file_stats(mt.data_dir, rel_files, ("timestamp",))
-    mt.commit(rel_files, remove_files=old, stats=stats)
-    return len(rel_files)
+    inputs = set(old)
+    committed = mt.commit(
+        rel_files,
+        remove_files=old,
+        stats=stats,
+        partitions={f: ident for f in rel_files},
+        sizes={f: os.path.getsize(os.path.join(mt.data_dir, f))
+               for f in rel_files},
+        sort_orders={f: sort_cols for f in rel_files} if sort_cols else None,
+        precondition=lambda cur: inputs.issubset(cur["files"]),
+    )
+    return len(rel_files) if committed else 0
