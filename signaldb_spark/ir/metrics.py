@@ -356,11 +356,40 @@ def _resolve_labels(out: DataFrame, skeys: list[str],
                     labels: tuple[str, ...]) -> DataFrame:
     """Materialize matching/include labels as columns on one operand:
     already a column (an aggregated ``by`` label or a series column) or
-    an attribute-map key pulled from ``_attrs``."""
+    an attribute-map key pulled from ``_attrs``. A label ABSENT from a
+    series resolves to the empty string, not NULL — PromQL matches
+    missing labels as ``""`` (two label-less series DO match on that
+    label), and a NULL key would silently drop the pair from the
+    equi-join instead."""
     for lbl in labels:
         if lbl not in out.columns:
-            out = out.withColumn(lbl, _label_col(lbl, skeys))
+            out = out.withColumn(
+                lbl, F.coalesce(_label_col(lbl, skeys), F.lit(""))
+            )
     return out
+
+
+def _one_to_one_guard(side: DataFrame, join_on: list[str],
+                      side_name: str) -> DataFrame:
+    """PromQL's one-to-one matching contract: without a group modifier,
+    each side must hold at most ONE series point per match group —
+    duplicates are a loud error ('found duplicate series for the match
+    group'), never a silent within-group cross join. The count window
+    runs over the digest-sized vector (series × buckets), not samples."""
+    w = Window.partitionBy(*[F.col(c) for c in join_on])
+    return (
+        side.withColumn("_match_n", F.count(F.lit(1)).over(w))
+        .filter(
+            F.when(
+                F.col("_match_n") > 1,
+                F.raise_error(
+                    "one-to-one vector match found duplicate series for "
+                    f"a match group on the {side_name} side; use "
+                    "group_left/group_right for many-to-one matching"),
+            ).otherwise(F.lit(True))
+        )
+        .drop("_match_n")
+    )
 
 
 def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp",
@@ -417,9 +446,13 @@ def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp",
             raise ValueError("binop operands share no matching labels")
 
         if bop.group is None:
-            # one-to-one: result labels are exactly the matching labels
-            lsel = out.select(*join_on, "value")
-            rsel = rout.select(*join_on, "value")
+            # one-to-one: result labels are exactly the matching labels,
+            # and each side must be unique per match group (dup guard =
+            # the PromQL many-to-many error, not a silent cross join)
+            lsel = _one_to_one_guard(out.select(*join_on, "value"),
+                                     join_on, "left")
+            rsel = _one_to_one_guard(rout.select(*join_on, "value"),
+                                     join_on, "right")
             if bop.op in ("==", "!=", ">", "<", ">=", "<="):
                 out = vector_compare(lsel, rsel, bop.op, join_on,
                                      bool_mode=bop.bool_mode)
@@ -427,12 +460,18 @@ def lower_metrics(df: DataFrame, q: IRQuery, ts_col: str = "timestamp",
                 out = vector_arith(lsel, rsel, bop.op, join_on)
         else:
             # many-to-one: the group side keeps its full label identity,
-            # 'include' labels ride the join from the one side
+            # 'include' labels ride the join from the one side — which
+            # must itself be unique per match group (PromQL errors on
+            # many-to-many even under group_left/group_right)
             one_side = "right" if bop.group == "left" else "left"
             if bop.group == "left":
-                rout = _resolve_labels(rout, rskeys, bop.include)
+                rout = _one_to_one_guard(
+                    _resolve_labels(rout, rskeys, bop.include),
+                    join_on, "right (the 'one' side of group_left)")
             else:
-                out = _resolve_labels(out, lskeys, bop.include)
+                out = _one_to_one_guard(
+                    _resolve_labels(out, lskeys, bop.include),
+                    join_on, "left (the 'one' side of group_right)")
             if bop.op in ("==", "!=", ">", "<", ">=", "<="):
                 out = vector_compare(out, rout, bop.op, join_on,
                                      bool_mode=bop.bool_mode,

@@ -391,14 +391,29 @@ def _validate_binop(doc: dict, lhs: Metric) -> MetricBinop:
     if not isinstance(rm, dict):
         raise IRValidationError("binop needs a 'metric' object (the rhs)")
     rm = dict(rm)
-    rm.setdefault("window_seconds", lhs.window_seconds)
-    rm.setdefault("step_seconds", lhs.step_seconds)
-    # inherited Nones must not re-trip the per-operand wall
-    rm = {k: v for k, v in rm.items() if v is not None}
-    rhs = _metric_obj(rm, what="binop rhs metric")
     lhs_bucket = (lhs.step_seconds
                   if lhs.fn == "last" or lhs.metric_type == "summary"
                   else lhs.window_seconds)
+    # bucket inheritance respects the rhs's OWN relation type: a range
+    # rhs inherits the lhs window/step, an instant rhs (last, summary
+    # quantile) inherits the lhs's resolved bucket as its step — so
+    # rate[60] / gauge-last is expressible without the caller having to
+    # null out an inherited window_seconds by hand
+    rhs_type = rm.get("type", "gauge")
+    rhs_fn = rm.get(
+        "fn",
+        "quantile"
+        if rhs_type in ("histogram", "exponential_histogram", "summary")
+        else "last",
+    )
+    if rhs_fn in METRIC_INSTANT_FNS or rhs_type == "summary":
+        rm.setdefault("step_seconds", lhs_bucket)
+    else:
+        rm.setdefault("window_seconds", lhs.window_seconds)
+        rm.setdefault("step_seconds", lhs.step_seconds)
+    # inherited Nones must not re-trip the per-operand wall
+    rm = {k: v for k, v in rm.items() if v is not None}
+    rhs = _metric_obj(rm, what="binop rhs metric")
     rhs_bucket = (rhs.step_seconds
                   if rhs.fn == "last" or rhs.metric_type == "summary"
                   else rhs.window_seconds)
@@ -419,11 +434,25 @@ def _validate_binop(doc: dict, lhs: Metric) -> MetricBinop:
     if group not in (None, "left", "right"):
         raise IRValidationError("group must be 'left' or 'right'")
     include = tuple(b.get("include", []) or ())
+    for lbl in include:
+        if not isinstance(lbl, str) or not lbl:
+            raise IRValidationError("include entries must be label names")
     if group is None and include:
         raise IRValidationError("'include' needs group 'left' or 'right'")
     if group is not None and not on:
         raise IRValidationError(
             "group_left/group_right needs explicit 'on' matching labels")
+    if include:
+        # 'include' copies labels from the ONE side; an aggregated one
+        # side exposes only its 'by' columns, so anything else cannot be
+        # resolved after the fact (same rule as 'on' above) — reject at
+        # the wall instead of failing in lowering
+        one = rhs if group == "left" else lhs
+        if one.agg is not None and not set(include) <= set(one.by):
+            raise IRValidationError(
+                f"binop 'include' labels must be within the one side's "
+                f"'by' grouping (include={sorted(include)}, "
+                f"by={sorted(one.by)})")
     # aggregated operands expose only their 'by' labels — matching
     # labels outside them cannot be resolved after the fact
     for side, met in (("lhs", lhs), ("rhs", rhs)):

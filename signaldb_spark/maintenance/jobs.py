@@ -133,10 +133,23 @@ def compaction_candidates(
     for the whole table."""
     mt = _manifest_table(table_path)
     if mt is None:
-        counts = partition_file_counts(table_path)
+        # legacy directory layout: stat() the files so candidacy stays
+        # size-aware (a partition of two already-at-target files must
+        # NOT qualify); the rewrite granularity for these tables remains
+        # whole-partition — only manifest tables can scope inputs
+        small_l: dict[tuple[str, int], int] = {}
+        for d, h in list_hour_partitions(table_path):
+            p = _part_path(table_path, d, h)
+            n = sum(
+                1 for f in os.listdir(p)
+                if f.endswith(".parquet")
+                and os.path.getsize(os.path.join(p, f)) < target_bytes
+            )
+            if n:
+                small_l[(d, h)] = n
         return sorted(
-            (k for k, n in counts.items() if n >= min_small_files),
-            key=lambda k: (-counts[k], k),
+            (k for k, n in small_l.items() if n >= min_small_files),
+            key=lambda k: (-small_l[k], k),
         )
     parts = mt.file_partitions(strict=True)
     sizes = mt.file_sizes()
@@ -397,18 +410,45 @@ def apply_retention(
     compactor rework's #930 rule)."""
     mt = _manifest_table(table_path)
     if mt is not None:
-        dropped_set: set[tuple[str, int]] = set()
-        remove = []
-        for f, ident in mt.file_partitions(strict=True).items():
-            if "date_day" not in ident or not isinstance(ident.get("hour"), int):
-                continue  # non-time-partitioned table: retention n/a
-            key = (str(ident["date_day"]), ident["hour"])
-            if key not in keep:
-                remove.append(f)
-                dropped_set.add(key)
-        if remove:
-            mt.commit([], remove_files=remove)
-        return sorted(dropped_set)
+        from ..storage.manifest import _parse_hive_partition
+
+        def _key(cur_parts: dict, f: str):
+            ident = cur_parts.get(f) or _parse_hive_partition(f) or {}
+            if "date_day" in ident and isinstance(ident.get("hour"), int):
+                return (str(ident["date_day"]), ident["hour"])
+            return None
+
+        # plan-commit loop with an input-scoped precondition (the mirror
+        # of compaction's): the drop lands only if the dropped
+        # partitions' CURRENT file membership still equals the plan. A
+        # concurrent compaction that swapped old files for replacements
+        # between our plan and commit would otherwise survive the drop —
+        # its replacement files aren't in our remove list — resurrecting
+        # the partition retention just reported dropped. On a failed
+        # precondition we re-plan from the fresh snapshot and retry.
+        for _ in range(20):
+            dropped_set: set[tuple[str, int]] = set()
+            remove = []
+            for f, ident in mt.file_partitions(strict=True).items():
+                if "date_day" not in ident or not isinstance(ident.get("hour"), int):
+                    continue  # non-time-partitioned table: retention n/a
+                key = (str(ident["date_day"]), ident["hour"])
+                if key not in keep:
+                    remove.append(f)
+                    dropped_set.add(key)
+            if not remove:
+                return sorted(dropped_set)
+            planned, keys = set(remove), set(dropped_set)
+
+            def unchanged(cur, planned=planned, keys=keys):
+                parts = cur.get("parts") or {}
+                live = {f for f in cur["files"] if _key(parts, f) in keys}
+                return live == planned
+
+            if mt.commit([], remove_files=remove, precondition=unchanged):
+                return sorted(dropped_set)
+        raise RuntimeError(
+            "retention lost the planning race 20 times; aborting")
     dropped = []
     for day, hour in list_hour_partitions(table_path):
         if (day, hour) not in keep:

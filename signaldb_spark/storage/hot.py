@@ -244,7 +244,7 @@ def flush_hot(
         if use_stats
         else None
     )
-    from .manifest import _parse_hive_partition
+    from .manifest import lifecycle_metadata
 
     committed = mt.commit(
         rel_files,
@@ -254,11 +254,7 @@ def flush_hot(
         # identity from this writer's own just-written layout, on-disk
         # bytes for size-aware candidacy, and the sort claim ONLY when
         # this flush actually sorted (declared-sort-orders honesty)
-        partitions={f: p for f in rel_files
-                    if (p := _parse_hive_partition(f)) is not None},
-        sizes={f: os.path.getsize(os.path.join(mt.data_dir, f))
-               for f in rel_files},
-        sort_orders={f: sort_cols for f in rel_files} if sort_cols else None,
+        **lifecycle_metadata(mt.data_dir, rel_files, sort_cols),
         properties={WATERMARK_PROP: hi},
         # CAS on the watermark: only commit if it is still the one this
         # flush planned against. A racing flush that advanced it first

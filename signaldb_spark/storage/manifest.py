@@ -530,6 +530,33 @@ def collect_file_stats(
     return out
 
 
+def lifecycle_metadata(
+    data_dir: str,
+    rel_files: list[str],
+    sort_cols: list[str] | None,
+    ident: dict | None = None,
+) -> dict:
+    """The per-file lifecycle entries every producer records in its
+    commit — partition identity (``ident`` when the producer knows it
+    outright, else parsed once from its own just-written hive layout),
+    on-disk bytes, and the sort claim IFF the producer actually sorted
+    (declared-sort-orders honesty). One definition so the three writers
+    (batch sink, hot flush, compactor) cannot drift."""
+    return {
+        "partitions": (
+            {f: ident for f in rel_files}
+            if ident is not None
+            else {f: p for f in rel_files
+                  if (p := _parse_hive_partition(f)) is not None}
+        ),
+        "sizes": {f: os.path.getsize(os.path.join(data_dir, f))
+                  for f in rel_files},
+        "sort_orders": (
+            {f: sort_cols for f in rel_files} if sort_cols else None
+        ),
+    }
+
+
 def _stage_into_data(staging: str, data_dir: str, prefix: str) -> list[str]:
     """Move staged hive-layout parquet files under unique names in
     data/. The move is local simulation of a direct-to-final-key upload
@@ -585,15 +612,11 @@ def write_batch_manifest(
         rel_files,
         batch_id=batch_id,
         stats=stats,
-        partitions={f: p for f in rel_files
-                    if (p := _parse_hive_partition(f)) is not None},
-        sizes={f: os.path.getsize(os.path.join(mt.data_dir, f))
-               for f in rel_files},
         # honest by construction: this writer just sorted each file by
         # sort_cols (within the partitionBy groups), so it may declare
         # exactly that — and declares nothing when the table has no
         # configured sort order
-        sort_orders={f: sort_cols for f in rel_files} if sort_cols else None,
+        **lifecycle_metadata(mt.data_dir, rel_files, sort_cols),
     )
 
 
@@ -678,10 +701,7 @@ def compact_partition_manifest(
         rel_files,
         remove_files=old,
         stats=stats,
-        partitions={f: ident for f in rel_files},
-        sizes={f: os.path.getsize(os.path.join(mt.data_dir, f))
-               for f in rel_files},
-        sort_orders={f: sort_cols for f in rel_files} if sort_cols else None,
         precondition=lambda cur: inputs.issubset(cur["files"]),
+        **lifecycle_metadata(mt.data_dir, rel_files, sort_cols, ident=ident),
     )
     return len(rel_files) if committed else 0

@@ -566,3 +566,118 @@ def test_binop_ignoring_raw_series(spark):
                                "fn": "increase"}},
     ))
     assert lower_metrics(a, q2, rhs_df=b).count() == 0
+
+
+def test_binop_one_to_one_duplicate_series_is_loud(spark):
+    """PromQL one-to-one contract: multiple series per match group on
+    either side is an ERROR ('found duplicate series for the match
+    group'), never a silent within-group cross join."""
+    t0 = _ts("2024-01-01 00:05:00")
+    a = _sum_df(spark, [
+        (t0, None, "api", "a", 6.0, 1, {"zone": "z", "pod": "p1"}),
+        (t0, None, "api", "a", 4.0, 1, {"zone": "z", "pod": "p2"}),
+    ])
+    b = _sum_df(spark, [
+        (t0, None, "api", "b", 3.0, 1, {"zone": "z", "host": "h1"}),
+    ])
+    q = validate(_binop_doc(
+        {"name": "a", "type": "sum", "fn": "increase",
+         "window_seconds": 3600},
+        {"op": "/", "metric": {"name": "b", "type": "sum",
+                               "fn": "increase"},
+         "on": ["zone"]},
+    ))
+    with pytest.raises(Exception, match="duplicate series"):
+        lower_metrics(a, q, rhs_df=b).collect()
+
+
+def test_binop_group_one_side_duplicate_is_loud(spark):
+    """group_left still requires the ONE side to be unique per match
+    group — duplicates there are many-to-many, an error in PromQL."""
+    t0 = _ts("2024-01-01 00:05:00")
+    many = _sum_df(spark, [
+        (t0, None, "api", "hits", 30.0, 1, {"code": "200"}),
+        (t0, None, "api", "hits", 10.0, 1, {"code": "500"}),
+    ])
+    dup_one = _sum_df(spark, [
+        (t0, None, "api", "total", 40.0, 1, {"region": "eu"}),
+        (t0, None, "api", "total", 41.0, 1, {"region": "us"}),
+    ])
+    q = validate(_binop_doc(
+        {"name": "hits", "type": "sum", "fn": "increase",
+         "window_seconds": 3600, "agg": "sum",
+         "by": ["service_name", "code"]},
+        {"op": "/",
+         "metric": {"name": "total", "type": "sum", "fn": "increase"},
+         "on": ["service_name"], "group": "left"},
+    ))
+    with pytest.raises(Exception, match="duplicate series"):
+        lower_metrics(many, q, rhs_df=dup_one).collect()
+
+
+def test_binop_include_outside_one_side_by_rejected_at_wall():
+    """'include' labels an aggregated one side cannot expose are
+    rejected at the validation wall, not as an AnalysisException deep
+    in lowering."""
+    lhs = {"name": "hits", "type": "sum", "fn": "increase",
+           "window_seconds": 3600, "agg": "sum",
+           "by": ["service_name", "code"]}
+    with pytest.raises(IRValidationError, match="'include' labels must be"):
+        validate(_binop_doc(
+            lhs,
+            {"op": "/",
+             "metric": {"name": "total", "type": "sum", "fn": "increase",
+                        "agg": "sum", "by": ["service_name"]},
+             "on": ["service_name"], "group": "left",
+             "include": ["zone"]},
+        ))
+    # a RAW one side resolves include labels from its attribute map —
+    # still valid
+    ok = validate(_binop_doc(
+        lhs,
+        {"op": "/",
+         "metric": {"name": "total", "type": "sum", "fn": "increase"},
+         "on": ["service_name"], "group": "left", "include": ["zone"]},
+    ))
+    assert ok.binop.include == ("zone",)
+
+
+def test_binop_range_lhs_instant_rhs_aligns_buckets(spark):
+    """A range lhs over an instant rhs (rate vs gauge-last — the
+    load-vs-capacity ratio) is expressible with NO explicit rhs step:
+    the instant rhs inherits the lhs's resolved bucket as its step
+    instead of a spurious window_seconds."""
+    q = validate(_binop_doc(
+        {"name": "errs", "type": "sum", "fn": "increase",
+         "window_seconds": 3600, "agg": "sum", "by": ["service_name"]},
+        {"op": "/", "metric": {"name": "cap", "type": "gauge",
+                               "fn": "last"},
+         "on": ["service_name"]},
+    ))
+    assert q.binop.rhs.fn == "last"
+    assert q.binop.rhs.window_seconds is None
+    assert q.binop.rhs.step_seconds == 3600
+    t0 = _ts("2024-01-01 00:05:00")
+    errs = _sum_df(spark, [(t0, None, "api", "errs", 10.0, 1, {})])
+    cap = _sum_df(spark, [(t0, None, "api", "cap", 5.0, 1, {})])
+    rows = lower_metrics(errs, q, rhs_df=cap).collect()
+    assert len(rows) == 1 and rows[0]["value"] == pytest.approx(2.0)
+
+
+def test_binop_missing_on_label_matches_as_empty(spark):
+    """PromQL matches a missing label as the empty string: two series
+    that BOTH lack the on() label must pair up, not silently vanish
+    through a NULL join key."""
+    t0 = _ts("2024-01-01 00:05:00")
+    a = _sum_df(spark, [(t0, None, "api", "a", 6.0, 1, {})])
+    b = _sum_df(spark, [(t0, None, "api", "b", 3.0, 1, {})])
+    q = validate(_binop_doc(
+        {"name": "a", "type": "sum", "fn": "increase",
+         "window_seconds": 3600},
+        {"op": "/", "metric": {"name": "b", "type": "sum",
+                               "fn": "increase"},
+         "on": ["zone"]},
+    ))
+    rows = lower_metrics(a, q, rhs_df=b).collect()
+    assert len(rows) == 1 and rows[0]["value"] == pytest.approx(2.0)
+    assert rows[0]["zone"] == ""

@@ -299,3 +299,58 @@ def test_declared_ordering_classification_and_convergence(spark, tmp_path):
     assert mt.declared_ordering(["timestamp"]) == "exact"
     # a claim for a DIFFERENT order is not a claim for this one
     assert mt.declared_ordering(["value"]) == "none"
+
+
+def test_retention_replans_when_compaction_swapped_files(
+    spark, tmp_path, monkeypatch
+):
+    """The mirror race: retention plans its remove list, a concurrent
+    compaction swaps the partition's files for compact-* replacements
+    and commits first. Retention's commit must NOT land against the
+    stale plan (the replacements would survive the 'drop' and resurrect
+    the partition) — it re-plans from the fresh snapshot and drops the
+    replacement files too."""
+    table = str(tmp_path / "t")
+    for b in range(3):
+        write_batch_manifest(
+            _rows(spark, 20, hour=3, start_id=20 * b).repartition(2),
+            table, "logs", batch_id=b,
+        )
+    write_batch_manifest(_rows(spark, 10, hour=4), table, "logs", batch_id=99)
+    mt = ManifestTable(table)
+    orig = ManifestTable.commit
+    seen = {"compacted": False}
+
+    def racy(self, *a, **k):
+        monkeypatch.setattr(ManifestTable, "commit", orig)
+        assert compact_partition_manifest(
+            spark, table, "logs", "2024-01-01", 3) == 1
+        seen["compacted"] = True
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ManifestTable, "commit", racy)
+    dropped = apply_retention(table, keep={("2024-01-01", 4)})
+    assert seen["compacted"]
+    assert dropped == [("2024-01-01", 3)]
+    assert list_hour_partitions(table) == [("2024-01-01", 4)]
+    assert mt.read(spark).count() == 10  # hour-3 rows truly gone
+
+
+def test_legacy_dir_candidacy_is_size_aware(spark, tmp_path):
+    """Directory-layout (non-manifest) tables: candidacy still counts
+    only files below target size — a partition of two at-target files
+    must not qualify for a whole-partition rewrite."""
+    path = str(tmp_path / "legacy")
+    big = _rows(spark, 4000, hour=1).repartition(2)
+    big.write.partitionBy("date_day", "hour").mode("append").parquet(path)
+    small = _rows(spark, 5, hour=2).repartition(3)
+    small.write.partitionBy("date_day", "hour").mode("append").parquet(path)
+    sizes = [
+        os.path.getsize(os.path.join(path, "date_day=2024-01-01", "hour=1", f))
+        for f in os.listdir(os.path.join(path, "date_day=2024-01-01", "hour=1"))
+        if f.endswith(".parquet")
+    ]
+    threshold = min(sizes)  # both hour-1 files are at/above target
+    cands = compaction_candidates(path, target_bytes=threshold,
+                                  min_small_files=2)
+    assert cands == [("2024-01-01", 2)]
