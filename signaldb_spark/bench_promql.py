@@ -958,9 +958,13 @@ def q_promql_hq_exemplars(spark, sf_dir):
         blob.alias("exemplars"),
     )
     ex = query_exemplars(atrest)
-    return histogram_quantile_exemplars(
+    out = histogram_quantile_exemplars(
         ctx, 0.9, VectorSelector("latency"), ex, k=3, step_seconds=DAY
     )
+    # single-series fixture: pin the gate's historical 5-column shape
+    # (the operator itself now carries series identity for multi-series
+    # selectors)
+    return out.select("bucket", "value", "trace_id", "exemplar_value", "rk")
 
 
 ORACLE_PROMQL_HQ_EXEMPLARS = f"""

@@ -394,6 +394,7 @@ def topk_per_bucket(
     series_cols: list[str],
     value_col: str = "value",
     bottom: bool = False,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Keep k highest/lowest series within each time bucket.
 
@@ -402,10 +403,15 @@ def topk_per_bucket(
     series labels ascending for determinism (the reference sorts its
     group map; we pin an explicit order so results are stable under the
     shuffle).
+
+    ``group_cols`` scopes the ranking (PromQL ``topk by (job)(k, m)``:
+    k series per (bucket, job) group, every original label retained) —
+    the window partitions on (bucket, *group_cols) and a finer
+    partitioning only spreads the work wider.
     """
     v = F.col(value_col)
     order = [v.asc() if bottom else v.desc()] + [F.col(c).asc() for c in series_cols]
-    w = Window.partitionBy("bucket").orderBy(*order)
+    w = Window.partitionBy("bucket", *(group_cols or [])).orderBy(*order)
     return (
         matrix.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
@@ -516,6 +522,7 @@ def sliding_reduce(
     agg: str = "sum",
     value_col: str = "value",
     series_cols: list[str] | None = None,
+    expr=None,
 ) -> DataFrame:
     """PromQL subquery ``expr[range:res]`` outer reduce: for each outer
     bucket t, aggregate inner samples with bucket in (t-range, t]
@@ -525,6 +532,11 @@ def sliding_reduce(
     at scale this is a bounded band join; AQE handles the skew. An
     equivalent Window.rangeBetween formulation exists when inner/outer
     steps share alignment.
+
+    ``expr`` (optional) is a ready aggregate Column over the joined
+    frame's ``m.``-qualified columns (``m.value``, ``m.bucket``) — the
+    hook the full ``*_over_time`` battery (last/first/quantile/ts_of_*)
+    uses; ``agg`` names a plain OUTER_AGGS reducer otherwise.
     """
     series_cols = series_cols or []
     j = spine.alias("s").join(
@@ -533,10 +545,51 @@ def sliding_reduce(
         & (F.col("m.bucket") <= F.col("s.bucket")),
         "inner",
     )
-    expr = OUTER_AGGS[agg](F.col(f"m.{value_col}"))
+    if expr is None:
+        expr = OUTER_AGGS[agg](F.col(f"m.{value_col}"))
     return (
         j.groupBy(F.col("s.bucket").alias("bucket"), *[F.col(f"m.{c}").alias(c) for c in series_cols])
         .agg(expr.alias(value_col))
+    )
+
+
+def sliding_mad(
+    matrix: DataFrame,
+    spine: DataFrame,
+    range_seconds: int,
+    value_col: str = "value",
+    series_cols: list[str] | None = None,
+) -> DataFrame:
+    """``mad_over_time`` over a subquery window: median(|x − median(x)|)
+    per (outer bucket, series). Medians don't nest inside one aggregate,
+    so the band join reduces twice — window median first, then the
+    median absolute deviation against it; both stages group on the same
+    (bucket, series) keys, so the second is a co-partitioned agg."""
+    series_cols = series_cols or []
+    j = (
+        spine.alias("s")
+        .join(
+            matrix.alias("m"),
+            (F.col("m.bucket") > F.col("s.bucket") - range_seconds)
+            & (F.col("m.bucket") <= F.col("s.bucket")),
+            "inner",
+        )
+        .select(
+            F.col("s.bucket").alias("bucket"),
+            *[F.col(f"m.{c}").alias(c) for c in series_cols],
+            F.col(f"m.{value_col}").alias("_v"),
+        )
+    )
+    med = j.groupBy("bucket", *series_cols).agg(
+        F.percentile(F.col("_v"), F.lit(0.5)).alias("_med")
+    )
+    return (
+        j.join(med, ["bucket", *series_cols])
+        .groupBy("bucket", *series_cols)
+        .agg(
+            F.percentile(F.abs(F.col("_v") - F.col("_med")), F.lit(0.5))
+            .alias(value_col)
+        )
     )
 
 

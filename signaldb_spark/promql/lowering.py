@@ -100,14 +100,20 @@ def matcher_expr(df: DataFrame, m: LabelMatcher) -> Column:
         # layout-aware: legacy JSON-string attribute tables route
         # through exact get_json_object extraction
         col = attr_value(df, "attributes", m.label)
+    # Prometheus semantics: a series missing the label carries the EMPTY
+    # string for it — {pod=""} selects label-less series, {pod=~".*"}
+    # matches them, {pod!="x"} keeps them. One coalesce gives all four
+    # ops the right null behavior (a bare null would evaluate every
+    # comparison to null and silently drop the series).
+    col = F.coalesce(col, F.lit(""))
     if m.op == "=":
         return col == m.value
     if m.op == "!=":
-        return col.isNull() | (col != m.value)
+        return col != m.value
     if m.op == "=~":
         return col.rlike(f"^(?:{m.value})$")
     if m.op == "!~":
-        return col.isNull() | ~col.rlike(f"^(?:{m.value})$")
+        return ~col.rlike(f"^(?:{m.value})$")
     raise ValueError(m.op)
 
 
@@ -163,10 +169,15 @@ def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
         _resolve_at(ctx, sel.at_epoch), tz=dt.timezone.utc
     ).replace(tzinfo=None)
     start = at - dt.timedelta(seconds=lookback)
-    return PromCtx(
-        ctx.spark, ctx.gauge, ctx.msum, ctx.histogram,
-        start.isoformat(sep=" "), at.isoformat(sep=" "),
-        ctx.step_seconds, ctx.default_range,
+    # dataclasses.replace keeps every non-window field (exphist table,
+    # tenant identity, future additions) — a positional rebuild dropped
+    # exphist and silently emptied native-histogram @-queries
+    import dataclasses
+
+    return dataclasses.replace(
+        ctx,
+        start=start.isoformat(sep=" "),
+        end=at.isoformat(sep=" "),
     )
 
 
@@ -530,7 +541,7 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         args = [_const(a) for a in c.args[1:]]
         return vo.apply_value_op(inner, fn, *args)
     if fn == "histogram_quantile":
-        phi = c.args[0].value
+        phi = _const(c.args[0])
         target = c.args[1]
         if isinstance(target, Call) and target.fn == "rate":
             sel, rate_mode = target.args[0], True
@@ -553,7 +564,9 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
             out = out.unionByName(p)
         return out
     if fn == "histogram_fraction":
-        low, high = c.args[0].value, c.args[1].value
+        # _const folds unary minus (parsed as 0-x): fractions over
+        # signed bounds like (-Inf, 0] are legal Prometheus
+        low, high = _const(c.args[0]), _const(c.args[1])
         target = c.args[2]
         if isinstance(target, Call) and target.fn == "rate":
             return lower_histogram_fraction(ctx, low, high, target.args[0], rate_mode=True)
@@ -587,15 +600,23 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
         inner = eval_expr(ctx, c.args[0])
         return ts.absent(inner, _spine(ctx))
     if fn == "vector":
-        return _spine(ctx).withColumn("value", F.lit(float(c.args[0].value)))
+        return _spine(ctx).withColumn("value", F.lit(_const(c.args[0])))
     if fn == "scalar":
-        # single no-label value per bucket; NaN unless exactly one series
-        # (scalar_reduce, metrics.rs:1951-1989)
+        # single no-label value per bucket; NaN unless exactly one
+        # series (scalar_reduce, metrics.rs:1951-1989) — INCLUDING
+        # steps where the inner vector has no samples at all, which a
+        # bare groupBy can never emit (Prometheus returns NaN at every
+        # empty evaluation step, so the result rides the spine)
         inner = eval_expr(ctx, c.args[0])
-        return inner.groupBy("bucket").agg(
+        agg = inner.groupBy("bucket").agg(
             F.when(F.count(F.lit(1)) == 1, F.first("value"))
             .otherwise(F.lit(float("nan")))
-            .alias("value")
+            .alias("_sv")
+        )
+        return (
+            _spine(ctx).join(agg, "bucket", "left")
+            .withColumn("value", F.coalesce(F.col("_sv"), F.lit(float("nan"))))
+            .drop("_sv")
         )
     if fn == "time":
         return _spine(ctx).withColumn("value", F.col("bucket").cast("double"))
@@ -609,8 +630,11 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
             spine = _spine(ctx)
             tcol = F.timestamp_seconds(F.col("bucket"))
             return spine.withColumn("value", CALENDAR_FNS[fn](tcol).cast("double"))
+        # with a vector argument, Prometheus interprets the sample
+        # VALUES as epoch timestamps (hour(process_start_time_seconds)
+        # = the hour each process started), not the evaluation step
         inner = eval_expr(ctx, c.args[0])
-        tcol = F.timestamp_seconds(F.col("bucket"))
+        tcol = F.timestamp_seconds(F.col("value"))
         return inner.withColumn("value", CALENDAR_FNS[fn](tcol).cast("double"))
     if fn == "label_replace":
         inner = eval_expr(ctx, c.args[0])
@@ -649,21 +673,46 @@ def _eval_call(ctx: PromCtx, c: Call) -> DataFrame:
 def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call, phi: float | None = None) -> DataFrame:
     """<agg>_over_time(expr[range:res]) — evaluate inner at res over the
     extended window, sliding-reduce per outer bucket (eval_subquery,
-    metrics.rs:829-908)."""
+    metrics.rs:829-908). The inner context is the OUTER context at the
+    subquery resolution (dataclasses.replace keeps exphist/tenant/every
+    future field — a positional rebuild silently dropped the
+    exponential-histogram table, emptying native-histogram subqueries).
+
+    The aggregate battery mirrors lower_range_fn's expressions exactly
+    (same tie-break structs), built over the band join's ``m.``-side
+    columns; mad_over_time takes the two-stage median path."""
+    import dataclasses
+
     inner_expr, rng, res = sub.args
     res_s = int(res.value) or ctx.step_seconds
-    inner_ctx = PromCtx(
-        ctx.spark, ctx.gauge, ctx.msum, ctx.histogram,
-        ctx.start, ctx.end, res_s, ctx.default_range,
-    )
+    inner_ctx = dataclasses.replace(ctx, step_seconds=res_s)
     inner = eval_expr(inner_ctx, inner_expr)
     series = [c for c in inner.columns if c not in ("bucket", "value")]
-    agg = {
-        "sum_over_time": "sum", "avg_over_time": "avg", "min_over_time": "min",
-        "max_over_time": "max", "count_over_time": "count",
-        "stddev_over_time": "stddev", "stdvar_over_time": "stdvar",
-    }[fn]
-    return ts.sliding_reduce(inner, _spine(ctx), int(rng.value), agg, series_cols=series)
+    if fn == "mad_over_time":
+        return ts.sliding_mad(inner, _spine(ctx), int(rng.value), series_cols=series)
+    v, b = F.col("m.value"), F.col("m.bucket")
+    exprs = {
+        "sum_over_time": F.sum(v),
+        "avg_over_time": F.avg(v),
+        "min_over_time": F.min(v),
+        "max_over_time": F.max(v),
+        "count_over_time": F.count(v).cast("double"),
+        "stddev_over_time": F.stddev_pop(v),
+        "stdvar_over_time": F.var_pop(v),
+        "last_over_time": F.max_by(v, b),
+        "first_over_time": F.min_by(v, F.struct(b, v)),
+        "present_over_time": F.max(F.lit(1.0)),
+        "quantile_over_time": F.percentile(
+            v, F.lit(float(phi if phi is not None else 0.0))),
+        "ts_of_max_over_time": F.max_by(b.cast("double"), F.struct(v, b)),
+        "ts_of_min_over_time": F.max_by(b.cast("double"), F.struct(-v, b)),
+        "ts_of_last_over_time": F.max(b.cast("double")),
+    }
+    if fn not in exprs:
+        raise ValueError(f"{fn} is not supported over a subquery")
+    return ts.sliding_reduce(
+        inner, _spine(ctx), int(rng.value), series_cols=series, expr=exprs[fn]
+    )
 
 
 def _route_labels(labels, series: list[str]) -> set[str]:
@@ -686,7 +735,21 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
     inner = eval_expr(ctx, a.expr)
     series = [c for c in inner.columns if c not in ("bucket", "value")]
     if a.op in ("topk", "bottomk"):
-        return ts.topk_per_bucket(inner, int(a.param or 1), series, bottom=a.op == "bottomk")
+        # k <= 0 returns the empty vector (Prometheus), never "top 1"
+        k = int(a.param if a.param is not None else 1)
+        if k <= 0:
+            return inner.filter(F.lit(False))
+        # by()/without() scopes the ranking: topk by (job)(k, m) keeps
+        # k series PER job, all original labels retained (Prometheus
+        # aggregates over the OTHER labels' series sets)
+        grouping = _route_labels(a.grouping, series)
+        keep = (
+            [c for c in series if c not in grouping]
+            if a.without
+            else [c for c in series if c in grouping]
+        ) if a.grouping else []
+        return ts.topk_per_bucket(inner, k, series,
+                                  bottom=a.op == "bottomk", group_cols=keep)
     if a.op in ("limitk", "limit_ratio"):
         grouping = _route_labels(a.grouping, series)
         keep = (
@@ -695,7 +758,10 @@ def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
             else [c for c in series if c in grouping]
         )
         if a.op == "limitk":
-            return ts.limitk_per_bucket(inner, int(a.param or 1), series, group_cols=keep)
+            k = int(a.param if a.param is not None else 1)
+            if k <= 0:
+                return inner.filter(F.lit(False))
+            return ts.limitk_per_bucket(inner, k, series, group_cols=keep)
         return ts.limit_ratio(inner, float(a.param or 0.0), series)
     if a.op == "count_values":
         # count series per distinct value; the value becomes an output
@@ -751,7 +817,14 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
         on = shared
     if "bucket" not in on:
         on = ["bucket"] + on
-    left = left.drop("metric_name") if "metric_name" in left.columns else left
+    # __name__ handling (Prometheus): arithmetic and bool-mode
+    # comparisons DROP the metric name; filter-mode comparisons and the
+    # set operators keep each surviving sample unchanged, name included.
+    # metric_name is never a match key either way (excluded from
+    # `shared` above).
+    drop_name = b.op in vo.ARITH or (b.op in vo.COMPARE and b.bool_mode)
+    if drop_name and "metric_name" in left.columns:
+        left = left.drop("metric_name")
     right_full = right
     right = right.select(*on, "value")
     # group_left/group_right many-to-one: reduce the "one" side to a
@@ -800,7 +873,10 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
         if b.group_side is not None:
             # Prometheus: "no grouping allowed for set operations"
             raise ValueError(f"group modifiers are not allowed for {b.op!r}")
-        return vo.vector_logical(left, right, b.op, on)
+        # the un-projected right side: `or` adopts rhs elements
+        # UNCHANGED (names and rhs-only labels included), and/unless
+        # only read its match keys
+        return vo.vector_logical(left, right_full, b.op, on)
     if b.op in vo.COMPARE:
         return vo.vector_compare(
             left, right, b.op, on, bool_mode=b.bool_mode, extras=extras,
@@ -911,29 +987,33 @@ def histogram_quantile_exemplars(
     exemplars but has no endpoint joining them back onto query results.
 
     ``exemplars`` is query_exemplars() output. Bucket assignment is the
-    same epoch flooring as the quantile series; the join is bucket-keyed
-    (exemplars are sparse — AQE broadcasts the small side) and the
-    per-bucket top-k is one Window over the join output."""
+    same epoch flooring as the quantile series; the join keys on bucket
+    PLUS every series column both sides share, so one series' exemplars
+    are never attributed to another's quantile, and the top-k windows
+    per (bucket, series) — k exemplars for EACH series, not k across
+    all of them. Exemplars stay sparse, AQE broadcasts the small side."""
     step = step_seconds or ctx.step_seconds
-    hq = lower_histogram_quantile(ctx, phi, sel, rate_mode=False).select(
-        "bucket", F.round("value", 6).alias("value")
-    )
+    hq_full = lower_histogram_quantile(ctx, phi, sel, rate_mode=False)
+    series = [c for c in hq_full.columns if c not in ("bucket", "value")]
+    hq = hq_full.select("bucket", *series, F.round("value", 6).alias("value"))
+    ex_series = [c for c in series if c in exemplars.columns]
     ex = exemplars.select(
         (F.floor(F.col("time_unix_nano") / F.lit(int(step * 1e9))) * step)
         .cast("long")
         .alias("bucket"),
+        *ex_series,
         F.col("value").alias("exemplar_value"),
         "trace_id",
     )
-    joined = hq.join(ex, "bucket")
-    w = Window.partitionBy("bucket").orderBy(
+    joined = hq.join(ex, ["bucket", *ex_series])
+    w = Window.partitionBy("bucket", *series).orderBy(
         F.abs(F.col("exemplar_value") - F.col("value")).asc(),
         F.col("trace_id").asc(),
     )
     return (
         joined.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("bucket", "value", "trace_id", "exemplar_value", "rk")
+        .select("bucket", *series, "value", "trace_id", "exemplar_value", "rk")
     )
 
 

@@ -1304,3 +1304,99 @@ def test_exphist_downscale_growth_still_nets(spark):
     assert len(out) == 1
     # delta {scale0 i=1: 2}; p50 rank 1 -> 2 + (4-2)*(1/2) = 3.0
     assert out[0].value == pytest.approx(3.0)
+
+
+# ----------------------------------------- Prometheus-semantics pins (r9)
+
+
+def test_topk_by_grouping_ranks_per_group(ctx):
+    """topk by (service_name)(1, m): one top series per (bucket,
+    service), NOT a global top-1 — Prometheus aggregates over the other
+    labels' series sets within each group."""
+    got = query_range(
+        ctx, "topk by (service_name) (1, sum by (service_name, metric_name)"
+             " (process_cpu_usage))"
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault((r.bucket, r.service_name), []).append(r)
+    assert per and all(len(v) == 1 for v in per.values())
+    services = {s for _, s in per}
+    assert len(services) > 1  # every service keeps its own top-1
+
+
+def test_topk_zero_returns_empty(ctx):
+    assert query_range(ctx, "topk(0, process_cpu_usage)").count() == 0
+    assert query_range(ctx, "limitk(0, process_cpu_usage)").count() == 0
+
+
+def test_matcher_missing_label_matches_empty(ctx):
+    """{label=\"\"} selects series WITHOUT the label and {label=~\".*\"}
+    matches them too (Prometheus: a missing label is the empty string);
+    a bare null comparison would silently drop every series."""
+    all_n = query_range(ctx, "process_cpu_usage").count()
+    assert query_range(ctx, 'process_cpu_usage{nolabel=""}').count() == all_n
+    assert query_range(ctx, 'process_cpu_usage{nolabel=~".*"}').count() == all_n
+    assert query_range(ctx, 'process_cpu_usage{nolabel!=""}').count() == 0
+    assert query_range(ctx, 'process_cpu_usage{nolabel=~".+"}').count() == 0
+
+
+def test_scalar_empty_steps_are_nan(ctx):
+    """scalar() emits NaN at every evaluation step without exactly one
+    series — including steps (or whole queries) with no samples."""
+    got = query_range(ctx, "scalar(no_such_metric)").collect()
+    assert len(got) == 7 and all(math.isnan(r.value) for r in got)
+    # >1 series is NaN too, but the spine keeps every bucket
+    multi = query_range(ctx, "scalar(process_cpu_usage)").collect()
+    assert len(multi) == 7
+
+
+def test_subquery_full_over_time_battery(ctx):
+    """last/first/quantile/present over a subquery — previously a
+    KeyError; phi must actually reach quantile_over_time."""
+    last = query_range(
+        ctx, "last_over_time(sum(process_cpu_usage)[30m:10m])").collect()
+    assert last and all(r.value is not None for r in last)
+    q9 = {r.bucket: r.value for r in query_range(
+        ctx, "quantile_over_time(0.99, sum(process_cpu_usage)[30m:10m])"
+    ).collect()}
+    q1 = {r.bucket: r.value for r in query_range(
+        ctx, "quantile_over_time(0.01, sum(process_cpu_usage)[30m:10m])"
+    ).collect()}
+    mx = {r.bucket: r.value for r in query_range(
+        ctx, "max_over_time(sum(process_cpu_usage)[30m:10m])").collect()}
+    mn = {r.bucket: r.value for r in query_range(
+        ctx, "min_over_time(sum(process_cpu_usage)[30m:10m])").collect()}
+    # phi is threaded: the 0.99 quantile hugs the max, 0.01 the min
+    for b in q9:
+        assert mn[b] - 1e-9 <= q1[b] <= q9[b] <= mx[b] + 1e-9
+    assert any(q9[b] > q1[b] for b in q9)  # and they differ somewhere
+    present = query_range(
+        ctx, "present_over_time(sum(process_cpu_usage)[30m:10m])").collect()
+    assert present and all(r.value == 1.0 for r in present)
+
+
+def test_calendar_vector_arg_reads_values(ctx):
+    """hour(v) interprets the sample VALUES as epoch timestamps
+    (hour(process_start_time_seconds) = the hour each process started),
+    not the evaluation-step time."""
+    # vector(7200) = epoch 1970-01-01 02:00:00 → hour 2 at every step
+    got = query_range(ctx, "hour(vector(7200))").collect()
+    assert got and all(r.value == 2.0 for r in got)
+
+
+def test_compare_filter_keeps_metric_name(ctx):
+    """Filter-mode comparisons return lhs samples UNCHANGED including
+    __name__ (two metrics stay distinguishable); bool mode and
+    arithmetic drop it."""
+    f = query_range(ctx, "process_cpu_usage < http_requests_total").collect()
+    assert f and all(r.metric_name == "process_cpu_usage" for r in f)
+    b = query_range(ctx, "process_cpu_usage < bool http_requests_total").collect()
+    assert b and not hasattr(b[0], "metric_name")
+
+
+def test_negative_literal_args_fold(ctx):
+    """Unary minus parses as 0-x; constant args must fold instead of
+    crashing (histogram_quantile/fraction/vector/clamp)."""
+    v = query_range(ctx, "vector(-5)").collect()
+    assert v and all(r.value == -5.0 for r in v)
