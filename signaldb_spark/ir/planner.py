@@ -26,13 +26,12 @@ def _extract_col(e: Extract) -> Column:
     if e.parser == "json":
         raw = F.get_json_object(src, f"$.{e.field_name}")
     elif e.parser == "logfmt":
-        raw = F.element_at(
-            F.map_from_arrays(
-                F.regexp_extract_all(src, F.lit(_LOGFMT_RE), F.lit(1)),
-                F.regexp_extract_all(src, F.lit(_LOGFMT_RE), F.lit(2)),
-            ),
-            e.field_name,
-        )
+        from ..operators.attrs import logfmt_value
+
+        # shared first-occurrence, quoted-value-aware extraction — a
+        # repeated key in one line must not abort the query via
+        # DUPLICATED_MAP_KEY (Spark's default map dedup policy)
+        raw = logfmt_value(src, e.field_name)
     else:  # regex
         raw = F.nullif(F.regexp_extract(src, e.pattern, 1), F.lit(""))
     if e.out_type == "string":

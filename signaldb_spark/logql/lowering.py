@@ -157,15 +157,12 @@ def resolve_label(df: DataFrame, sel: LogSelector, label: str) -> Column:
                 F.get_json_object(F.col("body"), f"$.{label}")
             )
         elif stage.name == "logfmt":
-            sources.append(
-                F.element_at(
-                    F.map_from_arrays(
-                        F.regexp_extract_all(F.col("body"), F.lit(_LOGFMT_RE), F.lit(1)),
-                        F.regexp_extract_all(F.col("body"), F.lit(_LOGFMT_RE), F.lit(2)),
-                    ),
-                    label,
-                )
-            )
+            from ..operators.attrs import logfmt_value
+
+            # first-occurrence + quoted-value logfmt; never a map build
+            # (a repeated key would abort the query with
+            # DUPLICATED_MAP_KEY)
+            sources.append(logfmt_value(F.col("body"), label))
         elif stage.name == "pattern" and stage.arg:
             rx, names = _pattern_to_regex(stage.arg)
             if label in names:
@@ -266,9 +263,15 @@ def _anchored(pattern: str) -> str:
 
 def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
     col = resolve_label(df, sel, m.label)
+    # Loki/Prometheus: a stream missing the label carries the empty
+    # string — {region=""} selects label-less streams, {region=~".*"}
+    # matches them, negations keep them (previously only the negations
+    # handled NULL; = and =~ silently dropped those streams)
+    s = F.coalesce(col, F.lit(""))
     if m.op == "=":
         if (
-            "attr_tokens" in df.columns
+            m.value != ""
+            and "attr_tokens" in df.columns
             and m.label not in WELL_KNOWN
             and f"label_{m.label}" not in df.columns
             and not sel.stages
@@ -277,22 +280,23 @@ def matcher_expr(df: DataFrame, sel: LogSelector, m: Matcher) -> Column:
             # attribute equality (logql.rs:192-201). Gated for
             # neutrality: skipped when parser stages could source the
             # label from the body (tokens only cover log_attributes),
-            # and rows from files predating attr_tokens (null array)
-            # are admitted via the isNull branch — those rows cannot be
-            # bloom-pruned anyway.
+            # for the empty value (absent labels have no token to
+            # contain), and rows from files predating attr_tokens
+            # (null array) are admitted via the isNull branch — those
+            # rows cannot be bloom-pruned anyway.
             token = f"{m.label}={m.value}"
-            return (col == m.value) & (
+            return (s == m.value) & (
                 F.col("attr_tokens").isNull()
                 | F.array_contains("attr_tokens", token)
             )
-        return col == m.value
+        return s == m.value
     if m.op == "!=":
         # negations also match absent values (logql.rs:222-237)
-        return col.isNull() | (col != m.value)
+        return s != m.value
     if m.op == "=~":
-        return col.rlike(_anchored(m.value))
+        return s.rlike(_anchored(m.value))
     if m.op == "!~":
-        return col.isNull() | ~col.rlike(_anchored(m.value))
+        return ~s.rlike(_anchored(m.value))
     raise ValueError(m.op)
 
 
@@ -341,7 +345,10 @@ def _ipv4_to_long(c: Column) -> Column:
     into 10.4.0.0/16) nets NULL through the casts and range guards, so
     comparisons are false, never errors."""
     p = F.split(c, r"\.")
-    octs = [p[i].try_cast("long") for i in range(4)]
+    # F.get is NULL out of bounds — p[i] under ANSI mode (Spark 4's
+    # default) raises INVALID_ARRAY_INDEX on short inputs like "1.2"
+    # instead of netting NULL
+    octs = [F.get(p, i).try_cast("long") for i in range(4)]
     ok = F.size(p) == 4
     for o in octs:
         ok = ok & o.between(0, 255)
@@ -409,16 +416,30 @@ def label_filter_expr(df: DataFrame, sel: LogSelector, lf: LabelFilter) -> Colum
             return col.isNull() | ~F.coalesce(hit, F.lit(False))
         raise ValueError(f"ip() only supports =/!= label filters, got {lf.op}")
     if isinstance(lf.value, str):
+        # a missing label is the empty string (Loki/Prometheus): ="",
+        # =~"", =~".*" all match absent labels; a bare NULL comparison
+        # would silently drop those rows for = / =~ while != / !~
+        # already matched via isNull
+        s = F.coalesce(col, F.lit(""))
         if lf.op in ("=", "=="):
-            return col == lf.value
+            return s == lf.value
         if lf.op == "!=":
-            return col.isNull() | (col != lf.value)
+            return s != lf.value
         if lf.op == "=~":
-            return col.rlike(_anchored(lf.value))
+            return s.rlike(_anchored(lf.value))
         if lf.op == "!~":
-            return col.isNull() | ~col.rlike(_anchored(lf.value))
+            return ~s.rlike(_anchored(lf.value))
         raise ValueError(f"bad string filter op {lf.op}")
-    num = col.try_cast("double")  # non-numeric attr value → NULL, as DataFusion's cast
+    # duration/bytes literals: the parser normalized the threshold
+    # (duration → nanoseconds, bytes → bytes), so the label value must
+    # go through the SAME parse — 'took > 500ms' compares parsed
+    # Go-duration ns, never try_cast("1s") → NULL
+    if getattr(lf, "unit", None) == "duration":
+        num = _unwrap_duration(col) * F.lit(1e9)
+    elif getattr(lf, "unit", None) == "bytes":
+        num = _unwrap_bytes(col)
+    else:
+        num = col.try_cast("double")  # non-numeric value → NULL, as DataFusion's cast
     val = F.lit(float(lf.value))
     return {
         "=": num == val, "==": num == val,
@@ -456,16 +477,33 @@ def _apply_output_stages(df: DataFrame, sel: LogSelector) -> DataFrame:
     upgrade, and they apply on BOTH paths: log queries and metric
     queries (Loki pipeline semantics — a line_format before
     bytes_over_time changes the byte accounting, a distinct changes
-    the counts)."""
-    body = F.col("body")
+    the counts).
+
+    Body rewrites materialize STAGE BY STAGE (each withColumn collapses
+    into one projection under Catalyst), so later stages read the line
+    as already rewritten — ``decolorize | line_format "x {{__line__}}"``
+    formats the decolorized line, and an unpack after a line_format
+    parses the formatted JSON. Known divergence: the parser flattens
+    filters out of stage order (selector.line_filters/label_filters are
+    lists, not pipeline positions), so a label filter textually AFTER a
+    line_format still evaluates against the pre-format parse — Loki
+    would re-parse the formatted line."""
     for i, stage in enumerate(sel.stages):
         if stage.name == "decolorize":
-            body = F.regexp_replace(body, "\x1b\\[[0-9;]*m", "")
+            df = df.withColumn(
+                "body", F.regexp_replace(F.col("body"), "\x1b\\[[0-9;]*m", "")
+            )
         elif stage.name == "line_format" and stage.arg:
-            body = _render_template(df, _stages_before(sel, i), stage.arg)
+            df = df.withColumn(
+                "body", _render_template(df, _stages_before(sel, i), stage.arg)
+            )
         elif stage.name == "unpack":
-            body = F.coalesce(F.get_json_object(body, "$._entry"), body)
-    df = df.withColumn("body", body)
+            df = df.withColumn(
+                "body",
+                F.coalesce(
+                    F.get_json_object(F.col("body"), "$._entry"), F.col("body")
+                ),
+            )
     for stage in sel.stages:
         if stage.name in ("drop", "keep") and stage.arg and "log_attributes" in df.columns:
             def _pred(names=list(stage.arg), keep=stage.name == "keep"):
@@ -604,10 +642,13 @@ def _range_agg_expr(fn: str, sel: LogSelector, df: DataFrame, range_seconds: flo
         return F.count(F.lit(1)).cast("double")
     if fn == "rate":
         return F.count(F.lit(1)) / F.lit(float(range_seconds))
+    # octet_length, not length: Loki counts BYTES, and index_volume in
+    # this file already accounts in octets — character counting would
+    # make the two endpoints disagree on any multibyte UTF-8 line
     if fn == "bytes":
-        return F.sum(F.length("body")).cast("double")
+        return F.sum(F.octet_length("body")).cast("double")
     if fn == "bytes_rate":
-        return F.sum(F.length("body")) / F.lit(float(range_seconds))
+        return F.sum(F.octet_length("body")) / F.lit(float(range_seconds))
     if value is None:
         raise ValueError(f"{fn}_over_time requires | unwrap")
     return {
@@ -657,14 +698,31 @@ def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
         else:
             inner = eval_metric(ctx, expr.expr)
         series = [c for c in inner.columns if c not in ("bucket", "value")]
-        if expr.op in ("topk", "bottomk"):
+        if expr.op in ("topk", "bottomk", "approx_topk"):
+            # by()/without() scopes the ranking — topk by (svc)(k, …)
+            # keeps k series PER group, all labels retained (same
+            # routing as the PromQL lowering); k <= 0 is the empty
+            # vector, never "top 1"
+            k = int(expr.param if expr.param is not None else 1)
+            if k <= 0:
+                return inner.filter(F.lit(False))
+            routed = _route_grouping(series, expr.grouping)
+            keep = (
+                [c for c in series if c not in routed]
+                if expr.without
+                else [c for c in series if c in routed]
+            ) if expr.grouping else []
+            if expr.op == "approx_topk":
+                # Loki 3.3 probabilistic topk; here the salted
+                # two-phase window — exact output, skew-proof first
+                # shuffle (grouped form falls back to the grouped
+                # single-window ranking)
+                if not keep:
+                    return ts.topk_per_bucket_salted(inner, k, series)
+                return ts.topk_per_bucket(inner, k, series, group_cols=keep)
             return ts.topk_per_bucket(
-                inner, int(expr.param or 1), series, bottom=expr.op == "bottomk"
+                inner, k, series, bottom=expr.op == "bottomk", group_cols=keep
             )
-        if expr.op == "approx_topk":
-            # Loki 3.3 probabilistic topk; here the salted two-phase
-            # window — exact output, skew-proof first shuffle
-            return ts.topk_per_bucket_salted(inner, int(expr.param or 1), series)
         if expr.op in ("sort", "sort_desc"):
             return ts.sort_series_by_latest(inner, series, desc=expr.op == "sort_desc")
         routed = _route_grouping(series, expr.grouping)
@@ -799,9 +857,23 @@ def _scalar_fold(b: BinOp) -> float:
     import math
 
     l, r = b.lhs.value, b.rhs.value
+    if b.op == "/":
+        # IEEE-754 float division, the PromQL/LogQL semantics: x/0 is
+        # signed infinity, 0/0 is NaN (Python's ZeroDivisionError is
+        # integer thinking)
+        if r == 0:
+            return math.nan if l == 0 else math.copysign(math.inf, l)
+        return l / r
+    if b.op == "^":
+        # math.pow semantics: negative base with fractional exponent is
+        # NaN (the ** operator returns a complex, which cannot lower)
+        try:
+            return math.pow(l, r)
+        except (ValueError, OverflowError):
+            return math.nan
     return {
-        "+": l + r, "-": l - r, "*": l * r, "/": l / r if r else math.nan,
-        "%": math.fmod(l, r) if r else math.nan, "^": l**r,
+        "+": l + r, "-": l - r, "*": l * r,
+        "%": math.fmod(l, r) if r else math.nan,
     }[b.op]
 
 
@@ -811,7 +883,12 @@ def _spine(ctx: LowerCtx) -> DataFrame:
     def to_epoch(x):
         if isinstance(x, str):
             x = dt.datetime.fromisoformat(x)
-        return int(x.replace(tzinfo=dt.timezone.utc).timestamp())
+        # naive bounds are UTC wall time (session timezone is pinned
+        # UTC); tz-AWARE bounds already carry their instant — replacing
+        # their tzinfo would shift the spine against the data window
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=dt.timezone.utc)
+        return int(x.timestamp())
 
     return ts.bucket_spine(ctx.spark, to_epoch(ctx.start), to_epoch(ctx.end), ctx.step_seconds)
 

@@ -83,3 +83,31 @@ def attr_keys(df: DataFrame, attr_col: str) -> Column:
     if isinstance(dtype, T.StringType):
         col = F.from_json(col, T.MapType(T.StringType(), T.StringType()))
     return F.map_keys(col)
+
+
+# Loki-grammar logfmt: keys are identifiers; values are either a
+# double-quoted string (backslash escapes allowed, spaces preserved)
+# or a bare run up to the next whitespace. The quoted alternative is
+# what makes msg="hello world" extractable at all.
+LOGFMT_RE = r'([a-zA-Z_][a-zA-Z0-9_]*)=("(?:[^"\\]|\\.)*"|[^\s"]+)'
+
+
+def logfmt_value(src: Column, key: str) -> Column:
+    """The value of ``key`` in a logfmt-formatted string column —
+    FIRST occurrence wins, quoted values are unquoted and unescaped.
+
+    Deliberately not ``map_from_arrays`` over the extracted pairs: a
+    line with a repeated key ("a=1 b=2 a=3") makes map construction
+    throw DUPLICATED_MAP_KEY under Spark's default dedup policy,
+    aborting the whole query for one malformed line. array_position +
+    try_element_at is per-row total: duplicates resolve to the first
+    occurrence, absent keys to NULL (the rows Loki tags __error__ or
+    leaves unlabeled — never a query abort)."""
+    keys = F.regexp_extract_all(src, F.lit(LOGFMT_RE), F.lit(1))
+    vals = F.regexp_extract_all(src, F.lit(LOGFMT_RE), F.lit(2))
+    pos = F.array_position(keys, key).cast("int")
+    raw = F.when(pos > 0, F.try_element_at(vals, pos))
+    unquoted = F.regexp_replace(
+        F.regexp_extract(raw, r'^"((?:[^"\\]|\\.)*)"$', 1), r"\\(.)", "$1"
+    )
+    return F.when(raw.rlike(r'^".*"$'), unquoted).otherwise(raw)

@@ -887,10 +887,21 @@ def _eval_binop(ctx: PromCtx, b: BinOp) -> DataFrame:
 
 def _fold(b: BinOp) -> float:
     l, r = b.lhs.value, b.rhs.value
+    if b.op == "/":
+        # IEEE-754: x/0 is signed infinity, 0/0 NaN (Prometheus floats)
+        if r == 0:
+            return math.nan if l == 0 else math.copysign(math.inf, l)
+        return l / r
+    if b.op == "^":
+        # math.pow: negative base ^ fractional exponent is NaN, never a
+        # Python complex (which F.lit cannot lower)
+        try:
+            return math.pow(l, r)
+        except (ValueError, OverflowError):
+            return math.nan
     return {
         "+": l + r, "-": l - r, "*": l * r,
-        "/": l / r if r else math.nan,
-        "%": math.fmod(l, r) if r else math.nan, "^": l**r,
+        "%": math.fmod(l, r) if r else math.nan,
         "atan2": math.atan2(l, r),
     }[b.op]
 
@@ -901,7 +912,11 @@ def _spine(ctx: PromCtx) -> DataFrame:
     def to_epoch(x):
         if isinstance(x, str):
             x = dt.datetime.fromisoformat(x)
-        return int(x.replace(tzinfo=dt.timezone.utc).timestamp())
+        # naive bounds are UTC wall time; tz-aware bounds already carry
+        # their instant — replace() on them would shift the spine
+        if x.tzinfo is None:
+            x = x.replace(tzinfo=dt.timezone.utc)
+        return int(x.timestamp())
 
     return ts.bucket_spine(ctx.spark, to_epoch(ctx.start), to_epoch(ctx.end), ctx.step_seconds)
 

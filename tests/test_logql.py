@@ -698,3 +698,127 @@ def test_output_stages_apply_on_metric_path(spark):
         ctx2, 'sum(bytes_over_time({service_name="api"} | json'
               ' | line_format "{{.k}}" [1d]))')
     assert out.collect()[0]["value"] == 4.0
+
+
+# ---------------------------------------------- Loki-semantics pins (r9)
+
+
+def _mini_ctx(spark, bodies):
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 0, 30, i), "x", "INFO", b, {})
+        for i, b in enumerate(bodies)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "timestamp timestamp, service_name string, severity_text string, "
+        "body string, log_attributes map<string,string>",
+    )
+    return LowerCtx(spark, df, START, END, STEP)
+
+
+def _logs(ctx, q):
+    return query_logs(ctx, parse(q))
+
+
+def test_logfmt_duplicate_key_first_wins_no_crash(spark):
+    """A repeated logfmt key must resolve (first occurrence), never
+    abort the query with DUPLICATED_MAP_KEY."""
+    ctx = _mini_ctx(spark, ["a=1 b=2 a=3", "a=2 b=2"])
+    got = _logs(ctx, '{service_name="x"} | logfmt | a="1"').collect()
+    assert len(got) == 1 and "a=1" in got[0].body
+
+
+def test_logfmt_quoted_values_extract(spark):
+    """msg="hello world" — the ubiquitous quoted logfmt form — must
+    extract (unquoted, unescaped), not silently match nothing."""
+    ctx = _mini_ctx(spark, ['msg="hello world" level=info',
+                            'msg=plain level=warn'])
+    assert _logs(ctx, '{service_name="x"} | logfmt | msg=~".*hello.*"').count() == 1
+    assert _logs(ctx, '{service_name="x"} | logfmt | msg="hello world"').count() == 1
+    assert _logs(ctx, '{service_name="x"} | logfmt | msg="plain"').count() == 1
+
+
+def test_ip_filter_short_value_is_false_not_error(spark):
+    """A malformed dotted-quad like '1.2' nets NULL→false under the ip()
+    filter — under Spark 4 ANSI mode, positional array indexing raised
+    INVALID_ARRAY_INDEX instead."""
+    ctx = _mini_ctx(spark, ["addr=1.2 ok", "addr=10.0.0.7 ok"])
+    got = _logs(ctx, '{service_name="x"} | logfmt | addr = ip("10.0.0.0/8")').collect()
+    assert len(got) == 1 and "10.0.0.7" in got[0].body
+
+
+def test_duration_and_bytes_label_filters_parse_units(spark):
+    """`took > 500ms` parses the label as a Go duration before
+    comparing (threshold is ns) — '1s' matches, '250ms' does not; same
+    for byte sizes."""
+    ctx = _mini_ctx(spark, ["took=1s r=a", "took=250ms r=b", "took=junk r=c"])
+    got = _logs(ctx, '{service_name="x"} | logfmt | took > 500ms').collect()
+    assert len(got) == 1 and "took=1s" in got[0].body
+    ctx2 = _mini_ctx(spark, ["size=2KB r=a", "size=512B r=b"])
+    got2 = _logs(ctx2, '{service_name="x"} | logfmt | size > 1KB').collect()
+    assert len(got2) == 1 and "size=2KB" in got2[0].body
+
+
+def test_matcher_empty_value_matches_absent_label(spark):
+    """{region=""} selects streams WITHOUT the label; {region!=""}
+    excludes them (Loki: a missing label is the empty string)."""
+    ctx = _mini_ctx(spark, ["one", "two"])
+    assert _logs(ctx, '{service_name="x", region=""}').count() == 2
+    assert _logs(ctx, '{service_name="x", region!=""}').count() == 0
+    assert _logs(ctx, '{service_name="x", region=~".*"}').count() == 2
+
+
+def test_bytes_over_time_counts_octets(spark):
+    """bytes_over_time counts UTF-8 octets (Loki), matching
+    index_volume's accounting."""
+    mctx = _mini_ctx(spark, ["héllo"])  # 5 chars, 6 bytes
+    got = query_metric(mctx, 'bytes_over_time({service_name="x"}[4h])').collect()
+    assert sum(r.value for r in got) == 6.0
+
+
+def test_decolorize_then_line_format_composes(spark):
+    """Output stages compose: {{__line__}} reads the line as rewritten
+    by earlier stages (here: after decolorize), not the raw body."""
+    ctx = _mini_ctx(spark, ["\x1b[31mred\x1b[0m text"])
+    got = _logs(
+        ctx, '{service_name="x"} | decolorize | line_format "L:{{__line__}}"'
+    ).collect()
+    assert got[0].body == "L:red text"
+
+
+def test_scalar_fold_ieee_semantics():
+    """1/0 folds to +Inf, -1/0 to -Inf, 0/0 to NaN; negative base with
+    fractional exponent is NaN, never a Python complex."""
+    import math
+
+    from signaldb_spark.logql.lowering import _scalar_fold
+
+    class _L:
+        def __init__(self, v):
+            self.value = v
+
+    class _B:
+        def __init__(self, op, l, r):
+            self.op, self.lhs, self.rhs = op, _L(l), _L(r)
+
+    assert _scalar_fold(_B("/", 1.0, 0.0)) == math.inf
+    assert _scalar_fold(_B("/", -1.0, 0.0)) == -math.inf
+    assert math.isnan(_scalar_fold(_B("/", 0.0, 0.0)))
+    assert math.isnan(_scalar_fold(_B("^", -2.0, 0.5)))
+
+
+def test_logql_topk_by_grouping(ctx):
+    """topk by (service_name)(1, …): one top series per service, not a
+    global top-1."""
+    got = query_metric(
+        ctx,
+        'topk by (service_name) (1, count_over_time'
+        '({service_name=~".+"}[1h]))',
+    ).collect()
+    per = {}
+    for r in got:
+        per.setdefault((r.bucket, r.service_name), []).append(r)
+    assert per and all(len(v) == 1 for v in per.values())
+    assert len({s for _, s in per}) > 1
