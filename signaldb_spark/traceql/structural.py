@@ -108,7 +108,14 @@ def sibling_spans(
             F.col("span_id").alias("_l_span"),
         )
     )
-    right = spans.filter(right_cond).filter(F.col("parent_span_id").isNotNull())
+    right = spans.filter(right_cond)
+    if not negate:
+        # positive form: a root span has no siblings, so it can never
+        # match. The NEGATED form must KEEP root spans — "no matching
+        # sibling" is trivially true for them (the anti join's null
+        # parent never equals _l_parent, so they survive naturally;
+        # pre-filtering them out here was the bug)
+        right = right.filter(F.col("parent_span_id").isNotNull())
     return right.join(
         left,
         (right["trace_id"] == left["_l_trace"])
@@ -142,16 +149,25 @@ def descendant_spans(
         ).alias("_ss")
     )
     ss = F.col("_ss")
+    # array_distinct before map_from_entries: a replayed/duplicated span
+    # (same span_id + parent twice in one trace — ingestion does not
+    # dedup) would otherwise abort the query with DUPLICATED_MAP_KEY
+    # under Spark's default dedup policy. Same id with CONTRADICTORY
+    # parents remains a loud error — that is corrupt data, not replay.
     parent_map = F.map_from_entries(
-        F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+        F.array_distinct(
+            F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+        )
     )
     # ancestor membership as a map, not an array: each chase hop is then
     # an O(1) map probe instead of an O(|ancestors|) array scan — the
     # per-span cost drops from depth×|anc| to depth
     anc_map = F.map_from_entries(
-        F.transform(
-            F.filter(ss, lambda s: F.coalesce(s["_is_anc"], F.lit(False))),
-            lambda s: F.struct(s["span_id"], F.lit(True)),
+        F.array_distinct(
+            F.transform(
+                F.filter(ss, lambda s: F.coalesce(s["_is_anc"], F.lit(False))),
+                lambda s: F.struct(s["span_id"], F.lit(True)),
+            )
         )
     )
     agg = agg.withColumn("_pm", parent_map).withColumn("_anc", anc_map)
@@ -293,6 +309,7 @@ def descendant_spans_closure(
 
         def has_anc(key) -> bool:
             chain = []
+            on_chain = set()  # cycle guard: corrupt parent pointers
             cur = parent.get(key)
             hit = False
             while cur is not None:
@@ -302,7 +319,13 @@ def descendant_spans_closure(
                 if cur in memo:
                     hit = memo[cur]
                     break
+                if cur in on_chain:
+                    # A->B->A parent cycle (corrupt/reparented data):
+                    # no true ancestor was found along it — terminate
+                    # instead of walking forever
+                    break
                 chain.append(cur)
+                on_chain.add(cur)
                 cur = parent.get(cur)
             for c in chain:
                 memo[c] = hit
@@ -359,7 +382,19 @@ def spanset_aggregate(
         raise ValueError(f"unsupported spanset comparison {op!r}")
     if agg != "count" and agg_col is None:
         raise ValueError(f"spanset aggregate {agg!r} needs agg_col")
-    agg_expr = SPANSET_AGGS[agg](F.col(agg_col) if agg_col else F.lit(1))
+    if agg_col is None:
+        field = F.lit(1)
+    elif agg_col in spans.columns:
+        # direct callers pass physical columns ("qty", "duration_nanos")
+        field = F.col(agg_col)
+    else:
+        # parsed fields route like select(): intrinsics ("duration" →
+        # duration_nanos), scoped/unscoped attribute refs through the
+        # layout-aware lookup; attribute strings compare numerically
+        from .trace_ops import select_field_expr
+
+        field = select_field_expr(agg_col, spans).try_cast("double")
+    agg_expr = SPANSET_AGGS[agg](field)
     w = Window.partitionBy("trace_id")
     return (
         spans.filter(cond)
@@ -396,11 +431,17 @@ def critical_path(
         ).alias("_ss")
     )
     ss = F.col("_ss")
+    # array_distinct: replayed duplicate spans must not abort with
+    # DUPLICATED_MAP_KEY (same rule as the descendant maps above)
     pm = F.map_from_entries(
-        F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+        F.array_distinct(
+            F.transform(ss, lambda s: F.struct(s["span_id"], s["parent_span_id"]))
+        )
     )
     dm = F.map_from_entries(
-        F.transform(ss, lambda s: F.struct(s["span_id"], s["_d"]))
+        F.array_distinct(
+            F.transform(ss, lambda s: F.struct(s["span_id"], s["_d"]))
+        )
     )
     agg = agg.withColumn("_pm", pm).withColumn("_dm", dm)
 

@@ -47,7 +47,10 @@ def _apply_op(col, op: str, value):
         return col.rlike(f"^(?:{value})$")
     if op == "!~":
         return col.isNotNull() & ~col.rlike(f"^(?:{value})$")
-    num = col.cast("double")
+    # try_cast, never an ANSI cast: one span carrying a non-numeric
+    # attribute value ("qty"="N/A") must skip that span, not abort the
+    # whole query with CAST_INVALID_INPUT (Spark 4 ANSI default)
+    num = col.try_cast("double")
     if op == ">":
         return num > value
     if op == ">=":
@@ -227,6 +230,33 @@ def predicates_expr(df: DataFrame, parsed):
     return F.lit(True) if out is None else out
 
 
+def _truncate_newest(
+    df: DataFrame, limit: int, spans_per_trace: int | None
+) -> DataFrame:
+    """Deterministic newest-N trace truncation + the ``spss`` span cap
+    (order_traces_for_truncation, trace.rs:602-644): traces rank by
+    their most-recent span DESC with trace_id tiebreak; each kept trace
+    then returns at most ``spans_per_trace`` of its newest spans."""
+    ranked = (
+        df.groupBy("trace_id")
+        .agg(F.max("start_time_unix_nano").alias("_latest"))
+        .orderBy(F.col("_latest").desc(), F.col("trace_id").desc())
+        .limit(limit)
+        .select("trace_id")
+    )
+    out = df.join(F.broadcast(ranked), "trace_id")
+    if spans_per_trace is not None:
+        w = Window.partitionBy("trace_id").orderBy(
+            F.col("start_time_unix_nano").desc(), F.col("span_id").desc()
+        )
+        out = (
+            out.withColumn("_srk", F.row_number().over(w))
+            .filter(F.col("_srk") <= spans_per_trace)
+            .drop("_srk")
+        )
+    return out
+
+
 def search(
     traces: DataFrame,
     predicates,
@@ -271,24 +301,7 @@ def search(
     df = df.orderBy(F.col("start_time_unix_nano").desc(), F.col("span_id").desc()).limit(
         span_limit
     )
-    ranked_traces = (
-        df.groupBy("trace_id")
-        .agg(F.max("start_time_unix_nano").alias("_latest"))
-        .orderBy(F.col("_latest").desc(), F.col("trace_id").desc())
-        .limit(limit)
-        .select("trace_id")
-    )
-    out = df.join(F.broadcast(ranked_traces), "trace_id")
-    if spans_per_trace is not None:
-        w = Window.partitionBy("trace_id").orderBy(
-            F.col("start_time_unix_nano").desc(), F.col("span_id").desc()
-        )
-        out = (
-            out.withColumn("_srk", F.row_number().over(w))
-            .filter(F.col("_srk") <= spans_per_trace)
-            .drop("_srk")
-        )
-    return out
+    return _truncate_newest(df, limit, spans_per_trace)
 
 
 def search_traceql(
@@ -326,14 +339,29 @@ def search_traceql(
                 "trace-level intrinsics are not supported inside "
                 "structural/aggregate spansets"
             )
-    if isinstance(parsed, StructuralQuery):
-        from .structural import structural_search
+    if isinstance(parsed, (StructuralQuery, AggregateQuery)):
+        # the API's window/limit/spss contract applies to structural and
+        # aggregate queries exactly like spanset search: window the scan
+        # FIRST (the structural evaluation — and the >> depth probe —
+        # must not walk all history), then the same deterministic
+        # newest-N truncation search() performs
+        from .structural import aggregate_search, structural_search
 
-        return structural_search(traces, parsed)
-    if isinstance(parsed, AggregateQuery):
-        from .structural import aggregate_search
-
-        return aggregate_search(traces, parsed)
+        windowed = ts_ops.time_window(
+            traces, "timestamp",
+            search_kwargs.get("start"), search_kwargs.get("end"),
+        )
+        if isinstance(parsed, StructuralQuery):
+            out = structural_search(windowed, parsed)
+        else:
+            out = aggregate_search(windowed, parsed)
+        limit = min(
+            search_kwargs.get("limit", 20),
+            search_kwargs.get("max_search_limit", 1000),
+        )
+        return _truncate_newest(
+            out, limit, search_kwargs.get("spans_per_trace")
+        )
     def _split_trace_preds(preds):
         # trace-level intrinsics pre-filter the span table to
         # qualifying traces; span-level predicates then run normally
@@ -348,7 +376,7 @@ def search_traceql(
 
     if isinstance(parsed, SelectQuery):
         preds = _split_trace_preds(list(parsed.preds))
-        extras = {f: select_field_expr(f) for f in parsed.fields}
+        extras = {f: select_field_expr(f, traces) for f in parsed.fields}
         return search(traces, preds, extra_columns=extras, **search_kwargs)
     if isinstance(parsed, list):
         parsed = _split_trace_preds(parsed)
@@ -374,23 +402,32 @@ _INTRINSIC_FIELDS = {
 }
 
 
-def select_field_expr(field: str):
+def select_field_expr(field: str, df: DataFrame | None = None):
     """Route a select() field to its column: intrinsics → dedicated
     columns; ``span.X`` / ``resource.X`` → the scope's attribute map;
     unscoped ``.X`` → span-first coalesce (Tempo's unscoped lookup
-    order, traceql.md)."""
+    order, traceql.md). With ``df``, attribute access is LAYOUT-AWARE
+    (operators.attrs.attr_value): legacy JSON-string tables extract via
+    get_json_object and typed AnyValue maps return the display string —
+    the same contract every predicate path honors; without ``df`` the
+    map fast path applies (current-layout callers)."""
+    def _attr(col_name: str, key: str):
+        if df is not None:
+            return _span_attr_value(df, col_name, key)
+        return F.element_at(F.col(col_name), key)
+
     if field in _INTRINSIC_FIELDS:
         return F.col(_INTRINSIC_FIELDS[field])
     if field == "resource.service.name" or field == "service.name":
         return F.col("service_name")
     if field.startswith("span."):
-        return F.element_at(F.col("span_attributes"), field[len("span."):])
+        return _attr("span_attributes", field[len("span."):])
     if field.startswith("resource."):
-        return F.element_at(F.col("resource_attributes"), field[len("resource."):])
+        return _attr("resource_attributes", field[len("resource."):])
     key = field[1:] if field.startswith(".") else field
     return F.coalesce(
-        F.element_at(F.col("span_attributes"), key),
-        F.element_at(F.col("resource_attributes"), key),
+        _attr("span_attributes", key),
+        _attr("resource_attributes", key),
     )
 
 
@@ -484,10 +521,31 @@ def metrics_query(
         raise TraceQLError(
             "metrics queries take a plain spanset, not structural/aggregate"
         )
-    cond = F.lit(True)
+    # trace-level intrinsics pre-filter to qualifying traces, exactly as
+    # the search path does — lowered as attribute lookups they would
+    # probe a nonexistent map key and silently return an empty series
+    span_preds = []
     for p in parsed:
+        if p.scope == "trace":
+            spans = trace_level_filter(spans, p.key, p.op, p.value)
+        else:
+            span_preds.append(p)
+    cond = F.lit(True)
+    for p in span_preds:
         cond = cond & predicate_expr(spans, p)
-    by = (m.group("by"),) if m.group("by") else ()
+    by: tuple[str, ...] = ()
+    if m.group("by"):
+        field = m.group("by")
+        if field in spans.columns:
+            by = (field,)
+        else:
+            # Tempo's scoped by() refs (span.foo, resource.x, name):
+            # materialize through the same field router select() uses —
+            # a raw groupBy("span.foo") would parse as struct access of
+            # a nonexistent column
+            alias = field.replace(".", "_").replace(":", "_")
+            spans = spans.withColumn(alias, select_field_expr(field, spans))
+            by = (alias,)
     fn = m.group("fn")
     if fn == "rate()":
         return metrics_rate(spans, cond, step_seconds, by, ts_col)
@@ -565,10 +623,28 @@ def metrics_compare(
             "frame that still carries its attribute maps"
         )
     flagged = spans.withColumn("_sel", selection_cond.cast("int"))
+
+    def _as_string_map(c: str):
+        # layout-aware, like every predicate path (operators.attrs):
+        # legacy JSON-string tables parse to a map, typed AnyValue maps
+        # render their display strings, map<string,string> passes through
+        from pyspark.sql import types as T
+
+        from ..schemas.anyvalue import anyvalue_display, is_anyvalue_map
+
+        dtype = spans.schema[c].dataType
+        if isinstance(dtype, T.StringType):
+            return F.from_json(F.col(c), "map<string,string>")
+        if is_anyvalue_map(dtype):
+            return F.transform_values(
+                F.col(c), lambda _k, v: anyvalue_display(v)
+            )
+        return F.col(c)
+
     per_attr = None
     for c in present:
         e = flagged.select(
-            "_sel", F.explode_outer(F.col(c)).alias("attr_key", "attr_value")
+            "_sel", F.explode_outer(_as_string_map(c)).alias("attr_key", "attr_value")
         ).filter(F.col("attr_key").isNotNull())
         per_attr = e if per_attr is None else per_attr.unionByName(e)
     agg = (

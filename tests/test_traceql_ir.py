@@ -848,3 +848,148 @@ def test_tag_discovery_legacy_string_attrs(spark):
     assert set(names) == {"http.method", "peer"}
     both = [r.name for r in tag_names(df, "unscoped").collect()]
     assert {"http.method", "peer", "region", "service.name"} <= set(both)
+
+
+# --------------------------------------------- Tempo-semantics pins (r9)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_range_matcher_nonnumeric_attr_skips_not_crashes(spark):
+    """`{ span.qty > 30 }` over a corpus with one 'N/A' qty value must
+    skip that span — under Spark 4 ANSI mode a plain cast aborted the
+    whole query with CAST_INVALID_INPUT."""
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    df = spark.createDataFrame(
+        [("t1", "1", "a", {"qty": "40"}), ("t1", "2", "b", {"qty": "N/A"})],
+        "trace_id string, span_id string, span_name string, "
+        "span_attributes map<string,string>",
+    ).withColumn("timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp")) \
+     .withColumn("start_time_unix_nano", F.lit(1))
+    got = search_traceql(df, '{ span.qty > 30 }').collect()
+    assert [r.span_id for r in got] == ["1"]
+
+
+def test_duplicate_span_rows_do_not_abort_structural(spark, tree_spans):
+    """A replayed duplicate span (same span_id + parent twice) must not
+    abort `>>` / critical_path with DUPLICATED_MAP_KEY."""
+    from signaldb_spark.traceql.structural import descendant_spans
+
+    dup = tree_spans.unionByName(tree_spans.filter(F.col("span_id") == 4))
+    got = descendant_spans(
+        dup, F.col("span_name") == "api", F.col("status_code") == "Error"
+    ).collect()
+    assert {(r.trace_id, r.span_id) for r in got} == {("t1", 4), ("t2", 8)}
+
+
+def test_negated_sibling_keeps_root_spans(spark, tree_spans):
+    """`{db} !~ {api}`: a root span matching the right side has no
+    siblings at all, so 'no matching sibling' holds trivially — it must
+    be returned, not pre-filtered away."""
+    from signaldb_spark.traceql.structural import sibling_spans
+
+    # right side: api spans (1 and 9 are roots); left: cache spans
+    got = sibling_spans(
+        tree_spans,
+        F.col("span_name") == "cache",
+        F.col("span_name") == "api",
+        negate=True,
+    ).collect()
+    assert {(r.trace_id, r.span_id) for r in got} == {("t1", 1), ("t2", 9)}
+
+
+def test_spanset_aggregate_routes_fields(spark, tree_spans):
+    """`| avg(duration) > …` routes 'duration' to duration_nanos and
+    `avg(span.qty)` to the attribute map — not raw F.col names."""
+    from signaldb_spark.traceql.parser import parse_traceql_expr
+    from signaldb_spark.traceql.structural import aggregate_search
+
+    df = tree_spans.withColumn(
+        "duration_nanos", F.col("span_id") * F.lit(1_000_000)
+    ).withColumn(
+        "span_attributes",
+        F.create_map(F.lit("qty"), (F.col("span_id") * 10).cast("string")),
+    )
+    aq = parse_traceql_expr('{ name = "db" } | avg(duration) > 5000000')
+    got = aggregate_search(df, aq).collect()
+    # db spans: ids 4 (4ms) and 8 (8ms); per-trace avg: t1=4ms no, t2=8ms yes
+    assert {(r.trace_id, r.span_id) for r in got} == {("t2", 8)}
+    aq2 = parse_traceql_expr('{ name = "db" } | avg(span.qty) > 50')
+    got2 = aggregate_search(df, aq2).collect()
+    assert {(r.trace_id, r.span_id) for r in got2} == {("t2", 8)}
+
+
+def test_structural_search_applies_window_and_limit(spark):
+    """search_traceql applies start/end and the trace limit to
+    structural queries — previously all history returned untruncated."""
+    import datetime as dt
+
+    from signaldb_spark.traceql.trace_ops import search_traceql
+
+    rows = []
+    for i in range(5):
+        ts = dt.datetime(2024, 1, 1, i)
+        rows.append((f"t{i}", "p", None, "api", "Ok", ts, i * 1000 + 1))
+        rows.append((f"t{i}", "c", "p", "db", "Error", ts, i * 1000 + 2))
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_name string, status_code string, timestamp timestamp, "
+        "start_time_unix_nano long",
+    )
+    got = search_traceql(
+        df, '{ name = "api" } > { name = "db" }',
+        start="2024-01-01 00:30:00", end="2024-01-01 02:30:00", limit=1,
+    ).collect()
+    # window keeps t1, t2; limit=1 keeps the newest (t2)
+    assert {r.trace_id for r in got} == {"t2"}
+
+
+def test_closure_descendants_survive_parent_cycle(spark):
+    """A corrupt parent-pointer cycle must terminate the Arrow closure
+    walk, not hang the executor."""
+    from signaldb_spark.traceql.structural import descendant_spans_closure
+
+    rows = [
+        ("t1", "a", "b", "x", "Ok"),   # a -> b -> a cycle
+        ("t1", "b", "a", "x", "Ok"),
+        ("t1", "r", None, "api", "Ok"),
+        ("t1", "d", "r", "db", "Error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "trace_id string, span_id string, parent_span_id string, "
+              "span_name string, status_code string",
+    )
+    got = descendant_spans_closure(
+        df, F.col("span_name") == "api", F.col("status_code") == "Error"
+    ).collect()
+    assert {(r.trace_id, r.span_id) for r in got} == {("t1", "d")}
+
+
+def test_metrics_query_scoped_by_and_trace_intrinsics(spark):
+    """metrics_query: by (span.foo) groups on the attribute (not a raw
+    struct-access column name), and a traceDuration predicate
+    pre-filters traces instead of silently emptying the series."""
+    import datetime as dt
+
+    from signaldb_spark.traceql.trace_ops import metrics_query
+
+    rows = []
+    for i in range(4):
+        dur = 3_000_000_000 if i < 2 else 1_000_000
+        rows.append((f"t{i}", "p", None, "api", "Ok",
+                     dt.datetime(2024, 1, 1, 0, 0, i), 1_000_000_000 * i,
+                     dur, {"foo": f"g{i % 2}"}))
+    df = spark.createDataFrame(
+        rows,
+        "trace_id string, span_id string, parent_span_id string, "
+        "span_name string, status_code string, timestamp timestamp, "
+        "start_time_unix_nano long, duration_nanos long, "
+        "span_attributes map<string,string>",
+    )
+    out = metrics_query(df, '{ name = "api" } | rate() by (span.foo)', 60)
+    assert "span_foo" in out.columns and out.count() > 0
+    out2 = metrics_query(df, "{ traceDuration > 2s } | rate()", 60).collect()
+    # only t0/t1 qualify (3s root spans): 2 spans in one bucket / 60s
+    assert sum(r.value for r in out2) == pytest.approx(2 / 60)
