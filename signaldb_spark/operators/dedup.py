@@ -144,6 +144,34 @@ def jaccard_pairs(
     equality on the shingle up to xxhash64 collisions (expected
     colliding pairs ≈ d²/2⁶⁵ — zero in practice).
     """
+    overlap = _pair_overlap(df, id_col, text_col, n, max_shingle_df)
+    return (
+        overlap.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_overlap(
+    df: DataFrame, id_col: str, text_col: str, n: int,
+    max_shingle_df: int | None,
+) -> DataFrame:
+    """Shared pair-generation for the shingle-overlap family
+    (jaccard_pairs / containment_pairs): hashed shingles, hot-shingle
+    broadcast anti join, one equi-join intersection, sizes joined in.
+    Returns (id_a, id_b, n_common, n_a, n_b).
+
+    The size joins are ordinary equi-joins, NOT forced broadcasts:
+    ``sizes`` is one row per document — corpus-sized — and a forced
+    broadcast of it would ship a multi-GB table through the driver at
+    exactly the scale this module is designed for; AQE still broadcasts
+    it when it is actually small. (The HOT list broadcast above is the
+    bounded one: at most Σdf/cap entries.)"""
     sh = (
         word_shingles(df, id_col, text_col, n)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
@@ -170,18 +198,7 @@ def jaccard_pairs(
     )
     sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
-    return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def containment_pairs(
@@ -195,33 +212,11 @@ def containment_pairs(
     the big document.
 
     Identical pair-generation shape (and df² guard) as
-    :func:`jaccard_pairs`: hashed shingles, broadcast hot-shingle anti
-    join, intersection via one equi-join on the shingle hash."""
-    sh = (
-        word_shingles(df, id_col, text_col, n)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .cache()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    if max_shingle_df is not None:
-        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") > max_shingle_df
-        ).select("shingle")
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    :func:`jaccard_pairs` — shared via :func:`_pair_overlap`; only the
+    score formula differs."""
+    overlap = _pair_overlap(df, id_col, text_col, n, max_shingle_df)
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
+        overlap.withColumn(
             "containment",
             F.round(F.col("n_common") / F.least("n_a", "n_b"), 6),
         )
@@ -268,7 +263,20 @@ def lsh_candidate_pairs(
     """LSH banding: group the signature into ``bands`` bands of
     num_hashes/bands rows, hash each band, and self-join on
     (band, band_hash) to emit candidate pairs.
+
+    The band hash sorts the band's minhash VALUES — positional fidelity
+    is preserved anyway because each value embeds its hash index in the
+    salt (md5(h:shingle)), so values from different positions collide
+    only on an md5 collision.
     """
+    if bands <= 0 or bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes would make rows_per_band 0 and the band
+        # expression h/0 — every doc in one NULL band, banding silently
+        # collapsed; non-dividing values silently change the band count
+        raise ValueError(
+            f"bands must evenly divide num_hashes "
+            f"(num_hashes={num_hashes}, bands={bands})"
+        )
     rows_per_band = num_hashes // bands
     banded = (
         sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
@@ -498,11 +506,21 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 3, bits: 
     occupancy instead of n².
     """
     n_bands = max_hamming + 1
-    width = -(-bits // n_bands)  # ceil; last band may be narrower (high bits are 0)
-    mask = F.lit((1 << width) - 1)
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming + 1 bands need at least that many bits "
+            f"(bits={bits}, bands={n_bands})"
+        )
+    # even-split band boundaries, NOT ceil-width: with ceil, bands=5 over
+    # bits=16 makes the last band zero-width — constant 0 for every doc,
+    # so that band's equi-join degenerates to a full cross product
+    # (results stay correct through the hamming filter, but the job is
+    # O(n²) at exactly the scale banding exists for)
+    bounds = [(i * bits) // n_bands for i in range(n_bands + 1)]
 
-    def band_val(col, j):
-        return F.shiftright(col, j * width).bitwiseAND(mask)
+    def band_val(col, i):
+        lo, hi = bounds[i], bounds[i + 1]
+        return F.shiftright(col, lo).bitwiseAND(F.lit((1 << (hi - lo)) - 1))
 
     bands = F.array(
         *[
@@ -636,15 +654,23 @@ def verify_candidate_pairs(
     return (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .fillna({"n_common": 0})
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        # LEFT joins, consistent with the n_common fill: a candidate
+        # whose doc produced zero shingles (shorter than n words —
+        # simhash candidates can be) has no sizes row; an inner join
+        # silently dropped the pair instead of scoring it 0
+        .join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .fillna({"n_a": 0, "n_b": 0})
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
+            F.when(
+                (F.col("n_a") + F.col("n_b") - F.col("n_common")) > 0,
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -134,7 +134,19 @@ def lsh_bucket(
             " (x, w) -> CAST(x AS DOUBLE) * w), 0D, (a, v) -> a + v)"
         )
         parts.append(f"(CASE WHEN {proj} > 0 THEN {2 ** b} ELSE 0 END)")
-    return df.withColumn("bucket", F.expr(" + ".join(parts)).cast("long"))
+    # loud width guard: with dims != the actual vector width, zip_with
+    # pads with NULLs, every projection aggregates to NULL, and every
+    # row lands in bucket 0 — the "scale path" silently becomes the
+    # full cross product. A mismatch is a caller bug; fail the query.
+    guard = F.when(
+        F.size(F.col(vec_col)) != dims,
+        F.raise_error(
+            f"lsh_bucket: embedding width != dims={dims} — every vector "
+            "would land in bucket 0 (full cross product)"),
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "bucket", (F.expr(" + ".join(parts)) + guard).cast("long")
+    )
 
 
 def lsh_ann_topk(
@@ -327,6 +339,11 @@ def cosine_near_dup_pairs(
         fan_out(corpus)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("n", _norm(F.col("v"), dims))
+        # cached: each rotation's self-join evaluates its upstream TWICE
+        # (Spark shares no work between join legs) and the loop repeats
+        # it per rotation — uncached, the corpus scan + norm pipeline
+        # runs 2×rotations times
+        .cache()
     )
     cand = None
     for r in range(rotations):
@@ -523,7 +540,8 @@ def knn_classify(
         nbrs = cosine_topk(corpus, queries, id_col, vec_col, k=k, dims=dims)
     labels = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
-    )
+    ).filter(F.col("_nl").isNotNull())  # unlabeled rows cannot vote —
+    # NULL sorts first under the ascending tie-break and would win ties
     votes = (
         nbrs.join(labels, "neighbor_id")
         .groupBy("query_id", "_nl")

@@ -520,3 +520,88 @@ def test_hot_cold_protocol_no_dup_no_loss(spark, tmp_path_factory, script):
             else {r.id for r in df.select("id").collect()}
         )
         assert got == expected, (op, ops)
+
+
+# ------------------------------------------- dedup/ANN guard pins (r9)
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    """bands > num_hashes (or non-dividing) silently collapsed banding
+    (band = h/0 → NULL); now a loud ValueError."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [("d1", 0, "aa")], "doc_id string, h int, minhash string"
+    )
+    with _pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=16)
+    with _pytest.raises(ValueError, match="evenly divide"):
+        lsh_candidate_pairs(sigs, "doc_id", num_hashes=8, bands=3)
+
+
+def test_simhash_bands_never_degenerate(spark):
+    """Every simhash band has width >= 1 (an empty band is constant 0
+    for all docs — its equi-join is a full cross product); the
+    pigeonhole guarantee still finds all pairs within max_hamming."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.dedup import simhash_near_pairs
+
+    # bits=16, max_hamming=4 → 5 bands; under ceil-width the 5th band
+    # was zero-width. Craft hashes differing in exactly 4 bits.
+    rows = [("a", 0b1111000011110000), ("b", 0b1111000011111111),
+            ("c", 0b0000111100001111)]
+    sim = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = simhash_near_pairs(sim, "doc_id", max_hamming=4, bits=16).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {("a", "b")}
+
+
+def test_lsh_bucket_width_mismatch_is_loud(spark):
+    """dims != vector width: every projection aggregates to NULL and
+    every row lands in bucket 0 (silent cross join) — now raises."""
+    import pytest as _pytest
+
+    from signaldb_spark.operators.similarity import lsh_bucket
+
+    df = spark.createDataFrame(
+        [("v1", [0.1] * 8)], "vec_id string, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="embedding width"):
+        lsh_bucket(df, "embedding", n_bits=2, dims=16).collect()
+
+
+def test_knn_classify_ignores_unlabeled_corpus_rows(spark):
+    """NULL labels sort first under the ascending tie-break and would
+    win votes; unlabeled rows must not vote at all."""
+    from signaldb_spark.operators.similarity import knn_classify
+
+    corpus = spark.createDataFrame(
+        [("c1", [1.0, 0.0], "spam"), ("c2", [0.9, 0.1], None),
+         ("c3", [0.8, 0.2], None)],
+        "vec_id string, embedding array<double>, label string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.05])], "vec_id string, embedding array<double>"
+    )
+    got = knn_classify(corpus, queries, k=3, dims=2, label_col="label").collect()
+    assert len(got) == 1 and got[0].predicted_label == "spam"
+
+
+def test_verify_pairs_scores_shingleless_docs_zero(spark):
+    """A candidate pair whose doc has zero shingles (shorter than n
+    words) must score jaccard 0 at threshold 0, not vanish through an
+    inner size join."""
+    from signaldb_spark.operators.dedup import verify_candidate_pairs, word_shingles
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta"), ("d2", "tiny")],
+        "doc_id string, text string",
+    )
+    sh = word_shingles(docs, "doc_id", "text", 3)
+    pairs = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
+    got = verify_candidate_pairs(pairs, sh, "doc_id", threshold=0.0).collect()
+    assert len(got) == 1 and got[0].jaccard == 0.0
