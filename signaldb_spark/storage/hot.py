@@ -45,7 +45,10 @@ from .manifest import ManifestTable, collect_file_stats, _stage_into_data
 
 HOT_DIR = "hot"
 WATERMARK_PROP = "hot_watermark"
-_SEQ_RE = re.compile(r"^seq-(\d{8})$")
+# \d{8,}: ack formats with {seq:08d}, which prints MORE than 8 digits
+# past 99,999,999 — an exactly-8 anchor would make such published
+# batches invisible to sequences() forever (never read, never flushed)
+_SEQ_RE = re.compile(r"^seq-(\d{8,})$")
 
 
 class HotStore:
@@ -138,7 +141,14 @@ class HotStore:
         use = [s for s in (self.sequences() if seqs is None else seqs) if s > above]
         if not use:
             return None
-        return spark.read.parquet(*[self._seq_path(s) for s in use])
+        # mergeSchema: hot batches may straddle a schema addition; the
+        # default single-footer schema pick would silently DROP a column
+        # present only in newer batches (the cold union already handles
+        # drift via unionByName(allowMissingColumns=True))
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[self._seq_path(s) for s in use])
+        )
 
     # ----------------------------------------------------------------- gc
 
@@ -173,12 +183,22 @@ def hybrid_read(
     snapshots FIRST, then the cold snapshot and its watermark resolve,
     then hot batches at or below the watermark drop (no dup / no
     omission — module docstring). ``None`` only when the table has
-    neither committed files nor hot batches."""
+    neither committed files nor hot batches.
+
+    The watermark and the cold file list resolve from ONE pinned
+    manifest version: two independent resolutions would let a flush
+    commit land in between, pairing an old watermark with a new file
+    list — every row of the just-flushed batches would then appear in
+    BOTH halves of the union (the exact duplication the version pin
+    proves impossible). ``table`` is accepted for call-site symmetry
+    with the other readers; the hot/cold protocol itself is
+    table-agnostic."""
     store = HotStore(table_path)
     hot_seqs = store.sequences()  # MUST precede the manifest read
     mt = ManifestTable(table_path)
-    wm = committed_watermark(table_path)
-    cold = mt.read(spark)
+    version = mt.current_version() or None
+    wm = committed_watermark(table_path, version)
+    cold = mt.read(spark, version=version)
     hot = store.read_hot(spark, above=wm, seqs=hot_seqs)
     if cold is None:
         return hot

@@ -56,9 +56,11 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     import os
     import shutil
 
-    sorted_df = df.sortWithinPartitions(
-        *[c for c in SORT_ORDERS.get(table, []) if c in df.columns]
-    )
+    sort_cols = [c for c in SORT_ORDERS.get(table, []) if c in df.columns]
+    # guard the empty list: sortWithinPartitions() with zero columns
+    # raises CANNOT_BE_EMPTY, so a frame carrying none of the table's
+    # sort columns would crash the sink instead of writing unsorted
+    sorted_df = df.sortWithinPartitions(*sort_cols) if sort_cols else df
     if batch_id is None:
         writer = sorted_df.write.mode("append").partitionBy("date_day", "hour")
         for k, v in BLOOM_WRITE_OPTIONS.items():
@@ -75,10 +77,18 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     writer.parquet(staging)
     # a crashed earlier attempt may have moved MORE files than this
     # replay produces (parallelism change, speculative tasks): sweep the
-    # batch's files table-wide first so the replay fully supersedes it
+    # batch's files table-wide first so the replay fully supersedes it.
+    # NEVER descend into the manifest store's data/ (or the hot store):
+    # manifest-committed files share the batch-{id}- naming, and a
+    # checkpoint replayed with use_manifest flipped off would otherwise
+    # unlink files the manifest still references. Legacy hive layouts
+    # only contain date_day=*/hour=* dirs, so the exclusion is inert.
     prefix = f"batch-{batch_id}-"
     for root, dirs, files in os.walk(table_path):
-        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        dirs[:] = [
+            d for d in dirs
+            if not d.startswith("_") and d not in ("data", "hot")
+        ]
         for f in files:
             if f.startswith(prefix) and f.endswith(".parquet"):
                 os.unlink(os.path.join(root, f))
@@ -198,13 +208,15 @@ def ingest_otlp_logs_stream(
     tenant: str = "acme",
     dataset: str = "prod",
     checkpoint_dir: str | None = None,
-    watermark: str = "10 minutes",
     available_now: bool = True,
     use_manifest: bool = True,
     usage_tracker=None,
     rate_limiter=None,
 ):
     """File-source OTLP/JSON ingest → hour-partitioned logs table.
+    (No watermark parameter: ``withWatermark`` is a no-op inside
+    foreachBatch — event-time lateness gating lives in the maintenance
+    partition-close check, ``is_partition_closed``.)
 
     ``usage_tracker`` (a :class:`..storage.quota.StorageUsageTracker`)
     gates each micro-batch on the tenant's ``max_storage_bytes`` quota —
@@ -242,28 +254,30 @@ def ingest_otlp_logs_stream(
         # is marked processed by the checkpoint — one bad payload cannot
         # wedge the drain loop (processor.rs:125-127 semantics)
         flagged = with_dead_letter_flag(batch_df, OTLP_LOGS_SCHEMA).cache()
-        dead = flagged.filter(F.col("_dead"))
-        good = flagged.filter(~F.col("_dead")).drop("_dead")
-        # (no withWatermark here: foreachBatch hands us a batch df where
-        # it is a no-op — event-time lateness gating lives in the
-        # maintenance partition-close check, is_partition_closed)
-        flat = flatten_otlp_logs(good, json_col="value")
-        if use_manifest:
-            from ..storage import write_batch_manifest
+        try:
+            dead = flagged.filter(F.col("_dead"))
+            good = flagged.filter(~F.col("_dead")).drop("_dead")
+            # (no withWatermark here: foreachBatch hands us a batch df
+            # where it is a no-op — event-time lateness gating lives in
+            # the maintenance partition-close check, is_partition_closed)
+            flat = flatten_otlp_logs(good, json_col="value")
+            if use_manifest:
+                from ..storage import write_batch_manifest
 
-            write_batch_manifest(flat, table_path, "logs", batch_id=batch_id)
-        else:
-            write_batch(flat, table_path, "logs", batch_id=batch_id)
-        if dead.limit(1).count():
-            write_dead_letters(dead, base, tenant, dataset, "logs", batch_id)
-        flagged.unpersist()
+                write_batch_manifest(flat, table_path, "logs", batch_id=batch_id)
+            else:
+                write_batch(flat, table_path, "logs", batch_id=batch_id)
+            if dead.limit(1).count():
+                write_dead_letters(dead, base, tenant, dataset, "logs", batch_id)
+        finally:
+            # unpersist on ALL exits: an exception mid-write otherwise
+            # pins the cached block, and at-least-once retries stack a
+            # fresh leaked copy per attempt
+            flagged.unpersist()
 
-    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.trigger(processingTime="5 seconds").start()
+    return _drain_stream(
+        raw.writeStream.foreachBatch(sink), checkpoint, available_now
+    )
 
 
 def live_severity_counts(
@@ -379,18 +393,20 @@ def ingest_otlp_traces_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         flagged = with_dead_letter_flag(batch_df, OTLP_TRACES_SCHEMA).cache()
-        dead = flagged.filter(F.col("_dead"))
-        good = flagged.filter(~F.col("_dead")).drop("_dead")
-        flat = flatten_otlp_traces(good, json_col="value")
-        if use_manifest:
-            from ..storage import write_batch_manifest
+        try:
+            dead = flagged.filter(F.col("_dead"))
+            good = flagged.filter(~F.col("_dead")).drop("_dead")
+            flat = flatten_otlp_traces(good, json_col="value")
+            if use_manifest:
+                from ..storage import write_batch_manifest
 
-            write_batch_manifest(flat, table_path, "traces", batch_id=batch_id)
-        else:
-            write_batch(flat, table_path, "traces", batch_id=batch_id)
-        if dead.limit(1).count():
-            write_dead_letters(dead, base, tenant, dataset, "traces", batch_id)
-        flagged.unpersist()
+                write_batch_manifest(flat, table_path, "traces", batch_id=batch_id)
+            else:
+                write_batch(flat, table_path, "traces", batch_id=batch_id)
+            if dead.limit(1).count():
+                write_dead_letters(dead, base, tenant, dataset, "traces", batch_id)
+        finally:
+            flagged.unpersist()
 
     return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)
 
@@ -427,30 +443,32 @@ def ingest_otlp_metrics_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         flagged = with_dead_letter_flag(batch_df, OTLP_METRICS_SCHEMA).cache()
-        dead = flagged.filter(F.col("_dead"))
-        good = flagged.filter(~F.col("_dead")).drop("_dead")
-        tables = flatten_otlp_metrics(good, json_col="value")
-        for table, df in tables.items():
-            # deterministic refusals (null in a required column) split to
-            # the dead-letter sink BEFORE the commit — a poison batch
-            # must not wedge the drain or shadow the batches behind it
-            df, violations = split_schema_violations(df, table)
-            if violations is not None and violations.limit(1).count():
-                write_dead_letters(
-                    violations.select(F.to_json(F.struct("*")).alias("value")),
-                    base, tenant, dataset, table, batch_id,
-                    reason="required column is null",
-                )
-            table_path = signal_table_path(base, tenant, dataset, table)
-            if use_manifest:
-                from ..storage import write_batch_manifest
+        try:
+            dead = flagged.filter(F.col("_dead"))
+            good = flagged.filter(~F.col("_dead")).drop("_dead")
+            tables = flatten_otlp_metrics(good, json_col="value")
+            for table, df in tables.items():
+                # deterministic refusals (null in a required column) split
+                # to the dead-letter sink BEFORE the commit — a poison
+                # batch must not wedge the drain or shadow batches behind
+                df, violations = split_schema_violations(df, table)
+                if violations is not None and violations.limit(1).count():
+                    write_dead_letters(
+                        violations.select(F.to_json(F.struct("*")).alias("value")),
+                        base, tenant, dataset, table, batch_id,
+                        reason="required column is null",
+                    )
+                table_path = signal_table_path(base, tenant, dataset, table)
+                if use_manifest:
+                    from ..storage import write_batch_manifest
 
-                write_batch_manifest(df, table_path, table, batch_id=batch_id)
-            else:
-                write_batch(df, table_path, table, batch_id=batch_id)
-        if dead.limit(1).count():
-            write_dead_letters(dead, base, tenant, dataset, "metrics", batch_id)
-        flagged.unpersist()
+                    write_batch_manifest(df, table_path, table, batch_id=batch_id)
+                else:
+                    write_batch(df, table_path, table, batch_id=batch_id)
+            if dead.limit(1).count():
+                write_dead_letters(dead, base, tenant, dataset, "metrics", batch_id)
+        finally:
+            flagged.unpersist()
 
     return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)
 
@@ -534,32 +552,43 @@ def ingest_otlp_pb_stream(
         decoded = batch_df.select("content").mapInPandas(
             decode, "value string, _dead_payload string"
         ).cache()
-        good = decoded.filter(F.col("value").isNotNull())
-        dead = decoded.filter(F.col("_dead_payload").isNotNull())
-        if signal == "traces":
-            tables = {"traces": otlp.flatten_otlp_traces(good, json_col="value")}
-        elif signal == "logs":
-            tables = {"logs": otlp.flatten_otlp_logs(good, json_col="value")}
-        else:
-            tables = otlp.flatten_otlp_metrics(good, json_col="value")
-        for table, df in tables.items():
-            write_batch_manifest(
-                df, signal_table_path(base, tenant, dataset, table), table,
-                batch_id=batch_id,
-            )
-        if dead.limit(1).count():
-            write_dead_letters(
-                dead.select(F.col("_dead_payload").alias("value")),
-                base, tenant, dataset, signal, batch_id,
-            )
-        decoded.unpersist()
+        try:
+            good = decoded.filter(F.col("value").isNotNull())
+            dead = decoded.filter(F.col("_dead_payload").isNotNull())
+            if signal == "traces":
+                tables = {"traces": otlp.flatten_otlp_traces(good, json_col="value")}
+            elif signal == "logs":
+                tables = {"logs": otlp.flatten_otlp_logs(good, json_col="value")}
+            else:
+                tables = otlp.flatten_otlp_metrics(good, json_col="value")
+            for table, df in tables.items():
+                # the SAME deterministic-refusal split the JSON metrics
+                # path performs: a decodable datapoint violating a
+                # required column (issue-#1060 poison) dead-letters
+                # instead of committing as a bad row — bad rows must not
+                # differ by ingest path
+                df, violations = split_schema_violations(df, table)
+                if violations is not None and violations.limit(1).count():
+                    write_dead_letters(
+                        violations.select(F.to_json(F.struct("*")).alias("value")),
+                        base, tenant, dataset, table, batch_id,
+                        reason="required column is null",
+                    )
+                write_batch_manifest(
+                    df, signal_table_path(base, tenant, dataset, table), table,
+                    batch_id=batch_id,
+                )
+            if dead.limit(1).count():
+                write_dead_letters(
+                    dead.select(F.col("_dead_payload").alias("value")),
+                    base, tenant, dataset, signal, batch_id,
+                )
+        finally:
+            decoded.unpersist()
 
-    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.trigger(processingTime="5 seconds").start()
+    return _drain_stream(
+        raw.writeStream.foreachBatch(sink), checkpoint, available_now
+    )
 
 
 def ingest_remote_write_stream(
@@ -615,26 +644,34 @@ def ingest_remote_write_stream(
         decoded = batch_df.select("content").mapInPandas(
             decode, "value string, _dead_payload string"
         ).cache()
-        good = decoded.filter(F.col("value").isNotNull())
-        dead = decoded.filter(F.col("_dead_payload").isNotNull())
-        for table, df in rw.flatten_remote_write(good).items():
-            write_batch_manifest(
-                df, signal_table_path(base, tenant, dataset, table), table,
-                batch_id=batch_id,
-            )
-        if dead.limit(1).count():
-            write_dead_letters(
-                dead.select(F.col("_dead_payload").alias("value")),
-                base, tenant, dataset, "remote_write", batch_id,
-            )
-        decoded.unpersist()
+        try:
+            good = decoded.filter(F.col("value").isNotNull())
+            dead = decoded.filter(F.col("_dead_payload").isNotNull())
+            for table, df in rw.flatten_remote_write(good).items():
+                # same deterministic-refusal split as every other metric
+                # ingest path (null required column → dead letter)
+                df, violations = split_schema_violations(df, table)
+                if violations is not None and violations.limit(1).count():
+                    write_dead_letters(
+                        violations.select(F.to_json(F.struct("*")).alias("value")),
+                        base, tenant, dataset, table, batch_id,
+                        reason="required column is null",
+                    )
+                write_batch_manifest(
+                    df, signal_table_path(base, tenant, dataset, table), table,
+                    batch_id=batch_id,
+                )
+            if dead.limit(1).count():
+                write_dead_letters(
+                    dead.select(F.col("_dead_payload").alias("value")),
+                    base, tenant, dataset, "remote_write", batch_id,
+                )
+        finally:
+            decoded.unpersist()
 
-    writer = raw.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return q
-    return writer.trigger(processingTime="5 seconds").start()
+    return _drain_stream(
+        raw.writeStream.foreachBatch(sink), checkpoint, available_now
+    )
 
 
 def deduplicated_log_stream(
@@ -690,6 +727,11 @@ def tail_logs(
     from ..sources.otlp import flatten_otlp_logs
 
     sel = logql_parse(query)
+    if not hasattr(sel, "matchers"):
+        # a metric expression parsed — tail streams log LINES only
+        raise ValueError(
+            f"tail takes a log selector, not a metric query: {query!r}"
+        )
     raw = spark.readStream.format("text").load(source_dir)
     df = flatten_otlp_logs(raw, json_col="value")
     for m in sel.matchers:
@@ -698,6 +740,16 @@ def tail_logs(
         df = df.filter(line_filter_expr(lf))
     for lf in sel.label_filters:
         df = df.filter(label_filter_expr(df, sel, lf))
+    # output/transform stages (line_format, decolorize, unpack,
+    # drop/keep) execute exactly like the batch path — tail output for
+    # a pipeline must match query output for the same expression.
+    # `| distinct` needs a global window, which a live stream cannot
+    # provide — reject it loudly instead of an obscure planner error.
+    from ..logql.lowering import _apply_output_stages
+
+    if any(s.name == "distinct" and s.arg for s in sel.stages):
+        raise ValueError("'| distinct' is not supported on a live tail")
+    df = _apply_output_stages(df, sel)
     return df.select(
         "timestamp", "service_name", "severity_text", "body", "log_attributes"
     )

@@ -716,3 +716,137 @@ def test_cleanup_orphans_grace_period(spark, tmp_path):
     assert mt.read(spark).count() == 10
     # idempotent
     assert cleanup_orphans(table, grace_seconds=0) == []
+
+
+# ----------------------------------------- hot/streaming guard pins (r9)
+
+
+def test_hybrid_read_pins_one_manifest_version(spark, tmp_path, monkeypatch):
+    """The watermark and the cold file list resolve from ONE pinned
+    manifest version: a flush committing between two independent
+    resolutions would pair an old watermark with the new file list and
+    duplicate every flushed row."""
+    from signaldb_spark.storage.hot import (
+        HotStore,
+        ManifestTable,
+        flush_hot,
+        hybrid_read,
+    )
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 10))
+    flush_hot(spark, table, "logs")  # manifest v exists; wm covers seq 1
+    store.ack(_rows(spark, 5))  # new hot batch, not yet flushed
+
+    orig = ManifestTable.read
+    fired = {"n": 0}
+
+    def racy_read(self, spark_, version=None, **k):
+        # a flush lands between hybrid_read's watermark resolution and
+        # its cold read; the pinned version must make this invisible
+        if fired["n"] == 0:
+            fired["n"] = 1
+            monkeypatch.setattr(ManifestTable, "read", orig)
+            flush_hot(spark_, table, "logs")
+        return orig(self, spark_, version=version, **k)
+
+    monkeypatch.setattr(ManifestTable, "read", racy_read)
+    got = hybrid_read(spark, table)
+    assert fired["n"] == 1
+    assert got.count() == 15  # 10 cold + 5 hot, no duplication
+
+
+def test_hot_sequences_beyond_eight_digits_stay_visible(spark, tmp_path):
+    """seq numbers format with {:08d} — past 99,999,999 the name grows
+    to 9 digits and must still be listed (an exactly-8 regex silently
+    orphaned such acked batches forever)."""
+    import os
+
+    from signaldb_spark.storage.hot import HotStore
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    s1 = store.ack(_rows(spark, 3))
+    big = os.path.join(table, "hot", "seq-100000000")
+    os.rename(os.path.join(table, "hot", f"seq-{s1:08d}"), big)
+    assert store.sequences() == [100000000]
+    assert store.read_hot(spark).count() == 3
+    # and the next ack claims a HIGHER sequence, never a collision
+    s2 = store.ack(_rows(spark, 2))
+    assert s2 == 100000001
+
+
+def test_read_hot_merges_schemas_across_batches(spark, tmp_path):
+    """A column added in a newer hot batch must survive a union read of
+    old + new batches (single-footer schema picking silently dropped
+    it)."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.storage.hot import HotStore
+
+    table = str(tmp_path / "t")
+    store = HotStore(table)
+    store.ack(_rows(spark, 4))
+    store.ack(_rows(spark, 3).withColumn("new_attr", F.lit("x")))
+    hot = store.read_hot(spark)
+    assert "new_attr" in hot.columns
+    assert hot.filter(F.col("new_attr").isNotNull()).count() == 3
+
+
+def test_legacy_replay_sweep_never_touches_manifest_data(spark, tmp_path):
+    """A checkpoint replayed with use_manifest flipped off must not
+    unlink manifest-committed files that share the batch-{id}- naming."""
+    from signaldb_spark.storage.manifest import ManifestTable, write_batch_manifest
+    from signaldb_spark.streaming.ingest import write_batch
+
+    table = str(tmp_path / "t")
+    write_batch_manifest(_rows(spark, 10).repartition(1), table, "logs", batch_id=7)
+    mt = ManifestTable(table)
+    committed = mt.files()
+    assert committed and all("batch-7-" in f for f in committed)
+    # legacy-path replay of the SAME batch id over the same table root
+    write_batch(_rows(spark, 6), table, "logs", batch_id=7)
+    import os
+
+    for f in committed:
+        assert os.path.exists(f), "manifest-committed file was swept"
+    assert mt.read(spark).count() == 10
+
+
+def test_tail_rejects_metric_queries_and_runs_output_stages(spark, tmp_path):
+    """tail_logs raises cleanly on a metric expression and executes the
+    pipeline's output stages (line_format) like the batch path."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from signaldb_spark.streaming.ingest import tail_logs
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    with _pytest.raises(ValueError, match="log selector"):
+        tail_logs(spark, str(src), 'count_over_time({service_name="x"}[5m])')
+    payload = {
+        "resourceLogs": [{
+            "resource": {"attributes": [
+                {"key": "service.name", "value": {"stringValue": "api"}}]},
+            "scopeLogs": [{"logRecords": [{
+                "timeUnixNano": "1704067200000000000",
+                "severityText": "INFO",
+                "body": {"stringValue": "hello"},
+            }]}],
+        }]
+    }
+    (src / "b.json").write_text(json.dumps(payload))
+    stream = tail_logs(
+        spark, str(src), '{service_name="api"} | line_format "L:{{__line__}}"'
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("tail_r9")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from tail_r9").collect()
+    assert len(rows) == 1 and rows[0].body == "L:hello"
