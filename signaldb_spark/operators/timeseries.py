@@ -130,6 +130,13 @@ def quantile_over_time(df, ts_col, step_seconds, series_cols, value_col, phi: fl
     default: at 100 TB the per-group row counts after the (bucket,series)
     shuffle are modest, and exactness buys oracle parity.
     """
+    # Prometheus answers out-of-range φ with ±Inf (plus a warning);
+    # Spark's percentile would abort the query instead
+    if phi < 0 or phi > 1:
+        sentinel = float("-inf") if phi < 0 else float("inf")
+        return range_aggregate(
+            df, ts_col, step_seconds, series_cols, F.max(F.lit(sentinel))
+        )
     fn = F.percentile if exact else F.percentile_approx
     return range_aggregate(
         df, ts_col, step_seconds, series_cols, fn(F.col(value_col), F.lit(phi))
@@ -143,7 +150,13 @@ def _array_median(arr: Column) -> Column:
     mid = ((n + 1) / 2).cast("int")
     lo = F.element_at(arr, (n / 2).cast("int"))
     hi = F.element_at(arr, (n / 2).cast("int") + 1)
-    return F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise((lo + hi) / 2.0)
+    # the n > 0 guard is load-bearing: an EMPTY array (all-null values —
+    # collect_list drops nulls) would evaluate element_at(arr, 0) in the
+    # even branch, which always throws INVALID_INDEX_OF_ZERO
+    return F.when(
+        n > 0,
+        F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise((lo + hi) / 2.0),
+    )
 
 
 def mad_over_time(df, ts_col, step_seconds, series_cols, value_col):
@@ -196,7 +209,12 @@ def outer_aggregate(
     metrics.rs:2241-2334). ``quantile`` handles quantile-across-series.
     """
     if quantile is not None:
-        expr = F.percentile(F.col(value_col), F.lit(quantile))
+        if quantile < 0 or quantile > 1:
+            # Prometheus: out-of-range φ answers ±Inf with a warning;
+            # Spark's percentile would abort the query
+            expr = F.max(F.lit(float("-inf") if quantile < 0 else float("inf")))
+        else:
+            expr = F.percentile(F.col(value_col), F.lit(quantile))
     else:
         expr = OUTER_AGGS[agg](F.col(value_col))
     return matrix.groupBy("bucket", *by).agg(expr.alias(value_col))
@@ -237,22 +255,31 @@ def irate(df, ts_col, step_seconds, series_cols, value_col, idelta_only=False):
     Window ``lag`` over time order within the series partition — stays
     in-engine (the reference does this post-collect).
     """
+    # ONE window spec serves lag, row_number, and the group count — all
+    # three share the ascending sort, so Catalyst plans a single
+    # WindowExec (the previous asc-lag + desc-row_number pair paid two
+    # full window sorts over the same partition)
     w = Window.partitionBy("bucket", *series_cols).orderBy(F.col(ts_col))
+    wcnt = Window.partitionBy("bucket", *series_cols)
     b = with_bucket(df, ts_col, step_seconds)
-    b = b.withColumn("_prev_v", F.lag(value_col).over(w)).withColumn(
-        "_prev_t", F.lag(ts_col).over(w)
-    )
-    # keep only the last row of each group: row_number desc == 1
-    wd = Window.partitionBy("bucket", *series_cols).orderBy(F.col(ts_col).desc())
-    b = b.withColumn("_rn", F.row_number().over(wd)).filter(
-        (F.col("_rn") == 1) & F.col("_prev_v").isNotNull()
+    b = (
+        b.withColumn("_prev_v", F.lag(value_col).over(w))
+        .withColumn("_prev_t", F.lag(ts_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wcnt))
+        .filter((F.col("_rn") == F.col("_n")) & F.col("_prev_v").isNotNull())
     )
     dv = F.col(value_col) - F.col("_prev_v")
     # exact µs difference: casting each timestamp to double first loses
     # sub-µs precision (double resolution ~2e-7s at 2024 epochs) and the
     # error is amplified by the division
     dt = (F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_prev_t"))) / 1e6
-    value = dv if idelta_only else dv / dt
+    # dt == 0 (duplicate-timestamp ingestion artifact) must not abort
+    # the query under ANSI division — IEEE semantics like every other
+    # PromQL division: ±Inf by the sign of dv, NaN for 0/0
+    from .vector_ops import _ieee_div
+
+    value = dv if idelta_only else _ieee_div(dv, dt)
     return b.select("bucket", *series_cols, value.alias("value"))
 
 

@@ -12,27 +12,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def _ieee_div(a, b):
+    """PromQL (IEEE-754 float) division: x/0 is signed infinity, 0/0 is
+    NaN. Spark's ``/`` under ANSI mode (on by default in Spark 4) would
+    instead abort the whole query with DIVIDE_BY_ZERO on one zero
+    sample; the scalar-scalar fold already implements exactly these
+    semantics (promql/lowering._fold)."""
+    return F.when(b != 0, a / b).otherwise(
+        F.when(a > 0, F.lit(float("inf")))
+        .when(a < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))  # 0/0 and NaN/0
+    )
+
+
+def _go_mod(a, b):
+    """Go math.Mod: truncated remainder, sign of the dividend; x % 0 is
+    NaN (never ANSI's REMAINDER_BY_ZERO abort)."""
+    return F.when(b != 0, a % b).otherwise(F.lit(float("nan")))
+
+
 ARITH = {
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
+    "/": _ieee_div,
     # Prometheus % is Go math.Mod: truncated remainder, sign of the
-    # dividend (NOT pmod) — Spark's native % matches
-    "%": lambda a, b: a % b,
+    # dividend (NOT pmod) — Spark's native % matches for b != 0
+    "%": _go_mod,
     "^": lambda a, b: F.pow(a, b),
     # binary operator in PromQL grammar, same precedence tier as *
     "atan2": lambda a, b: F.atan2(a, b),
 }
 
+
+def _no_nan(a, b, cond):
+    # PromQL/IEEE: every comparison with a NaN operand is FALSE except
+    # != (which is true). Spark's SQL semantics instead make NaN equal
+    # to itself and greater than every double — extra series would
+    # survive filters Prometheus drops.
+    return cond & ~F.isnan(a) & ~F.isnan(b)
+
+
 COMPARE = {
-    "==": lambda a, b: a == b,
-    "!=": lambda a, b: a != b,
-    ">": lambda a, b: a > b,
-    ">=": lambda a, b: a >= b,
-    "<": lambda a, b: a < b,
-    "<=": lambda a, b: a <= b,
+    "==": lambda a, b: _no_nan(a, b, a == b),
+    "!=": lambda a, b: (a != b) | F.isnan(a) | F.isnan(b),
+    ">": lambda a, b: _no_nan(a, b, a > b),
+    ">=": lambda a, b: _no_nan(a, b, a >= b),
+    "<": lambda a, b: _no_nan(a, b, a < b),
+    "<=": lambda a, b: _no_nan(a, b, a <= b),
 }
+
+
+def _ieee_log(logged, v):
+    """Spark's log family returns NULL for non-positive input; IEEE (and
+    Prometheus) define log(0) = -Inf and log(x<0) = NaN."""
+    return (
+        F.when(v > 0, logged)
+        .when(v == 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
 
 
 def _prep(
@@ -120,15 +158,21 @@ VALUE_OPS = {
     "ceil": lambda v, a: F.ceil(v).cast("double"),
     "floor": lambda v, a: F.floor(v).cast("double"),
     # round(v[, to_nearest]): second arg is a multiple, not a scale;
-    # to_nearest <= 0 falls back to 1 (Prometheus defaults)
+    # to_nearest <= 0 falls back to 1 (Prometheus defaults). Ties round
+    # toward +Inf like Prometheus (floor(v/n + 0.5) * n): round(-2.5)
+    # is -2, where Spark's F.round (half away from zero) says -3
     "round": lambda v, a: (
-        F.round(v, 0) if not a or not a[0] else (F.round(v / a[0], 0) * a[0])
+        F.floor(v / (n := (a[0] if a and a[0] and a[0] > 0 else 1)) + 0.5)
+        .cast("double") * F.lit(float(n))
     ),
     "sqrt": lambda v, a: F.sqrt(v),
     "exp": lambda v, a: F.exp(v),
-    "ln": lambda v, a: F.log(v),
-    "log2": lambda v, a: F.log2(v),
-    "log10": lambda v, a: F.log10(v),
+    # Prometheus/IEEE log semantics: log(0) = -Inf, log(x<0) = NaN —
+    # Spark's log family returns NULL for both, silently vanishing the
+    # sample from downstream aggregates
+    "ln": lambda v, a: _ieee_log(F.log(v), v),
+    "log2": lambda v, a: _ieee_log(F.log2(v), v),
+    "log10": lambda v, a: _ieee_log(F.log10(v), v),
     "sgn": lambda v, a: F.signum(v),
     "clamp": lambda v, a: F.least(F.greatest(v, F.lit(a[0])), F.lit(a[1])),
     "clamp_min": lambda v, a: F.greatest(v, F.lit(a[0])),
@@ -171,7 +215,12 @@ def label_replace(
     deletes the label (null), per apply_label_replace.
     """
     anchored = f"^(?:{regex})$"
-    src_col = F.col(src) if src in matrix.columns else F.lit("")
+    # a missing label is the empty string (Prometheus): coalesce row
+    # NULLs too, not just an absent column — label_replace(m, dst, 'd',
+    # 'src', '.*') must set dst on series whose src value is null
+    src_col = (
+        F.coalesce(F.col(src), F.lit("")) if src in matrix.columns else F.lit("")
+    )
     matched = src_col.rlike(anchored)
     replaced = F.regexp_replace(src_col, anchored, replacement)
     existing = F.col(dst) if dst in matrix.columns else F.lit(None).cast("string")

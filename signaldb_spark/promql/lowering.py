@@ -181,6 +181,16 @@ def _at_ctx(ctx: PromCtx, sel: VectorSelector, lookback: float) -> PromCtx:
     )
 
 
+def _phi_percentile(v, phi: float):
+    """percentile with Prometheus's out-of-range answer: phi < 0 is
+    -Inf, phi > 1 is +Inf (Prometheus warns; Spark's percentile would
+    abort the whole query on its [0,1] range check)."""
+    phi = float(phi)
+    if phi < 0 or phi > 1:
+        return F.max(F.lit(float("-inf") if phi < 0 else float("inf")))
+    return F.percentile(v, F.lit(phi))
+
+
 def lower_range_fn(
     ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None = None,
     extra: tuple = (),
@@ -242,7 +252,7 @@ def lower_range_fn(
         "present_over_time": F.lit(1.0),
         "stddev_over_time": F.stddev_pop(v),
         "stdvar_over_time": F.var_pop(v),
-        "quantile_over_time": F.percentile(v, F.lit(phi if phi is not None else 0.5)),
+        "quantile_over_time": _phi_percentile(v, phi if phi is not None else 0.5),
     }[fn]
     return ts.range_aggregate(df, "timestamp", step, series, agg)
 
@@ -702,8 +712,7 @@ def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call, phi: float | None = 
         "last_over_time": F.max_by(v, b),
         "first_over_time": F.min_by(v, F.struct(b, v)),
         "present_over_time": F.max(F.lit(1.0)),
-        "quantile_over_time": F.percentile(
-            v, F.lit(float(phi if phi is not None else 0.0))),
+        "quantile_over_time": _phi_percentile(v, phi if phi is not None else 0.0),
         "ts_of_max_over_time": F.max_by(b.cast("double"), F.struct(v, b)),
         "ts_of_min_over_time": F.max_by(b.cast("double"), F.struct(-v, b)),
         "ts_of_last_over_time": F.max(b.cast("double")),

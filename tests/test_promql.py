@@ -1400,3 +1400,111 @@ def test_negative_literal_args_fold(ctx):
     crashing (histogram_quantile/fraction/vector/clamp)."""
     v = query_range(ctx, "vector(-5)").collect()
     assert v and all(r.value == -5.0 for r in v)
+
+
+def test_vector_division_by_zero_is_ieee(ctx, spark):
+    """vector/vector and vector/scalar division by zero yields ±Inf/NaN
+    samples (Prometheus floats), never an ANSI DIVIDE_BY_ZERO abort."""
+    from signaldb_spark.operators.vector_ops import scalar_arith, vector_arith
+
+    l = spark.createDataFrame(
+        [(0, "a", 6.0), (0, "b", -6.0), (0, "c", 0.0)],
+        "bucket long, service_name string, value double",
+    )
+    r = spark.createDataFrame(
+        [(0, "a", 0.0), (0, "b", 0.0), (0, "c", 0.0)],
+        "bucket long, service_name string, value double",
+    )
+    out = {x.service_name: x.value
+           for x in vector_arith(l, r, "/", ["bucket", "service_name"]).collect()}
+    assert out["a"] == math.inf and out["b"] == -math.inf
+    assert math.isnan(out["c"])
+    mod = {x.service_name: x.value
+           for x in vector_arith(l, r, "%", ["bucket", "service_name"]).collect()}
+    assert all(math.isnan(v) for v in mod.values())
+    s = {x.service_name: x.value
+         for x in scalar_arith(l, "/", 0.0).collect()}
+    assert s["a"] == math.inf and math.isnan(s["c"])
+
+
+def test_comparisons_drop_nan_like_prometheus(spark):
+    """NaN operands make every comparison false except != — Spark's SQL
+    semantics (NaN == NaN true, NaN greater than all) would keep extra
+    series Prometheus drops."""
+    from signaldb_spark.operators.vector_ops import compare_scalar_filter
+
+    nan = float("nan")
+    m = spark.createDataFrame(
+        [(0, "a", nan), (0, "b", 5.0)],
+        "bucket long, service_name string, value double",
+    )
+    assert {r.service_name for r in
+            compare_scalar_filter(m, ">", 1.0).collect()} == {"b"}
+    assert {r.service_name for r in
+            compare_scalar_filter(m, "==", nan).collect()} == set()
+    assert {r.service_name for r in
+            compare_scalar_filter(m, "!=", 5.0).collect()} == {"a"}
+
+
+def test_round_ties_toward_positive_infinity(ctx):
+    """Prometheus round() resolves ties toward +Inf (floor(v+0.5)):
+    round(-2.5) is -2, not Spark's half-away-from-zero -3."""
+    got = query_range(ctx, "round(vector(-2.5))").collect()
+    assert got and all(r.value == -2.0 for r in got)
+    got2 = query_range(ctx, "round(vector(2.5))").collect()
+    assert all(r.value == 3.0 for r in got2)
+
+
+def test_ln_of_zero_and_negative(ctx):
+    """ln(0) = -Inf and ln(x<0) = NaN (IEEE), never a silent NULL that
+    vanishes from downstream aggregates."""
+    z = query_range(ctx, "ln(vector(0))").collect()
+    assert z and all(r.value == -math.inf for r in z)
+    n = query_range(ctx, "ln(0 - vector(1))").collect()
+    assert n and all(math.isnan(r.value) for r in n)
+
+
+def test_quantile_phi_out_of_range_is_infinite(ctx):
+    """quantile_over_time(2, …) / quantile(1.5, …) answer ±Inf like
+    Prometheus (with a warning there), instead of aborting on Spark's
+    percentile range check."""
+    hi = query_range(
+        ctx, "quantile_over_time(2, process_cpu_usage[10m])").collect()
+    assert hi and all(r.value == math.inf for r in hi)
+    from signaldb_spark.operators.timeseries import outer_aggregate
+
+    m = ctx.spark.createDataFrame(
+        [(0, "a", 1.0)], "bucket long, service_name string, value double"
+    )
+    lo = outer_aggregate(m, [], quantile=-0.5).collect()
+    assert lo and lo[0].value == -math.inf
+
+
+def test_irate_duplicate_timestamp_does_not_abort(spark):
+    """Two samples sharing the bucket's last timestamp (at-least-once
+    ingest artifact) must not abort irate with DIVIDE_BY_ZERO."""
+    import datetime as dt
+
+    from signaldb_spark.operators.timeseries import irate
+
+    t = dt.datetime(2024, 1, 1, 0, 0, 30)
+    df = spark.createDataFrame(
+        [(t, "api", 1.0), (t, "api", 3.0)],
+        "timestamp timestamp, service_name string, value double",
+    )
+    rows = irate(df, "timestamp", 600, ["service_name"], "value").collect()
+    assert len(rows) == 1  # value is ±Inf/NaN, never an exception
+
+
+def test_label_replace_defaults_null_src(spark):
+    """label_replace with '.*' must match series whose src label VALUE
+    is null (missing label = empty string), not only an absent column."""
+    from signaldb_spark.operators.vector_ops import label_replace
+
+    m = spark.createDataFrame(
+        [(0, None, 1.0), (0, "x", 2.0)],
+        "bucket long, src string, value double",
+    )
+    out = label_replace(m, "dst", "d-$1", "src", "(.*)").collect()
+    got = {r.value: r.dst for r in out}
+    assert got[1.0] == "d-" and got[2.0] == "d-x"
