@@ -47,7 +47,9 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
     """
     tokens = fan_out(df).select(
         F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term")
-    )
+    ).filter(F.col("term") != "")  # empty/whitespace-only docs tokenize
+    # to [''] — an empty "term" with tiny df would otherwise rank as the
+    # doc's top characteristic term
     tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("term_df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -114,10 +116,14 @@ def decontaminate(
             F.count("hit").alias("n_common"),
         )
     )
-    base = corpus.select(id_col, "source")
+    # 'source' rides along when the corpus has one (the composition
+    # reports group on it) but is not required — the overlap math never
+    # reads it, and hardcoding it crashed source-less corpora
+    src_cols = ["source"] if "source" in corpus.columns else []
+    base = corpus.select(id_col, *src_cols)
     out = base.join(counts, id_col, "left").select(
         F.col(id_col),
-        "source",
+        *src_cols,
         F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
         F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
     )
@@ -234,29 +240,42 @@ def segment_dedup(
     keep_cond = F.col("seg_n") == 1
     if keep_first:
         keep_cond = keep_cond | (occ == F.col("first_occ"))
-    kept = exploded.join(verdict, "seg_h").withColumn(
-        "_keep", keep_cond.cast("int")
+    # verdicts travel WITHOUT segment text — (id, pos, seg_h) longs only
+    # through the seg_h shuffle and the per-doc groupBy; the text joins
+    # back exactly once (base join on id) and clean_text re-slices from
+    # the doc's own token array. The previous shape carried every
+    # segment string through BOTH shuffles, which at scale made the
+    # exchanges text-width, not long-width.
+    kept = (
+        exploded.select(id_col, "pos", "seg_h")
+        .join(verdict, "seg_h")
+        .withColumn("_keep", keep_cond.cast("int"))
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum("_keep").alias("n_kept"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_keep") == 1, F.struct("pos", "seg")
-                            )
-                        )
-                    ),
-                    lambda s: s["seg"],
-                ),
-            ).alias("clean_text"),
-        )
-        .select(id_col, "clean_text", "n_segments", "n_kept")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum("_keep").cast("long").alias("n_kept"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_keep") == 1, F.col("pos")))
+        ).alias("_kept_pos"),
+    )
+    # LEFT join from base: a doc with NULL/empty text produced no
+    # segments and would otherwise vanish — the docstring's contract is
+    # that every input doc appears (empty clean_text, zero counts)
+    joined = base.join(per_doc, id_col, "left")
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.coalesce(F.col("_kept_pos"), F.array().cast("array<int>")),
+            lambda p: F.concat_ws(
+                " ", F.slice(tokens, p * seg_words + 1, seg_words)
+            ),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
 
 
@@ -315,6 +334,11 @@ def pack_sequences(
     to the partition boundaries, so sampling-based range bounds don't
     affect output."""
     spark = df.sparkSession
+    # NULL token counts (NULL-text docs upstream) pack as zero-length
+    # sequences: without the coalesce, a partition of all-NULL counts
+    # crashes the driver on int(None) and mixed rows silently emit
+    # bin=NULL rows no unpacker can place
+    df = df.withColumn(token_col, F.coalesce(F.col(token_col), F.lit(0)))
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
     part = df.repartitionByRange(n_parts, F.col(id_col)).withColumn(
         "_pid", F.spark_partition_id()
@@ -494,8 +518,13 @@ def repeated_ngram_stats(
     standard production tradeoff.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(F.col(id_col), toks.alias("_t")).select(
-        id_col, "_t", F.size("_t").alias("total_tokens")
+    # fan_out: the per-row xxhash64 window work below is the heaviest
+    # map stage in the file — a single-split input must not serialize it
+    # on one core. greatest(…, 0): size(NULL) is -1 for NULL-text docs,
+    # which would emit total_tokens = -1 into downstream sums.
+    base = fan_out(df).select(F.col(id_col), toks.alias("_t")).select(
+        id_col, "_t",
+        F.greatest(F.size("_t"), F.lit(0)).alias("total_tokens"),
     )
     # window hashes with their start position (0-based)
     win = base.select(
@@ -583,8 +612,15 @@ def corpus_report(
             r6(
                 F.avg((F.col("quality_score") >= quality_threshold).cast("double"))
             ).alias("quality_pass_rate"),
+            # denominator counts non-null digests only, matching the
+            # countDistinct numerator — NULL-text docs are not
+            # duplicates of each other and must not inflate the rate
+            # (all-null source would otherwise report 1.0)
             r6(
-                F.lit(1.0) - F.countDistinct("_digest") / F.count(F.lit(1))
+                F.when(
+                    F.count("_digest") > 0,
+                    F.lit(1.0) - F.countDistinct("_digest") / F.count("_digest"),
+                ).otherwise(F.lit(0.0))
             ).alias("exact_dup_rate"),
         )
         .orderBy("source")

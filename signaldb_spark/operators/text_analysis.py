@@ -23,8 +23,13 @@ LANG_MARKERS = {
 
 
 def _count_word(text: Column, word: str) -> Column:
-    """Occurrences of a whole word in normalized text."""
-    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), F.lit(0)))
+    """Occurrences of a whole word in normalized text. NULL text counts
+    ZERO — size(NULL) is -1 under Spark's legacy sizeOfNull, which would
+    make every marker score negative for null-body rows."""
+    return F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), F.lit(0))),
+        F.lit(0),
+    )
 
 
 def lang_scores(df: DataFrame, text_col: str) -> DataFrame:

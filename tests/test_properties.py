@@ -605,3 +605,51 @@ def test_verify_pairs_scores_shingleless_docs_zero(spark):
     pairs = spark.createDataFrame([("d1", "d2")], "id_a string, id_b string")
     got = verify_candidate_pairs(pairs, sh, "doc_id", threshold=0.0).collect()
     assert len(got) == 1 and got[0].jaccard == 0.0
+
+
+def test_corpus_ops_tolerate_null_text(spark):
+    """NULL-text docs flow through the corpus operators: segment_dedup
+    keeps them (empty clean_text, zero counts), pack_sequences packs
+    them as zero-length, repeated_ngram_stats reports 0 tokens (not
+    size(NULL) = -1), lang scores count zero evidence, and
+    decontaminate works without a 'source' column."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.corpus import (
+        decontaminate,
+        pack_sequences,
+        repeated_ngram_stats,
+        segment_dedup,
+    )
+    from signaldb_spark.operators.text_analysis import lang_scores
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta epsilon zeta"), ("d2", None),
+         ("d3", "the and is of to in")],
+        "doc_id string, text string",
+    )
+    sd = {r.doc_id: r for r in segment_dedup(docs, "doc_id", "text", 3).collect()}
+    assert set(sd) == {"d1", "d2", "d3"}
+    assert sd["d2"].clean_text == "" and sd["d2"].n_segments == 0
+
+    toks = docs.withColumn(
+        "tokens",
+        F.when(F.col("text").isNotNull(), F.size(F.split("text", " "))),
+    )
+    packed = pack_sequences(toks, "doc_id", "tokens", budget=8).collect()
+    assert {r.doc_id for r in packed} == {"d1", "d2", "d3"}
+    assert all(r.bin is not None for r in packed)
+
+    rep = {r.doc_id: r.total_tokens
+           for r in repeated_ngram_stats(docs, "doc_id", "text", n=2).collect()}
+    assert rep["d2"] == 0
+
+    ls = lang_scores(docs, "text").collect()
+    null_row = [r for r in ls if r.text is None][0]
+    assert null_row.score_en == 0 and null_row.pred_lang == "und"
+
+    out = decontaminate(
+        docs, "doc_id", "text",
+        benchmark_filter=F.col("doc_id") == "d3",
+    )
+    assert "source" not in out.columns and out.count() == 2
