@@ -45,13 +45,22 @@ def _minus_seconds(t, secs: float):
 
 def _epoch_nanos(t) -> int:
     """ISO string / datetime / epoch-seconds number → epoch nanoseconds
-    (naive timestamps are UTC, matching the session timezone pin)."""
+    (naive timestamps are UTC, matching the session timezone pin).
+    Integer arithmetic throughout: float seconds × 1e9 carries ~400 ns
+    of error at 2026 epochs (the same trap shapers.py documents), which
+    is enough to corrupt µs-precise cell values and window bounds."""
+    import calendar
+
     if isinstance(t, str):
         t = dt.datetime.fromisoformat(t)
     if isinstance(t, dt.datetime):
         if t.tzinfo is None:
-            t = t.replace(tzinfo=dt.timezone.utc)
-        return int(t.timestamp() * 1e9)
+            secs = calendar.timegm(t.timetuple())
+        else:
+            secs = calendar.timegm(t.utctimetuple())
+        return secs * 1_000_000_000 + t.microsecond * 1_000
+    if isinstance(t, int):
+        return t * 1_000_000_000
     return int(float(t) * 1e9)
 
 
@@ -257,7 +266,17 @@ class SignalDBAPI:
         df = self.session.table(table)
         if df is None:
             return error_envelope(f"no {table} table for tenant", "not_found")
-        attr_col = "log_attributes" if "log_attributes" in df.columns else "attributes"
+        # per-signal attribute homes: logs → log_attributes, traces →
+        # span_attributes, metrics → attributes; falling back blindly to
+        # 'attributes' made the route unanswerable for traces
+        attr_col = next(
+            (c for c in ("log_attributes", "span_attributes", "attributes")
+             if c in df.columns),
+            None,
+        )
+        if attr_col is None:
+            return error_envelope(
+                f"{table} has no attribute map column", "bad_data")
         # the response field name keeps the operator's exact-vs-approx
         # distinction — an HLL estimate must not masquerade as exact
         card = "cardinality" if exact else "approx_cardinality"
@@ -269,6 +288,7 @@ class SignalDBAPI:
             key=lambda d: d["key"],
         )}
 
+    @_guarded_route
     def prom_metadata(self) -> dict:
         from .promql.discovery import metric_metadata
 
@@ -300,9 +320,9 @@ class SignalDBAPI:
                 if direction == "backward":
                     fast = self._tail_topk(parsed, start, end, step_seconds, limit)
                     if fast is not None:
-                        return logs_to_loki_streams(fast)
+                        return logs_to_loki_streams(fast, direction=direction)
                 rows = query_logs(ctx, parsed, limit=limit, direction=direction)
-                return logs_to_loki_streams(rows)
+                return logs_to_loki_streams(rows, direction=direction)
             return matrix_to_prom(query_metric(ctx, query))
         except Exception as e:
             return error_envelope(str(e))
@@ -326,6 +346,11 @@ class SignalDBAPI:
         from .storage.hot import HotStore, committed_watermark
         from .storage.manifest import MANIFEST_DIR, ManifestTable
 
+        if limit <= 0:
+            # read_recent_topk's early-stop boundary probe indexes
+            # rows[-1]; n=0 would IndexError — the slow path answers
+            # the (empty) result correctly
+            return None
         if any(s.name == "distinct" for s in sel.stages):
             # distinct keeps the EARLIEST row per combination — a
             # cross-row stage a partial newest-first file set answers
@@ -364,10 +389,13 @@ class SignalDBAPI:
 
     @_guarded_route
     def loki_query(self, query: str, time, lookback_s: int = DEFAULT_LOOKBACK_S) -> dict:
-        ctx = self._logs_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
-        if ctx is None:
-            return error_envelope("no logs table for tenant")
         try:
+            # inside the try: a malformed ISO string (or a numeric epoch
+            # minus timedelta TypeError) must envelope like every other
+            # bad input, not raise to the transport
+            ctx = self._logs_ctx(_minus_seconds(time, lookback_s), time, lookback_s)
+            if ctx is None:
+                return error_envelope("no logs table for tenant")
             return matrix_to_instant_vector(query_instant(ctx, query))
         except Exception as e:
             return error_envelope(str(e))
@@ -543,10 +571,14 @@ class SignalDBAPI:
             else:
                 rows = search(traces, parse_tags(tags or ""), limit=limit,
                               spans_per_trace=spss, start=start, end=end)
+            # collect INSIDE the try: DataFrames are lazy, so runtime
+            # errors (corrupt file, executor-side failure) surface here,
+            # not at plan construction — they must envelope too
+            collected = [row.asDict() for row in rows.collect()]
         except Exception as e:
             return error_envelope(str(e))
         by_trace: dict[str, list] = {}
-        for r in (row.asDict() for row in rows.collect()):
+        for r in collected:
             by_trace.setdefault(r["trace_id"], []).append(r)
         out = []
         for tid, spans in sorted(
@@ -582,7 +614,12 @@ class SignalDBAPI:
         if traces is None:
             return error_envelope("no traces table for tenant", "not_found")
         try:
-            spans = traces.filter(F.col("timestamp").between(start, end))
+            from .operators.timeseries import time_window
+
+            # the shared window helper, like every other windowed route:
+            # a raw between() with a None bound becomes a NULL predicate
+            # that silently drops every row instead of opening that side
+            spans = time_window(traces, "timestamp", start, end)
             out = metrics_query(spans, q, step_seconds)
         except Exception as e:
             return error_envelope(str(e))
@@ -1039,7 +1076,11 @@ class SignalDBAPI:
                     ))
                 where = (_validate_pred(req["where"])
                          if req.get("where") is not None else None)
-                limit = int(req.get("limit") or DEFAULT_VALUE_LIMIT)
+                # `or` would silently turn an explicit limit=0 into the
+                # default, bypassing the positive-int contract
+                raw_limit = req.get("limit")
+                limit = (DEFAULT_VALUE_LIMIT if raw_limit is None
+                         else int(raw_limit))
                 if limit <= 0:
                     raise ValueError("limit must be a positive int")
             except (KeyError, TypeError, ValueError, IRValidationError) as e:
@@ -1329,7 +1370,7 @@ class AdminAPI:
             ],
         }}
 
-    def create_tenant_tables(self, spark, tenant_id: str,
+    def create_tenant_tables(self, tenant_id: str,
                              ctx_tenant_id: str | None = None,
                              can_manage: bool = True,
                              dataset: str | None = None) -> dict:

@@ -46,9 +46,12 @@ def matrix_to_instant_vector(df: DataFrame, value_col: str = "value") -> dict[st
     return {"status": "success", "data": {"resultType": "vector", "result": result}}
 
 
-def logs_to_loki_streams(df: DataFrame) -> dict[str, Any]:
+def logs_to_loki_streams(df: DataFrame, direction: str = "backward") -> dict[str, Any]:
     """Log rows → Loki streams envelope: one stream per label set,
-    values as [ns_timestamp, line] (batches_to_streams, logql.rs:638)."""
+    values as [ns_timestamp, line] (batches_to_streams, logql.rs:638).
+    ``direction`` orders each stream's values — Loki's contract is that
+    forward queries return entries ascending in time; hardcoding
+    newest-first handed forward-paginating clients reversed batches."""
     streams: dict[tuple, list] = {}
     for row in df.collect():
         labels = {"service_name": row["service_name"]}
@@ -63,7 +66,7 @@ def logs_to_loki_streams(df: DataFrame) -> dict[str, Any]:
         ns = (calendar.timegm(ts_.timetuple()) * 1_000_000 + ts_.microsecond) * 1000
         streams.setdefault(key, []).append([str(ns), row["body"] or ""])
     result = [
-        {"stream": dict(k), "values": sorted(v, reverse=True)}
+        {"stream": dict(k), "values": sorted(v, reverse=direction == "backward")}
         for k, v in sorted(streams.items())
     ]
     return {"status": "success", "data": {"resultType": "streams", "result": result}}

@@ -205,10 +205,10 @@ def test_tenant_tables_lifecycle(spark, tmp_path):
     assert api.list_tenant_tables("acme")["data"]["tables"] == []
 
     # create requires the admin role
-    denied = api.create_tenant_tables(spark, "acme", can_manage=False)
+    denied = api.create_tenant_tables("acme", can_manage=False)
     assert denied["status"] == "error" and denied["errorType"] == "forbidden"
 
-    out = api.create_tenant_tables(spark, "acme")
+    out = api.create_tenant_tables("acme")
     assert out["status"] == "success"
     created = out["data"]["created"]
     assert "traces" in created and "logs" in created
@@ -220,7 +220,7 @@ def test_tenant_tables_lifecycle(spark, tmp_path):
     assert "log entries" in by_name["logs"]["description"]
 
     # idempotent re-create: everything skipped, nothing re-created
-    again = api.create_tenant_tables(spark, "acme")
+    again = api.create_tenant_tables("acme")
     assert again["data"]["created"] == []
     assert sorted(again["data"]["skipped"]) == sorted(created)
 
@@ -259,7 +259,7 @@ def test_create_tables_skips_legacy_layout(spark, tmp_path):
         "timestamp string, service_name string, body string",
     ).write.parquet(legacy, mode="overwrite")
 
-    out = api.create_tenant_tables(spark, "acme")
+    out = api.create_tenant_tables("acme")
     assert "logs" in out["data"]["skipped"]
     assert "logs" not in out["data"]["created"]
     logs = optional_table(spark, str(tmp_path), "acme", "default", "logs")
@@ -274,7 +274,7 @@ def test_tenant_tables_resolve_default_dataset(spark, tmp_path):
 
     api = AdminAPI(str(tmp_path))
     api.catalog.create_tenant("acme", "Acme", default_dataset="prod")
-    out = api.create_tenant_tables(spark, "acme")
+    out = api.create_tenant_tables("acme")
     assert out["status"] == "success" and out["data"]["created"]
     assert os.path.isdir(os.path.join(str(tmp_path), "acme", "prod", "logs"))
     assert not os.path.isdir(os.path.join(str(tmp_path), "acme", "default"))
@@ -292,7 +292,7 @@ def test_create_tables_covers_exp_histogram_and_summary(spark, tmp_path):
 
     api = AdminAPI(str(tmp_path))
     api.create_tenant("acme", "Acme")
-    created = api.create_tenant_tables(spark, "acme")["data"]["created"]
+    created = api.create_tenant_tables("acme")["data"]["created"]
     assert "metrics_exponential_histogram" in created
     assert "metrics_summary" in created
     eh = optional_table(spark, str(tmp_path), "acme", "default",
@@ -339,7 +339,7 @@ def test_storage_quota_tracker(spark, tmp_path):
     api = AdminAPI(str(tmp_path))
     api.create_tenant("quota-tenant", "Q")
     api.create_tenant("other", "O")
-    api.create_tenant_tables(spark, "quota-tenant")
+    api.create_tenant_tables("quota-tenant")
 
     tracker = StorageUsageTracker(overrides={"quota-tenant": 1})
     assert tracker.quotas_configured()

@@ -682,3 +682,52 @@ def test_facade_routes_run_under_execution_contract(spark, tmp_path_factory):
     ok = api.prom_query("process_cpu_usage", "2024-01-01 00:45:00",
                         lookback_s=3600)
     assert ok["status"] == "success"
+
+
+# -------------------------------------------------- facade pins (r9)
+
+
+def test_loki_forward_direction_orders_ascending(api):
+    out = api.loki_query_range(
+        '{service_name="api"}', START, END, limit=50, direction="forward"
+    )
+    assert out["status"] == "success"
+    for stream in out["data"]["result"]:
+        ts = [int(v[0]) for v in stream["values"]]
+        assert ts == sorted(ts), "forward queries must ascend in time"
+    back = api.loki_query_range(
+        '{service_name="api"}', START, END, limit=50, direction="backward"
+    )
+    for stream in back["data"]["result"]:
+        ts = [int(v[0]) for v in stream["values"]]
+        assert ts == sorted(ts, reverse=True)
+
+
+def test_loki_query_malformed_time_envelopes(api):
+    out = api.loki_query('count_over_time({service_name="api"}[5m])',
+                         time="not-a-date")
+    assert out["status"] == "error"
+
+
+def test_label_stats_answers_traces(api):
+    out = api.prom_label_stats(table="traces")
+    assert out["status"] == "success"
+    assert any(d["key"] for d in out["data"])
+
+
+def test_loki_query_range_limit_zero_is_empty_not_error(api):
+    out = api.loki_query_range(
+        '{service_name="api"}', START, END, limit=0, direction="backward"
+    )
+    assert out["status"] == "success"
+    assert all(not s["values"] for s in out["data"]["result"])
+
+
+def test_epoch_nanos_is_microsecond_exact():
+    import datetime as dt
+
+    from signaldb_spark.api import _epoch_nanos
+
+    t = dt.datetime(2026, 3, 1, 12, 0, 0, 123456)
+    assert _epoch_nanos(t) % 1_000_000_000 == 123_456_000
+    assert _epoch_nanos(1755000000) == 1755000000 * 10**9
