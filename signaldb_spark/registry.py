@@ -176,6 +176,29 @@ _DRIVER_VERIFIED = frozenset({
     "doc_word_stats", "discount_elasticity", "text_hapax_ratio",
     "bipartite_degree_distribution", "revenue_drawdown",
     "transition_entropy",
+    # round 9 (49 green rows in CORRECTNESS_r09.json; manifest_stats_report
+    # was the one red — intentionally NOT listed so it leads the r10 prefix
+    # and re-proves the INT96 stats fix under the driver's oracle)
+    "ir_metrics_rate_cumulative", "ir_metrics_histogram_quantile",
+    "ir_metrics_gauge_last", "ir_metrics_exphist_quantile",
+    "typed_attr_int_predicate", "discovery_value_suggestions",
+    "streaming_resume_drain", "ir_metrics_summary_quantile",
+    "ir_metrics_vector_binop", "ir_metrics_binop_group_left",
+    "typed_attr_trace_predicate", "unit_price_dispersion",
+    "nation_rank_shift", "order_size_histogram", "session_bounce_rate",
+    "spearman_daily_corr", "mann_whitney_u", "welch_t_test",
+    "ngram_coverage_curve", "dwell_time_stats", "session_position_dropoff",
+    "session_type_lift", "emb_centroid_silhouette", "trailing_30d_revenue",
+    "month_arithmetic_battery", "snapshot_time_travel",
+    "manifest_time_prune", "compaction_equivalence",
+    "retention_drop_equivalence", "quantile_disc_battery",
+    "string_ops_battery", "bitwise_battery", "argmax_battery",
+    "lsh_band_tuning_curve", "brand_repeat_rate", "nation_trade_balance",
+    "value_qq_deciles", "hot_gc_safety", "snapshot_expiry_read_stability",
+    "idempotent_replay_visibility", "recency_weighted_activity",
+    "customer_trend_mix", "skewness_report", "anova_f_component",
+    "skyline_orders", "tenant_isolation_scan", "hot_only_first_run",
+    "theil_sen_daily_trend", "runs_test_randomness",
 })
 
 # Engine-contract gates that prove the highest-value components under the
@@ -187,19 +210,16 @@ _DRIVER_VERIFIED = frozenset({
 # blocks to the very front of the never-verified prefix so they get
 # driver-oracle evidence now instead of 3-5 rounds out.
 _PRIORITY = (
-    "ir_metrics_rate_cumulative",
-    "ir_metrics_histogram_quantile",
-    "ir_metrics_gauge_last",
-    "ir_metrics_exphist_quantile",
-    "typed_attr_int_predicate",
-    "discovery_value_suggestions",
-    "streaming_resume_drain",
-    # round-9 work: the IR v1 deferral lifts (summary source +
-    # vector-matching binop) go under the driver oracle immediately
-    "ir_metrics_summary_quantile",
-    "ir_metrics_vector_binop",
-    "ir_metrics_binop_group_left",
-    "typed_attr_trace_predicate",
+    # round-10 tier: manifest_stats_report is round 9's one driver red
+    # (INT96 stats blinding) — it leads the prefix to re-prove the fix
+    # under the driver's vanilla session. The rest are round-9-built
+    # engine gates that have never been driver-sampled.
+    "manifest_stats_report",
+    "quota_enforcement",
+    "selfmon_query_spans",
+    "api_key_quota_lifecycle",
+    "streaming_ingest_visibility",
+    "typed_attr_metric_predicate",
 )
 
 
