@@ -48,6 +48,29 @@ SIGNAL_TABLES = (
 )
 
 
+def pin_time_confs(spark: SparkSession) -> None:
+    """Pin the engine's time semantics on the session it is handed.
+
+    The reference engine always constructs its own query context
+    (src/querier/src/flight.rs:1196-1240), so its time semantics cannot
+    depend on the embedder. Spark embedders hand us THEIR session, so
+    the two correctness-bearing read confs are enforced here at every
+    engine read entry point rather than trusting session.py's factory:
+
+    - session timeZone=UTC: naive ``timestamp[us]`` parquet (DuckDB and
+      most writers) reads as session-local instants; every epoch-bucket
+      computation in the engine assumes UTC wall time, and a non-UTC
+      embedder session would silently shift all time arithmetic.
+    - inferTimestampNTZ=false: Spark 4 would otherwise infer NTZ, which
+      ANSI mode refuses to cast to numeric for epoch math.
+
+    Both are runtime SQL confs; setting them is idempotent. They stay
+    set (the engine owns time semantics for the session once used, like
+    the reference owning its DataFusion context)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table, normalizing timestamp physical types.
 
@@ -78,7 +101,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ]
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    pin_time_confs(spark)
     df = spark.read.parquet(path)
     for c in ns_cols:
         # integer div, not float: double division rounds at the 1e15-µs
@@ -114,6 +137,7 @@ def optional_table(
     (src/querier/src/query/table_lookup.rs) — a tenant/dataset that has
     never received a given signal type simply has no table directory.
     """
+    pin_time_confs(spark)
     path = signal_table_path(base, tenant, dataset, table)
     # Manifest-committed tables (the default sink) resolve through their
     # current snapshot UNIONED with the hot (acked-but-unflushed) store —

@@ -200,7 +200,10 @@ def compact_partition(
     )
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(tmp)
+    from ..storage.manifest import stats_visible_writes
+
+    with stats_visible_writes(spark):
+        writer.parquet(tmp)
     # rename-aside swap: old partition moves aside (one rename), new one
     # moves in (one rename), THEN the old data is deleted — the no-data
     # window shrinks to a single rename and a crash between the renames

@@ -41,7 +41,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .manifest import ManifestTable, collect_file_stats, _stage_into_data
+from .manifest import (
+    ManifestTable,
+    collect_file_stats,
+    stats_visible_writes,
+    _stage_into_data,
+)
 
 HOT_DIR = "hot"
 WATERMARK_PROP = "hot_watermark"
@@ -101,7 +106,8 @@ class HotStore:
         os.makedirs(self.hot_dir, exist_ok=True)
         staging = os.path.join(self.hot_dir, f".tmp-{uuid.uuid4().hex}")
         try:
-            df.write.mode("overwrite").parquet(staging)
+            with stats_visible_writes(df.sparkSession):
+                df.write.mode("overwrite").parquet(staging)
             seqs = self.sequences()
             floor = max(
                 seqs[-1] if seqs else 0, committed_watermark(self.table_path)
@@ -256,7 +262,8 @@ def flush_hot(
         writer = writer.partitionBy(*parts)
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(staging)
+    with stats_visible_writes(df.sparkSession):
+        writer.parquet(staging)
     rel_files = _stage_into_data(staging, mt.data_dir, f"{batch_id}-{attempt}")
     use_stats = [c for c in stats_cols if c in df.columns]
     stats = (

@@ -32,6 +32,7 @@ jobs); expressed directly because the sandbox has no Iceberg/Delta jars.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -41,6 +42,43 @@ from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+# Write-side SQL confs every manifest-feeding parquet write must carry,
+# REGARDLESS of who built the SparkSession. Spark's default timestamp
+# encoding is legacy INT96, which records NO parquet min/max statistics:
+# under an embedder's vanilla session that silently blinds
+# collect_file_stats → the manifest records no ts bounds → read(between=)
+# stats-pruning and the stats-ordered backward-TopK tail scan degrade to
+# full scans (correct, but at 100 TB the difference between reading 3
+# files and 3,000). Iceberg writers always record manifest bounds
+# (reference: docs/architecture/storage-layout.md:294-306,
+# src/common/src/iceberg/schemas.rs:459-486), so the write paths here
+# must be self-sufficient rather than trusting session.py's pin.
+_WRITE_CONFS = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+
+@contextlib.contextmanager
+def stats_visible_writes(spark: SparkSession):
+    """Pin the write-side confs around a parquet write, restoring the
+    caller's values after. Runtime SQL confs only — safe on a live
+    session."""
+    prev: dict[str, str | None] = {}
+    for k, v in _WRITE_CONFS.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
 
 
 class CommitConflict(Exception):
@@ -605,7 +643,8 @@ def write_batch_manifest(
     writer = sorted_df.write.mode("overwrite").partitionBy(*partition_cols)
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(staging)
+    with stats_visible_writes(df.sparkSession):
+        writer.parquet(staging)
     rel_files = _stage_into_data(staging, mt.data_dir, f"batch-{batch_id}-{attempt}")
     stats = collect_file_stats(mt.data_dir, rel_files, stats_cols) if stats_cols else None
     return mt.commit(
@@ -683,7 +722,8 @@ def compact_partition_manifest(
     writer = out.write.mode("overwrite")
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(staging)
+    with stats_visible_writes(spark):
+        writer.parquet(staging)
     # staged files land inside the existing partition directory
     part_dir = os.path.join(mt.data_dir, f"date_day={day}", f"hour={hour}")
     os.makedirs(part_dir, exist_ok=True)

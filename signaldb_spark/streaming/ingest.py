@@ -60,12 +60,15 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     # guard the empty list: sortWithinPartitions() with zero columns
     # raises CANNOT_BE_EMPTY, so a frame carrying none of the table's
     # sort columns would crash the sink instead of writing unsorted
+    from ..storage.manifest import stats_visible_writes
+
     sorted_df = df.sortWithinPartitions(*sort_cols) if sort_cols else df
     if batch_id is None:
         writer = sorted_df.write.mode("append").partitionBy("date_day", "hour")
         for k, v in BLOOM_WRITE_OPTIONS.items():
             writer = writer.option(k, v)
-        writer.parquet(table_path)
+        with stats_visible_writes(df.sparkSession):
+            writer.parquet(table_path)
         return
     marker = os.path.join(table_path, f"_batch_{batch_id}_done")
     if os.path.exists(marker):
@@ -74,7 +77,8 @@ def write_batch(df: DataFrame, table_path: str, table: str, batch_id: int | None
     writer = sorted_df.write.mode("overwrite").partitionBy("date_day", "hour")
     for k, v in BLOOM_WRITE_OPTIONS.items():
         writer = writer.option(k, v)
-    writer.parquet(staging)
+    with stats_visible_writes(df.sparkSession):
+        writer.parquet(staging)
     # a crashed earlier attempt may have moved MORE files than this
     # replay produces (parallelism change, speculative tasks): sweep the
     # batch's files table-wide first so the replay fully supersedes it.
