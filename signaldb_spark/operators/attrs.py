@@ -111,9 +111,29 @@ def logfmt_value(src: Column, key: str) -> Column:
     unlabeled — never a query abort)."""
     import re as _re
 
+    # Tokenized scan, not a bare `\skey=` probe: the lazy loop consumes
+    # whole tokens (k=v pairs INCLUDING their quoted values, else a bare
+    # \S+ run) before each probe, so a `key=...` embedded in another
+    # key's quoted value (msg="conn addr=10.0.0.1") is consumed with
+    # that value and never matches — Loki's tokenizer yields absent
+    # there, and so does this. The probe is attempted first at every
+    # token boundary (lazy *?), so the FIRST real occurrence still wins,
+    # and a first occurrence with an EMPTY unquoted value (`key= `)
+    # matches empty instead of falling through to a later occurrence.
+    # The token alternation is ATOMIC (?>…): without it, a quoted pair
+    # as the LAST token (no trailing space) backtracks into \S+, which
+    # re-splits the quoted value mid-way and exposes its innards to the
+    # probe. Atomicity locks the maximal-munch token, keeping the scan
+    # linear too. Bare values are any non-space run NOT starting with a
+    # quote (go-logfmt: quotes only open a value at its first byte).
+    bare = r'(?!")\S*'
+    quoted = r'"[^"\\]*(?:\\.[^"\\]*)*"'
+    pair_tok = rf'[A-Za-z_][A-Za-z0-9_]*=(?:{quoted}|{bare})'
     pat = (
-        rf'(?:^|\s){_re.escape(key)}='
-        r'("[^"\\]*(?:\\.[^"\\]*)*"|[^\s"]+)'
+        r'^\s*'
+        rf'(?:(?>{pair_tok}|\S+)\s+)*?'
+        rf'{_re.escape(key)}='
+        rf'({quoted}|{bare})'
     )
     raw = F.nullif(F.regexp_extract(src, pat, 1), F.lit(""))
     # unquote on the cheap path: literal prefix/suffix probes, the

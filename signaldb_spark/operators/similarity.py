@@ -364,7 +364,16 @@ def cosine_near_dup_pairs(
             .select("id_a", "id_b", "cosine")
         )
         cand = p if cand is None else cand.unionByName(p)
-    return cand.dropDuplicates(["id_a", "id_b"])
+    # materialize the (id, id, cosine) pair set eagerly so the cached
+    # corpus can be released NOW: returning the lazy plan would pin the
+    # cached blocks in executor memory until the caller's action, and
+    # repeated calls in one session would accumulate them unboundedly.
+    # localCheckpoint truncates the lineage, so the result no longer
+    # references `base` at all; the pair set is threshold-filtered
+    # near-dups only — orders of magnitude smaller than the corpus.
+    pairs = cand.dropDuplicates(["id_a", "id_b"]).localCheckpoint(eager=True)
+    base.unpersist()
+    return pairs
 
 
 def kmeans_iterations(

@@ -712,7 +712,10 @@ def _eval_subquery_reduce(ctx: PromCtx, fn: str, sub: Call, phi: float | None = 
         "last_over_time": F.max_by(v, b),
         "first_over_time": F.min_by(v, F.struct(b, v)),
         "present_over_time": F.max(F.lit(1.0)),
-        "quantile_over_time": _phi_percentile(v, phi if phi is not None else 0.0),
+        # same None-fallback as lower_range_fn (0.5): the parser always
+        # supplies phi, but the two paths must not disagree if it ever
+        # arrives unset
+        "quantile_over_time": _phi_percentile(v, phi if phi is not None else 0.5),
         "ts_of_max_over_time": F.max_by(b.cast("double"), F.struct(v, b)),
         "ts_of_min_over_time": F.max_by(b.cast("double"), F.struct(-v, b)),
         "ts_of_last_over_time": F.max(b.cast("double")),

@@ -202,7 +202,13 @@ def hybrid_read(
     store = HotStore(table_path)
     hot_seqs = store.sequences()  # MUST precede the manifest read
     mt = ManifestTable(table_path)
-    version = mt.current_version() or None
+    # version 0 (no commit yet) passes through VERBATIM: collapsing it
+    # to None would make the watermark and the cold read re-resolve the
+    # latest version independently, and a first flush committing between
+    # the two would pair watermark -1 with the new file list —
+    # duplicating every flushed row (exactly the race this pin closes;
+    # load_manifest(0)/read(version=0) handle the empty table).
+    version = mt.current_version()
     wm = committed_watermark(table_path, version)
     cold = mt.read(spark, version=version)
     hot = store.read_hot(spark, above=wm, seqs=hot_seqs)
