@@ -625,3 +625,55 @@ def corpus_report(
         )
         .orderBy("source")
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/pretraining document
+    splitter: chunk ``i`` covers normalized whitespace tokens
+    ``[i*stride, i*stride + chunk_size)``; the last chunk is the first
+    window that reaches the end of the document, so every token is
+    covered, consecutive chunks overlap by ``chunk_size - stride``
+    tokens, and no chunk is fully contained in its predecessor.
+
+    Shape (scales to 100 TB): tokenization, the chunk-index
+    ``sequence`` + ``posexplode``, and the per-chunk slice are all
+    map-side per-row expressions — zero shuffles, zero Python; the fan
+    -out factor is ~n_tokens/stride per document, so output size is a
+    constant multiple of input. Returns one row per chunk:
+    (id, chunk_id, chunk_tokens, chunk_text).
+    """
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n_tok = F.size(toks)
+    # number of stride positions that start inside the document
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n_tok - F.lit(chunk_size)) / F.lit(stride)).cast("int")
+        + F.lit(1),
+    )
+    base = fan_out(df).select(
+        F.col(id_col), toks.alias("_toks"), n_tok.alias("_n_tok"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_idx"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk_len = F.least(F.lit(chunk_size), F.col("_n_tok") - start)
+    chunk = F.slice(F.col("_toks"), start + 1, chunk_len)
+    return (
+        base.select(
+            id_col, "_toks", "_n_tok",
+            F.explode("_idx").alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            chunk_len.cast("long").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -17,6 +17,7 @@ from . import (
     bench_round13,
     bench_round14,
     bench_round15,
+    bench_round16,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -43,6 +44,7 @@ _MODULES = [
     bench_round13,
     bench_round14,
     bench_round15,
+    bench_round16,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
@@ -220,6 +222,16 @@ _PRIORITY = (
     "api_key_quota_lifecycle",
     "streaming_ingest_visibility",
     "typed_attr_metric_predicate",
+    # round-10 flagships: the conf self-sufficiency gates (the class of
+    # bug behind r9's red), the façade envelope contracts, and the
+    # r9-built LogQL metric-path output stages — all driver-evidence-poor
+    "int96_session_stats_selfcheck",
+    "tz_repin_epoch_consistency",
+    "api_prom_range_envelope",
+    "api_loki_streams_envelope",
+    "api_tempo_search_envelope",
+    "logql_distinct_stage",
+    "logql_drop_label_stage",
 )
 
 
