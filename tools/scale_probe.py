@@ -119,6 +119,13 @@ PROBE_QUERIES = [
     "ir_metrics_summary_quantile",
     "typed_attr_trace_predicate",
     "logql_distinct_stage",
+    # round-10 shapes: the chunking fan-out (map-only posexplode whose
+    # output is ~n_tokens/stride rows per doc — cost must follow token
+    # volume, never shuffle text) and the metric-path unpack→logfmt
+    # extraction chain (per-row regex/json expressions ahead of the
+    # bucket agg — must stay a map-side pass)
+    "doc_chunk_windows",
+    "logql_unpack_metric_path",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
@@ -339,16 +346,25 @@ def main() -> int:
         "--skew-only", action="store_true",
         help="run only the hot-key tier",
     )
+    ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset to probe (default: the full tier)",
+    )
     args = ap.parse_args()
+    subset = args.queries.split(",") if args.queries else None
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     summaries = []
     if not args.skew_only:
-        summaries.append(run_probe(spark, args.src, args.out, args.factor))
+        summaries.append(
+            run_probe(spark, args.src, args.out, args.factor,
+                      probe_queries=subset)
+        )
     if args.skew or args.skew_only:
         summaries.append(
-            run_probe(spark, args.src, args.out, args.factor, skew=True)
+            run_probe(spark, args.src, args.out, args.factor,
+                      probe_queries=subset, skew=True)
         )
     return 0 if all(s["verdict"] == "linear" for s in summaries) else 1
 
