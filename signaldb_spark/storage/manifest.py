@@ -532,6 +532,18 @@ def _stat_key(v):
     return v
 
 
+def _parallel_files(fn, rel_files: list[str], max_workers: int = 16) -> list:
+    """Map ``fn`` over per-file metadata operations with a bounded
+    thread pool, preserving input order. Below the pool's own overhead
+    (tiny commits, the common streaming case) it stays serial."""
+    if len(rel_files) <= 4:
+        return [fn(r) for r in rel_files]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(rel_files))) as ex:
+        return list(ex.map(fn, rel_files))
+
+
 def collect_file_stats(
     data_dir: str, rel_files: list[str], cols: tuple[str, ...]
 ) -> dict[str, dict]:
@@ -542,8 +554,7 @@ def collect_file_stats(
     simply absent from that file's entry."""
     import pyarrow.parquet as pq
 
-    out: dict[str, dict] = {}
-    for rel in rel_files:
+    def one(rel: str) -> dict:
         md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         entry: dict[str, list] = {}
@@ -563,9 +574,14 @@ def collect_file_stats(
                 hi = mx if hi is None or mx > hi else hi
             if ok and lo is not None:
                 entry[col] = [lo, hi]
-        if entry:
-            out[rel] = entry
-    return out
+        return entry
+
+    # footer reads are independent metadata fetches — a bounded thread
+    # pool overlaps them (local: page-cache misses; object store: the
+    # per-request latency that makes a serial walk O(files x RTT)).
+    # Results keep rel_files order; the dict content is order-free.
+    entries = _parallel_files(one, rel_files)
+    return {rel: e for rel, e in zip(rel_files, entries) if e}
 
 
 def lifecycle_metadata(
@@ -587,8 +603,9 @@ def lifecycle_metadata(
             else {f: p for f in rel_files
                   if (p := _parse_hive_partition(f)) is not None}
         ),
-        "sizes": {f: os.path.getsize(os.path.join(data_dir, f))
-                  for f in rel_files},
+        "sizes": dict(zip(rel_files, _parallel_files(
+            lambda f: os.path.getsize(os.path.join(data_dir, f)), rel_files
+        ))),
         "sort_orders": (
             {f: sort_cols for f in rel_files} if sort_cols else None
         ),
