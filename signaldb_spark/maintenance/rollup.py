@@ -145,10 +145,16 @@ def append_rollup(
     partial rows per (bucket, series) exactly. The write is append-only
     (object-store friendly), partitioned by the bucket's day for
     long-range partition pruning."""
+    from ..storage.manifest import stats_visible_writes
+
     out = rollup_metrics(df, bucket_seconds, attr_col).withColumn(
         "date_day", F.to_date(F.timestamp_seconds(F.col("bucket")))
     )
-    out.write.mode("append").partitionBy("date_day").parquet(rollup_path)
+    # µs-encoded timestamps regardless of the embedder session: INT96
+    # records no parquet stats, which would disable row-group skipping
+    # on later time-ranged rollup reads
+    with stats_visible_writes(df.sparkSession):
+        out.write.mode("append").partitionBy("date_day").parquet(rollup_path)
 
 
 def read_rollup(spark, rollup_path: str, attr_col: str = "attributes") -> DataFrame:
