@@ -653,3 +653,109 @@ def test_corpus_ops_tolerate_null_text(spark):
         benchmark_filter=F.col("doc_id") == "d3",
     )
     assert "source" not in out.columns and out.count() == 2
+
+
+# ------------------------------------------------------------- logfmt
+
+
+def _ref_logfmt_value(line: str, key: str):
+    """Pure-Python reference for operators.attrs.logfmt_value: tokenize
+    left-to-right (pair tokens consume their quoted values whole, any
+    other run of non-space is an opaque token); at each token boundary
+    the key probe runs first, so the first real occurrence wins; quoted
+    values unescape; an empty bare value resolves to absent (NULL)."""
+    import re as _re
+
+    n = len(line)
+    i = 0
+    # leading whitespace
+    while i < n and line[i].isspace():
+        i += 1
+    while i < n:
+        # probe: does a pair for `key` start here?
+        if line.startswith(key + "=", i):
+            j = i + len(key) + 1
+            if j < n and line[j] == '"':
+                mq = _re.match(r'"[^"\\]*(?:\\.[^"\\]*)*"', line[j:])
+                if mq:
+                    inner = mq.group(0)[1:-1]
+                    return _re.sub(r"\\(.)", r"\1", inner)
+                # unterminated quote: value unparseable, probe fails
+            else:
+                mb = _re.match(r"\S*", line[j:])
+                return mb.group(0) or None
+        # consume one token (pair-with-quoted-value or opaque \S+),
+        # atomically, then the separating whitespace
+        mp = _re.match(
+            r'[A-Za-z_][A-Za-z0-9_]*=(?:"[^"\\]*(?:\\.[^"\\]*)*"|(?!")\S*)',
+            line[i:],
+        )
+        if mp and mp.end() > 0:
+            i += mp.end()
+        else:
+            i += _re.match(r"\S+", line[i:]).end()
+        if i < n and not line[i].isspace():
+            # a pair whose quoted value closed mid-token (malformed,
+            # e.g. `k="a\"b` reparsed as `k="a\"` + residue): the
+            # engine's atomic token scan cannot resume inside a token,
+            # so every later key reads absent — never a query abort
+            return None
+        while i < n and line[i].isspace():
+            i += 1
+    return None
+
+
+_LOGFMT_KEYS = ["key", "addr", "a", "msg"]
+
+
+@st.composite
+def _logfmt_line(draw):
+    toks = []
+    for _ in range(draw(st.integers(0, 6))):
+        kind = draw(st.sampled_from(
+            ["pair_bare", "pair_quoted", "pair_empty", "pair_escaped",
+             "junk", "quoted_with_pair", "unterminated"]
+        ))
+        k = draw(st.sampled_from(_LOGFMT_KEYS + ["other", "zz1"]))
+        if kind == "pair_bare":
+            v = draw(st.text("abcxyz0189.=:/", min_size=1, max_size=6))
+            toks.append(f"{k}={v}")
+        elif kind == "pair_quoted":
+            v = draw(st.text("abc xyz01 =", min_size=0, max_size=8))
+            toks.append(f'{k}="{v}"')
+        elif kind == "pair_empty":
+            toks.append(f"{k}=")
+        elif kind == "pair_escaped":
+            toks.append(f'{k}="a\\"b {draw(st.sampled_from(_LOGFMT_KEYS))}=9"')
+        elif kind == "junk":
+            toks.append(draw(st.sampled_from(
+                ['plain', '3key=5', 'a=b=c', '"loose', 'x"y', '==', '-']
+            )))
+        elif kind == "quoted_with_pair":
+            inner_k = draw(st.sampled_from(_LOGFMT_KEYS))
+            toks.append(f'{k}="conn {inner_k}=10.0.0.1"')
+        else:  # unterminated
+            toks.append(f'{k}="no closing {draw(st.sampled_from(_LOGFMT_KEYS))}=7')
+    sep = draw(st.sampled_from([" ", "  ", "\t"]))
+    lead = draw(st.sampled_from(["", " "]))
+    return lead + sep.join(toks)
+
+
+@given(lines=st.lists(_logfmt_line(), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_logfmt_value_matches_reference_tokenizer(spark, lines):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.attrs import logfmt_value
+
+    df = spark.createDataFrame([(ln,) for ln in lines], "line string")
+    cols = [logfmt_value(F.col("line"), k).alias(f"k_{i}")
+            for i, k in enumerate(_LOGFMT_KEYS)]
+    got = df.select("line", *cols).collect()
+    for row in got:
+        for i, k in enumerate(_LOGFMT_KEYS):
+            want = _ref_logfmt_value(row["line"], k)
+            assert row[f"k_{i}"] == want, (
+                f"line={row['line']!r} key={k!r}: "
+                f"engine={row[f'k_{i}']!r} ref={want!r}"
+            )
