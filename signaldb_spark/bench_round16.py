@@ -740,3 +740,122 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 QUERIES["chunk_overlap_audit"] = q_chunk_overlap_audit
 ORACLES["chunk_overlap_audit"] = ORACLE_CHUNK_OVERLAP_AUDIT
+
+
+# ------------------------------------------------ BPE merge learning
+
+
+def _bpe_merges_cached(spark, sf_dir, n=6):
+    key = ("bpe", sf_dir, n)
+    if key not in _R16_CACHE:
+        from .operators.corpus import bpe_learn_merges
+
+        d = load_table(spark, sf_dir, "documents")
+        _R16_CACHE[key] = bpe_learn_merges(d, "text", n_merges=n)
+    return _R16_CACHE[key]
+
+
+def _bpe_oracle_ctes(n: int) -> str:
+    """The DuckDB restatement of the BPE loop: n chained
+    (pairs → argmax → greedy replace) stages over the vocabulary, the
+    same |l||r| delimited form and (weight DESC, l, r) tie-break."""
+    parts = [r"""WITH w AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+           'g')), ' ')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+), v0 AS MATERIALIZED (
+  SELECT w, freq,
+         '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|'
+           AS seq
+  FROM w
+)"""]
+    for i in range(n):
+        parts.append(f""", p{i} AS MATERIALIZED (
+  SELECT u.p[1] AS l, u.p[2] AS r, CAST(sum(t.freq) AS BIGINT) AS weight
+  FROM (SELECT freq, string_split(trim(seq, '|'), '||') AS syms
+        FROM v{i}) t,
+  LATERAL (SELECT unnest(
+      list_zip(t.syms[:len(t.syms)-1], t.syms[2:])) AS p) u
+  GROUP BY 1, 2
+), b{i} AS MATERIALIZED (SELECT l, r, weight FROM p{i}
+  ORDER BY weight DESC, l, r LIMIT 1),
+v{i + 1} AS MATERIALIZED (
+  SELECT w, freq, replace(seq,
+    '|' || (SELECT l FROM b{i}) || '||' || (SELECT r FROM b{i}) || '|',
+    '|' || (SELECT l FROM b{i}) || (SELECT r FROM b{i}) || '|') AS seq
+  FROM v{i}
+)""")
+    return "".join(parts)
+
+
+_BPE_N = 6
+
+
+def q_bpe_merge_table(spark, sf_dir):
+    """Distributed BPE merge learning over the documents corpus
+    (operators/corpus.bpe_learn_merges): the 6 highest-frequency
+    adjacent symbol pairs, learned iteratively with greedy left-to-
+    right application between rounds, must equal the oracle's 6-stage
+    SQL restatement — pair counts, tie-breaks, and overlap semantics
+    (a self-pair on a run merges floor(run/2) times) all hash-gated."""
+    merges = _bpe_merges_cached(spark, sf_dir, _BPE_N)
+    return spark.createDataFrame(
+        [(m["rank"], m["left"], m["right"], m["merged"], m["weight"])
+         for m in merges],
+        "mrank int, left_sym string, right_sym string, merged string,"
+        " weight long",
+    ).orderBy("mrank")
+
+
+ORACLE_BPE_MERGE_TABLE = _bpe_oracle_ctes(_BPE_N) + "\nSELECT * FROM (\n" + \
+    "\nUNION ALL\n".join(
+        f"SELECT {i} AS mrank, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, weight FROM b{i}"
+        for i in range(_BPE_N)
+    ) + "\n) ORDER BY mrank"
+
+QUERIES["bpe_merge_table"] = q_bpe_merge_table
+ORACLES["bpe_merge_table"] = ORACLE_BPE_MERGE_TABLE
+
+
+def q_bpe_compression_by_source(spark, sf_dir):
+    """Apply the learned merge table back to the corpus
+    (bpe_apply_merges, map-only replace chain): per source, total
+    post-merge symbols and participating word occurrences — the
+    compression a tokenizer trainer reports. The oracle re-derives the
+    merges AND re-tokenizes in SQL."""
+    from .operators.corpus import bpe_apply_merges
+
+    merges = _bpe_merges_cached(spark, sf_dir, _BPE_N)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    per_doc = bpe_apply_merges(d, merges, "text")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("bpe_symbols").cast("long").alias("bpe_symbols"),
+            F.sum("bpe_words").cast("long").alias("bpe_words"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_BPE_COMPRESSION_BY_SOURCE = _bpe_oracle_ctes(_BPE_N) + rf""", occ AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(trim(regexp_replace(lower(text),
+           '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE regexp_matches(w, '^[a-z0-9]+$')
+)
+SELECT occ.source,
+  CAST(sum(len(string_split(trim(v.seq, '|'), '||'))) AS BIGINT)
+    AS bpe_symbols,
+  CAST(count(*) AS BIGINT) AS bpe_words
+FROM occ JOIN v{_BPE_N} v ON occ.w = v.w
+GROUP BY 1 ORDER BY 1"""
+
+QUERIES["bpe_compression_by_source"] = q_bpe_compression_by_source
+ORACLES["bpe_compression_by_source"] = ORACLE_BPE_COMPRESSION_BY_SOURCE

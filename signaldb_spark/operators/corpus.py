@@ -677,3 +677,140 @@ def chunk_token_windows(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> "list[dict]":
+    """Distributed byte-pair-encoding merge learning (Sennrich 2016):
+    the ``n_merges`` highest-frequency adjacent symbol pairs over the
+    corpus vocabulary, applied greedily left-to-right in frequency
+    order. Returns the learned merge table
+    ``[{rank, left, right, merged, weight}, ...]`` — the artifact a
+    tokenizer trainer persists.
+
+    Scale shape (100 TB): the corpus text is read ONCE to build the
+    word-frequency table (explode → groupBy word, the wordcount
+    shuffle); every BPE iteration then runs over the VOCABULARY table
+    only (distinct alphanumeric words — millions of rows at web scale,
+    orders of magnitude smaller than the corpus) with one vocab-sized
+    pair aggregation and a 1-row argmax collect per merge. The per-word
+    symbol sequence is an in-row string; the merge application is a
+    literal JVM-side replace, no Python in the loop. The vocab table is
+    eagerly localCheckpoint-ed each iteration so plan lineage stays
+    flat across merges.
+
+    Determinism: ties on pair weight break on (left, right) ascending;
+    only ``[a-z0-9]+`` words participate (symbols can then never
+    contain the ``|`` sequence delimiter and are regex-metachar-free on
+    both engines). Greedy overlap semantics (``aaa`` + merge ``a+a`` →
+    ``aa,a``) follow from non-overlapping left-to-right literal
+    replacement on the ``|l||r|`` delimited form, where every symbol
+    carries its own boundaries so adjacent matches never share a
+    delimiter.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = (
+        fan_out(df)
+        .select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    # |c||h||a||r| delimited symbol sequence: each symbol owns BOTH its
+    # boundary markers, so replacing |l||r| with |lr| is exact greedy
+    # BPE even for self-pairs on runs
+    vocab = words.select(
+        "freq",
+        F.concat(
+            F.lit("|"),
+            F.array_join(F.split(F.col("w"), "(?!$)"), "||"),
+            F.lit("|"),
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[dict] = []
+    for rank in range(n_merges):
+        syms = F.split(
+            F.regexp_replace(F.col("seq"), r"^\||\|$", ""), r"\|\|"
+        )
+        pairs = vocab.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice(syms, 1, F.greatest(F.size(syms) - 1, F.lit(0))),
+                    F.slice(
+                        syms, 2, F.greatest(F.size(syms) - 1, F.lit(0))
+                    ),
+                    lambda l, r: F.struct(l.alias("l"), r.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.col("p.l"), F.col("p.r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["p"]["l"], best[0]["p"]["r"]
+        merged = left + right
+        merges.append({
+            "rank": rank, "left": left, "right": right,
+            "merged": merged, "weight": int(best[0]["weight"]),
+        })
+        old = vocab
+        vocab = vocab.select(
+            "freq",
+            F.replace(
+                F.col("seq"),
+                F.lit(f"|{left}||{right}|"),
+                F.lit(f"|{merged}|"),
+            ).alias("seq"),
+        ).localCheckpoint(eager=True)
+        old.unpersist()
+    return merges
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: "list[dict]",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize with a learned merge table: every ``[a-z0-9]+`` word
+    maps to its post-merge symbol count (non-participating words count
+    1 symbol per character, their BPE-less floor). Map-only — the merge
+    ranks apply as a chain of literal replaces per row; returns the
+    input plus ``bpe_symbols`` (per-document symbol total) and
+    ``bpe_words`` (participating word count)."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    word = F.col("w")
+    seq = F.concat(
+        F.lit("|"), F.array_join(F.split(word, "(?!$)"), "||"), F.lit("|")
+    )
+    for m in merges:
+        seq = F.replace(
+            seq,
+            F.lit(f"|{m['left']}||{m['right']}|"),
+            F.lit(f"|{m['merged']}|"),
+        )
+    n_syms = F.size(F.split(F.regexp_replace(seq, r"^\||\|$", ""), r"\|\|"))
+    exploded = fan_out(df).select(
+        "*", F.explode(toks).alias("w")
+    ).filter(word.rlike("^[a-z0-9]+$"))
+    counted = exploded.withColumn("_syms", n_syms)
+    keys = [c for c in df.columns]
+    return (
+        counted.groupBy(*keys)
+        .agg(
+            F.sum("_syms").cast("long").alias("bpe_symbols"),
+            F.count(F.lit(1)).cast("long").alias("bpe_words"),
+        )
+    )
