@@ -232,6 +232,9 @@ _PRIORITY = (
     "api_tempo_search_envelope",
     "logql_distinct_stage",
     "logql_drop_label_stage",
+    # the round-10 operator build: distributed BPE merge learning
+    "bpe_merge_table",
+    "bpe_compression_by_source",
 )
 
 
