@@ -759,3 +759,73 @@ def test_logfmt_value_matches_reference_tokenizer(spark, lines):
                 f"line={row['line']!r} key={k!r}: "
                 f"engine={row[f'k_{i}']!r} ref={want!r}"
             )
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _ref_bpe(word_texts, n_merges):
+    """Pure-Python Sennrich BPE over whitespace words: greedy
+    left-to-right merge application, ties on (weight DESC, left,
+    right)."""
+    import re as _re
+    from collections import Counter
+
+    words = Counter()
+    for t in word_texts:
+        for w in _re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            if _re.fullmatch(r"[a-z0-9]+", w or ""):
+                words[w] += 1
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += words[w]
+        if not pc:
+            break
+        (l, r), wt = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append({"rank": rank, "left": l, "right": r,
+                       "merged": l + r, "weight": wt})
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, words
+
+
+@given(
+    texts=st.lists(
+        st.text("ab c1 x", min_size=0, max_size=24), min_size=1, max_size=8
+    ),
+    n_merges=st.integers(0, 4),
+)
+@settings(**SETTINGS)
+def test_bpe_learn_matches_reference(spark, texts, n_merges):
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.corpus import (
+        bpe_apply_merges,
+        bpe_learn_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_learn_merges(df, "text", n_merges=n_merges)
+    want, vocab, words = _ref_bpe(texts, n_merges)
+    assert got == want, f"texts={texts!r}: engine={got} ref={want}"
+
+    # application: total post-merge symbols must equal the reference's
+    total_ref = sum(len(vocab[w]) * c for w, c in words.items())
+    if total_ref:
+        applied = bpe_apply_merges(df, got, "text")
+        total = applied.agg(F.sum("bpe_symbols")).collect()[0][0]
+        assert total == total_ref
