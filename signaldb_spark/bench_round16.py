@@ -859,3 +859,85 @@ GROUP BY 1 ORDER BY 1"""
 
 QUERIES["bpe_compression_by_source"] = q_bpe_compression_by_source
 ORACLES["bpe_compression_by_source"] = ORACLE_BPE_COMPRESSION_BY_SOURCE
+
+
+# ------------------------------- cross-document duplicated passages
+
+
+def q_shared_passage_extraction(spark, sf_dir):
+    """ExactSubstr-style duplicated-passage extraction
+    (operators/dedup.shared_passages) over a corpus with INJECTED
+    copies: every 5th document contributes a clone holding exactly its
+    tokens 11..40, and the detector must report each maximal shared run
+    (>= 16 tokens, 8-token shingles) with exact positions — plus
+    whatever passages the base corpus genuinely shares, since the
+    oracle replays the full shingle→shared-filter→diagonal-island
+    pipeline on strings."""
+    from .operators.dedup import normalize_text, shared_passages
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text(F.col("text")), " ")
+    copies = (
+        d.filter((F.col("doc_id") % 5 == 0) & (F.size(toks) >= 40))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.array_join(F.slice(toks, 11, 30), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(copies)
+    out = shared_passages(
+        corpus, "doc_id", "text", n=8, min_tokens=16, max_shingle_df=64
+    )
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        "match_tokens",
+    ).orderBy("id_a", "id_b", "start_a", "start_b")
+
+
+ORACLE_SHARED_PASSAGE_EXTRACTION = r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+), corpus AS MATERIALIZED (
+  SELECT doc_id, toks FROM toks
+  UNION ALL
+  SELECT doc_id + 1000000, toks[11:40] FROM toks
+  WHERE doc_id % 5 = 0 AND len(toks) >= 40
+), sh AS MATERIALIZED (
+  SELECT c.doc_id AS id, u.i - 1 AS pos,
+         array_to_string(c.toks[u.i:u.i+7], ' ') AS g
+  FROM corpus c,
+       LATERAL (SELECT unnest(generate_series(1, len(c.toks) - 7)) AS i) u
+  WHERE len(c.toks) >= 8
+), shared AS MATERIALIZED (
+  SELECT g FROM sh GROUP BY g
+  HAVING count(DISTINCT id) BETWEEN 2 AND 64
+), hits AS MATERIALIZED (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.pos AS pos_a,
+         b.pos AS pos_b, a.pos - b.pos AS diag
+  FROM sh a
+  JOIN shared s ON a.g = s.g
+  JOIN sh b ON a.g = b.g
+  WHERE a.id < b.id
+), runs AS (
+  SELECT id_a, id_b, diag, pos_a, pos_b,
+         pos_a - row_number() OVER (
+           PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+  FROM hits
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(min(pos_a) AS BIGINT) AS start_a,
+       CAST(min(pos_b) AS BIGINT) AS start_b,
+       CAST(count(*) + 7 AS BIGINT) AS match_tokens
+FROM runs GROUP BY id_a, id_b, diag, island
+HAVING count(*) + 7 >= 16
+ORDER BY id_a, id_b, start_a, start_b
+"""
+
+QUERIES["shared_passage_extraction"] = q_shared_passage_extraction
+ORACLES["shared_passage_extraction"] = ORACLE_SHARED_PASSAGE_EXTRACTION

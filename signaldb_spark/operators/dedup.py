@@ -675,3 +675,99 @@ def verify_candidate_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def shared_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_tokens: int = 16,
+    max_shingle_df: int = 64,
+) -> DataFrame:
+    """Cross-document duplicated-passage extraction — the ExactSubstr
+    dedup shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): maximal runs of consecutive shared
+    n-token shingles between document pairs, reported when the run
+    spans at least ``min_tokens`` tokens (a run of L shingles covers
+    L + n - 1 tokens). Returns one row per maximal passage:
+    (id_a, id_b, start_a, start_b, match_tokens), id_a < id_b,
+    positions 0-based in normalized-token space.
+
+    Shape (scales to 100 TB):
+    - positional shingles travel as (id, pos, xxhash64) longs — text
+      never shuffles;
+    - a shingle-frequency pass keeps only shingles shared by 2..
+      ``max_shingle_df`` documents: df=1 shingles (the overwhelming
+      majority of a real corpus) never reach the pair join, and
+      boilerplate shingles hotter than the cap are dropped explicitly
+      (an uncapped hot shingle creates df² pairs — fatal at scale, the
+      same guard as jaccard_pairs);
+    - pair volume is then Σ C(df,2) over SHARED shingles — bounded by
+      duplicated content, not corpus size;
+    - run consolidation is one window per (pair, diagonal): positions
+      on the same diagonal (pos_a - pos_b) with consecutive pos_a form
+      an island (pos_a - row_number), one groupBy emits the maximal
+      run. Hash collisions can only create spurious single-shingle
+      matches (two colliding 64-bit shingles), which ``min_tokens``
+      filters unless n >= min_tokens; collision-tolerant by the same
+      argument as repeated_ngrams.
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("_toks"),
+    )
+    tokens = F.col("_toks")
+    count = F.size(tokens) - (n - 1)
+    sh = base.select(
+        "id",
+        F.explode(
+            F.when(count >= 1, F.transform(
+                F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                lambda i: F.struct(
+                    (i - 1).cast("long").alias("pos"),
+                    F.xxhash64(F.concat_ws(" ", F.slice(tokens, i, n)))
+                    .alias("h"),
+                ),
+            )).otherwise(
+                F.array().cast("array<struct<pos:long,h:long>>")
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    shared = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("sdf"))
+        .filter((F.col("sdf") >= 2) & (F.col("sdf") <= max_shingle_df))
+        .select("h")
+    )
+    sh = sh.join(shared, "h")
+    a = sh.select(F.col("id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = sh.select(F.col("id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    hits = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "pos_a", "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+        # the same n-gram repeated inside one document lands the same
+        # (pair, diag, pos_a) via different shingle hashes only on
+        # collision; distinct keeps the window's row_number arithmetic
+        # honest regardless
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = (
+        hits.withColumn(
+            "island", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy("id_a", "id_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(n - 1)).cast("long")
+            .alias("match_tokens"),
+        )
+        .filter(F.col("match_tokens") >= min_tokens)
+    )
+    return runs.select("id_a", "id_b", "start_a", "start_b", "match_tokens")

@@ -235,6 +235,7 @@ _PRIORITY = (
     # the round-10 operator build: distributed BPE merge learning
     "bpe_merge_table",
     "bpe_compression_by_source",
+    "shared_passage_extraction",
 )
 
 

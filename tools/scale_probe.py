@@ -126,6 +126,9 @@ PROBE_QUERIES = [
     # bucket agg — must stay a map-side pass)
     "doc_chunk_windows",
     "logql_unpack_metric_path",
+    # ExactSubstr passage runs: pair volume must follow duplicated
+    # content (shared-shingle df filter), never corpus size
+    "shared_passage_extraction",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
