@@ -310,7 +310,12 @@ class SignalDBAPI:
     def loki_query_range(self, query: str, start, end, step_seconds: int = 60,
                          limit: int = 100, direction: str = "backward") -> dict:
         from .logql.ast import LogSelector
+        from .tenancy import MAX_LOG_ENTRIES
 
+        # clamp BEFORE both the tail-topk fast path and the ordinary
+        # scan: Loki's max_entries_limit_per_query, and the guard
+        # against takeOrdered's O(limit) per-task allocation
+        limit = min(limit, MAX_LOG_ENTRIES)
         ctx = self._logs_ctx(start, end, step_seconds)
         if ctx is None:
             return error_envelope("no logs table for tenant")

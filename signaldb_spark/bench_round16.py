@@ -247,9 +247,14 @@ def q_api_loki_streams_envelope(spark, sf_dir):
     ordering is asserted inline (entries newest-first), since ordering
     inside a JSON array is invisible to a sorted-rows hash."""
     api = _api(spark, sf_dir)
+    # limit = the engine's MAX_LOG_ENTRIES clamp (5000): above every
+    # SF's match count here (sf0.1: ~3000), so the oracle states the
+    # FULL match set; also pins that the clamp itself doesn't truncate
+    # below it. An unbounded limit is rejected by design — Spark lowers
+    # global sort+limit to takeOrdered with an O(limit) task buffer.
     out = api.loki_query_range(
         '{service_name="click"} |= "error"', START, END,
-        step_seconds=60, limit=10**7, direction="backward",
+        step_seconds=60, limit=1_000_000, direction="backward",
     )
     assert out["status"] == "success", out
     assert out["data"]["resultType"] == "streams"

@@ -572,9 +572,13 @@ def query_logs(
     ctx: LowerCtx, sel: LogSelector, limit: int = 100, direction: str = "backward"
 ) -> DataFrame:
     """Log (non-metric) query: filter + direction sort + limit
-    (shape_log_query, logs.rs:638-660)."""
+    (shape_log_query, logs.rs:638-660). The limit clamps to Loki's
+    max_entries_limit_per_query — see tenancy.MAX_LOG_ENTRIES: an
+    unclamped limit reaches takeOrdered's O(k) per-task buffer."""
     from ..maintenance import attr_demand
+    from ..tenancy import MAX_LOG_ENTRIES
 
+    limit = min(limit, MAX_LOG_ENTRIES)
     attr_demand.record_logql_query(sel, ctx.tenant, ctx.dataset, ctx.logs.columns)
     df = _apply_output_stages(apply_selector(ctx, sel), sel)
     order = F.col("timestamp").desc() if direction == "backward" else F.col("timestamp").asc()

@@ -712,6 +712,13 @@ def shared_passages(
       matches (two colliding 64-bit shingles), which ``min_tokens``
       filters unless n >= min_tokens; collision-tolerant by the same
       argument as repeated_ngrams.
+    - the (id, pos, h) shingle derivation is deliberately RECOMPUTED
+      per join leg rather than cached: it is corpus-token-sized (~24
+      bytes x total tokens — far beyond executor memory at 100 TB) and
+      each recomputation is a map-only pass over the scan, which is
+      cheaper than spilling a cache of it. A production pipeline
+      running this repeatedly would materialize the shingle projection
+      to storage once and feed that table here.
     """
     base = fan_out(df).select(
         F.col(id_col).alias("id"),

@@ -16,6 +16,13 @@ from .catalog import SIGNAL_TABLES, optional_table
 
 MAX_SQL_ROWS = 1_000_000  # max_sql_rows cap (flight.rs:1263)
 
+# Loki's max_entries_limit_per_query default: log queries clamp their
+# entry limit server-side. Load-bearing beyond API parity — Spark
+# lowers a global ORDER BY + LIMIT k to takeOrdered, whose per-task
+# buffer is O(k) REGARDLESS of data size, so an embedder passing an
+# unbounded limit would allocate gigabytes before reading a row.
+MAX_LOG_ENTRIES = 5_000
+
 
 class TenantSession:
     """Scoped query entry for one (tenant, dataset): registers the
