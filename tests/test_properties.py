@@ -829,3 +829,64 @@ def test_bpe_learn_matches_reference(spark, texts, n_merges):
         applied = bpe_apply_merges(df, got, "text")
         total = applied.agg(F.sum("bpe_symbols")).collect()[0][0]
         assert total == total_ref
+
+
+# ------------------------------------------------------ shared passages
+
+
+def _ref_shared_passages(docs, n, min_tokens):
+    """Brute-force maximal common diagonal segments: for every doc pair
+    and every diagonal, the maximal runs of positions where the token
+    sequences agree; a segment of L tokens is reported when
+    L >= min_tokens (and only exists as a detection when L >= n, which
+    min_tokens >= n guarantees)."""
+    out = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            a, b = docs[ia], docs[ib]
+            for diag in range(-len(b) + 1, len(a)):
+                i = max(0, diag)
+                j = i - diag
+                run = 0
+                while j <= len(b) and i <= len(a):
+                    same = i < len(a) and j < len(b) and a[i] == b[j]
+                    if same:
+                        run += 1
+                    elif run:
+                        if run >= min_tokens:
+                            out.add((ia, ib, i - run, j - run, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b"]), min_size=0, max_size=18),
+        min_size=2,
+        max_size=5,
+    ),
+    n=st.sampled_from([2, 3]),
+    extra=st.integers(0, 4),
+)
+@settings(**SETTINGS)
+def test_shared_passages_matches_bruteforce(spark, docs, n, extra):
+    from signaldb_spark.operators.dedup import shared_passages
+
+    min_tokens = n + extra
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["match_tokens"])
+        for r in shared_passages(
+            df, "doc_id", "text", n=n, min_tokens=min_tokens,
+            max_shingle_df=10_000,  # inert: tiny corpora, no hot cap
+        ).collect()
+    }
+    want = _ref_shared_passages(
+        {i: words for i, words in enumerate(docs)}, n, min_tokens
+    )
+    assert got == want, f"docs={docs!r} n={n} min={min_tokens}"
