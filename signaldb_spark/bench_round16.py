@@ -147,16 +147,22 @@ def _signal_base(spark, sf_dir: str) -> str:
         day, hour,
         null_s.alias("label_environment"),
     )
-    for name, df in [("logs", logs), ("metrics_gauge", gauge),
-                     ("traces", traces)]:
+    # logs keep the hive layout (the read path the tail/partition
+    # semantics run against), repartitioned BY the partition columns so
+    # each (day,hour) dir gets ONE file instead of one per (task x dir);
+    # gauge/traces write flat with date_day/hour as ordinary columns —
+    # their gates read the whole table, and 2x720 partition dirs cost
+    # ~15s of pure file-creation at sf0.1 for zero pruning benefit.
+    (
+        logs.repartition(F.col("date_day"), F.col("hour"))
+        .write.mode("overwrite")
+        .partitionBy("date_day", "hour")
+        .parquet(signal_table_path(base, "acme", "prod", "logs"))
+    )
+    for name, df in [("metrics_gauge", gauge), ("traces", traces)]:
         (
-            # repartition BY the partition columns: one file per
-            # (day,hour) dir instead of one per (task x dir) — at sf0.1
-            # the naive layout writes ~2900 tiny files and the fixture
-            # dominates the battery's wall clock
-            df.repartition(F.col("date_day"), F.col("hour"))
+            df.repartition(4)
             .write.mode("overwrite")
-            .partitionBy("date_day", "hour")
             .parquet(signal_table_path(base, "acme", "prod", name))
         )
     _R16_CACHE[key] = base
