@@ -952,3 +952,57 @@ ORDER BY id_a, id_b, start_a, start_b
 
 QUERIES["shared_passage_extraction"] = q_shared_passage_extraction
 ORACLES["shared_passage_extraction"] = ORACLE_SHARED_PASSAGE_EXTRACTION
+
+
+# ------------------------------------------- epoch shuffle batching
+
+
+def q_epoch_shuffle_batches(spark, sf_dir):
+    """Deterministic training-epoch shuffling
+    (operators/corpus.epoch_shuffle_batches): two epochs over the
+    documents corpus, batch size 64 — the per-batch composition
+    (exact-size batches, md5-permutation order, per-epoch
+    reshuffling) restated by the oracle with a plain global
+    row_number, which the engine computes scale-safely as
+    bucket-local ranks + broadcast bucket offsets."""
+    from .operators.corpus import epoch_shuffle_batches
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (1, 2):
+        b = epoch_shuffle_batches(d, "doc_id", epoch=epoch, batch_size=64)
+        parts.append(
+            b.groupBy("batch_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+                F.min("shuffle_key").alias("first_key"),
+                F.max_by("doc_id", F.col("pos_in_batch")).cast("bigint")
+                .alias("last_doc_id"),
+            )
+            .select(F.lit(epoch).alias("epoch"), "batch_id", "n",
+                    "sum_doc_id", "first_key", "last_doc_id")
+        )
+    return parts[0].unionByName(parts[1]).orderBy("epoch", "batch_id")
+
+
+ORACLE_EPOCH_SHUFFLE_BATCHES = """
+WITH ranked AS (
+  SELECT epoch, doc_id,
+         md5('shuffle:' || epoch || ':' || doc_id) AS shuffle_key,
+         row_number() OVER (
+           PARTITION BY epoch
+           ORDER BY md5('shuffle:' || epoch || ':' || doc_id), doc_id
+         ) - 1 AS rank
+  FROM documents, (SELECT unnest([1, 2]) AS epoch)
+)
+SELECT epoch, CAST(rank // 64 AS BIGINT) AS batch_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+       min(shuffle_key) AS first_key,
+       CAST(max_by(doc_id, rank) AS BIGINT) AS last_doc_id
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["epoch_shuffle_batches"] = q_epoch_shuffle_batches
+ORACLES["epoch_shuffle_batches"] = ORACLE_EPOCH_SHUFFLE_BATCHES

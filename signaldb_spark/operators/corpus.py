@@ -814,3 +814,69 @@ def bpe_apply_merges(
             F.count(F.lit(1)).cast("long").alias("bpe_words"),
         )
     )
+
+
+def epoch_shuffle_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    batch_size: int = 256,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic epoch shuffling with exact-size batch assembly —
+    the training-loader order, computed in-engine: every row gets a
+    global shuffle rank (the ascending order of ``md5(salt:epoch:id)``,
+    a different but reproducible permutation per epoch) and a batch id
+    ``rank // batch_size``. Same inputs → same batches, on any cluster,
+    at any partitioning — the property ``df.orderBy(rand())`` cannot
+    give.
+
+    Scale shape: a GLOBAL row_number would be one single-partition
+    window — the driver-side-loop anti-pattern in window form. Instead
+    the global rank assembles from two scale-safe pieces: a rank WITHIN
+    each of 65536 hash-prefix buckets (windows partitioned by bucket —
+    parallel, skew-free since md5 is uniform) plus each bucket's
+    cumulative row offset (a 65536-row aggregate, broadcast back). Two
+    shuffles total (bucket window + tiny-agg join), both keyed by the
+    uniform hash — no sampling, no range-exchange, exact ranks.
+
+    Returns the input plus (shuffle_key, batch_id, pos_in_batch).
+    """
+    if batch_size <= 0:
+        raise ValueError("batch_size must be positive")
+    key_hex = F.md5(
+        F.concat_ws(":", F.lit(salt), F.lit(str(epoch)),
+                    F.col(id_col).cast("string"))
+    )
+    # first 4 hex nibbles = 65536 uniform buckets; remaining nibbles
+    # order within the bucket (with the id as an exact tiebreak for the
+    # astronomically-unlikely collision)
+    bucket = F.conv(F.substring(key_hex, 1, 4), 16, 10).cast("long")
+    base = fan_out(df).select(
+        "*", key_hex.alias("shuffle_key"), bucket.alias("_bucket")
+    )
+    w = Window.partitionBy("_bucket").orderBy("shuffle_key", F.col(id_col))
+    ranked = base.withColumn("_local", F.row_number().over(w) - 1)
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    out = ranked.join(F.broadcast(offsets), "_bucket")
+    rank = F.col("_local") + F.col("_offset")
+    return out.select(
+        *[c for c in df.columns],
+        "shuffle_key",
+        (rank / batch_size).cast("long").alias("batch_id"),
+        (rank % batch_size).cast("long").alias("pos_in_batch"),
+    )

@@ -236,6 +236,7 @@ _PRIORITY = (
     "bpe_merge_table",
     "bpe_compression_by_source",
     "shared_passage_extraction",
+    "epoch_shuffle_batches",
 )
 
 

@@ -129,6 +129,9 @@ PROBE_QUERIES = [
     # ExactSubstr passage runs: pair volume must follow duplicated
     # content (shared-shingle df filter), never corpus size
     "shared_passage_extraction",
+    # exact global shuffle rank: bucket-local windows + broadcast
+    # offsets — the data-sized window must stay partitioned
+    "epoch_shuffle_batches",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
