@@ -731,3 +731,19 @@ def test_epoch_nanos_is_microsecond_exact():
     t = dt.datetime(2026, 3, 1, 12, 0, 0, 123456)
     assert _epoch_nanos(t) % 1_000_000_000 == 123_456_000
     assert _epoch_nanos(1755000000) == 1755000000 * 10**9
+
+
+def test_loki_limit_clamps_to_max_entries(api):
+    """An embedder-supplied unbounded limit must clamp to Loki's
+    max_entries_limit_per_query BEFORE the global sort+limit lowers to
+    takeOrdered — whose per-task buffer is O(limit) regardless of data
+    size (limit=10^7 allocated gigabytes and killed the JVM before the
+    clamp existed)."""
+    from signaldb_spark.tenancy import MAX_LOG_ENTRIES
+
+    out = api.loki_query_range(
+        '{service_name=~".+"}', START, END, limit=10**9
+    )
+    assert out["status"] == "success", out
+    total = sum(len(s["values"]) for s in out["data"]["result"])
+    assert 0 < total <= MAX_LOG_ENTRIES
