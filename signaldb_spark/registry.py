@@ -201,6 +201,31 @@ _DRIVER_VERIFIED = frozenset({
     "customer_trend_mix", "skewness_report", "anova_f_component",
     "skyline_orders", "tenant_isolation_scan", "hot_only_first_run",
     "theil_sen_daily_trend", "runs_test_randomness",
+    # round 10 (50 green rows in CORRECTNESS_r10.json — including
+    # manifest_stats_report, round 9's one red, re-proved after the
+    # INT96 stats fix)
+    "manifest_stats_report", "quota_enforcement", "selfmon_query_spans",
+    "api_key_quota_lifecycle", "streaming_ingest_visibility",
+    "typed_attr_metric_predicate", "int96_session_stats_selfcheck",
+    "tz_repin_epoch_consistency", "api_prom_range_envelope",
+    "api_loki_streams_envelope", "api_tempo_search_envelope",
+    "logql_distinct_stage", "logql_drop_label_stage", "bpe_merge_table",
+    "bpe_compression_by_source", "shared_passage_extraction",
+    "epoch_shuffle_batches", "chi2_keyness_terms", "llr_collocations",
+    "mean_battery", "null_semantics_battery", "intdiv_mod_battery",
+    "compaction_stats_pruning", "retention_tail_topk",
+    "partition_filter_scan", "simpson_diversity",
+    "sla_attainment_by_priority", "revenue_milestone_days",
+    "emb_dim_correlation_top", "price_size_monotonicity",
+    "weekday_profile_distance", "moving_median_revenue",
+    "ewma_14d_revenue", "price_volume_decomposition",
+    "null_key_join_battery", "grouping_sets_distinct_users",
+    "abc_xyz_matrix", "net_revenue_retention", "type_hierarchy_rollup",
+    "cdc_keep_latest", "session_definition_sensitivity",
+    "topk_stability_quarters", "median_ci_rank_bounds",
+    "dead_letter_split", "activation_velocity", "dual_sourcing_share",
+    "term_burstiness", "sq8_reconstruction_snr", "iso_week_boundary",
+    "expiry_retains_window",
 })
 
 # Engine-contract gates that prove the highest-value components under the
@@ -212,31 +237,18 @@ _DRIVER_VERIFIED = frozenset({
 # blocks to the very front of the never-verified prefix so they get
 # driver-oracle evidence now instead of 3-5 rounds out.
 _PRIORITY = (
-    # round-10 tier: manifest_stats_report is round 9's one driver red
-    # (INT96 stats blinding) — it leads the prefix to re-prove the fix
-    # under the driver's vanilla session. The rest are round-9-built
-    # engine gates that have never been driver-sampled.
-    "manifest_stats_report",
-    "quota_enforcement",
-    "selfmon_query_spans",
-    "api_key_quota_lifecycle",
-    "streaming_ingest_visibility",
-    "typed_attr_metric_predicate",
-    # round-10 flagships: the conf self-sufficiency gates (the class of
-    # bug behind r9's red), the façade envelope contracts, and the
-    # r9-built LogQL metric-path output stages — all driver-evidence-poor
-    "int96_session_stats_selfcheck",
-    "tz_repin_epoch_consistency",
-    "api_prom_range_envelope",
-    "api_loki_streams_envelope",
-    "api_tempo_search_envelope",
-    "logql_distinct_stage",
-    "logql_drop_label_stage",
-    # the round-10 operator build: distributed BPE merge learning
-    "bpe_merge_table",
-    "bpe_compression_by_source",
-    "shared_passage_extraction",
-    "epoch_shuffle_batches",
+    # round-11 tier: the 8 round-16 gates that round 10's sample missed —
+    # the remaining façade envelope contracts (JSON envelopes parsed back
+    # into rows under the oracle), the two LogQL metric-path output
+    # stages without driver evidence, and the token-window chunking pair.
+    "api_prom_instant_envelope",
+    "api_loki_matrix_envelope",
+    "api_loki_discovery_envelope",
+    "api_sql_envelope",
+    "logql_keep_stage_metric",
+    "logql_unpack_metric_path",
+    "doc_chunk_windows",
+    "chunk_overlap_audit",
 )
 
 
