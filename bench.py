@@ -79,7 +79,15 @@ def main() -> None:
     with open(os.path.join(here, "bench_per_query.json"), "w") as fh:
         json.dump(
             {"metric": "headline_total", "value": round(total, 3),
-             "unit": "sec", "queries": timings, "sf": sf_val, "n": len(timings)},
+             "unit": "sec", "queries": timings, "sf": sf_val, "n": len(timings),
+             # self-describing provenance: a fresh run writes an empty
+             # notes map; any hand-splice/adjudication of individual
+             # query values MUST be recorded here (query -> note) so the
+             # artifact doesn't silently present a composite as one run
+             "provenance": {"run": "single-session min-of-2",
+                            "notes": {},
+                            "adjudications_doc":
+                                "docs/bench_adjudications.md"}},
             fh, indent=1)
 
     # write-path micro-benches (OTLP decode, manifest append, hot

@@ -843,7 +843,7 @@ def q_bpe_compression_by_source(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    per_doc = bpe_apply_merges(d, merges, "text")
+    per_doc = bpe_apply_merges(d, merges, "text", id_col="doc_id")
     return (
         per_doc.groupBy("source")
         .agg(

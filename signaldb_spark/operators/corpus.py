@@ -783,13 +783,21 @@ def bpe_apply_merges(
     df: DataFrame,
     merges: "list[dict]",
     text_col: str = "text",
+    id_col: "str | None" = None,
 ) -> DataFrame:
     """Tokenize with a learned merge table: every ``[a-z0-9]+`` word
     maps to its post-merge symbol count (non-participating words count
     1 symbol per character, their BPE-less floor). Map-only — the merge
     ranks apply as a chain of literal replaces per row; returns the
     input plus ``bpe_symbols`` (per-document symbol total) and
-    ``bpe_words`` (participating word count)."""
+    ``bpe_words`` (participating word count).
+
+    With ``id_col`` set (unique per row), counts group by that key and
+    left-join back to ``df``, so documents with zero ``[a-z0-9]+``
+    words return ``bpe_symbols = bpe_words = 0``. Without it, the
+    group-by spans ALL input columns: zero-word documents are dropped
+    from the output and exact-duplicate input rows collapse into one
+    row with combined counts."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
     word = F.col("w")
     seq = F.concat(
@@ -806,6 +814,18 @@ def bpe_apply_merges(
         "*", F.explode(toks).alias("w")
     ).filter(word.rlike("^[a-z0-9]+$"))
     counted = exploded.withColumn("_syms", n_syms)
+    if id_col is not None:
+        per_id = counted.groupBy(id_col).agg(
+            F.sum("_syms").cast("long").alias("bpe_symbols"),
+            F.count(F.lit(1)).cast("long").alias("bpe_words"),
+        )
+        return df.join(per_id, id_col, "left").select(
+            *df.columns,
+            F.coalesce("bpe_symbols", F.lit(0)).cast("long")
+            .alias("bpe_symbols"),
+            F.coalesce("bpe_words", F.lit(0)).cast("long")
+            .alias("bpe_words"),
+        )
     keys = [c for c in df.columns]
     return (
         counted.groupBy(*keys)
@@ -830,6 +850,14 @@ def epoch_shuffle_batches(
     ``rank // batch_size``. Same inputs → same batches, on any cluster,
     at any partitioning — the property ``df.orderBy(rand())`` cannot
     give.
+
+    Precondition: ``id_col`` values must be UNIQUE. Duplicate ids tie
+    exactly on (shuffle_key, id), and row_number's order over exact
+    ties is not deterministic across runs/partitionings — dedupe or
+    synthesize a unique id first. (A content tiebreak is deliberately
+    not added: hashing every remaining column per row would double the
+    shuffle width for a precondition any loader pipeline already
+    guarantees.)
 
     Scale shape: a GLOBAL row_number would be one single-partition
     window — the driver-side-loop anti-pattern in window form. Instead

@@ -63,7 +63,16 @@ _WRITE_CONFS = {
 def stats_visible_writes(spark: SparkSession):
     """Pin the write-side confs around a parquet write, restoring the
     caller's values after. Runtime SQL confs only — safe on a live
-    session."""
+    session.
+
+    Single-writer-per-session assumption: the pin/restore mutates the
+    session-global runtime conf, so a concurrent write on ANOTHER
+    thread of the same SparkSession during this window would also pick
+    up TIMESTAMP_MICROS, and the restore could clobber a concurrent
+    conf change. All writers in this repo (batch sink, hot flush,
+    compactor, streaming foreachBatch) are single-threaded per session;
+    embedders driving writes from multiple threads should serialize
+    them or use separate sessions."""
     prev: dict[str, str | None] = {}
     for k, v in _WRITE_CONFS.items():
         try:

@@ -831,6 +831,34 @@ def test_bpe_learn_matches_reference(spark, texts, n_merges):
         assert total == total_ref
 
 
+def test_bpe_apply_merges_id_col_keeps_empty_docs(spark):
+    """With id_col, every input row survives: zero-word docs come back
+    with bpe_symbols = bpe_words = 0 instead of being dropped, and the
+    per-doc counts match the default path's for non-empty docs."""
+    from pyspark.sql import functions as F
+
+    from signaldb_spark.operators.corpus import bpe_apply_merges
+
+    df = spark.createDataFrame(
+        [(0, "aa ab aa"), (1, ""), (2, "!!! ???"), (3, "aa ab aa")],
+        "doc_id long, text string",
+    )
+    merges = [{"rank": 0, "left": "a", "right": "a",
+               "merged": "aa", "weight": 4}]
+    out = {r["doc_id"]: (r["bpe_symbols"], r["bpe_words"])
+           for r in bpe_apply_merges(df, merges, "text",
+                                     id_col="doc_id").collect()}
+    # "aa"->1 symbol after the merge, "ab" stays 2 → 1+2+1 = 4 symbols
+    assert out == {0: (4, 3), 1: (0, 0), 2: (0, 0), 3: (4, 3)}
+    # default path: empty docs dropped, duplicate rows collapse —
+    # documented semantics
+    legacy = bpe_apply_merges(
+        df.select("text"), merges, "text"
+    ).collect()
+    assert {(r["text"], r["bpe_symbols"], r["bpe_words"])
+            for r in legacy} == {("aa ab aa", 8, 6)}
+
+
 # ------------------------------------------------------ shared passages
 
 
