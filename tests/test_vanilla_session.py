@@ -44,6 +44,13 @@ SLICE = [
     "trace_duration_filter",   # TraceQL
     "dedup_exact",           # training-data dedup
     "emb_cosine_topk",       # similarity
+    # round-16 blocks (added r11 per the one-gate-per-new-block rule):
+    "api_prom_range_envelope",  # façade envelope parsed back into rows
+    "int96_session_stats_selfcheck",  # conf self-sufficiency family
+    "logql_unpack_metric_path",  # LogQL metric-path output stages
+    "epoch_shuffle_batches",     # LLM-loader determinism
+    "bpe_merge_table",           # distributed BPE merge learning
+    "doc_chunk_windows",         # token-window chunking
 ]
 
 _DRIVER_SCRIPT = r"""
