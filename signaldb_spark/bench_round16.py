@@ -51,15 +51,11 @@ def _cents_col():
     return F.round(F.col("value") * 100).cast("bigint")
 
 
-def _signal_base(spark, sf_dir: str) -> str:
-    """Materialize logs + metrics_gauge + traces for tenant acme/prod,
-    derived 1:1 from events, hive-partitioned under a temp base — the
-    engine's storage layout, built once per (process, sf)."""
-    key = ("base", sf_dir)
-    if key in _R16_CACHE:
-        return _R16_CACHE[key]
-    base = _tempfile.mkdtemp(prefix="sdb-r16-signals-")
-    e = load_table(spark, sf_dir, "events")
+def events_logs_frame(e):
+    """The canonical events→logs-schema frame shared by the round-16
+    signal fixture and the round-17 ops-route fixtures (service =
+    event_type, severity = user_id %% 4, body carries evt id + cents) —
+    one derivation so every façade gate's oracle can restate it."""
     day = F.to_date("ts").alias("date_day")
     hour = F.hour("ts").cast("int").alias("hour")
     sev = _sev_col()
@@ -70,7 +66,7 @@ def _signal_base(spark, sf_dir: str) -> str:
     )
     null_s = F.lit(None).cast("string")
     null_m = F.lit(None).cast("map<string,string>")
-    logs = e.select(
+    return e.select(
         F.col("ts").alias("timestamp"),
         F.col("ts").alias("observed_timestamp"),
         F.lower(F.lpad(F.hex("event_id"), 32, "0")).alias("trace_id"),
@@ -95,6 +91,22 @@ def _signal_base(spark, sf_dir: str) -> str:
         null_s.alias("label_namespace"),
         day, hour,
     )
+
+
+def _signal_base(spark, sf_dir: str) -> str:
+    """Materialize logs + metrics_gauge + traces for tenant acme/prod,
+    derived 1:1 from events, hive-partitioned under a temp base — the
+    engine's storage layout, built once per (process, sf)."""
+    key = ("base", sf_dir)
+    if key in _R16_CACHE:
+        return _R16_CACHE[key]
+    base = _tempfile.mkdtemp(prefix="sdb-r16-signals-")
+    e = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("date_day")
+    hour = F.hour("ts").cast("int").alias("hour")
+    null_s = F.lit(None).cast("string")
+    null_m = F.lit(None).cast("map<string,string>")
+    logs = events_logs_frame(e)
     gauge = e.select(
         F.col("ts").alias("timestamp"),
         F.lit(None).cast("timestamp").alias("start_timestamp"),

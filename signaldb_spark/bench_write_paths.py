@@ -59,6 +59,57 @@ _OTLP_PAYLOAD = json.dumps({
 })
 
 
+# one resource batch carrying all FIVE metric kinds — the routing shape
+# flatten_otlp_metrics fans out to its five target tables
+_OTLP_METRICS_PAYLOAD = json.dumps({
+    "resourceMetrics": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "api"}},
+        ]},
+        "scopeMetrics": [{
+            "scope": {"name": "bench", "version": "1"},
+            "metrics": [
+                {"name": "cpu_usage", "unit": "1", "gauge": {"dataPoints": [
+                    {"timeUnixNano": "1704067200000000000",
+                     "asDouble": 0.42,
+                     "attributes": [{"key": "core",
+                                     "value": {"stringValue": "0"}}]},
+                ]}},
+                {"name": "requests_total", "unit": "1", "sum": {
+                    "aggregationTemporality": 2, "isMonotonic": True,
+                    "dataPoints": [
+                        {"timeUnixNano": "1704067200000000000",
+                         "asInt": "1234"},
+                    ]}},
+                {"name": "latency_ms", "histogram": {
+                    "aggregationTemporality": 2, "dataPoints": [
+                        {"timeUnixNano": "1704067200000000000",
+                         "count": "7", "sum": 55.0,
+                         "bucketCounts": ["1", "4", "2"],
+                         "explicitBounds": [10.0, 50.0]},
+                    ]}},
+                {"name": "latency_exp", "exponentialHistogram": {
+                    "aggregationTemporality": 2, "dataPoints": [
+                        {"timeUnixNano": "1704067200000000000",
+                         "count": "5", "sum": 40.0, "scale": 2,
+                         "zeroCount": "1",
+                         "positive": {"offset": 3,
+                                      "bucketCounts": ["2", "2"]},
+                         "negative": {"offset": 0, "bucketCounts": []}},
+                    ]}},
+                {"name": "gc_pause", "summary": {"dataPoints": [
+                    {"timeUnixNano": "1704067200000000000",
+                     "count": "9", "sum": 12.5,
+                     "quantileValues": [
+                         {"quantile": 0.5, "value": 1.0},
+                         {"quantile": 0.99, "value": 4.2}]},
+                ]}},
+            ],
+        }],
+    }]
+})
+
+
 def run(spark: SparkSession, n_payloads: int = 20_000) -> dict:
     """Measure the four write-path steps once each; returns a flat dict
     of seconds (plus decoded row counts so throughput is computable).
@@ -75,6 +126,41 @@ def run(spark: SparkSession, n_payloads: int = 20_000) -> dict:
     flat.write.mode("overwrite").format("noop").save()
     out["otlp_decode_s"] = round(time.perf_counter() - t0, 3)
     out["decoded_rows"] = n_payloads * 2
+
+    # metrics five-kind routing: one payload carries all five kinds;
+    # the flattener fans out to five typed tables (gauge/sum/histogram/
+    # exp-histogram/summary) — time the full fan-out, not one branch
+    from .sources.otlp import flatten_otlp_metrics
+
+    n_metrics = n_payloads // 4
+    mraw = spark.range(n_metrics).select(
+        F.lit(_OTLP_METRICS_PAYLOAD).alias("value"))
+    t0 = time.perf_counter()
+    routed = flatten_otlp_metrics(mraw)
+    for df in routed.values():
+        df.write.mode("overwrite").format("noop").save()
+    out["metrics_route_s"] = round(time.perf_counter() - t0, 3)
+    out["metrics_route_rows"] = n_metrics * 5  # one point per kind
+
+    # pprof wire decode: gzip'd protobuf bodies → stacktrace/sample JSON
+    # via the Arrow-batched mapInPandas path the profile source uses
+    import gzip as _gzip
+
+    from .sources.pprof import decode_pprof_profiles, encode_pprof
+
+    body = _gzip.compress(encode_pprof({
+        "sample_types": [{"type": "cpu", "unit": "nanoseconds"}],
+        "stacktraces": [["main", "handler", "db_query"],
+                        ["main", "handler", "serialize"]],
+        "samples": [{"stacktrace_idx": 0, "value": 120},
+                    {"stacktrace_idx": 1, "value": 45}],
+    }))
+    n_profiles = n_payloads // 10
+    praw = spark.range(n_profiles).select(F.lit(body).alias("payload"))
+    t0 = time.perf_counter()
+    decode_pprof_profiles(praw).write.mode("overwrite").format("noop").save()
+    out["pprof_decode_s"] = round(time.perf_counter() - t0, 3)
+    out["pprof_payloads"] = n_profiles
 
     tmp = tempfile.mkdtemp(prefix="bench_write_")
     table = f"{tmp}/logs"

@@ -18,6 +18,7 @@ from . import (
     bench_round14,
     bench_round15,
     bench_round16,
+    bench_round17,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -45,6 +46,7 @@ _MODULES = [
     bench_round14,
     bench_round15,
     bench_round16,
+    bench_round17,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
