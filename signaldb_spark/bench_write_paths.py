@@ -156,6 +156,11 @@ def run(spark: SparkSession, n_payloads: int = 20_000) -> dict:
                     {"stacktrace_idx": 1, "value": 45}],
     }))
     n_profiles = n_payloads // 10
+    # warm the Python-worker/Arrow path first (one tiny decode): the
+    # pool spins up lazily and its multi-second cold start would read
+    # as decode cost; steady-state throughput is the tracked number
+    warm = spark.range(32).select(F.lit(body).alias("payload"))
+    decode_pprof_profiles(warm).write.mode("overwrite").format("noop").save()
     praw = spark.range(n_profiles).select(F.lit(body).alias("payload"))
     t0 = time.perf_counter()
     decode_pprof_profiles(praw).write.mode("overwrite").format("noop").save()

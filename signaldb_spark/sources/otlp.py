@@ -604,8 +604,26 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
     to its own table (conversion_metrics.rs: one row per point,
     ``target_table`` routing). Returns {'metrics_gauge': df,
     'metrics_sum': df, 'metrics_histogram': df}.
+
+    Each returned frame re-derives from the raw JSON, so writing all
+    five parses the payloads five times. Bounded writers (a
+    foreachBatch sink) should parse once instead:
+    :func:`route_metric_base` over a persisted :func:`metric_base`.
     """
-    base = _metric_base(raw, json_col)
+    return route_metric_base(metric_base(raw, json_col))
+
+
+def metric_base(raw: DataFrame, json_col: str = "value") -> DataFrame:
+    """The parsed per-metric frame (one row per OTLP metric, data
+    points unexploded) the five kind routers branch from. Persist this
+    in bounded sinks so the five-table fan-out parses the JSON once —
+    at ingest scale the re-parse, not the routing, is the cost."""
+    return _metric_base(raw, json_col)
+
+
+def route_metric_base(base: DataFrame) -> dict[str, DataFrame]:
+    """Five-kind routing over an already-parsed :func:`metric_base`
+    frame (conversion_metrics.rs target_table routing)."""
     res_map = _attrs_to_map(F.col("res_attrs"))
 
     def num_points(kind: str):

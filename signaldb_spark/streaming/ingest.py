@@ -447,10 +447,18 @@ def ingest_otlp_metrics_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         _charge_ingest(rate_limiter, tenant, batch_df, F.octet_length("value"))
         flagged = with_dead_letter_flag(batch_df, OTLP_METRICS_SCHEMA).cache()
+        parsed = None
         try:
             dead = flagged.filter(F.col("_dead"))
             good = flagged.filter(~F.col("_dead")).drop("_dead")
-            tables = flatten_otlp_metrics(good, json_col="value")
+            # parse ONCE per batch: the five-kind routing fans out to
+            # five table writes, and without the persisted base each
+            # write would re-run from_json over the whole batch — at
+            # ingest scale a 5x decode tax (sources/otlp.py metric_base)
+            from ..sources.otlp import metric_base, route_metric_base
+
+            parsed = metric_base(good, "value").persist()
+            tables = route_metric_base(parsed)
             for table, df in tables.items():
                 # deterministic refusals (null in a required column) split
                 # to the dead-letter sink BEFORE the commit — a poison
@@ -472,6 +480,8 @@ def ingest_otlp_metrics_stream(
             if dead.limit(1).count():
                 write_dead_letters(dead, base, tenant, dataset, "metrics", batch_id)
         finally:
+            if parsed is not None:
+                parsed.unpersist()
             flagged.unpersist()
 
     return _drain_stream(raw.writeStream.foreachBatch(sink), checkpoint, available_now)
@@ -556,6 +566,7 @@ def ingest_otlp_pb_stream(
         decoded = batch_df.select("content").mapInPandas(
             decode, "value string, _dead_payload string"
         ).cache()
+        parsed = None
         try:
             good = decoded.filter(F.col("value").isNotNull())
             dead = decoded.filter(F.col("_dead_payload").isNotNull())
@@ -564,7 +575,11 @@ def ingest_otlp_pb_stream(
             elif signal == "logs":
                 tables = {"logs": otlp.flatten_otlp_logs(good, json_col="value")}
             else:
-                tables = otlp.flatten_otlp_metrics(good, json_col="value")
+                # parse once per batch — the five-table fan-out must not
+                # re-run from_json (and here the pprof-style Python
+                # decode above it) five times
+                parsed = otlp.metric_base(good, "value").persist()
+                tables = otlp.route_metric_base(parsed)
             for table, df in tables.items():
                 # the SAME deterministic-refusal split the JSON metrics
                 # path performs: a decodable datapoint violating a
@@ -588,6 +603,8 @@ def ingest_otlp_pb_stream(
                     base, tenant, dataset, signal, batch_id,
                 )
         finally:
+            if parsed is not None:
+                parsed.unpersist()
             decoded.unpersist()
 
     return _drain_stream(
