@@ -32,7 +32,7 @@ HEADLINE = list(QUERIES)
 
 _FAMILIES = (
     "dedup", "emb", "text", "logql", "promql", "trace", "ir",
-    "multimodal", "asof", "exphist", "curation",
+    "multimodal", "asof", "exphist", "curation", "api",
 )
 
 

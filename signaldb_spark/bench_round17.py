@@ -113,12 +113,17 @@ def _api17(spark, sf_dir):
     return _api(spark, sf_dir)
 
 
-def _ops_base(spark, sf_dir, cache: bool = True) -> str:
+def _ops_base(spark, sf_dir, cache: bool = True,
+              max_hour: int | None = None) -> str:
     """A manifest-backed day-1 logs table committed in TWO batches split
     by event-id parity, each repartitioned by (date_day, hour) so every
     commit lands exactly one file per non-empty partition. Per-hour
     file count is therefore count(DISTINCT event_id % 2) over that hour
-    — a closed form the DuckDB oracle states from raw events."""
+    — a closed form the DuckDB oracle states from raw events.
+    ``max_hour`` bounds the partition count for gates that rebuild the
+    fixture per call (the rewrite gate compacts serially per
+    partition, so 24 partitions x 2 runs would dominate its bench
+    wall-clock)."""
     from .storage.manifest import write_batch_manifest
 
     key = ("ops", sf_dir)
@@ -128,6 +133,8 @@ def _ops_base(spark, sf_dir, cache: bool = True) -> str:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("ts") < "2024-01-02 00:00:00"
     )
+    if max_hour is not None:
+        e = e.filter(F.hour("ts") < max_hour)
     logs = events_logs_frame(e)
     path = signal_table_path(base, "acme", "prod", "logs")
     for batch_id, parity in ((0, 0), (1, 1)):
@@ -225,11 +232,13 @@ def q_api_ops_compact_rewrite(spark, sf_dir):
     compacts to one file under snapshot isolation, and the data
     survives byte-for-byte — files_before/after from the route envelope
     joined with post-compaction row counts + cents sums read back
-    through the tenant session. Fresh fixture per call: compaction
-    mutates it, and the bench runs every query twice."""
+    through the tenant session. Fresh fixture per call (compaction
+    mutates it, and the bench runs every query twice), bounded to six
+    hour-partitions — the route compacts serially per partition,
+    exactly like the reference's per-partition rewriter."""
     from .api import SignalDBAPI
 
-    base = _ops_base(spark, sf_dir, cache=False)
+    base = _ops_base(spark, sf_dir, cache=False, max_hour=6)
     api = SignalDBAPI(spark, base, "acme", "prod")
     out = api.ops_compact("logs", day="2024-01-01", dry_run=False)
     assert out["status"] == "success" and out["dry_run"] is False, out
@@ -261,7 +270,7 @@ FROM (
          CAST(hour(ts) AS INT) AS hour,
          CAST(count(DISTINCT event_id % 2) AS INT) AS n_files,
          count(*) AS n_rows, sum({_CENTS_SQL}) AS cents_sum
-  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'
+  FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00' AND hour(ts) < 6
   GROUP BY 1, 2
 ) ORDER BY date_day, hour
 """

@@ -51,6 +51,11 @@ SLICE = [
     "epoch_shuffle_batches",     # LLM-loader determinism
     "bpe_merge_table",           # distributed BPE merge learning
     "doc_chunk_windows",         # token-window chunking
+    # round-17 blocks: ops routes (manifest fixture under the bare
+    # session — the write-conf class of bug) and the pyroscope
+    # flamegraph envelope
+    "api_ops_compact_dryrun",
+    "api_pyroscope_render_envelope",
 ]
 
 _DRIVER_SCRIPT = r"""

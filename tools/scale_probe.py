@@ -132,6 +132,14 @@ PROBE_QUERIES = [
     # exact global shuffle rank: bucket-local windows + broadcast
     # offsets — the data-sized window must stay partitioned
     "epoch_shuffle_batches",
+    # round-11 shapes: the flamegraph prefix-explode + one groupBy
+    # behind /pyroscope/render (cost follows samples x stack depth; the
+    # envelope itself is bounded by frame-path cardinality), and the
+    # manifest write→compact cycle behind /ops/compact (two parity
+    # commits + per-partition rewrite — commit cost must follow data,
+    # file count stays partition-bounded)
+    "api_pyroscope_render_envelope",
+    "api_ops_compact_rewrite",
 ]
 # Skew tier: the shapes that CLAIM skew-safety (salted two-phase agg,
 # salted window top-k, unique-composite-key self-join, partial-agg
