@@ -605,6 +605,46 @@ class SignalDBAPI:
             })
         return {"traces": out}
 
+    # GET /tempo/api/metrics/query — instant TraceQL metrics
+    # (the reference answers 501, tempo.rs:1284-1290)
+
+    @_guarded_route
+    def tempo_metrics_query(self, q: str, start, end) -> dict:
+        """The instant form: one value per series over [start, end] —
+        rate() = matching spans / window seconds, quantile = the exact
+        interpolated quantile over every matching span."""
+        from .traceql.trace_ops import metrics_query_instant
+
+        traces = self.session.table("traces")
+        if traces is None:
+            return error_envelope("no traces table for tenant", "not_found")
+        try:
+            from .operators.timeseries import time_window
+
+            window_s = (_epoch_nanos(end) - _epoch_nanos(start)) / 1e9
+            spans = time_window(traces, "timestamp", start, end)
+            out = metrics_query_instant(spans, q, window_s)
+        except Exception as e:
+            return error_envelope(str(e))
+        series_cols = [c for c in out.columns if c != "value"]
+        rows = sorted(
+            (r.asDict() for r in out.collect()),
+            key=lambda r: [(c, r[c] is None, str(r[c])) for c in series_cols],
+        )
+        ts_ms = _epoch_nanos(end) // 1_000_000
+        return {"series": [
+            {
+                "labels": [{"key": c, "value": str(r[c])}
+                           for c in series_cols],
+                "samples": [{
+                    "timestampMs": ts_ms,
+                    "value": float(r["value"])
+                    if r["value"] is not None else None,
+                }],
+            }
+            for r in rows
+        ]}
+
     # GET /tempo/api/metrics/query_range — TraceQL metrics
     # (the reference answers 501 here, tempo.rs:1284-1304)
 
@@ -748,6 +788,48 @@ class SignalDBAPI:
             key=lambda r: (r["depth"], r["path"]),
         )
         return {"flamegraphDiff": rows}
+
+    # GET /pyroscope/trace/{trace_id} — profiles linked to a trace
+    # (endpoints/pyroscope.rs:45,554 profiles_by_trace →
+    # tempo_api::ProfileSummary, lib.rs:171-186)
+
+    @_guarded_route
+    def pyroscope_profiles_by_trace(self, trace_id: str,
+                                    span_id: str | None = None) -> dict:
+        """Profile↔trace pivot: the ProfileSummary list for one trace
+        (optionally narrowed to a span) — profileID, ns-string
+        timestamp/duration, sample type/unit, service, spanID. Ordered
+        (timeUnixNano, profileID) for a deterministic envelope."""
+        from pyspark.sql import functions as F
+
+        from .operators.profiles import find_by_trace
+
+        profiles = self.session.table("profiles")
+        if profiles is None:
+            return error_envelope("no profiles table for tenant", "not_found")
+        hits = find_by_trace(profiles, trace_id, span_id).select(
+            "profile_id",
+            (F.unix_micros("timestamp") * 1000).alias("_ts_ns"),
+            "duration_nano", "sample_type_type", "sample_type_unit",
+            "service_name", "span_id",
+        )
+        rows = sorted(
+            (r.asDict() for r in hits.collect()),
+            key=lambda r: (r["_ts_ns"], r["profile_id"]),
+        )
+        return {"profiles": [
+            {
+                "profileID": r["profile_id"],
+                "timeUnixNano": str(r["_ts_ns"]),
+                "durationNano": str(r["duration_nano"])
+                if r["duration_nano"] is not None else "0",
+                "sampleType": r["sample_type_type"] or "",
+                "sampleUnit": r["sample_type_unit"] or "",
+                "serviceName": r["service_name"],
+                **({"spanID": r["span_id"]} if r["span_id"] else {}),
+            }
+            for r in rows
+        ]}
 
     # GET /pyroscope/profile-types, /label-names, /label-values
     # (endpoints/pyroscope.rs → profile.rs:234-380)

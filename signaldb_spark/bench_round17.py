@@ -597,6 +597,79 @@ QUERIES["api_tempo_metrics_envelope"] = q_api_tempo_metrics_envelope
 ORACLES["api_tempo_metrics_envelope"] = ORACLE_API_TEMPO_METRICS_ENVELOPE
 
 
+def q_api_pyroscope_trace_profiles(spark, sf_dir):
+    """GET /pyroscope/trace/{trace_id}: the profile↔trace pivot — the
+    ProfileSummary envelope (ns-string timestamp/duration, sample
+    type/unit, spanID) for the min-event-id trace, parsed back
+    (pyroscope.rs:554 profiles_by_trace; tempo_api ProfileSummary)."""
+    api = _api17(spark, sf_dir)
+    min_id = load_table(spark, sf_dir, "events").agg(
+        F.min("event_id")
+    ).collect()[0][0]
+    tid = format(int(min_id), "x").zfill(32)
+    out = api.pyroscope_profiles_by_trace(tid)
+    rows = [
+        (p["profileID"], int(p["timeUnixNano"]), int(p["durationNano"]),
+         p["sampleType"], p["sampleUnit"], p["serviceName"],
+         p.get("spanID", ""))
+        for p in out["profiles"]
+    ]
+    return spark.createDataFrame(rows, (
+        "profile_id string, ts_ns long, duration_ns long,"
+        " sample_type string, sample_unit string, service_name string,"
+        " span_id string"
+    ))
+
+
+ORACLE_API_PYROSCOPE_TRACE_PROFILES = """
+SELECT CAST(event_id AS VARCHAR) AS profile_id,
+       epoch_us(ts) * 1000 AS ts_ns,
+       CAST(round(value * 1e6) AS BIGINT) AS duration_ns,
+       CASE WHEN event_id % 2 = 0 THEN 'cpu' ELSE 'alloc_space' END
+         AS sample_type,
+       CASE WHEN event_id % 2 = 0 THEN 'nanoseconds' ELSE 'bytes' END
+         AS sample_unit,
+       event_type AS service_name,
+       lower(lpad(hex(event_id), 16, '0')) AS span_id
+FROM events WHERE event_id = (SELECT min(event_id) FROM events)
+"""
+
+QUERIES["api_pyroscope_trace_profiles"] = q_api_pyroscope_trace_profiles
+ORACLES["api_pyroscope_trace_profiles"] = ORACLE_API_PYROSCOPE_TRACE_PROFILES
+
+
+def q_api_tempo_metrics_instant(spark, sf_dir):
+    """GET /tempo/api/metrics/query (instant form; the reference
+    answers 501): rate() by service over the whole window — one sample
+    per series, value = matching spans / window seconds."""
+    api = _api17(spark, sf_dir)
+    out = api.tempo_metrics_query(
+        "{ duration >= 0ns } | rate() by (service_name)", START, END
+    )
+    assert "series" in out, out
+    window_s = 31 * DAY
+    rows = []
+    for series in out["series"]:
+        labels = {kv["key"]: kv["value"] for kv in series["labels"]}
+        s = series["samples"][0]
+        assert s["timestampMs"] == 1706745600000, s  # epoch_ms(END)
+        rows.append((labels["service_name"], float(s["value"]) * window_s))
+    df = spark.createDataFrame(rows, "service_name string, n_spans double")
+    return df.select(
+        "service_name", F.round("n_spans", 3).alias("n_spans")
+    ).orderBy("service_name")
+
+
+ORACLE_API_TEMPO_METRICS_INSTANT = """
+SELECT event_type AS service_name,
+       round(CAST(count(*) AS DOUBLE), 3) AS n_spans
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["api_tempo_metrics_instant"] = q_api_tempo_metrics_instant
+ORACLES["api_tempo_metrics_instant"] = ORACLE_API_TEMPO_METRICS_INSTANT
+
+
 # ------------------------------------------------ prometheus envelopes
 
 

@@ -490,19 +490,10 @@ def tag_names(traces: DataFrame, scope: str = "unscoped", cap: int = 1000) -> Da
     )
 
 
-def metrics_query(
-    spans: DataFrame,
-    q: str,
-    step_seconds: int,
-    ts_col: str = "timestamp",
-) -> DataFrame:
-    """String-in entrypoint for Tempo's metrics endpoints
-    (GET /api/metrics/query_range, which the reference answers 501 —
-    tempo.rs:1284-1304): ``{spanset} | fn [by (col)]`` where fn is
-    ``rate()``, ``quantile_over_time(duration, φ)``, or
-    ``histogram_over_time(duration)``. The spanset parses through the
-    same (widened) TraceQL parser the search path uses; ``by`` takes a
-    span column name."""
+def _parse_metrics_query(spans: DataFrame, q: str):
+    """Shared front half of the TraceQL metrics entrypoints: parse
+    ``{spanset} | fn [by (col)]``, lower the spanset to a filter, and
+    resolve the by() column. Returns (spans, cond, fn, phi, by)."""
     import re
 
     from .parser import TraceQLError, parse_traceql_expr
@@ -547,16 +538,68 @@ def metrics_query(
             spans = spans.withColumn(alias, select_field_expr(field, spans))
             by = (alias,)
     fn = m.group("fn")
+    phi = float(m.group("phi")) if m.group("phi") else None
+    return spans, cond, fn, phi, by
+
+
+def metrics_query(
+    spans: DataFrame,
+    q: str,
+    step_seconds: int,
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """String-in entrypoint for Tempo's metrics endpoints
+    (GET /api/metrics/query_range, which the reference answers 501 —
+    tempo.rs:1284-1304): ``{spanset} | fn [by (col)]`` where fn is
+    ``rate()``, ``quantile_over_time(duration, φ)``, or
+    ``histogram_over_time(duration)``. The spanset parses through the
+    same (widened) TraceQL parser the search path uses; ``by`` takes a
+    span column name."""
+    from .parser import TraceQLError
+
+    spans, cond, fn, phi, by = _parse_metrics_query(spans, q)
     if fn == "rate()":
         return metrics_rate(spans, cond, step_seconds, by, ts_col)
     if fn.startswith("quantile_over_time"):
         return metrics_quantile(
-            spans, cond, step_seconds, float(m.group("phi")), by_cols=by,
-            ts_col=ts_col,
+            spans, cond, step_seconds, phi, by_cols=by, ts_col=ts_col,
         )
     if by:
         raise TraceQLError("histogram_over_time does not take by()")
     return metrics_histogram(spans, cond, step_seconds, ts_col=ts_col)
+
+
+def metrics_query_instant(
+    spans: DataFrame,
+    q: str,
+    window_seconds: float,
+) -> DataFrame:
+    """Tempo GET /api/metrics/query — the INSTANT form of the metrics
+    entrypoint (also answered 501 by the reference, tempo.rs:1284-1290):
+    one value per series over the whole window instead of a bucketed
+    series. rate() = matching spans / window seconds; quantile = the
+    exact interpolated quantile over every matching span. ONE partial+
+    final aggregation on the (tiny) series key — no bucket column at
+    all, so the shuffle carries strictly less than the range form's."""
+    from .parser import TraceQLError
+
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    spans, cond, fn, phi, by = _parse_metrics_query(spans, q)
+    filtered = spans.filter(cond)
+    if fn == "rate()":
+        agg = (F.count(F.lit(1)) / F.lit(float(window_seconds))).alias("value")
+    elif fn.startswith("quantile_over_time"):
+        agg = F.percentile(
+            F.col("duration_nanos").cast("double"), F.lit(phi)
+        ).alias("value")
+    else:
+        raise TraceQLError(
+            "instant metrics support rate() and quantile_over_time()"
+        )
+    if by:
+        return filtered.groupBy(*by).agg(agg)
+    return filtered.groupBy().agg(agg)
 
 
 def metrics_rate(

@@ -315,6 +315,47 @@ def test_pyroscope_render_diff_route(api):
     )
 
 
+def test_pyroscope_profiles_by_trace_route(api, spark):
+    """GET /pyroscope/trace/{trace_id} (pyroscope.rs:554) — the
+    ProfileSummary envelope for one trace, plus the not-linked and
+    span-narrowed forms."""
+    profiles = api.session.table("profiles")
+    row = profiles.filter("trace_id IS NOT NULL").select(
+        "trace_id", "profile_id"
+    ).first()
+    out = api.pyroscope_profiles_by_trace(row["trace_id"])
+    assert any(p["profileID"] == row["profile_id"] for p in out["profiles"])
+    p = out["profiles"][0]
+    assert {"profileID", "timeUnixNano", "durationNano", "sampleType",
+            "sampleUnit", "serviceName"} <= set(p)
+    assert int(p["timeUnixNano"]) > 0 and p["sampleType"] == "cpu"
+    # ns strings are strings, per tempo_api::ProfileSummary
+    assert isinstance(p["timeUnixNano"], str)
+    none = api.pyroscope_profiles_by_trace("f" * 32)
+    assert none["profiles"] == []
+
+
+def test_tempo_metrics_query_instant_route(api):
+    """GET /tempo/api/metrics/query — one sample per series over the
+    whole window; rate * window = matching span count."""
+    out = api.tempo_metrics_query(
+        "{ duration >= 0ns } | rate() by (service_name)", START, END
+    )
+    assert out["series"]
+    for s in out["series"]:
+        assert len(s["samples"]) == 1
+        assert s["samples"][0]["value"] >= 0
+    total = sum(s["samples"][0]["value"] for s in out["series"])
+    n_spans = api.session.table("traces").filter(
+        f"timestamp BETWEEN '{START}' AND '{END}'"
+    ).count()
+    window_s = 4 * 3600
+    assert abs(total * window_s - n_spans) < 1e-6
+    bad = api.tempo_metrics_query("{ } | histogram_over_time(duration)",
+                                  START, END)
+    assert bad["status"] == "error"
+
+
 def test_ops_compact_routes(api):
     status = api.ops_compact_status("logs")
     assert status["status"] == "success"
