@@ -753,7 +753,7 @@ def q_api_prom_label_stats_envelope(spark, sf_dir):
 ORACLE_API_PROM_LABEL_STATS_ENVELOPE = """
 SELECT 'uid' AS key, CAST(count(*) AS BIGINT) AS presence,
        CAST(count(DISTINCT user_id) AS BIGINT) AS cardinality,
-       1.0 AS presence_ratio
+       CAST(1.0 AS DOUBLE) AS presence_ratio
 FROM events
 """
 

@@ -251,6 +251,28 @@ _PRIORITY = (
     "logql_unpack_metric_path",
     "doc_chunk_windows",
     "chunk_overlap_audit",
+    # round-17 build (this round's new code — highest-risk, so it gets
+    # driver evidence immediately instead of after the staged queues):
+    # the façade routes that previously lacked oracle gates
+    "api_ops_compact_dryrun",
+    "api_ops_compact_status",
+    "api_ops_compact_rewrite",
+    "api_loki_tail_envelope",
+    "api_pyroscope_render_envelope",
+    "api_pyroscope_render_diff_envelope",
+    "api_pyroscope_discovery_envelope",
+    "api_pyroscope_trace_profiles",
+    "api_tempo_trace_envelope",
+    "api_tempo_metrics_envelope",
+    "api_tempo_metrics_instant",
+    "api_prom_discovery_envelope",
+    "api_prom_tsdb_status_envelope",
+    "api_prom_label_stats_envelope",
+    "api_prom_metadata_envelope",
+    "api_loki_volume_envelope",
+    "api_loki_volume_range_envelope",
+    "api_loki_patterns_envelope",
+    "api_loki_detected_fields_envelope",
 )
 
 
