@@ -354,6 +354,19 @@ def test_tempo_metrics_query_instant_route(api):
     bad = api.tempo_metrics_query("{ } | histogram_over_time(duration)",
                                   START, END)
     assert bad["status"] == "error"
+    # instant quantile == the exact percentile over the whole window
+    q50 = api.tempo_metrics_query(
+        "{ duration >= 0ns } | quantile_over_time(duration, 0.5)",
+        START, END,
+    )
+    assert len(q50["series"]) == 1
+    from pyspark.sql import functions as F
+
+    want = api.session.table("traces").filter(
+        f"timestamp BETWEEN '{START}' AND '{END}'"
+    ).agg(F.percentile(F.col("duration_nanos").cast("double"),
+                       F.lit(0.5))).collect()[0][0]
+    assert abs(q50["series"][0]["samples"][0]["value"] - want) < 1e-6
 
 
 def test_ops_compact_routes(api):

@@ -1221,3 +1221,43 @@ def test_typed_attr_trace_predicate_plan_shape(spark):
     the predicate reads struct fields — one aggregate over the scan."""
     p = plan(all_queries()["typed_attr_trace_predicate"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "Join" not in p
+
+
+def test_flamegraph_single_shuffle(spark):
+    """The flamegraph fold (operators/profiles.flamegraph_self — the
+    /pyroscope/render engine) is two map-side explodes + ONE exchange
+    between partial and final aggregation: a 100 TB profile corpus
+    aggregates with a single shuffle keyed on the bounded frame-path.
+    A second Exchange would mean the prefix fan-out started shuffling
+    raw samples."""
+    import signaldb_spark.bench_round17 as r17
+    from signaldb_spark.operators.profiles import flamegraph_self
+
+    import re
+
+    api = r17._api17(spark, SF_DIR)
+    p = plan(flamegraph_self(api.session.table("profiles")))
+    # the formatted plan names each node twice (tree + detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 2  # sample + prefix
+    assert "Join" not in p and "CartesianProduct" not in p
+
+
+def test_tempo_metrics_instant_no_bucket_column(spark):
+    """The instant TraceQL metrics form aggregates straight on the
+    series key — no bucket column, one partial+final aggregate, no
+    join (traceql/trace_ops.metrics_query_instant)."""
+    from signaldb_spark.catalog import load_table
+    from signaldb_spark.traceql.trace_ops import metrics_query_instant
+
+    import signaldb_spark.bench_round17 as r17
+
+    api = r17._api17(spark, SF_DIR)
+    spans = api.session.table("traces")
+    out = metrics_query_instant(
+        spans, "{ duration >= 0ns } | rate() by (service_name)", 3600.0
+    )
+    assert "bucket" not in out.columns
+    p = plan(out)
+    assert "Join" not in p
+    assert p.lower().count("partial") >= 1  # map-side combine
