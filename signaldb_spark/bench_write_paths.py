@@ -167,6 +167,36 @@ def run(spark: SparkSession, n_payloads: int = 20_000) -> dict:
     out["pprof_decode_s"] = round(time.perf_counter() - t0, 3)
     out["pprof_payloads"] = n_profiles
 
+    # Prometheus remote_write wire decode: snappy + WriteRequest proto
+    # (pure-Python codecs) → JSON → the JVM flatten — the fifth ingest
+    # format, so every write path has a round-over-round number
+    from .sources.remote_write import (
+        decode_write_requests,
+        encode_write_request,
+        flatten_remote_write,
+        snappy_compress_literal,
+    )
+
+    rw_body = snappy_compress_literal(encode_write_request({"timeseries": [
+        {"labels": [{"name": "__name__", "value": "http_requests_total"},
+                    {"name": "job", "value": "api"}],
+         "samples": [{"value": 42.0, "timestamp": 1704067200000},
+                     {"value": 43.0, "timestamp": 1704067260000}]},
+        {"labels": [{"name": "__name__", "value": "mem_bytes"},
+                    {"name": "job", "value": "api"}],
+         "samples": [{"value": 512.5, "timestamp": 1704067200000}]},
+    ]}))
+    n_rw = n_payloads // 10
+    rw_warm = spark.range(32).select(F.lit(rw_body).alias("payload"))
+    decode_write_requests(rw_warm).write.mode("overwrite").format("noop").save()
+    rw_raw = spark.range(n_rw).select(F.lit(rw_body).alias("payload"))
+    t0 = time.perf_counter()
+    routed_rw = flatten_remote_write(decode_write_requests(rw_raw))
+    for df in routed_rw.values():
+        df.write.mode("overwrite").format("noop").save()
+    out["remote_write_s"] = round(time.perf_counter() - t0, 3)
+    out["remote_write_payloads"] = n_rw
+
     tmp = tempfile.mkdtemp(prefix="bench_write_")
     table = f"{tmp}/logs"
     try:
