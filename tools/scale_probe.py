@@ -150,6 +150,9 @@ SKEW_PROBE_QUERIES = [
     "logql_approx_topk",
     "service_graph",
     "trace_tail_sample",
+    # r11: a hot service concentrates flamegraph weight on a handful of
+    # frame paths — the partial+final aggregate must absorb it map-side
+    "api_pyroscope_render_envelope",
 ]
 SUPERLINEAR_THRESHOLD = 1.3
 GEN_VERSION = 4  # bump when build_scaled's mutations change
