@@ -265,11 +265,14 @@ def q_api_loki_streams_envelope(spark, sf_dir):
     ordering is asserted inline (entries newest-first), since ordering
     inside a JSON array is invisible to a sorted-rows hash."""
     api = _api(spark, sf_dir)
-    # limit = the engine's MAX_LOG_ENTRIES clamp (5000): above every
-    # SF's match count here (sf0.1: ~3000), so the oracle states the
-    # FULL match set; also pins that the clamp itself doesn't truncate
-    # below it. An unbounded limit is rejected by design — Spark lowers
-    # global sort+limit to takeOrdered with an O(limit) task buffer.
+    # limit = the engine's MAX_LOG_ENTRIES clamp (5000), which the
+    # oracle mirrors as newest-5000 (ORDER BY ts DESC LIMIT 5000):
+    # below the clamp (sf0.001: 43, sf0.01: 480) the limit doesn't
+    # bind and the oracle states the full match set; above it (sf0.1:
+    # 5043) the truncation itself is under the oracle — deterministic
+    # because match timestamps are unique at every SF (verified).
+    # An unbounded limit is rejected by design — Spark lowers global
+    # sort+limit to takeOrdered with an O(limit) task buffer.
     out = api.loki_query_range(
         '{service_name="click"} |= "error"', START, END,
         step_seconds=60, limit=1_000_000, direction="backward",
@@ -300,13 +303,16 @@ def q_api_loki_streams_envelope(spark, sf_dir):
 
 
 ORACLE_API_LOKI_STREAMS_ENVELOPE = f"""
-SELECT event_type AS service_name, {_SEV_SQL} AS level,
-       CAST(count(*) AS BIGINT) AS n,
-       min(epoch_us(ts) * 1000) AS min_ns,
-       max(epoch_us(ts) * 1000) AS max_ns,
-       CAST(sum(length({_BODY_SQL})) AS BIGINT) AS sum_len
-FROM events
-WHERE event_type = 'click' AND user_id % 4 = 3
+SELECT service_name, level, CAST(count(*) AS BIGINT) AS n,
+       min(ns) AS min_ns, max(ns) AS max_ns,
+       CAST(sum(length(body)) AS BIGINT) AS sum_len
+FROM (
+  SELECT event_type AS service_name, {_SEV_SQL} AS level,
+         epoch_us(ts) * 1000 AS ns, {_BODY_SQL} AS body
+  FROM events
+  WHERE event_type = 'click' AND user_id % 4 = 3
+  ORDER BY ts DESC LIMIT 5000
+)
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 

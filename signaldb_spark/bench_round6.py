@@ -173,13 +173,15 @@ def q_time_in_state(spark, sf_dir):
     carries no interval. One lead() window + one agg."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dur = (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")) / 1e6
+    dur_us = F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
     return (
-        e.select(F.col("event_type").alias("state"), dur.alias("dur"))
-        .filter(F.col("dur").isNotNull())
+        e.select(F.col("event_type").alias("state"), dur_us.alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull())
         .groupBy("state")
         .agg(
-            F.round(F.sum("dur"), 6).alias("total_seconds"),
+            # exact integer-microsecond sum, one division at the end —
+            # summing fractional seconds is order-sensitive at sf0.1
+            F.round(F.sum("dur_us") / 1e6, 6).alias("total_seconds"),
             F.count(F.lit(1)).cast("long").alias("n_intervals"),
         )
         .orderBy("state")
@@ -189,13 +191,13 @@ def q_time_in_state(spark, sf_dir):
 ORACLE_TIME_IN_STATE = """
 WITH d AS (
   SELECT event_type AS state,
-         (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-          - epoch_us(ts)) / 1e6 AS dur
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts) AS dur_us
   FROM events
 )
-SELECT state, round(sum(dur), 6) AS total_seconds,
+SELECT state, round(sum(dur_us) / 1e6, 6) AS total_seconds,
        CAST(count(*) AS BIGINT) AS n_intervals
-FROM d WHERE dur IS NOT NULL GROUP BY 1 ORDER BY 1
+FROM d WHERE dur_us IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["time_in_state"] = q_time_in_state
@@ -398,12 +400,20 @@ def q_small_quantity_revenue(spark, sf_dir):
     return (
         l.join(F.broadcast(per_part), "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+        # exact cents summed, ONE double division at the end — a 4e8
+        # double sum is order-sensitive in its last ulp at sf0.1
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 700.0, 6,
+            ).alias("avg_yearly")
+        )
     )
 
 
 ORACLE_SMALL_QUANTITY_REVENUE = """
-SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 700.0, 6)
+  AS avg_yearly
 FROM lineitem l
 WHERE l_quantity < (
   SELECT 0.2 * avg(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey
@@ -904,16 +914,19 @@ def q_rollup_revenue(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     return (
         joined.rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            # exact cents, not a rounded double sum: at sf0.1 the 1e9
+            # double sum differs in its last ulp with summation order
+            F.sum(cents).cast("long").alias("revenue_cents"),
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         )
         .select(
             F.coalesce("r_name", F.lit("(all)")).alias("region"),
             F.coalesce("n_name", F.lit("(all)")).alias("nation"),
-            "revenue",
+            "revenue_cents",
             "n_orders",
         )
         .orderBy("region", "nation")
@@ -923,7 +936,8 @@ def q_rollup_revenue(spark, sf_dir):
 ORACLE_ROLLUP_REVENUE = """
 SELECT coalesce(r_name, '(all)') AS region,
        coalesce(n_name, '(all)') AS nation,
-       round(sum(o_totalprice), 6) AS revenue,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
@@ -945,13 +959,15 @@ def q_cube_priority_status(spark, sf_dir):
         o.cube("o_orderpriority", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            # exact cents (see rollup_revenue)
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long").alias("revenue_cents"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
             "n_orders",
-            "revenue",
+            "revenue_cents",
         )
         .orderBy("priority", "status")
     )
@@ -961,7 +977,8 @@ ORACLE_CUBE_PRIORITY_STATUS = """
 SELECT coalesce(o_orderpriority, '(all)') AS priority,
        coalesce(o_orderstatus, '(all)') AS status,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 6) AS revenue
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 ORDER BY 1, 2
@@ -1283,19 +1300,26 @@ ORACLES["product_profit"] = ORACLE_PRODUCT_PROFIT
 
 def q_yoy_revenue(spark, sf_dir):
     """Year-over-year revenue growth: the lag/pct-change window runs on
-    the already-ROUNDED per-year rollup (a handful of rows), so the
-    derived ratio is bit-identical across engines."""
+    the EXACT per-year cents rollup (a handful of rows), so the derived
+    ratio is bit-identical across engines."""
     o = load_table(spark, sf_dir, "orders")
     yearly = o.groupBy(
         F.year("o_orderdate").cast("bigint").alias("o_year")
-    ).agg(F.round(F.sum("o_totalprice"), 6).alias("revenue"))
+    ).agg(
+        # exact cents (see rollup_revenue): the per-year 5e9 double sum
+        # is order-sensitive in its last ulp at sf0.1
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("revenue_cents")
+    )
     w = Window.orderBy("o_year")
     return (
-        yearly.withColumn("prev_revenue", F.lag("revenue").over(w))
+        yearly.withColumn("prev_revenue_cents",
+                          F.lag("revenue_cents").over(w))
         .withColumn(
             "yoy_pct",
             F.round(
-                (F.col("revenue") - F.col("prev_revenue")) / F.col("prev_revenue"), 6
+                (F.col("revenue_cents") - F.col("prev_revenue_cents"))
+                / F.col("prev_revenue_cents"), 6,
             ),
         )
         .orderBy("o_year")
@@ -1305,13 +1329,15 @@ def q_yoy_revenue(spark, sf_dir):
 ORACLE_YOY_REVENUE = """
 WITH yearly AS (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-         round(sum(o_totalprice), 6) AS revenue
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
   FROM orders GROUP BY 1
 )
-SELECT o_year, revenue,
-       lag(revenue) OVER (ORDER BY o_year) AS prev_revenue,
-       round((revenue - lag(revenue) OVER (ORDER BY o_year))
-             / lag(revenue) OVER (ORDER BY o_year), 6) AS yoy_pct
+SELECT o_year, revenue_cents,
+       lag(revenue_cents) OVER (ORDER BY o_year) AS prev_revenue_cents,
+       round((revenue_cents - lag(revenue_cents) OVER (ORDER BY o_year))
+             / CAST(lag(revenue_cents) OVER (ORDER BY o_year) AS DOUBLE), 6)
+         AS yoy_pct
 FROM yearly ORDER BY o_year
 """
 
