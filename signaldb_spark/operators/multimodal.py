@@ -189,6 +189,9 @@ def extract_features(media: DataFrame, use_real_decoder: bool = False) -> DataFr
     collected to the driver; each Arrow batch holds whole payloads so
     per-item decode parallelism = partition count.
     """
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _real_decode if use_real_decoder else _fake_decode
@@ -229,6 +232,9 @@ def resize_media(
     geometry arithmetic — the part that IS the operator — sits under an
     SQL oracle; a real decoder slots into the same batch loop.
     """
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(media.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _real_decode if use_real_decoder else _fake_decode

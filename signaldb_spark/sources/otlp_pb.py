@@ -252,6 +252,10 @@ def decode_otlp_trace_requests(raw: DataFrame, payload_col: str = "payload") -> 
 
     import pandas as pd
 
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
+
     def run(batches):
         for pdf in batches:
             yield pd.DataFrame(
@@ -376,6 +380,10 @@ def decode_otlp_logs_requests(raw: DataFrame, payload_col: str = "payload") -> D
     import json
 
     import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
 
     def run(batches):
         for pdf in batches:
@@ -633,6 +641,10 @@ def decode_otlp_metrics_requests(
     import json
 
     import pandas as pd
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
 
     def run(batches):
         for pdf in batches:

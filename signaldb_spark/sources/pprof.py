@@ -196,6 +196,10 @@ def decode_pprof_profiles(raw: DataFrame, payload_col: str = "payload") -> DataF
     import gzip
     import json
 
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
+
     import pandas as pd
 
     def one(p: bytes) -> tuple[str, str]:

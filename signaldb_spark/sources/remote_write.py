@@ -474,6 +474,10 @@ def decode_write_requests(raw: DataFrame, payload_col: str = "payload") -> DataF
     flatten_remote_write's JVM expressions."""
     import pandas as pd
 
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(raw.sparkSession)
+
     def run(batches):
         for pdf in batches:
             yield pd.DataFrame(

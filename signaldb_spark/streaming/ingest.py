@@ -542,6 +542,10 @@ def ingest_otlp_pb_stream(
         .load(source_dir)
     )
 
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+
     def decode(batches):
         import pandas as pd
 
@@ -642,6 +646,10 @@ def ingest_remote_write_stream(
         .option("maxFilesPerTrigger", "16")
         .load(source_dir)
     )
+
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
 
     def decode(batches):
         import pandas as pd

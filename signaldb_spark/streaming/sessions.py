@@ -154,6 +154,9 @@ def alert_for_state(
     bucket inside each group. Also runs on a batch DataFrame through
     ``applyInPandas`` with the same function body, so backfilled
     evaluation matches live evaluation bit-for-bit."""
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(series.sparkSession)
     for_seconds = _parse_duration(for_duration)
     fn = _alert_fn(threshold, for_seconds)
     grouped = series.select(

@@ -336,6 +336,9 @@ def descendant_spans_closure(
         ]
         return pdf.loc[keep].drop(columns=["_is_anc", "_is_desc", "_b"])
 
+    from ..shipping import ensure_package_on_workers
+
+    ensure_package_on_workers(marked.sparkSession)
     return marked.groupBy("_b").applyInPandas(_bucket, schema=out_schema)
 
 

@@ -25,6 +25,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 
 import pytest
 
@@ -56,6 +57,9 @@ SLICE = [
     # flamegraph envelope
     "api_ops_compact_dryrun",
     "api_pyroscope_render_envelope",
+    # the Python-on-data path (mapInPandas closures deserialized on
+    # workers) — the round-11 shipping fix's regression guard
+    "multimodal_features",
 ]
 
 _DRIVER_SCRIPT = r"""
@@ -179,6 +183,11 @@ def vanilla_result(sf_dir):
     proc = subprocess.run(
         [sys.executable, "-c", script],
         capture_output=True, text=True, timeout=900, env=env,
+        # a NEUTRAL cwd: running from the repo root silently rescues
+        # Python workers (cwd lands on their sys.path), hiding the
+        # ModuleNotFoundError class the round-11 shipping fix closed —
+        # embedders run from anywhere, so the conformance test must too
+        cwd=tempfile.gettempdir(),
     )
     for line in proc.stdout.splitlines():
         if line.startswith("VANILLA_JSON:"):
