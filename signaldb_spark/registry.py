@@ -228,6 +228,32 @@ _DRIVER_VERIFIED = frozenset({
     "dead_letter_split", "activation_velocity", "dual_sourcing_share",
     "term_burstiness", "sq8_reconstruction_snr", "iso_week_boundary",
     "expiry_retains_window",
+    # round 11 (50 green rows in CORRECTNESS_r11.json — the full round-10
+    # priority tier: every remaining façade envelope gate, the ops-compact
+    # trio, the LogQL metric-path output stages, the chunking pair, plus
+    # the head of the staged analytics queue)
+    "api_prom_instant_envelope", "api_loki_matrix_envelope",
+    "api_loki_discovery_envelope", "api_sql_envelope",
+    "logql_keep_stage_metric", "logql_unpack_metric_path",
+    "doc_chunk_windows", "chunk_overlap_audit", "api_ops_compact_dryrun",
+    "api_ops_compact_status", "api_ops_compact_rewrite",
+    "api_loki_tail_envelope", "api_pyroscope_render_envelope",
+    "api_pyroscope_render_diff_envelope", "api_pyroscope_discovery_envelope",
+    "api_pyroscope_trace_profiles", "api_tempo_trace_envelope",
+    "api_tempo_metrics_envelope", "api_tempo_metrics_instant",
+    "api_prom_discovery_envelope", "api_prom_tsdb_status_envelope",
+    "api_prom_label_stats_envelope", "api_prom_metadata_envelope",
+    "api_loki_volume_envelope", "api_loki_volume_range_envelope",
+    "api_loki_patterns_envelope", "api_loki_detected_fields_envelope",
+    "chi2_gof_quantity", "journeys_per_user", "not_in_null_trap",
+    "rows_vs_range_peers", "type_cosine_affinity", "dau_mau_stickiness",
+    "scd2_validity_intervals", "compaction_time_travel", "knn_reciprocity",
+    "null_safe_equality_battery", "multi_distinct_agg",
+    "balance_revenue_quadrants", "hot_cold_time_filter",
+    "iqr_price_outliers", "tax_discount_grid", "geo_harmonic_means",
+    "priority_entropy_by_segment", "lang_length_zscore",
+    "emb_clip_fractions", "winsorized_mean_value", "month_end_load",
+    "acctbal_decile_profile", "part_token_revenue",
 })
 
 # Engine-contract gates that prove the highest-value components under the
@@ -239,40 +265,46 @@ _DRIVER_VERIFIED = frozenset({
 # blocks to the very front of the never-verified prefix so they get
 # driver-oracle evidence now instead of 3-5 rounds out.
 _PRIORITY = (
-    # round-11 tier: the 8 round-16 gates that round 10's sample missed —
-    # the remaining façade envelope contracts (JSON envelopes parsed back
-    # into rows under the oracle), the two LogQL metric-path output
-    # stages without driver evidence, and the token-window chunking pair.
-    "api_prom_instant_envelope",
-    "api_loki_matrix_envelope",
-    "api_loki_discovery_envelope",
-    "api_sql_envelope",
-    "logql_keep_stage_metric",
-    "logql_unpack_metric_path",
-    "doc_chunk_windows",
-    "chunk_overlap_audit",
-    # round-17 build (this round's new code — highest-risk, so it gets
-    # driver evidence immediately instead of after the staged queues):
-    # the façade routes that previously lacked oracle gates
-    "api_ops_compact_dryrun",
-    "api_ops_compact_status",
-    "api_ops_compact_rewrite",
-    "api_loki_tail_envelope",
-    "api_pyroscope_render_envelope",
-    "api_pyroscope_render_diff_envelope",
-    "api_pyroscope_discovery_envelope",
-    "api_pyroscope_trace_profiles",
-    "api_tempo_trace_envelope",
-    "api_tempo_metrics_envelope",
-    "api_tempo_metrics_instant",
-    "api_prom_discovery_envelope",
-    "api_prom_tsdb_status_envelope",
-    "api_prom_label_stats_envelope",
-    "api_prom_metadata_envelope",
-    "api_loki_volume_envelope",
-    "api_loki_volume_range_envelope",
-    "api_loki_patterns_envelope",
-    "api_loki_detected_fields_envelope",
+    # round-12 tier: the 34 engine-surface gates still without driver
+    # evidence — the metric-native IR sub-model tail (the reference's own
+    # roadmap surface), the IR logfmt-extract and rank gates, the manifest
+    # lifecycle pair, the LogQL byte-stage pair, the PromQL agg tail, and
+    # the embedding report battery. Everything else in the never-sampled
+    # queue is TPC-H-shaped staged analytics, lower risk.
+    "ir_metrics_rate_delta",
+    "ir_metrics_instant_nostep",
+    "ir_metrics_sum_over_time",
+    "ir_metrics_avg_over_time",
+    "ir_metrics_min_over_time",
+    "ir_metrics_max_over_time",
+    "ir_metrics_last_over_time",
+    "ir_metrics_series_count",
+    "ir_metrics_sum_instant",
+    "ir_metrics_gauge_delta",
+    "ir_extract_logfmt_gate",
+    "ir_rank_topk_gate",
+    "manifest_lineage_census",
+    "manifest_props_carry",
+    "logql_decolorize_bytes",
+    "logql_line_format_bytes",
+    "promql_stdvar_agg",
+    "promql_bottomk_min",
+    "promql_sum_without",
+    "emb_norm_percentile_bands",
+    "emb_label_centroid_distances",
+    "emb_coordinate_range_report",
+    "emb_label_purity_knn1",
+    "emb_top_norm_label_mix",
+    "emb_quadrant_occupancy",
+    "emb_dim_mean_shift_halves",
+    "emb_norm_by_vecid_decile",
+    "emb_centroid_global_cosine",
+    "emb_dim_extreme_census",
+    "emb_first_dim_histogram",
+    "emb_ring_dot_extremes",
+    "emb_dim_separability",
+    "emb_anchor_cosine_profile",
+    "emb_dim_range_profile",
 )
 
 
