@@ -266,11 +266,14 @@ def q_api_loki_streams_envelope(spark, sf_dir):
     inside a JSON array is invisible to a sorted-rows hash."""
     api = _api(spark, sf_dir)
     # limit = the engine's MAX_LOG_ENTRIES clamp (5000), which the
-    # oracle mirrors as newest-5000 (ORDER BY ts DESC LIMIT 5000):
-    # below the clamp (sf0.001: 43, sf0.01: 480) the limit doesn't
-    # bind and the oracle states the full match set; above it (sf0.1:
-    # 5043) the truncation itself is under the oracle — deterministic
-    # because match timestamps are unique at every SF (verified).
+    # oracle mirrors as newest-5000 (ORDER BY ts DESC, event_id DESC
+    # LIMIT 5000): below the clamp (sf0.001: 43, sf0.01: 480) the
+    # limit doesn't bind and the oracle states the full match set;
+    # above it (sf0.1: 5043) the truncation itself is under the oracle
+    # — deterministic by the explicit trace_id tie-break the engine
+    # applies at the cut (trace_id is fixed-width lowercase hex of
+    # event_id, so event_id DESC restates it), not by any uniqueness
+    # assumption about future-SF timestamps.
     # An unbounded limit is rejected by design — Spark lowers global
     # sort+limit to takeOrdered with an O(limit) task buffer.
     out = api.loki_query_range(
@@ -311,7 +314,7 @@ FROM (
          epoch_us(ts) * 1000 AS ns, {_BODY_SQL} AS body
   FROM events
   WHERE event_type = 'click' AND user_id % 4 = 3
-  ORDER BY ts DESC LIMIT 5000
+  ORDER BY ts DESC, event_id DESC LIMIT 5000
 )
 GROUP BY 1, 2 ORDER BY 1, 2
 """

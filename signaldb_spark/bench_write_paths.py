@@ -128,17 +128,24 @@ def run(spark: SparkSession, n_payloads: int = 20_000) -> dict:
     out["decoded_rows"] = n_payloads * 2
 
     # metrics five-kind routing: one payload carries all five kinds;
-    # the flattener fans out to five typed tables (gauge/sum/histogram/
-    # exp-histogram/summary) — time the full fan-out, not one branch
-    from .sources.otlp import flatten_otlp_metrics
+    # the fan-out writes five typed tables (gauge/sum/histogram/
+    # exp-histogram/summary). Measure the PRODUCTION sink strategy
+    # (streaming/ingest.py:458): parse once into metric_base, persist,
+    # then route — the five writes re-scan the cached parsed frame
+    # instead of re-deriving each from raw JSON (which would parse the
+    # payloads five times).
+    from .sources.otlp import metric_base, route_metric_base
 
     n_metrics = n_payloads // 4
     mraw = spark.range(n_metrics).select(
         F.lit(_OTLP_METRICS_PAYLOAD).alias("value"))
     t0 = time.perf_counter()
-    routed = flatten_otlp_metrics(mraw)
-    for df in routed.values():
-        df.write.mode("overwrite").format("noop").save()
+    parsed = metric_base(mraw).persist()
+    try:
+        for df in route_metric_base(parsed).values():
+            df.write.mode("overwrite").format("noop").save()
+    finally:
+        parsed.unpersist()
     out["metrics_route_s"] = round(time.perf_counter() - t0, 3)
     out["metrics_route_rows"] = n_metrics * 5  # one point per kind
 

@@ -581,8 +581,15 @@ def query_logs(
     limit = min(limit, MAX_LOG_ENTRIES)
     attr_demand.record_logql_query(sel, ctx.tenant, ctx.dataset, ctx.logs.columns)
     df = _apply_output_stages(apply_selector(ctx, sel), sel)
-    order = F.col("timestamp").desc() if direction == "backward" else F.col("timestamp").asc()
-    return df.orderBy(order).limit(limit)
+    desc = direction == "backward"
+    order = [F.col("timestamp").desc() if desc else F.col("timestamp").asc()]
+    if "trace_id" in df.columns:
+        # deterministic limit cut under timestamp ties: without a
+        # secondary key, WHICH rows survive the clamp is
+        # partition-order-dependent the moment two matching entries
+        # share a timestamp
+        order.append(F.col("trace_id").desc() if desc else F.col("trace_id").asc())
+    return df.orderBy(*order).limit(limit)
 
 
 # ----------------------------------------------------------------- metrics

@@ -22,6 +22,8 @@ exactly how PySpark applications ship non-installed packages).
 
 from __future__ import annotations
 
+import atexit
+import contextlib
 import os
 import tempfile
 import threading
@@ -34,7 +36,15 @@ _ZIP_PATH: str | None = None
 
 def _package_zip() -> str:
     """Build (once per process) a zip of the package's .py files,
-    rooted so ``signaldb_spark/...`` imports resolve from the zip."""
+    rooted so ``signaldb_spark/...`` imports resolve from the zip.
+
+    Snapshot semantics: the zip is built from the sources as they are
+    at the FIRST Python-on-data call and cached for the process
+    lifetime — later edits to package files never reach already-running
+    workers (Spark itself cannot re-ship an addPyFile name anyway;
+    restart the session to pick up source changes). The zip is removed
+    at interpreter exit so /tmp does not accumulate one per driver pid.
+    """
     global _ZIP_PATH
     if _ZIP_PATH is not None and os.path.exists(_ZIP_PATH):
         return _ZIP_PATH
@@ -53,6 +63,12 @@ def _package_zip() -> str:
                     z.write(full, rel)
     os.replace(tmp, path)
     _ZIP_PATH = path
+
+    def _cleanup(p=path):
+        with contextlib.suppress(OSError):
+            os.remove(p)
+
+    atexit.register(_cleanup)
     return path
 
 

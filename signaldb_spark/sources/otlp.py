@@ -603,7 +603,9 @@ def flatten_otlp_metrics(raw: DataFrame, json_col: str = "value") -> dict[str, D
     The reference explodes data points per metric type and routes each
     to its own table (conversion_metrics.rs: one row per point,
     ``target_table`` routing). Returns {'metrics_gauge': df,
-    'metrics_sum': df, 'metrics_histogram': df}.
+    'metrics_sum': df, 'metrics_histogram': df,
+    'metrics_exponential_histogram': df, 'metrics_summary': df} — all
+    five reference target tables.
 
     Each returned frame re-derives from the raw JSON, so writing all
     five parses the payloads five times. Bounded writers (a
