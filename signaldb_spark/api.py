@@ -386,7 +386,8 @@ class SignalDBAPI:
             return _apply_output_stages(apply_selector(wave_ctx, sel), sel)
 
         top, _files = ManifestTable(path).read_recent_topk(
-            self.spark, "timestamp", limit, transform=transform
+            self.spark, "timestamp", limit, transform=transform,
+            tiebreak_col="trace_id",
         )
         return top
 
@@ -547,7 +548,9 @@ class SignalDBAPI:
     def tempo_trace(self, trace_id: str, start=None, end=None) -> dict:
         from .traceql.trace_ops import assemble_hierarchy, find_by_id
 
-        traces = self.session.table("traces")
+        traces = self._trace_point_scan(trace_id, start, end)
+        if traces is None:
+            traces = self.session.table("traces")
         if traces is None:
             return error_envelope("no traces table for tenant", "not_found")
         spans = find_by_id(traces, trace_id, start, end)
@@ -555,6 +558,49 @@ class SignalDBAPI:
         if not rows:
             return error_envelope(f"trace {trace_id} not found", "not_found")
         return trace_to_tempo(rows[0])
+
+    def _trace_point_scan(self, trace_id: str, start, end):
+        """Manifest point-lookup fast path for trace-by-id: plan only
+        the files whose bucket/stats/bloom evidence says they might
+        hold this id (ManifestTable.pruned_files_point) instead of the
+        whole time window — at 100 TB the difference between opening
+        every file's footer and touching the 1-2 real candidates.
+        Returns None when it doesn't apply (non-manifest table, or
+        unflushed hot batches the manifest can't see) — callers fall
+        back to the ordinary scan; find_by_id still applies the
+        row-level equality, so this is only ever an optimization."""
+        import os as _os
+
+        from .catalog import signal_table_path
+        from .storage.hot import HotStore, committed_watermark
+        from .storage.manifest import MANIFEST_DIR, ManifestTable
+
+        path = signal_table_path(
+            self.session.base, self.tenant, self.dataset, "traces"
+        )
+        if not _os.path.isdir(_os.path.join(path, MANIFEST_DIR)):
+            return None
+        seqs = HotStore(path).sequences()
+        if seqs and seqs[-1] > committed_watermark(path):
+            return None  # hot rows are invisible to the manifest scan
+        between = None
+        if start is not None and end is not None:
+            between = ("timestamp", start, end)
+        mt = ManifestTable(path)
+        fs, _pruned = mt.pruned_files_point(
+            "trace_id", trace_id, between=between
+        )
+        if not fs:
+            # definite miss: answer through one EMPTY in-schema scan
+            # (limit 0 over any committed file) so the route returns
+            # its ordinary not_found envelope without data I/O
+            all_fs = mt.files()
+            if not all_fs:
+                return None
+            return self.spark.read.option("basePath", mt.data_dir).parquet(
+                all_fs[0]
+            ).limit(0)
+        return self.spark.read.option("basePath", mt.data_dir).parquet(*fs)
 
     # GET /tempo/api/search — q (TraceQL) or tags (logfmt), newest-N
 
@@ -621,7 +667,16 @@ class SignalDBAPI:
         try:
             from .operators.timeseries import time_window
 
+            # Boundary convention: the span window is INCLUSIVE
+            # [start, end] while the rate denominator is the range
+            # length end-start — the same asymmetry Prometheus rate()
+            # has (boundary samples count, duration divides), so a span
+            # timestamped exactly at `end` is in scope by design.
             window_s = (_epoch_nanos(end) - _epoch_nanos(start)) / 1e9
+            if window_s <= 0:
+                return error_envelope(
+                    "instant metrics need end > start", "bad_request"
+                )
             spans = time_window(traces, "timestamp", start, end)
             out = metrics_query_instant(spans, q, window_s)
         except Exception as e:
@@ -815,12 +870,15 @@ class SignalDBAPI:
         )
         rows = sorted(
             (r.asDict() for r in hits.collect()),
-            key=lambda r: (r["_ts_ns"], r["profile_id"]),
+            # NULL-timestamp profiles sort first as 0 (None vs int would
+            # TypeError the whole route) and serialize as "0", mirroring
+            # the durationNano null handling below
+            key=lambda r: (r["_ts_ns"] or 0, r["profile_id"]),
         )
         return {"profiles": [
             {
                 "profileID": r["profile_id"],
-                "timeUnixNano": str(r["_ts_ns"]),
+                "timeUnixNano": str(r["_ts_ns"] or 0),
                 "durationNano": str(r["duration_nano"])
                 if r["duration_nano"] is not None else "0",
                 "sampleType": r["sample_type_type"] or "",

@@ -19,6 +19,7 @@ from . import (
     bench_round15,
     bench_round16,
     bench_round17,
+    bench_round18,
     bench_sessions,
     bench_trace_ir,
     bench_trainingdata,
@@ -47,6 +48,7 @@ _MODULES = [
     bench_round15,
     bench_round16,
     bench_round17,
+    bench_round18,
 ]
 
 # Queries already hash-verified by the driver's correctness gate in rounds
@@ -265,6 +267,16 @@ _DRIVER_VERIFIED = frozenset({
 # blocks to the very front of the never-verified prefix so they get
 # driver-oracle evidence now instead of 3-5 rounds out.
 _PRIORITY = (
+    # round-12 build (bench_round18): the point-lookup pruning substrate
+    # (bloom sidecars + md5 buckets) and the deterministic limit cut —
+    # the newest code is the highest-risk and leads the driver sample
+    # (locally driven fresh-process at sf0.001 + sf0.01 before commit)
+    "trace_point_lookup_bucketed",
+    "trace_bucket_census",
+    "point_lookup_time_sliced",
+    "point_lookup_absent_key",
+    "api_tempo_trace_pruned",
+    "logql_tie_cut_determinism",
     # round-12 tier: the 34 engine-surface gates still without driver
     # evidence — the metric-native IR sub-model tail (the reference's own
     # roadmap surface), the IR logfmt-extract and rank gates, the manifest

@@ -166,6 +166,7 @@ class ManifestTable:
         partitions: dict[str, dict] | None = None,
         sizes: dict[str, int] | None = None,
         sort_orders: dict[str, list] | None = None,
+        blooms: dict[str, dict] | None = None,
     ) -> bool:
         """Commit a snapshot: current files − removed + added. Paths are
         relative to ``data/``. Returns False (no commit) if ``batch_id``
@@ -215,6 +216,13 @@ class ManifestTable:
         declared ordering is physically true per file by construction;
         producers that didn't sort declare nothing and the file is
         classified inexact (see :meth:`declared_ordering`).
+
+        ``blooms`` maps added file → {col: bloom entry} (the Iceberg
+        puffin-blob reference analog; see storage/blooms.py) — what
+        :meth:`pruned_files_point` probes so a point lookup on a
+        high-cardinality key plans only the files that might contain
+        it. Entries are carried/dropped with their file like the other
+        per-file metadata.
         """
         removed = set(remove_files)
 
@@ -240,6 +248,7 @@ class ManifestTable:
                 "parts": _carry("parts", partitions),
                 "sizes": _carry("sizes", sizes),
                 "sorts": _carry("sorts", sort_orders),
+                "blooms": _carry("blooms", blooms),
                 "props": {**cur.get("props", {}), **(properties or {})},
             }
             try:
@@ -350,6 +359,107 @@ class ManifestTable:
             kept.append(os.path.join(self.data_dir, f))
         return kept, pruned
 
+    def pruned_files_point(
+        self, col: str, value, version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> tuple[list[str], int]:
+        """Point-lookup file pruning for ``col = value`` — the driver-
+        side plan for the reference's hottest lookup shape (trace by
+        id, trace.rs:111-170), where [min, max] stats never prune a
+        random hex key. Three evidence layers, cheapest first:
+
+        1. **Bucket layout** (table property ``bucket.col``): files
+           whose recorded partition struct carries the bucket key are
+           kept only if it equals ``bucket_of(value, n)`` — a pure
+           metadata test that statically drops ~(n-1)/n of files.
+        2. **[min, max] stats** for ``col`` (helps sorted/clustered
+           keys; vacuous for random ones).
+        3. **Bloom sidecars**: one bounded blob read per surviving
+           candidate; drop definite misses (expected keeps = true hits
+           + ~1% of candidates).
+
+        ``between`` additionally applies the ordinary range pruning
+        (e.g. the query's time window) BEFORE any sidecar is read.
+        Files lacking a given evidence layer pass that layer — pruning
+        is an optimization, never a correctness filter; the caller
+        still applies the row-level predicate. Returns (absolute paths,
+        files_pruned)."""
+        from .blooms import bloom_might_contain, bucket_of, load_sidecar
+
+        m = self.load_manifest(version)
+        candidates = list(m["files"])
+        pruned = 0
+
+        if between is not None:
+            bcol, lo, hi = between
+            lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+            stats = m.get("stats", {})
+            kept = []
+            for f in candidates:
+                rng = stats.get(f, {}).get(bcol)
+                if rng is not None and (rng[1] < lo_k or rng[0] > hi_k):
+                    pruned += 1
+                    continue
+                kept.append(f)
+            candidates = kept
+
+        props = m.get("props", {})
+        if props.get("bucket.col") == col:
+            n = int(props["bucket.n"])
+            part = props.get("bucket.part", f"{col}_bucket")
+            target = bucket_of(value, n)
+            parts = m.get("parts", {})
+            kept = []
+            for f in candidates:
+                b = (parts.get(f) or _parse_hive_partition(f) or {}).get(part)
+                if b is not None and int(b) != target:
+                    pruned += 1
+                    continue
+                kept.append(f)
+            candidates = kept
+
+        stats = m.get("stats", {})
+        v_k = _stat_key(value)
+        kept = []
+        for f in candidates:
+            rng = stats.get(f, {}).get(col)
+            if rng is not None and (rng[1] < v_k or rng[0] > v_k):
+                pruned += 1
+                continue
+            kept.append(f)
+        candidates = kept
+
+        blooms = m.get("blooms", {})
+        kept = []
+        for f in candidates:
+            meta = blooms.get(f, {}).get(col)
+            if meta is not None:
+                bits = load_sidecar(self.table_path, meta["sidecar"])
+                if bits is not None and not bloom_might_contain(bits, value):
+                    pruned += 1
+                    continue
+            kept.append(f)
+        return [os.path.join(self.data_dir, f) for f in kept], pruned
+
+    def point_lookup(
+        self, spark: SparkSession, col: str, value,
+        version: int | None = None,
+        between: tuple[str, object, object] | None = None,
+    ) -> DataFrame | None:
+        """Snapshot read planned through :meth:`pruned_files_point`,
+        with the row-level equality applied (file pruning bounds files,
+        the filter bounds rows — parquet's own row-group blooms take it
+        from there inside each kept file). None when every file was
+        pruned or the table is empty — a definite miss answered with
+        ZERO data-file reads."""
+        from pyspark.sql import functions as F
+
+        fs, _ = self.pruned_files_point(col, value, version, between)
+        if not fs:
+            return None
+        df = spark.read.option("basePath", self.data_dir).parquet(*fs)
+        return df.filter(F.col(col) == value)
+
     def read(
         self,
         spark: SparkSession,
@@ -379,6 +489,7 @@ class ManifestTable:
         n: int,
         version: int | None = None,
         transform=None,
+        tiebreak_col: str | None = None,
     ) -> tuple[DataFrame | None, int]:
         """Statistics-ordered TopK scan for the dominant observability
         shape ``ORDER BY ts DESC LIMIT n`` — read the most-promising
@@ -401,7 +512,12 @@ class ManifestTable:
 
         Returns (top-n DataFrame ordered newest-first, files_read);
         (None, 0) for an empty table. Ties at the n-th timestamp are
-        resolved arbitrarily, exactly like the unhinted full scan.
+        resolved arbitrarily, exactly like the unhinted full scan —
+        unless ``tiebreak_col`` names a secondary key (descending) to
+        make the cut deterministic. The early-stop boundary check stays
+        valid with a secondary key: it requires the n-th timestamp to
+        STRICTLY exceed every unread file's max, so no unread row can
+        displace a kept one whatever the tie order.
 
         ``transform`` (optional) applies per wave BEFORE the order/limit
         — the hook that makes the early-stop work under query
@@ -434,7 +550,10 @@ class ManifestTable:
                 df = transform(df)
             from pyspark.sql import functions as F
 
-            top = df.orderBy(F.desc(ts_col)).limit(n)
+            order = [F.desc(ts_col)]
+            if tiebreak_col is not None and tiebreak_col in df.columns:
+                order.append(F.desc(tiebreak_col))
+            top = df.orderBy(*order).limit(n)
             if not unread:
                 return top, len(taken)
             rows = top.select(ts_col).collect()
@@ -492,12 +611,16 @@ class ManifestTable:
         dead = sorted(expired_refs - retained_refs)
         for v in drop:
             os.unlink(self._manifest_path(v))
+        from .blooms import drop_sidecars
+
         for rel in dead:
             path = os.path.join(self.data_dir, rel)
             try:
                 os.unlink(path)
             except FileNotFoundError:
                 pass
+            # bloom sidecars share their data file's lifetime
+            drop_sidecars(self.table_path, rel)
             # prune now-empty partition dirs
             d = os.path.dirname(path)
             while d != self.data_dir and os.path.isdir(d) and not os.listdir(d):
@@ -650,20 +773,42 @@ def write_batch_manifest(
     batch_id: int | str,
     partition_cols: tuple[str, ...] = ("date_day", "hour"),
     stats_cols: tuple[str, ...] = ("timestamp",),
+    bloom_cols: tuple[str, ...] = (),
+    bucket_by: tuple[str, int] | None = None,
 ) -> bool:
     """foreachBatch sink with manifest commit: idempotent under
     at-least-once replay even when the replay produces a different file
     count (each attempt's names carry a fresh attempt id; only the
     committing attempt's files enter the manifest; the rest are
     never-referenced orphans, reclaimed by maintenance.cleanup_orphans
-    after its grace window). Returns True if this call committed."""
+    after its grace window). Returns True if this call committed.
+
+    ``bloom_cols`` builds per-file bloom sidecars for those columns at
+    commit (storage/blooms.py) and records the column list as a table
+    property so the compactor keeps replacement files probe-able.
+    ``bucket_by=(col, n)`` adds the hash-bucket hive partition column
+    (the Iceberg bucket-transform analog) and records the bucket spec
+    in table properties — together the point-lookup pruning substrate
+    :meth:`ManifestTable.pruned_files_point` reads."""
     from ..streaming.ingest import BLOOM_WRITE_OPTIONS, SORT_ORDERS
+    from .blooms import bucket_expr, bucket_part_name, collect_file_blooms
 
     mt = ManifestTable(table_path)
     if batch_id in mt.load_manifest()["batches"]:
         return False
     attempt = uuid.uuid4().hex[:8]
     staging = os.path.join(table_path, "_staging", f"batch-{batch_id}-{attempt}")
+    properties: dict[str, str] = {}
+    if bucket_by is not None:
+        bcol, n = bucket_by
+        part = bucket_part_name(bcol)
+        df = df.withColumn(part, bucket_expr(bcol, n))
+        partition_cols = (*partition_cols, part)
+        properties.update({
+            "bucket.col": bcol, "bucket.n": str(n), "bucket.part": part,
+        })
+    if bloom_cols:
+        properties["bloom.cols"] = ",".join(bloom_cols)
     sort_cols = [c for c in SORT_ORDERS.get(table, []) if c in df.columns]
     sorted_df = df.sortWithinPartitions(*sort_cols) if sort_cols else df
     writer = sorted_df.write.mode("overwrite").partitionBy(*partition_cols)
@@ -673,10 +818,16 @@ def write_batch_manifest(
         writer.parquet(staging)
     rel_files = _stage_into_data(staging, mt.data_dir, f"batch-{batch_id}-{attempt}")
     stats = collect_file_stats(mt.data_dir, rel_files, stats_cols) if stats_cols else None
+    blooms = (
+        collect_file_blooms(table_path, rel_files, bloom_cols)
+        if bloom_cols else None
+    )
     return mt.commit(
         rel_files,
         batch_id=batch_id,
         stats=stats,
+        blooms=blooms,
+        properties=properties or None,
         # honest by construction: this writer just sorted each file by
         # sort_cols (within the partitionBy groups), so it may declare
         # exactly that — and declares nothing when the table has no
@@ -762,11 +913,30 @@ def compact_partition_manifest(
         rel_files.append(os.path.join(f"date_day={day}", f"hour={hour}", fname))
     shutil.rmtree(staging, ignore_errors=True)
     stats = collect_file_stats(mt.data_dir, rel_files, ("timestamp",))
+    # keep replacement files probe-able: when the table declares bloom
+    # columns, the compactor (a producer like any other) rebuilds their
+    # sidecars for the files it writes. Bucket layout is NOT preserved
+    # by this (day, hour)-scoped rewrite — the replacement file's
+    # partition struct simply lacks the bucket key, so bucket pruning
+    # passes it through (evidence-based pruning stays correct) and its
+    # fresh bloom carries the pruning instead.
+    bloom_cols = tuple(
+        c for c in mt.load_manifest().get("props", {}).get(
+            "bloom.cols", ""
+        ).split(",") if c
+    )
+    if bloom_cols:
+        from .blooms import collect_file_blooms
+
+        blooms = collect_file_blooms(table_path, rel_files, bloom_cols)
+    else:
+        blooms = None
     inputs = set(old)
     committed = mt.commit(
         rel_files,
         remove_files=old,
         stats=stats,
+        blooms=blooms,
         precondition=lambda cur: inputs.issubset(cur["files"]),
         **lifecycle_metadata(mt.data_dir, rel_files, sort_cols, ident=ident),
     )

@@ -850,3 +850,155 @@ def test_tail_rejects_metric_queries_and_runs_output_stages(spark, tmp_path):
     q.awaitTermination()
     rows = spark.sql("select * from tail_r9").collect()
     assert len(rows) == 1 and rows[0].body == "L:hello"
+
+
+# ---------------------------------------------------------- point lookup
+
+
+def _trace_rows(spark, n, day="2024-01-01"):
+    """n spans with deterministic 32-hex trace ids over 4 hours."""
+    return spark.range(n).select(
+        F.lower(F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 32, "0"))
+        .alias("trace_id"),
+        F.lit(day).alias("date_day"),
+        (F.col("id") % 4).cast("int").alias("hour"),
+        (F.col("id") * 3).alias("value"),
+    )
+
+
+def _tid(i):
+    return format(i, "032x")
+
+
+def test_point_lookup_bloom_and_bucket_pruning(spark, tmp_path):
+    """The substrate's whole point: a point lookup plans 1-ish files,
+    a definite miss plans zero, and results equal the full scan's."""
+    table = str(tmp_path / "t")
+    df = _trace_rows(spark, 400).repartition("date_day", "hour")
+    assert write_batch_manifest(
+        df, table, "traces", batch_id=1,
+        bloom_cols=("trace_id",), bucket_by=("trace_id", 8),
+    )
+    mt = ManifestTable(table)
+    n_files = len(mt.files())
+    assert n_files >= 8  # 4 hours x buckets present
+
+    probe = _tid(123)
+    fs, pruned = mt.pruned_files_point("trace_id", probe)
+    assert pruned >= n_files - 3  # bucket+bloom leave ~1 candidate
+    got = mt.point_lookup(spark, "trace_id", probe).collect()
+    assert [r["value"] for r in got] == [369]
+
+    # full-scan parity: same rows whatever the pruning dropped
+    full = mt.read(spark).filter(F.col("trace_id") == probe).collect()
+    assert sorted(map(str, got)) == sorted(map(str, full))
+
+    # a key that never existed: blooms prove absence in ~99% of
+    # candidate files; whatever survives filters to zero rows
+    miss = mt.point_lookup(spark, "trace_id", "f" * 32)
+    assert miss is None or miss.count() == 0
+
+
+def test_bucket_parity_python_vs_spark(spark):
+    """bucket_of (driver probe) and bucket_expr (writer column) MUST
+    agree for every value — the contract the layout stands on."""
+    from signaldb_spark.storage.blooms import bucket_expr, bucket_of
+
+    df = _trace_rows(spark, 257).select(
+        "trace_id", bucket_expr("trace_id", 16).alias("b")
+    )
+    for r in df.collect():
+        assert bucket_of(r["trace_id"], 16) == r["b"], r["trace_id"]
+
+
+def test_point_pruning_keeps_files_without_evidence(spark, tmp_path):
+    """Files committed without blooms/bucket (older layout) are always
+    kept — pruning is evidence-based, never a correctness filter."""
+    table = str(tmp_path / "t")
+    assert write_batch_manifest(
+        _trace_rows(spark, 50).repartition(1), table, "traces", batch_id=1
+    )  # no bloom_cols, no bucket_by
+    mt = ManifestTable(table)
+    fs, pruned = mt.pruned_files_point("trace_id", _tid(7))
+    assert len(fs) == len(mt.files()) and pruned == 0
+    assert mt.point_lookup(spark, "trace_id", _tid(7)).count() == 1
+
+
+def test_point_pruning_composes_with_time_window(spark, tmp_path):
+    """between= applies stats pruning before any sidecar read."""
+    table = str(tmp_path / "t")
+    rows = spark.range(100).select(
+        F.lower(F.lpad(F.conv(F.col("id").cast("string"), 10, 16), 32, "0"))
+        .alias("trace_id"),
+        F.timestamp_micros(
+            F.lit(1704067200000000) + F.col("id") * 3_600_000_000
+        ).alias("timestamp"),
+    ).withColumn("date_day", F.to_date("timestamp")).withColumn(
+        "hour", F.hour("timestamp")
+    ).repartition("date_day", "hour")
+    assert write_batch_manifest(
+        rows, table, "traces", batch_id=1, bloom_cols=("trace_id",)
+    )
+    mt = ManifestTable(table)
+    import datetime as dt
+
+    lo = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 1, 5, tzinfo=dt.timezone.utc)
+    fs, pruned = mt.pruned_files_point(
+        "trace_id", _tid(2), between=("timestamp", lo, hi)
+    )
+    assert len(fs) <= 2 and pruned >= len(mt.files()) - 2
+    # the key exists OUTSIDE the window: time pruning wins, zero rows
+    fs2, _ = mt.pruned_files_point(
+        "trace_id", _tid(50), between=("timestamp", lo, hi)
+    )
+    assert fs2 == []
+
+
+def test_compaction_rebuilds_blooms_for_replacements(spark, tmp_path):
+    """The compactor is a producer: replacement files get fresh
+    sidecars (from the bloom.cols table property), removed files'
+    entries drop, and point lookups stay exact across the rewrite."""
+    table = str(tmp_path / "t")
+    df = _trace_rows(spark, 200).repartition(4)
+    assert write_batch_manifest(
+        df, table, "traces", batch_id=1, bloom_cols=("trace_id",)
+    )
+    mt = ManifestTable(table)
+    before = mt.point_lookup(spark, "trace_id", _tid(77)).collect()
+    n = compact_partition_manifest(spark, table, "traces", "2024-01-01", 1)
+    assert n == 1
+    m = mt.load_manifest()
+    new_files = [f for f in m["files"] if "compact-" in f]
+    assert new_files and all(
+        "trace_id" in m["blooms"].get(f, {}) for f in new_files
+    )
+    after = mt.point_lookup(spark, "trace_id", _tid(77)).collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
+    # bloom pruning still bites post-compaction
+    _fs, pruned = mt.pruned_files_point("trace_id", _tid(77))
+    assert pruned > 0
+
+
+def test_expire_snapshots_reclaims_sidecars(spark, tmp_path):
+    from signaldb_spark.storage.blooms import BLOOMS_DIR
+
+    table = str(tmp_path / "t")
+    assert write_batch_manifest(
+        _trace_rows(spark, 100).repartition(2), table, "traces",
+        batch_id=1, bloom_cols=("trace_id",),
+    )
+    mt = ManifestTable(table)
+    old_files = set(mt.load_manifest()["files"])
+    compact_partition_manifest(spark, table, "traces", "2024-01-01", 2)
+    dead = mt.expire_snapshots(keep_last=1)
+    assert set(dead) & old_files
+    bdir = os.path.join(table, BLOOMS_DIR)
+    left = {
+        os.path.relpath(os.path.join(r, n), bdir)
+        for r, _d, ns in os.walk(bdir) for n in ns
+    }
+    # every surviving sidecar belongs to a live file
+    live = set(mt.load_manifest()["files"])
+    for s in left:
+        assert s.rsplit(".", 2)[0] in live, s
