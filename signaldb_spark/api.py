@@ -548,7 +548,8 @@ class SignalDBAPI:
     def tempo_trace(self, trace_id: str, start=None, end=None) -> dict:
         from .traceql.trace_ops import assemble_hierarchy, find_by_id
 
-        traces = self._trace_point_scan(trace_id, start, end)
+        traces = self._manifest_point_scan("traces", "trace_id", trace_id,
+                                           start, end)
         if traces is None:
             traces = self.session.table("traces")
         if traces is None:
@@ -559,16 +560,18 @@ class SignalDBAPI:
             return error_envelope(f"trace {trace_id} not found", "not_found")
         return trace_to_tempo(rows[0])
 
-    def _trace_point_scan(self, trace_id: str, start, end):
-        """Manifest point-lookup fast path for trace-by-id: plan only
-        the files whose bucket/stats/bloom evidence says they might
-        hold this id (ManifestTable.pruned_files_point) instead of the
-        whole time window — at 100 TB the difference between opening
-        every file's footer and touching the 1-2 real candidates.
-        Returns None when it doesn't apply (non-manifest table, or
-        unflushed hot batches the manifest can't see) — callers fall
-        back to the ordinary scan; find_by_id still applies the
-        row-level equality, so this is only ever an optimization."""
+    def _manifest_point_scan(self, table: str, col: str, value: str,
+                             start=None, end=None):
+        """Manifest point-lookup fast path for ``col = value`` routes
+        (trace-by-id, profiles-by-trace): plan only the files whose
+        bucket/stats/bloom evidence says they might hold this key
+        (ManifestTable.pruned_files_point) instead of the whole time
+        window — at 100 TB the difference between opening every file's
+        footer and touching the 1-2 real candidates. Returns None when
+        it doesn't apply (non-manifest table, or unflushed hot batches
+        the manifest can't see) — callers fall back to the ordinary
+        scan; the route still applies the row-level equality, so this
+        is only ever an optimization."""
         import os as _os
 
         from .catalog import signal_table_path
@@ -576,7 +579,7 @@ class SignalDBAPI:
         from .storage.manifest import MANIFEST_DIR, ManifestTable
 
         path = signal_table_path(
-            self.session.base, self.tenant, self.dataset, "traces"
+            self.session.base, self.tenant, self.dataset, table
         )
         if not _os.path.isdir(_os.path.join(path, MANIFEST_DIR)):
             return None
@@ -587,9 +590,7 @@ class SignalDBAPI:
         if start is not None and end is not None:
             between = ("timestamp", start, end)
         mt = ManifestTable(path)
-        fs, _pruned = mt.pruned_files_point(
-            "trace_id", trace_id, between=between
-        )
+        fs, _pruned = mt.pruned_files_point(col, value, between=between)
         if not fs:
             # definite miss: answer through one EMPTY in-schema scan
             # (limit 0 over any committed file) so the route returns
@@ -859,7 +860,9 @@ class SignalDBAPI:
 
         from .operators.profiles import find_by_trace
 
-        profiles = self.session.table("profiles")
+        profiles = self._manifest_point_scan("profiles", "trace_id", trace_id)
+        if profiles is None:
+            profiles = self.session.table("profiles")
         if profiles is None:
             return error_envelope("no profiles table for tenant", "not_found")
         hits = find_by_trace(profiles, trace_id, span_id).select(
