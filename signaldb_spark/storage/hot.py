@@ -279,10 +279,27 @@ def flush_hot(
     )
     from .manifest import lifecycle_metadata
 
+    # the flush is a producer like the batch sink and the compactor:
+    # when the table declares bloom columns, its files get sidecars too
+    # (a flushed file without one is still correct — just never
+    # bloom-pruned — but the declared contract is better kept uniform)
+    bloom_cols = tuple(
+        c for c in mt.load_manifest().get("props", {}).get(
+            "bloom.cols", ""
+        ).split(",") if c
+    )
+    if bloom_cols:
+        from .blooms import collect_file_blooms
+
+        blooms = collect_file_blooms(table_path, rel_files, bloom_cols)
+    else:
+        blooms = None
+
     committed = mt.commit(
         rel_files,
         batch_id=batch_id,
         stats=stats,
+        blooms=blooms,
         # lifecycle metadata, same as write_batch_manifest: partition
         # identity from this writer's own just-written layout, on-disk
         # bytes for size-aware candidacy, and the sort claim ONLY when

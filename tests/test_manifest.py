@@ -1002,3 +1002,35 @@ def test_expire_snapshots_reclaims_sidecars(spark, tmp_path):
     live = set(mt.load_manifest()["files"])
     for s in left:
         assert s.rsplit(".", 2)[0] in live, s
+
+
+def test_flush_builds_blooms_for_declared_cols(spark, tmp_path):
+    """The hot flush is the third producer: when the table declares
+    bloom columns, flushed files get sidecars too, and a point lookup
+    stays exact across the flush boundary."""
+    from signaldb_spark.storage.hot import HotStore, flush_hot
+
+    table = str(tmp_path / "t")
+    assert write_batch_manifest(
+        _trace_rows(spark, 60).repartition(1), table, "traces",
+        batch_id=1, bloom_cols=("trace_id",),
+    )
+    store = HotStore(table)
+    store.ack(_trace_rows(spark, 40).withColumn(
+        "trace_id",
+        F.lower(F.lpad(F.conv((F.col("value") + 1000).cast("string"), 10, 16),
+                       32, "0")),
+    ))
+    flush_hot(spark, table, "traces")
+    mt = ManifestTable(table)
+    m = mt.load_manifest()
+    flushed = [f for f in m["files"] if "hotflush" in f]
+    assert flushed and all(
+        "trace_id" in m["blooms"].get(f, {}) for f in flushed
+    )
+    # a key that lives only in the flushed range: found, and pruned to
+    # a strict subset of files
+    tid = format(1000 + 3 * 3, "032x")  # value = id*3 for id=3
+    fs, pruned = mt.pruned_files_point("trace_id", tid)
+    assert pruned >= 1
+    assert mt.point_lookup(spark, "trace_id", tid).count() == 1
