@@ -430,15 +430,20 @@ class ManifestTable:
         candidates = kept
 
         blooms = m.get("blooms", {})
-        kept = []
-        for f in candidates:
+
+        # sidecar probes are independent bounded reads — overlap them
+        # (on an object store a serial walk is O(candidates x RTT),
+        # exactly the cost this layer exists to avoid paying on footers)
+        def probe(f: str) -> bool:
             meta = blooms.get(f, {}).get(col)
-            if meta is not None:
-                bits = load_sidecar(self.table_path, meta["sidecar"])
-                if bits is not None and not bloom_might_contain(bits, value):
-                    pruned += 1
-                    continue
-            kept.append(f)
+            if meta is None:
+                return True
+            bits = load_sidecar(self.table_path, meta["sidecar"])
+            return bits is None or bloom_might_contain(bits, value)
+
+        keep_flags = _parallel_files(probe, candidates)
+        kept = [f for f, k in zip(candidates, keep_flags) if k]
+        pruned += len(candidates) - len(kept)
         return [os.path.join(self.data_dir, f) for f in kept], pruned
 
     def point_lookup(
