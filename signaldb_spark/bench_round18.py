@@ -369,7 +369,7 @@ def q_logql_tie_cut_determinism(spark, sf_dir):
 
 
 ORACLE_LOGQL_TIE_CUT_DETERMINISM = f"""
-SELECT count(*) AS n, sum(event_id) AS evt_sum,
+SELECT count(*) AS n, CAST(sum(event_id) AS BIGINT) AS evt_sum,
        min(epoch_us(date_trunc('hour', ts)) * 1000) AS min_ns,
        max(epoch_us(date_trunc('hour', ts)) * 1000) AS max_ns
 FROM (
