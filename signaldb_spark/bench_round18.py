@@ -382,3 +382,93 @@ FROM (
 
 QUERIES["logql_tie_cut_determinism"] = q_logql_tie_cut_determinism
 ORACLES["logql_tie_cut_determinism"] = ORACLE_LOGQL_TIE_CUT_DETERMINISM
+
+
+# ------------------------------------------------- z-order clustering
+
+
+def _zorder_events_base(spark, sf_dir: str) -> str:
+    """Week-1 events rewritten as a z-ordered manifest table on
+    (event_type, ts) — the layout where BOTH a type-only and a
+    time-only range predicate skip files (storage/zorder.py)."""
+    key = ("zorder", sf_dir)
+    if key in _R18_CACHE:
+        return _R18_CACHE[key]
+    from .storage.manifest import write_batch_manifest, zorder_compact_table
+
+    base = _tempfile.mkdtemp(prefix="sdb-r18-zorder-")
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts") < "2024-01-08")
+    df = e.select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").alias("timestamp"),
+        F.col("value"),
+        F.to_date("ts").alias("date_day"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).repartition(8)
+    table = signal_table_path(base, "acme", "prod", "events_z")
+    assert write_batch_manifest(
+        df, table, "events_z", batch_id=1, stats_cols=("timestamp",)
+    )
+    n = zorder_compact_table(
+        spark, table, ["event_type", "timestamp"], n_files=16
+    )
+    # range-repartition skips empty partitions at tiny SFs; what matters
+    # is that the rewrite committed
+    assert 1 <= n <= 16, n
+    _R18_CACHE[key] = base
+    return base
+
+
+def q_zorder_two_dim_scan(spark, sf_dir):
+    """A (type, 2-day-window) slice over the z-ordered table: the
+    per-day exact-cents rollup equals the oracle's restatement from raw
+    events, and the inline asserts pin the clustering's whole point —
+    the manifest prunes files on the TYPE predicate alone, on the TIME
+    predicate alone, and tighter on their conjunction (no single sort
+    order gives all three)."""
+    import datetime as dt
+
+    from .storage.manifest import ManifestTable
+
+    base = _zorder_events_base(spark, sf_dir)
+    mt = ManifestTable(signal_table_path(base, "acme", "prod", "events_z"))
+    total = len(mt.files())
+    lo = dt.datetime(2024, 1, 3, tzinfo=dt.timezone.utc)
+    hi = dt.datetime(2024, 1, 4, 23, 59, 59, 999999, tzinfo=dt.timezone.utc)
+    svc_kept, _ = mt.pruned_files_multi([("event_type", "click", "click")])
+    t_kept, _ = mt.pruned_files_multi([("timestamp", lo, hi)])
+    both_kept, _ = mt.pruned_files_multi(
+        [("event_type", "click", "click"), ("timestamp", lo, hi)]
+    )
+    assert len(svc_kept) < total and len(t_kept) < total, (
+        len(svc_kept), len(t_kept), total
+    )
+    assert len(both_kept) <= min(len(svc_kept), len(t_kept))
+    df = spark.read.option("basePath", mt.data_dir).parquet(*both_kept)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        df.filter(
+            (F.col("event_type") == "click")
+            & (F.col("timestamp") >= F.lit(lo.replace(tzinfo=None)))
+            & (F.col("timestamp") <= F.lit(hi.replace(tzinfo=None)))
+        )
+        .groupBy(F.to_date("timestamp").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("cents"),
+        )
+        .orderBy("day")
+    )
+
+
+ORACLE_ZORDER_TWO_DIM_SCAN = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+WHERE event_type = 'click'
+  AND ts >= '2024-01-03' AND ts <= '2024-01-04 23:59:59.999999'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zorder_two_dim_scan"] = q_zorder_two_dim_scan
+ORACLES["zorder_two_dim_scan"] = ORACLE_ZORDER_TWO_DIM_SCAN

@@ -277,6 +277,7 @@ _PRIORITY = (
     "point_lookup_absent_key",
     "api_tempo_trace_pruned",
     "logql_tie_cut_determinism",
+    "zorder_two_dim_scan",
     # round-12 tier: the 34 engine-surface gates still without driver
     # evidence — the metric-native IR sub-model tail (the reference's own
     # roadmap surface), the IR logfmt-extract and rank gates, the manifest

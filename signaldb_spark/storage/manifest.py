@@ -359,6 +359,35 @@ class ManifestTable:
             kept.append(os.path.join(self.data_dir, f))
         return kept, pruned
 
+    def pruned_files_multi(
+        self,
+        preds: list[tuple[str, object, object]],
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Conjunctive range pruning: drop a file when ANY predicate's
+        recorded [min, max] is disjoint from its [lo, hi]. The layout
+        decides how much this bites (see storage/zorder.py — z-ordered
+        files have tight ranges on every clustered column at once);
+        files without stats for a column pass that predicate, as ever.
+        Returns (absolute paths, files_pruned)."""
+        m = self.load_manifest(version)
+        stats = m.get("stats", {})
+        keyed = [(c, _stat_key(lo), _stat_key(hi)) for c, lo, hi in preds]
+        kept, pruned = [], 0
+        for f in m["files"]:
+            fstats = stats.get(f, {})
+            drop = False
+            for c, lo_k, hi_k in keyed:
+                rng = fstats.get(c)
+                if rng is not None and (rng[1] < lo_k or rng[0] > hi_k):
+                    drop = True
+                    break
+            if drop:
+                pruned += 1
+            else:
+                kept.append(os.path.join(self.data_dir, f))
+        return kept, pruned
+
     def pruned_files_point(
         self, col: str, value, version: int | None = None,
         between: tuple[str, object, object] | None = None,
@@ -944,5 +973,91 @@ def compact_partition_manifest(
         blooms=blooms,
         precondition=lambda cur: inputs.issubset(cur["files"]),
         **lifecycle_metadata(mt.data_dir, rel_files, sort_cols, ident=ident),
+    )
+    return len(rel_files) if committed else 0
+
+
+def zorder_compact_table(
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    n_files: int,
+    stats_cols: tuple[str, ...] = (),
+) -> int:
+    """Rewrite the WHOLE table clustered on ``cols`` by z-order (the
+    Delta OPTIMIZE ZORDER BY / Iceberg zorder sort-order analog), under
+    the same snapshot-isolated delta-commit contract as partition
+    compaction: stage replacement files, then ONE commit that swaps
+    them in iff every input file is still live. After the rewrite the
+    existing stats pruning (read(between=), pruned_files_multi) bites
+    on EVERY clustered column at once — single- and multi-column range
+    predicates all skip files.
+
+    Column codes are derived from the live data in one bounded agg:
+    numeric/timestamp columns scale by their global [min, max];
+    string columns order by their distinct vocabulary (collected —
+    intended for bounded-cardinality dimensions like service/type, the
+    columns worth clustering on in the first place). Stats are recorded
+    for ``cols`` + ``stats_cols`` so the pruning has the evidence.
+
+    Returns replacement file count, 0 when empty or the commit aborted
+    (a concurrent retention/compaction conflict — staged files become
+    cleanup_orphans fodder, same as the partition compactor)."""
+    from pyspark.sql import functions as F
+
+    from .zorder import linear_code, vocab_code, zorder_rewrite
+
+    mt = ManifestTable(table_path)
+    old = list(mt.load_manifest()["files"])
+    if not old:
+        return 0
+    df = spark.read.option("basePath", mt.data_dir).parquet(
+        *[os.path.join(mt.data_dir, f) for f in old]
+    )
+    # hive partition columns are path-derived; a flat rewrite must
+    # re-materialize them as ordinary columns (the scan already did)
+    codes = []
+    for c in cols:
+        dtype = dict(df.dtypes)[c]
+        if dtype == "string":
+            vocab = [r[0] for r in df.select(c).distinct().collect()
+                     if r[0] is not None]
+            codes.append(vocab_code(F.col(c), vocab))
+        else:
+            col = F.unix_micros(F.col(c)) if dtype == "timestamp" else F.col(c)
+            lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
+            codes.append(linear_code(col, lo, hi))
+    attempt = uuid.uuid4().hex[:8]
+    staging = os.path.join(table_path, "_staging", f"zorder-{attempt}")
+    out = zorder_rewrite(df, codes, n_files)
+    with stats_visible_writes(spark):
+        out.write.mode("overwrite").parquet(staging)
+    rel_files = _stage_into_data(staging, mt.data_dir, f"zorder-{attempt}")
+    all_stats_cols = tuple(dict.fromkeys((*cols, *stats_cols)))
+    stats = collect_file_stats(mt.data_dir, rel_files, all_stats_cols)
+    bloom_cols = tuple(
+        c for c in mt.load_manifest().get("props", {}).get(
+            "bloom.cols", ""
+        ).split(",") if c
+    )
+    if bloom_cols:
+        from .blooms import collect_file_blooms
+
+        blooms = collect_file_blooms(table_path, rel_files, bloom_cols)
+    else:
+        blooms = None
+    inputs = set(old)
+    committed = mt.commit(
+        rel_files,
+        remove_files=old,
+        stats=stats,
+        blooms=blooms,
+        properties={"zorder.cols": ",".join(cols)},
+        precondition=lambda cur: inputs.issubset(cur["files"]),
+        # no sort claim: z-order is a space-filling clustering, not a
+        # lexicographic sort on any declared column list (honesty rule)
+        **{k: v for k, v in lifecycle_metadata(
+            mt.data_dir, rel_files, None
+        ).items()},
     )
     return len(rel_files) if committed else 0
