@@ -166,3 +166,24 @@ def test_zorder_commit_aborts_on_conflict(spark, tmp_path, monkeypatch):
     m = mt.load_manifest()
     assert m["version"] == v_before + 1  # only the retention commit
     assert not any("zorder-" in f for f in m["files"])
+
+
+def test_zorder_rewrite_plan_is_one_range_exchange(spark):
+    """The rewrite's cost model: ONE shuffle (sampled range partition on
+    the interleaved key), the key itself a codegen expression — no UDF,
+    no extra exchange, no global sort."""
+    from signaldb_spark.storage.zorder import zorder_rewrite
+
+    df = _grid(spark, 4, 4, 10)
+    out = zorder_rewrite(
+        df,
+        [linear_code(F.unix_micros("timestamp"), 0, 2**40),
+         vocab_code(F.col("service"), [f"svc-{i}" for i in range(4)])],
+        n_files=4,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
