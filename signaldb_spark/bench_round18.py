@@ -472,3 +472,88 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["zorder_two_dim_scan"] = q_zorder_two_dim_scan
 ORACLES["zorder_two_dim_scan"] = ORACLE_ZORDER_TWO_DIM_SCAN
+
+
+def q_zorder_rewrite_census(spark, sf_dir):
+    """Rewrite-loses-nothing proof under the oracle: the per-type exact
+    census (rows, cents, id-sum) of the ENTIRE z-ordered table equals
+    the oracle's census of raw week-1 events — any row lost, duplicated
+    or value-mangled by the clustering rewrite lands here."""
+    from .storage.manifest import ManifestTable
+
+    base = _zorder_events_base(spark, sf_dir)
+    mt = ManifestTable(signal_table_path(base, "acme", "prod", "events_z"))
+    df = mt.read(spark)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).alias("cents"),
+            F.sum("event_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ZORDER_REWRITE_CENSUS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events WHERE ts < '2024-01-08'
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["zorder_rewrite_census"] = q_zorder_rewrite_census
+ORACLES["zorder_rewrite_census"] = ORACLE_ZORDER_REWRITE_CENSUS
+
+
+def q_point_lookup_after_compaction(spark, sf_dir):
+    """The compactor's sidecar-rebuild contract under the driver
+    oracle: a fresh bloomed table is compacted (one partition rewritten
+    to one file), then the point lookup must still find exactly the
+    probe row THROUGH the rebuilt sidecars — with pruning still biting,
+    asserted inline. Fresh fixture per call (the bench runs each query
+    twice; compaction mutates the table)."""
+    import uuid as _uuid
+
+    from .storage.manifest import (
+        ManifestTable,
+        compact_partition_manifest,
+        write_batch_manifest,
+    )
+
+    base = _tempfile.mkdtemp(prefix=f"sdb-r18-pcomp-{_uuid.uuid4().hex[:6]}-")
+    e = load_table(spark, sf_dir, "events")
+    tr = _traces_frame_day1(e).repartition(F.col("date_day"), F.col("hour"))
+    table = signal_table_path(base, "acme", "prod", "traces")
+    assert write_batch_manifest(
+        tr, table, "traces", batch_id=1, bloom_cols=("trace_id",)
+    )
+    day = "2024-01-01"
+    for hour in (0, 1):
+        compact_partition_manifest(spark, table, "traces", day, hour)
+    mt = ManifestTable(table)
+    m = mt.load_manifest()
+    compacted = [f for f in m["files"] if "compact-" in f]
+    assert compacted and all(
+        "trace_id" in m["blooms"].get(f, {}) for f in compacted
+    ), "compactor must rebuild sidecars"
+    tid = format(_probe_event_id(spark, sf_dir), "032x")
+    fs, pruned = mt.pruned_files_point("trace_id", tid)
+    assert pruned > 0 and len(fs) < len(m["files"]), (len(fs), pruned)
+    df = mt.point_lookup(spark, "trace_id", tid)
+    return df.select(
+        "trace_id", "span_name", "service_name", "duration_nanos",
+        "status_code",
+    )
+
+
+# identical row to the bucketed lookup gate: same probe, same at-rest
+# derivations — only the storage lifecycle differs
+ORACLES_POINT_LOOKUP_AFTER_COMPACTION = ORACLE_TRACE_POINT_LOOKUP_BUCKETED
+
+QUERIES["point_lookup_after_compaction"] = q_point_lookup_after_compaction
+ORACLES["point_lookup_after_compaction"] = (
+    ORACLES_POINT_LOOKUP_AFTER_COMPACTION
+)

@@ -278,6 +278,8 @@ _PRIORITY = (
     "api_tempo_trace_pruned",
     "logql_tie_cut_determinism",
     "zorder_two_dim_scan",
+    "zorder_rewrite_census",
+    "point_lookup_after_compaction",
     # round-12 tier: the 34 engine-surface gates still without driver
     # evidence — the metric-native IR sub-model tail (the reference's own
     # roadmap surface), the IR logfmt-extract and rank gates, the manifest
