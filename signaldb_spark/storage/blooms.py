@@ -118,8 +118,8 @@ def collect_file_blooms(
 
     data_dir = os.path.join(table_path, "data")
     blooms_dir = os.path.join(table_path, BLOOMS_DIR)
-    out: dict[str, dict] = {}
-    for rel in rel_files:
+
+    def one(rel: str) -> dict:
         pf = pq.ParquetFile(os.path.join(data_dir, rel))
         names = set(pf.schema_arrow.names)
         entry: dict[str, dict] = {}
@@ -142,9 +142,15 @@ def collect_file_blooms(
             entry[col] = {
                 "m": 8 * len(bits), "k": _K, "ndv": len(vals), "sidecar": side,
             }
-        if entry:
-            out[rel] = entry
-    return out
+        return entry
+
+    # independent per-file column reads + blob writes — overlap them the
+    # same way collect_file_stats overlaps footer reads (a hive layout's
+    # one-file-per-dir commits produce hundreds of small files)
+    from .manifest import _parallel_files
+
+    entries = _parallel_files(one, rel_files)
+    return {rel: e for rel, e in zip(rel_files, entries) if e}
 
 
 def load_sidecar(table_path: str, sidecar_rel: str) -> bytes | None:
