@@ -8,6 +8,7 @@ needed are master/memory; everything else is data-layout driven.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -16,6 +17,51 @@ from pyspark.sql import SparkSession
 # fpp 0.01). In Spark these are writer options, set at write time by the
 # sinks in signaldb_spark.sources; listed here as the canonical set.
 BLOOM_FILTER_COLUMNS = ("trace_id", "span_id", "attr_tokens")
+
+
+# --- py4j round-trip elision for expression construction ---------------
+#
+# Every `F.<fn>(...)` in classic PySpark resolves the JVM static method
+# from scratch: a JVMView reflection lookup for
+# `org.apache.spark.sql.functions` plus a member lookup — two extra
+# gateway round trips (measured ~2-6ms each on this box) before the one
+# call that actually builds the expression. A query built from a few
+# hundred `F.` calls pays a visible fraction of its wall time in these
+# lookups alone (measured ~40-55% of per-query time at sf0.1 is
+# DataFrame *construction*). The JVM functions object is a stateless
+# class of static methods, so the resolved handle is safe to memoize for
+# the lifetime of its gateway. The memo is keyed weakly on the JVMView:
+# a restarted SparkContext gets a fresh view object and therefore a
+# fresh (empty) cache — no stale-gateway handles can be served.
+_JVM_FN_MEMO: "weakref.WeakKeyDictionary[object, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_memoized_get_jvm_function = None
+
+
+def _install_jvm_function_memo() -> None:
+    global _memoized_get_jvm_function
+    try:
+        import pyspark.sql.functions.builtin as _fb
+    except ImportError:  # pragma: no cover - future layout change
+        return
+    if _memoized_get_jvm_function is not None:
+        return
+    original = _fb._get_jvm_function
+
+    def memoized(name, sc):
+        jvm = sc._jvm
+        try:
+            per_view = _JVM_FN_MEMO.setdefault(jvm, {})
+        except TypeError:  # non-weakrefable stand-in (mocks)
+            return original(name, sc)
+        fn = per_view.get(name)
+        if fn is None:
+            fn = per_view[name] = original(name, sc)
+        return fn
+
+    _fb._get_jvm_function = memoized
+    _memoized_get_jvm_function = memoized
 
 
 def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None = None) -> SparkSession:
@@ -77,5 +123,6 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         # runtime when estimates are off.
     )
     spark = builder.getOrCreate()
+    _install_jvm_function_memo()
     spark.sparkContext.setLogLevel("WARN")
     return spark
