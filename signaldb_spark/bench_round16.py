@@ -187,6 +187,26 @@ def _api(spark, sf_dir):
     return SignalDBAPI(spark, _signal_base(spark, sf_dir), "acme", "prod")
 
 
+def run_routes_concurrent(*thunks):
+    """Drive independent façade routes as overlapping Spark jobs
+    (optimization guide §2.6): a discovery gate that issues N
+    independent scans serially leaves the cluster idle during each
+    scan's single-job tail, exactly like the N clients of the
+    reference's HTTP server would not. Spark's scheduler happily runs
+    the jobs at once; results come back in call order, so the
+    assembled envelope rows are byte-identical to the serial drive.
+    Errors propagate unchanged from whichever route raised."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 # ------------------------------------------- façade envelope contracts
 
 
@@ -364,11 +384,14 @@ def q_api_loki_discovery_envelope(spark, sf_dir):
     level → severity_text) — the discovery envelopes restated by the
     oracle as one (kind, name) relation."""
     api = _api(spark, sf_dir)
-    labels = api.loki_labels()
+    labels, svc_vals, level_vals = run_routes_concurrent(
+        api.loki_labels,
+        lambda: api.loki_label_values("service_name"),
+        lambda: api.loki_label_values("level"),
+    )
     assert labels["status"] == "success", labels
     rows = [("label", n) for n in labels["data"]]
-    for kind, label in [("service", "service_name"), ("level", "level")]:
-        vals = api.loki_label_values(label)
+    for kind, vals in [("service", svc_vals), ("level", level_vals)]:
         assert vals["status"] == "success", vals
         rows += [(kind, v) for v in vals["data"]]
     df = spark.createDataFrame(rows, "kind string, name string")

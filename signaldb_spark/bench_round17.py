@@ -38,6 +38,7 @@ from .bench_round16 import (
     _sev_col,
     _signal_base,
     events_logs_frame,
+    run_routes_concurrent,
 )
 from .catalog import load_table, signal_table_path
 
@@ -481,14 +482,16 @@ def q_api_pyroscope_discovery_envelope(spark, sf_dir):
     ("type:unit"), label names (attribute keys + service_name), and
     value routing (service_name → column, host → attribute map)."""
     api = _api17(spark, sf_dir)
-    types = api.pyroscope_profile_types()
+    types, names, svc_vals, host_vals = run_routes_concurrent(
+        api.pyroscope_profile_types,
+        api.pyroscope_label_names,
+        lambda: api.pyroscope_label_values("service_name"),
+        lambda: api.pyroscope_label_values("host"),
+    )
     rows = [("ptype", t) for t in types["profileTypes"]]
-    names = api.pyroscope_label_names()
     rows += [("label", n) for n in names["names"]]
-    rows += [("service", v)
-             for v in api.pyroscope_label_values("service_name")["names"]]
-    rows += [("host", v)
-             for v in api.pyroscope_label_values("host")["names"]]
+    rows += [("service", v) for v in svc_vals["names"]]
+    rows += [("host", v) for v in host_vals["names"]]
     df = spark.createDataFrame(rows, "kind string, value string")
     return df.orderBy("kind", "value")
 
@@ -679,12 +682,14 @@ def q_api_prom_discovery_envelope(spark, sf_dir):
     keys, job→service_name value routing, and series identities for a
     plain selector."""
     api = _api17(spark, sf_dir)
-    labels = api.prom_labels(START, END)
+    labels, values, series = run_routes_concurrent(
+        lambda: api.prom_labels(START, END),
+        lambda: api.prom_label_values("job", START, END),
+        lambda: api.prom_series("ev_value", START, END),
+    )
     assert labels["status"] == "success", labels
     rows = [("label", n, "") for n in labels["data"]]
-    values = api.prom_label_values("job", START, END)
     rows += [("job", v, "") for v in values["data"]]
-    series = api.prom_series("ev_value", START, END)
     rows += [("series", s["__name__"], s["job"]) for s in series["data"]]
     df = spark.createDataFrame(rows, "kind string, a string, b string")
     return df.orderBy("kind", "a", "b")
