@@ -2464,9 +2464,14 @@ def q_ngram_novelty_rate(spark, sf_dir):
     referencing the raw split() expression re-evaluates the regex split
     per element (no common-subexpression elimination across the lambda
     boundary; measured 6x slower end to end at sf0.1)."""
+    from .operators.dedup import fan_out
+
     d = load_table(spark, sf_dir, "documents")
     mx = d.agg(F.max("doc_id").alias("mx"))
-    toks = d.select("doc_id", F.split(F.lower("text"), "[^a-z]+").alias("w"))
+    # single-split scan → fan out before the per-row md5 battery
+    toks = fan_out(d).select(
+        "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("w")
+    )
     wc = F.size(F.col("w"))
     grams = F.when(
         wc >= 3,
@@ -2486,15 +2491,23 @@ def q_ngram_novelty_rate(spark, sf_dir):
         "doc_id", F.explode(grams).alias("g")
     ).select("doc_id", F.md5("g").alias("gh"))
     first = doc_grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (
-        doc_grams.join(first, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
-            F.sum(
-                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("bigint").alias("n_novel"),
-        )
+    # Every gram contributes exactly ONE novel occurrence — to the doc
+    # that first saw it — so the per-doc novelty count is a count over
+    # `first` grouped by first_doc, and the per-doc gram count is a
+    # direct aggregation of doc_grams. The old shape instead joined the
+    # corpus-sized gram table back against `first` on the digest (a
+    # second full shuffle of every gram row) only to re-derive those
+    # two counts (guide §2.4: remove shuffles outright). Docs whose
+    # every gram was seen before get n_novel = 0 via the left join.
+    n_grams_per_doc = doc_grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    n_novel_per_doc = first.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    per_doc = n_grams_per_doc.join(n_novel_per_doc, "doc_id", "left").select(
+        "doc_id", "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
     )
     return (
         per_doc.crossJoin(F.broadcast(mx))

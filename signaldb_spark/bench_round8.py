@@ -1311,7 +1311,11 @@ def q_minhash_error_bands(spark, sf_dir):
     sketch-error distributions converge with a few hundred pairs, and
     the fixed sample keeps the audit's cost SF-invariant — an accuracy
     check should not scan the corpus it audits."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800)
+    from .operators.dedup import fan_out
+
+    # the 800-doc sample arrives as one input split: without a fan-out
+    # every md5 below runs on a single core (guide §2.5 input skew)
+    d = fan_out(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 800))
     base = d.select(
         "doc_id",
         F.split(
@@ -1367,31 +1371,49 @@ def q_minhash_error_bands(spark, sf_dir):
             .alias("exact_j"),
         )
     )
-    # minhash-64 signatures. Plain explode-then-md5 measured FASTER
-    # than building the 64 digests inside an array transform: the
-    # shingle is ~25 chars, so duplicating it 64x is cheaper than
-    # materializing a 64x32-char array per shingle row (the transform
-    # trick only wins when the duplicated payload is large)
-    hs = sh.select(
-        "doc_id", "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("h"),
-    ).select(
-        "doc_id", "h",
-        F.md5(F.concat_ws(":", F.col("h"), F.col("shingle"))).alias("hv"),
+    # minhash-64 signatures as ONE map-only array fold per document:
+    # sig[h] = min over shingles of md5(h:shingle), computed with a
+    # nested transform + array_min over the doc's own (materialized)
+    # shingle array. Same md5 inputs, same min — bit-identical to the
+    # old explode(0..63) → md5 → groupBy(doc,h) min, but with zero
+    # shuffle: the old shape shuffled |shingles|x64 digest rows to
+    # aggregate them, then joined pairs against the signature table
+    # TWICE at 64x row multiplication. The signature table is one row
+    # per doc (bounded by the fixed 800-doc sample), so both joins
+    # broadcast and the match count folds over zip_with in the same
+    # stage (optimization guide §2.3-2.4: aggregate before you shuffle,
+    # remove exchanges outright).
+    sharr = base.select(
+        "doc_id", F.array_distinct(shing).alias("_sharr")
+    ).filter(F.size("_sharr") >= 1)
+    arr = F.col("_sharr")
+    sig = sharr.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda h: F.array_min(
+                F.transform(arr, lambda s: F.md5(F.concat_ws(":", h, s)))
+            ),
+        ).alias("sig"),
     )
-    sig = hs.groupBy("doc_id", "h").agg(F.min("hv").alias("mh"))
     est = (
-        pairs.join(sig.select(F.col("doc_id").alias("id_a"), "h",
-                              F.col("mh").alias("mh_a")), "id_a")
-        .join(sig.select(F.col("doc_id").alias("id_b"),
-                         F.col("h").alias("h"), F.col("mh").alias("mh_b")),
-              ["id_b", "h"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0))
-            .alias("n_match")
+        pairs.join(
+            F.broadcast(sig.select(F.col("doc_id").alias("id_a"),
+                                   F.col("sig").alias("sig_a"))), "id_a")
+        .join(
+            F.broadcast(sig.select(F.col("doc_id").alias("id_b"),
+                                   F.col("sig").alias("sig_b"))), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(
+                F.filter(
+                    F.zip_with(
+                        F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                    ),
+                    lambda m: m,
+                )
+            ) / 64.0).alias("est_j"),
         )
-        .select("id_a", "id_b", (F.col("n_match") / 64.0).alias("est_j"))
     )
     err = exact.join(est, ["id_a", "id_b"]).select(
         (F.floor(F.abs(F.col("est_j") - F.col("exact_j")) * 20).cast("bigint"))
