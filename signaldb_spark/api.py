@@ -1311,15 +1311,37 @@ class SignalDBAPI:
                 )
         results = []
         counts = partition_file_counts(path)  # one manifest parse
-        for d, h in parts:
-            before = counts.get((d, h), 0)
-            if dry_run:
-                results.append({"date_day": d, "hour": h, "n_files": before,
-                                "would_compact": before > 1})
-            else:
-                after = compact_partition(self.spark, path, table, d, h)
+        if dry_run:
+            for d, h in parts:
                 results.append({"date_day": d, "hour": h,
-                                "files_before": before, "files_after": after})
+                                "n_files": counts.get((d, h), 0),
+                                "would_compact": counts.get((d, h), 0) > 1})
+        else:
+            # partitions rewrite independently (disjoint input files,
+            # input-scoped commit preconditions, CAS-retry manifest
+            # commits), so overlap them on a bounded pool — the
+            # reference's compactor parallelizes per partition the same
+            # way, and serially each rewrite's single-job tail idles
+            # the cluster (guide §2.6). Results keep partition order.
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark.util import inheritable_thread_target
+
+            def rewrite(dh):
+                d, h = dh
+                return compact_partition(self.spark, path, table, d, h)
+
+            if len(parts) == 1:
+                afters = [rewrite(parts[0])]
+            else:
+                with ThreadPoolExecutor(max_workers=min(4, len(parts))) as pool:
+                    futs = [pool.submit(inheritable_thread_target(rewrite), p)
+                            for p in parts]
+                    afters = [f.result() for f in futs]
+            for (d, h), after in zip(parts, afters):
+                results.append({"date_day": d, "hour": h,
+                                "files_before": counts.get((d, h), 0),
+                                "files_after": after})
         if not dry_run:
             # legacy directory-layout tables swap files on compaction;
             # re-pin the session's frames on the new listing

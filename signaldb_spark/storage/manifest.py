@@ -36,7 +36,9 @@ import contextlib
 import json
 import os
 import shutil
+import threading
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -59,35 +61,49 @@ _WRITE_CONFS = {
 }
 
 
+_WRITE_PIN_LOCK = threading.Lock()
+_WRITE_PIN_STATE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 @contextlib.contextmanager
 def stats_visible_writes(spark: SparkSession):
     """Pin the write-side confs around a parquet write, restoring the
     caller's values after. Runtime SQL confs only — safe on a live
     session.
 
-    Single-writer-per-session assumption: the pin/restore mutates the
-    session-global runtime conf, so a concurrent write on ANOTHER
-    thread of the same SparkSession during this window would also pick
-    up TIMESTAMP_MICROS, and the restore could clobber a concurrent
-    conf change. All writers in this repo (batch sink, hot flush,
-    compactor, streaming foreachBatch) are single-threaded per session;
-    embedders driving writes from multiple threads should serialize
-    them or use separate sessions."""
-    prev: dict[str, str | None] = {}
-    for k, v in _WRITE_CONFS.items():
-        try:
-            prev[k] = spark.conf.get(k)
-        except Exception:
-            prev[k] = None
-        spark.conf.set(k, v)
+    Reentrant and thread-safe via a per-session depth counter: every
+    user of this guard pins the SAME conf values, so overlapping writes
+    (the parallel per-partition compactor, guide §2.6) simply share one
+    pin — the first entry records the caller's values, the last exit
+    restores them. A concurrent conf change made *outside* this guard
+    during the pinned window is still the embedder's race to lose, as
+    before."""
+    with _WRITE_PIN_LOCK:
+        state = _WRITE_PIN_STATE.get(spark)
+        if state is None:
+            prev: dict[str, str | None] = {}
+            for k, v in _WRITE_CONFS.items():
+                try:
+                    prev[k] = spark.conf.get(k)
+                except Exception:
+                    prev[k] = None
+                spark.conf.set(k, v)
+            state = _WRITE_PIN_STATE[spark] = {"depth": 0, "prev": prev}
+        state["depth"] += 1
     try:
         yield
     finally:
-        for k, old in prev.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+        with _WRITE_PIN_LOCK:
+            state["depth"] -= 1
+            if state["depth"] == 0:
+                _WRITE_PIN_STATE.pop(spark, None)
+                for k, old in state["prev"].items():
+                    if old is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, old)
 
 
 class CommitConflict(Exception):
