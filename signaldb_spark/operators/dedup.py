@@ -421,8 +421,15 @@ def connected_components(
     reliable = spark.sparkContext.getCheckpointDir() is not None
 
     def _truncate(df):
+        # Reliable checkpoints stay EAGER: a lazy Dataset.checkpoint
+        # writes its files in a separate job after the first action,
+        # recomputing every partition. localCheckpoint persists blocks
+        # during the first computation, so the lazy form lets each
+        # round's convergence checksum double as the materializing
+        # action — one job per round instead of two (materialize, then
+        # checksum) for the same truncated plan.
         return df.checkpoint(eager=True) if reliable \
-            else df.localCheckpoint(eager=True)
+            else df.localCheckpoint(eager=False)
 
     labels = _truncate(
         edges.select(F.col("src").alias("id")).distinct()

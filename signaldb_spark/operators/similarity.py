@@ -831,30 +831,50 @@ def ivf_pq_topn(
     codes quantize the raw vectors, not per-cell residuals — recall is
     lower but the whole pipeline stays under the cross-engine oracle.
     """
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .orderBy("cid")
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [list(r.cv) for r in cent_rows]
-    # probe ranking via the SAME _cell_scores expression the corpus
-    # assignment uses — one rounding/tie-break contract, no dual-language
-    # cosine to drift (and NULL-safe on degenerate vectors, as SQL is)
-    qdf = corpus.sparkSession.createDataFrame(
-        [([float(x) for x in query],)], f"qv array<double>"
-    )
-    probe = [
-        r["cell"]
-        for r in ivf_probe_cells(qdf, "qv", centroids, nprobe).collect()
-    ]
+    def _coarse_chain():
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+            .orderBy("cid")
+            .limit(n_cells)
+            .collect()
+        )
+        cents = [list(r.cv) for r in cent_rows]
+        # probe ranking via the SAME _cell_scores expression the corpus
+        # assignment uses — one rounding/tie-break contract, no
+        # dual-language cosine to drift (NULL-safe on degenerate vectors)
+        qdf = corpus.sparkSession.createDataFrame(
+            [([float(x) for x in query],)], "qv array<double>"
+        )
+        return cents, [
+            r["cell"]
+            for r in ivf_probe_cells(qdf, "qv", cents, nprobe).collect()
+        ]
+
+    # The coarse-quantizer chain (centroid fetch → probe ranking) and
+    # PQ codebook training touch disjoint driver metadata and are both
+    # short multi-job pipelines over the same corpus — run them as
+    # overlapping jobs (optimization guide §2.6) instead of serially
+    # idling the cluster through each collect's tail. Results are the
+    # same driver-side lists either way.
+    if codebooks is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.util import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            coarse_fut = pool.submit(inheritable_thread_target(_coarse_chain))
+            train_fut = pool.submit(
+                inheritable_thread_target(pq_train),
+                corpus, id_col, vec_col, dims, m, k, iterations,
+            )
+            (centroids, probe), codebooks = coarse_fut.result(), train_fut.result()
+    else:
+        centroids, probe = _coarse_chain()
 
     assigned = ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col).alias("cv")), "cv", centroids
     )
     cand = assigned.filter(F.col("cell").isin(probe)).select(id_col)
-    if codebooks is None:
-        codebooks = pq_train(corpus, id_col, vec_col, dims, m, k, iterations)
     # encode ONLY the probed cells' rows — codebooks are corpus-trained,
     # so restricting before encoding changes nothing but the work
     cand_corpus = corpus.join(F.broadcast(cand), id_col, "leftsemi")
