@@ -1650,21 +1650,37 @@ def q_knn_reciprocity(spark, sf_dir):
     """kNN-graph reciprocity: the share of top-5 cosine edges i→j whose
     reverse j→i is also a top-5 edge — low reciprocity flags hubness,
     the failure mode that quietly wrecks ANN recall. Runs on a
-    deterministic 400-vector sample (vec_id mod); distances come from
-    one posexplode self-join keyed on dimension, so stored vectors
-    never shuffle whole."""
+    deterministic 400-vector sample (vec_id mod); the sample is bounded
+    by construction, so one side broadcasts and each pair's dot is a
+    zip_with fold — the corpus-sized vector table never shuffles at
+    all."""
+    from .operators.dedup import fan_out
+
     e = load_table(spark, sf_dir, "embeddings")
-    sample = e.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
-    ex = sample.select(
-        "vec_id", F.posexplode("embedding").alias("i", "xf")
-    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
-    a = ex.select(F.col("vec_id").alias("va"), "i", F.col("x").alias("xa"))
-    b = ex.select(F.col("vec_id").alias("vb"), "i", F.col("x").alias("xb"))
+    sample = fan_out(e.filter(F.col("vec_id") % 5 == 0)).select(
+        "vec_id", "embedding"
+    )
+    # the sample is BOUNDED (400 vectors) by construction, so the right
+    # pair shape is a broadcast of one side and a zip_with dot per pair
+    # — zero exchanges before the per-vector ranking window. The old
+    # dimension-keyed posexplode self-join shuffled |sample|²·dims
+    # (~10M) component rows into a (va, vb) aggregation to produce the
+    # same 160k dot products (guide §3: broadcast the side that fits).
+    a = sample.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = sample.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     dots = (
-        a.join(b, "i")
-        .filter(F.col("va") != F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select(
+            "va", "vb",
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea"), F.col("eb"),
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
     )
     w = Window.partitionBy("va").orderBy(F.desc("dot"), "vb")
     knn = dots.withColumn("rk", F.row_number().over(w)).filter(

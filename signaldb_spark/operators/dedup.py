@@ -231,7 +231,15 @@ def minhash_from_shingles(
     """MinHash signatures from an already-shingled (id, shingle) table —
     lets a pipeline shingle the corpus ONCE and feed both a
     decontamination probe and the signature aggregation from the same
-    cached table instead of re-exploding the text per consumer."""
+    cached table instead of re-exploding the text per consumer.
+
+    The explode(0..num_hashes-1) → md5 → (id, h) min-aggregate shape is
+    deliberate: partial (map-side) aggregation reduces the shuffle to
+    ~docs×num_hashes pre-aggregated rows, strictly less than the
+    collect_list-per-doc alternative, which ships the whole shingle
+    corpus to fold signatures in one row (A/B-measured slower r12 —
+    the array-fold trick only wins where the per-doc array already
+    exists pre-explode, as in minhash_error_bands)."""
     idx = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("h")
     expanded = sh.select(id_col, "shingle", idx)
     return (
