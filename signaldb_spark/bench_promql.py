@@ -712,32 +712,54 @@ def q_exphist_quantile_signed(spark, sf_dir):
         F.when(w != 0, i).alias("i"),
     )
 
-    def _dense(side):
-        pos = (
-            rows.filter(F.col("side") == side)
-            .groupBy("bucket", "service_name", "i")
-            .agg(F.count(F.lit(1)).alias("c"))
+    # Both signed sides share the |w|-keyed index domain, so ONE
+    # (bucket, service, i) aggregation with per-side conditional counts
+    # replaces the two side-filtered _dense passes and one of the two
+    # left joins (r12: 2 scans → 1). Null offsets propagate through
+    # sequence/transform exactly like the former left-join nulls.
+    pos = (
+        rows.filter(F.col("side").isNotNull())
+        .groupBy("bucket", "service_name", "i")
+        .agg(
+            F.count(F.when(F.col("side") == 1, 1)).alias("c_p"),
+            F.count(F.when(F.col("side") == -1, 1)).alias("c_n"),
         )
-        g = pos.groupBy("bucket", "service_name").agg(
-            F.min("i").alias("off"), F.max("i").alias("mx"),
-            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("m"),
-        )
-        counts = F.transform(
-            F.sequence(F.col("off"), F.col("mx")),
-            lambda k: F.coalesce(F.element_at(F.col("m"), k), F.lit(0)).cast("long"),
-        )
-        return g.select(
-            "bucket", "service_name",
-            F.col("off").alias(f"_{'p' if side == 1 else 'n'}_off"),
-            counts.alias(f"_{'p' if side == 1 else 'n'}_counts"),
+    )
+    d = pos.groupBy("bucket", "service_name").agg(
+        F.min(F.when(F.col("c_p") > 0, F.col("i"))).alias("_p_off"),
+        F.max(F.when(F.col("c_p") > 0, F.col("i"))).alias("_p_mx"),
+        F.min(F.when(F.col("c_n") > 0, F.col("i"))).alias("_n_off"),
+        F.max(F.when(F.col("c_n") > 0, F.col("i"))).alias("_n_mx"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("i").alias("k"),
+                    F.struct(
+                        F.col("c_p").alias("p"), F.col("c_n").alias("n")
+                    ).alias("v"),
+                )
+            )
+        ).alias("_m"),
+    )
+
+    def _counts(off, mx, field):
+        return F.transform(
+            F.sequence(off, mx),
+            lambda k: F.coalesce(
+                F.element_at(F.col("_m"), k)[field], F.lit(0)
+            ).cast("long"),
         )
 
+    sides = d.select(
+        "bucket", "service_name",
+        "_p_off", _counts(F.col("_p_off"), F.col("_p_mx"), "p").alias("_p_counts"),
+        "_n_off", _counts(F.col("_n_off"), F.col("_n_mx"), "n").alias("_n_counts"),
+    )
     zeros = rows.groupBy("bucket", "service_name").agg(
         F.sum(F.col("_zero").cast("long")).alias("zero_count")
     )
     atrest = (
-        zeros.join(_dense(1), ["bucket", "service_name"], "left")
-        .join(_dense(-1), ["bucket", "service_name"], "left")
+        zeros.join(sides, ["bucket", "service_name"], "left")
         .select(
             "bucket", "service_name", F.lit(0).alias("scale"), "zero_count",
             F.col("_p_off").alias("positive_offset"),
@@ -1374,50 +1396,70 @@ def q_exphist_rate_quantile(spark, sf_dir):
         (F.hour("ts") < 12).alias("_half"),
     )
 
-    def _dense(r):
-        pos = (
-            r.filter(~F.col("_zero") & F.col("i").isNotNull())
-            .groupBy("bucket", "service_name", "i")
-            .agg(F.count(F.lit(1)).alias("c"))
+    # ONE pass densifies BOTH cumulative snapshots: the full-day counts
+    # and the morning-only (first) counts are conditional aggregates of
+    # the same (bucket, service, i) cells, so the former two _dense
+    # passes (two scans + four aggregations) and the full-groups anchor
+    # join collapse into a single grouped pipeline keyed on the full-day
+    # group set (r12: 2 scans → 1, the anchor join disappears).
+    pos = (
+        rows.filter(~F.col("_zero") & F.col("i").isNotNull())
+        .groupBy("bucket", "service_name", "i")
+        .agg(
+            F.count(F.lit(1)).alias("c_full"),
+            F.sum(F.col("_half").cast("long")).alias("c_half"),
         )
-        d = pos.groupBy("bucket", "service_name").agg(
-            F.min("i").alias("positive_offset"),
-            F.max("i").alias("_mx"),
-            F.map_from_entries(F.collect_list(F.struct("i", "c"))).alias("_m"),
-        )
-        counts = F.transform(
-            F.sequence(F.col("positive_offset"), F.col("_mx")),
-            lambda k: F.coalesce(F.element_at(F.col("_m"), k), F.lit(0)).cast("long"),
-        )
-        z = r.groupBy("bucket", "service_name").agg(
-            F.sum(F.col("_zero").cast("long")).alias("zero_count")
-        )
-        return z.join(d, ["bucket", "service_name"], "left").select(
-            "bucket", "service_name", F.lit(0).alias("scale"), "zero_count",
-            F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
-            F.coalesce(
-                counts, F.array().cast("array<long>")
-            ).alias("positive_bucket_counts"),
+    )
+    d = pos.groupBy("bucket", "service_name").agg(
+        F.min("i").alias("_off_f"),
+        F.max("i").alias("_mx_f"),
+        F.min(F.when(F.col("c_half") > 0, F.col("i"))).alias("_off_h"),
+        F.max(F.when(F.col("c_half") > 0, F.col("i"))).alias("_mx_h"),
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("i").alias("k"),
+                    F.struct(
+                        F.col("c_full").alias("f"), F.col("c_half").alias("h")
+                    ).alias("v"),
+                )
+            )
+        ).alias("_m"),
+    )
+
+    def _counts(off, mx, field):
+        return F.transform(
+            F.sequence(off, mx),
+            lambda k: F.coalesce(
+                F.element_at(F.col("_m"), k)[field], F.lit(0)
+            ).cast("long"),
         )
 
-    full = _dense(rows)
-    half = _dense(rows.filter(F.col("_half")))
-    # anchor on the full-day groups so a morning with zero events still
-    # yields a (first=empty, last=full) pair, not a single-sample step
-    first = (
-        full.select("bucket", "service_name")
-        .join(half, ["bucket", "service_name"], "left")
-        .select(
-            "bucket", "service_name", F.lit(0).alias("scale"),
-            F.coalesce("zero_count", F.lit(0)).alias("zero_count"),
-            F.coalesce("positive_offset", F.lit(0)).alias("positive_offset"),
-            F.coalesce(
-                "positive_bucket_counts", F.array().cast("array<long>")
-            ).alias("positive_bucket_counts"),
-        )
-        .withColumn("timestamp", F.timestamp_seconds(F.col("bucket")))
+    z = rows.groupBy("bucket", "service_name").agg(
+        F.sum(F.col("_zero").cast("long")).alias("_z_f"),
+        F.sum(F.when(F.col("_half"), F.col("_zero").cast("long"))).alias("_z_h"),
     )
-    last = full.withColumn(
+    merged = z.join(d, ["bucket", "service_name"], "left")
+    empty = F.array().cast("array<long>")
+    # the full-day groups anchor both snapshots: a morning with zero
+    # events still yields a (first=empty, last=full) pair via the null
+    # half-side coalesces, not a single-sample step
+    first = merged.select(
+        "bucket", "service_name", F.lit(0).alias("scale"),
+        F.coalesce("_z_h", F.lit(0)).alias("zero_count"),
+        F.coalesce("_off_h", F.lit(0)).alias("positive_offset"),
+        F.coalesce(
+            _counts(F.col("_off_h"), F.col("_mx_h"), "h"), empty
+        ).alias("positive_bucket_counts"),
+    ).withColumn("timestamp", F.timestamp_seconds(F.col("bucket")))
+    last = merged.select(
+        "bucket", "service_name", F.lit(0).alias("scale"),
+        F.col("_z_f").alias("zero_count"),
+        F.coalesce("_off_f", F.lit(0)).alias("positive_offset"),
+        F.coalesce(
+            _counts(F.col("_off_f"), F.col("_mx_f"), "f"), empty
+        ).alias("positive_bucket_counts"),
+    ).withColumn(
         "timestamp", F.timestamp_seconds(F.col("bucket") + 82800)
     )
     dp = first.unionByName(last).drop("bucket")
