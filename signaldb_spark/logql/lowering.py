@@ -705,6 +705,26 @@ def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
                 and g not in series_probe
             )
         if isinstance(expr.expr, RangeAgg):
+            # Algebraic outer-agg fusion (guide §2.2 partial aggregation,
+            # r12): sum∘{sum,count,bytes}_over_time and min∘min / max∘max
+            # collapse to the range aggregate grouped DIRECTLY by the
+            # kept labels — the per-stream matrix never materializes, so
+            # its (bucket × full-label-set) shuffle disappears. Only
+            # order-exact combinations fuse: counts and octet sums are
+            # exact integers, min/max are order-free, and an exact sum
+            # grouped coarser equals the sum of per-stream sums;
+            # rate/avg/stddev/quantile shapes are NOT algebraically
+            # collapsible and keep the two-pass form.
+            if (
+                expr.op in ("sum", "min", "max")
+                and (expr.op, expr.expr.fn)
+                in {("sum", "sum"), ("sum", "count"), ("sum", "bytes"),
+                    ("min", "min"), ("max", "max")}
+            ):
+                return _eval_range_agg(
+                    ctx, expr.expr, extra_labels=extra,
+                    fuse_group=(expr.grouping or (), bool(expr.without)),
+                )
             inner = _eval_range_agg(ctx, expr.expr, extra_labels=extra)
         else:
             inner = eval_metric(ctx, expr.expr)
@@ -751,8 +771,24 @@ def eval_metric(ctx: LowerCtx, expr: MetricExpr) -> DataFrame:
     raise TypeError(type(expr))
 
 
+def _fused_series(
+    series: list[str], fuse_group: tuple[tuple[str, ...], bool] | None
+) -> list[str]:
+    """Collapse a range aggregate's series columns to the outer
+    grouping when eval_metric fused the outer aggregate in (the routed
+    keep-list mirrors the non-fused outer_aggregate path exactly)."""
+    if fuse_group is None:
+        return series
+    grouping, without = fuse_group
+    routed = _route_grouping(series, grouping)
+    if without:
+        return [c for c in series if c not in routed]
+    return [c for c in series if c in routed]
+
+
 def _eval_range_agg(
-    ctx: LowerCtx, expr: RangeAgg, extra_labels: tuple[str, ...] = ()
+    ctx: LowerCtx, expr: RangeAgg, extra_labels: tuple[str, ...] = (),
+    fuse_group: tuple[tuple[str, ...], bool] | None = None,
 ) -> DataFrame:
     if expr.offset_seconds:
         # offset: evaluate over the window shifted BACK, then stamp
@@ -784,7 +820,10 @@ def _eval_range_agg(
         for g in extra_labels:
             df = df.withColumn(g, resolve_label(df, expr.selector, g))
         agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)
-        series = [c for c in SERIES_COLS if c in df.columns] + list(extra_labels)
+        series = _fused_series(
+            [c for c in SERIES_COLS if c in df.columns] + list(extra_labels),
+            fuse_group,
+        )
         return ts.range_aggregate(df, "timestamp", ctx.step_seconds, series, agg)
     df = apply_selector(ctx, expr.selector)
     if _has_output_stages(expr.selector):
@@ -796,7 +835,10 @@ def _eval_range_agg(
     for g in extra_labels:
         df = df.withColumn(g, resolve_label(df, expr.selector, g))
     agg = _range_agg_expr(expr.fn, expr.selector, df, expr.range_seconds, expr.param)
-    series = [c for c in SERIES_COLS if c in df.columns] + list(extra_labels)
+    series = _fused_series(
+        [c for c in SERIES_COLS if c in df.columns] + list(extra_labels),
+        fuse_group,
+    )
     return ts.range_aggregate(df, "timestamp", ctx.step_seconds, series, agg)
 
 

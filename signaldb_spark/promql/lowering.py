@@ -193,7 +193,7 @@ def _phi_percentile(v, phi: float):
 
 def lower_range_fn(
     ctx: PromCtx, fn: str, sel: VectorSelector, phi: float | None = None,
-    extra: tuple = (),
+    extra: tuple = (), fuse_group: tuple[tuple[str, ...], bool] | None = None,
 ) -> DataFrame:
     if sel.at_epoch is not None:
         inner_ctx = _at_ctx(ctx, sel, sel.range_seconds or ctx.default_range)
@@ -207,6 +207,18 @@ def lower_range_fn(
         return _empty_matrix(ctx)
     df = apply_selector(ctx, sel, base)
     series = series_columns(df)
+    if fuse_group is not None:
+        # outer-agg fusion (guide §2.2, r12): _eval_agg routed a
+        # sum/min/max-over-series straight into this range aggregate —
+        # group by the kept labels directly, mirroring the keep-list
+        # computation of the non-fused outer_aggregate path
+        grouping, without = fuse_group
+        routed = _route_labels(grouping, series)
+        series = (
+            [c for c in series if c not in routed]
+            if without
+            else [c for c in series if c in routed]
+        )
     rng = sel.range_seconds or ctx.default_range
     step = ctx.step_seconds
     v, t = F.col("value"), F.col("timestamp")
@@ -743,7 +755,37 @@ def _route_labels(labels, series: list[str]) -> set[str]:
     return out
 
 
+_FUSABLE_RANGE_FNS = {
+    # outer op → inner range fns whose coarser grouping is EXACTLY the
+    # sum/min/max of the per-series results (counts are exact integers,
+    # min/max are order-free); rate/avg/present/stddev shapes are not
+    # algebraically collapsible and keep the two-pass form
+    "sum": ("sum_over_time", "count_over_time"),
+    "min": ("min_over_time",),
+    "max": ("max_over_time",),
+}
+
+
 def _eval_agg(ctx: PromCtx, a: AggExpr) -> DataFrame:
+    # Algebraic outer-agg fusion (guide §2.2 partial aggregation, r12):
+    # sum/min/max over a plain <fn>_over_time range aggregate groups the
+    # range aggregate DIRECTLY by the kept labels — the per-series
+    # matrix and its (bucket × full-label-set) shuffle never exist.
+    # Restricted to bare selectors (no subquery, no @-pin) so the
+    # special evaluation paths stay untouched.
+    if (
+        a.op in _FUSABLE_RANGE_FNS
+        and isinstance(a.expr, Call)
+        and a.expr.fn in _FUSABLE_RANGE_FNS[a.op]
+        and len(a.expr.args) == 1
+        and isinstance(a.expr.args[0], VectorSelector)
+        and a.expr.args[0].subquery is None
+        and a.expr.args[0].at_epoch is None
+    ):
+        return lower_range_fn(
+            ctx, a.expr.fn, a.expr.args[0],
+            fuse_group=(a.grouping or (), bool(a.without)),
+        )
     inner = eval_expr(ctx, a.expr)
     series = [c for c in inner.columns if c not in ("bucket", "value")]
     if a.op in ("topk", "bottomk"):
