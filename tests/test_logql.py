@@ -140,6 +140,59 @@ def test_log_query_line_filters(ctx, duck):
     assert n == expected and n > 0
 
 
+def test_outer_sum_without_fused_matches_duckdb(ctx, duck):
+    """`sum without (level) (count_over_time(...))` rides the r12
+    outer-agg fusion (eval_metric collapses the outer sum into the
+    range aggregate). The without-form has no battery gate, so the
+    result is pinned against DuckDB's restatement here — and the plan
+    must hold exactly ONE grouped aggregation (one partial+final
+    HashAggregate pair); a second pair means the per-stream matrix
+    shuffle came back."""
+    got = query_metric(
+        ctx,
+        'sum without (level) (count_over_time({service_name=~"api|web"}[1h]))',
+    )
+    import re
+
+    p = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    # the formatted output names each operator twice (tree + detail
+    # section) — count the numbered detail headers only
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2, p
+    assert got.columns == ["bucket", "service_name", "label_namespace", "value"]
+    rows = {tuple(r) for r in got.collect()}
+    exp = duck.execute(
+        """
+        SELECT CAST(floor(epoch(timestamp)/3600)*3600 AS BIGINT) AS bucket,
+               service_name, label_namespace, CAST(count(*) AS DOUBLE)
+        FROM logs
+        WHERE service_name SIMILAR TO 'api|web' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2, 3
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {tuple(r) for r in exp} and len(rows) > 0
+
+
+def test_outer_agg_nonfusable_keeps_two_pass(ctx):
+    """sum over avg_over_time is NOT algebraically collapsible — the
+    lowering must keep the two-aggregation form (two partial+final
+    pairs). Guards the fusion's eligibility set from widening by
+    accident."""
+    got = query_metric(
+        ctx,
+        'sum by (service_name) (avg_over_time({service_name=~"api|web"}'
+        ' | unwrap took [1h]))',
+    )
+    import re
+
+    p = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 4, p
+
+
 def test_negative_matcher_includes_null(ctx, duck):
     sel = parse('{service_name="api", level != "error"}')
     got = query_logs(ctx, sel, limit=10000).count()

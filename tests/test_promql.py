@@ -115,6 +115,36 @@ def test_rate_counter(ctx, duck):
     assert rows == {(b, s): v for b, s, v in exp} and rows
 
 
+def test_outer_sum_without_fused_matches_duckdb(ctx, duck):
+    """`sum without (service_name) (sum_over_time(...))` rides the r12
+    outer-agg fusion (_eval_agg routes the shape straight into
+    lower_range_fn grouped by the kept labels). The without-form has no
+    battery gate, so the result is pinned against DuckDB here, and the
+    plan must hold exactly ONE grouped aggregation pair."""
+    got = query_range(
+        ctx, "sum without (service_name) (sum_over_time(process_cpu_usage[10m]))"
+    )
+    import re
+
+    p = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    # each operator is named twice in formatted output (tree + detail);
+    # count the numbered detail headers only
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2, p
+    rows = {(r.bucket, r.metric_name): round(r.value, 6) for r in got.collect()}
+    exp = duck.execute(
+        f"""
+        SELECT {BUCKET} AS bucket, metric_name, round(sum(value), 6)
+        FROM metrics_gauge
+        WHERE metric_name = 'process_cpu_usage' AND timestamp BETWEEN ? AND ?
+        GROUP BY 1, 2
+        """,
+        [START, END],
+    ).fetchall()
+    assert rows == {(b, m): v for b, m, v in exp} and rows
+
+
 def test_sum_by_drops_series(ctx):
     got = query_range(ctx, "sum by (service_name) (process_cpu_usage)")
     cols = got.columns
