@@ -319,6 +319,25 @@ def _metric_vector(df: DataFrame, m: Metric, where,
     else:
         keys = list(skeys)
 
+    # Algebraic outer-agg fusion (guide §2.2 partial aggregation, r12,
+    # mirroring the LogQL/PromQL lowerings): sum∘sum_over_time,
+    # min∘min_over_time and max∘max_over_time are the SAME aggregate
+    # grouped coarser, so the per-series matrix and its shuffle never
+    # exist — the by-labels materialize on the raw rows and the range
+    # aggregate groups by them directly. Only order-exact combinations
+    # fuse (an exact sum grouped coarser equals the sum of per-series
+    # sums; min/max are order-free); last/rate/increase/quantile and
+    # the series-counting agg keep the two-pass form.
+    if m.agg is not None and (m.agg, m.fn) in (
+        ("sum", "sum_over_time"), ("min", "min_over_time"),
+        ("max", "max_over_time"),
+    ):
+        for b in m.by:
+            df = df.withColumn(b, _label_col(b, skeys))
+        gkeys = (["bucket"] if bucketed else []) + list(m.by)
+        out = _gauge_range(df, gkeys, m.fn)
+        return out, list(m.by), skeys
+
     if m.fn == "last":
         out = df.groupBy(*keys).agg(F.max_by("value", ts_col).alias("value"))
     elif m.fn in ("rate", "increase"):

@@ -197,6 +197,44 @@ def test_gauge_last_and_range_fns(spark):
     assert run("delta", window_seconds=3600) == pytest.approx(10.0)  # last−first
 
 
+def test_fused_outer_agg_groups_range_aggregate_directly(spark):
+    """sum∘sum_over_time (and min∘min / max∘max) fuse into ONE grouped
+    aggregation (r12, mirroring the LogQL/PromQL lowerings): the
+    by-label groups the raw rows directly and the per-attribute-series
+    pass never materializes. Distinct attribute series under one label
+    value must still collapse together, and the plan must hold a single
+    partial+final HashAggregate pair — a second pair means the
+    per-series matrix came back."""
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 00:00:00"), "api", "temp", 10.0, {"host": "h1"}),
+            (_ts("2024-01-01 00:30:00"), "api", "temp", 30.0, {"host": "h2"}),
+            (_ts("2024-01-01 00:45:00"), "web", "temp", 5.0, {"host": "h1"}),
+        ],
+        "timestamp timestamp, service_name string, metric_name string, "
+        "value double, attributes map<string,string>",
+    )
+    q = validate(_q({"name": "temp", "type": "gauge", "fn": "sum_over_time",
+                     "window_seconds": 3600, "agg": "sum",
+                     "by": ["service_name"]}))
+    out = lower_metrics(df, q)
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"^\(\d+\) HashAggregate", p, re.M)) == 2, p
+    got = {r["service_name"]: r["value"] for r in out.collect()}
+    assert got == {"api": pytest.approx(40.0), "web": pytest.approx(5.0)}
+
+    q2 = validate(_q({"name": "temp", "type": "gauge", "fn": "min_over_time",
+                      "window_seconds": 3600, "agg": "min",
+                      "by": ["service_name"]}))
+    got2 = {r["service_name"]: r["value"]
+            for r in lower_metrics(df, q2).collect()}
+    assert got2 == {"api": pytest.approx(10.0), "web": pytest.approx(5.0)}
+
+
 # --------------------------------------------------- histogram quantile
 
 
