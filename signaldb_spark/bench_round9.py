@@ -2139,12 +2139,22 @@ def q_llr_collocations(spark, sf_dir):
         F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
         F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
     )
+    # c1/c2/N are exact integer sums OF k11 (count of bigrams with that
+    # first/second word = Σ k11 over the matching rows), so every
+    # downstream table derives from the ONE vocabulary-sized bigram
+    # aggregate. The former shape re-aggregated `parts` four times —
+    # four full tokenize+explode passes over the corpus, which plan
+    # canonicalization cannot deduplicate (each copy prunes different
+    # columns). The eager localCheckpoint materializes k11 once inside
+    # the query's own execution (the repo's bounded-intermediate
+    # pattern, cf. cosine_near_dup_pairs) so the corpus is read and
+    # tokenized exactly once (r12, guide §1.2/§2.2).
     k11 = parts.groupBy("bg", "w1", "w2").agg(
         F.count(F.lit(1)).alias("k11")
-    )
-    c1 = parts.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = parts.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    tot = parts.agg(F.count(F.lit(1)).alias("N"))
+    ).localCheckpoint()
+    c1 = k11.groupBy("w1").agg(F.sum("k11").alias("c1"))
+    c2 = k11.groupBy("w2").agg(F.sum("k11").alias("c2"))
+    tot = k11.agg(F.sum("k11").alias("N"))
 
     def xlx(k):
         return F.when(k > 0, k * F.log(k)).otherwise(F.lit(0.0))
@@ -2173,10 +2183,14 @@ def q_llr_collocations(spark, sf_dir):
         - xlx(F.col("k12") + F.col("k22"))
     )
     scored = cells.select("bg", F.round(llr, 6).alias("llr"))
+    # top-15 via global sort-limit (TakeOrdered at scale), THEN rank the
+    # 15 survivors — the former rank-then-filter windowed the entire
+    # bigram vocabulary through one partition (r12, guide §2.5); the
+    # (llr DESC, bg) total order makes the two forms identical
+    top = scored.orderBy(F.desc("llr"), "bg").limit(15)
     w = Window.orderBy(F.desc("llr"), "bg")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 15)
+        top.withColumn("rk", F.row_number().over(w))
         .select(F.col("rk").cast("bigint").alias("rk"), "bg", "llr")
         .orderBy("rk")
     )
