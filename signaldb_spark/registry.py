@@ -256,6 +256,34 @@ _DRIVER_VERIFIED = frozenset({
     "priority_entropy_by_segment", "lang_length_zscore",
     "emb_clip_fractions", "winsorized_mean_value", "month_end_load",
     "acctbal_decile_profile", "part_token_revenue",
+    # round 12 (50 green rows in CORRECTNESS_r12.json — the full round-11
+    # priority tier: the point-lookup pruning substrate, the metric-native
+    # IR sub-model tail, the manifest lifecycle pair, the LogQL byte-stage
+    # pair, the PromQL agg tail, the embedding report battery, plus the
+    # head of the staged analytics queue)
+    "trace_point_lookup_bucketed", "trace_bucket_census",
+    "point_lookup_time_sliced", "point_lookup_absent_key",
+    "api_tempo_trace_pruned", "logql_tie_cut_determinism",
+    "zorder_two_dim_scan", "zorder_rewrite_census",
+    "point_lookup_after_compaction", "ir_metrics_rate_delta",
+    "ir_metrics_instant_nostep", "ir_metrics_sum_over_time",
+    "ir_metrics_avg_over_time", "ir_metrics_min_over_time",
+    "ir_metrics_max_over_time", "ir_metrics_last_over_time",
+    "ir_metrics_series_count", "ir_metrics_sum_instant",
+    "ir_metrics_gauge_delta", "ir_extract_logfmt_gate",
+    "ir_rank_topk_gate", "manifest_lineage_census", "manifest_props_carry",
+    "logql_decolorize_bytes", "logql_line_format_bytes",
+    "promql_stdvar_agg", "promql_bottomk_min", "promql_sum_without",
+    "emb_norm_percentile_bands", "emb_label_centroid_distances",
+    "emb_coordinate_range_report", "emb_label_purity_knn1",
+    "emb_top_norm_label_mix", "emb_quadrant_occupancy",
+    "emb_dim_mean_shift_halves", "emb_norm_by_vecid_decile",
+    "emb_centroid_global_cosine", "emb_dim_extreme_census",
+    "emb_first_dim_histogram", "emb_ring_dot_extremes",
+    "emb_dim_separability", "emb_anchor_cosine_profile",
+    "emb_dim_range_profile", "hll_error_bound", "range_interval_window",
+    "weekend_premium_by_segment", "first_priority_repeat",
+    "least_greatest_battery", "mad_retail_price", "order_value_cv",
 })
 
 # Engine-contract gates that prove the highest-value components under the
