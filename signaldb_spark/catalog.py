@@ -100,6 +100,41 @@ def _table_sig(path: str) -> tuple:
     return (st.st_mtime_ns, tuple(entries))
 
 
+# Same memo idea for SIGNAL relations (manifest snapshot reads, hot-batch
+# unions, plain signal dirs): the façade re-resolves its table on every
+# route, and a hive-partitioned signal table costs a full JVM directory
+# listing + footer schema inference per spark.read (~100-400ms for the
+# 720-dir logs fixture). Keys embed what makes the relation immutable —
+# an explicit committed file list (manifest versions never mutate a
+# file), a hot-sequence tuple (published batches are immutable), or a
+# whole-tree stat signature for bare parquet dirs — so a writer
+# replacing data can never be served a stale plan. Values are lazy
+# DataFrames only; every action still scans parquet.
+_RELATION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def relation_memo(spark: SparkSession, key: tuple, build) -> DataFrame:
+    memo = _RELATION_MEMO.setdefault(spark, {})
+    hit = memo.get(key)
+    if hit is None:
+        hit = memo[key] = build()
+    return hit
+
+
+def _tree_sig(path: str) -> tuple:
+    entries = []
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in files:
+            st = os.stat(os.path.join(root, f))
+            rel = os.path.relpath(os.path.join(root, f), path)
+            entries.append((rel, st.st_mtime_ns, st.st_size))
+    entries.sort()
+    return tuple(entries)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one benchmark table, normalizing timestamp physical types.
 
@@ -204,7 +239,11 @@ def optional_table(
         return df
     if not _parquet_dir_exists(path):
         return None
-    return spark.read.parquet(path)
+    return relation_memo(
+        spark,
+        ("signal_dir", path, _tree_sig(path)),
+        lambda: spark.read.parquet(path),
+    )
 
 
 def _parquet_dir_exists(path: str) -> bool:

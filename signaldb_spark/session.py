@@ -97,6 +97,18 @@ def get_spark(app_name: str = "signaldb-spark", shuffle_partitions: int | None =
         # from a bounded tail capture; progress bars would displace it.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # DataFrame debugging wraps EVERY Python DataFrame/Column API call
+        # with call-site capture for enriched error messages: a
+        # getActiveSession py4j round trip, a conf read, a Python stack
+        # walk, and a PySparkCurrentOrigin.set/clear pair — ~4 extra
+        # gateway round trips per call (pyspark/errors/utils.py
+        # _with_origin). This engine constructs plans from thousands of
+        # API calls per query, so the wrapper costs ~25-35% of plan-build
+        # time (measured; guide §1.2 per-task work, driver-side). Errors
+        # still carry the full Python traceback — only the JVM-side
+        # origin annotation is lost. Driver-side cost, identical on a
+        # real cluster.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # FAIR scheduling so per-tenant scheduler pools share the
         # cluster instead of FIFO head-of-line blocking — one tenant's
         # heavy query must not starve every other tenant (the

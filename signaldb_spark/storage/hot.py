@@ -150,10 +150,18 @@ class HotStore:
         # mergeSchema: hot batches may straddle a schema addition; the
         # default single-footer schema pick would silently DROP a column
         # present only in newer batches (the cold union already handles
-        # drift via unionByName(allowMissingColumns=True))
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[self._seq_path(s) for s in use])
+        # drift via unionByName(allowMissingColumns=True)).
+        # Relation memo keyed on the sequence tuple: a published batch
+        # directory is immutable (the atomic-rename publish point), so
+        # the same sequence set is the same relation; gc'd sequences
+        # simply stop appearing in keys (catalog.relation_memo).
+        from ..catalog import relation_memo
+
+        return relation_memo(
+            spark,
+            ("hot_read", self.table_path, tuple(use)),
+            lambda: spark.read.option("mergeSchema", "true")
+            .parquet(*[self._seq_path(s) for s in use]),
         )
 
     # ----------------------------------------------------------------- gc

@@ -530,7 +530,18 @@ class ManifestTable:
             fs = self.files(version)
         if not fs:
             return None
-        return spark.read.option("basePath", self.data_dir).parquet(*fs)
+        # Relation memo keyed on the explicit committed file list: a
+        # manifest version never mutates a file, so the same (basePath,
+        # files) pair is the same immutable relation — re-listing and
+        # re-inferring footers per façade route is pure planning
+        # overhead (catalog.relation_memo; every action still scans).
+        from ..catalog import relation_memo
+
+        return relation_memo(
+            spark,
+            ("manifest_read", self.data_dir, tuple(fs)),
+            lambda: spark.read.option("basePath", self.data_dir).parquet(*fs),
+        )
 
     def read_recent_topk(
         self,
