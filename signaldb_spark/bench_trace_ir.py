@@ -327,8 +327,17 @@ def _tree_spans(spark, sf_dir):
     span_id unique within each trace."""
     l = load_table(spark, sf_dir, "lineitem")
     ln = F.col("l_linenumber")
+    # One exchange for the whole family (guide §2.4 "share one
+    # exchange"): hash-partition by l_orderkey BEFORE the per-span
+    # dedup aggregate. HashPartitioning(l_orderkey) satisfies the
+    # dedup's ClusteredDistribution(l_orderkey, l_linenumber) AND —
+    # through the alias-aware projection to trace_id — every downstream
+    # structural operator's per-trace groupBy/window, so the span table
+    # is shuffled once instead of twice in all 12 consumers of this
+    # view. At 100 TB the removed exchange carries the whole span table.
     return (
-        l.groupBy("l_orderkey", "l_linenumber")
+        l.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_linenumber")
         .agg(
             F.min("l_returnflag").alias("flag"),
             F.min("l_linestatus").alias("status"),
